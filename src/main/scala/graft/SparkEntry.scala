@@ -1,13 +1,182 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Analytics, Monitoring}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Monitoring.msgRatePerTopic(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Monitoring core
+    "q_msg_rate_per_topic" -> ((s, d) => Monitoring.msgRatePerTopic(s, d)),
+    "q_msg_rate_total" -> ((s, d) => Monitoring.msgRateTotal(s, d)),
+    "q_topic_stats" -> ((s, d) => Monitoring.topicStats(s, d)),
+    "q_backlog_topics" -> ((s, d) => Monitoring.backlogTopics(s, d)),
+    "q_azure_series" -> ((s, d) => Monitoring.azureSeries(s, d)),
+    "q_metric_envelope" -> ((s, d) => Monitoring.metricEnvelopes(s, d)),
+    "q_timestamp_age" -> ((s, d) => Monitoring.timestampAge(s, d)),
+    "q_entity_count" -> ((s, d) => Monitoring.entityCount(s, d)),
+    "q_last_scrape_success" -> ((s, d) => Monitoring.lastScrapeSuccess(s, d)),
+    "q_distribution_summary" -> ((s, d) => Monitoring.distributionSummary(s, d)),
+    "q_scrape_attempts" -> ((s, d) => Monitoring.scrapeAttempts(s, d)),
+    "q_mqtt_topic_match" -> ((s, d) => Monitoring.topicFilterRouting(s, d)),
+    // Analytical core
+    "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
+    "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
+    "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
+    "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
+    "q_topk" -> ((s, d) => Analytics.topK(s, d)),
+    "q_window_funcs" -> ((s, d) => Analytics.windowFuncs(s, d)),
+    "q_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
+    "q_rollup" -> ((s, d) => Analytics.rollupAgg(s, d)),
+    "q_pivot" -> ((s, d) => Analytics.pivotEvents(s, d)),
+    "q_json_extract" -> ((s, d) => Analytics.jsonExtract(s, d)),
+    "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+  )
+
+  /** DuckDB-dialect oracle SQL per query (same tables by name). */
+  def oracleSql: Map[String, String] = Map(
+    "q_msg_rate_per_topic" ->
+      """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
+        | count(*) AS msg_count, count(*)/3600.0 AS msgs_per_sec
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_msg_rate_total" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        | count(*) AS msg_count, count(*)/3600.0 AS msgs_per_sec
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_topic_stats" ->
+      """SELECT event_type AS topic, count(*) AS msg_count,
+        | count(*)/86400.0 AS msg_rate_in,
+        | count(*) FILTER (event_type <> 'error')/86400.0 AS msg_rate_out,
+        | CAST(sum(length(props)) AS BIGINT) AS storage_size,
+        | count(*) FILTER (value > 150) AS backlog_size
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_backlog_topics" ->
+      """SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        | CAST(sum(length(props)) AS BIGINT) AS backlog_bytes
+        |FROM events GROUP BY 1,2 HAVING backlog_bytes >= 600""".stripMargin,
+    "q_azure_series" ->
+      """SELECT event_id,
+        | replace(replace(event_type || '/' || CAST(user_id AS VARCHAR) || '/#',
+        |   '#', '*'), '+', '^') AS dim,
+        | CASE WHEN abs(round(value, 2)) > 10 THEN round(abs(round(value, 2)), 0)
+        |      ELSE abs(round(value, 2)) END AS shaped_value
+        |FROM events""".stripMargin,
+    "q_timestamp_age" ->
+      """SELECT event_type AS topic,
+        | date_diff('second', max(ts), TIMESTAMP '2025-01-01 00:00:00') AS age_sec
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_entity_count" ->
+      """SELECT user_id % 10 AS feed_id, date_trunc('day', ts) AS day,
+        | count(*) AS entity_count
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_last_scrape_success" ->
+      """SELECT event_type AS topic, event_id AS last_event_id,
+        | CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS success
+        |FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+    "q_distribution_summary" ->
+      """SELECT event_type AS topic, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | max(value) AS max_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_scrape_attempts" ->
+      """SELECT event_type AS topic,
+        | CASE WHEN value < 30 THEN 'failure' ELSE 'success' END AS result,
+        | count(*) AS attempts
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_mqtt_topic_match" ->
+      """WITH topics AS (SELECT DISTINCT event_type || '/' ||
+        |   CAST(user_id % 10 AS VARCHAR) || '/' ||
+        |   CAST(event_id % 10 AS VARCHAR) AS topic FROM events)
+        |SELECT topic, 'purchase/+/3' AS matched_filter FROM topics
+        | WHERE regexp_matches(topic, '^purchase/[^/]+/3$')
+        |UNION ALL SELECT topic, 'error/#' FROM topics
+        | WHERE regexp_matches(topic, '^error(/.*)?$')
+        |UNION ALL SELECT topic, '+/5/#' FROM topics
+        | WHERE regexp_matches(topic, '^[^/]+/5(/.*)?$')""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) *
+        |   (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1,2""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS segment, count(*) AS n FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', count(*) FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_topk" ->
+      """SELECT o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, running_acctbal
+        |FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+        |   row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+        |     (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_acctbal
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 5""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k
+        |FROM (SELECT event_type,
+        |   CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+        | FROM events) GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |   FROM orders GROUP BY 1,2)
+        |SELECT event_id, user_id, o.o_orderkey, o.o_orderdate
+        |FROM events e ASOF LEFT JOIN o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+  )
 }

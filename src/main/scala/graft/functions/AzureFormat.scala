@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Azure Monitor custom-metric value/dimension shaping.
+  *
+  * Semantics from the reference collector
+  * (src/mqtt_data_collector.py:278-300 `get_series_array`,
+  * src/pulsar_data_collector.py:175-188): values are rounded to two
+  * decimals, negatives are negated (abs), values over 10 are rounded
+  * to whole numbers; dimension values may not contain `#` or `+`
+  * (replaced with `*` and `^`).
+  *
+  * All of this is plain `functions._` — whole-stage codegen'd, no UDF.
+  */
+object AzureFormat {
+
+  /** round(2) → abs → (>10 ? round(0) : identity), as in the reference. */
+  def shapeMetricValue(v: Column): Column = {
+    val r2 = abs(round(v, 2))
+    when(r2 > 10, round(r2, 0)).otherwise(r2)
+  }
+
+  /** `#`→`*`, `+`→`^` — Azure rejects MQTT wildcard chars in dimValues. */
+  def sanitizeDim(dim: Column): Column = translate(dim, "#+", "*^")
+
+  /** One Azure `series` element: {dimValues:[dim], sum:value, count:1}. */
+  def seriesElement(dim: Column, value: Column): Column =
+    struct(
+      array(sanitizeDim(dim)).as("dimValues"),
+      shapeMetricValue(value).as("sum"),
+      lit(1).as("count")
+    )
+
+  /** Full custom-metric envelope
+    * {time, data:{baseData:{metric, namespace, dimNames, series}}}
+    * (src/send_data_to_azure_monitor.py envelope; one row per
+    * (namespace, metric), series collected from the group).
+    */
+  def metricEnvelope(timeIso: Column, metric: Column, namespace: Column,
+                     dimName: String, series: Column): Column =
+    to_json(
+      struct(
+        timeIso.as("time"),
+        struct(
+          struct(
+            metric.as("metric"),
+            namespace.as("namespace"),
+            array(lit(dimName)).as("dimNames"),
+            series.as("series")
+          ).as("baseData")
+        ).as("data")
+      )
+    )
+}

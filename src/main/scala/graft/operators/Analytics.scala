@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytical query capability over the TPC-H-ish tables.
+  *
+  * Money math runs in DECIMAL end-to-end (exact, associative ⇒
+  * identical results across engines, partition counts and shuffle
+  * orders), surfaced as doubles at the end. At 100 TB this also means
+  * partial aggregation is bit-stable regardless of AQE re-planning.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate groupBy. The filter
+    * and 7-column projection reach the parquet scan. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Dim-chain join: both `nation` and `region` are broadcast — zero
+    * shuffle for the join itself, one partial-agg shuffle after. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+
+  /** Fact-fact join: shuffles both sides on the join key (at scale:
+    * co-partition/bucket by orderkey to avoid it), aggregate after. */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+
+  /** EXISTS / NOT EXISTS as left-semi / left-anti joins. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("segment"), col("n"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("segment"), col("n"))
+    withOrders.unionAll(withoutOrders)
+  }
+
+  /** Top-k by aggregate with a deterministic tie-break. At scale this
+    * is a partial top-k per partition + tiny final sort (TakeOrdered). */
+  def topK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey").asc)
+      .limit(k)
+
+  /** Ranking + running totals per partition. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("running_acctbal",
+        sum(dec(col("c_acctbal")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Exact distinct cardinalities (single row). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Hierarchical ROLLUP aggregate (subtotals + grand total). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Pivot event_type → columns; count per day. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  /** JSON payload field extraction + aggregate. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  /** As-of join: each event picks the latest order (by o_orderdate)
+    * of the same customer at or before the event time; events with no
+    * such order survive with nulls.
+    *
+    * Composed from built-ins (range join + windowed arg-max) so
+    * Catalyst plans it; ties on (custkey, orderdate) are collapsed to
+    * max(o_orderkey) first to keep the result deterministic — same
+    * collapse in the DuckDB ASOF oracle. At scale: both sides
+    * pre-partition by the equi-key, so only the per-customer order
+    * history (small) is range-scanned per event.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+      "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey"), col("o_orderdate"))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.AzureFormat
+import graft.plans.MqttTopicMatch.mqtt_topic_match
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch form of the reference's monitoring computations, over the
+  * `events` table (`event_type` ≈ topic, `ts` ≈ publish time,
+  * `props` ≈ payload).
+  *
+  * Scale notes: every query here aggregates on low-cardinality keys
+  * (topic × window), so partial (map-side) aggregation collapses the
+  * data before the single shuffle; shuffle volume is ∝ #topics ×
+  * #windows regardless of input row count. No joins.
+  */
+object Monitoring {
+
+  /** Reference measures rates over a fixed monitoring period
+    * (mqtt_data_collector.py MONITOR_PERIOD_IN_SECONDS=60); here the
+    * batch window is 1 hour. */
+  private val WindowSeconds = 3600.0
+
+  /** Fixed "now" for reproducible staleness math (the batch analog of
+    * gtfsrt_data_collector.py's `round(time.time())`). */
+  val FixedNowIso = "2025-01-01 00:00:00"
+
+  /** Exact, order-independent sum of a 2-decimal double column:
+    * sum as DECIMAL (associative, reproducible across engines and
+    * partitionings) then back to double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** msgs/sec per topic per tumbling window —
+    * mqtt_data_collector.py:96-135 `get_msg_count` semantics
+    * (count in period / period length). */
+  def msgRatePerTopic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+      .withColumn("msgs_per_sec", col("msg_count") / lit(WindowSeconds))
+
+  /** Global per-window message rate (all topics together). */
+  def msgRateTotal(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+      .withColumn("msgs_per_sec", col("msg_count") / lit(WindowSeconds))
+
+  /** Per-topic stats panel: the batch analog of the Pulsar admin
+    * `/stats` selection {msgRateIn, msgRateOut, storageSize,
+    * backlogSize} (pulsar_data_collector.py:16-19,
+    * stats_of_all_topics.sh). `storage_size` = payload bytes,
+    * `backlog_size` = messages not yet acked (proxy: value>150). */
+  def topicStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(
+        count(lit(1)).as("msg_count"),
+        (count(lit(1)) / lit(86400.0)).as("msg_rate_in"),
+        (count(when(col("event_type") =!= "error", 1)) / lit(86400.0)).as("msg_rate_out"),
+        sum(length(col("props"))).as("storage_size"),
+        count(when(col("value") > 150, 1)).as("backlog_size"))
+
+  /** Topics×days whose backlog crosses the alert threshold —
+    * topics_with_big_backlog.sh (backlogSize ≥ 1G there; scaled
+    * per-day payload-bytes threshold here). */
+  def backlogTopics(spark: SparkSession, dir: String, thresholdBytes: Long = 600): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(length(col("props"))).as("backlog_bytes"))
+      .filter(col("backlog_bytes") >= thresholdBytes)
+
+  /** Azure series shaping per message: sanitized dimension + shaped
+    * value (mqtt_data_collector.py get_series_array). */
+  def azureSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        AzureFormat.sanitizeDim(
+          concat(col("event_type"), lit("/"), col("user_id"), lit("/#"))).as("dim"),
+        AzureFormat.shapeMetricValue(col("value")).as("shaped_value"))
+
+  /** Full Azure custom-metric JSON envelope, one per topic ×
+    * namespace (send_data_to_azure_monitor.py). Series order is made
+    * deterministic with sort_array. */
+  def metricEnvelopes(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).cast("double").as("msg_count"))
+      .groupBy()
+      .agg(sort_array(collect_list(
+        AzureFormat.seriesElement(col("topic"), col("msg_count")))).as("series"))
+    series.select(
+      AzureFormat.metricEnvelope(
+        lit(FixedNowIso), lit("Msg Count"), lit("MQTT"), "Topic",
+        col("series")).as("envelope"))
+  }
+
+  /** Feed staleness: seconds from last message to (fixed) now, per
+    * topic — gtfsrt_data_collector.py get_stats `time_diff`. */
+  def timestampAge(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(max(col("ts")).as("last_ts"))
+      .select(
+        col("topic"),
+        (unix_timestamp(lit(FixedNowIso).cast("timestamp")) -
+          unix_timestamp(col("last_ts"))).as("age_sec"))
+
+  /** Entity count per feed per day (gtfsrt entity_count analog;
+    * feed = user_id bucket). */
+  def entityCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("feed_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("entity_count"))
+
+  /** Gauge semantics: the latest event per topic decides the current
+    * state (GtfsRtMetricsRegistry `gtfsrt_last_scrape_success`).
+    * Deterministic arg-max: ts desc, then event_id desc. */
+  def lastScrapeSuccess(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type").as("topic"),
+        col("event_id").as("last_event_id"),
+        when(col("event_type") =!= "error", 1).otherwise(0).as("success"))
+  }
+
+  /** Micrometer DistributionSummary per topic: count / sum / max /
+    * mean (GtfsRtMetricsRegistry entityCount & timestampAge
+    * summaries). Decimal-exact sums → reproducible doubles. */
+  def distributionSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total"),
+        max(col("value")).as("max_value"))
+      .withColumn("mean_value", col("total") / col("n"))
+
+  /** Tagged counter: scrape attempts by (topic, result)
+    * (GtfsRtMetricsRegistry `gtfsrt_scrape_attempts_total`). */
+  def scrapeAttempts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        when(col("value") < 30, "failure").otherwise("success").as("result"))
+      .agg(count(lit(1)).as("attempts"))
+
+  /** Route distinct topics through MQTT wildcard filters using the
+    * native MqttTopicMatch expression. */
+  def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {
+    val topics = Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit("/"),
+        (col("user_id") % 10), lit("/"),
+        (col("event_id") % 10)).as("topic"))
+      .distinct()
+    val filters = Seq("purchase/+/3", "error/#", "+/5/#")
+    filters.map { f =>
+      topics.filter(mqtt_topic_match(col("topic"), lit(f)))
+        .withColumn("matched_filter", lit(f))
+    }.reduce(_ unionAll _)
+  }
+}

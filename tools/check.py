@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Dev-only mimic of the driver's correctness gate: reads the parquet
+dumps written by graft.Verify plus oracle_sql.json, runs each oracle in
+DuckDB against the same testdata tables, and compares row sets
+(column-name-sorted, row-order-insensitive, exact values)."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # timestamps → ns strings, floats kept exact via repr
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    return df
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+            exp = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
+        try:
+            g, e = canon(got), canon(exp)
+            if sorted(got.columns) != sorted(exp.columns):
+                print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"); n_bad += 1; continue
+            if len(g) != len(e):
+                print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
+            # exact compare incl dtype-insensitive value equality
+            diffs = []
+            for c in g.columns:
+                gv, ev = g[c], e[c]
+                if str(gv.dtype).startswith("datetime") or str(ev.dtype).startswith("datetime"):
+                    gv = pd.to_datetime(gv); ev = pd.to_datetime(ev)
+                eq = (gv == ev) | (gv.isna() & ev.isna())
+                if not eq.all():
+                    i = (~eq).idxmax()
+                    diffs.append(f"col {c} row {i}: {gv[i]!r} vs {ev[i]!r} (n={int((~eq).sum())})")
+            if diffs:
+                print(f"FAIL {name}: " + "; ".join(diffs[:3])); n_bad += 1
+            else:
+                print(f"OK   {name} ({len(g)} rows)"); n_ok += 1
+        except Exception as ex:
+            print(f"FAIL {name}: compare error {ex}"); n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"))
