@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Monitoring}
+import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -37,6 +37,23 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(s, d)),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    // Dedup family
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
+    // Similarity search
+    "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
+    "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    // Text analysis
+    "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // Multimodal
+    "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
@@ -178,5 +195,82 @@ object SparkEntry {
         |SELECT event_id, user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |   list_distinct(list_transform(range(1, len(toks)),
+        |     i -> toks[i] || ' ' || toks[i+1])) AS grams
+        | FROM (SELECT doc_id, lang, source,
+        |     regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        | WHERE len(toks) >= 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |   len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM t a JOIN t b
+        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        | AND a.vec_id < b.vec_id
+        |GROUP BY 1,2 HAVING dot_q >= 250000""".stripMargin,
+    "q_ann_brute" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10 GROUP BY 1,2)
+        |SELECT query_id, vec_id, dot_q, rnk FROM (
+        | SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (SELECT lang,
+        |  len(regexp_extract_all(text, '\bthe\b')) AS c_en,
+        |  len(regexp_extract_all(text, '\bder\b')) +
+        |    len(regexp_extract_all(text, '\bund\b')) AS c_de,
+        |  len(regexp_extract_all(text, '\bel\b')) +
+        |    len(regexp_extract_all(text, '\bla\b')) AS c_es,
+        |  len(regexp_extract_all(text, '\ble\b')) +
+        |    len(regexp_extract_all(text, '\bles\b')) AS c_fr
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |      WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        | count(*) AS n
+        |FROM s GROUP BY 1,2""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / length(text) AS punct_ratio,
+        | CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
+        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / length(text) * (-2.0))
+        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |         THEN 0.5 ELSE 0.0 END AS quality
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
+        | sha256(text) AS sha
+        |FROM documents""".stripMargin,
   )
 }

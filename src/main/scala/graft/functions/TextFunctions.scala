@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  * All built from codegen'd `functions._` — no UDFs — so they inline
+  * into whole-stage codegen over billions of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, single
+    * non-alphanumeric marks — a cheap proxy for subword tokenizers. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Non-overlapping whole-word occurrence count. */
+  def wordOccurrences(text: Column, word: String): Column =
+    regexp_count(text, lit("\\b" + word + "\\b"))
+
+  /** Word bigrams ("w1 w2") as an array; [] for docs under 2 tokens. */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+  }
+
+  /** Word n-gram shingles for MinHash (n words joined by space). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Punctuation/symbol ratio over characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text)
+
+  /** Stopword ratio ('the' as the probe word) over tokens. */
+  def stopwordRatio(text: Column): Column =
+    wordOccurrences(text, "the").cast("double") / wordCount(text)
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence
+    * and mid-length tokens, penalizes symbol soup. Fixed operation
+    * order (left-assoc) keeps it bit-reproducible. */
+  def qualityScore(text: Column): Column =
+    (stopwordRatio(text) * lit(3.0)) +
+      (punctRatio(text) * lit(-2.0)) +
+      when(wordCount(text) >= 10, lit(0.5)).otherwise(lit(0.0))
+
+  /** Stopword-census language ID. Counts a characteristic stopword
+    * per language and arg-maxes with a fixed preference order
+    * (en > de > es > fr on ties). */
+  def langGuess(text: Column): Column = {
+    val cEn = wordOccurrences(text, "the")
+    val cDe = wordOccurrences(text, "der") + wordOccurrences(text, "und")
+    val cEs = wordOccurrences(text, "el") + wordOccurrences(text, "la")
+    val cFr = wordOccurrences(text, "le") + wordOccurrences(text, "les")
+    when(cEn >= cDe && cEn >= cEs && cEn >= cFr, "en")
+      .when(cDe >= cEs && cDe >= cFr, "de")
+      .when(cEs >= cFr, "es")
+      .otherwise("fr")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import graft.plans.Fingerprints
+import graft.plans.HashKernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** lsh_bucket(vec, table, nPlanes) → int: random-hyperplane (±1
+  * weights, seeded by (table, plane) index) sign bits — the classic
+  * cosine-LSH bucket id. Native expression so bucketing stays in
+  * whole-stage codegen. */
+case class LshBucket(child: Expression, table: Int, nPlanes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "lsh_bucket"
+  override protected def nullSafeEval(arr: Any): Any =
+    LshBucket.bucket(arr.asInstanceOf[ArrayData], table, nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.LshBucket.bucket($c, $table, $nPlanes);")
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+}
+
+object LshBucket {
+  /** ±1 hyperplanes: weight(t,j,i) = sign(mix((t*64+j)<<32 | i)). */
+  def bucket(vec: ArrayData, table: Int, nPlanes: Int): Int = {
+    val n = vec.numElements()
+    var bits = 0
+    var j = 0
+    while (j < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val seed = ((table.toLong * 64 + j).toLong << 32) | i.toLong
+        val w = if (HashKernels.mix(seed) >= 0) 1.0 else -1.0
+        acc += w * vec.getFloat(i)
+        i += 1
+      }
+      if (acc >= 0) bits |= (1 << j)
+      j += 1
+    }
+    bits
+  }
+
+  def lsh_bucket(vec: org.apache.spark.sql.Column, table: Int, nPlanes: Int): org.apache.spark.sql.Column =
+    bridge.column(LshBucket(bridge.expression(vec), table, nPlanes))
+}
+
+/** Similarity search over embedding columns.
+  *
+  * Scale design: brute force broadcasts the (small) query set and
+  * scans candidates once — per-partition scoring, then a tiny top-k
+  * shuffle (k rows per query per partition after the window, bounded).
+  * The LSH path buckets both sides first, so the scan per query drops
+  * from |N| to |bucket| — the 100 TB path.
+  */
+object Ann {
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        V.quantize(col("embedding")).as("q"))
+
+  /** Brute-force top-k neighbors (exact integer dot score) for the
+    * query set vec_id < nQueries. */
+  def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = quantized(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("q_query"))
+    val scored = e.select(col("vec_id"), col("q"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.dotQ(col("q_query"), col("q")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** LSH-bucketed ANN: L hash tables of `nPlanes`-bit cosine buckets;
+    * a vector is a candidate if it shares the query's bucket in ANY
+    * table (standard multi-table construction — recall grows with L,
+    * scan cost stays ∝ bucket sizes). Exact integer-dot rescoring on
+    * candidates; recall vs brute force is asserted in the spec. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+              nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val e = quantized(spark, dir)
+    val buckets = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        LshBucket.lsh_bucket(col("embedding"), t, nPlanes).as("bkt"))): _*))
+    val banded = e.select(col("vec_id"), col("q"), buckets.as("b"))
+      .select(col("vec_id"), col("q"), col("b.t"), col("b.bkt"))
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("q_query"),
+        col("t"), col("bkt"))
+    val candidates = banded.select(col("vec_id"), col("q"), col("t"), col("bkt"))
+      .join(broadcast(queries), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q"), col("q_query"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.select(col("query_id"), col("vec_id"),
+      V.dotQ(col("q_query"), col("q")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.plans.Fingerprints._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale design: none of these ever materialize the O(n²) pair space.
+  * Exact dedup is one hash-partitioned aggregate; MinHash/SimHash emit
+  * a bounded number of (band, key) rows per doc and shuffle-join on
+  * those keys, so candidate pairs ∝ true collisions; Jaccard/cosine
+  * verification runs only on blocked candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct text (min doc_id wins).
+    * One shuffle, keyed by the 256-bit content hash. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-dup candidates: word-3-gram shingles → 32-hash
+    * signature → 8 bands × 4 rows → equi-join on (band, band-hash).
+    * `est_jaccard` = matching signature fraction. */
+  def minhashPairs(spark: SparkSession, dir: String,
+                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        minhash_sig(T.shingles(col("text"), 3), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dups: 64-bit fingerprint, banded into 4×16-bit
+    * chunks (any near pair within hamming 16 shares ≥1 chunk by
+    * pigeonhole... verified tighter with bit_count). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash64(T.tokens(col("text"))).as("fp"))
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.cv"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+      col("chunk"), col("cv"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+      col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Word-bigram Jaccard over blocked candidate pairs (blocking key =
+    * (lang, source): the standard way to bound the pair space). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(size(T.tokens(col("text"))) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(T.wordBigrams(col("text"))).as("grams"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("grams").as("grams_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: exact integer dot product of quantized
+    * vectors over label-blocked candidates. */
+  def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), V.quantize(col("embedding")).as("q"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("q").as("q_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("q").as("q_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), V.dotQ(col("q_a"), col("q_b")).as("dot_q"))
+      .filter(col("dot_q") >= minDotQ)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.plans.Fingerprints._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting. All row-local (no
+  * shuffle except the final small aggregate), so they stream through
+  * 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** Stopword-census language-ID, reported as a (labeled × predicted)
+    * confusion matrix. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), T.langGuess(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document quality panel. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        T.wordCount(col("text")).as("n_tokens"),
+        T.punctRatio(col("text")).as("punct_ratio"),
+        T.stopwordRatio(col("text")).as("stop_ratio"),
+        T.qualityScore(col("text")).as("quality"))
+
+  /** Token counting (whitespace + BPE-ish) rolled up per source. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.wordCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(T.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+
+  /** Document fingerprints: rolling min-window hash + simhash. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        rolling_fingerprint(col("text"), 16).as("roll_fp"),
+        simhash64(T.tokens(col("text"))).as("sim_fp"))
+}
+
+/** Multimodal column plumbing: media payloads as opaque binary with
+  * typed metadata. The decode itself is STUBBED deterministically
+  * (no codec libraries in this container) — the Spark-side parts that
+  * matter at 100 TB (binary columns, schema, partition-parallel batch
+  * decode via mapPartitions, feature schema) are real.
+  */
+object Multimodal {
+
+  /** Binary payload metadata: byte size + content hash (the real part
+    * of any media pipeline; oracle-checked). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("media_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+
+  final case class MediaFeature(doc_id: Long, width: Int, height: Int,
+                                n_frames: Int, feat: Array[Float])
+
+  /** Batch "decode": partition-parallel, batch-shaped like a real
+    * decoder (iterator-in/iterator-out per partition so a vectorized
+    * codec could amortize setup). The pixel decode is a deterministic
+    * stub over the payload bytes. */
+  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        // STUB decode: real impl would hand `bytes` to a codec here.
+        val w = 16 + (math.abs(bytes.length) % 16)
+        val h = 16 + (math.abs(if (bytes.nonEmpty) bytes(0).toInt else 0) % 16)
+        val frames = 1 + (bytes.length % 4)
+        val feat = Array.tabulate(8)(i =>
+          (if (i < bytes.length) bytes(i).toFloat else 0f) / 128f)
+        MediaFeature(id, w, h, frames, feat)
+      }
+    }.toDF()
+  }
+
+  /** Aggregate view over the stub decode: deterministic, rows-only
+    * checked (the decode is stubbed; nothing to oracle in SQL). */
+  def mediaDecodeSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeStub(spark, dir)
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_frames")).as("total_frames"))
+}

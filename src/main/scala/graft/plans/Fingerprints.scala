@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing kernels for document fingerprinting.
+  * Pure JVM arithmetic (FNV-1a + splitmix64 finalizer) — no library
+  * dependency, identical results on every executor/JVM. Called from
+  * generated code, so the expressions below stay inside whole-stage
+  * codegen.
+  */
+object HashKernels {
+
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ mix(seed)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix(h)
+  }
+
+  /** SimHash over a token array: per-token 64-bit hash votes on each
+    * bit; fingerprint bit = majority vote (Charikar 2002). */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** MinHash signature: sig(j) = min over tokens of hash64(tok, j). */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = hash64(t, j.toLong)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Rolling fingerprint: min polynomial hash over all `w`-byte char
+    * windows (the "winnowing-lite" document fingerprint; near-dup docs
+    * that share any w-window share the min with high probability). */
+  def rollingMin(s: UTF8String, w: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length < w) return mix(hash64(s, 0L))
+    val B = 1000003L
+    var pow = 1L
+    var i = 1
+    while (i < w) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var minH = mix(h)
+    i = w
+    while (i < bytes.length) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      val m = mix(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+}
+
+/** simhash64(tokens: array<string>) → bigint fingerprint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(arr: Any): Any =
+    HashKernels.simhash(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.simhash($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** minhash_sig(tokens: array<string>) → array<bigint> of k mins. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(arr: Any): Any =
+    HashKernels.minhash(arr.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.minhash($c, $k);")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** rolling_fingerprint(text, w) → bigint (min window hash). */
+case class RollingFingerprint(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.rollingMin(s.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.rollingMin($c, $w);")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+}
+
+object Fingerprints {
+  def simhash64(tokens: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokens)))
+  def minhash_sig(tokens: Column, k: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(tokens), k))
+  def rolling_fingerprint(text: Column, w: Int): Column =
+    bridge.column(RollingFingerprint(bridge.expression(text), w))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.MqttTopicMatch
+import graft.plans.MqttTopicMatch.mqtt_topic_match
+import org.apache.spark.sql.functions._
+
+/** Semantics pinned to the reference matcher's test surface
+  * (transitdata-metrics-exporter/.../MqttTopicFilterMatcherTest.java). */
+class MqttTopicMatchSpec extends SparkSpec {
+
+  test("exact match") {
+    assert(MqttTopicMatch.matches("a/b/c", "a/b/c"))
+    assert(!MqttTopicMatch.matches("a/b/c", "a/b/d"))
+  }
+
+  test("+ matches exactly one level") {
+    assert(MqttTopicMatch.matches("a/b/c", "a/+/c"))
+    assert(MqttTopicMatch.matches("a/b/c", "+/b/c"))
+    assert(!MqttTopicMatch.matches("a/b/c/d", "a/+/c"))
+    assert(!MqttTopicMatch.matches("a/c", "a/+/c"))
+  }
+
+  test("# matches the parent and any depth below") {
+    assert(MqttTopicMatch.matches("a", "a/#"))
+    assert(MqttTopicMatch.matches("a/b", "a/#"))
+    assert(MqttTopicMatch.matches("a/b/c/d", "a/#"))
+    assert(!MqttTopicMatch.matches("b/a", "a/#"))
+    assert(MqttTopicMatch.matches("a/b/c", "#"))
+  }
+
+  test("+ and # combine") {
+    assert(MqttTopicMatch.matches("hfp/v2/journey/ongoing", "hfp/+/#"))
+    assert(!MqttTopicMatch.matches("x", "+/5/#"))
+  }
+
+  test("expression evaluates in a DataFrame (codegen path)") {
+    import spark.implicits._
+    val df = Seq("hfp/v2/journey", "gtfs/v1", "hfp/v1").toDF("topic")
+    val got = df.filter(mqtt_topic_match(col("topic"), lit("hfp/+/#")))
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("hfp/v1", "hfp/v2/journey"))
+  }
+}

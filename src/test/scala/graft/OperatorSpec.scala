@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{AzureFormat, VectorFunctions => V}
+import graft.operators.{Ann, Dedup, Monitoring, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** End-to-end operator behavior on the sf0.001 tables. */
+class OperatorSpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("azure value shaping follows the reference rules") {
+    import spark.implicits._
+    val vals = Seq(-5.678, 3.456, 42.349, 0.0).toDF("v")
+      .select(AzureFormat.shapeMetricValue(col("v")).as("s")).as[Double].collect()
+    assert(vals(0) == 5.68)  // round 2 then abs
+    assert(vals(1) == 3.46)
+    assert(vals(2) == 42.0)  // > 10 → whole number
+    assert(vals(3) == 0.0)
+  }
+
+  test("azure dim sanitize replaces MQTT wildcards") {
+    import spark.implicits._
+    val got = Seq("hfp/#/+x").toDF("d")
+      .select(AzureFormat.sanitizeDim(col("d"))).as[String].head()
+    assert(got == "hfp/*/^x")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = Dedup.exact(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(d.agg(sum("n_dups")).head().getLong(0) == total)
+  }
+
+  test("cosine() of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val c = df.select(V.cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN achieves positive recall vs brute force") {
+    val brute = Ann.bruteTopK(spark, sfDir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(spark, sfDir).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("media decode stub is deterministic and batch-shaped") {
+    val a = Multimodal.decodeStub(spark, sfDir).orderBy("doc_id").collect()
+    val b = Multimodal.decodeStub(spark, sfDir).orderBy("doc_id").collect()
+    assert(a.length == 500 && a.sameElements(b))
+    assert(a.head.getAs[scala.collection.Seq[Float]]("feat").length == 8)
+  }
+
+  test("msg rate = window count / window seconds") {
+    val row = Monitoring.msgRatePerTopic(spark, sfDir)
+      .orderBy(desc("msg_count")).head()
+    assert(row.getAs[Double]("msgs_per_sec") ==
+      row.getAs[Long]("msg_count") / 3600.0)
+  }
+}
