@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.functions.AzureFormat
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-record shape for the streaming paths (a message on a topic). */
+final case class TopicEvent(topic: String, ts: java.sql.Timestamp, value: Double)
+
+/** Per-topic silence alert emitted by the stale-feed detector. */
+final case class StaleAlert(topic: String, last_seen: java.sql.Timestamp,
+                            silent_ms: Long, msg_count: Long)
+
+/** Structured Streaming twins of the reference collectors.
+  *
+  * The reference counts messages per topic per 60 s period and ships
+  * msgs/sec (mqtt_data_collector.py), and alerts when feeds go stale
+  * (its Azure-alert purpose). Here:
+  *   - [[msgRates]] = watermarked tumbling-window count/rate per topic
+  *   - [[staleDetector]] = mapGroupsWithState keyed by topic with a
+  *     processing-time timeout (state = #msgs + last-seen; a timeout
+  *     fires an alert row exactly like the reference's silent-topic
+  *     alarm)
+  *
+  * Scale: state is keyed by topic — cardinality #topics, trivially
+  * sharded across executors; watermark bounds window state. This is
+  * the same job shape at 5 topics or 5 million.
+  */
+object StreamingMonitor {
+
+  /** Tumbling-window message count + msgs/sec per topic over a
+    * streaming DataFrame with columns (topic, ts, ...). */
+  def msgRates(events: DataFrame, windowDur: String = "1 minute",
+               watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("topic"), window(col("ts"), windowDur).as("win"))
+      .agg(count(lit(1)).as("msg_count"))
+      .select(col("topic"), col("win.start").as("window_start"),
+        col("msg_count"),
+        (col("msg_count") /
+          ((col("win.end").cast("long") - col("win.start").cast("long"))))
+          .as("msgs_per_sec"))
+
+  /** Streaming Azure series rows: one shaped metric element per
+    * finished (topic, window) aggregate — the streaming stand-in for
+    * get_series_array + send_custom_metrics_request. */
+  def azureSeries(rates: DataFrame): DataFrame =
+    rates.select(
+      AzureFormat.sanitizeDim(col("topic")).as("dim"),
+      AzureFormat.shapeMetricValue(col("msgs_per_sec")).as("sum"),
+      lit(1).as("count"))
+
+  /** Silent-topic detector: keeps (count, last_seen) per topic and
+    * emits a [[StaleAlert]] once the event-time watermark passes
+    * last_seen + silenceMs with no new message — the deterministic
+    * streaming form of the alert the reference delegates to Azure
+    * alert rules. Event-time timeouts (not wall clock) make replays
+    * and backfills reproduce identical alerts. */
+  def staleDetector(events: Dataset[TopicEvent], silenceMs: Long): Dataset[StaleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .as[TopicEvent]
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Long), StaleAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (topic, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, lastSeen) = state.get
+            state.remove()
+            Iterator.single(StaleAlert(topic,
+              new java.sql.Timestamp(lastSeen),
+              silenceMs, n))
+          } else {
+            val batch = rows.toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            val lastSeen = math.max(last0, batch.map(_.ts.getTime).max)
+            state.update((n0 + batch.size, lastSeen))
+            state.setTimeoutTimestamp(lastSeen + silenceMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** File-replay source standing in for an MQTT/Pulsar connector in
+    * this zero-egress environment: streams parquet files from `dir`
+    * with bounded per-trigger intake. A real deployment swaps this
+    * one method for a connector `readStream.format(...)` — every
+    * transform downstream is unchanged. */
+  def replaySource(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The streaming file source wants a directory; a bare parquet
+    // file (as in the testdata) is staged behind a symlink dir.
+    val path = java.nio.file.Paths.get(dir)
+    val srcDir =
+      if (java.nio.file.Files.isRegularFile(path)) {
+        val stage = java.nio.file.Files.createTempDirectory("graft-replay-")
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve(path.getFileName), path)
+        stage.toString
+      } else dir
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+  }
+
+  /** Replay of the `events` table shaped as the connector would
+    * deliver it: (topic, ts, value) — event_type plays the MQTT
+    * topic, nanosecond ts is truncated to micros. */
+  def eventsReplay(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame =
+    replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
+      .select(col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("value"))
+
+  /** foreachBatch sink: formats each micro-batch of (topic, window)
+    * rates as one Azure custom-metric JSON envelope per metric and
+    * appends to `outDir` as text — the transport seam where the
+    * reference POSTs to monitoring.azure.com. */
+  def azureEnvelopeSink(rates: DataFrame, outDir: String)(
+      batchWriter: (DataFrame, Long) => Unit = defaultWriter(outDir)) =
+    rates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchWriter(envelopes(batch.toDF()), id)
+      }
+
+  /** One envelope per micro-batch (deterministic series order). */
+  def envelopes(batch: DataFrame): DataFrame =
+    batch
+      .groupBy()
+      .agg(sort_array(collect_list(
+        AzureFormat.seriesElement(col("topic"), col("msgs_per_sec")))).as("series"))
+      .select(AzureFormat.metricEnvelope(
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+        lit("Msg Count"), lit("MQTT"), "Topic", col("series")).as("envelope"))
+
+  private def defaultWriter(outDir: String): (DataFrame, Long) => Unit =
+    (df, id) => df.coalesce(1).write.mode("append").text(outDir)
+}
