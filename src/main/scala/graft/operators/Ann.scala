@@ -13,46 +13,54 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 
-/** lsh_bucket(vec, table, nPlanes) → int: random-hyperplane (±1
-  * weights, seeded by (table, plane) index) sign bits — the classic
-  * cosine-LSH bucket id. Native expression so bucketing stays in
-  * whole-stage codegen. */
-case class LshBucket(child: Expression, table: Int, nPlanes: Int)
+/** lsh_buckets(vec, nTables, nPlanes) → array<int>: one
+  * random-hyperplane (±1 weights, seeded by (table, plane) index)
+  * sign-bit bucket id per hash table, computed in a single pass over
+  * the vector. Native expression so bucketing stays in whole-stage
+  * codegen, and one call covers all tables (vs nTables separate
+  * expression subtrees that balloon codegen time). */
+case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
-  override def prettyName: String = "lsh_bucket"
+  override def prettyName: String = "lsh_buckets"
   override protected def nullSafeEval(arr: Any): Any =
-    LshBucket.bucket(arr.asInstanceOf[ArrayData], table, nPlanes)
+    LshBuckets.buckets(arr.asInstanceOf[ArrayData], nTables, nPlanes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.operators.LshBucket.bucket($c, $table, $nPlanes);")
-  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+      s"${ev.value} = graft.operators.LshBuckets.buckets($c, $nTables, $nPlanes);")
+  override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
 }
 
-object LshBucket {
+object LshBuckets {
   /** ±1 hyperplanes: weight(t,j,i) = sign(mix((t*64+j)<<32 | i)). */
-  def bucket(vec: ArrayData, table: Int, nPlanes: Int): Int = {
+  def buckets(vec: ArrayData, nTables: Int, nPlanes: Int): ArrayData = {
     val n = vec.numElements()
-    var bits = 0
-    var j = 0
-    while (j < nPlanes) {
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val seed = ((table.toLong * 64 + j).toLong << 32) | i.toLong
-        val w = if (HashKernels.mix(seed) >= 0) 1.0 else -1.0
-        acc += w * vec.getFloat(i)
-        i += 1
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0
+      var j = 0
+      while (j < nPlanes) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val seed = ((t.toLong * 64 + j) << 32) | i.toLong
+          val w = if (HashKernels.mix(seed) >= 0) 1.0 else -1.0
+          acc += w * vec.getFloat(i)
+          i += 1
+        }
+        if (acc >= 0) bits |= (1 << j)
+        j += 1
       }
-      if (acc >= 0) bits |= (1 << j)
-      j += 1
+      out(t) = bits
+      t += 1
     }
-    bits
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def lsh_bucket(vec: org.apache.spark.sql.Column, table: Int, nPlanes: Int): org.apache.spark.sql.Column =
-    bridge.column(LshBucket(bridge.expression(vec), table, nPlanes))
+  def lsh_buckets(vec: org.apache.spark.sql.Column, nTables: Int, nPlanes: Int): org.apache.spark.sql.Column =
+    bridge.column(LshBuckets(bridge.expression(vec), nTables, nPlanes))
 }
 
 /** Similarity search over embedding columns.
@@ -93,21 +101,22 @@ object Ann {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val e = quantized(spark, dir)
-    val buckets = explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("t"),
-        LshBucket.lsh_bucket(col("embedding"), t, nPlanes).as("bkt"))): _*))
-    val banded = e.select(col("vec_id"), col("q"), buckets.as("b"))
-      .select(col("vec_id"), col("q"), col("b.t"), col("b.bkt"))
+    val banded = e.select(col("vec_id"), col("q"),
+      posexplode(LshBuckets.lsh_buckets(col("embedding"), nTables, nPlanes))
+        .as(Seq("t", "bkt")))
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("q_query"),
         col("t"), col("bkt"))
-    val candidates = banded.select(col("vec_id"), col("q"), col("t"), col("bkt"))
+    // score at join time (vectors in hand), then collapse the
+    // per-table duplicates with an agg over small (id, id, long) rows
+    // — never shuffles the vector payloads
+    val scored = banded.select(col("vec_id"), col("q"), col("t"), col("bkt"))
       .join(broadcast(queries), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q"), col("q_query"))
-      .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.select(col("query_id"), col("vec_id"),
-      V.dotQ(col("q_query"), col("q")).as("dot_q"))
+      .select(col("query_id"), col("vec_id"),
+        V.dotQ(col("q_query"), col("q")).as("dot_q"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("dot_q")).as("dot_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot_q").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

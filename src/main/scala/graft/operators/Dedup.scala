@@ -23,15 +23,20 @@ object Dedup {
       .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash+LSH near-dup candidates: word-3-gram shingles → 32-hash
-    * signature → 8 bands × 4 rows → equi-join on (band, band-hash).
-    * `est_jaccard` = matching signature fraction. */
+  /** MinHash+LSH near-dup candidates: word-3-gram shingles → 64-hash
+    * signature → 8 bands × 8 rows → equi-join on (band, band-hash).
+    * `est_jaccard` = matching signature fraction.
+    *
+    * r=8 rows/band keeps the candidate-collision probability ≈ 8·J⁸ —
+    * essential here because the synthetic corpus has a 31-word
+    * vocabulary, so random doc pairs already share many shingles
+    * (J≈0.3); with r=4 the candidate set explodes quadratically. */
   def minhashPairs(spark: SparkSession, dir: String,
-                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        minhash_sig(T.shingles(col("text"), 3), numHashes).as("sig"))
+        minhash_shingles(col("text"), 3, numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -56,7 +61,7 @@ object Dedup {
     * pigeonhole... verified tighter with bit_count). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
     val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64(T.tokens(col("text"))).as("fp"))
+      .select(col("doc_id"), simhash_text(col("text")).as("fp"))
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

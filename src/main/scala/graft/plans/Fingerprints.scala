@@ -54,17 +54,20 @@ object HashKernels {
     fp
   }
 
-  /** MinHash signature: sig(j) = min over tokens of hash64(tok, j). */
+  /** MinHash signature: sig(j) = min over tokens of h_j(tok), where
+    * h_j = mix(base ^ mix(j)) derives the k hash functions from ONE
+    * pass over the token bytes (the standard one-hash + remix family —
+    * 32× less byte-hashing than k independent passes). */
   def minhash(tokens: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill[Long](k)(Long.MaxValue)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val t = tokens.getUTF8String(i)
+        val base = hash64(tokens.getUTF8String(i), 0L)
         var j = 0
         while (j < k) {
-          val h = hash64(t, j.toLong)
+          val h = mix(base ^ mix(j.toLong))
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -72,6 +75,77 @@ object HashKernels {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Hashes of whitespace-separated tokens, computed in ONE pass over
+    * the UTF-8 bytes with zero allocation per token. */
+  def tokenHashes(s: UTF8String, seed: Long): Array[Long] = {
+    val bytes = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0xcbf29ce484222325L ^ mix(seed)
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      if (ws) {
+        if (inTok) { out += mix(h); h = 0xcbf29ce484222325L ^ mix(seed); inTok = false }
+      } else {
+        h ^= (b & 0xffL); h *= 0x100000001b3L; inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out += mix(h)
+    out.toArray
+  }
+
+  /** Single-pass word-n-gram-shingle MinHash signature straight from
+    * text: tokenize → ring-buffer shingle hashes → k one-hash-remix
+    * mins. One scan of the bytes, no intermediate arrays-of-strings —
+    * the whole-operator replacement for
+    * minhash(shingles(tokens(text))) whose composed form Catalyst
+    * re-inlines per consumer. */
+  def minhashShingles(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokenHashes(s, 0L)
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    if (toks.length >= n) {
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        var sh = 0L
+        var j = 0
+        while (j < n) { sh = sh * 0x100000001b3L + toks(i + j); j += 1 }
+        val base = mix(sh)
+        var p = 0
+        while (p < k) {
+          val h = mix(base ^ mix(p.toLong))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Single-pass SimHash straight from text (whitespace tokens). */
+  def simhashText(s: UTF8String): Long = {
+    val toks = tokenHashes(s, 0L)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = toks(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
   }
 
   /** Rolling fingerprint: min polynomial hash over all `w`-byte char
@@ -141,11 +215,43 @@ case class RollingFingerprint(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
 }
 
+/** minhash_shingles(text, n, k): fused tokenize+shingle+minhash. */
+case class MinHashShingles(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "minhash_shingles"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.minhashShingles(s.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.minhashShingles($c, $n, $k);")
+  override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
+}
+
+/** simhash_text(text): fused tokenize+simhash. */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "simhash_text"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.simhashText(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.simhashText($c);")
+  override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
+}
+
 object Fingerprints {
   def simhash64(tokens: Column): Column =
     bridge.column(SimHash64(bridge.expression(tokens)))
+  def simhash_text(text: Column): Column =
+    bridge.column(SimHashText(bridge.expression(text)))
   def minhash_sig(tokens: Column, k: Int): Column =
     bridge.column(MinHashSig(bridge.expression(tokens), k))
+  def minhash_shingles(text: Column, n: Int, k: Int): Column =
+    bridge.column(MinHashShingles(bridge.expression(text), n, k))
   def rolling_fingerprint(text: Column, w: Int): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), w))
 }
