@@ -37,6 +37,9 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(s, d)),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "q_setops" -> ((s, d) => Analytics.setOps(s, d)),
+    "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
     // Dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -195,6 +198,26 @@ object SparkEntry {
         |SELECT event_id, user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_setops" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'purchase_and_error' AS segment, count(*) AS n
+        |  FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+        |UNION ALL
+        |SELECT 'purchase_not_error', count(*)
+        |  FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+        |UNION ALL
+        |SELECT 'purchase_or_error', count(*)
+        |  FROM (SELECT * FROM p UNION SELECT * FROM e)""".stripMargin,
+    "q_percentile_rank" ->
+      """SELECT event_type AS topic, value AS kth_value
+        |FROM (SELECT event_type, value, row_number() OVER
+        |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
+        | FROM events) WHERE rn = 10""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups

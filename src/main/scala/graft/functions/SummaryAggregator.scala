@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Micrometer-DistributionSummary state: count/sum/max/mean
+  * (GtfsRtMetricsRegistry.java's DistributionSummary semantics) as a
+  * reusable typed Spark aggregate. Merge is associative/commutative,
+  * so partial (map-side) aggregation applies and the aggregate is
+  * safe under any partitioning/AQE re-plan. */
+final case class Summary(count: Long, sum: Double, max: Double) {
+  def mean: Double = if (count == 0) 0.0 else sum / count
+}
+
+object SummaryAggregator extends Aggregator[Double, Summary, Summary] {
+  override def zero: Summary = Summary(0L, 0.0, Double.NegativeInfinity)
+  override def reduce(b: Summary, v: Double): Summary =
+    Summary(b.count + 1, b.sum + v, math.max(b.max, v))
+  override def merge(a: Summary, b: Summary): Summary =
+    Summary(a.count + b.count, a.sum + b.sum, math.max(a.max, b.max))
+  override def finish(r: Summary): Summary =
+    if (r.count == 0) Summary(0L, 0.0, 0.0) else r
+  override def bufferEncoder: Encoder[Summary] = Encoders.product[Summary]
+  override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
+
+  /** Column form: `df.groupBy(...).agg(distribution_summary($"v"))`. */
+  def distribution_summary(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(this).apply(c)
+}

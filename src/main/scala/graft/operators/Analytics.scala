@@ -127,6 +127,41 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
 
+  /** CUBE aggregate: all grouping-set combinations + grand total. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Set operators with SQL set semantics (distinct rows). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id"))
+    val purchase = users("purchase")
+    val error = users("error")
+    val both = purchase.intersect(error)
+      .agg(count(lit(1)).as("n")).select(lit("purchase_and_error").as("segment"), col("n"))
+    val only = purchase.except(error)
+      .agg(count(lit(1)).as("n")).select(lit("purchase_not_error").as("segment"), col("n"))
+    val all = purchase.union(error).distinct()
+      .agg(count(lit(1)).as("n")).select(lit("purchase_or_error").as("segment"), col("n"))
+    both.unionAll(only).unionAll(all)
+  }
+
+  /** Rank-based percentile: the k-th smallest value per topic picked
+    * by row_number with a total order — deterministic across engines,
+    * unlike interpolated percentile_cont whose float interpolation
+    * differs between implementations. */
+  def percentileRank(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("event_type").as("topic"), col("value").as(s"kth_value"))
+  }
+
   /** As-of join: each event picks the latest order (by o_orderdate)
     * of the same customer at or before the event time; events with no
     * such order survive with nulls.

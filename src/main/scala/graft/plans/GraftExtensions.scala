@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.operators.LshBuckets
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native expressions as SQL functions, so
+  * `spark.sql("... mqtt_topic_match(topic, 'hfp/+/#') ...")` works —
+  * installed either via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` or
+  * programmatically with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("mqtt_topic_match"),
+      new ExpressionInfo(classOf[MqttTopicMatch].getName, "mqtt_topic_match"),
+      (args: Seq[Expression]) => MqttTopicMatch(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (args: Seq[Expression]) => SimHashText(args(0))))
+    ext.injectFunction((FunctionIdentifier("minhash_shingles"),
+      new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
+      (args: Seq[Expression]) => MinHashShingles(args(0),
+        intLit(args(1), "n"), intLit(args(2), "k"))))
+    ext.injectFunction((FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args(0), intLit(args(1), "w"))))
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => LshBuckets(args(0),
+        intLit(args(1), "nTables"), intLit(args(2), "nPlanes"))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration into an existing session (same builders the
+    * extension injects at startup). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("mqtt_topic_match",
+      (args: Seq[Expression]) => MqttTopicMatch(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_text",
+      (args: Seq[Expression]) => SimHashText(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_shingles",
+      (args: Seq[Expression]) => MinHashShingles(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      (args: Seq[Expression]) => RollingFingerprint(args(0),
+        args(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_buckets",
+      (args: Seq[Expression]) => LshBuckets(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]), "scala_udf")
+  }
+}

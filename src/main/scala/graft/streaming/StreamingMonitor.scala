@@ -84,6 +84,17 @@ object StreamingMonitor {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the reference's
+    * `*-mqtt-raw-deduplicated` topics (pulsar_data_collector.py's
+    * topic list): drops repeats of the same key seen within the
+    * watermark, so state is bounded by (keys seen per watermark
+    * horizon), not the stream's lifetime. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-replay source standing in for an MQTT/Pulsar connector in
     * this zero-egress environment: streams parquet files from `dir`
     * with bounded per-trigger intake. A real deployment swaps this

@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.SummaryAggregator
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT mqtt_topic_match('hfp/v2/journey', 'hfp/+/#') AS m,
+        |  simhash_text('the quick brown fox') AS sh,
+        |  size(minhash_shingles('a b c d e', 2, 16)) AS mk,
+        |  rolling_fingerprint('some document text here', 8) AS rf,
+        |  size(lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 4, 8)) AS lb
+        |""".stripMargin).head()
+    assert(row.getAs[Boolean]("m"))
+    assert(row.getAs[Int]("mk") == 16)
+    assert(row.getAs[Int]("lb") == 4)
+    // SQL and Column APIs agree
+    import spark.implicits._
+    val c = Seq("the quick brown fox").toDF("t")
+      .select(graft.plans.Fingerprints.simhash_text(col("t"))).as[Long].head()
+    assert(c == row.getAs[Long]("sh"))
+  }
+
+  test("distribution_summary aggregator matches micrometer semantics") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(SummaryAggregator.distribution_summary(col("v")).as("s"))
+      .selectExpr("k", "s.count AS c", "s.sum AS su", "s.max AS m")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((3L, 6.0, 3.0)))
+    assert(got("b") == ((1L, 10.0, 10.0)))
+  }
+}

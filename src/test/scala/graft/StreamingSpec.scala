@@ -97,6 +97,24 @@ class StreamingSpec extends SparkSpec {
     assert(env.contains(""""dimNames":["Topic"]"""))
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val deduped = StreamingMonitor.dedupStream(
+      input.toDF(), Seq("topic", "value"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        TopicEvent("a", ts(0), 1.0), TopicEvent("a", ts(0, 30), 1.0), // dup key
+        TopicEvent("a", ts(1), 2.0), TopicEvent("b", ts(1), 1.0))
+      q.processAllAvailable()
+      assert(s.table("dedup_t").count() == 3)
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
