@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -40,6 +40,8 @@ object SparkEntry {
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "q_setops" -> ((s, d) => Analytics.setOps(s, d)),
     "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
+    "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
+    "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
     // Dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -218,6 +220,11 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type AS topic,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups

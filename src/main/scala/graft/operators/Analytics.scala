@@ -166,28 +166,36 @@ object Analytics {
     * of the same customer at or before the event time; events with no
     * such order survive with nulls.
     *
-    * Composed from built-ins (range join + windowed arg-max) so
-    * Catalyst plans it; ties on (custkey, orderdate) are collapsed to
-    * max(o_orderkey) first to keep the result deterministic — same
-    * collapse in the DuckDB ASOF oracle. At scale: both sides
-    * pre-partition by the equi-key, so only the per-customer order
-    * history (small) is range-scanned per event.
+    * Implemented with the union + ordered-window carry-forward trick:
+    * tag both sides, union, partition by the equi-key, sort by (time,
+    * tag) with order rows first at equal instants (inclusive bound),
+    * and carry the last non-null order columns forward. ONE shuffle +
+    * sort, no event×order-history pair blowup — each row is touched
+    * once, which is what survives a 100 TB fact table (a range join +
+    * per-event arg-max is quadratic in orders-per-customer). Ties on
+    * (custkey, orderdate) are collapsed to max(o_orderkey) first —
+    * same collapse in the DuckDB ASOF oracle.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("timestamp").as("od"), lit(1).as("tag"))
     val o = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-    val joined = e.join(o,
-      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
-      "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc_nulls_last)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"),
-        col("o_orderkey"), col("o_orderdate"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"), col("o_orderdate").as("od"),
+        lit(0).as("tag"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionAll(o)
+      .withColumn("last_ok", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("last_od", last(col("od"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("last_ok").as("o_orderkey"), col("last_od").as("o_orderdate"))
   }
 }

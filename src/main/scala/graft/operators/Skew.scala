@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew mitigation for hot keys (the 100 TB problem AQE doesn't always
+  * catch: one topic carrying half the stream).
+  *
+  * Salting is deterministic here — the salt is a hash of row content,
+  * not rand() — so results are reproducible run-to-run and under
+  * speculative re-execution.
+  */
+object Skew {
+
+  /** Two-phase salted sum: partial aggregate on (key, salt) spreads a
+    * hot key over `salts` reducers, final aggregate on key collapses
+    * the partials. Decimal partials keep the result exactly equal to
+    * the unsalted aggregate. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+    df.groupBy(key.as("k"), pmod(xxhash64(value), lit(salts)).as("_salt"))
+      .agg(sum(value.cast(DecimalType(18, 2))).as("partial"),
+        count(lit(1)).as("n_partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial")).cast("double").as("total"),
+        sum(col("n_partial")).as("n"))
+
+  /** Salted equi-join: the (big, skewed) left side gets a
+    * content-hash salt; the right side is replicated across all
+    * salts. Row-identical to the plain join, but a hot key's probe
+    * rows land on `salts` reducers instead of one. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Salted per-topic value sum over events — must equal the plain
+    * GROUP BY (that's its oracle). */
+  def saltedTopicSum(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    saltedSum(Tables.events(spark, dir), col("event_type"), col("value"), salts)
+      .select(col("k").as("topic"), col("total"), col("n"))
+
+  /** Approximate distinct users per topic (HyperLogLog++) next to the
+    * exact count — the sketch path for 100 TB cardinalities where
+    * exact countDistinct's shuffle is the bottleneck. */
+  def approxDistinctUsers(spark: SparkSession, dir: String,
+                          rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+}

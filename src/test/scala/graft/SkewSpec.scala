@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join is row-identical to the plain join") {
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+    val plain = e.join(o, Seq("user_id"))
+    val salted = Skew.saltedJoin(e, o, "user_id", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted sum equals the unsalted aggregate exactly") {
+    val plain = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedTopicSum(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("approx distinct is within the configured error of exact") {
+    val rows = Skew.approxDistinctUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+}
