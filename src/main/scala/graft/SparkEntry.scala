@@ -25,6 +25,7 @@ object SparkEntry {
     "q_distribution_summary" -> ((s, d) => Monitoring.distributionSummary(s, d)),
     "q_scrape_attempts" -> ((s, d) => Monitoring.scrapeAttempts(s, d)),
     "q_mqtt_topic_match" -> ((s, d) => Monitoring.topicFilterRouting(s, d)),
+    "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
@@ -220,6 +221,11 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT topic, event_id, value FROM (
+        | SELECT event_type AS topic, event_id, value, row_number() OVER
+        |   (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type AS topic,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -155,6 +155,17 @@ object Monitoring {
         when(col("value") < 30, "failure").otherwise("success").as("result"))
       .agg(count(lit(1)).as("attempts"))
 
+  /** Top-k events per topic by value via the custom bounded-heap
+    * TopKPerKey physical operator (no per-partition sort — see
+    * graft.plans.TopKPerKey). */
+  def topEventsPerTopic(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.plans.TopKPerKey.{Asc, Desc}
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("topic"), col("event_id"), col("value")),
+      Seq("topic"), Seq("value" -> Desc, "event_id" -> Asc), k)
+  }
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.bridge
+
+/** Whole-operator top-k-per-key, the full custom-operator stack:
+  * logical node → planner strategy → physical exec.
+  *
+  * The composed alternative (window row_number + filter) SORTS every
+  * partition fully — O(n log n) and a spill risk at 100 TB. This
+  * operator keeps one bounded k-heap per key per partition:
+  * O(n log k) time, O(#keys·k) memory, no sort, no spill. The
+  * planner's ClusteredDistribution requirement inserts the single
+  * hash exchange on the keys.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    child.execute().mapPartitions ({ iter =>
+      // "best first" total order; the heap keeps the k best, with the
+      // WORST kept row at the top for O(1) replacement tests
+      val best = new LazilyGeneratedOrdering(order, schema)
+      val keyProj = UnsafeProjection.create(keys, schema)
+      val heaps = new scala.collection.mutable.HashMap[
+        UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val worstFirst = best.reverse
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new java.util.PriorityQueue[UnsafeRow](k + 1, worstFirst))
+        if (heap.size < k) {
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        } else if (best.compare(row.asInstanceOf[UnsafeRow], heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        val arr = h.toArray(new Array[UnsafeRow](h.size))
+        java.util.Arrays.sort(arr, best)
+        arr.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKPerKey {
+  import org.apache.spark.sql.execution.SparkStrategy
+
+  object TopKStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerKey(keys, order, k, child) =>
+        TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Sort direction for [[topKPerKey]]'s order spec. */
+  sealed trait Dir; case object Asc extends Dir; case object Desc extends Dir
+
+  /** Top-k rows per key, best-first by `order` — e.g.
+    * `topKPerKey(df, Seq("topic"), Seq("score" -> Desc, "id" -> Asc), 5)`.
+    * Columns are resolved by name against the analyzed input (project
+    * computed columns first). Self-installs the planner strategy. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[(String, Dir)],
+                 k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val plan = bridge.analyzed(df)
+    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    val orders = order.map {
+      case (n, Asc) => SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Ascending)
+      case (n, Desc) => SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    bridge.ofRows(spark, TopKPerKey(keyCols.map(attr), orders, k, plan))
+  }
+}

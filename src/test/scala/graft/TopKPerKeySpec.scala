@@ -1,0 +1,41 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom TopKPerKeyExec matches the window-based equivalent") {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val custom = TopKPerKey.topKPerKey(e, Seq("event_type"),
+      Seq("value" -> TopKPerKey.Desc, "event_id" -> TopKPerKey.Asc), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val expected = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(custom == expected && custom.size == 25)
+  }
+
+  test("physical plan uses TopKPerKeyExec with a single hash exchange") {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val df = TopKPerKey.topKPerKey(e, Seq("event_type"),
+      Seq("value" -> TopKPerKey.Desc), 2)
+    // TreeNode.nodeName strips the Exec suffix in plan strings
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    assert(!plan.contains("Sort "), "no per-partition sort expected")
+  }
+
+  test("k larger than group size returns whole groups") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), Seq("v" -> TopKPerKey.Asc), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("a", 1), ("a", 2), ("b", 3)))
+  }
+}
