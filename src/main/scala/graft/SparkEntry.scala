@@ -43,6 +43,9 @@ object SparkEntry {
     "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
+    "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
+    "q_data_quality" -> ((s, d) => Analytics.dataQuality(s, d)),
+    "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     // Dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -221,6 +224,25 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT event_type AS topic, event_id, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin,
+    "q_data_quality" ->
+      """SELECT count(*) AS n_rows,
+        | count(*) FILTER (text IS NULL) AS null_text,
+        | count(*) FILTER (length(trim(text)) = 0) AS blank_text,
+        | count(*) FILTER (lang IS NULL) AS null_lang,
+        | count(*) FILTER (NOT regexp_matches(lang, '^[a-z]{2}$')) AS bad_lang,
+        | count(*) FILTER (n_chars <> length(text)) AS chars_mismatch
+        |FROM documents""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(substring(text, 1, 10)) AS head_upper,
+        | lpad(lang, 4, '_') AS lang_padded,
+        | levenshtein(substring(text, 1, 15), 'the quick brown') AS edit_dist
+        |FROM documents""".stripMargin,
     "q_topk_custom" ->
       """SELECT topic, event_id, value FROM (
         | SELECT event_type AS topic, event_id, value, row_number() OVER

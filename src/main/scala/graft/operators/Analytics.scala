@@ -127,6 +127,40 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
 
+  /** Offset window functions: previous/next event value and gap
+    * seconds per topic (lag/lead with deterministic total order). */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .select(col("event_type").as("topic"), col("event_id"), col("value"),
+        col("prev_value"), col("next_value"))
+  }
+
+  /** Data-quality / completeness report for the documents table:
+    * null, blank and out-of-domain counts per column — the profile
+    * pass every training-data pipeline runs before ingestion. */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("text").isNull, 1)).as("null_text"),
+        count(when(length(trim(col("text"))) === 0, 1)).as("blank_text"),
+        count(when(col("lang").isNull, 1)).as("null_lang"),
+        count(when(!col("lang").rlike("^[a-z]{2}$"), 1)).as("bad_lang"),
+        count(when(col("n_chars") =!= length(col("text")), 1)).as("chars_mismatch"))
+
+  /** String-function panel incl. edit distance to a probe phrase. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_upper"),
+        lpad(col("lang"), 4, "_").as("lang_padded"),
+        levenshtein(substring(col("text"), 1, 15), lit("the quick brown")).as("edit_dist"))
+
   /** CUBE aggregate: all grouping-set combinations + grand total. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond parquet. Schemas are always explicit —
+  * at 100 TB, schema inference means an extra full pass over the data
+  * and silently drifting types.
+  */
+object Sources {
+
+  /** CSV with explicit schema; header on, UTC timestamps. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** JSON-lines with explicit schema (no inference pass). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Day-partitioned parquet layout for the events stream — the
+    * landing format that gives partition pruning on time-range scans
+    * (`PartitionFilters` in the scan, zero IO outside the range). */
+  def writeEventsPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(path)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-src-").toString
+
+  test("csv round-trip preserves rows and schema") {
+    val d = Tables.customer(spark, sfDir)
+    val path = tmp() + "/c.csv"
+    Sources.writeCsv(d, path)
+    val back = Sources.readCsv(spark, path, d.schema)
+    assert(back.schema == d.schema)
+    assert(back.exceptAll(d).isEmpty && d.exceptAll(back).isEmpty)
+  }
+
+  test("jsonl round-trip preserves rows") {
+    val d = Tables.documents(spark, sfDir)
+    val path = tmp() + "/docs.json"
+    Sources.writeJsonl(d, path)
+    val back = Sources.readJsonl(spark, path, d.schema)
+    assert(back.count() == d.count())
+    assert(back.exceptAll(d).isEmpty)
+  }
+
+  test("day-partitioned events layout prunes partitions on day filters") {
+    val path = tmp() + "/events"
+    Sources.writeEventsPartitioned(Tables.events(spark, sfDir), path)
+    val pruned = spark.read.parquet(path).filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    val full = Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(pruned.count() == full && full > 0)
+  }
+}

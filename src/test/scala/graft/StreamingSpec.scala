@@ -115,6 +115,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join attaches dimension data per topic") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dims = Seq(("hfp/v2", "helsinki"), ("gtfs", "espoo")).toDF("topic", "region")
+    val input = MemoryStream[TopicEvent]
+    val enriched = input.toDF().join(dims, Seq("topic"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(TopicEvent("hfp/v2", ts(0), 1.0), TopicEvent("mystery", ts(0), 2.0))
+      q.processAllAvailable()
+      val got = s.table("enrich_t").select("topic", "region")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(got == Set(("hfp/v2", Some("helsinki")), ("mystery", None)))
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
