@@ -1,7 +1,53 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** quantized_dot(a, b) over two float vectors: exact integer dot of
+  * milli-quantized elements, as ONE native kernel. The composed form
+  * (aggregate ∘ zip_with ∘ transform) routes through higher-order
+  * functions whose lambdas evaluate interpreted per element; this is
+  * a primitive loop emitted inside whole-stage codegen. */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def prettyName: String = "quantized_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.QuantizedDot.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+object QuantizedDot {
+  /** Half-AWAY-from-zero rounding (what Spark round() and DuckDB
+    * round() both do; Math.round is half-toward-+inf and differs on
+    * negative exact halves). */
+  private def rnd(v: Double): Long =
+    (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
+
+  /** round(x*1000) per element (exact: float→double and ×1000 are
+    * exact in double) then integer dot. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += rnd(a.getFloat(i).toDouble * 1000) * rnd(b.getFloat(i).toDouble * 1000)
+      i += 1
+    }
+    acc
+  }
+}
 
 /** Embedding-vector math over `array<float>` columns, built from
   * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDF,
@@ -20,6 +66,11 @@ object VectorFunctions {
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Fused quantize+dot over raw float vectors (native kernel; equals
+    * dotQ(quantize(a), quantize(b)) bit-for-bit). */
+  def quantizedDot(a: Column, b: Column): Column =
+    bridge.column(QuantizedDot(bridge.expression(a), bridge.expression(b)))
 
   /** Float-space dot product (accumulated in double, fixed order). */
   def dot(a: Column, b: Column): Column =

@@ -73,21 +73,20 @@ object LshBuckets {
   */
 object Ann {
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        V.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("label"), col("embedding"))
 
   /** Brute-force top-k neighbors (exact integer dot score) for the
     * query set vec_id < nQueries. */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = quantized(spark, dir)
+    val e = embs(spark, dir)
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("q_query"))
-    val scored = e.select(col("vec_id"), col("q"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    val scored = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        V.dotQ(col("q_query"), col("q")).as("dot_q"))
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot_q").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -100,21 +99,21 @@ object Ann {
     * candidates; recall vs brute force is asserted in the spec. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val e = quantized(spark, dir)
-    val banded = e.select(col("vec_id"), col("q"),
+    val e = embs(spark, dir)
+    val banded = e.select(col("vec_id"), col("embedding"),
       posexplode(LshBuckets.lsh_buckets(col("embedding"), nTables, nPlanes))
         .as(Seq("t", "bkt")))
     val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("q_query"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"),
         col("t"), col("bkt"))
     // score at join time (vectors in hand), then collapse the
     // per-table duplicates with an agg over small (id, id, long) rows
     // — never shuffles the vector payloads
-    val scored = banded.select(col("vec_id"), col("q"), col("t"), col("bkt"))
+    val scored = banded.select(col("vec_id"), col("embedding"), col("t"), col("bkt"))
       .join(broadcast(queries), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        V.dotQ(col("q_query"), col("q")).as("dot_q"))
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(max(col("dot_q")).as("dot_q"))
     val w = Window.partitionBy(col("query_id"))

@@ -100,13 +100,13 @@ object Dedup {
   /** Embedding near-dup pairs: exact integer dot product of quantized
     * vectors over label-blocked candidates. */
   def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), V.quantize(col("embedding")).as("q"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("q").as("q_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("q").as("q_b"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("e_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("e_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), V.dotQ(col("q_a"), col("q_b")).as("dot_q"))
+      .select(col("vec_a"), col("vec_b"),
+        V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
       .filter(col("dot_q") >= minDotQ)
   }
 }
