@@ -26,6 +26,7 @@ object SparkEntry {
     "q_scrape_attempts" -> ((s, d) => Monitoring.scrapeAttempts(s, d)),
     "q_mqtt_topic_match" -> ((s, d) => Monitoring.topicFilterRouting(s, d)),
     "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
+    "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
@@ -224,6 +225,12 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_feed_stats" ->
+      """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
+        | count(*) AS entity_count,
+        | 1735689600 - date_diff('second', TIMESTAMP '1970-01-01', max(ts))
+        |   AS timestamp_age
+        |FROM events GROUP BY 1,2""".stripMargin,
     "q_lag_lead" ->
       """SELECT event_type AS topic, event_id, value,
         | lag(value, 1) OVER w AS prev_value,

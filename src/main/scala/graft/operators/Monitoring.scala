@@ -155,6 +155,32 @@ object Monitoring {
         when(col("value") < 30, "failure").otherwise("success").as("result"))
       .agg(count(lit(1)).as("attempts"))
 
+  /** GTFS-RT feed stats off the wire bytes: per (topic, window) a
+    * FeedMessage is synthesized (one entity per event, header
+    * timestamp = last event), then entity count and staleness are
+    * computed by PARSING the protobuf bytes with the native
+    * feed_entity_count / feed_header_timestamp expressions — the
+    * reference's gtfsrt get_stats, minus the HTTP fetch. The oracle is
+    * the plain aggregate the round trip must reproduce. */
+  def feedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{FeedColumns, FeedParser}
+    val nowEpoch = 1735689600L // 2025-01-01 UTC, matches FixedNowIso
+    val feeds = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n"), unix_timestamp(max(col("ts"))).as("last_epoch"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .map { case (topic, win, n, last) =>
+        (topic, win,
+          FeedParser.encodeFeed(last, Seq.fill(n.toInt)(Array[Byte](0x08, 1))))
+      }.toDF("topic", "window_start", "feed")
+    feeds.select(col("topic"), col("window_start"),
+      FeedColumns.feed_entity_count(col("feed")).as("entity_count"),
+      (lit(nowEpoch) - FeedColumns.feed_header_timestamp(col("feed")))
+        .as("timestamp_age"))
+  }
+
   /** Top-k events per topic by value via the custom bounded-heap
     * TopKPerKey physical operator (no per-partition sort — see
     * graft.plans.TopKPerKey). */

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Minimal protobuf wire-format reader for GTFS-RT-shaped FeedMessages
+  * (gtfsrt_data_collector.py get_stats: `len(feed.entity)` and
+  * `feed.header.timestamp`). Parses the two fields the reference
+  * monitors straight off the wire bytes — no generated classes, no
+  * deps — as native expressions over a binary column:
+  *   - FeedMessage field 1 (len-delim) = header; header field 3
+  *     (varint) = timestamp
+  *   - FeedMessage field 2 (len-delim, repeated) = entity
+  */
+object FeedParser {
+
+  private def readVarint(b: Array[Byte], start: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var i = start
+    while (i < b.length) {
+      val x = b(i)
+      v |= (x & 0x7fL) << shift
+      i += 1
+      if ((x & 0x80) == 0) return (v, i)
+      shift += 7
+    }
+    (v, i)
+  }
+
+  /** Skip a field payload; returns next offset (or length on error). */
+  private def skip(b: Array[Byte], wireType: Int, pos: Int): Int = wireType match {
+    case 0 => readVarint(b, pos)._2
+    case 1 => pos + 8
+    case 2 => val (len, p) = readVarint(b, pos); p + len.toInt
+    case 5 => pos + 4
+    case _ => b.length
+  }
+
+  /** Count of top-level occurrences of `fieldNum` (len-delimited). */
+  def countField(b: Array[Byte], fieldNum: Int): Int = {
+    var pos = 0; var n = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      val f = (key >>> 3).toInt; val wt = (key & 7).toInt
+      if (f == fieldNum && wt == 2) n += 1
+      pos = skip(b, wt, p)
+      if (pos <= 0) return n
+    }
+    n
+  }
+
+  /** header(field 1).timestamp(field 3) varint, or -1 if absent. */
+  def headerTimestamp(b: Array[Byte]): Long = {
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      val f = (key >>> 3).toInt; val wt = (key & 7).toInt
+      if (f == 1 && wt == 2) {
+        val (len, hp) = readVarint(b, p)
+        val end = hp + len.toInt
+        var q = hp
+        while (q < end && q < b.length) {
+          val (hkey, hq) = readVarint(b, q)
+          val hf = (hkey >>> 3).toInt; val hwt = (hkey & 7).toInt
+          if (hf == 3 && hwt == 0) return readVarint(b, hq)._1
+          q = skip(b, hwt, hq)
+        }
+        return -1L
+      }
+      pos = skip(b, wt, p)
+    }
+    -1L
+  }
+
+  /** Hand-encoder (tests / synthetic feeds): varint. */
+  def encodeVarint(v: Long): Array[Byte] = {
+    var x = v; val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+    out += x.toByte
+    out.toArray
+  }
+
+  /** Hand-encoder: a FeedMessage with `entities` opaque payloads. */
+  def encodeFeed(timestamp: Long, entities: Seq[Array[Byte]]): Array[Byte] = {
+    val header = Array[Byte](0x18) ++ encodeVarint(timestamp) // field 3 varint
+    val headerField = Array[Byte](0x0a) ++ encodeVarint(header.length) ++ header
+    val entityFields = entities.flatMap(e =>
+      Array[Byte](0x12) ++ encodeVarint(e.length) ++ e)
+    headerField ++ entityFields
+  }
+}
+
+/** feed_entity_count(bytes) → int. */
+case class FeedEntityCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "feed_entity_count"
+  override protected def nullSafeEval(b: Any): Any =
+    FeedParser.countField(b.asInstanceOf[Array[Byte]], 2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.FeedParser.countField($c, 2);")
+  override protected def withNewChildInternal(c: Expression): FeedEntityCount = copy(c)
+}
+
+/** feed_header_timestamp(bytes) → bigint (-1 when absent). */
+case class FeedHeaderTimestamp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "feed_header_timestamp"
+  override protected def nullSafeEval(b: Any): Any =
+    FeedParser.headerTimestamp(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.FeedParser.headerTimestamp($c);")
+  override protected def withNewChildInternal(c: Expression): FeedHeaderTimestamp = copy(c)
+}
+
+object FeedColumns {
+  def feed_entity_count(bin: Column): Column =
+    bridge.column(FeedEntityCount(bridge.expression(bin)))
+  def feed_header_timestamp(bin: Column): Column =
+    bridge.column(FeedHeaderTimestamp(bridge.expression(bin)))
+}

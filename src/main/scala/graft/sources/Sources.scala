@@ -29,6 +29,18 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed + sorted table layout: co-locates join keys at write
+    * time so repeated fact-fact joins on `bucketCol` run with NO
+    * shuffle at all (at 100 TB, the shuffle IS the join cost; paying
+    * it once at ingest amortizes it over every downstream join).
+    * Requires a catalog table (bucket metadata lives there). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Day-partitioned parquet layout for the events stream — the
     * landing format that gives partition pruning on time-range scans
     * (`PartitionFilters` in the scan, zero IO outside the range). */

@@ -1,0 +1,39 @@
+package graft
+
+import graft.plans.{FeedColumns, FeedParser}
+import org.apache.spark.sql.functions._
+
+class FeedParserSpec extends SparkSpec {
+
+  test("hand-encoded feed round-trips entity count and timestamp") {
+    val feed = FeedParser.encodeFeed(1735000000L,
+      Seq(Array[Byte](0x08, 1), Array[Byte](0x08, 2), Array[Byte](0x08, 3)))
+    assert(FeedParser.countField(feed, 2) == 3)
+    assert(FeedParser.headerTimestamp(feed) == 1735000000L)
+  }
+
+  test("multi-byte varints survive the round trip") {
+    val big = 9876543210L // > 2^32, needs 5 varint bytes
+    val feed = FeedParser.encodeFeed(big, Seq.empty)
+    assert(FeedParser.headerTimestamp(feed) == big)
+    assert(FeedParser.countField(feed, 2) == 0)
+  }
+
+  test("degenerate inputs do not throw") {
+    assert(FeedParser.countField(Array.empty[Byte], 2) == 0)
+    assert(FeedParser.headerTimestamp(Array.empty[Byte]) == -1L)
+    assert(FeedParser.headerTimestamp(Array[Byte](0x12, 0x01, 0x00)) == -1L)
+  }
+
+  test("expressions evaluate over a binary column") {
+    import spark.implicits._
+    val feeds = Seq(
+      FeedParser.encodeFeed(100L, Seq(Array[Byte](0x08, 1))),
+      FeedParser.encodeFeed(200L, Seq.empty)).toDF("feed")
+    val rows = feeds.select(
+      FeedColumns.feed_entity_count(col("feed")).as("n"),
+      FeedColumns.feed_header_timestamp(col("feed")).as("ts"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows == Set((1, 100L), (0, 200L)))
+  }
+}

@@ -25,6 +25,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(d).isEmpty)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    Sources.writeBucketed(Tables.orders(spark, sfDir), "o_bkt", "o_orderkey", 4)
+    Sources.writeBucketed(
+      Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "l_bkt", "o_orderkey", 4)
+    // force the sort-merge path (tiny test tables would be broadcast,
+    // which sidesteps bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("o_bkt").join(spark.table("l_bkt"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+      assert(plan.contains("Bucketed: true"), plan.take(600))
+      val expected = Tables.orders(spark, sfDir).join(
+        Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("day-partitioned events layout prunes partitions on day filters") {
     val path = tmp() + "/events"
     Sources.writeEventsPartitioned(Tables.events(spark, sfDir), path)
