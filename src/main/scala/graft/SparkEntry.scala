@@ -27,6 +27,9 @@ object SparkEntry {
     "q_mqtt_topic_match" -> ((s, d) => Monitoring.topicFilterRouting(s, d)),
     "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
     "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
+    "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
+    "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
+    "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
@@ -225,6 +228,32 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_gap_fill" ->
+      """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        | spans AS (SELECT topic, min(ws) AS lo, max(ws) AS hi FROM counts GROUP BY 1),
+        | hours AS (SELECT topic, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS window_start FROM spans)
+        |SELECT h.topic, h.window_start, coalesce(c.n, 0) AS msg_count
+        |FROM hours h LEFT JOIN counts c
+        | ON h.topic = c.topic AND h.window_start = c.ws""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        | s AS (SELECT user_id, ts,
+        |   CAST(sum(CASE WHEN prev_ts IS NULL OR
+        |       date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM t)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | date_diff('second', min(ts), max(ts)) AS duration_sec
+        |FROM s GROUP BY 1,2""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type AS topic, CAST(floor(value/50.0) AS BIGINT) AS bucket,
+        | count(*) AS n
+        |FROM events GROUP BY 1,2""".stripMargin,
     "q_feed_stats" ->
       """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
         | count(*) AS entity_count,

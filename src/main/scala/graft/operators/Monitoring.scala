@@ -155,6 +155,53 @@ object Monitoring {
         when(col("value") < 30, "failure").otherwise("success").as("result"))
       .agg(count(lit(1)).as("attempts"))
 
+  /** Gap-filled per-topic hourly counts: every hour in the topic's
+    * observed span appears, with 0 for silent windows — the batch
+    * form of the "feed went quiet" alert the reference exists to
+    * raise (a silent hour is invisible to a plain GROUP BY). */
+  def gapFilledRates(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n"))
+    val hours = counts.groupBy(col("topic"))
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(col("topic"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("window_start"))
+    hours.join(counts, Seq("topic", "window_start"), "left")
+      .select(col("topic"), col("window_start"),
+        coalesce(col("n"), lit(0L)).as("msg_count"))
+  }
+
+  /** Gap-based sessionization: a new session starts after 30 min of
+    * per-user inactivity; emits per-session event count and duration.
+    * One shuffle (by user), one sort — the standard scalable shape. */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+  }
+
+  /** Fixed-width value histogram per topic. */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 50.0): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** GTFS-RT feed stats off the wire bytes: per (topic, window) a
     * FeedMessage is synthesized (one entity per event, header
     * timestamp = last event), then entity count and staleness are
