@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -67,6 +67,9 @@ object SparkEntry {
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
+    // Sampling / splits
+    "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
@@ -362,6 +365,19 @@ object SparkEntry {
         | CAST(sum(len(regexp_extract_all(text,
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_train_test_split" ->
+      """SELECT lang,
+        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+        |      ELSE 'test' END AS split,
+        | count(*) AS n
+        |FROM documents GROUP BY 1,2""".stripMargin,
+    "q_source_mixture" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT source, n_chars, row_number() OVER
+        |   (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn <= 10 GROUP BY 1""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset splitting and mixture sampling for training pipelines.
+  * Everything is content/key-hash deterministic — rerunning the
+  * pipeline (or re-executing a failed partition) yields the same
+  * split, which `df.sample`'s partition-seeded RNG does not guarantee
+  * under repartitioning.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash on the key → stable [0,100) slot,
+    * expressible in plain arithmetic in any engine. */
+  private def slot(key: org.apache.spark.sql.Column) =
+    pmod(key * lit(2654435761L), lit(4294967296L)) % 100
+
+  /** Deterministic train/validation/test split (80/10/10 by key hash);
+    * reports per-(lang, split) counts. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(slot(col("doc_id")) < 80, "train")
+          .when(slot(col("doc_id")) < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Mixture sampling: cap each source at `quota` docs (smallest
+    * doc_ids win — deterministic), the building block for hitting a
+    * target source mixture. Uses the bounded-heap TopKPerKey operator
+    * rather than a full per-source sort. */
+  def sourceMixture(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    import graft.plans.TopKPerKey
+    val capped = TopKPerKey.topKPerKey(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), Seq("doc_id" -> TopKPerKey.Asc), quota)
+    capped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+}
