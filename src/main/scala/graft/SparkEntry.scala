@@ -52,6 +52,7 @@ object SparkEntry {
     "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     // Dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_normalized" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -67,6 +68,8 @@ object SparkEntry {
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
+    "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q_media_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
@@ -295,6 +298,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_normalized" ->
+      """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |   AS norm_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, source,

@@ -23,6 +23,15 @@ object Dedup {
       .groupBy(sha2(col("text").cast("binary"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup after text normalization (lowercase + whitespace
+    * collapse + trim) — catches trivial near-dups that differ only in
+    * case/spacing before the expensive fuzzy passes run. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+        .cast("binary"), 256).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** MinHash+LSH near-dup candidates: word-3-gram shingles → 64-hash
     * signature → 8 bands × 8 rows → equi-join on (band, band-hash).
     * `est_jaccard` = matching signature fraction.

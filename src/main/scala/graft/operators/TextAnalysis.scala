@@ -98,4 +98,26 @@ object Multimodal {
       .groupBy(col("width"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_frames")).as("total_frames"))
+
+  /** Frame sampling: one row per sampled frame (every `stride`-th),
+    * with a per-frame feature derived from the decode. The explode is
+    * the real Spark-side shape of video frame extraction; the frame
+    * "pixels" are the stub. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame =
+    decodeStub(spark, dir)
+      .select(col("doc_id"), col("n_frames"), col("feat"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        element_at(col("feat"), (col("frame_idx") % 8) + 1).as("frame_feature"))
+
+  /** Resize plumbing: rescales the stub dimensions to a target box
+    * keeping aspect (integer math only — deterministic); the actual
+    * pixel resample would sit in the decode stub. */
+  def resizeMeta(spark: SparkSession, dir: String, target: Int = 8): DataFrame =
+    decodeStub(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(col("width"), col("height")).as("long_side"))
+      .select(col("doc_id"), col("width"), col("height"),
+        ((col("width") * target) / col("long_side")).cast("int").as("out_w"),
+        ((col("height") * target) / col("long_side")).cast("int").as("out_h"))
 }
