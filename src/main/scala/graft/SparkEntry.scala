@@ -48,6 +48,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
     "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
+    "q_corr" -> ((s, d) => Analytics.correlation(s, d)),
     "q_data_quality" -> ((s, d) => Analytics.dataQuality(s, d)),
     "q_string_funcs" -> ((s, d) => Analytics.stringFuncs(s, d)),
     // Dedup family
@@ -266,6 +267,21 @@ object SparkEntry {
         | 1735689600 - date_diff('second', TIMESTAMP '1970-01-01', max(ts))
         |   AS timestamp_age
         |FROM events GROUP BY 1,2""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+        | (n * sxy - sx * sy) /
+        |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM s""".stripMargin,
     "q_lag_lead" ->
       """SELECT event_type AS topic, event_id, value,
         | lag(value, 1) OVER w AS prev_value,

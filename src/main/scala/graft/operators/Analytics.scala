@@ -161,6 +161,29 @@ object Analytics {
         lpad(col("lang"), 4, "_").as("lang_padded"),
         levenshtein(substring(col("text"), 1, 15), lit("the quick brown")).as("edit_dist"))
 
+  /** Pearson correlation per group from exact decimal component sums
+    * (n, Σx, Σy, Σxy, Σxx, Σyy are order-independent decimals; the
+    * final double formula is a fixed op sequence) — built-in corr()
+    * accumulates doubles in partition order and is not reproducible
+    * across engines or partitionings. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .withColumn("corr_xy",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+  }
+
   /** CUBE aggregate: all grouping-set combinations + grand total. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
