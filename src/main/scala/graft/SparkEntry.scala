@@ -28,6 +28,7 @@ object SparkEntry {
     "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
     "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
+    "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
     "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
     // Analytical core
@@ -235,6 +236,14 @@ object SparkEntry {
         |FROM (SELECT event_type, value, row_number() OVER
         |   (PARTITION BY event_type ORDER BY value, event_id) AS rn
         | FROM events) WHERE rn = 10""".stripMargin,
+    "q_compensated_rate" ->
+      """SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        | count(*) AS msg_count,
+        | date_diff('second', min(ts), max(ts)) AS span_sec,
+        | CASE WHEN date_diff('second', min(ts), max(ts)) >= 25
+        |   THEN count(*) / CAST(date_diff('second', min(ts), max(ts)) AS DOUBLE)
+        |   END AS msgs_per_sec
+        |FROM events GROUP BY 1,2""".stripMargin,
     "q_gap_fill" ->
       """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
         |   count(*) AS n FROM events GROUP BY 1,2),

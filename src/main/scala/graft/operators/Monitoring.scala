@@ -155,6 +155,23 @@ object Monitoring {
         when(col("value") < 30, "failure").otherwise("success").as("result"))
       .agg(count(lit(1)).as("attempts"))
 
+  /** Rate over EFFECTIVE listening time: msgs/sec computed over the
+    * observed span (first→last message) per topic per day, not the
+    * nominal window — the batch analog of the reference's elapsed-time
+    * compensation (mqtt_data_collector.py:108-123 subtracts detection
+    * lag so a dropped connection doesn't deflate the rate and page
+    * someone at 3am). Spans shorter than 25 s return no rate, like the
+    * reference's "too short to be accurate" guard. */
+  def compensatedRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("msg_count"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("span_sec"))
+      .withColumn("msgs_per_sec",
+        when(col("span_sec") >= 25, col("msg_count") / col("span_sec")))
+
   /** Gap-filled per-topic hourly counts: every hour in the topic's
     * observed span appears, with 0 for silent windows — the batch
     * form of the "feed went quiet" alert the reference exists to

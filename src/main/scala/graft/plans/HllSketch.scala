@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a [[TypedImperativeAggregate]]
+  * (Flajolet et al. 2007, with the standard linear-counting
+  * small-range correction). p=12 → 4096 byte registers, ~1.6% stderr.
+  *
+  * The buffer is a plain byte array: merge = elementwise max, which is
+  * associative and commutative, so partial aggregation and AQE
+  * re-planning are safe, and sketches can be persisted and merged
+  * across days — the streaming/batch-unified cardinality path at
+  * 100 TB, where exact countDistinct's shuffle dominates.
+  *
+  * (Spark ships approx_count_distinct; this exists as the library's
+  * own mergeable-sketch surface — the same buffer can be exposed,
+  * stored, and unioned by user code.)
+  */
+case class HllSketch(child: Expression,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val p = 12
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = HashKernels.mix(v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          HashKernels.hash64(s, 0L)
+        case other => other.hashCode().toLong
+      })
+      val idx = (h >>> (64 - p)).toInt
+      val rank = (java.lang.Long.numberOfLeadingZeros(h << p | (1L << (p - 1))) + 1)
+        .toByte
+      if (rank > buf(idx)) buf(idx) = rank
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += 1.0 / (1L << buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    var e = alpha * m * m / invSum
+    if (e <= 2.5 * m && zeros > 0)
+      e = m * math.log(m.toDouble / zeros) // linear counting
+    math.round(e)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketch =
+    copy(child = c.head)
+}
+
+object HllSketch {
+  /** `df.groupBy(...).agg(hll_distinct($"user_id"))` */
+  def hll_distinct(c: Column): Column =
+    bridge.column(HllSketch(bridge.expression(c)).toAggregateExpression())
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.HllSketch.hll_distinct
+import org.apache.spark.sql.functions._
+
+class HllSketchSpec extends SparkSpec {
+
+  test("small cardinalities are near-exact (linear counting range)") {
+    val got = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(hll_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
+  test("large cardinalities stay within ~3 sigma of the 1.6% stderr") {
+    import spark.implicits._
+    val n = 200000
+    val approx = spark.range(n).select(hll_distinct(col("id"))).as[Long].head()
+    assert(math.abs(approx - n).toDouble / n < 0.05, s"approx=$approx")
+  }
+
+  test("sketch merging across partitions equals single-partition result") {
+    import spark.implicits._
+    val many = spark.range(50000).repartition(8)
+      .select(hll_distinct(col("id"))).as[Long].head()
+    val one = spark.range(50000).coalesce(1)
+      .select(hll_distinct(col("id"))).as[Long].head()
+    assert(many == one, s"partitioned=$many single=$one")
+  }
+
+  test("string inputs hash through the same sketch") {
+    import spark.implicits._
+    val approx = Tables.documents(spark, sfDir)
+      .select(hll_distinct(col("text"))).as[Long].head()
+    val exact = Tables.documents(spark, sfDir)
+      .select(countDistinct(col("text"))).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
