@@ -4,7 +4,25 @@ import graft.operators.LshBuckets
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: an MQTT filter with NO wildcards is just string
+  * equality — rewriting it to EqualTo lets Catalyst push the
+  * predicate into the parquet scan (`PushedFilters`), which the
+  * opaque custom expression never could. At 100 TB the difference is
+  * "skip row groups at the source" vs "decode every row and test". */
+object SimplifyMqttExactMatch extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case MqttTopicMatch(t, Literal(f: UTF8String, StringType))
+          if !f.toString.contains("+") && !f.toString.contains("#") =>
+        EqualTo(t, Literal(f, StringType))
+    }
+}
 
 /** Registers graft's native expressions as SQL functions, so
   * `spark.sql("... mqtt_topic_match(topic, 'hfp/+/#') ...")` works —
@@ -21,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SimplifyMqttExactMatch)
     ext.injectFunction((FunctionIdentifier("mqtt_topic_match"),
       new ExpressionInfo(classOf[MqttTopicMatch].getName, "mqtt_topic_match"),
       (args: Seq[Expression]) => MqttTopicMatch(args(0), args(1))))
@@ -45,6 +64,9 @@ object GraftExtensions {
   /** Runtime registration into an existing session (same builders the
     * extension injects at startup). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(SimplifyMqttExactMatch))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyMqttExactMatch
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("mqtt_topic_match",
       (args: Seq[Expression]) => MqttTopicMatch(args(0), args(1)), "scala_udf")

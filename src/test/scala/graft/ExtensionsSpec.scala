@@ -25,6 +25,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(c == row.getAs[Long]("sh"))
   }
 
+  test("wildcard-free mqtt filters rewrite to equality and push to the scan") {
+    GraftExtensions.register(spark)
+    import graft.plans.MqttTopicMatch.mqtt_topic_match
+    val df = Tables.events(spark, sfDir)
+      .filter(mqtt_topic_match(col("event_type"), lit("purchase")))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("mqtt_topic_match"), optimized.take(400))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("EqualTo(event_type,purchase)") &&
+      physical.contains("PushedFilters"), physical.take(600))
+    // semantics unchanged, wildcards still use the full matcher
+    assert(df.count() ==
+      Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
+    val wild = Tables.events(spark, sfDir)
+      .filter(mqtt_topic_match(col("event_type"), lit("purch+se")))
+    assert(wild.queryExecution.optimizedPlan.toString.contains("mqtt_topic_match"))
+  }
+
   test("distribution_summary aggregator matches micrometer semantics") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v")
