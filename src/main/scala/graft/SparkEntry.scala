@@ -33,6 +33,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
+    "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
+    "q5_shape" -> ((s, d) => Analytics.q5Shape(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
@@ -153,6 +155,25 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY 1,2""".stripMargin,
+    "q3_shape" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND o_orderkey = l_orderkey
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_shape" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM customer, orders, lineitem, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -161,6 +161,45 @@ object Analytics {
         lpad(col("lang"), 4, "_").as("lang_padded"),
         levenshtein(substring(col("text"), 1, 15), lit("the quick brown")).as("edit_dist"))
 
+  /** TPC-H Q3 shape: selective dim filter → two fact joins → grouped
+    * revenue → deterministic top-10. Filters reach all three scans. */
+  def q3Shape(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: dim chain (region→nation, broadcast) against the
+    * customer→orders→lineitem fact chain; revenue per nation. */
+  def q5Shape(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    Tables.customer(spark, dir)
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Pearson correlation per group from exact decimal component sums
     * (n, Σx, Σy, Σxy, Σxx, Σyy are order-independent decimals; the
     * final double formula is a fixed op sequence) — built-in corr()

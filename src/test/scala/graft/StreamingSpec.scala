@@ -115,6 +115,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("azure envelope sink writes one valid envelope per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val rates = StreamingMonitor.msgRates(input.toDF(), "1 minute", "1 minute")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val q = StreamingMonitor.azureEnvelopeSink(rates, out)().start()
+    try {
+      input.addData(TopicEvent("hfp/v2", ts(0), 1.0), TopicEvent("hfp/v2", ts(0, 30), 1.0))
+      q.processAllAvailable()
+      input.addData(TopicEvent("hfp/v2", ts(10), 1.0)) // seal the 10:00 window
+      q.processAllAvailable()
+      val lines = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".txt"))
+        .flatMap { f =>
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().toList finally src.close()
+        }
+      assert(lines.nonEmpty)
+      assert(lines.forall(_.contains(""""namespace":"MQTT"""")))
+      assert(lines.exists(_.contains(""""dimValues":["hfp/v2"]""")))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join attaches dimension data per topic") {
     val s = spark
     import s.implicits._
