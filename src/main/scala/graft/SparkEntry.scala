@@ -45,6 +45,8 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotEvents(s, d)),
     "q_json_extract" -> ((s, d) => Analytics.jsonExtract(s, d)),
     "q_asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "q_upsert" -> ((s, d) => Analytics.upsertSnapshot(s, d)),
+    "q_range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "q_setops" -> ((s, d) => Analytics.setOps(s, d)),
     "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
@@ -237,6 +239,18 @@ object SparkEntry {
         |SELECT event_id, user_id, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_upsert" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id,
+        | value AS latest_value
+        |FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)
+        |   AS rn FROM events) WHERE rn = 1""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+        |SELECT event_type AS topic, band, count(*) AS n
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1,2""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

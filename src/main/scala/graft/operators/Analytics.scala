@@ -161,6 +161,35 @@ object Analytics {
         lpad(col("lang"), 4, "_").as("lang_padded"),
         levenshtein(substring(col("text"), 1, 15), lit("the quick brown")).as("edit_dist"))
 
+  /** Upsert/merge (latest-wins): treat later events as updates to a
+    * per-(user, event_type) state row; the merged snapshot keeps each
+    * key's latest value. Union+window latest-wins is the engine-
+    * agnostic MERGE INTO (no table format required); one shuffle. */
+  def upsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"), col("value").as("latest_value"))
+  }
+
+  /** Range (non-equi) join: price band lookup via BETWEEN — the
+    * banded-dimension pattern (tiny range dim broadcast, so the
+    * non-equi condition never becomes a cross product at scale). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("event_type").as("topic"), col("band"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** TPC-H Q3 shape: selective dim filter → two fact joins → grouped
     * revenue → deterministic top-10. Filters reach all three scans. */
   def q3Shape(spark: SparkSession, dir: String): DataFrame = {
