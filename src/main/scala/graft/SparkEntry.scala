@@ -31,6 +31,8 @@ object SparkEntry {
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
     "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
+    "q_zscore_outlier" -> ((s, d) => Monitoring.rateOutliers(s, d)),
+    "q_dow_profile" -> ((s, d) => Monitoring.dowProfile(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -52,6 +54,7 @@ object SparkEntry {
     "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
+    "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
     "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
     "q_corr" -> ((s, d) => Analytics.correlation(s, d)),
     "q_data_quality" -> ((s, d) => Analytics.dataQuality(s, d)),
@@ -63,6 +66,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
+    "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
@@ -70,6 +75,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -446,6 +453,73 @@ object SparkEntry {
         |FROM (SELECT source, n_chars, row_number() OVER
         |   (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn <= 10 GROUP BY 1""".stripMargin,
+    "q_zscore_outlier" ->
+      """WITH c AS (SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
+        |   count(*) AS msg_count FROM events GROUP BY 1,2),
+        | st AS (SELECT topic, count(*) AS n_windows,
+        |   CAST(sum(msg_count) AS DOUBLE) AS s,
+        |   CAST(sum(msg_count*msg_count) AS DOUBLE) AS sq FROM c GROUP BY 1)
+        |SELECT c.topic, c.window_start, c.msg_count,
+        | (c.msg_count - s/n_windows) /
+        |   sqrt(sq/n_windows - (s/n_windows)*(s/n_windows)) AS z
+        |FROM c JOIN st ON c.topic = st.topic
+        |WHERE sq/n_windows - (s/n_windows)*(s/n_windows) > 0
+        | AND abs((c.msg_count - s/n_windows) /
+        |   sqrt(sq/n_windows - (s/n_windows)*(s/n_windows))) >= 2.0""".stripMargin,
+    "q_dow_profile" ->
+      """SELECT event_type AS topic, dayofweek(ts)+1 AS dow, hour(ts) AS hod,
+        | count(*) AS n, count(DISTINCT date_trunc('day', ts)) AS n_days,
+        | CAST(count(*) AS DOUBLE) / count(DISTINCT date_trunc('day', ts))
+        |   AS avg_per_day
+        |FROM events GROUP BY 1,2,3""".stripMargin,
+    "q_scd2" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id FROM (
+        |   SELECT user_id, event_type, ts, event_id,
+        |     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS prev_state FROM events)
+        | WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        | lead(ts) OVER w AS valid_to,
+        | CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_word_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+        | 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |   AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS dup_ratio
+        |FROM documents""".stripMargin,
+    "q_decontaminate" ->
+      """WITH g AS (SELECT doc_id, source,
+        |   unnest(list_distinct(list_transform(range(1, len(toks)-2),
+        |     i -> list_aggregate(toks[i:i+3], 'string_agg', ' ')))) AS gram
+        | FROM (SELECT doc_id, source,
+        |     regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, source, count(*) AS hits FROM g
+        |WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)
+        |GROUP BY 1,2""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |   generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1,2 HAVING dot >= 250000),
+        | ed AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+        | reach(a, b) AS (SELECT a, b FROM ed
+        |   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+        | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
+        |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
+        |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha

@@ -129,6 +129,23 @@ object Analytics {
 
   /** Offset window functions: previous/next event value and gap
     * seconds per topic (lag/lead with deterministic total order). */
+  /** SCD type-2 dimension build from the event log: per user, keep
+    * only state CHANGES (event_type transitions), each valid from its
+    * own ts until the next change (NULL = current). The standard
+    * warehouse history table, built in two window passes over one
+    * (user) shuffle — no self-join, so it scales linearly in events. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)

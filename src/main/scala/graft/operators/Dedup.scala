@@ -106,6 +106,68 @@ object Dedup {
           size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag training docs that share any
+    * word n-gram with the held-out eval source (the standard
+    * n-gram-overlap contamination check run before LLM training).
+    * Returns (doc_id, source, hits = #distinct shared n-grams) for
+    * contaminated docs only.
+    *
+    * Scale shape: eval sets are tiny relative to a 100 TB train
+    * corpus, so the distinct eval-gram set is BROADCAST and the train
+    * side is filtered by a map-side semi-join — train grams never
+    * shuffle; only the matched handful reach the per-doc count. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalSource: String = "src0", n: Int = 4): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(T.shingles(col("text"), n)).as("gram"))
+    val evalGrams = grams.filter(col("source") === evalSource)
+      .select(col("gram")).distinct()
+    grams.filter(col("source") =!= evalSource)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Near-dup CLUSTERS: connected components over the cosine
+    * near-dup pair graph, labeled by the component's minimum vec_id —
+    * the step that turns pairwise near-dups into "keep one per
+    * cluster". Iterative min-label propagation: each round every
+    * vertex takes min(own label, neighbors' labels); converges to the
+    * component minimum in ≤ diameter rounds. Each round is one
+    * shuffle-join; lineage is truncated with localCheckpoint so plans
+    * don't grow. (At 100 TB the same loop runs with the
+    * alternating large-star/small-star edge rewrite, which converges
+    * in O(log n) rounds on long chains; near-dup components are
+    * dense and shallow, so plain propagation is the right default.) */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      minDotQ: Long = 250000L, maxIters: Int = 20): DataFrame = {
+    val half = cosinePairs(spark, dir, minDotQ).select(col("vec_a"), col("vec_b"))
+    val edges = half
+      .unionAll(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .localCheckpoint()
+    var labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("vec_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("vec_b") === labels("vec_id"))
+        .groupBy(edges("vec_a").as("v")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("vec_id") === nbrMin("v"), "left")
+        .select(col("vec_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "vec_id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: exact integer dot product of quantized
     * vectors over label-blocked candidates. */
   def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L): DataFrame = {

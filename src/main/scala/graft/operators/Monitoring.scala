@@ -256,6 +256,43 @@ object Monitoring {
       Seq("topic"), Seq("value" -> Desc, "event_id" -> Asc), k)
   }
 
+  /** Per-topic hourly-rate z-score outliers — the anomaly-alert form
+    * of the reference's monitoring purpose (a topic suddenly chatty or
+    * quiet pages someone). Mean/variance come from exact integer
+    * component sums (counts and squared counts are BIGINTs, well under
+    * 2^53, so the doubles are bit-reproducible across engines and
+    * partitionings — built-in stddev is partition-order-dependent).
+    * The per-topic stats side is tiny (#topics rows) and broadcast. */
+  def rateOutliers(spark: SparkSession, dir: String, zThreshold: Double = 2.0): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+    val stats = counts.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("msg_count")).cast("double").as("s"),
+        sum(col("msg_count") * col("msg_count")).cast("double").as("sq"))
+    // identical expression trees on both engines ⇒ identical doubles
+    val mean = col("s") / col("n_windows")
+    val variance = col("sq") / col("n_windows") - mean * mean
+    counts.join(broadcast(stats), Seq("topic"))
+      .filter(variance > 0)
+      .withColumn("z", (col("msg_count") - mean) / sqrt(variance))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("topic"), col("window_start"), col("msg_count"), col("z"))
+  }
+
+  /** Seasonal profile: average messages per (topic, day-of-week,
+    * hour-of-day) — the baseline an outlier detector compares against.
+    * dow is 1=Sunday..7=Saturday (Spark's dayofweek convention). */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+      .withColumn("avg_per_day", col("n").cast("double") / col("n_days"))
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

@@ -40,6 +40,32 @@ object TextAnalysis {
         sum(T.wordCount(col("text")).cast("long")).as("ws_tokens"),
         sum(T.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
 
+  /** Corpus vocabulary: top-k tokens by frequency (the Zipf table a
+    * tokenizer-training or quality pipeline starts from). Map-side
+    * partial counts collapse the explode before the single shuffle,
+    * so shuffle volume ∝ vocabulary, not corpus size. */
+  def wordFreq(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Intra-document repetition signal (the Gopher/CCNet-style quality
+    * gate): duplicate-token fraction per doc. Entirely row-local. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("dup_ratio"))
+  }
+
   /** Document fingerprints: rolling min-window hash + simhash. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

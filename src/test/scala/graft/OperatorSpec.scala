@@ -32,6 +32,45 @@ class OperatorSpec extends SparkSpec {
     assert(got == "hfp/*/^x")
   }
 
+  test("decontaminate never flags eval-source docs and hits are positive") {
+    val d = Dedup.decontaminate(spark, sfDir).collect()
+    assert(d.forall(r => r.getAs[String]("source") != "src0"))
+    assert(d.forall(_.getAs[Long]("hits") >= 1L))
+  }
+
+  test("near-dup clusters: edge endpoints share a label, label = component min") {
+    val labels = Dedup.nearDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector is labeled, by an id ≤ its own
+    assert(labels.size == Tables.embeddings(spark, sfDir).count())
+    assert(labels.forall { case (v, c) => c <= v })
+    // both endpoints of every near-dup edge landed in the same cluster
+    val edges = Dedup.cosinePairs(spark, sfDir).select("vec_a", "vec_b").collect()
+    assert(edges.forall(e => labels(e.getLong(0)) == labels(e.getLong(1))))
+    // a cluster's label is a member of the cluster
+    labels.values.toSet.foreach((c: Long) => assert(labels(c) == c))
+  }
+
+  test("scd2 intervals chain per user: valid_to = next valid_from, one current") {
+    val rows = graft.operators.Analytics.scd2(spark, sfDir)
+      .orderBy("user_id", "valid_from").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      assert(hist.count(_.getInt(4) == 1) == 1)
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) == b.getTimestamp(2)) // valid_to chains
+          assert(a.getString(1) != b.getString(1))       // state really changed
+        case _ =>
+      }
+    }
+  }
+
+  test("repetition signal stays in [0,1) and distinct ≤ total") {
+    val r = graft.operators.TextAnalysis.repetitionSignals(spark, sfDir).collect()
+    assert(r.forall(x => x.getInt(2) <= x.getInt(1)))
+    assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
