@@ -118,9 +118,13 @@ object Dedup {
     * shuffle; only the matched handful reach the per-doc count. */
   def decontaminate(spark: SparkSession, dir: String,
                     evalSource: String = "src0", n: Int = 4): DataFrame = {
+    // Fused one-pass shingle-hash kernel (8 bytes/gram, stays in
+    // whole-stage codegen) — gram equality via 64-bit hash equality;
+    // the composed shingles() tree evaluates its lambdas interpreted
+    // and re-tokenizes per gram, which is 10× slower here.
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        explode(T.shingles(col("text"), n)).as("gram"))
+        explode(shingle_hashes(col("text"), n)).as("gram"))
     val evalGrams = grams.filter(col("source") === evalSource)
       .select(col("gram")).distinct()
     grams.filter(col("source") =!= evalSource)
@@ -152,16 +156,26 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("vec_b") === labels("vec_id"))
-        .groupBy(edges("vec_a").as("v")).agg(min(col("cluster_id")).as("nbr_min"))
+      // Pointer jumping fused into the propagation join: besides the
+      // graph edges, every vertex gets an edge to its own label, so
+      // one neighbor-min pass yields min(lab(v), min_nbr lab(u),
+      // lab(lab(v))). Labels stay within the component and only
+      // decrease; the jump halves chains every round, so convergence
+      // takes O(log diameter) rounds instead of O(diameter).
+      val ptrEdges = labels.select(col("vec_id").as("vec_a"),
+        col("cluster_id").as("vec_b"))
+      val nbrMin = edges.unionAll(ptrEdges)
+        .join(labels, col("vec_b") === labels("vec_id"))
+        .groupBy(col("vec_a").as("v")).agg(min(col("cluster_id")).as("nbr_min"))
       val updated = labels.join(nbrMin, labels("vec_id") === nbrMin("v"), "left")
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), "vec_id")
-        .filter(col("cluster_id") < col("old")).count()
-      labels = updated
+        .localCheckpoint(eager = false)
+      // the convergence count doubles as the checkpoint-materializing
+      // action (old label rides along) — one job per round
+      val changed = updated.filter(col("cluster_id") < col("old")).count()
+      labels = updated.select(col("vec_id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }

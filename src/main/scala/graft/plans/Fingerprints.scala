@@ -128,6 +128,34 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** DISTINCT word-n-gram shingle hashes in one pass: tokenize →
+    * rolling polynomial combine of n token hashes → sort+dedup. The
+    * sorted long array is the doc's shingle SET — equality on these
+    * 64-bit hashes is equality on the grams (modulo negligible
+    * collisions), at 8 bytes/gram instead of a materialized string. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenHashes(s, 0L)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = sh * 0x100000001b3L + toks(i + j); j += 1 }
+      arr(i) = mix(sh)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (arr(i) != arr(i - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+
   /** Single-pass SimHash straight from text (whitespace tokens). */
   def simhashText(s: UTF8String): Long = {
     val toks = tokenHashes(s, 0L)
@@ -229,6 +257,20 @@ case class MinHashShingles(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
 }
 
+/** shingle_hashes(text, n): fused tokenize+shingle+hash+dedup. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.shingleHashes(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.shingleHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
 /** simhash_text(text): fused tokenize+simhash. */
 case class SimHashText(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -254,4 +296,6 @@ object Fingerprints {
     bridge.column(MinHashShingles(bridge.expression(text), n, k))
   def rolling_fingerprint(text: Column, w: Int): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), w))
+  def shingle_hashes(text: Column, n: Int): Column =
+    bridge.column(ShingleHashes(bridge.expression(text), n))
 }
