@@ -33,6 +33,9 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
     "q_zscore_outlier" -> ((s, d) => Monitoring.rateOutliers(s, d)),
     "q_dow_profile" -> ((s, d) => Monitoring.dowProfile(s, d)),
+    "q_hopping_window" -> ((s, d) => Monitoring.hoppingRates(s, d)),
+    "q_incident_overlap" -> ((s, d) => Monitoring.incidentOverlap(s, d)),
+    "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -71,12 +74,15 @@ object SparkEntry {
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
+    "q_mask_digits" -> ((s, d) => TextAnalysis.maskDigits(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -520,6 +526,63 @@ object SparkEntry {
         | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
         |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
         |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
+    "q_hopping_window" ->
+      """SELECT event_type AS topic,
+        | date_trunc('hour', ts) - to_hours(off) AS window_start,
+        | count(*) AS msg_count, count(*)/7200.0 AS msgs_per_sec
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+        |GROUP BY 1,2""".stripMargin,
+    "q_incident_overlap" ->
+      """WITH hourly AS (SELECT event_type AS topic,
+        |   date_trunc('hour', ts) AS window_start, count(*) AS msg_count
+        | FROM events GROUP BY 1,2)
+        |SELECT i.topic AS incident_topic, i.window_start,
+        | i.msg_count AS incident_count, h.topic AS other_topic,
+        | h.msg_count AS other_count
+        |FROM hourly i JOIN hourly h ON i.window_start = h.window_start
+        | AND i.topic <> h.topic
+        |WHERE i.msg_count >= 8""".stripMargin,
+    "q_prometheus_text" ->
+      """WITH panel AS (SELECT event_type AS topic,
+        |   count(*) AS messages_total,
+        |   CAST(sum(length(props)) AS BIGINT) AS storage_bytes,
+        |   count(*) FILTER (value > 150) AS backlog_size
+        | FROM events GROUP BY 1)
+        |SELECT topic, metric,
+        | metric || '{topic="' || topic || '"} ' || CAST(v AS VARCHAR) AS line
+        |FROM (
+        | SELECT topic, 'graft_messages_total' AS metric, messages_total AS v FROM panel
+        | UNION ALL
+        | SELECT topic, 'graft_storage_bytes', storage_bytes FROM panel
+        | UNION ALL
+        | SELECT topic, 'graft_backlog_size', backlog_size FROM panel)""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |   FROM documents) WHERE token <> '' GROUP BY 1,2),
+        | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rnk FROM (
+        | SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+        | FROM tf JOIN df ON tf.token = df.token)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_mask_digits" ->
+      """SELECT event_type AS topic, count(*) AS n_events,
+        | CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+        |   AS digit_runs,
+        | CAST(sum(length(props) -
+        |   length(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT)
+        |   AS chars_redacted
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        | CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
+        | CAST(sum(q) AS DOUBLE) / (count(*) * CAST(1000.0 AS DOUBLE)) AS centroid
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings)
+        |GROUP BY 1,2""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha

@@ -120,4 +120,19 @@ object Ann {
       .orderBy(col("dot_q").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Per-label embedding centroid — the cluster-assignment step of an
+    * IVF index build (and one k-means iteration). posexplode to
+    * (label, dim) with milli-quantized BIGINT components, so the sums
+    * are exact integers (order-independent ⇒ reproducible on any
+    * partitioning); centroid = sum/(n·1000) is one exact double
+    * division. Shuffle volume ∝ #labels × dims after map-side partial
+    * aggregation, regardless of corpus size. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("label"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("centroid", col("sum_q") / (col("n") * lit(1000.0)))
 }

@@ -293,6 +293,61 @@ object Monitoring {
         countDistinct(date_trunc("day", col("ts"))).as("n_days"))
       .withColumn("avg_per_day", col("n").cast("double") / col("n_days"))
 
+  /** Hopping-window rates: 2 h windows sliding every 1 h (each event
+    * lands in size/slide = 2 windows). Spark's window() explodes the
+    * assignment map-side, so this is still one partial-aggregated
+    * shuffle of #topics × #windows rows — the smoothing view the
+    * reference's 60 s tumbling monitor can't provide. */
+  def hoppingRates(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("msg_count"))
+      .select(col("topic"), col("window.start").as("window_start"),
+        col("msg_count"),
+        (col("msg_count") / lit(2 * WindowSeconds)).as("msgs_per_sec"))
+
+  /** Incident blast-radius: hours where a topic ran hot (count ≥
+    * threshold) joined back against what every OTHER topic did in that
+    * same hour — the "what else was happening" pivot of an on-call
+    * investigation. The incident list is tiny (alert-worthy hours
+    * only) and broadcast; the co-occurrence side reuses the hourly
+    * pre-aggregate, so nothing event-sized ever shuffles. */
+  def incidentOverlap(spark: SparkSession, dir: String, threshold: Long = 8): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+    val incidents = hourly.filter(col("msg_count") >= threshold)
+      .select(col("topic").as("incident_topic"),
+        col("window_start"), col("msg_count").as("incident_count"))
+    hourly.join(broadcast(incidents), Seq("window_start"))
+      .filter(col("topic") =!= col("incident_topic"))
+      .select(col("incident_topic"), col("window_start"),
+        col("incident_count"), col("topic").as("other_topic"),
+        col("msg_count").as("other_count"))
+  }
+
+  /** Prometheus exposition-format rendering of the per-topic panel —
+    * the output surface of the reference's metrics exporter
+    * (transitdata-metrics-exporter, micrometer/Prometheus registry).
+    * Integer-valued samples only, so the rendered lines are
+    * byte-identical on every engine. */
+  def prometheusText(spark: SparkSession, dir: String): DataFrame = {
+    val panel = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("messages_total"),
+        sum(length(col("props"))).as("storage_bytes"),
+        count(when(col("value") > 150, 1)).as("backlog_size"))
+    panel.select(col("topic"), explode(map(
+      lit("graft_messages_total"), col("messages_total"),
+      lit("graft_storage_bytes"), col("storage_bytes"),
+      lit("graft_backlog_size"), col("backlog_size"))).as(Seq("metric", "value")))
+      .select(col("topic"), col("metric"),
+        concat(col("metric"), lit("{topic=\""), col("topic"), lit("\"} "),
+          col("value").cast("string")).as("line"))
+  }
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.plans.Fingerprints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -65,6 +66,42 @@ object TextAnalysis {
         (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
           .as("dup_ratio"))
   }
+
+  /** Distinctive terms per document, tf-idf style: rank each doc's
+    * tokens by (tf DESC, df ASC, token ASC) and keep the top 3. The
+    * ordering is exactly the tf·idf ordering for this corpus but uses
+    * only the integer (tf, df) pair — no log(), whose last-ulp
+    * behavior differs across engines. The document-frequency table is
+    * vocabulary-sized and broadcast; the heavy side is one
+    * map-side-combined token count. */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+  }
+
+  /** Payload masking/anonymization panel: redact digit runs in event
+    * payloads (the shape of a PII-scrubbing pass over a training
+    * corpus) and account for what was removed. Entirely row-local
+    * regex work before one tiny aggregate. */
+  def maskDigits(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("props"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_runs"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked"))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("n_runs")).as("digit_runs"),
+        sum(length(col("props")) - length(col("masked"))).as("chars_redacted"))
 
   /** Document fingerprints: rolling min-window hash + simhash. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,42 @@ class OperatorSpec extends SparkSpec {
     assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
   }
 
+  test("hopping windows double-count each event across overlapping windows") {
+    val total = Tables.events(spark, sfDir).count()
+    val summed = Monitoring.hoppingRates(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("msg_count")).collect()(0).getLong(0)
+    assert(summed == 2 * total)
+  }
+
+  test("prometheus lines render the exposition format") {
+    val lines = Monitoring.prometheusText(spark, sfDir).collect()
+    val re = """^graft_[a-z_]+\{topic="[^"]+"\} \d+$""".r
+    assert(lines.nonEmpty)
+    assert(lines.forall(r => re.matches(r.getAs[String]("line"))))
+  }
+
+  test("tfidf keeps at most k distinctive terms per doc") {
+    val t = graft.operators.TextAnalysis.tfidfTerms(spark, sfDir, k = 3)
+    val perDoc = t.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 3))
+    assert(t.filter(org.apache.spark.sql.functions.col("rnk") > 3).isEmpty)
+  }
+
+  test("label centroids cover every (label, dim) with consistent counts") {
+    val c = Ann.labelCentroids(spark, sfDir).collect()
+    val dims = c.map(_.getAs[Long]("dim")).distinct
+    assert(dims.min == 1L)
+    // every label has the same dim set; n = label population
+    val byLabel = c.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.values.map(_.length).toSet.size == 1)
+  }
+
+  test("digit masking accounts for every redacted character") {
+    val m = graft.operators.TextAnalysis.maskDigits(spark, sfDir).collect()
+    assert(m.forall(r => r.getAs[Long]("chars_redacted") >= 0 &&
+      r.getAs[Long]("digit_runs") >= r.getAs[Long]("n_events")))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
