@@ -373,10 +373,9 @@ object SparkEntry {
         | count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_normalized" ->
-      """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-        |   AS norm_hash,
-        | min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1""".stripMargin,
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |   list_distinct(list_transform(range(1, len(toks)),
@@ -561,7 +560,7 @@ object SparkEntry {
         |   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |   FROM documents) WHERE token <> '' GROUP BY 1,2),
         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
-        |SELECT doc_id, token, tf, df, rnk FROM (
+        |SELECT doc_id, token, tf, df FROM (
         | SELECT tf.doc_id, tf.token, tf.tf, df.df,
         |  row_number() OVER (PARTITION BY tf.doc_id
         |    ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk

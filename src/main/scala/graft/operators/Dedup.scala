@@ -28,9 +28,12 @@ object Dedup {
     * case/spacing before the expensive fuzzy passes run. */
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(sha2(lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-        .cast("binary"), 256).as("norm_hash"))
+      // fused normalize+hash kernel: one pass over the bytes, no regex
+      // / lowered-string materialization / SHA; 64-bit hash equality
+      // stands in for normalized-string equality
+      .groupBy(normalized_hash(col("text")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
 
   /** MinHash+LSH near-dup candidates: word-3-gram shingles → 64-hash
     * signature → 8 bands × 8 rows → equi-join on (band, band-hash).
@@ -58,9 +61,7 @@ object Dedup {
     a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).cast("double") / numHashes)
+        (sig_matches(col("sig_a"), col("sig_b")).cast("double") / numHashes)
           .as("est_jaccard"))
       .distinct()
   }
@@ -153,30 +154,31 @@ object Dedup {
     var labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("vec_id").as("cluster_id"))
       .localCheckpoint()
+    var labelSum = BigDecimal(-1)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       // Pointer jumping fused into the propagation join: besides the
       // graph edges, every vertex gets an edge to its own label, so
-      // one neighbor-min pass yields min(lab(v), min_nbr lab(u),
-      // lab(lab(v))). Labels stay within the component and only
-      // decrease; the jump halves chains every round, so convergence
-      // takes O(log diameter) rounds instead of O(diameter).
+      // one neighbor-min pass yields min(min_nbr lab(u), lab(lab(v))).
+      // Since lab(x) ≤ x invariantly, lab(lab(v)) ≤ lab(v), so that
+      // min IS the updated label — no join back to the old table. The
+      // jump halves chains every round: O(log diameter) rounds, each
+      // one join + one partial-aggregated groupBy. Convergence = the
+      // exact label sum stopped falling (labels strictly decrease on
+      // any change), read by the same action that materializes the
+      // round's lazy checkpoint.
       val ptrEdges = labels.select(col("vec_id").as("vec_a"),
         col("cluster_id").as("vec_b"))
-      val nbrMin = edges.unionAll(ptrEdges)
+      labels = edges.unionAll(ptrEdges)
         .join(labels, col("vec_b") === labels("vec_id"))
-        .groupBy(col("vec_a").as("v")).agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("vec_id") === nbrMin("v"), "left")
-        .select(col("vec_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+        .groupBy(col("vec_a").as("vec_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(eager = false)
-      // the convergence count doubles as the checkpoint-materializing
-      // action (old label rides along) — one job per round
-      val changed = updated.filter(col("cluster_id") < col("old")).count()
-      labels = updated.select(col("vec_id"), col("cluster_id"))
-      converged = changed == 0
+      val s = BigDecimal(labels.agg(
+        sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+      converged = s == labelSum
+      labelSum = s
       iter += 1
     }
     labels

@@ -75,18 +75,23 @@ object TextAnalysis {
     * vocabulary-sized and broadcast; the heavy side is one
     * map-side-combined token count. */
   def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.plans.TopKPerKey.{Asc, Desc}
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(broadcast(df), Seq("token"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+    // df from its own distinct-token pass — deriving it from `tf`
+    // would recompute the (doc, token) aggregate twice (no cache)
+    val df = Tables.documents(spark, dir)
+      .select(explode(array_distinct(T.tokens(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // bounded-heap top-k per doc (O(n log k), no per-partition sort)
+    graft.plans.TopKPerKey.topKPerKey(
+      tf.join(broadcast(df), Seq("token"))
+        .select(col("doc_id"), col("token"), col("tf"), col("df")),
+      Seq("doc_id"), Seq("tf" -> Desc, "df" -> Asc, "token" -> Asc), k)
   }
 
   /** Payload masking/anonymization panel: redact digit runs in event

@@ -156,6 +156,41 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(arr, w))
   }
 
+  /** Hash of the normalized text (lowercase ASCII + whitespace runs
+    * collapsed to one space + trim), computed in ONE pass over the
+    * UTF-8 bytes with no intermediate string — hash equality ≡
+    * equality of lower(trim(regexp_replace(text,'\s+',' '))). */
+  def normalizedHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i)
+      val ws = b0 == ' ' || b0 == '\t' || b0 == '\n' || b0 == '\r' ||
+        b0 == '\f' || b0 == 0x0b
+      if (ws) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { h ^= ' '.toLong; h *= 0x100000001b3L; pendingSpace = false }
+        val b = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+        h ^= (b & 0xffL); h *= 0x100000001b3L
+        started = true
+      }
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** Count of equal positions between two equal-length signatures. */
+  def sigMatches(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0L
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
   /** Single-pass SimHash straight from text (whitespace tokens). */
   def simhashText(s: UTF8String): Long = {
     val toks = tokenHashes(s, 0L)
@@ -257,6 +292,37 @@ case class MinHashShingles(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
 }
 
+/** normalized_hash(text) → bigint: fused normalize+hash. */
+case class NormalizedHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "normalized_hash"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.normalizedHash(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.normalizedHash($c);")
+  override protected def withNewChildInternal(c: Expression): NormalizedHash = copy(c)
+}
+
+/** sig_matches(a, b) → bigint: positions where two signatures agree. */
+case class SigMatches(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def prettyName: String = "sig_matches"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sigMatches(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashKernels.sigMatches($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatches =
+    copy(left = l, right = r)
+}
+
 /** shingle_hashes(text, n): fused tokenize+shingle+hash+dedup. */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -298,4 +364,8 @@ object Fingerprints {
     bridge.column(RollingFingerprint(bridge.expression(text), w))
   def shingle_hashes(text: Column, n: Int): Column =
     bridge.column(ShingleHashes(bridge.expression(text), n))
+  def normalized_hash(text: Column): Column =
+    bridge.column(NormalizedHash(bridge.expression(text)))
+  def sig_matches(a: Column, b: Column): Column =
+    bridge.column(SigMatches(bridge.expression(a), bridge.expression(b)))
 }

@@ -12,6 +12,20 @@ class FingerprintSpec extends SparkSpec {
   private def arr(tokens: String*) =
     new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
 
+  test("normalized hash equals hash of case/whitespace-normalized text") {
+    def h(s: String) = HashKernels.normalizedHash(UTF8String.fromString(s))
+    assert(h("  The\tQuick  BROWN fox\n") == h("the quick brown fox"))
+    assert(h("a  b") == h("a b"))
+    assert(h("a b") != h("ab"))
+    assert(h("") == h("   \t\n"))
+  }
+
+  test("sig_matches counts agreeing positions") {
+    val a = new GenericArrayData(Array[Any](1L, 2L, 3L, 4L))
+    val b = new GenericArrayData(Array[Any](1L, 9L, 3L, 8L))
+    assert(HashKernels.sigMatches(a, b) == 2L)
+  }
+
   test("simhash: identical token sets → identical fingerprints") {
     assert(HashKernels.simhash(arr("a", "b", "c")) ==
       HashKernels.simhash(arr("a", "b", "c")))

@@ -88,8 +88,7 @@ class OperatorSpec extends SparkSpec {
   test("tfidf keeps at most k distinctive terms per doc") {
     val t = graft.operators.TextAnalysis.tfidfTerms(spark, sfDir, k = 3)
     val perDoc = t.groupBy("doc_id").count().collect()
-    assert(perDoc.forall(_.getLong(1) <= 3))
-    assert(t.filter(org.apache.spark.sql.functions.col("rnk") > 3).isEmpty)
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) <= 3))
   }
 
   test("label centroids cover every (label, dim) with consistent counts") {
