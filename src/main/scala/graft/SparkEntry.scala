@@ -58,6 +58,10 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
+    "q_mode" -> ((s, d) => Analytics.modePerTopic(s, d)),
+    "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
+    "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
+    "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
     "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
     "q_corr" -> ((s, d) => Analytics.correlation(s, d)),
     "q_data_quality" -> ((s, d) => Analytics.dataQuality(s, d)),
@@ -525,6 +529,39 @@ object SparkEntry {
         | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
         |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
         |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
+    "q_mode" ->
+      """WITH counts AS (SELECT event_type AS topic,
+        |   CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)
+        |     AS k, count(*) AS n
+        | FROM events GROUP BY 1,2)
+        |SELECT topic, k AS mode_k, n FROM (
+        | SELECT topic, k, n, row_number() OVER (PARTITION BY topic
+        |   ORDER BY n DESC, k ASC) AS rn FROM counts)
+        |WHERE rn = 1""".stripMargin,
+    "q_median_exact" ->
+      """WITH r AS (SELECT event_type AS topic, value, event_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS rn FROM events),
+        | c AS (SELECT topic, count(*) AS n FROM r GROUP BY 1)
+        |SELECT topic, sum(value)/count(*) AS median, max(n) AS n
+        |FROM r JOIN c USING (topic)
+        |WHERE rn = CAST(floor((n+1)/2.0) AS BIGINT)
+        |   OR rn = CAST(floor(n/2.0) AS BIGINT) + 1
+        |GROUP BY 1""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_zorder" ->
+      """SELECT event_id, user_id, k, zkey FROM (
+        | SELECT event_id, user_id, k,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |    ((user_id >> i) & 1) * (1::BIGINT << (2*i)) +
+        |    ((k >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS zkey
+        | FROM (SELECT event_id, user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)
+        |      AS k FROM events))
+        |ORDER BY zkey, event_id LIMIT 20""".stripMargin,
     "q_hopping_window" ->
       """SELECT event_type AS topic,
         | date_trunc('hour', ts) - to_hours(off) AS window_start,

@@ -146,6 +146,66 @@ object Analytics {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
   }
 
+  /** Deterministic per-topic mode of the payload field: most frequent
+    * k, smallest k winning ties (arg-max with an explicit tie-break —
+    * built-in mode()/arg_max tie handling is engine-defined). Two
+    * partial-aggregated groupBys; shuffle ∝ #topics × #distinct k. */
+  def modePerTopic(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("topic"), col("k")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("n").desc, col("k").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("topic"), col("k").as("mode_k"), col("n"))
+  }
+
+  /** Exact per-topic median of `value` by rank selection: the middle
+    * row (odd n) or the mean of the two middle rows (even n) under a
+    * total order. Rank-based, so it is bit-reproducible across
+    * engines — quantile interpolation rules differ between
+    * implementations, rank selection cannot. One window pass + a
+    * broadcast of per-topic counts. */
+  def medianExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("topic"))
+      .filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long") ||
+        col("rn") === floor(col("n") / lit(2.0)).cast("long") + 1)
+      .groupBy(col("topic"))
+      .agg((sum(col("value")) / count(lit(1))).as("median"), max(col("n")).as("n"))
+  }
+
+  /** Exact distinct users per topic×day via the bitmap aggregate —
+    * dense-id exact counting whose merge is bitwise OR (see
+    * [[graft.plans.BitmapDistinct]]): partial aggregation ships one
+    * bitmap per partition instead of every distinct id. */
+  def bitmapDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(graft.plans.BitmapDistinct.bitmap_distinct(col("user_id"))
+        .as("n_users"))
+
+  /** Z-order layout demo: top-20 events by the Morton key of
+    * (user_id, payload k) — the clustering key a 100 TB events table
+    * would be range-partitioned and sorted by so row-group min/max
+    * stats prune scans on either dimension. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), k.as("k"),
+        graft.plans.ZorderKey.zorder_key(col("user_id"), k).as("zkey"))
+      .orderBy(col("zkey").asc, col("event_id").asc)
+      .limit(20)
+  }
+
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)

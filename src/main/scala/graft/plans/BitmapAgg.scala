@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Exact distinct count over DENSE non-negative integer ids as a
+  * word-aligned bitmap [[TypedImperativeAggregate]].
+  *
+  * For dense id spaces (user ids, document ids after dictionary
+  * encoding) a bitmap is 1 bit per id: merge = bitwise OR, which is
+  * associative/commutative, so map-side partial aggregation collapses
+  * each partition to one ~(maxId/8)-byte buffer before the shuffle —
+  * the exact-count alternative to [[HllSketch]] when ids are dense,
+  * with NO error and buffer size independent of row count. At 100 TB,
+  * countDistinct shuffles every distinct id; this shuffles #groups
+  * bitmaps. Buffers are persistable and unionable across batches/days
+  * (the same trick behind roaring-bitmap metric stores).
+  *
+  * Ids must be ≥ 0; the buffer grows geometrically to the max id seen.
+  */
+case class BitmapDistinct(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_distinct"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](1)
+
+  private def ensure(buf: Array[Long], words: Int): Array[Long] =
+    if (words <= buf.length) buf
+    else {
+      val grown = new Array[Long](math.max(words, buf.length * 2))
+      System.arraycopy(buf, 0, grown, 0, buf.length)
+      grown
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val id = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => other.toString.toLong
+      }
+      require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
+      val word = (id >>> 6).toInt
+      val out = ensure(buf, word + 1)
+      out(word) |= (1L << (id & 63))
+      out
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = ensure(a, b.length)
+    var i = 0
+    while (i < b.length) { out(i) |= b(i); i += 1 }
+    out
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BitmapDistinct =
+    copy(child = c.head)
+}
+
+object BitmapDistinct {
+  /** `df.groupBy(...).agg(bitmap_distinct($"user_id"))` — exact. */
+  def bitmap_distinct(c: Column): Column =
+    bridge.column(BitmapDistinct(bridge.expression(c)).toAggregateExpression())
+}

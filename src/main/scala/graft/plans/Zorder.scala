@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** zorder_key(a, b) → bigint: Morton (Z-order) bit interleave of the
+  * low `bitsPerDim` bits of two non-negative keys — a at even bit
+  * positions, b at odd.
+  *
+  * This is a data-LAYOUT primitive, not a query: range-partitioning +
+  * sorting 100 TB of parquet by the interleaved key co-locates rows
+  * that are close in BOTH dimensions, so min/max row-group statistics
+  * prune scans for predicates on either column (the multi-dimensional
+  * clustering trick behind Z-ordered lakehouse tables: one layout
+  * serves `user_id BETWEEN …` and `k BETWEEN …` alike).
+  */
+case class ZorderKey(left: Expression, right: Expression, bitsPerDim: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def prettyName: String = "zorder_key"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZorderKey.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bitsPerDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.ZorderKey.interleave($a, $b, $bitsPerDim);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZorderKey =
+    copy(left = l, right = r)
+}
+
+object ZorderKey {
+  def interleave(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  def zorder_key(a: Column, b: Column, bitsPerDim: Int = 21): Column =
+    bridge.column(ZorderKey(bridge.expression(a.cast("long")),
+      bridge.expression(b.cast("long")), bitsPerDim))
+}

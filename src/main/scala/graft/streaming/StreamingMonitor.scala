@@ -84,6 +84,25 @@ object StreamingMonitor {
       }
   }
 
+  /** Streaming rate-anomaly alerts: watermarked tumbling-window
+    * counts stream-static-joined (broadcast) against a per-topic
+    * baseline (mean/std computed offline — the seasonal profile a
+    * batch job refreshes daily), alerting on |z| ≥ threshold. The
+    * streaming twin of the batch z-score outlier query: same math,
+    * same alerts, applied per finished window as it closes. */
+  def rateAnomalies(events: DataFrame, baseline: DataFrame,
+                    windowDur: String = "1 hour", watermark: String = "2 hours",
+                    zThreshold: Double = 2.0): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("topic"), window(col("ts"), windowDur).as("win"))
+      .agg(count(lit(1)).as("msg_count"))
+      .join(broadcast(baseline), Seq("topic"))
+      .withColumn("z", (col("msg_count") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("topic"), col("win.start").as("window_start"),
+        col("msg_count"), col("z"))
+
   /** Streaming exact dedup — the streaming twin of the reference's
     * `*-mqtt-raw-deduplicated` topics (pulsar_data_collector.py's
     * topic list): drops repeats of the same key seen within the

@@ -106,6 +106,51 @@ class OperatorSpec extends SparkSpec {
       r.getAs[Long]("digit_runs") >= r.getAs[Long]("n_events")))
   }
 
+  test("bitmap distinct equals exact countDistinct") {
+    import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val bitmap = graft.operators.Analytics.bitmapDistinctUsers(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(bitmap == exact)
+  }
+
+  test("zorder key interleaves bits losslessly") {
+    val z = graft.plans.ZorderKey.interleave(5L, 3L, 21)
+    // 5 = 101 at even positions, 3 = 011 at odd positions
+    assert(z == (1L | (1L << 1) | (1L << 3) | (1L << 4)))
+    // de-interleave recovers the inputs for arbitrary values
+    for (a <- Seq(0L, 1L, 12345L, (1L << 21) - 1); b <- Seq(0L, 7L, 99999L)) {
+      val zz = graft.plans.ZorderKey.interleave(a, b, 21)
+      var ra = 0L; var rb = 0L
+      for (i <- 0 until 21) {
+        ra |= ((zz >>> (2 * i)) & 1L) << i
+        rb |= ((zz >>> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b)
+    }
+  }
+
+  test("median: rank-selected median sits between halves") {
+    val m = graft.operators.Analytics.medianExact(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val topic = r.getString(0); val med = r.getDouble(1); val n = r.getLong(2)
+      val below = Tables.events(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("event_type") === topic)
+        .filter(org.apache.spark.sql.functions.col("value") < med).count()
+      assert(below <= n / 2 + 1)
+    }
+  }
+
+  test("mode returns exactly one row per topic") {
+    val m = graft.operators.Analytics.modePerTopic(spark, sfDir).collect()
+    assert(m.map(_.getString(0)).distinct.length == m.length && m.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()

@@ -158,6 +158,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score alerts match the batch outlier query") {
+    import org.apache.spark.sql.functions._
+    // offline baseline: per-topic mean/std of hourly counts, exactly
+    // as the batch outlier query derives them
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+    val baseline = counts.groupBy(col("topic"))
+      .agg(count(lit(1)).as("nw"),
+        sum(col("msg_count")).cast("double").as("s"),
+        sum(col("msg_count") * col("msg_count")).cast("double").as("sq"))
+      .select(col("topic"), (col("s") / col("nw")).as("mean"),
+        sqrt(col("sq") / col("nw") - (col("s") / col("nw")) * (col("s") / col("nw")))
+          .as("std"))
+      .filter(col("std") > 0)
+    val alerts = StreamingMonitor.rateAnomalies(
+      StreamingMonitor.eventsReplay(spark, sfDir), baseline,
+      windowDur = "1 hour", watermark = "0 seconds")
+    val q = alerts.writeStream.format("memory").queryName("zalerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("zalerts")
+        .select("topic", "window_start", "msg_count").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val batch = graft.operators.Monitoring.rateOutliers(spark, sfDir)
+        .select("topic", "window_start", "msg_count").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      // append mode seals all but the stream's final windows; sealed
+      // alerts must agree exactly with the batch query
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+      val unsealed = batch -- streamed
+      assert(unsealed.size <= 5, s"missing ${unsealed.size} alerts")
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
