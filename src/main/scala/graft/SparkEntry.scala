@@ -59,6 +59,10 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
     "q_mode" -> ((s, d) => Analytics.modePerTopic(s, d)),
+    "q_unpivot" -> ((s, d) => Analytics.unpivotStats(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
+    "q_rolling_7d" -> ((s, d) => Analytics.rolling7d(s, d)),
+    "q_salted_join" -> ((s, d) => Skew.saltedJoinTopics(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
@@ -529,6 +533,40 @@ object SparkEntry {
         | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
         |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
         |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
+        |   CAST(sum(length(props)) AS BIGINT) AS storage_size,
+        |   count(*) FILTER (value > 150) AS backlog_size
+        | FROM events GROUP BY 1)
+        |SELECT topic, 'msg_count' AS metric, msg_count AS value FROM panel
+        |UNION ALL
+        |SELECT topic, 'storage_size', storage_size FROM panel
+        |UNION ALL
+        |SELECT topic, 'backlog_size', backlog_size FROM panel""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+        | (event_type), ())""".stripMargin,
+    "q_rolling_7d" ->
+      """WITH d AS (SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        | d2 AS (SELECT *, CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(day AS DATE)) AS BIGINT) AS dn FROM d)
+        |SELECT topic, day, n,
+        | CAST(sum(n) OVER (PARTITION BY topic ORDER BY dn
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM d2""".stripMargin,
+    "q_salted_join" ->
+      """WITH dim AS (SELECT event_type AS topic, count(*) AS topic_total
+        |   FROM events GROUP BY 1)
+        |SELECT e.event_type AS topic, count(*) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | max(dim.topic_total) AS topic_total
+        |FROM events e JOIN dim ON e.event_type = dim.topic
+        |GROUP BY 1""".stripMargin,
     "q_mode" ->
       """WITH counts AS (SELECT event_type AS topic,
         |   CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)

@@ -206,6 +206,49 @@ object Analytics {
       .limit(20)
   }
 
+  /** Unpivot/melt: the wide per-topic stats panel back to long
+    * (topic, metric, value) rows — the inverse of q_pivot, via the
+    * native Dataset.unpivot (no per-metric scan). */
+  def unpivotStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("msg_count"),
+        sum(length(col("props"))).as("storage_size"),
+        count(when(col("value") > 150, 1)).as("backlog_size"))
+      .unpivot(Array(col("topic")),
+        Array(col("msg_count"), col("storage_size"), col("backlog_size")),
+        "metric", "value")
+
+  /** Explicit GROUPING SETS: (topic, day) detail, per-topic subtotal,
+    * grand total in one pass — the general grouping-set mechanism
+    * beyond ROLLUP/CUBE's fixed lattices. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_gs")
+    spark.sql(
+      """SELECT event_type AS topic, date_trunc('day', ts) AS day,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+        | (event_type), ())""".stripMargin)
+  }
+
+  /** Value-range window frame: 7-day rolling message count per topic
+    * (RANGE BETWEEN 6 PRECEDING on the day number — calendar-gap
+    * aware, unlike a ROWS frame over possibly-missing days). */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("topic")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily.select(col("topic"), col("day"), col("n"),
+      sum(col("n")).over(w).as("n_7d"))
+  }
+
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts").asc, col("event_id").asc)

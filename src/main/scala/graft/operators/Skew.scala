@@ -45,6 +45,21 @@ object Skew {
     saltedSum(Tables.events(spark, dir), col("event_type"), col("value"), salts)
       .select(col("k").as("topic"), col("total"), col("n"))
 
+  /** Salted join, oracle-checked: events (5 hot topics — maximal key
+    * skew) joined to a per-topic dimension through [[saltedJoin]],
+    * then aggregated. Must be row-identical to the plain join+GROUP
+    * BY, which is exactly what the DuckDB oracle computes. */
+  def saltedJoinTopics(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("value"))
+    val dim = ev.groupBy(col("topic")).agg(count(lit(1)).as("topic_total"))
+    saltedJoin(ev, dim, "topic", salts)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        max(col("topic_total")).as("topic_total"))
+  }
+
   /** Approximate distinct users per topic (HyperLogLog++) next to the
     * exact count — the sketch path for 100 TB cardinalities where
     * exact countDistinct's shuffle is the bottleneck. */
