@@ -103,6 +103,23 @@ object StreamingMonitor {
       .select(col("topic"), col("win.start").as("window_start"),
         col("msg_count"), col("z"))
 
+  /** Gap-based session windows over a stream — the streaming twin of
+    * the batch sessionization query, via the native session_window
+    * (state merges overlapping per-key windows; the watermark seals
+    * and emits a session once `gap` has passed with no new event, so
+    * state is bounded by active sessions, not stream history).
+    * Boundary note: an event at exactly `gap` after the previous one
+    * starts a NEW session (session windows are half-open). */
+  def sessionWindows(events: DataFrame, keyCol: String = "user_id",
+                     gap: String = "30 minutes",
+                     watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col(keyCol), session_window(col("ts"), gap).as("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"))
+
   /** Streaming exact dedup — the streaming twin of the reference's
     * `*-mqtt-raw-deduplicated` topics (pulsar_data_collector.py's
     * topic list): drops repeats of the same key seen within the

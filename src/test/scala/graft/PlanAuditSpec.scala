@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Analytics, Dedup, Monitoring}
+
+/** Plan-shape audit: the physical plans SURVEY.md §4/§6 promise are
+  * asserted here, so a regression that silently drops a pushdown or
+  * flips a broadcast to a sort-merge join fails the build — on 100 TB
+  * those plan shapes ARE the performance contract.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter and column pruning reach the parquet scan") {
+    val plan = physical(Analytics.q1(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // 7-column projection out of lineitem's 16 — pruned read schema
+    assert(!plan.contains("l_comment") && !plan.contains("l_partkey"),
+      s"column pruning lost:\n$plan")
+  }
+
+  test("dim-chain join broadcasts both dims, no sort-merge join") {
+    val plan = physical(Analytics.joinBroadcast(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim join degraded to shuffle:\n$plan")
+  }
+
+  test("q3: selective dim side broadcasts against the fact chain") {
+    val plan = physical(Analytics.q3Shape(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("decontamination runs as a broadcast semi-join (train side never shuffles)") {
+    val plan = physical(Dedup.decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("incident overlap broadcasts the incident list") {
+    val plan = physical(Monitoring.incidentOverlap(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("monitoring aggregates partial-aggregate before the shuffle") {
+    val plan = physical(Monitoring.msgRatePerTopic(spark, sfDir))
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+
+  test("whole-stage codegen covers the fused-kernel dedup pipeline") {
+    val df = Dedup.exactNormalized(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans appear
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the kernel projection and both aggregate sides carry codegen ids
+    // (i.e. they run inside WholeStageCodegen stages)
+    assert(formatted.contains("codegen id"), formatted)
+    assert(formatted.contains("normalized_hash"), formatted)
+    assert("\\(3\\) Project \\[codegen id".r.findFirstIn(formatted).isDefined ||
+      formatted.linesIterator.exists(l =>
+        l.contains("Project") && l.contains("codegen id")), formatted)
+  }
+}

@@ -196,6 +196,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows agree with batch gap-sessionization") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val src = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val sessions = StreamingMonitor.sessionWindows(src)
+    val q = sessions.writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_t")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      // batch reference with session_window's half-open boundary
+      // (diff >= gap starts a new session)
+      val byUser = W.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val batch = Tables.events(spark, sfDir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) >= 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed-not-in-batch: ${(streamed -- batch).take(5)}")
+      // append mode holds back at most each user's final session
+      val nUsers = batch.map(_._1).size
+      assert((batch -- streamed).size <= nUsers)
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
