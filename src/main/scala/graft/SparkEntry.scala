@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Sampling, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Sampling, Sequence, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -63,6 +63,9 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSetsAgg(s, d)),
     "q_rolling_7d" -> ((s, d) => Analytics.rolling7d(s, d)),
     "q_salted_join" -> ((s, d) => Skew.saltedJoinTopics(s, d)),
+    "q_funnel" -> ((s, d) => Sequence.funnel(s, d)),
+    "q_retention" -> ((s, d) => Sequence.retention(s, d)),
+    "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
@@ -533,6 +536,34 @@ object SparkEntry {
         | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
         |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
         |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |   FROM events),
+        | cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT c.cohort_day,
+        | CAST(date_diff('day', CAST(c.cohort_day AS DATE), CAST(d.day AS DATE))
+        |   AS BIGINT) AS day_offset,
+        | count(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+        |GROUP BY 1,2""".stripMargin,
+    "q_transitions" ->
+      """SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        | SELECT user_id, event_type, lag(event_type) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events)
+        |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
     "q_unpivot" ->
       """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
         |   CAST(sum(length(props)) AS BIGINT) AS storage_size,

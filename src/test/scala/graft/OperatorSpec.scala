@@ -151,6 +151,30 @@ class OperatorSpec extends SparkSpec {
     assert(m.map(_.getString(0)).distinct.length == m.length && m.nonEmpty)
   }
 
+  test("funnel stages are monotonically narrowing") {
+    val f = graft.operators.Sequence.funnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("1_view") >= f("2_click") && f("2_click") >= f("3_purchase"))
+    assert(f("1_view") > 0)
+  }
+
+  test("retention: offset-0 cohort sizes sum to total distinct users") {
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.Sequence.retention(spark, sfDir)
+    val day0 = r.filter(col("day_offset") === 0)
+      .agg(org.apache.spark.sql.functions.sum("n_users")).collect()(0).getLong(0)
+    val total = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(day0 == total)
+  }
+
+  test("transitions count exactly n_events - n_users pairs") {
+    val n = graft.operators.Sequence.transitions(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val events = Tables.events(spark, sfDir).count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(n == events - users)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
