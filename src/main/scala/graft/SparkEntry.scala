@@ -66,6 +66,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Sequence.funnel(s, d)),
     "q_retention" -> ((s, d) => Sequence.retention(s, d)),
     "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
+    "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
@@ -564,6 +565,33 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_pagerank" ->
+      """WITH t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type FROM events)
+        |  WHERE prev_type IS NOT NULL GROUP BY 1,2),
+        | e AS (SELECT t.prev_type, t.next_type, t.n, w.w_out FROM t JOIN
+        |   (SELECT prev_type, CAST(sum(n) AS BIGINT) AS w_out FROM t
+        |    GROUP BY 1) w USING (prev_type)),
+        | nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        | r0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM nodes),
+        | r1 AS (SELECT nodes.node,
+        |   CAST(150 AS BIGINT) + (850 * coalesce(c.sc, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN (SELECT e.next_type AS node,
+        |    CAST(sum((r0.r * e.n) // e.w_out) AS BIGINT) AS sc
+        |   FROM e JOIN r0 ON e.prev_type = r0.node GROUP BY 1) c USING (node)),
+        | r2 AS (SELECT nodes.node,
+        |   CAST(150 AS BIGINT) + (850 * coalesce(c.sc, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN (SELECT e.next_type AS node,
+        |    CAST(sum((r1.r * e.n) // e.w_out) AS BIGINT) AS sc
+        |   FROM e JOIN r1 ON e.prev_type = r1.node GROUP BY 1) c USING (node)),
+        | r3 AS (SELECT nodes.node,
+        |   CAST(150 AS BIGINT) + (850 * coalesce(c.sc, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN (SELECT e.next_type AS node,
+        |    CAST(sum((r2.r * e.n) // e.w_out) AS BIGINT) AS sc
+        |   FROM e JOIN r2 ON e.prev_type = r2.node GROUP BY 1) c USING (node))
+        |SELECT node, r AS rank_milli FROM r3""".stripMargin,
     "q_unpivot" ->
       """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
         |   CAST(sum(length(props)) AS BIGINT) AS storage_size,

@@ -63,4 +63,41 @@ object Sequence {
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Weighted PageRank over an edge list in EXACT integer (milli-unit)
+    * arithmetic, demoed on the event-type transition graph. Per
+    * iteration: contrib(u→v) = r(u)·w(u,v) div W(u), r'(v) = 150 +
+    * 850·Σcontrib div 1000 (damping 0.85 in milli-units). All-integer
+    * ops make every iteration bit-reproducible on any engine and any
+    * partitioning — float PageRank diverges across engines because
+    * contribution-sum order differs. Each iteration is one edge⋈rank
+    * join + one partial-aggregated groupBy: the standard distributed
+    * PageRank shape, shuffle ∝ edges (here 25 rows; the same plan
+    * serves a billion-edge graph with the ranks table hash-partitioned
+    * on node). */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    // exact long integer division (a div b for a,b ≥ 0): subtracting
+    // the exact modulus first makes the final divide exact in double
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val edges = transitions(spark, dir)
+    val e = edges.join(
+        edges.groupBy(col("prev_type")).agg(sum(col("n")).as("w_out")),
+        Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("w_out"))
+    val nodes = Tables.events(spark, dir)
+      .select(col("event_type").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(1000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(ranks, e("prev_type") === ranks("node"))
+        .select(col("next_type").as("node"),
+          idiv(col("r") * col("n"), col("w_out")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150L) + idiv(lit(850L) * coalesce(col("sc"), lit(0L)), lit(1000L)))
+            .as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_milli"))
+  }
 }

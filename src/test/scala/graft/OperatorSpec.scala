@@ -175,6 +175,17 @@ class OperatorSpec extends SparkSpec {
     assert(n == events - users)
   }
 
+  test("pagerank: ranks positive, repeated runs identical, mass bounded") {
+    val r1 = graft.operators.Sequence.pageRank(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = graft.operators.Sequence.pageRank(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2) // bit-reproducible under re-execution
+    assert(r1.values.forall(_ >= 150L))
+    // total mass stays near n_nodes × 1000 milli (truncation only loses)
+    assert(r1.values.sum <= r1.size * 1000L)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
