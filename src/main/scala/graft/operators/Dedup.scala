@@ -49,21 +49,27 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         minhash_shingles(col("text"), 3, numHashes).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // band join on (band, band-hash, id) ONLY — 24-byte rows. The
+    // 64-long signatures would otherwise ride the self-join 8× per
+    // side; they are re-attached once per side after the candidate
+    // pairs are deduped, so signature bytes shuffle once, not 8×.
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (sig_matches(col("sig_a"), col("sig_b")).cast("double") / numHashes)
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash near-dups: 64-bit fingerprint, banded into 4×16-bit
