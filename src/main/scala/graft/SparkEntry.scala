@@ -34,6 +34,7 @@ object SparkEntry {
     "q_zscore_outlier" -> ((s, d) => Monitoring.rateOutliers(s, d)),
     "q_dow_profile" -> ((s, d) => Monitoring.dowProfile(s, d)),
     "q_hopping_window" -> ((s, d) => Monitoring.hoppingRates(s, d)),
+    "q_quantile_sketch" -> ((s, d) => Monitoring.quantilePanel(s, d)),
     "q_incident_overlap" -> ((s, d) => Monitoring.incidentOverlap(s, d)),
     "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
     // Analytical core
@@ -565,6 +566,24 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH b AS (SELECT event_type AS topic,
+        |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM events),
+        | r AS (SELECT topic, cents, row_number() OVER (PARTITION BY topic
+        |   ORDER BY cents) AS rn FROM b),
+        | c AS (SELECT topic, count(*) AS n FROM b GROUP BY 1)
+        |SELECT c.topic, c.n,
+        | max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * CAST(c.n AS DOUBLE))
+        |   AS BIGINT)) THEN CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE)
+        |   END) AS p50,
+        | max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * CAST(c.n AS DOUBLE))
+        |   AS BIGINT)) THEN CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE)
+        |   END) AS p90,
+        | max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.99 * CAST(c.n AS DOUBLE))
+        |   AS BIGINT)) THEN CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE)
+        |   END) AS p99
+        |FROM r JOIN c ON r.topic = c.topic GROUP BY 1,2""".stripMargin,
     "q_pagerank" ->
       """WITH t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
         |  FROM (SELECT user_id, event_type, ts, event_id,

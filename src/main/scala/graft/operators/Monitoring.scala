@@ -348,6 +348,20 @@ object Monitoring {
           col("value").cast("string")).as("line"))
   }
 
+  /** Per-topic latency-style percentile panel (p50/p90/p99) from the
+    * mergeable fixed-resolution quantile sketch — the monitoring
+    * dashboard's percentile row, computed with one partial-aggregated
+    * shuffle of per-partition histograms (exact at 0.01 resolution;
+    * see [[graft.plans.QuantileSketch]]). */
+  def quantilePanel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("n"),
+        graft.plans.QuantileSketch.quantile_hist(col("value"),
+          Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("topic"), col("n"),
+        col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Fixed-resolution quantile sketch: a histogram of centi-unit
+  * buckets (value → round(value·100)) as a [[TypedImperativeAggregate]].
+  *
+  * Merge = per-bucket count addition — associative/commutative, so
+  * partial aggregation and AQE re-planning are safe and sketches are
+  * persistable/unionable across batches, like [[HllSketch]] and
+  * [[BitmapDistinct]]. Quantile q = smallest bucket whose cumulative
+  * count reaches ceil(q·n).
+  *
+  * Unlike rank-error sketches (t-digest, KLL), a fixed-resolution
+  * histogram is DETERMINISTIC: the result is independent of merge
+  * order and partitioning, so it hash-matches a rank-selection oracle
+  * exactly. Memory is ∝ distinct buckets (value spread / 0.01) — the
+  * right trade when values live in a known bounded range, which
+  * monitoring metrics do.
+  */
+case class QuantileSketch(child: Expression, quantiles: Seq[Double],
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantile_hist"
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long]()
+
+  private def rnd(v: Double): Long =
+    (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
+
+  override def update(buf: java.util.HashMap[Long, Long],
+                      input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val cents = rnd(v.asInstanceOf[Double] * 100)
+      buf.merge(cents, 1L, (a, b) => a + b)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Long],
+                     b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    b.forEach((k, v) => a.merge(k, v, (x, y) => x + y))
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
+    java.util.Arrays.sort(keys)
+    var n = 0L
+    keys.foreach(k => n += buf.get(k))
+    val out = quantiles.map { q =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var res = if (keys.nonEmpty) keys(keys.length - 1) else 0L
+      var found = false
+      while (i < keys.length && !found) {
+        cum += buf.get(keys(i))
+        if (cum >= target) { res = keys(i); found = true }
+        i += 1
+      }
+      res / 100.0
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size() * 16)
+    bb.putInt(buf.size())
+    buf.forEach((k, v) => { bb.putLong(k); bb.putLong(v) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.HashMap[Long, Long](n * 2)
+    var i = 0
+    while (i < n) { out.put(bb.getLong, bb.getLong); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = c.head)
+}
+
+object QuantileSketch {
+  /** `agg(quantile_hist($"value", Seq(0.5, 0.9, 0.99)))` → array<double>. */
+  def quantile_hist(c: Column, qs: Seq[Double]): Column =
+    bridge.column(QuantileSketch(bridge.expression(c), qs).toAggregateExpression())
+}

@@ -186,6 +186,20 @@ class OperatorSpec extends SparkSpec {
     assert(r1.values.sum <= r1.size * 1000L)
   }
 
+  test("quantile sketch is partition-invariant and p50<=p90<=p99") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.events(spark, sfDir)
+    def panel(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type").as("topic"))
+      .agg(graft.plans.QuantileSketch.quantile_hist(col("value"),
+        Seq(0.5, 0.9, 0.99)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val one = panel(base.repartition(1))
+    val many = panel(base.repartition(13))
+    assert(one == many) // merge-order/partitioning invariant
+    one.values.foreach(q => assert(q(0) <= q(1) && q(1) <= q(2)))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
