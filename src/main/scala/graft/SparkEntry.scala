@@ -35,6 +35,7 @@ object SparkEntry {
     "q_dow_profile" -> ((s, d) => Monitoring.dowProfile(s, d)),
     "q_hopping_window" -> ((s, d) => Monitoring.hoppingRates(s, d)),
     "q_quantile_sketch" -> ((s, d) => Monitoring.quantilePanel(s, d)),
+    "q_time_weighted" -> ((s, d) => Monitoring.timeWeightedAvg(s, d)),
     "q_incident_overlap" -> ((s, d) => Monitoring.incidentOverlap(s, d)),
     "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
     // Analytical core
@@ -566,6 +567,17 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_time_weighted" ->
+      """WITH s AS (SELECT event_type AS topic, value, ts, event_id,
+        |   lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |     AS next_ts FROM events)
+        |SELECT topic,
+        | CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |   date_diff('second', ts, next_ts)) AS DOUBLE) /
+        |   CAST(CAST(sum(date_diff('second', ts, next_ts)) AS BIGINT)
+        |     AS DOUBLE) AS twa,
+        | CAST(sum(date_diff('second', ts, next_ts)) AS BIGINT) AS span_sec
+        |FROM s WHERE next_ts IS NOT NULL GROUP BY 1""".stripMargin,
     "q_quantile_sketch" ->
       """WITH b AS (SELECT event_type AS topic,
         |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS cents

@@ -362,6 +362,26 @@ object Monitoring {
       .select(col("topic"), col("n"),
         col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
 
+  /** Time-weighted average value per topic: each sample holds until
+    * the next one (zero-order hold — the correct mean for
+    * irregularly-sampled gauges, where a plain AVG over-weights bursts).
+    * Exact decimal value×seconds products keep the sum
+    * order-independent; one window pass + one aggregate. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("ts"), col("event_id"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt", unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+      .groupBy(col("topic"))
+      .agg(
+        (sum(col("value").cast(DecimalType(18, 2)) * col("dt")).cast("double") /
+          sum(col("dt")).cast("double")).as("twa"),
+        sum(col("dt")).as("span_sec"))
+  }
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

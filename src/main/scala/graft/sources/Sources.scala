@@ -29,6 +29,48 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** PERMISSIVE CSV ingestion for untrusted feeds: malformed rows land
+    * in `_corrupt_record` instead of failing the 100 TB job (or being
+    * silently dropped); [[splitCorrupt]] separates them for a
+    * quarantine sink. The schema must carry the `_corrupt_record`
+    * string column. */
+  def readCsvPermissive(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** (clean rows without the corrupt column, quarantined raw lines). */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    // caching is required for correct PERMISSIVE-mode splits: the CSV
+    // reader re-parses per consuming plan, and corrupt-column-only
+    // projections are themselves an unsupported pushdown shape
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes` files (ingest at 100 TB lands thousands of tiny
+    * files per partition; scans then pay per-file open cost and lose
+    * row-group locality — periodic compaction is table maintenance,
+    * the same job DELTA/Iceberg OPTIMIZE runs). */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val totalBytes = new java.io.File(inDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Bucketed + sorted table layout: co-locates join keys at write
     * time so repeated fact-fact joins on `bucketCol` run with NO
     * shuffle at all (at 100 TB, the shuffle IS the join cost; paying

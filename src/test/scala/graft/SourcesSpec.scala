@@ -46,6 +46,33 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("permissive CSV quarantines malformed rows without failing the read") {
+    val dir = tmp() + "/feed"
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.PrintWriter(dir + "/part.csv")
+    f.println("id,qty"); f.println("1,10"); f.println("2,notanumber")
+    f.println("3,30"); f.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, qty LONG")
+    val (clean, quarantined) = Sources.splitCorrupt(
+      Sources.readCsvPermissive(spark, dir, schema))
+    assert(clean.count() == 2)
+    assert(clean.columns.toSeq == Seq("id", "qty"))
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("2,notanumber"))
+  }
+
+  test("compaction reduces file count and preserves rows") {
+    val in = tmp() + "/many"
+    val out = tmp() + "/compact"
+    Tables.events(spark, sfDir).repartition(16).write.parquet(in)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 16)
+    Sources.compactParquet(spark, in, out, targetBytes = Long.MaxValue)
+    assert(parquetFiles(out) == 1)
+    assert(spark.read.parquet(out).count() == Tables.events(spark, sfDir).count())
+  }
+
   test("day-partitioned events layout prunes partitions on day filters") {
     val path = tmp() + "/events"
     Sources.writeEventsPartitioned(Tables.events(spark, sfDir), path)
