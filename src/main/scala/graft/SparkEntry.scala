@@ -45,6 +45,7 @@ object SparkEntry {
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
+    "q_bloom_prefilter" -> ((s, d) => Analytics.bloomPrefilterJoin(s, d)),
     "q_topk" -> ((s, d) => Analytics.topK(s, d)),
     "q_window_funcs" -> ((s, d) => Analytics.windowFuncs(s, d)),
     "q_distinct" -> ((s, d) => Analytics.distinctCounts(s, d)),
@@ -567,6 +568,11 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_bloom_prefilter" ->
+      """SELECT count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_custkey IN
+        | (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
     "q_time_weighted" ->
       """WITH s AS (SELECT event_type AS topic, value, ts, event_id,
         |   lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)

@@ -206,6 +206,29 @@ object Analytics {
       .limit(20)
   }
 
+  /** Bloom-prefiltered semi join: build a bloom filter over the
+    * selective dim keys (one tiny aggregate), broadcast it, and drop
+    * non-matching fact rows BEFORE the exact semi join — the
+    * runtime-filter trick that cuts probe-side shuffle volume on
+    * 100 TB fact tables (false positives are removed by the exact
+    * join, so the result equals the plain semi join, which is the
+    * oracle). */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Bloom._
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = cust.agg(bloom_agg(col("c_custkey")).as("bf"))
+    val pre = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(bloom))
+      .filter(bloom_might_contain(col("bf"), col("o_custkey")))
+      .drop("bf")
+    pre.join(cust, pre("o_custkey") === cust("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
   /** Unpivot/melt: the wide per-topic stats panel back to long
     * (topic, metric, value) rows — the inverse of q_pivot, via the
     * native Dataset.unpivot (no per-metric scan). */

@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Bloom-filter build/probe pair for semi-join PRE-FILTERING: build a
+  * compact filter on the small side, broadcast it, and drop
+  * non-matching rows from the big side BEFORE its shuffle — at 100 TB
+  * the shuffle is the join cost, and a selective dim filter can cut
+  * probe-side shuffle volume by orders of magnitude. False positives
+  * only pass extra rows to the exact join that follows; results are
+  * never wrong. Merge = bitwise OR (partial-agg safe, unionable).
+  */
+object BloomKernels {
+  def set(bits: Array[Long], numHashes: Int, v: Long): Unit = {
+    val m = bits.length.toLong * 64
+    var i = 0
+    while (i < numHashes) {
+      val h = java.lang.Long.remainderUnsigned(
+        HashKernels.mix(v ^ HashKernels.mix(i.toLong)), m)
+      bits((h >>> 6).toInt) |= (1L << (h & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(bytes: Array[Byte], numHashes: Int, v: Long): Boolean = {
+    val m = bytes.length.toLong * 8
+    var i = 0
+    while (i < numHashes) {
+      val h = java.lang.Long.remainderUnsigned(
+        HashKernels.mix(v ^ HashKernels.mix(i.toLong)), m)
+      val byteIdx = (h >>> 3).toInt
+      if ((bytes(byteIdx) & (1 << (h & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** bloom_agg(key) → binary: fixed-size bloom filter over long keys. */
+case class BloomAgg(child: Expression, numBits: Int = 1 << 16, numHashes: Int = 5,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_agg"
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomKernels.set(buf, numHashes, v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomAgg =
+    copy(child = c.head)
+}
+
+/** bloom_might_contain(bloom: binary, key: bigint) → boolean. */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int = 5)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = BooleanType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(bloom: Any, v: Any): Any =
+    BloomKernels.mightContain(bloom.asInstanceOf[Array[Byte]], numHashes,
+      v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v) =>
+      s"${ev.value} = graft.plans.BloomKernels.mightContain($b, $numHashes, $v);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+object Bloom {
+  def bloom_agg(c: Column, numBits: Int = 1 << 16, numHashes: Int = 5): Column =
+    bridge.column(BloomAgg(bridge.expression(c), numBits, numHashes)
+      .toAggregateExpression())
+  def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =
+    bridge.column(BloomMightContain(bridge.expression(bloom),
+      bridge.expression(key), numHashes))
+}

@@ -200,6 +200,22 @@ class OperatorSpec extends SparkSpec {
     one.values.foreach(q => assert(q(0) <= q(1) && q(1) <= q(2)))
   }
 
+  test("bloom prefilter passes all true matches and filters most others") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.plans.Bloom._
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = cust.agg(bloom_agg(col("c_custkey")).as("bf"))
+    val orders = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val pre = orders.join(broadcast(bloom))
+      .filter(bloom_might_contain(col("bf"), col("o_custkey")))
+    val trueMatches = orders.join(cust,
+      col("o_custkey") === col("c_custkey"), "left_semi").count()
+    val preN = pre.count()
+    assert(preN >= trueMatches)            // no false negatives, ever
+    assert(preN < orders.count())          // actually filters
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
