@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured the way every graft
+  * pipeline expects — UTC session time (ns-timestamp alignment with
+  * the oracle), AQE on with right-sized shuffle partitions, bounded
+  * scan partitions, and the graft SQL surface registered.
+  */
+object GraftSession {
+
+  /** The conf every graft job runs with. `shufflePartitions` should
+    * be ≈ cluster cores locally; on a real cluster AQE coalescing
+    * treats it as an upper bound. */
+  def recommendedConf(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // 128 MiB scan splits: large enough to amortize open cost,
+    // small enough that a partition's working set fits executor memory
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.parquet.filterPushdown" -> "true",
+    // events.ts is TIMESTAMP(NANOS) parquet (see Tables.events)
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Build (or reuse) a session with the recommended conf and the
+    * graft SQL functions + optimizer rule registered. */
+  def build(appName: String = "graft", master: String = "local[*]",
+            shufflePartitions: Int = 32): SparkSession = {
+    val b = SparkSession.builder().appName(appName).master(master)
+    recommendedConf(shufflePartitions).foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    plans.GraftExtensions.register(spark)
+    spark
+  }
+}

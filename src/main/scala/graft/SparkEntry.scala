@@ -101,11 +101,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
     "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q_media_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
   )
 
@@ -568,6 +570,13 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        | count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)
+        |   AS n_sampled,
+        | CAST(count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)
+        |   AS DOUBLE) / count(*) AS rate
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_bloom_prefilter" ->
       """SELECT count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -29,6 +29,17 @@ object Sampling {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stratified sampling: a deterministic `pct`% of every language
+    * stratum by key hash (each stratum sampled at the same rate
+    * regardless of size — what a global sample can't guarantee).
+    * Reports per-stratum sampled/total so the rate is auditable. */
+  def stratifiedSample(spark: SparkSession, dir: String, pct: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(slot(col("doc_id")) < pct, 1)).as("n_sampled"))
+      .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
+
   /** Mixture sampling: cap each source at `quota` docs (smallest
     * doc_ids win — deterministic), the building block for hitting a
     * target source mixture. Uses the bounded-heap TopKPerKey operator

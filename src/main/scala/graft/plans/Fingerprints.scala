@@ -211,6 +211,24 @@ object HashKernels {
     fp
   }
 
+  /** 64-bit dHash-style perceptual fingerprint over a binary payload:
+    * bit i = (byte_i < byte_{i+1}) over the first 65 bytes (shorter
+    * payloads wrap). The gradient-sign construction that makes image
+    * dHash robust to uniform brightness shifts, applied to the stub
+    * "pixel" bytes — near-identical payloads differ in few bits. */
+  def byteDHash(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      val a = bytes(i % bytes.length) & 0xff
+      val b = bytes((i + 1) % bytes.length) & 0xff
+      if (a < b) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
   /** Rolling fingerprint: min polynomial hash over all `w`-byte char
     * windows (the "winnowing-lite" document fingerprint; near-dup docs
     * that share any w-window share the min with high probability). */
@@ -323,6 +341,20 @@ case class SigMatches(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** byte_dhash(payload: binary) → bigint perceptual fingerprint. */
+case class ByteDHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "byte_dhash"
+  override protected def nullSafeEval(b: Any): Any =
+    HashKernels.byteDHash(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.byteDHash($c);")
+  override protected def withNewChildInternal(c: Expression): ByteDHash = copy(c)
+}
+
 /** shingle_hashes(text, n): fused tokenize+shingle+hash+dedup. */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -368,4 +400,6 @@ object Fingerprints {
     bridge.column(NormalizedHash(bridge.expression(text)))
   def sig_matches(a: Column, b: Column): Column =
     bridge.column(SigMatches(bridge.expression(a), bridge.expression(b)))
+  def byte_dhash(payload: Column): Column =
+    bridge.column(ByteDHash(bridge.expression(payload)))
 }

@@ -216,6 +216,32 @@ class OperatorSpec extends SparkSpec {
     assert(preN < orders.count())          // actually filters
   }
 
+  test("media phash: exact duplicate payloads pair at hamming 0") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.operators.Multimodal.mediaPhashPairs(spark, sfDir)
+    // the corpus has exact text dups ⇒ identical payloads ⇒ hamming 0
+    assert(pairs.filter(col("hamming") === 0).count() > 0)
+    assert(pairs.filter(col("hamming") > 12).isEmpty)
+  }
+
+  test("graft session conf carries the scale-critical settings") {
+    val conf = GraftSession.recommendedConf(32)
+    assert(conf("spark.sql.adaptive.enabled") == "true")
+    assert(conf("spark.sql.session.timeZone") == "UTC")
+    assert(conf("spark.sql.files.maxPartitionBytes").toLong == 134217728L)
+    assert(conf("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+
+  test("dhash: identical payloads collide, near payloads are close") {
+    def h(s: String) = graft.plans.HashKernels.byteDHash(s.getBytes)
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    assert(h(base) == h(base))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = base.replace("quick", "quack")
+    val far = "zq9 kkj 23kjh asdf jklh qwer 8 zxcv" * 4
+    assert(ham(h(base), h(near)) < ham(h(base), h(far)))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
