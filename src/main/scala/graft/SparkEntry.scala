@@ -42,6 +42,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
     "q5_shape" -> ((s, d) => Analytics.q5Shape(s, d)),
+    "q6_shape" -> ((s, d) => Analytics.q6Shape(s, d)),
+    "q18_shape" -> ((s, d) => Analytics.q18Shape(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
@@ -570,6 +572,24 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         | FROM events)
         |WHERE prev_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q6_shape" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND CAST(l_discount AS DECIMAL(18,2))
+        |   BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        | AND l_quantity < 24""".stripMargin,
+    "q18_shape" ->
+      """WITH big AS (SELECT l_orderkey,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >= 150)
+        |SELECT c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         | count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)

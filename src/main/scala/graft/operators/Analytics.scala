@@ -206,6 +206,38 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q6 shape: pure scan-side filter + single global aggregate —
+    * the query whose entire cost is how much the scan prunes (all
+    * three predicates push to parquet; no shuffle at all beyond the
+    * one-row partial-agg collect). */
+  def q6Shape(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        dec(col("l_discount")).between(dec(lit(0.05)), dec(lit(0.07))) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q18 shape (large-volume customers): aggregate lineitem per
+    * order, keep orders over a quantity threshold (the HAVING
+    * subquery), then enrich with order/customer detail. The heavy
+    * side is pre-aggregated BEFORE any join — at 100 TB the groupBy
+    * collapses lineitem 4:1 first, and the surviving key set (a few
+    * thousand hot orders) broadcasts back against orders. */
+  def q18Shape(spark: SparkSession, dir: String, minQty: Long = 150): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") >= minQty)
+    Tables.orders(spark, dir)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("total_qty"))
+  }
+
   /** Bloom-prefiltered semi join: build a bloom filter over the
     * selective dim keys (one tiny aggregate), broadcast it, and drop
     * non-matching fact rows BEFORE the exact semi join — the

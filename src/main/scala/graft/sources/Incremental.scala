@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Batch-side incremental processing + exactly-once sinks.
+  *
+  * At 100 TB the cost killer is reprocessing history on every run;
+  * the batch pattern mirroring a streaming checkpoint is a
+  * high-watermark over day partitions: read only unprocessed days,
+  * commit the watermark after the downstream write succeeds.
+  */
+object Incremental {
+
+  /** Idempotent micro-batch parquet sink for foreachBatch: each batch
+    * overwrites its OWN `batch=<id>` subdirectory, so at-least-once
+    * replays converge to exactly-once on disk (same id → same dir →
+    * overwrite, never append-duplicate). */
+  def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (df, id) => df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
+
+  /** Days present in the partitioned layout but not yet committed. */
+  def pendingDays(partitionedDir: String, checkpointFile: String): Seq[String] = {
+    val all = Option(new java.io.File(partitionedDir).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).toSeq
+    (all.toSet -- committedDays(checkpointFile)).toSeq.sorted
+  }
+
+  /** The unprocessed slice as a DataFrame (partition pruning keeps IO
+    * proportional to the new days, not the table). */
+  def readPending(spark: SparkSession, partitionedDir: String,
+                  checkpointFile: String): (DataFrame, Seq[String]) = {
+    val days = pendingDays(partitionedDir, checkpointFile)
+    val df = spark.read.parquet(partitionedDir)
+      .filter(col("day").isin(days: _*))
+    (df, days)
+  }
+
+  /** Advance the watermark — call AFTER the downstream write succeeds
+    * (crash between write and commit ⇒ the day replays; pair with an
+    * idempotent sink for exactly-once). */
+  def commit(checkpointFile: String, days: Seq[String]): Unit = {
+    val f = new java.io.File(checkpointFile)
+    f.getParentFile.mkdirs()
+    val out = new java.io.FileWriter(f, true)
+    try days.foreach(d => out.write(d + "\n")) finally out.close()
+  }
+
+  private def committedDays(checkpointFile: String): Set[String] = {
+    val f = new java.io.File(checkpointFile)
+    if (!f.exists()) Set.empty
+    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSet
+  }
+}

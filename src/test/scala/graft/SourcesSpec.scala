@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Sources
+import graft.sources.{Incremental, Sources}
 import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
@@ -71,6 +71,33 @@ class SourcesSpec extends SparkSpec {
     Sources.compactParquet(spark, in, out, targetBytes = Long.MaxValue)
     assert(parquetFiles(out) == 1)
     assert(spark.read.parquet(out).count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("incremental day processing reads each day exactly once") {
+    val dir = tmp() + "/incr"
+    val ckpt = tmp() + "/ckpt/days.txt"
+    Sources.writeEventsPartitioned(Tables.events(spark, sfDir), dir)
+    val (df1, days1) = Incremental.readPending(spark, dir, ckpt)
+    assert(days1.nonEmpty)
+    assert(df1.count() == Tables.events(spark, sfDir).count())
+    Incremental.commit(ckpt, days1)
+    val (_, days2) = Incremental.readPending(spark, dir, ckpt)
+    assert(days2.isEmpty) // nothing new → nothing reprocessed
+    // a late-arriving day shows up alone
+    Tables.events(spark, sfDir).limit(10)
+      .withColumn("day", org.apache.spark.sql.functions.lit("2099-01-01"))
+      .write.mode("append").partitionBy("day").parquet(dir)
+    val (df3, days3) = Incremental.readPending(spark, dir, ckpt)
+    assert(days3 == Seq("2099-01-01") && df3.count() == 10)
+  }
+
+  test("idempotent batch sink: replaying a batch id does not duplicate") {
+    val out = tmp() + "/sink"
+    val w = Incremental.idempotentBatchWriter(out)
+    val batch = Tables.events(spark, sfDir).limit(100).toDF()
+    w(batch, 7L)
+    w(batch, 7L) // at-least-once replay of the same batch
+    assert(spark.read.parquet(s"$out/batch=7").count() == 100)
   }
 
   test("day-partitioned events layout prunes partitions on day filters") {
