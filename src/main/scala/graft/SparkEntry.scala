@@ -110,6 +110,8 @@ object SparkEntry {
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
+    "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
   )
 
@@ -590,6 +592,22 @@ object SparkEntry {
         |SELECT c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
         |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_forget" ->
+      """WITH del AS (SELECT DISTINCT sha256(text) AS del_hash FROM documents
+        |   WHERE doc_id % 13 = 0)
+        |SELECT source, count(*) AS n_kept FROM documents
+        |WHERE sha256(text) NOT IN (SELECT del_hash FROM del)
+        |GROUP BY 1""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |     AS n_tokens FROM documents),
+        | c AS (SELECT source, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT source, (cum - n_tokens) // 2048 AS bin,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1,2""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         | count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)

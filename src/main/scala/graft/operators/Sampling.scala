@@ -40,6 +40,45 @@ object Sampling {
         count(when(slot(col("doc_id")) < pct, 1)).as("n_sampled"))
       .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
 
+  /** Deletion-list propagation (right-to-be-forgotten / opt-out
+    * enforcement): drop every document whose content hash appears on
+    * a deletion list, via broadcast anti-join — the list is tiny
+    * relative to the corpus, so the corpus never shuffles. Here the
+    * list is derived deterministically (every 13th doc's hash) so the
+    * oracle can reproduce it; in production it arrives as its own
+    * table. Reports surviving docs per source. */
+  def forgetDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val deletions = docs.filter(col("doc_id") % 13 === 0)
+      .select(sha2(col("text").cast("binary"), 256).as("del_hash"))
+    docs.withColumn("h", sha2(col("text").cast("binary"), 256))
+      .join(broadcast(deletions), col("h") === col("del_hash"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Greedy contiguous sequence packing: assign docs (in stable
+    * doc_id order) to training-context bins of ~`budget` tokens via a
+    * running token cumsum — bin = (cumsum − tokens) div budget. The
+    * parallel form of the packing loop every LLM data pipeline runs;
+    * one window pass, no sequential driver loop. A doc that crosses a
+    * boundary starts its bin slightly early (streaming-pack
+    * semantics). Packing is sharded per source — a single global
+    * order would serialize into one partition; per-shard packing is
+    * what a real pipeline does anyway (shards = parallel writers). */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("cum") - col("n_tokens")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", ((start - pmod(start, lit(budget))) / budget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
   /** Mixture sampling: cap each source at `quota` docs (smallest
     * doc_ids win — deterministic), the building block for hitting a
     * target source mixture. Uses the bounded-heap TopKPerKey operator
