@@ -131,6 +131,22 @@ object StreamingMonitor {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: correlate two live streams (e.g.
+    * clicks → purchases within 1 h per user). Watermarks on BOTH
+    * sides plus the time-range predicate let Spark drop buffered rows
+    * once they can no longer match — state is bounded by the interval
+    * × arrival rate, the only way a stream-stream join survives an
+    * unbounded stream. Matches emit immediately (inner join);
+    * watermarks only govern state cleanup. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "1 hour"): DataFrame =
+    left.withWatermark("ts", watermark).alias("l")
+      .join(right.withWatermark("ts", watermark).alias("r"),
+        expr("l.user_id = r.user_id AND " +
+          "r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 HOUR"))
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("left_ts"),
+        col("r.ts").as("right_ts"))
+
   /** File-replay source standing in for an MQTT/Pulsar connector in
     * this zero-egress environment: streams parquet files from `dir`
     * with bounded per-trigger intake. A real deployment swaps this

@@ -235,6 +235,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.functions._
+    def side(t: String) = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
+      .filter(col("event_type") === t)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    val joined = StreamingMonitor.intervalJoin(side("click"), side("purchase"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_t").count()
+      val ev = Tables.events(spark, sfDir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val batch = clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR")).count()
+      assert(streamed == batch && batch > 0)
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
