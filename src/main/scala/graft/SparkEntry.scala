@@ -62,6 +62,7 @@ object SparkEntry {
     "q_percentile_rank" -> ((s, d) => Analytics.percentileRank(s, d)),
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
+    "q_cms_counts" -> ((s, d) => Skew.cmsTopicCounts(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
     "q_mode" -> ((s, d) => Analytics.modePerTopic(s, d)),
     "q_unpivot" -> ((s, d) => Analytics.unpivotStats(s, d)),

@@ -60,6 +60,23 @@ object Skew {
         max(col("topic_total")).as("topic_total"))
   }
 
+  /** Count-Min heavy-hitter estimates next to exact counts: the
+    * sketch path for per-key frequencies when the key space is too
+    * large to groupBy exactly (the sketch is depth×width counters
+    * regardless of cardinality; merge = counter addition ⇒ partition-
+    * invariant, unionable across days). Estimates never undercount. */
+  def cmsTopicCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CountMin._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"),
+        key_hash64(col("event_type")).as("kh"))
+    val sketch = ev.agg(cms_agg(col("kh")).as("sk"))
+    ev.groupBy(col("topic"), col("kh")).agg(count(lit(1)).as("exact_n"))
+      .join(broadcast(sketch))
+      .select(col("topic"), col("exact_n"),
+        cms_estimate(col("sk"), col("kh")).as("est_n"))
+  }
+
   /** Approximate distinct users per topic (HyperLogLog++) next to the
     * exact count — the sketch path for 100 TB cardinalities where
     * exact countDistinct's shuffle is the bottleneck. */

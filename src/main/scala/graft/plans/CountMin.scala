@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005): heavy-hitter
+  * frequency estimation in depth×width counters. Merge = counter
+  * addition — associative/commutative, so estimates are INDEPENDENT of
+  * partitioning and merge order (unlike Misra-Gries), partial-agg
+  * safe, and sketches union across batches/days. Estimates never
+  * undercount; overcount ≤ N/width w.h.p. The 100 TB use: per-key
+  * frequencies where the key space (URLs, user agents, topics) is too
+  * large to groupBy exactly but the heavy tail is what matters.
+  */
+object CountMinKernels {
+  def keyHash(s: UTF8String): Long = HashKernels.hash64(s, 0L)
+
+  def add(counters: Array[Long], depth: Int, width: Int, key: Long): Unit = {
+    var d = 0
+    while (d < depth) {
+      val idx = java.lang.Long.remainderUnsigned(
+        HashKernels.mix(key ^ HashKernels.mix(d.toLong)), width).toInt
+      counters(d * width + idx) += 1
+      d += 1
+    }
+  }
+
+  def estimate(bytes: Array[Byte], depth: Int, width: Int, key: Long): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    var min = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val idx = java.lang.Long.remainderUnsigned(
+        HashKernels.mix(key ^ HashKernels.mix(d.toLong)), width).toInt
+      val c = bb.get(d * width + idx)
+      if (c < min) min = c
+      d += 1
+    }
+    min
+  }
+}
+
+/** cms_agg(key_hash: bigint) → binary sketch. */
+case class CountMinAgg(child: Expression, depth: Int = 4, width: Int = 2048,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "cms_agg"
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) CountMinKernels.add(buf, depth, width, v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = c.head)
+}
+
+/** cms_estimate(sketch: binary, key_hash: bigint) → bigint. */
+case class CmsEstimate(left: Expression, right: Expression,
+                       depth: Int = 4, width: Int = 2048)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def prettyName: String = "cms_estimate"
+  override protected def nullSafeEval(sk: Any, v: Any): Any =
+    CountMinKernels.estimate(sk.asInstanceOf[Array[Byte]], depth, width,
+      v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"${ev.value} = graft.plans.CountMinKernels.estimate($s, $depth, $width, $v);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
+/** key_hash64(s: string) → bigint (the sketch key hash). */
+case class KeyHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "key_hash64"
+  override protected def nullSafeEval(s: Any): Any =
+    CountMinKernels.keyHash(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CountMinKernels.keyHash($c);")
+  override protected def withNewChildInternal(c: Expression): KeyHash64 = copy(c)
+}
+
+object CountMin {
+  def key_hash64(c: Column): Column =
+    bridge.column(KeyHash64(bridge.expression(c)))
+  def cms_agg(keyHash: Column, depth: Int = 4, width: Int = 2048): Column =
+    bridge.column(CountMinAgg(bridge.expression(keyHash), depth, width)
+      .toAggregateExpression())
+  def cms_estimate(sketch: Column, keyHash: Column,
+                   depth: Int = 4, width: Int = 2048): Column =
+    bridge.column(CmsEstimate(bridge.expression(sketch),
+      bridge.expression(keyHash), depth, width))
+}

@@ -242,6 +242,17 @@ class OperatorSpec extends SparkSpec {
     assert(ham(h(base), h(near)) < ham(h(base), h(far)))
   }
 
+  test("count-min estimates never undercount and are partition-invariant") {
+    val rows = graft.operators.Skew.cmsTopicCounts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("exact_n")).sum
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n"); val est = r.getAs[Long]("est_n")
+      assert(est >= exact)                      // CMS never undercounts
+      assert(est <= exact + 4 * total / 2048)   // eps = e/width bound (loose)
+    }
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
