@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Collector-side configuration + delivery semantics mirrored from the
+  * reference collectors (data plane stays in the streaming queries;
+  * these are the operational seams around it).
+  */
+object CollectorConfig {
+
+  /** One subscribed topic endpoint — mqtt_data_collector.py's
+    * `TOPIC<i>=<address,topic,port>` triple. */
+  final case class TopicEndpoint(address: String, topic: String, port: Int) {
+    def brokerAddress: String = s"$address:$port"
+    def key: String = s"$address:$topic:$port"
+  }
+
+  /** Parse `TOPIC1..TOPICn` from an env-style map, stopping at the
+    * first missing index, validating the 3-field comma format —
+    * mqtt_data_collector.py main():150-170 semantics (a malformed
+    * entry is an error, not a skip). */
+  def parseTopics(env: Map[String, String]): Either[String, Seq[TopicEndpoint]] = {
+    val out = Seq.newBuilder[TopicEndpoint]
+    var index = 1
+    while (true) {
+      env.get(s"TOPIC$index") match {
+        case None => return Right(out.result())
+        case Some(s) =>
+          val parts = s.split(",", -1)
+          if (parts.length != 3 || parts.exists(_.isEmpty))
+            return Left(
+              s"Some topic data was missing. Required data: address,topic,port. We got: $s")
+          parts(2).toIntOption match {
+            case None => return Left(s"Topic port was not numeric. We got: $s")
+            case Some(p) => out += TopicEndpoint(parts(0), parts(1), p)
+          }
+      }
+      index += 1
+    }
+    Right(out.result()) // unreachable
+  }
+
+  /** Bounded-retry batch delivery — send_custom_metrics_request's
+    * attempts_remaining loop: try up to `attempts` times; on
+    * exhaustion invoke `onGiveUp` and DROP the batch (the reference
+    * returns False and moves on — a monitoring pipeline prefers a
+    * gap over a stalled stream; swap `onGiveUp` to rethrow if the
+    * data is not droppable). */
+  def withRetries(writer: (DataFrame, Long) => Unit, attempts: Int,
+                  onGiveUp: (Long, Throwable) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = (df, id) => {
+    var remaining = attempts
+    var lastError: Throwable = null
+    var done = false
+    while (!done && remaining > 0) {
+      remaining -= 1
+      try { writer(df, id); done = true }
+      catch { case e: Throwable => lastError = e }
+    }
+    if (!done) onGiveUp(id, lastError)
+  }
+}

@@ -259,6 +259,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topic config parsing mirrors the reference's validation") {
+    import graft.streaming.CollectorConfig._
+    val ok = parseTopics(Map(
+      "TOPIC1" -> "1.2.3.4,hfp/v2/#,1883",
+      "TOPIC2" -> "broker.example,foo/+/bar,8883",
+      "TOPIC4" -> "never,reached,1"))
+    assert(ok == Right(Seq(
+      TopicEndpoint("1.2.3.4", "hfp/v2/#", 1883),
+      TopicEndpoint("broker.example", "foo/+/bar", 8883))))
+    assert(ok.toOption.get.head.brokerAddress == "1.2.3.4:1883")
+    assert(parseTopics(Map("TOPIC1" -> "only,two")).isLeft)
+    assert(parseTopics(Map("TOPIC1" -> "a,b,notaport")).isLeft)
+    assert(parseTopics(Map.empty) == Right(Seq()))
+  }
+
+  test("retrying sink delivers on transient failure and drops after exhaustion") {
+    import graft.streaming.CollectorConfig.withRetries
+    val batch = Tables.events(spark, sfDir).limit(1).toDF()
+    var calls = 0
+    var delivered = 0
+    val flaky = withRetries((_, _) => {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      delivered += 1
+    }, attempts = 5)
+    flaky(batch, 1L)
+    assert(calls == 3 && delivered == 1)
+    var gaveUp = false
+    val dead = withRetries((_, _) => sys.error("down"), attempts = 2,
+      onGiveUp = (_, _) => gaveUp = true)
+    dead(batch, 2L)
+    assert(gaveUp)
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
