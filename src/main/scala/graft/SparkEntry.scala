@@ -36,6 +36,8 @@ object SparkEntry {
     "q_hopping_window" -> ((s, d) => Monitoring.hoppingRates(s, d)),
     "q_quantile_sketch" -> ((s, d) => Monitoring.quantilePanel(s, d)),
     "q_time_weighted" -> ((s, d) => Monitoring.timeWeightedAvg(s, d)),
+    "q_metric_selection" -> ((s, d) => Monitoring.metricSelection(s, d)),
+    "q_backlog_sub" -> ((s, d) => Monitoring.backlogPerSubscription(s, d)),
     "q_incident_overlap" -> ((s, d) => Monitoring.incidentOverlap(s, d)),
     "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
     // Analytical core
@@ -616,6 +618,26 @@ object SparkEntry {
         | CAST(count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)
         |   AS DOUBLE) / count(*) AS rate
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_metric_selection" ->
+      """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
+        |   CAST(sum(length(props)) AS BIGINT) AS storage_size,
+        |   count(*) FILTER (value > 150) AS backlog_size
+        | FROM events GROUP BY 1),
+        | long AS (
+        |  SELECT topic, 'msg_count' AS metric, msg_count AS value FROM panel
+        |  UNION ALL SELECT topic, 'storage_size', storage_size FROM panel
+        |  UNION ALL SELECT topic, 'backlog_size', backlog_size FROM panel),
+        | allow(metric, topic) AS (VALUES
+        |  ('msg_count','click'),('msg_count','view'),('msg_count','error'),
+        |  ('msg_count','signup'),('msg_count','purchase'),
+        |  ('storage_size','view'),('storage_size','click'),
+        |  ('backlog_size','click'),('backlog_size','error'))
+        |SELECT l.metric, l.topic, l.value
+        |FROM long l JOIN allow a ON l.metric = a.metric AND l.topic = a.topic""".stripMargin,
+    "q_backlog_sub" ->
+      """SELECT 'click' AS topic, user_id % 4 AS subscription,
+        | count(*) FILTER (value > 150) AS msg_backlog
+        |FROM events WHERE event_type = 'click' GROUP BY 1,2""".stripMargin,
     "q_bloom_prefilter" ->
       """SELECT count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -382,6 +382,42 @@ object Monitoring {
         sum(col("dt")).as("span_sec"))
   }
 
+  /** Per-metric topic allowlists — pulsar_data_collector.py:21-52
+    * collects DIFFERENT metric sets per topic
+    * (TOPIC_NAMES_TO_COLLECT_MSG_RATE_IN / _OUT / _STORAGE_SIZE
+    * lists); here the panel is unpivoted to (topic, metric, value)
+    * rows and inner-joined against a broadcast allowlist, so only the
+    * selected (metric, topic) pairs ship. */
+  def metricSelection(spark: SparkSession, dir: String): DataFrame = {
+    val allow = spark.createDataFrame(Seq(
+      ("msg_count", "click"), ("msg_count", "view"), ("msg_count", "error"),
+      ("msg_count", "signup"), ("msg_count", "purchase"),
+      ("storage_size", "view"), ("storage_size", "click"),
+      ("backlog_size", "click"), ("backlog_size", "error")))
+      .toDF("metric", "topic")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("msg_count"),
+        sum(length(col("props"))).as("storage_size"),
+        count(when(col("value") > 150, 1)).as("backlog_size"))
+      .unpivot(Array(col("topic")),
+        Array(col("msg_count"), col("storage_size"), col("backlog_size")),
+        "metric", "value")
+      .join(broadcast(allow), Seq("metric", "topic"))
+  }
+
+  /** Per-subscription backlog for the subscribed topic —
+    * pulsar_data_collector collects msgBacklog PER SUBSCRIPTION for
+    * the TOPIC_NAMES_TO_COLLECT_SUBSCRIPTIONS list; consumer-group
+    * proxy here is a user-id bucket. */
+  def backlogPerSubscription(spark: SparkSession, dir: String,
+                             topic: String = "click", subs: Int = 4): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === topic)
+      .groupBy(lit(topic).as("topic"),
+        pmod(col("user_id"), lit(subs)).as("subscription"))
+      .agg(count(when(col("value") > 150, 1)).as("msg_backlog"))
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {
