@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),

@@ -152,13 +152,27 @@ object Dedup {
     * in O(log n) rounds on long chains; near-dup components are
     * dense and shallow, so plain propagation is the right default.) */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      minDotQ: Long = 250000L, maxIters: Int = 20): DataFrame = {
-    val half = cosinePairs(spark, dir, minDotQ).select(col("vec_a"), col("vec_b"))
+                      minDotQ: Long = 250000L, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      Tables.embeddings(spark, dir).select(col("vec_id").as("id")),
+      cosinePairs(spark, dir, minDotQ)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      maxIters)
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+
+  /** Connected components over ANY undirected edge list: labels every
+    * node with its component's minimum id. Reusable across the dedup
+    * family — embedding cosine pairs, SimHash/MinHash candidate pairs,
+    * byte-dHash media pairs all feed the same loop. Nodes: one `id`
+    * column; edges: (src, dst), either direction. */
+  def connectedComponents(nodes: DataFrame, edges0: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val half = edges0.select(col("src").as("vec_a"), col("dst").as("vec_b"))
     val edges = half
       .unionAll(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .localCheckpoint()
-    var labels = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("vec_id").as("cluster_id"))
+    var labels = nodes
+      .select(col("id").as("vec_id"), col("id").as("cluster_id"))
       .localCheckpoint()
     var labelSum = BigDecimal(-1)
     var converged = false
@@ -187,7 +201,24 @@ object Dedup {
       labelSum = s
       iter += 1
     }
-    labels
+    labels.select(col("vec_id").as("id"), col("cluster_id").as("component"))
+  }
+
+  /** Dedup APPLY step: turn SimHash near-dup candidate pairs into a
+    * kept-document list — connected components over the pair graph,
+    * keep the minimum doc_id per component (exact-dup docs collapse
+    * too, since identical text ⇒ identical fingerprint ⇒ hamming 0).
+    * Reports kept/total per source. */
+  def dedupApply(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      simhashPairs(spark, dir, maxHamming)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    docs.join(comps, docs("doc_id") === comps("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_kept"))
   }
 
   /** Embedding near-dup pairs: exact integer dot product of quantized

@@ -253,6 +253,14 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dedup apply: kept ≤ total per source, exact dups collapse") {
+    val r = graft.operators.Dedup.dedupApply(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach(x => assert(x.getAs[Long]("n_kept") <= x.getAs[Long]("n_docs")))
+    // the corpus has exact text dups ⇒ at least one source must shrink
+    assert(r.exists(x => x.getAs[Long]("n_kept") < x.getAs[Long]("n_docs")))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d = Dedup.exact(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
