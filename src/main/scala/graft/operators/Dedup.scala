@@ -171,8 +171,12 @@ object Dedup {
     val edges = half
       .unionAll(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .localCheckpoint()
-    var labels = nodes
-      .select(col("id").as("vec_id"), col("id").as("cluster_id"))
+    // iterate ONLY over edge endpoints: isolated nodes are trivially
+    // their own component and rejoin at the end — at corpus scale the
+    // near-dup subgraph is a sliver of the node set, so every round's
+    // shuffles touch |endpoints| rows, not |corpus|
+    var labels = edges.select(col("vec_a").as("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("cluster_id"))
       .localCheckpoint()
     var labelSum = BigDecimal(-1)
     var converged = false
@@ -201,7 +205,8 @@ object Dedup {
       labelSum = s
       iter += 1
     }
-    labels.select(col("vec_id").as("id"), col("cluster_id").as("component"))
+    nodes.join(labels, nodes("id") === labels("vec_id"), "left")
+      .select(nodes("id"), coalesce(col("cluster_id"), nodes("id")).as("component"))
   }
 
   /** Dedup APPLY step: turn SimHash near-dup candidate pairs into a
