@@ -609,7 +609,7 @@ object SparkEntry {
         | c AS (SELECT source, doc_id, n_tokens,
         |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT source, (cum - n_tokens) // 2048 AS bin,
+        |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1,2""".stripMargin,
     "q_stratified_sample" ->

@@ -72,28 +72,54 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  /** SimHash near-dups: 64-bit fingerprint, banded into 4×16-bit
-    * chunks (any near pair within hamming 16 shares ≥1 chunk by
-    * pigeonhole... verified tighter with bit_count). */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash_text(col("text")).as("fp"))
-    val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(c =>
+  /** Hamming-ball candidate pairs over 64-bit fingerprints with a
+    * SOUND pigeonhole guarantee: the fingerprint is split into
+    * `maxHamming + 1` disjoint chunks, so a pair within `maxHamming`
+    * differing bits leaves at least one chunk untouched and collides
+    * in that chunk's bucket — 100% recall within the ball (k differing
+    * bits can dirty at most k of the k+1 chunks). Candidates are then
+    * exact-verified with bit_count(xor). Chunk width shrinks as the
+    * threshold grows (≈64/(k+1) bits), so wide balls trade candidate
+    * volume for recall — the Manku-et-al production default is k=3
+    * (4×16-bit chunks); k=12 costs 13×≈5-bit chunks and is only for
+    * corpora small enough to afford ~n²/2⁵ candidate verification.
+    *
+    * Input: (`id`, `fp`) rows. Output: (id_a < id_b, hamming). */
+  def hammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val banded = fps.select(col("id"), col("fp"),
+      explode(array((0 until nChunks).map { c =>
+        // integer chunk boundaries covering all 64 bits exactly once
+        val lo = c * 64 / nChunks
+        val width = (c + 1) * 64 / nChunks - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("b"))
-      .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.cv"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-      col("chunk"), col("cv"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-      col("chunk"), col("cv"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
+      }: _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.chunk"), col("b.cv"))
+    banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("chunk"), col("cv"))
+      .join(banded.select(col("id").as("id_b"), col("fp").as("fp_b"),
+        col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dups: 64-bit text fingerprint → banded hamming-ball
+    * pairs (see [[hammingPairs]] for the recall guarantee). Default
+    * threshold 3 = the Manku et al. production setting (4×16-bit
+    * chunks); wider balls are available but candidate volume grows as
+    * chunk width shrinks (k=12 ⇒ 5-bit buckets ⇒ ~n²/2⁵ verify pairs,
+    * measured 15× slower at sf0.1). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+      maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
   /** Word-bigram Jaccard over blocked candidate pairs (blocking key =
     * (lang, source): the standard way to bound the pair space). */
@@ -199,8 +225,12 @@ object Dedup {
         .groupBy(col("vec_a").as("vec_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(eager = false)
-      val s = BigDecimal(labels.agg(
-        sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+      // sum() over an empty label set is NULL — treat as 0 so a graph
+      // with no edges converges instead of NPEing (every node then
+      // falls through to the coalesce(own id) below)
+      val d = labels.agg(
+        sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      val s = if (d == null) BigDecimal(0) else BigDecimal(d)
       converged = s == labelSum
       labelSum = s
       iter += 1

@@ -66,7 +66,7 @@ object Sampling {
     * semantics). Packing is sharded per source — a single global
     * order would serialize into one partition; per-shard packing is
     * what a real pipeline does anyway (shards = parallel writers). */
-  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 256): DataFrame = {
     val toks = size(split(trim(col("text")), "\\s+")).cast("long")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -160,28 +160,17 @@ object Multimodal {
   }
 
   /** Perceptual near-dup pairs over media payloads: 64-bit dHash
-    * (gradient-sign fingerprint, robust to uniform shifts) banded
-    * into 4×16-bit chunks — any pair within hamming 12 shares ≥1
-    * chunk by pigeonhole — then exact hamming verify. The media twin
-    * of the SimHash text dedup; 8 bytes/asset shuffle. */
-  def mediaPhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 12): DataFrame = {
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), byte_dhash(col("text").cast("binary")).as("fp"))
-    val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*)).as("b"))
-      .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.cv"))
-    banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-        col("chunk"), col("cv"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-        col("chunk"), col("cv")), Seq("chunk", "cv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+    * (gradient-sign fingerprint, robust to uniform shifts) → banded
+    * hamming-ball pairs via [[Dedup.hammingPairs]] (maxHamming+1
+    * chunks ⇒ guaranteed recall within the ball) → exact hamming
+    * verify. The media twin of the SimHash text dedup; 8 bytes/asset
+    * shuffle. */
+  def mediaPhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), byte_dhash(col("text").cast("binary")).as("fp")),
+      maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
   /** Aggregate view over the stub decode: deterministic, rows-only
     * checked (the decode is stubbed; nothing to oracle in SQL). */

@@ -297,4 +297,40 @@ class OperatorSpec extends SparkSpec {
     assert(row.getAs[Double]("msgs_per_sec") ==
       row.getAs[Long]("msg_count") / 3600.0)
   }
+
+  test("hamming banding recall: a planted hamming-8 pair is always emitted") {
+    import spark.implicits._
+    // 8 differing bits spread one per 8-bit byte — the old 4×16-bit
+    // banding had every chunk dirty and silently dropped this pair;
+    // maxHamming+1 chunks guarantee at least one clean chunk.
+    val spread = (0 until 8).map(i => 1L << (i * 8 + i)).reduce(_ | _)
+    val fps = Seq((1L, 0x0f0f0f0f0f0f0f0fL), (2L, 0x0f0f0f0f0f0f0f0fL ^ spread),
+      (3L, 0x5a5a5a5a5a5a5a5aL)).toDF("id", "fp")
+    val pairs = Dedup.hammingPairs(fps, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 8)), s"planted pair missing from ${pairs.toSeq}")
+    // ball boundary respected: nothing beyond maxHamming sneaks in
+    assert(pairs.forall(_._3 <= 8))
+  }
+
+  test("hamming banding recall holds exhaustively at the threshold boundary") {
+    import spark.implicits._
+    // every doc differs from doc 0 by exactly its advertised hamming
+    // distance, bits placed adversarially (contiguous runs); recall
+    // within the ball must be 100%, outside must be filtered
+    val rows = (0 to 12).map(k => (k.toLong, (0 until k).map(1L << _).foldLeft(0L)(_ | _)))
+    val pairs = Dedup.hammingPairs(rows.toDF("id", "fp"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- 1 to 6) assert(pairs.contains((0L, k.toLong)), s"missed hamming-$k pair")
+    for (k <- 7 to 12) assert(!pairs.contains((0L, k.toLong)), s"emitted hamming-$k pair")
+  }
+
+  test("connected components on an empty edge list label every node by itself") {
+    import spark.implicits._
+    val nodes = Seq(10L, 20L, 30L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 20L, 30L -> 30L))
+  }
 }
