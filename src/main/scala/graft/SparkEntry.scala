@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
+    "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
@@ -408,11 +409,13 @@ object SparkEntry {
         | FROM (SELECT doc_id, lang, source,
         |     regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
         | WHERE len(toks) >= 2)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |   len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-        |FROM t a JOIN t b
-        | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+        |SELECT * FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        | FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
     "q_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -422,6 +425,39 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
         | AND a.vec_id < b.vec_id
         |GROUP BY 1,2 HAVING dot_q >= 250000""".stripMargin,
+    // Quadratic ground truth for the SRP-LSH operator: recompute the
+    // 64-bit sign-random-projection fingerprint with the SAME integer
+    // arithmetic (milli-quantized components, ±1 weights from the
+    // Knuth multiplicative hash of j*65536+i, signed-bigint bit pack
+    // via hi/lo halves), then take ALL pairs with hamming <= 3 and
+    // exact integer dot >= 250000. The Spark side generates candidates
+    // by sound pigeonhole banding, so the sets match exactly.
+    "q_dedup_cosine_srp" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | pr AS (SELECT vec_id, j,
+        |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
+        |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+        | f AS (SELECT vec_id,
+        |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
+        |     ELSE 0 END) AS BIGINT) AS lo,
+        |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+        |     ELSE 0 END) AS BIGINT) AS hi
+        |  FROM pr GROUP BY 1),
+        | fp AS (SELECT vec_id, CAST((hi - CASE WHEN hi >= 2147483648
+        |     THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS fp
+        |  FROM f),
+        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |  FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+        |SELECT p.vec_a, p.vec_b, any_value(p.hamming) AS hamming,
+        | CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |FROM p JOIN e a ON a.vec_id = p.vec_a
+        | JOIN e b ON b.vec_id = p.vec_b AND b.i = a.i
+        |GROUP BY 1, 2 HAVING dot_q >= 250000""".stripMargin,
     "q_ann_brute" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
@@ -32,7 +32,7 @@ object QuantizedDot {
   /** Half-AWAY-from-zero rounding (what Spark round() and DuckDB
     * round() both do; Math.round is half-toward-+inf and differs on
     * negative exact halves). */
-  private def rnd(v: Double): Long =
+  def rnd(v: Double): Long =
     (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
 
   /** round(x*1000) per element (exact: float→double and ×1000 are
@@ -46,6 +46,54 @@ object QuantizedDot {
       i += 1
     }
     acc
+  }
+}
+
+/** srp_fingerprint(vec) → bigint: 64-bit sign-random-projection
+  * fingerprint (Charikar 2002 SRP-LSH). Bit j = sign of the integer
+  * projection Σᵢ w(j,i)·qᵢ where qᵢ = round(xᵢ·1000) (milli-quantized,
+  * exact cross-engine) and w(j,i) = ±1 from the Knuth multiplicative
+  * hash of (j·65536+i) — pure integer arithmetic end to end, so the
+  * fingerprint is bit-identical in any engine (the DuckDB oracle
+  * recomputes it in SQL). Cosine-similar vectors agree on most sign
+  * bits (P[bit match] = 1 − θ/π), so hamming-banded candidate
+  * generation over these fingerprints is sound near-dup blocking. */
+case class SrpFingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def prettyName: String = "srp_fingerprint"
+  override protected def nullSafeEval(arr: Any): Any =
+    SrpFingerprint.fingerprint(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SrpFingerprint.fingerprint($c);")
+  override protected def withNewChildInternal(c: Expression): SrpFingerprint = copy(child = c)
+}
+
+object SrpFingerprint {
+  def fingerprint(v: ArrayData): Long = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = QuantizedDot.rnd(v.getFloat(i).toDouble * 1000); i += 1 }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      var s = 0L
+      i = 0
+      while (i < n) {
+        // 32-bit Knuth multiplicative hash of the (plane, dim) index;
+        // top half of the range ⇒ weight −1 (seed j·65536+i keeps
+        // planes independent for dims ≤ 65536)
+        val u = ((j.toLong * 65536 + i) * 2654435761L) & 0xffffffffL
+        s += (if (u < 2147483648L) q(i) else -q(i))
+        i += 1
+      }
+      if (s >= 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
   }
 }
 
@@ -71,6 +119,10 @@ object VectorFunctions {
     * dotQ(quantize(a), quantize(b)) bit-for-bit). */
   def quantizedDot(a: Column, b: Column): Column =
     bridge.column(QuantizedDot(bridge.expression(a), bridge.expression(b)))
+
+  /** 64-bit sign-random-projection fingerprint (see [[SrpFingerprint]]). */
+  def srpFingerprint(v: Column): Column =
+    bridge.column(SrpFingerprint(bridge.expression(v)))
 
   /** Float-space dot product (accumulated in double, fixed order). */
   def dot(a: Column, b: Column): Column =

@@ -121,22 +121,68 @@ object Dedup {
       maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
-  /** Word-bigram Jaccard over blocked candidate pairs (blocking key =
-    * (lang, source): the standard way to bound the pair space). */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .filter(size(T.tokens(col("text"))) >= 2)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(T.wordBigrams(col("text"))).as("grams"))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("grams").as("grams_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-      col("grams").as("grams_b"))
-    a.join(b, Seq("lang", "source"))
+  /** Word-bigram Jaccard near-dup pairs with `jaccard >= minJaccard`,
+    * candidates generated by an exact-recall PREFIX FILTER (AllPairs /
+    * PPJoin, Bayardo et al. 2007, Xiao et al. 2008) instead of a
+    * block-quadratic self-join — see [[jaccardPairs]]. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        minJaccard: Double = 0.5): DataFrame =
+    jaccardPairs(
+      Tables.documents(spark, dir)
+        .filter(size(T.tokens(col("text"))) >= 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          // sorted distinct 64-bit bigram hashes: 8 bytes/gram, and
+          // set ops on them equal set ops on the gram strings
+          shingle_hashes(col("text"), 2).as("grams")),
+      minJaccard)
+
+  /** Thresholded Jaccard self-join over (doc_id, lang, source, grams)
+    * rows via prefix filtering — the published exact-recall candidate
+    * generator (AllPairs/PPJoin): order each doc's grams by ascending
+    * document frequency (rarest first; ties by gram value — any total
+    * order shared by both docs of a pair works), keep only the first
+    * `|g| - ceil(t·|g|) + 1` grams, and join on those prefix grams.
+    * PPJoin lemma: two sets with J >= t overlap in >= ceil(t·|g|)
+    * elements, so their prefixes MUST share one — 100% recall, no
+    * probabilistic miss. Candidates are then exact-verified.
+    *
+    * Scale shape: candidate volume = Σ_gram df_prefix(gram)², driven
+    * by RARE grams only (common grams fall outside prefixes), vs the
+    * block self-join's Σ_block |block|² which is quadratic in the
+    * hottest block. The df aggregate and prefix join are plain
+    * shuffles with map-side combine. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val g = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("grams"), size(col("grams")).as("sz"))
+    val exploded = g.select(col("doc_id"), col("lang"), col("source"),
+      col("sz"), explode(col("grams")).as("gram"))
+    val dfc = exploded.groupBy(col("lang"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("gram").asc)
+    val prefix = exploded.join(dfc, Seq("lang", "source", "gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(minJaccard)) + lit(1))
+      .select(col("lang"), col("source"), col("gram"), col("doc_id"), col("sz"))
+    val cand = prefix
+      .select(col("lang"), col("source"), col("gram"),
+        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("lang"), col("source"), col("gram"),
+        col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("lang", "source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
+      // length filter: J >= t forces t·|a| <= |b| (and vice versa)
+      .filter(col("sz_b") >= col("sz_a") * lit(minJaccard) &&
+        col("sz_a") >= col("sz_b") * lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
           size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Benchmark decontamination: flag training docs that share any
@@ -257,14 +303,60 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: exact integer dot product of quantized
-    * vectors over label-blocked candidates. */
-  def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("e_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("e_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+    * vectors over label-blocked candidates, with the within-label
+    * self-join TILED (fragment-replicate / triangle-tiling scheme) so
+    * a hot label never becomes one quadratic task.
+    *
+    * Every vector gets a tile = hash(id) % T; the label's pair space
+    * is covered by cells (i <= j) of the T×T tile grid, each cell an
+    * independent join task of ~(|label|/T)² work. Left side replicates
+    * a tile-t row to cells (t, t..T-1), right side to cells (0..t, t):
+    * every unordered pair lands in exactly one cell (diagonal cells
+    * dedup with id<id). Shuffle volume is (T+1)× the vectors, the
+    * price of bounding the max task at |label|²/T² — the standard
+    * skew-vs-replication tradeoff; AQE cannot split a single hot key,
+    * tiling can. Note the OUTPUT is still all qualifying pairs: at a
+    * low threshold on random vectors that is inherently Θ(n²)-ish
+    * (2% of the pair space qualifies here); for output-sparse
+    * near-dup thresholds see [[srpPairs]] which prunes the candidate
+    * space itself. */
+  def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L,
+                  tiles: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(tiles)).cast("int").as("tile"))
+    val left = e.select(col("vec_id").as("id_l"), col("label"),
+      col("embedding").as("e_l"), col("tile").as("ci"),
+      explode(sequence(col("tile"), lit(tiles - 1))).as("cj"))
+    val right = e.select(col("vec_id").as("id_r"), col("label"),
+      col("embedding").as("e_r"),
+      explode(sequence(lit(0), col("tile"))).as("ci"), col("tile").as("cj"))
+    left.join(right, Seq("label", "ci", "cj"))
+      .filter(col("ci") =!= col("cj") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
+        V.quantizedDot(col("e_l"), col("e_r")).as("dot_q"))
+      .filter(col("dot_q") >= minDotQ)
+  }
+
+  /** Embedding near-dup pairs via SRP-LSH with SOUND banding: 64-bit
+    * sign-random-projection fingerprints (Charikar 2002; integer
+    * arithmetic, bit-identical cross-engine), hamming-ball candidate
+    * pairs through [[hammingPairs]] (pigeonhole guarantee: 100% recall
+    * within `maxHamming`), then exact integer-dot verification. This
+    * is the output-sparse scale path: candidate volume ∝ fingerprint
+    * bucket collisions (~1% of the pair space here), not Σ|block|².
+    * Semantics: pairs with hamming(fp) <= maxHamming AND dot_q >=
+    * minDotQ — near-dup by angle AND confirmed by exact similarity. */
+  def srpPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+               minDotQ: Long = 250000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.srpFingerprint(col("embedding")).as("fp"))
+    hammingPairs(e.select(col("id"), col("fp")), maxHamming)
+      .join(e.select(col("id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("hamming"),
         V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
       .filter(col("dot_q") >= minDotQ)
   }

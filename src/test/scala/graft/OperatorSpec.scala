@@ -325,6 +325,60 @@ class OperatorSpec extends SparkSpec {
     for (k <- 7 to 12) assert(!pairs.contains((0L, k.toLong)), s"emitted hamming-$k pair")
   }
 
+  test("prefix-filtered jaccard join: exact recall at the threshold boundary") {
+    import spark.implicits._
+    // planted pairs straddling t=0.5: (1,2) J=3/5=0.6 kept, (1,3)
+    // J=2/6=0.33 dropped, (4,5) identical J=1 kept, (1,6) J=1 but in a
+    // different block so excluded by the (lang, source) semantics
+    val docs = Seq(
+      (1L, "en", "s0", Seq(11L, 12L, 13L, 14L)),
+      (2L, "en", "s0", Seq(11L, 12L, 13L, 15L)),
+      (3L, "en", "s0", Seq(11L, 12L, 16L, 17L)),
+      (4L, "en", "s0", Seq(21L, 22L)),
+      (5L, "en", "s0", Seq(21L, 22L)),
+      (6L, "en", "s1", Seq(11L, 12L, 13L, 14L))
+    ).toDF("doc_id", "lang", "source", "grams")
+    val got = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.6), (4L, 5L, 1.0)), got.toString)
+  }
+
+  test("tiled cosine self-join equals the naive label-blocked all-pairs") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val naive = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("e_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("e_b")),
+        Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
+      .filter(col("dot_q") >= 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tiled = Dedup.cosinePairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive == tiled,
+      s"missing=${(naive -- tiled).take(5)} extra=${(tiled -- naive).take(5)}")
+    assert(naive.nonEmpty)
+  }
+
+  test("srp banding equals brute-force hamming<=3 + dot verify") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), V.srpFingerprint(col("embedding")).as("fp"))
+    val brute = e.select(col("vec_id").as("vec_a"), col("fp").as("fp_a"), col("embedding").as("e_a"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("fp").as("fp_b"), col("embedding").as("e_b")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"),
+        V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
+      .filter(col("hamming") <= 3 && col("dot_q") >= 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val banded = Dedup.srpPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(brute == banded,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
   test("connected components on an empty edge list label every node by itself") {
     import spark.implicits._
     val nodes = Seq(10L, 20L, 30L).toDF("id")

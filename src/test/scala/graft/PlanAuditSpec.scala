@@ -51,6 +51,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Exchange"), plan)
   }
 
+  private def equiJoinKeySets(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }.map(_.map(_.toString))
+
+  test("cosine pairs: every label join carries tile keys (no hot-block self-join)") {
+    val keySets = equiJoinKeySets(Dedup.cosinePairs(spark, sfDir))
+    assert(keySets.nonEmpty)
+    keySets.foreach { keys =>
+      if (keys.exists(_.contains("label")))
+        assert(keys.size >= 3, s"label-only self-join resurfaced: $keys")
+    }
+  }
+
+  test("jaccard pairs: candidate joins key on prefix grams, not the block alone") {
+    val keySets = equiJoinKeySets(Dedup.ngramJaccardPairs(spark, sfDir))
+    assert(keySets.nonEmpty)
+    keySets.foreach { keys =>
+      if (keys.exists(_.contains("lang")))
+        assert(keys.exists(_.contains("gram")),
+          s"(lang,source)-only block join resurfaced: $keys")
+    }
+  }
+
   test("whole-stage codegen covers the fused-kernel dedup pipeline") {
     val df = Dedup.exactNormalized(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen spans appear
