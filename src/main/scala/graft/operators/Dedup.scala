@@ -215,14 +215,7 @@ object Dedup {
   /** Near-dup CLUSTERS: connected components over the cosine
     * near-dup pair graph, labeled by the component's minimum vec_id —
     * the step that turns pairwise near-dups into "keep one per
-    * cluster". Iterative min-label propagation: each round every
-    * vertex takes min(own label, neighbors' labels); converges to the
-    * component minimum in ≤ diameter rounds. Each round is one
-    * shuffle-join; lineage is truncated with localCheckpoint so plans
-    * don't grow. (At 100 TB the same loop runs with the
-    * alternating large-star/small-star edge rewrite, which converges
-    * in O(log n) rounds on long chains; near-dup components are
-    * dense and shallow, so plain propagation is the right default.) */
+    * cluster". See [[connectedComponents]] for the algorithm. */
   def nearDupClusters(spark: SparkSession, dir: String,
                       minDotQ: Long = 250000L, maxIters: Int = 20): DataFrame =
     connectedComponents(
@@ -236,53 +229,95 @@ object Dedup {
     * node with its component's minimum id. Reusable across the dedup
     * family — embedding cosine pairs, SimHash/MinHash candidate pairs,
     * byte-dHash media pairs all feed the same loop. Nodes: one `id`
-    * column; edges: (src, dst), either direction. */
+    * column (non-negative); edges: (src, dst), either direction. */
   def connectedComponents(nodes: DataFrame, edges0: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
-    val half = edges0.select(col("src").as("vec_a"), col("dst").as("vec_b"))
-    val edges = half
-      .unionAll(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-      .localCheckpoint()
-    // iterate ONLY over edge endpoints: isolated nodes are trivially
-    // their own component and rejoin at the end — at corpus scale the
-    // near-dup subgraph is a sliver of the node set, so every round's
-    // shuffles touch |endpoints| rows, not |corpus|
-    var labels = edges.select(col("vec_a").as("vec_id")).distinct()
-      .select(col("vec_id"), col("vec_id").as("cluster_id"))
-      .localCheckpoint()
-    var labelSum = BigDecimal(-1)
+                          maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(nodes, edges0, maxIters)._1
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *   large-star: every node points its LARGER neighbors at
+    *     m = min(N(v) ∪ {v});  small-star: every node points its
+    *     smaller-or-equal neighbors (and itself) at m.
+    *
+    * Each round rewrites the EDGE LIST toward stars centered at
+    * component minima — unlike label propagation, the working set
+    * shrinks as components resolve (resolved stars stop changing and
+    * dedup to |component| edges), and long chains collapse in
+    * O(log n) alternations rather than O(diameter) neighbor-min hops.
+    * Every round is two groupBy+join+distinct passes over the CURRENT
+    * edge set only; isolated nodes never enter the loop and rejoin at
+    * the end.
+    *
+    * Convergence: endpoints only ever decrease, so the exact
+    * (count, Σ(u+v)) signature is strictly decreasing until the
+    * fixpoint; the signature read doubles as the action that
+    * materializes the round's lazy checkpoint. Lineage is truncated
+    * each round — with a RELIABLE checkpoint (HDFS/object store) when
+    * `sparkContext.setCheckpointDir` is configured, surviving executor
+    * loss on a real cluster, else `localCheckpoint` for local runs.
+    *
+    * Returns (labels, rounds) — rounds includes the final no-change
+    * detection round. */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges0: DataFrame,
+                                    maxIters: Int = 20): (DataFrame, Int) = {
+    val sc = nodes.sparkSession.sparkContext
+    def chk(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+
+    // large-star over symmetric neighbor lists: emit (v, m) for the
+    // strictly-larger neighbors v of every node u
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star keyed by the larger endpoint: emit (x, m) for
+    // x ∈ N(u) ∪ {u}, x ≠ m, where all of N(u) ≤ u
+    def smallStar(e: DataFrame): DataFrame = {
+      val byHi = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = byHi.groupBy(col("u")).agg(min(col("v")).as("m"))
+      byHi.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.filter(col("u") =!= col("m")))
+        .distinct()
+    }
+
+    var edges = chk(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct())
+    var sig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // Pointer jumping fused into the propagation join: besides the
-      // graph edges, every vertex gets an edge to its own label, so
-      // one neighbor-min pass yields min(min_nbr lab(u), lab(lab(v))).
-      // Since lab(x) ≤ x invariantly, lab(lab(v)) ≤ lab(v), so that
-      // min IS the updated label — no join back to the old table. The
-      // jump halves chains every round: O(log diameter) rounds, each
-      // one join + one partial-aggregated groupBy. Convergence = the
-      // exact label sum stopped falling (labels strictly decrease on
-      // any change), read by the same action that materializes the
-      // round's lazy checkpoint.
-      val ptrEdges = labels.select(col("vec_id").as("vec_a"),
-        col("cluster_id").as("vec_b"))
-      labels = edges.unionAll(ptrEdges)
-        .join(labels, col("vec_b") === labels("vec_id"))
-        .groupBy(col("vec_a").as("vec_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(eager = false)
-      // sum() over an empty label set is NULL — treat as 0 so a graph
-      // with no edges converges instead of NPEing (every node then
-      // falls through to the coalesce(own id) below)
-      val d = labels.agg(
-        sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      val s = if (d == null) BigDecimal(0) else BigDecimal(d)
-      converged = s == labelSum
-      labelSum = s
+      edges = chk(smallStar(largeStar(edges)))
+      val row = edges.agg(count(lit(1)),
+        sum((col("u") + col("v")).cast("decimal(38,0)"))).collect()(0)
+      val s = (row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+      converged = s == sig
+      sig = s
       iter += 1
     }
-    nodes.join(labels, nodes("id") === labels("vec_id"), "left")
+    // fixpoint edges are stars (x → component min m); centers label
+    // themselves, isolated nodes label themselves via the left join
+    val labels = edges.select(col("u").as("vec_id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("vec_id"), col("v").as("cluster_id")))
+      .groupBy(col("vec_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val out = nodes.join(labels, nodes("id") === labels("vec_id"), "left")
       .select(nodes("id"), coalesce(col("cluster_id"), nodes("id")).as("component"))
+    (out, iter)
   }
 
   /** Dedup APPLY step: turn SimHash near-dup candidate pairs into a

@@ -387,4 +387,34 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(10L -> 10L, 20L -> 20L, 30L -> 30L))
   }
+
+  test("large-star/small-star: 1000-node path collapses in <= 2*log2(n) rounds") {
+    import spark.implicits._
+    val n = 1000
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    // worst case for plain neighbor-min propagation (diameter n-1)
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, edges, maxIters = 30)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L),
+      s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connected components survive a multi-component graph with chains and cliques") {
+    import spark.implicits._
+    val nodes = (0L to 20L).toDF("id")
+    // component A: chain 0-1-2-3-4; component B: clique {5,6,7};
+    // component C: star 10-{11,12,13}; rest isolated
+    val edges = (Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L)) ++
+      Seq((5L,6L),(6L,7L),(5L,7L)) ++
+      Seq((10L,11L),(10L,12L),(10L,13L))).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((5L to 7L).forall(got(_) == 5L))
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert(Seq(8L, 9L, 14L, 20L).forall(i => got(i) == i))
+  }
 }
