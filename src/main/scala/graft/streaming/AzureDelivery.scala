@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Azure Monitor delivery token lifecycle, mirrored from the reference
+  * collector's send path (send_data_to_azure_monitor.py:28-120):
+  * bounded-attempt POST of a custom-metric envelope where a
+  * `TokenExpired` / `InvalidToken` error response triggers an access
+  * token refresh (client-credentials grant), the refreshed token is
+  * persisted to an on-disk cache shared across process restarts, and
+  * the send is re-attempted until the attempt budget runs out.
+  *
+  * The HTTP transport and the token-mint call are INJECTED — the state
+  * machine is pure logic (testable with a fake transport in this
+  * zero-egress environment, swappable for a real client on a
+  * cluster). The token cache is a trait with file-backed and in-memory
+  * implementations.
+  */
+object AzureDelivery {
+
+  /** Minimal shape of an HTTP exchange: (url, body, headers) → response. */
+  final case class HttpResponse(status: Int, body: String)
+  type Transport = (String, String, Map[String, String]) => HttpResponse
+
+  /** Token cache seam — the reference's access_token.txt
+    * (send_data_to_azure_monitor.py:89-99: created from a seed secret
+    * when absent, overwritten on refresh). */
+  trait TokenStore {
+    def read(): Option[String]
+    def write(token: String): Unit
+  }
+
+  final class InMemoryTokenStore(initial: Option[String] = None) extends TokenStore {
+    private var tok: Option[String] = initial
+    override def read(): Option[String] = synchronized(tok)
+    override def write(token: String): Unit = synchronized { tok = Some(token) }
+  }
+
+  final class FileTokenStore(path: Path) extends TokenStore {
+    override def read(): Option[String] =
+      if (Files.exists(path)) Some(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+      else None
+    override def write(token: String): Unit =
+      Files.write(path, token.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Error codes that mean "mint a new token and retry" —
+    * send_data_to_azure_monitor.py:68-79 treats exactly these two the
+    * same way. */
+  private val RefreshableCodes = Set("TokenExpired", "InvalidToken")
+
+  /** Extract Error.Code from an Azure error body. The reference does a
+    * full JSON parse then reads ["Error"]["Code"]; any body that does
+    * not carry that path is "failed for an unknown reason". */
+  private val codeRe =
+    """"Error"\s*:\s*\{[^}]*"Code"\s*:\s*"([^"]+)"""".r
+  def errorCode(body: String): Option[String] =
+    codeRe.findFirstMatchIn(body).map(_.group(1))
+
+  /** The send state machine. Returns true iff a POST succeeded within
+    * `attempts`. Per attempt (send_data_to_azure_monitor.py:28-86):
+    *
+    *   1. attempts exhausted → false
+    *   2. ensure the token cache holds a token (seed on first use)
+    *   3. POST with `Authorization: Bearer <cached token, rstripped>`
+    *   4. 200 → true
+    *   5. Error.Code ∈ {TokenExpired, InvalidToken} → mint a new
+    *      token, persist it, re-attempt with the remaining budget
+    *   6. anything else (unknown code, unparseable body) → false
+    *
+    * `mintToken` models the client-credentials grant
+    * (request_new_access_token_and_write_it_on_disk, :102-120). */
+  final class Sender(transport: Transport, mintToken: () => String,
+                     store: TokenStore, seedToken: () => String,
+                     resourceId: String,
+                     host: String = "https://westeurope.monitoring.azure.com") {
+    private def requestUrl: String = s"$host/$resourceId/metrics"
+
+    @annotation.tailrec
+    def send(metricJson: String, attemptsRemaining: Int): Boolean = {
+      if (attemptsRemaining <= 0) false
+      else {
+        val token = store.read() match {
+          case Some(t) => t
+          case None =>
+            val t = seedToken().replaceAll("\\s+$", "")
+            store.write(t); t
+        }
+        val headers = Map(
+          "Content-type" -> "application/json",
+          "Authorization" -> s"Bearer ${token.replaceAll("\\s+$", "")}")
+        val resp = transport(requestUrl, metricJson, headers)
+        if (resp.status == 200) true
+        else errorCode(resp.body) match {
+          case Some(code) if RefreshableCodes(code) =>
+            store.write(mintToken())
+            send(metricJson, attemptsRemaining - 1)
+          case _ => false
+        }
+      }
+    }
+  }
+}

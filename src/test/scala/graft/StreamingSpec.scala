@@ -293,6 +293,71 @@ class StreamingSpec extends SparkSpec {
     assert(gaveUp)
   }
 
+  test("azure token lifecycle: expired token refreshes once then delivers") {
+    import graft.streaming.AzureDelivery._
+    val store = new InMemoryTokenStore()
+    var minted = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val transport: Transport = (_, _, headers) => {
+      seen += headers("Authorization")
+      if (headers("Authorization") == "Bearer fresh-token") HttpResponse(200, "")
+      else HttpResponse(403, """{"Error":{"Code":"TokenExpired","Message":"expired"}}""")
+    }
+    val sender = new Sender(transport, () => { minted += 1; "fresh-token" },
+      store, () => "seed-token\n", "res-id")
+    assert(sender.send("""{"data":1}""", attemptsRemaining = 4))
+    assert(minted == 1)
+    assert(seen.toSeq == Seq("Bearer seed-token", "Bearer fresh-token"))
+    assert(store.read().contains("fresh-token"), "refreshed token must be cached")
+  }
+
+  test("azure token lifecycle: invalid token exhausts the attempt budget") {
+    import graft.streaming.AzureDelivery._
+    val store = new InMemoryTokenStore(Some("t0"))
+    var minted = 0
+    var posts = 0
+    val transport: Transport = (_, _, _) => {
+      posts += 1
+      HttpResponse(401, """{"Error":{"Code":"InvalidToken"}}""")
+    }
+    val sender = new Sender(transport, () => { minted += 1; s"t$minted" },
+      store, () => "seed", "res-id")
+    assert(!sender.send("{}", attemptsRemaining = 3))
+    // one POST per attempt, a refresh after each refreshable failure
+    assert(posts == 3 && minted == 3)
+    assert(store.read().contains("t3"))
+    // zero budget → no POST at all
+    assert(!sender.send("{}", attemptsRemaining = 0) && posts == 3)
+  }
+
+  test("azure token lifecycle: unknown errors fail fast without refresh") {
+    import graft.streaming.AzureDelivery._
+    val store = new InMemoryTokenStore(Some("tok"))
+    var posts = 0
+    val unknown: Transport = (_, _, _) => { posts += 1; HttpResponse(500, """{"Error":{"Code":"Throttled"}}""") }
+    assert(!new Sender(unknown, () => fail("must not mint"), store, () => "s", "r")
+      .send("{}", 5))
+    assert(posts == 1, "unknown error must not burn the remaining budget")
+    val garbage: Transport = (_, _, _) => { posts += 1; HttpResponse(502, "<html>bad gateway</html>") }
+    assert(!new Sender(garbage, () => fail("must not mint"), store, () => "s", "r")
+      .send("{}", 5))
+    assert(posts == 2)
+  }
+
+  test("file token store round-trips and seeds on first use") {
+    import graft.streaming.AzureDelivery._
+    val p = java.nio.file.Files.createTempFile("graft-token", ".txt")
+    java.nio.file.Files.delete(p)
+    val store = new FileTokenStore(p)
+    assert(store.read().isEmpty)
+    val ok: Transport = (_, _, h) =>
+      if (h("Authorization") == "Bearer seeded") HttpResponse(200, "") else HttpResponse(403, "")
+    // seed carries a trailing newline like the reference's env secret;
+    // the sender must rstrip before use (reference :46 / :97)
+    assert(new Sender(ok, () => "x", store, () => "seeded\n", "r").send("{}", 1))
+    assert(store.read().contains("seeded"))
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
