@@ -27,6 +27,7 @@ object SparkEntry {
     "q_mqtt_topic_match" -> ((s, d) => Monitoring.topicFilterRouting(s, d)),
     "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
     "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
+    "q_feed_entities" -> ((s, d) => Monitoring.feedEntityStats(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
@@ -349,6 +350,16 @@ object SparkEntry {
         | count(*) AS entity_count,
         | 1735689600 - date_diff('second', TIMESTAMP '1970-01-01', max(ts))
         |   AS timestamp_age
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_feed_entities" ->
+      """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
+        | count(*) AS n_entities,
+        | count(DISTINCT CAST(event_id AS VARCHAR)) AS n_ids,
+        | CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS delay_sum,
+        | min(CAST(CAST(user_id AS DOUBLE) / CAST(100 AS DOUBLE) - 90
+        |   AS FLOAT)) AS lat_min,
+        | max(CAST(CAST(user_id AS DOUBLE) / CAST(50 AS DOUBLE)
+        |   AS FLOAT)) AS lon_max
         |FROM events GROUP BY 1,2""".stripMargin,
     "q_corr" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

@@ -245,6 +245,42 @@ object Monitoring {
         .as("timestamp_age"))
   }
 
+  /** Entity-level GTFS-RT analytics: synthesize one FeedMessage per
+    * (topic, hour) carrying a FeedEntity per event — entity id from
+    * event_id, trip_update.delay from floor(value), vehicle.position
+    * lat/lon derived from user_id as IEEE fixed32 floats — then PARSE
+    * the wire bytes back with the native feed_entities expression,
+    * explode, and aggregate. The oracle is the plain aggregate over
+    * events that the encode→parse round trip must reproduce exactly
+    * (varints, length-delimited nesting, and fixed32 float bits are
+    * all lossless). Extends q_feed_stats from header-level to
+    * entity-level coverage of the reference's full FeedMessage schema. */
+  def feedEntityStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{FeedColumns, FeedParser}
+    val feeds = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(collect_list(struct(col("event_id"), col("user_id"), col("value")))
+        .as("evs"), unix_timestamp(max(col("ts"))).as("last_epoch"))
+      .as[(String, java.sql.Timestamp, Seq[(Long, Long, Double)], Long)]
+      .map { case (topic, win, evs, last) =>
+        val entities = evs.map { case (eid, uid, v) =>
+          FeedParser.encodeEntity(eid.toString, v.floor.toLong,
+            (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat)
+        }
+        (topic, win, FeedParser.encodeFeed(last, entities))
+      }.toDF("topic", "window_start", "feed")
+    feeds.select(col("topic"), col("window_start"),
+      explode(FeedColumns.feed_entities(col("feed"))).as("e"))
+      .groupBy(col("topic"), col("window_start"))
+      .agg(count(lit(1)).as("n_entities"),
+        countDistinct(col("e.entity_id")).as("n_ids"),
+        sum(col("e.trip_delay")).as("delay_sum"),
+        min(col("e.veh_lat")).as("lat_min"),
+        max(col("e.veh_lon")).as("lon_max"))
+  }
+
   /** Top-k events per topic by value via the custom bounded-heap
     * TopKPerKey physical operator (no per-partition sort — see
     * graft.plans.TopKPerKey). */

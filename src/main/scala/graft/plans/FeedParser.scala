@@ -74,6 +74,100 @@ object FeedParser {
     -1L
   }
 
+  /** Parsed FeedEntity fields the reference's full schema exposes for
+    * entity-level analytics: entity id (field 1, string),
+    * trip_update.delay (field 3 → TripUpdate field 5, varint), and
+    * vehicle.position latitude/longitude (field 4 → VehiclePosition
+    * field 1 → Position fields 1/2, fixed32 IEEE-754 floats).
+    * Missing submessages yield null struct fields. */
+  def parseEntities(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      val f = (key >>> 3).toInt; val wt = (key & 7).toInt
+      if (f == 2 && wt == 2) {
+        val (len, ep) = readVarint(b, p)
+        out += parseEntity(b, ep, ep + len.toInt)
+      }
+      pos = skip(b, wt, p)
+      if (pos <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private def parseEntity(b: Array[Byte], start: Int,
+                          end: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    var id: org.apache.spark.unsafe.types.UTF8String = null
+    var delay: Any = null
+    var lat: Any = null
+    var lon: Any = null
+    var q = start
+    while (q < end && q < b.length) {
+      val (key, p) = readVarint(b, q)
+      val f = (key >>> 3).toInt; val wt = (key & 7).toInt
+      f match {
+        case 1 if wt == 2 => // id: string
+          val (len, sp) = readVarint(b, p)
+          id = org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
+        case 3 if wt == 2 => // trip_update -> field 5 delay (varint)
+          val (len, tp) = readVarint(b, p)
+          var t = tp; val tEnd = tp + len.toInt
+          while (t < tEnd && t < b.length) {
+            val (tk, tq) = readVarint(b, t)
+            if ((tk >>> 3).toInt == 5 && (tk & 7) == 0) delay = readVarint(b, tq)._1
+            t = skip(b, (tk & 7).toInt, tq)
+          }
+        case 4 if wt == 2 => // vehicle -> field 1 position -> lat/lon fixed32
+          val (len, vp) = readVarint(b, p)
+          var v = vp; val vEnd = vp + len.toInt
+          while (v < vEnd && v < b.length) {
+            val (vk, vq) = readVarint(b, v)
+            if ((vk >>> 3).toInt == 1 && (vk & 7) == 2) {
+              val (plen, pp) = readVarint(b, vq)
+              var r = pp; val pEnd = pp + plen.toInt
+              while (r < pEnd && r + 4 <= b.length) {
+                val (pk, pq) = readVarint(b, r)
+                val bits = (b(pq) & 0xff) | ((b(pq + 1) & 0xff) << 8) |
+                  ((b(pq + 2) & 0xff) << 16) | ((b(pq + 3) & 0xff) << 24)
+                (pk >>> 3).toInt match {
+                  case 1 if (pk & 7) == 5 => lat = java.lang.Float.intBitsToFloat(bits)
+                  case 2 if (pk & 7) == 5 => lon = java.lang.Float.intBitsToFloat(bits)
+                  case _ =>
+                }
+                r = skip(b, (pk & 7).toInt, pq)
+              }
+            }
+            v = skip(b, (vk & 7).toInt, vq)
+          }
+        case _ =>
+      }
+      q = skip(b, wt, p)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(id, delay, lat, lon)
+  }
+
+  private def lenDelim(tag: Int, payload: Array[Byte]): Array[Byte] =
+    Array(tag.toByte) ++ encodeVarint(payload.length.toLong) ++ payload
+
+  /** Hand-encoder: one FeedEntity with id + trip_update.delay +
+    * vehicle.position(lat, lon) — the wire twin of [[parseEntities]]. */
+  def encodeEntity(id: String, delay: Long, lat: Float, lon: Float): Array[Byte] = {
+    val idField = lenDelim(0x0a, id.getBytes("UTF-8")) // field 1 string
+    val trip = Array[Byte](0x28) ++ encodeVarint(delay) // TripUpdate.delay (field 5)
+    val tripField = lenDelim(0x1a, trip) // entity field 3
+    def fixed32(tag: Int, f: Float): Array[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(f)
+      Array(tag.toByte, bits.toByte, (bits >> 8).toByte, (bits >> 16).toByte,
+        (bits >> 24).toByte)
+    }
+    val position = fixed32(0x0d, lat) ++ fixed32(0x15, lon) // Position fields 1,2
+    val vehicleField = lenDelim(0x22, lenDelim(0x0a, position)) // entity field 4 -> field 1
+    idField ++ tripField ++ vehicleField
+  }
+
   /** Hand-encoder (tests / synthetic feeds): varint. */
   def encodeVarint(v: Long): Array[Byte] = {
     var x = v; val out = scala.collection.mutable.ArrayBuffer[Byte]()
@@ -120,9 +214,31 @@ case class FeedHeaderTimestamp(child: Expression)
   override protected def withNewChildInternal(c: Expression): FeedHeaderTimestamp = copy(c)
 }
 
+/** feed_entities(bytes) → array<struct<entity_id, trip_delay,
+  * veh_lat, veh_lon>>: entity-level GTFS-RT decode (id, trip_update
+  * delay, vehicle position) for explode-then-aggregate analytics. */
+case class FeedEntities(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("entity_id", StringType),
+    StructField("trip_delay", LongType),
+    StructField("veh_lat", FloatType),
+    StructField("veh_lon", FloatType))), containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "feed_entities"
+  override protected def nullSafeEval(b: Any): Any =
+    FeedParser.parseEntities(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.FeedParser.parseEntities($c);")
+  override protected def withNewChildInternal(c: Expression): FeedEntities = copy(c)
+}
+
 object FeedColumns {
   def feed_entity_count(bin: Column): Column =
     bridge.column(FeedEntityCount(bridge.expression(bin)))
   def feed_header_timestamp(bin: Column): Column =
     bridge.column(FeedHeaderTimestamp(bridge.expression(bin)))
+  def feed_entities(bin: Column): Column =
+    bridge.column(FeedEntities(bridge.expression(bin)))
 }

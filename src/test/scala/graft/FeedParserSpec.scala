@@ -25,6 +25,32 @@ class FeedParserSpec extends SparkSpec {
     assert(FeedParser.headerTimestamp(Array[Byte](0x12, 0x01, 0x00)) == -1L)
   }
 
+  test("entity submessages round-trip id, delay, and fixed32 position") {
+    import spark.implicits._
+    val feed = FeedParser.encodeFeed(1735000000L, Seq(
+      FeedParser.encodeEntity("veh-1", 42L, 60.1699f, 24.9384f),
+      FeedParser.encodeEntity("veh-2", 0L, -89.5f, 0.02f)))
+    val rows = Seq(feed).toDF("feed")
+      .select(explode(FeedColumns.feed_entities(col("feed"))).as("e"))
+      .select(col("e.entity_id"), col("e.trip_delay"), col("e.veh_lat"), col("e.veh_lon"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2), r.getFloat(3)))
+      .toSet
+    assert(rows == Set(("veh-1", 42L, 60.1699f, 24.9384f),
+      ("veh-2", 0L, -89.5f, 0.02f)))
+  }
+
+  test("entities with missing submessages parse to null fields") {
+    import spark.implicits._
+    // id-only entity (field 1), as in alert-only feeds
+    val idOnly = Array[Byte](0x0a, 0x03) ++ "abc".getBytes("UTF-8")
+    val feed = FeedParser.encodeFeed(1L, Seq(idOnly))
+    val r = Seq(feed).toDF("feed")
+      .select(explode(FeedColumns.feed_entities(col("feed"))).as("e"))
+      .select(col("e.entity_id"), col("e.trip_delay"), col("e.veh_lat"))
+      .head()
+    assert(r.getString(0) == "abc" && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("expressions evaluate over a binary column") {
     import spark.implicits._
     val feeds = Seq(
