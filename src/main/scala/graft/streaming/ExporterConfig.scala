@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.time.Duration
+
+/** Metrics-exporter configuration model mirrored from the reference's
+  * AppConfig (AppConfig.java:13-101): a flat dotted-key map (the
+  * env-override form the reference supports, where list-valued keys
+  * carry JSON) is validated into a typed config — required keys,
+  * ISO-8601 durations, the pollInterval > clientTimeout invariant,
+  * QoS bounds, and the optional multi-broker `mqtt.brokers` list of
+  * (address, topicFilters). Error messages mirror the reference's so
+  * the AppConfigTest-shaped spec cases carry over verbatim.
+  *
+  * Also the per-(broker, topic_filter) message-counter shape of
+  * MqttTopicMonitorListener.java:73-135: one counter per configured
+  * filter plus an "unknown" fallback; an arriving message increments
+  * EVERY matching filter's counter, or "unknown" when none match, and
+  * lost connections count separately.
+  */
+object ExporterConfig {
+
+  final case class BrokerConfig(address: String, topicFilters: Seq[String])
+
+  final case class AppConfig(port: Int, gtfsRtUrls: Seq[String],
+      gtfsRtPollInterval: Duration, gtfsRtClientTimeout: Duration,
+      mqttClientId: String, mqttConnectionTimeout: Duration,
+      mqttKeepAliveInterval: Duration, mqttQos: Int,
+      mqttBrokers: Seq[BrokerConfig])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jsonStrings(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val it = node.elements()
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) out += it.next().asText()
+    out.result()
+  }
+
+  /** AppConfig.buildFrom semantics over a dotted-key map. */
+  def buildFrom(conf: Map[String, String]): AppConfig = {
+    def required(path: String): String = conf.getOrElse(path,
+      throw new IllegalArgumentException(s"$path is required"))
+    val port = required("port").toInt
+    val urls = jsonStrings(mapper.readTree(required("gtfsrt.urls")))
+    val poll = Duration.parse(required("gtfsrt.pollInterval"))
+    val timeout = Duration.parse(required("gtfsrt.clientTimeout"))
+    // AppConfig.java:79-84 — overlapping polls exhaust resources
+    if (poll.compareTo(timeout) <= 0)
+      throw new IllegalArgumentException(
+        s"gtfsrt.pollInterval ($poll) must be longer than gtfsrt.clientTimeout ($timeout).")
+    val clientId = required("mqtt.clientId")
+    val connectionTimeout = Duration.parse(required("mqtt.connectionTimeout"))
+    val keepAlive = Duration.parse(required("mqtt.keepAliveInterval"))
+    val qos = required("mqtt.qos").toInt
+    if (qos < 0 || qos > 2)
+      throw new IllegalArgumentException(s"mqtt.qos must be 0, 1, or 2, but was $qos")
+    val brokers = conf.get("mqtt.brokers") match {
+      case None => Seq.empty
+      case Some(json) =>
+        val it = mapper.readTree(json).elements()
+        val out = Seq.newBuilder[BrokerConfig]
+        while (it.hasNext) {
+          val b = it.next()
+          out += BrokerConfig(b.get("address").asText(), jsonStrings(b.get("topicFilters")))
+        }
+        out.result()
+    }
+    AppConfig(port, urls, poll, timeout, clientId, connectionTimeout, keepAlive,
+      qos, brokers)
+  }
+
+  /** Per-(broker, topic_filter) counters —
+    * MqttTopicMonitorListener.registerMessageCounters/messageArrived.
+    * Uses the same MQTT-spec matcher as the q_mqtt_topic_match query,
+    * so routing here and in the distributed query agree. */
+  final class TopicMonitorCounters(val brokerAddress: String,
+                                   topicFilters: Seq[String]) {
+    private val counts = scala.collection.mutable.LinkedHashMap[String, Long](
+      (topicFilters :+ "unknown").map(_ -> 0L): _*)
+    private var lost = 0L
+
+    def messageArrived(topic: String): Unit = {
+      val matching = topicFilters.filter(f => graft.plans.MqttTopicMatch.matches(topic, f))
+      if (matching.isEmpty) counts("unknown") += 1
+      else matching.foreach(f => counts(f) += 1)
+    }
+
+    def connectionLost(): Unit = lost += 1
+    def connectionLostCount: Long = lost
+    /** (topic_filter → received count), "unknown" included. */
+    def snapshot: Map[String, Long] = counts.toMap
+  }
+
+  /** One counter set per configured broker — MqttListeners'
+    * one-listener-per-broker fanout. */
+  def countersFor(config: AppConfig): Seq[TopicMonitorCounters] =
+    config.mqttBrokers.map(b => new TopicMonitorCounters(b.address, b.topicFilters))
+}

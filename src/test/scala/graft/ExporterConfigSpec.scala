@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.ExporterConfig
+import graft.streaming.ExporterConfig.BrokerConfig
+import java.time.Duration
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference exporter's AppConfigTest cases
+  * (AppConfigTest.java:13-293) over the dotted-key config form. */
+class ExporterConfigSpec extends AnyFunSuite {
+
+  private val valid = Map(
+    "port" -> "8080",
+    "gtfsrt.urls" -> """["http://example.com/gtfsrt"]""",
+    "gtfsrt.pollInterval" -> "PT30S",
+    "gtfsrt.clientTimeout" -> "PT5S",
+    "mqtt.clientId" -> "test-client",
+    "mqtt.connectionTimeout" -> "PT15S",
+    "mqtt.keepAliveInterval" -> "PT20S",
+    "mqtt.qos" -> "0",
+    "mqtt.brokers" ->
+      """[{"address": "tcp://mqtt.example.com:1883",
+        |  "topicFilters": ["/hfp/v2/journey/#"]}]""".stripMargin)
+
+  test("parses a valid configuration") {
+    val c = ExporterConfig.buildFrom(valid)
+    assert(c.port == 8080)
+    assert(c.gtfsRtUrls == Seq("http://example.com/gtfsrt"))
+    assert(c.gtfsRtPollInterval == Duration.ofSeconds(30))
+    assert(c.gtfsRtClientTimeout == Duration.ofSeconds(5))
+    assert(c.mqttClientId == "test-client")
+    assert(c.mqttConnectionTimeout == Duration.ofSeconds(15))
+    assert(c.mqttKeepAliveInterval == Duration.ofSeconds(20))
+    assert(c.mqttBrokers ==
+      Seq(BrokerConfig("tcp://mqtt.example.com:1883", Seq("/hfp/v2/journey/#"))))
+  }
+
+  test("allows an empty mqtt broker list") {
+    assert(ExporterConfig.buildFrom(valid - "mqtt.brokers").mqttBrokers.isEmpty)
+  }
+
+  test("parses multiple gtfs-rt urls and multiple brokers") {
+    val c = ExporterConfig.buildFrom(valid ++ Map(
+      "gtfsrt.urls" ->
+        """["http://example.com/vp", "http://example.com/tu", "http://example.com/sa"]""",
+      "mqtt.brokers" ->
+        """[{"address": "tcp://mqtt1.example.com:1883",
+          |  "topicFilters": ["/hfp/v2/journey/#"]},
+          | {"address": "tcp://mqtt2.example.com:1883",
+          |  "topicFilters": ["gtfsrt/v2/fi/hsl/#", "gtfsrt/dev/fi/hsl/#"]}]""".stripMargin))
+    assert(c.gtfsRtUrls == Seq("http://example.com/vp", "http://example.com/tu",
+      "http://example.com/sa"))
+    assert(c.mqttBrokers == Seq(
+      BrokerConfig("tcp://mqtt1.example.com:1883", Seq("/hfp/v2/journey/#")),
+      BrokerConfig("tcp://mqtt2.example.com:1883",
+        Seq("gtfsrt/v2/fi/hsl/#", "gtfsrt/dev/fi/hsl/#"))))
+  }
+
+  test("rejects pollInterval shorter than or equal to clientTimeout") {
+    val shorter = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid ++ Map(
+        "gtfsrt.pollInterval" -> "PT5S", "gtfsrt.clientTimeout" -> "PT30S"))
+    }
+    assert(shorter.getMessage.contains("gtfsrt.pollInterval") &&
+      shorter.getMessage.contains("must be longer than") &&
+      shorter.getMessage.contains("gtfsrt.clientTimeout"))
+    val equal = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid ++ Map(
+        "gtfsrt.pollInterval" -> "PT10S", "gtfsrt.clientTimeout" -> "PT10S"))
+    }
+    assert(equal.getMessage.contains("must be longer than"))
+  }
+
+  test("missing required keys name the key") {
+    for (key <- Seq("port", "gtfsrt.urls", "mqtt.clientId")) {
+      val e = intercept[IllegalArgumentException] {
+        ExporterConfig.buildFrom(valid - key)
+      }
+      assert(e.getMessage.contains(key) && e.getMessage.contains("required"))
+    }
+  }
+
+  test("rejects out-of-range qos") {
+    val e = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid + ("mqtt.qos" -> "3"))
+    }
+    assert(e.getMessage == "mqtt.qos must be 0, 1, or 2, but was 3")
+  }
+
+  test("per-(broker, filter) counters route messages like the listener") {
+    val c = ExporterConfig.buildFrom(valid + ("mqtt.brokers" ->
+      """[{"address": "tcp://b1:1883",
+        |  "topicFilters": ["/hfp/v2/journey/#", "/hfp/+/journey/ongoing/#"]}]""".stripMargin))
+    val Seq(counters) = ExporterConfig.countersFor(c)
+    assert(counters.brokerAddress == "tcp://b1:1883")
+    // matches both overlapping filters -> both increment (listener
+    // increments EVERY matching filter, MqttTopicMonitorListener:132-134)
+    counters.messageArrived("/hfp/v2/journey/ongoing/vp/bus")
+    // matches only the first filter
+    counters.messageArrived("/hfp/v2/journey/other")
+    // matches neither -> unknown
+    counters.messageArrived("/gtfsrt/vp")
+    counters.connectionLost()
+    assert(counters.snapshot == Map(
+      "/hfp/v2/journey/#" -> 2L,
+      "/hfp/+/journey/ongoing/#" -> 1L,
+      "unknown" -> 1L))
+    assert(counters.connectionLostCount == 1L)
+  }
+}
