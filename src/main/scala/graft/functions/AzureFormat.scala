@@ -16,7 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object AzureFormat {
 
-  /** round(2) → abs → (>10 ? round(0) : identity), as in the reference. */
+  /** round(2) → abs → (>10 ? round(0) : identity), as in the reference.
+    *
+    * Rounding-mode decision: Spark `round` is HALF_UP (away from
+    * zero), the reference's Python `round` is banker's HALF_EVEN
+    * (mqtt_data_collector.py:283), so exact .xx5 ties differ — e.g.
+    * 2.125 → 2.13 here vs 2.12 in CPython. HALF_UP is kept
+    * deliberately: it matches DuckDB/standard-SQL ROUND (the oracle
+    * agrees bit-for-bit), and real metric doubles almost never land on
+    * exact binary ties (most decimal .xx5 literals aren't exact in
+    * binary, where CPython's result depends on the representation
+    * anyway). Swap `round` → `bround` here if byte-parity with the
+    * Python collector on synthetic exact ties ever matters more than
+    * SQL-engine agreement. */
   def shapeMetricValue(v: Column): Column = {
     val r2 = abs(round(v, 2))
     when(r2 > 10, round(r2, 0)).otherwise(r2)

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   * never wrong. Merge = bitwise OR (partial-agg safe, unionable).
   */
 object BloomKernels {
+  /** Serialized layout: [numHashes: int32 LE][bitset: int64 LE ...].
+    * The probe derives its geometry from this header, so a probe can
+    * never silently disagree with the build side's parameters. */
+  val HeaderBytes = 4
+
   def set(bits: Array[Long], numHashes: Int, v: Long): Unit = {
     val m = bits.length.toLong * 64
     var i = 0
@@ -28,13 +33,34 @@ object BloomKernels {
     }
   }
 
-  def mightContain(bytes: Array[Byte], numHashes: Int, v: Long): Boolean = {
-    val m = bytes.length.toLong * 8
+  def serialize(bits: Array[Long], numHashes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(HeaderBytes + bits.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(numHashes)
+    bb.asLongBuffer().put(bits)
+    bb.array()
+  }
+
+  /** numHashes from the header, with structural validation. */
+  def headerNumHashes(bytes: Array[Byte]): Int = {
+    if (bytes.length < HeaderBytes + 8 || (bytes.length - HeaderBytes) % 8 != 0)
+      throw new IllegalArgumentException(
+        s"not a graft bloom sketch: ${bytes.length} bytes")
+    val k = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0)
+    if (k <= 0 || k > 64)
+      throw new IllegalArgumentException(s"corrupt bloom sketch header: numHashes=$k")
+    k
+  }
+
+  def mightContain(bytes: Array[Byte], v: Long): Boolean = {
+    val numHashes = headerNumHashes(bytes)
+    val m = (bytes.length - HeaderBytes).toLong * 8
     var i = 0
     while (i < numHashes) {
       val h = java.lang.Long.remainderUnsigned(
         HashKernels.mix(v ^ HashKernels.mix(i.toLong)), m)
-      val byteIdx = (h >>> 3).toInt
+      val byteIdx = HeaderBytes + (h >>> 3).toInt
       if ((bytes(byteIdx) & (1 << (h & 7))) == 0) return false
       i += 1
     }
@@ -46,8 +72,11 @@ object BloomKernels {
 case class BloomAgg(child: Expression, numBits: Int = 1 << 16, numHashes: Int = 5,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
   override def children: Seq[Expression] = Seq(child)
+  // int key columns implicitly widen to long instead of a runtime
+  // ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "bloom_agg"
@@ -63,16 +92,17 @@ case class BloomAgg(child: Expression, numBits: Int = 1 << 16, numHashes: Int = 
     a
   }
   override def eval(buf: Array[Long]): Any = serialize(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomKernels.serialize(buf, numHashes)
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .asLongBuffer().get(out)
+    val k = BloomKernels.headerNumHashes(bytes)
+    if (k != numHashes)
+      throw new IllegalArgumentException(
+        s"bloom sketch numHashes=$k does not match this aggregate's $numHashes")
+    val out = new Array[Long]((bytes.length - BloomKernels.HeaderBytes) / 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(BloomKernels.HeaderBytes)
+    bb.asLongBuffer().get(out)
     out
   }
   override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
@@ -83,18 +113,19 @@ case class BloomAgg(child: Expression, numBits: Int = 1 << 16, numHashes: Int = 
     copy(child = c.head)
 }
 
-/** bloom_might_contain(bloom: binary, key: bigint) → boolean. */
-case class BloomMightContain(left: Expression, right: Expression, numHashes: Int = 5)
+/** bloom_might_contain(bloom: binary, key: bigint) → boolean. The
+  * probe's hash count comes from the sketch header, so a probe can
+  * never run with parameters that differ from the build side. */
+case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = BooleanType
   override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
   override def prettyName: String = "bloom_might_contain"
   override protected def nullSafeEval(bloom: Any, v: Any): Any =
-    BloomKernels.mightContain(bloom.asInstanceOf[Array[Byte]], numHashes,
-      v.asInstanceOf[Long])
+    BloomKernels.mightContain(bloom.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, v) =>
-      s"${ev.value} = graft.plans.BloomKernels.mightContain($b, $numHashes, $v);")
+      s"${ev.value} = graft.plans.BloomKernels.mightContain($b, $v);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
     copy(left = l, right = r)
 }
@@ -103,7 +134,7 @@ object Bloom {
   def bloom_agg(c: Column, numBits: Int = 1 << 16, numHashes: Int = 5): Column =
     bridge.column(BloomAgg(bridge.expression(c), numBits, numHashes)
       .toAggregateExpression())
-  def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =
+  def bloom_might_contain(bloom: Column, key: Column): Column =
     bridge.column(BloomMightContain(bridge.expression(bloom),
-      bridge.expression(key), numHashes))
+      bridge.expression(key)))
 }

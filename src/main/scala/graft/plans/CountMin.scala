@@ -19,6 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * large to groupBy exactly but the heavy tail is what matters.
   */
 object CountMinKernels {
+  /** Serialized layout: [depth: int32 LE][width: int32 LE][counters:
+    * int64 LE × depth·width]. The probe derives its geometry from this
+    * header — a probe whose parameters differ from the build side is
+    * structurally impossible, not silently wrong. */
+  val HeaderBytes = 8
+
   def keyHash(s: UTF8String): Long = HashKernels.hash64(s, 0L)
 
   def add(counters: Array[Long], depth: Int, width: Int, key: Long): Unit = {
@@ -31,15 +37,40 @@ object CountMinKernels {
     }
   }
 
-  def estimate(bytes: Array[Byte], depth: Int, width: Int, key: Long): Long = {
+  def serialize(counters: Array[Long], depth: Int, width: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(HeaderBytes + counters.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(depth).putInt(width)
+    bb.asLongBuffer().put(counters)
+    bb.array()
+  }
+
+  /** (depth, width) from the header, validated against the payload. */
+  def headerGeometry(bytes: Array[Byte]): (Int, Int) = {
+    if (bytes.length < HeaderBytes)
+      throw new IllegalArgumentException(
+        s"not a graft count-min sketch: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val depth = bb.getInt(0); val width = bb.getInt(4)
+    if (depth <= 0 || width <= 0 ||
+        bytes.length != HeaderBytes + depth.toLong * width * 8)
+      throw new IllegalArgumentException(
+        s"corrupt count-min sketch header: depth=$depth width=$width len=${bytes.length}")
+    (depth, width)
+  }
+
+  def estimate(bytes: Array[Byte], key: Long): Long = {
+    val (depth, width) = headerGeometry(bytes)
     val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(HeaderBytes)
+    val lb = bb.asLongBuffer()
     var min = Long.MaxValue
     var d = 0
     while (d < depth) {
       val idx = java.lang.Long.remainderUnsigned(
         HashKernels.mix(key ^ HashKernels.mix(d.toLong)), width).toInt
-      val c = bb.get(d * width + idx)
+      val c = lb.get(d * width + idx)
       if (c < min) min = c
       d += 1
     }
@@ -68,16 +99,17 @@ case class CountMinAgg(child: Expression, depth: Int = 4, width: Int = 2048,
     a
   }
   override def eval(buf: Array[Long]): Any = serialize(buf)
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CountMinKernels.serialize(buf, depth, width)
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .asLongBuffer().get(out)
+    val (d, w) = CountMinKernels.headerGeometry(bytes)
+    if (d != depth || w != width)
+      throw new IllegalArgumentException(
+        s"count-min sketch geometry ${d}x$w does not match this aggregate's ${depth}x$width")
+    val out = new Array[Long](d * w)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(CountMinKernels.HeaderBytes)
+    bb.asLongBuffer().get(out)
     out
   }
   override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
@@ -88,19 +120,19 @@ case class CountMinAgg(child: Expression, depth: Int = 4, width: Int = 2048,
     copy(child = c.head)
 }
 
-/** cms_estimate(sketch: binary, key_hash: bigint) → bigint. */
-case class CmsEstimate(left: Expression, right: Expression,
-                       depth: Int = 4, width: Int = 2048)
+/** cms_estimate(sketch: binary, key_hash: bigint) → bigint. The
+  * sketch geometry comes from the serialized header, so the probe
+  * always runs with the build side's depth×width. */
+case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
   override def prettyName: String = "cms_estimate"
   override protected def nullSafeEval(sk: Any, v: Any): Any =
-    CountMinKernels.estimate(sk.asInstanceOf[Array[Byte]], depth, width,
-      v.asInstanceOf[Long])
+    CountMinKernels.estimate(sk.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, v) =>
-      s"${ev.value} = graft.plans.CountMinKernels.estimate($s, $depth, $width, $v);")
+      s"${ev.value} = graft.plans.CountMinKernels.estimate($s, $v);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
     copy(left = l, right = r)
 }
@@ -126,8 +158,7 @@ object CountMin {
   def cms_agg(keyHash: Column, depth: Int = 4, width: Int = 2048): Column =
     bridge.column(CountMinAgg(bridge.expression(keyHash), depth, width)
       .toAggregateExpression())
-  def cms_estimate(sketch: Column, keyHash: Column,
-                   depth: Int = 4, width: Int = 2048): Column =
+  def cms_estimate(sketch: Column, keyHash: Column): Column =
     bridge.column(CmsEstimate(bridge.expression(sketch),
-      bridge.expression(keyHash), depth, width))
+      bridge.expression(keyHash)))
 }

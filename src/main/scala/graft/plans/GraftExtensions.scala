@@ -4,23 +4,31 @@ import graft.operators.LshBuckets
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, ExpressionInfo, Literal, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Optimizer rule: an MQTT filter with NO wildcards is just string
-  * equality — rewriting it to EqualTo lets Catalyst push the
-  * predicate into the parquet scan (`PushedFilters`), which the
-  * opaque custom expression never could. At 100 TB the difference is
-  * "skip row groups at the source" vs "decode every row and test". */
+/** Optimizer rule: an MQTT filter with NO wildcards reduces to string
+  * equality UNDER THE MATCHER'S trailing-slash semantics — the
+  * reference matcher splits on '/' and Java split drops trailing
+  * empty levels, so topic "a/" matches filter "a". A bare
+  * EqualTo(topic, filter) would therefore CHANGE results; the faithful
+  * rewrite is equality of the slash-normalized forms, conjoined with a
+  * redundant-but-pushable StartsWith prefix so the parquet scan still
+  * prunes row groups (`PushedFilters: StringStartsWith`). At 100 TB
+  * the difference is "skip row groups at the source" vs "decode every
+  * row and test". Filters that normalize to the empty string (degenerate
+  * "/", "//") are left to the full matcher. */
 object SimplifyMqttExactMatch extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case MqttTopicMatch(t, Literal(f: UTF8String, StringType))
-          if !f.toString.contains("+") && !f.toString.contains("#") =>
-        EqualTo(t, Literal(f, StringType))
+          if !f.toString.contains("+") && !f.toString.contains("#") &&
+            MqttTopicMatch.rtrimSlashes(f).numBytes() > 0 =>
+        val norm = Literal(MqttTopicMatch.rtrimSlashes(f), StringType)
+        And(StartsWith(t, norm), EqualTo(RtrimSlashes(t), norm))
     }
 }
 

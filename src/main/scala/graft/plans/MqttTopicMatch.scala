@@ -43,7 +43,34 @@ case class MqttTopicMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** rtrim_slashes(s): strip trailing '/' levels — the normalization
+  * under which the reference matcher's split("/") semantics become
+  * plain string equality (Java split drops trailing empty levels, so
+  * "a/" matches filter "a"). Used by the exact-match optimizer
+  * rewrite; codegen keeps it inside whole-stage codegen. */
+case class RtrimSlashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "rtrim_slashes"
+  override protected def nullSafeEval(s: Any): Any =
+    MqttTopicMatch.rtrimSlashes(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MqttTopicMatch.rtrimSlashes($c);")
+  override protected def withNewChildInternal(c: Expression): RtrimSlashes = copy(c)
+}
+
 object MqttTopicMatch {
+  /** Trailing-'/' strip over UTF8String (zero-copy substring). */
+  def rtrimSlashes(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var end = bytes.length
+    while (end > 0 && bytes(end - 1) == '/') end -= 1
+    if (end == bytes.length) s else UTF8String.fromBytes(bytes, 0, end)
+  }
+
   /** Reference-faithful matching; called from generated code. */
   def matches(topic: String, filter: String): Boolean = {
     if (filter == topic) return true

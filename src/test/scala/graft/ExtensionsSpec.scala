@@ -25,7 +25,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(c == row.getAs[Long]("sh"))
   }
 
-  test("wildcard-free mqtt filters rewrite to equality and push to the scan") {
+  test("wildcard-free mqtt filters rewrite to pushable normalized equality") {
     GraftExtensions.register(spark)
     import graft.plans.MqttTopicMatch.mqtt_topic_match
     val df = Tables.events(spark, sfDir)
@@ -33,7 +33,7 @@ class ExtensionsSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("mqtt_topic_match"), optimized.take(400))
     val physical = df.queryExecution.executedPlan.toString
-    assert(physical.contains("EqualTo(event_type,purchase)") &&
+    assert(physical.contains("StringStartsWith(event_type,purchase)") &&
       physical.contains("PushedFilters"), physical.take(600))
     // semantics unchanged, wildcards still use the full matcher
     assert(df.count() ==
@@ -41,6 +41,32 @@ class ExtensionsSpec extends SparkSpec {
     val wild = Tables.events(spark, sfDir)
       .filter(mqtt_topic_match(col("event_type"), lit("purch+se")))
     assert(wild.queryExecution.optimizedPlan.toString.contains("mqtt_topic_match"))
+  }
+
+  test("exact-match rewrite agrees with the matcher on trailing slashes") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.plans.MqttTopicMatch.mqtt_topic_match
+    val topics = Seq("a", "a/", "a//", "a/b", "ab", "/a").toDF("topic")
+    // reference matcher semantics: split drops trailing empty levels,
+    // so "a/" and "a//" both match the wildcard-free filter "a"
+    for (filter <- Seq("a", "a/")) {
+      val rewritten = topics
+        .filter(mqtt_topic_match(col("topic"), lit(filter)))
+        .as[String].collect().toSet
+      assert(!topics.filter(mqtt_topic_match(col("topic"), lit(filter)))
+        .queryExecution.optimizedPlan.toString.contains("mqtt_topic_match"))
+      val reference = topics.as[String].collect()
+        .filter(t => graft.plans.MqttTopicMatch.matches(t, filter)).toSet
+      assert(rewritten == reference, s"filter=$filter: $rewritten vs $reference")
+      assert(rewritten == Set("a", "a/", "a//"))
+    }
+    // degenerate all-slash filter stays on the full matcher (use the
+    // parquet-backed table: local relations get constant-folded away)
+    val slash = Tables.events(spark, sfDir)
+      .filter(mqtt_topic_match(col("event_type"), lit("/")))
+    assert(slash.queryExecution.optimizedPlan.toString.contains("mqtt_topic_match"))
+    assert(slash.count() == 0)
   }
 
   test("distribution_summary aggregator matches micrometer semantics") {

@@ -325,6 +325,28 @@ class OperatorSpec extends SparkSpec {
     for (k <- 7 to 12) assert(!pairs.contains((0L, k.toLong)), s"emitted hamming-$k pair")
   }
 
+  test("sketch probes derive geometry from the serialized header") {
+    import spark.implicits._
+    import graft.plans.{Bloom, CountMin}
+    // bloom: int key column implicitly widens to long (no runtime cast error)
+    val bf = Seq(1, 2, 3).toDF("k").agg(Bloom.bloom_agg(col("k"))).head().getAs[Array[Byte]](0)
+    assert(graft.plans.BloomKernels.mightContain(bf, 2L))
+    // the probe reads numHashes from the header — no parameter to disagree
+    assert(graft.plans.BloomKernels.headerNumHashes(bf) == 5)
+    // garbage bytes are rejected, not silently mis-probed
+    intercept[IllegalArgumentException] {
+      graft.plans.BloomKernels.mightContain(Array[Byte](1, 2, 3), 2L)
+    }
+    val sk = Seq("a", "a", "b").toDF("s")
+      .agg(CountMin.cms_agg(CountMin.key_hash64(col("s")))).head().getAs[Array[Byte]](0)
+    assert(graft.plans.CountMinKernels.headerGeometry(sk) == ((4, 2048)))
+    assert(graft.plans.CountMinKernels.estimate(sk,
+      graft.plans.HashKernels.hash64(org.apache.spark.unsafe.types.UTF8String.fromString("a"), 0L)) >= 2L)
+    intercept[IllegalArgumentException] {
+      graft.plans.CountMinKernels.estimate(java.util.Arrays.copyOf(sk, sk.length - 8), 1L)
+    }
+  }
+
   test("prefix-filtered jaccard join: exact recall at the threshold boundary") {
     import spark.implicits._
     // planted pairs straddling t=0.5: (1,2) J=3/5=0.6 kept, (1,3)
