@@ -21,6 +21,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // dump formatted physical plans of the slowest queries so a bench
+    // regression comes with its plan attached (stdout stays one JSON
+    // line; plans go to files)
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "target/bench-plans")
+    val nPlans = sys.env.getOrElse("SPARK_GRAFT_PLAN_TOP", "5").toInt
+    if (nPlans > 0) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
+      results.toSeq.sortBy(-_._2).take(nPlans).foreach { case (name, secs) =>
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(planDir, s"$name.txt"),
+            f"-- $name: $secs%.3f s at $sfDir%n$plan".getBytes("UTF-8"))
+        } catch { case _: Throwable => }
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
