@@ -85,19 +85,26 @@ object Monitoring {
           concat(col("event_type"), lit("/"), col("user_id"), lit("/#"))).as("dim"),
         AzureFormat.shapeMetricValue(col("value")).as("shaped_value"))
 
-  /** Full Azure custom-metric JSON envelope, one per topic ×
-    * namespace (send_data_to_azure_monitor.py). Series order is made
-    * deterministic with sort_array. */
+  /** Full Azure custom-metric JSON envelope, one per
+    * (namespace, metric) (send_data_to_azure_monitor.py). Series order
+    * is made deterministic with sort_array. The collect_list is KEYED
+    * by (namespace, metric) — the reference emits one envelope per
+    * metric, and keying the aggregate (instead of a single global
+    * group) keeps every envelope's series bounded by its own topic
+    * cardinality and the plan shuffle-partitioned when the metric
+    * catalog grows. */
   def metricEnvelopes(spark: SparkSession, dir: String): DataFrame = {
     val series = Tables.events(spark, dir)
       .groupBy(col("event_type").as("topic"))
       .agg(count(lit(1)).cast("double").as("msg_count"))
-      .groupBy()
+      .select(lit("MQTT").as("namespace"), lit("Msg Count").as("metric"),
+        col("topic"), col("msg_count"))
+      .groupBy(col("namespace"), col("metric"))
       .agg(sort_array(collect_list(
         AzureFormat.seriesElement(col("topic"), col("msg_count")))).as("series"))
-    series.select(
+    series.select(col("namespace"), col("metric"),
       AzureFormat.metricEnvelope(
-        lit(FixedNowIso), lit("Msg Count"), lit("MQTT"), "Topic",
+        lit(FixedNowIso), col("metric"), col("namespace"), "Topic",
         col("series")).as("envelope"))
   }
 
