@@ -97,6 +97,7 @@ object SparkEntry {
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
@@ -480,6 +481,32 @@ object SparkEntry {
         |SELECT query_id, vec_id, dot_q, rnk FROM (
         | SELECT *, row_number() OVER
         |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+    // IVF probe ground truth: rank lists by exact-integer centroid
+    // affinity (one deterministic double division per (query, list)),
+    // scan the top-nprobe lists, exact-rescore — all integer sums, so
+    // both engines agree bit-for-bit.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        | a AS (SELECT qe.vec_id AS query_id, s.label,
+        |   CAST(sum(qe.q * s.sq) AS BIGINT) AS dot, max(s.n) AS n
+        |  FROM e qe JOIN s ON s.i = qe.i WHERE qe.vec_id < 10 GROUP BY 1, 2),
+        | pr AS (SELECT query_id, label FROM (
+        |   SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY CAST(dot AS DOUBLE) / CAST(n AS DOUBLE) DESC, label) AS p
+        |   FROM a) WHERE p <= 3),
+        | sc AS (SELECT qe.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(qe.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e qe JOIN e b ON b.i = qe.i
+        |  JOIN pr ON pr.query_id = qe.vec_id AND pr.label = b.label
+        |  WHERE qe.vec_id < 10 AND b.vec_id <> qe.vec_id GROUP BY 1, 2)
+        |SELECT query_id, vec_id, dot_q, rnk FROM (
+        | SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM sc)
         |WHERE rnk <= 5""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT lang,

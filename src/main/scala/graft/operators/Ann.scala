@@ -135,4 +135,54 @@ object Ann {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
       .withColumn("centroid", col("sum_q") / (col("n") * lit(1000.0)))
+
+  /** IVF probe: rank the inverted lists (labels) by the query's
+    * similarity to each list CENTROID, scan only the top-`nprobe`
+    * lists, and exact-rescore — the standard IVF search step over the
+    * index [[labelCentroids]] builds. Scan cost per query drops from
+    * |corpus| to Σ|probed lists| (~nprobe/nlists of the corpus), which
+    * is the 100 TB ANN path when lists are partition-pruned.
+    *
+    * Everything stays exactly reproducible cross-engine: centroid
+    * affinity = quantized_dot(query, Σ list vectors) — an exact BIGINT
+    * — divided once by the list size (a single IEEE double division,
+    * deterministic; no float accumulation anywhere), ties broken by
+    * label then vec_id. The centroid table is #labels × dims and
+    * broadcasts; the probed scan shuffles candidate (ids, score) rows
+    * only. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+              nprobe: Int = 3): DataFrame = {
+    val e = embs(spark, dir)
+    // exact integer component sums per list (same aggregate the index
+    // build uses, kept as array<long> per label here)
+    val sums = e
+      .select(col("label"), posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sq")))).as("sqs"),
+        max(col("n")).as("n"))
+      .select(col("label"), transform(col("sqs"), s => s.getField("sq")).as("sum_q"),
+        col("n"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    // affinity to each list; keep the top-nprobe lists per query
+    val affinity = queries.crossJoin(broadcast(sums))
+      .select(col("query_id"), col("e_query"), col("label"),
+        (V.dotQ(V.quantize(col("e_query")), col("sum_q")).cast("double") /
+          col("n").cast("double")).as("affinity"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("affinity").desc, col("label").asc)
+    val probed = affinity.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("e_query"), col("label"))
+    // scan ONLY the probed lists, exact integer rescoring
+    val scored = e.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Operational HTTP endpoints mirrored from the reference exporter's
+  * web package (HealthEndpoint.java, LivenessEndpoint.java,
+  * MetricsEndpoint.java): readiness flips 200 "Ready" / 503
+  * "Not ready" and closes to not-ready; liveness always answers 200
+  * "OK"; metrics serves a scrape function's text (wired to the
+  * engine's Prometheus exposition renderer in practice). Pure JDK
+  * HttpServer — the same transport the reference uses — so a driver
+  * process running this library exposes the identical k8s probe
+  * surface. */
+object OpsEndpoints {
+
+  final class Health {
+    private val isReady = new AtomicBoolean(false)
+    def markReady(): Unit = isReady.set(true)
+    def markNotReady(): Unit = isReady.set(false)
+    def ready: Boolean = isReady.get()
+    /** (status, body) — HealthEndpoint.handle semantics. */
+    def respond(): (Int, String) =
+      if (isReady.get()) (200, "Ready") else (503, "Not ready")
+  }
+
+  /** Serve /health, /liveness and /metrics on `port` (0 = ephemeral).
+    * Returns the server + health switch; caller stops the server. */
+  final class Server(port: Int, scrape: () => String) {
+    val health = new Health
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    private def write(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      val (status, body) = health.respond()
+      write(ex, status, body)
+    })
+    server.createContext("/liveness", (ex: HttpExchange) => write(ex, 200, "OK"))
+    server.createContext("/metrics", (ex: HttpExchange) => write(ex, 200, scrape()))
+    server.start()
+
+    def boundPort: Int = server.getAddress.getPort
+    /** close(): mark not-ready first (reference close() semantics),
+      * then stop serving. */
+    def stop(): Unit = { health.markNotReady(); server.stop(0) }
+  }
+}

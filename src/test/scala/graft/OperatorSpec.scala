@@ -325,6 +325,47 @@ class OperatorSpec extends SparkSpec {
     for (k <- 7 to 12) assert(!pairs.contains((0L, k.toLong)), s"emitted hamming-$k pair")
   }
 
+  test("IVF ANN: probe recall floor, exact scores, full probe equals brute") {
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random unit vectors cluster weakly, so nprobe=3/10 recall is
+    // data-bounded; assert a floor here and exactness at full probe
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.25, s"IVF recall $recall (found ${ivf.size}, brute ${brute.size})")
+    // probing every list IS brute force — must match exactly
+    val full = Ann.ivfTopK(spark, sfDir, nprobe = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, s"missing=${(brute -- full).take(5)}")
+    // every IVF hit carries the same exact score as brute force
+    val bruteScores = Ann.bruteTopK(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Ann.ivfTopK(spark, sfDir).collect().foreach { r =>
+      assert(bruteScores((r.getLong(0), r.getLong(1))) == r.getLong(2))
+    }
+  }
+
+  test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
+    val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n")
+    try {
+      def get(path: String): (Int, String) = {
+        val c = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        (code, body)
+      }
+      assert(get("/health") == ((503, "Not ready")))
+      srv.health.markReady()
+      assert(get("/health") == ((200, "Ready")))
+      assert(get("/liveness") == ((200, "OK")))
+      assert(get("/metrics") == ((200, "graft_up 1\n")))
+    } finally srv.stop()
+    assert(!srv.health.ready, "stop() must flip back to not-ready")
+  }
+
   test("sketch probes derive geometry from the serialized header") {
     import spark.implicits._
     import graft.plans.{Bloom, CountMin}
