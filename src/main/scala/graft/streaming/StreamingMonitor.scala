@@ -206,4 +206,19 @@ object StreamingMonitor {
 
   private def defaultWriter(outDir: String): (DataFrame, Long) => Unit =
     (df, id) => df.coalesce(1).write.mode("append").text(outDir)
+
+  /** Batch writer that pushes each envelope through the Azure token
+    * lifecycle [[AzureDelivery.Sender]] (TokenExpired/InvalidToken →
+    * refresh → bounded re-attempt) — the full reference delivery path
+    * wired into the streaming sink. The envelope count per micro-batch
+    * is bounded by the metric catalog (one per (namespace, metric)),
+    * so the driver-side send loop is tiny; an envelope that exhausts
+    * its attempts goes to `onGiveUp` and is dropped, the reference's
+    * gap-over-stalled-stream preference. */
+  def azureDeliveryWriter(sender: AzureDelivery.Sender, attempts: Int = 4,
+                          onGiveUp: String => Unit = _ => ()): (DataFrame, Long) => Unit =
+    (df, _) => df.collect().foreach { row =>
+      val envelope = row.getAs[String]("envelope")
+      if (!sender.send(envelope, attempts)) onGiveUp(envelope)
+    }
 }

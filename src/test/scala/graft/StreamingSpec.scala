@@ -344,6 +344,36 @@ class StreamingSpec extends SparkSpec {
     assert(posts == 2)
   }
 
+  test("streaming envelopes deliver end-to-end through the token lifecycle") {
+    import graft.streaming.AzureDelivery._
+    val s = spark
+    import s.implicits._
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    var minted = 0
+    // first POST hits an expired token; after one refresh, deliveries succeed
+    val transport: Transport = (_, body, headers) =>
+      if (headers("Authorization") == "Bearer fresh") {
+        delivered += body; HttpResponse(200, "")
+      } else HttpResponse(403, """{"Error":{"Code":"TokenExpired"}}""")
+    val sender = new Sender(transport, () => { minted += 1; "fresh" },
+      new InMemoryTokenStore(Some("stale")), () => "seed", "res-id")
+
+    val batch = Seq(
+      ("hfp/v2/journey", Timestamp.valueOf("2024-01-01 10:00:00"), 60L, 1.5),
+      ("gtfsrt/tripupdate", Timestamp.valueOf("2024-01-01 10:00:00"), 120L, 2.0))
+      .toDF("topic", "window_start", "msg_count", "msgs_per_sec")
+    val writer = StreamingMonitor.azureDeliveryWriter(sender, attempts = 3)
+    writer(StreamingMonitor.envelopes(batch), 0L)
+
+    assert(minted == 1, "exactly one token refresh across the batch")
+    assert(delivered.size == 1, "one envelope per metric per micro-batch")
+    assert(delivered.head.contains(""""metric":"Msg Count"""") &&
+      delivered.head.contains("hfp/v2/journey"))
+    // second batch reuses the cached fresh token — no further mints
+    writer(StreamingMonitor.envelopes(batch), 1L)
+    assert(minted == 1 && delivered.size == 2)
+  }
+
   test("file token store round-trips and seeds on first use") {
     import graft.streaming.AzureDelivery._
     val p = java.nio.file.Files.createTempFile("graft-token", ".txt")
