@@ -37,14 +37,11 @@ case class QuantileSketch(child: Expression, quantiles: Seq[Double],
   override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
     new java.util.HashMap[Long, Long]()
 
-  private def rnd(v: Double): Long =
-    (if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)).toLong
-
   override def update(buf: java.util.HashMap[Long, Long],
                       input: InternalRow): java.util.HashMap[Long, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val cents = rnd(v.asInstanceOf[Double] * 100)
+      val cents = QuantileSketch.centsOf(v.asInstanceOf[Double])
       buf.merge(cents, 1L, (a, b) => a + b)
     }
     buf
@@ -57,24 +54,9 @@ case class QuantileSketch(child: Expression, quantiles: Seq[Double],
   }
 
   override def eval(buf: java.util.HashMap[Long, Long]): Any = {
-    val keys = buf.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
-    java.util.Arrays.sort(keys)
-    var n = 0L
-    keys.foreach(k => n += buf.get(k))
-    val out = quantiles.map { q =>
-      val target = math.max(1L, math.ceil(q * n).toLong)
-      var cum = 0L
-      var i = 0
-      var res = if (keys.nonEmpty) keys(keys.length - 1) else 0L
-      var found = false
-      while (i < keys.length && !found) {
-        cum += buf.get(keys(i))
-        if (cum >= target) { res = keys(i); found = true }
-        i += 1
-      }
-      res / 100.0
-    }
-    new GenericArrayData(out.toArray)
+    val m = scala.collection.mutable.Map.empty[Long, Long]
+    buf.forEach((k, v) => m.put(k, v))
+    new GenericArrayData(QuantileSketch.quantilesOf(m, quantiles).toArray)
   }
 
   override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
@@ -105,4 +87,33 @@ object QuantileSketch {
   /** `agg(quantile_hist($"value", Seq(0.5, 0.9, 0.99)))` → array<double>. */
   def quantile_hist(c: Column, qs: Seq[Double]): Column =
     bridge.column(QuantileSketch(bridge.expression(c), qs).toAggregateExpression())
+
+  /** Milli... centi-quantization of a sample (half away from zero) —
+    * the histogram key the sketch buckets by. */
+  def centsOf(v: Double): Long =
+    (if (v >= 0) Math.floor(v * 100 + 0.5) else Math.ceil(v * 100 - 0.5)).toLong
+
+  /** Quantiles from a cents-histogram, shared by the batch aggregate's
+    * eval and the streaming stateful panel so both report IDENTICAL
+    * numbers for the same data: target rank = max(1, ceil(q·n)), first
+    * key whose cumulative count reaches it. */
+  def quantilesOf(h: scala.collection.Map[Long, Long], qs: Seq[Double]): Seq[Double] = {
+    val keys = h.keys.toArray
+    java.util.Arrays.sort(keys)
+    var n = 0L
+    keys.foreach(k => n += h(k))
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var res = if (keys.nonEmpty) keys(keys.length - 1) else 0L
+      var found = false
+      while (i < keys.length && !found) {
+        cum += h(keys(i))
+        if (cum >= target) { res = keys(i); found = true }
+        i += 1
+      }
+      res / 100.0
+    }
+  }
 }

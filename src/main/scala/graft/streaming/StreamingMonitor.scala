@@ -12,6 +12,10 @@ final case class TopicEvent(topic: String, ts: java.sql.Timestamp, value: Double
 final case class StaleAlert(topic: String, last_seen: java.sql.Timestamp,
                             silent_ms: Long, msg_count: Long)
 
+/** Per-topic quantile panel row from the streaming value sketch. */
+final case class QuantilePanelRow(topic: String, n: Long,
+                                  p50: Double, p90: Double, p99: Double)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -81,6 +85,35 @@ object StreamingMonitor {
             state.setTimeoutTimestamp(lastSeen + silenceMs)
             Iterator.empty
           }
+      }
+  }
+
+  /** Streaming value-quantile panel: one cents-histogram of `value`
+    * per topic carried in [[GroupState]] — the streaming twin of the
+    * batch quantile panel, sharing its exact histogram/rank kernel
+    * ([[graft.plans.QuantileSketch.quantilesOf]]), so once the stream
+    * drains the panel equals the batch query's numbers digit for
+    * digit. State per topic is the histogram (distinct cents values,
+    * bounded by the value range, not stream length); each trigger
+    * emits the topic's refreshed panel in Update mode. */
+  def valueQuantilePanel(events: Dataset[TopicEvent]): Dataset[QuantilePanelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[Map[Long, Long], QuantilePanelRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (topic, rows, state: GroupState[Map[Long, Long]]) =>
+          var h = state.getOption.getOrElse(Map.empty[Long, Long])
+          var added = 0L
+          rows.foreach { e =>
+            val c = graft.plans.QuantileSketch.centsOf(e.value)
+            h = h.updated(c, h.getOrElse(c, 0L) + 1L)
+            added += 1
+          }
+          if (added > 0) state.update(h)
+          val n = h.valuesIterator.sum
+          val qs = graft.plans.QuantileSketch.quantilesOf(h, Seq(0.5, 0.9, 0.99))
+          Iterator.single(QuantilePanelRow(topic, n, qs(0), qs(1), qs(2)))
       }
   }
 

@@ -388,6 +388,35 @@ class StreamingSpec extends SparkSpec {
     assert(store.read().contains("seeded"))
   }
 
+  test("streaming quantile panel equals the batch panel once drained") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val src = StreamingMonitor.eventsReplay(spark, sfDir)
+      .as[graft.streaming.TopicEvent]
+    val q = StreamingMonitor.valueQuantilePanel(src)
+      .writeStream.format("memory").queryName("qpanel_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // Update mode re-emits a topic's panel every trigger; n is
+      // strictly increasing per topic (a group only fires with new
+      // rows), so max-n is the drained-stream state
+      val streamed = spark.table("qpanel_t")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("topic"))
+            .orderBy(col("n").desc)))
+        .filter(col("rn") === 1)
+        .select(col("topic"), col("n"), col("p50"), col("p90"), col("p99"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val batch = operators.Monitoring.quantilePanel(spark, sfDir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
