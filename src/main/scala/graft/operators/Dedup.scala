@@ -297,15 +297,20 @@ object Dedup {
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct())
-    var sig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
-    var converged = false
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val row = e.agg(count(lit(1)),
+        sum((col("u") + col("v")).cast("decimal(38,0)"))).collect()(0)
+      (row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    }
+    // the initial read doubles as the checkpoint materialization; an
+    // empty edge list (clean corpus / tight threshold) skips the loop
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
       edges = chk(smallStar(largeStar(edges)))
-      val row = edges.agg(count(lit(1)),
-        sum((col("u") + col("v")).cast("decimal(38,0)"))).collect()(0)
-      val s = (row.getLong(0),
-        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+      val s = signature(edges)
       converged = s == sig
       sig = s
       iter += 1

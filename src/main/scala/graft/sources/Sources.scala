@@ -29,6 +29,14 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC with explicit schema — the other columnar lake format;
+    * predicate pushdown and column pruning work as with parquet. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** PERMISSIVE CSV ingestion for untrusted feeds: malformed rows land
     * in `_corrupt_record` instead of failing the 100 TB job (or being
     * silently dropped); [[splitCorrupt]] separates them for a

@@ -25,6 +25,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(d).isEmpty)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val d = Tables.customer(spark, sfDir)
+    val path = tmp() + "/c.orc"
+    Sources.writeOrc(d, path)
+    val back = Sources.readOrc(spark, path, d.schema)
+    assert(back.schema == d.schema)
+    assert(back.exceptAll(d).isEmpty && d.exceptAll(back).isEmpty)
+    val plan = back.filter(col("c_custkey") === 1L).select(col("c_name"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,1)]"),
+      plan.take(500))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     Sources.writeBucketed(Tables.orders(spark, sfDir), "o_bkt", "o_orderkey", 4)
     Sources.writeBucketed(
