@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deterministic randomized property tests: the distributed candidate
+  * generators and graph operators are compared against brute-force
+  * references over seeded pseudo-random inputs — the adversarial cases
+  * hand-written specs miss (random bit spreads, random graph shapes,
+  * random set overlaps at the threshold).
+  */
+class PropertySpec extends SparkSpec {
+
+  test("hammingPairs equals brute force on random fingerprints (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random base fps + planted near-duplicates at random distances
+    val base = Array.fill(120)(rnd.nextLong())
+    val planted = (0 until 60).map { i =>
+      val d = rnd.nextInt(17) // hamming 0..16
+      var fp = base(rnd.nextInt(base.length))
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      bits.foreach(b => fp ^= (1L << b))
+      fp
+    }
+    val fps = (base ++ planted).zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    for (maxHamming <- Seq(1, 3, 7, 12)) {
+      val got = Dedup.hammingPairs(fps.toSeq.toDF("id", "fp"), maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        a <- fps; b <- fps if a._1 < b._1
+        h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= maxHamming
+      } yield (a._1, b._1, h)).toSet
+      assert(got == want,
+        s"maxHamming=$maxHamming missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("jaccardPairs equals brute force on random gram sets (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1L to 60L).toArray
+    // random sets, plus near-duplicate pairs built by small mutations
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    for (_ <- 0 until 60) {
+      val sz = 3 + rnd.nextInt(12)
+      val s = rnd.shuffle(vocab.toList).take(sz)
+      sets += s.sorted
+      if (rnd.nextBoolean()) {
+        val mutated = (s.drop(rnd.nextInt(3)) ++
+          rnd.shuffle(vocab.toList).take(rnd.nextInt(3))).distinct
+        if (mutated.nonEmpty) sets += mutated.sorted
+      }
+    }
+    val docs = sets.zipWithIndex
+      .map { case (g, i) => (i.toLong, "en", "s0", g) }.toSeq
+      .toDF("doc_id", "lang", "source", "grams")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (a, i) <- sets.zipWithIndex; (b, j) <- sets.zipWithIndex if i < j
+        inter = a.intersect(b).size
+        uni = (a ++ b).distinct.size
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want,
+        s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("connected components equal union-find on random graphs (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 3) {
+      val n = 150
+      val nEdges = Seq(40, 150, 400)(trial) // sparse, critical, dense
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minLabel = Array.tabulate(n)(i => find(i))
+      // min-id labeling: the root after path compression IS the min in
+      // this union-by-min scheme
+      val got = Dedup.connectedComponents(
+        (0 until n).map(_.toLong).toDF("id"),
+        edges.toDF("src", "dst"), maxIters = 30)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+      (0 until n).foreach { i =>
+        assert(got(i) == minLabel(i).toLong,
+          s"trial=$trial node $i: got ${got(i)}, want ${minLabel(i)}")
+      }
+    }
+  }
+}
