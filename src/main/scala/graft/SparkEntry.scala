@@ -111,9 +111,9 @@ object SparkEntry {
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
-    "q_media_decode" -> ((s, d) => Multimodal.mediaDecodeSummary(s, d)),
-    "q_media_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
-    "q_media_resize" -> ((s, d) => Multimodal.resizeMeta(s, d)),
+    "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
+    "q_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    "q_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -902,5 +902,50 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha
         |FROM documents""".stripMargin,
+    // GR01 media oracles: the synthetic rasters' dimensions and pixels
+    // are pure functions of doc_id (see Multimodal.syntheticRasters),
+    // so DuckDB recomputes the decode/frame/resize aggregates from
+    // first principles — verifying the Spark side's real binary
+    // encode → header parse → pixel walk end to end. Fixed ranges
+    // (max 3 frames, max 24×20 px) are filtered per doc.
+    "q_media_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + 4*(doc_id % 5) AS width,
+        |   8 + 4*((doc_id // 5) % 4) AS height, 1 + (doc_id % 3) AS n_frames
+        | FROM documents)
+        |SELECT d.doc_id, CAST(d.width AS INT) AS width,
+        | CAST(d.height AS INT) AS height, CAST(d.n_frames AS INT) AS n_frames,
+        | CAST(sum((d.doc_id*131 + k.k*977 + i.i*2654435761) % 256) AS BIGINT)
+        |   AS luma_sum,
+        | CAST(CAST(sum((d.doc_id*131 + k.k*977 + i.i*2654435761) % 256)
+        |     AS BIGINT) AS DOUBLE) /
+        |   CAST(d.width*d.height*d.n_frames AS DOUBLE) AS mean_luma
+        |FROM d, range(0, 3) k(k), range(0, 480) i(i)
+        |WHERE k.k < d.n_frames AND i.i < d.width*d.height
+        |GROUP BY 1, 2, 3, 4, d.width, d.height, d.n_frames""".stripMargin,
+    "q_media_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + 4*(doc_id % 5) AS width,
+        |   8 + 4*((doc_id // 5) % 4) AS height, 1 + (doc_id % 3) AS n_frames
+        | FROM documents)
+        |SELECT d.doc_id, CAST(k.k AS INT) AS frame_idx,
+        | CAST(sum((d.doc_id*131 + k.k*977 + i.i*2654435761) % 256) AS BIGINT)
+        |   AS frame_sum,
+        | CAST(CAST(sum((d.doc_id*131 + k.k*977 + i.i*2654435761) % 256)
+        |     AS BIGINT) AS DOUBLE) / CAST(d.width*d.height AS DOUBLE)
+        |   AS frame_mean
+        |FROM d, range(0, 3) k(k), range(0, 480) i(i)
+        |WHERE k.k < d.n_frames AND i.i < d.width*d.height
+        |GROUP BY 1, 2, d.width, d.height""".stripMargin,
+    "q_media_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + 4*(doc_id % 5) AS width,
+        |   8 + 4*((doc_id // 5) % 4) AS height FROM documents)
+        |SELECT d.doc_id,
+        | CAST((i.i % d.width) // (d.width // 4) AS INT) AS bx,
+        | CAST((i.i // d.width) // (d.height // 4) AS INT) AS by,
+        | CAST(CAST(sum((d.doc_id*131 + i.i*2654435761) % 256) AS BIGINT)
+        |     AS DOUBLE) / CAST((d.width // 4) * (d.height // 4) AS DOUBLE)
+        |   AS pool_mean
+        |FROM d, range(0, 480) i(i)
+        |WHERE i.i < d.width*d.height
+        |GROUP BY 1, 2, 3, d.width, d.height""".stripMargin,
   )
 }

@@ -159,6 +159,137 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Real media pipeline over the GR01 raster wire format.
+  //
+  // GR01 is a tiny multi-frame raster container: header
+  // 'G''R' 0x01 | channels u8 | width u16 LE | height u16 LE |
+  // n_frames u16 LE, followed by n_frames × (w·h·c) pixel bytes,
+  // row-major. The encode → decode → feature path below is REAL code
+  // over real binary columns — parse the header, walk the pixels,
+  // average-pool, per-frame stats — and is oracle-checked end to end
+  // (the synthetic pixels are a pure function of doc_id, so DuckDB
+  // recomputes every aggregate from first principles). Foreign codecs
+  // (JPEG/PNG/video) would plug into the same iterator-per-partition
+  // decode seam; those libraries aren't in this container, which is
+  // what [[decodeStub]] stands in for.
+  // ---------------------------------------------------------------
+
+  /** Encode one GR01 payload. */
+  def gr01Encode(w: Int, h: Int, frames: Int,
+                 pixel: (Int, Int) => Int): Array[Byte] = {
+    val out = new Array[Byte](9 + frames * w * h)
+    out(0) = 'G'; out(1) = 'R'; out(2) = 1; out(3) = 1 // version, channels=1
+    out(4) = (w & 0xff).toByte; out(5) = ((w >> 8) & 0xff).toByte
+    out(6) = (h & 0xff).toByte; out(7) = ((h >> 8) & 0xff).toByte
+    // n_frames u16 LE lives in the last header byte pair: keep the
+    // header 9 bytes by storing frames as u8 (bounded small here)
+    out(8) = (frames & 0xff).toByte
+    var k = 0
+    while (k < frames) {
+      var i = 0
+      while (i < w * h) {
+        out(9 + k * w * h + i) = (pixel(k, i) & 0xff).toByte
+        i += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  final case class Gr01(doc_id: Long, width: Int, height: Int,
+                        n_frames: Int, pixels: Array[Byte])
+
+  /** Parse a GR01 payload (throws on bad magic — quarantine upstream). */
+  def gr01Decode(id: Long, bytes: Array[Byte]): Gr01 = {
+    require(bytes.length >= 9 && bytes(0) == 'G' && bytes(1) == 'R' &&
+      bytes(2) == 1, s"not a GR01 payload (${bytes.length} bytes)")
+    val w = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    val h = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val f = bytes(8) & 0xff
+    require(bytes.length == 9 + f * w * h, s"truncated GR01: ${bytes.length}")
+    Gr01(id, w, h, f, java.util.Arrays.copyOfRange(bytes, 9, bytes.length))
+  }
+
+  /** Synthetic GR01 assets, one per document: dimensions and pixels
+    * are pure functions of doc_id (pixel(k,i) = (id·131 + k·977 +
+    * i·2654435761) mod 256), so the oracle can recompute everything
+    * downstream without touching the binary. Returns (doc_id, payload
+    * binary) — the honest input shape of a media table. */
+  def syntheticRasters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + 4 * (id % 5).toInt
+        val h = 8 + 4 * ((id / 5) % 4).toInt
+        val f = 1 + (id % 3).toInt
+        (id, gr01Encode(w, h, f,
+          (k, i) => ((id * 131 + k * 977 + i * 2654435761L) % 256).toInt))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Decode + per-asset features over the binary column: dimensions,
+    * frame count, exact integer luma sum, mean luma (one deterministic
+    * double division). Oracle-checked against DuckDB's recomputation
+    * of the same pixels. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticRasters(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val g = gr01Decode(id, bytes)
+        var s = 0L
+        var i = 0
+        while (i < g.pixels.length) { s += (g.pixels(i) & 0xff); i += 1 }
+        (g.doc_id, g.width, g.height, g.n_frames, s,
+          s.toDouble / (g.width.toLong * g.height * g.n_frames))
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "luma_sum", "mean_luma")
+  }
+
+  /** Per-frame stats: one row per (asset, frame) with the frame's
+    * exact luma sum and mean — the decode-then-explode shape of video
+    * frame feature extraction, over real frame bytes. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticRasters(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val g = gr01Decode(id, bytes)
+        val fsz = g.width * g.height
+        (0 until g.n_frames).map { k =>
+          var s = 0L
+          var i = 0
+          while (i < fsz) { s += (g.pixels(k * fsz + i) & 0xff); i += 1 }
+          (g.doc_id, k, s, s.toDouble / fsz)
+        }
+      }).toDF("doc_id", "frame_idx", "frame_sum", "frame_mean")
+  }
+
+  /** Real average-pool resize of frame 0 to a `target`×`target` grid
+    * (dimensions are multiples of `target`, so pools are exact): one
+    * row per output pixel with the pooled mean. The actual pixel math
+    * of a thumbnail pipeline, partition-parallel. */
+  def mediaResize(spark: SparkSession, dir: String, target: Int = 4): DataFrame = {
+    import spark.implicits._
+    syntheticRasters(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val g = gr01Decode(id, bytes)
+        val bw = g.width / target
+        val bh = g.height / target
+        val sums = Array.ofDim[Long](target * target)
+        var i = 0
+        while (i < g.width * g.height) {
+          val bx = (i % g.width) / bw
+          val by = (i / g.width) / bh
+          sums(by * target + bx) += (g.pixels(i) & 0xff)
+          i += 1
+        }
+        (0 until target * target).map { b =>
+          (g.doc_id, b % target, b / target,
+            sums(b).toDouble / (bw.toLong * bh))
+        }
+      }).toDF("doc_id", "bx", "by", "pool_mean")
+  }
+
   /** Perceptual near-dup pairs over media payloads: 64-bit dHash
     * (gradient-sign fingerprint, robust to uniform shifts) → banded
     * hamming-ball pairs via [[Dedup.hammingPairs]] (maxHamming+1
@@ -172,33 +303,4 @@ object Multimodal {
       maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
-  /** Aggregate view over the stub decode: deterministic, rows-only
-    * checked (the decode is stubbed; nothing to oracle in SQL). */
-  def mediaDecodeSummary(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(spark, dir)
-      .groupBy(col("width"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("n_frames")).as("total_frames"))
-
-  /** Frame sampling: one row per sampled frame (every `stride`-th),
-    * with a per-frame feature derived from the decode. The explode is
-    * the real Spark-side shape of video frame extraction; the frame
-    * "pixels" are the stub. */
-  def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame =
-    decodeStub(spark, dir)
-      .select(col("doc_id"), col("n_frames"), col("feat"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx"),
-        element_at(col("feat"), (col("frame_idx") % 8) + 1).as("frame_feature"))
-
-  /** Resize plumbing: rescales the stub dimensions to a target box
-    * keeping aspect (integer math only — deterministic); the actual
-    * pixel resample would sit in the decode stub. */
-  def resizeMeta(spark: SparkSession, dir: String, target: Int = 8): DataFrame =
-    decodeStub(spark, dir)
-      .select(col("doc_id"), col("width"), col("height"),
-        greatest(col("width"), col("height")).as("long_side"))
-      .select(col("doc_id"), col("width"), col("height"),
-        ((col("width") * target) / col("long_side")).cast("int").as("out_w"),
-        ((col("height") * target) / col("long_side")).cast("int").as("out_h"))
 }

@@ -291,6 +291,41 @@ class OperatorSpec extends SparkSpec {
     assert(a.head.getAs[scala.collection.Seq[Float]]("feat").length == 8)
   }
 
+  test("GR01 raster encode/decode round-trips header and pixels exactly") {
+    val px = Array.tabulate(2, 12 * 8)((k, i) => (k * 100 + i) % 256)
+    val bytes = Multimodal.gr01Encode(12, 8, 2, (k, i) => px(k)(i))
+    val g = Multimodal.gr01Decode(7L, bytes)
+    assert(g.width == 12 && g.height == 8 && g.n_frames == 2)
+    assert(g.pixels.length == 2 * 12 * 8)
+    for (k <- 0 until 2; i <- 0 until 12 * 8)
+      assert((g.pixels(k * 96 + i) & 0xff) == px(k)(i))
+    // corrupt payloads are rejected, not mis-decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.gr01Decode(1L, bytes.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.gr01Decode(1L, "nope".getBytes)
+    }
+  }
+
+  test("average-pool resize conserves total luma across pools") {
+    val decode = Multimodal.mediaDecode(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val frames0 = Multimodal.mediaFrames(spark, sfDir)
+      .filter(col("frame_idx") === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // sum over the 16 pools × pool size = frame-0 luma sum, exactly
+    Multimodal.mediaResize(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).foreach { case (id, rows) =>
+        val (w, h, _) = decode(id)
+        val poolN = (w / 4).toLong * (h / 4)
+        val total = rows.map(r => r.getDouble(3) * poolN).sum
+        assert(math.round(total) == frames0(id),
+          s"doc $id: pooled $total vs frame sum ${frames0(id)}")
+      }
+  }
+
   test("msg rate = window count / window seconds") {
     val row = Monitoring.msgRatePerTopic(spark, sfDir)
       .orderBy(desc("msg_count")).head()
