@@ -91,6 +91,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
+    "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
@@ -362,17 +363,21 @@ object SparkEntry {
         | max(CAST(CAST(user_id AS DOUBLE) / CAST(50 AS DOUBLE)
         |   AS FLOAT)) AS lon_max
         |FROM events GROUP BY 1,2""".stripMargin,
+    // Integer-cents component sums (scale-0 → both engines round the
+    // big integer to double identically; scaled decimals hit DuckDB's
+    // two-step decimal→double rounding and can land 1 ulp off).
     "q_corr" ->
-      """WITH s AS (SELECT l_returnflag, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
-        |   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
-        |   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-        |FROM lineitem GROUP BY 1)
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS xc,
+        |  CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS yc
+        | FROM lineitem),
+        | s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(xc) AS DOUBLE) / CAST(100 AS DOUBLE) AS sx,
+        |  CAST(sum(yc) AS DOUBLE) / CAST(100 AS DOUBLE) AS sy,
+        |  CAST(sum(xc * yc) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sxy,
+        |  CAST(sum(xc * xc) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sxx,
+        |  CAST(sum(yc * yc) AS DOUBLE) / CAST(10000 AS DOUBLE) AS syy
+        | FROM c GROUP BY 1)
         |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
         | (n * sxy - sx * sy) /
         |   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
@@ -470,6 +475,38 @@ object SparkEntry {
         |FROM p JOIN e a ON a.vec_id = p.vec_a
         | JOIN e b ON b.vec_id = p.vec_b AND b.i = a.i
         |GROUP BY 1, 2 HAVING dot_q >= 250000""".stripMargin,
+    // Incremental dedup ground truth: same SRP fingerprints; a new
+    // item (vec_id >= 250) is a duplicate if some corpus item or some
+    // EARLIER new item is within hamming 3 and dot >= 250000.
+    "q_dedup_incremental" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | pr AS (SELECT vec_id, j,
+        |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
+        |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+        | f AS (SELECT vec_id,
+        |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
+        |     ELSE 0 END) AS BIGINT) AS lo,
+        |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+        |     ELSE 0 END) AS BIGINT) AS hi
+        |  FROM pr GROUP BY 1),
+        | fp AS (SELECT vec_id, CAST((hi - CASE WHEN hi >= 2147483648
+        |     THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS fp
+        |  FROM f),
+        | cand AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM fp a JOIN fp b
+        |  ON a.vec_id >= 250 AND b.vec_id <> a.vec_id
+        |   AND (b.vec_id < 250 OR b.vec_id < a.vec_id)
+        |   AND bit_count(xor(a.fp, b.fp)) <= 3),
+        | hits AS (SELECT cand.va FROM cand
+        |  JOIN e a ON a.vec_id = cand.va JOIN e b ON b.vec_id = cand.vb
+        |   AND b.i = a.i
+        |  GROUP BY cand.va, cand.vb
+        |  HAVING CAST(sum(a.q * b.q) AS BIGINT) >= 250000)
+        |SELECT fp.vec_id, fp.fp FROM fp
+        |WHERE fp.vec_id >= 250
+        | AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.va = fp.vec_id)""".stripMargin,
     "q_ann_brute" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q

@@ -410,17 +410,26 @@ object Analytics {
     * accumulates doubles in partition order and is not reproducible
     * across engines or partitionings. */
   def correlation(spark: SparkSession, dir: String): DataFrame = {
-    val x = dec(col("l_quantity"))
-    val y = dec(col("l_extendedprice"))
+    // Component sums over integer CENTS as scale-0 decimals. A scaled
+    // decimal (e.g. Σy² at scale 4) with unscaled value > 2^53 hits a
+    // cross-engine trap: DuckDB converts decimal→double in two
+    // roundings (int128→double, then ÷10^scale) while the JVM rounds
+    // once — adjacent-double results. Scale-0 sums are plain big
+    // integers, which both engines round to double identically; the
+    // rescale back to natural units is then ONE double division
+    // (deterministic), and the corr formula runs on those doubles
+    // with the same op sequence on both sides.
+    val xc = round(col("l_quantity") * 100, 0).cast(DecimalType(19, 0))
+    val yc = round(col("l_extendedprice") * 100, 0).cast(DecimalType(19, 0))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(y).cast("double").as("sy"),
-        sum(x * y).cast("double").as("sxy"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y * y).cast("double").as("syy"))
+        (sum(xc).cast("double") / lit(100.0)).as("sx"),
+        (sum(yc).cast("double") / lit(100.0)).as("sy"),
+        (sum(xc * yc).cast("double") / lit(10000.0)).as("sxy"),
+        (sum(xc * xc).cast("double") / lit(10000.0)).as("sxx"),
+        (sum(yc * yc).cast("double") / lit(10000.0)).as("syy"))
       .withColumn("corr_xy",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

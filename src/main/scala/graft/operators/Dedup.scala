@@ -108,6 +108,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Two-sided hamming-ball join: candidates between a LEFT and RIGHT
+    * fingerprint table (not a self-join) with the same sound
+    * `maxHamming + 1` disjoint-chunk banding as [[hammingPairs]] —
+    * 100% recall within the ball. The incremental-dedup primitive:
+    * band both sides, equi-join on (chunk, chunk-value), exact-verify.
+    * Output: (id_l, id_r, hamming). */
+  def hammingJoin(left: DataFrame, right: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    def banded(fps: DataFrame, idAs: String, fpAs: String): DataFrame =
+      fps.select(col("id").as(idAs), col("fp").as(fpAs),
+        explode(array((0 until nChunks).map { c =>
+          val lo = c * 64 / nChunks
+          val width = (c + 1) * 64 / nChunks - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
+        }: _*)).as("b"))
+        .select(col(idAs), col(fpAs), col("b.chunk"), col("b.cv"))
+    banded(left, "id_l", "fp_l")
+      .join(banded(right, "id_r", "fp_r"), Seq("chunk", "cv"))
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("fp_l").bitwiseXOR(col("fp_r"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** INCREMENTAL near-dup dedup — the operational form at corpus
+    * scale: instead of re-clustering 100 TB nightly, band the NEW
+    * batch's fingerprints against the existing corpus's and keep only
+    * new items with no near-duplicate already in the corpus (plus no
+    * earlier near-dup within the batch itself). Here the split is by
+    * vec_id parity-of-half so the oracle can reproduce it; in
+    * production the corpus side is the persisted fingerprint table.
+    * Exact verification: SRP hamming <= maxHamming AND integer dot >=
+    * minDotQ, both bit-reproducible cross-engine. Returns kept new
+    * rows (vec_id, fp). */
+  def dedupIncremental(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                       minDotQ: Long = 250000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding"),
+        V.srpFingerprint(col("embedding")).as("fp"))
+    val half = 250L // corpus = first half of the id space at any SF
+    val corpus = e.filter(col("id") < half)
+    val fresh = e.filter(col("id") >= half)
+    // near-dup hits of new items against the corpus...
+    val vsCorpus = hammingJoin(fresh.select(col("id"), col("fp")),
+      corpus.select(col("id"), col("fp")), maxHamming)
+      .join(fresh.select(col("id").as("id_l"), col("embedding").as("e_l")), Seq("id_l"))
+      .join(corpus.select(col("id").as("id_r"), col("embedding").as("e_r")), Seq("id_r"))
+      .filter(V.quantizedDot(col("e_l"), col("e_r")) >= minDotQ)
+      .select(col("id_l").as("dup_id"))
+    // ...plus earlier-in-batch near-dups (self pairs keep the larger id)
+    val inBatch = srpPairsOf(fresh, maxHamming, minDotQ)
+      .select(col("vec_b").as("dup_id"))
+    val kept = fresh.select(col("id").as("vec_id"), col("fp"))
+    val dups = vsCorpus.unionAll(inBatch).distinct()
+    kept.join(dups, kept("vec_id") === dups("dup_id"), "left_anti")
+  }
+
+  /** [[srpPairs]] over a prepared (id, embedding, fp) frame. */
+  private[operators] def srpPairsOf(e: DataFrame, maxHamming: Int,
+                                    minDotQ: Long): DataFrame =
+    hammingPairs(e.select(col("id"), col("fp")), maxHamming)
+      .join(e.select(col("id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("hamming"),
+        V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
+      .filter(col("dot_q") >= minDotQ)
+
   /** SimHash near-dups: 64-bit text fingerprint → banded hamming-ball
     * pairs (see [[hammingPairs]] for the recall guarantee). Default
     * threshold 3 = the Manku et al. production setting (4×16-bit
@@ -389,15 +459,10 @@ object Dedup {
     * Semantics: pairs with hamming(fp) <= maxHamming AND dot_q >=
     * minDotQ — near-dup by angle AND confirmed by exact similarity. */
   def srpPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
-               minDotQ: Long = 250000L): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding"),
-        V.srpFingerprint(col("embedding")).as("fp"))
-    hammingPairs(e.select(col("id"), col("fp")), maxHamming)
-      .join(e.select(col("id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
-      .join(e.select(col("id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))
-      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("hamming"),
-        V.quantizedDot(col("e_a"), col("e_b")).as("dot_q"))
-      .filter(col("dot_q") >= minDotQ)
-  }
+               minDotQ: Long = 250000L): DataFrame =
+    srpPairsOf(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), col("embedding"),
+          V.srpFingerprint(col("embedding")).as("fp")),
+      maxHamming, minDotQ)
 }

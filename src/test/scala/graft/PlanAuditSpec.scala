@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe broadcasts the tiny sides; the corpus scan is probe-pruned") {
+    val plan = physical(graft.operators.Ann.ivfTopK(spark, sfDir))
+    // centroid sums and the probed (query, label) set both broadcast;
+    // the big side never sort-merges
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the fused-kernel dedup pipeline") {
     val df = Dedup.exactNormalized(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen spans appear

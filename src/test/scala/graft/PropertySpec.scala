@@ -36,6 +36,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hammingJoin (two-sided) equals brute force on random fingerprints") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val L = Array.fill(80)(rnd.nextLong()).zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    // right side: mutations of left fps at random distances + fresh randoms
+    val R = (L.take(40).map { case (i, f) =>
+      var fp = f
+      rnd.shuffle((0 until 64).toList).take(rnd.nextInt(10)).foreach(b => fp ^= (1L << b))
+      (1000L + i, fp)
+    } ++ Array.fill(40)((2000L + rnd.nextInt(1000), rnd.nextLong()))).distinct
+    for (maxHamming <- Seq(2, 5)) {
+      val got = Dedup.hammingJoin(L.toSeq.toDF("id", "fp"), R.toSeq.toDF("id", "fp"), maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        a <- L; b <- R
+        h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= maxHamming
+      } yield (a._1, b._1, h)).toSet
+      assert(got == want,
+        s"maxHamming=$maxHamming missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("jaccardPairs equals brute force on random gram sets (seeded fuzz)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
