@@ -22,6 +22,10 @@ object GraftSession {
     // small enough that a partition's working set fits executor memory
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.parquet.filterPushdown" -> "true",
+    // iterative operators (connected components) checkpoint per round;
+    // without this, reliable checkpoint files outlive their RDDs and
+    // accumulate on HDFS/object store across nightly runs
+    "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true",
     // events.ts is TIMESTAMP(NANOS) parquet (see Tables.events)
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 

@@ -85,28 +85,10 @@ object Dedup {
     * corpora small enough to afford ~n²/2⁵ candidate verification.
     *
     * Input: (`id`, `fp`) rows. Output: (id_a < id_b, hamming). */
-  def hammingPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
-    val nChunks = maxHamming + 1
-    val banded = fps.select(col("id"), col("fp"),
-      explode(array((0 until nChunks).map { c =>
-        // integer chunk boundaries covering all 64 bits exactly once
-        val lo = c * 64 / nChunks
-        val width = (c + 1) * 64 / nChunks - lo
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
-      }: _*)).as("b"))
-      .select(col("id"), col("fp"), col("b.chunk"), col("b.cv"))
-    banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("chunk"), col("cv"))
-      .join(banded.select(col("id").as("id_b"), col("fp").as("fp_b"),
-        col("chunk"), col("cv")), Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  def hammingPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    hammingJoin(fps, fps, maxHamming)
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("hamming"))
 
   /** Two-sided hamming-ball join: candidates between a LEFT and RIGHT
     * fingerprint table (not a self-join) with the same sound
@@ -139,20 +121,21 @@ object Dedup {
     * scale: instead of re-clustering 100 TB nightly, band the NEW
     * batch's fingerprints against the existing corpus's and keep only
     * new items with no near-duplicate already in the corpus (plus no
-    * earlier near-dup within the batch itself). Here the split is by
-    * vec_id parity-of-half so the oracle can reproduce it; in
-    * production the corpus side is the persisted fingerprint table.
-    * Exact verification: SRP hamming <= maxHamming AND integer dot >=
-    * minDotQ, both bit-reproducible cross-engine. Returns kept new
-    * rows (vec_id, fp). */
+    * earlier near-dup within the batch itself). In production the
+    * corpus side is the persisted fingerprint table; here both sides
+    * come from one table split at `corpusMax` — a FIXED id cutoff the
+    * oracle reproduces (at sf0.01's 500 vectors that is a half/half
+    * split; at other SFs the proportions shift but the semantics and
+    * the verification don't). Exact verification: SRP hamming <=
+    * maxHamming AND integer dot >= minDotQ, both bit-reproducible
+    * cross-engine. Returns kept new rows (vec_id, fp). */
   def dedupIncremental(spark: SparkSession, dir: String, maxHamming: Int = 3,
-                       minDotQ: Long = 250000L): DataFrame = {
+                       minDotQ: Long = 250000L, corpusMax: Long = 250L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"),
         V.srpFingerprint(col("embedding")).as("fp"))
-    val half = 250L // corpus = first half of the id space at any SF
-    val corpus = e.filter(col("id") < half)
-    val fresh = e.filter(col("id") >= half)
+    val corpus = e.filter(col("id") < corpusMax)
+    val fresh = e.filter(col("id") >= corpusMax)
     // near-dup hits of new items against the corpus...
     val vsCorpus = hammingJoin(fresh.select(col("id"), col("fp")),
       corpus.select(col("id"), col("fp")), maxHamming)
@@ -327,6 +310,9 @@ object Dedup {
     * each round — with a RELIABLE checkpoint (HDFS/object store) when
     * `sparkContext.setCheckpointDir` is configured, surviving executor
     * loss on a real cluster, else `localCheckpoint` for local runs.
+    * Run with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (GraftSession sets it) so superseded rounds' checkpoint files are
+    * deleted as their RDDs are collected instead of accumulating.
     *
     * Returns (labels, rounds) — rounds includes the final no-change
     * detection round. */

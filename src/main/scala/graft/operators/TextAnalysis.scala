@@ -162,9 +162,9 @@ object Multimodal {
   // ---------------------------------------------------------------
   // Real media pipeline over the GR01 raster wire format.
   //
-  // GR01 is a tiny multi-frame raster container: header
+  // GR01 is a tiny multi-frame raster container: 9-byte header
   // 'G''R' 0x01 | channels u8 | width u16 LE | height u16 LE |
-  // n_frames u16 LE, followed by n_frames × (w·h·c) pixel bytes,
+  // n_frames u8, followed by n_frames × (w·h·c) pixel bytes,
   // row-major. The encode → decode → feature path below is REAL code
   // over real binary columns — parse the header, walk the pixels,
   // average-pool, per-frame stats — and is oracle-checked end to end
@@ -182,8 +182,7 @@ object Multimodal {
     out(0) = 'G'; out(1) = 'R'; out(2) = 1; out(3) = 1 // version, channels=1
     out(4) = (w & 0xff).toByte; out(5) = ((w >> 8) & 0xff).toByte
     out(6) = (h & 0xff).toByte; out(7) = ((h >> 8) & 0xff).toByte
-    // n_frames u16 LE lives in the last header byte pair: keep the
-    // header 9 bytes by storing frames as u8 (bounded small here)
+    // n_frames u8 (255-frame cap is part of the format spec)
     out(8) = (frames & 0xff).toByte
     var k = 0
     while (k < frames) {

@@ -128,14 +128,19 @@ object FeedParser {
             if ((vk >>> 3).toInt == 1 && (vk & 7) == 2) {
               val (plen, pp) = readVarint(b, vq)
               var r = pp; val pEnd = pp + plen.toInt
-              while (r < pEnd && r + 4 <= b.length) {
+              while (r < pEnd && r < b.length) {
                 val (pk, pq) = readVarint(b, r)
-                val bits = (b(pq) & 0xff) | ((b(pq + 1) & 0xff) << 8) |
-                  ((b(pq + 2) & 0xff) << 16) | ((b(pq + 3) & 0xff) << 24)
-                (pk >>> 3).toInt match {
-                  case 1 if (pk & 7) == 5 => lat = java.lang.Float.intBitsToFloat(bits)
-                  case 2 if (pk & 7) == 5 => lon = java.lang.Float.intBitsToFloat(bits)
-                  case _ =>
+                // bounds-check AFTER the tag: a truncated buffer whose
+                // nested length prefixes still claim the old size must
+                // degrade to nulls, not throw
+                if ((pk & 7) == 5 && pq + 4 <= b.length) {
+                  val bits = (b(pq) & 0xff) | ((b(pq + 1) & 0xff) << 8) |
+                    ((b(pq + 2) & 0xff) << 16) | ((b(pq + 3) & 0xff) << 24)
+                  (pk >>> 3).toInt match {
+                    case 1 => lat = java.lang.Float.intBitsToFloat(bits)
+                    case 2 => lon = java.lang.Float.intBitsToFloat(bits)
+                    case _ =>
+                  }
                 }
                 r = skip(b, (pk & 7).toInt, pq)
               }

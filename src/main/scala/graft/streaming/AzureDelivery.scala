@@ -50,13 +50,17 @@ object AzureDelivery {
     * same way. */
   private val RefreshableCodes = Set("TokenExpired", "InvalidToken")
 
-  /** Extract Error.Code from an Azure error body. The reference does a
-    * full JSON parse then reads ["Error"]["Code"]; any body that does
-    * not carry that path is "failed for an unknown reason". */
-  private val codeRe =
-    """"Error"\s*:\s*\{[^}]*"Code"\s*:\s*"([^"]+)"""".r
+  /** Extract Error.Code from an Azure error body — a full JSON parse
+    * reading ["Error"]["Code"], exactly like the reference; any body
+    * that does not carry that path (or is not JSON at all) is "failed
+    * for an unknown reason". A regex would misread bodies with braces
+    * inside Message strings or nested Details objects. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   def errorCode(body: String): Option[String] =
-    codeRe.findFirstMatchIn(body).map(_.group(1))
+    try {
+      val code = mapper.readTree(body).path("Error").path("Code")
+      if (code.isTextual) Some(code.asText()) else None
+    } catch { case _: Exception => None }
 
   /** The send state machine. Returns true iff a POST succeeded within
     * `attempts`. Per attempt (send_data_to_azure_monitor.py:28-86):

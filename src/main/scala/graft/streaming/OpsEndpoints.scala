@@ -27,10 +27,13 @@ object OpsEndpoints {
   }
 
   /** Serve /health, /liveness and /metrics on `port` (0 = ephemeral).
-    * Returns the server + health switch; caller stops the server. */
-  final class Server(port: Int, scrape: () => String) {
+    * Binds the wildcard address by default — kubelet probes hit the
+    * pod IP, not loopback (pass "127.0.0.1" in tests). Returns the
+    * server + health switch; caller stops the server. */
+  final class Server(port: Int, scrape: () => String,
+                     host: String = "0.0.0.0") {
     val health = new Health
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
     private def write(ex: HttpExchange, status: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -103,14 +103,17 @@ object StreamingMonitor {
       .flatMapGroupsWithState[Map[Long, Long], QuantilePanelRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (topic, rows, state: GroupState[Map[Long, Long]]) =>
-          var h = state.getOption.getOrElse(Map.empty[Long, Long])
+          // accumulate the batch in ONE mutable histogram (an immutable
+          // map would allocate a new version per event on the hot path)
+          val h = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(h ++= _)
           var added = 0L
           rows.foreach { e =>
             val c = graft.plans.QuantileSketch.centsOf(e.value)
-            h = h.updated(c, h.getOrElse(c, 0L) + 1L)
+            h.update(c, h.getOrElse(c, 0L) + 1L)
             added += 1
           }
-          if (added > 0) state.update(h)
+          if (added > 0) state.update(h.toMap)
           val n = h.valuesIterator.sum
           val qs = graft.plans.QuantileSketch.quantilesOf(h, Seq(0.5, 0.9, 0.99))
           Iterator.single(QuantilePanelRow(topic, n, qs(0), qs(1), qs(2)))

@@ -51,6 +51,21 @@ class FeedParserSpec extends SparkSpec {
     assert(r.getString(0) == "abc" && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("truncated entity buffers degrade to nulls instead of throwing") {
+    import spark.implicits._
+    val full = FeedParser.encodeFeed(1L,
+      Seq(FeedParser.encodeEntity("veh-9", 5L, 1.5f, 2.5f)))
+    // chop bytes off the end: nested length prefixes still claim the
+    // old size, so every truncation point must parse without throwing
+    for (cut <- 1 to 12) {
+      val rows = Seq(full.dropRight(cut)).toDF("feed")
+        .select(explode(FeedColumns.feed_entities(col("feed"))).as("e"))
+        .select(col("e.entity_id"), col("e.veh_lat"), col("e.veh_lon"))
+        .collect()
+      assert(rows.length <= 1) // never crashes, at most a partial entity
+    }
+  }
+
   test("expressions evaluate over a binary column") {
     import spark.implicits._
     val feeds = Seq(

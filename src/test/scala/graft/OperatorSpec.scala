@@ -382,7 +382,8 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
-    val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n")
+    val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
+      host = "127.0.0.1")
     try {
       def get(path: String): (Int, String) = {
         val c = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}$path")
