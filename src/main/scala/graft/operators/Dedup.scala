@@ -86,8 +86,7 @@ object Dedup {
     *
     * Input: (`id`, `fp`) rows. Output: (id_a < id_b, hamming). */
   def hammingPairs(fps: DataFrame, maxHamming: Int): DataFrame =
-    hammingJoin(fps, fps, maxHamming)
-      .filter(col("id_l") < col("id_r"))
+    hammingCore(fps, fps, maxHamming, ordered = true)
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("hamming"))
 
   /** Two-sided hamming-ball join: candidates between a LEFT and RIGHT
@@ -96,7 +95,15 @@ object Dedup {
     * 100% recall within the ball. The incremental-dedup primitive:
     * band both sides, equi-join on (chunk, chunk-value), exact-verify.
     * Output: (id_l, id_r, hamming). */
-  def hammingJoin(left: DataFrame, right: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingJoin(left: DataFrame, right: DataFrame, maxHamming: Int): DataFrame =
+    hammingCore(left, right, maxHamming, ordered = false)
+
+  /** Shared banding core — the pigeonhole chunk geometry lives here
+    * and only here. `ordered` applies the self-join's id_l < id_r
+    * BEFORE the distinct, so self-pairs and mirror orientations never
+    * enter the dedup shuffle. */
+  private def hammingCore(left: DataFrame, right: DataFrame, maxHamming: Int,
+                          ordered: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
     val nChunks = maxHamming + 1
     def banded(fps: DataFrame, idAs: String, fpAs: String): DataFrame =
@@ -109,8 +116,9 @@ object Dedup {
             shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
         }: _*)).as("b"))
         .select(col(idAs), col(fpAs), col("b.chunk"), col("b.cv"))
-    banded(left, "id_l", "fp_l")
+    val joined = banded(left, "id_l", "fp_l")
       .join(banded(right, "id_r", "fp_r"), Seq("chunk", "cv"))
+    (if (ordered) joined.filter(col("id_l") < col("id_r")) else joined)
       .select(col("id_l"), col("id_r"),
         bit_count(col("fp_l").bitwiseXOR(col("fp_r"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
