@@ -103,6 +103,7 @@ object SparkEntry {
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
@@ -575,6 +576,22 @@ object SparkEntry {
         |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
         |         THEN 0.5 ELSE 0.0 END AS quality
         |FROM documents""".stripMargin,
+    "q_curation_funnel" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
+        |   + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / length(text) * (-2.0))
+        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |     THEN 0.5 ELSE 0.0 END AS quality
+        | FROM documents)
+        |SELECT source, count(*) AS n_total,
+        | count(*) FILTER (quality > 0.55) AS n_quality,
+        | count(*) FILTER (n_tokens BETWEEN 30 AND 80) AS n_length,
+        | count(*) FILTER (quality > 0.55 AND n_tokens BETWEEN 30 AND 80)
+        |   AS n_kept
+        |FROM q GROUP BY 1""".stripMargin,
     "q_token_count" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,

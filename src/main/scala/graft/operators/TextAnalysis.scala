@@ -32,6 +32,24 @@ object TextAnalysis {
         T.stopwordRatio(col("text")).as("stop_ratio"),
         T.qualityScore(col("text")).as("quality"))
 
+  /** Curation funnel: per-source attrition through the quality and
+    * length gates — the headline acceptance report of a training-data
+    * curation pipeline (how many documents each source contributes
+    * after each filter, and after all of them). Reuses the exact
+    * quality/token kernels, so the whole funnel is oracle-checked;
+    * one scan, one keyed aggregate, conditional counts map-side. */
+  def curationFunnel(spark: SparkSession, dir: String, minQuality: Double = 0.55,
+                     minTokens: Int = 30, maxTokens: Int = 80): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), T.wordCount(col("text")).as("n_tokens"),
+        T.qualityScore(col("text")).as("quality"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("quality") > minQuality, 1)).as("n_quality"),
+        count(when(col("n_tokens").between(minTokens, maxTokens), 1)).as("n_length"),
+        count(when(col("quality") > minQuality &&
+          col("n_tokens").between(minTokens, maxTokens), 1)).as("n_kept"))
+
   /** Token counting (whitespace + BPE-ish) rolled up per source. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
