@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One JSON line on stdout (driver contract), and the
+  * FULL artifact — every per-query timing for every repetition — in
+  * `SPARK_GRAFT_BENCH_OUT` (default target/bench.json), so a truncated
+  * stdout capture can never lose per-query rows.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` (default 3) timed
+  * iterations and reports the MEDIAN: a single iteration lets one GC
+  * pause or JIT recompile fabricate a 3× "regression" (adjudicated
+  * exactly so in round 2 — none of the flagged queries reproduced).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,11 +28,24 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    // interleave rounds (all queries, then all again) rather than
+    // back-to-back reps of one query: back-to-back reps share a warm
+    // JIT state the driver's single-pass run never sees, which would
+    // bias the median low vs reality
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names)
+      samples(name) = samples(name) :+ timeOnce(SparkEntry.queries(name))
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = names.map(n => n -> median(samples(n))).toMap
     // dump formatted physical plans of the slowest queries so a bench
     // regression comes with its plan attached (stdout stays one JSON
     // line; plans go to files)
@@ -28,21 +53,34 @@ object Bench {
     val nPlans = sys.env.getOrElse("SPARK_GRAFT_PLAN_TOP", "5").toInt
     if (nPlans > 0) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
-      results.toSeq.sortBy(-_._2).take(nPlans).foreach { case (name, secs) =>
+      medians.toSeq.sortBy(-_._2).take(nPlans).foreach { case (name, secs) =>
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           java.nio.file.Files.write(
             java.nio.file.Paths.get(planDir, s"$name.txt"),
-            f"-- $name: $secs%.3f s at $sfDir%n$plan".getBytes("UTF-8"))
+            f"-- $name: median $secs%.3f s at $sfDir%n$plan".getBytes("UTF-8"))
         } catch { case _: Throwable => }
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = names.map(n => s"\"$n\":${medians(n)}").mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // full artifact: every sample, plus the medians and the stdout line
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    val allSamples = names.map { n =>
+      s"\"$n\":" + samples(n).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val artifact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"sf":"$sfDir","reps":$reps}"""
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, artifact.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

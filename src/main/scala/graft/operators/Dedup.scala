@@ -192,8 +192,12 @@ object Dedup {
       Tables.documents(spark, dir)
         .filter(size(T.tokens(col("text"))) >= 2)
         .select(col("doc_id"), col("lang"), col("source"),
-          // sorted distinct 64-bit bigram hashes: 8 bytes/gram, and
-          // set ops on them equal set ops on the gram strings
+          // sorted distinct 64-bit bigram hashes: 8 bytes/gram. Set
+          // ops on them equal set ops on the gram strings up to 64-bit
+          // hash collisions — a collision inside one compared pair's
+          // union would inflate the intersection (probability ~2^-64
+          // per gram pair; negligible, but the equivalence is
+          // probabilistic, not exact)
           shingle_hashes(col("text"), 2).as("grams")),
       minJaccard)
 

@@ -233,23 +233,37 @@ object Monitoring {
     * feed_entity_count / feed_header_timestamp expressions — the
     * reference's gtfsrt get_stats, minus the HTTP fetch. The oracle is
     * the plain aggregate the round trip must reproduce. */
-  def feedStats(spark: SparkSession, dir: String): DataFrame = {
+  def feedStats(spark: SparkSession, dir: String,
+                entitiesPerFeed: Int = 256): DataFrame = {
     import spark.implicits._
     import graft.plans.{FeedColumns, FeedParser}
     val nowEpoch = 1735689600L // 2025-01-01 UTC, matches FixedNowIso
+    // Real feeds are fleet-bounded; a synthesized one must be too. A
+    // hot window emits ⌈n/cap⌉ capped FeedMessages (one row each)
+    // instead of a single feed blob proportional to the window's event
+    // count, then the parsed stats re-aggregate per window — so no row
+    // or aggregation buffer grows with group size.
+    val cap = entitiesPerFeed.toLong
     val feeds = Tables.events(spark, dir)
       .groupBy(col("event_type").as("topic"),
         date_trunc("hour", col("ts")).as("window_start"))
       .agg(count(lit(1)).as("n"), unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .as[(String, java.sql.Timestamp, Long, Long)]
-      .map { case (topic, win, n, last) =>
+      .select(col("topic"), col("window_start"), col("last_epoch"), col("n"),
+        explode(sequence(lit(0L),
+          (((col("n") - 1) - pmod(col("n") - 1, lit(cap))) / cap).cast("long"))).as("feed_seq"))
+      .withColumn("chunk_n",
+        least(lit(cap), col("n") - col("feed_seq") * cap).cast("int"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long, Int)]
+      .map { case (topic, win, last, _, _, chunkN) =>
         (topic, win,
-          FeedParser.encodeFeed(last, Seq.fill(n.toInt)(Array[Byte](0x08, 1))))
+          FeedParser.encodeFeed(last, Seq.fill(chunkN)(Array[Byte](0x08, 1))))
       }.toDF("topic", "window_start", "feed")
     feeds.select(col("topic"), col("window_start"),
-      FeedColumns.feed_entity_count(col("feed")).as("entity_count"),
-      (lit(nowEpoch) - FeedColumns.feed_header_timestamp(col("feed")))
-        .as("timestamp_age"))
+      FeedColumns.feed_entity_count(col("feed")).as("ec"),
+      FeedColumns.feed_header_timestamp(col("feed")).as("hts"))
+      .groupBy(col("topic"), col("window_start"))
+      .agg(sum(col("ec")).cast("int").as("entity_count"),
+        (lit(nowEpoch) - max(col("hts"))).as("timestamp_age"))
   }
 
   /** Entity-level GTFS-RT analytics: synthesize one FeedMessage per
@@ -262,16 +276,28 @@ object Monitoring {
     * (varints, length-delimited nesting, and fixed32 float bits are
     * all lossless). Extends q_feed_stats from header-level to
     * entity-level coverage of the reference's full FeedMessage schema. */
-  def feedEntityStats(spark: SparkSession, dir: String): DataFrame = {
+  def feedEntityStats(spark: SparkSession, dir: String,
+                      entitiesPerFeed: Int = 256): DataFrame = {
     import spark.implicits._
     import graft.plans.{FeedColumns, FeedParser}
+    // Fleet-bounded synthesis: events are chunked into ⌈n/cap⌉ feeds
+    // per (topic, hour) via row_number, so every collect_list buffer
+    // and every synthesized blob is ≤ cap entities no matter how hot
+    // the window. The parse→explode→aggregate below groups by (topic,
+    // window) only, so the chunking is invisible in the output.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
     val feeds = Tables.events(spark, dir)
-      .groupBy(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"))
+      .select(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_id"), col("user_id"), col("value"), col("ts"))
+      .withColumn("feed_seq",
+        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
+      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
       .agg(collect_list(struct(col("event_id"), col("user_id"), col("value")))
         .as("evs"), unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .as[(String, java.sql.Timestamp, Seq[(Long, Long, Double)], Long)]
-      .map { case (topic, win, evs, last) =>
+      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Long, Double)], Long)]
+      .map { case (topic, win, _, evs, last) =>
         val entities = evs.map { case (eid, uid, v) =>
           FeedParser.encodeEntity(eid.toString, v.floor.toLong,
             (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat)

@@ -221,10 +221,12 @@ object Multimodal {
   def gr01Decode(id: Long, bytes: Array[Byte]): Gr01 = {
     require(bytes.length >= 9 && bytes(0) == 'G' && bytes(1) == 'R' &&
       bytes(2) == 1, s"not a GR01 payload (${bytes.length} bytes)")
+    val c = bytes(3) & 0xff
+    require(c == 1, s"unsupported GR01 channel count: $c")
     val w = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
     val h = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
     val f = bytes(8) & 0xff
-    require(bytes.length == 9 + f * w * h, s"truncated GR01: ${bytes.length}")
+    require(bytes.length == 9 + f * w * h * c, s"truncated GR01: ${bytes.length}")
     Gr01(id, w, h, f, java.util.Arrays.copyOfRange(bytes, 9, bytes.length))
   }
 

@@ -29,13 +29,21 @@ object FeedParser {
     (v, i)
   }
 
-  /** Skip a field payload; returns next offset (or length on error). */
-  private def skip(b: Array[Byte], wireType: Int, pos: Int): Int = wireType match {
-    case 0 => readVarint(b, pos)._2
-    case 1 => pos + 8
-    case 2 => val (len, p) = readVarint(b, pos); p + len.toInt
-    case 5 => pos + 4
-    case _ => b.length
+  /** Skip a field payload; returns next offset. Malformed lengths
+    * (negative, overflowing, or non-advancing — e.g. a crafted varint
+    * whose low 32 bits are negative) return `b.length` so every scan
+    * loop terminates instead of indexing a negative offset. */
+  private def skip(b: Array[Byte], wireType: Int, pos: Int): Int = {
+    val next = wireType match {
+      case 0 => readVarint(b, pos)._2
+      case 1 => pos + 8
+      case 2 =>
+        val (len, p) = readVarint(b, pos)
+        if (len < 0L || len > b.length.toLong) b.length else p + len.toInt
+      case 5 => pos + 4
+      case _ => b.length
+    }
+    if (next <= pos) b.length else next
   }
 
   /** Count of top-level occurrences of `fieldNum` (len-delimited). */
@@ -110,8 +118,12 @@ object FeedParser {
       f match {
         case 1 if wt == 2 => // id: string
           val (len, sp) = readVarint(b, p)
-          id = org.apache.spark.unsafe.types.UTF8String
-            .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
+          // untrusted length: only copy what the buffer actually holds;
+          // a negative or overflowing length degrades to null, not a
+          // throw or a NUL-padded id
+          if (len >= 0L && len <= (b.length - sp).toLong)
+            id = org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
         case 3 if wt == 2 => // trip_update -> field 5 delay (varint)
           val (len, tp) = readVarint(b, p)
           var t = tp; val tEnd = tp + len.toInt

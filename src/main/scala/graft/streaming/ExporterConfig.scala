@@ -40,18 +40,33 @@ object ExporterConfig {
   def buildFrom(conf: Map[String, String]): AppConfig = {
     def required(path: String): String = conf.getOrElse(path,
       throw new IllegalArgumentException(s"$path is required"))
-    val port = required("port").toInt
+    def intOf(path: String): Int = {
+      val raw = required(path)
+      try raw.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$path must be an integer, but was $raw")
+      }
+    }
+    def durationOf(path: String): Duration = {
+      val raw = required(path)
+      try Duration.parse(raw) catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"$path must be an ISO-8601 duration, but was $raw")
+      }
+    }
+    val port = intOf("port")
     val urls = jsonStrings(mapper.readTree(required("gtfsrt.urls")))
-    val poll = Duration.parse(required("gtfsrt.pollInterval"))
-    val timeout = Duration.parse(required("gtfsrt.clientTimeout"))
+    val poll = durationOf("gtfsrt.pollInterval")
+    val timeout = durationOf("gtfsrt.clientTimeout")
     // AppConfig.java:79-84 — overlapping polls exhaust resources
     if (poll.compareTo(timeout) <= 0)
       throw new IllegalArgumentException(
         s"gtfsrt.pollInterval ($poll) must be longer than gtfsrt.clientTimeout ($timeout).")
     val clientId = required("mqtt.clientId")
-    val connectionTimeout = Duration.parse(required("mqtt.connectionTimeout"))
-    val keepAlive = Duration.parse(required("mqtt.keepAliveInterval"))
-    val qos = required("mqtt.qos").toInt
+    val connectionTimeout = durationOf("mqtt.connectionTimeout")
+    val keepAlive = durationOf("mqtt.keepAliveInterval")
+    val qos = intOf("mqtt.qos")
     if (qos < 0 || qos > 2)
       throw new IllegalArgumentException(s"mqtt.qos must be 0, 1, or 2, but was $qos")
     val brokers = conf.get("mqtt.brokers") match {
@@ -61,7 +76,13 @@ object ExporterConfig {
         val out = Seq.newBuilder[BrokerConfig]
         while (it.hasNext) {
           val b = it.next()
-          out += BrokerConfig(b.get("address").asText(), jsonStrings(b.get("topicFilters")))
+          val address = b.get("address")
+          if (address == null)
+            throw new IllegalArgumentException("mqtt.brokers entry: address is required")
+          val filters = b.get("topicFilters")
+          if (filters == null)
+            throw new IllegalArgumentException("mqtt.brokers entry: topicFilters is required")
+          out += BrokerConfig(address.asText(), jsonStrings(filters))
         }
         out.result()
     }

@@ -80,6 +80,38 @@ class ExporterConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("non-numeric port and qos surface as IllegalArgumentException naming the key") {
+    val port = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid + ("port" -> "eighty"))
+    }
+    assert(port.getMessage == "port must be an integer, but was eighty")
+    val qos = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid + ("mqtt.qos" -> "one"))
+    }
+    assert(qos.getMessage == "mqtt.qos must be an integer, but was one")
+  }
+
+  test("malformed durations surface as IllegalArgumentException naming the key") {
+    val e = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid + ("gtfsrt.pollInterval" -> "30 seconds"))
+    }
+    assert(e.getMessage ==
+      "gtfsrt.pollInterval must be an ISO-8601 duration, but was 30 seconds")
+  }
+
+  test("broker entries missing address or topicFilters name the missing field") {
+    val noAddress = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid +
+        ("mqtt.brokers" -> """[{"topicFilters": ["/hfp/#"]}]"""))
+    }
+    assert(noAddress.getMessage == "mqtt.brokers entry: address is required")
+    val noFilters = intercept[IllegalArgumentException] {
+      ExporterConfig.buildFrom(valid +
+        ("mqtt.brokers" -> """[{"address": "tcp://b1:1883"}]"""))
+    }
+    assert(noFilters.getMessage == "mqtt.brokers entry: topicFilters is required")
+  }
+
   test("rejects out-of-range qos") {
     val e = intercept[IllegalArgumentException] {
       ExporterConfig.buildFrom(valid + ("mqtt.qos" -> "3"))

@@ -66,6 +66,26 @@ class FeedParserSpec extends SparkSpec {
     }
   }
 
+  test("crafted malformed lengths never throw or allocate past the buffer") {
+    // length varints whose low 32 bits are negative (0xFFFFFFFF0F =
+    // varint 0xFFFFFFFF) or that claim gigabytes: parsers must degrade
+    // to null/-1/0, not AIOOBE or a ~2GB zero-padded allocation
+    val hugeLen = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x0f)
+    // header (field 1) with a huge claimed length
+    val badHeader = Array[Byte](0x0a) ++ hugeLen ++ Array[Byte](0x18, 0x01)
+    assert(FeedParser.headerTimestamp(badHeader) == -1L)
+    assert(FeedParser.countField(badHeader, 2) == 0)
+    // entity (field 2) whose id field claims a huge length
+    val badEntity = Array[Byte](0x0a) ++ hugeLen ++ "xy".getBytes("UTF-8")
+    val feed = FeedParser.encodeFeed(7L, Seq(badEntity))
+    val parsed = FeedParser.parseEntities(feed)
+    assert(parsed.numElements() == 1) // id degrades to null, no throw
+    assert(parsed.getStruct(0, 4).isNullAt(0))
+    // skip-field path: unknown field with the same crafted length
+    val badSkip = Array[Byte](0x32) ++ hugeLen ++ Array[Byte](0x18, 0x01)
+    assert(FeedParser.headerTimestamp(badSkip) == -1L)
+  }
+
   test("expressions evaluate over a binary column") {
     import spark.implicits._
     val feeds = Seq(

@@ -32,6 +32,18 @@ class OperatorSpec extends SparkSpec {
     assert(got == "hfp/*/^x")
   }
 
+  test("feed synthesis chunking is invisible in the output") {
+    // cap=4 forces every (topic, hour) group into multiple synthesized
+    // feeds; the parsed-and-reaggregated stats must equal the
+    // effectively-uncapped run row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("topic", "window_start").collect().toSeq
+    assert(rows(Monitoring.feedStats(spark, sfDir, entitiesPerFeed = 4)) ==
+      rows(Monitoring.feedStats(spark, sfDir, entitiesPerFeed = 1 << 20)))
+    assert(rows(Monitoring.feedEntityStats(spark, sfDir, entitiesPerFeed = 4)) ==
+      rows(Monitoring.feedEntityStats(spark, sfDir, entitiesPerFeed = 1 << 20)))
+  }
+
   test("decontaminate never flags eval-source docs and hits are positive") {
     val d = Dedup.decontaminate(spark, sfDir).collect()
     assert(d.forall(r => r.getAs[String]("source") != "src0"))
