@@ -1,0 +1,204 @@
+package graft
+
+import graft.plans.HashKernels
+
+/** DuckDB-SQL builders that recompute the repo's 64-bit fingerprint
+  * kernels (FNV-1a + splitmix64 token hashes, polynomial shingles,
+  * rolling window hash, byte-dHash) in pure SQL, so the driver's
+  * oracle can hash-check the fingerprint queries instead of taking
+  * them on faith (the q_dedup_cosine_srp pattern, generalized).
+  *
+  * DuckDB has no wrapping 64-bit integer arithmetic, so everything
+  * runs in the unsigned-64 domain carried as HUGEINT (int128), with
+  * three identities:
+  *  - (z * c) mod 2^64 with a 64-bit constant c = hi·2^32 + lo:
+  *    z·lo <= 2^96 and (z mod 2^32)·hi <= 2^64 both fit int128,
+  *    while z·c itself would overflow;
+  *  - 64-bit xor via 32-bit halves (DuckDB's BIGINT xor is exact on
+  *    non-negative values < 2^32);
+  *  - the signed (JVM Long) view of u is u - (u >= 2^63 ? 2^64 : 0) —
+  *    needed wherever Scala compares/mins longs, and for the final
+  *    fingerprint column the parquet dump stores as a signed BIGINT.
+  *
+  * Document text is ASCII in this corpus (asserted by OracleSqlSpec),
+  * so per-character `ord` equals the UTF-8 byte the JVM kernels hash.
+  */
+private[graft] object OracleSql {
+
+  private val P64 = "18446744073709551616" // 2^64
+
+  /** 64-bit xor of two unsigned-domain HUGEINT expressions. */
+  private def xor64(a: String, b: String): String =
+    s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296" +
+      s" + CAST(xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
+
+  /** (z * c) mod 2^64 via the hi/lo-split identity. */
+  private def mul64(z: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((($z) * $lo) % $P64 + (((($z) % 4294967296) * $hi) % 4294967296) * 4294967296) % $P64"
+  }
+
+  /** CTE stages applying the splitmix64 finalizer (HashKernels.mix) to
+    * column `col` of `srcCte`; returns (ctes, finalCte, finalCol). */
+  private def mixStages(srcCte: String, col: String,
+                        prefix: String): (Seq[String], String, String) = {
+    def z(i: Int) = s"${prefix}_z$i"
+    val s = Seq(
+      s"${prefix}0 AS (SELECT *, (($col) + 11400714819323198485) % $P64 AS ${z(0)} FROM $srcCte)",
+      s"${prefix}1 AS (SELECT *, ${xor64(z(0), s"(${z(0)}) // 1073741824")} AS ${z(1)} FROM ${prefix}0)",
+      s"${prefix}2 AS (SELECT *, (${mul64(z(1), 0xbf58476d1ce4e5b9L)}) AS ${z(2)} FROM ${prefix}1)",
+      s"${prefix}3 AS (SELECT *, ${xor64(z(2), s"(${z(2)}) // 134217728")} AS ${z(3)} FROM ${prefix}2)",
+      s"${prefix}4 AS (SELECT *, (${mul64(z(3), 0x94d049bb133111ebL)}) AS ${z(4)} FROM ${prefix}3)",
+      s"${prefix}5 AS (SELECT *, ${xor64(z(4), s"(${z(4)}) // 2147483648")} AS ${z(5)} FROM ${prefix}4)")
+    (s, s"${prefix}5", z(5))
+  }
+
+  /** FNV-1a 64 fold over the chars of column `tok`, seeded like
+    * HashKernels.hash64(_, 0): init = 0xcbf29ce484222325 ^ mix(0). */
+  private val fnvInit: String =
+    java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ HashKernels.mix(0L))
+  private val fnvTok: String =
+    s"list_reduce(list_prepend(CAST($fnvInit AS HUGEINT)," +
+      " list_transform(string_split(tok, ''), c -> CAST(ord(c) AS HUGEINT)))," +
+      " (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))" +
+      s" * 1099511628211) % $P64)"
+
+  /** The signed-BIGINT view of an unsigned-domain expression. */
+  private def signed(u: String): String =
+    s"CAST(($u) - CASE WHEN ($u) >= 9223372036854775808 THEN $P64 ELSE 0 END AS BIGINT)"
+
+  /** Pack per-(row, bit) 0/1 `bit` into a signed BIGINT fingerprint,
+    * grouped by `key`: the SRP oracle's hi/lo-halves construction. */
+  private def packBits(src: String, key: String, bitCol: String,
+                       idxCol: String, outCte: String): Seq[String] = Seq(
+    s"${outCte}_h AS (SELECT $key," +
+      s" CAST(sum(CASE WHEN $idxCol < 32 THEN $bitCol * (CAST(1 AS BIGINT) << $idxCol) ELSE 0 END) AS BIGINT) AS lo," +
+      s" CAST(sum(CASE WHEN $idxCol >= 32 THEN $bitCol * (CAST(1 AS BIGINT) << ($idxCol - 32)) ELSE 0 END) AS BIGINT) AS hi" +
+      s" FROM $src GROUP BY 1)",
+    s"$outCte AS (SELECT $key, CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+      s" * 4294967296 + lo AS BIGINT) AS fp FROM ${outCte}_h)")
+
+  /** CTE chain documents -> fp(doc_id, fp): simhash_text (whitespace
+    * tokens; every occurrence votes; majority bit). */
+  private def simhashFpCtes: Seq[String] = {
+    val (stages, last, lastCol) = mixStages("fnv", "h0", "mx")
+    Seq(
+      """toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)""",
+      s"fnv AS (SELECT doc_id, $fnvTok AS h0 FROM toks WHERE tok <> '')") ++
+      stages ++ Seq(
+      s"th AS (SELECT doc_id, CAST(($lastCol) % 4294967296 AS BIGINT) AS lo," +
+        s" CAST(($lastCol) // 4294967296 AS BIGINT) AS hi FROM $last)",
+      "bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN" +
+        " ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1" +
+        " THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit" +
+        " FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2)") ++
+      packBits("bits", "doc_id", "bit", "j", "fp")
+  }
+
+  /** q_dedup_simhash: all pairs with hamming(simhash) <= 3 — the exact
+    * set the sound pigeonhole banding + verify emits. */
+  def dedupSimhash: String =
+    "WITH " + simhashFpCtes.mkString(",\n ") +
+      "\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b," +
+      " CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming" +
+      "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+      "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
+
+  /** q_dedup_apply: connected components (transitive closure) over the
+    * hamming<=3 simhash pair graph; per-source kept/total counts. */
+  def dedupApply: String =
+    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + """,
+ p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b
+   ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
+ ed AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+ reach(a, b) AS (SELECT a, b FROM ed
+   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+ m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
+ comp AS (SELECT d.doc_id, d.source,
+   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+  FROM documents d LEFT JOIN m ON m.a = d.doc_id)
+SELECT source, count(*) AS n_docs, count(DISTINCT component) AS n_kept
+FROM comp GROUP BY 1"""
+
+  /** q_fingerprint: rolling min-window hash (w=16; min over SIGNED
+    * mixed window hashes — JVM long comparison) + simhash. The corpus
+    * guarantees len(text) >= 16 (asserted by OracleSqlSpec), so the
+    * short-text fallback branch of the kernel never fires. */
+  def fingerprints: String = {
+    val (stages, last, lastCol) = mixStages("wh", "h0", "rx")
+    val rollCtes = Seq(
+      "wins AS (SELECT doc_id, unnest(range(1, len(text) - 14)) AS i, text FROM documents)",
+      "wh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT)," +
+        " list_transform(string_split(substr(text, CAST(i AS INTEGER), 16), '')," +
+        " c -> CAST(ord(c) AS HUGEINT)))," +
+        s" (h, b) -> (h * 1000003 + b) % $P64) AS h0 FROM wins)") ++
+      stages ++ Seq(
+      s"roll AS (SELECT doc_id, min(${signed(lastCol)}) AS roll_fp FROM $last GROUP BY 1)")
+    "WITH " + (simhashFpCtes ++ rollCtes).mkString(",\n ") +
+      "\nSELECT fp.doc_id, roll.roll_fp, fp.fp AS sim_fp" +
+      "\nFROM fp JOIN roll ON roll.doc_id = fp.doc_id"
+  }
+
+  /** q_media_phash: byte-dHash over the payload (= ASCII text bytes):
+    * bit i = byte[i mod n] < byte[(i+1) mod n], i in 0..63; then the
+    * exact hamming<=3 pair set. */
+  def mediaPhash: String =
+    ("WITH b AS (SELECT doc_id, i," +
+      " CASE WHEN ord(substr(text, CAST(i % len(text) AS INTEGER) + 1, 1)) <" +
+      " ord(substr(text, CAST((i + 1) % len(text) AS INTEGER) + 1, 1))" +
+      " THEN 1 ELSE 0 END AS bit" +
+      " FROM documents CROSS JOIN (SELECT unnest(range(64)) AS i)),\n " +
+      packBits("b", "doc_id", "bit", "i", "fp").mkString(",\n ")) +
+      "\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b," +
+      " CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming" +
+      "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+      "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
+
+  /** q_dedup_minhash: minhash_shingles(text, 3, 64) signatures via the
+    * one-hash family h_p(s) = mix(mix(shingle) ^ mix(p)); candidates
+    * share a band of 8 consecutive signature values (joined on the
+    * value slice itself — band-hash equality up to xxhash64 collisions
+    * on the Spark side); est_jaccard = matching positions / 64. */
+  def dedupMinhash: String = {
+    val mpValues = (0 until 64).map(p =>
+      s"($p, CAST(${java.lang.Long.toUnsignedString(HashKernels.mix(p.toLong))} AS HUGEINT))")
+      .mkString(", ")
+    val (tokStages, tokLast, tokCol) = mixStages("fnv", "h0", "tx")
+    val (baseStages, baseLast, baseCol) = mixStages("sh", "sh0", "bx")
+    val (hStages, hLast, hCol) = mixStages("hx", "hx0", "hm")
+    val shingle = // ((t1*B + t2)*B + t3) mod 2^64, B = 0x100000001b3
+      s"((((a.h * 1099511628211) % $P64 + b.h) % $P64) * 1099511628211 % $P64 + c.h) % $P64"
+    val ctes = Seq(
+      """t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
+      "t AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0)",
+      s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
+      tokStages ++ Seq(
+      s"th AS (SELECT doc_id, ti, $tokCol AS h FROM $tokLast)",
+      s"sh AS (SELECT a.doc_id, a.ti AS si, $shingle AS sh0" +
+        " FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.ti = a.ti + 1" +
+        " JOIN th c ON c.doc_id = a.doc_id AND c.ti = a.ti + 2)") ++
+      baseStages ++ Seq(
+      s"base AS (SELECT doc_id, si, $baseCol AS bh FROM $baseLast)",
+      s"mp(p, mp) AS (VALUES $mpValues)",
+      s"hx AS (SELECT doc_id, si, p, ${xor64("bh", "mp")} AS hx0 FROM base CROSS JOIN mp)") ++
+      hStages ++ Seq(
+      s"sig0 AS (SELECT doc_id, p, min(${signed(hCol)}) AS s FROM $hLast GROUP BY 1, 2)",
+      // docs with < 3 tokens keep the Long.MaxValue sentinel signature
+      "sig AS (SELECT d.doc_id, mp.p, coalesce(sig0.s, 9223372036854775807) AS s" +
+        " FROM documents d CROSS JOIN mp LEFT JOIN sig0" +
+        " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)",
+      "bands AS (SELECT doc_id, p // 8 AS band," +
+        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
+        " FROM sig GROUP BY 1, 2)",
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
+        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
+        " AND a.doc_id < b.doc_id)")
+    "WITH " + ctes.mkString(",\n ") +
+      "\nSELECT c.doc_a, c.doc_b," +
+      " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard" +
+      "\nFROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
+      " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
+      "\nGROUP BY 1, 2"
+  }
+}

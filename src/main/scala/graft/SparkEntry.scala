@@ -678,6 +678,15 @@ object SparkEntry {
         | m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)
         |SELECT v.vec_id, least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id
         |FROM embeddings v LEFT JOIN m ON m.a = v.vec_id""".stripMargin,
+    // Fingerprint-kernel oracles: DuckDB recomputes the FNV-1a +
+    // splitmix64 / polynomial / dHash fingerprints from first
+    // principles (see OracleSql for the mod-2^64 SQL arithmetic), so
+    // these formerly rows-only queries are hash-checked end to end.
+    "q_dedup_simhash" -> OracleSql.dedupSimhash,
+    "q_dedup_apply" -> OracleSql.dedupApply,
+    "q_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q_fingerprint" -> OracleSql.fingerprints,
+    "q_media_phash" -> OracleSql.mediaPhash,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |   WHERE event_type = 'view' GROUP BY 1),

@@ -44,9 +44,43 @@ object Dedup {
     * vocabulary, so random doc pairs already share many shingles
     * (J≈0.3); with r=4 the candidate set explodes quadratically. */
   def minhashPairs(spark: SparkSession, dir: String,
-                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 8): DataFrame =
+    minhashPairsOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      numHashes, bands)
+
+  /** Banding geometry (bands b, rows r = numHashes/b) whose LSH
+    * S-curve midpoint (1/b)^(1/r) sits closest to `targetJaccard` —
+    * i.e. a pair at the target threshold has ~50% candidate
+    * probability per the standard 1-(1-J^r)^b curve, rising steeply
+    * above it. Returns the band count to pass to [[minhashPairs]].
+    * E.g. numHashes=64: t=0.5 → 16 bands × 4 rows (midpoint exactly
+    * 0.5); t=0.8 → 8×8 (midpoint 0.77); t=0.9 → 4×16 (0.917). */
+  def bandingFor(numHashes: Int, targetJaccard: Double): Int = {
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0,1), got $targetJaccard")
+    val rowsChoices = (1 to numHashes).filter(numHashes % _ == 0)
+    val r = rowsChoices.minBy { r =>
+      val midpoint = math.exp(-math.log(numHashes.toDouble / r) / r)
+      math.abs(midpoint - targetJaccard)
+    }
+    numHashes / r
+  }
+
+  /** [[minhashPairs]] with banding derived from the Jaccard threshold
+    * the caller actually targets (see [[bandingFor]]) — the production
+    * entry point. The bare default (8 bands × 8 rows, midpoint 0.77)
+    * is tuned for this corpus's 31-word vocabulary where random pairs
+    * already sit at J≈0.3; at a real vocabulary call this with the
+    * threshold instead. */
+  def minhashPairsAt(spark: SparkSession, dir: String, targetJaccard: Double,
+                     numHashes: Int = 64): DataFrame =
+    minhashPairs(spark, dir, numHashes, bandingFor(numHashes, targetJaccard))
+
+  /** [[minhashPairs]] over a prepared (doc_id, text) frame. */
+  def minhashPairsOf(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = Tables.documents(spark, dir)
+    val sigs = docs
       .select(col("doc_id"),
         minhash_shingles(col("text"), 3, numHashes).as("sig"))
     // band join on (band, band-hash, id) ONLY — 24-byte rows. The

@@ -48,6 +48,51 @@ class FingerprintSpec extends SparkSpec {
     assert(est > 0.4 && est < 0.8, s"est=$est")
   }
 
+  test("bandingFor puts the S-curve midpoint at the target threshold") {
+    import graft.operators.Dedup
+    // midpoint (1/b)^(1/r): t=0.5 → 16 bands × 4 rows is exact
+    assert(Dedup.bandingFor(64, 0.5) == 16)
+    // t=0.9 → 4 bands × 16 rows (midpoint 0.917)
+    assert(Dedup.bandingFor(64, 0.9) == 4)
+    // the corpus-tuned default 8×8 is what a 0.77-ish target derives
+    assert(Dedup.bandingFor(64, 0.77) == 8)
+    // derived midpoint is within 0.1 of every target in the useful
+    // near-dup range (below ~0.4 the 64-hash divisor lattice is coarse
+    // — midpoints jump 0.18 → 0.5 between r=2 and r=4)
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val b = Dedup.bandingFor(64, t)
+      val r = 64 / b
+      val mid = math.exp(-math.log(b.toDouble) / r)
+      assert(math.abs(mid - t) < 0.1, s"t=$t b=$b mid=$mid")
+    }
+  }
+
+  test("threshold-derived banding recalls planted J≈0.7 pairs at >= 90%") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // realistic vocabulary: every token unique per pair, so random
+    // cross-pair Jaccard is ~0 and recall isolates the banding curve.
+    // Doc 2i = tokens (i,0..99); doc 2i+1 shares the first 86 tokens
+    // → shared 3-shingles 84 of 98 each: J = 84/112 = 0.75
+    val nPairs = 50
+    val docs = (0 until nPairs).flatMap { i =>
+      val base = (0 until 100).map(j => s"w${i}_$j")
+      val variant = base.take(86) ++ (0 until 14).map(j => s"v${i}_$j")
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, variant.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val bands = Dedup.bandingFor(64, 0.5) // 16×4: P(cand|J=.75) ≈ 0.997
+    val got = Dedup.minhashPairsOf(docs, 64, bands)
+      .filter(col("doc_b") === col("doc_a") + 1 && col("doc_a") % 2 === 0)
+      .count()
+    assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
+    // and the corpus-tuned 8×8 default would miss most of them at this
+    // threshold — the documented reason minhashPairsAt exists
+    val got88 = Dedup.minhashPairsOf(docs, 64, 8)
+      .filter(col("doc_b") === col("doc_a") + 1 && col("doc_a") % 2 === 0)
+      .count()
+    assert(got88 < got, s"8x8 recalled $got88, derived banding $got")
+  }
+
   test("rolling fingerprint: docs sharing their minimal window collide") {
     val s1 = UTF8String.fromString("prefix AAAA shared-window-content BBBB")
     val s2 = UTF8String.fromString("other AAAA shared-window-content CCCC")

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The fingerprint-kernel oracles (OracleSql) recompute JVM byte-level
+  * hashing in DuckDB SQL under two data preconditions; pin them so a
+  * future corpus change fails here with a message instead of as an
+  * opaque oracle hash mismatch. */
+class OracleSqlSpec extends SparkSpec {
+
+  test("oracle preconditions: document text is ASCII and >= 16 chars") {
+    // ASCII ⇒ DuckDB ord(char) = UTF-8 byte the kernels hash;
+    // len >= 16 ⇒ the rolling-hash short-text fallback never fires
+    val bad = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) < 16 || col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("oracle SQL builders embed the kernel constants") {
+    // the mix(p) family constants are derived from HashKernels.mix at
+    // build time — spot-check p=0 appears in the minhash oracle
+    val mix0 = java.lang.Long.toUnsignedString(graft.plans.HashKernels.mix(0L))
+    assert(OracleSql.dedupMinhash.contains(mix0))
+    assert(OracleSql.dedupSimhash.contains("bit_count"))
+    assert(OracleSql.fingerprints.contains("1000003")) // rolling base B
+    assert(OracleSql.mediaPhash.contains("% len(text)"))
+  }
+}
