@@ -8,17 +8,19 @@ import graft.plans.HashKernels
   * oracle can hash-check the fingerprint queries instead of taking
   * them on faith (the q_dedup_cosine_srp pattern, generalized).
   *
-  * DuckDB has no wrapping 64-bit integer arithmetic, so everything
-  * runs in the unsigned-64 domain carried as HUGEINT (int128), with
-  * three identities:
-  *  - (z * c) mod 2^64 with a 64-bit constant c = hi·2^32 + lo:
-  *    z·lo <= 2^96 and (z mod 2^32)·hi <= 2^64 both fit int128,
-  *    while z·c itself would overflow;
-  *  - 64-bit xor via 32-bit halves (DuckDB's BIGINT xor is exact on
-  *    non-negative values < 2^32);
-  *  - the signed (JVM Long) view of u is u - (u >= 2^63 ? 2^64 : 0) —
-  *    needed wherever Scala compares/mins longs, and for the final
-  *    fingerprint column the parquet dump stores as a signed BIGINT.
+  * DuckDB has no wrapping 64-bit integer arithmetic, so the kernels
+  * are re-expressed over BIGINT 32-bit halves (h, l) with three
+  * identities:
+  *  - 16-bit limb products keep every multiply mod 2^64 inside signed
+  *    BIGINT (all products < 2^48, all sums < 2^35);
+  *  - 64-bit xor/shift act independently on the halves (DuckDB's
+  *    BIGINT xor is exact on non-negative values < 2^32);
+  *  - the signed (JVM Long) view is (h - (h >= 2^31 ? 2^32 : 0))·2^32
+  *    + l — needed wherever Scala compares/mins longs and for the
+  *    dumped BIGINT fingerprint columns.
+  * HUGEINT appears only in the tiny per-token/per-window fold CTEs
+  * (int128 divmods measured ~7 s/stage over 1.7M rows — the halves
+  * form runs the whole chain well under a second).
   *
   * Document text is ASCII in this corpus (asserted by OracleSqlSpec),
   * so per-character `ord` equals the UTF-8 byte the JVM kernels hash.
@@ -27,35 +29,69 @@ private[graft] object OracleSql {
 
   private val P64 = "18446744073709551616" // 2^64
 
-  /** 64-bit xor of two unsigned-domain HUGEINT expressions. */
-  private def xor64(a: String, b: String): String =
-    s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296" +
-      s" + CAST(xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
-
-  /** (z * c) mod 2^64 via the hi/lo-split identity. */
-  private def mul64(z: String, c: Long): String = {
-    val hi = c >>> 32
-    val lo = c & 0xffffffffL
-    s"((($z) * $lo) % $P64 + (((($z) % 4294967296) * $hi) % 4294967296) * 4294967296) % $P64"
+  /** CTE stages applying the splitmix64 finalizer (HashKernels.mix),
+    * carrying the running 64-bit value as BIGINT halves (`h`, `l` in
+    * [0, 2^32)) plus `keys`; returns (ctes, finalCte) — consumers read
+    * columns h/l. Identities validated against HashKernels.mix over
+    * random inputs (FingerprintSpec pins the end-to-end values via the
+    * driver oracle).
+    *
+    * Stages are MATERIALIZED so each expression is evaluated once per
+    * row — chained lazy projections collapse into one tree and
+    * duplicate every referenced subexpression multiplicatively.
+    *
+    * `input`: Left(col) = unsigned HUGEINT column to split;
+    * Right(()) = srcCte already provides h/l columns. */
+  private def mixStages(srcCte: String, prefix: String, keys: Seq[String],
+                        input: Either[String, Unit]): (Seq[String], String) = {
+    val k = keys.mkString(", ")
+    def stage(i: Int, hExpr: String, lExpr: String, from: String) =
+      s"$prefix$i AS MATERIALIZED (SELECT $k, ($hExpr) AS h, ($lExpr) AS l FROM $from)"
+    def xorshift(i: Int, kBits: Int, from: String) = {
+      val pow = 1L << kBits
+      val powInv = 1L << (32 - kBits)
+      stage(i, s"xor(h, h >> $kBits)",
+        s"xor(l, (h % $pow) * $powInv + (l >> $kBits))", from)
+    }
+    // (h·2^32 + l)·c mod 2^64 via 16-bit limbs (products < 2^48)
+    def mul(i: Int, c: Long, from: String) = {
+      val c1 = c >>> 32
+      val c0 = c & 0xffffffffL
+      val low64 = s"((l % 65536) * $c0 + (((l // 65536) * $c0) % 65536) * 65536)"
+      stage(i,
+        s"(($low64) // 4294967296 + ((l // 65536) * $c0) // 65536" +
+          s" + ((l % 65536) * $c1 + (((l // 65536) * $c1) % 65536) * 65536) % 4294967296" +
+          s" + ((h % 65536) * $c0 + (((h // 65536) * $c0) % 65536) * 65536) % 4294967296" +
+          ") % 4294967296",
+        s"($low64) % 4294967296", from)
+    }
+    val (entry, src0) = input match {
+      case Left(col) => (Seq(
+        s"${prefix}e AS MATERIALIZED (SELECT $k, CAST(($col) // 4294967296 AS BIGINT) AS h," +
+          s" CAST(($col) % 4294967296 AS BIGINT) AS l FROM $srcCte)"), s"${prefix}e")
+      case Right(_) => (Seq.empty[String], srcCte)
+    }
+    // splitmix64: +C, ^>>30, ·C1, ^>>27, ·C2, ^>>31
+    // C = 0x9e3779b97f4a7c15 split into hi 2654435769 / lo 2135587861
+    val s = entry ++ Seq(
+      stage(0, "(h + 2654435769 + (l + 2135587861) // 4294967296) % 4294967296",
+        "(l + 2135587861) % 4294967296", src0),
+      xorshift(1, 30, s"${prefix}0"),
+      mul(2, 0xbf58476d1ce4e5b9L, s"${prefix}1"),
+      xorshift(3, 27, s"${prefix}2"),
+      mul(4, 0x94d049bb133111ebL, s"${prefix}3"),
+      xorshift(5, 31, s"${prefix}4"))
+    (s, s"${prefix}5")
   }
 
-  /** CTE stages applying the splitmix64 finalizer (HashKernels.mix) to
-    * column `col` of `srcCte`; returns (ctes, finalCte, finalCol). */
-  private def mixStages(srcCte: String, col: String,
-                        prefix: String): (Seq[String], String, String) = {
-    def z(i: Int) = s"${prefix}_z$i"
-    val s = Seq(
-      s"${prefix}0 AS (SELECT *, (($col) + 11400714819323198485) % $P64 AS ${z(0)} FROM $srcCte)",
-      s"${prefix}1 AS (SELECT *, ${xor64(z(0), s"(${z(0)}) // 1073741824")} AS ${z(1)} FROM ${prefix}0)",
-      s"${prefix}2 AS (SELECT *, (${mul64(z(1), 0xbf58476d1ce4e5b9L)}) AS ${z(2)} FROM ${prefix}1)",
-      s"${prefix}3 AS (SELECT *, ${xor64(z(2), s"(${z(2)}) // 134217728")} AS ${z(3)} FROM ${prefix}2)",
-      s"${prefix}4 AS (SELECT *, (${mul64(z(3), 0x94d049bb133111ebL)}) AS ${z(4)} FROM ${prefix}3)",
-      s"${prefix}5 AS (SELECT *, ${xor64(z(4), s"(${z(4)}) // 2147483648")} AS ${z(5)} FROM ${prefix}4)")
-    (s, s"${prefix}5", z(5))
-  }
+  /** The signed (JVM Long) value of h/l halves — for min() under
+    * Java's signed comparison and for dumped BIGINT columns. */
+  private def signedHL(h: String, l: String): String =
+    s"((($h) - CASE WHEN ($h) >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + ($l))"
 
   /** FNV-1a 64 fold over the chars of column `tok`, seeded like
-    * HashKernels.hash64(_, 0): init = 0xcbf29ce484222325 ^ mix(0). */
+    * HashKernels.hash64(_, 0): init = 0xcbf29ce484222325 ^ mix(0).
+    * Runs in HUGEINT (the only per-char fold; token counts are small). */
   private val fnvInit: String =
     java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ HashKernels.mix(0L))
   private val fnvTok: String =
@@ -63,10 +99,6 @@ private[graft] object OracleSql {
       " list_transform(string_split(tok, ''), c -> CAST(ord(c) AS HUGEINT)))," +
       " (h, b) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))" +
       s" * 1099511628211) % $P64)"
-
-  /** The signed-BIGINT view of an unsigned-domain expression. */
-  private def signed(u: String): String =
-    s"CAST(($u) - CASE WHEN ($u) >= 9223372036854775808 THEN $P64 ELSE 0 END AS BIGINT)"
 
   /** Pack per-(row, bit) 0/1 `bit` into a signed BIGINT fingerprint,
     * grouped by `key`: the SRP oracle's hi/lo-halves construction. */
@@ -76,23 +108,28 @@ private[graft] object OracleSql {
       s" CAST(sum(CASE WHEN $idxCol < 32 THEN $bitCol * (CAST(1 AS BIGINT) << $idxCol) ELSE 0 END) AS BIGINT) AS lo," +
       s" CAST(sum(CASE WHEN $idxCol >= 32 THEN $bitCol * (CAST(1 AS BIGINT) << ($idxCol - 32)) ELSE 0 END) AS BIGINT) AS hi" +
       s" FROM $src GROUP BY 1)",
-    s"$outCte AS (SELECT $key, CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+    // MATERIALIZED: the fingerprint table is tiny (one row per doc) but
+    // referenced 2+ times (self-joins, recursion) — without the hint
+    // DuckDB re-evaluates the whole upstream hash chain per reference
+    s"$outCte AS MATERIALIZED (SELECT $key, CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
       s" * 4294967296 + lo AS BIGINT) AS fp FROM ${outCte}_h)")
 
   /** CTE chain documents -> fp(doc_id, fp): simhash_text (whitespace
     * tokens; every occurrence votes; majority bit). */
   private def simhashFpCtes: Seq[String] = {
-    val (stages, last, lastCol) = mixStages("fnv", "h0", "mx")
+    val (stages, last) = mixStages("fnv", "mx", Seq("doc_id"), Left("h0"))
     Seq(
-      """toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)""",
+      // MATERIALIZED before the heavy fold: DuckDB parallelizes by
+      // ~120k-row morsels of the SOURCE, and the documents scan is one
+      // morsel — materializing the cheap unnest re-chunks the rows so
+      // the per-token FNV fold below runs on all threads
+      """toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)""",
       s"fnv AS (SELECT doc_id, $fnvTok AS h0 FROM toks WHERE tok <> '')") ++
       stages ++ Seq(
-      s"th AS (SELECT doc_id, CAST(($lastCol) % 4294967296 AS BIGINT) AS lo," +
-        s" CAST(($lastCol) // 4294967296 AS BIGINT) AS hi FROM $last)",
       "bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN" +
-        " ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1" +
+        " ((CASE WHEN j < 32 THEN l ELSE h END) >> (j % 32)) & 1 = 1" +
         " THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit" +
-        " FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2)") ++
+        s" FROM $last CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2)") ++
       packBits("bits", "doc_id", "bit", "j", "fp")
   }
 
@@ -111,7 +148,7 @@ private[graft] object OracleSql {
     "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + """,
  p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b
    ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
- ed AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+ ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
  reach(a, b) AS (SELECT a, b FROM ed
    UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
  m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
@@ -126,15 +163,17 @@ FROM comp GROUP BY 1"""
     * guarantees len(text) >= 16 (asserted by OracleSqlSpec), so the
     * short-text fallback branch of the kernel never fires. */
   def fingerprints: String = {
-    val (stages, last, lastCol) = mixStages("wh", "h0", "rx")
+    val (stages, last) = mixStages("wh", "rx", Seq("doc_id"), Left("h0"))
     val rollCtes = Seq(
-      "wins AS (SELECT doc_id, unnest(range(1, len(text) - 14)) AS i, text FROM documents)",
+      // MATERIALIZED so the per-window polynomial fold parallelizes
+      // (see the toks comment above)
+      "wins AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(text) - 14)) AS i, text FROM documents)",
       "wh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT)," +
         " list_transform(string_split(substr(text, CAST(i AS INTEGER), 16), '')," +
         " c -> CAST(ord(c) AS HUGEINT)))," +
         s" (h, b) -> (h * 1000003 + b) % $P64) AS h0 FROM wins)") ++
       stages ++ Seq(
-      s"roll AS (SELECT doc_id, min(${signed(lastCol)}) AS roll_fp FROM $last GROUP BY 1)")
+      s"roll AS (SELECT doc_id, min(${signedHL("h", "l")}) AS roll_fp FROM $last GROUP BY 1)")
     "WITH " + (simhashFpCtes ++ rollCtes).mkString(",\n ") +
       "\nSELECT fp.doc_id, roll.roll_fp, fp.fp AS sim_fp" +
       "\nFROM fp JOIN roll ON roll.doc_id = fp.doc_id"
@@ -161,31 +200,41 @@ FROM comp GROUP BY 1"""
     * value slice itself — band-hash equality up to xxhash64 collisions
     * on the Spark side); est_jaccard = matching positions / 64. */
   def dedupMinhash: String = {
-    val mpValues = (0 until 64).map(p =>
-      s"($p, CAST(${java.lang.Long.toUnsignedString(HashKernels.mix(p.toLong))} AS HUGEINT))")
-      .mkString(", ")
-    val (tokStages, tokLast, tokCol) = mixStages("fnv", "h0", "tx")
-    val (baseStages, baseLast, baseCol) = mixStages("sh", "sh0", "bx")
-    val (hStages, hLast, hCol) = mixStages("hx", "hx0", "hm")
-    val shingle = // ((t1*B + t2)*B + t3) mod 2^64, B = 0x100000001b3
+    // mix(p) constants pre-split into hi/lo halves
+    val mpValues = (0 until 64).map { p =>
+      val m = HashKernels.mix(p.toLong)
+      s"($p, ${m >>> 32}, ${m & 0xffffffffL})"
+    }.mkString(", ")
+    val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
+    val (baseStages, baseLast) = mixStages("sh", "bx", Seq("doc_id", "si"), Left("sh0"))
+    val (hStages, hLast) = mixStages("hx", "hm", Seq("doc_id", "p"), Right(()))
+    val shingle = // ((t1·B + t2)·B + t3) mod 2^64, B = 0x100000001b3
       s"((((a.h * 1099511628211) % $P64 + b.h) % $P64) * 1099511628211 % $P64 + c.h) % $P64"
     val ctes = Seq(
       """t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
-      "t AS (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0)",
+      // MATERIALIZED: re-chunk the unnested tokens so the FNV fold
+      // below parallelizes (the documents scan is one morsel)
+      "t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0)",
       s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
       tokStages ++ Seq(
-      s"th AS (SELECT doc_id, ti, $tokCol AS h FROM $tokLast)",
+      // th carries the token hash recombined to HUGEINT for the
+      // 3-token polynomial (the only remaining int128 math; ~|tokens|
+      // rows). MATERIALIZED: referenced 3x by the shingle self-join.
+      s"th AS MATERIALIZED (SELECT doc_id, ti, CAST(h AS HUGEINT) * 4294967296 + l AS h FROM $tokLast)",
       s"sh AS (SELECT a.doc_id, a.ti AS si, $shingle AS sh0" +
         " FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.ti = a.ti + 1" +
         " JOIN th c ON c.doc_id = a.doc_id AND c.ti = a.ti + 2)") ++
       baseStages ++ Seq(
-      s"base AS (SELECT doc_id, si, $baseCol AS bh FROM $baseLast)",
-      s"mp(p, mp) AS (VALUES $mpValues)",
-      s"hx AS (SELECT doc_id, si, p, ${xor64("bh", "mp")} AS hx0 FROM base CROSS JOIN mp)") ++
+      s"mp(p, mh, ml) AS (VALUES $mpValues)",
+      // the big cross product: copy first (cheap), xor the halves in a
+      // follow-up projection, then run the mix chain over it — all
+      // BIGINT, so even DuckDB's serial CTE pipelines stay fast
+      s"hxr AS MATERIALIZED (SELECT doc_id, p, h AS bh, l AS bl, mh, ml FROM $baseLast CROSS JOIN mp)",
+      "hx AS (SELECT doc_id, p, xor(bh, mh) AS h, xor(bl, ml) AS l FROM hxr)") ++
       hStages ++ Seq(
-      s"sig0 AS (SELECT doc_id, p, min(${signed(hCol)}) AS s FROM $hLast GROUP BY 1, 2)",
+      s"sig0 AS (SELECT doc_id, p, min(${signedHL("h", "l")}) AS s FROM $hLast GROUP BY 1, 2)",
       // docs with < 3 tokens keep the Long.MaxValue sentinel signature
-      "sig AS (SELECT d.doc_id, mp.p, coalesce(sig0.s, 9223372036854775807) AS s" +
+      "sig AS MATERIALIZED (SELECT d.doc_id, mp.p, coalesce(sig0.s, 9223372036854775807) AS s" +
         " FROM documents d CROSS JOIN mp LEFT JOIN sig0" +
         " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)",
       "bands AS (SELECT doc_id, p // 8 AS band," +

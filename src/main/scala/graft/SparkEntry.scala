@@ -28,6 +28,7 @@ object SparkEntry {
     "q_topk_custom" -> ((s, d) => Monitoring.topEventsPerTopic(s, d)),
     "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
     "q_feed_entities" -> ((s, d) => Monitoring.feedEntityStats(s, d)),
+    "q_feed_stoptimes" -> ((s, d) => Monitoring.feedStopTimes(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
@@ -364,6 +365,21 @@ object SparkEntry {
         | max(CAST(CAST(user_id AS DOUBLE) / CAST(50 AS DOUBLE)
         |   AS FLOAT)) AS lon_max
         |FROM events GROUP BY 1,2""".stripMargin,
+    // Stop-level round trip: each event fans out to 1+(event_id%3)
+    // stop_time_updates with delays derived from floor(value) — the
+    // oracle recomputes the fan-out with generate-series unnest.
+    "q_feed_stoptimes" ->
+      """WITH s AS (SELECT event_type AS topic,
+        |  date_trunc('hour', ts) AS window_start, event_id,
+        |  CAST(floor(value) AS BIGINT) AS d,
+        |  unnest(range(1 + event_id % 3)) AS k
+        | FROM events)
+        |SELECT topic, window_start, count(*) AS n_stoptimes,
+        | count(DISTINCT CAST(event_id AS VARCHAR)) AS n_trips,
+        | CAST(sum(d + k) AS BIGINT) AS arr_delay_sum,
+        | CAST(sum(d + k + 1) AS BIGINT) AS dep_delay_sum,
+        | CAST(max(k + 1) AS BIGINT) AS max_stop_seq
+        |FROM s GROUP BY 1,2""".stripMargin,
     // Integer-cents component sums (scale-0 → both engines round the
     // big integer to double identically; scaled decimals hit DuckDB's
     // two-step decimal→double rounding and can land 1 ulp off).

@@ -193,6 +193,56 @@ object Dedup {
     kept.join(dups, kept("vec_id") === dups("dup_id"), "left_anti")
   }
 
+  /** Operational incremental dedup against a PERSISTED corpus
+    * fingerprint table — the composition of [[dedupIncremental]] with
+    * the exactly-once incremental sink a production pipeline runs.
+    *
+    * Dedups `newBatch` (id, embedding) against every fingerprint
+    * committed under `corpusFpDir` by OTHER batches, then records this
+    * batch's own fingerprints through
+    * [[graft.sources.Incremental.idempotentBatchWriter]]: an
+    * at-least-once replay of the same batchId overwrites its own
+    * `batch=<id>` subdirectory and is excluded from its own corpus
+    * read, so the corpus stays exactly-once and replaying the latest
+    * batch returns the identical kept set. Kept = new items with no
+    * near-dup in the corpus and no earlier near-dup within the batch
+    * (same semantics as [[dedupIncremental]]). The corpus rows carry
+    * (id, embedding, fp) because exact-dot verification needs the
+    * vectors; at 100 TB that is the persisted fingerprint table plus
+    * a vector-store join. Returns kept (vec_id, fp). */
+  def dedupIncrementalBatch(newBatch: DataFrame, corpusFpDir: String,
+                            batchId: Long, maxHamming: Int = 3,
+                            minDotQ: Long = 250000L): DataFrame = {
+    val spark = newBatch.sparkSession
+    val e = newBatch.select(col("id"), col("embedding"),
+      V.srpFingerprint(col("embedding")).as("fp"))
+    val otherBatches = Option(new java.io.File(corpusFpDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName != s"batch=$batchId")
+      .map(_.getAbsolutePath).toSeq
+    val inBatch = srpPairsOf(e, maxHamming, minDotQ)
+      .select(col("vec_b").as("dup_id"))
+    val dups = if (otherBatches.isEmpty) inBatch else {
+      val corpus = spark.read.parquet(otherBatches: _*)
+      hammingJoin(e.select(col("id"), col("fp")),
+        corpus.select(col("id"), col("fp")), maxHamming)
+        .join(e.select(col("id").as("id_l"), col("embedding").as("e_l")), Seq("id_l"))
+        .join(corpus.select(col("id").as("id_r"), col("embedding").as("e_r")), Seq("id_r"))
+        .filter(V.quantizedDot(col("e_l"), col("e_r")) >= minDotQ)
+        .select(col("id_l").as("dup_id"))
+        .unionAll(inBatch)
+    }
+    val kept = e.select(col("id").as("vec_id"), col("fp"))
+      .join(dups.distinct(), col("vec_id") === col("dup_id"), "left_anti")
+      .select(col("vec_id"), col("fp"))
+    // commit this batch's fingerprints AFTER computing kept (the read
+    // above already excluded batch=<batchId>, so ordering only matters
+    // for crash-replay, which the idempotent overwrite absorbs)
+    graft.sources.Incremental.idempotentBatchWriter(corpusFpDir)(e, batchId)
+    kept
+  }
+
   /** [[srpPairs]] over a prepared (id, embedding, fp) frame. */
   private[operators] def srpPairsOf(e: DataFrame, maxHamming: Int,
                                     minDotQ: Long): DataFrame =

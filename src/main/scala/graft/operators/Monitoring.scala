@@ -314,6 +314,51 @@ object Monitoring {
         max(col("e.veh_lon")).as("lon_max"))
   }
 
+  /** Stop-level GTFS-RT analytics: each event becomes an entity whose
+    * TripUpdate carries 1 + (event_id mod 3) repeated stop_time_update
+    * submessages (stop_sequence k+1, arrival delay ⌊value⌋+k,
+    * departure delay ⌊value⌋+k+1), synthesized into fleet-bounded
+    * feeds like [[feedEntityStats]], then PARSED back with the native
+    * feed_stop_times expression and aggregated per (topic, hour). The
+    * oracle recomputes the same aggregates from events directly — the
+    * encode→parse round trip over repeated nested submessages is
+    * lossless. Covers the deepest nesting of the reference's
+    * FeedMessage schema (trip_update.stop_time_update[]). */
+  def feedStopTimes(spark: SparkSession, dir: String,
+                    entitiesPerFeed: Int = 256): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{FeedColumns, FeedParser}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
+    val feeds = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_id"), col("value"), col("ts"))
+      .withColumn("feed_seq",
+        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
+      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
+      .agg(collect_list(struct(col("event_id"), col("value"))).as("evs"),
+        unix_timestamp(max(col("ts"))).as("last_epoch"))
+      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Double)], Long)]
+      .map { case (topic, win, _, evs, last) =>
+        val entities = evs.map { case (eid, v) =>
+          val d = v.floor.toLong
+          val nStops = (1 + eid % 3).toInt
+          FeedParser.encodeEntityStops(eid.toString,
+            (0 until nStops).map(k => (k + 1L, d + k, d + k + 1)))
+        }
+        (topic, win, FeedParser.encodeFeed(last, entities))
+      }.toDF("topic", "window_start", "feed")
+    feeds.select(col("topic"), col("window_start"),
+      explode(FeedColumns.feed_stop_times(col("feed"))).as("s"))
+      .groupBy(col("topic"), col("window_start"))
+      .agg(count(lit(1)).as("n_stoptimes"),
+        countDistinct(col("s.entity_id")).as("n_trips"),
+        sum(col("s.arrival_delay")).as("arr_delay_sum"),
+        sum(col("s.departure_delay")).as("dep_delay_sum"),
+        max(col("s.stop_sequence")).as("max_stop_seq"))
+  }
+
   /** Top-k events per topic by value via the custom bounded-heap
     * TopKPerKey physical operator (no per-partition sort — see
     * graft.plans.TopKPerKey). */

@@ -166,8 +166,102 @@ object FeedParser {
     org.apache.spark.sql.catalyst.InternalRow(id, delay, lat, lon)
   }
 
+  /** One (entity_id, stop_sequence, arrival_delay, departure_delay)
+    * row per TripUpdate.stop_time_update across all entities — the
+    * repeated nested submessage of the reference's full FeedMessage
+    * schema (gtfsrt_data_collector.py:18's feed.entity[].trip_update.
+    * stop_time_update): StopTimeUpdate is TripUpdate field 2 with
+    * stop_sequence (field 1, varint) and arrival/departure
+    * StopTimeEvents (fields 2/3) whose delay is field 1. Missing
+    * events yield null delays; truncated buffers degrade to fewer
+    * rows, never a throw (same skip() hardening as parseEntities). */
+  def parseStopTimes(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      if ((key >>> 3).toInt == 2 && (key & 7).toInt == 2) { // entity
+        val (elen, ep) = readVarint(b, p)
+        val eEnd = ep + elen.toInt
+        var id: org.apache.spark.unsafe.types.UTF8String = null
+        var q = ep
+        while (q < eEnd && q < b.length) {
+          val (ek, eq) = readVarint(b, q)
+          (ek >>> 3).toInt match {
+            case 1 if (ek & 7) == 2 => // id: string
+              val (len, sp) = readVarint(b, eq)
+              if (len >= 0L && len <= (b.length - sp).toLong)
+                id = org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
+            case 3 if (ek & 7) == 2 => // trip_update
+              val (tlen, tp) = readVarint(b, eq)
+              val tEnd = tp + tlen.toInt
+              var t = tp
+              while (t < tEnd && t < b.length) {
+                val (tk, tq) = readVarint(b, t)
+                if ((tk >>> 3).toInt == 2 && (tk & 7) == 2) { // stop_time_update
+                  val (slen, sp) = readVarint(b, tq)
+                  val sEnd = sp + slen.toInt
+                  var seq: Any = null; var arr: Any = null; var dep: Any = null
+                  var s = sp
+                  while (s < sEnd && s < b.length) {
+                    val (sk, sq) = readVarint(b, s)
+                    (sk >>> 3).toInt match {
+                      case 1 if (sk & 7) == 0 => seq = readVarint(b, sq)._1
+                      case 2 | 3 if (sk & 7) == 2 => // arrival/departure event
+                        val (eln, ev) = readVarint(b, sq)
+                        val evEnd = ev + eln.toInt
+                        var e = ev
+                        while (e < evEnd && e < b.length) {
+                          val (evk, evq) = readVarint(b, e)
+                          if ((evk >>> 3).toInt == 1 && (evk & 7) == 0) {
+                            if ((sk >>> 3).toInt == 2) arr = readVarint(b, evq)._1
+                            else dep = readVarint(b, evq)._1
+                          }
+                          e = skip(b, (evk & 7).toInt, evq)
+                        }
+                      case _ =>
+                    }
+                    s = skip(b, (sk & 7).toInt, sq)
+                  }
+                  out += InternalRow(id, seq, arr, dep)
+                }
+                t = skip(b, (tk & 7).toInt, tq)
+              }
+            case _ =>
+          }
+          q = skip(b, (ek & 7).toInt, eq)
+        }
+      }
+      pos = skip(b, (key & 7).toInt, p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   private def lenDelim(tag: Int, payload: Array[Byte]): Array[Byte] =
     Array(tag.toByte) ++ encodeVarint(payload.length.toLong) ++ payload
+
+  /** Hand-encoder: one StopTimeUpdate (stop_sequence + arrival delay +
+    * departure delay) — the wire twin of [[parseStopTimes]]'s inner
+    * message. */
+  def encodeStopTime(stopSequence: Long, arrivalDelay: Long,
+                     departureDelay: Long): Array[Byte] = {
+    val seqF = Array[Byte](0x08) ++ encodeVarint(stopSequence) // field 1
+    val arrF = lenDelim(0x12, Array[Byte](0x08) ++ encodeVarint(arrivalDelay)) // field 2 → STE.delay
+    val depF = lenDelim(0x1a, Array[Byte](0x08) ++ encodeVarint(departureDelay)) // field 3
+    seqF ++ arrF ++ depF
+  }
+
+  /** Hand-encoder: a FeedEntity carrying id + a TripUpdate with
+    * repeated stop_time_update submessages. */
+  def encodeEntityStops(id: String, stops: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val idField = lenDelim(0x0a, id.getBytes("UTF-8"))
+    val stopFields = stops.toArray.flatMap { case (seq, arr, dep) =>
+      lenDelim(0x12, encodeStopTime(seq, arr, dep)) // TripUpdate field 2
+    }
+    idField ++ lenDelim(0x1a, stopFields) // entity field 3
+  }
 
   /** Hand-encoder: one FeedEntity with id + trip_update.delay +
     * vehicle.position(lat, lon) — the wire twin of [[parseEntities]]. */
@@ -251,6 +345,26 @@ case class FeedEntities(child: Expression)
   override protected def withNewChildInternal(c: Expression): FeedEntities = copy(c)
 }
 
+/** feed_stop_times(bytes) → array<struct<entity_id, stop_sequence,
+  * arrival_delay, departure_delay>>: one row per
+  * TripUpdate.stop_time_update across the feed's entities. */
+case class FeedStopTimes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("entity_id", StringType),
+    StructField("stop_sequence", LongType),
+    StructField("arrival_delay", LongType),
+    StructField("departure_delay", LongType))), containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "feed_stop_times"
+  override protected def nullSafeEval(b: Any): Any =
+    FeedParser.parseStopTimes(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.FeedParser.parseStopTimes($c);")
+  override protected def withNewChildInternal(c: Expression): FeedStopTimes = copy(c)
+}
+
 object FeedColumns {
   def feed_entity_count(bin: Column): Column =
     bridge.column(FeedEntityCount(bridge.expression(bin)))
@@ -258,4 +372,6 @@ object FeedColumns {
     bridge.column(FeedHeaderTimestamp(bridge.expression(bin)))
   def feed_entities(bin: Column): Column =
     bridge.column(FeedEntities(bridge.expression(bin)))
+  def feed_stop_times(bin: Column): Column =
+    bridge.column(FeedStopTimes(bridge.expression(bin)))
 }

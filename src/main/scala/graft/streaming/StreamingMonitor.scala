@@ -230,15 +230,25 @@ object StreamingMonitor {
         batchWriter(envelopes(batch.toDF()), id)
       }
 
-  /** One envelope per micro-batch (deterministic series order). */
-  def envelopes(batch: DataFrame): DataFrame =
-    batch
-      .groupBy()
+  /** One envelope per (namespace, metric) per micro-batch — the same
+    * keyed aggregate as the batch path (Monitoring.metricEnvelopes)
+    * and Azure's one-envelope-per-metric model. Batches without
+    * namespace/metric columns get the reference's MQTT/"Msg Count"
+    * defaults, so the single-metric rates stream still yields exactly
+    * one envelope per batch. Series order is deterministic. */
+  def envelopes(batch: DataFrame): DataFrame = {
+    val keyed = Seq("namespace" -> "MQTT", "metric" -> "Msg Count")
+      .foldLeft(batch) { case (df, (c, default)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(default))
+      }
+    keyed
+      .groupBy(col("namespace"), col("metric"))
       .agg(sort_array(collect_list(
         AzureFormat.seriesElement(col("topic"), col("msgs_per_sec")))).as("series"))
       .select(AzureFormat.metricEnvelope(
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
-        lit("Msg Count"), lit("MQTT"), "Topic", col("series")).as("envelope"))
+        col("metric"), col("namespace"), "Topic", col("series")).as("envelope"))
+  }
 
   private def defaultWriter(outDir: String): (DataFrame, Long) => Unit =
     (df, id) => df.coalesce(1).write.mode("append").text(outDir)

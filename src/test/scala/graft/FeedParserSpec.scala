@@ -66,6 +66,26 @@ class FeedParserSpec extends SparkSpec {
     }
   }
 
+  test("stop_time_update submessages round-trip, including negative delays") {
+    import spark.implicits._
+    val feed = FeedParser.encodeFeed(9L, Seq(
+      FeedParser.encodeEntityStops("trip-1",
+        Seq((1L, 30L, 45L), (2L, -15L, 0L))), // early arrival = negative
+      FeedParser.encodeEntityStops("trip-2", Seq((7L, 120L, 130L))),
+      FeedParser.encodeEntityStops("trip-3", Seq.empty)))
+    val rows = Seq(feed).toDF("feed")
+      .select(explode(FeedColumns.feed_stop_times(col("feed"))).as("s"))
+      .select(col("s.entity_id"), col("s.stop_sequence"),
+        col("s.arrival_delay"), col("s.departure_delay"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(("trip-1", 1L, 30L, 45L), ("trip-1", 2L, -15L, 0L),
+      ("trip-2", 7L, 120L, 130L)))
+    // entity-level and stop-level parses coexist on the same bytes
+    assert(FeedParser.countField(feed, 2) == 3)
+    assert(FeedParser.headerTimestamp(feed) == 9L)
+  }
+
   test("crafted malformed lengths never throw or allocate past the buffer") {
     // length varints whose low 32 bits are negative (0xFFFFFFFF0F =
     // varint 0xFFFFFFFF) or that claim gigabytes: parsers must degrade

@@ -19,9 +19,10 @@ class OracleSqlSpec extends SparkSpec {
 
   test("oracle SQL builders embed the kernel constants") {
     // the mix(p) family constants are derived from HashKernels.mix at
-    // build time — spot-check p=0 appears in the minhash oracle
-    val mix0 = java.lang.Long.toUnsignedString(graft.plans.HashKernels.mix(0L))
-    assert(OracleSql.dedupMinhash.contains(mix0))
+    // build time — spot-check p=0's hi/lo halves appear in the oracle
+    val mix0 = graft.plans.HashKernels.mix(0L)
+    assert(OracleSql.dedupMinhash.contains(
+      s"(0, ${mix0 >>> 32}, ${mix0 & 0xffffffffL})"))
     assert(OracleSql.dedupSimhash.contains("bit_count"))
     assert(OracleSql.fingerprints.contains("1000003")) // rolling base B
     assert(OracleSql.mediaPhash.contains("% len(text)"))

@@ -113,6 +113,78 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=7").count() == 100)
   }
 
+  test("incremental dedup over the persisted corpus matches the batch query") {
+    import graft.operators.Dedup
+    val corpusDir = tmp() + "/corpus_fp"
+    def batch(lo: Long, hi: Long) = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("id"), col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    // batch 0 seeds the corpus (kept = earlier-in-batch dedup only)
+    val kept0 = ids(Dedup.dedupIncrementalBatch(batch(0, 250), corpusDir, 0L))
+    // at-least-once replay of the same batch id: corpus stays
+    // exactly-once (still one batch=0 dir) and the kept set is stable
+    val kept0b = ids(Dedup.dedupIncrementalBatch(batch(0, 250), corpusDir, 0L))
+    assert(kept0b == kept0, "replaying the latest batch is idempotent")
+    assert(spark.read.parquet(corpusDir).count() == 250,
+      "replay did not duplicate corpus fingerprints")
+    // batch 1 dedups against the committed corpus; the kept set equals
+    // the oracle-checked one-shot query's (which splits at id 250)
+    val kept1 = ids(Dedup.dedupIncrementalBatch(batch(250, 1000000), corpusDir, 1L))
+    val oneShot = ids(Dedup.dedupIncremental(spark, sfDir, corpusMax = 250L))
+    assert(kept1 == oneShot, s"persisted-corpus flow diverged: " +
+      s"only-in-flow=${(kept1 -- oneShot).take(5)} only-in-batch=${(oneShot -- kept1).take(5)}")
+    assert(spark.read.parquet(corpusDir).count() ==
+      Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("z-ordered layout skips row groups on a 2-dim box predicate") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.collect { case s: FileSourceScanExec => s }
+      }
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val base = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("zkey",
+        graft.plans.ZorderKey.zorder_key(col("user_id"), col("k")))
+    // same rows, two physical layouts: range-partitioned+sorted by the
+    // Morton key vs by user_id alone — 16 files ⇒ 16 row groups with
+    // min/max stats along each layout's clustering
+    val zdir = tmp() + "/events_zorder"
+    val udir = tmp() + "/events_usersort"
+    base.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .write.parquet(zdir)
+    base.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.parquet(udir)
+    // the z-order pitch: ONE layout serves range predicates on EITHER
+    // dimension. Filter on k alone — the user-sorted layout's row
+    // groups all span k's full range (zero pruning, scan = table),
+    // while Morton clustering gives every file a bounded k range
+    def kFilter(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("k").between(0, 24))
+    val zScan = scanRows(kFilter(spark.read.parquet(zdir)))
+    val uScan = scanRows(kFilter(spark.read.parquet(udir)))
+    // identical answers...
+    assert(kFilter(spark.read.parquet(zdir)).count() ==
+      kFilter(spark.read.parquet(udir)).count())
+    assert(kFilter(spark.read.parquet(zdir)).count() == kFilter(base).count())
+    // ...but the z-ordered layout's stats skip most row groups where
+    // the single-dimension layout reads the whole table
+    val total = base.count()
+    assert(uScan == total,
+      s"user-sorted layout unexpectedly pruned on k: $uScan of $total")
+    assert(zScan < (total * 0.7).toLong,
+      s"zorder scan read $zScan of $total rows — expected row-group skipping")
+  }
+
   test("day-partitioned events layout prunes partitions on day filters") {
     val path = tmp() + "/events"
     Sources.writeEventsPartitioned(Tables.events(spark, sfDir), path)

@@ -97,6 +97,22 @@ class StreamingSpec extends SparkSpec {
     assert(env.contains(""""dimNames":["Topic"]"""))
   }
 
+  test("a two-metric micro-batch yields one envelope per (namespace, metric)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      ("MQTT", "Msg Count", "t/a", 1.0), ("MQTT", "Msg Count", "t/b", 2.0),
+      ("GTFSRT", "Entity Count", "t/a", 5.0))
+      .toDF("namespace", "metric", "topic", "msgs_per_sec")
+    val envs = StreamingMonitor.envelopes(batch).collect().map(_.getString(0))
+    assert(envs.length == 2, "one envelope per metric, like the batch path")
+    val msg = envs.find(_.contains(""""metric":"Msg Count"""")).get
+    assert(msg.contains(""""namespace":"MQTT"""") && msg.contains("t/a") &&
+      msg.contains("t/b"))
+    val ent = envs.find(_.contains(""""metric":"Entity Count"""")).get
+    assert(ent.contains(""""namespace":"GTFSRT"""") && !ent.contains("t/b"))
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     val s = spark
     import s.implicits._
