@@ -29,6 +29,7 @@ object SparkEntry {
     "q_feed_stats" -> ((s, d) => Monitoring.feedStats(s, d)),
     "q_feed_entities" -> ((s, d) => Monitoring.feedEntityStats(s, d)),
     "q_feed_stoptimes" -> ((s, d) => Monitoring.feedStopTimes(s, d)),
+    "q_feed_alerts" -> ((s, d) => Monitoring.feedAlerts(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
@@ -363,7 +364,18 @@ object SparkEntry {
         | min(CAST(CAST(user_id AS DOUBLE) / CAST(100 AS DOUBLE) - 90
         |   AS FLOAT)) AS lat_min,
         | max(CAST(CAST(user_id AS DOUBLE) / CAST(50 AS DOUBLE)
-        |   AS FLOAT)) AS lon_max
+        |   AS FLOAT)) AS lon_max,
+        | CAST(sum(user_id % 7) AS BIGINT) AS occ_sum
+        |FROM events GROUP BY 1,2""".stripMargin,
+    // Alert round trip: each event becomes an Alert entity with
+    // cause/effect enums and an active_period derived from the event.
+    "q_feed_alerts" ->
+      """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
+        | count(*) AS n_alerts,
+        | count(DISTINCT 1 + event_id % 12) AS n_causes,
+        | CAST(max(1 + event_id % 11) AS BIGINT) AS max_effect,
+        | CAST(min(CAST(floor(value) AS BIGINT) * 60) AS BIGINT) AS first_start,
+        | CAST(max(CAST(floor(value) AS BIGINT) * 60 + 600) AS BIGINT) AS last_end
         |FROM events GROUP BY 1,2""".stripMargin,
     // Stop-level round trip: each event fans out to 1+(event_id%3)
     // stop_time_updates with delays derived from floor(value) — the

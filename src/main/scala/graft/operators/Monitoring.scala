@@ -300,7 +300,8 @@ object Monitoring {
       .map { case (topic, win, _, evs, last) =>
         val entities = evs.map { case (eid, uid, v) =>
           FeedParser.encodeEntity(eid.toString, v.floor.toLong,
-            (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat)
+            (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat,
+            occupancy = uid % 7) // VehiclePosition.occupancy_status enum
         }
         (topic, win, FeedParser.encodeFeed(last, entities))
       }.toDF("topic", "window_start", "feed")
@@ -311,7 +312,51 @@ object Monitoring {
         countDistinct(col("e.entity_id")).as("n_ids"),
         sum(col("e.trip_delay")).as("delay_sum"),
         min(col("e.veh_lat")).as("lat_min"),
-        max(col("e.veh_lon")).as("lon_max"))
+        max(col("e.veh_lon")).as("lon_max"),
+        sum(col("e.occupancy")).as("occ_sum"))
+  }
+
+  /** Service-alert GTFS-RT analytics: each event becomes an Alert
+    * entity (cause/effect enums and one active_period TimeRange
+    * derived deterministically from the event), synthesized into
+    * fleet-bounded feeds, parsed back with the native feed_alerts
+    * expression, and aggregated per (topic, hour) — the alert arm of
+    * the reference's FeedMessage schema (gtfsrt_data_collector.py:18).
+    * Oracle recomputes the aggregates from events directly. */
+  def feedAlerts(spark: SparkSession, dir: String,
+                 entitiesPerFeed: Int = 256): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{FeedColumns, FeedParser}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
+    val feeds = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_id"), col("value"), col("ts"))
+      .withColumn("feed_seq",
+        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
+      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
+      .agg(collect_list(struct(col("event_id"), col("value"))).as("evs"),
+        unix_timestamp(max(col("ts"))).as("last_epoch"))
+      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Double)], Long)]
+      .map { case (topic, win, _, evs, last) =>
+        val entities = evs.map { case (eid, v) =>
+          val d = v.floor.toLong
+          // GTFS-RT Cause enum is 1..12, Effect 1..11
+          FeedParser.encodeEntityAlert(eid.toString,
+            cause = 1 + eid % 12, effect = 1 + eid % 11,
+            activeStart = d * 60, activeEnd = d * 60 + 600)
+        }
+        (topic, win, FeedParser.encodeFeed(last, entities))
+      }.toDF("topic", "window_start", "feed")
+    feeds.select(col("topic"), col("window_start"),
+      explode(FeedColumns.feed_alerts(col("feed"))).as("a"))
+      .groupBy(col("topic"), col("window_start"))
+      .agg(count(lit(1)).as("n_alerts"),
+        countDistinct(col("a.cause")).as("n_causes"),
+        max(col("a.effect")).as("max_effect"),
+        min(col("a.active_start")).as("first_start"),
+        max(col("a.active_end")).as("last_end"))
   }
 
   /** Stop-level GTFS-RT analytics: each event becomes an entity whose

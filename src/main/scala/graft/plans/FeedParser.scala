@@ -111,6 +111,7 @@ object FeedParser {
     var delay: Any = null
     var lat: Any = null
     var lon: Any = null
+    var occupancy: Any = null
     var q = start
     while (q < end && q < b.length) {
       val (key, p) = readVarint(b, q)
@@ -132,11 +133,13 @@ object FeedParser {
             if ((tk >>> 3).toInt == 5 && (tk & 7) == 0) delay = readVarint(b, tq)._1
             t = skip(b, (tk & 7).toInt, tq)
           }
-        case 4 if wt == 2 => // vehicle -> field 1 position -> lat/lon fixed32
+        case 4 if wt == 2 => // vehicle -> position (field 1) + occupancy_status (field 9)
           val (len, vp) = readVarint(b, p)
           var v = vp; val vEnd = vp + len.toInt
           while (v < vEnd && v < b.length) {
             val (vk, vq) = readVarint(b, v)
+            if ((vk >>> 3).toInt == 9 && (vk & 7) == 0)
+              occupancy = readVarint(b, vq)._1
             if ((vk >>> 3).toInt == 1 && (vk & 7) == 2) {
               val (plen, pp) = readVarint(b, vq)
               var r = pp; val pEnd = pp + plen.toInt
@@ -163,7 +166,7 @@ object FeedParser {
       }
       q = skip(b, wt, p)
     }
-    org.apache.spark.sql.catalyst.InternalRow(id, delay, lat, lon)
+    org.apache.spark.sql.catalyst.InternalRow(id, delay, lat, lon, occupancy)
   }
 
   /** One (entity_id, stop_sequence, arrival_delay, departure_delay)
@@ -264,8 +267,10 @@ object FeedParser {
   }
 
   /** Hand-encoder: one FeedEntity with id + trip_update.delay +
-    * vehicle.position(lat, lon) — the wire twin of [[parseEntities]]. */
-  def encodeEntity(id: String, delay: Long, lat: Float, lon: Float): Array[Byte] = {
+    * vehicle.position(lat, lon) [+ occupancy_status, VehiclePosition
+    * field 9, when >= 0] — the wire twin of [[parseEntities]]. */
+  def encodeEntity(id: String, delay: Long, lat: Float, lon: Float,
+                   occupancy: Long = -1L): Array[Byte] = {
     val idField = lenDelim(0x0a, id.getBytes("UTF-8")) // field 1 string
     val trip = Array[Byte](0x28) ++ encodeVarint(delay) // TripUpdate.delay (field 5)
     val tripField = lenDelim(0x1a, trip) // entity field 3
@@ -275,8 +280,87 @@ object FeedParser {
         (bits >> 24).toByte)
     }
     val position = fixed32(0x0d, lat) ++ fixed32(0x15, lon) // Position fields 1,2
-    val vehicleField = lenDelim(0x22, lenDelim(0x0a, position)) // entity field 4 -> field 1
+    val occ = if (occupancy >= 0L) Array[Byte](0x48) ++ encodeVarint(occupancy)
+      else Array.emptyByteArray // VehiclePosition field 9 varint
+    val vehicleField = lenDelim(0x22, lenDelim(0x0a, position) ++ occ) // entity field 4
     idField ++ tripField ++ vehicleField
+  }
+
+  /** Hand-encoder: a FeedEntity carrying an Alert (entity field 5)
+    * with one active_period TimeRange (field 1: start=1, end=2),
+    * cause (field 6 enum) and effect (field 7 enum). */
+  def encodeEntityAlert(id: String, cause: Long, effect: Long,
+                        activeStart: Long, activeEnd: Long): Array[Byte] = {
+    val idField = lenDelim(0x0a, id.getBytes("UTF-8"))
+    val period = (Array[Byte](0x08) ++ encodeVarint(activeStart)) ++
+      (Array[Byte](0x10) ++ encodeVarint(activeEnd))
+    val alert = lenDelim(0x0a, period) ++ // Alert.active_period (field 1)
+      (Array[Byte](0x30) ++ encodeVarint(cause)) ++ // field 6
+      (Array[Byte](0x38) ++ encodeVarint(effect)) // field 7
+    idField ++ lenDelim(0x2a, alert) // entity field 5
+  }
+
+  /** One (entity_id, cause, effect, active_start, active_end) row per
+    * Alert entity — service-alert analytics over the wire bytes
+    * (the alert arm of the reference's FeedMessage schema). Missing
+    * submessages yield nulls; only the first active_period is kept. */
+  def parseAlerts(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var pos = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      if ((key >>> 3).toInt == 2 && (key & 7).toInt == 2) { // entity
+        val (elen, ep) = readVarint(b, p)
+        val eEnd = ep + elen.toInt
+        var id: org.apache.spark.unsafe.types.UTF8String = null
+        var cause: Any = null; var effect: Any = null
+        var aStart: Any = null; var aEnd: Any = null
+        var sawAlert = false
+        var q = ep
+        while (q < eEnd && q < b.length) {
+          val (ek, eq) = readVarint(b, q)
+          (ek >>> 3).toInt match {
+            case 1 if (ek & 7) == 2 =>
+              val (len, sp) = readVarint(b, eq)
+              if (len >= 0L && len <= (b.length - sp).toLong)
+                id = org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
+            case 5 if (ek & 7) == 2 => // alert
+              sawAlert = true
+              val (alen, ap) = readVarint(b, eq)
+              val aEndPos = ap + alen.toInt
+              var a = ap
+              var sawPeriod = false
+              while (a < aEndPos && a < b.length) {
+                val (ak, aq) = readVarint(b, a)
+                (ak >>> 3).toInt match {
+                  case 1 if (ak & 7) == 2 && !sawPeriod => // first active_period
+                    sawPeriod = true
+                    val (plen, pp) = readVarint(b, aq)
+                    val pEnd = pp + plen.toInt
+                    var r = pp
+                    while (r < pEnd && r < b.length) {
+                      val (pk, pq) = readVarint(b, r)
+                      if ((pk >>> 3).toInt == 1 && (pk & 7) == 0) aStart = readVarint(b, pq)._1
+                      if ((pk >>> 3).toInt == 2 && (pk & 7) == 0) aEnd = readVarint(b, pq)._1
+                      r = skip(b, (pk & 7).toInt, pq)
+                    }
+                  case 6 if (ak & 7) == 0 => cause = readVarint(b, aq)._1
+                  case 7 if (ak & 7) == 0 => effect = readVarint(b, aq)._1
+                  case _ =>
+                }
+                a = skip(b, (ak & 7).toInt, aq)
+              }
+            case _ =>
+          }
+          q = skip(b, (ek & 7).toInt, eq)
+        }
+        if (sawAlert) out += InternalRow(id, cause, effect, aStart, aEnd)
+      }
+      pos = skip(b, (key & 7).toInt, p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Hand-encoder (tests / synthetic feeds): varint. */
@@ -334,7 +418,8 @@ case class FeedEntities(child: Expression)
     StructField("entity_id", StringType),
     StructField("trip_delay", LongType),
     StructField("veh_lat", FloatType),
-    StructField("veh_lon", FloatType))), containsNull = false)
+    StructField("veh_lon", FloatType),
+    StructField("occupancy", LongType))), containsNull = false)
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "feed_entities"
   override protected def nullSafeEval(b: Any): Any =
@@ -365,6 +450,26 @@ case class FeedStopTimes(child: Expression)
   override protected def withNewChildInternal(c: Expression): FeedStopTimes = copy(c)
 }
 
+/** feed_alerts(bytes) → array<struct<entity_id, cause, effect,
+  * active_start, active_end>>: one row per Alert entity. */
+case class FeedAlerts(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("entity_id", StringType),
+    StructField("cause", LongType),
+    StructField("effect", LongType),
+    StructField("active_start", LongType),
+    StructField("active_end", LongType))), containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "feed_alerts"
+  override protected def nullSafeEval(b: Any): Any =
+    FeedParser.parseAlerts(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.FeedParser.parseAlerts($c);")
+  override protected def withNewChildInternal(c: Expression): FeedAlerts = copy(c)
+}
+
 object FeedColumns {
   def feed_entity_count(bin: Column): Column =
     bridge.column(FeedEntityCount(bridge.expression(bin)))
@@ -374,4 +479,6 @@ object FeedColumns {
     bridge.column(FeedEntities(bridge.expression(bin)))
   def feed_stop_times(bin: Column): Column =
     bridge.column(FeedStopTimes(bridge.expression(bin)))
+  def feed_alerts(bin: Column): Column =
+    bridge.column(FeedAlerts(bridge.expression(bin)))
 }

@@ -86,6 +86,29 @@ class FeedParserSpec extends SparkSpec {
     assert(FeedParser.headerTimestamp(feed) == 9L)
   }
 
+  test("alert entities and occupancy round-trip; non-alert entities are skipped") {
+    import spark.implicits._
+    val feed = FeedParser.encodeFeed(5L, Seq(
+      FeedParser.encodeEntityAlert("alert-1", 3L, 7L, 1000L, 2000L),
+      FeedParser.encodeEntity("veh-1", 10L, 1.0f, 2.0f, occupancy = 4L),
+      FeedParser.encodeEntityAlert("alert-2", 12L, 11L, 0L, 600L)))
+    val alerts = Seq(feed).toDF("feed")
+      .select(explode(FeedColumns.feed_alerts(col("feed"))).as("a"))
+      .select(col("a.entity_id"), col("a.cause"), col("a.effect"),
+        col("a.active_start"), col("a.active_end"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(alerts == Set(("alert-1", 3L, 7L, 1000L, 2000L),
+      ("alert-2", 12L, 11L, 0L, 600L)))
+    // occupancy rides the entity-level decode; absent → null
+    val ents = Seq(feed).toDF("feed")
+      .select(explode(FeedColumns.feed_entities(col("feed"))).as("e"))
+      .select(col("e.entity_id"), col("e.occupancy")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(ents.contains(("veh-1", 4L)))
+    assert(ents.contains(("alert-1", -1L))) // alert entity: no vehicle
+  }
+
   test("crafted malformed lengths never throw or allocate past the buffer") {
     // length varints whose low 32 bits are negative (0xFFFFFFFF0F =
     // varint 0xFFFFFFFF) or that claim gigabytes: parsers must degrade
