@@ -79,7 +79,10 @@ object Bench {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, artifact.getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] failed to write $outPath: $e")
+    }
     println(line)
     spark.stop()
   }

@@ -214,8 +214,14 @@ object Dedup {
                             batchId: Long, maxHamming: Int = 3,
                             minDotQ: Long = 250000L): DataFrame = {
     val spark = newBatch.sparkSession
-    val e = newBatch.select(col("id"), col("embedding"),
-      V.srpFingerprint(col("embedding")).as("fp"))
+    // commit the batch's fingerprints FIRST, then build the kept plan
+    // over the committed parquet: the fingerprint expression runs once
+    // (during the write) instead of once per consumer of the lazy
+    // plan, and a crash replay re-lands the same batch=<id> dir
+    graft.sources.Incremental.idempotentBatchWriter(corpusFpDir)(
+      newBatch.select(col("id"), col("embedding"),
+        V.srpFingerprint(col("embedding")).as("fp")), batchId)
+    val e = spark.read.parquet(s"$corpusFpDir/batch=$batchId")
     val otherBatches = Option(new java.io.File(corpusFpDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
@@ -233,14 +239,9 @@ object Dedup {
         .select(col("id_l").as("dup_id"))
         .unionAll(inBatch)
     }
-    val kept = e.select(col("id").as("vec_id"), col("fp"))
+    e.select(col("id").as("vec_id"), col("fp"))
       .join(dups.distinct(), col("vec_id") === col("dup_id"), "left_anti")
       .select(col("vec_id"), col("fp"))
-    // commit this batch's fingerprints AFTER computing kept (the read
-    // above already excluded batch=<batchId>, so ordering only matters
-    // for crash-replay, which the idempotent overwrite absorbs)
-    graft.sources.Incremental.idempotentBatchWriter(corpusFpDir)(e, batchId)
-    kept
   }
 
   /** [[srpPairs]] over a prepared (id, embedding, fp) frame. */

@@ -226,41 +226,51 @@ object Monitoring {
         floor(col("value") / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
-  /** GTFS-RT feed stats off the wire bytes: per (topic, window) a
-    * FeedMessage is synthesized (one entity per event, header
-    * timestamp = last event), then entity count and staleness are
-    * computed by PARSING the protobuf bytes with the native
-    * feed_entity_count / feed_header_timestamp expressions — the
-    * reference's gtfsrt get_stats, minus the HTTP fetch. The oracle is
-    * the plain aggregate the round trip must reproduce. */
+  /** Shared fleet-bounded GTFS-RT feed synthesis: chunk each (topic,
+    * hour)'s events into ⌈n/cap⌉ groups via row_number, collect each
+    * chunk (every collect_list buffer and feed blob is ≤ cap entities
+    * no matter how hot the window), and encode one FeedMessage per
+    * chunk whose entities come from `encodeEntity(event_id, user_id,
+    * value)`; the chunk's header timestamp is its own max event time,
+    * so per-window max over chunks equals the window's last event.
+    * Consumers parse the bytes back, explode, and aggregate per
+    * (topic, window) only — the chunking is invisible in the output. */
+  private def chunkedFeeds(spark: SparkSession, dir: String, cap: Int)(
+      encodeEntity: (Long, Long, Double) => Array[Byte]): DataFrame = {
+    import spark.implicits._
+    import graft.plans.FeedParser
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_id"), col("user_id"), col("value"), col("ts"))
+      .withColumn("feed_seq", ((row_number().over(w) - 1) / cap).cast("long"))
+      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
+      .agg(collect_list(struct(col("event_id"), col("user_id"), col("value")))
+        .as("evs"), unix_timestamp(max(col("ts"))).as("last_epoch"))
+      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Long, Double)], Long)]
+      .map { case (topic, win, _, evs, last) =>
+        (topic, win, FeedParser.encodeFeed(last,
+          evs.map { case (eid, uid, v) => encodeEntity(eid, uid, v) }))
+      }.toDF("topic", "window_start", "feed")
+  }
+
+  /** GTFS-RT feed stats off the wire bytes: fleet-bounded synthesized
+    * FeedMessages (one minimal entity per event, header timestamp =
+    * chunk's last event), then entity count and staleness computed by
+    * PARSING the protobuf bytes with the native feed_entity_count /
+    * feed_header_timestamp expressions — the reference's gtfsrt
+    * get_stats, minus the HTTP fetch. The oracle is the plain
+    * aggregate the round trip must reproduce. */
   def feedStats(spark: SparkSession, dir: String,
                 entitiesPerFeed: Int = 256): DataFrame = {
-    import spark.implicits._
-    import graft.plans.{FeedColumns, FeedParser}
+    import graft.plans.FeedColumns
     val nowEpoch = 1735689600L // 2025-01-01 UTC, matches FixedNowIso
-    // Real feeds are fleet-bounded; a synthesized one must be too. A
-    // hot window emits ⌈n/cap⌉ capped FeedMessages (one row each)
-    // instead of a single feed blob proportional to the window's event
-    // count, then the parsed stats re-aggregate per window — so no row
-    // or aggregation buffer grows with group size.
-    val cap = entitiesPerFeed.toLong
-    val feeds = Tables.events(spark, dir)
-      .groupBy(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"))
-      .agg(count(lit(1)).as("n"), unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .select(col("topic"), col("window_start"), col("last_epoch"), col("n"),
-        explode(sequence(lit(0L),
-          (((col("n") - 1) - pmod(col("n") - 1, lit(cap))) / cap).cast("long"))).as("feed_seq"))
-      .withColumn("chunk_n",
-        least(lit(cap), col("n") - col("feed_seq") * cap).cast("int"))
-      .as[(String, java.sql.Timestamp, Long, Long, Long, Int)]
-      .map { case (topic, win, last, _, _, chunkN) =>
-        (topic, win,
-          FeedParser.encodeFeed(last, Seq.fill(chunkN)(Array[Byte](0x08, 1))))
-      }.toDF("topic", "window_start", "feed")
-    feeds.select(col("topic"), col("window_start"),
-      FeedColumns.feed_entity_count(col("feed")).as("ec"),
-      FeedColumns.feed_header_timestamp(col("feed")).as("hts"))
+    chunkedFeeds(spark, dir, entitiesPerFeed)((_, _, _) => Array[Byte](0x08, 1))
+      .select(col("topic"), col("window_start"),
+        FeedColumns.feed_entity_count(col("feed")).as("ec"),
+        FeedColumns.feed_header_timestamp(col("feed")).as("hts"))
       .groupBy(col("topic"), col("window_start"))
       .agg(sum(col("ec")).cast("int").as("entity_count"),
         (lit(nowEpoch) - max(col("hts"))).as("timestamp_age"))
@@ -278,34 +288,12 @@ object Monitoring {
     * entity-level coverage of the reference's full FeedMessage schema. */
   def feedEntityStats(spark: SparkSession, dir: String,
                       entitiesPerFeed: Int = 256): DataFrame = {
-    import spark.implicits._
     import graft.plans.{FeedColumns, FeedParser}
-    // Fleet-bounded synthesis: events are chunked into ⌈n/cap⌉ feeds
-    // per (topic, hour) via row_number, so every collect_list buffer
-    // and every synthesized blob is ≤ cap entities no matter how hot
-    // the window. The parse→explode→aggregate below groups by (topic,
-    // window) only, so the chunking is invisible in the output.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
-    val feeds = Tables.events(spark, dir)
-      .select(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"),
-        col("event_id"), col("user_id"), col("value"), col("ts"))
-      .withColumn("feed_seq",
-        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
-      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
-      .agg(collect_list(struct(col("event_id"), col("user_id"), col("value")))
-        .as("evs"), unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Long, Double)], Long)]
-      .map { case (topic, win, _, evs, last) =>
-        val entities = evs.map { case (eid, uid, v) =>
-          FeedParser.encodeEntity(eid.toString, v.floor.toLong,
-            (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat,
-            occupancy = uid % 7) // VehiclePosition.occupancy_status enum
-        }
-        (topic, win, FeedParser.encodeFeed(last, entities))
-      }.toDF("topic", "window_start", "feed")
-    feeds.select(col("topic"), col("window_start"),
+    chunkedFeeds(spark, dir, entitiesPerFeed) { (eid, uid, v) =>
+      FeedParser.encodeEntity(eid.toString, v.floor.toLong,
+        (uid.toDouble / 100.0 - 90.0).toFloat, (uid.toDouble / 50.0).toFloat,
+        occupancy = uid % 7) // VehiclePosition.occupancy_status enum
+    }.select(col("topic"), col("window_start"),
       explode(FeedColumns.feed_entities(col("feed"))).as("e"))
       .groupBy(col("topic"), col("window_start"))
       .agg(count(lit(1)).as("n_entities"),
@@ -325,31 +313,14 @@ object Monitoring {
     * Oracle recomputes the aggregates from events directly. */
   def feedAlerts(spark: SparkSession, dir: String,
                  entitiesPerFeed: Int = 256): DataFrame = {
-    import spark.implicits._
     import graft.plans.{FeedColumns, FeedParser}
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
-    val feeds = Tables.events(spark, dir)
-      .select(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"),
-        col("event_id"), col("value"), col("ts"))
-      .withColumn("feed_seq",
-        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
-      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
-      .agg(collect_list(struct(col("event_id"), col("value"))).as("evs"),
-        unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Double)], Long)]
-      .map { case (topic, win, _, evs, last) =>
-        val entities = evs.map { case (eid, v) =>
-          val d = v.floor.toLong
-          // GTFS-RT Cause enum is 1..12, Effect 1..11
-          FeedParser.encodeEntityAlert(eid.toString,
-            cause = 1 + eid % 12, effect = 1 + eid % 11,
-            activeStart = d * 60, activeEnd = d * 60 + 600)
-        }
-        (topic, win, FeedParser.encodeFeed(last, entities))
-      }.toDF("topic", "window_start", "feed")
-    feeds.select(col("topic"), col("window_start"),
+    chunkedFeeds(spark, dir, entitiesPerFeed) { (eid, _, v) =>
+      val d = v.floor.toLong
+      // GTFS-RT Cause enum is 1..12, Effect 1..11
+      FeedParser.encodeEntityAlert(eid.toString,
+        cause = 1 + eid % 12, effect = 1 + eid % 11,
+        activeStart = d * 60, activeEnd = d * 60 + 600)
+    }.select(col("topic"), col("window_start"),
       explode(FeedColumns.feed_alerts(col("feed"))).as("a"))
       .groupBy(col("topic"), col("window_start"))
       .agg(count(lit(1)).as("n_alerts"),
@@ -371,30 +342,13 @@ object Monitoring {
     * FeedMessage schema (trip_update.stop_time_update[]). */
   def feedStopTimes(spark: SparkSession, dir: String,
                     entitiesPerFeed: Int = 256): DataFrame = {
-    import spark.implicits._
     import graft.plans.{FeedColumns, FeedParser}
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("topic"), col("window_start")).orderBy(col("event_id"))
-    val feeds = Tables.events(spark, dir)
-      .select(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"),
-        col("event_id"), col("value"), col("ts"))
-      .withColumn("feed_seq",
-        ((row_number().over(w) - 1) / entitiesPerFeed).cast("long"))
-      .groupBy(col("topic"), col("window_start"), col("feed_seq"))
-      .agg(collect_list(struct(col("event_id"), col("value"))).as("evs"),
-        unix_timestamp(max(col("ts"))).as("last_epoch"))
-      .as[(String, java.sql.Timestamp, Long, Seq[(Long, Double)], Long)]
-      .map { case (topic, win, _, evs, last) =>
-        val entities = evs.map { case (eid, v) =>
-          val d = v.floor.toLong
-          val nStops = (1 + eid % 3).toInt
-          FeedParser.encodeEntityStops(eid.toString,
-            (0 until nStops).map(k => (k + 1L, d + k, d + k + 1)))
-        }
-        (topic, win, FeedParser.encodeFeed(last, entities))
-      }.toDF("topic", "window_start", "feed")
-    feeds.select(col("topic"), col("window_start"),
+    chunkedFeeds(spark, dir, entitiesPerFeed) { (eid, _, v) =>
+      val d = v.floor.toLong
+      val nStops = (1 + eid % 3).toInt
+      FeedParser.encodeEntityStops(eid.toString,
+        (0 until nStops).map(k => (k + 1L, d + k, d + k + 1)))
+    }.select(col("topic"), col("window_start"),
       explode(FeedColumns.feed_stop_times(col("feed"))).as("s"))
       .groupBy(col("topic"), col("window_start"))
       .agg(count(lit(1)).as("n_stoptimes"),

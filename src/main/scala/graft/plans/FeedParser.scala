@@ -187,16 +187,26 @@ object FeedParser {
       if ((key >>> 3).toInt == 2 && (key & 7).toInt == 2) { // entity
         val (elen, ep) = readVarint(b, p)
         val eEnd = ep + elen.toInt
+        // pass 1: find the entity id wherever it sits — protobuf field
+        // order is not guaranteed, and stop rows emitted mid-parse
+        // must not depend on id-before-trip_update serialization
         var id: org.apache.spark.unsafe.types.UTF8String = null
         var q = ep
         while (q < eEnd && q < b.length) {
           val (ek, eq) = readVarint(b, q)
+          if ((ek >>> 3).toInt == 1 && (ek & 7) == 2) {
+            val (len, sp) = readVarint(b, eq)
+            if (len >= 0L && len <= (b.length - sp).toLong)
+              id = org.apache.spark.unsafe.types.UTF8String
+                .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
+          }
+          q = skip(b, (ek & 7).toInt, eq)
+        }
+        // pass 2: emit one row per stop_time_update
+        q = ep
+        while (q < eEnd && q < b.length) {
+          val (ek, eq) = readVarint(b, q)
           (ek >>> 3).toInt match {
-            case 1 if (ek & 7) == 2 => // id: string
-              val (len, sp) = readVarint(b, eq)
-              if (len >= 0L && len <= (b.length - sp).toLong)
-                id = org.apache.spark.unsafe.types.UTF8String
-                  .fromBytes(java.util.Arrays.copyOfRange(b, sp, sp + len.toInt))
             case 3 if (ek & 7) == 2 => // trip_update
               val (tlen, tp) = readVarint(b, eq)
               val tEnd = tp + tlen.toInt

@@ -76,11 +76,12 @@ object ExporterConfig {
         val out = Seq.newBuilder[BrokerConfig]
         while (it.hasNext) {
           val b = it.next()
+          // isNull: an explicit JSON null is a NullNode, not a Java null
           val address = b.get("address")
-          if (address == null)
+          if (address == null || address.isNull)
             throw new IllegalArgumentException("mqtt.brokers entry: address is required")
           val filters = b.get("topicFilters")
-          if (filters == null)
+          if (filters == null || filters.isNull)
             throw new IllegalArgumentException("mqtt.brokers entry: topicFilters is required")
           out += BrokerConfig(address.asText(), jsonStrings(filters))
         }

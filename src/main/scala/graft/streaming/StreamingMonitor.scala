@@ -235,7 +235,10 @@ object StreamingMonitor {
     * and Azure's one-envelope-per-metric model. Batches without
     * namespace/metric columns get the reference's MQTT/"Msg Count"
     * defaults, so the single-metric rates stream still yields exactly
-    * one envelope per batch. Series order is deterministic. */
+    * one envelope per non-empty batch. Series order is deterministic.
+    * An EMPTY micro-batch yields zero envelopes (a keyed aggregate has
+    * no groups) — intentionally matching Azure's no-data-no-envelope
+    * model; liveness belongs to the ops endpoints, not the sink. */
   def envelopes(batch: DataFrame): DataFrame = {
     val keyed = Seq("namespace" -> "MQTT", "metric" -> "Msg Count")
       .foldLeft(batch) { case (df, (c, default)) =>

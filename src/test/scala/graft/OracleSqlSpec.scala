@@ -8,11 +8,18 @@ import org.apache.spark.sql.functions._
   * opaque oracle hash mismatch. */
 class OracleSqlSpec extends SparkSpec {
 
-  test("oracle preconditions: document text is ASCII and >= 16 chars") {
-    // ASCII ⇒ DuckDB ord(char) = UTF-8 byte the kernels hash;
-    // len >= 16 ⇒ the rolling-hash short-text fallback never fires
+  test("oracle preconditions: ASCII, >= 16 chars, consistent whitespace") {
+    // - ASCII ⇒ DuckDB ord(char) = UTF-8 byte the kernels hash
+    // - len >= 16 ⇒ the rolling-hash short-text fallback never fires
+    // - no control chars beyond \t\n\r and at least one non-ws char:
+    //   the three tokenizers in play (Java regex \s in T.tokens,
+    //   tokenHashes' {space,\t,\n,\r}, DuckDB RE2 \s) agree only on
+    //   space/\t/\n/\r — a \f or \x0B doc would fingerprint
+    //   differently per engine and surface as an opaque hash mismatch
     val bad = Tables.documents(spark, sfDir)
-      .filter(length(col("text")) < 16 || col("text").rlike("[^\\x00-\\x7F]"))
+      .filter(length(col("text")) < 16 ||
+        col("text").rlike("[^\\x20-\\x7E\\t\\n\\r]") ||
+        trim(col("text")) === "")
       .count()
     assert(bad == 0)
   }
