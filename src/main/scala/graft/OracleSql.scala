@@ -194,6 +194,40 @@ FROM comp GROUP BY 1"""
       "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
 
+  /** q_dup_ngrams: per-source counts of word-n-gram hashes shared by
+    * >= 2 documents (shingle_hashes(text, n) semantics: DISTINCT gram
+    * hashes per doc). Token hashes and the n-token polynomial are the
+    * same kernels as the minhash oracle. */
+  def repeatedNgrams(n: Int): String = {
+    val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
+    val (gramStages, gramLast) = mixStages("sh", "gx", Seq("doc_id"), Left("sh0"))
+    // ((...(t0·B + t1)·B + ...)·B + t{n-1}) mod 2^64 over n joined rows
+    val aliases = (0 until n).map(i => s"t$i")
+    val poly = aliases.tail.foldLeft(s"t0.h") { (acc, a) =>
+      s"(($acc) * 1099511628211 % $P64 + $a.h) % $P64"
+    }
+    val joins = aliases.tail.zipWithIndex.map { case (a, i) =>
+      s" JOIN th $a ON $a.doc_id = t0.doc_id AND $a.ti = t0.ti + ${i + 1}"
+    }.mkString
+    val ctes = Seq(
+      """t0s AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
+      "t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0s)",
+      s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
+      tokStages ++ Seq(
+      s"th AS MATERIALIZED (SELECT doc_id, ti, CAST(h AS HUGEINT) * 4294967296 + l AS h FROM $tokLast)",
+      s"sh AS (SELECT t0.doc_id, $poly AS sh0 FROM th t0$joins)") ++
+      gramStages ++ Seq(
+      // per-doc DISTINCT gram set (shingleHashes dedups before emit)
+      s"dg AS MATERIALIZED (SELECT DISTINCT g.doc_id, ${signedHL("g.h", "g.l")} AS gram FROM $gramLast g)",
+      "rep AS (SELECT gram FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)")
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT d.source, count(DISTINCT dg.gram) AS repeated_grams,
+ count(DISTINCT dg.doc_id) AS docs_affected
+FROM dg JOIN rep ON rep.gram = dg.gram
+ JOIN documents d ON d.doc_id = dg.doc_id
+GROUP BY 1"""
+  }
+
   /** q_dedup_minhash: minhash_shingles(text, 3, 64) signatures via the
     * one-hash family h_p(s) = mix(mix(shingle) ^ mix(p)); candidates
     * share a band of 8 consecutive signature values (joined on the

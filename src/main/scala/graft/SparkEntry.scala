@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // Similarity search
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
+    "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -711,6 +713,25 @@ object SparkEntry {
     // principles (see OracleSql for the mod-2^64 SQL arithmetic), so
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
+    "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
+    // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
+    // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT vec_id, max(abs(q)) AS scale FROM e GROUP BY 1),
+        | c AS (SELECT e.label,
+        |   CASE WHEN s.scale = 0 THEN 0 ELSE
+        |     (CASE WHEN e.q < 0 THEN -1 ELSE 1 END) *
+        |       ((abs(e.q) * 254 + s.scale) // (s.scale * 2)) END AS code,
+        |   e.q, s.scale
+        |  FROM e JOIN s ON s.vec_id = e.vec_id)
+        |SELECT label, count(*) AS n_components,
+        | CAST(sum(code * code) AS BIGINT) AS code_energy,
+        | CAST(sum(abs(q * 127 - code * scale)) AS BIGINT) AS err127_sum,
+        | CAST(max(abs(q * 127 - code * scale)) AS BIGINT) AS err127_max
+        |FROM c GROUP BY 1""".stripMargin,
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_fingerprint" -> OracleSql.fingerprints,

@@ -185,4 +185,37 @@ object Ann {
       .orderBy(col("dot_q").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Symmetric int8 quantization report — the compression arm of an
+    * ANN index (scalar-quantized vectors are the storage/IO format a
+    * 100 TB embedding corpus serves from): per vector a single integer
+    * scale = max|q| over milli-quantized components, per component a
+    * signed int8 code = round-half-away(q·127/scale) computed in PURE
+    * integer arithmetic (code = sign · (2·|q|·127 + scale) div
+    * (2·scale)), reconstruction error tracked in exact integer 127ths
+    * (err127 = |127·q − code·scale|). Per-label report: component
+    * count, total code energy, error sum and max — every column an
+    * exact integer both engines reproduce bit-for-bit. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+    val scales = e.groupBy(col("vec_id")).agg(max(abs(col("q"))).as("scale"))
+    val coded = e.join(scales, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("q"), col("scale"),
+        when(col("scale") === 0, lit(0L)).otherwise {
+          // exact integer div (long/long `/` is DOUBLE in Spark):
+          // (a - a mod b) / b == a div b for the positive a, b here
+          val a = abs(col("q")) * 254 + col("scale")
+          val b = col("scale") * 2
+          when(col("q") < 0, lit(-1L)).otherwise(lit(1L)) *
+            ((a - pmod(a, b)) / b).cast("long")
+        }.as("code"))
+      .withColumn("err127", abs(col("q") * 127 - col("code") * col("scale")))
+    coded.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("code") * col("code")).as("code_energy"),
+        sum(col("err127")).as("err127_sum"),
+        max(col("err127")).as("err127_max"))
+  }
 }

@@ -335,6 +335,28 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Repeated-n-gram report — the corpus-level signal behind exact
+    * substring dedup (duplicated spans shared across documents, the
+    * pre-step of suffix-array span removal): per source, how many
+    * distinct word-n-gram hashes occur in >= 2 documents and how many
+    * documents carry at least one such gram.
+    *
+    * Scale shape: one explode of fused 8-byte gram hashes, a gram-
+    * keyed aggregate with map-side combine (distinct-doc counts), and
+    * a semi-join back — no pair space, candidates ∝ true repeats. */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+    val repeated = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    grams.join(repeated, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("gram")).as("repeated_grams"),
+        countDistinct(col("doc_id")).as("docs_affected"))
+  }
+
   /** Benchmark decontamination: flag training docs that share any
     * word n-gram with the held-out eval source (the standard
     * n-gram-overlap contamination check run before LLM training).
