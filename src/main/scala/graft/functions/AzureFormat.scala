@@ -37,6 +37,21 @@ object AzureFormat {
   /** `#`→`*`, `+`→`^` — Azure rejects MQTT wildcard chars in dimValues. */
   def sanitizeDim(dim: Column): Column = translate(dim, "#+", "*^")
 
+  /** Driver-side mirror of [[shapeMetricValue]] for the poll-loop
+    * connectors (Pulsar/GTFS-RT, whose per-cycle series are bounded by
+    * a fixed topic catalog, not data volume). Same HALF_UP
+    * BigDecimal rounding Spark's `round` uses, so the two paths agree
+    * bit-for-bit — asserted by a grid spec in ConnectorsSpec. */
+  def shapeMetricValueJvm(v: Double): Double = {
+    val r2 = java.math.BigDecimal.valueOf(math.abs(v))
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (r2 > 10)
+      java.math.BigDecimal.valueOf(r2).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    else r2
+  }
+
+  def sanitizeDimJvm(dim: String): String = dim.replace('#', '*').replace('+', '^')
+
   /** One Azure `series` element: {dimValues:[dim], sum:value, count:1}. */
   def seriesElement(dim: Column, value: Column): Column =
     struct(

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.plans.FeedParser
+
+/** GTFS-RT feed poller — the HTTP side of the reference's
+  * gtfsrt_data_collector.py.
+  *
+  * Per URL (gtfsrt_data_collector.py:17-25, 56-65): GET the binary
+  * FeedMessage, read `len(feed.entity)` and
+  * `now - feed.header.timestamp`, then ship one single-series envelope
+  * per metric — "Entity Count" and "Timestamp Age", namespace GTFSRT,
+  * dimension URL, values sent unrounded (they are integers).
+  *
+  * Parsing reuses the same hand-rolled protobuf wire codec the
+  * oracle-checked feed queries run through ([[FeedParser]]), so the
+  * fetched path and the analytical path cannot drift.
+  */
+object GtfsRtHttp {
+
+  /** FeedMessage field numbers (public GTFS-RT spec): header = 1,
+    * entity = 2 (repeated). */
+  private val EntityField = 2
+
+  final case class FeedStats(entityCount: Int, timestampAgeSec: Long)
+
+  /** get_stats: (entity count, seconds since header.timestamp). A
+    * fetch failure or unparseable body is a skip (Left), matching the
+    * collector's must-not-crash posture. */
+  def getStats(fetch: String => Either[String, Array[Byte]], url: String,
+               nowEpochSec: Long): Either[String, FeedStats] =
+    fetch(url).flatMap { bytes =>
+      try {
+        val ts = FeedParser.headerTimestamp(bytes)
+        if (ts <= 0L) Left(s"feed from $url carries no header timestamp")
+        else Right(FeedStats(FeedParser.countField(bytes, EntityField), nowEpochSec - ts))
+      } catch { case e: Exception => Left(s"feed from $url unparseable: ${e.getMessage}") }
+    }
+
+  private val mapper = new ObjectMapper()
+
+  /** One single-series GTFSRT envelope (gtfsrt_data_collector.py:
+    * 28-53) — no value shaping: the reference sends the raw integers. */
+  def envelope(metric: String, url: String, value: Long, timeIso: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("time", timeIso)
+    val base = root.putObject("data").putObject("baseData")
+    base.put("metric", metric)
+    base.put("namespace", "GTFSRT")
+    base.putArray("dimNames").add("URL")
+    val el = base.putArray("series").addObject()
+    el.putArray("dimValues").add(url)
+    el.put("sum", value)
+    el.put("count", 1)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Full cycle over the configured URL list (main(), :56-65): fetch
+    * each feed, ship Entity Count + Timestamp Age. Returns
+    * (envelopes sent, envelopes attempted); skipped URLs contribute
+    * nothing. */
+  def pollAndShip(fetch: String => Either[String, Array[Byte]], sender: AzureDelivery.Sender,
+                  urls: Seq[String], nowEpochSec: Long, timeIso: String,
+                  attempts: Int = 3,
+                  onSkip: (String, String) => Unit = (_, _) => ()): (Int, Int) = {
+    var sent = 0
+    var total = 0
+    urls.foreach { url =>
+      getStats(fetch, url, nowEpochSec) match {
+        case Left(err) => onSkip(url, err)
+        case Right(st) =>
+          val envs = Seq(
+            envelope("Entity Count", url, st.entityCount.toLong, timeIso),
+            envelope("Timestamp Age", url, st.timestampAgeSec, timeIso))
+          total += envs.size
+          sent += envs.count(sender.send(_, attempts))
+      }
+    }
+    (sent, total)
+  }
+}

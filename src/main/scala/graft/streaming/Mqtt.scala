@@ -1,0 +1,294 @@
+package graft.streaming
+
+import java.io.{DataInputStream, EOFException, IOException, InputStream, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.util.control.NonFatal
+
+/** Minimal MQTT 3.1.1 message-rate collector — the subscribe side of
+  * the reference's mqtt_data_collector.py, built directly on the OASIS
+  * MQTT 3.1.1 public wire spec (no client library exists in this
+  * container; the protocol subset a counting monitor needs is small).
+  *
+  * Three layers:
+  *  - [[Wire]]: a symmetric packet codec for the QoS-0 subset
+  *    (CONNECT/CONNACK, SUBSCRIBE/SUBACK, PUBLISH, PING, DISCONNECT).
+  *    Symmetric = encodes and decodes both directions, so the spec's
+  *    in-process broker exercises the same codec the client uses and
+  *    round-trip properties pin the wire format.
+  *  - [[RateWindow]]: the reference's measurement-window arithmetic
+  *    (mqtt_data_collector.py:100-135 `get_msg_count`) as pure logic
+  *    over an injected clock: too-short windows yield no rate, a
+  *    detected disconnect discounts 2× the keep-alive from the
+  *    elapsed time, and reading the rate resets the window.
+  *  - [[CountingClient]]: a socket client that connects, subscribes to
+  *    one filter, and counts PUBLISH packets on a daemon thread —
+  *    paho's `loop_start` shape (:45-73). The caller polls
+  *    `rate()` once per monitor period and restarts dead clients,
+  *    exactly like the reference's main loop (:150-205).
+  */
+object Mqtt {
+
+  // ---------------------------------------------------------------- wire
+
+  sealed trait Packet
+  final case class Connect(clientId: String, keepAliveSecs: Int) extends Packet
+  final case class Connack(returnCode: Int) extends Packet
+  final case class Subscribe(packetId: Int, filter: String, qos: Int) extends Packet
+  final case class Suback(packetId: Int, grantedQos: Int) extends Packet
+  final case class Publish(topic: String, payload: Array[Byte]) extends Packet
+  case object PingReq extends Packet
+  case object PingResp extends Packet
+  case object Disconnect extends Packet
+
+  object Wire {
+    /** Remaining-length varint: 7 bits per byte, ≤4 bytes (spec §2.2.3). */
+    def encodeRemainingLength(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= 268435455, s"remaining length out of range: $n")
+      val out = Array.newBuilder[Byte]
+      var x = n
+      var more = true
+      while (more) {
+        var digit = x % 128
+        x /= 128
+        if (x > 0) digit |= 0x80 else more = false
+        out += digit.toByte
+      }
+      out.result()
+    }
+
+    def readRemainingLength(in: DataInputStream): Int = {
+      var multiplier = 1
+      var value = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        if (i >= 4) throw new IOException("malformed remaining length (>4 bytes)")
+        val b = in.readUnsignedByte()
+        value += (b & 0x7f) * multiplier
+        multiplier *= 128
+        done = (b & 0x80) == 0
+        i += 1
+      }
+      value
+    }
+
+    private def utf8Field(s: String): Array[Byte] = {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      require(bytes.length <= 0xffff, "MQTT string too long")
+      Array[Byte]((bytes.length >> 8).toByte, (bytes.length & 0xff).toByte) ++ bytes
+    }
+
+    private def packet(headerByte: Int, body: Array[Byte]): Array[Byte] =
+      Array(headerByte.toByte) ++ encodeRemainingLength(body.length) ++ body
+
+    /** CONNECT with clean session, no will/user/password (§3.1). */
+    def connect(clientId: String, keepAliveSecs: Int): Array[Byte] = {
+      val varHeader = utf8Field("MQTT") ++ Array[Byte](4, 0x02) ++
+        Array[Byte]((keepAliveSecs >> 8).toByte, (keepAliveSecs & 0xff).toByte)
+      packet(0x10, varHeader ++ utf8Field(clientId))
+    }
+
+    def connack(returnCode: Int): Array[Byte] =
+      packet(0x20, Array[Byte](0, returnCode.toByte))
+
+    def subscribe(packetId: Int, filter: String, qos: Int = 0): Array[Byte] =
+      packet(0x82, Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte) ++
+        utf8Field(filter) ++ Array[Byte](qos.toByte))
+
+    def suback(packetId: Int, grantedQos: Int): Array[Byte] =
+      packet(0x90, Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte,
+        grantedQos.toByte))
+
+    /** QoS-0 PUBLISH: no packet id in the variable header (§3.3.2.2). */
+    def publish(topic: String, payload: Array[Byte]): Array[Byte] =
+      packet(0x30, utf8Field(topic) ++ payload)
+
+    def pingReq: Array[Byte] = packet(0xc0, Array.emptyByteArray)
+    def pingResp: Array[Byte] = packet(0xd0, Array.emptyByteArray)
+    def disconnect: Array[Byte] = packet(0xe0, Array.emptyByteArray)
+
+    private def readUtf8(body: Array[Byte], pos: Int): (String, Int) = {
+      if (pos + 2 > body.length) throw new IOException("truncated MQTT string length")
+      val len = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+      val end = pos + 2 + len
+      if (end > body.length) throw new IOException("truncated MQTT string")
+      (new String(body, pos + 2, len, StandardCharsets.UTF_8), end)
+    }
+
+    /** Read one packet; None on a clean EOF at a packet boundary.
+      * Unknown types and malformed bodies throw IOException — a
+      * monitoring client treats both as a disconnect. */
+    def readPacket(raw: InputStream): Option[Packet] = {
+      val in = raw match {
+        case d: DataInputStream => d
+        case other => new DataInputStream(other)
+      }
+      val first = in.read()
+      if (first < 0) return None
+      val remaining = readRemainingLength(in)
+      if (remaining > (1 << 20)) throw new IOException(s"oversized packet: $remaining bytes")
+      val body = new Array[Byte](remaining)
+      try in.readFully(body)
+      catch { case _: EOFException => throw new IOException("truncated packet body") }
+      val pktType = (first & 0xf0) >> 4
+      pktType match {
+        case 1 => // CONNECT
+          val (proto, p1) = readUtf8(body, 0)
+          if (proto != "MQTT") throw new IOException(s"unsupported protocol '$proto'")
+          if (p1 + 4 > body.length) throw new IOException("truncated CONNECT")
+          val keepAlive = ((body(p1 + 2) & 0xff) << 8) | (body(p1 + 3) & 0xff)
+          val (clientId, _) = readUtf8(body, p1 + 4)
+          Some(Connect(clientId, keepAlive))
+        case 2 =>
+          if (body.length < 2) throw new IOException("truncated CONNACK")
+          Some(Connack(body(1) & 0xff))
+        case 3 => // QoS-0 PUBLISH only (the monitor never subscribes above QoS 0)
+          if (((first >> 1) & 0x03) != 0) throw new IOException("QoS >0 PUBLISH unsupported")
+          val (topic, p1) = readUtf8(body, 0)
+          Some(Publish(topic, java.util.Arrays.copyOfRange(body, p1, body.length)))
+        case 8 =>
+          if (body.length < 2) throw new IOException("truncated SUBSCRIBE")
+          val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+          val (filter, p1) = readUtf8(body, 2)
+          if (p1 >= body.length) throw new IOException("SUBSCRIBE missing QoS")
+          Some(Subscribe(packetId, filter, body(p1) & 0x03))
+        case 9 =>
+          if (body.length < 3) throw new IOException("truncated SUBACK")
+          Some(Suback(((body(0) & 0xff) << 8) | (body(1) & 0xff), body(2) & 0xff))
+        case 12 => Some(PingReq)
+        case 13 => Some(PingResp)
+        case 14 => Some(Disconnect)
+        case t => throw new IOException(s"unsupported packet type $t")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- rate window
+
+  /** get_msg_count (mqtt_data_collector.py:100-135) with an injected
+    * clock (seconds, monotonic). Thread-safe: the read loop bumps the
+    * counter, the monitor thread reads the rate. */
+  final class RateWindow(keepAliveSecs: Int, clock: () => Double) {
+    private val count = new AtomicLong(0)
+    private var startedAt: Option[Double] = None
+    private var stoppedAt: Option[Double] = None
+
+    def onMessage(): Unit = count.incrementAndGet()
+    def messageCount: Long = count.get()
+
+    def markStarted(): Unit = synchronized {
+      startedAt = Some(clock())
+      stoppedAt = None
+    }
+    def markStopped(): Unit = synchronized { stoppedAt = Some(clock()) }
+
+    /** None when never started, or when a stopped window is too short
+      * for an accurate rate (< min(25, 10·keepAlive) s). A stopped
+      * window's elapsed time is reduced by 2·keepAlive — the time it
+      * took to DETECT the drop, so the rate is slightly inflated
+      * rather than alarm-raisingly deflated (the reference's explicit
+      * trade-off). Reading resets count and restarts the window. */
+    def rate(): Option[Double] = synchronized {
+      startedAt match {
+        case None => None
+        case Some(t0) =>
+          val elapsed = stoppedAt match {
+            case Some(t1) =>
+              val e = t1 - t0
+              if (e < math.min(25.0, 10.0 * keepAliveSecs)) return None
+              e - 2.0 * keepAliveSecs
+            case None => clock() - t0
+          }
+          val n = count.getAndSet(0)
+          startedAt = Some(clock())
+          stoppedAt = None
+          Some(n / elapsed)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- client
+
+  /** One monitored (broker, filter) — mqtt_data_collector.py's Topic
+    * class. `start()` spawns the read loop; the thread marks the
+    * window stopped and flips `isRunning` on any disconnect, and the
+    * caller restarts dead clients at the next monitor tick. */
+  final class CountingClient(host: String, port: Int, filter: String,
+                             keepAliveSecs: Int = 20,
+                             clock: () => Double = () => System.nanoTime() / 1e9,
+                             clientId: String = "graft-monitor") {
+    val window = new RateWindow(keepAliveSecs, clock)
+    @volatile private var socket: Socket = _
+    @volatile private var running = false
+    @volatile private var starting = false
+
+    def isRunning: Boolean = running
+
+    /** Connect + subscribe synchronously (so tests and the monitor
+      * loop know the subscription is live), then count asynchronously.
+      * Returns false when the broker is unreachable or refuses the
+      * connection — the reference logs and retries next tick. */
+    def start(): Boolean = synchronized {
+      if (running || starting) return true
+      starting = true
+      try {
+        val s = new Socket(host, port)
+        s.setSoTimeout(keepAliveSecs * 2 * 1000)
+        val out = s.getOutputStream
+        val in = new DataInputStream(s.getInputStream)
+        out.write(Wire.connect(clientId, keepAliveSecs)); out.flush()
+        Wire.readPacket(in) match {
+          case Some(Connack(0)) => ()
+          case other => s.close(); starting = false; return false
+        }
+        out.write(Wire.subscribe(packetId = 1, filter)); out.flush()
+        Wire.readPacket(in) match {
+          case Some(Suback(1, _)) => ()
+          case other => s.close(); starting = false; return false
+        }
+        socket = s
+        running = true
+        window.markStarted()
+        val t = new Thread(() => readLoop(in, out), s"mqtt-count-$host:$port")
+        t.setDaemon(true)
+        t.start()
+        true
+      } catch {
+        case NonFatal(_) => false
+      } finally starting = false
+    }
+
+    private def readLoop(in: DataInputStream, out: OutputStream): Unit = {
+      try {
+        var live = true
+        while (live) {
+          Wire.readPacket(in) match {
+            case Some(_: Publish) => window.onMessage()
+            case Some(PingReq) => out.write(Wire.pingResp); out.flush()
+            case Some(PingResp) | Some(_: Suback) => ()
+            case Some(Disconnect) | None => live = false
+            case Some(_) => () // ignore anything else a broker might push
+          }
+        }
+      } catch { case NonFatal(_) => () }
+      finally {
+        window.markStopped()
+        running = false
+        try if (socket != null) socket.close() catch { case NonFatal(_) => () }
+      }
+    }
+
+    def stop(): Unit = {
+      try {
+        if (socket != null && !socket.isClosed) {
+          try { socket.getOutputStream.write(Wire.disconnect); socket.getOutputStream.flush() }
+          catch { case NonFatal(_) => () }
+          socket.close()
+        }
+      } catch { case NonFatal(_) => () }
+    }
+  }
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.AzureFormat
+
+/** Pulsar admin-API topic-stats poller — the HTTP side of the
+  * reference's pulsar_data_collector.py.
+  *
+  * Per cycle (pulsar_data_collector.py:59-95): GET
+  * `{admin}/admin/v2/persistent/{namespace}/{topic}/stats` for every
+  * topic in the union of the per-metric collection lists; a fetch or
+  * parse failure skips that topic (the collector must outlive a
+  * flapping broker); then four custom-metric envelopes are built —
+  * Msg Rate In / Msg Rate Out / Storage Size from top-level stats
+  * fields, Msg Backlog from one named subscription's `msgBacklog` —
+  * and shipped through [[AzureDelivery.Sender]].
+  *
+  * The per-cycle series volume is bounded by the topic CATALOG (a
+  * fixed config list, ~19 topics in the reference), not by data
+  * volume, so the poll loop is driver-side by design; the analytical
+  * path over collected stats history lives in the oracle-checked
+  * Monitoring queries (q_metric_selection, q_backlog_sub), which
+  * [[toDf]] feeds.
+  */
+object PulsarStats {
+
+  /** The stats fields the reference reads (pulsar_data_collector.py:
+    * 85-95, 186, 196-200). `subscriptions` maps subscription name →
+    * msgBacklog. */
+  final case class TopicStats(topic: String, msgRateIn: Double, msgRateOut: Double,
+                              storageSize: Double, backlogBySubscription: Map[String, Double])
+
+  /** Which topics feed which metric — the four collection lists
+    * (pulsar_data_collector.py:21-55). */
+  final case class Catalog(msgRateIn: Seq[String], msgRateOut: Seq[String],
+                           storageSize: Seq[String], subscriptions: Seq[String],
+                           subscriptionName: String) {
+    def allTopics: Seq[String] =
+      (msgRateIn ++ msgRateOut ++ storageSize ++ subscriptions).distinct
+  }
+
+  def statsUrl(adminUrl: String, namespace: String, topic: String): String =
+    s"$adminUrl/admin/v2/persistent/$namespace/$topic/stats"
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse one stats JSON document. Missing numeric fields read as 0.0
+    * (Pulsar omits zero-valued fields in some versions); a body that
+    * is not a JSON object at all is a parse failure → None. */
+  def parseStats(topic: String, json: String): Option[TopicStats] =
+    try {
+      val root = mapper.readTree(json)
+      if (!root.isObject) None
+      else {
+        val subs = root.path("subscriptions")
+        val subMap: Map[String, Double] =
+          if (!subs.isObject) Map.empty
+          else {
+            val names = subs.fieldNames()
+            val b = Map.newBuilder[String, Double]
+            while (names.hasNext) {
+              val k = names.next()
+              b += k -> subs.path(k).path("msgBacklog").asDouble(0.0)
+            }
+            b.result()
+          }
+        Some(TopicStats(topic,
+          root.path("msgRateIn").asDouble(0.0),
+          root.path("msgRateOut").asDouble(0.0),
+          root.path("storageSize").asDouble(0.0),
+          subMap))
+      }
+    } catch { case _: Exception => None }
+
+  /** One poll cycle: fetch + parse each topic, skipping failures
+    * (collect_data_from_topic's try/except). Returns stats keyed by
+    * topic name. */
+  def collectCycle(fetch: String => Either[String, String], adminUrl: String,
+                   namespace: String, topics: Seq[String],
+                   onSkip: (String, String) => Unit = (_, _) => ()): Map[String, TopicStats] =
+    topics.flatMap { t =>
+      fetch(statsUrl(adminUrl, namespace, t)) match {
+        case Left(err) => onSkip(t, err); None
+        case Right(body) =>
+          parseStats(t, body) match {
+            case None => onSkip(t, "unparseable stats body"); None
+            case some => some
+          }
+      }
+    }.map(s => s.topic -> s).toMap
+
+  /** The four envelopes of send_metrics_into_azure (:97-126). Topics
+    * absent from `stats` are dropped from the series (a fetch skip
+    * must not zero-fill a metric); an entirely empty series yields no
+    * envelope (the reference refuses to send empty maps, :74-77). */
+  def envelopes(stats: Map[String, TopicStats], catalog: Catalog, timeIso: String): Seq[String] = {
+    def envelope(metric: String, series: Seq[(String, Double)]): Option[String] =
+      if (series.isEmpty) None
+      else {
+        val root = mapper.createObjectNode()
+        root.put("time", timeIso)
+        val base = root.putObject("data").putObject("baseData")
+        base.put("metric", metric)
+        base.put("namespace", "Pulsar")
+        base.putArray("dimNames").add("Topic")
+        val arr = base.putArray("series")
+        series.foreach { case (topic, v) =>
+          val el = arr.addObject()
+          el.putArray("dimValues").add(AzureFormat.sanitizeDimJvm(topic))
+          val shaped = AzureFormat.shapeMetricValueJvm(v)
+          // JSON shape parity with the reference: integral values print
+          // as ints ("sum": 12), fractional as doubles ("sum": 1.25).
+          if (shaped == math.floor(shaped) && !shaped.isInfinite) el.put("sum", shaped.toLong)
+          else el.put("sum", shaped)
+          el.put("count", 1)
+        }
+        Some(mapper.writeValueAsString(root))
+      }
+
+    def pick(topics: Seq[String], f: TopicStats => Double): Seq[(String, Double)] =
+      topics.flatMap(t => stats.get(t).map(s => t -> f(s)))
+
+    Seq(
+      envelope("Msg Rate In", pick(catalog.msgRateIn, _.msgRateIn)),
+      envelope("Msg Rate Out", pick(catalog.msgRateOut, _.msgRateOut)),
+      envelope("Storage Size", pick(catalog.storageSize, _.storageSize)),
+      envelope("Msg Backlog",
+        catalog.subscriptions.flatMap(t =>
+          stats.get(t).flatMap(_.backlogBySubscription.get(catalog.subscriptionName))
+            .map(t -> _)))
+    ).flatten
+  }
+
+  /** Full cycle: poll → envelope → deliver. Returns (sent, total)
+    * envelope counts; delivery reuses the token-refresh state machine
+    * with the reference's 3-attempt budget. */
+  def pollAndShip(fetch: String => Either[String, String], sender: AzureDelivery.Sender,
+                  adminUrl: String, namespace: String, catalog: Catalog,
+                  timeIso: String, attempts: Int = 3): (Int, Int) = {
+    val stats = collectCycle(fetch, adminUrl, namespace, catalog.allTopics)
+    val envs = envelopes(stats, catalog, timeIso)
+    (envs.count(sender.send(_, attempts)), envs.size)
+  }
+
+  /** Hand collected stats to the analytical plane: one row per
+    * (topic, subscription) with the top-level rates repeated — the
+    * shape Monitoring.backlogPerSubscription / metricSelection
+    * consume. Bounded by the catalog, so a local relation is fine. */
+  def toDf(spark: SparkSession, stats: Seq[TopicStats]): DataFrame = {
+    import spark.implicits._
+    stats.flatMap { s =>
+      if (s.backlogBySubscription.isEmpty)
+        Seq((s.topic, s.msgRateIn, s.msgRateOut, s.storageSize, null: String, 0.0))
+      else s.backlogBySubscription.toSeq.sortBy(_._1).map { case (sub, bl) =>
+        (s.topic, s.msgRateIn, s.msgRateOut, s.storageSize, sub, bl)
+      }
+    }.toDF("topic", "msg_rate_in", "msg_rate_out", "storage_size", "subscription", "msg_backlog")
+  }
+}

@@ -1,0 +1,246 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AzureFormat
+import graft.plans.FeedParser
+import graft.streaming.{AzureDelivery, GtfsRtHttp, HttpConnectors, PulsarStats}
+
+/** End-to-end specs for the real HTTP connectors over an in-process
+  * loopback server — actual sockets, actual java.net.http client, no
+  * external egress. */
+class ConnectorsSpec extends AnyFunSuite {
+
+  /** Run `f` against a localhost HTTP server with the given handlers. */
+  private def withServer[A](routes: (String, HttpExchange => Unit)*)(f: String => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, h) => server.createContext(path, (ex: HttpExchange) => h(ex)) }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  // ------------------------------------------------------------- transport
+
+  test("postTransport delivers body and headers; sender succeeds on 200") {
+    var seenAuth: String = null
+    var seenBody: String = null
+    withServer("/res-1/metrics" -> { ex =>
+      seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+      seenBody = readBody(ex)
+      respond(ex, 200, "{}")
+    }) { base =>
+      val http = HttpConnectors.newClient()
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(http), mintToken = () => fail("no refresh expected"),
+        store = new AzureDelivery.InMemoryTokenStore(Some("tok-1\n")),
+        seedToken = () => "unused", resourceId = "res-1", host = base)
+      assert(sender.send("""{"m":1}""", attemptsRemaining = 3))
+      assert(seenAuth == "Bearer tok-1") // token rstripped before the header
+      assert(seenBody == """{"m":1}""")
+    }
+  }
+
+  test("full refresh loop over real sockets: expired token minted via the token endpoint") {
+    val posts = new AtomicInteger(0)
+    withServer(
+      "/res-2/metrics" -> { ex =>
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        if (auth == "Bearer fresh-token") respond(ex, 200, "{}")
+        else respond(ex, 401, """{"Error":{"Code":"TokenExpired","Message":"old"}}""")
+        posts.incrementAndGet()
+      },
+      "/tenant/oauth2/token" -> { ex =>
+        val form = readBody(ex)
+        // client-credentials grant fields, form-encoded (reference :105-113)
+        assert(form.contains("grant_type=client_credentials"))
+        assert(form.contains("client_id=cid"))
+        assert(form.contains("client_secret=sec"))
+        assert(form.contains("resource=https%3A%2F%2Fmonitoring.azure.com%2F"))
+        respond(ex, 200, """{"token_type":"Bearer","access_token":"fresh-token"}""")
+      }
+    ) { base =>
+      val http = HttpConnectors.newClient()
+      val store = new AzureDelivery.InMemoryTokenStore(Some("stale-token"))
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(http),
+        mintToken = HttpConnectors.tokenMinter(http, s"$base/tenant/oauth2/token", "cid", "sec"),
+        store = store, seedToken = () => "unused", resourceId = "res-2", host = base)
+      assert(sender.send("""{"m":2}""", attemptsRemaining = 3))
+      assert(posts.get() == 2) // one 401, one 200 after refresh
+      assert(store.read().contains("fresh-token")) // persisted for the next cycle
+    }
+  }
+
+  test("transport failure (connection refused) is a non-refreshable failed attempt, not a crash") {
+    val http = HttpConnectors.newClient()
+    // a port from the ephemeral range with nothing bound — connection refused
+    val sender = new AzureDelivery.Sender(
+      HttpConnectors.postTransport(http), mintToken = () => fail("must not refresh"),
+      store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+      seedToken = () => "t", resourceId = "r", host = "http://127.0.0.1:1")
+    assert(!sender.send("{}", attemptsRemaining = 2))
+  }
+
+  // ---------------------------------------------------------------- pulsar
+
+  private val catalog = PulsarStats.Catalog(
+    msgRateIn = Seq("hfp/v2", "hfp/apc", "gone/topic"),
+    msgRateOut = Seq("hfp/v2"),
+    storageSize = Seq("hfp/apc"),
+    subscriptions = Seq("hfp/v2"),
+    subscriptionName = "combiner-sub")
+
+  private def pulsarJson(rateIn: Double, rateOut: Double, storage: Double,
+                         backlog: Double): String =
+    s"""{"msgRateIn":$rateIn,"msgRateOut":$rateOut,"msgThroughputIn":9.9,
+        "storageSize":$storage,
+        "subscriptions":{"combiner-sub":{"msgBacklog":$backlog,"msgRateOut":1.0},
+                         "other-sub":{"msgBacklog":77}}}"""
+
+  test("pulsar poll cycle: per-topic stats GET, skips on 404, four envelopes shipped") {
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    withServer(
+      "/admin/v2/persistent/ns1/hfp/v2/stats" -> (respond(_, 200, pulsarJson(1234.567, 11.4, 5e9, 42))),
+      "/admin/v2/persistent/ns1/hfp/apc/stats" -> (respond(_, 200, pulsarJson(2.345, 0.1, 1.5e8, 0))),
+      "/admin/v2/persistent/ns1/gone/topic/stats" -> (respond(_, 404, "Topic not found")),
+      "/azure/metrics" -> { ex => delivered += readBody(ex); respond(ex, 200, "{}") }
+    ) { base =>
+      val http = HttpConnectors.newClient()
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(http), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "azure", host = base)
+      val skips = scala.collection.mutable.ArrayBuffer[String]()
+      val stats = PulsarStats.collectCycle(
+        HttpConnectors.getString(http, _), base, "ns1", catalog.allTopics,
+        onSkip = (t, _) => skips += t)
+      assert(skips.toSeq == Seq("gone/topic")) // 404 skipped, not fatal
+      val envs = PulsarStats.envelopes(stats, catalog, "2026-08-12T12:00:00Z")
+      envs.foreach(e => assert(sender.send(e, 3)))
+      assert(delivered.size == 4)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val byMetric = delivered.map { j =>
+        val n = mapper.readTree(j)
+        n.path("data").path("baseData").path("metric").asText() -> n
+      }.toMap
+      assert(byMetric.keySet ==
+        Set("Msg Rate In", "Msg Rate Out", "Storage Size", "Msg Backlog"))
+      val rateIn = byMetric("Msg Rate In").path("data").path("baseData").path("series")
+      // gone/topic dropped from the series rather than zero-filled
+      assert(rateIn.size() == 2)
+      // >10 rounds to a whole number (reference get_series_array)
+      assert(rateIn.get(0).path("sum").asDouble() == 1235.0)
+      assert(rateIn.get(1).path("sum").asDouble() == 2.35)
+      val backlog = byMetric("Msg Backlog").path("data").path("baseData").path("series")
+      assert(backlog.size() == 1 && backlog.get(0).path("sum").asLong() == 42L)
+      assert(byMetric("Msg Rate In").path("data").path("baseData").path("namespace").asText() == "Pulsar")
+    }
+  }
+
+  test("pulsar envelopes: empty series yields no envelope; unparseable body is a skip") {
+    assert(PulsarStats.parseStats("t", "not json at all").isEmpty)
+    assert(PulsarStats.parseStats("t", "[1,2,3]").isEmpty)
+    val envs = PulsarStats.envelopes(Map.empty, catalog, "2026-08-12T12:00:00Z")
+    assert(envs.isEmpty) // reference refuses to send when the map is empty
+  }
+
+  test("pulsar toDf feeds the analytical plane with one row per (topic, subscription)") {
+    val spark = SparkSpec.spark
+    val stats = Seq(
+      PulsarStats.TopicStats("hfp/v2", 10, 5, 100, Map("a" -> 3.0, "b" -> 4.0)),
+      PulsarStats.TopicStats("empty/t", 1, 1, 1, Map.empty))
+    val df = PulsarStats.toDf(spark, stats)
+    assert(df.columns.toSeq ==
+      Seq("topic", "msg_rate_in", "msg_rate_out", "storage_size", "subscription", "msg_backlog"))
+    assert(df.count() == 3)
+    assert(df.where("topic = 'hfp/v2'").count() == 2)
+  }
+
+  test("driver-side value shaping agrees with the codegen column path on a value grid") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val grid = Seq(0.0, 0.004, 0.005, 1.234, 2.675, 9.994, 9.995, 10.0, 10.004,
+      10.5, 1234.567, -3.21, -10.6, 1e9 + 0.4)
+    val viaColumn = grid.toDF("v")
+      .select(AzureFormat.shapeMetricValue(org.apache.spark.sql.functions.col("v")))
+      .collect().map(_.getDouble(0))
+    val viaJvm = grid.map(AzureFormat.shapeMetricValueJvm)
+    assert(viaColumn.toSeq == viaJvm)
+    assert(AzureFormat.sanitizeDimJvm("a/#:+x") == "a/*:^x")
+  }
+
+  // ---------------------------------------------------------------- gtfsrt
+
+  test("gtfsrt fetch: entity count + timestamp age from a real GET of feed bytes") {
+    val feed = FeedParser.encodeFeed(timestamp = 1000L, entities = Seq(
+      FeedParser.encodeEntity("veh-1", delay = 30, lat = 60.1f, lon = 24.9f),
+      FeedParser.encodeEntity("veh-2", delay = -10, lat = 60.2f, lon = 25.0f),
+      FeedParser.encodeEntity("veh-3", delay = 0, lat = 60.3f, lon = 25.1f)))
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    withServer(
+      "/feed.pb" -> { ex =>
+        ex.sendResponseHeaders(200, feed.length)
+        ex.getResponseBody.write(feed)
+        ex.close()
+      },
+      "/azure/metrics" -> { ex => delivered += readBody(ex); respond(ex, 200, "{}") }
+    ) { base =>
+      val http = HttpConnectors.newClient()
+      val stats = GtfsRtHttp.getStats(
+        HttpConnectors.getBytes(http, _), s"$base/feed.pb", nowEpochSec = 1060L)
+      assert(stats == Right(GtfsRtHttp.FeedStats(entityCount = 3, timestampAgeSec = 60L)))
+
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(http), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "azure", host = base)
+      val (sent, total) = GtfsRtHttp.pollAndShip(
+        HttpConnectors.getBytes(http, _), sender, Seq(s"$base/feed.pb"),
+        nowEpochSec = 1060L, timeIso = "2026-08-12T12:00:00Z")
+      assert((sent, total) == (2, 2))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metrics = delivered.map(j => mapper.readTree(j).path("data").path("baseData"))
+      assert(metrics.map(_.path("metric").asText()).toSet == Set("Entity Count", "Timestamp Age"))
+      metrics.foreach { m =>
+        assert(m.path("namespace").asText() == "GTFSRT")
+        assert(m.path("dimNames").get(0).asText() == "URL")
+        assert(m.path("series").get(0).path("dimValues").get(0).asText() == s"$base/feed.pb")
+      }
+      val sums = metrics.map(m => m.path("metric").asText() -> m.path("series").get(0).path("sum").asLong()).toMap
+      assert(sums == Map("Entity Count" -> 3L, "Timestamp Age" -> 60L))
+    }
+  }
+
+  test("gtfsrt fetch skips dead URLs and garbage bodies without crashing the cycle") {
+    withServer("/garbage" -> (respond(_, 200, "this is not protobuf"))) { base =>
+      val http = HttpConnectors.newClient()
+      val fetch = HttpConnectors.getBytes(http, _: String)
+      assert(GtfsRtHttp.getStats(fetch, s"$base/nothing-bound-here", 0L).isLeft) // 404
+      assert(GtfsRtHttp.getStats(fetch, "http://127.0.0.1:1/x", 0L).isLeft) // refused
+      // garbage parses to no header timestamp → skip, not throw
+      assert(GtfsRtHttp.getStats(fetch, s"$base/garbage", 0L).isLeft)
+      val sender = new AzureDelivery.Sender(
+        (_, _, _) => AzureDelivery.HttpResponse(200, "{}"), () => "t",
+        new AzureDelivery.InMemoryTokenStore(Some("t")), () => "t", "r")
+      val (sent, total) = GtfsRtHttp.pollAndShip(fetch, sender,
+        Seq(s"$base/garbage", "http://127.0.0.1:1/x"), 0L, "2026-08-12T12:00:00Z")
+      assert((sent, total) == (0, 0))
+    }
+  }
+}

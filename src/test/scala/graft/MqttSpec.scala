@@ -1,0 +1,209 @@
+package graft
+
+import java.io.DataInputStream
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Mqtt
+import graft.streaming.Mqtt.{Wire, _}
+
+/** Specs for the minimal MQTT 3.1.1 layer: codec round-trips, the
+  * reference's rate-window arithmetic, and a live client counting
+  * messages from an in-process broker over real sockets. */
+class MqttSpec extends AnyFunSuite {
+
+  // ----------------------------------------------------------------- codec
+
+  private def roundTrip(bytes: Array[Byte]): Packet = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    Wire.readPacket(in).getOrElse(fail("EOF on a complete packet"))
+  }
+
+  test("wire codec round-trips every packet type") {
+    assert(roundTrip(Wire.connect("client-7", 20)) == Connect("client-7", 20))
+    assert(roundTrip(Wire.connack(0)) == Connack(0))
+    assert(roundTrip(Wire.connack(5)) == Connack(5))
+    assert(roundTrip(Wire.subscribe(42, "hfp/v2/+/bus/#")) == Subscribe(42, "hfp/v2/+/bus/#", 0))
+    assert(roundTrip(Wire.suback(42, 0)) == Suback(42, 0))
+    roundTrip(Wire.publish("t/1", "payload".getBytes(StandardCharsets.UTF_8))) match {
+      case Publish(topic, payload) =>
+        assert(topic == "t/1" && new String(payload, StandardCharsets.UTF_8) == "payload")
+      case other => fail(s"expected Publish, got $other")
+    }
+    assert(roundTrip(Wire.pingReq) == PingReq)
+    assert(roundTrip(Wire.pingResp) == PingResp)
+    assert(roundTrip(Wire.disconnect) == Disconnect)
+  }
+
+  test("remaining-length varint: boundaries and malformed input") {
+    // spec §2.2.3 boundary values
+    for (n <- Seq(0, 127, 128, 16383, 16384, 2097151, 2097152, 268435455)) {
+      val enc = Wire.encodeRemainingLength(n)
+      val in = new DataInputStream(new java.io.ByteArrayInputStream(enc))
+      assert(Wire.readRemainingLength(in) == n)
+    }
+    assert(Wire.encodeRemainingLength(127).length == 1)
+    assert(Wire.encodeRemainingLength(128).length == 2)
+    assert(Wire.encodeRemainingLength(268435455).length == 4)
+    intercept[IllegalArgumentException](Wire.encodeRemainingLength(268435456))
+    // five continuation bytes is malformed per spec
+    val bad = new DataInputStream(new java.io.ByteArrayInputStream(
+      Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x01)))
+    intercept[java.io.IOException](Wire.readRemainingLength(bad))
+  }
+
+  test("truncated packets throw IOException, clean EOF returns None") {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(Array.emptyByteArray))
+    assert(Wire.readPacket(in).isEmpty)
+    val truncated = Wire.publish("topic", "x".getBytes).dropRight(2)
+    val tin = new DataInputStream(new java.io.ByteArrayInputStream(truncated))
+    intercept[java.io.IOException](Wire.readPacket(tin))
+  }
+
+  // ----------------------------------------------------------- rate window
+
+  /** Manual clock: the window math is pure given a clock. */
+  private final class FakeClock(var now: Double) {
+    def apply(): () => Double = () => now
+  }
+
+  test("rate window matches get_msg_count semantics on a healthy window") {
+    val clk = new FakeClock(100.0)
+    val w = new Mqtt.RateWindow(keepAliveSecs = 20, clk())
+    assert(w.rate().isEmpty) // never started → None (reference returns None + warns)
+    w.markStarted()
+    (1 to 120).foreach(_ => w.onMessage())
+    clk.now = 160.0 // 60 s window, like production MONITOR_PERIOD_IN_SECONDS
+    assert(w.rate().contains(2.0)) // 120 msgs / 60 s
+    // reading resets: count back to zero, window restarted at `now`
+    clk.now = 190.0
+    (1 to 30).foreach(_ => w.onMessage())
+    assert(w.rate().contains(1.0)) // 30 / 30
+  }
+
+  test("rate window: disconnect discounts detection lag; too-short windows yield None") {
+    val clk = new FakeClock(0.0)
+    val w = new Mqtt.RateWindow(keepAliveSecs = 20, clk())
+    w.markStarted()
+    (1 to 100).foreach(_ => w.onMessage())
+    clk.now = 90.0
+    w.markStopped()
+    // elapsed 90 ≥ min(25, 200); adjusted = 90 − 2·20 = 50 → 100/50
+    assert(w.rate().contains(2.0))
+
+    // stopped again after only 10 s → too short for an accurate rate
+    w.markStarted()
+    (1 to 5).foreach(_ => w.onMessage())
+    clk.now = 100.0
+    w.markStopped()
+    assert(w.rate().isEmpty)
+  }
+
+  // ---------------------------------------------------------------- broker
+
+  /** In-process single-client broker speaking the same Wire codec:
+    * CONNACK on CONNECT, SUBACK on SUBSCRIBE, then pushes `messages`
+    * PUBLISHes matching the subscribed filter and holds the
+    * connection open until `close()`. */
+  private final class MiniBroker(messages: Int) {
+    private val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    val subscribed = new CountDownLatch(1)
+    val pushed = new CountDownLatch(1)
+    @volatile var receivedFilter: String = _
+    @volatile private var client: Socket = _
+
+    private val thread = new Thread(() => {
+      try {
+        val s = server.accept()
+        client = s
+        val in = new DataInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        Wire.readPacket(in) match {
+          case Some(Connect(_, _)) => out.write(Wire.connack(0)); out.flush()
+          case other => fail(s"broker expected CONNECT, got $other")
+        }
+        Wire.readPacket(in) match {
+          case Some(Subscribe(id, filter, _)) =>
+            receivedFilter = filter
+            out.write(Wire.suback(id, 0)); out.flush()
+            subscribed.countDown()
+          case other => fail(s"broker expected SUBSCRIBE, got $other")
+        }
+        (1 to messages).foreach { i =>
+          out.write(Wire.publish(s"hfp/v2/journey/$i", s"msg-$i".getBytes(StandardCharsets.UTF_8)))
+        }
+        out.flush()
+        pushed.countDown()
+        // hold the connection; respond to pings until closed
+        var live = true
+        while (live) Wire.readPacket(in) match {
+          case Some(PingReq) => out.write(Wire.pingResp); out.flush()
+          case Some(Disconnect) | None => live = false
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    }, "mini-broker")
+    thread.setDaemon(true)
+    thread.start()
+
+    def close(): Unit = {
+      try if (client != null) client.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  test("counting client subscribes and counts publishes from a live loopback broker") {
+    val broker = new MiniBroker(messages = 37)
+    try {
+      val clk = new FakeClock(1000.0)
+      val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+        filter = "hfp/v2/#", keepAliveSecs = 20, clock = clk())
+      assert(client.start())
+      assert(broker.subscribed.await(5, TimeUnit.SECONDS))
+      assert(broker.receivedFilter == "hfp/v2/#")
+      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      // wait until the client's read loop has drained all 37
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (client.window.messageCount < 37 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(client.window.messageCount == 37)
+      clk.now = 1060.0 // one production monitor period later
+      val rate = client.window.rate()
+      assert(rate.isDefined)
+      assert(math.abs(rate.get - 37.0 / 60.0) < 1e-9)
+      client.stop()
+    } finally broker.close()
+  }
+
+  test("broker death flips isRunning and the stopped window applies the keep-alive discount") {
+    val broker = new MiniBroker(messages = 100)
+    try {
+      val clk = new FakeClock(0.0)
+      val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+        filter = "#", keepAliveSecs = 20, clock = clk())
+      assert(client.start())
+      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (client.window.messageCount < 100 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      clk.now = 90.0
+      broker.close() // hard drop, like a broker crash
+      val stopDeadline = System.nanoTime() + 5e9.toLong
+      while (client.isRunning && System.nanoTime() < stopDeadline) Thread.sleep(10)
+      assert(!client.isRunning) // main loop would now restart it (reference :200-205)
+      // stopped window: (90 − 2·20) = 50 s effective → 100/50
+      assert(client.window.rate().contains(2.0))
+    } finally broker.close()
+  }
+
+  test("connecting to a dead port fails cleanly and can be retried") {
+    val client = new Mqtt.CountingClient("127.0.0.1", 1, filter = "#")
+    assert(!client.start())
+    assert(!client.isRunning)
+    assert(!client.start()) // retry is safe
+  }
+}
