@@ -198,7 +198,10 @@ FROM comp GROUP BY 1"""
     * >= 2 documents (shingle_hashes(text, n) semantics: DISTINCT gram
     * hashes per doc). Token hashes and the n-token polynomial are the
     * same kernels as the minhash oracle. */
-  def repeatedNgrams(n: Int): String = {
+  /** CTE chain ending in `dg` = the per-doc DISTINCT word-n-gram hash
+    * set (shingle_hashes(text, n) semantics), shared by the
+    * duplicated-gram oracles. */
+  private def docGramCtes(n: Int): Seq[String] = {
     val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
     val (gramStages, gramLast) = mixStages("sh", "gx", Seq("doc_id"), Left("sh0"))
     // ((...(t0·B + t1)·B + ...)·B + t{n-1}) mod 2^64 over n joined rows
@@ -209,7 +212,7 @@ FROM comp GROUP BY 1"""
     val joins = aliases.tail.zipWithIndex.map { case (a, i) =>
       s" JOIN th $a ON $a.doc_id = t0.doc_id AND $a.ti = t0.ti + ${i + 1}"
     }.mkString
-    val ctes = Seq(
+    Seq(
       """t0s AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
       "t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0s)",
       s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
@@ -218,14 +221,36 @@ FROM comp GROUP BY 1"""
       s"sh AS (SELECT t0.doc_id, $poly AS sh0 FROM th t0$joins)") ++
       gramStages ++ Seq(
       // per-doc DISTINCT gram set (shingleHashes dedups before emit)
-      s"dg AS MATERIALIZED (SELECT DISTINCT g.doc_id, ${signedHL("g.h", "g.l")} AS gram FROM $gramLast g)",
-      "rep AS (SELECT gram FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)")
+      s"dg AS MATERIALIZED (SELECT DISTINCT g.doc_id, ${signedHL("g.h", "g.l")} AS gram FROM $gramLast g)")
+  }
+
+  def repeatedNgrams(n: Int): String = {
+    val ctes = docGramCtes(n) :+
+      "rep AS (SELECT gram FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)"
     "WITH " + ctes.mkString(",\n ") + """
 SELECT d.source, count(DISTINCT dg.gram) AS repeated_grams,
  count(DISTINCT dg.doc_id) AS docs_affected
 FROM dg JOIN rep ON rep.gram = dg.gram
  JOIN documents d ON d.doc_id = dg.doc_id
 GROUP BY 1"""
+  }
+
+  /** q_dup_coverage: per-doc duplicated-gram coverage. `df` counts
+    * rows per gram, which equals documents per gram because `dg` is
+    * per-doc distinct; the ratio is ONE division of two exact
+    * integers — bit-identical cross-engine. */
+  def dupCoverage(n: Int): String = {
+    val ctes = docGramCtes(n) :+
+      "gdf AS MATERIALIZED (SELECT gram, count(*) AS df FROM dg GROUP BY 1)"
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT dg.doc_id, d.source,
+ CAST(count(*) AS BIGINT) AS total_grams,
+ CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams,
+ CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+   / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM dg JOIN gdf ON gdf.gram = dg.gram
+ JOIN documents d ON d.doc_id = dg.doc_id
+GROUP BY 1, 2"""
   }
 
   /** q_dedup_minhash: minhash_shingles(text, 3, 64) signatures via the

@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
+    "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // Similarity search
@@ -714,6 +715,7 @@ object SparkEntry {
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
+    "q_dup_coverage" -> OracleSql.dupCoverage(8),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
     // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.
     "q_embed_quant" ->

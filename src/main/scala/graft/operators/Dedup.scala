@@ -357,6 +357,34 @@ object Dedup {
         countDistinct(col("doc_id")).as("docs_affected"))
   }
 
+  /** Per-document duplicated-gram coverage — the doc-level removal
+    * signal of exact substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * the fraction of its distinct word-n-grams that also occur in at
+    * least one OTHER document. Pipelines drop or trim docs whose
+    * ratio exceeds a policy threshold; the ratio is the deliverable
+    * so the policy stays a cheap filter on this result.
+    *
+    * Scale shape: same as [[repeatedNgrams]] — gram-hash explode,
+    * document-frequency aggregate with map-side combine, one join
+    * back, then a doc-keyed aggregate. No pair space. The ratio is a
+    * single division of two exact integers, so it is bit-identical
+    * cross-engine (unlike summed doubles). */
+  def dupCoverage(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+    // df counts DOCUMENTS per gram; shingle_hashes already emits
+    // distinct grams per doc, so count(*) == countDistinct(doc_id).
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(gramDf, Seq("gram"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("dup_ratio",
+        col("shared_grams").cast("double") / col("total_grams").cast("double"))
+  }
+
   /** Benchmark decontamination: flag training docs that share any
     * word n-gram with the held-out eval source (the standard
     * n-gram-overlap contamination check run before LLM training).

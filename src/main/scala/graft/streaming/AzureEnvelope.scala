@@ -1,0 +1,39 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Shared Azure custom-metric envelope JSON for the driver-side
+  * connectors — the {time, data.baseData.{metric, namespace, dimNames,
+  * series}} document all three reference collectors POST
+  * (send_data_to_azure_monitor.py callers). The Spark data plane
+  * builds the same document through the codegen column path
+  * ([[graft.functions.AzureFormat.metricEnvelope]]); this is the
+  * bounded poll-loop twin.
+  *
+  * Integral sums print as JSON ints ("sum": 12) and fractional as
+  * doubles ("sum": 1.25), matching Python json.dumps of the
+  * reference's int-after-round values.
+  */
+object AzureEnvelope {
+
+  private val mapper = new ObjectMapper()
+
+  def build(metric: String, namespace: String, dimName: String, timeIso: String,
+            series: Seq[(String, Double)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("time", timeIso)
+    val base = root.putObject("data").putObject("baseData")
+    base.put("metric", metric)
+    base.put("namespace", namespace)
+    base.putArray("dimNames").add(dimName)
+    val arr = base.putArray("series")
+    series.foreach { case (dim, v) =>
+      val el = arr.addObject()
+      el.putArray("dimValues").add(dim)
+      if (v == math.floor(v) && !v.isInfinite) el.put("sum", v.toLong)
+      else el.put("sum", v)
+      el.put("count", 1)
+    }
+    mapper.writeValueAsString(root)
+  }
+}

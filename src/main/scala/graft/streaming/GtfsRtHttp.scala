@@ -1,7 +1,5 @@
 package graft.streaming
 
-import com.fasterxml.jackson.databind.ObjectMapper
-
 import graft.plans.FeedParser
 
 /** GTFS-RT feed poller — the HTTP side of the reference's
@@ -38,23 +36,10 @@ object GtfsRtHttp {
       } catch { case e: Exception => Left(s"feed from $url unparseable: ${e.getMessage}") }
     }
 
-  private val mapper = new ObjectMapper()
-
   /** One single-series GTFSRT envelope (gtfsrt_data_collector.py:
     * 28-53) — no value shaping: the reference sends the raw integers. */
-  def envelope(metric: String, url: String, value: Long, timeIso: String): String = {
-    val root = mapper.createObjectNode()
-    root.put("time", timeIso)
-    val base = root.putObject("data").putObject("baseData")
-    base.put("metric", metric)
-    base.put("namespace", "GTFSRT")
-    base.putArray("dimNames").add("URL")
-    val el = base.putArray("series").addObject()
-    el.putArray("dimValues").add(url)
-    el.put("sum", value)
-    el.put("count", 1)
-    mapper.writeValueAsString(root)
-  }
+  def envelope(metric: String, url: String, value: Long, timeIso: String): String =
+    AzureEnvelope.build(metric, "GTFSRT", "URL", timeIso, Seq(url -> value.toDouble))
 
   /** Full cycle over the configured URL list (main(), :56-65): fetch
     * each feed, ship Entity Count + Timestamp Age. Returns

@@ -291,4 +291,25 @@ object Mqtt {
       } catch { case NonFatal(_) => () }
     }
   }
+
+  // ------------------------------------------------------- collector tick
+
+  /** One monitor-period tick of the reference main loop
+    * (mqtt_data_collector.py:178-205 + get_series_array :278-300):
+    * read each client's windowed rate (clients with no valid window
+    * are skipped, not zero-filled), build the single "Msg Count" /
+    * "MQTT" envelope — values shaped round-2 / abs / >10→whole, topic
+    * keys with Azure-hostile `#`/`+` sanitized — and restart clients
+    * whose read loop died. Returns None when every client was
+    * skipped ("No data to send to Azure"). */
+  def collectorTick(clients: Seq[(String, CountingClient)], timeIso: String): Option[String] = {
+    val rates = clients.flatMap { case (key, c) => c.window.rate().map(key -> _) }
+    clients.collect { case (_, c) if !c.isRunning => c }.foreach(_.start())
+    if (rates.isEmpty) None
+    else Some(AzureEnvelope.build("Msg Count", "MQTT", "Topic", timeIso,
+      rates.map { case (k, v) =>
+        graft.functions.AzureFormat.sanitizeDimJvm(k) ->
+          graft.functions.AzureFormat.shapeMetricValueJvm(v)
+      }))
+  }
 }

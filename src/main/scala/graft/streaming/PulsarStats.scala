@@ -98,26 +98,10 @@ object PulsarStats {
   def envelopes(stats: Map[String, TopicStats], catalog: Catalog, timeIso: String): Seq[String] = {
     def envelope(metric: String, series: Seq[(String, Double)]): Option[String] =
       if (series.isEmpty) None
-      else {
-        val root = mapper.createObjectNode()
-        root.put("time", timeIso)
-        val base = root.putObject("data").putObject("baseData")
-        base.put("metric", metric)
-        base.put("namespace", "Pulsar")
-        base.putArray("dimNames").add("Topic")
-        val arr = base.putArray("series")
-        series.foreach { case (topic, v) =>
-          val el = arr.addObject()
-          el.putArray("dimValues").add(AzureFormat.sanitizeDimJvm(topic))
-          val shaped = AzureFormat.shapeMetricValueJvm(v)
-          // JSON shape parity with the reference: integral values print
-          // as ints ("sum": 12), fractional as doubles ("sum": 1.25).
-          if (shaped == math.floor(shaped) && !shaped.isInfinite) el.put("sum", shaped.toLong)
-          else el.put("sum", shaped)
-          el.put("count", 1)
-        }
-        Some(mapper.writeValueAsString(root))
-      }
+      else Some(AzureEnvelope.build(metric, "Pulsar", "Topic", timeIso,
+        series.map { case (topic, v) =>
+          AzureFormat.sanitizeDimJvm(topic) -> AzureFormat.shapeMetricValueJvm(v)
+        }))
 
     def pick(topics: Seq[String], f: TopicStats => Double): Seq[(String, Double)] =
       topics.flatMap(t => stats.get(t).map(s => t -> f(s)))

@@ -206,4 +206,55 @@ class MqttSpec extends AnyFunSuite {
     assert(!client.isRunning)
     assert(!client.start()) // retry is safe
   }
+
+  test("full collector loop on loopback: broker -> count -> envelope -> HTTP POST") {
+    import com.sun.net.httpserver.HttpServer
+    import graft.streaming.{AzureDelivery, HttpConnectors}
+
+    val broker = new MiniBroker(messages = 720)
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    val azure = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    azure.createContext("/res/metrics", ex => {
+      delivered += new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, 2)
+      ex.getResponseBody.write("{}".getBytes)
+      ex.close()
+    })
+    azure.start()
+    try {
+      val clk = new FakeClock(0.0)
+      val key = s"127.0.0.1:hfp/v2/#:${broker.port}" // the reference's topic_data_map key
+      val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+        filter = "hfp/v2/#", keepAliveSecs = 20, clock = clk())
+      assert(client.start())
+      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (client.window.messageCount < 720 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      clk.now = 60.0 // one production monitor period
+
+      val envelope = Mqtt.collectorTick(Seq(key -> client), "2026-08-12T12:00:00Z")
+      assert(envelope.isDefined)
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(HttpConnectors.newClient()), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "res",
+        host = s"http://127.0.0.1:${azure.getAddress.getPort}")
+      assert(sender.send(envelope.get, 3))
+
+      assert(delivered.size == 1)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val base = mapper.readTree(delivered.head).path("data").path("baseData")
+      assert(base.path("metric").asText() == "Msg Count")
+      assert(base.path("namespace").asText() == "MQTT")
+      val el = base.path("series").get(0)
+      // 720 msgs / 60 s = 12 > 10 → whole number; '#' sanitized to '*'
+      assert(el.path("sum").asLong() == 12L)
+      assert(el.path("dimValues").get(0).asText() == s"127.0.0.1:hfp/v2/*:${broker.port}")
+      // an all-skipped tick sends nothing (reference: "No data to send")
+      assert(Mqtt.collectorTick(Seq(key -> new Mqtt.CountingClient("127.0.0.1", 1, "#")),
+        "2026-08-12T12:00:00Z").isEmpty)
+      client.stop()
+    } finally { broker.close(); azure.stop(0) }
+  }
 }
