@@ -1,0 +1,100 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Grafana dashboard provisioning-as-code — generates the monitoring
+  * dashboard the reference ships as a hand-maintained artifact
+  * (transitdata-metrics-exporter/grafana/mqtt-dashboard.json: one
+  * timeseries panel per monitored (broker, topic_filter) charting
+  * `rate(mqtt_messages_received_total{broker=~…, topic_filter=…})`,
+  * plus a `datasource` template variable).
+  *
+  * Generating from [[ExporterConfig.AppConfig]] keeps the dashboard in
+  * lock-step with what the exporter actually counts
+  * (MqttTopicMonitorListener's per-(broker, filter) counters): add a
+  * filter to the config and the panel exists; no drift between
+  * provisioning and metrics.
+  */
+object GrafanaDashboards {
+
+  private val mapper = new ObjectMapper()
+
+  /** Regex-escape a broker address for the PromQL `=~` matcher the
+    * reference panels use (`.*host.*` with dots escaped). */
+  private[streaming] def promRegexEscape(s: String): String =
+    s.flatMap {
+      case c if ".\\+*?[]^$(){}|".contains(c) => s"\\\\$c"
+      case c => c.toString
+    }
+
+  /** PromQL for one (broker, filter) panel — the reference's expr
+    * shape: broker matched loosely (any scheme/port), filter exactly. */
+  private[streaming] def panelExpr(brokerAddress: String, filter: String): String = {
+    // strip scheme and port: the counter label carries the host
+    val host = brokerAddress.replaceFirst("^[a-z.+]+://", "").replaceFirst(":\\d+$", "")
+    val f = filter.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""rate(mqtt_messages_received_total{broker=~".*${promRegexEscape(host)}.*", topic_filter="$f"}[$$__rate_interval])"""
+  }
+
+  private def timeseriesPanel(id: Int, title: String, expr: String,
+                              x: Int, y: Int, w: Int, h: Int): ObjectNode = {
+    val p = mapper.createObjectNode()
+    p.put("id", id)
+    p.put("type", "timeseries")
+    p.put("title", title)
+    val grid = p.putObject("gridPos")
+    grid.put("x", x); grid.put("y", y); grid.put("w", w); grid.put("h", h)
+    val ds = p.putObject("datasource")
+    ds.put("type", "prometheus")
+    ds.put("uid", "${datasource}")
+    val t = p.putArray("targets").addObject()
+    t.set("datasource", ds.deepCopy[ObjectNode]())
+    t.put("editorMode", "code")
+    t.put("expr", expr)
+    t.put("legendFormat", "{{broker}}")
+    t.put("range", true)
+    t.put("refId", "A")
+    p
+  }
+
+  /** Build the dashboard JSON: one panel per (broker, topicFilter) in
+    * config order, two panels per row, plus the datasource template
+    * variable. `uid` is stable so re-provisioning updates in place. */
+  def mqttDashboard(config: ExporterConfig.AppConfig,
+                    title: String = "MQTT topic monitor",
+                    uid: String = "graft-mqtt-monitor"): String = {
+    val root = mapper.createObjectNode()
+    root.put("title", title)
+    root.put("uid", uid)
+    root.put("schemaVersion", 39)
+    root.put("editable", true)
+    root.put("timezone", "utc")
+    root.put("refresh", "30s")
+    val time = root.putObject("time")
+    time.put("from", "now-6h"); time.put("to", "now")
+    root.putArray("tags").add("graft").add("mqtt")
+
+    val tmpl = root.putObject("templating").putArray("list").addObject()
+    tmpl.put("name", "datasource")
+    tmpl.put("type", "datasource")
+    tmpl.put("query", "prometheus")
+    tmpl.put("refresh", 1)
+    tmpl.put("hide", 0)
+
+    val panels = root.putArray("panels")
+    val pairs = for {
+      broker <- config.mqttBrokers
+      filter <- broker.topicFilters
+    } yield (broker.address, filter)
+    val (w, h) = (12, 8) // two panels per 24-unit grid row, reference geometry
+    pairs.zipWithIndex.foreach { case ((address, filter), i) =>
+      panels.add(timeseriesPanel(
+        id = i + 1,
+        title = s"$address: $filter",
+        expr = panelExpr(address, filter),
+        x = (i % 2) * w, y = (i / 2) * h, w = w, h = h))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ExporterConfig, GrafanaDashboards}
+
+/** The generated dashboard must be valid Grafana JSON whose panel set
+  * exactly covers the exporter's configured (broker, filter) counters
+  * — provisioning can never drift from what is measured. */
+class GrafanaDashboardsSpec extends AnyFunSuite {
+
+  private val config = ExporterConfig.AppConfig(
+    port = 8080,
+    gtfsRtUrls = Seq.empty,
+    gtfsRtPollInterval = Duration.ofSeconds(30),
+    gtfsRtClientTimeout = Duration.ofSeconds(10),
+    mqttClientId = "graft", mqttConnectionTimeout = Duration.ofSeconds(10),
+    mqttKeepAliveInterval = Duration.ofSeconds(20), mqttQos = 0,
+    mqttBrokers = Seq(
+      ExporterConfig.BrokerConfig("ssl://mqtt.hsl.fi:8883",
+        Seq("/hfp/v2/journey/#", "/hfp/v2/journey/ongoing/+/ferry/#")),
+      ExporterConfig.BrokerConfig("tcp://pred.rt.hsl.fi:1883",
+        Seq("gtfsrt/v2/fi/hsl/tu"))))
+
+  private val mapper = new ObjectMapper()
+
+  test("one timeseries panel per configured (broker, filter), reference expr shape") {
+    val json = GrafanaDashboards.mqttDashboard(config)
+    val root = mapper.readTree(json)
+    val panels = root.path("panels")
+    assert(panels.size() == 3)
+
+    val exprs = (0 until panels.size()).map(i =>
+      panels.get(i).path("targets").get(0).path("expr").asText())
+    // broker host regex-escaped and matched loosely; filter matched exactly
+    assert(exprs(0) ==
+      """rate(mqtt_messages_received_total{broker=~".*mqtt\\.hsl\\.fi.*", topic_filter="/hfp/v2/journey/#"}[$__rate_interval])""")
+    assert(exprs(2).contains("""broker=~".*pred\\.rt\\.hsl\\.fi.*""""))
+    assert(exprs(2).contains("""topic_filter="gtfsrt/v2/fi/hsl/tu""""))
+
+    // every panel is a prometheus timeseries bound to the template var
+    (0 until panels.size()).foreach { i =>
+      val p = panels.get(i)
+      assert(p.path("type").asText() == "timeseries")
+      assert(p.path("datasource").path("uid").asText() == "${datasource}")
+      assert(p.path("id").asInt() == i + 1) // unique stable ids
+    }
+    // titles name the (broker, filter) pair like the reference panels
+    assert(panels.get(1).path("title").asText() ==
+      "ssl://mqtt.hsl.fi:8883: /hfp/v2/journey/ongoing/+/ferry/#")
+  }
+
+  test("grid layout: two panels per row, no overlap") {
+    val root = mapper.readTree(GrafanaDashboards.mqttDashboard(config))
+    val panels = root.path("panels")
+    val cells = (0 until panels.size()).map { i =>
+      val g = panels.get(i).path("gridPos")
+      (g.path("x").asInt(), g.path("y").asInt(), g.path("w").asInt(), g.path("h").asInt())
+    }
+    assert(cells == Seq((0, 0, 12, 8), (12, 0, 12, 8), (0, 8, 12, 8)))
+    assert(cells.distinct.size == cells.size)
+  }
+
+  test("dashboard chrome: template variable, uid stability, empty config") {
+    val root = mapper.readTree(GrafanaDashboards.mqttDashboard(config))
+    val tmpl = root.path("templating").path("list").get(0)
+    assert(tmpl.path("name").asText() == "datasource")
+    assert(tmpl.path("type").asText() == "datasource")
+    assert(root.path("uid").asText() == "graft-mqtt-monitor")
+    assert(root.path("schemaVersion").asInt() > 0)
+
+    val empty = mapper.readTree(
+      GrafanaDashboards.mqttDashboard(config.copy(mqttBrokers = Seq.empty)))
+    assert(empty.path("panels").size() == 0) // valid, just panel-less
+  }
+}
