@@ -101,16 +101,19 @@ object ExporterConfig {
       (topicFilters :+ "unknown").map(_ -> 0L): _*)
     private var lost = 0L
 
-    def messageArrived(topic: String): Unit = {
+    // synchronized: bumped from a client read thread, scraped from the
+    // metrics endpoint thread
+    def messageArrived(topic: String): Unit = synchronized {
       val matching = topicFilters.filter(f => graft.plans.MqttTopicMatch.matches(topic, f))
       if (matching.isEmpty) counts("unknown") += 1
       else matching.foreach(f => counts(f) += 1)
     }
 
-    def connectionLost(): Unit = lost += 1
-    def connectionLostCount: Long = lost
-    /** (topic_filter → received count), "unknown" included. */
-    def snapshot: Map[String, Long] = counts.toMap
+    def connectionLost(): Unit = synchronized { lost += 1 }
+    def connectionLostCount: Long = synchronized(lost)
+    /** (topic_filter → received count) in registration order,
+      * "unknown" last. */
+    def snapshot: Seq[(String, Long)] = synchronized(counts.toSeq)
   }
 
   /** One counter set per configured broker — MqttListeners'

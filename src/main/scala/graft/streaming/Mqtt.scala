@@ -212,14 +212,20 @@ object Mqtt {
 
   // ------------------------------------------------------------- client
 
-  /** One monitored (broker, filter) — mqtt_data_collector.py's Topic
-    * class. `start()` spawns the read loop; the thread marks the
-    * window stopped and flips `isRunning` on any disconnect, and the
-    * caller restarts dead clients at the next monitor tick. */
-  final class CountingClient(host: String, port: Int, filter: String,
+  /** One monitored broker connection — mqtt_data_collector.py's Topic
+    * class (single filter) and the exporter's MqttListeners (several
+    * filters on one connection). `start()` subscribes every filter
+    * synchronously, then counts on a daemon thread; the thread marks
+    * the window stopped and flips `isRunning` on any disconnect, and
+    * the caller restarts dead clients at the next monitor tick.
+    * `onPublish` / `onDisconnect` are the exporter's listener hooks
+    * (MqttTopicMonitorListener.messageArrived / connectionLost). */
+  final class CountingClient(host: String, port: Int, filters: Seq[String],
                              keepAliveSecs: Int = 20,
                              clock: () => Double = () => System.nanoTime() / 1e9,
-                             clientId: String = "graft-monitor") {
+                             clientId: String = "graft-monitor",
+                             onPublish: Publish => Unit = _ => (),
+                             onDisconnect: () => Unit = () => ()) {
     val window = new RateWindow(keepAliveSecs, clock)
     @volatile private var socket: Socket = _
     @volatile private var running = false
@@ -242,12 +248,14 @@ object Mqtt {
         out.write(Wire.connect(clientId, keepAliveSecs)); out.flush()
         Wire.readPacket(in) match {
           case Some(Connack(0)) => ()
-          case other => s.close(); starting = false; return false
+          case _ => s.close(); starting = false; return false
         }
-        out.write(Wire.subscribe(packetId = 1, filter)); out.flush()
-        Wire.readPacket(in) match {
-          case Some(Suback(1, _)) => ()
-          case other => s.close(); starting = false; return false
+        filters.zipWithIndex.foreach { case (f, i) =>
+          out.write(Wire.subscribe(packetId = i + 1, f)); out.flush()
+          Wire.readPacket(in) match {
+            case Some(Suback(pid, _)) if pid == i + 1 => ()
+            case _ => s.close(); starting = false; return false
+          }
         }
         socket = s
         running = true
@@ -266,7 +274,7 @@ object Mqtt {
         var live = true
         while (live) {
           Wire.readPacket(in) match {
-            case Some(_: Publish) => window.onMessage()
+            case Some(p: Publish) => window.onMessage(); onPublish(p)
             case Some(PingReq) => out.write(Wire.pingResp); out.flush()
             case Some(PingResp) | Some(_: Suback) => ()
             case Some(Disconnect) | None => live = false
@@ -278,6 +286,7 @@ object Mqtt {
         window.markStopped()
         running = false
         try if (socket != null) socket.close() catch { case NonFatal(_) => () }
+        onDisconnect()
       }
     }
 

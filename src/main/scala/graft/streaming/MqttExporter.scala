@@ -1,0 +1,87 @@
+package graft.streaming
+
+import scala.util.control.NonFatal
+
+/** The assembled metrics exporter — the reference's
+  * transitdata-metrics-exporter Main wired from this library's parts:
+  * [[ExporterConfig]] (config + per-(broker, filter) counters),
+  * [[Mqtt.CountingClient]] (one connection per broker subscribing all
+  * its filters, messageArrived/connectionLost listener hooks), and
+  * [[OpsEndpoints.Server]] (/health, /liveness, /metrics). The scrape
+  * text is the Prometheus exposition of
+  * `mqtt_messages_received_total{broker, topic_filter}` and
+  * `mqtt_connections_lost_total{broker}` — the exact series the
+  * generated Grafana dashboard ([[GrafanaDashboards]]) charts.
+  */
+object MqttExporter {
+
+  /** Prometheus label-value escaping: backslash, quote, newline. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** Exposition text for the exporter counter sets (the reference
+    * exposes these through micrometer's PrometheusMeterRegistry; the
+    * format is the public Prometheus text exposition v0.0.4). */
+  def prometheusText(counters: Seq[ExporterConfig.TopicMonitorCounters]): String = {
+    val sb = new StringBuilder
+    sb ++= "# HELP mqtt_messages_received_total Messages received per broker and topic filter\n"
+    sb ++= "# TYPE mqtt_messages_received_total counter\n"
+    counters.foreach { c =>
+      c.snapshot.foreach { case (filter, n) =>
+        sb ++= s"""mqtt_messages_received_total{broker="${esc(c.brokerAddress)}",topic_filter="${esc(filter)}"} $n
+"""
+      }
+    }
+    sb ++= "# HELP mqtt_connections_lost_total Lost broker connections\n"
+    sb ++= "# TYPE mqtt_connections_lost_total counter\n"
+    counters.foreach { c =>
+      sb ++= s"""mqtt_connections_lost_total{broker="${esc(c.brokerAddress)}"} ${c.connectionLostCount}
+"""
+    }
+    sb.result()
+  }
+
+  /** "scheme://host:port" → (host, port); scheme optional, port
+    * required (the reference's broker addresses always carry one). */
+  def hostPort(address: String): (String, Int) = {
+    val bare = address.replaceFirst("^[a-zA-Z.+]+://", "")
+    val i = bare.lastIndexOf(':')
+    require(i > 0, s"broker address needs host:port, got: $address")
+    (bare.substring(0, i), bare.substring(i + 1).toInt)
+  }
+
+  /** A running exporter: per-broker clients + counters + ops server. */
+  final class Running(val counters: Seq[ExporterConfig.TopicMonitorCounters],
+                      clients: Seq[Mqtt.CountingClient],
+                      val server: OpsEndpoints.Server) {
+    def metricsPort: Int = server.boundPort
+    /** Restart dead broker connections (the monitor-tick duty). */
+    def restartDead(): Unit = clients.filterNot(_.isRunning).foreach(_.start())
+    def stop(): Unit = {
+      server.stop()
+      clients.foreach(c => try c.stop() catch { case NonFatal(_) => () })
+    }
+  }
+
+  /** Assemble and start: one counting client per configured broker
+    * (subscribing every filter on that connection), counters fed by
+    * the listener hooks, ops endpoints serving the exposition.
+    * Readiness flips once every broker connection is up — brokers
+    * that fail to connect leave the exporter running-but-not-ready,
+    * to be retried via `restartDead()`. */
+  def start(config: ExporterConfig.AppConfig, bindHost: String = "0.0.0.0"): Running = {
+    val counters = ExporterConfig.countersFor(config)
+    val clients = config.mqttBrokers.zip(counters).map { case (b, c) =>
+      val (host, port) = hostPort(b.address)
+      new Mqtt.CountingClient(host, port, b.topicFilters,
+        keepAliveSecs = math.max(1, config.mqttKeepAliveInterval.getSeconds.toInt),
+        clientId = config.mqttClientId,
+        onPublish = p => c.messageArrived(p.topic),
+        onDisconnect = () => c.connectionLost())
+    }
+    val server = new OpsEndpoints.Server(config.port, () => prometheusText(counters), bindHost)
+    val allUp = clients.forall(_.start())
+    if (allUp) server.health.markReady()
+    new Running(counters, clients, server)
+  }
+}

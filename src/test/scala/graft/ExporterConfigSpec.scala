@@ -133,7 +133,9 @@ class ExporterConfigSpec extends AnyFunSuite {
     // matches neither -> unknown
     counters.messageArrived("/gtfsrt/vp")
     counters.connectionLost()
-    assert(counters.snapshot == Map(
+    // registration order preserved, "unknown" last (prometheus series
+    // ordering is stable across scrapes)
+    assert(counters.snapshot == Seq(
       "/hfp/v2/journey/#" -> 2L,
       "/hfp/+/journey/ongoing/#" -> 1L,
       "unknown" -> 1L))

@@ -1,0 +1,144 @@
+package graft
+
+import java.io.DataInputStream
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ExporterConfig, MqttExporter}
+import graft.streaming.Mqtt.{Wire, Connect, Subscribe, Disconnect, PingReq}
+
+/** End-to-end exporter assembly on loopback: config → one MQTT
+  * connection per broker subscribing all its filters → per-(broker,
+  * filter) counters → Prometheus exposition over /metrics — the
+  * product the reference ships as transitdata-metrics-exporter. */
+class MqttExporterSpec extends AnyFunSuite {
+
+  /** Broker accepting one client: CONNACK, SUBACK each SUBSCRIBE (the
+    * exporter subscribes several filters on one connection), then
+    * push `topics` as QoS-0 PUBLISHes. */
+  private final class MultiBroker(expectedFilters: Int, topics: Seq[String]) {
+    private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    val pushed = new CountDownLatch(1)
+    val filters = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile private var client: Socket = _
+
+    private val thread = new Thread(() => {
+      try {
+        val s = server.accept()
+        client = s
+        val in = new DataInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        Wire.readPacket(in) match {
+          case Some(Connect(_, _)) => out.write(Wire.connack(0)); out.flush()
+          case other => fail(s"expected CONNECT, got $other")
+        }
+        (1 to expectedFilters).foreach { _ =>
+          Wire.readPacket(in) match {
+            case Some(Subscribe(id, filter, _)) =>
+              filters.add(filter)
+              out.write(Wire.suback(id, 0)); out.flush()
+            case other => fail(s"expected SUBSCRIBE, got $other")
+          }
+        }
+        topics.foreach { t =>
+          out.write(Wire.publish(t, "x".getBytes(StandardCharsets.UTF_8)))
+        }
+        out.flush()
+        pushed.countDown()
+        var live = true
+        while (live) Wire.readPacket(in) match {
+          case Some(PingReq) => out.write(Wire.pingResp); out.flush()
+          case Some(Disconnect) | None => live = false
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    }, "multi-broker")
+    thread.setDaemon(true)
+    thread.start()
+
+    def close(): Unit = {
+      try if (client != null) client.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  private def config(brokerPort: Int) = ExporterConfig.AppConfig(
+    port = 0, gtfsRtUrls = Seq.empty,
+    gtfsRtPollInterval = Duration.ofSeconds(30),
+    gtfsRtClientTimeout = Duration.ofSeconds(10),
+    mqttClientId = "graft-exporter", mqttConnectionTimeout = Duration.ofSeconds(10),
+    mqttKeepAliveInterval = Duration.ofSeconds(20), mqttQos = 0,
+    mqttBrokers = Seq(ExporterConfig.BrokerConfig(s"tcp://127.0.0.1:$brokerPort",
+      Seq("/hfp/v2/journey/#", "/hfp/+/journey/ongoing/#"))))
+
+  test("config -> subscribe -> count -> /metrics exposition, end to end on loopback") {
+    val broker = new MultiBroker(expectedFilters = 2, topics = Seq(
+      "/hfp/v2/journey/ongoing/vp/bus", // matches both filters
+      "/hfp/v2/journey/other",          // matches only the first
+      "/hfp/v2/journey/other",
+      "/gtfsrt/vp"))                    // matches neither -> unknown
+    val running = MqttExporter.start(config(broker.port), bindHost = "127.0.0.1")
+    try {
+      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      assert(broker.filters.toArray.toSeq ==
+        Seq("/hfp/v2/journey/#", "/hfp/+/journey/ongoing/#"))
+      // all brokers connected -> ready
+      assert(running.server.health.ready)
+
+      // wait for the read loop to drain all four publishes
+      val deadline = System.nanoTime() + 5e9.toLong
+      def unknownCount = running.counters.head.snapshot.toMap.apply("unknown")
+      while (unknownCount < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+
+      assert(running.counters.head.snapshot == Seq(
+        "/hfp/v2/journey/#" -> 3L,          // every matching filter increments
+        "/hfp/+/journey/ongoing/#" -> 1L,
+        "unknown" -> 1L))
+
+      // scrape over a real GET, like prometheus would
+      val http = graft.streaming.HttpConnectors.newClient()
+      val body = graft.streaming.HttpConnectors.getString(http,
+        s"http://127.0.0.1:${running.metricsPort}/metrics").fold(fail(_), identity)
+      assert(body.contains(
+        """mqtt_messages_received_total{broker="tcp://127.0.0.1:""" + broker.port +
+          """",topic_filter="/hfp/v2/journey/#"} 3"""))
+      assert(body.contains("""topic_filter="unknown"} 1"""))
+      assert(body.contains("# TYPE mqtt_messages_received_total counter"))
+      assert(body.contains(
+        s"""mqtt_connections_lost_total{broker="tcp://127.0.0.1:${broker.port}"} 0"""))
+
+      // broker death -> connection-lost counter, not-running, restartable surface
+      broker.close()
+      val lostDeadline = System.nanoTime() + 5e9.toLong
+      while (running.counters.head.connectionLostCount < 1 &&
+        System.nanoTime() < lostDeadline) Thread.sleep(10)
+      assert(running.counters.head.connectionLostCount == 1L)
+    } finally { running.stop(); broker.close() }
+  }
+
+  test("unreachable broker leaves the exporter running but not ready") {
+    val cfg = config(brokerPort = 1) // nothing listens on port 1
+    val running = MqttExporter.start(cfg, bindHost = "127.0.0.1")
+    try {
+      assert(!running.server.health.ready)
+      // the ops surface still serves: liveness and an all-zero scrape
+      val http = graft.streaming.HttpConnectors.newClient()
+      val metrics = graft.streaming.HttpConnectors.getString(http,
+        s"http://127.0.0.1:${running.metricsPort}/metrics").fold(fail(_), identity)
+      assert(metrics.contains("""topic_filter="/hfp/v2/journey/#"} 0"""))
+      assert(running.counters.head.connectionLostCount == 0L) // never connected ≠ lost
+    } finally running.stop()
+  }
+
+  test("hostPort parses the reference's address forms") {
+    assert(MqttExporter.hostPort("ssl://mqtt.hsl.fi:8883") == ("mqtt.hsl.fi", 8883))
+    assert(MqttExporter.hostPort("tcp://10.0.0.5:1883") == ("10.0.0.5", 1883))
+    assert(MqttExporter.hostPort("broker.local:1883") == ("broker.local", 1883))
+    intercept[IllegalArgumentException](MqttExporter.hostPort("no-port-here"))
+  }
+}

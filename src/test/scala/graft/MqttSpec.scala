@@ -161,7 +161,7 @@ class MqttSpec extends AnyFunSuite {
     try {
       val clk = new FakeClock(1000.0)
       val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
-        filter = "hfp/v2/#", keepAliveSecs = 20, clock = clk())
+        filters = Seq("hfp/v2/#"), keepAliveSecs = 20, clock = clk())
       assert(client.start())
       assert(broker.subscribed.await(5, TimeUnit.SECONDS))
       assert(broker.receivedFilter == "hfp/v2/#")
@@ -184,7 +184,7 @@ class MqttSpec extends AnyFunSuite {
     try {
       val clk = new FakeClock(0.0)
       val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
-        filter = "#", keepAliveSecs = 20, clock = clk())
+        filters = Seq("#"), keepAliveSecs = 20, clock = clk())
       assert(client.start())
       assert(broker.pushed.await(5, TimeUnit.SECONDS))
       val deadline = System.nanoTime() + 5e9.toLong
@@ -201,7 +201,7 @@ class MqttSpec extends AnyFunSuite {
   }
 
   test("connecting to a dead port fails cleanly and can be retried") {
-    val client = new Mqtt.CountingClient("127.0.0.1", 1, filter = "#")
+    val client = new Mqtt.CountingClient("127.0.0.1", 1, filters = Seq("#"))
     assert(!client.start())
     assert(!client.isRunning)
     assert(!client.start()) // retry is safe
@@ -225,7 +225,7 @@ class MqttSpec extends AnyFunSuite {
       val clk = new FakeClock(0.0)
       val key = s"127.0.0.1:hfp/v2/#:${broker.port}" // the reference's topic_data_map key
       val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
-        filter = "hfp/v2/#", keepAliveSecs = 20, clock = clk())
+        filters = Seq("hfp/v2/#"), keepAliveSecs = 20, clock = clk())
       assert(client.start())
       assert(broker.pushed.await(5, TimeUnit.SECONDS))
       val deadline = System.nanoTime() + 5e9.toLong
@@ -252,7 +252,7 @@ class MqttSpec extends AnyFunSuite {
       assert(el.path("sum").asLong() == 12L)
       assert(el.path("dimValues").get(0).asText() == s"127.0.0.1:hfp/v2/*:${broker.port}")
       // an all-skipped tick sends nothing (reference: "No data to send")
-      assert(Mqtt.collectorTick(Seq(key -> new Mqtt.CountingClient("127.0.0.1", 1, "#")),
+      assert(Mqtt.collectorTick(Seq(key -> new Mqtt.CountingClient("127.0.0.1", 1, Seq("#"))),
         "2026-08-12T12:00:00Z").isEmpty)
       client.stop()
     } finally { broker.close(); azure.stop(0) }
