@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Mqtt, MqttStreamBridge, StreamingMonitor}
+
+/** The connector→streaming bridge: spooled publishes become streaming
+  * file-source input and flow through the existing rate topology. */
+class MqttStreamBridgeSpec extends SparkSpec {
+
+  private def pub(topic: String, payload: String = "x") =
+    Mqtt.Publish(topic, payload.getBytes(StandardCharsets.UTF_8))
+
+  // minute-aligned epoch base so window starts are exact
+  private val t0 = 1700000400000L
+  private def min(m: Long, s: Long = 0): Long = t0 + m * 60000L + s * 1000L
+
+  test("spooled publishes flow through msgRates; later flushes are tailed") {
+    val dir = Files.createTempDirectory("graft-spool-")
+    var now = min(0, 10)
+    val spool = new MqttStreamBridge.Spool(dir, clock = () => now)
+
+    spool.onPublish(pub("hfp/v2/journey/bus"))
+    now = min(0, 40)
+    spool.onPublish(pub("hfp/v2/journey/bus"))
+    spool.onPublish(pub("gtfs/tu"))
+    assert(spool.pending == 3)
+    assert(spool.flush() == 3)
+    assert(spool.pending == 0)
+
+    val rates = StreamingMonitor.msgRates(
+      MqttStreamBridge.source(spark, dir.toString), "1 minute", "2 minutes")
+    val q = rates.writeStream.format("memory").queryName("bridge_rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // second flush advances the watermark past the first window
+      now = min(5)
+      spool.onPublish(pub("hfp/v2/journey/bus"))
+      assert(spool.flush() == 1)
+      q.processAllAvailable()
+      now = min(9)
+      spool.onPublish(pub("hfp/v2/journey/bus"))
+      assert(spool.flush() == 1)
+      q.processAllAvailable()
+
+      val rows = spark.table("bridge_rates").collect()
+        .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Long]("msg_count"))).toSet
+      assert(rows.contains(("hfp/v2/journey/bus", min(0), 2L)))
+      assert(rows.contains(("gtfs/tu", min(0), 1L)))
+    } finally q.stop()
+  }
+
+  test("empty flush writes nothing; payloads with JSON-hostile chars round-trip") {
+    val dir = Files.createTempDirectory("graft-spool-")
+    val spool = new MqttStreamBridge.Spool(dir, clock = () => t0)
+    assert(spool.flush() == 0)
+    assert(!Files.list(dir).iterator().hasNext) // no empty files to churn on
+
+    val nasty = "a \"quoted\" payload\nwith a newline and a \\ backslash"
+    spool.onPublish(pub("t/1", nasty))
+    assert(spool.flush() == 1)
+    val read = spark.read.schema("topic STRING, ts_ms LONG, payload STRING")
+      .json(dir.toString).collect()
+    assert(read.length == 1)
+    assert(read.head.getString(0) == "t/1")
+    assert(read.head.getLong(1) == t0)
+    assert(read.head.getString(2) == nasty)
+  }
+}
