@@ -253,6 +253,51 @@ FROM dg JOIN gdf ON gdf.gram = dg.gram
 GROUP BY 1, 2"""
   }
 
+  /** q_embed_pca: the identical integer power-iteration recurrence as
+    * unrolled SQL stages — milli-quantize, Gram + sums, C = n·G − ssᵀ,
+    * `iters` matvec+renormalize steps (HUGEINT products, truncating
+    * division on magnitudes = toward-zero like BigInt), largest-
+    * diagonal start (ties → lowest index), final sign fix and integer
+    * Rayleigh quotient. Fixed iteration count ⇒ identical sequences
+    * regardless of convergence. */
+  def embedPca(iters: Int = 10): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += "q AS MATERIALIZED (SELECT vec_id," +
+      " CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i," +
+      " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv" +
+      " FROM embeddings)"
+    ctes += "g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g" +
+      " FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2)"
+    ctes += "sn AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n FROM q GROUP BY 1)"
+    ctes += "c AS MATERIALIZED (SELECT g.i, g.j, sa.n * g.g - sa.s * sb.s AS c" +
+      " FROM g JOIN sn sa ON sa.i = g.i JOIN sn sb ON sb.i = g.j)"
+    ctes += "k0 AS (SELECT i FROM c WHERE i = j ORDER BY c DESC, i LIMIT 1)"
+    ctes += "v0 AS MATERIALIZED (SELECT i," +
+      " CAST(CASE WHEN i = (SELECT i FROM k0) THEN 1048576 ELSE 0 END AS BIGINT) AS v" +
+      " FROM sn)"
+    for (t <- 1 to iters) {
+      ctes += s"w$t AS MATERIALIZED (SELECT c.i, sum(CAST(c.c AS HUGEINT) * v.v) AS w" +
+        s" FROM c JOIN v${t - 1} v ON v.i = c.j GROUP BY 1)"
+      ctes += s"m$t AS (SELECT max(abs(w)) AS m FROM w$t)"
+      ctes += s"v$t AS MATERIALIZED (SELECT w.i," +
+        " CASE WHEN m.m = 0 THEN p.v ELSE" +
+        " CAST((CASE WHEN w.w < 0 THEN -1 ELSE 1 END) * ((abs(w.w) * 1048576) // m.m) AS BIGINT)" +
+        s" END AS v FROM w$t w JOIN v${t - 1} p ON p.i = w.i CROSS JOIN m$t m)"
+    }
+    val L = s"v$iters"
+    ctes += s"wf AS (SELECT c.i, sum(CAST(c.c AS HUGEINT) * v.v) AS w" +
+      s" FROM c JOIN $L v ON v.i = c.j GROUP BY 1)"
+    ctes += s"ray AS (SELECT CAST((SELECT sum(CAST(v.v AS HUGEINT) * w.w) FROM $L v" +
+      s" JOIN wf w ON w.i = v.i) // (SELECT sum(CAST(v AS HUGEINT) * v) FROM $L)" +
+      " AS BIGINT) AS eigval)"
+    ctes += s"kf AS (SELECT v FROM $L ORDER BY abs(v) DESC, i LIMIT 1)"
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT v.i AS dim,
+ CAST(CASE WHEN (SELECT v FROM kf) < 0 THEN -v.v ELSE v.v END AS BIGINT) AS component,
+ (SELECT eigval FROM ray) AS eigval
+FROM $L v"""
+  }
+
   /** q_dedup_minhash: minhash_shingles(text, 3, 64) signatures via the
     * one-hash family h_p(s) = mix(mix(shingle) ^ mix(p)); candidates
     * share a band of 8 consecutive signature values (joined on the

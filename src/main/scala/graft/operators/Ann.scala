@@ -218,4 +218,73 @@ object Ann {
         sum(col("err127")).as("err127_sum"),
         max(col("err127")).as("err127_max"))
   }
+
+  /** Top principal direction of the embedding cloud (the PCA arm of
+    * embedding analysis: dominant axis for whitening, indexing, or
+    * drift monitoring) — entirely in EXACT integer arithmetic so two
+    * engines reproduce it bit-for-bit, float-sum order dependence
+    * having no way in:
+    *
+    *   1. milli-quantize components (q = round(x·1000), the idiom the
+    *      quantized-dot operators already use);
+    *   2. distributed Gram aggregation: G_ij = Σ_rows q_i·q_j and
+    *      per-dim sums — the only data-sized pass, a (vec_id-keyed
+    *      join + (i,j)-keyed aggregate) whose output is d² + d values
+    *      regardless of row count;
+    *   3. C = n·G − s·sᵀ (an integer multiple of the covariance, same
+    *      eigenvectors), then `iters` fixed power-iteration steps on
+    *      the d×d matrix with BigInt arithmetic, renormalizing each
+    *      step to max|component| = 2²⁰ with truncating division;
+    *      initial vector = e_k at the largest diagonal (ties → lowest
+    *      index), final sign fixed so the largest-|·| component is
+    *      positive.
+    *
+    * The d²-bounded collect is the same justified pattern as the CC
+    * convergence signature: it does not grow with data volume. The
+    * DuckDB oracle replays the identical integer recurrence as
+    * unrolled SQL stages (OracleSql.embedPca), so this is
+    * hash-checked end to end, fixed iteration count making
+    * convergence irrelevant to determinism. Output: one row per
+    * dimension (component at scale 2²⁰) plus the integer Rayleigh
+    * quotient eigval = ⌊vᵀCv / vᵀv⌋. */
+  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+    val gram = q
+      .join(q.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("q") * col("qj")).as("g"))
+    val sums = q.groupBy(col("i")).agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+
+    val gMap: Map[(Int, Int), Long] =
+      gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sRows = sums.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val d = sRows.length
+    val n = sRows.head._3 // dense arrays: every dim occurs once per vector
+    val s = Array.ofDim[Long](d)
+    sRows.foreach { case (i, si, _) => s(i) = si }
+    val C: Array[Array[BigInt]] = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * BigInt(gMap.getOrElse((i, j), 0L)) - BigInt(s(i)) * BigInt(s(j)))
+
+    val scale = BigInt(1) << 20
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(BigInt(0))((acc, j) => acc + C(i)(j) * v(j)))
+    var v = Array.fill(d)(BigInt(0))
+    val tupOrd = Ordering.Tuple2(Ordering.BigInt, Ordering.Int)
+    v((0 until d).maxBy(i => (C(i)(i), -i))(tupOrd)) = scale
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val m = w.map(_.abs).max
+      // BigInt / truncates toward zero — the rule the oracle mirrors
+      if (m != 0) v = w.map(x => (x * scale) / m)
+    }
+    val wf = matvec(v)
+    val num = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * wf(i))
+    val den = (0 until d).foldLeft(BigInt(0))((acc, i) => acc + v(i) * v(i))
+    val eigval = (num / den).toLong // C is PSD: num ≥ 0, den > 0
+    val kf = (0 until d).maxBy(i => (v(i).abs, -i))(tupOrd)
+    val signed = if (v(kf) < 0) v.map(-_) else v
+    (0 until d).map(i => (i, signed(i).toLong, eigval))
+      .toDF("dim", "component", "eigval")
+  }
 }
