@@ -260,7 +260,7 @@ GROUP BY 1, 2"""
     * diagonal start (ties → lowest index), final sign fix and integer
     * Rayleigh quotient. Fixed iteration count ⇒ identical sequences
     * regardless of convergence. */
-  def embedPca(iters: Int = 10): String = {
+  def embedPca(iters: Int = 100): String = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += "q AS MATERIALIZED (SELECT vec_id," +
       " CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i," +

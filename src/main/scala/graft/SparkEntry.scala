@@ -735,7 +735,7 @@ object SparkEntry {
         | CAST(sum(abs(q * 127 - code * scale)) AS BIGINT) AS err127_sum,
         | CAST(max(abs(q * 127 - code * scale)) AS BIGINT) AS err127_max
         |FROM c GROUP BY 1""".stripMargin,
-    "q_embed_pca" -> OracleSql.embedPca(10),
+    "q_embed_pca" -> OracleSql.embedPca(100),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_fingerprint" -> OracleSql.fingerprints,

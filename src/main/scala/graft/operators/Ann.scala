@@ -247,7 +247,7 @@ object Ann {
     * convergence irrelevant to determinism. Output: one row per
     * dimension (component at scale 2²⁰) plus the integer Rayleigh
     * quotient eigval = ⌊vᵀCv / vᵀv⌋. */
-  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 100): DataFrame = {
     import spark.implicits._
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Ann
+
+/** q_embed_pca sanity: the integer-exact recurrence must land on the
+  * true dominant covariance direction, not merely be deterministic. */
+class PcaSpec extends SparkSpec {
+
+  test("integer power iteration agrees with double-precision PCA direction") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val n = rows.length
+    val d = rows.head.length
+
+    // double-precision covariance (same quantization, so the compared
+    // matrices differ only by float rounding inside the quantize step)
+    val q = rows.map(_.map(x => math.round(x * 1000).toDouble))
+    val mean = Array.tabulate(d)(j => q.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      q.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum)
+
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+
+    val got = Ann.pcaTopComponent(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length == d)
+    val gv = got.map(_._2.toDouble)
+    val cos = {
+      val dot = (0 until d).map(i => gv(i) * v(i)).sum
+      math.abs(dot) / math.sqrt(gv.map(x => x * x).sum) /
+        math.sqrt(v.map(x => x * x).sum)
+    }
+    assert(cos > 0.999, s"integer PCA direction drifted: cos=$cos")
+
+    // C = n*G - s*s^T = n * (centered scatter), so eigval/n should
+    // approximate the double dominant eigenvalue of the scatter matrix
+    val lambdaDouble = {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      (0 until d).map(i => v(i) * w(i)).sum
+    }
+    val lambdaInt = got.head._3.toDouble / n.toDouble
+    assert(math.abs(lambdaInt - lambdaDouble) / lambdaDouble < 0.01,
+      s"eigval off: int=$lambdaInt double=$lambdaDouble")
+
+    // sign rule: the largest-|component| entry is positive
+    val maxAbs = gv.map(math.abs).max
+    assert(gv(gv.indexWhere(x => math.abs(x) == maxAbs)) > 0)
+  }
+}
