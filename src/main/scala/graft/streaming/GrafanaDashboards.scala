@@ -29,10 +29,12 @@ object GrafanaDashboards {
     }
 
   /** PromQL for one (broker, filter) panel — the reference's expr
-    * shape: broker matched loosely (any scheme/port), filter exactly. */
+    * shape: broker matched loosely (any scheme/port), filter exactly.
+    * Host extraction is shared with the exporter ([[MqttExporter
+    * .hostOf]]) so panel matchers can't drift from the counter
+    * labels. */
   private[streaming] def panelExpr(brokerAddress: String, filter: String): String = {
-    // strip scheme and port: the counter label carries the host
-    val host = brokerAddress.replaceFirst("^[a-z.+]+://", "").replaceFirst(":\\d+$", "")
+    val host = MqttExporter.hostOf(brokerAddress)
     val f = filter.replace("\\", "\\\\").replace("\"", "\\\"")
     s"""rate(mqtt_messages_received_total{broker=~".*${promRegexEscape(host)}.*", topic_filter="$f"}[$$__rate_interval])"""
   }

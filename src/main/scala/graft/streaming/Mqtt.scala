@@ -190,7 +190,18 @@ object Mqtt {
       * window's elapsed time is reduced by 2·keepAlive — the time it
       * took to DETECT the drop, so the rate is slightly inflated
       * rather than alarm-raisingly deflated (the reference's explicit
-      * trade-off). Reading resets count and restarts the window. */
+      * trade-off). Reading resets count and restarts the window.
+      *
+      * Two deliberate semantics notes:
+      *  - a window whose DISCOUNTED elapsed time is ≤ 0 also yields
+      *    None (the reference's `min(25, …)` guard does not cover its
+      *    own 2·keepAlive discount at the default keepAlive=20, which
+      *    lets a 30 s window produce a negative rate — a divergence
+      *    fixed here, not mirrored);
+      *  - like the reference's Topic, the count is NOT cleared on
+      *    restart (only a successful read clears it), so messages
+      *    received in a too-short pre-crash window carry into the
+      *    next reported rate rather than being dropped. */
     def rate(): Option[Double] = synchronized {
       startedAt match {
         case None => None
@@ -199,8 +210,13 @@ object Mqtt {
             case Some(t1) =>
               val e = t1 - t0
               if (e < math.min(25.0, 10.0 * keepAliveSecs)) return None
-              e - 2.0 * keepAliveSecs
-            case None => clock() - t0
+              val adjusted = e - 2.0 * keepAliveSecs
+              if (adjusted <= 0.0) return None
+              adjusted
+            case None =>
+              val e = clock() - t0
+              if (e <= 0.0) return None // zero-length window: no rate yet
+              e
           }
           val n = count.getAndSet(0)
           startedAt = Some(clock())
@@ -240,21 +256,30 @@ object Mqtt {
     def start(): Boolean = synchronized {
       if (running || starting) return true
       starting = true
+      var s: Socket = null
       try {
-        val s = new Socket(host, port)
+        s = new Socket(host, port)
         s.setSoTimeout(keepAliveSecs * 2 * 1000)
         val out = s.getOutputStream
         val in = new DataInputStream(s.getInputStream)
         out.write(Wire.connect(clientId, keepAliveSecs)); out.flush()
         Wire.readPacket(in) match {
           case Some(Connack(0)) => ()
-          case _ => s.close(); starting = false; return false
+          case _ => s.close(); return false
         }
         filters.zipWithIndex.foreach { case (f, i) =>
           out.write(Wire.subscribe(packetId = i + 1, f)); out.flush()
-          Wire.readPacket(in) match {
-            case Some(Suback(pid, _)) if pid == i + 1 => ()
-            case _ => s.close(); starting = false; return false
+          // §3.8.4: the broker may start delivering PUBLISHes for an
+          // earlier subscription before this SUBACK arrives — count
+          // them instead of treating them as a handshake failure
+          // (a strict next-packet-must-be-SUBACK read can never
+          // connect to a busy broker).
+          var acked = false
+          while (!acked) Wire.readPacket(in) match {
+            case Some(Suback(pid, _)) if pid == i + 1 => acked = true
+            case Some(p: Publish) => window.onMessage(); onPublish(p)
+            case Some(PingResp) => ()
+            case _ => s.close(); return false
           }
         }
         socket = s
@@ -265,7 +290,11 @@ object Mqtt {
         t.start()
         true
       } catch {
-        case NonFatal(_) => false
+        case NonFatal(_) =>
+          // close the half-open socket (e.g. CONNECT timeout) — a
+          // retry loop must not leak one fd per tick
+          if (s != null) { try s.close() catch { case NonFatal(_) => () } }
+          false
       } finally starting = false
     }
 

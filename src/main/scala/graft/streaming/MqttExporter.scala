@@ -46,7 +46,7 @@ object MqttExporter {
   def hostPort(address: String): (String, Int) = {
     val bare = address.replaceFirst("^[a-zA-Z.+]+://", "")
     val i = bare.lastIndexOf(':')
-    require(i > 0, s"broker address needs host:port, got: $address")
+    require(i > 0 && i + 1 < bare.length, s"broker address needs host:port, got: $address")
     (bare.substring(0, i), bare.substring(i + 1).toInt)
   }
 
@@ -55,12 +55,31 @@ object MqttExporter {
                       clients: Seq[Mqtt.CountingClient],
                       val server: OpsEndpoints.Server) {
     def metricsPort: Int = server.boundPort
-    /** Restart dead broker connections (the monitor-tick duty). */
-    def restartDead(): Unit = clients.filterNot(_.isRunning).foreach(_.start())
+    /** Restart dead broker connections (the monitor-tick duty), then
+      * re-evaluate readiness — a broker that was down at boot must
+      * flip the exporter ready once it recovers, and a broker that
+      * died flips it back to not-ready until the next tick revives
+      * it. */
+    def restartDead(): Unit = {
+      clients.filterNot(_.isRunning).foreach(_.start())
+      if (clients.forall(_.isRunning)) server.health.markReady()
+      else server.health.markNotReady()
+    }
     def stop(): Unit = {
       server.stop()
       clients.foreach(c => try c.stop() catch { case NonFatal(_) => () })
     }
+  }
+
+  /** The host part of a broker address, tolerating a missing port
+    * (shared with the Grafana panel generator so the two can't
+    * drift). */
+  def hostOf(address: String): String = {
+    val bare = address.replaceFirst("^[a-zA-Z.+]+://", "")
+    val i = bare.lastIndexOf(':')
+    if (i > 0 && bare.substring(i + 1).forall(_.isDigit) && i + 1 < bare.length)
+      bare.substring(0, i)
+    else bare
   }
 
   /** Assemble and start: one counting client per configured broker

@@ -32,7 +32,21 @@ object MqttStreamBridge {
   final class Spool(dir: Path, clock: () => Long = () => System.currentTimeMillis()) {
     Files.createDirectories(dir)
     private val buf = ArrayBuffer[(String, Long, String)]()
-    private val seq = new AtomicLong(0)
+    // Seed past any files a previous run left behind: restarting at 0
+    // would rename ONTO spool-000000.jsonl (rename replaces), and the
+    // streaming checkpoint — which dedups by file name — would silently
+    // drop the overwritten rows.
+    private val seq = new AtomicLong({
+      val existing = Files.list(dir).iterator()
+      var maxSeen = -1L
+      while (existing.hasNext) {
+        val name = existing.next().getFileName.toString
+        if (name.startsWith("spool-") && name.endsWith(".jsonl"))
+          name.stripPrefix("spool-").stripSuffix(".jsonl").toLongOption
+            .foreach(n => maxSeen = math.max(maxSeen, n))
+      }
+      maxSeen + 1
+    })
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
     def onPublish(p: Mqtt.Publish): Unit = synchronized {

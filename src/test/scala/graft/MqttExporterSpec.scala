@@ -20,8 +20,9 @@ class MqttExporterSpec extends AnyFunSuite {
   /** Broker accepting one client: CONNACK, SUBACK each SUBSCRIBE (the
     * exporter subscribes several filters on one connection), then
     * push `topics` as QoS-0 PUBLISHes. */
-  private final class MultiBroker(expectedFilters: Int, topics: Seq[String]) {
-    private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  private final class MultiBroker(expectedFilters: Int, topics: Seq[String],
+                                  bindPort: Int = 0) {
+    private val server = new ServerSocket(bindPort, 1, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     val pushed = new CountDownLatch(1)
     val filters = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -135,7 +136,27 @@ class MqttExporterSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("a broker down at boot flips readiness once restartDead() reconnects it") {
+    // reserve a port, leave it unbound so boot fails
+    val probe = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val running = MqttExporter.start(config(port), bindHost = "127.0.0.1")
+    try {
+      assert(!running.server.health.ready)
+      val broker = new MultiBroker(expectedFilters = 2, topics = Seq.empty, bindPort = port)
+      try {
+        running.restartDead()
+        assert(running.server.health.ready) // recovered → routed again
+      } finally broker.close()
+    } finally running.stop()
+  }
+
   test("hostPort parses the reference's address forms") {
+    assert(MqttExporter.hostOf("ssl://mqtt.hsl.fi:8883") == "mqtt.hsl.fi")
+    assert(MqttExporter.hostOf("mqtt.hsl.fi") == "mqtt.hsl.fi") // portless tolerated
+    assert(MqttExporter.hostOf("tcp://10.0.0.5:1883") == "10.0.0.5")
     assert(MqttExporter.hostPort("ssl://mqtt.hsl.fi:8883") == ("mqtt.hsl.fi", 8883))
     assert(MqttExporter.hostPort("tcp://10.0.0.5:1883") == ("10.0.0.5", 1883))
     assert(MqttExporter.hostPort("broker.local:1883") == ("broker.local", 1883))

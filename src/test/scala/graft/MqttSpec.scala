@@ -84,6 +84,63 @@ class MqttSpec extends AnyFunSuite {
     assert(w.rate().contains(1.0)) // 30 / 30
   }
 
+  test("rate window: discounted-to-nonpositive and zero-length windows yield None, not garbage") {
+    val clk = new FakeClock(0.0)
+    val w = new Mqtt.RateWindow(keepAliveSecs = 20, clk())
+    w.markStarted()
+    (1 to 10).foreach(_ => w.onMessage())
+    // 30 s passes the reference's min(25, 200) guard but the 2·20 s
+    // discount would make elapsed −10 → must be None, never negative
+    clk.now = 30.0
+    w.markStopped()
+    assert(w.rate().isEmpty)
+    // exactly at the discount boundary: elapsed 0 → None, not n/0
+    w.markStarted()
+    clk.now = 70.0
+    w.markStopped()
+    assert(w.rate().isEmpty)
+    // zero-length running window → None, not 0/0
+    w.markStarted()
+    assert(w.rate().isEmpty)
+  }
+
+  test("start() tolerates PUBLISHes interleaved before a SUBACK (spec §3.8.4)") {
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val brokerThread = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        assert(Wire.readPacket(in).exists(_.isInstanceOf[Connect]))
+        out.write(Wire.connack(0)); out.flush()
+        // SUBSCRIBE #1 → SUBACK immediately
+        assert(Wire.readPacket(in).exists(_.isInstanceOf[Subscribe]))
+        out.write(Wire.suback(1, 0)); out.flush()
+        // SUBSCRIBE #2 → deliver two messages for filter 1 FIRST,
+        // then the SUBACK (allowed by the spec; happens on busy brokers)
+        assert(Wire.readPacket(in).exists(_.isInstanceOf[Subscribe]))
+        out.write(Wire.publish("hfp/v2/a", "1".getBytes))
+        out.write(Wire.publish("hfp/v2/b", "2".getBytes))
+        out.write(Wire.suback(2, 0)); out.flush()
+        out.write(Wire.publish("gtfs/c", "3".getBytes)); out.flush()
+        Thread.sleep(2000)
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    brokerThread.setDaemon(true)
+    brokerThread.start()
+    try {
+      val client = new Mqtt.CountingClient("127.0.0.1", server.getLocalPort,
+        filters = Seq("hfp/v2/#", "gtfs/#"))
+      assert(client.start()) // strict next-packet-must-be-SUBACK would fail here
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (client.window.messageCount < 3 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(client.window.messageCount == 3) // early publishes counted, not lost
+      client.stop()
+    } finally server.close()
+  }
+
   test("rate window: disconnect discounts detection lag; too-short windows yield None") {
     val clk = new FakeClock(0.0)
     val w = new Mqtt.RateWindow(keepAliveSecs = 20, clk())

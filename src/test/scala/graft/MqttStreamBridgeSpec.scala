@@ -55,6 +55,27 @@ class MqttStreamBridgeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a restarted spool continues numbering past existing files instead of overwriting") {
+    val dir = Files.createTempDirectory("graft-spool-")
+    val first = new MqttStreamBridge.Spool(dir, clock = () => t0)
+    first.onPublish(pub("t/1", "run-1"))
+    assert(first.flush() == 1)
+
+    // a new process over the same directory (previous files intact)
+    val second = new MqttStreamBridge.Spool(dir, clock = () => t0)
+    second.onPublish(pub("t/1", "run-2"))
+    assert(second.flush() == 1)
+
+    val names = Files.list(dir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val files = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(files == Seq("spool-000000.jsonl", "spool-000001.jsonl"))
+    // both runs' rows survive — nothing was renamed over
+    val rows = spark.read.schema("topic STRING, ts_ms LONG, payload STRING")
+      .json(dir.toString).collect().map(_.getString(2)).sorted
+    assert(rows.toSeq == Seq("run-1", "run-2"))
+  }
+
   test("empty flush writes nothing; payloads with JSON-hostile chars round-trip") {
     val dir = Files.createTempDirectory("graft-spool-")
     val spool = new MqttStreamBridge.Spool(dir, clock = () => t0)
