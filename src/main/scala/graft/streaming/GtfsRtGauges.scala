@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.plans.FeedParser
+
+/** GTFS-RT side of the metrics exporter — the gauge/summary registry
+  * and poll step of GtfsRtMetricsRegistry.java + GtfsRtMetricsExporter
+  * .java: per configured URL a distribution summary of entity counts
+  * and feed-header age, a last-scrape-success gauge, and a
+  * per-(url, result) scrape-attempt counter with the reference's
+  * result vocabulary ("success", "http_<code>", "parse_error",
+  * "io_error", "unknown_error"). Exposition follows micrometer's
+  * Prometheus naming (summary → _count/_sum/_max).
+  */
+object GtfsRtGauges {
+
+  /** Micrometer DistributionSummary's scrape-visible state. */
+  final class Summary {
+    private var n = 0L
+    private var total = 0.0
+    private var maxV = 0.0
+    def record(v: Double): Unit = synchronized {
+      n += 1; total += v; maxV = math.max(maxV, v)
+    }
+    def snapshot: (Long, Double, Double) = synchronized((n, total, maxV))
+  }
+
+  final class Registry(urls: Seq[String]) {
+    private val entityCount = urls.map(_ -> new Summary).toMap
+    private val timestampAge = urls.map(_ -> new Summary).toMap
+    private val lastSuccess = scala.collection.mutable.LinkedHashMap(urls.map(_ -> 0): _*)
+    private val attempts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+
+    def recordSuccessfulScrape(url: String, entities: Int, ageSec: Long): Unit = synchronized {
+      entityCount(url).record(entities.toDouble)
+      timestampAge(url).record(ageSec.toDouble)
+      lastSuccess(url) = 1
+      attempts((url, "success")) = attempts.getOrElse((url, "success"), 0L) + 1
+    }
+
+    def recordFailedScrape(url: String, result: String): Unit = synchronized {
+      lastSuccess(url) = 0
+      attempts((url, result)) = attempts.getOrElse((url, result), 0L) + 1
+    }
+
+    /** One poll of one URL — GtfsRtMetricsExporter.updateFeed's
+      * classification: non-2xx → http_<code>, unreachable → io_error,
+      * unparseable / timestamp-less feed → parse_error, anything
+      * else → unknown_error. */
+    def updateFeed(fetch: String => Either[(String, String), Array[Byte]],
+                   url: String, nowEpochSec: Long): Unit =
+      try {
+        fetch(url) match {
+          case Left((kind, _)) => recordFailedScrape(url, kind)
+          case Right(bytes) =>
+            try {
+              val ts = FeedParser.headerTimestamp(bytes)
+              if (ts <= 0L) recordFailedScrape(url, "parse_error")
+              else recordSuccessfulScrape(url, FeedParser.countField(bytes, 2), nowEpochSec - ts)
+            } catch { case _: Exception => recordFailedScrape(url, "parse_error") }
+        }
+      } catch { case _: Exception => recordFailedScrape(url, "unknown_error") }
+
+    private def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+    /** Prometheus exposition (micrometer summary naming). */
+    def scrapeText: String = synchronized {
+      val sb = new StringBuilder
+      def summary(name: String, help: String, m: Map[String, Summary]): Unit = {
+        sb ++= s"# HELP $name $help\n# TYPE $name summary\n"
+        urls.foreach { url =>
+          val (n, total, maxV) = m(url).snapshot
+          sb ++= s"""${name}_count{url="${esc(url)}"} $n
+${name}_sum{url="${esc(url)}"} $total
+${name}_max{url="${esc(url)}"} $maxV
+"""
+        }
+      }
+      summary("gtfsrt_entity_count", "Number of GTFS-RT entities in the feed", entityCount)
+      summary("gtfsrt_timestamp_age_seconds",
+        "Age in seconds of the GTFS-RT feed header timestamp", timestampAge)
+      sb ++= "# HELP gtfsrt_last_scrape_success Whether the last scrape was successful (1) or not (0)\n"
+      sb ++= "# TYPE gtfsrt_last_scrape_success gauge\n"
+      lastSuccess.foreach { case (url, v) =>
+        sb ++= s"""gtfsrt_last_scrape_success{url="${esc(url)}"} $v
+"""
+      }
+      sb ++= "# HELP gtfsrt_scrape_attempts_total Scrape attempts by result\n"
+      sb ++= "# TYPE gtfsrt_scrape_attempts_total counter\n"
+      attempts.foreach { case ((url, result), n) =>
+        sb ++= s"""gtfsrt_scrape_attempts_total{url="${esc(url)}",result="${esc(result)}"} $n
+"""
+      }
+      sb.result()
+    }
+  }
+
+  /** Fetch with the reference's failure classification, over the real
+    * HTTP client. */
+  def classifiedFetch(http: java.net.http.HttpClient,
+                      timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+      : String => Either[(String, String), Array[Byte]] = url =>
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout).GET().build()
+      val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() == 200) Right(resp.body())
+      else Left((s"http_${resp.statusCode()}", s"HTTP ${resp.statusCode()} from $url"))
+    } catch {
+      case e: java.io.IOException => Left(("io_error", s"$url: ${e.getMessage}"))
+      case scala.util.control.NonFatal(e) => Left(("unknown_error", s"$url: ${e.getMessage}"))
+    }
+}

@@ -50,11 +50,19 @@ object MqttExporter {
     (bare.substring(0, i), bare.substring(i + 1).toInt)
   }
 
-  /** A running exporter: per-broker clients + counters + ops server. */
+  /** A running exporter: per-broker clients + counters + GTFS-RT
+    * gauges + ops server. */
   final class Running(val counters: Seq[ExporterConfig.TopicMonitorCounters],
                       clients: Seq[Mqtt.CountingClient],
+                      val gtfsRt: GtfsRtGauges.Registry,
+                      gtfsRtUrls: Seq[String],
                       val server: OpsEndpoints.Server) {
     def metricsPort: Int = server.boundPort
+    /** One GTFS-RT poll cycle over the configured URLs — the
+      * scheduleAtFixedRate body of GtfsRtMetricsExporter.start(). */
+    def pollGtfsRt(fetch: String => Either[(String, String), Array[Byte]],
+                   nowEpochSec: Long): Unit =
+      gtfsRtUrls.foreach(u => gtfsRt.updateFeed(fetch, u, nowEpochSec))
     /** Restart dead broker connections (the monitor-tick duty), then
       * re-evaluate readiness — a broker that was down at boot must
       * flip the exporter ready once it recovers, and a broker that
@@ -98,9 +106,13 @@ object MqttExporter {
         onPublish = p => c.messageArrived(p.topic),
         onDisconnect = () => c.connectionLost())
     }
-    val server = new OpsEndpoints.Server(config.port, () => prometheusText(counters), bindHost)
+    val gtfsRt = new GtfsRtGauges.Registry(config.gtfsRtUrls)
+    // one scrape endpoint serves both metric families, like the
+    // reference's single PrometheusMeterRegistry
+    val server = new OpsEndpoints.Server(config.port,
+      () => prometheusText(counters) + gtfsRt.scrapeText, bindHost)
     val allUp = clients.forall(_.start())
     if (allUp) server.health.markReady()
-    new Running(counters, clients, server)
+    new Running(counters, clients, gtfsRt, config.gtfsRtUrls, server)
   }
 }

@@ -128,6 +128,45 @@ object PulsarStats {
     (envs.count(sender.send(_, attempts)), envs.size)
   }
 
+  /** All topics of a namespace via `/admin/v2/persistent/{ns}` — a
+    * JSON array of full "persistent://tenant/ns/topic" names, returned
+    * with the scheme stripped (the form the stats URL builder wants).
+    * The discovery step of stats_of_all_topics.sh /
+    * topics_with_big_backlog.sh. */
+  def listTopics(fetch: String => Either[String, String], adminUrl: String,
+                 namespace: String): Either[String, Seq[String]] =
+    fetch(s"$adminUrl/admin/v2/persistent/$namespace").flatMap { body =>
+      try {
+        val root = mapper.readTree(body)
+        if (!root.isArray) Left(s"topic list for $namespace is not a JSON array")
+        else {
+          val out = Seq.newBuilder[String]
+          val it = root.elements()
+          while (it.hasNext) out += it.next().asText().stripPrefix("persistent://")
+          Right(out.result())
+        }
+      } catch { case e: Exception => Left(s"unparseable topic list: ${e.getMessage}") }
+    }
+
+  /** topics_with_big_backlog.sh: walk every topic in the namespace and
+    * report those whose `backlogSize` meets `thresholdBytes` (the
+    * script's ">9 digits" test = 1 GB). Per-topic fetch failures skip,
+    * like every collector path. Returns (full topic name,
+    * backlogSize) in discovery order. */
+  def bigBacklogs(fetch: String => Either[String, String], adminUrl: String,
+                  namespace: String,
+                  thresholdBytes: Long = 1000000000L): Either[String, Seq[(String, Long)]] =
+    listTopics(fetch, adminUrl, namespace).map { topics =>
+      topics.flatMap { full =>
+        fetch(s"$adminUrl/admin/v2/persistent/$full/stats").toOption.flatMap { body =>
+          try {
+            val size = mapper.readTree(body).path("backlogSize").asLong(0L)
+            if (size >= thresholdBytes) Some(full -> size) else None
+          } catch { case _: Exception => None }
+        }
+      }
+    }
+
   /** Hand collected stats to the analytical plane: one row per
     * (topic, subscription) with the top-level rates repeated — the
     * shape Monitoring.backlogPerSubscription / metricSelection

@@ -153,6 +153,30 @@ class ConnectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("namespace walk: list topics, flag only 1GB+ backlogs, skip dead topics") {
+    withServer(
+      "/admin/v2/persistent/tenant/ns1" -> (respond(_, 200,
+        """["persistent://tenant/ns1/hfp/v2","persistent://tenant/ns1/small/t",
+           "persistent://tenant/ns1/dead/t"]""")),
+      "/admin/v2/persistent/tenant/ns1/hfp/v2/stats" ->
+        (respond(_, 200, """{"msgRateIn":1.0,"backlogSize":2500000000}""")),
+      "/admin/v2/persistent/tenant/ns1/small/t/stats" ->
+        (respond(_, 200, """{"msgRateIn":1.0,"backlogSize":999999999}""")),
+      "/admin/v2/persistent/tenant/ns1/dead/t/stats" ->
+        (respond(_, 500, "broker error"))
+    ) { base =>
+      val http = HttpConnectors.newClient()
+      val fetch = HttpConnectors.getString(http, _: String)
+      assert(PulsarStats.listTopics(fetch, base, "tenant/ns1") ==
+        Right(Seq("tenant/ns1/hfp/v2", "tenant/ns1/small/t", "tenant/ns1/dead/t")))
+      // >= 1GB flagged (the script's >9-digit test), smaller and dead skipped
+      assert(PulsarStats.bigBacklogs(fetch, base, "tenant/ns1") ==
+        Right(Seq("tenant/ns1/hfp/v2" -> 2500000000L)))
+      // an unreachable admin API is an error, not an empty result
+      assert(PulsarStats.bigBacklogs(fetch, "http://127.0.0.1:1", "tenant/ns1").isLeft)
+    }
+  }
+
   test("pulsar envelopes: empty series yields no envelope; unparseable body is a skip") {
     assert(PulsarStats.parseStats("t", "not json at all").isEmpty)
     assert(PulsarStats.parseStats("t", "[1,2,3]").isEmpty)

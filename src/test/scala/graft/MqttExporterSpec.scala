@@ -153,6 +153,55 @@ class MqttExporterSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("gtfsrt gauges: poll cycle classifies results and the combined /metrics serves both families") {
+    import com.sun.net.httpserver.HttpServer
+    import graft.plans.FeedParser
+    import graft.streaming.{GtfsRtGauges, HttpConnectors}
+
+    val feed = FeedParser.encodeFeed(timestamp = 5000L, entities = Seq(
+      FeedParser.encodeEntity("v1", 10, 60.1f, 24.9f),
+      FeedParser.encodeEntity("v2", -5, 60.2f, 25.0f)))
+    val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/ok.pb", ex => {
+      ex.sendResponseHeaders(200, feed.length)
+      ex.getResponseBody.write(feed); ex.close()
+    })
+    http.createContext("/gone.pb", ex => { ex.sendResponseHeaders(404, -1); ex.close() })
+    http.createContext("/garbage.pb", ex => {
+      val b = "not a feed".getBytes
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    })
+    http.start()
+    val base = s"http://127.0.0.1:${http.getAddress.getPort}"
+    val urls = Seq(s"$base/ok.pb", s"$base/gone.pb", s"$base/garbage.pb")
+
+    // exporter with no brokers but three GTFS-RT urls
+    val cfg = config(1).copy(mqttBrokers = Seq.empty, gtfsRtUrls = urls)
+    val running = MqttExporter.start(cfg, bindHost = "127.0.0.1")
+    try {
+      val fetch = GtfsRtGauges.classifiedFetch(HttpConnectors.newClient())
+      running.pollGtfsRt(fetch, nowEpochSec = 5042L)
+      running.pollGtfsRt(fetch, nowEpochSec = 5052L)
+
+      val body = graft.streaming.HttpConnectors.getString(HttpConnectors.newClient(),
+        s"http://127.0.0.1:${running.metricsPort}/metrics").fold(fail(_), identity)
+      // summary over two successful polls of the good feed
+      assert(body.contains(s"""gtfsrt_entity_count_count{url="$base/ok.pb"} 2"""))
+      assert(body.contains(s"""gtfsrt_entity_count_sum{url="$base/ok.pb"} 4.0"""))
+      assert(body.contains(s"""gtfsrt_timestamp_age_seconds_max{url="$base/ok.pb"} 52.0"""))
+      assert(body.contains(s"""gtfsrt_last_scrape_success{url="$base/ok.pb"} 1"""))
+      // failures classified like the reference updateFeed
+      assert(body.contains(s"""gtfsrt_scrape_attempts_total{url="$base/gone.pb",result="http_404"} 2"""))
+      assert(body.contains(s"""gtfsrt_scrape_attempts_total{url="$base/garbage.pb",result="parse_error"} 2"""))
+      assert(body.contains(s"""gtfsrt_last_scrape_success{url="$base/gone.pb"} 0"""))
+      // io_error classification for an unreachable host
+      running.gtfsRt.updateFeed(fetch, "http://127.0.0.1:1/x", 0L)
+      assert(running.gtfsRt.scrapeText.contains("""result="io_error"} 1"""))
+      // mqtt family still present on the same endpoint
+      assert(body.contains("# TYPE mqtt_messages_received_total counter"))
+    } finally { running.stop(); http.stop(0) }
+  }
+
   test("hostPort parses the reference's address forms") {
     assert(MqttExporter.hostOf("ssl://mqtt.hsl.fi:8883") == "mqtt.hsl.fi")
     assert(MqttExporter.hostOf("mqtt.hsl.fi") == "mqtt.hsl.fi") // portless tolerated
