@@ -98,4 +98,31 @@ class PlanAuditSpec extends SparkSpec {
       formatted.linesIterator.exists(l =>
         l.contains("Project") && l.contains("codegen id")), formatted)
   }
+
+  test("dup coverage: gram-df aggregate partial-aggregates, no pair-space join") {
+    val plan = physical(Dedup.dupCoverage(spark, sfDir))
+    // df aggregate partial+final around its shuffle; join keyed on the
+    // gram hash (never a doc×doc cross)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+  }
+
+  test("embed pca: the data-sized pass keys on vec_id and partial-aggregates to d² rows") {
+    // audit the distributed stage (Gram aggregation), not the driver
+    // iterate: join on vec_id only, no cartesian, partial aggregation
+    // before the (i,j) shuffle
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.quantize(col("embedding"))).as(Seq("i", "q")))
+    val gram = e
+      .join(e.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("q") * col("qj")).as("g"))
+    val plan = physical(gram)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"Gram aggregate lost its partial side:\n$plan")
+  }
 }
