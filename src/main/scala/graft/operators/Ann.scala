@@ -251,8 +251,11 @@ object Ann {
     import spark.implicits._
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+    // G is symmetric: aggregate the upper triangle only (halves the
+    // agg input and the collected rows), mirror when building C
     val gram = q
       .join(q.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
+      .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j")).agg(sum(col("q") * col("qj")).as("g"))
     val sums = q.groupBy(col("i")).agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
 
@@ -263,8 +266,10 @@ object Ann {
     val n = sRows.head._3 // dense arrays: every dim occurs once per vector
     val s = Array.ofDim[Long](d)
     sRows.foreach { case (i, si, _) => s(i) = si }
-    val C: Array[Array[BigInt]] = Array.tabulate(d, d)((i, j) =>
-      BigInt(n) * BigInt(gMap.getOrElse((i, j), 0L)) - BigInt(s(i)) * BigInt(s(j)))
+    val C: Array[Array[BigInt]] = Array.tabulate(d, d) { (i, j) =>
+      val g = gMap.getOrElse((math.min(i, j), math.max(i, j)), 0L)
+      BigInt(n) * BigInt(g) - BigInt(s(i)) * BigInt(s(j))
+    }
 
     val scale = BigInt(1) << 20
     def matvec(v: Array[BigInt]): Array[BigInt] =
