@@ -263,7 +263,11 @@ object Ann {
       gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val sRows = sums.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val d = sRows.length
-    val n = sRows.head._3 // dense arrays: every dim occurs once per vector
+    val n = sRows.head._3
+    // dense arrays: every dim must occur once per vector, or the
+    // n·G − s·sᵀ identity silently computes a wrong covariance
+    require(sRows.forall(_._3 == n),
+      s"ragged embedding arrays: per-dim counts ${sRows.map(_._3).distinct.sorted}")
     val s = Array.ofDim[Long](d)
     sRows.foreach { case (i, si, _) => s(i) = si }
     val C: Array[Array[BigInt]] = Array.tabulate(d, d) { (i, j) =>
