@@ -253,6 +253,25 @@ FROM dg JOIN gdf ON gdf.gram = dg.gram
 GROUP BY 1, 2"""
   }
 
+  /** q_kmeans_assign: nearest-centroid reassignment with the exact
+    * integer numerator / one-double-division construction (see
+    * Ann.kmeansAssign). */
+  def kmeansAssign: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id, label,
+      |   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      | FROM embeddings),
+      | cent AS MATERIALIZED (SELECT label AS c, i, CAST(sum(qv) AS BIGINT) AS s,
+      |   count(*) AS n FROM q GROUP BY 1, 2),
+      | dist AS MATERIALIZED (SELECT q.vec_id, q.label, cent.c,
+      |   CAST(CAST(sum((cent.n * q.qv - cent.s) * (cent.n * q.qv - cent.s)) AS BIGINT) AS DOUBLE)
+      |     / CAST(max(cent.n) * max(cent.n) AS DOUBLE) AS dist
+      |  FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2, 3),
+      | r AS (SELECT vec_id, label, c,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist)
+      |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** q_embed_pca: the identical integer power-iteration recurrence as
     * unrolled SQL stages — milli-quantize, Gram + sums, C = n·G − ssᵀ,
     * `iters` matvec+renormalize steps (HUGEINT products, truncating

@@ -106,6 +106,7 @@ object SparkEntry {
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
+    "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -736,6 +737,7 @@ object SparkEntry {
         | CAST(max(abs(q * 127 - code * scale)) AS BIGINT) AS err127_max
         |FROM c GROUP BY 1""".stripMargin,
     "q_embed_pca" -> OracleSql.embedPca(100),
+    "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_fingerprint" -> OracleSql.fingerprints,

@@ -219,6 +219,39 @@ object Ann {
         max(col("err127")).as("err127_max"))
   }
 
+  /** One k-means (Lloyd) assignment step over the current label
+    * partition — the index-maintenance iterate of the IVF family
+    * ([[labelCentroids]] is the update half): reassign every vector to
+    * its nearest current centroid. Exactly reproducible cross-engine:
+    * with S_c = Σ q (integer component sums) and n_c = |c|,
+    *
+    *   dist²(v, c) = Σ_i (n_c·q_v[i] − S_c[i])² / n_c²
+    *
+    * has an exact-integer numerator, and the single double DIVISION
+    * per (vector, centroid) is deterministic (only double SUMS are
+    * order-dependent). Ties break toward the smaller label. Scale
+    * shape: the centroid table is #labels × d and broadcasts; the scan
+    * side computes per-(vector, centroid) partial sums map-side, so
+    * shuffle volume ∝ n·L candidate rows, not n·L·d terms. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+    val cent = q.groupBy(col("label").as("c"), col("i"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val dist = q.join(broadcast(cent), Seq("i"))
+      .select(col("vec_id"), col("label"), col("c"), col("n"),
+        (col("n") * col("q") - col("s")).as("diff"))
+      .groupBy(col("vec_id"), col("label"), col("c"))
+      .agg(sum(col("diff") * col("diff")).as("num"), max(col("n")).as("n"))
+      .withColumn("dist",
+        col("num").cast("double") / (col("n") * col("n")).cast("double"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)
+    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("c").as("new_label"),
+        (col("label") =!= col("c")).as("moved"))
+  }
+
   /** Top principal direction of the embedding cloud (the PCA arm of
     * embedding analysis: dominant axis for whitening, indexing, or
     * drift monitoring) — entirely in EXACT integer arithmetic so two
