@@ -65,6 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (args: Seq[Expression]) => LshBuckets(args(0),
         intLit(args(1), "nTables"), intLit(args(2), "nPlanes"))))
+    // GTFS-RT wire-codec expressions: SQL users can parse raw feed
+    // blobs without touching the Scala API
+    ext.injectFunction((FunctionIdentifier("feed_entity_count"),
+      new ExpressionInfo(classOf[FeedEntityCount].getName, "feed_entity_count"),
+      (args: Seq[Expression]) => FeedEntityCount(args(0))))
+    ext.injectFunction((FunctionIdentifier("feed_header_timestamp"),
+      new ExpressionInfo(classOf[FeedHeaderTimestamp].getName, "feed_header_timestamp"),
+      (args: Seq[Expression]) => FeedHeaderTimestamp(args(0))))
+    ext.injectFunction((FunctionIdentifier("feed_entities"),
+      new ExpressionInfo(classOf[FeedEntities].getName, "feed_entities"),
+      (args: Seq[Expression]) => FeedEntities(args(0))))
   }
 }
 
@@ -89,5 +100,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("lsh_buckets",
       (args: Seq[Expression]) => LshBuckets(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("feed_entity_count",
+      (args: Seq[Expression]) => FeedEntityCount(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("feed_header_timestamp",
+      (args: Seq[Expression]) => FeedHeaderTimestamp(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("feed_entities",
+      (args: Seq[Expression]) => FeedEntities(args(0)), "scala_udf")
   }
 }

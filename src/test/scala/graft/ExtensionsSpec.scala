@@ -25,6 +25,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(c == row.getAs[Long]("sh"))
   }
 
+  test("feed wire-codec expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val feed = graft.plans.FeedParser.encodeFeed(timestamp = 777L, entities = Seq(
+      graft.plans.FeedParser.encodeEntity("veh-1", 30, 60.1f, 24.9f),
+      graft.plans.FeedParser.encodeEntity("veh-2", -5, 60.2f, 25.0f)))
+    val row = Seq(feed).toDF("blob").createOrReplaceTempView("feeds")
+    val r = spark.sql(
+      """SELECT feed_entity_count(blob) AS n, feed_header_timestamp(blob) AS ts,
+        |  feed_entities(blob)[0].entity_id AS id0,
+        |  feed_entities(blob)[1].trip_delay AS d1
+        |FROM feeds""".stripMargin).head()
+    assert(r.getAs[Int]("n") == 2)
+    assert(r.getAs[Long]("ts") == 777L)
+    assert(r.getAs[String]("id0") == "veh-1")
+    assert(r.getAs[Long]("d1") == -5L)
+  }
+
   test("wildcard-free mqtt filters rewrite to pushable normalized equality") {
     GraftExtensions.register(spark)
     import graft.plans.MqttTopicMatch.mqtt_topic_match
