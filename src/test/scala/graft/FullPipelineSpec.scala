@@ -1,0 +1,142 @@
+package graft
+
+import java.io.DataInputStream
+import java.net.{InetAddress, InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{AzureDelivery, HttpConnectors, Mqtt, MqttStreamBridge, StreamingMonitor}
+import graft.streaming.Mqtt.{Wire, Connect, Subscribe, Disconnect, PingReq}
+
+/** The reference collector, end to end, every hop real: a live MQTT
+  * broker socket → the counting client → the JSONL spool → Spark
+  * Structured Streaming windowed rates → the Azure envelope sink →
+  * an HTTP POST through the token-lifecycle sender to a loopback
+  * Azure endpoint. A user of the reference's
+  * mqtt_data_collector.py gets the same envelope out of this library
+  * with the message flow distributed through Spark. */
+class FullPipelineSpec extends SparkSpec {
+
+  /** Broker: CONNACK, SUBACK, then publish the given topics. */
+  private final class Broker(topics: Seq[String]) {
+    private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    val pushed = new CountDownLatch(1)
+    @volatile private var client: java.net.Socket = _
+    private val t = new Thread(() => {
+      try {
+        val s = server.accept(); client = s
+        val in = new DataInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        Wire.readPacket(in) match {
+          case Some(_: Connect) => out.write(Wire.connack(0)); out.flush()
+          case other => fail(s"expected CONNECT, got $other")
+        }
+        Wire.readPacket(in) match {
+          case Some(Subscribe(id, _, _)) => out.write(Wire.suback(id, 0)); out.flush()
+          case other => fail(s"expected SUBSCRIBE, got $other")
+        }
+        topics.foreach(t => out.write(Wire.publish(t, "payload".getBytes(StandardCharsets.UTF_8))))
+        out.flush(); pushed.countDown()
+        var live = true
+        while (live) Wire.readPacket(in) match {
+          case Some(PingReq) => out.write(Wire.pingResp); out.flush()
+          case Some(Disconnect) | None => live = false
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    def close(): Unit = {
+      try if (client != null) client.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  test("broker socket -> client -> spool -> streaming rates -> envelope -> HTTP POST") {
+    // loopback "Azure": collects the POSTed envelopes
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    val azure = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    azure.createContext("/res/metrics", ex => {
+      delivered.synchronized {
+        delivered += new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      }
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("{}".getBytes); ex.close()
+    })
+    azure.start()
+
+    // 90 publishes on two topics: 60 bus, 30 tram
+    val topics = (1 to 60).map(i => s"hfp/v2/bus/$i") ++ (1 to 30).map(i => s"hfp/v2/tram/$i")
+    val broker = new Broker(topics)
+    val spoolDir = Files.createTempDirectory("graft-pipeline-")
+    // event time comes from the spool clock: first batch lands in the
+    // 10:00 minute, later flushes advance the watermark past it
+    val t0 = 1700000400000L
+    @volatile var now = t0 + 10000L
+    val spool = new MqttStreamBridge.Spool(spoolDir, clock = () => now)
+
+    val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+      filters = Seq("hfp/v2/#"), onPublish = p => {
+        // route to a coarse topic key, like the collector's per-topic counters
+        val coarse = p.topic.split("/").take(3).mkString("/")
+        spool.onPublish(Mqtt.Publish(coarse, p.payload))
+      })
+    try {
+      assert(client.start())
+      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (client.window.messageCount < 90 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(spool.pending == 90)
+      assert(spool.flush() == 90)
+
+      // Spark side: stream the spool through windowed rates into the
+      // Azure envelope sink, delivering via the token-lifecycle sender
+      // over the REAL http transport
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(HttpConnectors.newClient()), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "res",
+        host = s"http://127.0.0.1:${azure.getAddress.getPort}")
+      val rates = StreamingMonitor.msgRates(
+        MqttStreamBridge.source(spark, spoolDir.toString), "1 minute", "1 minute")
+      val q = StreamingMonitor.azureEnvelopeSink(rates, outDir = null)(
+        StreamingMonitor.azureDeliveryWriter(sender)).start()
+      try {
+        q.processAllAvailable()
+        // advance the watermark past the 10:00 window
+        now = t0 + 5 * 60000L
+        spool.onPublish(Mqtt.Publish("hfp/v2/bus", Array[Byte]()))
+        spool.flush()
+        q.processAllAvailable()
+        now = t0 + 9 * 60000L
+        spool.onPublish(Mqtt.Publish("hfp/v2/bus", Array[Byte]()))
+        spool.flush()
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val envs = delivered.synchronized(delivered.toVector)
+      assert(envs.nonEmpty)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val base = envs.map(mapper.readTree(_).path("data").path("baseData"))
+        .find { b =>
+          val dims = (0 until b.path("series").size())
+            .map(i => b.path("series").get(i).path("dimValues").get(0).asText())
+          dims.contains("hfp/v2/bus") && dims.contains("hfp/v2/tram")
+        }.getOrElse(fail(s"no envelope carried the first window: $envs"))
+      assert(base.path("metric").asText() == "Msg Count")
+      assert(base.path("namespace").asText() == "MQTT")
+      val byTopic = (0 until base.path("series").size()).map { i =>
+        val el = base.path("series").get(i)
+        el.path("dimValues").get(0).asText() -> el.path("sum").asDouble()
+      }.toMap
+      // 60 and 30 msgs over the 60 s window → 1.0 and 0.5 msgs/sec
+      assert(byTopic("hfp/v2/bus") == 1.0)
+      assert(byTopic("hfp/v2/tram") == 0.5)
+    } finally { client.stop(); broker.close(); azure.stop(0) }
+  }
+}
