@@ -133,6 +133,21 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
   def oracleSql: Map[String, String] = Map(
+    // The envelope JSON is rebuilt CHAR-IDENTICALLY by string concat:
+    // Spark's to_json emits compact struct-order keys, sums here are
+    // integral doubles (counts), rendered "N.0" by both Jackson and
+    // this CAST||'.0' (valid below 1e7, where Double.toString goes
+    // scientific — far above the gate scales), and sort_array on
+    // struct(dimValues,..) equals ORDER BY topic (binary collation).
+    "q_metric_envelope" ->
+      s"""WITH s AS (
+        |  SELECT event_type AS topic, count(*) AS n FROM events GROUP BY 1)
+        |SELECT 'MQTT' AS namespace, 'Msg Count' AS metric,
+        | '{"time":"${graft.operators.Monitoring.FixedNowIso}","data":{"baseData":{"metric":"Msg Count","namespace":"MQTT","dimNames":["Topic"],"series":['
+        | || string_agg('{"dimValues":["' || translate(topic, '#+', '*^') || '"],"sum":'
+        |      || CAST(n AS VARCHAR) || '.0,"count":1}', ',' ORDER BY topic)
+        | || ']}}}' AS envelope
+        |FROM s""".stripMargin,
     "q_msg_rate_per_topic" ->
       """SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
         | count(*) AS msg_count, count(*)/3600.0 AS msgs_per_sec
