@@ -253,6 +253,39 @@ FROM dg JOIN gdf ON gdf.gram = dg.gram
 GROUP BY 1, 2"""
   }
 
+  /** q_cms_counts: the Count-Min estimate is PURE integer arithmetic
+    * (counter sums + min over depth rows), so DuckDB can recompute the
+    * whole sketch: key = mix(fnv(topic)), per-depth bucket =
+    * mix(key ^ mix(d)) mod width (width 2048 divides 2^32, so the
+    * bucket is just the low half mod 2048), counter(d, idx) =
+    * Σ topic-counts landing there, estimate = min over d. Merge order
+    * never matters — counter addition is the sketch's own invariant. */
+  def cmsTopicCounts(depth: Int = 4, width: Int = 2048): String = {
+    val (khStages, khLast) = mixStages("f", "kh", Seq("topic", "n"), Left("h0"))
+    val perDepth = (0 until depth).flatMap { d =>
+      val m = HashKernels.mix(d.toLong)
+      val (mh, ml) = (m >>> 32, m & 0xffffffffL)
+      val (stages, last) = mixStages(s"x$d", s"mx$d", Seq("topic", "n"), Right(()))
+      Seq(s"x$d AS (SELECT topic, n, xor(h, $mh) AS h, xor(l, $ml) AS l FROM $khLast)") ++
+        stages :+
+        s"b$d AS (SELECT topic, n, $d AS d, l % $width AS idx FROM $last)"
+    }
+    val union = (0 until depth).map(d => s"SELECT * FROM b$d").mkString(" UNION ALL ")
+    val ctes = Seq(
+      "t0 AS (SELECT event_type AS topic, count(*) AS n FROM events GROUP BY 1)",
+      "f AS (SELECT topic, n, " +
+        fnvTok.replace("string_split(tok, '')", "string_split(topic, '')") +
+        " AS h0 FROM t0)") ++
+      khStages ++ perDepth ++ Seq(
+      s"b AS ($union)",
+      "c AS (SELECT d, idx, CAST(sum(n) AS BIGINT) AS counter FROM b GROUP BY 1, 2)",
+      "est AS (SELECT b.topic, min(c.counter) AS est_n FROM b" +
+        " JOIN c ON c.d = b.d AND c.idx = b.idx GROUP BY 1)")
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT t0.topic, t0.n AS exact_n, est.est_n
+FROM t0 JOIN est ON est.topic = t0.topic"""
+  }
+
   /** q_kmeans_assign: nearest-centroid reassignment with the exact
     * integer numerator / one-double-division construction (see
     * Ann.kmeansAssign). */

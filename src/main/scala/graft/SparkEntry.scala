@@ -753,6 +753,7 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
+    "q_cms_counts" -> OracleSql.cmsTopicCounts(),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_fingerprint" -> OracleSql.fingerprints,
