@@ -297,7 +297,8 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       | cent AS MATERIALIZED (SELECT label AS c, i, CAST(sum(qv) AS BIGINT) AS s,
       |   count(*) AS n FROM q GROUP BY 1, 2),
       | dist AS MATERIALIZED (SELECT q.vec_id, q.label, cent.c,
-      |   CAST(CAST(sum((cent.n * q.qv - cent.s) * (cent.n * q.qv - cent.s)) AS BIGINT) AS DOUBLE)
+      |   CAST(sum(CAST(cent.n * q.qv - cent.s AS HUGEINT)
+      |            * CAST(cent.n * q.qv - cent.s AS HUGEINT)) AS DOUBLE)
       |     / CAST(max(cent.n) * max(cent.n) AS DOUBLE) AS dist
       |  FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2, 3),
       | r AS (SELECT vec_id, label, c,

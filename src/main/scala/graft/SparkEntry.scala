@@ -138,14 +138,18 @@ object SparkEntry {
     // integral doubles (counts), rendered "N.0" by both Jackson and
     // this CAST||'.0' (valid below 1e7, where Double.toString goes
     // scientific — far above the gate scales), and sort_array on
-    // struct(dimValues,..) equals ORDER BY topic (binary collation).
+    // struct(dimValues,..) equals ORDER BY the SANITIZED topic
+    // (sort_array sees the already-translated dimValues, and '#'→'*'
+    // / '+'→'^' are not order-preserving).
     "q_metric_envelope" ->
       s"""WITH s AS (
-        |  SELECT event_type AS topic, count(*) AS n FROM events GROUP BY 1)
+        |  SELECT event_type AS raw, translate(event_type, '#+', '*^') AS topic,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
         |SELECT 'MQTT' AS namespace, 'Msg Count' AS metric,
         | '{"time":"${graft.operators.Monitoring.FixedNowIso}","data":{"baseData":{"metric":"Msg Count","namespace":"MQTT","dimNames":["Topic"],"series":['
-        | || string_agg('{"dimValues":["' || translate(topic, '#+', '*^') || '"],"sum":'
-        |      || CAST(n AS VARCHAR) || '.0,"count":1}', ',' ORDER BY topic)
+        | || string_agg('{"dimValues":["' || topic || '"],"sum":'
+        |      || CAST(n AS VARCHAR) || '.0,"count":1}', ',' ORDER BY topic, n)
         | || ']}}}' AS envelope
         |FROM s""".stripMargin,
     "q_msg_rate_per_topic" ->

@@ -239,9 +239,14 @@ object Ann {
         posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
     val cent = q.groupBy(col("label").as("c"), col("i"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    // diff fits a long at any realistic scale (n_c·|q| ≲ 1e9·1e4), but
+    // diff² summed over dims does NOT — square and sum as scale-0
+    // DECIMAL(38) so Spark stays exact where a long would silently
+    // wrap (DuckDB's HUGEINT sum is exact the same way; scale-0
+    // integer→double conversion is identical in both engines)
     val dist = q.join(broadcast(cent), Seq("i"))
       .select(col("vec_id"), col("label"), col("c"), col("n"),
-        (col("n") * col("q") - col("s")).as("diff"))
+        (col("n") * col("q") - col("s")).cast(DecimalType(38, 0)).as("diff"))
       .groupBy(col("vec_id"), col("label"), col("c"))
       .agg(sum(col("diff") * col("diff")).as("num"), max(col("n")).as("n"))
       .withColumn("dist",
@@ -280,17 +285,26 @@ object Ann {
     * convergence irrelevant to determinism. Output: one row per
     * dimension (component at scale 2²⁰) plus the integer Rayleigh
     * quotient eigval = ⌊vᵀCv / vᵀv⌋. */
-  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 100): DataFrame = {
-    import spark.implicits._
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
-    // G is symmetric: aggregate the upper triangle only (halves the
-    // agg input and the collected rows), mirror when building C
-    val gram = q
-      .join(q.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
+  /** The data-sized pass of [[pcaTopComponent]], exposed so the plan
+    * audit exercises the PRODUCTION pipeline (not a copy that drifts):
+    * upper-triangle Gram aggregate over quantized components. G is
+    * symmetric, so j >= i halves the agg input and collected rows. */
+  def gramUpperTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantizedComponents(spark, dir)
+    q.join(q.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j")).agg(sum(col("q") * col("qj")).as("g"))
-    val sums = q.groupBy(col("i")).agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
+  }
+
+  private def quantizedComponents(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+
+  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 100): DataFrame = {
+    import spark.implicits._
+    val gram = gramUpperTriangle(spark, dir)
+    val sums = quantizedComponents(spark, dir)
+      .groupBy(col("i")).agg(sum(col("q")).as("s"), count(lit(1)).as("cnt"))
 
     val gMap: Map[(Int, Int), Long] =
       gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap

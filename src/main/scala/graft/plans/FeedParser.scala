@@ -82,6 +82,33 @@ object FeedParser {
     -1L
   }
 
+  /** Single-pass (header timestamp, entity count) — what a poll tick
+    * needs; one top-level walk instead of [[headerTimestamp]] +
+    * [[countField]] scanning the blob twice. ts is -1 when absent. */
+  def feedStats(b: Array[Byte]): (Long, Int) = {
+    var pos = 0
+    var ts = -1L
+    var entities = 0
+    while (pos < b.length) {
+      val (key, p) = readVarint(b, pos)
+      val f = (key >>> 3).toInt; val wt = (key & 7).toInt
+      if (f == 1 && wt == 2 && ts < 0) {
+        val (len, hp) = readVarint(b, p)
+        val end = hp + len.toInt
+        var q = hp
+        while (q < end && q < b.length && ts < 0) {
+          val (hkey, hq) = readVarint(b, q)
+          val hf = (hkey >>> 3).toInt; val hwt = (hkey & 7).toInt
+          if (hf == 3 && hwt == 0) ts = readVarint(b, hq)._1
+          else q = skip(b, hwt, hq)
+        }
+      } else if (f == 2 && wt == 2) entities += 1
+      pos = skip(b, wt, p)
+      if (pos <= 0) return (ts, entities)
+    }
+    (ts, entities)
+  }
+
   /** Parsed FeedEntity fields the reference's full schema exposes for
     * entity-level analytics: entity id (field 1, string),
     * trip_update.delay (field 3 → TripUpdate field 5, varint), and

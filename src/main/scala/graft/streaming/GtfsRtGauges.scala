@@ -13,13 +13,16 @@ import graft.plans.FeedParser
   */
 object GtfsRtGauges {
 
-  /** Micrometer DistributionSummary's scrape-visible state. */
+  /** Micrometer DistributionSummary's scrape-visible state. Negative
+    * amounts are dropped like micrometer drops them — a skewed feed
+    * clock (header timestamp ahead of the poll clock) must not drive
+    * the age sum negative. */
   final class Summary {
     private var n = 0L
     private var total = 0.0
     private var maxV = 0.0
     def record(v: Double): Unit = synchronized {
-      n += 1; total += v; maxV = math.max(maxV, v)
+      if (v >= 0) { n += 1; total += v; maxV = math.max(maxV, v) }
     }
     def snapshot: (Long, Double, Double) = synchronized((n, total, maxV))
   }
@@ -30,7 +33,12 @@ object GtfsRtGauges {
     private val lastSuccess = scala.collection.mutable.LinkedHashMap(urls.map(_ -> 0): _*)
     private val attempts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
 
+    private def requireRegistered(url: String): Unit =
+      require(entityCount.contains(url),
+        s"url not registered with this GtfsRtGauges.Registry: $url")
+
     def recordSuccessfulScrape(url: String, entities: Int, ageSec: Long): Unit = synchronized {
+      requireRegistered(url)
       entityCount(url).record(entities.toDouble)
       timestampAge(url).record(ageSec.toDouble)
       lastSuccess(url) = 1
@@ -38,30 +46,34 @@ object GtfsRtGauges {
     }
 
     def recordFailedScrape(url: String, result: String): Unit = synchronized {
+      requireRegistered(url)
       lastSuccess(url) = 0
       attempts((url, result)) = attempts.getOrElse((url, result), 0L) + 1
     }
 
     /** One poll of one URL — GtfsRtMetricsExporter.updateFeed's
-      * classification: non-2xx → http_<code>, unreachable → io_error,
+      * classification: non-200 → http_<code> (the reference's exact
+      * `statusCode() != 200` check), unreachable → io_error,
       * unparseable / timestamp-less feed → parse_error, anything
       * else → unknown_error. */
     def updateFeed(fetch: String => Either[(String, String), Array[Byte]],
-                   url: String, nowEpochSec: Long): Unit =
+                   url: String, nowEpochSec: Long): Unit = {
+      requireRegistered(url)
       try {
         fetch(url) match {
           case Left((kind, _)) => recordFailedScrape(url, kind)
           case Right(bytes) =>
             try {
-              val ts = FeedParser.headerTimestamp(bytes)
+              // single top-level walk for (timestamp, entity count)
+              val (ts, entities) = FeedParser.feedStats(bytes)
               if (ts <= 0L) recordFailedScrape(url, "parse_error")
-              else recordSuccessfulScrape(url, FeedParser.countField(bytes, 2), nowEpochSec - ts)
+              else recordSuccessfulScrape(url, entities, nowEpochSec - ts)
             } catch { case _: Exception => recordFailedScrape(url, "parse_error") }
         }
       } catch { case _: Exception => recordFailedScrape(url, "unknown_error") }
+    }
 
-    private def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    private def esc(s: String): String = OpsEndpoints.PrometheusFormat.escapeLabel(s)
 
     /** Prometheus exposition (micrometer summary naming). */
     def scrapeText: String = synchronized {

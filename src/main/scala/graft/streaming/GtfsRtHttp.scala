@@ -17,22 +17,19 @@ import graft.plans.FeedParser
   */
 object GtfsRtHttp {
 
-  /** FeedMessage field numbers (public GTFS-RT spec): header = 1,
-    * entity = 2 (repeated). */
-  private val EntityField = 2
-
   final case class FeedStats(entityCount: Int, timestampAgeSec: Long)
 
-  /** get_stats: (entity count, seconds since header.timestamp). A
-    * fetch failure or unparseable body is a skip (Left), matching the
-    * collector's must-not-crash posture. */
+  /** get_stats: (entity count, seconds since header.timestamp) in one
+    * top-level walk of the blob. A fetch failure or unparseable body
+    * is a skip (Left), matching the collector's must-not-crash
+    * posture. */
   def getStats(fetch: String => Either[String, Array[Byte]], url: String,
                nowEpochSec: Long): Either[String, FeedStats] =
     fetch(url).flatMap { bytes =>
       try {
-        val ts = FeedParser.headerTimestamp(bytes)
+        val (ts, entities) = FeedParser.feedStats(bytes)
         if (ts <= 0L) Left(s"feed from $url carries no header timestamp")
-        else Right(FeedStats(FeedParser.countField(bytes, EntityField), nowEpochSec - ts))
+        else Right(FeedStats(entities, nowEpochSec - ts))
       } catch { case e: Exception => Left(s"feed from $url unparseable: ${e.getMessage}") }
     }
 

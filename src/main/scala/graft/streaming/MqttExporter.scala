@@ -15,9 +15,7 @@ import scala.util.control.NonFatal
   */
 object MqttExporter {
 
-  /** Prometheus label-value escaping: backslash, quote, newline. */
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+  private def esc(s: String): String = OpsEndpoints.PrometheusFormat.escapeLabel(s)
 
   /** Exposition text for the exporter counter sets (the reference
     * exposes these through micrometer's PrometheusMeterRegistry; the

@@ -16,6 +16,14 @@ import java.util.concurrent.atomic.AtomicBoolean
   * surface. */
 object OpsEndpoints {
 
+  /** Prometheus text-exposition label-value escaping (v0.0.4 spec:
+    * backslash, quote, newline) — shared by every scrape renderer so
+    * the families on one /metrics endpoint can't escape differently. */
+  object PrometheusFormat {
+    def escapeLabel(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+  }
+
   final class Health {
     private val isReady = new AtomicBoolean(false)
     def markReady(): Unit = isReady.set(true)

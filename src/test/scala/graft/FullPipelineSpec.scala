@@ -21,25 +21,30 @@ import graft.streaming.Mqtt.{Wire, Connect, Subscribe, Disconnect, PingReq}
   * with the message flow distributed through Spark. */
 class FullPipelineSpec extends SparkSpec {
 
-  /** Broker: CONNACK, SUBACK, then publish the given topics. */
+  /** Broker: CONNACK, SUBACK, then publish the given topics. Protocol
+    * mismatches are captured in `protocolError` (a fail() thrown on
+    * this thread would be swallowed, turning a clear diagnostic into
+    * an opaque latch timeout). */
   private final class Broker(topics: Seq[String]) {
     private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
     val port: Int = server.getLocalPort
     val pushed = new CountDownLatch(1)
+    @volatile var protocolError: String = _
     @volatile private var client: java.net.Socket = _
+    private def expect(cond: Boolean, msg: => String): Unit =
+      if (!cond && protocolError == null) { protocolError = msg; throw new java.io.IOException(msg) }
     private val t = new Thread(() => {
       try {
         val s = server.accept(); client = s
         val in = new DataInputStream(s.getInputStream)
         val out = s.getOutputStream
-        Wire.readPacket(in) match {
-          case Some(_: Connect) => out.write(Wire.connack(0)); out.flush()
-          case other => fail(s"expected CONNECT, got $other")
-        }
-        Wire.readPacket(in) match {
-          case Some(Subscribe(id, _, _)) => out.write(Wire.suback(id, 0)); out.flush()
-          case other => fail(s"expected SUBSCRIBE, got $other")
-        }
+        val first = Wire.readPacket(in)
+        expect(first.exists(_.isInstanceOf[Connect]), s"expected CONNECT, got $first")
+        out.write(Wire.connack(0)); out.flush()
+        val second = Wire.readPacket(in)
+        expect(second.exists(_.isInstanceOf[Subscribe]), s"expected SUBSCRIBE, got $second")
+        val subId = second.collect { case Subscribe(id, _, _) => id }.get
+        out.write(Wire.suback(subId, 0)); out.flush()
         topics.foreach(t => out.write(Wire.publish(t, "payload".getBytes(StandardCharsets.UTF_8))))
         out.flush(); pushed.countDown()
         var live = true
@@ -87,9 +92,12 @@ class FullPipelineSpec extends SparkSpec {
       })
     try {
       assert(client.start())
-      assert(broker.pushed.await(5, TimeUnit.SECONDS))
+      assert(broker.pushed.await(5, TimeUnit.SECONDS), s"broker: ${broker.protocolError}")
+      assert(broker.protocolError == null, s"broker: ${broker.protocolError}")
+      // wait on the SPOOL (the last hop), not the client counter — the
+      // read loop bumps messageCount before the onPublish hook runs
       val deadline = System.nanoTime() + 5e9.toLong
-      while (client.window.messageCount < 90 && System.nanoTime() < deadline)
+      while (spool.pending < 90 && System.nanoTime() < deadline)
         Thread.sleep(10)
       assert(spool.pending == 90)
       assert(spool.flush() == 90)

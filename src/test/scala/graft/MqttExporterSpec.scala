@@ -194,9 +194,13 @@ class MqttExporterSpec extends AnyFunSuite {
       assert(body.contains(s"""gtfsrt_scrape_attempts_total{url="$base/gone.pb",result="http_404"} 2"""))
       assert(body.contains(s"""gtfsrt_scrape_attempts_total{url="$base/garbage.pb",result="parse_error"} 2"""))
       assert(body.contains(s"""gtfsrt_last_scrape_success{url="$base/gone.pb"} 0"""))
-      // io_error classification for an unreachable host
-      running.gtfsRt.updateFeed(fetch, "http://127.0.0.1:1/x", 0L)
-      assert(running.gtfsRt.scrapeText.contains("""result="io_error"} 1"""))
+      // io_error classification for an unreachable (registered) host;
+      // an UNregistered url is a programming error, not a metric
+      val reg2 = new GtfsRtGauges.Registry(Seq("http://127.0.0.1:1/x"))
+      reg2.updateFeed(fetch, "http://127.0.0.1:1/x", 0L)
+      assert(reg2.scrapeText.contains("""result="io_error"} 1"""))
+      intercept[IllegalArgumentException](
+        running.gtfsRt.updateFeed(fetch, "http://127.0.0.1:1/x", 0L))
       // mqtt family still present on the same endpoint
       assert(body.contains("# TYPE mqtt_messages_received_total counter"))
     } finally { running.stop(); http.stop(0) }

@@ -109,17 +109,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("embed pca: the data-sized pass keys on vec_id and partial-aggregates to d² rows") {
-    // audit the distributed stage (Gram aggregation), not the driver
-    // iterate: join on vec_id only, no cartesian, partial aggregation
-    // before the (i,j) shuffle
-    import org.apache.spark.sql.functions._
-    val e = graft.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        posexplode(graft.functions.VectorFunctions.quantize(col("embedding"))).as(Seq("i", "q")))
-    val gram = e
-      .join(e.select(col("vec_id"), col("i").as("j"), col("q").as("qj")), Seq("vec_id"))
-      .groupBy(col("i"), col("j")).agg(sum(col("q") * col("qj")).as("g"))
-    val plan = physical(gram)
+    // audit the PRODUCTION Gram stage (the driver iterate is d²-bounded):
+    // join on vec_id only, no cartesian, partial aggregation before the
+    // (i,j) shuffle
+    val plan = physical(graft.operators.Ann.gramUpperTriangle(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
