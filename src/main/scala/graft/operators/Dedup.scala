@@ -222,11 +222,15 @@ object Dedup {
       newBatch.select(col("id"), col("embedding"),
         V.srpFingerprint(col("embedding")).as("fp")), batchId)
     val e = spark.read.parquet(s"$corpusFpDir/batch=$batchId")
-    val otherBatches = Option(new java.io.File(corpusFpDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        f.getName != s"batch=$batchId")
-      .map(_.getAbsolutePath).toSeq
+    // enumerate prior batches through Hadoop's FileSystem — java.io.File
+    // only sees the local disk, and on HDFS/S3 its null listing would
+    // silently disable cross-batch dedup while the write still succeeds
+    val basePath = new org.apache.hadoop.fs.Path(corpusFpDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val otherBatches = fs.listStatus(basePath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        st.getPath.getName != s"batch=$batchId")
+      .map(_.getPath.toString).toSeq
     val inBatch = srpPairsOf(e, maxHamming, minDotQ)
       .select(col("vec_b").as("dup_id"))
     val dups = if (otherBatches.isEmpty) inBatch else {

@@ -10,16 +10,38 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * ([[graft.functions.AzureFormat.metricEnvelope]]); this is the
   * bounded poll-loop twin.
   *
-  * Integral sums print as JSON ints ("sum": 12) and fractional as
-  * doubles ("sum": 1.25), matching Python json.dumps of the
-  * reference's int-after-round values.
+  * Sums above 10 print as JSON ints ("sum": 12) — the reference's
+  * shaping turns only the >10 branch into a Python int, so json.dumps
+  * prints 12 there but keeps 2.0 / 1.25 for values ≤10 even when the
+  * rounded value is whole. Matching that branch exactly keeps this
+  * envelope char-identical to both the reference and Spark's to_json
+  * column path (which also prints whole doubles as 2.0).
   */
 object AzureEnvelope {
 
   private val mapper = new ObjectMapper()
 
+  /** Rate-shaped series (get_series_array): Python keeps round(x,2) a
+    * float, so only the reference's >10 → round(x) branch produces an
+    * int in the JSON. */
   def build(metric: String, namespace: String, dimName: String, timeIso: String,
-            series: Seq[(String, Double)]): String = {
+            series: Seq[(String, Double)]): String =
+    buildWith(metric, namespace, dimName, timeIso, series) { (el, v) =>
+      if (v > 10 && v == math.floor(v) && !v.isInfinite) el.put("sum", v.toLong)
+      else el.put("sum", v)
+    }
+
+  /** Integer-native series (Pulsar msgBacklog, GTFS-RT entity count /
+    * timestamp age): the reference passes the parsed Python int
+    * straight to json.dumps, so the sum prints as an int at ANY
+    * magnitude — including ≤10, where [[build]] would keep a float. */
+  def buildInts(metric: String, namespace: String, dimName: String, timeIso: String,
+                series: Seq[(String, Long)]): String =
+    buildWith(metric, namespace, dimName, timeIso, series)((el, v) => el.put("sum", v))
+
+  private def buildWith[V](metric: String, namespace: String, dimName: String,
+                           timeIso: String, series: Seq[(String, V)])(
+                           putSum: (com.fasterxml.jackson.databind.node.ObjectNode, V) => Unit): String = {
     val root = mapper.createObjectNode()
     root.put("time", timeIso)
     val base = root.putObject("data").putObject("baseData")
@@ -30,8 +52,7 @@ object AzureEnvelope {
     series.foreach { case (dim, v) =>
       val el = arr.addObject()
       el.putArray("dimValues").add(dim)
-      if (v == math.floor(v) && !v.isInfinite) el.put("sum", v.toLong)
-      else el.put("sum", v)
+      putSum(el, v)
       el.put("count", 1)
     }
     mapper.writeValueAsString(root)

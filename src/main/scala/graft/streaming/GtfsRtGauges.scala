@@ -16,20 +16,54 @@ object GtfsRtGauges {
   /** Micrometer DistributionSummary's scrape-visible state. Negative
     * amounts are dropped like micrometer drops them — a skewed feed
     * clock (header timestamp ahead of the poll clock) must not drive
-    * the age sum negative. */
-  final class Summary {
+    * the age sum negative.
+    *
+    * count/sum are cumulative, but _max mirrors micrometer's
+    * TimeWindowMax: a ring of `buckets` maxima rotated every
+    * windowMs/buckets, so the reported max covers only the trailing
+    * window (default 2 min of 3 buckets, micrometer's
+    * distributionStatisticExpiry default) and RECOVERS after a spike —
+    * a forever-cumulative max would latch any alert keyed on _max
+    * permanently. */
+  final class Summary(clock: () => Long = () => System.currentTimeMillis(),
+                      windowMs: Long = 120000L, buckets: Int = 3) {
     private var n = 0L
     private var total = 0.0
-    private var maxV = 0.0
-    def record(v: Double): Unit = synchronized {
-      if (v >= 0) { n += 1; total += v; maxV = math.max(maxV, v) }
+    private val ring = Array.fill(buckets)(0.0)
+    private val rotateEveryMs = math.max(1L, windowMs / buckets)
+    private var lastRotateMs = clock()
+
+    /** Zero out the buckets whose window has fully passed (round-robin
+      * oldest-first, like micrometer's rotate()). */
+    private def rotate(): Unit = {
+      val now = clock()
+      val steps = (now - lastRotateMs) / rotateEveryMs
+      if (steps > 0) {
+        val toClear = math.min(steps, buckets.toLong).toInt
+        var i = 0
+        while (i < toClear) { ring(((lastRotateMs / rotateEveryMs + i) % buckets).toInt) = 0.0; i += 1 }
+        lastRotateMs += steps * rotateEveryMs
+      }
     }
-    def snapshot: (Long, Double, Double) = synchronized((n, total, maxV))
+
+    def record(v: Double): Unit = synchronized {
+      if (v >= 0) {
+        rotate()
+        n += 1; total += v
+        var i = 0
+        while (i < buckets) { ring(i) = math.max(ring(i), v); i += 1 }
+      }
+    }
+    def snapshot: (Long, Double, Double) = synchronized {
+      rotate()
+      (n, total, ring.max)
+    }
   }
 
-  final class Registry(urls: Seq[String]) {
-    private val entityCount = urls.map(_ -> new Summary).toMap
-    private val timestampAge = urls.map(_ -> new Summary).toMap
+  final class Registry(urls: Seq[String],
+                       clock: () => Long = () => System.currentTimeMillis()) {
+    private val entityCount = urls.map(_ -> new Summary(clock)).toMap
+    private val timestampAge = urls.map(_ -> new Summary(clock)).toMap
     private val lastSuccess = scala.collection.mutable.LinkedHashMap(urls.map(_ -> 0): _*)
     private val attempts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
 

@@ -34,9 +34,10 @@ object GtfsRtHttp {
     }
 
   /** One single-series GTFSRT envelope (gtfsrt_data_collector.py:
-    * 28-53) — no value shaping: the reference sends the raw integers. */
+    * 28-53) — no value shaping: the reference sends the raw integers,
+    * so the sum prints as a JSON int even when ≤10. */
   def envelope(metric: String, url: String, value: Long, timeIso: String): String =
-    AzureEnvelope.build(metric, "GTFSRT", "URL", timeIso, Seq(url -> value.toDouble))
+    AzureEnvelope.buildInts(metric, "GTFSRT", "URL", timeIso, Seq(url -> value))
 
   /** Full cycle over the configured URL list (main(), :56-65): fetch
     * each feed, ship Entity Count + Timestamp Age. Returns

@@ -246,8 +246,17 @@ object Mqtt {
     @volatile private var socket: Socket = _
     @volatile private var running = false
     @volatile private var starting = false
+    private val lastSentNanos = new AtomicLong(System.nanoTime())
 
     def isRunning: Boolean = running
+
+    /** All writes after CONNACK go through here: serializes the ping
+      * timer against the read loop's PINGRESP replies and stamps the
+      * send time the keep-alive timer measures from. */
+    private def send(out: OutputStream, bytes: Array[Byte]): Unit = out.synchronized {
+      out.write(bytes); out.flush()
+      lastSentNanos.set(System.nanoTime())
+    }
 
     /** Connect + subscribe synchronously (so tests and the monitor
       * loop know the subscription is live), then count asynchronously.
@@ -268,7 +277,7 @@ object Mqtt {
           case _ => s.close(); return false
         }
         filters.zipWithIndex.foreach { case (f, i) =>
-          out.write(Wire.subscribe(packetId = i + 1, f)); out.flush()
+          send(out, Wire.subscribe(packetId = i + 1, f))
           // §3.8.4: the broker may start delivering PUBLISHes for an
           // earlier subscription before this SUBACK arrives — count
           // them instead of treating them as a handshake failure
@@ -288,6 +297,18 @@ object Mqtt {
         val t = new Thread(() => readLoop(in, out), s"mqtt-count-$host:$port")
         t.setDaemon(true)
         t.start()
+        // Keep-alive writer (spec §3.1.2.10): the client — not the
+        // broker — must prove liveness, by sending SOMETHING within
+        // every keepAlive interval, else a compliant broker drops the
+        // connection after 1.5×keepAlive of client silence. On a busy
+        // topic the counter only READS, so without this timer a quiet
+        // monitor connection dies and quiet topics never report the
+        // 0.0 rate the alerting exists for. The PINGRESP replies also
+        // keep the read loop's soTimeout (2×keepAlive) from firing on
+        // message-free filters.
+        val pinger = new Thread(() => pingLoop(out), s"mqtt-ping-$host:$port")
+        pinger.setDaemon(true)
+        pinger.start()
         true
       } catch {
         case NonFatal(_) =>
@@ -298,13 +319,29 @@ object Mqtt {
       } finally starting = false
     }
 
+    /** Writes PINGREQ whenever nothing has been sent for a full
+      * keep-alive interval; exits with the connection. Checks at
+      * keepAlive/4 granularity (floor 50 ms) so the ping lands well
+      * inside the broker's 1.5×keepAlive deadline. */
+    private def pingLoop(out: OutputStream): Unit = {
+      val checkMs = math.max(50L, keepAliveSecs * 250L)
+      try {
+        while (running) {
+          Thread.sleep(checkMs)
+          if (running &&
+              System.nanoTime() - lastSentNanos.get() >= keepAliveSecs * 1000000000L)
+            send(out, Wire.pingReq)
+        }
+      } catch { case NonFatal(_) | _: InterruptedException => () }
+    }
+
     private def readLoop(in: DataInputStream, out: OutputStream): Unit = {
       try {
         var live = true
         while (live) {
           Wire.readPacket(in) match {
             case Some(p: Publish) => window.onMessage(); onPublish(p)
-            case Some(PingReq) => out.write(Wire.pingResp); out.flush()
+            case Some(PingReq) => send(out, Wire.pingResp)
             case Some(PingResp) | Some(_: Suback) => ()
             case Some(Disconnect) | None => live = false
             case Some(_) => () // ignore anything else a broker might push

@@ -37,15 +37,20 @@ object MqttStreamBridge {
     // streaming checkpoint — which dedups by file name — would silently
     // drop the overwritten rows.
     private val seq = new AtomicLong({
-      val existing = Files.list(dir).iterator()
-      var maxSeen = -1L
-      while (existing.hasNext) {
-        val name = existing.next().getFileName.toString
-        if (name.startsWith("spool-") && name.endsWith(".jsonl"))
-          name.stripPrefix("spool-").stripSuffix(".jsonl").toLongOption
-            .foreach(n => maxSeen = math.max(maxSeen, n))
-      }
-      maxSeen + 1
+      // Files.list holds a directory fd until closed — leak one per
+      // Spool construction otherwise
+      val listing = Files.list(dir)
+      try {
+        val existing = listing.iterator()
+        var maxSeen = -1L
+        while (existing.hasNext) {
+          val name = existing.next().getFileName.toString
+          if (name.startsWith("spool-") && name.endsWith(".jsonl"))
+            name.stripPrefix("spool-").stripSuffix(".jsonl").toLongOption
+              .foreach(n => maxSeen = math.max(maxSeen, n))
+        }
+        maxSeen + 1
+      } finally listing.close()
     })
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

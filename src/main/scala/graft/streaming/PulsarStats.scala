@@ -106,14 +106,20 @@ object PulsarStats {
     def pick(topics: Seq[String], f: TopicStats => Double): Seq[(String, Double)] =
       topics.flatMap(t => stats.get(t).map(s => t -> f(s)))
 
+    // msgBacklog arrives as a JSON int and the reference ships the
+    // Python int unshaped (get_msg_backlog_array has no round(x,2)
+    // step), so the backlog series prints ints at any magnitude —
+    // unlike the three rate/size envelopes, whose ≤10 values stay
+    // floats after round(x,2).
+    val backlog = catalog.subscriptions.flatMap(t =>
+      stats.get(t).flatMap(_.backlogBySubscription.get(catalog.subscriptionName))
+        .map(v => AzureFormat.sanitizeDimJvm(t) -> v.toLong))
     Seq(
       envelope("Msg Rate In", pick(catalog.msgRateIn, _.msgRateIn)),
       envelope("Msg Rate Out", pick(catalog.msgRateOut, _.msgRateOut)),
       envelope("Storage Size", pick(catalog.storageSize, _.storageSize)),
-      envelope("Msg Backlog",
-        catalog.subscriptions.flatMap(t =>
-          stats.get(t).flatMap(_.backlogBySubscription.get(catalog.subscriptionName))
-            .map(t -> _)))
+      if (backlog.isEmpty) None
+      else Some(AzureEnvelope.buildInts("Msg Backlog", "Pulsar", "Topic", timeIso, backlog))
     ).flatten
   }
 

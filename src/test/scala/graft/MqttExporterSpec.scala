@@ -206,6 +206,27 @@ class MqttExporterSpec extends AnyFunSuite {
     } finally { running.stop(); http.stop(0) }
   }
 
+  test("gtfsrt summary _max decays after the rotating time window, like micrometer") {
+    import graft.streaming.GtfsRtGauges
+    var nowMs = 0L
+    val s = new GtfsRtGauges.Summary(clock = () => nowMs, windowMs = 120000L, buckets = 3)
+    s.record(99.0) // spike
+    assert(s.snapshot == ((1L, 99.0, 99.0)))
+    nowMs = 30000L
+    s.record(5.0)
+    assert(s.snapshot._3 == 99.0) // still inside the window
+    // past window + one bucket width: every bucket that saw the spike
+    // has rotated out; max reflects only recent amounts
+    nowMs = 170000L
+    s.record(5.0)
+    val (n, total, maxV) = s.snapshot
+    assert(n == 3L && total == 109.0) // count/sum stay cumulative
+    assert(maxV == 5.0)               // ...but the max recovered
+    // and a fully idle summary decays to 0 without any record
+    nowMs = 400000L
+    assert(s.snapshot._3 == 0.0)
+  }
+
   test("hostPort parses the reference's address forms") {
     assert(MqttExporter.hostOf("ssl://mqtt.hsl.fi:8883") == "mqtt.hsl.fi")
     assert(MqttExporter.hostOf("mqtt.hsl.fi") == "mqtt.hsl.fi") // portless tolerated
