@@ -92,16 +92,53 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** LSH-bucketed ANN: L hash tables of `nPlanes`-bit cosine buckets;
-    * a vector is a candidate if it shares the query's bucket in ANY
-    * table (standard multi-table construction — recall grows with L,
-    * scan cost stays ∝ bucket sizes). Exact integer-dot rescoring on
-    * candidates; recall vs brute force is asserted in the spec. */
+  /** How many `nPlanes`-bit hash tables does a target recall need?
+    * Per-bit agreement of an SRP fingerprint is p = 1 − θ/π (Charikar
+    * 2002), a table matches with p^nPlanes, and a pair is a candidate
+    * in ANY of b tables with 1 − (1 − p^nPlanes)^b — solve for the
+    * smallest b reaching `targetRecall` at cosine = `targetCosine`.
+    * The 64-bit fingerprint bounds b at 64/nPlanes tables. */
+  def srpTablesFor(nPlanes: Int, targetCosine: Double,
+                   targetRecall: Double = 0.9): Int = {
+    require(targetCosine > -1 && targetCosine < 1 && targetRecall > 0 && targetRecall < 1,
+      s"need cosine in (-1,1) and recall in (0,1), got ($targetCosine, $targetRecall)")
+    val p = 1.0 - math.acos(targetCosine) / math.Pi
+    val pTable = math.pow(p, nPlanes)
+    val maxTables = 64 / nPlanes
+    val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+    math.min(math.max(b, 1), maxTables)
+  }
+
+  /** LSH-bucketed ANN: `nTables` hash tables of `nPlanes`-bit cosine
+    * buckets; a vector is a candidate if it shares the query's bucket
+    * in ANY table (standard multi-table construction — recall grows
+    * with nTables per [[srpTablesFor]]'s curve, scan cost stays ∝
+    * bucket sizes). The tables are consecutive `nPlanes`-bit bands of
+    * the 64-bit [[graft.functions.SrpFingerprint]] — pure-integer SRP,
+    * so bucket assignment is bit-reproducible cross-engine and the
+    * DuckDB oracle recomputes buckets, candidates and top-k exactly
+    * (a float-projection bucketer could never be hash-checked).
+    * Exact integer-dot rescoring on candidates; ≥90% planted-pair
+    * recall at the derived table count is asserted in the spec. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val e = embs(spark, dir)
+              nPlanes: Int = 4, nTables: Int = 8): DataFrame =
+    lshTopKOf(embs(spark, dir), k, nQueries, nPlanes, nTables)
+
+  /** [[lshTopK]] over a prepared (vec_id, embedding) frame — the spec
+    * plants known-cosine pairs through the production path here. */
+  def lshTopKOf(emb: DataFrame, k: Int, nQueries: Int,
+                nPlanes: Int, nTables: Int): DataFrame = {
+    require(nPlanes * nTables <= 64, s"$nTables tables × $nPlanes planes exceeds 64 fingerprint bits")
+    val mask = (1 << nPlanes) - 1
+    val e = emb
+      .select(col("vec_id"), col("embedding"),
+        V.srpFingerprint(col("embedding")).as("fp"))
+    // table t's bucket = fingerprint bits [t·nPlanes, (t+1)·nPlanes):
+    // posexplode indexes the tables, the mask keeps buckets in
+    // [0, 2^nPlanes) (arithmetic-shift sign fill cannot reach them)
     val banded = e.select(col("vec_id"), col("embedding"),
-      posexplode(LshBuckets.lsh_buckets(col("embedding"), nTables, nPlanes))
+      posexplode(expr(
+        s"transform(sequence(0, ${nTables - 1}), t -> int(shiftright(fp, t * $nPlanes) & $mask))"))
         .as(Seq("t", "bkt")))
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_query"),

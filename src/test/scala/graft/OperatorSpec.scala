@@ -286,14 +286,60 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
-  test("LSH ANN achieves positive recall vs brute force") {
+  test("LSH table count derived from a target angle follows the Charikar curve") {
+    // cosine 0.95 → per-bit p ≈ 0.899, 4-bit table match ≈ 0.652:
+    // 3 tables already clear 90% (1 − 0.348³ ≈ 0.958)
+    assert(Ann.srpTablesFor(4, 0.95) == 3)
+    // a looser target angle needs more tables; the 64-bit fingerprint
+    // caps the answer at 64/nPlanes
+    assert(Ann.srpTablesFor(4, 0.80) > Ann.srpTablesFor(4, 0.95))
+    assert(Ann.srpTablesFor(4, 0.45, targetRecall = 0.99) == 16)
+    for (c <- Seq(0.7, 0.8, 0.9, 0.95); b = Ann.srpTablesFor(4, c)) {
+      val p = math.pow(1.0 - math.acos(c) / math.Pi, 4)
+      assert(1.0 - math.pow(1.0 - p, b) >= 0.9, s"cos=$c b=$b under-recalls")
+    }
+  }
+
+  test("LSH ANN recalls >= 90% of planted cosine-0.96 pairs at the derived table count") {
+    import spark.implicits._
+    // plant pairs at a KNOWN cosine: query i = unit-ish base vector,
+    // vector nPairs+i = cos_t·base + sin_t·orth with orth ⟂ base by
+    // Gram-Schmidt, so every planted pair sits at cosine ≈ 0.96 and
+    // recall isolates the banding curve (dims/values deterministic).
+    val nPairs = 100
+    val d = 32
+    val cosT = 0.96
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val rows = (0 until nPairs).flatMap { i =>
+      def vec(seed: Int) = {
+        val r = new scala.util.Random(seed)
+        Array.fill(d)(r.nextGaussian().toFloat)
+      }
+      val base = vec(i)
+      val nb = math.sqrt(base.map(x => x.toDouble * x).sum)
+      val u = base.map(x => (x / nb).toFloat)
+      val raw = vec(i + 100000)
+      val dotRU = (0 until d).map(j => raw(j).toDouble * u(j)).sum
+      val orth = Array.tabulate(d)(j => raw(j) - (dotRU * u(j)).toFloat)
+      val no = math.sqrt(orth.map(x => x.toDouble * x).sum)
+      val variant = Array.tabulate(d)(j => (cosT * u(j) + sinT * orth(j) / no).toFloat)
+      Seq((i.toLong, u), (nPairs + i.toLong, variant))
+    }.toDF("vec_id", "embedding")
+    val nTables = Ann.srpTablesFor(4, 0.95) // derived, not hand-tuned
+    val got = Ann.lshTopKOf(rows, k = 1, nQueries = nPairs, nPlanes = 4, nTables = nTables)
+      .filter(col("vec_id") === col("query_id") + nPairs)
+      .count()
+    assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
+  }
+
+  test("LSH ANN top-k recall vs brute force at the production defaults") {
     val brute = Ann.bruteTopK(spark, sfDir).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Ann.lshTopK(spark, sfDir).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.nonEmpty)
     val recall = (lsh & brute).size.toDouble / brute.size
-    assert(recall > 0.1, s"recall=$recall")
+    assert(recall >= 0.5, s"recall=$recall")
   }
 
   test("media decode stub is deterministic and batch-shaped") {
