@@ -351,6 +351,64 @@ SELECT v.i AS dim,
 FROM $L v"""
   }
 
+  /** q_approx_distinct: the ENTIRE HyperLogLog sketch recomputed in
+    * SQL — the Count-Min precedent applied to HllSketch (p=12,
+    * m=4096). Registers: mix(user_id) via the BIGINT-halves splitmix64
+    * chain, idx = top 12 bits, rank = nlz(h<<12 | 2^11)+1 over the
+    * shifted halves with a powers-of-two msb join (no float log2);
+    * registers are max-merged so any partition order agrees. Estimate:
+    * the harmonic sum replays eval's EXACT double-add order via an
+    * idx-ordered list_reduce fold, alpha·m²/invSum with eval's literal
+    * arithmetic, and the linear-counting branch reads a (zeros →
+    * round(m·ln(m/zeros))) table precomputed HERE by the same JVM
+    * Math.log/Math.round eval calls — transcendentals never cross the
+    * engine boundary. */
+  def approxDistinct: String = {
+    val m = 4096
+    val (stages, last) = mixStages("du", "ax", Seq("topic", "user_id"),
+      Left("CAST(user_id AS HUGEINT)"))
+    val pwValues = (0 to 31).map(k => s"($k, ${1L << k})").mkString(", ")
+    val lcValues = (1 to m).map(z =>
+      s"($z, ${math.round(m * math.log(m.toDouble / z))})").mkString(", ")
+    val ctes = Seq(
+      "du AS MATERIALIZED (SELECT DISTINCT event_type AS topic, user_id FROM events)") ++
+      stages ++ Seq(
+      // S = (h64 << 12) | 2^11 over 32-bit halves; idx = top 12 bits
+      s"shv AS (SELECT topic, user_id, h >> 20 AS idx," +
+        " (h % 1048576) * 4096 + (l // 1048576) AS s_hi," +
+        s" (l % 1048576) * 4096 + 2048 AS s_lo FROM $last)",
+      s"pw(k, v) AS (VALUES $pwValues)",
+      // rank = nlz64(S) + 1 = (32 or 64) - msb(leading nonzero half)
+      "rr AS (SELECT s.topic, s.user_id, max(s.idx) AS idx," +
+        " max(CASE WHEN s.s_hi > 0 THEN 32 ELSE 64 END) - max(pw.k) AS rank" +
+        " FROM shv s JOIN pw ON pw.v <= CASE WHEN s.s_hi > 0 THEN s.s_hi ELSE s.s_lo END" +
+        " GROUP BY 1, 2)",
+      "reg AS (SELECT topic, idx, max(rank) AS r FROM rr GROUP BY 1, 2)",
+      "grid AS (SELECT t.topic, g.idx FROM (SELECT DISTINCT topic FROM du) t" +
+        s" CROSS JOIN (SELECT unnest(range($m)) AS idx) g)",
+      "fullreg AS (SELECT grid.topic, grid.idx, coalesce(reg.r, 0) AS r" +
+        " FROM grid LEFT JOIN reg ON reg.topic = grid.topic AND reg.idx = grid.idx)",
+      // eval's loop: invSum += 1.0 / (1L << reg(i)), i ascending
+      "inv AS (SELECT topic," +
+        " list_reduce(list_prepend(CAST(0 AS DOUBLE)," +
+        " list(CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << r AS DOUBLE) ORDER BY idx))," +
+        " (a, b) -> a + b) AS inv_sum," +
+        " CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros" +
+        " FROM fullreg GROUP BY 1)",
+      s"est AS (SELECT topic, zeros, CAST(0.7213 AS DOUBLE) /" +
+        s" (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE))" +
+        s" * $m * $m / inv_sum AS e FROM inv)",
+      s"lc(z, lce) AS (VALUES $lcValues)",
+      "ex AS (SELECT event_type AS topic, count(DISTINCT user_id) AS exact_users" +
+        " FROM events GROUP BY 1)")
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT est.topic,
+ CASE WHEN est.e <= CAST(${m * 2.5} AS DOUBLE) AND est.zeros > 0 THEN lc.lce
+      ELSE CAST(floor(est.e + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS approx_users,
+ ex.exact_users
+FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
+  }
+
   /** q_dedup_minhash: minhash_shingles(text, 3, 64) signatures via the
     * one-hash family h_p(s) = mix(mix(shingle) ^ mix(p)); candidates
     * share a band of 8 consecutive signature values (joined on the

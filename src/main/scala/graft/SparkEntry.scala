@@ -791,6 +791,7 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
+    "q_approx_distinct" -> OracleSql.approxDistinct,
     "q_cms_counts" -> OracleSql.cmsTopicCounts(),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,

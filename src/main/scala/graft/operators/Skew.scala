@@ -77,13 +77,18 @@ object Skew {
         cms_estimate(col("sk"), col("kh")).as("est_n"))
   }
 
-  /** Approximate distinct users per topic (HyperLogLog++) next to the
+  /** Approximate distinct users per topic (HyperLogLog) next to the
     * exact count — the sketch path for 100 TB cardinalities where
-    * exact countDistinct's shuffle is the bottleneck. */
-  def approxDistinctUsers(spark: SparkSession, dir: String,
-                          rsd: Double = 0.02): DataFrame =
+    * exact countDistinct's shuffle is the bottleneck. Runs the
+    * library's own [[graft.plans.HllSketch]] (not Spark's builtin):
+    * the register array is elementwise-max-mergeable (partition-
+    * invariant) and every arithmetic step of the estimate is pinned,
+    * so the DuckDB oracle recomputes registers AND estimate exactly
+    * (OracleSql.approxDistinct) — a hash-checked sketch, like the
+    * Count-Min twin. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type").as("topic"))
-      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+      .agg(graft.plans.HllSketch.hll_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 }
