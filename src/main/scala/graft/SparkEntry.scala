@@ -97,6 +97,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
+    "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // Similarity search
@@ -792,6 +793,37 @@ object SparkEntry {
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_approx_distinct" -> OracleSql.approxDistinct,
+    // Exact-substring-dedup apply: string grams stand in for the
+    // 64-bit gram hashes (equality patterns agree modulo negligible
+    // collisions), positions/occurrence counts/run-length merge are
+    // all integer arithmetic.
+    "q_dedup_spans" ->
+      """WITH t0 AS MATERIALIZED (SELECT doc_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | g0 AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p1, toks FROM t0),
+        | g AS MATERIALIZED (SELECT doc_id, p1 - 1 AS pos,
+        |   array_to_string(toks[p1:p1+7], ' ') AS gram FROM g0),
+        | occ AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY 1),
+        | dup AS (SELECT g.doc_id, g.pos FROM g JOIN occ ON occ.gram = g.gram
+        |   WHERE occ.n_occ >= 2),
+        | isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+        |     (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+        |   FROM dup),
+        | isl2 AS (SELECT doc_id, pos, sum(brk) OVER
+        |     (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        | spans AS MATERIALIZED (SELECT doc_id, island, min(pos) AS ds,
+        |   max(pos) + 8 AS de FROM isl2 GROUP BY 1, 2),
+        | mid AS (SELECT doc_id, lag(de, 1, 0) OVER
+        |     (PARTITION BY doc_id ORDER BY ds) AS keep_start, ds AS keep_end
+        |   FROM spans),
+        | ntok AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+        |   FROM documents),
+        | le AS (SELECT doc_id, max(de) AS last_end FROM spans GROUP BY 1),
+        | tail AS (SELECT n.doc_id, coalesce(l.last_end, 0) AS keep_start,
+        |   n.nt AS keep_end FROM ntok n LEFT JOIN le l ON l.doc_id = n.doc_id)
+        |SELECT doc_id, keep_start, keep_end
+        |FROM (SELECT * FROM mid UNION ALL SELECT * FROM tail)
+        |WHERE keep_start < keep_end""".stripMargin,
     "q_cms_counts" -> OracleSql.cmsTopicCounts(),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,

@@ -389,6 +389,62 @@ object Dedup {
         col("shared_grams").cast("double") / col("total_grams").cast("double"))
   }
 
+  /** Exact substring dedup, APPLY step (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): [[repeatedNgrams]] /
+    * [[dupCoverage]] compute the corpus signals; this one emits what a
+    * pipeline actually keeps — per-document kept TOKEN ranges
+    * [keep_start, keep_end) after every n-gram occurring ≥2 times in
+    * the corpus (cross-doc or within-doc) is dropped with its covering
+    * span. A duplicated gram at token position p covers [p, p+n);
+    * overlapping/adjacent covers are run-length merged per document
+    * and the output is the complement up to the doc's token count.
+    * Docs with no duplicated grams keep [0, n_tokens); fully-covered
+    * docs emit nothing.
+    *
+    * Scale shape: still NO pair space — one positional-gram explode
+    * ([[graft.plans.ShingleHashSeq]], 8 bytes/gram), a gram-keyed
+    * occurrence count with map-side combine, a join-back, and per-doc
+    * window merges (partitioned by doc_id, bounded by doc length).
+    * Everything is integer arithmetic, so the DuckDB oracle replays
+    * positions, occurrence counts, and the run-length merge exactly. */
+  def dedupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    dedupSpansOf(Tables.documents(spark, dir), n)
+
+  /** [[dedupSpans]] over a prepared (doc_id, text) frame — the spec
+    * plants known repeated spans through the production path here. */
+  def dedupSpansOf(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(shingle_hash_seq(col("text"), n)).as(Seq("pos", "gram")))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+    val dup = grams.join(occ.filter(col("occ") >= 2), Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    // run-length merge: covers are all n wide and pos-sorted, so a new
+    // island starts exactly when the gap to the previous start exceeds n
+    val wPos = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wPos) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("drop_start"), (max(col("pos")) + n).as("drop_end"))
+    // complement: the gap before each dropped span, plus the tail gap
+    // from the last span to the end of the doc (docs with no spans at
+    // all surface through the left join as [0, n_tokens))
+    val wSpan = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("drop_start"))
+    val mid = spans
+      .select(col("doc_id"),
+        lag(col("drop_end"), 1, 0).over(wSpan).as("keep_start"),
+        col("drop_start").as("keep_end"))
+    val lastEnd = spans.groupBy(col("doc_id")).agg(max(col("drop_end")).as("last_end"))
+    val tail = docs
+      .select(col("doc_id"), T.wordCount(col("text")).as("n_tokens"))
+      .join(lastEnd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("last_end"), lit(0)).as("keep_start"),
+        col("n_tokens").cast("int").as("keep_end"))
+    mid.unionAll(tail).filter(col("keep_start") < col("keep_end"))
+  }
+
   /** Benchmark decontamination: flag training docs that share any
     * word n-gram with the held-out eval source (the standard
     * n-gram-overlap contamination check run before LLM training).

@@ -156,6 +156,25 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(arr, w))
   }
 
+  /** Ordered, NON-distinct shingle hashes: index i = the gram starting
+    * at token i (same tokenize + polynomial combine as
+    * [[shingleHashes]], minus sort/dedup — positions are the point). */
+  def shingleHashSeq(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenHashes(s, 0L)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = sh * 0x100000001b3L + toks(i + j); j += 1 }
+      arr(i) = mix(sh)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Hash of the normalized text (lowercase ASCII + whitespace runs
     * collapsed to one space + trim), computed in ONE pass over the
     * UTF-8 bytes with no intermediate string — hash equality ≡
@@ -369,6 +388,23 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** shingle_hash_seq(text, n): every word-n-gram hash IN TEXT ORDER
+  * (array index = 0-based gram position) — the positional twin of
+  * [[ShingleHashes]] for span-level substring dedup, where WHERE a
+  * duplicated gram sits matters, not just that it exists. */
+case class ShingleHashSeq(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "shingle_hash_seq"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.shingleHashSeq(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.shingleHashSeq($c, $n);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSeq = copy(child = c)
+}
+
 /** simhash_text(text): fused tokenize+simhash. */
 case class SimHashText(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -396,6 +432,8 @@ object Fingerprints {
     bridge.column(RollingFingerprint(bridge.expression(text), w))
   def shingle_hashes(text: Column, n: Int): Column =
     bridge.column(ShingleHashes(bridge.expression(text), n))
+  def shingle_hash_seq(text: Column, n: Int): Column =
+    bridge.column(ShingleHashSeq(bridge.expression(text), n))
   def normalized_hash(text: Column): Column =
     bridge.column(NormalizedHash(bridge.expression(text)))
   def sig_matches(a: Column, b: Column): Column =

@@ -93,6 +93,33 @@ class FingerprintSpec extends SparkSpec {
     assert(got88 < got, s"8x8 recalled $got88, derived banding $got")
   }
 
+  test("substring-dedup spans: planted repeated 3-grams drop exactly their covering ranges") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      // A and B share the 5-token phrase s0..s4 → 3-grams at A pos
+      // 2,3,4 cover tokens [2,7); B pos 1,2,3 cover [1,6)
+      (0L, "x0 x1 s0 s1 s2 s3 s4 y0 y1 y2"),
+      (1L, "z0 s0 s1 s2 s3 s4 z1 z2"),
+      // C repeats m0 m1 m2 WITHIN itself → gram at pos 0 and 3,
+      // adjacent covers merge to [0,6), keeping only the tail token
+      (2L, "m0 m1 m2 m0 m1 m2 q0"),
+      // D is unique → kept whole
+      (3L, "u0 u1 u2 u3 u4"),
+      // E is A's shared phrase and nothing else → fully covered,
+      // zero kept ranges
+      (4L, "s0 s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    // n=3: E's grams (pos 0,1,2) are exactly A/B's shared ones
+    val got = Dedup.dedupSpansOf(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (0L, 0, 2), (0L, 7, 10),
+      (1L, 0, 1), (1L, 6, 8),
+      (2L, 6, 7),
+      (3L, 0, 5)))
+  }
+
   test("rolling fingerprint: docs sharing their minimal window collide") {
     val s1 = UTF8String.fromString("prefix AAAA shared-window-content BBBB")
     val s2 = UTF8String.fromString("other AAAA shared-window-content CCCC")
