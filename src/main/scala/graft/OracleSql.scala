@@ -306,6 +306,38 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q_kmeans_iterate: the Lloyd loop unrolled as chained CTE rounds
+    * (the q_embed_pca pattern) — each round recomputes integer
+    * centroid sums from the previous round's labels and reassigns with
+    * the exact-numerator / one-double-division / ties-to-smaller-label
+    * rule. Spark may stop EARLY at a fixpoint; the unrolled extra
+    * rounds are no-ops there, so the final labels agree. Products stay
+    * in BIGINT: at gate scale |diff| = |n·q − S| ≤ 2·n·max|q| ≈ 3·10⁷,
+    * so Σ_dims diff² ≲ 6·10¹⁶ — far inside signed-64 (the HUGEINT sum
+    * DuckDB produces converts to DOUBLE exactly like Spark's scale-0
+    * decimal). */
+  def kmeansIterate(iters: Int = 8): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += "q AS MATERIALIZED (SELECT vec_id," +
+      " CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i," +
+      " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv" +
+      " FROM embeddings)"
+    ctes += "l0 AS MATERIALIZED (SELECT vec_id, label FROM embeddings)"
+    for (t <- 1 to iters) {
+      ctes += s"c$t AS MATERIALIZED (SELECT l.label AS c, q.i," +
+        " CAST(sum(q.qv) AS BIGINT) AS s, count(*) AS n" +
+        s" FROM q JOIN l${t - 1} l ON l.vec_id = q.vec_id GROUP BY 1, 2)"
+      ctes += s"d$t AS MATERIALIZED (SELECT q.vec_id, c.c," +
+        " CAST(sum((c.n * q.qv - c.s) * (c.n * q.qv - c.s)) AS DOUBLE)" +
+        " / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist" +
+        s" FROM q JOIN c$t c ON c.i = q.i GROUP BY 1, 2)"
+      ctes += s"l$t AS MATERIALIZED (SELECT vec_id, c AS label FROM" +
+        " (SELECT vec_id, c, row_number() OVER" +
+        s" (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d$t) WHERE rn = 1)"
+    }
+    "WITH " + ctes.mkString(",\n ") + s"\nSELECT vec_id, label FROM l$iters"
+  }
+
   /** q_embed_pca: the identical integer power-iteration recurrence as
     * unrolled SQL stages — milli-quantize, Gram + sums, C = n·G − ssᵀ,
     * `iters` matvec+renormalize steps (HUGEINT products, truncating

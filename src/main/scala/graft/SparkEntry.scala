@@ -108,6 +108,7 @@ object SparkEntry {
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
+    "q_kmeans_iterate" -> ((s, d) => Ann.kmeansIterate(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -793,6 +794,7 @@ object SparkEntry {
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_approx_distinct" -> OracleSql.approxDistinct,
+    "q_kmeans_iterate" -> OracleSql.kmeansIterate(),
     // Exact-substring-dedup apply: string grams stand in for the
     // 64-bit gram hashes (equality patterns agree modulo negligible
     // collisions), positions/occurrence counts/run-length merge are

@@ -294,6 +294,70 @@ object Ann {
         (col("label") =!= col("c")).as("moved"))
   }
 
+  /** Iterated Lloyd loop — [[kmeansAssign]] (assignment half) and
+    * [[labelCentroids]] (update half) composed until no vector moves
+    * or `maxIters` rounds, the full k-means refinement of an IVF
+    * index partition. Exactly reproducible cross-engine: every round
+    * recomputes integer centroid sums from the current labels and
+    * reassigns by the same exact-numerator / one-double-division /
+    * ties-to-smaller-label rule as the single step, so the DuckDB
+    * oracle can UNROLL the rounds as chained CTEs (q_pagerank /
+    * q_embed_pca pattern); early convergence needs no cross-engine
+    * protocol because a Lloyd fixpoint is stable — extra unrolled
+    * oracle rounds are no-ops.
+    *
+    * Iteration mechanics per round: the evolving label frame is
+    * checkpointed (reliable checkpoint when a checkpoint dir is set,
+    * lineage-truncating localCheckpoint otherwise) and the moved-count
+    * convergence read doubles as the materializing action — the CC
+    * loop's pattern. The static quantized-component frame is cached
+    * once. Shuffle per round stays ∝ n·L candidates (map-side partial
+    * agg before the Exchange), centroids broadcast. */
+  def kmeansIterate(spark: SparkSession, dir: String, maxIters: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select(col("vec_id"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+      .persist()
+    def chk(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    try {
+      var labels = chk(e.select(col("vec_id"), col("label")))
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val next = chk(kmeansAssignStep(q, labels))
+        val moved = next
+          .join(labels.withColumnRenamed("label", "prev"), Seq("vec_id"))
+          .filter(col("label") =!= col("prev")).count()
+        converged = moved == 0L
+        labels = next
+        iter += 1
+      }
+      // materialize the result before the finally-unpersist drops q
+      labels.localCheckpoint(eager = true)
+    } finally q.unpersist()
+  }
+
+  /** One assignment round over an explicit (vec_id, label) frame —
+    * the loop body of [[kmeansIterate]], same arithmetic as
+    * [[kmeansAssign]]. */
+  private def kmeansAssignStep(q: DataFrame, labels: DataFrame): DataFrame = {
+    val cent = q.join(labels, Seq("vec_id"))
+      .groupBy(col("label").as("c"), col("i"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val dist = q.join(broadcast(cent), Seq("i"))
+      .select(col("vec_id"), col("c"), col("n"),
+        (col("n") * col("q") - col("s")).cast(DecimalType(38, 0)).as("diff"))
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum(col("diff") * col("diff")).as("num"), max(col("n")).as("n"))
+      .withColumn("dist",
+        col("num").cast("double") / (col("n") * col("n")).cast("double"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)
+    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c").as("label"))
+  }
+
   /** Top principal direction of the embedding cloud (the PCA arm of
     * embedding analysis: dominant axis for whitening, indexing, or
     * drift monitoring) — entirely in EXACT integer arithmetic so two

@@ -332,6 +332,21 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("kmeansIterate(1) equals the single assignment step, and iteration reduces movement") {
+    val oneStep = Ann.kmeansAssign(spark, sfDir)
+      .select(col("vec_id"), col("new_label").as("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val iter1 = Ann.kmeansIterate(spark, sfDir, maxIters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(iter1 == oneStep)
+    // running the loop to (near-)convergence is deterministic
+    val a = Ann.kmeansIterate(spark, sfDir, maxIters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Ann.kmeansIterate(spark, sfDir, maxIters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("LSH ANN top-k recall vs brute force at the production defaults") {
     val brute = Ann.bruteTopK(spark, sfDir).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
