@@ -167,6 +167,17 @@ object StreamingMonitor {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: attach dimension data (topic catalog,
+    * region table, config metadata) to a live stream by a left join on
+    * `keys`. The static side is read fresh per micro-batch and — being
+    * a dimension table — broadcast by Catalyst, so the stream side
+    * never shuffles and no join state accumulates (unlike
+    * [[intervalJoin]], stream-static joins are stateless). Unmatched
+    * stream rows pass through with nulls: an enrichment gap must not
+    * drop live telemetry. */
+  def enrich(stream: DataFrame, dims: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dims), keys, "left")
+
   /** Stream-stream interval join: correlate two live streams (e.g.
     * clicks → purchases within 1 h per user). Watermarks on BOTH
     * sides plus the time-range predicate let Spark drop buffered rows

@@ -55,6 +55,29 @@ class MqttStreamBridgeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spooled publishes enrich against a static dimension table on the way in") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-spool-")
+    val spool = new MqttStreamBridge.Spool(dir, clock = () => min(1))
+    spool.onPublish(pub("hfp/v2/journey/bus"))
+    spool.onPublish(pub("unknown/topic"))
+    assert(spool.flush() == 2)
+    val dims = Seq(("hfp/v2/journey/bus", "helsinki")).toDF("topic", "region")
+    val enriched = StreamingMonitor.enrich(
+      MqttStreamBridge.source(spark, dir.toString), dims, Seq("topic"))
+    val q = enriched.writeStream.format("memory").queryName("bridge_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bridge_enrich").select("topic", "region")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      // matched topics carry the dimension; unmatched telemetry still flows
+      assert(got == Set(("hfp/v2/journey/bus", Some("helsinki")),
+        ("unknown/topic", None)))
+    } finally q.stop()
+  }
+
   test("a restarted spool continues numbering past existing files instead of overwriting") {
     val dir = Files.createTempDirectory("graft-spool-")
     val first = new MqttStreamBridge.Spool(dir, clock = () => t0)

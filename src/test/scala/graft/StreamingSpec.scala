@@ -162,7 +162,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     val dims = Seq(("hfp/v2", "helsinki"), ("gtfs", "espoo")).toDF("topic", "region")
     val input = MemoryStream[TopicEvent]
-    val enriched = input.toDF().join(dims, Seq("topic"), "left")
+    val enriched = StreamingMonitor.enrich(input.toDF(), dims, Seq("topic"))
     val q = enriched.writeStream.format("memory").queryName("enrich_t")
       .outputMode(OutputMode.Append()).start()
     try {
