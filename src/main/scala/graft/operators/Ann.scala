@@ -341,8 +341,10 @@ object Ann {
 
   /** One assignment round over an explicit (vec_id, label) frame —
     * the loop body of [[kmeansIterate]], same arithmetic as
-    * [[kmeansAssign]]. */
-  private def kmeansAssignStep(q: DataFrame, labels: DataFrame): DataFrame = {
+    * [[kmeansAssign]]. Package-visible so the plan audit can assert
+    * the PRODUCTION loop body (the loop's checkpointed result hides
+    * its plan behind an RDD scan). */
+  private[graft] def kmeansAssignStep(q: DataFrame, labels: DataFrame): DataFrame = {
     val cent = q.join(labels, Seq("vec_id"))
       .groupBy(col("label").as("c"), col("i"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))

@@ -68,13 +68,53 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("jaccard pairs: candidate joins key on prefix grams, not the block alone") {
-    val keySets = equiJoinKeySets(Dedup.ngramJaccardPairs(spark, sfDir))
+    val df = Dedup.ngramJaccardPairs(spark, sfDir)
+    val keySets = equiJoinKeySets(df)
     assert(keySets.nonEmpty)
     keySets.foreach { keys =>
       if (keys.exists(_.contains("lang")))
         assert(keys.exists(_.contains("gram")),
           s"(lang,source)-only block join resurfaced: $keys")
     }
+    // and the candidate generation never degrades to a pair space
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+  }
+
+  test("kmeans assignment: partial aggregation collapses the n·d·L join before its Exchange") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    // the iterate loop's body, on parquet-backed inputs (a checkpointed
+    // result would hide the plan behind an RDD scan)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.quantize(col("embedding"))).as(Seq("i", "q")))
+    val stepDf = graft.operators.Ann.kmeansAssignStep(q, e.select(col("vec_id"), col("label")))
+    for (df <- Seq(graft.operators.Ann.kmeansAssign(spark, sfDir), stepDf)) {
+      val plan = physical(df)
+      // centroid table broadcasts; the exploded distance join must
+      // partial-aggregate map-side so only n·L candidate rows shuffle
+      assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        plan.take(800))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"distance aggregate lost its partial side:\n$plan")
+    }
+  }
+
+  test("LSH ANN: candidates come from the (table, bucket) equi-join, queries broadcast") {
+    val plan = physical(graft.operators.Ann.lshTopK(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"), s"bucket join degraded:\n$plan")
+  }
+
+  test("dedup spans: gram-occurrence aggregate partial-aggregates, no pair space") {
+    val plan = physical(Dedup.dedupSpans(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
   }
 
   test("IVF probe broadcasts the tiny sides; the corpus scan is probe-pruned") {
