@@ -801,7 +801,8 @@ object SparkEntry {
     // all integer arithmetic.
     "q_dedup_spans" ->
       """WITH t0 AS MATERIALIZED (SELECT doc_id,
-        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |   list_filter(regexp_split_to_array(text, '[ \t\n\r]+'), t -> t <> '')
+        |     AS toks FROM documents),
         | g0 AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p1, toks FROM t0),
         | g AS MATERIALIZED (SELECT doc_id, p1 - 1 AS pos,
         |   array_to_string(toks[p1:p1+7], ' ') AS gram FROM g0),
@@ -818,8 +819,7 @@ object SparkEntry {
         | mid AS (SELECT doc_id, lag(de, 1, 0) OVER
         |     (PARTITION BY doc_id ORDER BY ds) AS keep_start, ds AS keep_end
         |   FROM spans),
-        | ntok AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS nt
-        |   FROM documents),
+        | ntok AS (SELECT doc_id, len(toks) AS nt FROM t0),
         | le AS (SELECT doc_id, max(de) AS last_end FROM spans GROUP BY 1),
         | tail AS (SELECT n.doc_id, coalesce(l.last_end, 0) AS keep_start,
         |   n.nt AS keep_end FROM ntok n LEFT JOIN le l ON l.doc_id = n.doc_id)

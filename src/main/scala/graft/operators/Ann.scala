@@ -334,8 +334,12 @@ object Ann {
         labels = next
         iter += 1
       }
-      // materialize the result before the finally-unpersist drops q
-      labels.localCheckpoint(eager = true)
+      // materialize the result before the finally-unpersist drops q —
+      // a plain action completes whichever checkpoint flavour chk()
+      // scheduled, without demoting a reliable checkpoint to
+      // executor-local localCheckpoint blocks
+      labels.count()
+      labels
     } finally q.unpersist()
   }
 

@@ -436,8 +436,14 @@ object Dedup {
         lag(col("drop_end"), 1, 0).over(wSpan).as("keep_start"),
         col("drop_start").as("keep_end"))
     val lastEnd = spans.groupBy(col("doc_id")).agg(max(col("drop_end")).as("last_end"))
+    // n_tokens via unigram shingles = EXACTLY the tokenizer that
+    // produced the gram positions (space/\t/\n/\r byte class, no
+    // empty tokens) — T.wordCount's regex \s split would count 1 for
+    // a whitespace-only doc (split("") = [""]) and split on \x0B/\f,
+    // emitting phantom or shifted kept ranges
     val tail = docs
-      .select(col("doc_id"), T.wordCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"),
+        size(shingle_hash_seq(col("text"), 1)).as("n_tokens"))
       .join(lastEnd, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("last_end"), lit(0)).as("keep_start"),

@@ -21,14 +21,24 @@ object AzureEnvelope {
 
   private val mapper = new ObjectMapper()
 
-  /** Rate-shaped series (get_series_array): Python keeps round(x,2) a
-    * float, so only the reference's >10 → round(x) branch produces an
-    * int in the JSON. */
+  /** Rate-shaped series (get_series_array): takes RAW values and
+    * applies the reference's shaping itself — round-2 → abs →
+    * (>10 ? whole int : float). The int/float branch must be decided
+    * on the ROUND-2 value, where the reference decides it: a raw 10.2
+    * rounds to whole 10.0, which prints as int 10 (the >10 branch
+    * fired) even though the shaped result no longer exceeds 10.
+    * Deciding on the shaped value would misprint exactly that
+    * (10, 10.5) window as 10.0. Same HALF_UP rounding as
+    * [[graft.functions.AzureFormat.shapeMetricValueJvm]]. */
   def build(metric: String, namespace: String, dimName: String, timeIso: String,
             series: Seq[(String, Double)]): String =
-    buildWith(metric, namespace, dimName, timeIso, series) { (el, v) =>
-      if (v > 10 && v == math.floor(v) && !v.isInfinite) el.put("sum", v.toLong)
-      else el.put("sum", v)
+    buildWith(metric, namespace, dimName, timeIso, series) { (el, raw) =>
+      val r2 = java.math.BigDecimal.valueOf(math.abs(raw))
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r2 > 10)
+        el.put("sum", java.math.BigDecimal.valueOf(r2)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      else el.put("sum", r2)
     }
 
   /** Integer-native series (Pulsar msgBacklog, GTFS-RT entity count /

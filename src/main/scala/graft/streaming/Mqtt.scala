@@ -319,17 +319,22 @@ object Mqtt {
       } finally starting = false
     }
 
-    /** Writes PINGREQ whenever nothing has been sent for a full
-      * keep-alive interval; exits with the connection. Checks at
-      * keepAlive/4 granularity (floor 50 ms) so the ping lands well
-      * inside the broker's 1.5×keepAlive deadline. */
+    /** Writes PINGREQ once nothing has been sent for HALF a keep-alive
+      * interval, checking at keepAlive/8 granularity (floor 50 ms);
+      * exits with the connection. MQTT 3.1.2.10 requires a control
+      * packet within EACH keepAlive of silence — triggering at the
+      * half-way mark bounds the worst-case gap at ~0.625×keepAlive,
+      * leaving most of the broker's 1.5×keepAlive grace as margin for
+      * scheduling, GC, or network delay (a full-interval trigger with
+      * a quarter-interval poll can reach 1.25×, only 0.25× short of
+      * the cutoff). */
     private def pingLoop(out: OutputStream): Unit = {
-      val checkMs = math.max(50L, keepAliveSecs * 250L)
+      val checkMs = math.max(50L, keepAliveSecs * 125L)
       try {
         while (running) {
           Thread.sleep(checkMs)
           if (running &&
-              System.nanoTime() - lastSentNanos.get() >= keepAliveSecs * 1000000000L)
+              System.nanoTime() - lastSentNanos.get() >= keepAliveSecs * 500000000L)
             send(out, Wire.pingReq)
         }
       } catch { case NonFatal(_) | _: InterruptedException => () }
@@ -383,8 +388,9 @@ object Mqtt {
     if (rates.isEmpty) None
     else Some(AzureEnvelope.build("Msg Count", "MQTT", "Topic", timeIso,
       rates.map { case (k, v) =>
-        graft.functions.AzureFormat.sanitizeDimJvm(k) ->
-          graft.functions.AzureFormat.shapeMetricValueJvm(v)
+        // raw rate: AzureEnvelope.build owns the round-2/abs/>10-whole
+        // shaping so its int-vs-float branch sees the round-2 value
+        graft.functions.AzureFormat.sanitizeDimJvm(k) -> v
       }))
   }
 }

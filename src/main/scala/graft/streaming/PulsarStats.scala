@@ -100,7 +100,9 @@ object PulsarStats {
       if (series.isEmpty) None
       else Some(AzureEnvelope.build(metric, "Pulsar", "Topic", timeIso,
         series.map { case (topic, v) =>
-          AzureFormat.sanitizeDimJvm(topic) -> AzureFormat.shapeMetricValueJvm(v)
+          // raw value: AzureEnvelope.build owns the shaping (int/float
+          // branch decided on the round-2 value, as the reference does)
+          AzureFormat.sanitizeDimJvm(topic) -> v
         }))
 
     def pick(topics: Seq[String], f: TopicStats => Double): Seq[(String, Double)] =

@@ -209,6 +209,24 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(AzureFormat.sanitizeDimJvm("a/#:+x") == "a/*:^x")
   }
 
+  test("envelope int-vs-float branch is decided on the round-2 value, like the reference") {
+    // Python: v2 = round(x, 2); v2 > 10 → int(round(v2)). A raw 10.2
+    // fires the int branch and prints 10 even though the whole-rounded
+    // value no longer exceeds 10 — deciding on the SHAPED value would
+    // print 10.0 for exactly the (10, 10.5) window.
+    val json = graft.streaming.AzureEnvelope.build(
+      "m", "ns", "Topic", "2026-08-12T12:00:00Z",
+      Seq("a" -> 10.2, "b" -> 10.0, "c" -> 10.6, "d" -> 2.5, "e" -> 12.0))
+    val series = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      .path("data").path("baseData").path("series")
+    def raw(i: Int) = series.get(i).path("sum").toString
+    assert(raw(0) == "10")    // (10, 10.5): int branch fired at round-2
+    assert(raw(1) == "10.0")  // exactly 10: float branch (not > 10)
+    assert(raw(2) == "11")    // > 10.5: whole int
+    assert(raw(3) == "2.5")   // ≤ 10: float
+    assert(raw(4) == "12")    // whole > 10: int
+  }
+
   // ---------------------------------------------------------------- gtfsrt
 
   test("gtfsrt fetch: entity count + timestamp age from a real GET of feed bytes") {

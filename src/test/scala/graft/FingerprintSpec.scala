@@ -120,6 +120,24 @@ class FingerprintSpec extends SparkSpec {
       (3L, 0, 5)))
   }
 
+  test("substring-dedup spans: token-less and odd-whitespace docs align with the gram tokenizer") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""),          // empty: zero tokens → no kept range at all
+      (1L, "   \t\n "),  // whitespace-only: regex-split would say 1 token
+      // \x0B (vertical tab) is NOT whitespace to the gram tokenizer:
+      // one token, kept whole as [0,1)
+      (2L, "a" + 11.toChar + "b"),
+      (3L, "only one tok pair")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpansOf(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // docs 0 and 1 must emit NOTHING — a (0,1) phantom range would
+    // point at a token that does not exist
+    assert(got == Set((2L, 0, 1), (3L, 0, 4)))
+  }
+
   test("rolling fingerprint: docs sharing their minimal window collide") {
     val s1 = UTF8String.fromString("prefix AAAA shared-window-content BBBB")
     val s2 = UTF8String.fromString("other AAAA shared-window-content CCCC")
