@@ -253,6 +253,24 @@ FROM dg JOIN gdf ON gdf.gram = dg.gram
 GROUP BY 1, 2"""
   }
 
+  /** q_contain_eval: per-doc eval-set containment over the same
+    * per-doc DISTINCT gram sets — shared/total exact integers, the
+    * ratio ONE double division (Dedup.evalContainment). */
+  def evalContainment(n: Int, evalSource: String = "src0"): String = {
+    val ctes = docGramCtes(n) :+
+      ("ev AS MATERIALIZED (SELECT DISTINCT dg.gram FROM dg" +
+        s" JOIN documents d ON d.doc_id = dg.doc_id WHERE d.source = '$evalSource')")
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT dg.doc_id, d.source,
+ CAST(count(*) AS BIGINT) AS total_grams,
+ CAST(count(ev.gram) AS BIGINT) AS shared_grams,
+ CAST(count(ev.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment
+FROM dg JOIN documents d ON d.doc_id = dg.doc_id
+ LEFT JOIN ev ON ev.gram = dg.gram
+WHERE d.source <> '$evalSource'
+GROUP BY 1, 2"""
+  }
+
   /** q_cms_counts: the Count-Min estimate is PURE integer arithmetic
     * (counter sums + min over depth rows), so DuckDB can recompute the
     * whole sketch: key = mix(fnv(topic)), per-depth bucket =
@@ -305,6 +323,76 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist)
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
+
+  /** q_ann_pq: product-quantization ANN — per-subspace Lloyd codebook
+    * training unrolled as chained CTE rounds (kmeansIterate pattern,
+    * keyed by subspace), truncated integer codebook, then ALL-integer
+    * encode / ADC / top-k; the sign·(|Σq| div n) split forces
+    * truncation-toward-zero on both engines (Ann.pqTopK). */
+  def pqTopK(k: Int = 5, nQueries: Int = 10, dsub: Int = 8,
+             lloydRounds: Int = 2): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += "e AS MATERIALIZED (SELECT vec_id, label," +
+      " CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i," +
+      s" (CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)) // $dsub AS s," +
+      " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q" +
+      " FROM embeddings)"
+    ctes += "a0 AS MATERIALIZED (SELECT DISTINCT vec_id, s, label AS c FROM e)"
+    for (t <- 1 to lloydRounds) {
+      ctes += s"ct$t AS MATERIALIZED (SELECT a.s, a.c, e.i," +
+        " CAST(sum(e.q) AS BIGINT) AS cs, count(*) AS cn" +
+        s" FROM e JOIN a${t - 1} a ON a.vec_id = e.vec_id AND a.s = e.s" +
+        " GROUP BY 1, 2, 3)"
+      ctes += s"dt$t AS MATERIALIZED (SELECT e.vec_id, e.s, c.c," +
+        " CAST(sum(CAST(c.cn * e.q - c.cs AS HUGEINT)" +
+        " * CAST(c.cn * e.q - c.cs AS HUGEINT)) AS DOUBLE)" +
+        " / CAST(max(c.cn) * max(c.cn) AS DOUBLE) AS dist" +
+        s" FROM e JOIN ct$t c ON c.s = e.s AND c.i = e.i GROUP BY 1, 2, 3)"
+      ctes += s"a$t AS MATERIALIZED (SELECT vec_id, s, c FROM" +
+        " (SELECT vec_id, s, c, row_number() OVER" +
+        " (PARTITION BY vec_id, s ORDER BY dist, c) AS rn" +
+        s" FROM dt$t) WHERE rn = 1)"
+    }
+    ctes += s"cb AS MATERIALIZED (SELECT x.s, x.c, e.i," +
+      " (CASE WHEN sum(e.q) < 0 THEN -1 ELSE 1 END)" +
+      " * (abs(CAST(sum(e.q) AS BIGINT)) // count(*)) AS cbv" +
+      s" FROM e JOIN a$lloydRounds x ON x.vec_id = e.vec_id AND x.s = e.s" +
+      " GROUP BY 1, 2, 3)"
+    ctes += "enc AS MATERIALIZED (SELECT e.vec_id, e.s, cb.c," +
+      " CAST(sum((e.q - cb.cbv) * (e.q - cb.cbv)) AS BIGINT) AS dist" +
+      " FROM e JOIN cb ON cb.s = e.s AND cb.i = e.i GROUP BY 1, 2, 3)"
+    ctes += "codes AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c," +
+      " row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn" +
+      " FROM enc) WHERE rn = 1)"
+    ctes += s"adc AS (SELECT vec_id AS query_id, s, c, dist AS part FROM enc" +
+      s" WHERE vec_id < $nQueries)"
+    ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
+      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
+      " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
+      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT query_id, vec_id, approx_d, rnk FROM (
+ SELECT *, row_number() OVER
+   (PARTITION BY query_id ORDER BY approx_d, vec_id) AS rnk FROM ad)
+WHERE rnk <= $k"""
+  }
+
+  /** q_kmeans_cost: per-cluster k-means objective with the
+    * kmeansAssign arithmetic — exact HUGEINT SSE numerator, ONE
+    * double division by n² per cluster (Ann.kmeansCost). */
+  def kmeansCost: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id, label,
+      |   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      | FROM embeddings),
+      | cent AS MATERIALIZED (SELECT label, i, CAST(sum(qv) AS BIGINT) AS cs,
+      |   count(*) AS n FROM q GROUP BY 1, 2)
+      |SELECT q.label, max(cent.n) AS n_members,
+      | CAST(sum(CAST(cent.n * q.qv - cent.cs AS HUGEINT)
+      |          * CAST(cent.n * q.qv - cent.cs AS HUGEINT)) AS DOUBLE)
+      |   / CAST(max(cent.n) * max(cent.n) AS DOUBLE) AS inertia
+      |FROM q JOIN cent ON cent.label = q.label AND cent.i = q.i
+      |GROUP BY 1""".stripMargin
 
   /** q_kmeans_iterate: the Lloyd loop unrolled as chained CTE rounds
     * (the q_embed_pca pattern) — each round recomputes integer

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_contain_eval" -> ((s, d) => Dedup.evalContainment(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
@@ -109,6 +110,8 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
     "q_kmeans_iterate" -> ((s, d) => Ann.kmeansIterate(s, d)),
+    "q_kmeans_cost" -> ((s, d) => Ann.kmeansCost(s, d)),
+    "q_ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -773,6 +776,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
+    "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
     // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.
     "q_embed_quant" ->
@@ -795,6 +799,8 @@ object SparkEntry {
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_approx_distinct" -> OracleSql.approxDistinct,
     "q_kmeans_iterate" -> OracleSql.kmeansIterate(),
+    "q_kmeans_cost" -> OracleSql.kmeansCost,
+    "q_ann_pq" -> OracleSql.pqTopK(),
     // Exact-substring-dedup apply: string grams stand in for the
     // 64-bit gram hashes (equality patterns agree modulo negligible
     // collisions), positions/occurrence counts/run-length merge are

@@ -223,6 +223,128 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split the d dims into
+    * d/`dsub` subspaces, learn a small per-subspace codebook, encode
+    * every vector as one code id per subspace, and answer queries
+    * through a per-query table of partial distances (asymmetric
+    * distance computation) — the memory-bound scale path: a 64-dim
+    * float vector becomes 8 code bytes, so a 100 TB embedding corpus
+    * scans from RAM-resident codes while full vectors stay on disk.
+    *
+    * Codebook: per-subspace clusters seeded from the label partition
+    * and refined by `lloydRounds` of per-subspace k-means (the PQ
+    * paper's training step, in the exact-reproducible kmeansAssign
+    * arithmetic), then TRUNCATED to integer centroids (cbv =
+    * sign·(|Σq| div n) — the codebook lives on the integer grid, as
+    * an int8 PQ deployment stores it). Encoding, the ADC tables and
+    * the final distances are then ALL exact integers — bit-exact in
+    * DuckDB, with the Lloyd rounds unrolled as chained CTEs. Ranking
+    * ties break toward the smaller code / vec_id.
+    *
+    * Scale shape: the codebook is (d/dsub)·k·dsub = d·k integers →
+    * broadcast; encoding is one broadcast join with map-side partial
+    * aggregation (shuffle ∝ n·k candidate rows, not n·k·d terms —
+    * the kmeansAssign shape); the ADC table is |queries|·(d/dsub)·k
+    * integers → broadcast; the distance pass shuffles n·|queries|
+    * (id, id, long) rows with map-side combine and never moves a
+    * vector payload. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+             dsub: Int = 8, lloydRounds: Int = 2): DataFrame =
+    pqTopKOf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")),
+      k, nQueries, dsub, lloydRounds)
+
+  /** [[pqTopK]] over a prepared (vec_id, label, embedding) frame —
+    * the spec plants known clusters through the production path
+    * here. */
+  def pqTopKOf(emb: DataFrame, k: Int, nQueries: Int, dsub: Int,
+               lloydRounds: Int): DataFrame = {
+    val comp = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+      .withColumn("s", expr(s"i div $dsub"))
+    // per-subspace codebook TRAINING: the label partition seeds a
+    // bounded per-subspace Lloyd refinement (the PQ paper trains
+    // per-subspace k-means) with the kmeansAssign arithmetic — exact
+    // integer numerator, ONE double division per (vector, subspace,
+    // cluster), ties to the smaller cluster — so the DuckDB oracle
+    // unrolls the rounds as chained CTEs. A fixed small round count
+    // keeps the plan depth static (no checkpoint needed); clusters
+    // emptied by a round simply drop out on both engines.
+    var asg = comp.select(col("vec_id"), col("s"), col("label").as("c")).distinct()
+    for (_ <- 1 to lloydRounds) {
+      val cent = comp.join(asg, Seq("vec_id", "s"))
+        .groupBy(col("s"), col("c"), col("i"))
+        .agg(sum(col("q")).as("cs"), count(lit(1)).as("cn"))
+      val dist = comp.join(broadcast(cent), Seq("s", "i"))
+        .select(col("vec_id"), col("s"), col("c"), col("cn"),
+          (col("cn") * col("q") - col("cs")).cast(DecimalType(38, 0)).as("diff"))
+        .groupBy(col("vec_id"), col("s"), col("c"))
+        .agg(sum(col("diff") * col("diff")).as("num"), max(col("cn")).as("cn"))
+        .withColumn("dist",
+          col("num").cast("double") / (col("cn") * col("cn")).cast("double"))
+      val wA = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist").asc, col("c").asc)
+      asg = dist.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1).select(col("vec_id"), col("s"), col("c"))
+    }
+    // truncated-centroid codebook from the refined partition: exact
+    // integer division as in quantizeEmbeddings (long/long `/` is
+    // DOUBLE in Spark)
+    val cb = comp.join(asg, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("c"), col("i"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("s"), col("c"), col("i"),
+        (when(col("sq") < 0, lit(-1L)).otherwise(lit(1L)) *
+          ((abs(col("sq")) - pmod(abs(col("sq")), col("n"))) / col("n")).cast("long"))
+          .as("cbv"))
+    // per-(vector, subspace, code) exact distance to the codebook
+    // entry; queries' rows double as their ADC lookup table
+    val enc = comp.join(broadcast(cb), Seq("s", "i"))
+      .select(col("vec_id"), col("s"), col("c"),
+        ((col("q") - col("cbv")) * (col("q") - col("cbv"))).as("d2"))
+      .groupBy(col("vec_id"), col("s"), col("c"))
+      .agg(sum(col("d2")).as("dist"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("c").asc)
+    val codes = enc.withColumn("rnk", row_number().over(wEnc))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("s"), col("c"))
+    val adc = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("c"),
+        col("dist").as("part"))
+    val approx = codes.join(broadcast(adc), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("approx_d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    approx.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** k-means objective (inertia) per cluster — the quality gauge of
+    * the IVF/k-means index family: SSE_c = Σ_v dist²(v, centroid_c)
+    * with the [[kmeansAssign]] arithmetic, i.e. an exact-integer
+    * numerator Σ_v Σ_i (n_c·q_vi − S_ci)² (DECIMAL(38,0) so nothing
+    * wraps) and ONE double division by n_c² per cluster. Broadcast
+    * centroid-sum join + map-side partial aggregation: shuffle ∝ one
+    * row per (vector, dim) partial, output one row per cluster. */
+  def kmeansCost(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
+    val cent = q.groupBy(col("label"), col("i"))
+      .agg(sum(col("q")).as("cs"), count(lit(1)).as("n"))
+    q.join(broadcast(cent), Seq("label", "i"))
+      .select(col("label"), col("n"),
+        (col("n") * col("q") - col("cs")).cast(DecimalType(38, 0)).as("diff"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_members"), sum(col("diff") * col("diff")).as("num"))
+      .select(col("label"), col("n_members"),
+        (col("num").cast("double") /
+          (col("n_members") * col("n_members")).cast("double")).as("inertia"))
+  }
+
   /** Symmetric int8 quantization report — the compression arm of an
     * ANN index (scalar-quantized vectors are the storage/IO format a
     * 100 TB embedding corpus serves from): per vector a single integer

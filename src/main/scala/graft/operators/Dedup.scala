@@ -461,6 +461,38 @@ object Dedup {
     * corpus, so the distinct eval-gram set is BROADCAST and the train
     * side is filtered by a map-side semi-join — train grams never
     * shuffle; only the matched handful reach the per-doc count. */
+  /** Per-document eval-set containment score — the doc-level
+    * decontamination gauge [[decontaminate]]'s hit count feeds:
+    * containment(d) = |grams(d) ∩ grams(eval)| / |grams(d)| over
+    * DISTINCT word-n-gram hashes (shingle_hashes dedups per doc), the
+    * fraction a filter thresholds on to drop train docs that quote an
+    * eval benchmark. shared/total are exact integers and the ratio is
+    * ONE double division — bit-identical cross-engine. Docs with
+    * fewer than n tokens have no grams and emit no row (nothing to
+    * contain). Scale shape: the eval gram set broadcasts (eval
+    * benchmarks are small by nature); one map-side-combined aggregate
+    * per doc — no pair space, corpus never self-joins. */
+  def evalContainment(spark: SparkSession, dir: String,
+                      evalSource: String = "src0", n: Int = 4): DataFrame =
+    evalContainmentOf(Tables.documents(spark, dir), evalSource, n)
+
+  /** [[evalContainment]] over a prepared (doc_id, source, text) frame
+    * — the spec plants known-overlap docs through the production
+    * path here. */
+  def evalContainmentOf(docs: DataFrame, evalSource: String, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+    val evalGrams = grams.filter(col("source") === evalSource)
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("source") =!= evalSource)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("total_grams"), count(col("hit")).as("shared_grams"))
+      .withColumn("containment",
+        col("shared_grams").cast("double") / col("total_grams").cast("double"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String,
                     evalSource: String = "src0", n: Int = 4): DataFrame = {
     // Fused one-pass shingle-hash kernel (8 bytes/gram, stays in

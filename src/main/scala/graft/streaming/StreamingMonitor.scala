@@ -16,6 +16,10 @@ final case class StaleAlert(topic: String, last_seen: java.sql.Timestamp,
 final case class QuantilePanelRow(topic: String, n: Long,
                                   p50: Double, p90: Double, p99: Double)
 
+/** One ranked row of the streaming per-window topic top-k. */
+final case class WindowTopKRow(window_start: java.sql.Timestamp, topic: String,
+                               msg_count: Long, rnk: Int)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -117,6 +121,37 @@ object StreamingMonitor {
           val n = h.valuesIterator.sum
           val qs = graft.plans.QuantileSketch.quantilesOf(h, Seq(0.5, 0.9, 0.99))
           Iterator.single(QuantilePanelRow(topic, n, qs(0), qs(1), qs(2)))
+      }
+  }
+
+  /** Streaming top-k topics per tumbling window — the streaming twin
+    * of the batch bounded-heap top-k: per window a count map with ONE
+    * entry per topic (state bounded by topic-cardinality × live
+    * windows, not stream length), refreshed each micro-batch and
+    * re-emitted in Update mode; ties rank the lexicographically
+    * smaller topic first, so the ranking is deterministic and the
+    * drained stream equals the batch query. The group key is the
+    * epoch-truncated window start, so a key's state lives on one
+    * shuffle partition and updates never cross executors. */
+  def windowTopK(events: Dataset[TopicEvent], windowSec: Long = 3600,
+                 k: Int = 3): Dataset[WindowTopKRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => e.ts.getTime / (windowSec * 1000L) * (windowSec * 1000L))
+      .flatMapGroupsWithState[Map[String, Long], WindowTopKRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (winStartMs, rows, state: GroupState[Map[String, Long]]) =>
+          val h = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(h ++= _)
+          var added = 0L
+          rows.foreach { e =>
+            h.update(e.topic, h.getOrElse(e.topic, 0L) + 1L); added += 1
+          }
+          if (added > 0) state.update(h.toMap)
+          h.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+            .iterator.zipWithIndex.map { case ((t, n), i) =>
+              WindowTopKRow(new java.sql.Timestamp(winStartMs), t, n, i + 1)
+            }
       }
   }
 

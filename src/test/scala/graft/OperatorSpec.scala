@@ -454,6 +454,85 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN: planted clusters retrieved pure, Lloyd training recovers a scrambled seed") {
+    import spark.implicits._
+    // 10 clusters of 10 in 64d (center scale 0.3, noise 0.3 — tuned so
+    // an UNtrained codebook visibly under-retrieves); labels carry the
+    // codebook seed, trueCluster = vec_id / 10 grades retrieval purity
+    // cluster(v) = v % 10, so queries 0..9 cover every cluster
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian() * 0.3)
+    val rows = (0 until 100).map { v =>
+      val c = v % 10
+      val vec = Array.tabulate(64)(i => (centers(c)(i) + rnd.nextGaussian() * 0.3).toFloat)
+      (v.toLong, c, vec)
+    }
+    def purity(labelOf: Int => Int, rounds: Int): Double = {
+      val df = rows.map { case (v, _, vec) => (v, labelOf(v.toInt), vec) }
+        .toDF("vec_id", "label", "embedding")
+      val got = Ann.pqTopKOf(df, k = 5, nQueries = 10, dsub = 8, lloydRounds = rounds)
+        .collect()
+      assert(got.length == 50 && got.forall(r => r.getLong(0) != r.getLong(1)))
+      assert(got.forall(_.getLong(2) >= 0L))
+      got.count(r => r.getLong(1) % 10 == r.getLong(0) % 10) / 50.0
+    }
+    // true-cluster seed: every retrieved neighbor is a cluster-mate
+    assert(purity(v => v % 10, 2) >= 0.9)
+    // scrambled seed (v/10 groups one vector of EVERY cluster):
+    // untrained codebook leaks non-mates; two Lloyd rounds snap the
+    // codebook onto the clusters
+    val p0 = purity(v => v / 10, 0)
+    val p2 = purity(v => v / 10, 2)
+    assert(p2 >= 0.9 && p2 > p0, s"untrained $p0, trained $p2")
+    // deterministic end to end: identical rerun
+    val df = rows.map { case (v, _, vec) => (v, v.toInt / 10, vec) }
+      .toDF("vec_id", "label", "embedding")
+    def run() = Ann.pqTopKOf(df, 5, 10, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(run() == run())
+  }
+
+  test("kmeansCost matches a driver-side exact BigInt recomputation") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).toArray))
+    val byLabel = emb.groupBy(_._1)
+    val expected = byLabel.map { case (label, vs) =>
+      val qs = vs.map(_._2.map(x => math.round(x.toDouble * 1000)))
+      val d = qs.head.length
+      val n = qs.length.toLong
+      val sums = Array.tabulate(d)(i => qs.map(_(i)).sum)
+      val num = qs.iterator.flatMap(q =>
+        (0 until d).iterator.map(i => BigInt(n * q(i) - sums(i)).pow(2))).sum
+      label.toLong -> (n, num.toDouble / (n.toDouble * n.toDouble))
+    }
+    val got = Ann.kmeansCost(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (label, (n, inertia)) =>
+      assert(got(label)._1 == n)
+      assert(math.abs(got(label)._2 - inertia) <= math.ulp(inertia) * 4,
+        s"label $label: ${got(label)._2} vs $inertia")
+    }
+  }
+
+  test("eval containment: planted overlaps score exact fractions, gramless docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src0", "a b c d e"),      // eval: grams {abcd, bcde}
+      (1L, "src1", "a b c d x"),      // shares "a b c d" → 1/2
+      (2L, "src1", "a b c d e"),      // both grams → 2/2
+      (3L, "src1", "p q r s t"),      // nothing shared → 0/2
+      (4L, "src1", "a b")             // < n tokens: no grams, no row
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup.evalContainmentOf(docs, "src0", 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((2L, 0L, 0.0))))
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")

@@ -433,6 +433,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window top-k equals the batch ranking once drained") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val src = StreamingMonitor.eventsReplay(spark, sfDir)
+      .as[graft.streaming.TopicEvent]
+    val q = StreamingMonitor.windowTopK(src, windowSec = 3600, k = 3)
+      .writeStream.format("memory").queryName("wtopk_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // Update mode re-emits a window's top-k every trigger it grows;
+      // the final emission per (window, rnk) — the one with max count
+      // — is the drained-stream ranking
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"), col("rnk"))
+        .orderBy(col("msg_count").desc, col("topic"))
+      val streamed = spark.table("wtopk_t")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("window_start"), col("topic"), col("msg_count"), col("rnk"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      val batch = graft.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type").as("topic"))
+        .agg(count(lit(1)).as("msg_count"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("win"))
+            .orderBy(col("msg_count").desc, col("topic"))))
+        .filter(col("rnk") <= 3)
+        .select(col("win.start"), col("topic"), col("msg_count"), col("rnk"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
