@@ -28,19 +28,45 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // opt-in scheduler-load diagnostic: per timed run, how many jobs /
+    // stages / tasks the query scheduled (a query whose wall time grows
+    // run over run while its task count grows is a scheduler-pressure
+    // pathology, not a data-path regression)
+    val stats = sys.env.contains("SPARK_GRAFT_BENCH_STATS")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    if (stats) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
+        }
+      })
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (stats) System.err.println(
+        f"[bench-stats] $secs%8.2fs jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - k0} $name")
+      secs
     }
     // interleave rounds (all queries, then all again) rather than
     // back-to-back reps of one query: back-to-back reps share a warm
     // JIT state the driver's single-pass run never sees, which would
     // bias the median low vs reality
+    // optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a
+    // subset in the same sorted order (bisecting a slow/hung pass)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
     for (_ <- 1 to reps; name <- names)
-      samples(name) = samples(name) :+ timeOnce(SparkEntry.queries(name))
+      samples(name) = samples(name) :+ timeOnce(name, SparkEntry.queries(name))
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

@@ -448,12 +448,12 @@ object Ann {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        val next = chk(kmeansAssignStep(q, labels))
-        val moved = next
-          .join(labels.withColumnRenamed("label", "prev"), Seq("vec_id"))
-          .filter(col("label") =!= col("prev")).count()
+        // the step carries (label, prev) out, so the convergence read
+        // is a filter-count on the one checkpointed frame
+        val stepped = chk(kmeansAssignStep(q, labels))
+        val moved = stepped.filter(col("label") =!= col("prev")).count()
         converged = moved == 0L
-        labels = next
+        labels = stepped.select(col("vec_id"), col("label"))
         iter += 1
       }
       // materialize the result before the finally-unpersist drops q —
@@ -462,7 +462,10 @@ object Ann {
       // executor-local localCheckpoint blocks
       labels.count()
       labels
-    } finally q.unpersist()
+      // blocking: the cached q's plan canonicalizes identically to the
+      // other kmeans-family queries' component frames — a lingering
+      // async drop must not race a later query's cache lookup
+    } finally q.unpersist(blocking = true)
   }
 
   /** One assignment round over an explicit (vec_id, label) frame —
@@ -482,8 +485,13 @@ object Ann {
       .withColumn("dist",
         col("num").cast("double") / (col("n") * col("n")).cast("double"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)
+    // carry the previous label out with the new one (tiny post-filter
+    // join) so the loop's moved-count is a filter on THIS frame, not a
+    // separate join of two checkpointed rounds — with AQE each removed
+    // exchange is one fewer stage-materialization job per round
     dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .select(col("vec_id"), col("c").as("label"))
+      .join(labels.withColumnRenamed("label", "prev"), Seq("vec_id"))
   }
 
   /** Top principal direction of the embedding cloud (the PCA arm of

@@ -117,6 +117,25 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
   }
 
+  test("PQ ANN: codebook and ADC tables broadcast, no pair space, partial aggs everywhere") {
+    val plan = physical(graft.operators.Ann.pqTopK(spark, sfDir))
+    // the Lloyd-round centroid joins, the codebook join and the ADC
+    // join all broadcast their (subspace-bounded) small sides
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+    // encode and distance aggregates partial-aggregate before shuffling
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(800))
+  }
+
+  test("eval containment: eval grams broadcast, per-doc aggregate partial-aggregates") {
+    val plan = physical(Dedup.evalContainment(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"gram join degraded:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("IVF probe broadcasts the tiny sides; the corpus scan is probe-pruned") {
     val plan = physical(graft.operators.Ann.ivfTopK(spark, sfDir))
     // centroid sums and the probed (query, label) set both broadcast;
