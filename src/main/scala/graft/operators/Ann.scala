@@ -272,7 +272,13 @@ object Ann {
     // unrolls the rounds as chained CTEs. A fixed small round count
     // keeps the plan depth static (no checkpoint needed); clusters
     // emptied by a round simply drop out on both engines.
-    var asg = comp.select(col("vec_id"), col("s"), col("label").as("c")).distinct()
+    // seed assignment straight off the vector table — one row per
+    // (vector, subspace) with zero shuffle; deduping comp's exploded
+    // components into the same set would shuffle n·d rows for nothing
+    var asg = emb.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label").as("c"),
+        explode(sequence(lit(0), expr(s"(size(embedding) - 1) div $dsub"))).as("s"))
+      .select(col("vec_id"), col("s"), col("c"))
     for (_ <- 1 to lloydRounds) {
       val cent = comp.join(asg, Seq("vec_id", "s"))
         .groupBy(col("s"), col("c"), col("i"))
