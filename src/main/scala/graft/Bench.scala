@@ -50,8 +50,21 @@ object Bench {
       val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
-      if (stats) System.err.println(
-        f"[bench-stats] $secs%8.2fs jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - k0} $name")
+      if (stats) {
+        // listener events arrive async on the bus — settle (two equal
+        // consecutive reads) before snapshotting, else a query's tail
+        // jobs land in the NEXT query's delta and fabricate exactly
+        // the task-count jump the adjudication protocol keys on
+        var prev = -1L
+        var spins = 0
+        while (prev != jobs.get() + stages.get() + tasks.get() && spins < 20) {
+          prev = jobs.get() + stages.get() + tasks.get()
+          Thread.sleep(25)
+          spins += 1
+        }
+        System.err.println(
+          f"[bench-stats] $secs%8.2fs jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - k0} $name")
+      }
       secs
     }
     // interleave rounds (all queries, then all again) rather than
@@ -59,9 +72,15 @@ object Bench {
     // JIT state the driver's single-pass run never sees, which would
     // bias the median low vs reality
     // optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a
-    // subset in the same sorted order (bisecting a slow/hung pass)
+    // subset in the same sorted order (bisecting a slow/hung pass);
+    // an unknown name is an ERROR, not a silent empty run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+      require(set.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)

@@ -451,6 +451,22 @@ object Dedup {
     mid.unionAll(tail).filter(col("keep_start") < col("keep_end"))
   }
 
+  /** Shared gram pipeline of the two decontamination queries: the
+    * per-doc DISTINCT word-n-gram hashes (fused one-pass shingle-hash
+    * kernel — 8 bytes/gram, stays in whole-stage codegen; the
+    * composed shingles() tree evaluates its lambdas interpreted and
+    * re-tokenizes per gram, which is 10× slower here) and the
+    * distinct eval-source gram set to broadcast against. */
+  private def evalGramSides(docs: DataFrame, evalSource: String,
+                            n: Int): (DataFrame, DataFrame) = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+    val evalGrams = grams.filter(col("source") === evalSource)
+      .select(col("gram")).distinct()
+    (grams.filter(col("source") =!= evalSource), evalGrams)
+  }
+
   /** Benchmark decontamination: flag training docs that share any
     * word n-gram with the held-out eval source (the standard
     * n-gram-overlap contamination check run before LLM training).
@@ -461,6 +477,16 @@ object Dedup {
     * corpus, so the distinct eval-gram set is BROADCAST and the train
     * side is filtered by a map-side semi-join — train grams never
     * shuffle; only the matched handful reach the per-doc count. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalSource: String = "src0", n: Int = 4): DataFrame = {
+    val (trainGrams, evalGrams) =
+      evalGramSides(Tables.documents(spark, dir), evalSource, n)
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** Per-document eval-set containment score — the doc-level
     * decontamination gauge [[decontaminate]]'s hit count feeds:
     * containment(d) = |grams(d) ∩ grams(eval)| / |grams(d)| over
@@ -469,9 +495,10 @@ object Dedup {
     * eval benchmark. shared/total are exact integers and the ratio is
     * ONE double division — bit-identical cross-engine. Docs with
     * fewer than n tokens have no grams and emit no row (nothing to
-    * contain). Scale shape: the eval gram set broadcasts (eval
-    * benchmarks are small by nature); one map-side-combined aggregate
-    * per doc — no pair space, corpus never self-joins. */
+    * contain). Scale shape: same broadcast as [[decontaminate]], but
+    * a LEFT join (every train gram must be counted in the
+    * denominator) — still one map-side-combined aggregate per doc, no
+    * pair space. */
   def evalContainment(spark: SparkSession, dir: String,
                       evalSource: String = "src0", n: Int = 4): DataFrame =
     evalContainmentOf(Tables.documents(spark, dir), evalSource, n)
@@ -480,34 +507,13 @@ object Dedup {
     * — the spec plants known-overlap docs through the production
     * path here. */
   def evalContainmentOf(docs: DataFrame, evalSource: String, n: Int): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), col("source"),
-        explode(shingle_hashes(col("text"), n)).as("gram"))
-    val evalGrams = grams.filter(col("source") === evalSource)
-      .select(col("gram")).distinct().withColumn("hit", lit(1))
-    grams.filter(col("source") =!= evalSource)
-      .join(broadcast(evalGrams), Seq("gram"), "left")
+    val (trainGrams, evalGrams) = evalGramSides(docs, evalSource, n)
+    trainGrams
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("total_grams"), count(col("hit")).as("shared_grams"))
       .withColumn("containment",
         col("shared_grams").cast("double") / col("total_grams").cast("double"))
-  }
-
-  def decontaminate(spark: SparkSession, dir: String,
-                    evalSource: String = "src0", n: Int = 4): DataFrame = {
-    // Fused one-pass shingle-hash kernel (8 bytes/gram, stays in
-    // whole-stage codegen) — gram equality via 64-bit hash equality;
-    // the composed shingles() tree evaluates its lambdas interpreted
-    // and re-tokenizes per gram, which is 10× slower here.
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(shingle_hashes(col("text"), n)).as("gram"))
-    val evalGrams = grams.filter(col("source") === evalSource)
-      .select(col("gram")).distinct()
-    grams.filter(col("source") =!= evalSource)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("hits"))
   }
 
   /** Near-dup CLUSTERS: connected components over the cosine
