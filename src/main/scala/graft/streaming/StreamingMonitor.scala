@@ -132,26 +132,46 @@ object StreamingMonitor {
     * smaller topic first, so the ranking is deterministic and the
     * drained stream equals the batch query. The group key is the
     * epoch-truncated window start, so a key's state lives on one
-    * shuffle partition and updates never cross executors. */
+    * shuffle partition and updates never cross executors. A window's
+    * state is REMOVED once the event-time watermark (`lateness`
+    * behind max ts) passes its end — without that, every window ever
+    * opened would stay in the state store (and every checkpoint) for
+    * the stream's lifetime; the final Update-mode emission before
+    * expiry is the window's sealed ranking. */
   def windowTopK(events: Dataset[TopicEvent], windowSec: Long = 3600,
-                 k: Int = 3): Dataset[WindowTopKRow] = {
+                 k: Int = 3, lateness: String = "2 hours"): Dataset[WindowTopKRow] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(e => e.ts.getTime / (windowSec * 1000L) * (windowSec * 1000L))
       .flatMapGroupsWithState[Map[String, Long], WindowTopKRow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (winStartMs, rows, state: GroupState[Map[String, Long]]) =>
-          val h = scala.collection.mutable.HashMap.empty[String, Long]
-          state.getOption.foreach(h ++= _)
-          var added = 0L
-          rows.foreach { e =>
-            h.update(e.topic, h.getOrElse(e.topic, 0L) + 1L); added += 1
-          }
-          if (added > 0) state.update(h.toMap)
-          h.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
-            .iterator.zipWithIndex.map { case ((t, n), i) =>
-              WindowTopKRow(new java.sql.Timestamp(winStartMs), t, n, i + 1)
+          if (state.hasTimedOut) {
+            // watermark passed the window's end: no row can reach this
+            // window again; its top-k was already emitted on the last
+            // batch that touched it, so just free the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val h = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(h ++= _)
+            var added = 0L
+            rows.foreach { e =>
+              h.update(e.topic, h.getOrElse(e.topic, 0L) + 1L); added += 1
             }
+            if (added > 0) state.update(h.toMap)
+            // expire when the watermark clears the window end (the
+            // timeout timestamp must sit above the current watermark,
+            // which may already have passed winEnd for a late window)
+            val winEndMs = winStartMs + windowSec * 1000L
+            state.setTimeoutTimestamp(
+              math.max(winEndMs, state.getCurrentWatermarkMs() + 1L))
+            h.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .iterator.zipWithIndex.map { case ((t, n), i) =>
+                WindowTopKRow(new java.sql.Timestamp(winStartMs), t, n, i + 1)
+              }
+          }
       }
   }
 
