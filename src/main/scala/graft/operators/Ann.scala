@@ -256,14 +256,59 @@ object Ann {
       k, nQueries, dsub, lloydRounds)
 
   /** [[pqTopK]] over a prepared (vec_id, label, embedding) frame —
-    * the spec plants known clusters through the production path
-    * here. */
+    * the spec plants known clusters through the production path here.
+    *
+    * Execution mechanics: the exploded component frame feeds every
+    * stage (2 joins per Lloyd round + codebook + encode) and the
+    * encode frame feeds BOTH the corpus codes and the query ADC
+    * tables, so left lazy the final plan re-runs the scan+quantize
+    * pipeline ~6× and the whole Lloyd chain twice. Both frames are
+    * cached for the call and the (|queries|·k)-row result is
+    * materialized before they drop — the [[kmeansIterate]] pattern.
+    * [[pqTopKPlan]] is the un-materialized pipeline the plan audit
+    * asserts on. */
   def pqTopKOf(emb: DataFrame, k: Int, nQueries: Int, dsub: Int,
                lloydRounds: Int): DataFrame = {
-    val comp = emb
+    val spark = emb.sparkSession
+    val comp = componentsOf(emb, dsub).persist()
+    try {
+      val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
+      try {
+        val out =
+          if (spark.sparkContext.getCheckpointDir.isDefined)
+            rankOf(enc, k, nQueries).checkpoint(eager = false)
+          else rankOf(enc, k, nQueries).localCheckpoint(eager = false)
+        // materialize while the caches are still live; afterwards the
+        // returned frame reads its own checkpoint blocks
+        out.count()
+        out
+      } finally enc.unpersist(blocking = true)
+    } finally comp.unpersist(blocking = true)
+  }
+
+  /** The un-materialized [[pqTopKOf]] pipeline — package-visible so
+    * the plan audit can assert the production joins/aggregates (the
+    * materialized result hides its plan behind an RDD scan, exactly
+    * like [[kmeansAssignStep]] vs [[kmeansIterate]]). */
+  private[graft] def pqTopKPlan(emb: DataFrame, k: Int, nQueries: Int,
+                                dsub: Int, lloydRounds: Int): DataFrame = {
+    val comp = componentsOf(emb, dsub)
+    rankOf(encodeOf(emb, comp, dsub, lloydRounds), k, nQueries)
+  }
+
+  /** (vec_id, label, i, q, s): milli-quantized components tagged with
+    * their PQ subspace. */
+  private def componentsOf(emb: DataFrame, dsub: Int): DataFrame =
+    emb
       .select(col("vec_id"), col("label"),
         posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
       .withColumn("s", expr(s"i div $dsub"))
+
+  /** Per-(vector, subspace, code) exact distances to the trained
+    * codebook — the shared input of the corpus-code and query-ADC
+    * halves. */
+  private def encodeOf(emb: DataFrame, comp: DataFrame, dsub: Int,
+                       lloydRounds: Int): DataFrame = {
     // per-subspace codebook TRAINING: the label partition seeds a
     // bounded per-subspace Lloyd refinement (the PQ paper trains
     // per-subspace k-means) with the kmeansAssign arithmetic — exact
@@ -307,11 +352,15 @@ object Ann {
           .as("cbv"))
     // per-(vector, subspace, code) exact distance to the codebook
     // entry; queries' rows double as their ADC lookup table
-    val enc = comp.join(broadcast(cb), Seq("s", "i"))
+    comp.join(broadcast(cb), Seq("s", "i"))
       .select(col("vec_id"), col("s"), col("c"),
         ((col("q") - col("cbv")) * (col("q") - col("cbv"))).as("d2"))
       .groupBy(col("vec_id"), col("s"), col("c"))
       .agg(sum(col("d2")).as("dist"))
+  }
+
+  /** Nearest-code assignment + ADC ranking over the encode frame. */
+  private def rankOf(enc: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("dist").asc, col("c").asc)
     val codes = enc.withColumn("rnk", row_number().over(wEnc))

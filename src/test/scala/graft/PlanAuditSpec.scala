@@ -118,7 +118,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("PQ ANN: codebook and ADC tables broadcast, no pair space, partial aggs everywhere") {
-    val plan = physical(graft.operators.Ann.pqTopK(spark, sfDir))
+    // audit the un-materialized pipeline: pqTopK itself returns a
+    // checkpointed frame whose plan is an RDD scan (kmeansIterate
+    // pattern)
+    val plan = physical(graft.operators.Ann.pqTopKPlan(
+      graft.Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("label"),
+          org.apache.spark.sql.functions.col("embedding")),
+      k = 5, nQueries = 10, dsub = 8, lloydRounds = 2))
     // the Lloyd-round centroid joins, the codebook join and the ADC
     // join all broadcast their (subspace-bounded) small sides
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
