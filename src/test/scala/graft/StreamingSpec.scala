@@ -471,6 +471,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window top-k state is removed once the watermark passes the window end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = StreamingMonitor
+      .windowTopK(input.toDS(), windowSec = 3600, k = 3, lateness = "1 hour")
+      .writeStream.format("memory").queryName("wtopk_expiry_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def hour(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData(TopicEvent("a", hour(10), 1.0), TopicEvent("b", hour(10, 5), 1.0))
+      q.processAllAvailable()
+      // jump 4 hours: watermark (max ts - 1h) clears the 10:00 window's
+      // end, so its state must be dropped on the following trigger
+      input.addData(TopicEvent("a", hour(14), 1.0))
+      q.processAllAvailable()
+      input.addData(TopicEvent("a", hour(14, 5), 1.0))
+      q.processAllAvailable()
+      val windowsSeen = s.table("wtopk_expiry_t")
+        .select("window_start").distinct().count()
+      assert(windowsSeen == 2, s"windows emitted = $windowsSeen")
+      val stateRows = q.recentProgress.reverse
+        .flatMap(p => p.stateOperators.headOption).headOption
+        .map(_.numRowsTotal)
+      // two window keys entered the store; only the live 14:00 window
+      // may remain after the watermark passed 11:00
+      assert(stateRows.contains(1L), s"state rows after expiry = $stateRows")
+    } finally q.stop()
+  }
+
   test("file replay source streams the events table end-to-end into rates") {
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     assert(src.isStreaming)
