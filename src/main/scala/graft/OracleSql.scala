@@ -485,8 +485,13 @@ FROM $L v"""
     * engine boundary. */
   def approxDistinct: String = {
     val m = 4096
+    // unsigned 64-bit view: DuckDB's // and % truncate toward zero, so
+    // a negative user_id would split into out-of-range halves — the JVM
+    // sketch mixes the raw signed long's two's-complement bits, whose
+    // unsigned value is id + 2^64
     val (stages, last) = mixStages("du", "ax", Seq("topic", "user_id"),
-      Left("CAST(user_id AS HUGEINT)"))
+      Left("CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + 18446744073709551616" +
+        " ELSE CAST(user_id AS HUGEINT) END"))
     val pwValues = (0 to 31).map(k => s"($k, ${1L << k})").mkString(", ")
     val lcValues = (1 to m).map(z =>
       s"($z, ${math.round(m * math.log(m.toDouble / z))})").mkString(", ")

@@ -43,12 +43,21 @@ object AzureFormat {
     * BigDecimal rounding Spark's `round` uses, so the two paths agree
     * bit-for-bit — asserted by a grid spec in ConnectorsSpec. */
   def shapeMetricValueJvm(v: Double): Double = {
-    val r2 = java.math.BigDecimal.valueOf(math.abs(v))
-      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
-    if (r2 > 10)
-      java.math.BigDecimal.valueOf(r2).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-    else r2
+    val r2 = round2Abs(v)
+    if (r2 > 10) roundWholeJvm(r2) else r2
   }
+
+  /** abs → round-2 (HALF_UP), the shared first half of the JVM shaping
+    * — one definition so the connector envelope and this mirror cannot
+    * drift apart. */
+  def round2Abs(v: Double): Double =
+    java.math.BigDecimal.valueOf(math.abs(v))
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** round-0 (HALF_UP) — the >10 whole-number branch. */
+  def roundWholeJvm(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def sanitizeDimJvm(dim: String): String = dim.replace('#', '*').replace('+', '^')
 

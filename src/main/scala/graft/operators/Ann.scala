@@ -102,6 +102,8 @@ object Ann {
                    targetRecall: Double = 0.9): Int = {
     require(targetCosine > -1 && targetCosine < 1 && targetRecall > 0 && targetRecall < 1,
       s"need cosine in (-1,1) and recall in (0,1), got ($targetCosine, $targetRecall)")
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (bands of the 64-bit fingerprint), got $nPlanes")
     val p = 1.0 - math.acos(targetCosine) / math.Pi
     val pTable = math.pow(p, nPlanes)
     val maxTables = 64 / nPlanes

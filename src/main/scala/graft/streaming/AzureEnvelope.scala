@@ -13,9 +13,14 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * Sums above 10 print as JSON ints ("sum": 12) — the reference's
   * shaping turns only the >10 branch into a Python int, so json.dumps
   * prints 12 there but keeps 2.0 / 1.25 for values ≤10 even when the
-  * rounded value is whole. Matching that branch exactly keeps this
-  * envelope char-identical to both the reference and Spark's to_json
-  * column path (which also prints whole doubles as 2.0).
+  * rounded value is whole. Matching that branch keeps this envelope
+  * char-identical to Spark's to_json column path (which also prints
+  * whole doubles as 2.0) and to the reference for every non-tie value;
+  * exact .xx5 binary ties round HALF_UP here vs CPython's banker's
+  * rounding — the deliberate, documented trade-off of
+  * [[graft.functions.AzureFormat.shapeMetricValue]] (SQL-engine
+  * agreement over synthetic-tie parity), applied consistently on both
+  * the data plane and this connector path.
   */
 object AzureEnvelope {
 
@@ -33,11 +38,9 @@ object AzureEnvelope {
   def build(metric: String, namespace: String, dimName: String, timeIso: String,
             series: Seq[(String, Double)]): String =
     buildWith(metric, namespace, dimName, timeIso, series) { (el, raw) =>
-      val r2 = java.math.BigDecimal.valueOf(math.abs(raw))
-        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      val r2 = graft.functions.AzureFormat.round2Abs(raw)
       if (r2 > 10)
-        el.put("sum", java.math.BigDecimal.valueOf(r2)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+        el.put("sum", graft.functions.AzureFormat.roundWholeJvm(r2).toLong)
       else el.put("sum", r2)
     }
 

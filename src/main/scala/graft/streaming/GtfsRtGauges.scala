@@ -13,6 +13,13 @@ import graft.plans.FeedParser
   */
 object GtfsRtGauges {
 
+  /** Default rotation clock: monotonic (nanoTime-based) milliseconds,
+    * like micrometer's Clock.SYSTEM monotonicTime — a wall-clock step
+    * (NTP) must neither stall the _max window's rotation backward nor
+    * prematurely clear a live spike forward. Arbitrary origin is fine:
+    * only differences and ring indices are taken. */
+  val monotonicMs: () => Long = () => System.nanoTime() / 1000000L
+
   /** Micrometer DistributionSummary's scrape-visible state. Negative
     * amounts are dropped like micrometer drops them — a skewed feed
     * clock (header timestamp ahead of the poll clock) must not drive
@@ -25,7 +32,7 @@ object GtfsRtGauges {
     * distributionStatisticExpiry default) and RECOVERS after a spike —
     * a forever-cumulative max would latch any alert keyed on _max
     * permanently. */
-  final class Summary(clock: () => Long = () => System.currentTimeMillis(),
+  final class Summary(clock: () => Long = GtfsRtGauges.monotonicMs,
                       windowMs: Long = 120000L, buckets: Int = 3) {
     private var n = 0L
     private var total = 0.0
@@ -61,7 +68,7 @@ object GtfsRtGauges {
   }
 
   final class Registry(urls: Seq[String],
-                       clock: () => Long = () => System.currentTimeMillis()) {
+                       clock: () => Long = GtfsRtGauges.monotonicMs) {
     private val entityCount = urls.map(_ -> new Summary(clock)).toMap
     private val timestampAge = urls.map(_ -> new Summary(clock)).toMap
     private val lastSuccess = scala.collection.mutable.LinkedHashMap(urls.map(_ -> 0): _*)

@@ -439,22 +439,32 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
       .as[graft.streaming.TopicEvent]
+    // Update mode re-emits a window's WHOLE top-k on every trigger
+    // that grows it, so the drained-stream ranking per window is its
+    // rows from the LAST batch that touched it. A max-count heuristic
+    // per (window, rnk) is not safe — a stale earlier emission can tie
+    // the final rank-k count and win a lexicographic tie-break — so
+    // capture batch ids with foreachBatch and select by recency.
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (java.sql.Timestamp, String, Long, Int))]
     val q = StreamingMonitor.windowTopK(src, windowSec = 3600, k = 3)
-      .writeStream.format("memory").queryName("wtopk_t")
-      .outputMode(OutputMode.Update()).start()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.WindowTopKRow], id: Long) =>
+        val rows = ds.collect()
+          .map(r => (id, (r.window_start, r.topic, r.msg_count, r.rnk)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
     try {
       q.processAllAvailable()
-      // Update mode re-emits a window's top-k every trigger it grows;
-      // the final emission per (window, rnk) — the one with max count
-      // — is the drained-stream ranking
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("window_start"), col("rnk"))
-        .orderBy(col("msg_count").desc, col("topic"))
-      val streamed = spark.table("wtopk_t")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("window_start"), col("topic"), col("msg_count"), col("rnk"))
-        .collect()
-        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      val all = buf.synchronized(buf.toVector)
+      val lastBatchPerWindow = all.groupBy(_._2._1)
+        .map { case (w, rows) => w -> rows.map(_._1).max }
+      val streamed = all.collect {
+        case (id, row) if lastBatchPerWindow(row._1) == id => row
+      }.toSet
       val batch = graft.Tables.events(spark, sfDir)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type").as("topic"))
         .agg(count(lit(1)).as("msg_count"))
