@@ -142,6 +142,20 @@ private[graft] object OracleSql {
       "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
 
+  /** q_dedup_edit: the simhash hamming<=3 candidate set exact-verified
+    * by unit-cost Levenshtein <= maxEdits over the raw text — the same
+    * Wagner-Fischer DP both engines implement (byte vs code-point
+    * counting coincides on this ASCII corpus). */
+  def dedupEdit(maxEdits: Int): String =
+    "WITH " + simhashFpCtes.mkString(",\n ") +
+      "\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b," +
+      " CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist" +
+      "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+      " JOIN documents da ON da.doc_id = a.doc_id" +
+      " JOIN documents db ON db.doc_id = b.doc_id" +
+      "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3" +
+      s" AND levenshtein(da.text, db.text) <= $maxEdits"
+
   /** q_dedup_apply: connected components (transitive closure) over the
     * hamming<=3 simhash pair graph; per-source kept/total counts. */
   def dedupApply: String =

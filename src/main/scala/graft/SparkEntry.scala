@@ -78,6 +78,7 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Sequence.retention(s, d)),
     "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
+    "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_dedup_normalized" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_dedup_edit" -> ((s, d) => Dedup.editPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
@@ -774,6 +776,7 @@ object SparkEntry {
     // principles (see OracleSql for the mod-2^64 SQL arithmetic), so
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
+    "q_dedup_edit" -> OracleSql.dedupEdit(16),
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
     "q_contain_eval" -> OracleSql.evalContainment(4),
@@ -987,6 +990,29 @@ object SparkEntry {
         |    CAST(sum((r2.r * e.n) // e.w_out) AS BIGINT) AS sc
         |   FROM e JOIN r2 ON e.prev_type = r2.node GROUP BY 1) c USING (node))
         |SELECT node, r AS rank_milli FROM r3""".stripMargin,
+    // degree-oriented triangle counting: every CTE mirrors the Spark
+    // pipeline (same sampling, same (degree, id) orientation and wedge
+    // order), all-integer counting
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem WHERE l_orderkey % 10 = 0),
+        | edges AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | deg AS (SELECT n, count(*) AS d FROM
+        |   (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY n),
+        | de AS (SELECT
+        |   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+        |  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        | wedge AS (SELECT e1.s AS apex, e1.t AS a, e2.t AS b
+        |  FROM de e1 JOIN de e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)),
+        | tri AS (SELECT w.apex, w.a, w.b
+        |  FROM wedge w JOIN de e ON e.s = w.a AND e.t = w.b),
+        | corners AS (SELECT apex AS part FROM tri
+        |  UNION ALL SELECT a FROM tri UNION ALL SELECT b FROM tri)
+        |SELECT part, count(*) AS triangles FROM corners GROUP BY part
+        |ORDER BY triangles DESC, part ASC LIMIT 10""".stripMargin,
     "q_unpivot" ->
       """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
         |   CAST(sum(length(props)) AS BIGINT) AS storage_size,

@@ -271,6 +271,38 @@ object Dedup {
       maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
+  /** Edit-distance near-dup verify: the banded SimHash candidate set
+    * ([[simhashPairs]] — sound hamming ≤ `maxHamming` recall), exact-
+    * verified by Levenshtein distance ≤ `maxEdits` over the raw text.
+    * This is how an edit-distance dedup runs at scale: the O(len²) DP
+    * runs ONLY on the banded candidate pairs (output-sparse), never on
+    * the n² pair space, and the candidate texts are fetched by two
+    * broadcast joins of the tiny pair list against the corpus — the
+    * corpus itself never shuffles. Both engines implement the same
+    * unit-cost Wagner-Fischer `levenshtein`, so the DuckDB oracle
+    * recomputes the full pipeline (fingerprints, hamming ball, edit
+    * distances) exactly. Cross-engine caveat: Spark counts code
+    * points, DuckDB counts bytes — identical on the ASCII corpus the
+    * doc kernels already assert. */
+  def editPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                maxEdits: Int = 16): DataFrame =
+    editPairsOf(Tables.documents(spark, dir), maxHamming, maxEdits)
+
+  /** [[editPairs]] over a prepared (doc_id, text) frame — the spec
+    * plants known-edit-distance pairs through the production path. */
+  def editPairsOf(docs: DataFrame, maxHamming: Int, maxEdits: Int): DataFrame = {
+    val cands = hammingPairs(
+      docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+      maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    broadcast(cands)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdits)
+  }
+
   /** Word-bigram Jaccard near-dup pairs with `jaccard >= minJaccard`,
     * candidates generated by an exact-recall PREFIX FILTER (AllPairs /
     * PPJoin, Bayardo et al. 2007, Xiao et al. 2008) instead of a

@@ -100,4 +100,62 @@ object Sequence {
     }
     ranks.select(col("node"), col("r").as("rank_milli"))
   }
+
+  /** Top-`topN` parts by triangle participation in the co-order part
+    * graph (parts adjacent when some order contains both; orders
+    * deterministically sampled by `orderkey % 10 = 0` so the demo
+    * graph stays bounded) — the degree-ORIENTED node-iterator
+    * (Chiba–Nishizeki orientation; Suri & Vassilvitskii's MapReduce
+    * formulation): orient each edge from its lower (degree, id)
+    * endpoint, build wedges only at each pair's apex, close them
+    * against the oriented edge list. Orientation is what makes this
+    * survive 100 TB: wedge volume is bounded by O(m^{3/2}) REGARDLESS
+    * of skew — a hub of degree D spawns no wedges unless both spokes
+    * out-rank it, so a hot part cannot trigger a neighborhood
+    * cross-product. Execution is edge-bounded hash joins + one
+    * map-side-combined count; each triangle {apex,a,b} is found
+    * exactly once and credited to all three corners. Everything is
+    * integer counting — the DuckDB oracle replays it exactly. */
+  def triangles(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    trianglesOf(edges, topN)
+  }
+
+  /** [[triangles]] over a prepared undirected edge list (u < v,
+    * distinct) — the spec plants known cliques through the production
+    * path. */
+  private[graft] def trianglesOf(edges: DataFrame, topN: Int): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low→high by (degree, id); carry the HEAD's degree so the
+    // wedge build can order spokes without another degree join
+    val keyU = struct(col("du"), col("u"))
+    val keyV = struct(col("dv"), col("v"))
+    val de = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(keyU < keyV, col("u")).otherwise(col("v")).as("s"),
+        when(keyU < keyV, col("v")).otherwise(col("u")).as("t"),
+        when(keyU < keyV, col("dv")).otherwise(col("du")).as("dt"))
+    val wedges = de.select(col("s"), col("t").as("a"), col("dt").as("da"))
+      .join(de.select(col("s"), col("t").as("b"), col("dt").as("db")), Seq("s"))
+      .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+      .select(col("s").as("apex"), col("a"), col("b"))
+    val tri = wedges
+      .join(de.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+      .select(col("apex"), col("a"), col("b"))
+    tri.select(explode(array(col("apex"), col("a"), col("b"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("part").asc)
+      .limit(topN)
+  }
 }

@@ -284,6 +284,35 @@ object StreamingMonitor {
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("value"))
 
+  /** [[eventsReplay]] carrying the user key — the identity-bearing
+    * shape the windowed-distinct sketch consumes. */
+  def eventsReplayWithUser(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Int = 1): DataFrame =
+    replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
+      .select(col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"))
+
+  /** Streaming windowed approx-distinct: per (topic, tumbling window)
+    * HLL-sketched distinct `userCol` — the mergeable-sketch
+    * cardinality of the batch q_approx_distinct, emitted per window as
+    * the watermark seals it (Append mode). The aggregation state per
+    * open group is ONE 4 KB register array and the shuffle carries
+    * merged partial sketches, never user ids — the streaming
+    * cardinality path at 100 TB, where exact distinct state grows with
+    * ids seen. The sketch is max-mergeable (order/partition-invariant),
+    * so the drained stream's registers equal the batch run's exactly —
+    * asserted by the spec, not just approximately. */
+  def windowDistinct(events: DataFrame, windowDur: String = "1 hour",
+                     watermark: String = "2 hours",
+                     userCol: String = "user_id"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("topic"), window(col("ts"), windowDur).as("win"))
+      .agg(graft.plans.HllSketch.hll_distinct(col(userCol)).as("approx_users"))
+      .select(col("topic"), col("win.start").as("window_start"),
+        col("approx_users"))
+
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and
     * appends to `outDir` as text — the transport seam where the

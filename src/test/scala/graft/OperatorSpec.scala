@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{AzureFormat, VectorFunctions => V}
-import graft.operators.{Ann, Dedup, Monitoring, Multimodal}
+import graft.operators.{Ann, Dedup, Monitoring, Multimodal, Sequence}
 import org.apache.spark.sql.functions._
 
 /** End-to-end operator behavior on the sf0.001 tables. */
@@ -651,6 +651,33 @@ class OperatorSpec extends SparkSpec {
       s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
     val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("edit-distance dedup: planted near-dup verified with its exact distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val oneEdit = base + "x"             // levenshtein = 1
+    val farText = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, farText))
+      .toDF("doc_id", "text")
+    val got = Dedup.editPairsOf(docs, maxHamming = 3, maxEdits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)), s"got $got")
+    // the verify threshold is exact: the same candidate drops at 0
+    val none = Dedup.editPairsOf(docs, maxHamming = 3, maxEdits = 0).count()
+    assert(none == 0L)
+  }
+
+  test("degree-oriented triangles: K4 + disjoint edge count exactly once per corner") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node a corner of 3; the
+    // disjoint edge (5,6) and star 7-{8,9,10} contribute none
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toSeq ++ Seq((5L, 6L), (7L, 8L), (7L, 9L), (7L, 10L))
+    val got = Sequence.trianglesOf(edges.toDF("u", "v"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $got")
   }
 
   test("connected components survive a multi-component graph with chains and cliques") {

@@ -481,6 +481,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct sketch equals the batch sketch once drained") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val src = StreamingMonitor.eventsReplayWithUser(spark, sfDir)
+    val q = StreamingMonitor.windowDistinct(src, "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wdist_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wdist_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val ev = graft.Tables.events(spark, sfDir)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      // Append emits a window once the (zero-delay) watermark passes
+      // its end; the window still open at drain time never seals. The
+      // sketch itself is max-mergeable, so sealed windows must equal
+      // the batch registers EXACTLY, not just within sketch error.
+      val batch = ev
+        .groupBy(col("event_type").as("topic"),
+          window(col("ts"), "1 hour").as("win"))
+        .agg(graft.plans.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+        .filter(col("win.end") <= lit(maxTs))
+        .select(col("topic"), col("win.start"), col("approx_users"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("window top-k state is removed once the watermark passes the window end") {
     val s = spark
     import s.implicits._
