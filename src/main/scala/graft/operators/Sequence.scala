@@ -130,7 +130,17 @@ object Sequence {
 
   /** [[triangles]] over a prepared undirected edge list (u < v,
     * distinct) — the spec plants known cliques through the production
-    * path. */
+    * path.
+    *
+    * Deliberately LAZY (no persist of the oriented list): the wedge
+    * self-join's two sides share one Exchange (ReuseExchange), the
+    * closure join's differently-keyed recompute runs as parallel
+    * stages, and an A/B at sf0.1 measured a persist()+materialize
+    * variant ~1.6× SLOWER (materialization barriers serialize what the
+    * scheduler overlaps). At 100 TB the oriented list would be written
+    * once as a table and the three consumers would scan it — the
+    * decision to materialize belongs to the caller's storage layer,
+    * not this operator. */
   private[graft] def trianglesOf(edges: DataFrame, topN: Int): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
