@@ -80,6 +80,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
     "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
+    "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
     "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q_sample_weighted" -> ((s, d) => Sampling.sampleWeighted(s, d)),
     "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
@@ -704,6 +706,39 @@ object SparkEntry {
         |FROM (SELECT source, n_chars, row_number() OVER
         |   (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn <= 10 GROUP BY 1""".stripMargin,
+    // systematic weighted sampling: the cumsum + two floor divisions
+    // replayed verbatim (n_chars >= 0 so // equals the pmod form)
+    "q_sample_weighted" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |   sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |  CAST((cum - n_chars) // 5000 AS BIGINT) AS bucket
+        |FROM c WHERE (cum - n_chars) // 5000 < cum // 5000""".stripMargin,
+    // MAD outliers: both medians are the q_median_exact rank kernel;
+    // dev/mad/threshold are the identical IEEE expressions
+    "q_outlier_mad" ->
+      """WITH r AS (SELECT event_type AS topic, value, event_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS rn FROM events),
+        | c AS (SELECT topic, count(*) AS n FROM r GROUP BY 1),
+        | med AS (SELECT topic, sum(value)/count(*) AS median
+        |  FROM r JOIN c USING (topic)
+        |  WHERE rn = CAST(floor((n+1)/2.0) AS BIGINT)
+        |     OR rn = CAST(floor(n/2.0) AS BIGINT) + 1 GROUP BY 1),
+        | d AS (SELECT e.event_type AS topic, e.event_id,
+        |   abs(e.value - med.median) AS dev, med.median
+        |  FROM events e JOIN med ON med.topic = e.event_type),
+        | dr AS (SELECT topic, dev, event_id, row_number() OVER
+        |   (PARTITION BY topic ORDER BY dev, event_id) AS rn FROM d),
+        | mad AS (SELECT topic, sum(dev)/count(*) AS mad
+        |  FROM dr JOIN c USING (topic)
+        |  WHERE rn = CAST(floor((n+1)/2.0) AS BIGINT)
+        |     OR rn = CAST(floor(n/2.0) AS BIGINT) + 1 GROUP BY 1)
+        |SELECT d.topic, count(*) AS n, max(d.median) AS median,
+        |  max(mad.mad) AS mad,
+        |  count(*) FILTER (d.dev > 3.0 * mad.mad) AS n_outliers
+        |FROM d JOIN mad USING (topic) GROUP BY 1""".stripMargin,
     "q_zscore_outlier" ->
       """WITH c AS (SELECT event_type AS topic, date_trunc('hour', ts) AS window_start,
         |   count(*) AS msg_count FROM events GROUP BY 1,2),

@@ -79,6 +79,34 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** Systematic weighted (PPS) sampling: per source shard, walk docs
+    * in doc_id order accumulating weight (n_chars) and keep each doc
+    * that crosses a multiple of `step` weight units — "one doc per
+    * ~step chars of corpus". Selection probability is proportional to
+    * weight (the classic systematic-sampling property), but unlike
+    * Bernoulli/A-Res sampling there is no randomness: re-runs, late
+    * re-executions of a lost partition, and other engines all pick
+    * the SAME rows, and the arithmetic is a window cumsum plus two
+    * integer floor-divisions the DuckDB oracle replays exactly.
+    * Sharded per source like [[packSequences]] (a single global order
+    * would serialize into one partition); sample size self-scales
+    * with corpus weight, the token-budget view a training pipeline
+    * actually wants. */
+  def sampleWeighted(spark: SparkSession, dir: String, step: Long = 5000L): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fdiv(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(step))) / step).cast("long")
+    val before = col("cum") - col("n_chars")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .filter(fdiv(before) < fdiv(col("cum")))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        fdiv(before).as("bucket"))
+  }
+
   /** Mixture sampling: cap each source at `quota` docs (smallest
     * doc_ids win — deterministic), the building block for hitting a
     * target source mixture. Uses the bounded-heap TopKPerKey operator

@@ -680,6 +680,51 @@ class OperatorSpec extends SparkSpec {
     assert(got == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"got $got")
   }
 
+  test("MAD outliers match a driver-side exact recomputation") {
+    val got = Monitoring.madOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def med(vs: Seq[(Double, Long)]): Double = {
+      val s = vs.sortBy(identity)
+      val n = s.length
+      val lo = math.floor((n + 1) / 2.0).toLong.toInt - 1
+      val hi = math.floor(n / 2.0).toInt // rn = floor(n/2)+1, 0-based
+      if (lo == hi) s(lo)._1 else (s(lo)._1 + s(hi)._1) / 2
+    }
+    val exp = rows.groupBy(_._1).map { case (t, es) =>
+      val m = med(es.map(e => (e._2, e._3)).toSeq)
+      val devs = es.map(e => (math.abs(e._2 - m), e._3)).toSeq
+      val mad = med(devs)
+      t -> ((es.length.toLong, m, mad, devs.count(_._1 > 3.0 * mad).toLong))
+    }
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("systematic weighted sample matches a driver-side walk of the cumsum") {
+    val got = graft.operators.Sampling.sampleWeighted(spark, sfDir, step = 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).toSeq.flatMap { case (_, id, w) =>
+        val before = cum; cum += w
+        if (before / 5000L < cum / 5000L) Some((src, id, w, before / 5000L)) else None
+      }
+    }.toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    // selection is weight-proportional: every source's pick count is
+    // within 1 of its weight span (multi-boundary docs collapse picks)
+    val spans = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._3).sum / 5000L }
+    val picks = exp.groupBy(_._1).map { case (s, rs) => s -> rs.size.toLong }
+    spans.foreach { case (s, span) =>
+      assert(math.abs(picks.getOrElse(s, 0L) - span) <= 1, s"$s: $picks vs $spans") }
+  }
+
   test("connected components survive a multi-component graph with chains and cliques") {
     import spark.implicits._
     val nodes = (0L to 20L).toDF("id")

@@ -175,6 +175,24 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
   }
 
+  test("edit dedup: candidate pair list broadcasts, the corpus never sort-merges") {
+    val plan = physical(Dedup.editPairs(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"text fetch degraded to a shuffle of the corpus:\n$plan")
+  }
+
+  test("triangles: every join is equi-keyed — no cartesian, no nested loop") {
+    // the degree-orientation contract: wedge build and closure are
+    // hash joins on (s) and (a,b); a cartesian here is the quadratic
+    // neighborhood blowup the orientation exists to prevent
+    val plan = physical(graft.operators.Sequence.triangles(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"corner count lost its partial side:\n$plan")
+  }
+
   test("embed pca: the data-sized pass keys on vec_id and partial-aggregates to d² rows") {
     // audit the PRODUCTION Gram stage (the driver iterate is d²-bounded):
     // join on vec_id only, no cartesian, partial aggregation before the
