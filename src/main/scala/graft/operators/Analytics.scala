@@ -168,18 +168,26 @@ object Analytics {
     * engines — quantile interpolation rules differ between
     * implementations, rank selection cannot. One window pass + a
     * broadcast of per-topic counts. */
-  def medianExact(spark: SparkSession, dir: String): DataFrame = {
+  def medianExact(spark: SparkSession, dir: String): DataFrame =
+    rankMedian(Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("value").as("v"),
+        col("event_id")), "median")
+
+  /** The rank-selection median kernel, shared with
+    * [[Monitoring.madOutliers]] so both medians stay one
+    * implementation: expects (topic, v, event_id), emits
+    * (topic, `out`, n). One window pass + a broadcast of per-topic
+    * counts; the reported value is a ≤2-element IEEE average. */
+  private[operators] def rankMedian(df: DataFrame, out: String): DataFrame = {
     val w = Window.partitionBy(col("topic"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val ranked = Tables.events(spark, dir)
-      .select(col("event_type").as("topic"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
+      .orderBy(col("v").asc, col("event_id").asc)
+    val ranked = df.withColumn("rn", row_number().over(w))
     val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
     ranked.join(broadcast(counts), Seq("topic"))
       .filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long") ||
         col("rn") === floor(col("n") / lit(2.0)).cast("long") + 1)
       .groupBy(col("topic"))
-      .agg((sum(col("value")) / count(lit(1))).as("median"), max(col("n")).as("n"))
+      .agg((sum(col("v")) / count(lit(1))).as(out), max(col("n")).as("n"))
   }
 
   /** Exact distinct users per topic×day via the bitmap aggregate —

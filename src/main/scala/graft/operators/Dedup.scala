@@ -278,9 +278,11 @@ object Dedup {
     * runs ONLY on the banded candidate pairs (output-sparse), never on
     * the n² pair space, and the candidate texts are fetched by two
     * broadcast joins of the tiny pair list against the corpus — the
-    * corpus itself never shuffles. Both engines implement the same
-    * unit-cost Wagner-Fischer `levenshtein`, so the DuckDB oracle
-    * recomputes the full pipeline (fingerprints, hamming ball, edit
+    * corpus itself never shuffles. Spark's thresholded `levenshtein`
+    * returns the exact unit-cost distance whenever it is ≤ `maxEdits`
+    * (and −1 past it, after an O(len·maxEdits) banded early exit), so
+    * the DuckDB oracle recomputes the full pipeline (fingerprints,
+    * hamming ball, edit
     * distances) exactly. Cross-engine caveat: Spark counts code
     * points, DuckDB counts bytes — identical on the ASCII corpus the
     * doc kernels already assert. */
@@ -295,12 +297,18 @@ object Dedup {
       docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
       maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    broadcast(cands)
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+    // hint BOTH text fetches: a hint binds only to its nearest join,
+    // so the intermediate (pairs + text_a) must be re-hinted or the
+    // second fetch falls back to size estimation and can sort-merge
+    // the corpus at scale
+    broadcast(broadcast(cands)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a")))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxEdits)
+        // banded O(len·maxEdits) DP with early exit (-1 past the
+        // threshold) instead of the full len² matrix per pair
+        levenshtein(col("text_a"), col("text_b"), maxEdits).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
   }
 
   /** Word-bigram Jaccard near-dup pairs with `jaccard >= minJaccard`,

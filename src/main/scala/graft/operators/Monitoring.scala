@@ -398,8 +398,8 @@ object Monitoring {
   /** Robust per-topic outlier panel: median/MAD instead of mean/σ —
     * [[rateOutliers]]'s robust twin (one wild spike inflates a σ
     * threshold and hides itself; it barely moves the median absolute
-    * deviation). Both medians use the exact rank-selection kernel of
-    * q_median_exact (ties by event_id, even counts averaged), so
+    * deviation). Both medians run [[Analytics.rankMedian]] — the
+    * q_median_exact kernel (ties by event_id, even counts averaged) — so
     * every reported number is a ≤2-element IEEE average both engines
     * reproduce bit-for-bit — no approximation, no percentile-
     * interpolation drift. Outliers: |v − median| > 3·MAD. Scale
@@ -409,19 +409,8 @@ object Monitoring {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type").as("topic"), col("value"), col("event_id"))
-    // rank-selection median of `v` per topic (ties by event_id): the
-    // one or two middle rows, averaged
-    def rankMedian(df: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy(col("topic"))
-        .orderBy(col("v").asc, col("event_id").asc)
-      val ranked = df.withColumn("rn", row_number().over(w))
-      val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(counts), Seq("topic"))
-        .filter(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long") ||
-          col("rn") === floor(col("n") / lit(2.0)).cast("long") + 1)
-        .groupBy(col("topic"))
-        .agg((sum(col("v")) / count(lit(1))).as(out))
-    }
+    def rankMedian(df: DataFrame, out: String): DataFrame =
+      Analytics.rankMedian(df, out).drop("n")
     val med = rankMedian(ev.select(col("topic"), col("value").as("v"),
       col("event_id")), "median")
     val devs = ev.join(broadcast(med), Seq("topic"))

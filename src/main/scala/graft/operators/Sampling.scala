@@ -96,15 +96,16 @@ object Sampling {
     require(step > 0, s"step must be positive, got $step")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fdiv(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(step))) / step).cast("long")
-    val before = col("cum") - col("n_chars")
+    // integral `div` stays exact at any cumulative weight (a double
+    // round-trip would drift past 2^53 chars ≈ 9 PB per source — and
+    // 100 TB corpora get within sight of that); equals floor division
+    // here because weights are non-negative
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("cum", sum(col("n_chars")).over(w))
-      .filter(fdiv(before) < fdiv(col("cum")))
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        fdiv(before).as("bucket"))
+      .withColumn("bucket", expr(s"(cum - n_chars) div $step"))
+      .filter(col("bucket") < expr(s"cum div $step"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("bucket"))
   }
 
   /** Mixture sampling: cap each source at `quota` docs (smallest

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.AzureFormat
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -279,19 +279,23 @@ object StreamingMonitor {
     * topic, nanosecond ts is truncated to micros. */
   def eventsReplay(spark: SparkSession, dir: String,
                    maxFilesPerTrigger: Int = 1): DataFrame =
-    replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
-      .select(col("event_type").as("topic"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("value"))
+    eventsReplayOf(spark, dir, col("value"), maxFilesPerTrigger)
 
   /** [[eventsReplay]] carrying the user key — the identity-bearing
     * shape the windowed-distinct sketch consumes. */
   def eventsReplayWithUser(spark: SparkSession, dir: String,
                            maxFilesPerTrigger: Int = 1): DataFrame =
+    eventsReplayOf(spark, dir, col("user_id"), maxFilesPerTrigger)
+
+  // one place owns the connector shaping — in particular the ns→µs
+  // event-time reconstruction the batch/stream equivalence specs
+  // depend on
+  private def eventsReplayOf(spark: SparkSession, dir: String,
+                             payload: Column, maxFilesPerTrigger: Int): DataFrame =
     replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
       .select(col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"))
+        payload)
 
   /** Streaming windowed approx-distinct: per (topic, tumbling window)
     * HLL-sketched distinct `userCol` — the mergeable-sketch

@@ -709,20 +709,26 @@ class OperatorSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), col("n_chars"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val exp = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+    // per picked doc also keep its boundary-crossing count k (a
+    // 15000-char doc crosses 3 boundaries but yields 1 pick)
+    val expK = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
       var cum = 0L
       ds.sortBy(_._2).toSeq.flatMap { case (_, id, w) =>
         val before = cum; cum += w
-        if (before / 5000L < cum / 5000L) Some((src, id, w, before / 5000L)) else None
+        if (before / 5000L < cum / 5000L)
+          Some(((src, id, w, before / 5000L), cum / 5000L - before / 5000L))
+        else None
       }
-    }.toSet
+    }
+    val exp = expK.map(_._1).toSet
     assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
-    // selection is weight-proportional: every source's pick count is
-    // within 1 of its weight span (multi-boundary docs collapse picks)
+    // selection is weight-proportional — EXACTLY: the crossing counts
+    // of the picked docs telescope to each source's full weight span,
+    // whatever the doc-length distribution
     val spans = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._3).sum / 5000L }
-    val picks = exp.groupBy(_._1).map { case (s, rs) => s -> rs.size.toLong }
+    val crossings = expK.groupBy(_._1._1).map { case (s, rs) => s -> rs.map(_._2).sum }
     spans.foreach { case (s, span) =>
-      assert(math.abs(picks.getOrElse(s, 0L) - span) <= 1, s"$s: $picks vs $spans") }
+      assert(crossings.getOrElse(s, 0L) == span, s"$s: $crossings vs $spans") }
   }
 
   test("connected components survive a multi-component graph with chains and cliques") {
