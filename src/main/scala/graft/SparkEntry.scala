@@ -138,10 +138,78 @@ object SparkEntry {
     "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
+    "q_mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
+    "q_cooccur" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "q_winsorize" -> ((s, d) => Monitoring.winsorized(s, d)),
+    "q_embed_norm" -> ((s, d) => Ann.embedNorms(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
   def oracleSql: Map[String, String] = Map(
+    // temperature mixture: exact BIGINT token totals, fixed-point
+    // quantized sqrt weights, one IEEE division per share
+    "q_mixture_temperature" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |     AS BIGINT) AS w_fp FROM s),
+        | t AS (SELECT sum(n_tokens) AS tot_tokens, sum(w_fp) AS tot_fp FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share_raw,
+        |  CAST(w_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS share_temp,
+        |  (CAST(w_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE)) /
+        |  (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+        |FROM w CROSS JOIN t""".stripMargin,
+    // collocations: positional pair space rebuilt by zip-unnest +
+    // self-join (the oracle-side equivalent of the in-array transform);
+    // lift = one division of exact HUGEINT products
+    "q_cooccur" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, unnest(arr) AS tok,
+        |   unnest(range(1, len(arr) + 1)) AS pos
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents)),
+        | n AS (SELECT count(*) AS n_tokens FROM tk),
+        | tc AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        | pc AS (SELECT a.tok AS a, b.tok AS b, count(*) AS c_ab
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id
+        |   AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |  GROUP BY 1, 2)
+        |SELECT a, b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  CAST(CAST(c_ab AS HUGEINT) * n.n_tokens AS DOUBLE) /
+        |  CAST(CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE) AS lift
+        |FROM pc JOIN tc ca ON ca.tok = pc.a JOIN tc cb ON cb.tok = pc.b
+        |CROSS JOIN n WHERE c_ab >= 5
+        |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,
+    // winsorize: integer nearest-rank bounds, decimal-exact clamped mean
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type AS topic, value, event_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS rn FROM events),
+        | c AS (SELECT topic, count(*) AS n FROM r GROUP BY 1),
+        | b AS (SELECT topic,
+        |   max(CASE WHEN rn = (5 * (n - 1)) // 100 + 1 THEN value END) AS p_lo,
+        |   max(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN value END) AS p_hi,
+        |   max(n) AS n FROM r JOIN c USING (topic) GROUP BY 1)
+        |SELECT e.event_type AS topic, max(b.n) AS n,
+        |  max(b.p_lo) AS p_lo, max(b.p_hi) AS p_hi,
+        |  count(*) FILTER (e.value < b.p_lo) AS n_clamped_lo,
+        |  count(*) FILTER (e.value > b.p_hi) AS n_clamped_hi,
+        |  CAST(sum(CAST(least(greatest(e.value, b.p_lo), b.p_hi)
+        |    AS DECIMAL(25,6))) AS DOUBLE) / max(b.n) AS mean_winsor
+        |FROM events e JOIN b ON b.topic = e.event_type GROUP BY 1""".stripMargin,
+    // embed norms: exact integer self-dot of the milli-unit
+    // quantization (the q_kmeans_assign qv construction)
+    "q_embed_norm" ->
+      """WITH q AS (SELECT vec_id, label,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings),
+        | ss AS (SELECT vec_id, label, sum(qv * qv) AS ss FROM q GROUP BY 1, 2)
+        |SELECT label, count(*) AS n,
+        |  min(sqrt(CAST(ss AS DOUBLE)) / 1000.0) AS min_norm,
+        |  max(sqrt(CAST(ss AS DOUBLE)) / 1000.0) AS max_norm,
+        |  count(*) FILTER (abs(ss - 1000000) <= 2000) AS n_unit
+        |FROM ss GROUP BY 1""".stripMargin,
     // The envelope JSON is rebuilt CHAR-IDENTICALLY by string concat:
     // Spark's to_json emits compact struct-order keys, sums here are
     // integral doubles (counts), rendered "N.0" by both Jackson and

@@ -435,6 +435,27 @@ object Ann {
         max(col("err127")).as("err127_max"))
   }
 
+  /** Embedding-hygiene panel: exact quantized L2 norms per label —
+    * whether vectors arrive unit-normalized decides if dot product
+    * and cosine rank identically, so every ANN pipeline should gate
+    * on this before indexing. The squared norm is the exact integer
+    * self-dot of the milli-unit quantization ([[V.quantizedDot]], the
+    * q_ann_brute kernel), so `norm = √ss / 1000` is two IEEE ops on
+    * an exact integer — bit-reproducible — and the unit test
+    * |ss − 10⁶| ≤ 2·10³ (≈0.1% of unit) is pure integer comparison.
+    * Row-local scan + one tiny keyed aggregate; no shuffle of
+    * vectors. */
+  def embedNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        V.quantizedDot(col("embedding"), col("embedding")).as("ss"))
+      .withColumn("norm", sqrt(col("ss").cast("double")) / lit(1000.0))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"),
+        sum((abs(col("ss") - lit(1000000L)) <= lit(2000L)).cast("long"))
+          .as("n_unit"))
+
   /** One k-means (Lloyd) assignment step over the current label
     * partition — the index-maintenance iterate of the IVF family
     * ([[labelCentroids]] is the update half): reassign every vector to

@@ -424,6 +424,44 @@ object Monitoring {
         count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
   }
 
+  /** Winsorized per-topic panel: exact nearest-rank p05/p95 bounds
+    * (rank k = (P·(n−1)) div 100 + 1 under the (value, event_id)
+    * total order — PURE INTEGER rank math, no interpolation, no
+    * float percentile drift), clamp counts, and the winsorized mean.
+    * The robust-cleaning complement to [[madOutliers]]: instead of
+    * flagging outliers it reports the clipped distribution a
+    * training pipeline would actually feed downstream. The mean is
+    * exact: clamped values sum as DECIMAL (order-invariant under any
+    * partitioning) then one cast + one division. Scale shape: one
+    * topic-partitioned window rank + broadcast per-topic bounds;
+    * never a global sort. */
+  def winsorized(spark: SparkSession, dir: String, pLo: Int = 5,
+                 pHi: Int = 95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, s"bad percentiles $pLo/$pHi")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("value"), col("event_id"))
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev.withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
+    val bounds = ranked.join(broadcast(counts), Seq("topic"))
+      .groupBy(col("topic"))
+      .agg(max(when(col("rn") === expr(s"($pLo * (n - 1)) div 100") + 1,
+        col("value"))).as("p_lo"),
+        max(when(col("rn") === expr(s"($pHi * (n - 1)) div 100") + 1,
+          col("value"))).as("p_hi"),
+        max(col("n")).as("n"))
+    ev.join(broadcast(bounds), Seq("topic"))
+      .withColumn("clamped", least(greatest(col("value"), col("p_lo")), col("p_hi")))
+      .groupBy(col("topic"))
+      .agg(max(col("n")).as("n"),
+        max(col("p_lo")).as("p_lo"), max(col("p_hi")).as("p_hi"),
+        sum((col("value") < col("p_lo")).cast("long")).as("n_clamped_lo"),
+        sum((col("value") > col("p_hi")).cast("long")).as("n_clamped_hi"),
+        (sum(col("clamped").cast(DecimalType(25, 6))).cast("double") /
+          max(col("n"))).as("mean_winsor"))
+  }
+
   /** Seasonal profile: average messages per (topic, day-of-week,
     * hour-of-day) — the baseline an outlier detector compares against.
     * dow is 1=Sunday..7=Saturday (Spark's dayofweek convention). */

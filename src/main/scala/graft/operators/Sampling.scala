@@ -108,6 +108,39 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("n_chars"), col("bucket"))
   }
 
+  /** Temperature-scaled source mixture weights (α = 1/2): the
+    * standard multi-source LLM-training reweighting (w_s ∝ tokens_s^α
+    * — upsample low-resource sources, damp the head; α=0.5 is the
+    * multilingual-sampling convention). Every reported double is
+    * deterministic cross-engine: token totals are exact BIGINTs,
+    * sqrt is an IEEE correctly-rounded single op, weights are then
+    * FIXED-POINT-QUANTIZED (⌊√tokens · 10⁶⌋ as BIGINT) so the total
+    * is an exact integer sum — order-invariant under any partitioning
+    * — and each share is one double division of two exact integers.
+    * Scale shape: one map-side-combined aggregate to #sources rows;
+    * the totals row broadcasts back. Feed `share_temp` into
+    * [[sampleWeighted]]'s step (per source: corpus_weight/share) to
+    * materialize the mixture deterministically. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.wordCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_fp")).as("tot_fp"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_raw",
+        col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("share_temp",
+        col("w_fp").cast("double") / col("tot_fp").cast("double"))
+      .withColumn("boost", col("share_temp") / col("share_raw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_raw"), col("share_temp"), col("boost"))
+  }
+
   /** Mixture sampling: cap each source at `quota` docs (smallest
     * doc_ids win — deterministic), the building block for hitting a
     * target source mixture. Uses the bounded-heap TopKPerKey operator

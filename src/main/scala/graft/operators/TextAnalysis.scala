@@ -6,6 +6,7 @@ import graft.plans.Fingerprints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over `documents` — language ID, quality
   * scoring, token counting, fingerprinting. All row-local (no
@@ -71,6 +72,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Skip-window collocation mining: token pairs co-occurring within
+    * `window` following positions, scored by LIFT = P(a,b)/(P(a)·P(b))
+    * — the exponential of PMI, so it ranks identically while needing
+    * NO transcendental math: the score is one IEEE division of two
+    * exact integer products (widened through DECIMAL(19,0) so c·N
+    * can't overflow at 100 TB token counts), bit-reproducible in any
+    * engine. Pair generation is IN-ARRAY (a higher-order `transform`
+    * over each doc's token array — volume ∝ tokens·window, row-local,
+    * no positional self-join shuffle); the per-token marginals join
+    * back by key, so at vocabulary scale Catalyst can keep them
+    * broadcast or degrade to shuffle joins as sizes dictate (no
+    * forced hint). Top-k via (lift, a, b) total order — unique per
+    * pair, so LIMIT is deterministic. */
+  def collocations(spark: SparkSession, dir: String, window: Int = 3,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(T.tokens(col("text")).as("toks"))
+    val dec = DecimalType(19, 0)
+    val pairs = toks.select(explode(expr(
+      s"""flatten(transform(toks, (t, i) ->
+         |  transform(slice(toks, i + 2, $window), u -> struct(t AS a, u AS b))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val tokCounts = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = toks.select(sum(size(col("toks")).cast("long")).as("n_tokens"))
+    pairs
+      .join(tokCounts.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(tokCounts.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("lift",
+        (col("c_ab").cast(dec) * col("n_tokens").cast(dec)).cast("double") /
+          (col("c_a").cast(dec) * col("c_b").cast(dec)).cast("double"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+  }
 
   /** Intra-document repetition signal (the Gopher/CCNet-style quality
     * gate): duplicate-token fraction per doc. Entirely row-local. */

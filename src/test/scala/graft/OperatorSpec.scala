@@ -731,6 +731,106 @@ class OperatorSpec extends SparkSpec {
       assert(crossings.getOrElse(s, 0L) == span, s"$s: $crossings vs $spans") }
   }
 
+  test("temperature mixture matches a driver recompute and compresses the head") {
+    val got = graft.operators.Sampling.mixtureTemperature(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val per = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ((ds.length.toLong, ds.map(_._2).sum))
+    }
+    val totTok = per.values.map(_._2).sum
+    val wFp = per.map { case (s, (_, t)) =>
+      s -> math.floor(math.sqrt(t.toDouble) * 1000000.0).toLong }
+    val totFp = wFp.values.sum
+    per.foreach { case (s, (nd, t)) =>
+      val (gNd, gT, gRaw, gTemp, gBoost) = got(s)
+      assert((gNd, gT) == ((nd, t)), s"$s counts")
+      val raw = t.toDouble / totTok.toDouble
+      val temp = wFp(s).toDouble / totFp.toDouble
+      assert(gRaw == raw && gTemp == temp && gBoost == temp / raw, s"$s shares")
+    }
+    // α=1/2 damps the head and boosts the tail: boost orders opposite
+    // to size (sqrt is concave), and shares each sum to 1
+    val bySize = got.toSeq.sortBy(_._2._2)
+    assert(bySize.head._2._5 > 1.0 && bySize.last._2._5 < 1.0,
+      s"smallest ${bySize.head}, largest ${bySize.last}")
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  test("collocation lift equals the exact integer ratio and pairs respect the window") {
+    val got = graft.operators.TextAnalysis.collocations(spark, sfDir,
+      window = 3, minCount = 5L, k = 50).collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0).trim.split("\\s+").toSeq)
+    val n = docs.map(_.length.toLong).sum
+    val tokC = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val pairC = docs.flatMap(ts => ts.indices.flatMap(i =>
+      ((i + 1) to math.min(i + 3, ts.length - 1)).map(j => (ts(i), ts(j)))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    var prev = Double.MaxValue
+    got.foreach { r =>
+      val (a, b, cab, ca, cb, lift) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(pairC((a, b)) == cab && tokC(a) == ca && tokC(b) == cb, s"($a,$b)")
+      assert(lift == (BigInt(cab) * BigInt(n)).toDouble /
+        (BigInt(ca) * BigInt(cb)).toDouble, s"lift($a,$b)")
+      assert(lift <= prev, "descending"); prev = lift
+    }
+    // the returned 50 are THE top 50 under (lift, a, b)
+    val all = pairC.filter(_._2 >= 5L).toSeq.map { case ((a, b), cab) =>
+      (-(BigInt(cab) * BigInt(n)).toDouble / (BigInt(tokC(a)) * BigInt(tokC(b))).toDouble, a, b)
+    }.sorted.take(50).map(t => (t._2, t._3))
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq == all)
+  }
+
+  test("winsorize bounds are the nearest-rank order statistics and clamps count correctly") {
+    val got = Monitoring.winsorized(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (t, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      val nn = sorted.length
+      val pLo = sorted(((5 * (nn - 1)) / 100).toInt)._1
+      val pHi = sorted(((95 * (nn - 1)) / 100).toInt)._1
+      val clamped = es.map(e => math.min(math.max(e._2, pLo), pHi))
+      val meanW = clamped.map(v => BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_EVEN)).sum.toDouble / nn
+      val (gn, gLo, gHi, gCLo, gCHi, gMean) = got(t)
+      assert(gn == nn && gLo == pLo && gHi == pHi, s"$t bounds")
+      assert(gCLo == es.count(_._2 < pLo) && gCHi == es.count(_._2 > pHi), s"$t clamps")
+      assert(math.abs(gMean - meanW) < 1e-6, s"$t mean $gMean vs $meanW")
+    }
+  }
+
+  test("embedding norms: quantized self-dot panel matches a driver recompute") {
+    val got = Ann.embedNorms(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    vecs.groupBy(_._1).foreach { case (l, vs) =>
+      val sss = vs.map { case (_, v) =>
+        // HALF_UP away from zero like Spark's round (math.round would
+        // round -62.5 toward +inf instead)
+        v.map(x => BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          .map(q => q * q).sum }
+      val norms = sss.map(ss => math.sqrt(ss.toDouble) / 1000.0)
+      val (gn, gMin, gMax, gUnit) = got(l)
+      assert(gn == vs.length && gMin == norms.min && gMax == norms.max, s"label $l")
+      assert(gUnit == sss.count(ss => math.abs(ss - 1000000L) <= 2000L), s"label $l unit")
+    }
+  }
+
   test("connected components survive a multi-component graph with chains and cliques") {
     import spark.implicits._
     val nodes = (0L to 20L).toDF("id")

@@ -193,6 +193,28 @@ class PlanAuditSpec extends SparkSpec {
       s"corner count lost its partial side:\n$plan")
   }
 
+  test("collocations: in-array pair generation — no positional self-join, no pair-space cartesian") {
+    val plan = physical(graft.operators.TextAnalysis.collocations(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"pair space appeared:\n$plan")
+    // pair and token counts partial-aggregate before their exchanges
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"lost a partial aggregation side:\n$plan")
+  }
+
+  test("winsorize: per-topic bounds broadcast back, never a global sort") {
+    val plan = physical(Monitoring.winsorized(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"bounds join degraded:\n$plan")
+  }
+
+  test("embed norms: row-local self-dot — no join, one keyed aggregate") {
+    val plan = physical(graft.operators.Ann.embedNorms(spark, sfDir))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly the final agg exchange:\n$plan")
+  }
+
   test("embed pca: the data-sized pass keys on vec_id and partial-aggregates to d² rows") {
     // audit the PRODUCTION Gram stage (the driver iterate is d²-bounded):
     // join on vec_id only, no cartesian, partial aggregation before the
