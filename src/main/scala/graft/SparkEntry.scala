@@ -82,6 +82,8 @@ object SparkEntry {
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
+    "q_bitmap_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
+    "q17_shape" -> ((s, d) => Analytics.q17Shape(s, d)),
     "q_zorder" -> ((s, d) => Analytics.zorderKeys(s, d)),
     "q_lag_lead" -> ((s, d) => Analytics.lagLead(s, d)),
     "q_corr" -> ((s, d) => Analytics.correlation(s, d)),
@@ -146,6 +148,35 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
   def oracleSql: Map[String, String] = Map(
+    // Q17 shape: same decorrelation — per-part thresholds over the
+    // brand-filtered lineitems, then the keyed re-join
+    "q17_shape" ->
+      """WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        | lf AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN pf ON pf.p_partkey = lineitem.l_partkey),
+        | th AS (SELECT l_partkey,
+        |   0.2 * (sum(l_quantity) / count(*)) AS qty_threshold
+        |  FROM lf GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / 7.0 AS avg_yearly
+        |FROM lf JOIN th USING (l_partkey)
+        |WHERE l_quantity < qty_threshold""".stripMargin,
+    // audience overlap: the oracle rebuilds intersections relationally
+    // (distinct pairs + equi-join); zero-overlap pairs kept via the
+    // left join so both engines emit the full pair matrix
+    "q_bitmap_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type AS topic, user_id FROM events),
+        | n AS (SELECT topic, count(*) AS n FROM u GROUP BY 1),
+        | o AS (SELECT a.topic AS topic_a, b.topic AS topic_b, count(*) AS n_both
+        |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.topic < b.topic
+        |  GROUP BY 1, 2),
+        | p AS (SELECT a.topic AS topic_a, a.n AS n_a, b.topic AS topic_b,
+        |   b.n AS n_b FROM n a JOIN n b ON a.topic < b.topic)
+        |SELECT p.topic_a, p.topic_b, p.n_a, p.n_b,
+        |  coalesce(o.n_both, 0) AS n_both,
+        |  CAST(coalesce(o.n_both, 0) AS DOUBLE) /
+        |  CAST(p.n_a + p.n_b - coalesce(o.n_both, 0) AS DOUBLE) AS jaccard
+        |FROM p LEFT JOIN o ON o.topic_a = p.topic_a AND o.topic_b = p.topic_b""".stripMargin,
     // temperature mixture: exact BIGINT token totals, fixed-point
     // quantized sqrt weights, one IEEE division per share
     "q_mixture_temperature" ->

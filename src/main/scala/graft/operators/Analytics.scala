@@ -234,6 +234,64 @@ object Analytics {
     * side is pre-aggregated BEFORE any join — at 100 TB the groupBy
     * collapses lineitem 4:1 first, and the surviving key set (a few
     * thousand hot orders) broadcasts back against orders. */
+  /** TPC-H Q17 shape — the correlated-aggregate join: revenue from
+    * orders under 20% of their part's average quantity ("small-order
+    * revenue"). The correlation is decorrelated Spark-style: the
+    * brand's lineitems are computed once (broadcast part-filter
+    * semi-shape), the per-part threshold is a keyed aggregate over
+    * THAT set, and the threshold re-joins by part key — two passes
+    * over the filtered fraction, never a per-row subquery. Exactness:
+    * quantities are integer-valued doubles, so their partial sums are
+    * integers < 2⁵³ — exact under ANY aggregation order — and the
+    * threshold is avg·0.2, two IEEE ops; revenue sums via DECIMAL.
+    * Scale: the brand filter prunes the part side to ~1/brands before
+    * broadcast; lineitem is scanned once, shuffled once on partkey. */
+  def q17Shape(spark: SparkSession, dir: String, brand: String = "Brand#4"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    val lf = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thresholds = lf.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1))))
+        .as("qty_threshold"))
+    lf.join(broadcast(thresholds), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Audience-overlap matrix: exact |users(A) ∩ users(B)| and Jaccard
+    * for every topic pair, via bitmap set algebra — per-topic user
+    * bitmaps ([[graft.plans.BitmapDistinct]], merge = OR, one buffer
+    * per topic crosses the shuffle) then a popcount-of-AND on the
+    * #topics² pair table. The data is touched ONCE; all pair math
+    * runs on #topics rows. For dense id spaces this is exact where
+    * HLL intersection (inclusion-exclusion) is only estimated. At
+    * extreme user counts the bitmaps grow ∝ maxId/8 bytes — that is
+    * the documented dense-id contract (same as q_bitmap_distinct);
+    * sparse ids belong in the HLL/sketch family instead. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.BitmapDistinct.{bitmap_and_count, bitmap_bytes, bitmap_distinct}
+    // persisted: the pair step self-joins this #topics-row table, and
+    // without materialization each side would re-run the full events
+    // scan + aggregate — the one thing a 100 TB pass can't do twice
+    val maps = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(bitmap_bytes(col("user_id")).as("bm"),
+        bitmap_distinct(col("user_id")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = maps.select(col("topic").as("topic_a"), col("bm").as("bm_a"),
+      col("n").as("n_a"))
+    val b = maps.select(col("topic").as("topic_b"), col("bm").as("bm_b"),
+      col("n").as("n_b"))
+    a.join(broadcast(b), col("topic_a") < col("topic_b"))
+      .withColumn("n_both", bitmap_and_count(col("bm_a"), col("bm_b")))
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+      .select(col("topic_a"), col("topic_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard"))
+  }
+
   def q18Shape(spark: SparkSession, dir: String, minQty: Long = 150): DataFrame = {
     val bigOrders = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))

@@ -23,14 +23,16 @@ import org.apache.spark.sql.types._
   * Ids must be ≥ 0; the buffer grows geometrically to the max id seen.
   */
 case class BitmapDistinct(child: Expression,
+                          emitBytes: Boolean = false,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-  override def prettyName: String = "bitmap_distinct"
+  override def dataType: DataType = if (emitBytes) BinaryType else LongType
+  override def prettyName: String =
+    if (emitBytes) "bitmap_bytes" else "bitmap_distinct"
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](1)
 
@@ -66,12 +68,14 @@ case class BitmapDistinct(child: Expression,
     out
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    var n = 0L
-    var i = 0
-    while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
-    n
-  }
+  override def eval(buf: Array[Long]): Any =
+    if (emitBytes) serialize(buf)
+    else {
+      var n = 0L
+      var i = 0
+      while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+      n
+    }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
@@ -93,8 +97,44 @@ case class BitmapDistinct(child: Expression,
     copy(child = c.head)
 }
 
+/** Popcount of the bitwise AND of two serialized bitmaps — the exact
+  * set-intersection cardinality of two [[BitmapDistinct]] audiences.
+  * AND is length-min-bounded (ids beyond the shorter bitmap can't be
+  * shared), so mismatched buffer growth is harmless. Interpreted eval
+  * only: this runs on #group-pairs rows, never on the data path. */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_and_count"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val la = java.nio.ByteBuffer.wrap(a).asLongBuffer()
+    val lb = java.nio.ByteBuffer.wrap(b).asLongBuffer()
+    val words = math.min(la.remaining(), lb.remaining())
+    var n = 0L
+    var i = 0
+    while (i < words) {
+      n += java.lang.Long.bitCount(la.get(i) & lb.get(i)); i += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndCount =
+    copy(left = l, right = r)
+}
+
 object BitmapDistinct {
   /** `df.groupBy(...).agg(bitmap_distinct($"user_id"))` — exact. */
   def bitmap_distinct(c: Column): Column =
     bridge.column(BitmapDistinct(bridge.expression(c)).toAggregateExpression())
+
+  /** The bitmap itself (binary), for cross-group set algebra. */
+  def bitmap_bytes(c: Column): Column =
+    bridge.column(BitmapDistinct(bridge.expression(c), emitBytes = true)
+      .toAggregateExpression())
+
+  /** Exact |A ∩ B| of two bitmap_bytes audiences. */
+  def bitmap_and_count(a: Column, b: Column): Column =
+    bridge.column(BitmapAndCount(bridge.expression(a), bridge.expression(b)))
 }

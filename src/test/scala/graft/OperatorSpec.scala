@@ -831,6 +831,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q17 shape equals a driver-side correlated-subquery evaluation") {
+    val got = graft.operators.Analytics.q17Shape(spark, sfDir).collect()
+    val parts = graft.Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val lf = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(t => parts(t._1))
+    val th = lf.groupBy(_._1).map { case (k, ls) =>
+      k -> 0.2 * (ls.map(_._2).sum / ls.length) }
+    val exp = lf.filter(t => t._2 < th(t._1))
+      .map(t => BigDecimal(t._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / 7.0
+    assert(got.length == 1 && math.abs(got(0).getDouble(0) - exp) < 1e-6,
+      s"${got.toSeq} vs $exp")
+  }
+
+  test("audience overlap: bitmap AND-popcount equals relational set intersection") {
+    val got = graft.operators.Analytics.audienceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val pairsRaw: Set[(String, Long)] = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val users: Map[String, Set[Long]] =
+      pairsRaw.groupBy(_._1).map { case (t, us) => t -> us.map(_._2) }
+    val topics = users.keys.toSeq.sorted
+    val expPairs = for (a <- topics; b <- topics if a < b) yield (a, b)
+    assert(got.keySet == expPairs.toSet, s"pair matrix ${got.keySet}")
+    expPairs.foreach { case (a, b) =>
+      val both = (users(a) & users(b)).size.toLong
+      val (gA, gB, gBoth, gJ) = got((a, b))
+      assert(gA == users(a).size && gB == users(b).size && gBoth == both, s"($a,$b)")
+      assert(gJ == both.toDouble / (users(a).size + users(b).size - both).toDouble)
+    }
+  }
+
   test("connected components survive a multi-component graph with chains and cliques") {
     import spark.implicits._
     val nodes = (0L to 20L).toDF("id")

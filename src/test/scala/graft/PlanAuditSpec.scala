@@ -193,6 +193,24 @@ class PlanAuditSpec extends SparkSpec {
       s"corner count lost its partial side:\n$plan")
   }
 
+  test("q17: part filter and thresholds both broadcast — lineitem never sort-merges") {
+    val plan = physical(Analytics.q17Shape(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(600))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"correlated join degraded:\n$plan")
+  }
+
+  test("audience overlap: one pass over events, pair math on the tiny bitmap table") {
+    val plan = physical(Analytics.audienceOverlap(spark, sfDir))
+    // both sides of the pair join read the PERSISTED bitmap table —
+    // the events scan + aggregate runs once, not once per join side;
+    // the pair join is a broadcast nested loop over #topics rows
+    // (intentional: inequality condition)
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"pair join re-derives the aggregate instead of reusing it:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"pair join shuffled:\n$plan")
+  }
+
   test("collocations: in-array pair generation — no positional self-join, no pair-space cartesian") {
     val plan = physical(graft.operators.TextAnalysis.collocations(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"pair space appeared:\n$plan")
