@@ -81,6 +81,7 @@ object SparkEntry {
     "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
+    "q_drift" -> ((s, d) => Monitoring.topicDrift(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_bitmap_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
     "q17_shape" -> ((s, d) => Analytics.q17Shape(s, d)),
@@ -814,6 +815,23 @@ object SparkEntry {
         |SELECT source, doc_id, n_chars,
         |  CAST((cum - n_chars) // 5000 AS BIGINT) AS bucket
         |FROM c WHERE (cum - n_chars) // 5000 < cum // 5000""".stripMargin,
+    // topic-mix drift: exact HUGEINT numerators over the full
+    // day×topic grid, one double division per day
+    "q_drift" ->
+      """WITH cdt AS (SELECT date_trunc('day', ts) AS day,
+        |   event_type AS topic, count(*) AS c FROM events GROUP BY 1, 2),
+        | nd AS (SELECT day, sum(c) AS n_day FROM cdt GROUP BY 1),
+        | nt AS (SELECT topic, sum(c) AS n_topic FROM cdt GROUP BY 1),
+        | n AS (SELECT sum(c) AS n FROM cdt),
+        | grid AS (SELECT nd.day, nd.n_day, nt.topic, nt.n_topic,
+        |   coalesce(cdt.c, 0) AS c
+        |  FROM nd CROSS JOIN nt
+        |  LEFT JOIN cdt ON cdt.day = nd.day AND cdt.topic = nt.topic)
+        |SELECT day, max(n_day) AS n_day,
+        |  CAST(sum(abs(CAST(c AS HUGEINT) * n.n
+        |    - CAST(n_topic AS HUGEINT) * n_day)) AS DOUBLE) /
+        |  CAST(CAST(max(n_day) AS HUGEINT) * max(n.n) AS DOUBLE) AS drift
+        |FROM grid CROSS JOIN n GROUP BY 1""".stripMargin,
     // MAD outliers: both medians are the q_median_exact rank kernel;
     // dev/mad/threshold are the identical IEEE expressions
     "q_outlier_mad" ->

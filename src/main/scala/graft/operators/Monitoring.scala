@@ -462,6 +462,43 @@ object Monitoring {
           max(col("n"))).as("mean_winsor"))
   }
 
+  /** Per-day topic-mix drift: L1 distance between each day's topic
+    * distribution and the whole-range distribution — the "traffic mix
+    * shifted" alarm that per-topic rate thresholds can't see (every
+    * rate can stay in-bounds while the MIX inverts). EXACT-RATIONAL
+    * arithmetic: L1 = Σ_t |c_dt/N_d − n_t/N| is computed as
+    * Σ_t |c_dt·N − n_t·N_d| (exact DECIMAL(38) integer products and
+    * sums, order-invariant) divided ONCE by N_d·N — a single IEEE
+    * division per day, bit-reproducible in any engine. Missing
+    * (day, topic) cells enter as c=0 via the day×topic grid (a true
+    * L1 needs them: a topic that vanished contributes its full
+    * share). Scale: one scan aggregates to #days×#topics rows
+    * (persisted — the grid and marginals derive from it, not from
+    * re-scans); everything after runs on grid-sized data. */
+  def topicDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val cdt = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type").as("topic"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = cdt.groupBy(col("day")).agg(sum(col("c")).as("n_day"))
+    val nt = cdt.groupBy(col("topic")).agg(sum(col("c")).as("n_topic"))
+    val n = cdt.agg(sum(col("c")).as("n"))
+    nd.crossJoin(broadcast(nt))
+      .join(cdt, Seq("day", "topic"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        abs(col("c").cast(d19) * col("n").cast(d19) -
+          col("n_topic").cast(d19) * col("n_day").cast(d19)))
+      .groupBy(col("day"))
+      .agg(max(col("n_day")).as("n_day"),
+        (sum(col("term")).cast("double") /
+          (max(col("n_day")).cast(d19) * max(col("n")).cast(d19))
+            .cast("double")).as("drift"))
+  }
+
   /** Seasonal profile: average messages per (topic, day-of-week,
     * hour-of-day) — the baseline an outlier detector compares against.
     * dow is 1=Sunday..7=Saturday (Spark's dayofweek convention). */

@@ -20,6 +20,14 @@ final case class QuantilePanelRow(topic: String, n: Long,
 final case class WindowTopKRow(window_start: java.sql.Timestamp, topic: String,
                                msg_count: Long, rnk: Int)
 
+/** One windowed rate observation feeding the alert-edge detector. */
+final case class RatePoint(topic: String, window_start: java.sql.Timestamp,
+                           rate: Double)
+
+/** A low-rate alert TRANSITION (kind = FIRING | RESOLVED). */
+final case class AlertEdge(topic: String, at: java.sql.Timestamp,
+                           kind: String, rate: Double)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -316,6 +324,59 @@ object StreamingMonitor {
       .agg(graft.plans.HllSketch.hll_distinct(col(userCol)).as("approx_users"))
       .select(col("topic"), col("win.start").as("window_start"),
         col("approx_users"))
+
+  /** Streaming windowed EXACT distinct: the bitmap twin of
+    * [[windowDistinct]] — per (topic, tumbling window) dense-id
+    * bitmap aggregate ([[graft.plans.BitmapDistinct]], merge = OR,
+    * partial buffers cross the shuffle instead of ids). State per
+    * open group is one maxId/8-byte buffer — bounded by the id SPACE,
+    * not the stream length — under the same dense-id contract as
+    * q_bitmap_distinct; sparse id spaces take [[windowDistinct]]'s
+    * HLL instead. OR-merge is order/partition-invariant, so the
+    * drained stream equals the batch count EXACTLY (asserted by
+    * spec). */
+  def windowDistinctExact(events: DataFrame, windowDur: String = "1 hour",
+                          watermark: String = "2 hours",
+                          userCol: String = "user_id"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("topic"), window(col("ts"), windowDur).as("win"))
+      .agg(graft.plans.BitmapDistinct.bitmap_distinct(col(userCol))
+        .as("n_users"))
+      .select(col("topic"), col("win.start").as("window_start"),
+        col("n_users"))
+
+  /** Edge-triggered low-rate alerting over a windowed-rate stream:
+    * the reference ships EVERY per-window rate and lets the Azure
+    * alert rule fire downstream; this operator moves the hysteresis
+    * into the stream and emits only TRANSITIONS — a FIRING row when a
+    * topic's rate first drops below `threshold`, one RESOLVED row
+    * when it first recovers — so the sink traffic is ∝ state changes,
+    * not ∝ windows × topics. State per topic is ONE boolean
+    * (flatMapGroupsWithState keyed by topic; cardinality-bounded,
+    * trivially sharded); windows are processed in event-time order
+    * within each batch so a batch carrying several windows yields the
+    * same edges as one window per batch (asserted by spec). */
+  def rateAlertEdges(rates: Dataset[RatePoint],
+                     threshold: Double): Dataset[AlertEdge] = {
+    import rates.sparkSession.implicits._
+    rates.groupByKey(_.topic)
+      .flatMapGroupsWithState[Boolean, AlertEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[Boolean]) =>
+          var firing = state.getOption.getOrElse(false)
+          val edges = rows.toSeq.sortBy(_.window_start.getTime).flatMap { r =>
+            val low = r.rate < threshold
+            if (low != firing) {
+              firing = low
+              Some(AlertEdge(topic, r.window_start,
+                if (low) "FIRING" else "RESOLVED", r.rate))
+            } else None
+          }
+          state.update(firing)
+          edges.iterator
+      }
+  }
 
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and

@@ -558,4 +558,64 @@ class StreamingSpec extends SparkSpec {
       assert(n > 100, s"sealed windows = $n")
     } finally q.stop()
   }
+
+  test("streaming windowed EXACT distinct equals the batch bitmap count once drained") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val src = StreamingMonitor.eventsReplayWithUser(spark, sfDir)
+    val q = StreamingMonitor.windowDistinctExact(src, "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wdexact_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wdexact_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val ev = graft.Tables.events(spark, sfDir)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      // sealed windows must match batch COUNT-DISTINCT exactly — the
+      // bitmap is exact, so this is a true equality, no sketch slack
+      val batch = ev
+        .groupBy(col("event_type").as("topic"),
+          window(col("ts"), "1 hour").as("win"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .filter(col("win.end") <= lit(maxTs))
+        .select(col("topic"), col("win.start"), col("n_users"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("rate alert edges: only transitions emit and state survives across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.RatePoint]
+    val q = StreamingMonitor.rateAlertEdges(input.toDS(), threshold = 1.0)
+      .writeStream.format("memory").queryName("alert_edges_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rp(topic: String, minute: Int, rate: Double) =
+        graft.streaming.RatePoint(topic, ts(minute), rate)
+      // batch 1: a drops low (fires once despite two low windows,
+      // delivered out of order to prove in-batch event-time sorting);
+      // b stays healthy (no rows at all)
+      input.addData(rp("a", 2, 0.2), rp("a", 1, 0.5), rp("b", 1, 5.0),
+        rp("b", 2, 6.0))
+      q.processAllAvailable()
+      // batch 2: a recovers (one RESOLVED), b still healthy
+      input.addData(rp("a", 3, 2.0), rp("b", 3, 7.0))
+      q.processAllAvailable()
+      // batch 3: still healthy — no new edges (state carried over)
+      input.addData(rp("a", 4, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("alert_edges_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+        .toList.sortBy(e => (e._1, e._2.getTime))
+      assert(got == List(
+        ("a", ts(1), "FIRING", 0.5),
+        ("a", ts(3), "RESOLVED", 2.0)), s"got $got")
+    } finally q.stop()
+  }
 }
