@@ -244,18 +244,21 @@ object Analytics {
     * quantities are integer-valued doubles, so their partial sums are
     * integers < 2⁵³ — exact under ANY aggregation order — and the
     * threshold is avg·0.2, two IEEE ops; revenue sums via DECIMAL.
-    * Scale: the brand filter prunes the part side to ~1/brands before
-    * broadcast; lineitem is scanned once, shuffled once on partkey. */
+    * Scale: the brand filter prunes the part side to ~1/brands — but
+    * that is still LINEAR in scale factor, so neither join is
+    * hint-forced: Catalyst/AQE broadcasts while the sides fit and
+    * degrades to shuffle joins when they don't (both joins are
+    * partkey-equi, so the degraded form co-partitions). */
   def q17Shape(spark: SparkSession, dir: String, brand: String = "Brand#4"): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_brand") === brand).select(col("p_partkey"))
     val lf = Tables.lineitem(spark, dir)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val thresholds = lf.groupBy(col("l_partkey"))
       .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1))))
         .as("qty_threshold"))
-    lf.join(broadcast(thresholds), Seq("l_partkey"))
+    lf.join(thresholds, Seq("l_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
@@ -271,15 +274,39 @@ object Analytics {
     * the documented dense-id contract (same as q_bitmap_distinct);
     * sparse ids belong in the HLL/sketch family instead. */
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.BitmapDistinct.{bitmap_and_count, bitmap_bytes, bitmap_distinct}
-    // persisted: the pair step self-joins this #topics-row table, and
-    // without materialization each side would re-run the full events
-    // scan + aggregate — the one thing a 100 TB pass can't do twice
-    val maps = Tables.events(spark, dir)
-      .groupBy(col("event_type").as("topic"))
-      .agg(bitmap_bytes(col("user_id")).as("bm"),
-        bitmap_distinct(col("user_id")).as("n"))
+    // persisted: the pair step self-joins the #topics-row bitmap
+    // table, and without materialization each join side would re-run
+    // the full events scan + aggregate — the one thing a 100 TB pass
+    // can't do twice. The result (#topics² rows, no bitmaps) is
+    // materialized while the cache is alive and the bitmaps are
+    // released eagerly — the kmeansIterate persist/finally pattern,
+    // with a collect bounded like the CC convergence signature.
+    val maps = audienceBitmaps(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = overlapOf(maps)
+      spark.createDataFrame(
+        java.util.Arrays.asList(pairs.collect(): _*), pairs.schema)
+    } finally maps.unpersist(blocking = true)
+  }
+
+  /** The data-sized pass of [[audienceOverlap]]: one scan, one bitmap
+    * aggregate — ONE buffer per topic crosses the shuffle; the exact
+    * cardinality is a post-shuffle popcount of that buffer, not a
+    * second aggregate. Exposed (with [[overlapOf]]) so the plan audit
+    * exercises the production pipeline. */
+  private[graft] def audienceBitmaps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.BitmapDistinct.{bitmap_bytes, bitmap_count}
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"))
+      .agg(bitmap_bytes(col("user_id")).as("bm"))
+      .withColumn("n", bitmap_count(col("bm")))
+  }
+
+  /** The pair step of [[audienceOverlap]] over the (tiny, persisted)
+    * bitmap table: inequality join on #topics rows + popcount-of-AND. */
+  private[graft] def overlapOf(maps: DataFrame): DataFrame = {
+    import graft.plans.BitmapDistinct.bitmap_and_count
     val a = maps.select(col("topic").as("topic_a"), col("bm").as("bm_a"),
       col("n").as("n_a"))
     val b = maps.select(col("topic").as("topic_b"), col("bm").as("bm_b"),

@@ -476,12 +476,26 @@ object Monitoring {
     * (persisted — the grid and marginals derive from it, not from
     * re-scans); everything after runs on grid-sized data. */
   def topicDrift(spark: SparkSession, dir: String): DataFrame = {
-    val d19 = DecimalType(19, 0)
+    // persist the one data-sized aggregate; three derivations read it
+    // (marginals + grid join). The #days result is materialized while
+    // the cache is alive, then the grid is released eagerly — the
+    // persist/finally pattern, collect bounded by #days.
     val cdt = Tables.events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"),
         col("event_type").as("topic"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = driftOf(cdt)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally cdt.unpersist(blocking = true)
+  }
+
+  /** The grid-sized pass of [[topicDrift]] over the persisted
+    * day×topic counts (exposed for the plan audit). */
+  private[graft] def driftOf(cdt: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
     val nd = cdt.groupBy(col("day")).agg(sum(col("c")).as("n_day"))
     val nt = cdt.groupBy(col("topic")).agg(sum(col("c")).as("n_topic"))
     val n = cdt.agg(sum(col("c")).as("n"))

@@ -98,7 +98,9 @@ object TextAnalysis {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val tokCounts = toks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val n = toks.select(sum(size(col("toks")).cast("long")).as("n_tokens"))
+    // N derives from the marginals, not a third corpus scan — the
+    // sum shares tokCounts' shuffle stage (AQE exchange reuse)
+    val n = tokCounts.agg(sum(col("c")).as("n_tokens"))
     pairs
       .join(tokCounts.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
       .join(tokCounts.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))

@@ -104,7 +104,9 @@ case class BitmapDistinct(child: Expression,
   * only: this runs on #group-pairs rows, never on the data path. */
 case class BitmapAndCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_and_count"
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -124,10 +126,35 @@ case class BitmapAndCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Popcount of one serialized bitmap — |A| on the post-shuffle side,
+  * so a query needing both the bitmap and its cardinality ships ONE
+  * buffer per group instead of aggregating twice. */
+case class BitmapCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_count"
+  override protected def nullSafeEval(v: Any): Any = {
+    val lb = java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]).asLongBuffer()
+    var n = 0L
+    var i = 0
+    while (i < lb.remaining()) { n += java.lang.Long.bitCount(lb.get(i)); i += 1 }
+    n
+  }
+  override protected def withNewChildInternal(c: Expression): BitmapCount =
+    copy(child = c)
+}
+
 object BitmapDistinct {
   /** `df.groupBy(...).agg(bitmap_distinct($"user_id"))` — exact. */
   def bitmap_distinct(c: Column): Column =
     bridge.column(BitmapDistinct(bridge.expression(c)).toAggregateExpression())
+
+  /** Popcount of a bitmap_bytes buffer (scalar, post-aggregation). */
+  def bitmap_count(c: Column): Column =
+    bridge.column(BitmapCount(bridge.expression(c)))
 
   /** The bitmap itself (binary), for cross-group set algebra. */
   def bitmap_bytes(c: Column): Column =

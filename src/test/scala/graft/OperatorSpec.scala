@@ -802,7 +802,7 @@ class OperatorSpec extends SparkSpec {
       val pHi = sorted(((95 * (nn - 1)) / 100).toInt)._1
       val clamped = es.map(e => math.min(math.max(e._2, pLo), pHi))
       val meanW = clamped.map(v => BigDecimal(v).setScale(6,
-        BigDecimal.RoundingMode.HALF_EVEN)).sum.toDouble / nn
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / nn
       val (gn, gLo, gHi, gCLo, gCHi, gMean) = got(t)
       assert(gn == nn && gLo == pLo && gHi == pHi, s"$t bounds")
       assert(gCLo == es.count(_._2 < pLo) && gCHi == es.count(_._2 > pHi), s"$t clamps")
