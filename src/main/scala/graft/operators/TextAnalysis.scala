@@ -99,7 +99,9 @@ object TextAnalysis {
     val tokCounts = toks.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     // N derives from the marginals, not a third corpus scan — the
-    // sum shares tokCounts' shuffle stage (AQE exchange reuse)
+    // sum shares tokCounts' shuffle stage (AQE exchange reuse); A/B at
+    // sf0.1 showed the two forms within noise locally, but this one
+    // scans the corpus twice total instead of three times
     val n = tokCounts.agg(sum(col("c")).as("n_tokens"))
     pairs
       .join(tokCounts.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
