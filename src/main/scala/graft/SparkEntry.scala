@@ -82,6 +82,7 @@ object SparkEntry {
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
     "q_drift" -> ((s, d) => Monitoring.topicDrift(s, d)),
+    "q_percentile_grid" -> ((s, d) => Monitoring.percentileGrid(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Analytics.bitmapDistinctUsers(s, d)),
     "q_bitmap_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
     "q17_shape" -> ((s, d) => Analytics.q17Shape(s, d)),
@@ -213,6 +214,20 @@ object SparkEntry {
         |FROM pc JOIN tc ca ON ca.tok = pc.a JOIN tc cb ON cb.tok = pc.b
         |CROSS JOIN n WHERE c_ab >= 5
         |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,
+    // percentile grid: one ranked pass, conditional max per rank
+    "q_percentile_grid" ->
+      """WITH r AS (SELECT event_type AS topic, value, event_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value, event_id) AS rn FROM events),
+        | c AS (SELECT topic, count(*) AS n FROM r GROUP BY 1)
+        |SELECT topic, max(n) AS n,
+        |  max(CASE WHEN rn = (10 * (n - 1)) // 100 + 1 THEN value END) AS p10,
+        |  max(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN value END) AS p25,
+        |  max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN value END) AS p75,
+        |  max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN value END) AS p90,
+        |  max(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN value END) AS p99
+        |FROM r JOIN c USING (topic) GROUP BY 1""".stripMargin,
     // winsorize: integer nearest-rank bounds, decimal-exact clamped mean
     "q_winsorize" ->
       """WITH r AS (SELECT event_type AS topic, value, event_id,

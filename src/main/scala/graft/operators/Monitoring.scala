@@ -440,17 +440,8 @@ object Monitoring {
     require(0 <= pLo && pLo < pHi && pHi <= 100, s"bad percentiles $pLo/$pHi")
     val ev = Tables.events(spark, dir)
       .select(col("event_type").as("topic"), col("value"), col("event_id"))
-    val w = Window.partitionBy(col("topic"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val ranked = ev.withColumn("rn", row_number().over(w))
-    val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
-    val bounds = ranked.join(broadcast(counts), Seq("topic"))
-      .groupBy(col("topic"))
-      .agg(max(when(col("rn") === expr(s"($pLo * (n - 1)) div 100") + 1,
-        col("value"))).as("p_lo"),
-        max(when(col("rn") === expr(s"($pHi * (n - 1)) div 100") + 1,
-          col("value"))).as("p_hi"),
-        max(col("n")).as("n"))
+    val bounds = rankQuantiles(ev, Seq(pLo, pHi))
+      .withColumnRenamed(s"p$pLo", "p_lo").withColumnRenamed(s"p$pHi", "p_hi")
     ev.join(broadcast(bounds), Seq("topic"))
       .withColumn("clamped", least(greatest(col("value"), col("p_lo")), col("p_hi")))
       .groupBy(col("topic"))
@@ -461,6 +452,38 @@ object Monitoring {
         (sum(col("clamped").cast(DecimalType(25, 6))).cast("double") /
           max(col("n"))).as("mean_winsor"))
   }
+
+  /** Exact nearest-rank quantiles at the given integer percentiles,
+    * per topic: rank k = (P·(n−1)) div 100 + 1 under the
+    * (value, event_id) total order — pure integer rank math, no
+    * interpolation, bit-reproducible anywhere. Shared by
+    * [[winsorized]] and [[percentileGrid]]: one window rank, a
+    * broadcast of per-topic counts, then ONE conditional-max
+    * aggregation however many percentiles are asked for (the rank
+    * pass is paid once, not per percentile). */
+  private def rankQuantiles(ev: DataFrame, ps: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col("topic"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev.withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("topic")).agg(count(lit(1)).as("n"))
+    val aggs = max(col("n")).as("n") +: ps.map(p =>
+      max(when(col("rn") === expr(s"($p * (n - 1)) div 100") + 1,
+        col("value"))).as(s"p$p"))
+    ranked.join(broadcast(counts), Seq("topic"))
+      .groupBy(col("topic"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The full exact quantile table per topic (P10/P25/P50/P75/P90/
+    * P99) — the dashboard latency-panel shape, but rank-exact where
+    * approx_percentile drifts by sketch error and interpolation rule.
+    * Cost is ONE ranked pass regardless of how many percentiles are
+    * reported. */
+  def percentileGrid(spark: SparkSession, dir: String): DataFrame =
+    rankQuantiles(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("topic"), col("value"), col("event_id")),
+      Seq(10, 25, 50, 75, 90, 99))
 
   /** Per-day topic-mix drift: L1 distance between each day's topic
     * distribution and the whole-range distribution — the "traffic mix

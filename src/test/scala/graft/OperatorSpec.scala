@@ -810,6 +810,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("percentile grid: every cell is the nearest-rank order statistic") {
+    val ps = Seq(10, 25, 50, 75, 90, 99)
+    val got = Monitoring.percentileGrid(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), ps.indices.map(i => r.getDouble(2 + i))))).toMap
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (t, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sorted
+      val nn = sorted.length
+      val exp = ps.map(p => sorted(((p * (nn - 1)) / 100).toInt)._1)
+      val (gn, gPs) = got(t)
+      assert(gn == nn && gPs == exp, s"$t: $gPs vs $exp")
+      // grid is monotone by construction
+      assert(gPs == gPs.sorted, s"$t grid not monotone: $gPs")
+    }
+  }
+
   test("embedding norms: quantized self-dot panel matches a driver recompute") {
     val got = Ann.embedNorms(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
