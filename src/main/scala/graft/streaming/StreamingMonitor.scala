@@ -378,6 +378,57 @@ object StreamingMonitor {
       }
   }
 
+  /** Streaming topic-mix drift, stage 1: watermarked per-(window,
+    * topic) counts joined stream-static (broadcast) with a baseline
+    * distribution (topic, n_topic) — the live twin of the batch
+    * q_drift alarm. Append mode seals each window exactly once, so
+    * the [[driftOfSealed]] finisher (run per micro-batch via
+    * foreachBatch, the [[envelopes]] pattern) sees every row of a
+    * window together and its per-window reduction equals the batch
+    * computation. State is the open-window counts — bounded by
+    * #topics × windows-in-watermark, independent of stream length. */
+  def streamDriftCounts(events: DataFrame, baseline: DataFrame,
+                        windowDur: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val nBase = broadcast(baseline.agg(sum(col("n_topic")).as("n_base")))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("topic"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(baseline), Seq("topic"))
+      .crossJoin(nBase)
+      .select(col("win.start").as("window_start"), col("topic"), col("c"),
+        col("n_topic"), col("n_base"))
+  }
+
+  /** Batch finisher for [[streamDriftCounts]] (apply in foreachBatch,
+    * like [[envelopes]]): per window, exact-rational L1 drift vs the
+    * baseline — Σ_present |c_t·N_b − n_t·N_w| plus the VANISHED mass
+    * N_w·(N_b − Σ_present n_t) (the grid correction for topics absent
+    * from the window, which a present-only sum would undercount), all
+    * in order-invariant DECIMAL products, ONE double division per
+    * window. Sealed windows arrive whole in one micro-batch, so the
+    * per-batch reduction equals the batch-mode computation — asserted
+    * by the spec. */
+  def driftOfSealed(batch: DataFrame): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val nw = batch.groupBy(col("window_start"))
+      .agg(sum(col("c")).as("n_win"),
+        sum(col("n_topic").cast(d19)).as("present_base"))
+    batch.join(broadcast(nw), Seq("window_start"))
+      .withColumn("term",
+        abs(col("c").cast(d19) * col("n_base").cast(d19) -
+          col("n_topic").cast(d19) * col("n_win").cast(d19)))
+      .groupBy(col("window_start"))
+      .agg(max(col("n_win")).as("n_win"),
+        ((sum(col("term")) +
+          max(col("n_win")).cast(d19) *
+            (max(col("n_base")).cast(d19) - max(col("present_base"))))
+          .cast("double") /
+          (max(col("n_win")).cast(d19) * max(col("n_base")).cast(d19))
+            .cast("double")).as("drift"))
+  }
+
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and
     * appends to `outDir` as text — the transport seam where the

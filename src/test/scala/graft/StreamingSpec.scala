@@ -587,6 +587,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift equals the batch exact-rational drift for sealed windows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+    val baseline = ev.groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("n_topic"))
+    val src = StreamingMonitor.eventsReplay(spark, sfDir)
+    val counts = StreamingMonitor.streamDriftCounts(src, baseline,
+      "1 hour", watermark = "0 seconds")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, Long, Double)]()
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingMonitor.driftOfSealed(batch.toDF()).collect().foreach(r =>
+          sink.add((r.getTimestamp(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val streamed = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        sink.iterator()).asScala.toSet
+      assert(streamed.nonEmpty)
+      // batch recompute: hourly windows vs the same baseline, exact
+      // BigInt arithmetic incl. the vanished-mass correction
+      val base = baseline.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nBase = base.values.sum
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val cells = ev.groupBy(window(col("ts"), "1 hour").as("win"),
+          col("event_type").as("topic"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("win.end") <= lit(maxTs))
+        .select(col("win.start"), col("topic"), col("c"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val exp = cells.groupBy(_._1).map { case (ws, rs) =>
+        val nWin = rs.map(_._3).sum
+        val present = rs.map(r =>
+          (BigInt(r._3) * BigInt(nBase) - BigInt(base(r._2)) * BigInt(nWin)).abs).sum
+        val vanished = BigInt(nWin) * (BigInt(nBase) - rs.map(r => BigInt(base(r._2))).sum)
+        (ws, nWin, ((present + vanished)).toDouble /
+          (BigInt(nWin) * BigInt(nBase)).toDouble)
+      }.toSet
+      assert(streamed == exp,
+        s"missing=${(exp -- streamed).take(2)} extra=${(streamed -- exp).take(2)}")
+    } finally q.stop()
+  }
+
   test("rate alert edges: only transitions emit and state survives across batches") {
     val s = spark
     import s.implicits._
