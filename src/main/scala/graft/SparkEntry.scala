@@ -129,6 +129,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "q_mask_digits" -> ((s, d) => TextAnalysis.maskDigits(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q_gopher_filters" -> ((s, d) => TextAnalysis.gopherPanel(s, d)),
+    "q_oov_ratio" -> ((s, d) => TextAnalysis.oovRatio(s, d)),
+    "q_chunk" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
+    "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -143,6 +147,7 @@ object SparkEntry {
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
     "q_mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
+    "q_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
     "q_cooccur" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_winsorize" -> ((s, d) => Monitoring.winsorized(s, d)),
     "q_embed_norm" -> ((s, d) => Ann.embedNorms(s, d)),
@@ -905,6 +910,82 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |      FROM documents)
         |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // Gopher rule panel: integer census per doc, one double division
+    // per ratio — identical IEEE ops on both sides
+    "q_gopher_filters" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | m AS (SELECT doc_id,
+        |   len(toks) AS n_words,
+        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |     AS word_chars,
+        |   len(list_intersect(list_distinct(toks),
+        |     ['the','a','and','of','to'])) AS stop_hits,
+        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |     / len(toks) AS mean_word_len,
+        |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+        |     / len(toks) AS symbol_ratio
+        |  FROM t)
+        |SELECT doc_id, n_words, word_chars, stop_hits, mean_word_len,
+        |  symbol_ratio,
+        |  n_words BETWEEN 50 AND 100000 AS pass_words,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_len,
+        |  symbol_ratio <= 0.1 AS pass_symbol,
+        |  stop_hits >= 2 AS pass_stop,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
+        |  (symbol_ratio <= 0.1) AND (stop_hits >= 2) AS pass
+        |FROM m""".stripMargin,
+    // OOV: vocabulary = same deterministic (n DESC, token) top-30
+    "q_oov_ratio" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        | nz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        | v AS (SELECT token FROM (SELECT token, count(*) AS n FROM nz
+        |        GROUP BY 1 ORDER BY n DESC, token LIMIT 30))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN token NOT IN (SELECT token FROM v)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN token NOT IN (SELECT token FROM v)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
+        |FROM nz GROUP BY 1""".stripMargin,
+    // chunking: range() stop-exclusive == sequence() stop-inclusive at
+    // size-1; list_slice clamps exactly like slice
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | s AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS chunk_start,
+        |        toks FROM t)
+        |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  len(list_slice(toks, chunk_start + 1, chunk_start + 32)) AS n_toks,
+        |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32),
+        |    ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "q_keyword_search" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | s AS (SELECT doc_id,
+        |   len(list_filter(toks, x -> x = 'customer')) AS tf_0,
+        |   len(list_filter(toks, x -> x = 'window')) AS tf_1,
+        |   len(list_filter(toks, x -> x = 'query')) AS tf_2 FROM t)
+        |SELECT doc_id, CAST(tf_0 + tf_1 + tf_2 AS BIGINT) AS score,
+        |  tf_0, tf_1, tf_2
+        |FROM s WHERE tf_0 > 0 AND tf_1 > 0 AND tf_2 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // domain cap: the q_quality_score kernel ranks within each source
+    "q_domain_cap" ->
+      """WITH q AS (SELECT source, doc_id,
+        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
+        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / length(text) * (-2.0))
+        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |         THEN 0.5 ELSE 0.0 END AS quality
+        | FROM documents)
+        |SELECT source, doc_id, quality FROM q
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY quality DESC, doc_id) <= 15""".stripMargin,
     "q_repetition" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -153,4 +153,22 @@ object Sampling {
     capped.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
+
+  /** Per-domain cap, quality-first: keep the `cap` BEST documents of
+    * each source under the exact quality kernel, (quality DESC,
+    * doc_id ASC) — the CommonCrawl-style "no domain dominates the
+    * corpus, and a hot domain sheds its worst pages first" curation
+    * rule ([[sourceMixture]] is the arrival-order twin). The bounded
+    * k-heap TopKPerKey operator keeps O(#domains·cap) state and never
+    * sorts a partition, so a hot domain costs O(n log cap), not a
+    * skewed O(n log n) sort at 100 TB. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    import graft.plans.TopKPerKey
+    TopKPerKey.topKPerKey(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality")),
+      Seq("source"), Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc),
+      cap)
+  }
 }

@@ -177,6 +177,117 @@ object TextAnalysis {
         col("doc_id"),
         rolling_fingerprint(col("text"), 16).as("roll_fp"),
         simhash64(T.tokens(col("text"))).as("sim_fp"))
+
+  /** Gopher-style document-quality rule panel (Rae et al. 2021 §A.1.1,
+    * the public heuristics every pretraining curation pipeline reuses):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * and the required-stopword rule, each reported as its measured
+    * value plus a per-rule verdict and the conjunctive `pass`.
+    * Entirely row-local (one scan, no shuffle — the 100 TB shape);
+    * every ratio is ONE double division of two exact integers, so the
+    * panel is bit-reproducible in any engine. */
+  def gopherPanel(spark: SparkSession, dir: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
+    val stoplist = Seq("the", "a", "and", "of", "to")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_words"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("word_chars"),
+        regexp_count(col("text"), lit("[#…]")).as("n_symbols"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stoplist.map(lit): _*))).as("stop_hits"))
+      .withColumn("mean_word_len",
+        col("word_chars").cast("double") / col("n_words"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / col("n_words"))
+      .withColumn("pass_words", col("n_words").between(minWords, maxWords))
+      .withColumn("pass_mean_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("pass_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("pass_stop", col("stop_hits") >= minStopHits)
+      .withColumn("pass", col("pass_words") && col("pass_mean_len") &&
+        col("pass_symbol") && col("pass_stop"))
+      .drop("n_symbols")
+  }
+
+  /** Out-of-vocabulary ratio per document against the corpus' own
+    * top-`vocabSize` token vocabulary — the rare-token quality signal
+    * (a high OOV share marks gibberish/boilerplate the stopword gates
+    * miss). The vocabulary is tiny by construction (top-V by a
+    * deterministic (count DESC, token ASC) total order) and joins
+    * broadcast; the heavy side is one exploded scan collapsed by
+    * map-side partial aggregation to per-doc counters before its one
+    * doc-keyed Exchange. */
+  def oovRatio(spark: SparkSession, dir: String, vocabSize: Int = 30): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride) — the sequence-prep step between curation and
+    * tokenization in a training pipeline. Chunk starts come from an
+    * in-array `sequence` (row-local; no positional self-join), so the
+    * op streams at scan speed and output volume is the only growth
+    * (∝ n_tokens/stride). Chunks are keyed (doc_id, chunk_start) —
+    * deterministic, join-backable to the source doc. */
+  def chunkWindows(spark: SparkSession, dir: String,
+                   window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0, s"bad chunking $window/$stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - 1, $stride)")).as("chunk_start"),
+        col("toks"))
+      .select(
+        col("doc_id"), col("chunk_start"),
+        size(expr(s"slice(toks, chunk_start + 1, $window)")).as("n_toks"),
+        array_join(expr(s"slice(toks, chunk_start + 1, $window)"), " ")
+          .as("chunk_text"))
+  }
+
+  /** Conjunctive keyword search with an exact integer rank: documents
+    * containing ALL query terms, ordered by total term frequency
+    * (DESC, doc_id ASC — a total order, so LIMIT is deterministic).
+    * Scoring is row-local over the token array (no inverted-index
+    * shuffle; at index scale the same ranking would run against the
+    * wordFreq-style posting aggregates), and the global top-k is a
+    * TakeOrderedAndProject — no full sort at 100 TB. */
+  def keywordSearch(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("customer", "window", "query"),
+                    k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(expr(s"filter(toks, x -> x = '${t.replace("'", "''")}')")).as(s"tf_$i")
+    }
+    val withTf = Tables.documents(spark, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: tfCols: _*)
+    val score = terms.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    terms.indices.foldLeft(withTf)((d, i) => d.filter(col(s"tf_$i") > 0))
+      .withColumn("score", score.cast("long"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id") +: col("score") +:
+        terms.indices.map(i => col(s"tf_$i")): _*)
+  }
 }
 
 /** Multimodal column plumbing: media payloads as opaque binary with

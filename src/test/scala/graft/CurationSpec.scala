@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 curation operators (Gopher panel, OOV,
+  * chunking, keyword search, domain cap) on the sf0.001 tables —
+  * assertions the DuckDB oracle can't express (internal consistency,
+  * reconstruction, plan shape is in PlanAuditSpec). */
+class CurationSpec extends SparkSpec {
+
+  test("gopher panel: verdicts are consistent with their measured values") {
+    val rows = TextAnalysis.gopherPanel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      val mean = r.getAs[Double]("mean_word_len")
+      val sym = r.getAs[Double]("symbol_ratio")
+      val stop = r.getAs[Int]("stop_hits")
+      assert(r.getAs[Boolean]("pass_words") == (nWords >= 50 && nWords <= 100000))
+      assert(r.getAs[Boolean]("pass_mean_len") == (mean >= 3.0 && mean <= 10.0))
+      assert(r.getAs[Boolean]("pass_symbol") == (sym <= 0.1))
+      assert(r.getAs[Boolean]("pass_stop") == (stop >= 2))
+      assert(r.getAs[Boolean]("pass") ==
+        (r.getAs[Boolean]("pass_words") && r.getAs[Boolean]("pass_mean_len") &&
+          r.getAs[Boolean]("pass_symbol") && r.getAs[Boolean]("pass_stop")))
+      // mean word length is word_chars / n_words exactly
+      assert(mean == r.getAs[Long]("word_chars").toDouble / nWords)
+    }
+    // the panel must discriminate on this corpus, not rubber-stamp
+    assert(rows.exists(_.getAs[Boolean]("pass")) &&
+      rows.exists(!_.getAs[Boolean]("pass")), "panel is vacuous here")
+  }
+
+  test("oov ratio: zero for all-vocab docs, consistent counters, [0,1]") {
+    val got = TextAnalysis.oovRatio(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_ratio") == oov.toDouble / n)
+    }
+    // cross-check one doc by hand against the top-30 vocabulary
+    val vocab = TextAnalysis.wordFreq(spark, sfDir, 30)
+      .collect().map(_.getString(0)).toSet
+    val doc = Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).collect()(0)
+    val toks = doc.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+    val expOov = toks.count(t => !vocab.contains(t))
+    val gotRow = got.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get
+    assert(gotRow.getAs[Long]("n_tokens") == toks.length)
+    assert(gotRow.getAs[Long]("n_oov") == expOov)
+  }
+
+  test("chunking reconstructs every document exactly, no token lost or doubled") {
+    val window = 32; val stride = 24
+    val chunks = TextAnalysis.chunkWindows(spark, sfDir, window, stride)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty && chunks.nonEmpty)
+    docs.foreach { d =>
+      val toks = d.getString(1).trim.split("\\s+").toSeq
+      val cs = chunks(d.getLong(0)).sortBy(_.getAs[Int]("chunk_start"))
+      // starts are exactly 0, stride, 2·stride … < n_tokens
+      assert(cs.map(_.getAs[Int]("chunk_start")).toSeq ==
+        (0 until toks.length by stride).toSeq)
+      cs.foreach { c =>
+        val start = c.getAs[Int]("chunk_start")
+        val exp = toks.slice(start, math.min(start + window, toks.length))
+        assert(c.getAs[Int]("n_toks") == exp.length)
+        assert(c.getAs[String]("chunk_text") == exp.mkString(" "))
+      }
+      // dropping each chunk's overlap tail reconstructs the doc
+      val rebuilt = (cs.init.flatMap(
+        _.getAs[String]("chunk_text").split(" ").take(stride)) ++
+        cs.last.getAs[String]("chunk_text").split(" ")).toSeq
+      assert(rebuilt == toks, s"doc ${d.getLong(0)} reconstruction")
+    }
+  }
+
+  test("keyword search: conjunctive, scored by summed tf, deterministically ranked") {
+    val terms = Seq("customer", "window", "query")
+    val got = TextAnalysis.keywordSearch(spark, sfDir, terms, k = 10).collect()
+    assert(got.nonEmpty)
+    val scores = got.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "not score-descending")
+    got.foreach { r =>
+      val tfs = terms.indices.map(i => r.getAs[Int](s"tf_$i"))
+      assert(tfs.forall(_ > 0), "non-conjunctive hit")
+      assert(r.getAs[Long]("score") == tfs.map(_.toLong).sum)
+    }
+    // spot-check tf against the raw text
+    val r0 = got.head
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === r0.getAs[Long]("doc_id"))
+      .select(col("text")).collect()(0).getString(0)
+    val toks = text.trim.split("\\s+")
+    terms.indices.foreach(i =>
+      assert(r0.getAs[Int](s"tf_$i") == toks.count(_ == terms(i))))
+  }
+
+  test("domain cap keeps the quality-best docs per source, never more than cap") {
+    val cap = 3
+    val kept = Sampling.domainCap(spark, sfDir, cap).collect()
+      .groupBy(_.getAs[String]("source"))
+    val all = TextAnalysis.qualityScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("quality")).collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(kept.keySet == all.keySet)
+    all.foreach { case (src, rows) =>
+      val exp = rows.map(r => (r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+        .sortBy { case (q, id) => (-q, id) }.take(cap).toSet
+      val got = kept(src).map(r =>
+        (r.getAs[Double]("quality"), r.getAs[Long]("doc_id"))).toSet
+      assert(got.size <= cap)
+      assert(got == exp, s"source $src")
+    }
+  }
+}

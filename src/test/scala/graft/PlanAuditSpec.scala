@@ -259,4 +259,38 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"Gram aggregate lost its partial side:\n$plan")
   }
+
+  test("gopher panel and chunking are shuffle-free scans") {
+    val gopher = physical(graft.operators.TextAnalysis.gopherPanel(spark, sfDir))
+    assert(!gopher.contains("Exchange") && !gopher.contains("Join"),
+      s"row-local panel grew a shuffle:\n$gopher")
+    val chunk = physical(graft.operators.TextAnalysis.chunkWindows(spark, sfDir))
+    assert(!chunk.contains("Exchange") && !chunk.contains("Join"),
+      s"row-local chunking grew a shuffle:\n$chunk")
+  }
+
+  test("oov: vocabulary joins broadcast; the corpus side partial-aggregates") {
+    val plan = physical(graft.operators.TextAnalysis.oovRatio(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab join degraded to a corpus shuffle:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-doc counters lost their partial side:\n$plan")
+  }
+
+  test("keyword search tops out in TakeOrdered, no global sort") {
+    val plan = physical(graft.operators.TextAnalysis.keywordSearch(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      s"row-local scoring grew a shuffle:\n$plan")
+  }
+
+  test("domain cap runs on the bounded-heap operator, not a windowed sort") {
+    val plan = physical(graft.operators.Sampling.domainCap(spark, sfDir))
+    assert(plan.contains("TopKPerKey ["), plan.take(800))
+    // no Sort/Window NODES — matched as "Sort ["/"Window [" so the
+    // heap operator's own SortOrder argument text can't false-positive
+    assert(!plan.contains("Sort [") && !plan.contains("Window ["),
+      s"cap degraded to sort/window:\n$plan")
+  }
 }
