@@ -343,8 +343,10 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     * keyed by subspace), truncated integer codebook, then ALL-integer
     * encode / ADC / top-k; the sign·(|Σq| div n) split forces
     * truncation-toward-zero on both engines (Ann.pqTopK). */
-  def pqTopK(k: Int = 5, nQueries: Int = 10, dsub: Int = 8,
-             lloydRounds: Int = 2): String = {
+  /** Shared PQ training/encode CTE chain (through `codes` + `adc`) —
+    * used by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqCtes(nQueries: Int, dsub: Int,
+                     lloydRounds: Int): scala.collection.mutable.ArrayBuffer[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += "e AS MATERIALIZED (SELECT vec_id, label," +
       " CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i," +
@@ -372,17 +374,55 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       " * (abs(CAST(sum(e.q) AS BIGINT)) // count(*)) AS cbv" +
       s" FROM e JOIN a$lloydRounds x ON x.vec_id = e.vec_id AND x.s = e.s" +
       " GROUP BY 1, 2, 3)"
-    ctes += "enc AS MATERIALIZED (SELECT e.vec_id, e.s, cb.c," +
+    ctes += "enc AS MATERIALIZED (SELECT e.vec_id, e.label, e.s, cb.c," +
       " CAST(sum((e.q - cb.cbv) * (e.q - cb.cbv)) AS BIGINT) AS dist" +
-      " FROM e JOIN cb ON cb.s = e.s AND cb.i = e.i GROUP BY 1, 2, 3)"
-    ctes += "codes AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c," +
+      " FROM e JOIN cb ON cb.s = e.s AND cb.i = e.i GROUP BY 1, 2, 3, 4)"
+    ctes += "codes AS (SELECT vec_id, label, s, c FROM" +
+      " (SELECT vec_id, label, s, c," +
       " row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn" +
       " FROM enc) WHERE rn = 1)"
     ctes += s"adc AS (SELECT vec_id AS query_id, s, c, dist AS part FROM enc" +
       s" WHERE vec_id < $nQueries)"
+    ctes
+  }
+
+  def pqTopK(k: Int = 5, nQueries: Int = 10, dsub: Int = 8,
+             lloydRounds: Int = 2): String = {
+    val ctes = pqCtes(nQueries, dsub, lloydRounds)
     ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
       " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
       " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
+      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT query_id, vec_id, approx_d, rnk FROM (
+ SELECT *, row_number() OVER
+   (PARTITION BY query_id ORDER BY approx_d, vec_id) AS rnk FROM ad)
+WHERE rnk <= $k"""
+  }
+
+  /** q_ann_ivfpq: the IVF coarse probe (integer list sums, affinity =
+    * HUGEINT dot / list size — one double division, ties (affinity
+    * DESC, label)) restricting the PQ ADC candidate join to the
+    * probed lists (Ann.ivfPqTopK). */
+  def ivfPqTopK(k: Int = 5, nQueries: Int = 10, nprobe: Int = 3,
+                dsub: Int = 8, lloydRounds: Int = 2): String = {
+    val ctes = pqCtes(nQueries, dsub, lloydRounds)
+    ctes += "lsum AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq," +
+      " count(*) AS n FROM e GROUP BY 1, 2)"
+    ctes += s"aff AS (SELECT e.vec_id AS query_id, l.label," +
+      " CAST(sum(CAST(e.q AS HUGEINT) * l.sq) AS DOUBLE)" +
+      " / CAST(max(l.n) AS DOUBLE) AS affinity" +
+      s" FROM e JOIN lsum l ON l.i = e.i WHERE e.vec_id < $nQueries" +
+      " GROUP BY 1, 2)"
+    ctes += s"probes AS (SELECT query_id, label FROM" +
+      " (SELECT query_id, label, row_number() OVER" +
+      " (PARTITION BY query_id ORDER BY affinity DESC, label) AS pr" +
+      s" FROM aff) WHERE pr <= $nprobe)"
+    ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
+      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
+      " FROM codes JOIN probes p ON p.label = codes.label" +
+      " JOIN adc ON adc.query_id = p.query_id" +
+      " AND adc.s = codes.s AND adc.c = codes.c" +
       " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
     "WITH " + ctes.mkString(",\n ") + s"""
 SELECT query_id, vec_id, approx_d, rnk FROM (

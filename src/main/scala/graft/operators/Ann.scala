@@ -353,11 +353,14 @@ object Ann {
           ((abs(col("sq")) - pmod(abs(col("sq")), col("n"))) / col("n")).cast("long"))
           .as("cbv"))
     // per-(vector, subspace, code) exact distance to the codebook
-    // entry; queries' rows double as their ADC lookup table
+    // entry; queries' rows double as their ADC lookup table. The
+    // vector's list label rides along (functionally dependent on
+    // vec_id — grouping unchanged) so IVF-PQ can probe-filter codes
+    // without a second corpus-sized join.
     comp.join(broadcast(cb), Seq("s", "i"))
-      .select(col("vec_id"), col("s"), col("c"),
+      .select(col("vec_id"), col("label"), col("s"), col("c"),
         ((col("q") - col("cbv")) * (col("q") - col("cbv"))).as("d2"))
-      .groupBy(col("vec_id"), col("s"), col("c"))
+      .groupBy(col("vec_id"), col("label"), col("s"), col("c"))
       .agg(sum(col("d2")).as("dist"))
   }
 
@@ -377,6 +380,96 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d").asc, col("vec_id").asc)
     approx.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ: the two scale halves of a production ANN index composed
+    * the way FAISS deploys them (Jégou et al. 2011 §V) — the IVF
+    * coarse quantizer prunes the scan to `nprobe` inverted lists
+    * (scan cost ∝ nprobe/nlists of the corpus, the [[ivfTopK]] path),
+    * and PQ's asymmetric-distance tables rank the surviving
+    * candidates from code bytes alone (the [[pqTopK]] memory path —
+    * vectors never move). All arithmetic is the exact-integer kind
+    * both parents already oracle: list affinity = Σ q_query·Σ_list q
+    * in DECIMAL(38,0) with ONE double division by the list size, and
+    * the ADC distances are pure BIGINT sums of squared integer gaps.
+    *
+    * Scale shape: list sums, probe table and ADC tables are all
+    * broadcast-sized (nlists·d, queries·nprobe, queries·(d/dsub)·k
+    * rows); the corpus-sized code table joins them broadcast and
+    * partial-aggregates its (query, vec) candidate rows before the
+    * single Exchange. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+                nprobe: Int = 3, dsub: Int = 8, lloydRounds: Int = 2): DataFrame =
+    ivfPqTopKOf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")),
+      k, nQueries, nprobe, dsub, lloydRounds)
+
+  /** [[ivfPqTopK]] over a prepared frame — same persist/materialize
+    * lifecycle as [[pqTopKOf]] (the component and encode frames feed
+    * every stage; left lazy the plan would re-run the Lloyd chain per
+    * consumer). */
+  def ivfPqTopKOf(emb: DataFrame, k: Int, nQueries: Int, nprobe: Int,
+                  dsub: Int, lloydRounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val comp = componentsOf(emb, dsub).persist()
+    try {
+      val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
+      try {
+        val ranked = ivfPqRank(comp, enc, k, nQueries, nprobe)
+        val out =
+          if (spark.sparkContext.getCheckpointDir.isDefined)
+            ranked.checkpoint(eager = false)
+          else ranked.localCheckpoint(eager = false)
+        out.count()
+        out
+      } finally enc.unpersist(blocking = true)
+    } finally comp.unpersist(blocking = true)
+  }
+
+  /** The un-materialized [[ivfPqTopKOf]] pipeline for the plan audit
+    * (the [[pqTopKPlan]] pattern). */
+  private[graft] def ivfPqPlan(emb: DataFrame, k: Int, nQueries: Int,
+                               nprobe: Int, dsub: Int, lloydRounds: Int): DataFrame = {
+    val comp = componentsOf(emb, dsub)
+    ivfPqRank(comp, encodeOf(emb, comp, dsub, lloydRounds), k, nQueries, nprobe)
+  }
+
+  private def ivfPqRank(comp: DataFrame, enc: DataFrame,
+                        k: Int, nQueries: Int, nprobe: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // IVF probe: exact integer list sums per (label, dim); affinity =
+    // (Σ_i q_query·sq) / n — the ivfTopK arithmetic, relational form
+    val sums = comp.groupBy(col("label"), col("i"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val probes = comp.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("i"), col("q"))
+      .join(broadcast(sums), Seq("i"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("q").cast(dec) * col("sq").cast(dec)).as("dot"),
+        max(col("n")).as("n"))
+      .withColumn("affinity",
+        col("dot").cast("double") / col("n").cast("double"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("affinity").desc, col("label").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("label"))
+    // PQ half: nearest-code table tagged with its list, ADC lookups
+    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("c").asc)
+    val codes = enc.withColumn("rnk", row_number().over(wEnc))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("s"), col("c"))
+    val adc = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("c"),
+        col("dist").as("part"))
+    codes.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(adc), Seq("query_id", "s", "c"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("approx_d"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_d").asc, col("vec_id").asc)))
+      .filter(col("rnk") <= k)
   }
 
   /** k-means objective (inertia) per cluster — the quality gauge of

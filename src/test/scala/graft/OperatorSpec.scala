@@ -492,6 +492,39 @@ class OperatorSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("IVF-PQ: full probe equals pure PQ; pruning keeps cluster-mates and scores") {
+    import spark.implicits._
+    // same planted geometry as the PQ test: 10 clusters of 10 in 64d,
+    // label = true cluster (so inverted lists ARE the clusters)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian() * 0.3)
+    val df = (0 until 100).map { v =>
+      val c = v % 10
+      (v.toLong, c, Array.tabulate(64)(i =>
+        (centers(c)(i) + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)
+    // probing every list degenerates to pure PQ — must match EXACTLY
+    val pq = Ann.pqTopKOf(df, 5, 10, 8, 2).collect().map(key).toMap
+    val full = Ann.ivfPqTopKOf(df, 5, 10, nprobe = 10, 8, 2).collect().map(key).toMap
+    assert(full == pq, s"full-probe drift: ${(pq.toSet -- full.toSet).take(3)}")
+    // pruned probe: every hit keeps its exact PQ ADC score, and the
+    // planted queries still retrieve cluster-mates almost exclusively
+    val pruned = Ann.ivfPqTopKOf(df, 5, 10, nprobe = 3, 8, 2).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val (pair, d) = key(r)
+      assert(pq(pair) == d, s"ADC score drift at $pair")
+    }
+    val purity = pruned.count(r => r.getLong(1) % 10 == r.getLong(0) % 10)
+      .toDouble / pruned.length
+    assert(purity >= 0.9, s"purity $purity")
+    // deterministic end to end
+    val again = Ann.ivfPqTopKOf(df, 5, 10, nprobe = 3, 8, 2).collect().map(key).toMap
+    assert(again == pruned.map(key).toMap)
+  }
+
   test("kmeansCost matches a driver-side exact BigInt recomputation") {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding")).collect()

@@ -260,6 +260,19 @@ class PlanAuditSpec extends SparkSpec {
       s"Gram aggregate lost its partial side:\n$plan")
   }
 
+  test("IVF-PQ: probe and ADC tables broadcast, no pair space, partial aggs everywhere") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val plan = physical(graft.operators.Ann.ivfPqPlan(emb, 5, 10, 3, 8, 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"candidate aggregate lost its partial side:\n${plan.take(2000)}")
+  }
+
   test("gopher panel and chunking are shuffle-free scans") {
     val gopher = physical(graft.operators.TextAnalysis.gopherPanel(spark, sfDir))
     assert(!gopher.contains("Exchange") && !gopher.contains("Join"),
