@@ -338,11 +338,6 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
 
-  /** q_ann_pq: product-quantization ANN — per-subspace Lloyd codebook
-    * training unrolled as chained CTE rounds (kmeansIterate pattern,
-    * keyed by subspace), truncated integer codebook, then ALL-integer
-    * encode / ADC / top-k; the sign·(|Σq| div n) split forces
-    * truncation-toward-zero on both engines (Ann.pqTopK). */
   /** Shared PQ training/encode CTE chain (through `codes` + `adc`) —
     * used by [[pqTopK]] and [[ivfPqTopK]]. */
   private def pqCtes(nQueries: Int, dsub: Int,
@@ -386,6 +381,11 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     ctes
   }
 
+  /** q_ann_pq: product-quantization ANN — per-subspace Lloyd codebook
+    * training unrolled as chained CTE rounds (kmeansIterate pattern,
+    * keyed by subspace), truncated integer codebook, then ALL-integer
+    * encode / ADC / top-k; the sign·(|Σq| div n) split forces
+    * truncation-toward-zero on both engines (Ann.pqTopK). */
   def pqTopK(k: Int = 5, nQueries: Int = 10, dsub: Int = 8,
              lloydRounds: Int = 2): String = {
     val ctes = pqCtes(nQueries, dsub, lloydRounds)

@@ -270,18 +270,28 @@ object Ann {
     * [[pqTopKPlan]] is the un-materialized pipeline the plan audit
     * asserts on. */
   def pqTopKOf(emb: DataFrame, k: Int, nQueries: Int, dsub: Int,
-               lloydRounds: Int): DataFrame = {
+               lloydRounds: Int): DataFrame =
+    materializedPqRank(emb, dsub, lloydRounds)((_, enc) => rankOf(enc, k, nQueries))
+
+  /** The shared PQ materialization lifecycle: persist the component
+    * and encode frames (they feed every training/encode stage — left
+    * lazy the final plan re-runs the scan+quantize pipeline ~6× and
+    * the Lloyd chain per consumer), checkpoint the ranked result, and
+    * count it while the caches are still live; afterwards the
+    * returned frame reads its own checkpoint blocks. One copy, used
+    * by [[pqTopKOf]] and [[ivfPqTopKOf]]. */
+  private def materializedPqRank(emb: DataFrame, dsub: Int, lloydRounds: Int)(
+      rank: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = emb.sparkSession
     val comp = componentsOf(emb, dsub).persist()
     try {
       val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
       try {
+        val ranked = rank(comp, enc)
         val out =
           if (spark.sparkContext.getCheckpointDir.isDefined)
-            rankOf(enc, k, nQueries).checkpoint(eager = false)
-          else rankOf(enc, k, nQueries).localCheckpoint(eager = false)
-        // materialize while the caches are still live; afterwards the
-        // returned frame reads its own checkpoint blocks
+            ranked.checkpoint(eager = false)
+          else ranked.localCheckpoint(eager = false)
         out.count()
         out
       } finally enc.unpersist(blocking = true)
@@ -404,27 +414,12 @@ object Ann {
       .select(col("vec_id"), col("label"), col("embedding")),
       k, nQueries, nprobe, dsub, lloydRounds)
 
-  /** [[ivfPqTopK]] over a prepared frame — same persist/materialize
-    * lifecycle as [[pqTopKOf]] (the component and encode frames feed
-    * every stage; left lazy the plan would re-run the Lloyd chain per
-    * consumer). */
+  /** [[ivfPqTopK]] over a prepared frame — the [[materializedPqRank]]
+    * lifecycle around [[ivfPqRank]]. */
   def ivfPqTopKOf(emb: DataFrame, k: Int, nQueries: Int, nprobe: Int,
-                  dsub: Int, lloydRounds: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val comp = componentsOf(emb, dsub).persist()
-    try {
-      val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
-      try {
-        val ranked = ivfPqRank(comp, enc, k, nQueries, nprobe)
-        val out =
-          if (spark.sparkContext.getCheckpointDir.isDefined)
-            ranked.checkpoint(eager = false)
-          else ranked.localCheckpoint(eager = false)
-        out.count()
-        out
-      } finally enc.unpersist(blocking = true)
-    } finally comp.unpersist(blocking = true)
-  }
+                  dsub: Int, lloydRounds: Int): DataFrame =
+    materializedPqRank(emb, dsub, lloydRounds)(
+      (comp, enc) => ivfPqRank(comp, enc, k, nQueries, nprobe))
 
   /** The un-materialized [[ivfPqTopKOf]] pipeline for the plan audit
     * (the [[pqTopKPlan]] pattern). */

@@ -223,12 +223,8 @@ object TextAnalysis {
     * map-side partial aggregation to per-doc counters before its one
     * doc-keyed Exchange. */
   def oovRatio(spark: SparkSession, dir: String, vocabSize: Int = 30): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(T.tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(vocabSize)
+    // the corpus vocabulary IS wordFreq's — one kernel, one cutoff rule
+    val vocab = wordFreq(spark, dir, vocabSize)
       .select(col("token"), lit(1).as("in_vocab"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
@@ -274,8 +270,10 @@ object TextAnalysis {
                     terms: Seq[String] = Seq("customer", "window", "query"),
                     k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "empty query")
+    // typed DSL, not string interpolation into expr() — terms with
+    // quotes/backslashes are data, never parsed
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(expr(s"filter(toks, x -> x = '${t.replace("'", "''")}')")).as(s"tf_$i")
+      size(filter(col("toks"), x => x === lit(t))).as(s"tf_$i")
     }
     val withTf = Tables.documents(spark, dir)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))

@@ -395,7 +395,13 @@ object StreamingMonitor {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("win"), col("topic"))
       .agg(count(lit(1)).as("c"))
-      .join(broadcast(baseline), Seq("topic"))
+      // LEFT join: a topic the baseline has never seen carries
+      // n_topic = 0 — its whole window mass is drift. An inner join
+      // would silently drop exactly the brand-new-topic drift this
+      // monitor exists to catch (a 100%-new-traffic window would
+      // emit NOTHING).
+      .join(broadcast(baseline), Seq("topic"), "left")
+      .withColumn("n_topic", coalesce(col("n_topic"), lit(0L)))
       .crossJoin(nBase)
       .select(col("win.start").as("window_start"), col("topic"), col("c"),
         col("n_topic"), col("n_base"))

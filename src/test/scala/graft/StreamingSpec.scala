@@ -591,7 +591,13 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sfDir)
-    val baseline = ev.groupBy(col("event_type").as("topic"))
+    // baseline EXCLUDES one live topic: the left join must carry it
+    // with n_topic = 0 (full-mass drift), not drop it — the
+    // brand-new-topic case a same-corpus baseline can never exercise
+    val dropped = ev.select(col("event_type")).orderBy(col("event_type"))
+      .limit(1).collect()(0).getString(0)
+    val baseline = ev.filter(col("event_type") =!= dropped)
+      .groupBy(col("event_type").as("topic"))
       .agg(count(lit(1)).as("n_topic"))
     val src = StreamingMonitor.eventsReplay(spark, sfDir)
     val counts = StreamingMonitor.streamDriftCounts(src, baseline,
@@ -621,14 +627,19 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       val exp = cells.groupBy(_._1).map { case (ws, rs) =>
         val nWin = rs.map(_._3).sum
+        // unseen topic → n_topic = 0: full window mass counts as drift
         val present = rs.map(r =>
-          (BigInt(r._3) * BigInt(nBase) - BigInt(base(r._2)) * BigInt(nWin)).abs).sum
-        val vanished = BigInt(nWin) * (BigInt(nBase) - rs.map(r => BigInt(base(r._2))).sum)
+          (BigInt(r._3) * BigInt(nBase) -
+            BigInt(base.getOrElse(r._2, 0L)) * BigInt(nWin)).abs).sum
+        val vanished = BigInt(nWin) *
+          (BigInt(nBase) - rs.map(r => BigInt(base.getOrElse(r._2, 0L))).sum)
         (ws, nWin, ((present + vanished)).toDouble /
           (BigInt(nWin) * BigInt(nBase)).toDouble)
       }.toSet
       assert(streamed == exp,
         s"missing=${(exp -- streamed).take(2)} extra=${(streamed -- exp).take(2)}")
+      // the excluded topic actually flowed through the left-join path
+      assert(cells.exists(_._2 == dropped), "new-topic case not exercised")
     } finally q.stop()
   }
 
