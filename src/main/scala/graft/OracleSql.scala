@@ -338,6 +338,38 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q_semdedup: the SemDeDup composition — kmeansAssign's exact
+    * integer cluster assignment (same CTEs as [[kmeansAssign]]), then
+    * near-dup pair dots computed ONLY within a cluster (the join keys
+    * on (cluster, i) so DuckDB never materializes the n² pair space),
+    * then the keep-min verdict per vector (Dedup.semDedup). */
+  def semDedup(minDotQ: Long = 250000L): String =
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, label,
+      |   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      | FROM embeddings),
+      | cent AS MATERIALIZED (SELECT label AS c, i, CAST(sum(qv) AS BIGINT) AS s,
+      |   count(*) AS n FROM q GROUP BY 1, 2),
+      | dist AS MATERIALIZED (SELECT q.vec_id, cent.c,
+      |   CAST(sum(CAST(cent.n * q.qv - cent.s AS HUGEINT)
+      |            * CAST(cent.n * q.qv - cent.s AS HUGEINT)) AS DOUBLE)
+      |     / CAST(max(cent.n) * max(cent.n) AS DOUBLE) AS dist
+      |  FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2),
+      | asg AS MATERIALIZED (SELECT vec_id, c AS cluster FROM
+      |  (SELECT vec_id, c,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |   FROM dist) WHERE rn = 1),
+      | qa AS MATERIALIZED (SELECT q.vec_id, asg.cluster, q.i, q.qv
+      |  FROM q JOIN asg ON asg.vec_id = q.vec_id),
+      | drops AS (SELECT DISTINCT vb FROM
+      |  (SELECT a.vec_id AS va, b.vec_id AS vb
+      |   FROM qa a JOIN qa b ON b.cluster = a.cluster AND b.i = a.i
+      |    AND b.vec_id > a.vec_id
+      |   GROUP BY 1, 2
+      |   HAVING CAST(sum(a.qv * b.qv) AS BIGINT) >= $minDotQ))
+      |SELECT asg.vec_id, asg.cluster, (drops.vb IS NULL) AS kept
+      |FROM asg LEFT JOIN drops ON drops.vb = asg.vec_id""".stripMargin
+
   /** Shared PQ training/encode CTE chain (through `codes` + `adc`) —
     * used by [[pqTopK]] and [[ivfPqTopK]]. */
   private def pqCtes(nQueries: Int, dsub: Int,

@@ -31,6 +31,8 @@ object SparkEntry {
     "q_feed_stoptimes" -> ((s, d) => Monitoring.feedStopTimes(s, d)),
     "q_feed_alerts" -> ((s, d) => Monitoring.feedAlerts(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
+    "q_cusum" -> ((s, d) => Monitoring.cusumShift(s, d)),
+    "q_availability" -> ((s, d) => Monitoring.availability(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
     "q_histogram" -> ((s, d) => Monitoring.valueHistogram(s, d)),
@@ -107,6 +109,7 @@ object SparkEntry {
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
@@ -487,6 +490,58 @@ object SparkEntry {
         |SELECT h.topic, h.window_start, coalesce(c.n, 0) AS msg_count
         |FROM hours h LEFT JOIN counts c
         | ON h.topic = c.topic AND h.window_start = c.ws""".stripMargin,
+    "q_cusum" ->
+      """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        | spans AS (SELECT topic, min(ws) AS lo, max(ws) AS hi FROM counts GROUP BY 1),
+        | hours AS (SELECT topic, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS window_start FROM spans),
+        | g AS (SELECT h.topic, h.window_start, coalesce(c.n, 0) AS msg_count
+        |   FROM hours h LEFT JOIN counts c
+        |   ON h.topic = c.topic AND h.window_start = c.ws),
+        | x AS (SELECT topic, window_start, msg_count,
+        |   count(*) OVER (PARTITION BY topic) AS w_total,
+        |   CAST(sum(msg_count) OVER (PARTITION BY topic) AS BIGINT) AS t_total
+        |  FROM g),
+        | cc AS (SELECT *, CAST(sum(w_total * msg_count - t_total) OVER
+        |     (PARTITION BY topic ORDER BY window_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM x),
+        | e AS (SELECT *, least(0, CAST(min(c) OVER win AS BIGINT)) AS run_min,
+        |   greatest(0, CAST(max(c) OVER win AS BIGINT)) AS run_max FROM cc
+        |  WINDOW win AS (PARTITION BY topic ORDER BY window_start
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT topic, window_start, msg_count,
+        | c - run_min AS cusum_surge, run_max - c AS cusum_drop,
+        | (c - run_min) > 3 * t_total AS alarm_surge,
+        | (run_max - c) > 3 * t_total AS alarm_drop
+        |FROM e""".stripMargin,
+    "q_availability" ->
+      """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        | spans AS (SELECT topic, min(ws) AS lo, max(ws) AS hi FROM counts GROUP BY 1),
+        | hours AS (SELECT topic, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS window_start FROM spans),
+        | g AS (SELECT h.topic, CAST(epoch(h.window_start) AS BIGINT) // 3600 AS h,
+        |   coalesce(c.n, 0) AS msg_count
+        |   FROM hours h LEFT JOIN counts c
+        |   ON h.topic = c.topic AND h.window_start = c.ws),
+        | silent AS (SELECT topic, h,
+        |   row_number() OVER (PARTITION BY topic ORDER BY h) AS rn
+        |  FROM g WHERE msg_count = 0),
+        | runs AS (SELECT topic, h - rn AS grp, count(*) AS len
+        |  FROM silent GROUP BY 1, 2),
+        | gaps AS (SELECT topic, max(len) AS longest_gap, count(*) AS gap_count
+        |  FROM runs GROUP BY 1),
+        | tot AS (SELECT topic, count(*) AS windows_total,
+        |   CAST(sum(CASE WHEN msg_count > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS windows_active
+        |  FROM g GROUP BY 1)
+        |SELECT t.topic, t.windows_total, t.windows_active,
+        | t.windows_active * 1000000 // t.windows_total AS availability_ppm,
+        | coalesce(p.longest_gap, 0) AS longest_gap_hours,
+        | coalesce(p.gap_count, 0) AS n_gaps
+        |FROM tot t LEFT JOIN gaps p ON p.topic = t.topic""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1049,6 +1104,7 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
+    "q_semdedup" -> OracleSql.semDedup(),
     "q_approx_distinct" -> OracleSql.approxDistinct,
     "q_kmeans_iterate" -> OracleSql.kmeansIterate(),
     "q_kmeans_cost" -> OracleSql.kmeansCost,

@@ -708,22 +708,62 @@ object Dedup {
     * near-dup thresholds see [[srpPairs]] which prunes the candidate
     * space itself. */
   def cosinePairs(spark: SparkSession, dir: String, minDotQ: Long = 250000L,
-                  tiles: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        pmod(xxhash64(col("vec_id")), lit(tiles)).cast("int").as("tile"))
-    val left = e.select(col("vec_id").as("id_l"), col("label"),
+                  tiles: Int = 8): DataFrame =
+    tiledCosinePairs(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").as("block"), col("embedding")),
+      minDotQ, tiles)
+
+  /** The tiled within-block pair kernel of [[cosinePairs]], shared
+    * with [[semDedup]] (which blocks by k-means cluster instead of the
+    * given label). Input contract: (vec_id, block, embedding). */
+  private def tiledCosinePairs(e0: DataFrame, minDotQ: Long,
+                               tiles: Int): DataFrame = {
+    val e = e0.withColumn("tile",
+      pmod(xxhash64(col("vec_id")), lit(tiles)).cast("int"))
+    val left = e.select(col("vec_id").as("id_l"), col("block"),
       col("embedding").as("e_l"), col("tile").as("ci"),
       explode(sequence(col("tile"), lit(tiles - 1))).as("cj"))
-    val right = e.select(col("vec_id").as("id_r"), col("label"),
+    val right = e.select(col("vec_id").as("id_r"), col("block"),
       col("embedding").as("e_r"),
       explode(sequence(lit(0), col("tile"))).as("ci"), col("tile").as("cj"))
-    left.join(right, Seq("label", "ci", "cj"))
+    left.join(right, Seq("block", "ci", "cj"))
       .filter(col("ci") =!= col("cj") || col("id_l") < col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("vec_a"),
         greatest(col("id_l"), col("id_r")).as("vec_b"),
         V.quantizedDot(col("e_l"), col("e_r")).as("dot_q"))
       .filter(col("dot_q") >= minDotQ)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means-cluster the embedding space, then search
+    * for near-duplicate pairs ONLY within a cluster, so the pair space
+    * is Σ|cluster|² instead of n². This is the composition the paper
+    * runs at web scale: the cluster step is [[Ann.kmeansAssign]] (one
+    * exact-integer Lloyd assignment from the label-partition seed,
+    * centroids broadcast, shuffle ∝ n·L) and the within-cluster search
+    * is the tiled kernel of [[cosinePairs]] (a hot cluster is T²
+    * bounded tasks, never one quadratic straggler). Deterministic
+    * keep rule (the paper keeps a per-group representative; random
+    * there, exact here): a vector is dropped iff SOME same-cluster
+    * vector with a smaller id is within the similarity threshold.
+    * Output: one verdict row per vector (vec_id, cluster, kept). */
+  def semDedup(spark: SparkSession, dir: String, minDotQ: Long = 250000L,
+               tiles: Int = 8): DataFrame = {
+    val clusters = Ann.kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("new_label").as("cluster"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(clusters, Seq("vec_id"))
+    val dropped = tiledCosinePairs(
+        e.select(col("vec_id"), col("cluster").as("block"), col("embedding")),
+        minDotQ, tiles)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    e.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("is_dup"), lit(false))).as("kept"))
   }
 
   /** Embedding near-dup pairs via SRP-LSH with SOUND banding: 64-bit

@@ -198,6 +198,74 @@ object Monitoring {
         coalesce(col("n"), lit(0L)).as("msg_count"))
   }
 
+  /** Two-sided CUSUM change-point panel per topic over the gap-filled
+    * hourly grid — the sequential-detection complement of the
+    * z-score/MAD outlier panels: a single wild hour trips a z-score,
+    * but a sustained small shift (a feed quietly degrading to 70%
+    * rate) only accumulates. Page's CUSUM recurrences
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)),
+    *   S⁻_t = max(0, S⁻_{t-1} − (x_t − μ))
+    * look inherently serial, but both have closed forms over prefix
+    * cumsums: with C_t = Σ_{i≤t}(x_i − μ),
+    *   S⁺_t = C_t − min(0, min_{j≤t} C_j),
+    *   S⁻_t = max(0, max_{j≤t} C_j) − C_t,
+    * so the whole panel is ONE topic-keyed sort and three running
+    * windows — no UDF loop, no driver iteration. Everything is EXACT
+    * integer arithmetic: μ = T/W is rational, so all terms are scaled
+    * by W (dev_t = W·x_t − T ∈ ℤ); alarm when the scaled statistic
+    * exceeds `alarmHours`·T, i.e. the cumulative drift passed
+    * `alarmHours` average-hours of traffic. Scale shape: the grid is
+    * #topics × #windows rows (already collapsed by gapFilledRates'
+    * map-side agg), one Exchange on topic, windows share the sort. */
+  def cusumShift(spark: SparkSession, dir: String, alarmHours: Int = 3): DataFrame = {
+    val byTopic = Window.partitionBy(col("topic"))
+    val run = Window.partitionBy(col("topic")).orderBy(col("window_start").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapFilledRates(spark, dir)
+      .withColumn("w_total", count(lit(1)).over(byTopic))
+      .withColumn("t_total", sum(col("msg_count")).over(byTopic))
+      .withColumn("c",
+        sum(col("w_total") * col("msg_count") - col("t_total")).over(run))
+      .withColumn("run_min", least(lit(0L), min(col("c")).over(run)))
+      .withColumn("run_max", greatest(lit(0L), max(col("c")).over(run)))
+      .select(col("topic"), col("window_start"), col("msg_count"),
+        (col("c") - col("run_min")).as("cusum_surge"),
+        (col("run_max") - col("c")).as("cusum_drop"),
+        ((col("c") - col("run_min")) > lit(alarmHours) * col("t_total"))
+          .as("alarm_surge"),
+        ((col("run_max") - col("c")) > lit(alarmHours) * col("t_total"))
+          .as("alarm_drop"))
+  }
+
+  /** Per-topic availability/SLO panel: fraction of hourly windows with
+    * any traffic, plus the outage-run structure (longest silent streak
+    * and streak count) — the summary the reference's silent-feed
+    * alerting feeds into an SLO dashboard. Silent runs come from the
+    * gaps-and-islands trick (hour index minus per-topic row_number is
+    * constant within a consecutive run), so the whole panel is the
+    * gap-filled grid + one topic-keyed window + two tiny aggregates.
+    * availability_ppm is an exact integer floor division — no IEEE
+    * ratio to drift cross-engine. */
+  def availability(spark: SparkSession, dir: String): DataFrame = {
+    val grid = gapFilledRates(spark, dir)
+      .withColumn("h", expr("unix_timestamp(window_start) div 3600"))
+    val gaps = grid.filter(col("msg_count") === 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("topic")).orderBy(col("h").asc)))
+      .groupBy(col("topic"), (col("h") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("topic"))
+      .agg(max(col("len")).as("longest_gap"), count(lit(1)).as("gap_count"))
+    grid.groupBy(col("topic"))
+      .agg(count(lit(1)).as("windows_total"),
+        sum(when(col("msg_count") > 0, 1L).otherwise(0L)).as("windows_active"))
+      .join(gaps, Seq("topic"), "left")
+      .select(col("topic"), col("windows_total"), col("windows_active"),
+        expr("windows_active * 1000000 div windows_total").as("availability_ppm"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap_hours"),
+        coalesce(col("gap_count"), lit(0L)).as("n_gaps"))
+  }
+
   /** Gap-based sessionization: a new session starts after 30 min of
     * per-user inactivity; emits per-session event count and duration.
     * One shuffle (by user), one sort — the standard scalable shape. */

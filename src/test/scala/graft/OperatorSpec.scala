@@ -736,6 +736,91 @@ class OperatorSpec extends SparkSpec {
     assert(got == exp, s"got=$got exp=$exp")
   }
 
+  test("SemDeDup verdicts match a driver-side recomputation of the composition") {
+    val q = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), V.quantize(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    // one Lloyd assignment from the seed labels (kmeansAssign arithmetic)
+    val cent = q.groupBy(_._2).map { case (l, vs) =>
+      val s = new Array[Long](vs.head._3.length)
+      vs.foreach(v => s.indices.foreach(i => s(i) += v._3(i)))
+      l -> ((s, vs.length.toLong))
+    }
+    val cluster = q.map { case (id, _, qv) =>
+      id -> cent.toSeq.map { case (c, (s, n)) =>
+        var num = BigInt(0)
+        qv.indices.foreach { i =>
+          val diff = BigInt(n * qv(i) - s(i)); num += diff * diff
+        }
+        (num.toDouble / (n.toDouble * n.toDouble), c)
+      }.min._2 // (dist, c) lexicographic — ties to the smaller label
+    }.toMap
+    // within-cluster keep-min: dropped iff a smaller-id cluster-mate
+    // is within the dot threshold
+    val dropped = scala.collection.mutable.Set[Long]()
+    q.groupBy(v => cluster(v._1)).values.foreach { vs =>
+      val sorted = vs.sortBy(_._1)
+      for (i <- sorted.indices; j <- 0 until i) {
+        val dot = sorted(j)._3.zip(sorted(i)._3).map { case (a, b) => a * b }.sum
+        if (dot >= 250000L) dropped += sorted(i)._1
+      }
+    }
+    val exp = q.map(v => (v._1, (cluster(v._1), !dropped.contains(v._1)))).toMap
+    val got = Dedup.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == exp, s"got=$got exp=$exp")
+    assert(got.values.exists(!_._2), "expected at least one dropped vector")
+  }
+
+  test("CUSUM closed form equals Page's sequential recurrence") {
+    val got = Monitoring.cusumShift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    val grid = Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    assert(got.size == grid.length)
+    grid.groupBy(_._1).foreach { case (topic, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val w = sorted.length.toLong
+      val t = sorted.map(_._3).sum
+      var sp = 0L
+      var sn = 0L
+      sorted.foreach { case (_, ts, x) =>
+        val dev = w * x - t
+        sp = math.max(0L, sp + dev)
+        sn = math.max(0L, sn - dev)
+        val (mc, surge, drop, aS, aD) = got((topic, ts))
+        assert(mc == x && surge == sp && drop == sn,
+          s"$topic@$ts: got ($mc,$surge,$drop) want ($x,$sp,$sn)")
+        assert(aS == (sp > 3 * t) && aD == (sn > 3 * t))
+      }
+    }
+  }
+
+  test("availability panel matches a driver-side recount of the grid") {
+    val grid = Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val exp = grid.groupBy(_._1).map { case (t, rows) =>
+      val counts = rows.sortBy(_._2).map(_._3).toSeq
+      val runs = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      counts.foreach { x =>
+        if (x == 0) cur += 1 else { if (cur > 0) runs += cur; cur = 0 }
+      }
+      if (cur > 0) runs += cur
+      val active = counts.count(_ > 0).toLong
+      t -> ((counts.length.toLong, active,
+        active * 1000000L / counts.length,
+        if (runs.isEmpty) 0L else runs.max, runs.length.toLong))
+    }
+    val got = Monitoring.availability(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
   test("systematic weighted sample matches a driver-side walk of the cumsum") {
     val got = graft.operators.Sampling.sampleWeighted(spark, sfDir, step = 5000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
