@@ -21,6 +21,13 @@ final case class WindowTopKRow(window_start: java.sql.Timestamp, topic: String,
                                msg_count: Long, rnk: Int)
 
 /** One windowed rate observation feeding the alert-edge detector. */
+final case class CountPoint(topic: String, window_start: java.sql.Timestamp,
+                            msg_count: Long)
+
+final case class CusumRow(topic: String, window_start: java.sql.Timestamp,
+                          msg_count: Long, cusum_surge: Long, cusum_drop: Long,
+                          alarm_surge: Boolean, alarm_drop: Boolean)
+
 final case class RatePoint(topic: String, window_start: java.sql.Timestamp,
                            rate: Double)
 
@@ -375,6 +382,44 @@ object StreamingMonitor {
           }
           state.update(firing)
           edges.iterator
+      }
+  }
+
+  /** Streaming twin of the batch q_cusum panel: Page's two-sided CUSUM
+    * per topic over a windowed-count stream. The batch query replaces
+    * the serial recurrences with window closed forms; HERE the
+    * recurrence is natural — flatMapGroupsWithState keyed by topic
+    * carries exactly (S⁺, S⁻) as state (two longs per topic,
+    * cardinality-bounded). `baseline` supplies the per-topic scale
+    * constants (W, T) from offline history — same role as
+    * [[rateAnomalies]]' baseline frame, #topics entries, so a driver
+    * map is the honest shape — and every statistic stays exact scaled
+    * BIGINT like the batch panel. Windows are processed in event-time
+    * order within each batch (the [[rateAlertEdges]] pattern), so
+    * multi-window batches equal one-window batches; fed the batch
+    * grid, the drained stream equals the batch closed-form panel
+    * EXACTLY (asserted by spec). Topics absent from the baseline fall
+    * back to (W, T) = (1, 0): μ = 0, so all their traffic accumulates
+    * as surge — a brand-new topic is pure anomaly. */
+  def streamCusum(counts: Dataset[CountPoint],
+                  baseline: Map[String, (Long, Long)],
+                  alarmHours: Int = 3): Dataset[CusumRow] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Long), CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[(Long, Long)]) =>
+          val (w, t) = baseline.getOrElse(topic, (1L, 0L))
+          var (sp, sn) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.window_start.getTime).map { r =>
+            val dev = w * r.msg_count - t
+            sp = math.max(0L, sp + dev)
+            sn = math.max(0L, sn - dev)
+            CusumRow(topic, r.window_start, r.msg_count, sp, sn,
+              sp > alarmHours * t, sn > alarmHours * t)
+          }
+          state.update((sp, sn))
+          out.iterator
       }
   }
 

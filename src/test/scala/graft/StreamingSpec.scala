@@ -643,6 +643,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals the batch closed-form panel on the sealed grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    val baseline = grid.groupBy(_.topic).map { case (t, rows) =>
+      t -> ((rows.length.toLong, rows.map(_.msg_count).sum))
+    }
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamCusum(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("cusum_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three uneven chunks, each shuffled within itself to prove the
+      // in-batch event-time sort; state must carry across batches
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      val batch = graft.operators.Monitoring.cusumShift(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    } finally q.stop()
+  }
+
   test("rate alert edges: only transitions emit and state survives across batches") {
     val s = spark
     import s.implicits._
