@@ -102,6 +102,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM: the three window passes reuse the grid's topic partitioning (no extra Exchange)") {
+    val plan = physical(Monitoring.cusumShift(spark, sfDir))
+    // the ONLY shuffles are the two grid-construction aggregates
+    // (hourly counts, per-topic spans); the running-sum/min/max windows
+    // all ride the existing hashpartitioning(topic)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"CUSUM windows stopped reusing the grid partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("availability: islands and totals stay on the grid partitioning, gap join broadcasts") {
+    val plan = physical(Monitoring.availability(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"availability join degraded:\n$plan")
+  }
+
+  test("SemDeDup: centroid join broadcasts and the cluster self-join carries tile keys") {
+    val df = Dedup.semDedup(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+    equiJoinKeySets(df).foreach { keys =>
+      if (keys.exists(_.contains("block")))
+        assert(keys.size >= 3, s"cluster-only self-join resurfaced: $keys")
+    }
+  }
+
   test("LSH ANN: candidates come from the (table, bucket) equi-join, queries broadcast") {
     val plan = physical(graft.operators.Ann.lshTopK(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
