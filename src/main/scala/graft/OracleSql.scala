@@ -338,6 +338,72 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Shared SRP-LSH CTE chain: recompute the 64-bit sign-random-
+    * projection fingerprint bit-identically (the ±1 hyperplane weights
+    * are the Knuth-hash sign of (plane, dim)), band it into 8 4-bit
+    * tables, bucket-join candidates for the first `nQueries` vectors
+    * and rescore with exact integer dots — ends at `sc(query_id,
+    * vec_id, dot_q)`. Used by [[lshTopK]] (q_ann_lsh) and
+    * [[annRecall]] (q_ann_recall). */
+  private def lshCtes(nQueries: Int): String =
+    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      | FROM embeddings),
+      | pr AS (SELECT vec_id, j,
+      |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
+      |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+      | f AS MATERIALIZED (SELECT vec_id,
+      |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
+      |     ELSE 0 END) AS BIGINT) AS lo,
+      |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+      |     ELSE 0 END) AS BIGINT) AS hi
+      |  FROM pr GROUP BY 1),
+      | banded AS MATERIALIZED (SELECT vec_id, t,
+      |   CASE WHEN t * 4 < 32 THEN (lo >> (t * 4)) & 15
+      |        ELSE (hi >> (t * 4 - 32)) & 15 END AS bkt
+      |  FROM f CROSS JOIN (SELECT unnest(range(8)) AS t)),
+      | cand AS (SELECT DISTINCT qq.vec_id AS query_id, b.vec_id
+      |  FROM banded qq JOIN banded b ON b.t = qq.t AND b.bkt = qq.bkt
+      |  WHERE qq.vec_id < $nQueries AND b.vec_id <> qq.vec_id),
+      | sc AS (SELECT c.query_id, c.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+      |  FROM cand c JOIN e a ON a.vec_id = c.query_id
+      |  JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q_ann_lsh: SRP bucket recomputation + candidate top-k
+    * (Ann.lshTopK). */
+  def lshTopK(k: Int = 5, nQueries: Int = 10): String =
+    "WITH " + lshCtes(nQueries) + s"""
+SELECT query_id, vec_id, dot_q, rnk FROM (
+ SELECT *, row_number() OVER
+   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM sc)
+WHERE rnk <= $k"""
+
+  /** q_ann_recall: per-query recall@k of the LSH index vs brute-force
+    * ground truth — both rankings rebuilt exactly (the LSH chain plus
+    * the plain all-pairs top-k), hits counted via LEFT JOIN of the two
+    * id sets so zero-overlap queries still emit (Ann.annRecall). */
+  def annRecall(k: Int = 5, nQueries: Int = 10): String =
+    "WITH " + lshCtes(nQueries) + s""",
+ lshk AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM sc)
+  WHERE rnk <= $k),
+ bs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $nQueries GROUP BY 1, 2),
+ bk AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM bs)
+  WHERE rnk <= $k)
+SELECT bk.query_id, count(lshk.vec_id) AS hits,
+ CAST(count(lshk.vec_id) AS DOUBLE) / $k AS recall
+FROM bk LEFT JOIN lshk
+ ON lshk.query_id = bk.query_id AND lshk.vec_id = bk.vec_id
+GROUP BY 1"""
+
   /** q_semdedup: the SemDeDup composition — kmeansAssign's exact
     * integer cluster assignment (same CTEs as [[kmeansAssign]]), then
     * near-dup pair dots computed ONLY within a cluster (the join keys

@@ -114,6 +114,7 @@ object SparkEntry {
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "q_ann_recall" -> ((s, d) => Ann.annRecall(s, d)),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
@@ -762,35 +763,8 @@ object SparkEntry {
     // consecutive 4-bit table buckets over the non-negative hi/lo
     // halves (no signed-shift ambiguity), take candidates sharing any
     // table bucket, exact-integer rescore, deterministic top-5.
-    "q_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-        | FROM embeddings),
-        | pr AS (SELECT vec_id, j,
-        |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
-        |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
-        | f AS MATERIALIZED (SELECT vec_id,
-        |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
-        |     ELSE 0 END) AS BIGINT) AS lo,
-        |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
-        |     ELSE 0 END) AS BIGINT) AS hi
-        |  FROM pr GROUP BY 1),
-        | banded AS MATERIALIZED (SELECT vec_id, t,
-        |   CASE WHEN t * 4 < 32 THEN (lo >> (t * 4)) & 15
-        |        ELSE (hi >> (t * 4 - 32)) & 15 END AS bkt
-        |  FROM f CROSS JOIN (SELECT unnest(range(8)) AS t)),
-        | cand AS (SELECT DISTINCT qq.vec_id AS query_id, b.vec_id
-        |  FROM banded qq JOIN banded b ON b.t = qq.t AND b.bkt = qq.bkt
-        |  WHERE qq.vec_id < 10 AND b.vec_id <> qq.vec_id),
-        | sc AS (SELECT c.query_id, c.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
-        |  FROM cand c JOIN e a ON a.vec_id = c.query_id
-        |  JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i
-        |  GROUP BY 1, 2)
-        |SELECT query_id, vec_id, dot_q, rnk FROM (
-        | SELECT *, row_number() OVER
-        |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM sc)
-        |WHERE rnk <= 5""".stripMargin,
+    "q_ann_lsh" -> OracleSql.lshTopK(),
+    "q_ann_recall" -> OracleSql.annRecall(),
     // IVF probe ground truth: rank lists by exact-integer centroid
     // affinity (one deterministic double division per (query, list)),
     // scan the top-nprobe lists, exact-rescore — all integer sums, so

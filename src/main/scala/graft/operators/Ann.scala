@@ -160,6 +160,30 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Index-quality evaluation: per-query recall@k of the LSH index
+    * against the brute-force ground truth — the gauge every ANN
+    * deployment watches before trusting the approximate path (the
+    * spec's planted-pair recall bar checks one engineered pair; THIS
+    * measures the live corpus). Both sides are the oracle-checked
+    * production queries; the comparison is a left join of the two
+    * top-k id sets (k rows per query per side — tiny) and one exact
+    * integer count per query, recall = hits/k in one double division.
+    * Deterministic end to end because both rankings carry total-order
+    * tie-breaks. Scale shape: cost is the two index scans; the
+    * eval-side join is #queries·k rows. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = 10): DataFrame = {
+    val brute = bruteTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"))
+    val lsh = lshTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit"))
+    brute.join(lsh, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** Per-label embedding centroid — the cluster-assignment step of an
     * IVF index build (and one k-means iteration). posexplode to
     * (label, dim) with milli-quantized BIGINT components, so the sums

@@ -736,6 +736,19 @@ class OperatorSpec extends SparkSpec {
     assert(got == exp, s"got=$got exp=$exp")
   }
 
+  test("ANN recall eval equals a driver-side intersection of the two rankings") {
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = brute.groupBy(_._1)
+      .map { case (q, rows) => q -> rows.count(lsh.contains).toLong }
+    val got = Ann.annRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == exp, s"got=${got.toSeq} exp=$exp")
+    got.foreach(g => assert(g._3 == g._2.toDouble / 5))
+  }
+
   test("SemDeDup verdicts match a driver-side recomputation of the composition") {
     val q = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), V.quantize(col("embedding")).as("qv"))
