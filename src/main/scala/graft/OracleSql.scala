@@ -285,6 +285,29 @@ WHERE d.source <> '$evalSource'
 GROUP BY 1, 2"""
   }
 
+  /** q_containment: Broder containment pairs over the same per-doc
+    * DISTINCT gram sets — the prefix filter is exact-recall, so the
+    * oracle computes the ground truth directly: same-lang gram-keyed
+    * intersection counts, pure-integer threshold, ONE double division
+    * (Dedup.containmentPairs). */
+  def containmentPairs(n: Int = 4, containNum: Int = 3,
+                       containDen: Int = 5): String = {
+    val ctes = docGramCtes(n) ++ Seq(
+      "szs AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY 1)",
+      """inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*) AS shared
+        |  FROM dg a JOIN documents da ON da.doc_id = a.doc_id
+        |  JOIN dg b ON b.gram = a.gram AND b.doc_id <> a.doc_id
+        |  JOIN documents db ON db.doc_id = b.doc_id AND db.lang = da.lang
+        |  GROUP BY 1, 2)""".stripMargin)
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT i.doc_a, i.doc_b, CAST(s.sz AS BIGINT) AS total_grams,
+ CAST(i.shared AS BIGINT) AS shared_grams,
+ CAST(i.shared AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+FROM inter i JOIN szs s ON s.doc_id = i.doc_a
+WHERE i.shared * $containDen >= s.sz * $containNum"""
+  }
+
   /** q_cms_counts: the Count-Min estimate is PURE integer arithmetic
     * (counter sums + min over depth rows), so DuckDB can recompute the
     * whole sketch: key = mix(fnv(topic)), per-depth bucket =

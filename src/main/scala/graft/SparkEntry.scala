@@ -100,6 +100,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dedup_edit" -> ((s, d) => Dedup.editPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
@@ -1079,6 +1080,7 @@ object SparkEntry {
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_semdedup" -> OracleSql.semDedup(),
+    "q_containment" -> OracleSql.containmentPairs(),
     "q_approx_distinct" -> OracleSql.approxDistinct,
     "q_kmeans_iterate" -> OracleSql.kmeansIterate(),
     "q_kmeans_cost" -> OracleSql.kmeansCost,

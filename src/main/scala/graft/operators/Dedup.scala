@@ -379,6 +379,72 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Near-subset containment pairs (Broder's containment, the
+    * asymmetric complement of [[jaccardPairs]]' resemblance): ordered
+    * pairs where at least `containNum/containDen` of doc_a's distinct
+    * word-`n`-grams also appear in doc_b — the quotation/boilerplate-
+    * inclusion signal Jaccard misses (a short doc quoted whole inside
+    * a long one has tiny J but containment 1). Blocked by lang only:
+    * quoting crosses sources, so source is deliberately NOT a block
+    * key here.
+    *
+    * Candidates via the ASYMMETRIC prefix filter: if |a∩b| ≥ ⌈τ·|a|⌉
+    * then the rarest |a|−⌈τ·|a|⌉+1 grams of a must share one with b's
+    * FULL gram set (pigeonhole under any shared total order) — 100%
+    * recall, no probabilistic miss. Volume ∝ Σ_gram df_prefix·df:
+    * common grams fall outside every prefix, so candidates stay
+    * rare-gram-driven; the container side is never prefix-trimmed
+    * (that's what makes it containment, and why τ here prunes less
+    * than the symmetric Jaccard prefix — pick n large enough that
+    * grams are rare). The threshold test is pure-integer
+    * (den·shared ≥ num·|a|); the reported ratio is ONE double
+    * division of exact integers. */
+  def containmentPairs(spark: SparkSession, dir: String, n: Int = 4,
+                       containNum: Int = 3, containDen: Int = 5): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir), n, containNum, containDen)
+
+  /** [[containmentPairs]] over a prepared (doc_id, lang, text) frame —
+    * the spec plants a known quoted-inside pair through the production
+    * path here. */
+  def containmentPairsOf(docs: DataFrame, n: Int,
+                         containNum: Int, containDen: Int): DataFrame = {
+    val g = docs
+      .filter(size(T.tokens(col("text"))) >= n)
+      .select(col("doc_id"), col("lang"),
+        shingle_hashes(col("text"), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val exploded = g.select(col("doc_id"), col("lang"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val dfc = exploded.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("gram").asc)
+    // prefix length |a| − ⌈τ·|a|⌉ + 1, the ceil in exact integers
+    val prefix = exploded.join(dfc, Seq("lang", "gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") -
+        expr(s"(sz * $containNum + ${containDen - 1}) div $containDen") + lit(1))
+      .select(col("lang"), col("gram"), col("doc_id"))
+    val cand = prefix.withColumnRenamed("doc_id", "doc_a")
+      .join(exploded.select(col("lang"), col("gram"),
+        col("doc_id").as("doc_b")), Seq("lang", "gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+        col("sz").cast("long").as("total_grams")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+        Seq("doc_b"))
+      .withColumn("shared_grams",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .filter(col("shared_grams") * containDen >= col("total_grams") * containNum)
+      .select(col("doc_a"), col("doc_b"), col("total_grams"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") / col("total_grams"))
+          .as("containment"))
+  }
+
   /** Repeated-n-gram report — the corpus-level signal behind exact
     * substring dedup (duplicated spans shared across documents, the
     * pre-step of suffix-array span removal): per source, how many

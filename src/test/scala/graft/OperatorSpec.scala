@@ -736,6 +736,40 @@ class OperatorSpec extends SparkSpec {
     assert(got == exp, s"got=$got exp=$exp")
   }
 
+  test("containment pairs: planted quote detected asymmetrically, Jaccard-invisible") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val long = quote + " " + (1 to 100).map(i => s"fill$i").mkString(" ")
+    val other = (1 to 50).map(i => s"alien$i").mkString(" ")
+    val docs = Seq((1L, "en", quote), (2L, "en", long), (3L, "en", other),
+      (4L, "fi", quote)) // same text, other lang block — must not pair
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.containmentPairsOf(docs, n = 4, containNum = 3, containDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // quote ⊂ long: containment(1→2) = 1.0; the reverse direction and
+    // every other pair stay below threshold
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+  }
+
+  test("containment pairs equal the driver-side ground truth (exact recall)") {
+    val dg = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.plans.Fingerprints.shingle_hashes(col("text"), 4).as("grams"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toSet))
+      .filter(_._3.nonEmpty)
+    val exp = (for {
+      a <- dg; b <- dg
+      if a._1 != b._1 && a._2 == b._2
+      shared = (a._3 & b._3).size.toLong
+      if shared * 5 >= a._3.size.toLong * 3
+    } yield (a._1, b._1, a._3.size.toLong, shared)).toSet
+    val got = Dedup.containmentPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("ANN recall eval equals a driver-side intersection of the two rankings") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -102,6 +102,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: candidates key on prefix grams, never the lang block alone") {
+    val df = Dedup.containmentPairs(spark, sfDir)
+    val keySets = equiJoinKeySets(df)
+    assert(keySets.nonEmpty)
+    keySets.foreach { keys =>
+      if (keys.exists(_.contains("lang")))
+        assert(keys.exists(_.contains("gram")),
+          s"lang-only block join resurfaced: $keys")
+    }
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+  }
+
   test("CUSUM: the three window passes reuse the grid's topic partitioning (no extra Exchange)") {
     val plan = physical(Monitoring.cusumShift(spark, sfDir))
     // the ONLY shuffles are the two grid-construction aggregates
