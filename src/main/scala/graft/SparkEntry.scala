@@ -191,10 +191,14 @@ object SparkEntry {
         |  CAST(p.n_a + p.n_b - coalesce(o.n_both, 0) AS DOUBLE) AS jaccard
         |FROM p LEFT JOIN o ON o.topic_a = p.topic_a AND o.topic_b = p.topic_b""".stripMargin,
     // temperature mixture: exact BIGINT token totals, fixed-point
-    // quantized sqrt weights, one IEEE division per share
+    // quantized sqrt weights, one IEEE division per share. n_tokens is
+    // CAST to BIGINT because DuckDB sum(BIGINT) returns HUGEINT, which
+    // pandas renders as float64 — a type-level hash mismatch vs the
+    // int64 Spark column even when every value is identical (r4 red row)
     "q_mixture_temperature" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
-        |   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+        |   CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |     AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1),
         | w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
         |     AS BIGINT) AS w_fp FROM s),
@@ -867,7 +871,9 @@ object SparkEntry {
         |  CAST((cum - n_chars) // 5000 AS BIGINT) AS bucket
         |FROM c WHERE (cum - n_chars) // 5000 < cum // 5000""".stripMargin,
     // topic-mix drift: exact HUGEINT numerators over the full
-    // day×topic grid, one double division per day
+    // day×topic grid, one double division per day. n_day is CAST to
+    // BIGINT: DuckDB HUGEINT → pandas float64 hashes as "720.0" vs
+    // Spark's int64 "720" even at identical values (the r4 red row)
     "q_drift" ->
       """WITH cdt AS (SELECT date_trunc('day', ts) AS day,
         |   event_type AS topic, count(*) AS c FROM events GROUP BY 1, 2),
@@ -878,7 +884,7 @@ object SparkEntry {
         |   coalesce(cdt.c, 0) AS c
         |  FROM nd CROSS JOIN nt
         |  LEFT JOIN cdt ON cdt.day = nd.day AND cdt.topic = nt.topic)
-        |SELECT day, max(n_day) AS n_day,
+        |SELECT day, CAST(max(n_day) AS BIGINT) AS n_day,
         |  CAST(sum(abs(CAST(c AS HUGEINT) * n.n
         |    - CAST(n_topic AS HUGEINT) * n_day)) AS DOUBLE) /
         |  CAST(CAST(max(n_day) AS HUGEINT) * max(n.n) AS DOUBLE) AS drift

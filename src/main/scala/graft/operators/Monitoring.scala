@@ -245,10 +245,16 @@ object Monitoring {
     * constant within a consecutive run), so the whole panel is the
     * gap-filled grid + one topic-keyed window + two tiny aggregates.
     * availability_ppm is an exact integer floor division — no IEEE
-    * ratio to drift cross-engine. */
+    * ratio to drift cross-engine. The hour index is a true FLOOR
+    * division (pmod-adjusted): Spark's `div` truncates toward zero
+    * while the DuckDB oracle's `//` floors, and the two disagree on
+    * pre-1970 epochs — subtracting the non-negative pmod first makes
+    * the dividend an exact multiple, so `div` == floor on both sides
+    * for any epoch sign. */
   def availability(spark: SparkSession, dir: String): DataFrame = {
     val grid = gapFilledRates(spark, dir)
-      .withColumn("h", expr("unix_timestamp(window_start) div 3600"))
+      .withColumn("h", expr(
+        "(unix_timestamp(window_start) - pmod(unix_timestamp(window_start), 3600)) div 3600"))
     val gaps = grid.filter(col("msg_count") === 0)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("topic")).orderBy(col("h").asc)))

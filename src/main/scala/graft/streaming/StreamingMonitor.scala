@@ -400,25 +400,39 @@ object StreamingMonitor {
     * grid, the drained stream equals the batch closed-form panel
     * EXACTLY (asserted by spec). Topics absent from the baseline fall
     * back to (W, T) = (1, 0): μ = 0, so all their traffic accumulates
-    * as surge — a brand-new topic is pure anomaly. */
+    * as surge — a brand-new topic is pure anomaly.
+    *
+    * Ordering contract: windows are folded in event-time order within
+    * a batch, and the state carries the last-processed window
+    * timestamp per topic, so a window that arrives in a LATER batch
+    * than an already-folded later-timestamped one is DROPPED rather
+    * than folded out of order (a CUSUM recurrence is order-sensitive;
+    * folding late data would silently diverge from the batch
+    * closed-form panel). This is watermark-style semantics: upstream
+    * windowed counts sealed by a watermark arrive in order anyway, and
+    * anything older than the frontier is discarded deterministically. */
   def streamCusum(counts: Dataset[CountPoint],
                   baseline: Map[String, (Long, Long)],
                   alarmHours: Int = 3): Dataset[CusumRow] = {
     import counts.sparkSession.implicits._
     counts.groupByKey(_.topic)
-      .flatMapGroupsWithState[(Long, Long), CusumRow](
+      .flatMapGroupsWithState[(Long, Long, Long), CusumRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (topic, rows, state: GroupState[(Long, Long)]) =>
+        (topic, rows, state: GroupState[(Long, Long, Long)]) =>
           val (w, t) = baseline.getOrElse(topic, (1L, 0L))
-          var (sp, sn) = state.getOption.getOrElse((0L, 0L))
-          val out = rows.toSeq.sortBy(_.window_start.getTime).map { r =>
-            val dev = w * r.msg_count - t
-            sp = math.max(0L, sp + dev)
-            sn = math.max(0L, sn - dev)
-            CusumRow(topic, r.window_start, r.msg_count, sp, sn,
-              sp > alarmHours * t, sn > alarmHours * t)
-          }
-          state.update((sp, sn))
+          var (sp, sn, frontier) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.window_start.getTime)
+            .filter(_.window_start.getTime > frontier)
+            .map { r =>
+              frontier = r.window_start.getTime
+              val dev = w * r.msg_count - t
+              sp = math.max(0L, sp + dev)
+              sn = math.max(0L, sn - dev)
+              CusumRow(topic, r.window_start, r.msg_count, sp, sn,
+                sp > alarmHours * t, sn > alarmHours * t)
+            }
+          state.update((sp, sn, frontier))
           out.iterator
       }
   }

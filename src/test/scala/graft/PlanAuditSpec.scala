@@ -120,8 +120,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = physical(Monitoring.cusumShift(spark, sfDir))
     // the ONLY shuffles are the two grid-construction aggregates
     // (hourly counts, per-topic spans); the running-sum/min/max windows
-    // all ride the existing hashpartitioning(topic)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+    // all ride the existing hashpartitioning(topic). Upper bound, not
+    // exact count: a planner that fuses the two grid shuffles is fine,
+    // one that adds a third per-window Exchange is the regression.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"CUSUM windows stopped reusing the grid partitioning:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }

@@ -676,6 +676,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val baseline = Map("a" -> ((1L, 2L)))
+    val q = StreamingMonitor.streamCusum(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("cusum_ooo_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def cp(minute: Int, c: Long) =
+        graft.streaming.CountPoint("a", ts(minute), c)
+      // batch 1 folds minutes 1 and 3; batch 2's minute-2 window is
+      // behind the frontier → dropped, minute 4 folds normally
+      input.addData(cp(3, 5L), cp(1, 1L))
+      q.processAllAvailable()
+      input.addData(cp(2, 100L), cp(4, 2L))
+      q.processAllAvailable()
+      val got = spark.table("cusum_ooo_t").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toList.sortBy(_._1.getTime)
+      // dev = msg_count - 2: S⁺ folds (−1, +3, 0) → 0, 3, 3; the late
+      // 100-count window never inflates the statistic
+      assert(got == List(
+        (ts(1), 1L, 0L, 1L),
+        (ts(3), 5L, 3L, 0L),
+        (ts(4), 2L, 3L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("rate alert edges: only transitions emit and state survives across batches") {
     val s = spark
     import s.implicits._

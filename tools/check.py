@@ -43,6 +43,16 @@ def main(sfdir, outdir):
             diffs = []
             for c in g.columns:
                 gv, ev = g[c], e[c]
+                # the driver's hash is type-sensitive across the int/float
+                # boundary: an uncast DuckDB HUGEINT (sum of counts) comes
+                # back as float64 and hashes as "720.0" vs int64 "720".
+                # int32-vs-int64 is tolerated (proven by green driver rows).
+                gf = str(gv.dtype).startswith("float")
+                ef = str(ev.dtype).startswith("float")
+                if gf != ef:
+                    diffs.append(f"col {c} dtype class: spark {gv.dtype} vs oracle {ev.dtype}"
+                                 " (driver hash treats int-vs-float as mismatch; CAST the oracle)")
+                    continue
                 if str(gv.dtype).startswith("datetime") or str(ev.dtype).startswith("datetime"):
                     gv = pd.to_datetime(gv); ev = pd.to_datetime(ev)
                 eq = (gv == ev) | (gv.isna() & ev.isna())
