@@ -267,6 +267,27 @@ FROM dg JOIN gdf ON gdf.gram = dg.gram
 GROUP BY 1, 2"""
   }
 
+  /** q_source_overlap: cross-source shared-gram matrix over the same
+    * per-doc DISTINCT gram sets, re-deduped to per-SOURCE sets; the
+    * overlap coefficient is ONE double division of exact integers
+    * (Dedup.sourceOverlap). */
+  def sourceOverlap(n: Int): String = {
+    val ctes = docGramCtes(n) ++ Seq(
+      "sg AS MATERIALIZED (SELECT DISTINCT d.source, dg.gram FROM dg" +
+        " JOIN documents d ON d.doc_id = dg.doc_id)",
+      "st AS (SELECT source, count(*) AS total FROM sg GROUP BY 1)")
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT a.source AS source_a, b.source AS source_b,
+ ta.total AS n_a, tb.total AS n_b,
+ count(*) AS shared_grams,
+ CAST(count(*) AS DOUBLE) / CAST(least(ta.total, tb.total) AS DOUBLE)
+   AS overlap
+FROM sg a JOIN sg b ON b.gram = a.gram AND a.source < b.source
+ JOIN st ta ON ta.source = a.source
+ JOIN st tb ON tb.source = b.source
+GROUP BY 1, 2, 3, 4"""
+  }
+
   /** q_contain_eval: per-doc eval-set containment over the same
     * per-doc DISTINCT gram sets — shared/total exact integers, the
     * ratio ONE double division (Dedup.evalContainment). */

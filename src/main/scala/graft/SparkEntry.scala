@@ -32,6 +32,9 @@ object SparkEntry {
     "q_feed_alerts" -> ((s, d) => Monitoring.feedAlerts(s, d)),
     "q_gap_fill" -> ((s, d) => Monitoring.gapFilledRates(s, d)),
     "q_cusum" -> ((s, d) => Monitoring.cusumShift(s, d)),
+    "q_ewma" -> ((s, d) => Monitoring.ewmaRates(s, d)),
+    "q_topic_affinity" -> ((s, d) => Sequence.topicAffinity(s, d)),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q_availability" -> ((s, d) => Monitoring.availability(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
     "q_sessionize" -> ((s, d) => Monitoring.sessionize(s, d)),
@@ -522,6 +525,45 @@ object SparkEntry {
         | (c - run_min) > 3 * t_total AS alarm_surge,
         | (run_max - c) > 3 * t_total AS alarm_drop
         |FROM e""".stripMargin,
+    // exact EWMA (α = 1/2, H = 20): every weight a power of two, so
+    // num/den are exact BIGINT shifts; ewma is the one double division.
+    // The contiguous gap-filled grid makes the 20-hour range join
+    // equal Spark's ROWS frame; sums of shifted counts CAST to BIGINT
+    // (HUGEINT → pandas float64 otherwise — the r4 lesson)
+    "q_ewma" ->
+      """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        | spans AS (SELECT topic, min(ws) AS lo, max(ws) AS hi FROM counts GROUP BY 1),
+        | hours AS (SELECT topic, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS window_start FROM spans),
+        | g AS (SELECT h.topic, h.window_start, coalesce(c.n, 0) AS msg_count
+        |   FROM hours h LEFT JOIN counts c
+        |   ON h.topic = c.topic AND h.window_start = c.ws)
+        |SELECT i.topic, i.window_start, i.msg_count,
+        | CAST(sum(j.msg_count * (CAST(1 AS BIGINT) <<
+        |   (20 - date_diff('hour', j.window_start, i.window_start)))) AS BIGINT)
+        |   AS ewma_num,
+        | CAST(CAST(sum(j.msg_count * (CAST(1 AS BIGINT) <<
+        |   (20 - date_diff('hour', j.window_start, i.window_start)))) AS BIGINT) AS DOUBLE)
+        | / CAST((CAST(1 AS BIGINT) << 21) -
+        |     (CAST(1 AS BIGINT) << CAST(21 - count(*) AS INTEGER)) AS DOUBLE)
+        |   AS ewma
+        |FROM g i JOIN g j ON j.topic = i.topic
+        | AND j.window_start BETWEEN i.window_start - INTERVAL 20 HOUR
+        |   AND i.window_start
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // topic-pair Jaccard over exact distinct-user sets; union by
+    // inclusion-exclusion, one double division
+    "q_topic_affinity" ->
+      """WITH du AS (SELECT DISTINCT event_type AS topic, user_id FROM events),
+        | nt AS (SELECT topic, count(*) AS n FROM du GROUP BY 1),
+        | p AS (SELECT a.topic AS topic_a, b.topic AS topic_b, count(*) AS n_both
+        |   FROM du a JOIN du b ON b.user_id = a.user_id AND a.topic < b.topic
+        |   GROUP BY 1, 2)
+        |SELECT topic_a, topic_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        | CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE) AS jaccard
+        |FROM p JOIN nt ta ON ta.topic = p.topic_a
+        | JOIN nt tb ON tb.topic = p.topic_b""".stripMargin,
     "q_availability" ->
       """WITH counts AS (SELECT event_type AS topic, date_trunc('hour', ts) AS ws,
         |   count(*) AS n FROM events GROUP BY 1,2),
@@ -1063,6 +1105,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_edit" -> OracleSql.dedupEdit(16),
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
+    "q_source_overlap" -> OracleSql.sourceOverlap(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
     "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127

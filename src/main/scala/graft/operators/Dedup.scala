@@ -495,6 +495,39 @@ object Dedup {
         col("shared_grams").cast("double") / col("total_grams").cast("double"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources,
+    * how many distinct word-n-gram hashes they share, and the overlap
+    * coefficient shared / min(|A|, |B|) — the corpus-level audit a
+    * pipeline runs before mixing crawls ("is src3 mostly a re-crawl of
+    * src1?"), the source-granular complement of the per-doc
+    * [[dupCoverage]] and the eval-set [[decontaminate]].
+    *
+    * Scale shape: the per-source DISTINCT gram set is one dedup
+    * shuffle; the self-join keys on the 8-byte gram hash, so a gram
+    * present in k sources emits k·(k−1)/2 pairs — bounded by SOURCES²
+    * per gram, never a doc- or corpus-sized pair space. Per-source
+    * totals broadcast; the coefficient is one double division of two
+    * exact integers. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sg = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingle_hashes(col("text"), n)).as("gram"))
+      .distinct()
+    val st = sg.groupBy(col("source")).agg(count(lit(1)).as("total"))
+    sg.as("a")
+      .join(sg.withColumnRenamed("source", "source_b").as("b"), Seq("gram"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(st.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("total", "n_a")), Seq("source_a"))
+      .join(broadcast(st.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("total", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
+
   /** Exact substring dedup, APPLY step (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): [[repeatedNgrams]] /
     * [[dupCoverage]] compute the corpus signals; this one emits what a

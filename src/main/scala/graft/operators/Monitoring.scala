@@ -272,6 +272,38 @@ object Monitoring {
         coalesce(col("gap_count"), lit(0L)).as("n_gaps"))
   }
 
+  /** Exact EWMA smoothing of the per-topic hourly rate (α = 1/2,
+    * `horizon`-hour memory) — the smoothed baseline a rate alert
+    * compares raw counts against. All arithmetic is exact BIGINT:
+    * with α = 1/2 every weight is a power of two, so the adjusted
+    * EWMA num/den pair
+    *   num_t = Σ_{d=0..L-1} x_{t-d}·2^(H-d),
+    *   den_t = Σ_{d=0..L-1} 2^(H-d) = 2^(H+1) − 2^(H+1-L)
+    * (L = rows in the frame, ≤ H+1) is integer-exact, and `ewma` is
+    * the ONE double division at the end — bit-identical cross-engine.
+    *
+    * Scale shape: a bounded ROWS frame (≤ H+1 longs) over the
+    * gap-filled grid's existing topic partitioning — no pair space,
+    * no unbounded state; the frame fold is a codegen'd higher-order
+    * function over a ≤21-element array, not a UDF. */
+  def ewmaRates(spark: SparkSession, dir: String, horizon: Int = 20): DataFrame = {
+    val h = horizon
+    val w = Window.partitionBy(col("topic")).orderBy(col("window_start").asc)
+      .rowsBetween(-h, Window.currentRow)
+    gapFilledRates(spark, dir)
+      .withColumn("xs", collect_list(col("msg_count")).over(w))
+      // element i of the L-long frame (oldest first) is distance
+      // d = L-1-i from the current row: weight 2^(H-d) = 2^(H-L+1+i)
+      .withColumn("ewma_num", expr(
+        s"aggregate(transform(xs, (x, i) -> x * shiftleft(1L, $h + 1 + i - size(xs))), 0L, (a, x) -> a + x)"))
+      .withColumn("ewma_den", expr(
+        s"shiftleft(1L, ${h + 1}) - shiftleft(1L, ${h + 1} - size(xs))"))
+      .select(col("topic"), col("window_start"), col("msg_count"),
+        col("ewma_num"),
+        (col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+          .as("ewma"))
+  }
+
   /** Gap-based sessionization: a new session starts after 30 min of
     * per-user inactivity; emits per-session event count and duration.
     * One shuffle (by user), one sort — the standard scalable shape. */

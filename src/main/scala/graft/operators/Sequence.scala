@@ -101,6 +101,39 @@ object Sequence {
     ranks.select(col("node"), col("r").as("rank_milli"))
   }
 
+  /** Topic-affinity matrix: Jaccard similarity of the DISTINCT user
+    * sets of every event-type pair — "users who touch A also touch B",
+    * the audience-overlap view the bitmap panel (q_bitmap_overlap)
+    * answers with sketches, here EXACT. |A∩B| comes from the user-keyed
+    * self-join of the distinct (topic, user) set, |A∪B| = n_a + n_b −
+    * n_both by inclusion-exclusion (no union pass), and `jaccard` is
+    * the one double division at the end.
+    *
+    * Scale shape: the dedup shuffle keys (topic, user); the self-join
+    * shuffles by user and a user touching k topics emits k·(k−1)/2
+    * pairs — bounded by TOPICS², not by users or events, the same
+    * item-co-occurrence bound as [[graft.operators.TextAnalysis
+    * .collocations]]. Per-topic totals broadcast. */
+  def topicAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type").as("topic"), col("user_id")).distinct()
+    val nt = du.groupBy(col("topic")).agg(count(lit(1)).as("n_users"))
+    du.as("a")
+      .join(du.withColumnRenamed("topic", "topic_b").as("b"), Seq("user_id"))
+      .filter(col("topic") < col("topic_b"))
+      .groupBy(col("topic").as("topic_a"), col("topic_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(nt.withColumnRenamed("topic", "topic_a")
+        .withColumnRenamed("n_users", "n_a")), Seq("topic_a"))
+      .join(broadcast(nt.withColumnRenamed("topic", "topic_b")
+        .withColumnRenamed("n_users", "n_b")), Seq("topic_b"))
+      .select(col("topic_a"), col("topic_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Top-`topN` parts by triangle participation in the co-order part
     * graph (parts adjacent when some order contains both; orders
     * deterministically sampled by `orderkey % 10 = 0` so the demo

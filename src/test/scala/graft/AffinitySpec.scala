@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Monitoring, Sequence}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 operators (exact EWMA, topic-affinity
+  * Jaccard, cross-source overlap matrix) on the sf0.001 tables —
+  * driver-side exact recomputation; plan shape is in PlanAuditSpec,
+  * cross-engine equality is the DuckDB oracle's job. */
+class AffinitySpec extends SparkSpec {
+
+  test("ewma: exact scaled-integer fold reproduces every row; first row equals its count") {
+    val H = 20
+    val grid = Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val got = Monitoring.ewmaRates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    grid.foreach { case (topic, rows) =>
+      rows.indices.foreach { t =>
+        val frame = rows.slice(math.max(0, t - H), t + 1)
+        val L = frame.length
+        // distance d = L-1-i, weight 2^(H-d)
+        val num = frame.zipWithIndex.map { case ((_, _, x), i) =>
+          x * (1L << (H - (L - 1 - i)))
+        }.sum
+        val den = (1L << (H + 1)) - (1L << (H + 1 - L))
+        val (cnt, gNum, gEwma) = got((topic, rows(t)._2))
+        assert(cnt == rows(t)._3)
+        assert(gNum == num, s"$topic t=$t: num $gNum != $num")
+        assert(gEwma == num.toDouble / den.toDouble)
+        if (t == 0) assert(gEwma == rows(t)._3.toDouble,
+          s"L=1 EWMA must equal the raw count")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, "row sets differ")
+  }
+
+  test("topic affinity: driver-set Jaccard matches exactly, pairs ordered, only intersecting pairs emitted") {
+    val users = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = (for {
+      a <- users.keys; b <- users.keys if a < b
+      inter = (users(a) & users(b)).size if inter > 0
+    } yield (a, b) -> ((users(a).size.toLong, users(b).size.toLong, inter.toLong))).toMap
+    val got = Sequence.topicAffinity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == exp.keySet, s"pair sets differ: ${got.keySet} vs ${exp.keySet}")
+    got.foreach { case (k @ (a, b), (nA, nB, nBoth, j)) =>
+      assert(a < b)
+      val (eA, eB, eBoth) = exp(k)
+      assert((nA, nB, nBoth) == ((eA, eB, eBoth)), s"$k: counts differ")
+      assert(j == eBoth.toDouble / (eA + eB - eBoth).toDouble)
+    }
+  }
+
+  test("source overlap: driver-set intersections match; coefficient exact; bounds hold") {
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.plans.Fingerprints.shingle_hashes(col("text"), 8)).as("gram"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Dedup.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.nonEmpty, "no overlapping source pairs on this corpus")
+    val exp = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, b) ->
+      ((sets(a).size.toLong, sets(b).size.toLong, inter.toLong))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (nA, nB, shared, ov)) =>
+      val (eA, eB, eShared) = exp(k)
+      assert((nA, nB, shared) == ((eA, eB, eShared)), s"$k: counts differ")
+      assert(shared <= math.min(nA, nB) && ov > 0.0 && ov <= 1.0)
+      assert(ov == shared.toDouble / math.min(nA, nB).toDouble)
+    }
+  }
+}

@@ -128,6 +128,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ewma: bounded-frame window, codegen HOF fold, no pair space") {
+    val plan = physical(Monitoring.ewmaRates(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"ewma grew a pair space:\n$plan")
+    // the frame fold is Catalyst transform/aggregate, never a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("topic affinity: user-keyed self-join, totals broadcast, no cartesian") {
+    val df = graft.operators.Sequence.topicAffinity(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+    assert(equiJoinKeySets(df).exists(_.exists(_.contains("user_id"))),
+      "self-join no longer keys on user_id")
+  }
+
+  test("source overlap: self-join keys on the gram hash, totals broadcast") {
+    val df = Dedup.sourceOverlap(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
+    assert(equiJoinKeySets(df).exists(_.exists(_.contains("gram"))),
+      "self-join no longer keys on gram")
+  }
+
   test("availability: islands and totals stay on the grid partitioning, gap join broadcasts") {
     val plan = physical(Monitoring.availability(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)
