@@ -35,6 +35,14 @@ final case class RatePoint(topic: String, window_start: java.sql.Timestamp,
 final case class AlertEdge(topic: String, at: java.sql.Timestamp,
                            kind: String, rate: Double)
 
+/** Running availability/SLO panel row — the streaming twin of the
+  * batch q_availability output, emitted once per folded window. */
+final case class AvailabilityRow(topic: String,
+                                 window_start: java.sql.Timestamp,
+                                 windows_total: Long, windows_active: Long,
+                                 availability_ppm: Long,
+                                 longest_gap_hours: Long, n_gaps: Long)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -433,6 +441,46 @@ object StreamingMonitor {
                 sp > alarmHours * t, sn > alarmHours * t)
             }
           state.update((sp, sn, frontier))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch q_availability panel: per-topic
+    * availability/SLO accumulator over a windowed-count stream. State
+    * per topic is six longs — (total, active, current-gap length,
+    * longest gap, gap count, frontier) — cardinality-bounded like
+    * [[streamCusum]]; a "gap" is a maximal run of zero-count windows,
+    * counted the moment it opens and extended while it runs, so the
+    * LATEST emitted row per topic always equals the batch
+    * gaps-and-islands panel over the windows folded so far (asserted
+    * exactly by spec against [[graft.operators.Monitoring
+    * .availability]]). availability_ppm is the same exact integer
+    * floor division as the batch side — no IEEE ratio. Windows fold
+    * in event-time order within a batch and the frontier drops
+    * late-arriving windows, the [[streamCusum]] ordering contract. */
+  def streamAvailability(counts: Dataset[CountPoint]): Dataset[AvailabilityRow] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long), AvailabilityRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (total, active, curGap, longest, nGaps, frontier) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.window_start.getTime)
+            .filter(_.window_start.getTime > frontier)
+            .map { r =>
+              frontier = r.window_start.getTime
+              total += 1
+              if (r.msg_count > 0) { active += 1; curGap = 0L }
+              else {
+                if (curGap == 0L) nGaps += 1
+                curGap += 1
+                longest = math.max(longest, curGap)
+              }
+              AvailabilityRow(topic, r.window_start, total, active,
+                active * 1000000L / total, longest, nGaps)
+            }
+          state.update((total, active, curGap, longest, nGaps, frontier))
           out.iterator
       }
   }

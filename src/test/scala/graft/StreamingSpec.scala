@@ -676,6 +676,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming availability: latest row per topic equals the batch gaps-and-islands panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamAvailability(input.toDS())
+      .writeStream.format("memory").queryName("avail_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // latest emitted row per topic == the batch panel
+      val streamed = spark.table("avail_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+      val batch = graft.operators.Monitoring.availability(spark, sfDir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(streamed == batch,
+        s"missing=${(batch.toSet -- streamed.toSet).take(2)} extra=${(streamed.toSet -- batch.toSet).take(2)}")
+      // the panel must have found at least one real gap on this corpus
+      assert(batch.values.exists(_._5 > 0), "no gaps exercised")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
     val s = spark
     import s.implicits._
