@@ -12,13 +12,27 @@ import org.apache.spark.sql.SparkSession
   * exactly so in round 2 — none of the flagged queries reproduced).
   */
 object Bench {
+  /** Cumulative steal jiffies from /proc/stat's aggregate cpu line
+    * (col 9: cpu user nice system idle iowait irq softirq steal).
+    * Written into the artifact at run start/end so a storm-afflicted
+    * sample carries its own adjudication evidence (BASELINE.md's
+    * host-variance protocol) without a re-run. -1 when unreadable. */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      cpu.trim.split("\\s+")(8).toLong
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val steal0 = stealJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +62,14 @@ object Bench {
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failure must not kill the whole suite, but it must be LOUD:
+      // a swallowed exception reads as an impossibly fast sample (the
+      // r5→r6 q_feed_alerts adjudication chased exactly that shadow)
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       if (stats) {
         // listener events arrive async on the bus — settle (two equal
@@ -109,17 +130,17 @@ object Bench {
         } catch { case _: Throwable => }
       }
     }
-    val qs = names.map(n => s"\"$n\":${medians(n)}").mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    // full artifact: every sample, plus the medians and the stdout line
+    val steal1 = stealJiffies()
+    // full artifact (full-precision medians + every sample + steal
+    // evidence) goes to a file a truncated stdout capture can't lose
+    val qs = names.map(n => s"\"$n\":${medians(n)}").mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val allSamples = names.map { n =>
       s"\"$n\":" + samples(n).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val artifact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"sf":"$sfDir","reps":$reps,"steal_start":$steal0,"steal_end":$steal1,"steal_delta":${steal1 - steal0}}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -128,7 +149,15 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] failed to write $outPath: $e")
     }
-    println(line)
+    // stdout, tail-capture-safe (the r5 full-precision one-liner outgrew
+    // the driver's tail window → BENCH_r05 parsed:null): one compact
+    // `BENCHQ name secs` line per query as redundancy, then the
+    // driver-contract JSON line LAST with seconds at millisecond
+    // precision, ~40% the size of the full-precision form
+    names.foreach(n => println(f"BENCHQ $n ${medians(n)}%.3f"))
+    val qsC = names.map(n => f""""$n":${medians(n)}%.3f""").mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsC,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"artifact":"$outPath"}""")
     spark.stop()
   }
 }

@@ -667,6 +667,48 @@ SELECT v.i AS dim,
 FROM $L v"""
   }
 
+  /** q_token_bpe: the identical relational BPE trainer as unrolled SQL
+    * (the q_embed_pca chained-CTE pattern) — distinct-word table with
+    * char symbol arrays, then per merge round: adjacent-pair counts
+    * weighted by word frequency, the (count DESC, pair ASC) argmax,
+    * gaps-and-islands greedy selection (odd members of each
+    * consecutive-match run), and the ordered-list rebuild. Both
+    * engines replay the same set algebra, so the match is exact. */
+  def tokenBpe(merges: Int = 16): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += "nz AS MATERIALIZED (SELECT source, word FROM (SELECT source," +
+      " unnest(regexp_split_to_array(trim(text), '\\s+')) AS word" +
+      " FROM documents) WHERE word <> '')"
+    ctes += "v0 AS MATERIALIZED (SELECT word, count(*) AS wf," +
+      " list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms" +
+      " FROM nz GROUP BY 1)"
+    for (r <- 1 to merges) {
+      ctes += s"p$r AS MATERIALIZED (SELECT word, wf, i, syms[i] AS a," +
+        " lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS b" +
+        s" FROM (SELECT word, wf, unnest(range(1, len(syms) + 1)) AS i," +
+        s" syms FROM v${r - 1}))"
+      ctes += s"m$r AS (SELECT a, b FROM (SELECT a, b, sum(wf) AS cnt" +
+        s" FROM p$r WHERE b IS NOT NULL GROUP BY 1, 2)" +
+        " ORDER BY cnt DESC, a, b LIMIT 1)"
+      ctes += s"s$r AS (SELECT word, i FROM (SELECT word, i," +
+        " row_number() OVER (PARTITION BY word, grp ORDER BY i) AS k" +
+        " FROM (SELECT p.word, p.i," +
+        " p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS grp" +
+        s" FROM p$r p JOIN m$r m ON p.a = m.a AND p.b = m.b))" +
+        " WHERE k % 2 = 1)"
+      ctes += s"v$r AS MATERIALIZED (SELECT p.word, p.wf," +
+        " list(CASE WHEN sl.i IS NOT NULL THEN p.a || p.b ELSE p.a END" +
+        " ORDER BY p.i) AS syms" +
+        s" FROM p$r p LEFT JOIN s$r sl ON sl.word = p.word AND sl.i = p.i" +
+        s" LEFT JOIN s$r sp ON sp.word = p.word AND sp.i = p.i - 1" +
+        " WHERE sp.i IS NULL GROUP BY 1, 2)"
+    }
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT nz.source, count(*) AS n_words,
+ CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens
+FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
+  }
+
   /** q_approx_distinct: the ENTIRE HyperLogLog sketch recomputed in
     * SQL — the Count-Min precedent applied to HllSketch (p=12,
     * m=4096). Registers: mix(user_id) via the BIGINT-halves splitmix64

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q_token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(s, d)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
@@ -890,6 +891,7 @@ object SparkEntry {
         | CAST(sum(len(regexp_extract_all(text,
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_bpe" -> OracleSql.tokenBpe(),
     "q_train_test_split" ->
       """SELECT lang,
         | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'

@@ -20,16 +20,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** `ts` is TIMESTAMP(NANOS) parquet, which Spark has no native type
-    * for. Read it as a long (legacy conf) and truncate ns→µs with
-    * integer division — the same truncation DuckDB applies when it
-    * coerces ns to its µs TIMESTAMP, so both engines see identical
-    * values. (Double division would corrupt: ns epochs ≈ 1.7e18 > 2^53.)
-    */
+  /** The driver has shipped `ts` as TIMESTAMP(NANOS) in some rounds
+    * and TIMESTAMP(MICROS) in others, so adapt to what the file
+    * actually contains rather than assuming either:
+    *  - NANOS: Spark has no native ns type — read it as a long
+    *    (legacy conf) and truncate ns→µs with integer division, the
+    *    same truncation DuckDB applies coercing ns to its µs
+    *    TIMESTAMP. (Double division would corrupt: ns epochs ≈
+    *    1.7e18 > 2^53.)
+    *  - MICROS: arrives as TIMESTAMP_NTZ; cast to TIMESTAMP under the
+    *    UTC session so every downstream unix_timestamp/date_trunc and
+    *    the written output keep the exact pre-switch semantics.
+    * Either way both engines see identical µs values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -60,6 +60,87 @@ object TextAnalysis {
         sum(T.wordCount(col("text")).cast("long")).as("ws_tokens"),
         sum(T.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
 
+  /** Real byte-pair-encoding token counting: train a deterministic
+    * merge table on the corpus itself, then meter each source by its
+    * TRUE post-merge token count — the budget a training pipeline
+    * actually schedules against, where q_token_count's regex form is
+    * only a proxy. Sennrich et al. 2016's trainer, re-expressed
+    * relationally over the DISTINCT-WORD table:
+    *
+    * per merge round — (1) explode the current symbol arrays, (2)
+    * count adjacent pairs weighted by word frequency (exact BIGINT),
+    * (3) pick argmax under the total order (count DESC, pair ASC) —
+    * the q_oov_ratio vocabulary determinism idiom, (4) apply the
+    * merge greedily left-to-right. Greedy application is relational
+    * too: matches overlap only when a = b, i.e. at CONSECUTIVE
+    * positions, so "runs of matches" fall out of the gaps-and-islands
+    * trick (i − row_number) and greedy = the odd-indexed members of
+    * each run. Both engines replay the identical set algebra, so the
+    * DuckDB oracle (merge rounds unrolled as chained CTEs, the
+    * q_embed_pca pattern) matches bit-for-bit.
+    *
+    * Scale shape: training touches only the distinct-word table —
+    * vocabulary-sized, shuffles ∝ vocab·word_len per round with a
+    * bounded round count, and a per-round lineage cut
+    * (localCheckpoint) keeps the plan flat, the kmeansIterate
+    * pattern. The per-round driver fetch is the chosen pair alone
+    * (2 strings — the CC-convergence-signature idiom), which also
+    * yields the merge table itself as the broadcast-able artifact a
+    * deployment would ship to its encode stage. The corpus-sized
+    * side is one exploded scan collapsed by map-side partial
+    * aggregation and one word-keyed join of (word → n_tokens) —
+    * broadcast at dictionary scale, shuffle-join beyond. */
+  def tokenBpe(spark: SparkSession, dir: String, merges: Int = 16): DataFrame =
+    tokenBpeOf(Tables.documents(spark, dir), merges)
+
+  /** [[tokenBpe]] over a prepared (source, text, ...) frame — the spec
+    * plants a hand-computable corpus through the production path. */
+  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
+    val words = docs
+      .select(col("source"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    // split(w, "") keeps a trailing "" (Java split limit -1); chars are
+    // never empty, so array_remove is exact
+    var vocab = words.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .withColumn("syms", array_remove(split(col("word"), ""), ""))
+    val byPos = Window.partitionBy(col("word")).orderBy(col("i"))
+    for (_ <- 1 to merges) {
+      val pairs = vocab
+        .select(col("word"), col("wf"), posexplode(col("syms")).as(Seq("i", "sym")))
+        .withColumn("b", lead(col("sym"), 1).over(byPos))
+      val best = pairs.filter(col("b").isNotNull)
+        .groupBy(col("sym").as("a"), col("b"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).select(col("a"), col("b")).collect()
+      if (best.nonEmpty) {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        val sel = pairs.filter(col("sym") === lit(a) && col("b") === lit(b))
+          .withColumn("grp", col("i") - row_number().over(byPos))
+          .withColumn("k", row_number().over(
+            Window.partitionBy(col("word"), col("grp")).orderBy(col("i"))))
+          .filter(pmod(col("k"), lit(2)) === 1)
+          .select(col("word"), col("i"))
+        vocab = pairs
+          .join(sel.withColumn("m_here", lit(true)), Seq("word", "i"), "left")
+          .join(sel.select(col("word"), (col("i") + 1).as("i"),
+            lit(true).as("m_prev")), Seq("word", "i"), "left")
+          .filter(col("m_prev").isNull)
+          .select(col("word"), col("wf"), col("i"),
+            when(col("m_here"), concat(col("sym"), col("b")))
+              .otherwise(col("sym")).as("sym2"))
+          .groupBy(col("word"), col("wf"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, sym2))), x -> x.sym2)")
+            .as("syms"))
+          .localCheckpoint(eager = true)
+      }
+    }
+    words.join(vocab, Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("bpe_tokens"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (the Zipf table a
     * tokenizer-training or quality pipeline starts from). Map-side
     * partial counts collapse the explode before the single shuffle,

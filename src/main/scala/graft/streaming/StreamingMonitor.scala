@@ -43,6 +43,11 @@ final case class AvailabilityRow(topic: String,
                                  availability_ppm: Long,
                                  longest_gap_hours: Long, n_gaps: Long)
 
+/** Running EWMA panel row — the streaming twin of the batch q_ewma
+  * output, emitted once per folded window. */
+final case class EwmaRow(topic: String, window_start: java.sql.Timestamp,
+                         msg_count: Long, ewma_num: Long, ewma: Double)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -310,15 +315,28 @@ object StreamingMonitor {
                            maxFilesPerTrigger: Int = 1): DataFrame =
     eventsReplayOf(spark, dir, col("user_id"), maxFilesPerTrigger)
 
-  // one place owns the connector shaping — in particular the ns→µs
-  // event-time reconstruction the batch/stream equivalence specs
-  // depend on
+  // one place owns the connector shaping — in particular the event-time
+  // reconstruction the batch/stream equivalence specs depend on. The
+  // driver has shipped ts as TIMESTAMP(NANOS) (read as long, ns→µs by
+  // integer division) and as TIMESTAMP(MICROS) (arrives NTZ; cast to
+  // the session-UTC TIMESTAMP) — adapt like [[graft.Tables.events]].
   private def eventsReplayOf(spark: SparkSession, dir: String,
-                             payload: Column, maxFilesPerTrigger: Int): DataFrame =
-    replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
-      .select(col("event_type").as("topic"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        payload)
+                             payload: Column, maxFilesPerTrigger: Int): DataFrame = {
+    val raw = replaySource(spark, s"$dir/events.parquet", maxFilesPerTrigger)
+    raw.select(col("event_type").as("topic"), normalizedTs(raw).as("ts"), payload)
+  }
+
+  /** The `ts` column of a replayed events frame, normalized to the
+    * session-UTC TIMESTAMP whichever way the driver shipped it —
+    * ns-as-long or µs-NTZ (see [[graft.Tables.events]]). */
+  private[graft] def normalizedTs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
 
   /** Streaming windowed approx-distinct: per (topic, tumbling window)
     * HLL-sketched distinct `userCol` — the mergeable-sketch
@@ -441,6 +459,49 @@ object StreamingMonitor {
                 sp > alarmHours * t, sn > alarmHours * t)
             }
           state.update((sp, sn, frontier))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch q_ewma panel: exact α = 1/2 EWMA of
+    * the per-topic windowed count, `horizon`-window memory. The batch
+    * side computes the adjusted-EWMA num/den pair over a bounded ROWS
+    * frame; HERE the frame is carried literally — state per topic is
+    * the last ≤ horizon+1 counts plus the frontier (≤ 22 longs,
+    * cardinality-bounded like [[streamCusum]]). A pure (num, den)
+    * recurrence would be the UNBOUNDED-horizon EWMA: exact halving of
+    * num_t−1 must also retire the term that falls off the frame, and
+    * that term's halved weight (2⁻¹) leaves the integer grid — so
+    * carrying the frame IS the minimal exact state. Every weight is a
+    * power of two, num/den stay exact BIGINT, and `ewma` is the one
+    * double division — bit-identical to the batch panel on sealed
+    * windows (asserted by spec). Windows fold in event-time order
+    * within a batch and the frontier drops late arrivals — the
+    * [[streamCusum]] ordering contract. */
+  def streamEwma(counts: Dataset[CountPoint], horizon: Int = 20): Dataset[EwmaRow] = {
+    import counts.sparkSession.implicits._
+    val h = horizon
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Seq[Long]), EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[(Long, Seq[Long])]) =>
+          var (frontier, xs) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          val out = rows.toSeq.sortBy(_.window_start.getTime)
+            .filter(_.window_start.getTime > frontier)
+            .map { r =>
+              frontier = r.window_start.getTime
+              xs = (xs :+ r.msg_count).takeRight(h + 1)
+              val len = xs.length
+              // element i (oldest first) sits at distance len-1-i from
+              // the current window: weight 2^(h-(len-1-i)) = 2^(h+1+i-len)
+              val num = xs.iterator.zipWithIndex
+                .map { case (x, i) => x << (h + 1 + i - len) }.sum
+              val den = (1L << (h + 1)) - (1L << (h + 1 - len))
+              EwmaRow(topic, r.window_start, r.msg_count, num,
+                num.toDouble / den.toDouble)
+            }
+          state.update((frontier, xs))
           out.iterator
       }
   }

@@ -566,6 +566,25 @@ class OperatorSpec extends SparkSpec {
       3L -> ((2L, 0L, 0.0))))
   }
 
+  test("token BPE: deterministic merge training and greedy application") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "aaab aaab"),
+      ("s2", "aaa ab")
+    ).toDF("source", "text")
+    // round 1: (a,a)=6 wins; greedy on the "aaa" run takes position 1
+    // only → (aa, a), never (a, aa). round 2: (aa,a)=3 ties (a,b)=3 →
+    // pair-ascending argmax picks (a,b). round 3: (aa,ab)=2 → "aaab"
+    // collapses to ONE token while "aaa" stays (aa, a) and "ab" is (ab)
+    val got = graft.operators.TextAnalysis.tokenBpeOf(docs, merges = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> ((2L, 2L)), "s2" -> ((2L, 3L))))
+    // merges=0 degenerates to exact character counting
+    val chars = graft.operators.TextAnalysis.tokenBpeOf(docs, merges = 0).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(chars == Map("s1" -> 8L, "s2" -> 5L))
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")

@@ -215,9 +215,9 @@ class StreamingSpec extends SparkSpec {
   test("streaming session windows agree with batch gap-sessionization") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.{Window => W}
-    val src = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val raw = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
+    val src = raw.select(col("user_id"),
+      StreamingMonitor.normalizedTs(raw).as("ts"))
     val sessions = StreamingMonitor.sessionWindows(src)
     val q = sessions.writeStream.format("memory").queryName("sess_t")
       .outputMode(OutputMode.Append()).start()
@@ -253,9 +253,11 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join matches the batch range join") {
     import org.apache.spark.sql.functions._
-    def side(t: String) = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
-      .filter(col("event_type") === t)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    def side(t: String) = {
+      val raw = StreamingMonitor.replaySource(spark, s"$sfDir/events.parquet")
+      raw.filter(col("event_type") === t)
+        .select(col("user_id"), StreamingMonitor.normalizedTs(raw).as("ts"))
+    }
     val joined = StreamingMonitor.intervalJoin(side("click"), side("purchase"))
     val q = joined.writeStream.format("memory").queryName("ssj_t")
       .outputMode(OutputMode.Append()).start()
@@ -673,6 +675,41 @@ class StreamingSpec extends SparkSpec {
           r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
       assert(streamed == batch,
         s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    } finally q.stop()
+  }
+
+  test("streaming EWMA equals the batch adjusted-EWMA panel on the sealed grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven shuffled chunks: in-batch event-time sort + cross-batch
+      // state carry, the streamCusum harness
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ewma_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.operators.Monitoring.ewmaRates(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // exact equality including the double: both sides divide the same
+      // two integers once
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      // the horizon trim must actually engage (>21 windows per topic)
+      assert(grid.groupBy(_.topic).values.exists(_.size > 21),
+        "horizon trim not exercised")
     } finally q.stop()
   }
 
