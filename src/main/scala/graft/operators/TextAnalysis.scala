@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.plans.Fingerprints._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -64,81 +63,160 @@ object TextAnalysis {
     * merge table on the corpus itself, then meter each source by its
     * TRUE post-merge token count — the budget a training pipeline
     * actually schedules against, where q_token_count's regex form is
-    * only a proxy. Sennrich et al. 2016's trainer, re-expressed
-    * relationally over the DISTINCT-WORD table:
+    * only a proxy. Sennrich et al. 2016's trainer: per merge round,
+    * count adjacent symbol pairs weighted by word frequency (exact
+    * BIGINT), pick the argmax under the total order (count DESC, pair
+    * ASC — the q_oov_ratio vocabulary determinism idiom), apply the
+    * merge greedily left-to-right, repeat. The DuckDB oracle replays
+    * the identical set algebra relationally (merge rounds unrolled as
+    * chained CTEs, the q_embed_pca pattern), so the match is exact.
     *
-    * per merge round — (1) explode the current symbol arrays, (2)
-    * count adjacent pairs weighted by word frequency (exact BIGINT),
-    * (3) pick argmax under the total order (count DESC, pair ASC) —
-    * the q_oov_ratio vocabulary determinism idiom, (4) apply the
-    * merge greedily left-to-right. Greedy application is relational
-    * too: matches overlap only when a = b, i.e. at CONSECUTIVE
-    * positions, so "runs of matches" fall out of the gaps-and-islands
-    * trick (i − row_number) and greedy = the odd-indexed members of
-    * each run. Both engines replay the identical set algebra, so the
-    * DuckDB oracle (merge rounds unrolled as chained CTEs, the
-    * q_embed_pca pattern) matches bit-for-bit.
-    *
-    * Scale shape: training touches only the distinct-word table —
-    * vocabulary-sized, shuffles ∝ vocab·word_len per round with a
-    * bounded round count, and a per-round lineage cut
-    * (localCheckpoint) keeps the plan flat, the kmeansIterate
-    * pattern. The per-round driver fetch is the chosen pair alone
-    * (2 strings — the CC-convergence-signature idiom), which also
-    * yields the merge table itself as the broadcast-able artifact a
-    * deployment would ship to its encode stage. The corpus-sized
-    * side is one exploded scan collapsed by map-side partial
-    * aggregation and one word-keyed join of (word → n_tokens) —
-    * broadcast at dictionary scale, shuffle-join beyond. */
+    * Deployment lifecycle — the FAISS-codebook shape, split into the
+    * two halves a pipeline actually ships:
+    *  - [[trainBpe]]: ONE corpus scan collapses to the distinct-word
+    *    frequency table (map-side partial agg; shuffle ∝ vocabulary,
+    *    not corpus), which is collected and trained driver-side. The
+    *    collect is DICTIONARY-bounded — the q_embed_pca d²-collect
+    *    argument — and the in-memory loop costs O(merges·Σ|word|)
+    *    with zero cluster barriers, where the former all-relational
+    *    trainer paid ~159 driver-synchronized jobs for 16 rounds on a
+    *    31-word vocabulary (the r6 scale-killer: a real 10k–50k-merge
+    *    tokenizer run would be dead on arrival).
+    *  - [[encodeBpe]]: the merge table broadcasts (≤ merges rows);
+    *    each DISTINCT word is encoded exactly once (work ∝
+    *    vocabulary, never corpus), and the corpus-sized side is one
+    *    exploded scan collapsed by map-side partial aggregation into
+    *    (source, word) instance counts joined back to the per-word
+    *    token counts — broadcast at dictionary scale, shuffle-join
+    *    beyond, with NO window pass anywhere (plan-audited). */
   def tokenBpe(spark: SparkSession, dir: String, merges: Int = 16): DataFrame =
     tokenBpeOf(Tables.documents(spark, dir), merges)
 
   /** [[tokenBpe]] over a prepared (source, text, ...) frame — the spec
     * plants a hand-computable corpus through the production path. */
-  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
-    val words = docs
-      .select(col("source"), explode(T.tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-    // split(w, "") keeps a trailing "" (Java split limit -1); chars are
-    // never empty, so array_remove is exact
-    var vocab = words.groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      .withColumn("syms", array_remove(split(col("word"), ""), ""))
-    val byPos = Window.partitionBy(col("word")).orderBy(col("i"))
-    for (_ <- 1 to merges) {
-      val pairs = vocab
-        .select(col("word"), col("wf"), posexplode(col("syms")).as(Seq("i", "sym")))
-        .withColumn("b", lead(col("sym"), 1).over(byPos))
-      val best = pairs.filter(col("b").isNotNull)
-        .groupBy(col("sym").as("a"), col("b"))
-        .agg(sum(col("wf")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).select(col("a"), col("b")).collect()
-      if (best.nonEmpty) {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        val sel = pairs.filter(col("sym") === lit(a) && col("b") === lit(b))
-          .withColumn("grp", col("i") - row_number().over(byPos))
-          .withColumn("k", row_number().over(
-            Window.partitionBy(col("word"), col("grp")).orderBy(col("i"))))
-          .filter(pmod(col("k"), lit(2)) === 1)
-          .select(col("word"), col("i"))
-        vocab = pairs
-          .join(sel.withColumn("m_here", lit(true)), Seq("word", "i"), "left")
-          .join(sel.select(col("word"), (col("i") + 1).as("i"),
-            lit(true).as("m_prev")), Seq("word", "i"), "left")
-          .filter(col("m_prev").isNull)
-          .select(col("word"), col("wf"), col("i"),
-            when(col("m_here"), concat(col("sym"), col("b")))
-              .otherwise(col("sym")).as("sym2"))
-          .groupBy(col("word"), col("wf"))
-          .agg(expr("transform(array_sort(collect_list(struct(i, sym2))), x -> x.sym2)")
-            .as("syms"))
-          .localCheckpoint(eager = true)
+  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame =
+    encodeBpe(docs, trainBpe(docs, merges))
+
+  /** The corpus word stream: one exploded (source, word) row per
+    * token instance. */
+  private def tokenWords(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(T.tokens(col("text"))).as("word"))
+    .filter(col("word") =!= "")
+
+  /** Train a BPE merge table on `docs`: (rank, a, b), rank 1 = first
+    * merge learned. May return fewer than `merges` rows if the
+    * vocabulary runs out of adjacent pairs. The distributed side is
+    * one scan → distinct-word frequency table (vocabulary-sized); the
+    * merge loop itself runs on the driver over that dictionary-bounded
+    * collect (see [[tokenBpe]]). */
+  def trainBpe(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = tokenWords(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .as[(String, Long)].collect()
+    val table = bpeTrainMerges(wordCounts, merges)
+    spark.createDataFrame(table.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })
+      .toDF("rank", "a", "b")
+  }
+
+  /** Apply a [[trainBpe]] merge table to `docs` and meter each source:
+    * (source, n_words, bpe_tokens). The merge table is collected
+    * (≤ merges rows) and broadcast; each distinct word is encoded once
+    * on the executors; the corpus side partial-aggregates to (source,
+    * word) instance counts before its only shuffle. */
+  def encodeBpe(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeSeq = mergeTable.orderBy(col("rank"))
+      .select(col("a"), col("b")).as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(mergeSeq)
+    val perSourceWord = tokenWords(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
+    val wordTokens = perSourceWord.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { w =>
+          var syms: Array[String] = w.map(_.toString).toArray
+          ms.foreach { case (a, b) => syms = bpeApplyMerge(syms, a, b) }
+          (w, syms.length)
+        }
+      }.toDF("word", "n_tokens")
+    perSourceWord.join(wordTokens, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_words"),
+        sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"))
+  }
+
+  /** One greedy left-to-right merge pass: every adjacent (a, b) whose
+    * left symbol wasn't itself just consumed collapses to a||b —
+    * identical to the relational odd-members-of-each-run selection
+    * (matches overlap only when a = b, and left-to-right consumption
+    * keeps exactly the odd-indexed members of each consecutive run). */
+  private def bpeApplyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Strict UTF-8 byte order — the collation Spark and DuckDB compare
+    * strings under, so the driver-side argmax tie-break replays the
+    * engines' `ORDER BY a, b` exactly (String.compareTo would differ
+    * on supplementary-plane code points). */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The in-memory Sennrich trainer over the collected (word, wf)
+    * table: symbol arrays start as UTF-16 code-unit splits (what
+    * `split(word, '')` produced in the relational form), pair counts
+    * weight every adjacent position by word frequency, and the argmax
+    * total order is (count DESC, a ASC, b ASC) under UTF-8 byte
+    * collation — bit-for-bit the relational/DuckDB selection. */
+  private[operators] def bpeTrainMerges(wordCounts: Seq[(String, Long)],
+                                        merges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, wf) => (w.map(_.toString).toArray, wf) }.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, wf) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + wf)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.foreach { case (p, c) =>
+          if (best == null || c > best._2 || (c == best._2 &&
+              (utf8Less(p._1, best._1._1) ||
+                (p._1 == best._1._1 && utf8Less(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val (a, b) = best._1
+        out += ((a, b))
+        words = words.map { case (syms, wf) => (bpeApplyMerge(syms, a, b), wf) }
       }
     }
-    words.join(vocab, Seq("word"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(size(col("syms"))).cast("long").as("bpe_tokens"))
+    out.toSeq
   }
 
   /** Corpus vocabulary: top-k tokens by frequency (the Zipf table a

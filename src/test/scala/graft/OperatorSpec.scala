@@ -585,6 +585,29 @@ class OperatorSpec extends SparkSpec {
     assert(chars == Map("s1" -> 8L, "s2" -> 5L))
   }
 
+  test("BPE train/encode split: the merge table is a reusable artifact") {
+    import spark.implicits._
+    val docs = Seq(("s1", "aaab aaab"), ("s2", "aaa ab")).toDF("source", "text")
+    // the trained table IS the hand-derived merge sequence, rank-ordered
+    val table = graft.operators.TextAnalysis.trainBpe(docs, merges = 3)
+    assert(table.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "a"), (2, "a", "b"), (3, "aa", "ab")))
+    // split == fused on the training corpus
+    val fused = graft.operators.TextAnalysis.tokenBpeOf(docs, merges = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val split = graft.operators.TextAnalysis.encodeBpe(docs, table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == split)
+    // the artifact applies to a DIFFERENT corpus (train once, encode
+    // everywhere): "aaab"→1 tok, "xy" is fully OOV → stays 2 chars,
+    // "aab" merges only (a,a)+... → (aa, b) = 2
+    val other = Seq(("s3", "aaab xy aab")).toDF("source", "text")
+    val enc = graft.operators.TextAnalysis.encodeBpe(other, table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc == Set(("s3", 3L, 5L)))
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")

@@ -380,4 +380,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Sort [") && !plan.contains("Window ["),
       s"cap degraded to sort/window:\n$plan")
   }
+
+  test("BPE encode: word-token join broadcasts, corpus partial-aggregates, no window pass") {
+    val table = graft.operators.TextAnalysis.trainBpe(
+      graft.Tables.documents(spark, sfDir), merges = 4)
+    val plan = physical(graft.operators.TextAnalysis.encodeBpe(
+      graft.Tables.documents(spark, sfDir), table))
+    // the per-word token counts come back through a broadcast join —
+    // the corpus side never sort-merges against the dictionary
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"dictionary join degraded to a corpus shuffle:\n$plan")
+    // the r6 all-relational trainer paid two window Exchanges per merge
+    // round on the corpus path; the split lifecycle must have none
+    assert(!plan.contains("Window ["),
+      s"encode grew a window pass:\n$plan")
+    // (source, word) instance counts collapse map-side before the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"corpus side lost its partial aggregate:\n$plan")
+  }
 }
