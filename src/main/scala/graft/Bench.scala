@@ -17,6 +17,12 @@ object Bench {
     * Written into the artifact at run start/end so a storm-afflicted
     * sample carries its own adjudication evidence (BASELINE.md's
     * host-variance protocol) without a re-run. -1 when unreadable. */
+  /** Fixed-point formatting pinned to Locale.ROOT — the f-interpolator
+    * formats under the JVM default locale, where a comma-decimal host
+    * would emit `0,123` and corrupt the JSON contract line. */
+  private def fmt(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
   private def stealJiffies(): Long =
     try {
       val cpu = java.nio.file.Files.readAllLines(
@@ -58,19 +64,27 @@ object Bench {
           tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
         }
       })
+    // one timed repetition: seconds + outcome flags. A failed rep is
+    // recorded as a SENTINEL (NaN → null in the artifact, excluded
+    // from the median) — its near-zero elapsed time must not drag the
+    // median down; and the loud stderr trace stays (the r5→r6
+    // q_feed_alerts adjudication chased a swallowed-exception shadow).
+    // `trained` marks reps that paid a PQ codebook training (cache
+    // cold), so the artifact shows which samples include that cost.
     def timeOnce(name: String,
-                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Boolean) = {
       val t0 = System.nanoTime()
       val (j0, s0, k0) = (jobs.get(), stages.get(), tasks.get())
-      // a failure must not kill the whole suite, but it must be LOUD:
-      // a swallowed exception reads as an impossibly fast sample (the
-      // r5→r6 q_feed_alerts adjudication chased exactly that shadow)
+      val pq0 = graft.operators.Ann.pqTrainCount.get()
+      var failed = false
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name FAILED: $e")
           e.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   at $f"))
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      val trained = graft.operators.Ann.pqTrainCount.get() > pq0
       if (stats) {
         // listener events arrive async on the bus — settle (two equal
         // consecutive reads) before snapshotting, else a query's tail
@@ -84,9 +98,9 @@ object Bench {
           spins += 1
         }
         System.err.println(
-          f"[bench-stats] $secs%8.2fs jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - k0} $name")
+          s"[bench-stats] ${fmt(secs, 2)}s jobs=${jobs.get() - j0} stages=${stages.get() - s0} tasks=${tasks.get() - k0} $name")
       }
-      secs
+      (secs, failed, trained)
     }
     // interleave rounds (all queries, then all again) rather than
     // back-to-back reps of one query: back-to-back reps share a warm
@@ -104,14 +118,21 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[(Double, Boolean, Boolean)]): _*)
     for (_ <- 1 to reps; name <- names)
       samples(name) = samples(name) :+ timeOnce(name, SparkEntry.queries(name))
+    // median over the SUCCESSFUL reps only; a query whose every rep
+    // failed gets NaN (null in the artifact, excluded from the total)
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medians = names.map(n => n -> median(samples(n))).toMap
+    val medians = names.map(n =>
+      n -> median(samples(n).collect { case (t, false, _) => t })).toMap
+    val failedNames = names.filter(n => samples(n).exists(_._2))
     // dump formatted physical plans of the slowest queries so a bench
     // regression comes with its plan attached (stdout stays one JSON
     // line; plans go to files)
@@ -119,28 +140,43 @@ object Bench {
     val nPlans = sys.env.getOrElse("SPARK_GRAFT_PLAN_TOP", "5").toInt
     if (nPlans > 0) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
-      medians.toSeq.sortBy(-_._2).take(nPlans).foreach { case (name, secs) =>
-        try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(planDir, s"$name.txt"),
-            f"-- $name: median $secs%.3f s at $sfDir%n$plan".getBytes("UTF-8"))
-        } catch { case _: Throwable => }
+      medians.toSeq.filterNot(_._2.isNaN).sortBy(-_._2).take(nPlans).foreach {
+        case (name, secs) =>
+          try {
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(planDir, s"$name.txt"),
+              s"-- $name: median ${fmt(secs, 3)} s at $sfDir\n$plan".getBytes("UTF-8"))
+          } catch { case _: Throwable => }
       }
     }
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val total = medians.values.filterNot(_.isNaN).sum
     val steal1 = stealJiffies()
-    // full artifact (full-precision medians + every sample + steal
-    // evidence) goes to a file a truncated stdout capture can't lose
-    val qs = names.map(n => s"\"$n\":${medians(n)}").mkString("{", ",", "}")
+    // full artifact (full-precision medians + every sample + failure /
+    // cold-training flags + steal evidence) goes to a file a truncated
+    // stdout capture can't lose. Double.toString is locale-independent,
+    // so full-precision numbers are safe as-is; NaN medians and failed
+    // samples serialize as null.
+    def jd(d: Double): String = if (d.isNaN) "null" else d.toString
+    val qs = names.map(n => s"\"$n\":${jd(medians(n))}").mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val allSamples = names.map { n =>
-      s"\"$n\":" + samples(n).mkString("[", ",", "]")
+      s"\"$n\":" + samples(n).map { case (t, fail, _) =>
+        if (fail) "null" else t.toString
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // rep indices (0-based) that paid a PQ codebook training — the
+    // cold/warm split adjudication needs to read the cache's effect
+    val trainedJson = names
+      .map(n => n -> samples(n).zipWithIndex.collect { case ((_, _, true), i) => i })
+      .filter(_._2.nonEmpty)
+      .map { case (n, is) => s"\"$n\":${is.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val artifact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"sf":"$sfDir","reps":$reps,"steal_start":$steal0,"steal_end":$steal1,"steal_delta":${steal1 - steal0}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"failed":$failedJson,"cold_reps":$trainedJson,"sf":"$sfDir","reps":$reps,"steal_start":$steal0,"steal_end":$steal1,"steal_delta":${steal1 - steal0}}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -149,15 +185,15 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] failed to write $outPath: $e")
     }
-    // stdout, tail-capture-safe (the r5 full-precision one-liner outgrew
-    // the driver's tail window → BENCH_r05 parsed:null): one compact
-    // `BENCHQ name secs` line per query as redundancy, then the
-    // driver-contract JSON line LAST with seconds at millisecond
-    // precision, ~40% the size of the full-precision form
-    names.foreach(n => println(f"BENCHQ $n ${medians(n)}%.3f"))
-    val qsC = names.map(n => f""""$n":${medians(n)}%.3f""").mkString("{", ",", "}")
+    // stdout, tail-capture-safe: one compact `BENCHQ name secs` line per
+    // query as redundancy, then the driver-contract JSON line LAST and
+    // SUMMARY-ONLY (a few hundred bytes). The r5 full-precision
+    // one-liner AND r6's ms-precision per-query map both outgrew the
+    // driver's tail-capture window (BENCH_r05/r06 parsed:null) — the
+    // per-query map lives in BENCHQ lines and the artifact file only.
+    names.foreach(n => println(s"BENCHQ $n ${fmt(medians(n), 3)}"))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsC,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"artifact":"$outPath"}""")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"artifact":"$outPath"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast reinterprets wall-clock fields in the
+        // SESSION timezone: correct only under UTC (every entry point
+        // sets it). Fail loudly rather than silently shifting every
+        // event by the host offset from a session that forgot the conf.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "the TIMESTAMP_NTZ ts column is UTC wall-clock and a non-UTC " +
+            "session would shift every event by the host offset")
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

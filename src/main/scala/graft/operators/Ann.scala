@@ -286,18 +286,54 @@ object Ann {
     * exactly once), so paying the Lloyd chain once per CONSUMER —
     * and once per benchmark repetition — was pure waste: an index is
     * trained once and queried many times in any real deployment. The
-    * cache key is (context, dir, dsub, lloydRounds); entries live for
-    * the Spark context's lifetime, bounded by the handful of test
-    * dirs a process touches. Spec paths go through the uncached
-    * [[pqTopKOf]]/[[ivfPqTopKOf]] with planted frames, unaffected. */
+    * cache key is (applicationId:startTime, dir, dsub, lloydRounds) —
+    * see [[pqCtxKey]] — and entries are evicted when their context's
+    * application ends; within a lifetime the footprint is bounded by
+    * the handful of test dirs a process touches. Spec paths go through
+    * the uncached [[pqTopKOf]]/[[ivfPqTopKOf]] with planted frames,
+    * unaffected. */
   private val pqShared = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int), (DataFrame, DataFrame)]()
+    (String, String, Int, Int), (DataFrame, DataFrame)]()
+
+  /** Contexts that already carry the eviction listener (by lifecycle
+    * key), so each context registers it at most once. */
+  private val pqHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Count of actual PQ trainings (cache misses) — the bench labels
+    * each sample cold/warm from this counter's delta, so the artifact
+    * records which repetitions paid the Lloyd chain. */
+  private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Drop every cached entry belonging to one context lifecycle —
+    * called by the ApplicationEnd listener (and directly by spec). */
+  private[graft] def pqEvict(ctxKey: String): Unit = {
+    pqShared.keySet.removeIf(_._1 == ctxKey)
+    pqHooked.remove(ctxKey)
+  }
+
+  /** Lifecycle key of a context: applicationId + startTime. Unlike an
+    * identityHashCode, a stopped-and-rebuilt context can NEVER alias a
+    * dead one's entries (a fresh context mints a fresh appId), so the
+    * cache cannot serve checkpoint frames bound to a dead context even
+    * before the eviction listener has fired. */
+  private[graft] def pqCtxKey(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}:${spark.sparkContext.startTime}"
 
   private def sharedPqFrames(spark: SparkSession, dir: String,
-                             dsub: Int, lloydRounds: Int): (DataFrame, DataFrame) =
+                             dsub: Int, lloydRounds: Int): (DataFrame, DataFrame) = {
+    val ctxKey = pqCtxKey(spark)
+    if (pqHooked.add(ctxKey))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            pqEvict(ctxKey)
+        })
     pqShared.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), dir, dsub, lloydRounds),
+      (ctxKey, dir, dsub, lloydRounds),
       _ => {
+        pqTrainCount.incrementAndGet()
         def mat(df: DataFrame): DataFrame =
           if (spark.sparkContext.getCheckpointDir.isDefined)
             df.checkpoint(eager = true)
@@ -307,6 +343,7 @@ object Ann {
         val comp = mat(componentsOf(emb, dsub))
         (comp, mat(encodeOf(emb, comp, dsub, lloydRounds)))
       })
+  }
 
   /** [[pqTopK]] over a prepared (vec_id, label, embedding) frame —
     * the spec plants known clusters through the production path here.

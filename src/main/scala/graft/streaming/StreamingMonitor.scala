@@ -411,6 +411,78 @@ object StreamingMonitor {
       }
   }
 
+  /** Streaming twin of the batch q_gap_fill grid — the silent-window
+    * EMITTER. The batch side materializes a zero row for every hour a
+    * topic was silent (the alert case a plain GROUP BY can't see);
+    * the [[staleDetector]] ALERTS on silence but never emits the
+    * zero-count grid rows downstream panels (CUSUM, EWMA,
+    * availability) consume. Here the grid is produced live from the
+    * ACTIVE-window count stream:
+    *
+    *  - a count arriving at window w first back-fills zero rows for
+    *    every skipped window after the topic's frontier, then emits w
+    *    (interpolation — same as the batch grid between lo and hi);
+    *  - an EVENT-TIME TIMEOUT fires when the watermark (advanced by
+    *    OTHER topics' traffic) seals a window the topic stayed silent
+    *    through, emitting its zero row without waiting for the topic
+    *    to speak again — so a feed that dies mid-stream keeps
+    *    producing grid zeros, which is the entire alerting point.
+    *
+    * A window [s, s+W) is emitted exactly once, when sealed: by a
+    * later same-topic count, or by the watermark passing s+W. State
+    * per topic is two longs (frontier + armed flag semantics live in
+    * the timeout itself), cardinality-bounded like [[streamCusum]];
+    * late windows behind the frontier are dropped — the shared
+    * ordering contract. On sealed windows the drained stream equals
+    * the batch [[graft.operators.Monitoring.gapFilledRates]] grid
+    * EXACTLY (asserted by spec), with the tail beyond each topic's
+    * last count extending to the global watermark as zeros. */
+  def streamGapFill(counts: Dataset[CountPoint],
+                    windowMs: Long = 3600000L): Dataset[CountPoint] = {
+    import counts.sparkSession.implicits._
+    val w = windowMs
+    counts
+      .withWatermark("window_start", "0 seconds")
+      .as[CountPoint]
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[Long, CountPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (topic, rows, state: GroupState[Long]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var frontier = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CountPoint]
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(_.window_start.getTime)
+              .filter(_.window_start.getTime > frontier)
+              .foreach { r =>
+                val ws = r.window_start.getTime
+                if (frontier != Long.MinValue) {
+                  var s = frontier + w
+                  while (s < ws) {
+                    out += CountPoint(topic, new java.sql.Timestamp(s), 0L)
+                    s += w
+                  }
+                }
+                out += r
+                frontier = ws
+              }
+          }
+          // seal every still-silent window the watermark has already
+          // passed — the timeout path, but also run after data so a
+          // single batch can't leave seal-able zeros un-emitted
+          if (frontier != Long.MinValue) {
+            while (frontier + 2 * w <= wm) {
+              out += CountPoint(topic, new java.sql.Timestamp(frontier + w), 0L)
+              frontier += w
+            }
+            state.update(frontier)
+            // strictly ahead of the current watermark by construction
+            state.setTimeoutTimestamp(frontier + 2 * w)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the batch q_cusum panel: Page's two-sided CUSUM
     * per topic over a windowed-count stream. The batch query replaces
     * the serial recurrences with window closed forms; HERE the

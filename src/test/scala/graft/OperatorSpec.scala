@@ -525,6 +525,28 @@ class OperatorSpec extends SparkSpec {
     assert(again == pruned.map(key).toMap)
   }
 
+  test("PQ shared cache: keyed to the context lifecycle, reuses within it, retrains after eviction") {
+    val n0 = Ann.pqTrainCount.get()
+    Ann.pqTopK(spark, sfDir).count()
+    val n1 = Ann.pqTrainCount.get()
+    // same context + dir: the codebook is NOT retrained (q_ann_ivfpq
+    // rides the same entry)
+    Ann.pqTopK(spark, sfDir).count()
+    Ann.ivfPqTopK(spark, sfDir).count()
+    assert(Ann.pqTrainCount.get() == n1,
+      "warm lookup retrained the codebook")
+    // the key embeds applicationId:startTime, so a stopped-and-rebuilt
+    // context can never alias a dead context's checkpoint frames (a
+    // fresh context mints a fresh appId); eviction — what the
+    // ApplicationEnd listener fires — forces a retrain
+    assert(Ann.pqCtxKey(spark) ==
+      s"${spark.sparkContext.applicationId}:${spark.sparkContext.startTime}")
+    Ann.pqEvict(Ann.pqCtxKey(spark))
+    Ann.pqTopK(spark, sfDir).count()
+    assert(Ann.pqTrainCount.get() > n1, "eviction did not force a retrain")
+    assert(n1 >= n0)
+  }
+
   test("kmeansCost matches a driver-side exact BigInt recomputation") {
     val emb = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding")).collect()

@@ -746,6 +746,100 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap fill: interpolation back-fills and the event-time timeout seals silent windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(topic: String, minute: Int, c: Long) =
+      graft.streaming.CountPoint(topic, ts(minute), c)
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamGapFill(input.toDS(), windowMs = 60000L)
+      .writeStream.format("memory").queryName("gapfill_hand_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(cp("a", 0, 2L))
+      q.processAllAvailable()
+      // same topic speaks again at 10:03 → 10:01/10:02 back-fill as zeros
+      input.addData(cp("a", 3, 5L))
+      q.processAllAvailable()
+      // ONLY topic b speaks from here on; its traffic drives the
+      // watermark, and a's silent windows must seal by TIMEOUT
+      input.addData(cp("b", 7, 1L))
+      q.processAllAvailable() // watermark after this batch: 10:07
+      input.addData(cp("b", 8, 1L))
+      q.processAllAvailable() // timeout batch: a seals 10:04..10:06
+      val gotA = s.table("gapfill_hand_t").collect()
+        .filter(_.getString(0) == "a")
+        .map(r => (r.getTimestamp(1), r.getLong(2))).toSet
+      assert(gotA == Set(ts(0) -> 2L, ts(1) -> 0L, ts(2) -> 0L, ts(3) -> 5L,
+        ts(4) -> 0L, ts(5) -> 0L, ts(6) -> 0L),
+        s"got $gotA")
+      // a window behind the frontier (already sealed as zero) is dropped,
+      // never re-emitted with its late count
+      input.addData(cp("a", 2, 99L))
+      q.processAllAvailable()
+      val late = s.table("gapfill_hand_t").collect()
+        .filter(r => r.getString(0) == "a" && r.getLong(2) == 99L)
+      assert(late.isEmpty, "late count resurrected a sealed window")
+    } finally q.stop()
+  }
+
+  test("streaming gap fill: drained stream equals the batch zero-filled grid on sealed windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val hour = 3600000L
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+    // the live input is only the ACTIVE windows — the stream must
+    // reconstruct every zero row the batch grid materializes
+    val active = grid.filter(_.msg_count > 0)
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    assert(active.length < grid.length, "corpus has no gaps to fill")
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamGapFill(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // chunk on WINDOW boundaries (one window's topics never split
+      // across batches — split rows would race the advancing
+      // watermark), shuffled within each chunk like the cusum harness
+      val windows = active.map(_.window_start.getTime).distinct.sorted
+      val (cut1, cut2) = (windows(windows.length / 3), windows(2 * windows.length / 3))
+      Seq(active.filter(_.window_start.getTime <= cut1),
+        active.filter(p => p.window_start.getTime > cut1 && p.window_start.getTime <= cut2),
+        active.filter(_.window_start.getTime > cut2))
+        .foreach { chunk =>
+          input.addData(chunk.reverse.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      // sentinel traffic advances the watermark past every real topic's
+      // last window, then one more batch evaluates the expired timeouts
+      val maxWs = windows.max
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + 3 * hour), 1L))
+      q.processAllAvailable()
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + 4 * hour), 1L))
+      q.processAllAvailable()
+      val streamed = s.table("gapfill_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .filter(_._1 != "__sentinel__")
+      val hi = active.groupBy(_.topic).view
+        .mapValues(_.map(_.window_start.getTime).max).toMap
+      val inGrid = streamed.filter { case (t, w, _) => w <= hi(t) }.toSet
+      val batch = grid.map(p => (p.topic, p.window_start.getTime, p.msg_count)).toSet
+      assert(inGrid == batch,
+        s"missing=${(batch -- inGrid).take(3)} extra=${(inGrid -- batch).take(3)}")
+      // beyond each topic's last count the timeout emitter keeps the
+      // grid alive with zeros — the silent-feed alert rows
+      val tail = streamed.filter { case (t, w, _) => w > hi(t) }
+      assert(tail.nonEmpty, "no timeout-sealed zeros emitted")
+      assert(tail.forall(_._3 == 0L), s"nonzero tail: ${tail.filter(_._3 != 0L).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
     val s = spark
     import s.implicits._
