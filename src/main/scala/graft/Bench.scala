@@ -12,17 +12,20 @@ import org.apache.spark.sql.SparkSession
   * exactly so in round 2 — none of the flagged queries reproduced).
   */
 object Bench {
+  /** Fixed-point formatting pinned to Locale.ROOT — the f-interpolator
+    * formats under the JVM default locale, where a comma-decimal host
+    * would emit `0,123` and corrupt the JSON contract line. NaN (an
+    * all-reps-failed median) renders as `null`, agreeing with the
+    * artifact's serialization. */
+  private def fmt(d: Double, prec: Int): String =
+    if (d.isNaN) "null"
+    else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
   /** Cumulative steal jiffies from /proc/stat's aggregate cpu line
     * (col 9: cpu user nice system idle iowait irq softirq steal).
     * Written into the artifact at run start/end so a storm-afflicted
     * sample carries its own adjudication evidence (BASELINE.md's
     * host-variance protocol) without a re-run. -1 when unreadable. */
-  /** Fixed-point formatting pinned to Locale.ROOT — the f-interpolator
-    * formats under the JVM default locale, where a comma-decimal host
-    * would emit `0,123` and corrupt the JSON contract line. */
-  private def fmt(d: Double, prec: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
-
   private def stealJiffies(): Long =
     try {
       val cpu = java.nio.file.Files.readAllLines(

@@ -42,10 +42,11 @@ object Tables {
         // the NTZ→TIMESTAMP cast reinterprets wall-clock fields in the
         // SESSION timezone: correct only under UTC (every entry point
         // sets it). Fail loudly rather than silently shifting every
-        // event by the host offset from a session that forgot the conf.
+        // event by the host offset from a session that forgot the conf;
+        // any UTC-equivalent zone id (UTC, Etc/UTC, GMT, +00:00) passes.
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"Tables.events requires a UTC session timezone (got $tz): " +
             "the TIMESTAMP_NTZ ts column is UTC wall-clock and a non-UTC " +
             "session would shift every event by the host offset")
         df.withColumn("ts",

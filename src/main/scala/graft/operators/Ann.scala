@@ -306,11 +306,13 @@ object Ann {
   private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Drop every cached entry belonging to one context lifecycle —
-    * called by the ApplicationEnd listener (and directly by spec). */
-  private[graft] def pqEvict(ctxKey: String): Unit = {
+    * called by the ApplicationEnd listener (and directly by spec).
+    * Deliberately does NOT unhook the listener registration: evicting
+    * a LIVE context must not let the next lookup register a duplicate
+    * listener on the same bus; the listener itself clears pqHooked
+    * when the application actually ends. */
+  private[graft] def pqEvict(ctxKey: String): Unit =
     pqShared.keySet.removeIf(_._1 == ctxKey)
-    pqHooked.remove(ctxKey)
-  }
 
   /** Lifecycle key of a context: applicationId + startTime. Unlike an
     * identityHashCode, a stopped-and-rebuilt context can NEVER alias a
@@ -327,8 +329,10 @@ object Ann {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             pqEvict(ctxKey)
+            pqHooked.remove(ctxKey)
+          }
         })
     pqShared.computeIfAbsent(
       (ctxKey, dir, dsub, lloydRounds),

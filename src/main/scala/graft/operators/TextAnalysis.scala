@@ -93,9 +93,36 @@ object TextAnalysis {
     tokenBpeOf(Tables.documents(spark, dir), merges)
 
   /** [[tokenBpe]] over a prepared (source, text, ...) frame — the spec
-    * plants a hand-computable corpus through the production path. */
-  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame =
-    encodeBpe(docs, trainBpe(docs, merges))
+    * plants a hand-computable corpus through the production path.
+    * Identical semantics to encodeBpe(docs, trainBpe(docs, merges))
+    * (asserted by spec), but since training already holds every
+    * distinct word's final symbol array on the driver, the fused path
+    * ships (word → n_tokens) directly instead of re-deriving the
+    * vocabulary and re-encoding it executor-side. */
+  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordCounts = tokenWords(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .as[(String, Long)].collect()
+    val (_, finalSyms) = bpeTrain(wordCounts, merges)
+    val vocab = spark.createDataFrame(finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
+      .toDF("word", "n_tokens")
+    meterBySource(docs, vocab)
+  }
+
+  /** Roll per-word token counts up to the per-source budget panel:
+    * (source, n_words, bpe_tokens). The corpus side partial-aggregates
+    * to (source, word) instance counts before its only shuffle; the
+    * vocabulary joins back broadcast at dictionary scale, shuffle-join
+    * beyond (unhinted — Catalyst/AQE decides). */
+  private def meterBySource(docs: DataFrame, wordTokens: DataFrame): DataFrame =
+    tokenWords(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
+      .join(wordTokens, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_words"),
+        sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"))
 
   /** The corpus word stream: one exploded (source, word) row per
     * token instance. */
@@ -115,7 +142,7 @@ object TextAnalysis {
     val wordCounts = tokenWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .as[(String, Long)].collect()
-    val table = bpeTrainMerges(wordCounts, merges)
+    val (table, _) = bpeTrain(wordCounts, merges)
     spark.createDataFrame(table.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })
       .toDF("rank", "a", "b")
   }
@@ -131,21 +158,32 @@ object TextAnalysis {
     val mergeSeq = mergeTable.orderBy(col("rank"))
       .select(col("a"), col("b")).as[(String, String)].collect()
     val bc = spark.sparkContext.broadcast(mergeSeq)
-    val perSourceWord = tokenWords(docs)
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
-    val wordTokens = perSourceWord.select(col("word")).distinct().as[String]
+    val wordTokens = tokenWords(docs).select(col("word")).distinct().as[String]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { w =>
-          var syms: Array[String] = w.map(_.toString).toArray
+          var syms = bpeCodePoints(w)
           ms.foreach { case (a, b) => syms = bpeApplyMerge(syms, a, b) }
           (w, syms.length)
         }
       }.toDF("word", "n_tokens")
-    perSourceWord.join(wordTokens, Seq("word"))
-      .groupBy(col("source"))
-      .agg(sum(col("n_inst")).as("n_words"),
-        sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"))
+    meterBySource(docs, wordTokens)
+  }
+
+  /** Code-point symbol split — what both engines' character splits
+    * produce (`split(word, '')` in Spark/Java regex and DuckDB's
+    * `word[i:i]` are code-point aware): a supplementary-plane char
+    * (emoji, 𝄞) is ONE symbol, never a lone-surrogate pair that would
+    * mangle under UTF-8 and break the argmax determinism. */
+  private def bpeCodePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
   }
 
   /** One greedy left-to-right merge pass: every adjacent (a, b) whose
@@ -181,15 +219,18 @@ object TextAnalysis {
   }
 
   /** The in-memory Sennrich trainer over the collected (word, wf)
-    * table: symbol arrays start as UTF-16 code-unit splits (what
-    * `split(word, '')` produced in the relational form), pair counts
-    * weight every adjacent position by word frequency, and the argmax
-    * total order is (count DESC, a ASC, b ASC) under UTF-8 byte
-    * collation — bit-for-bit the relational/DuckDB selection. */
-  private[operators] def bpeTrainMerges(wordCounts: Seq[(String, Long)],
-                                        merges: Int): Seq[(String, String)] = {
+    * table: symbol arrays start as code-point splits ([[bpeCodePoints]]
+    * — what `split(word, '')` produced in the relational form), pair
+    * counts weight every adjacent position by word frequency, and the
+    * argmax total order is (count DESC, a ASC, b ASC) under UTF-8 byte
+    * collation — bit-for-bit the relational/DuckDB selection. Returns
+    * the rank-ordered merge table AND each word's final symbol array
+    * (the fused [[tokenBpeOf]] ships the latter directly). */
+  private[operators] def bpeTrain(wordCounts: Seq[(String, Long)], merges: Int)
+      : (Seq[(String, String)], Array[(String, Array[String])]) = {
+    val keys = wordCounts.map(_._1).toArray
     var words: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, wf) => (w.map(_.toString).toArray, wf) }.toArray
+      wordCounts.map { case (w, wf) => (bpeCodePoints(w), wf) }.toArray
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 1 to merges if !exhausted) {
@@ -216,7 +257,7 @@ object TextAnalysis {
         words = words.map { case (syms, wf) => (bpeApplyMerge(syms, a, b), wf) }
       }
     }
-    out.toSeq
+    (out.toSeq, keys.zip(words.map(_._1)))
   }
 
   /** Corpus vocabulary: top-k tokens by frequency (the Zipf table a

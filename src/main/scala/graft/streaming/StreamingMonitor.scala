@@ -428,15 +428,18 @@ object StreamingMonitor {
     *    to speak again — so a feed that dies mid-stream keeps
     *    producing grid zeros, which is the entire alerting point.
     *
-    * A window [s, s+W) is emitted exactly once, when sealed: by a
-    * later same-topic count, or by the watermark passing s+W. State
-    * per topic is two longs (frontier + armed flag semantics live in
-    * the timeout itself), cardinality-bounded like [[streamCusum]];
-    * late windows behind the frontier are dropped — the shared
-    * ordering contract. On sealed windows the drained stream equals
-    * the batch [[graft.operators.Monitoring.gapFilledRates]] grid
-    * EXACTLY (asserted by spec), with the tail beyond each topic's
-    * last count extending to the global watermark as zeros. */
+    * Each (topic, window) is emitted at most once — counts emit the
+    * moment they arrive (frontier-ordering semantics, the
+    * [[streamCusum]] contract: an arriving count row is treated as
+    * the window's sealed value, as upstream Append-mode window aggs
+    * deliver), zero rows emit once sealed by interpolation or the
+    * watermark; anything at or behind the advancing frontier is
+    * dropped, within and across batches. State per topic is ONE long
+    * (the frontier), cardinality-bounded. On sealed windows the
+    * drained stream equals the batch
+    * [[graft.operators.Monitoring.gapFilledRates]] grid EXACTLY
+    * (asserted by spec), with the tail beyond each topic's last count
+    * extending to the global watermark as zeros. */
   def streamGapFill(counts: Dataset[CountPoint],
                     windowMs: Long = 3600000L): Dataset[CountPoint] = {
     import counts.sparkSession.implicits._
@@ -453,18 +456,22 @@ object StreamingMonitor {
           val out = scala.collection.mutable.ArrayBuffer.empty[CountPoint]
           if (!state.hasTimedOut) {
             rows.toSeq.sortBy(_.window_start.getTime)
-              .filter(_.window_start.getTime > frontier)
               .foreach { r =>
+                // re-check against the ADVANCING frontier, not a
+                // pre-filter snapshot: two counts for one window in
+                // the same batch must emit once, not twice
                 val ws = r.window_start.getTime
-                if (frontier != Long.MinValue) {
-                  var s = frontier + w
-                  while (s < ws) {
-                    out += CountPoint(topic, new java.sql.Timestamp(s), 0L)
-                    s += w
+                if (ws > frontier) {
+                  if (frontier != Long.MinValue) {
+                    var s = frontier + w
+                    while (s < ws) {
+                      out += CountPoint(topic, new java.sql.Timestamp(s), 0L)
+                      s += w
+                    }
                   }
+                  out += r
+                  frontier = ws
                 }
-                out += r
-                frontier = ws
               }
           }
           // seal every still-silent window the watermark has already

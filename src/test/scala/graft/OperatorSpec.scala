@@ -628,6 +628,18 @@ class OperatorSpec extends SparkSpec {
     val enc = graft.operators.TextAnalysis.encodeBpe(other, table).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(enc == Set(("s3", 3L, 5L)))
+    // supplementary-plane chars are ONE symbol on both the driver
+    // (train/fused) and executor (encodeBpe) split paths — the
+    // engines' split(word, '') / word[i:i] are code-point aware, so a
+    // UTF-16 code-unit split would mangle 𝄞 into two lone surrogates
+    val uni = Seq(("u", "𝄞𝄞 x")).toDF("source", "text")
+    val fusedU = graft.operators.TextAnalysis.tokenBpeOf(uni, merges = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(fusedU == Set((2L, 3L)), s"fused code-unit mangling: $fusedU")
+    val encU = graft.operators.TextAnalysis.encodeBpe(uni,
+        graft.operators.TextAnalysis.trainBpe(uni, merges = 0))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(encU == Set((2L, 3L)), s"encode code-unit mangling: $encU")
   }
 
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {

@@ -781,6 +781,13 @@ class StreamingSpec extends SparkSpec {
       val late = s.table("gapfill_hand_t").collect()
         .filter(r => r.getString(0) == "a" && r.getLong(2) == 99L)
       assert(late.isEmpty, "late count resurrected a sealed window")
+      // two deliveries of one window in the SAME batch emit once (the
+      // frontier re-check, not a pre-filter snapshot)
+      input.addData(cp("c", 9, 4L), cp("c", 9, 4L))
+      q.processAllAvailable()
+      val c9 = s.table("gapfill_hand_t").collect().filter(_.getString(0) == "c")
+      assert(c9.length == 1 && c9.head.getLong(2) == 4L,
+        s"in-batch duplicate emitted: ${c9.toSeq}")
     } finally q.stop()
   }
 
