@@ -675,6 +675,29 @@ FROM $L v"""
     * consecutive-match run), and the ordered-list rebuild. Both
     * engines replay the same set algebra, so the match is exact. */
   def tokenBpe(merges: Int = 16): String = {
+    val ctes = bpeCtes(merges)
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT nz.source, count(*) AS n_words,
+ CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens
+FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
+  }
+
+  /** q_bpe_merges: the trained merge TABLE itself as the oracle-checked
+    * output — each round's argmax CTE (m1..mN) stamped with its rank.
+    * Verifies the reusable artifact trainBpe ships, not just the
+    * token-count rollup downstream of it. */
+  def bpeMerges(merges: Int = 16): String = {
+    val ctes = bpeCtes(merges)
+    "WITH " + ctes.mkString(",\n ") + "\n" +
+      (1 to merges)
+        .map(r => s"SELECT $r AS rank, a, b FROM m$r")
+        .mkString("", "\nUNION ALL\n", "")
+  }
+
+  /** The shared BPE trainer CTE chain (distinct-word table + unrolled
+    * merge rounds) — tokenBpe selects the final vocabulary rollup,
+    * bpeMerges the per-round argmax rows. */
+  private def bpeCtes(merges: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += "nz AS MATERIALIZED (SELECT source, word FROM (SELECT source," +
       " unnest(regexp_split_to_array(trim(text), '\\s+')) AS word" +
@@ -703,10 +726,7 @@ FROM $L v"""
         s" LEFT JOIN s$r sp ON sp.word = p.word AND sp.i = p.i - 1" +
         " WHERE sp.i IS NULL GROUP BY 1, 2)"
     }
-    "WITH " + ctes.mkString(",\n ") + s"""
-SELECT nz.source, count(*) AS n_words,
- CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens
-FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
+    ctes.toSeq
   }
 
   /** q_approx_distinct: the ENTIRE HyperLogLog sketch recomputed in

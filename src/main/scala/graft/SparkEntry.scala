@@ -134,6 +134,7 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(s, d)),
+    "q_bpe_merges" -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 16)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
@@ -892,6 +893,7 @@ object SparkEntry {
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
     "q_token_bpe" -> OracleSql.tokenBpe(),
+    "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,
         | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
