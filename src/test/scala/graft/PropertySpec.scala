@@ -118,4 +118,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE train/encode paths agree on random corpora (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // tiny alphabet → dense pair-count ties, deep merge interactions
+    // (aa+a runs, merged-token re-merges) — the cases the hand spec's
+    // one corpus can't sweep
+    val alpha = "abc"
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(40)(
+        (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val docs = words.grouped(8).zipWithIndex
+        .map { case (ws, i) => (s"s$i", ws.mkString(" ")) }.toSeq
+        .toDF("source", "text")
+      val merges = 1 + rnd.nextInt(6)
+      // the fused path replays training state; the split path re-encodes
+      // every word from scratch through the merge-table chain — two
+      // different code paths that must land on identical numbers
+      val table = graft.operators.TextAnalysis.trainBpe(docs, merges)
+      def panel(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val fused = panel(graft.operators.TextAnalysis.tokenBpeOf(docs, merges))
+      val split = panel(graft.operators.TextAnalysis.encodeBpe(docs, table))
+      assert(fused == split,
+        s"trial=$trial merges=$merges fused=$fused split=$split")
+      // training is deterministic: same corpus → same merge table
+      val again = graft.operators.TextAnalysis.trainBpe(docs, merges).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      val first = table.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      assert(again == first, s"trial=$trial nondeterministic merge table")
+      // each added merge can only shrink (or hold) the total budget
+      val totals = (0 to merges).map(m =>
+        panel(graft.operators.TextAnalysis.tokenBpeOf(docs, m)).toSeq.map(_._3).sum)
+      assert(totals.zip(totals.tail).forall { case (a, b) => b <= a },
+        s"trial=$trial token budget not monotone: $totals")
+    }
+  }
 }
