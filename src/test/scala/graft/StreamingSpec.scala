@@ -847,6 +847,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap fill state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the memory sink refuses checkpoint recovery — restart continuity
+    // needs the fault-tolerant file sink (its commit log also dedups
+    // any batch replay, so the dir holds each sealed row exactly once)
+    val ckpt = java.nio.file.Files.createTempDirectory("gapfill_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gapfill_out").toString
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    val input = MemoryStream[graft.streaming.CountPoint]
+    def start() =
+      StreamingMonitor.streamGapFill(input.toDS(), windowMs = 60000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    def readOut() = s.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("msg_count")))
+      .toSet
+    val q1 = start()
+    try {
+      input.addData(cp(0, 2L), cp(3, 5L))
+      q1.processAllAvailable()
+      assert(readOut() == Set(ts(0) -> 2L, ts(1) -> 0L, ts(2) -> 0L, ts(3) -> 5L),
+        s"pre-restart: ${readOut()}")
+    } finally q1.stop()
+    // a NEW query on the same checkpoint: the recovered frontier
+    // (10:03) must back-fill 10:04/10:05 — lost state would emit
+    // 10:06 alone as a first window with no zeros
+    val q2 = start()
+    try {
+      input.addData(cp(6, 7L))
+      q2.processAllAvailable()
+      assert(readOut() == Set(ts(0) -> 2L, ts(1) -> 0L, ts(2) -> 0L,
+        ts(3) -> 5L, ts(4) -> 0L, ts(5) -> 0L, ts(6) -> 7L),
+        s"post-restart: ${readOut()}")
+    } finally q2.stop()
+  }
+
+  test("streaming EWMA bounded-frame state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    val all = Seq(cp(1, 4L), cp(2, 8L), cp(3, 2L), cp(4, 6L))
+    // reference: one continuous run over all four windows
+    val contIn = MemoryStream[graft.streaming.CountPoint]
+    val qc = StreamingMonitor.streamEwma(contIn.toDS())
+      .writeStream.format("memory").queryName("ewma_cont_t")
+      .outputMode(OutputMode.Append()).start()
+    val want = try {
+      contIn.addData(all: _*)
+      qc.processAllAvailable()
+      s.table("ewma_cont_t").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+    } finally qc.stop()
+    // same stream split across a stop/restart on one checkpoint: the
+    // Seq[Long] frame state must round-trip through the state store
+    // (file sink — the memory sink refuses checkpoint recovery)
+    val ckpt = java.nio.file.Files.createTempDirectory("ewma_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ewma_out").toString
+    val input = MemoryStream[graft.streaming.CountPoint]
+    def start() = StreamingMonitor.streamEwma(input.toDS())
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      input.addData(all.take(2): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(all.drop(2): _*)
+      q2.processAllAvailable()
+      val got = s.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("msg_count"),
+          r.getAs[Long]("ewma_num"), r.getAs[Double]("ewma")))
+        .toSet
+      assert(got == want,
+        s"restart diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q2.stop()
+  }
+
   test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
     val s = spark
     import s.implicits._
