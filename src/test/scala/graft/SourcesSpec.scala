@@ -195,4 +195,27 @@ class SourcesSpec extends SparkSpec {
       .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
     assert(pruned.count() == full && full > 0)
   }
+
+  test("events rejects a shifting session timezone under NTZ input; UTC aliases pass") {
+    // the guard only arms on the TIMESTAMP_NTZ layout — skip when the
+    // driver shipped ns-as-long events this round
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val isNtz = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    assume(isNtz, "events shipped as ns-long this round; guard not armed")
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Europe/Helsinki")
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, sfDir)
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+      // UTC-equivalent zone ids must NOT trip the guard
+      for (tz <- Seq("Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert(Tables.events(spark, sfDir).schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"zone $tz rejected")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
 }
