@@ -45,7 +45,11 @@ object Tables {
         // event by the host offset from a session that forgot the conf;
         // any UTC-equivalent zone id (UTC, Etc/UTC, GMT, +00:00) passes.
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+        // SHORT_IDS: Spark itself resolves the conf with the short-id
+        // map, so "PST" etc. must reach the guard message, not throw a
+        // raw ZoneRulesException out of the condition
+        require(java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+            .normalized() == java.time.ZoneOffset.UTC,
           s"Tables.events requires a UTC session timezone (got $tz): " +
             "the TIMESTAMP_NTZ ts column is UTC wall-clock and a non-UTC " +
             "session would shift every event by the host offset")

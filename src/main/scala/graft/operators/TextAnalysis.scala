@@ -101,24 +101,37 @@ object TextAnalysis {
     * vocabulary and re-encoding it executor-side. */
   def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val wordCounts = tokenWords(docs)
-      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      .as[(String, Long)].collect()
-    val (_, finalSyms) = bpeTrain(wordCounts, merges)
+    val (_, finalSyms) = bpeTrain(collectWordCounts(docs), merges)
     val vocab = spark.createDataFrame(finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
       .toDF("word", "n_tokens")
-    meterBySource(docs, vocab)
+    meterBySource(perSourceWord(docs), vocab)
+  }
+
+  /** The corpus collapsed to (source, word, n_inst) — the ONE
+    * corpus-scale scan/aggregate both encode consumers derive from, so
+    * a single plan referencing it twice reuses the exchange. */
+  private def perSourceWord(docs: DataFrame): DataFrame =
+    tokenWords(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
+
+  /** The dictionary-bounded (word, wf) collect both trainers share —
+    * one definition so the fused q_token_bpe path and the q_bpe_merges
+    * path can never desynchronize. */
+  private def collectWordCounts(docs: DataFrame): Array[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenWords(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .as[(String, Long)].collect()
   }
 
   /** Roll per-word token counts up to the per-source budget panel:
-    * (source, n_words, bpe_tokens). The corpus side partial-aggregates
-    * to (source, word) instance counts before its only shuffle; the
-    * vocabulary joins back broadcast at dictionary scale, shuffle-join
-    * beyond (unhinted — Catalyst/AQE decides). */
-  private def meterBySource(docs: DataFrame, wordTokens: DataFrame): DataFrame =
-    tokenWords(docs)
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
+    * (source, n_words, bpe_tokens). `perSW` is the [[perSourceWord]]
+    * aggregate (already collapsed map-side before its only shuffle);
+    * the vocabulary joins back broadcast at dictionary scale,
+    * shuffle-join beyond (unhinted — Catalyst/AQE decides). */
+  private def meterBySource(perSW: DataFrame, wordTokens: DataFrame): DataFrame =
+    perSW
       .join(wordTokens, Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("n_inst")).as("n_words"),
@@ -138,11 +151,7 @@ object TextAnalysis {
     * collect (see [[tokenBpe]]). */
   def trainBpe(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val wordCounts = tokenWords(docs)
-      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      .as[(String, Long)].collect()
-    val (table, _) = bpeTrain(wordCounts, merges)
+    val (table, _) = bpeTrain(collectWordCounts(docs), merges)
     spark.createDataFrame(table.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })
       .toDF("rank", "a", "b")
   }
@@ -158,7 +167,11 @@ object TextAnalysis {
     val mergeSeq = mergeTable.orderBy(col("rank"))
       .select(col("a"), col("b")).as[(String, String)].collect()
     val bc = spark.sparkContext.broadcast(mergeSeq)
-    val wordTokens = tokenWords(docs).select(col("word")).distinct().as[String]
+    // both the vocabulary and the rollup derive from the SAME
+    // (source, word) aggregate subplan, so ReuseExchange runs the
+    // corpus scan once and distinct works on dictionary-scale rows
+    val perSW = perSourceWord(docs)
+    val wordTokens = perSW.select(col("word")).distinct().as[String]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { w =>
@@ -167,7 +180,7 @@ object TextAnalysis {
           (w, syms.length)
         }
       }.toDF("word", "n_tokens")
-    meterBySource(docs, wordTokens)
+    meterBySource(perSW, wordTokens)
   }
 
   /** Code-point symbol split — what both engines' character splits

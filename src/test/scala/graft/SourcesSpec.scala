@@ -199,9 +199,15 @@ class SourcesSpec extends SparkSpec {
   test("events rejects a shifting session timezone under NTZ input; UTC aliases pass") {
     // the guard only arms on the TIMESTAMP_NTZ layout — skip when the
     // driver shipped ns-as-long events this round
+    val oldNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val isNtz = spark.read.parquet(s"$sfDir/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+    val isNtz =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType
+      finally oldNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     assume(isNtz, "events shipped as ns-long this round; guard not armed")
     val old = spark.conf.get("spark.sql.session.timeZone")
     try {
