@@ -101,22 +101,44 @@ object TextAnalysis {
     * vocabulary and re-encoding it executor-side. */
   def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (_, finalSyms) = bpeTrain(collectWordCounts(docs), merges)
+    import spark.implicits._
+    val perSW = perSourceWord(docs)
+    // global word frequencies derive from the materialized aggregate
+    // (sum of per-source counts), so the whole fused query costs ONE
+    // corpus scan; the fuzz spec pins this path's numbers to the
+    // split trainBpe/encodeBpe path
+    val wordCounts = perSW
+      .groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
+      .as[(String, Long)].collect()
+    val (_, finalSyms) = bpeTrain(wordCounts, merges)
     val vocab = spark.createDataFrame(finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
       .toDF("word", "n_tokens")
-    meterBySource(perSourceWord(docs), vocab)
+    meterBySource(perSW, vocab)
   }
 
-  /** The corpus collapsed to (source, word, n_inst) — the ONE
-    * corpus-scale scan/aggregate both encode consumers derive from, so
-    * a single plan referencing it twice reuses the exchange. */
-  private def perSourceWord(docs: DataFrame): DataFrame =
-    tokenWords(docs)
+  /** The corpus collapsed to (source, word, n_inst) and MATERIALIZED
+    * (the kmeansIterate lineage-cut idiom): both encode consumers —
+    * vocabulary enumeration and the rollup — read the checkpointed
+    * rows, so the corpus is scanned exactly once per call. Catalyst
+    * can NOT share the subplan lazily here: per-branch column pruning
+    * drops the count from the distinct branch's aggregate, so the two
+    * exchanges never canonicalize equal (verified empirically — no
+    * ReusedExchange, two FileScans). The materialized frame is
+    * sources × vocabulary rows — dictionary-bounded, the same order
+    * as the shuffle output that already exists. */
+  private def perSourceWord(docs: DataFrame): DataFrame = {
+    val agg = tokenWords(docs)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
+    if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      agg.checkpoint(eager = true)
+    else agg.localCheckpoint(eager = true)
+  }
 
-  /** The dictionary-bounded (word, wf) collect both trainers share —
-    * one definition so the fused q_token_bpe path and the q_bpe_merges
-    * path can never desynchronize. */
+  /** The dictionary-bounded (word, wf) collect behind standalone
+    * [[trainBpe]] (one direct corpus scan); the fused [[tokenBpeOf]]
+    * derives the same frequencies from its materialized (source,
+    * word) aggregate instead — equality of the two paths is pinned by
+    * the fuzz spec. */
   private def collectWordCounts(docs: DataFrame): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -167,9 +189,9 @@ object TextAnalysis {
     val mergeSeq = mergeTable.orderBy(col("rank"))
       .select(col("a"), col("b")).as[(String, String)].collect()
     val bc = spark.sparkContext.broadcast(mergeSeq)
-    // both the vocabulary and the rollup derive from the SAME
-    // (source, word) aggregate subplan, so ReuseExchange runs the
-    // corpus scan once and distinct works on dictionary-scale rows
+    // both the vocabulary and the rollup read the materialized
+    // (source, word) aggregate — one corpus scan, and distinct works
+    // on dictionary-scale rows
     val perSW = perSourceWord(docs)
     val wordTokens = perSW.select(col("word")).distinct().as[String]
       .mapPartitions { it =>

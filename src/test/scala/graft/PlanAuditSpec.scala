@@ -395,8 +395,17 @@ class PlanAuditSpec extends SparkSpec {
     // round on the corpus path; the split lifecycle must have none
     assert(!plan.contains("Window ["),
       s"encode grew a window pass:\n$plan")
-    // (source, word) instance counts collapse map-side before the shuffle
+    // downstream aggregates (vocabulary distinct + source rollup) keep
+    // their partial sides
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"corpus side lost its partial aggregate:\n$plan")
+      s"encode aggregates lost their partial side:\n$plan")
+    // the corpus is scanned ONCE per call: both consumers read the
+    // materialized (source, word) aggregate, not the parquet scan
+    // (Catalyst can't share the subplan — per-branch pruning, see
+    // perSourceWord's doc)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"encode lost the materialized corpus aggregate:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"encode re-scans the corpus:\n$plan")
   }
 }
