@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON. Two pieces of sbt dressing defeat that by default: the forked
+// process's output is re-logged with an `[info] ` prefix, and sbt appends a
+// `[success] Total time: ...` line after the run. StdoutOutput passes forked
+// output through verbatim; showSuccess kills the trailing success line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -194,7 +194,11 @@ object Bench {
     // one-liner AND r6's ms-precision per-query map both outgrew the
     // driver's tail-capture window (BENCH_r05/r06 parsed:null) — the
     // per-query map lives in BENCHQ lines and the artifact file only.
-    names.foreach(n => println(s"BENCHQ $n ${fmt(medians(n), 3)}"))
+    // all-failed queries are omitted from the BENCHQ redundancy lines (a
+    // float-expecting line parser would choke on `null`); they are still
+    // carried in the `failed` array of both JSON forms
+    names.filterNot(n => medians(n).isNaN)
+      .foreach(n => println(s"BENCHQ $n ${fmt(medians(n), 3)}"))
     println(
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"artifact":"$outPath"}""")
     spark.stop()
