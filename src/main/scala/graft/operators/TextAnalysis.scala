@@ -125,7 +125,16 @@ object TextAnalysis {
     * exchanges never canonicalize equal (verified empirically — no
     * ReusedExchange, two FileScans). The materialized frame is
     * sources × vocabulary rows — dictionary-bounded, the same order
-    * as the shuffle output that already exists. */
+    * as the shuffle output that already exists.
+    *
+    * Lifecycle note: when a reliable checkpoint dir is configured,
+    * Spark never deletes checkpoint files on its own — a long-lived
+    * session calling tokenBpeOf/encodeBpe repeatedly must set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (cleans
+    * each checkpoint when its frame is GC'd) or point the dir at
+    * per-job scratch space. The localCheckpoint fallback (no dir
+    * configured — the library's own sessions) is block-manager-backed
+    * and evicted by the ContextCleaner automatically. */
   private def perSourceWord(docs: DataFrame): DataFrame = {
     val agg = tokenWords(docs)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
@@ -134,17 +143,31 @@ object TextAnalysis {
     else agg.localCheckpoint(eager = true)
   }
 
-  /** The dictionary-bounded (word, wf) collect behind standalone
-    * [[trainBpe]] (one direct corpus scan); the fused [[tokenBpeOf]]
-    * derives the same frequencies from its materialized (source,
-    * word) aggregate instead — equality of the two paths is pinned by
-    * the fuzz spec. */
-  private def collectWordCounts(docs: DataFrame): Array[(String, Long)] = {
+  /** The (word, wf) collect behind standalone [[trainBpe]] (one direct
+    * corpus scan); the fused [[tokenBpeOf]] derives the same
+    * frequencies from its materialized (source, word) aggregate
+    * instead — equality of the two paths is pinned by the fuzz spec.
+    *
+    * The collect is PROVABLY bounded when capped: `minCount` drops
+    * words rarer than the floor before the collect (Sennrich et al.'s
+    * own practice — a floor of even 2 removes the Heaps-law hapax tail
+    * that dominates a raw web corpus's distinct-word table), and
+    * `topV` keeps only the `topV` most frequent words (ties broken by
+    * word ASC under Spark's default UTF8_BINARY collation, so the cut
+    * is deterministic), making the collected table ≤ topV rows by
+    * construction. Both default to no-op so every existing caller and
+    * oracle row is byte-identical. */
+  private def collectWordCounts(docs: DataFrame, minCount: Long = 1L,
+                                topV: Int = Int.MaxValue): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    tokenWords(docs)
+    val all = tokenWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      .as[(String, Long)].collect()
+    val floored = if (minCount <= 1L) all else all.filter(col("wf") >= minCount)
+    val capped =
+      if (topV == Int.MaxValue) floored
+      else floored.orderBy(col("wf").desc, col("word").asc).limit(topV)
+    capped.as[(String, Long)].collect()
   }
 
   /** Roll per-word token counts up to the per-source budget panel:
@@ -168,12 +191,20 @@ object TextAnalysis {
   /** Train a BPE merge table on `docs`: (rank, a, b), rank 1 = first
     * merge learned. May return fewer than `merges` rows if the
     * vocabulary runs out of adjacent pairs. The distributed side is
-    * one scan → distinct-word frequency table (vocabulary-sized); the
-    * merge loop itself runs on the driver over that dictionary-bounded
-    * collect (see [[tokenBpe]]). */
-  def trainBpe(docs: DataFrame, merges: Int): DataFrame = {
+    * one scan → distinct-word frequency table; the merge loop itself
+    * runs on the driver over that collect (see [[tokenBpe]]).
+    *
+    * `minCount` (frequency floor) and `topV` (vocabulary cap) bound
+    * the driver collect to ≤ topV rows — without them the table is
+    * only empirically dictionary-sized, which Heaps-law growth on raw
+    * web text does not bound. Semantics of the floor: training with
+    * `minCount = f` equals training on the corpus with every word
+    * rarer than f deleted (pair counts lose exactly those words'
+    * weight) — pinned by spec. Defaults are no-op. */
+  def trainBpe(docs: DataFrame, merges: Int, minCount: Long = 1L,
+               topV: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
-    val (table, _) = bpeTrain(collectWordCounts(docs), merges)
+    val (table, _) = bpeTrain(collectWordCounts(docs, minCount, topV), merges)
     spark.createDataFrame(table.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })
       .toDF("rank", "a", "b")
   }
@@ -195,14 +226,60 @@ object TextAnalysis {
     val perSW = perSourceWord(docs)
     val wordTokens = perSW.select(col("word")).distinct().as[String]
       .mapPartitions { it =>
-        val ms = bc.value
-        it.map { w =>
-          var syms = bpeCodePoints(w)
-          ms.foreach { case (a, b) => syms = bpeApplyMerge(syms, a, b) }
-          (w, syms.length)
-        }
+        // rank map built once per partition; the per-word encode is
+        // rank-priority (O(|word|²) worst case, independent of table
+        // size) — a 50k-merge production table would cost 50k full
+        // passes per word under sequential application
+        val rank = new java.util.HashMap[(String, String), Integer](bc.value.length * 2)
+        bc.value.zipWithIndex.foreach { case (p, i) => rank.put(p, i) }
+        it.map(w => (w, bpeEncodeRanked(bpeCodePoints(w), rank).length))
       }.toDF("word", "n_tokens")
     meterBySource(perSW, wordTokens)
+  }
+
+  /** Rank-priority BPE application: repeatedly find the LOWEST-ranked
+    * merge present among the adjacent pairs and apply it (greedy
+    * left-to-right over all its occurrences — the same single-pair
+    * pass training's round applies), until no table pair remains.
+    * O(|word|²) worst case regardless of table size, vs the
+    * sequential form's O(merges·|word|).
+    *
+    * For a table PRODUCED BY [[bpeTrain]] this lands on the identical
+    * final segmentation as applying every merge once in rank order:
+    * sequential application can only miss a pair (u, s) of rank q if
+    * some LATER merge r > q manufactures the symbol s next to u — but
+    * a trained table orders merges by descending corpus pair count
+    * under greedy application, and the pair (u, s) could only be
+    * learned at rank q if s already existed at training round q, i.e.
+    * s's constituents were merged before q, which the encode replays
+    * before r ever fires. NOT assumed: the ≥256-merge seeded fuzz in
+    * PropertySpec pins path agreement on every trained-vocabulary and
+    * out-of-vocabulary probe word. (For an arbitrary hand-built table
+    * the two orders can genuinely differ.) */
+  private[graft] def bpeEncodeRanked(
+      start: Array[String],
+      rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
+    var syms = start
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get((syms(i), syms(i + 1)))
+        if (r != null && r < bestRank) {
+          bestRank = r; bestA = syms(i); bestB = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        syms = bpeApplyMerge(syms, bestA, bestB)
+        done = syms.length < 2
+      }
+    }
+    syms
   }
 
   /** Code-point symbol split — what both engines' character splits
@@ -210,7 +287,7 @@ object TextAnalysis {
     * `word[i:i]` are code-point aware): a supplementary-plane char
     * (emoji, 𝄞) is ONE symbol, never a lone-surrogate pair that would
     * mangle under UTF-8 and break the argmax determinism. */
-  private def bpeCodePoints(w: String): Array[String] = {
+  private[graft] def bpeCodePoints(w: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
     var i = 0
     while (i < w.length) {
@@ -226,7 +303,7 @@ object TextAnalysis {
     * identical to the relational odd-members-of-each-run selection
     * (matches overlap only when a = b, and left-to-right consumption
     * keeps exactly the odd-indexed members of each consecutive run). */
-  private def bpeApplyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+  private[graft] def bpeApplyMerge(syms: Array[String], a: String, b: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var i = 0
     while (i < syms.length) {
@@ -261,7 +338,7 @@ object TextAnalysis {
     * collation — bit-for-bit the relational/DuckDB selection. Returns
     * the rank-ordered merge table AND each word's final symbol array
     * (the fused [[tokenBpeOf]] ships the latter directly). */
-  private[operators] def bpeTrain(wordCounts: Seq[(String, Long)], merges: Int)
+  private[graft] def bpeTrain(wordCounts: Seq[(String, Long)], merges: Int)
       : (Seq[(String, String)], Array[(String, Array[String])]) = {
     val keys = wordCounts.map(_._1).toArray
     var words: Array[(Array[String], Long)] =

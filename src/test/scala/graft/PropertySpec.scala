@@ -156,4 +156,79 @@ class PropertySpec extends SparkSpec {
         s"trial=$trial token budget not monotone: $totals")
     }
   }
+
+  test("rank-priority BPE encode equals sequential application at >=256 merges (seeded fuzz)") {
+    val TA = graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(101)
+    val alpha = "abcdefgh"
+    def word(maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (trial <- 1 to 3) {
+      // hundreds of distinct skew-weighted words so training sustains a
+      // realistic-depth table: the two application orders trivially agree
+      // at 16 merges; the divergence channel (a later merge manufacturing
+      // a symbol some EARLIER-ranked pair wants) needs deep chains of
+      // merged-symbol re-merges to even be probed
+      val vocab = Seq.fill(700)(word(11)).distinct
+      val counts = vocab.map(w => (w, 1L + rnd.nextInt(1000).toLong))
+      val (table, finals) = TA.bpeTrain(counts, 400)
+      assert(table.size >= 256,
+        s"trial=$trial trained only ${table.size} merges — fuzz corpus too small to exercise the spec")
+      val rank = new java.util.HashMap[(String, String), Integer](table.size * 2)
+      table.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
+      // probe every trained-vocabulary word AND out-of-vocabulary words
+      // (longer than anything trained on) through both orders
+      val oov = Seq.fill(300)(word(16))
+      (vocab ++ oov).foreach { w =>
+        var seq = TA.bpeCodePoints(w)
+        table.foreach { case (a, b) => seq = TA.bpeApplyMerge(seq, a, b) }
+        val ranked = TA.bpeEncodeRanked(TA.bpeCodePoints(w), rank)
+        assert(seq.toSeq == ranked.toSeq,
+          s"trial=$trial word=$w sequential=${seq.mkString("|")} ranked=${ranked.mkString("|")}")
+      }
+      // and training's own final symbol state (what the fused path ships)
+      // agrees with the rank-priority re-encode
+      finals.foreach { case (w, syms) =>
+        val ranked = TA.bpeEncodeRanked(TA.bpeCodePoints(w), rank)
+        assert(syms.toSeq == ranked.toSeq,
+          s"trial=$trial word=$w training=${syms.mkString("|")} ranked=${ranked.mkString("|")}")
+      }
+    }
+  }
+
+  test("trainBpe minCount floor / topV cap bound the collect with exact filtered-corpus semantics") {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(202)
+    val alpha = "abcd"
+    val words = Seq.fill(90)(
+      (1 to (1 + rnd.nextInt(5))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    def toDocs(ws: Seq[String]) = ws.grouped(10).zipWithIndex
+      .map { case (g, i) => (s"s$i", g.mkString(" ")) }.toSeq.toDF("source", "text")
+    val docs = toDocs(words)
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val base = tbl(TA.trainBpe(docs, 12))
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // no-op caps: floor 1 and a cap at (or above) the vocabulary size
+    // reproduce the uncapped table byte-for-byte
+    assert(tbl(TA.trainBpe(docs, 12, minCount = 1L, topV = freq.size)) == base)
+    assert(tbl(TA.trainBpe(docs, 12, topV = Int.MaxValue - 1)) == base)
+    // frequency floor == training on the corpus with rare words deleted:
+    // pair counts lose exactly the dropped words' weight
+    val f = 2L
+    assert(freq.values.exists(_ < f) && freq.values.exists(_ >= f),
+      "fuzz corpus must straddle the floor for the spec to bite")
+    val floored = tbl(TA.trainBpe(docs, 12, minCount = f))
+    val flooredRef = tbl(TA.trainBpe(toDocs(words.filter(freq(_) >= f)), 12))
+    assert(floored == flooredRef, s"floored=$floored ref=$flooredRef")
+    // topV cap == training on only the top-V words under the documented
+    // deterministic cut (wf DESC, word ASC — ASCII, so String order is
+    // the UTF8_BINARY order Spark sorts by)
+    val v = freq.size / 2
+    val kept = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(v).map(_._1).toSet
+    val capped = tbl(TA.trainBpe(docs, 12, topV = v))
+    val cappedRef = tbl(TA.trainBpe(toDocs(words.filter(kept)), 12))
+    assert(capped == cappedRef, s"capped=$capped ref=$cappedRef")
+  }
 }
