@@ -515,7 +515,16 @@ object StreamingMonitor {
     * folding late data would silently diverge from the batch
     * closed-form panel). This is watermark-style semantics: upstream
     * windowed counts sealed by a watermark arrive in order anyway, and
-    * anything older than the frontier is discarded deterministically. */
+    * anything older than the frontier is discarded deterministically.
+    *
+    * Composing downstream of [[streamGapFill]] (the full silent-feed
+    * alerting loop — asserted end-to-end by spec) trips Spark's
+    * global-watermark correctness heuristic, which flags ANY stateful
+    * operator after a flatMapGroupsWithState; this operator is
+    * watermark-FREE (NoTimeout, frontier-ordered, no event-time
+    * eviction), so the flagged late-row discard cannot occur and
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    * false` is sound for that chain. */
   def streamCusum(counts: Dataset[CountPoint],
                   baseline: Map[String, (Long, Long)],
                   alarmHours: Int = 3): Dataset[CusumRow] = {

@@ -886,6 +886,101 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("end-to-end silent-feed alerting: streamGapFill → streamCusum equals the batch panel and alarms dead topics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val hour = 3600000L
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+    // live input is only the ACTIVE windows — the gap-fill stage must
+    // reconstruct every zero the CUSUM recurrence folds
+    val active = grid.filter(_.msg_count > 0)
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    assert(active.length < grid.length, "corpus has no gaps to fill")
+    val baseline = grid.groupBy(_.topic).map { case (t, rows) =>
+      t -> ((rows.length.toLong, rows.map(_.msg_count).sum))
+    }
+    val input = MemoryStream[graft.streaming.CountPoint]
+    // the full chain as ONE streaming query: two stateful operators,
+    // both Append — the reference's entire silent-feed alerting loop.
+    // Spark's global-watermark heuristic flags ANY stateful op after a
+    // flatMapGroupsWithState (the upstream emits rows at the watermark
+    // boundary, which a watermark-EVICTING downstream could drop as
+    // late); streamCusum is deliberately watermark-free — NoTimeout,
+    // frontier-ordered, nothing evicted by event time — so the flagged
+    // discard cannot occur and the documented opt-out is sound here.
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = s.conf.get(checkConf)
+    s.conf.set(checkConf, "false")
+    val chained = StreamingMonitor.streamCusum(
+      StreamingMonitor.streamGapFill(input.toDS()), baseline)
+    val q = chained.writeStream.format("memory").queryName("chain_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val windows = active.map(_.window_start.getTime).distinct.sorted
+      val (cut1, cut2) = (windows(windows.length / 3), windows(2 * windows.length / 3))
+      Seq(active.filter(_.window_start.getTime <= cut1),
+        active.filter(p => p.window_start.getTime > cut1 && p.window_start.getTime <= cut2),
+        active.filter(_.window_start.getTime > cut2))
+        .foreach { chunk =>
+          input.addData(chunk.reverse.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      // after the corpus, EVERY topic goes dead; sentinel traffic drives
+      // the watermark ≥ 8 windows past the last real window, so each
+      // topic accrues enough timeout-sealed zeros to trip alarm_drop
+      // (sn grows by T per silent window; 4·T > 3·T)
+      val maxWs = windows.max
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + 8 * hour), 1L))
+      q.processAllAvailable()
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + 9 * hour), 1L))
+      q.processAllAvailable()
+      val streamed = s.table("chain_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+        .filter(_._1 != "__sentinel__")
+      val hi = active.groupBy(_.topic).view
+        .mapValues(_.map(_.window_start.getTime).max).toMap
+      // 1) on the batch grid the chain reproduces the closed-form panel
+      //    EXACTLY — zeros interpolated by the gap-fill stage included
+      val inGrid = streamed.filter { case (t, w, _, _, _, _, _) => w <= hi(t) }.toSet
+      val batch = graft.operators.Monitoring.cusumShift(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      assert(inGrid == batch,
+        s"missing=${(batch -- inGrid).take(2)} extra=${(inGrid -- batch).take(2)}")
+      // 2) beyond the grid the timeout-sealed zeros continue the CUSUM
+      //    recurrence: per silent window sp decays by T, sn grows by T
+      val lastInGrid = batch.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).toMap
+      val tails = streamed.filter { case (t, w, _, _, _, _, _) => w > hi(t) }
+        .groupBy(_._1)
+      assert(tails.keySet == hi.keySet, "some topic emitted no dead-feed rows")
+      tails.foreach { case (topic, rows) =>
+        val (_, tTotal) = baseline(topic)
+        var (_, _, _, sp, sn, _, _) = lastInGrid(topic)
+        assert(rows.length >= 4,
+          s"$topic: only ${rows.length} sealed tail windows — alarm can't trip")
+        rows.sortBy(_._2).zipWithIndex.foreach { case (row, i) =>
+          sp = math.max(0L, sp - tTotal)
+          sn = math.max(0L, sn + tTotal)
+          val want = (topic, hi(topic) + (i + 1) * hour, 0L, sp, sn,
+            sp > 3 * tTotal, sn > 3 * tTotal)
+          assert(row == want, s"$topic tail[$i]: got $row want $want")
+        }
+        // the silent-feed alarm actually fired
+        assert(rows.maxBy(_._2)._7, s"$topic: dead feed never tripped alarm_drop")
+      }
+    } finally {
+      q.stop()
+      s.conf.set(checkConf, prevCheck)
+    }
+  }
+
   test("streaming EWMA bounded-frame state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
