@@ -144,6 +144,10 @@ object SparkEntry {
     "q_oov_ratio" -> ((s, d) => TextAnalysis.oovRatio(s, d)),
     "q_chunk" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
+    "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "q_quality_percentile" -> ((s, d) => TextAnalysis.qualityPercentile(s, d)),
+    "q_doc_specificity" -> ((s, d) => TextAnalysis.docSpecificity(s, d)),
+    "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -1033,6 +1037,85 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN token NOT IN (SELECT token FROM v)
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
         |FROM nz GROUP BY 1""".stripMargin,
+    // Heaps-law growth: integer cuts k·max_id // 10 (both engines'
+    // integer division truncate; ids non-negative so // == div)
+    "q_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        | grid AS (SELECT k AS bucket, (k * max_id) // 10 AS cut_doc_id
+        |          FROM range(1, 11) t(k), mx),
+        | tok AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        | nz AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        | fs AS (SELECT word, min(doc_id) AS first_doc FROM nz GROUP BY 1),
+        | voc AS (SELECT g.bucket, count(*) AS vocab
+        |         FROM fs JOIN grid g ON fs.first_doc <= g.cut_doc_id GROUP BY 1),
+        | dcnt AS (SELECT doc_id, count(*) AS n_tok FROM nz GROUP BY 1),
+        | dstat AS (SELECT d.doc_id, coalesce(c.n_tok, 0) AS n_tok
+        |           FROM documents d LEFT JOIN dcnt c USING (doc_id)),
+        | ds AS (SELECT g.bucket, count(*) AS n_docs,
+        |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |        FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1)
+        |SELECT g.bucket AS bucket, CAST(g.cut_doc_id AS BIGINT) AS cut_doc_id,
+        |  ds.n_docs, ds.n_tokens, voc.vocab
+        |FROM grid g JOIN ds USING (bucket) JOIN voc USING (bucket)""".stripMargin,
+    // per-source percent_rank calibration over the exact q_quality_score
+    // kernel; (rank-1)/(n-1) and the 1/3, 2/3 cuts are identical IEEE
+    // ops in both engines
+    "q_quality_percentile" ->
+      """WITH q AS (SELECT doc_id, source,
+        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
+        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / length(text) * (-2.0))
+        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |         THEN 0.5 ELSE 0.0 END AS quality
+        | FROM documents),
+        | r AS (SELECT doc_id, source, quality,
+        |   percent_rank() OVER (PARTITION BY source ORDER BY quality) AS q_pr
+        |  FROM q)
+        |SELECT doc_id, source, quality, q_pr,
+        |  CASE WHEN q_pr >= 2.0/3.0 THEN 'head'
+        |       WHEN q_pr >= 1.0/3.0 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
+    "q_doc_specificity" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        | dt AS (SELECT DISTINCT doc_id, source, token FROM tok
+        |        WHERE token <> ''),
+        | df AS (SELECT token, count(*) AS df FROM dt GROUP BY 1)
+        |SELECT doc_id, source, count(*) AS n_distinct,
+        |  CAST(sum(df.df) AS BIGINT) AS df_sum,
+        |  CAST(sum(df.df) AS DOUBLE) / count(*) AS specificity
+        |FROM dt JOIN df USING (token) GROUP BY doc_id, source""".stripMargin,
+    // KS drift: exact ecdfs on the merged value grid; every statistic
+    // is integer counts plus one double division per ecdf term
+    "q_ks_drift" ->
+      """WITH cells AS (SELECT source, n_chars, count(*) AS c
+        |               FROM documents GROUP BY 1, 2),
+        | grid AS (SELECT v.n_chars, s.source
+        |          FROM (SELECT DISTINCT n_chars FROM cells) v,
+        |               (SELECT DISTINCT source FROM cells) s),
+        | cum AS (SELECT g.source, g.n_chars,
+        |   sum(coalesce(c.c, 0)) OVER (PARTITION BY g.source
+        |     ORDER BY g.n_chars
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.source = c.source AND g.n_chars = c.n_chars),
+        | tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |         FROM cells GROUP BY 1),
+        | wn AS (SELECT cum.source, cum.n_chars, CAST(cum.cum AS BIGINT) AS cum,
+        |          tot.n
+        |        FROM cum JOIN tot USING (source))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  max(abs(CAST(a.cum AS DOUBLE) / a.n - CAST(b.cum AS DOUBLE) / b.n))
+        |    AS d_stat
+        |FROM wn a JOIN wn b
+        |  ON a.n_chars = b.n_chars AND a.source < b.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // chunking: range() stop-exclusive == sequence() stop-inclusive at
     // size-1; list_slice clamps exactly like slice
     "q_chunk" ->

@@ -47,9 +47,12 @@ object Tables {
         val tz = spark.conf.get("spark.sql.session.timeZone")
         // SHORT_IDS: Spark itself resolves the conf with the short-id
         // map, so "PST" etc. must reach the guard message, not throw a
-        // raw ZoneRulesException out of the condition
-        require(java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
-            .normalized() == java.time.ZoneOffset.UTC,
+        // raw ZoneRulesException out of the condition; an id even
+        // ZoneId.of can't parse (conf bypassed validation somehow) is
+        // treated as non-UTC so EVERY failure path carries this message
+        require(scala.util.Try(
+            java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+              .normalized() == java.time.ZoneOffset.UTC).getOrElse(false),
           s"Tables.events requires a UTC session timezone (got $tz): " +
             "the TIMESTAMP_NTZ ts column is UTC wall-clock and a non-UTC " +
             "session would shift every event by the host offset")

@@ -598,6 +598,143 @@ object TextAnalysis {
       .select(col("doc_id") +: col("score") +:
         terms.indices.map(i => col(s"tf_$i")): _*)
   }
+
+  /** Heaps-law vocabulary-growth panel: distinct-word count as the
+    * corpus grows through `buckets` doc_id-ordered prefixes — the
+    * empirical measurement behind every "is this collect bounded?"
+    * argument (e.g. [[trainBpe]]'s topV cap: this panel is how you
+    * pick it). A word contributes to a prefix iff its FIRST occurrence
+    * (min doc_id) is inside it, so the whole panel costs one exploded
+    * scan collapsed map-side to (word, first_doc) — shuffle ∝
+    * vocabulary — plus a broadcast join against the `buckets`-row cut
+    * grid; per-bucket counts partial-aggregate before the final
+    * `buckets`-row shuffle. Cuts are exact integer k·max_id div
+    * buckets, so any engine lands the same grid. */
+  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, dir), buckets)
+
+  /** [[vocabGrowth]] over a prepared (doc_id, text, ...) frame. */
+  def vocabGrowthOf(docs: DataFrame, buckets: Int): DataFrame = {
+    val grid = docs.agg(max(col("doc_id")).as("max_id"))
+      .select(explode(sequence(lit(1), lit(buckets))).as("bucket"), col("max_id"))
+      .select(col("bucket"),
+        expr(s"(bucket * max_id) div $buckets").as("cut_doc_id"))
+    val firstSeen = tokenWords2(docs)
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabPer = firstSeen
+      .join(broadcast(grid), col("first_doc") <= col("cut_doc_id"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("vocab"))
+    val docStats = docs
+      .select(col("doc_id"),
+        size(filter(T.tokens(col("text")), w => w =!= "")).cast("long").as("n_tok"))
+      .join(broadcast(grid), col("doc_id") <= col("cut_doc_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    grid.join(docStats, Seq("bucket")).join(vocabPer, Seq("bucket"))
+      .select(col("bucket"), col("cut_doc_id"), col("n_docs"),
+        col("n_tokens"), col("vocab"))
+  }
+
+  /** (doc_id, word) token instances — [[tokenWords]] keyed by doc
+    * instead of source. */
+  private def tokenWords2(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+    .filter(col("word") =!= "")
+
+  /** CCNet-style per-source quality calibration: each document's
+    * percent_rank WITHIN its source, bucketed head/middle/tail at the
+    * exact 1/3 and 2/3 cuts — the source-relative filtering rule
+    * (CCNet buckets per-language perplexity percentiles) that a global
+    * threshold gets wrong when sources have different quality
+    * distributions. percent_rank = (rank−1)/(n−1) is one IEEE division
+    * of exact integers, and rank ties resolve identically in any
+    * engine, so the panel is bit-reproducible. The per-source window
+    * sort is the honest cost (CCNet sorts per language too); at 100 TB
+    * the same panel coarsens to a two-pass approx-quantile cut without
+    * changing the bucket contract. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame =
+    qualityPercentileOf(Tables.documents(spark, dir))
+
+  /** [[qualityPercentile]] over a prepared (doc_id, text, source)
+    * frame. */
+  def qualityPercentileOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").asc)
+    docs
+      .select(col("doc_id"), col("source"), T.qualityScore(col("text")).as("quality"))
+      .withColumn("q_pr", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("q_pr") >= lit(2.0) / 3.0, "head")
+          .when(col("q_pr") >= lit(1.0) / 3.0, "middle")
+          .otherwise("tail"))
+  }
+
+  /** Document specificity: mean document frequency of each doc's
+    * DISTINCT tokens — low mean-df = built from rare vocabulary (the
+    * novelty/esoterica signal; high = boilerplate of corpus-common
+    * words). Exact integer (df_sum, n_distinct) pair plus ONE double
+    * division, so the score is engine-reproducible. The df table is
+    * vocabulary-sized (broadcast-or-shuffle by Catalyst's choice); the
+    * heavy side collapses to (doc, distinct token) rows in-array
+    * before any shuffle. */
+  def docSpecificity(spark: SparkSession, dir: String): DataFrame =
+    docSpecificityOf(Tables.documents(spark, dir))
+
+  /** [[docSpecificity]] over a prepared frame. */
+  def docSpecificityOf(docsIn: DataFrame): DataFrame = {
+    // one (doc, distinct token) frame feeds BOTH sides: rows are
+    // already doc-distinct, so df is a plain count per token, and the
+    // identical subplans canonicalize for exchange reuse
+    val dt = docsIn
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(filter(T.tokens(col("text")), w => w =!= "")))
+          .as("token"))
+    val dfTable = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    dt.join(dfTable, Seq("token"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("df")).as("df_sum"))
+      .withColumn("specificity",
+        col("df_sum").cast("double") / col("n_distinct").cast("double"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift matrix between sources over
+    * document length (n_chars): D = max |ecdf_a − ecdf_b| for every
+    * source pair — the distribution-shift audit run before mixing
+    * corpus slices (a drifted slice inflates D even when means agree).
+    * Exact shape: counts collapse to (source, value) cells — shuffle ∝
+    * sources × distinct lengths, never docs — the value grid zero-fills
+    * per source (a `buckets`-free EXACT ecdf: between observed values
+    * the step functions are constant, so the global grid loses
+    * nothing), cumulative counts come from one window per source over
+    * that small grid, and each pair's D is a max over grid rows. Every
+    * ecdf is one double division of exact integers. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables.documents(spark, dir))
+
+  /** [[ksDrift]] over a prepared (source, n_chars) frame. */
+  def ksDriftOf(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("n_chars")).distinct()
+      .crossJoin(cells.select(col("source")).distinct())
+    val cum = grid.join(cells, Seq("source", "n_chars"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val withN = cum.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("n_chars"), col("cum"), col("n"))
+    withN.as("a")
+      .join(withN.as("b"),
+        col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(
+        col("a.cum").cast("double") / col("a.n").cast("double") -
+          col("b.cum").cast("double") / col("b.n").cast("double"))).as("d_stat"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("d_stat"))
+  }
 }
 
 /** Multimodal column plumbing: media payloads as opaque binary with

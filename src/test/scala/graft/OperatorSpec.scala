@@ -642,6 +642,97 @@ class OperatorSpec extends SparkSpec {
     assert(encU == Set((2L, 3L)), s"encode code-unit mangling: $encU")
   }
 
+  test("vocabGrowth: Heaps panel is exact on a hand corpus, monotone, and closes at the full vocabulary") {
+    import spark.implicits._
+    // doc 1..4; first occurrences — 1: {a,b}, 2: {c}, 3: {}, 4: {d};
+    // cuts at buckets=4, max_id=4: 1,2,3,4
+    val docs = Seq((1L, "a b a", "s"), (2L, "c a", "s"), (3L, "b b", "s"),
+      (4L, "d", "s")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.vocabGrowthOf(docs, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 1L, 1L, 3L, 2L), (2, 2L, 2L, 5L, 3L),
+      (3, 3L, 3L, 7L, 3L), (4, 4L, 4L, 8L, 4L)), s"got ${got.toSeq}")
+    // corpus-scale invariants: every series is monotone non-decreasing
+    // and the last bucket covers the whole corpus
+    val panel = graft.operators.TextAnalysis.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(panel.zip(panel.tail).forall { case (p, q) =>
+      p._2 <= q._2 && p._3 <= q._3 && p._4 <= q._4 }, s"not monotone: ${panel.toSeq}")
+    val full = graft.operators.TextAnalysis.wordFreq(spark, sfDir, Int.MaxValue)
+      .count()
+    assert(panel.last._4 == full,
+      s"final vocab ${panel.last._4} != corpus vocabulary $full")
+  }
+
+  test("qualityPercentile: per-source percent_rank and head/middle/tail buckets match a driver reference") {
+    val rows = graft.operators.TextAnalysis.qualityPercentile(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4)))
+    // driver reference: competition rank over quality within source
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val n = docs.length
+      docs.foreach { case (id, _, q, pr, bucket) =>
+        val below = docs.count(_._3 < q)
+        val want = if (n == 1) 0.0 else below.toDouble / (n - 1)
+        assert(pr == want, s"doc $id: pr $pr != $want")
+        val wantBucket = if (pr >= 2.0 / 3.0) "head"
+          else if (pr >= 1.0 / 3.0) "middle" else "tail"
+        assert(bucket == wantBucket, s"doc $id: $bucket != $wantBucket")
+      }
+    }
+    // the calibration must actually split every source three ways
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.forall(_._2.map(_._5).toSet == Set("head", "middle", "tail")),
+      "some source missing a bucket")
+  }
+
+  test("docSpecificity: mean-df of distinct tokens matches a driver reference on a hand corpus") {
+    import spark.implicits._
+    // df: a→3, b→2, c→1, d→1
+    val docs = Seq((1L, "a b a", "s1"), (2L, "a b c", "s1"), (3L, "a d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.docSpecificityOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, "s1", 2L, 5L, 2.5), // {a,b}: 3+2
+      (2L, "s1", 3L, 6L, 2.0), // {a,b,c}: 3+2+1
+      (3L, "s2", 2L, 4L, 2.0)), // {a,d}: 3+1
+      s"got $got")
+  }
+
+  test("ksDrift: two-sample KS statistic matches a brute-force driver reference") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gridVals = docs.map(_._2).distinct
+    val got = graft.operators.TextAnalysis.ksDrift(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val pairs = for { a <- srcs; b <- srcs if a < b } yield (a, b)
+    assert(got.keySet == pairs.toSet, "pair coverage mismatch")
+    pairs.foreach { case (a, b) =>
+      val (xa, xb) = (bySrc(a), bySrc(b))
+      // brute-force ecdf difference over the merged value grid, the
+      // same double ops (long-count division) the operator performs
+      val d = gridVals.map { v =>
+        math.abs(xa.count(_ <= v).toLong.toDouble / xa.length -
+          xb.count(_ <= v).toLong.toDouble / xb.length)
+      }.max
+      val (na, nb, ds) = got((a, b))
+      assert(na == xa.length && nb == xb.length, s"($a,$b) totals")
+      assert(ds == d, s"($a,$b): d_stat $ds != $d")
+    }
+    // the corpus must actually exercise a nonzero drift somewhere
+    assert(got.values.exists(_._3 > 0), "all-zero drift matrix")
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")
