@@ -408,4 +408,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("FileScan parquet"),
       s"encode re-scans the corpus:\n$plan")
   }
+
+  test("vocab growth: cut grid broadcasts against vocabulary and doc sides, partial aggs kept") {
+    val plan = physical(graft.operators.TextAnalysis.vocabGrowth(spark, sfDir))
+    // both prefix joins ride a broadcast of the `buckets`-row grid —
+    // a theta-join (<=) over a broadcast side, never a shuffle of the
+    // vocabulary or corpus against a 10-row frame
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      s"grid join degraded to a shuffle:\n$plan")
+    // (word, first_doc) and per-bucket counts keep partial sides
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"lost partial aggregation:\n$plan")
+  }
+
+  test("doc specificity: df table joins the distinct-token frame without a corpus sort-merge") {
+    val plan = physical(graft.operators.TextAnalysis.docSpecificity(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      s"df join became a sort-merge:\n${plan.take(1200)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("KS drift: shuffle volume is source x distinct-length cells, totals broadcast") {
+    val plan = physical(graft.operators.TextAnalysis.ksDrift(spark, sfDir))
+    // totals (one row per source) broadcast back onto the grid
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // the corpus collapses to cells in a partial+final aggregate pair
+    // before any window or join touches it
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(plan.contains("Window"), "ecdf cumsum window missing")
+  }
 }
