@@ -168,6 +168,19 @@ object SparkEntry {
     "q_embed_norm" -> ((s, d) => Ann.embedNorms(s, d)),
   )
 
+  /** The q_quality_score kernel as DuckDB SQL — the ONE copy every
+    * twin that reuses TextFunctions.qualityScore interpolates (via
+    * `%%QUALITY%%` + replace, applied before stripMargin), so a kernel
+    * tweak can't drift between q_quality_score / q_curation_funnel /
+    * q_domain_cap / q_quality_percentile. */
+  private val qualitySqlKernel =
+    """(CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+      |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
+      |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |   / length(text) * (-2.0))
+      |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+      |         THEN 0.5 ELSE 0.0 END"""
+
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
   def oracleSql: Map[String, String] = Map(
     // Q17 shape: same decorrelation — per-part thresholds over the
@@ -867,29 +880,19 @@ object SparkEntry {
         |   / length(text) AS punct_ratio,
         | CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
         |   / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
-        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
-        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |   / length(text) * (-2.0))
-        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
-        |         THEN 0.5 ELSE 0.0 END AS quality
-        |FROM documents""".stripMargin,
+        | %%QUALITY%% AS quality
+        |FROM documents""".replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
     "q_curation_funnel" ->
       """WITH q AS (SELECT doc_id, source,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
-        |    / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
-        |   + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |    / length(text) * (-2.0))
-        |   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
-        |     THEN 0.5 ELSE 0.0 END AS quality
+        |  %%QUALITY%% AS quality
         | FROM documents)
         |SELECT source, count(*) AS n_total,
         | count(*) FILTER (quality > 0.55) AS n_quality,
         | count(*) FILTER (n_tokens BETWEEN 30 AND 80) AS n_length,
         | count(*) FILTER (quality > 0.55 AND n_tokens BETWEEN 30 AND 80)
         |   AS n_kept
-        |FROM q GROUP BY 1""".stripMargin,
+        |FROM q GROUP BY 1""".replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
     "q_token_count" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
@@ -1057,19 +1060,17 @@ object SparkEntry {
         |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |        FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1)
         |SELECT g.bucket AS bucket, CAST(g.cut_doc_id AS BIGINT) AS cut_doc_id,
-        |  ds.n_docs, ds.n_tokens, voc.vocab
-        |FROM grid g JOIN ds USING (bucket) JOIN voc USING (bucket)""".stripMargin,
+        |  coalesce(ds.n_docs, 0) AS n_docs,
+        |  coalesce(ds.n_tokens, 0) AS n_tokens,
+        |  coalesce(voc.vocab, 0) AS vocab
+        |FROM grid g LEFT JOIN ds USING (bucket)
+        |  LEFT JOIN voc USING (bucket)""".stripMargin,
     // per-source percent_rank calibration over the exact q_quality_score
     // kernel; (rank-1)/(n-1) and the 1/3, 2/3 cuts are identical IEEE
     // ops in both engines
     "q_quality_percentile" ->
       """WITH q AS (SELECT doc_id, source,
-        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
-        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |   / length(text) * (-2.0))
-        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
-        |         THEN 0.5 ELSE 0.0 END AS quality
+        | %%QUALITY%% AS quality
         | FROM documents),
         | r AS (SELECT doc_id, source, quality,
         |   percent_rank() OVER (PARTITION BY source ORDER BY quality) AS q_pr
@@ -1078,7 +1079,7 @@ object SparkEntry {
         |  CASE WHEN q_pr >= 2.0/3.0 THEN 'head'
         |       WHEN q_pr >= 1.0/3.0 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM r""".stripMargin,
+        |FROM r""".replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
     "q_doc_specificity" ->
       """WITH tok AS (SELECT doc_id, source,
         |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -1142,16 +1143,12 @@ object SparkEntry {
     // domain cap: the q_quality_score kernel ranks within each source
     "q_domain_cap" ->
       """WITH q AS (SELECT source, doc_id,
-        | (CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
-        |   / len(regexp_split_to_array(trim(text), '\s+')) * 3.0
-        |  + CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |   / length(text) * (-2.0))
-        |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
-        |         THEN 0.5 ELSE 0.0 END AS quality
+        | %%QUALITY%% AS quality
         | FROM documents)
         |SELECT source, doc_id, quality FROM q
         |QUALIFY row_number() OVER (PARTITION BY source
-        |  ORDER BY quality DESC, doc_id) <= 15""".stripMargin,
+        |  ORDER BY quality DESC, doc_id) <= 15"""
+        .replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
     "q_repetition" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

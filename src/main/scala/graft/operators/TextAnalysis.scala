@@ -609,16 +609,25 @@ object TextAnalysis {
     * vocabulary — plus a broadcast join against the `buckets`-row cut
     * grid; per-bucket counts partial-aggregate before the final
     * `buckets`-row shuffle. Cuts are exact integer k·max_id div
-    * buckets, so any engine lands the same grid. */
+    * buckets, so any engine lands the same grid; max_id itself is a
+    * 1-row collect off a doc_id-pruned scan (built once, not
+    * re-derived per consumer), and the grid is a literal local
+    * relation. Prefixes before the first document are REPORTED as
+    * zero rows, not dropped (left joins + coalesce), so the panel
+    * always has exactly `buckets` rows. */
   def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame =
     vocabGrowthOf(Tables.documents(spark, dir), buckets)
 
   /** [[vocabGrowth]] over a prepared (doc_id, text, ...) frame. */
   def vocabGrowthOf(docs: DataFrame, buckets: Int): DataFrame = {
-    val grid = docs.agg(max(col("doc_id")).as("max_id"))
-      .select(explode(sequence(lit(1), lit(buckets))).as("bucket"), col("max_id"))
-      .select(col("bucket"),
-        expr(s"(bucket * max_id) div $buckets").as("cut_doc_id"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 1-row bounded collect (the cut grid must be a literal so the
+    // corpus isn't re-scanned once per grid consumer)
+    val maxId = docs.agg(max(col("doc_id"))).as[Option[Long]].collect()(0)
+      .getOrElse(0L)
+    val grid = (1 to buckets)
+      .map(k => (k, k.toLong * maxId / buckets)).toDF("bucket", "cut_doc_id")
     val firstSeen = tokenWords2(docs)
       .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
     val vocabPer = firstSeen
@@ -630,9 +639,11 @@ object TextAnalysis {
       .join(broadcast(grid), col("doc_id") <= col("cut_doc_id"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    grid.join(docStats, Seq("bucket")).join(vocabPer, Seq("bucket"))
-      .select(col("bucket"), col("cut_doc_id"), col("n_docs"),
-        col("n_tokens"), col("vocab"))
+    grid.join(docStats, Seq("bucket"), "left").join(vocabPer, Seq("bucket"), "left")
+      .select(col("bucket"), col("cut_doc_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
 
   /** (doc_id, word) token instances — [[tokenWords]] keyed by doc
@@ -682,9 +693,13 @@ object TextAnalysis {
 
   /** [[docSpecificity]] over a prepared frame. */
   def docSpecificityOf(docsIn: DataFrame): DataFrame = {
-    // one (doc, distinct token) frame feeds BOTH sides: rows are
-    // already doc-distinct, so df is a plain count per token, and the
-    // identical subplans canonicalize for exchange reuse
+    // `dt` (doc-distinct tokens) feeds both the df aggregate and the
+    // join probe, which DELIBERATELY recomputes it — two corpus scans.
+    // The intermediate is corpus-sized (∝ Σ per-doc distinct tokens),
+    // so materializing it (the perSourceWord idiom, which is only
+    // dictionary-sized there) would trade a cheap columnar re-scan +
+    // map-side collapse for corpus-scale storage pressure — the wrong
+    // trade at 100 TB (same judgment as tfidfTerms' second pass).
     val dt = docsIn
       .select(col("doc_id"), col("source"),
         explode(array_distinct(filter(T.tokens(col("text")), w => w =!= "")))

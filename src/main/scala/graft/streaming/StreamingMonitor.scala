@@ -524,7 +524,11 @@ object StreamingMonitor {
     * watermark-FREE (NoTimeout, frontier-ordered, no event-time
     * eviction), so the flagged late-row discard cannot occur and
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
-    * false` is sound for that chain. */
+    * false` is sound for that chain. The conf is SESSION-global, not
+    * per-query: it also silences the guard for every other streaming
+    * query planned in the session, so run the chain from a dedicated
+    * session (or restore the conf after `start()` — planning reads it
+    * once) rather than disabling it application-wide. */
   def streamCusum(counts: Dataset[CountPoint],
                   baseline: Map[String, (Long, Long)],
                   alarmHours: Int = 3): Dataset[CusumRow] = {

@@ -654,6 +654,16 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1, 1L, 1L, 3L, 2L), (2, 2L, 2L, 5L, 3L),
       (3, 3L, 3L, 7L, 3L), (4, 4L, 4L, 8L, 4L)), s"got ${got.toSeq}")
+    // prefixes before the first document REPORT as zeros, never vanish:
+    // ids {3,4} leave buckets 1,2 empty
+    val sparse = Seq((3L, "a b", "s"), (4L, "a c", "s"))
+      .toDF("doc_id", "text", "source")
+    val gotSparse = graft.operators.TextAnalysis.vocabGrowthOf(sparse, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(gotSparse.toSeq == Seq(
+      (1, 1L, 0L, 0L, 0L), (2, 2L, 0L, 0L, 0L),
+      (3, 3L, 1L, 2L, 2L), (4, 4L, 2L, 4L, 3L)), s"got ${gotSparse.toSeq}")
     // corpus-scale invariants: every series is monotone non-decreasing
     // and the last bucket covers the whole corpus
     val panel = graft.operators.TextAnalysis.vocabGrowth(spark, sfDir).collect()
