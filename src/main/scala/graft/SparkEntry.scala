@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
+    "q_dedup_sweep" -> ((s, d) => Dedup.cosineThresholdSweep(s, d)),
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_recall" -> ((s, d) => Ann.annRecall(s, d)),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
+    "q_ann_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
@@ -747,6 +749,28 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
         | AND a.vec_id < b.vec_id
         |GROUP BY 1,2 HAVING dot_q >= 250000""".stripMargin,
+    // threshold sweep: the q_dedup_cosine pair algebra at the loosest
+    // cutoff, counts per grid threshold, zero-filled
+    "q_dedup_sweep" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        |   AND a.vec_id < b.vec_id
+        |  GROUP BY 1,2 HAVING dot_q >= 250000),
+        | g AS (SELECT CAST(unnest([250000, 500000, 750000, 1000000]) AS BIGINT)
+        |         AS min_dot_q),
+        | sw AS (SELECT g.min_dot_q, p.vec_a, p.vec_b
+        |        FROM p JOIN g ON p.dot_q >= g.min_dot_q),
+        | pc AS (SELECT min_dot_q, count(*) AS n_pairs FROM sw GROUP BY 1),
+        | af AS (SELECT min_dot_q, count(DISTINCT vec) AS n_affected FROM (
+        |   SELECT min_dot_q, unnest([vec_a, vec_b]) AS vec FROM sw) GROUP BY 1)
+        |SELECT g.min_dot_q, coalesce(pc.n_pairs, 0) AS n_pairs,
+        |  coalesce(af.n_affected, 0) AS n_affected
+        |FROM g LEFT JOIN pc USING (min_dot_q)
+        |  LEFT JOIN af USING (min_dot_q)""".stripMargin,
     // Quadratic ground truth for the SRP-LSH operator: recompute the
     // 64-bit sign-random-projection fingerprint with the SAME integer
     // arithmetic (milli-quantized components, ±1 weights from the
@@ -857,6 +881,45 @@ object SparkEntry {
         | SELECT *, row_number() OVER
         |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM sc)
         |WHERE rnk <= 5""".stripMargin,
+    // IVF sweep: the q_ann_ivf algebra with the probe cutoff deferred
+    // to a grid join; brute ground truth from the full dot self-join
+    "q_ann_probe_sweep" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        | a AS (SELECT qe.vec_id AS query_id, s.label,
+        |   CAST(sum(qe.q * s.sq) AS BIGINT) AS dot, max(s.n) AS n
+        |  FROM e qe JOIN s ON s.i = qe.i WHERE qe.vec_id < 10 GROUP BY 1, 2),
+        | pr AS (SELECT query_id, label, p FROM (
+        |   SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY CAST(dot AS DOUBLE) / CAST(n AS DOUBLE) DESC, label) AS p
+        |   FROM a) WHERE p <= 8),
+        | g AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        | sc AS (SELECT qe.vec_id AS query_id, b.vec_id AS vec_id, pr.p,
+        |   CAST(sum(qe.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e qe JOIN e b ON b.i = qe.i
+        |  JOIN pr ON pr.query_id = qe.vec_id AND pr.label = b.label
+        |  WHERE qe.vec_id < 10 AND b.vec_id <> qe.vec_id GROUP BY 1, 2, 3),
+        | topk AS (SELECT query_id, vec_id, nprobe FROM (
+        |   SELECT sc.query_id, sc.vec_id, g.nprobe,
+        |     row_number() OVER (PARTITION BY sc.query_id, g.nprobe
+        |       ORDER BY sc.dot_q DESC, sc.vec_id) AS rnk
+        |   FROM sc JOIN g ON sc.p <= g.nprobe) WHERE rnk <= 5),
+        | bs AS (SELECT qe.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(qe.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e qe JOIN e b ON b.i = qe.i
+        |  WHERE qe.vec_id < 10 AND b.vec_id <> qe.vec_id GROUP BY 1, 2),
+        | brute AS (SELECT query_id, vec_id FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY dot_q DESC, vec_id) AS rnk FROM bs) WHERE rnk <= 5),
+        | bg AS (SELECT brute.query_id, brute.vec_id, g.nprobe FROM brute, g)
+        |SELECT bg.nprobe, bg.query_id, count(topk.vec_id) AS hits,
+        |  CAST(count(topk.vec_id) AS DOUBLE) / 5 AS recall
+        |FROM bg LEFT JOIN topk ON topk.query_id = bg.query_id
+        |  AND topk.vec_id = bg.vec_id AND topk.nprobe = bg.nprobe
+        |GROUP BY 1, 2""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT lang,
         |  len(regexp_extract_all(text, '\bthe\b')) AS c_en,

@@ -249,6 +249,65 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF tuning curve: recall@k against the brute-force ground truth
+    * for a GRID of probe budgets — the nprobe/recall trade-off every
+    * IVF deployment plots before fixing its budget ([[srpTablesFor]]
+    * answers this analytically for SRP-LSH; IVF has no closed form, so
+    * the sweep IS the tuning tool). One pass does the whole grid:
+    * centroid affinities and candidate scoring run ONCE with each
+    * candidate carrying its list's probe rank (lists ranked ≤
+    * max(probes) only), then the tiny scored set joins the probes grid
+    * (pr ≤ nprobe) and re-ranks per (query, nprobe) — the corpus is
+    * never re-scanned per sweep point. Output: (nprobe, query_id,
+    * hits, recall), exact integers plus one double division. */
+  def ivfProbeSweep(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = 10,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe grid $probes")
+    val e = embs(spark, dir)
+    val sums = e
+      .select(col("label"), posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sq")))).as("sqs"),
+        max(col("n")).as("n"))
+      .select(col("label"), transform(col("sqs"), s => s.getField("sq")).as("sum_q"),
+        col("n"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    val affinity = queries.crossJoin(broadcast(sums))
+      .select(col("query_id"), col("e_query"), col("label"),
+        (V.dotQ(V.quantize(col("e_query")), col("sum_q")).cast("double") /
+          col("n").cast("double")).as("affinity"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("affinity").desc, col("label").asc)
+    val probedRanks = affinity.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes.max)
+      .select(col("query_id"), col("e_query"), col("label"), col("pr"))
+    // each candidate is scored exactly once, tagged with its list's
+    // probe rank; the sweep multiplies only these tiny (id, id, pr,
+    // dot) rows, never the vector scan
+    val scored = e.join(broadcast(probedRanks), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("pr"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val grid = probes.toDF("nprobe")
+    val wTop = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    val topk = scored.join(broadcast(grid), col("pr") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("nprobe"), lit(true).as("hit"))
+    val bruteG = bruteTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("vec_id")).crossJoin(broadcast(grid))
+    bruteG.join(topk, Seq("query_id", "vec_id", "nprobe"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("nprobe"), col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** Product-quantization ANN (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): split the d dims into
     * d/`dsub` subspaces, learn a small per-subspace codebook, encode

@@ -834,6 +834,37 @@ object Dedup {
       .filter(col("dot_q") >= minDotQ)
   }
 
+  /** Near-dup threshold tuning curve: pair count and affected-vector
+    * count at a GRID of cosine cutoffs — how a curator picks
+    * [[cosinePairs]]/[[semDedup]]'s minDotQ before committing to a
+    * drop rate (SemDeDup's own ε sweep, Abbas et al. §4). ONE pass of
+    * the tiled pair kernel at the LOOSEST cutoff produces the
+    * candidate pairs; the sweep then multiplies only those
+    * output-sparse (id, id, dot) rows against the grid — the
+    * embedding table is never re-scanned per sweep point. Thresholds
+    * with no surviving pairs report zeros rather than vanishing.
+    * Output: (min_dot_q, n_pairs, n_affected), exact integers. */
+  def cosineThresholdSweep(spark: SparkSession, dir: String,
+                           thresholds: Seq[Long] =
+                             Seq(250000L, 500000L, 750000L, 1000000L),
+                           tiles: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(thresholds.nonEmpty, "empty threshold grid")
+    val pairs = cosinePairs(spark, dir, thresholds.min, tiles)
+    val grid = thresholds.toDF("min_dot_q")
+    val swept = pairs.join(broadcast(grid), col("dot_q") >= col("min_dot_q"))
+    val pairCounts = swept.groupBy(col("min_dot_q"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val affected = swept
+      .select(col("min_dot_q"), explode(array(col("vec_a"), col("vec_b"))).as("vec"))
+      .groupBy(col("min_dot_q")).agg(countDistinct(col("vec")).as("n_affected"))
+    grid.join(pairCounts, Seq("min_dot_q"), "left")
+      .join(affected, Seq("min_dot_q"), "left")
+      .select(col("min_dot_q"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_affected"), lit(0L)).as("n_affected"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — k-means-cluster the embedding space, then search
     * for near-duplicate pairs ONLY within a cluster, so the pair space

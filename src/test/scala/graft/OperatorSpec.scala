@@ -743,6 +743,43 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0), "all-zero drift matrix")
   }
 
+  test("ivfProbeSweep: recall monotone in probe budget; probing every list recovers brute force") {
+    val nLists = graft.Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count().toInt
+    val rows = graft.operators.Ann.ivfProbeSweep(spark, sfDir,
+        probes = Seq(1, 2, 4, nLists)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per query, recall never drops as the probe budget grows
+    rows.groupBy(_._2).foreach { case (q, rs) =>
+      val byProbe = rs.sortBy(_._1).map(_._4)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => b >= a },
+        s"query $q: recall not monotone: ${byProbe.toSeq}")
+    }
+    // nprobe = #lists probes everything → IVF IS brute force
+    val full = rows.filter(_._1 == nLists)
+    assert(full.nonEmpty && full.forall(_._4 == 1.0),
+      s"full-probe recall != 1: ${full.filter(_._4 != 1.0).take(3).toSeq}")
+    // the sweep must show the trade-off actually biting at the low end
+    assert(rows.filter(_._1 == 1).exists(_._4 < 1.0),
+      "nprobe=1 already perfect — sweep exercises nothing")
+  }
+
+  test("cosineThresholdSweep: curve is monotone, anchors at the single-cut operator, zero-fills dry cuts") {
+    val sweep = graft.operators.Dedup.cosineThresholdSweep(spark, sfDir,
+        thresholds = Seq(250000L, 500000L, 750000L, Long.MaxValue / 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // tightening the cut can only shrink both counts
+    assert(sweep.zip(sweep.tail).forall { case (a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 }, s"not monotone: ${sweep.toSeq}")
+    // the loosest point IS the production single-cut pair count
+    val single = graft.operators.Dedup.cosinePairs(spark, sfDir).count()
+    assert(sweep.head._2 == single,
+      s"sweep@250000 ${sweep.head._2} != cosinePairs $single")
+    assert(sweep.head._2 > 0, "no pairs at the loosest cut — sweep exercises nothing")
+    // an unreachable cut reports zeros instead of vanishing
+    assert(sweep.last == (Long.MaxValue / 2, 0L, 0L), s"dry cut: ${sweep.last}")
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")
