@@ -981,6 +981,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("the gapFill → cusum chain survives a checkpointed restart with both operators' state intact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = s.conf.get(checkConf)
+    s.conf.set(checkConf, "false")
+    val ckpt = java.nio.file.Files.createTempDirectory("chain_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("chain_out").toString
+    val baseline = Map("a" -> ((4L, 8L))) // W=4, T=8 → μ=2/window
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    val input = MemoryStream[graft.streaming.CountPoint]
+    def start() =
+      StreamingMonitor.streamCusum(
+        StreamingMonitor.streamGapFill(input.toDS(), windowMs = 60000L), baseline)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    def readOut() = s.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime,
+        r.getAs[Long]("msg_count"), r.getAs[Long]("cusum_surge"),
+        r.getAs[Long]("cusum_drop"))).toSet
+    // continuous reference: dev = 4·count − 8 folded over the grid
+    // 10:00=3, 10:01=0 (gap), 10:02=0 (gap), 10:03=1
+    val want = Set(
+      (ts(0).getTime, 3L, 4L, 0L),   // dev +4: S⁺=4
+      (ts(1).getTime, 0L, 0L, 8L),   // dev −8: S⁺=0, S⁻=8
+      (ts(2).getTime, 0L, 0L, 16L),  // dev −8: S⁻=16
+      (ts(3).getTime, 1L, 0L, 20L))  // dev −4: S⁻=20
+    val q1 = start()
+    try {
+      input.addData(cp(0, 3L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: BOTH recovered states must engage — gapFill's frontier
+    // (10:00) interpolates the 10:01/10:02 zeros, cusum's (S⁺,S⁻)
+    // continues from (4,0) rather than restarting at (0,0)
+    val q2 = start()
+    try {
+      input.addData(cp(3, 1L))
+      q2.processAllAvailable()
+      assert(readOut() == want,
+        s"missing=${(want -- readOut()).toSeq} extra=${(readOut() -- want).toSeq}")
+    } finally {
+      q2.stop()
+      s.conf.set(checkConf, prevCheck)
+    }
+  }
+
   test("streaming EWMA bounded-frame state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
