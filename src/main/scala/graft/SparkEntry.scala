@@ -158,6 +158,7 @@ object SparkEntry {
     "q_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "q_shard_balance" -> ((s, d) => Sampling.shardBalance(s, d)),
     "q_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q_sample_weighted" -> ((s, d) => Sampling.sampleWeighted(s, d)),
     "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
@@ -971,6 +972,20 @@ object SparkEntry {
         |      ELSE 'test' END AS split,
         | count(*) AS n
         |FROM documents GROUP BY 1,2""".stripMargin,
+    // shard balance: the trainTestSplit Knuth hash mod shards; ratio =
+    // bytes·shards/total in the same op order as the Spark side
+    "q_shard_balance" ->
+      """WITH c AS (SELECT
+        |   CAST((doc_id * 2654435761) % 4294967296 % 32 AS INTEGER) AS shard,
+        |   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY 1),
+        | g AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS shard),
+        | t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS total_bytes FROM c)
+        |SELECT g.shard, coalesce(c.n_docs, 0) AS n_docs,
+        |  coalesce(c.n_bytes, 0) AS n_bytes,
+        |  CAST(coalesce(c.n_bytes, 0) AS DOUBLE) * 32
+        |    / CAST(t.total_bytes AS DOUBLE) AS load_ratio
+        |FROM g LEFT JOIN c USING (shard), t""".stripMargin,
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars

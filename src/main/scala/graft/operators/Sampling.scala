@@ -18,6 +18,36 @@ object Sampling {
   private def slot(key: org.apache.spark.sql.Column) =
     pmod(key * lit(2654435761L), lit(4294967296L)) % 100
 
+  /** Partition-skew audit: row and byte load per hash shard under the
+    * engine's own key-hash partitioning model — the capacity check run
+    * BEFORE committing a key to `repartition`/bucketing at 100 TB (a
+    * skewed key turns one executor into the job's critical path; this
+    * panel is how you see it in advance from a cheap aggregate).
+    * Shard = the [[slot]] Knuth multiplicative hash mod `shards`
+    * (plain arithmetic, engine-reproducible); load_ratio =
+    * bytes·shards/total_bytes (1.0 = perfectly balanced, the max row
+    * IS the straggler factor) — exact integers plus one double
+    * division. One map-side-combined aggregate to `shards` rows;
+    * empty shards report zeros via the grid left-join. */
+  def shardBalance(spark: SparkSession, dir: String, shards: Int = 32): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val cells = Tables.documents(spark, dir)
+      .withColumn("shard",
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % shards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+    val grid = (0 until shards).toDF("shard")
+    val totals = cells.agg(sum(col("n_bytes")).as("total_bytes"))
+    grid.join(cells, Seq("shard"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        (coalesce(col("n_bytes"), lit(0L)).cast("double") * shards /
+          col("total_bytes").cast("double")).as("load_ratio"))
+  }
+
   /** Deterministic train/validation/test split (80/10/10 by key hash);
     * reports per-(lang, split) counts. */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame =

@@ -780,6 +780,24 @@ class OperatorSpec extends SparkSpec {
     assert(sweep.last == (Long.MaxValue / 2, 0L, 0L), s"dry cut: ${sweep.last}")
   }
 
+  test("shardBalance: conserves totals, ratio averages to 1, empty shards zero-fill") {
+    val rows = graft.operators.Sampling.shardBalance(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 32 && rows.map(_._1).toSet == (0 until 32).toSet,
+      "panel must cover every shard exactly once")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    assert(rows.map(_._2).sum == docs.getLong(0), "doc total not conserved")
+    assert(rows.map(_._3).sum == docs.getLong(1), "byte total not conserved")
+    // Σ load_ratio = shards by construction (up to float addition)
+    assert(math.abs(rows.map(_._4).sum - 32.0) < 1e-9, s"ratios sum ${rows.map(_._4).sum}")
+    // more shards than docs: empty shards zero-fill, never vanish
+    val wide = graft.operators.Sampling.shardBalance(spark, sfDir, shards = 1024)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(wide.length == 1024, s"got ${wide.length} rows")
+    assert(wide.exists(_._2 == 0L), "expected at least one empty shard")
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")
