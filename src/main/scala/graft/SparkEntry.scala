@@ -148,6 +148,7 @@ object SparkEntry {
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q_quality_percentile" -> ((s, d) => TextAnalysis.qualityPercentile(s, d)),
+    "q_quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(s, d)),
     "q_doc_specificity" -> ((s, d) => TextAnalysis.docSpecificity(s, d)),
     "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
     // Multimodal
@@ -1158,6 +1159,28 @@ object SparkEntry {
         |       WHEN q_pr >= 1.0/3.0 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM r""".replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
+    // scalable tercile calibration: thresholds from the (source, value)
+    // cell grid — ⌈n/3⌉ via integer (n+2)//3, ties land upper
+    "q_quality_buckets" ->
+      """WITH q AS (SELECT source, %%QUALITY%% AS quality FROM documents),
+        | cells AS (SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2),
+        | tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        | cum AS (SELECT source, quality,
+        |   sum(c) OVER (PARTITION BY source ORDER BY quality
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells),
+        | th AS (SELECT cum.source,
+        |   min(CASE WHEN cum >= (n + 2) // 3 THEN quality END) AS t1,
+        |   min(CASE WHEN cum >= (2 * n + 2) // 3 THEN quality END) AS t2
+        |  FROM cum JOIN tot USING (source) GROUP BY 1)
+        |SELECT cells.source, th.t1, th.t2,
+        |  CAST(coalesce(sum(c) FILTER (quality < th.t1), 0) AS BIGINT) AS n_tail,
+        |  CAST(coalesce(sum(c) FILTER (quality >= th.t1 AND quality < th.t2), 0)
+        |    AS BIGINT) AS n_middle,
+        |  CAST(coalesce(sum(c) FILTER (quality >= th.t2), 0) AS BIGINT) AS n_head,
+        |  CAST(sum(c) AS BIGINT) AS n
+        |FROM cells JOIN th USING (source) GROUP BY 1, 2, 3"""
+        .replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
     "q_doc_specificity" ->
       """WITH tok AS (SELECT doc_id, source,
         |   unnest(regexp_split_to_array(trim(text), '\s+')) AS token

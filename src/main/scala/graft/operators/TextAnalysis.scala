@@ -680,6 +680,60 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** The 100 TB form of [[qualityPercentile]]: the same head/middle/
+    * tail calibration WITHOUT sorting documents — quality collapses to
+    * (source, value) CELLS first (shuffle ∝ distinct values, the
+    * ksDrift trick), the tercile thresholds come from one window over
+    * that small grid (t_k = smallest value whose running count reaches
+    * ⌈k·n/3⌉ — exact integer ceilings, no IEEE rank), and the bucket
+    * counts come from the SAME cell grid (sums of cell counts per
+    * threshold band) — ONE corpus scan total, the expensive quality
+    * regexes run once per document, and nothing document-sized is
+    * sorted or re-read. Everything is exact, so unlike an
+    * approx-quantile coarsening this panel is oracle-checked; ties at
+    * a threshold all land in the upper bucket (deterministic).
+    * Output: (source, t1, t2, n_tail, n_middle, n_head, n). */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    qualityBucketsOf(Tables.documents(spark, dir))
+
+  /** [[qualityBuckets]] over a prepared (source, text) frame. */
+  def qualityBucketsOf(docs: DataFrame): DataFrame = {
+    val q = docs.select(col("source"), T.qualityScore(col("text")).as("quality"))
+    // MATERIALIZED (the perSourceWord idiom): the grid feeds both the
+    // threshold window and the final band sums, and per-branch pruning
+    // blocks lazy exchange reuse — without the cut the corpus (and its
+    // regex kernel) runs once per consumer. The frame is sources ×
+    // distinct quality values — value-dictionary-bounded, far below
+    // corpus size (measured 1.05 s → 0.88 s at sf0.1; the remainder is
+    // the ~4-job planning floor at toy scale, not the data path).
+    val cells0 = q.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val cells =
+      if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        cells0.checkpoint(eager = true)
+      else cells0.localCheckpoint(eager = true)
+    val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cum = cells.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("quality").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val th = cum.join(broadcast(totals), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("quality"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("quality"))).as("t2"))
+    cells.join(broadcast(th), Seq("source"))
+      .groupBy(col("source"), col("t1"), col("t2"))
+      .agg(
+        sum(when(col("quality") < col("t1"), col("c")).otherwise(0L)).as("n_tail"),
+        sum(when(col("quality") >= col("t1") && col("quality") < col("t2"),
+          col("c")).otherwise(0L)).as("n_middle"),
+        sum(when(col("quality") >= col("t2"), col("c")).otherwise(0L)).as("n_head"),
+        sum(col("c")).as("n"))
+      .select(col("source"), col("t1"), col("t2"),
+        col("n_tail"), col("n_middle"), col("n_head"), col("n"))
+  }
+
   /** Document specificity: mean document frequency of each doc's
     * DISTINCT tokens — low mean-df = built from rare vocabulary (the
     * novelty/esoterica signal; high = boilerplate of corpus-common

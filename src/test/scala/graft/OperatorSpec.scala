@@ -798,6 +798,32 @@ class OperatorSpec extends SparkSpec {
     assert(wide.exists(_._2 == 0L), "expected at least one empty shard")
   }
 
+  test("qualityBuckets: cell-grid tercile thresholds match a driver reference without sorting docs") {
+    val qs = graft.operators.TextAnalysis.qualityPercentile(spark, sfDir)
+      .select("source", "quality").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = graft.operators.TextAnalysis.qualityBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val bySrc = qs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, vals) =>
+      val n = vals.length
+      val sorted = vals.sorted
+      // t_k = smallest value whose running count reaches ceil(k·n/3):
+      // with sorted values that is simply the value at that rank
+      val t1 = sorted((n + 2) / 3 - 1)
+      val t2 = sorted((2 * n + 2) / 3 - 1)
+      val want = (t1, t2, vals.count(_ < t1).toLong,
+        vals.count(v => v >= t1 && v < t2).toLong,
+        vals.count(_ >= t2).toLong, n.toLong)
+      assert(got(src) == want, s"$src: got ${got(src)} want $want")
+      // buckets partition the source
+      val (_, _, a, b, c, _) = got(src)
+      assert(a + b + c == n, s"$src: buckets don't partition")
+    }
+  }
+
   test("ops endpoints: readiness flips, liveness constant, metrics scrape served") {
     val srv = new graft.streaming.OpsEndpoints.Server(0, () => "graft_up 1\n",
       host = "127.0.0.1")
