@@ -48,6 +48,8 @@ object SparkEntry {
     "q_backlog_sub" -> ((s, d) => Monitoring.backlogPerSubscription(s, d)),
     "q_incident_overlap" -> ((s, d) => Monitoring.incidentOverlap(s, d)),
     "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
+    "q_rate_forecast" -> ((s, d) => Monitoring.rateForecast(s, d)),
+    "q_burst_detect" -> ((s, d) => Monitoring.burstDetect(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -151,6 +153,8 @@ object SparkEntry {
     "q_quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(s, d)),
     "q_doc_specificity" -> ((s, d) => TextAnalysis.docSpecificity(s, d)),
     "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
+    "q_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
+    "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -166,6 +170,8 @@ object SparkEntry {
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
     "q_mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
+    "q_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
+    "q_epoch_plan" -> ((s, d) => Sampling.epochPlan(s, d)),
     "q_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
     "q_cooccur" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_winsorize" -> ((s, d) => Monitoring.winsorized(s, d)),
@@ -235,6 +241,28 @@ object SparkEntry {
         |  (CAST(w_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE)) /
         |  (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
         |FROM w CROSS JOIN t""".stripMargin,
+    // hash sample: md5 hex is byte-identical across engines, so the
+    // per-source order (and the exact-k cut) is too
+    "q_hash_sample" ->
+      """SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 25""".stripMargin,
+    // epoch plan: target and oversample test are exact integers;
+    // epochs is the pair's single division
+    "q_epoch_plan" ->
+      """WITH s AS (SELECT source,
+        |   CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |     AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |   count(*) AS n_sources FROM s)
+        |SELECT source, n_tokens,
+        | CAST((2 * tot_tokens) // n_sources AS BIGINT) AS target_tokens,
+        | CAST((2 * tot_tokens) // n_sources AS DOUBLE) /
+        |   CAST(n_tokens AS DOUBLE) AS epochs,
+        | (2 * tot_tokens) // n_sources > n_tokens AS oversampled
+        |FROM s CROSS JOIN t""".stripMargin,
     // collocations: positional pair space rebuilt by zip-unnest +
     // self-join (the oracle-side equivalent of the in-array transform);
     // lift = one division of exact HUGEINT products
@@ -1021,6 +1049,48 @@ object SparkEntry {
         |    - CAST(n_topic AS HUGEINT) * n_day)) AS DOUBLE) /
         |  CAST(CAST(max(n_day) AS HUGEINT) * max(n.n) AS DOUBLE) AS drift
         |FROM grid CROSS JOIN n GROUP BY 1""".stripMargin,
+    // OLS rate forecast: every sum is an exact integer over the
+    // per-topic REBASED hour index (xr ≤ #windows, so nΣx² can't
+    // overflow); slope is one division of exact integers and
+    // intercept/forecast reuse the identical IEEE op tree
+    "q_rate_forecast" ->
+      """WITH c AS (SELECT event_type AS topic,
+        |   date_trunc('hour', ts) AS window_start, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        | x AS (SELECT topic, epoch_us(window_start) // 3600000000 AS x, y FROM c),
+        | r AS (SELECT topic, x - min(x) OVER (PARTITION BY topic) AS xr, y FROM x),
+        | s AS (SELECT topic, count(*) AS n_windows,
+        |   CAST(sum(xr) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(xr * y) AS BIGINT) AS sxy,
+        |   CAST(sum(xr * xr) AS BIGINT) AS sxx, max(xr) AS x_last
+        |  FROM r GROUP BY 1),
+        | sl AS (SELECT *, CASE WHEN n_windows * sxx - sx * sx <> 0 THEN
+        |   CAST(n_windows * sxy - sx * sy AS DOUBLE) /
+        |   CAST(n_windows * sxx - sx * sx AS DOUBLE) END AS slope_per_hour
+        |  FROM s),
+        | it AS (SELECT *, (CAST(sy AS DOUBLE) - slope_per_hour *
+        |   CAST(sx AS DOUBLE)) / CAST(n_windows AS DOUBLE) AS intercept
+        |  FROM sl)
+        |SELECT topic, n_windows, slope_per_hour, intercept,
+        | slope_per_hour * CAST(x_last + 1 AS DOUBLE) + intercept AS forecast_next
+        |FROM it""".stripMargin,
+    // burst detection: the alarm test is EXACT integer arithmetic
+    // (count·baseline_windows > 3·baseline_sum), so no float
+    // threshold straddle can flip a row between engines
+    "q_burst_detect" ->
+      """WITH c AS (SELECT event_type AS topic,
+        |   date_trunc('hour', ts) AS window_start, count(*) AS msg_count
+        |  FROM events GROUP BY 1, 2),
+        | b AS (SELECT topic, window_start, msg_count,
+        |   count(msg_count) OVER w AS baseline_windows,
+        |   CAST(sum(msg_count) OVER w AS BIGINT) AS baseline_sum
+        |  FROM c WINDOW w AS (PARTITION BY topic ORDER BY window_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT topic, window_start, msg_count, baseline_windows, baseline_sum,
+        | CAST(msg_count * baseline_windows AS DOUBLE) /
+        |   CAST(baseline_sum AS DOUBLE) AS burst_ratio
+        |FROM b WHERE baseline_windows >= 6
+        | AND msg_count * baseline_windows > 3 * baseline_sum""".stripMargin,
     // MAD outliers: both medians are the q_median_exact rank kernel;
     // dev/mad/threshold are the identical IEEE expressions
     "q_outlier_mad" ->
@@ -1218,6 +1288,49 @@ object SparkEntry {
         |FROM wn a JOIN wn b
         |  ON a.n_chars = b.n_chars AND a.source < b.source
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // char diversity: the Spark side is a row-local sorted run-length
+    // fold; the oracle rebuilds the same exact (n, Σcount²) pair by
+    // explode+groupBy — identical integers, one division each
+    "q_char_diversity" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents),
+        | pc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        | s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars_total,
+        |   count(*) AS n_distinct_chars, CAST(sum(k * k) AS BIGINT) AS sum_sq
+        |  FROM pc GROUP BY 1)
+        |SELECT doc_id, n_chars_total, n_distinct_chars, sum_sq,
+        | CASE WHEN n_chars_total > 0 THEN CAST(sum_sq AS DOUBLE) /
+        |   CAST(n_chars_total * n_chars_total AS DOUBLE) END AS simpson,
+        | CASE WHEN n_chars_total > 0 THEN
+        |   CAST(n_chars_total * n_chars_total AS DOUBLE) /
+        |   CAST(sum_sq AS DOUBLE) END AS effective_alphabet
+        |FROM s""".stripMargin,
+    // PII census: RE2-compatible patterns, non-overlapping leftmost
+    // matches in both engines; zero hits on this corpus by design
+    // (PiiSpec proves detection on injected text)
+    "q_pii_scan" ->
+      """WITH m AS (SELECT source,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |     AS c_email,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\+?[0-9][0-9()\s-]{6,}[0-9]')) AS BIGINT) AS c_phone,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+        |     AS c_ipv4,
+        |   CAST(len(regexp_extract_all(text, '[0-9]{8,}')) AS BIGINT)
+        |     AS c_digit_run
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(CASE WHEN c_email > 0 THEN 1 END) AS docs_with_email,
+        | CAST(sum(c_email) AS BIGINT) AS n_email,
+        | count(CASE WHEN c_phone > 0 THEN 1 END) AS docs_with_phone,
+        | CAST(sum(c_phone) AS BIGINT) AS n_phone,
+        | count(CASE WHEN c_ipv4 > 0 THEN 1 END) AS docs_with_ipv4,
+        | CAST(sum(c_ipv4) AS BIGINT) AS n_ipv4,
+        | count(CASE WHEN c_digit_run > 0 THEN 1 END) AS docs_with_digit_run,
+        | CAST(sum(c_digit_run) AS BIGINT) AS n_digit_run
+        |FROM m GROUP BY 1""".stripMargin,
     // chunking: range() stop-exclusive == sequence() stop-inclusive at
     // size-1; list_slice clamps exactly like slice
     "q_chunk" ->

@@ -778,6 +778,80 @@ object Monitoring {
         pmod(col("user_id"), lit(subs)).as("subscription"))
       .agg(count(when(col("value") > 150, 1)).as("msg_backlog"))
 
+  /** Per-topic linear rate forecast: OLS slope over the hourly
+    * msg-count series plus the next-window projection — the
+    * capacity-planning panel behind "will this feed outgrow its
+    * consumer" (the forward-looking complement of q_drift's
+    * backward-looking level shift). x is the epoch-hour index REBASED
+    * per topic (x − min x), so every OLS sum (Σx, Σy, Σxy, Σx²) is an
+    * exact BIGINT that cannot overflow (x ≤ #windows, y = counts);
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one IEEE division of
+    * exact integers, and intercept/forecast are the same fixed
+    * double-op tree in both engines — engine-reproducible with no
+    * transcendentals. Shuffle ∝ #topics × #windows (map-side combine
+    * collapses events first); the rebase window runs over that small
+    * grid, never the events. Topics with < 2 windows or a degenerate
+    * x-variance report null slope/forecast. */
+  def rateForecast(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", expr("cast(window_start as bigint) div 3600"))
+    val rebased = counts
+      .withColumn("xr", col("x") - min(col("x")).over(Window.partitionBy(col("topic"))))
+    val sums = rebased.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("xr")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xr") * col("y")).as("sxy"),
+        sum(col("xr") * col("xr")).as("sxx"),
+        max(col("xr")).as("x_last"))
+    val num = sums("n_windows") * sums("sxy") - sums("sx") * sums("sy")
+    val den = sums("n_windows") * sums("sxx") - sums("sx") * sums("sx")
+    val slope = when(den =!= 0L, num.cast("double") / den.cast("double"))
+    sums
+      .withColumn("slope_per_hour", slope)
+      .withColumn("intercept",
+        (col("sy").cast("double") -
+          col("slope_per_hour") * col("sx").cast("double")) /
+          col("n_windows").cast("double"))
+      .withColumn("forecast_next",
+        col("slope_per_hour") * (col("x_last") + 1L).cast("double") +
+          col("intercept"))
+      .select(col("topic"), col("n_windows"), col("slope_per_hour"),
+        col("intercept"), col("forecast_next"))
+  }
+
+  /** Burst windows: hours where a topic's message count exceeds 3× its
+    * trailing-24-present-window baseline — the flood-detection twin of
+    * [[gapFilledRates]]' silence detection (the reference alerts on
+    * BOTH dead feeds and runaway feeds; staleDetector covers the
+    * former). The baseline is a rows-frame over the topic's PRESENT
+    * windows (gaps carry no rows, documented), needing ≥ 6 windows of
+    * history before it can alarm. The burst test is EXACT integer
+    * arithmetic — msg_count · baseline_windows > 3 · baseline_sum —
+    * and the reported ratio is that integer pair's single IEEE
+    * division, so the row set is engine-reproducible with no float
+    * threshold straddle. Shuffle ∝ #topics × #windows. */
+  def burstDetect(spark: SparkSession, dir: String,
+                  factor: Int = 3, minBaseline: Int = 6): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+    val w = Window.partitionBy(col("topic")).orderBy(col("window_start"))
+      .rowsBetween(-24, -1)
+    counts
+      .withColumn("baseline_windows", count(col("msg_count")).over(w))
+      .withColumn("baseline_sum", sum(col("msg_count")).over(w))
+      .filter(col("baseline_windows") >= minBaseline &&
+        col("msg_count") * col("baseline_windows") >
+          lit(factor.toLong) * col("baseline_sum"))
+      .withColumn("burst_ratio",
+        (col("msg_count") * col("baseline_windows")).cast("double") /
+          col("baseline_sum").cast("double"))
+  }
+
   /** Route distinct topics through MQTT wildcard filters using the
     * native MqttTopicMatch expression. */
   def topicFilterRouting(spark: SparkSession, dir: String): DataFrame = {

@@ -184,6 +184,51 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Deterministic per-source uniform sample of EXACTLY k documents:
+    * rank inside each source by md5(doc_id) — a content-independent,
+    * engine-portable uniform order — and keep the k smallest. The
+    * inspection/eval-holdout primitive "give me k random docs per
+    * source, the SAME k on every rerun and in every engine":
+    * `df.sample`'s partition-seeded RNG reshuffles under
+    * repartitioning, and the slot()-percentage gates
+    * ([[stratifiedSample]]) can't hit an exact count. Bounded-heap
+    * TopKPerKey — O(#sources·k) state, no per-source sort, one
+    * shuffle of (source, doc_id, 32-byte hash) survivors. */
+  def hashSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import graft.plans.TopKPerKey
+    TopKPerKey.topKPerKey(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h")),
+      Seq("source"), Seq("h" -> TopKPerKey.Asc, "doc_id" -> TopKPerKey.Asc), k)
+  }
+
+  /** Epoch plan: given a token budget of `mult`× the corpus and a
+    * UNIFORM target mixture, how many epochs (repeats) each source
+    * must run — the repetition schedule behind "small high-quality
+    * sources get multiple epochs, the big crawl slice runs under one"
+    * (the planning step between [[mixtureTemperature]]'s weights and
+    * an actual training run). target_tokens = (mult·total) div
+    * #sources and the oversample test are EXACT integer arithmetic;
+    * epochs is that pair's single IEEE division. One #sources-row
+    * aggregate (map-side combined) + a broadcast scalar join. */
+  def epochPlan(spark: SparkSession, dir: String, mult: Int = 2): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(graft.functions.TextFunctions.wordCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"($mult * tot_tokens) div n_sources"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("oversampled", col("target_tokens") > col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("epochs"), col("oversampled"))
+  }
+
   /** Per-domain cap, quality-first: keep the `cap` BEST documents of
     * each source under the exact quality kernel, (quality DESC,
     * doc_id ASC) — the CommonCrawl-style "no domain dominates the

@@ -766,6 +766,88 @@ object TextAnalysis {
         col("df_sum").cast("double") / col("n_distinct").cast("double"))
   }
 
+  /** RE2-compatible PII census patterns (no lookaround, no backrefs,
+    * ASCII classes only) so Spark's Java regex and an RE2-family
+    * engine find the identical non-overlapping leftmost matches. */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9()\\s-]{6,}[0-9]",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "digit_run" -> "[0-9]{8,}")
+
+  /** PII pattern census per source — the release gate a training-data
+    * pipeline runs before shipping a corpus slice: how many documents
+    * (and total occurrences) trip each detector class (emails,
+    * phone-like digit sequences, IPv4 addresses, long digit runs —
+    * the redaction companion of [[maskDigits]], which rewrites what
+    * this measures). Row-local `regexp_count` per class, one
+    * #sources-row aggregate — scan speed, shuffle ∝ #sources. On this
+    * synthetic corpus (no digits, no '@') all hit counts are zero —
+    * the oracle row verifies the aggregation shape on real data while
+    * PiiSpec proves each detector on injected PII text. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanOf(Tables.documents(spark, dir))
+
+  /** [[piiScan]] over a prepared (source, text) frame. */
+  def piiScanOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(
+      col("source") +: PiiPatterns.map { case (name, pat) =>
+        regexp_count(col("text"), lit(pat)).cast("bigint").as(s"c_$name")
+      }: _*)
+    counted.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      PiiPatterns.flatMap { case (name, _) =>
+        Seq(count(when(col(s"c_$name") > 0L, 1)).as(s"docs_with_$name"),
+          sum(col(s"c_$name")).as(s"n_$name"))
+      }: _*)
+  }
+
+  /** Character-level diversity panel per document — the "symbol soup /
+    * degenerate repetition" quality gate that token-level signals miss
+    * (a doc of one repeated char has perfect token stats if that char
+    * is a word). Reports the EXACT integer pair (n_chars_total,
+    * Σ count(c)²) behind the Rényi-2 family: Simpson concentration
+    * Σc²/n² (1 = one repeated symbol, →1/alphabet for uniform text)
+    * and effective alphabet size n²/Σc² — each ONE IEEE division of
+    * exact integers, deliberately instead of Shannon entropy whose
+    * log() is libm-dependent (the tfidf judgment,
+    * TextAnalysis.scala:447). Fully row-local: the per-doc char
+    * histogram is a sort+run-length fold INSIDE the row (sort_array +
+    * aggregate with an incremental-square accumulator — (r+1)² = r²
+    * + 2r + 1), so the operator runs at scan speed with NO shuffle at
+    * all — no explode, no doc×alphabet cells. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame =
+    charDiversityOf(Tables.documents(spark, dir))
+
+  /** [[charDiversity]] over a prepared (doc_id, text) frame. */
+  def charDiversityOf(docs: DataFrame): DataFrame = {
+    val chars = sort_array(filter(split(col("text"), ""), c => c =!= ""))
+    // fold state: (prev char, current run length, Σ run², distinct)
+    val folded = aggregate(
+      chars,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("sq"), lit(0L).as("nd")),
+      (acc, c) => struct(
+        c.as("prev"),
+        when(c === acc("prev"), acc("run") + 1L).otherwise(lit(1L)).as("run"),
+        (acc("sq") + when(c === acc("prev"), acc("run") * 2L + 1L)
+          .otherwise(lit(1L))).as("sq"),
+        (acc("nd") + when(c === acc("prev"), 0L).otherwise(1L)).as("nd")))
+    docs.select(
+      col("doc_id"),
+      size(chars).cast("bigint").as("n_chars_total"),
+      folded.getField("nd").as("n_distinct_chars"),
+      folded.getField("sq").as("sum_sq"))
+      .withColumn("simpson",
+        when(col("n_chars_total") > 0L,
+          col("sum_sq").cast("double") /
+            (col("n_chars_total") * col("n_chars_total")).cast("double")))
+      .withColumn("effective_alphabet",
+        when(col("n_chars_total") > 0L,
+          (col("n_chars_total") * col("n_chars_total")).cast("double") /
+            col("sum_sq").cast("double")))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift matrix between sources over
     * document length (n_chars): D = max |ecdf_a − ecdf_b| for every
     * source pair — the distribution-shift audit run before mixing

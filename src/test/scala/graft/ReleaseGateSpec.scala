@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Monitoring, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the r8 release-gate / planning panels: PII census,
+  * char-level diversity, rate forecast, burst detection, exact-k hash
+  * sampling, and the epoch plan. */
+class ReleaseGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii scan: each detector class counts injected PII exactly") {
+    val docs = Seq(
+      // (source, text)
+      ("a", "contact me at alice@example.com or bob.smith+tag@mail.co"),
+      ("a", "no pii here, just words"),
+      ("b", "server at 10.0.12.34 and 192.168.1.1, id 1234567890"),
+      ("b", "call +358 40 123-4567 now"),
+      ("c", "clean text")
+    ).toDF("source", "text")
+    val got = TextAnalysis.piiScanOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("a").getAs[Long]("n_email") == 2)
+    assert(got("a").getAs[Long]("docs_with_email") == 1)
+    assert(got("a").getAs[Long]("n_docs") == 2)
+    assert(got("b").getAs[Long]("n_ipv4") == 2)
+    assert(got("b").getAs[Long]("docs_with_ipv4") == 1)
+    assert(got("b").getAs[Long]("n_digit_run") == 1) // 1234567890
+    assert(got("b").getAs[Long]("n_phone") >= 1)
+    assert(got("b").getAs[Long]("docs_with_phone") >= 1)
+    assert(got("c").getAs[Long]("n_email") == 0 &&
+      got("c").getAs[Long]("n_phone") == 0 &&
+      got("c").getAs[Long]("n_ipv4") == 0 &&
+      got("c").getAs[Long]("n_digit_run") == 0)
+  }
+
+  test("pii scan on this corpus: shape rows per source, zero hits by design") {
+    val rows = TextAnalysis.piiScan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("n_email") == 0 && r.getAs[Long]("n_digit_run") == 0)
+    }
+  }
+
+  test("char diversity: hand-built docs score exactly") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_chars_total") == 4)
+    assert(got(1L).getAs[Long]("n_distinct_chars") == 1)
+    assert(got(1L).getAs[Long]("sum_sq") == 16)
+    assert(got(1L).getAs[Double]("simpson") == 1.0)
+    assert(got(2L).getAs[Long]("sum_sq") == 8) // 2² + 2²
+    assert(got(2L).getAs[Double]("simpson") == 0.5)
+    assert(got(3L).getAs[Double]("effective_alphabet") == 4.0)
+  }
+
+  test("char diversity: row-local fold equals explode recompute on the corpus") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val fold = TextAnalysis.charDiversityOf(docs)
+      .select("doc_id", "n_chars_total", "n_distinct_chars", "sum_sq")
+    val exploded = docs
+      .select(col("doc_id"), explode(filter(split(col("text"), ""), c => c =!= "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("k") * col("k")).as("sum_sq"))
+    assert(fold.exceptAll(exploded).isEmpty && exploded.exceptAll(fold).isEmpty)
+  }
+
+  test("rate forecast: matches closed-form OLS recomputed from the rate series") {
+    val got = Monitoring.rateForecast(spark, sfDir).collect()
+      .map(r => r.getAs[String]("topic") -> r).toMap
+    assert(got.nonEmpty)
+    val counts = Monitoring.msgRatePerTopic(spark, sfDir)
+      .select(col("topic"), (expr("cast(window_start as bigint)") / 3600L).cast("long").as("x"),
+        col("msg_count").as("y"))
+      .collect().groupBy(_.getAs[String]("topic"))
+    counts.foreach { case (topic, rows) =>
+      val xs0 = rows.map(_.getAs[Long]("x")); val xmin = xs0.min
+      val xs = xs0.map(_ - xmin); val ys = rows.map(_.getAs[Long]("y"))
+      val n = xs.length.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+      val r = got(topic)
+      assert(r.getAs[Long]("n_windows") == n)
+      assert(r.getAs[Double]("slope_per_hour") == slope, topic)
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(r.getAs[Double]("intercept") == intercept)
+      assert(r.getAs[Double]("forecast_next") ==
+        slope * (xs.max + 1).toDouble + intercept)
+    }
+  }
+
+  test("burst detect: integer alarm test holds and tightening the factor empties it") {
+    // factor 2 fires on this corpus (max ratio ~2.9 at sf0.001)
+    val bursts = Monitoring.burstDetect(spark, sfDir, factor = 2).collect()
+    assert(bursts.nonEmpty, "expected ≥1 burst at factor 2")
+    bursts.foreach { r =>
+      val c = r.getAs[Long]("msg_count"); val bw = r.getAs[Long]("baseline_windows")
+      val bs = r.getAs[Long]("baseline_sum")
+      assert(bw >= 6 && c * bw > 2 * bs)
+      assert(r.getAs[Double]("burst_ratio") == (c * bw).toDouble / bs.toDouble)
+    }
+    assert(Monitoring.burstDetect(spark, sfDir, factor = 1000).isEmpty)
+  }
+
+  test("hash sample: exactly k per source, stable across runs, true subset") {
+    val k = 7
+    val got = Sampling.hashSample(spark, sfDir, k)
+    val perSource = got.groupBy("source").count().collect()
+    val full = Tables.documents(spark, sfDir).groupBy("source")
+      .count().collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    perSource.foreach { r =>
+      assert(r.getAs[Long]("count") == math.min(k.toLong, full(r.getAs[String]("source"))))
+    }
+    // deterministic: a rerun yields the identical row set
+    val again = Sampling.hashSample(spark, sfDir, k)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // and it IS the k smallest by (md5, doc_id) — recompute via window
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("epoch plan: targets sum to ~mult×total and oversample flags are exact") {
+    val rows = Sampling.epochPlan(spark, sfDir, mult = 2).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nSources = rows.length
+    val target = 2L * total / nSources
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_tokens") == target)
+      assert(r.getAs[Boolean]("oversampled") == (target > r.getAs[Long]("n_tokens")))
+      assert(r.getAs[Double]("epochs") ==
+        target.toDouble / r.getAs[Long]("n_tokens").toDouble)
+    }
+    // uniform target: every source gets the same share, so the plan
+    // oversamples small sources on this skewed corpus
+    assert(rows.exists(_.getAs[Boolean]("oversampled")) ||
+      rows.forall(r => r.getAs[Long]("n_tokens") >= target))
+  }
+}
