@@ -797,7 +797,62 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     * share a band of 8 consecutive signature values (joined on the
     * value slice itself — band-hash equality up to xxhash64 collisions
     * on the Spark side); est_jaccard = matching positions / 64. */
-  def dedupMinhash: String = {
+  def dedupMinhash: String =
+    "WITH " + (minhashSigCtes ++ Seq(
+      "bands AS (SELECT doc_id, p // 8 AS band," +
+        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
+        " FROM sig GROUP BY 1, 2)",
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
+        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
+        " AND a.doc_id < b.doc_id)")).mkString(",\n ") +
+      "\nSELECT c.doc_a, c.doc_b," +
+      " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard" +
+      "\nFROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
+      " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
+      "\nGROUP BY 1, 2"
+
+  /** q_dedup_sweep_bands: [[dedupMinhash]]'s signature chain once, the
+    * band self-join per GRID geometry (p // rows with rows from the
+    * geometry VALUES), union of candidates verified once. Midpoint
+    * literals are stamped by the same JVM that computed the Spark
+    * side's (Dedup.bandGeometries) — no runtime pow() either side. */
+  def dedupMinhashBandSweep(geo: Seq[(Int, Int, Double)]): String = {
+    // CAST('…' AS DOUBLE): a bare decimal literal would type the
+    // column DECIMAL; the string parse is the exact strtod round-trip
+    // of the JVM's shortest-repr toString
+    val geoValues = geo.map { case (b, r, m) =>
+      s"($b, $r, CAST('$m' AS DOUBLE))"
+    }.mkString(", ")
+    "WITH " + (minhashSigCtes ++ Seq(
+      s"geo(bands, rpb, midpoint) AS (VALUES $geoValues)",
+      "bnd AS (SELECT s.doc_id, g.bands, s.p // g.rpb AS band," +
+        " string_agg(CAST(s.s AS VARCHAR), ',' ORDER BY s.p) AS bkey" +
+        " FROM sig s CROSS JOIN geo g GROUP BY 1, 2, 3)",
+      "cand AS MATERIALIZED (SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b" +
+        " FROM bnd a JOIN bnd b ON a.bands = b.bands AND a.band = b.band" +
+        " AND a.bkey = b.bkey AND a.doc_id < b.doc_id)",
+      "ver0 AS (SELECT c.bands, c.doc_a, c.doc_b," +
+        " sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS matches" +
+        " FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
+        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
+        " GROUP BY 1, 2, 3)",
+      "ver AS (SELECT bands, count(*) AS n_pairs," +
+        " CAST(sum(matches) AS BIGINT) AS sum_matches FROM ver0 GROUP BY 1)",
+      "dg AS (SELECT bands, count(DISTINCT d) AS n_docs FROM (" +
+        "SELECT bands, doc_a AS d FROM cand" +
+        " UNION ALL SELECT bands, doc_b AS d FROM cand) GROUP BY 1)")).mkString(",\n ") +
+      "\nSELECT g.bands, g.rpb AS rows_per_band, g.midpoint," +
+      " coalesce(v.n_pairs, 0) AS n_pairs, coalesce(dg.n_docs, 0) AS n_docs," +
+      " CASE WHEN coalesce(v.n_pairs, 0) > 0 THEN CAST(v.sum_matches AS DOUBLE) /" +
+      " CAST(v.n_pairs * 64 AS DOUBLE) END AS mean_est_jaccard" +
+      "\nFROM geo g LEFT JOIN ver v ON v.bands = g.bands" +
+      " LEFT JOIN dg ON dg.bands = g.bands"
+  }
+
+  /** CTE chain documents -> sig(doc_id, p, s): the minhash_shingles
+    * signature rebuild shared by [[dedupMinhash]] and
+    * [[dedupMinhashBandSweep]]. */
+  private def minhashSigCtes: Seq[String] = {
     // mix(p) constants pre-split into hi/lo halves
     val mpValues = (0 until 64).map { p =>
       val m = HashKernels.mix(p.toLong)
@@ -808,7 +863,7 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     val (hStages, hLast) = mixStages("hx", "hm", Seq("doc_id", "p"), Right(()))
     val shingle = // ((t1·B + t2)·B + t3) mod 2^64, B = 0x100000001b3
       s"((((a.h * 1099511628211) % $P64 + b.h) % $P64) * 1099511628211 % $P64 + c.h) % $P64"
-    val ctes = Seq(
+    Seq(
       """t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
       // MATERIALIZED: re-chunk the unnested tokens so the FNV fold
       // below parallelizes (the documents scan is one morsel)
@@ -834,18 +889,6 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       // docs with < 3 tokens keep the Long.MaxValue sentinel signature
       "sig AS MATERIALIZED (SELECT d.doc_id, mp.p, coalesce(sig0.s, 9223372036854775807) AS s" +
         " FROM documents d CROSS JOIN mp LEFT JOIN sig0" +
-        " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)",
-      "bands AS (SELECT doc_id, p // 8 AS band," +
-        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
-        " FROM sig GROUP BY 1, 2)",
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
-        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
-        " AND a.doc_id < b.doc_id)")
-    "WITH " + ctes.mkString(",\n ") +
-      "\nSELECT c.doc_a, c.doc_b," +
-      " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard" +
-      "\nFROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
-      " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
-      "\nGROUP BY 1, 2"
+        " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)")
   }
 }

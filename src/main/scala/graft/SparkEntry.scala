@@ -108,6 +108,7 @@ object SparkEntry {
     "q_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_dedup_cosine" -> ((s, d) => Dedup.cosinePairs(s, d)),
     "q_dedup_sweep" -> ((s, d) => Dedup.cosineThresholdSweep(s, d)),
+    "q_dedup_band_sweep" -> ((s, d) => Dedup.minhashBandSweep(s, d)),
     "q_dedup_cosine_srp" -> ((s, d) => Dedup.srpPairs(s, d)),
     "q_dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
@@ -1467,6 +1468,8 @@ object SparkEntry {
     "q_cms_counts" -> OracleSql.cmsTopicCounts(),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q_dedup_band_sweep" -> OracleSql.dedupMinhashBandSweep(
+      Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
     "q_fingerprint" -> OracleSql.fingerprints,
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_funnel" ->

@@ -865,6 +865,83 @@ object Dedup {
         coalesce(col("n_affected"), lit(0L)).as("n_affected"))
   }
 
+  /** Band geometries (bands, rows, S-curve midpoint (1/b)^(1/r)) for
+    * [[minhashBandSweep]] — ONE definition shared with the DuckDB
+    * oracle text so the midpoint literals are the same JVM doubles on
+    * both sides (the HLL log-table idiom; no runtime pow() in either
+    * engine's comparable output). */
+  def bandGeometries(numHashes: Int, geoms: Seq[Int]): Seq[(Int, Int, Double)] =
+    geoms.map { b =>
+      require(numHashes % b == 0, s"bands $b must divide numHashes $numHashes")
+      val r = numHashes / b
+      (b, r, math.exp(-math.log(b.toDouble) / r))
+    }
+
+  /** MinHash banding tuning curve — the third leg of the tuning trio
+    * ([[cosineThresholdSweep]] for cosine ε, Ann.ivfProbeSweep for
+    * nprobe): candidate-pair count, affected-doc count and mean
+    * estimated Jaccard for a GRID of band geometries, next to each
+    * geometry's theoretical S-curve midpoint (1/b)^(1/r) — how a
+    * curator picks [[minhashPairsAt]]'s banding before committing to
+    * a candidate volume. ONE signature pass serves the whole grid:
+    * signatures are materialized once (checkpoint — three consumers,
+    * and per-branch pruning would otherwise re-run the hash kernel
+    * per geometry), every geometry's band rows come from a single
+    * explode over that one frame (24-byte band rows; signatures never
+    * ride the self-join), and the union of candidates is verified
+    * against the signatures once. Geometries looser than the corpus'
+    * ambient similarity stop being output-sparse BY DESIGN — that
+    * blow-up is the measurement (the sweep shows where the S-curve
+    * midpoint crosses ambient J); run it on a sample at 100 TB.
+    * Dry geometries zero-fill. Output: (bands, rows_per_band,
+    * midpoint, n_pairs, n_docs, mean_est_jaccard) — counts exact,
+    * mean = Σmatches/(64·n_pairs) one division, midpoint a driver
+    * literal. */
+  def minhashBandSweep(spark: SparkSession, dir: String,
+                       numHashes: Int = 64,
+                       geoms: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    import spark.implicits._
+    val geo = bandGeometries(numHashes, geoms)
+    val sigs0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), minhash_shingles(col("text"), 3, numHashes).as("sig"))
+    val sigs =
+      if (spark.sparkContext.getCheckpointDir.isDefined) sigs0.checkpoint(eager = true)
+      else sigs0.localCheckpoint(eager = true)
+    val bandStructs = geo.flatMap { case (b, r, _) =>
+      (0 until b).map(i => struct(lit(b).as("bands"), lit(i).as("band"),
+        xxhash64(slice(col("sig"), i * r + 1, r)).as("bh")))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.bands"), col("bb.band"), col("bb.bh"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("bands"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bands"), col("band"), col("bh")),
+        Seq("bands", "band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("bands"), col("doc_a"), col("doc_b"))
+      .distinct()
+    val ver = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("bands"), col("doc_a"), col("doc_b"),
+        sig_matches(col("sig_a"), col("sig_b")).as("matches"))
+    val pairAgg = ver.groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"))
+    val docAgg = cand
+      .select(col("bands"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("bands")).agg(countDistinct(col("d")).as("n_docs"))
+    val grid = geo.toDF("bands", "rows_per_band", "midpoint")
+    grid.join(pairAgg, Seq("bands"), "left")
+      .join(docAgg, Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"), col("midpoint"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        when(col("n_pairs").isNotNull && col("n_pairs") > 0L,
+          col("sum_matches").cast("double") /
+            (col("n_pairs") * lit(numHashes.toLong)).cast("double"))
+          .as("mean_est_jaccard"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — k-means-cluster the embedding space, then search
     * for near-duplicate pairs ONLY within a cluster, so the pair space

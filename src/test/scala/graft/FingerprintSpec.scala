@@ -93,6 +93,35 @@ class FingerprintSpec extends SparkSpec {
     assert(got88 < got, s"8x8 recalled $got88, derived banding $got")
   }
 
+  test("band sweep: nested geometries are monotone and the 8-band row equals minhashPairs") {
+    import graft.operators.Dedup
+    val rows = Dedup.minhashBandSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(_.getAs[Int]("bands")).toSeq == Seq(2, 4, 8, 16))
+    // midpoints are the driver-computed (1/b)^(1/r) literals, decreasing
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bands"); val rpb = r.getAs[Int]("rows_per_band")
+      assert(rpb == 64 / b)
+      assert(r.getAs[Double]("midpoint") ==
+        math.exp(-math.log(b.toDouble) / rpb))
+    }
+    assert(rows.map(_.getAs[Double]("midpoint")).toSeq ==
+      rows.map(_.getAs[Double]("midpoint")).sorted.reverse.toSeq)
+    // power-of-2 geometries NEST: a full 32-value band match implies
+    // both 16-value halves match, so candidates only grow as bands rise
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(pairs.toSeq == pairs.sorted.toSeq, s"pairs not monotone: ${pairs.toSeq}")
+    assert(docs.toSeq == docs.sorted.toSeq)
+    // the bands=8 sweep row is exactly the production 8×8 operator
+    val base = Dedup.minhashPairs(spark, sfDir, 64, 8)
+    val row8 = rows.find(_.getAs[Int]("bands") == 8).get
+    assert(row8.getAs[Long]("n_pairs") == base.count())
+    val meanEst = base.agg(sum(col("est_jaccard"))).collect()(0).getDouble(0) /
+      row8.getAs[Long]("n_pairs")
+    assert(math.abs(row8.getAs[Double]("mean_est_jaccard") - meanEst) < 1e-9)
+  }
+
   test("substring-dedup spans: planted repeated 3-grams drop exactly their covering ranges") {
     import graft.operators.Dedup
     import spark.implicits._
