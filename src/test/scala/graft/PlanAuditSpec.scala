@@ -438,4 +438,44 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
     assert(plan.contains("Window"), "ecdf cumsum window missing")
   }
+
+  test("char diversity is a shuffle-free scan (row-local fold, no explode)") {
+    val plan = physical(graft.operators.TextAnalysis.charDiversity(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"char diversity shuffles:\n${plan.take(1200)}")
+    assert(!plan.contains("Generate"), s"char diversity explodes:\n${plan.take(1200)}")
+  }
+
+  test("pii scan: row-local regexp counts collapse in a partial+final aggregate pair") {
+    val plan = physical(graft.operators.TextAnalysis.piiScan(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    // exactly one exchange — the #sources-row final aggregate
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"extra shuffles:\n$plan")
+  }
+
+  test("rate forecast and burst detect partial-aggregate events before any window") {
+    for (df <- Seq(graft.operators.Monitoring.rateForecast(spark, sfDir),
+      graft.operators.Monitoring.burstDetect(spark, sfDir))) {
+      val plan = physical(df)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+      assert(plan.contains("Window"), plan.take(800))
+      assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    }
+  }
+
+  test("hash sample runs on the bounded-heap operator, not a windowed sort") {
+    val plan = physical(graft.operators.Sampling.hashSample(spark, sfDir))
+    assert(plan.contains("TopKPerKey"), plan.take(800))
+    assert(!plan.contains("Window"), s"fell back to a window sort:\n${plan.take(800)}")
+  }
+
+  test("band sweep: signatures feed banding from the checkpoint, bands join on 24-byte rows") {
+    val plan = physical(graft.operators.Dedup.minhashBandSweep(spark, sfDir))
+    // the hash kernel ran at checkpoint time — the consuming plan reads
+    // materialized rows, never re-runs minhash_shingles per geometry
+    assert(!plan.contains("minhash_shingles"),
+      s"kernel re-runs inside the sweep plan:\n${plan.take(1200)}")
+    // band self-join is an equi-join on (bands, band, bh), not nested-loop
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join degenerated:\n${plan.take(1200)}")
+  }
 }
