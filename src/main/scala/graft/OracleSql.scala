@@ -831,13 +831,18 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       "cand AS MATERIALIZED (SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b" +
         " FROM bnd a JOIN bnd b ON a.bands = b.bands AND a.band = b.band" +
         " AND a.bkey = b.bkey AND a.doc_id < b.doc_id)",
-      "ver0 AS (SELECT c.bands, c.doc_a, c.doc_b," +
+      // verify each DISTINCT pair once, then fan the matches back out
+      // to the per-geometry candidate rows (mirrors the Spark side)
+      "vp AS MATERIALIZED (SELECT p.doc_a, p.doc_b," +
         " sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS matches" +
-        " FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
-        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
-        " GROUP BY 1, 2, 3)",
-      "ver AS (SELECT bands, count(*) AS n_pairs," +
-        " CAST(sum(matches) AS BIGINT) AS sum_matches FROM ver0 GROUP BY 1)",
+        " FROM (SELECT DISTINCT doc_a, doc_b FROM cand) p" +
+        " JOIN sig sa ON sa.doc_id = p.doc_a" +
+        " JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p" +
+        " GROUP BY 1, 2)",
+      "ver AS (SELECT c.bands, count(*) AS n_pairs," +
+        " CAST(sum(vp.matches) AS BIGINT) AS sum_matches" +
+        " FROM cand c JOIN vp ON vp.doc_a = c.doc_a AND vp.doc_b = c.doc_b" +
+        " GROUP BY 1)",
       "dg AS (SELECT bands, count(DISTINCT d) AS n_docs FROM (" +
         "SELECT bands, doc_a AS d FROM cand" +
         " UNION ALL SELECT bands, doc_b AS d FROM cand) GROUP BY 1)")).mkString(",\n ") +

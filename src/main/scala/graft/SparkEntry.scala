@@ -1051,9 +1051,10 @@ object SparkEntry {
         |  CAST(CAST(max(n_day) AS HUGEINT) * max(n.n) AS DOUBLE) AS drift
         |FROM grid CROSS JOIN n GROUP BY 1""".stripMargin,
     // OLS rate forecast: every sum is an exact integer over the
-    // per-topic REBASED hour index (xr ≤ #windows, so nΣx² can't
-    // overflow); slope is one division of exact integers and
-    // intercept/forecast reuse the identical IEEE op tree
+    // per-topic REBASED hour index (xr ≤ topic hour span; exact to
+    // ~55k-hour spans — see Monitoring.rateForecast); slope is one
+    // division of exact integers and intercept/forecast reuse the
+    // identical IEEE op tree
     "q_rate_forecast" ->
       """WITH c AS (SELECT event_type AS topic,
         |   date_trunc('hour', ts) AS window_start, count(*) AS y
@@ -1292,20 +1293,27 @@ object SparkEntry {
     // char diversity: the Spark side is a row-local sorted run-length
     // fold; the oracle rebuilds the same exact (n, Σcount²) pair by
     // explode+groupBy — identical integers, one division each
+    // LEFT JOIN + '' filter: empty and NULL texts still emit a row
+    // (zero counts, null indices), matching the Spark side's
+    // coalesce-to-empty handling
     "q_char_diversity" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
         |            FROM documents),
-        | pc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        | pc AS (SELECT doc_id, c, count(*) AS k FROM ch
+        |        WHERE c <> '' GROUP BY 1, 2),
         | s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars_total,
         |   count(*) AS n_distinct_chars, CAST(sum(k * k) AS BIGINT) AS sum_sq
         |  FROM pc GROUP BY 1)
-        |SELECT doc_id, n_chars_total, n_distinct_chars, sum_sq,
-        | CASE WHEN n_chars_total > 0 THEN CAST(sum_sq AS DOUBLE) /
-        |   CAST(n_chars_total * n_chars_total AS DOUBLE) END AS simpson,
-        | CASE WHEN n_chars_total > 0 THEN
-        |   CAST(n_chars_total * n_chars_total AS DOUBLE) /
-        |   CAST(sum_sq AS DOUBLE) END AS effective_alphabet
-        |FROM s""".stripMargin,
+        |SELECT d.doc_id,
+        | coalesce(s.n_chars_total, 0) AS n_chars_total,
+        | coalesce(s.n_distinct_chars, 0) AS n_distinct_chars,
+        | coalesce(s.sum_sq, 0) AS sum_sq,
+        | CASE WHEN s.n_chars_total > 0 THEN CAST(s.sum_sq AS DOUBLE) /
+        |   CAST(s.n_chars_total * s.n_chars_total AS DOUBLE) END AS simpson,
+        | CASE WHEN s.n_chars_total > 0 THEN
+        |   CAST(s.n_chars_total * s.n_chars_total AS DOUBLE) /
+        |   CAST(s.sum_sq AS DOUBLE) END AS effective_alphabet
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
     // PII census: RE2-compatible patterns, non-overlapping leftmost
     // matches in both engines; zero hits on this corpus by design
     // (PiiSpec proves detection on injected text)
@@ -1315,7 +1323,7 @@ object SparkEntry {
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |     AS c_email,
         |   CAST(len(regexp_extract_all(text,
-        |     '\+?[0-9][0-9()\s-]{6,}[0-9]')) AS BIGINT) AS c_phone,
+        |     '\+?[0-9][0-9()\t\n\f\r -]{6,}[0-9]')) AS BIGINT) AS c_phone,
         |   CAST(len(regexp_extract_all(text,
         |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
         |     AS c_ipv4,

@@ -61,11 +61,17 @@ object Dedup {
       s"targetJaccard must be in (0,1), got $targetJaccard")
     val rowsChoices = (1 to numHashes).filter(numHashes % _ == 0)
     val r = rowsChoices.minBy { r =>
-      val midpoint = math.exp(-math.log(numHashes.toDouble / r) / r)
-      math.abs(midpoint - targetJaccard)
+      math.abs(scurveMidpoint(numHashes / r, r) - targetJaccard)
     }
     numHashes / r
   }
+
+  /** The LSH S-curve midpoint (1/b)^(1/r) — THE one spelling of the
+    * formula ([[bandingFor]] selects by it, [[bandGeometries]] stamps
+    * it into both engines' literals; a second spelling could drift to
+    * a different last-ulp double). */
+  private def scurveMidpoint(b: Int, r: Int): Double =
+    math.exp(-math.log(b.toDouble) / r)
 
   /** [[minhashPairs]] with banding derived from the Jaccard threshold
     * the caller actually targets (see [[bandingFor]]) — the production
@@ -874,7 +880,7 @@ object Dedup {
     geoms.map { b =>
       require(numHashes % b == 0, s"bands $b must divide numHashes $numHashes")
       val r = numHashes / b
-      (b, r, math.exp(-math.log(b.toDouble) / r))
+      (b, r, scurveMidpoint(b, r))
     }
 
   /** MinHash banding tuning curve — the third leg of the tuning trio
@@ -920,11 +926,15 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("bands"), col("doc_a"), col("doc_b"))
       .distinct()
-    val ver = cand
+    // verify each DISTINCT pair once — nested geometries surface the
+    // same pair up to |geoms|× in cand, and signatures must not ride
+    // that multiplicity through the verify joins
+    val verPairs = cand.select(col("doc_a"), col("doc_b")).distinct()
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("bands"), col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"),
         sig_matches(col("sig_a"), col("sig_b")).as("matches"))
+    val ver = cand.join(verPairs, Seq("doc_a", "doc_b"))
     val pairAgg = ver.groupBy(col("bands"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("matches")).as("sum_matches"))
     val docAgg = cand

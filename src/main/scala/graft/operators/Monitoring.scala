@@ -784,7 +784,11 @@ object Monitoring {
     * consumer" (the forward-looking complement of q_drift's
     * backward-looking level shift). x is the epoch-hour index REBASED
     * per topic (x − min x), so every OLS sum (Σx, Σy, Σxy, Σx²) is an
-    * exact BIGINT that cannot overflow (x ≤ #windows, y = counts);
+    * exact BIGINT. The rebase bounds x by the topic's hour SPAN (not
+    * #windows — a sparse series can span far more hours than it has
+    * windows): nΣx² ≤ span⁴ stays under 2⁶³ for spans to ~55k hours
+    * (≈6 years); longer-lived sparse topics should pre-filter to a
+    * recent horizon, which is also the statistically honest fit.
     * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one IEEE division of
     * exact integers, and intercept/forecast are the same fixed
     * double-op tree in both engines — engine-reproducible with no

@@ -771,7 +771,8 @@ object TextAnalysis {
     * engine find the identical non-overlapping leftmost matches. */
   private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone" -> "\\+?[0-9][0-9()\\s-]{6,}[0-9]",
+    // whitespace spelled out: Java's \s includes \x0B, RE2's does not
+    "phone" -> "\\+?[0-9][0-9()\\t\\n\\f\\r -]{6,}[0-9]",
     "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
     "digit_run" -> "[0-9]{8,}")
 
@@ -819,9 +820,13 @@ object TextAnalysis {
   def charDiversity(spark: SparkSession, dir: String): DataFrame =
     charDiversityOf(Tables.documents(spark, dir))
 
-  /** [[charDiversity]] over a prepared (doc_id, text) frame. */
+  /** [[charDiversity]] over a prepared (doc_id, text) frame. NULL
+    * text counts as empty (n=0, null indices) — matching the oracle's
+    * LEFT JOIN zero-fill, so both engines emit the same row for every
+    * document. */
   def charDiversityOf(docs: DataFrame): DataFrame = {
-    val chars = sort_array(filter(split(col("text"), ""), c => c =!= ""))
+    val chars = sort_array(filter(
+      split(coalesce(col("text"), lit("")), ""), c => c =!= ""))
     // fold state: (prev char, current run length, Σ run², distinct)
     val folded = aggregate(
       chars,

@@ -145,9 +145,8 @@ class ReleaseGateSpec extends SparkSpec {
       assert(r.getAs[Double]("epochs") ==
         target.toDouble / r.getAs[Long]("n_tokens").toDouble)
     }
-    // uniform target: every source gets the same share, so the plan
-    // oversamples small sources on this skewed corpus
-    assert(rows.exists(_.getAs[Boolean]("oversampled")) ||
-      rows.forall(r => r.getAs[Long]("n_tokens") >= target))
+    // the minimum-token source is ALWAYS oversampled under mult=2:
+    // target = 2·avg ≥ 2·min > min — a plan that never flags is wrong
+    assert(rows.exists(_.getAs[Boolean]("oversampled")))
   }
 }
