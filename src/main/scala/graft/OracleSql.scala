@@ -196,17 +196,45 @@ FROM comp GROUP BY 1"""
   /** q_media_phash: byte-dHash over the payload (= ASCII text bytes):
     * bit i = byte[i mod n] < byte[(i+1) mod n], i in 0..63; then the
     * exact hamming<=3 pair set. */
-  def mediaPhash: String =
-    ("WITH b AS (SELECT doc_id, i," +
+  /** CTE chain documents -> fp(doc_id, fp): the byte_dhash rebuild
+    * shared by [[mediaPhash]] and [[mediaHammingSweep]]. */
+  private def dhashFpCtes: Seq[String] =
+    Seq("b AS (SELECT doc_id, i," +
       " CASE WHEN ord(substr(text, CAST(i % len(text) AS INTEGER) + 1, 1)) <" +
       " ord(substr(text, CAST((i + 1) % len(text) AS INTEGER) + 1, 1))" +
       " THEN 1 ELSE 0 END AS bit" +
-      " FROM documents CROSS JOIN (SELECT unnest(range(64)) AS i)),\n " +
-      packBits("b", "doc_id", "bit", "i", "fp").mkString(",\n ")) +
+      " FROM documents CROSS JOIN (SELECT unnest(range(64)) AS i))") ++
+      packBits("b", "doc_id", "bit", "i", "fp")
+
+  def mediaPhash: String =
+    "WITH " + dhashFpCtes.mkString(",\n ") +
       "\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b," +
       " CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming" +
       "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
+
+  /** q_media_hamming_sweep: [[mediaPhash]]'s fingerprint chain once,
+    * pairs at the loosest radius, counts per radius-grid cut. */
+  def mediaHammingSweep(radii: Seq[Int]): String = {
+    val gridValues = radii.map(r => s"($r)").mkString(", ")
+    "WITH " + (dhashFpCtes ++ Seq(
+      s"g(max_hamming) AS (VALUES $gridValues)",
+      "pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b," +
+        " bit_count(xor(a.fp, b.fp)) AS hamming" +
+        " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+        s" WHERE bit_count(xor(a.fp, b.fp)) <= ${radii.max})",
+      "sw AS MATERIALIZED (SELECT g.max_hamming, pr.doc_a, pr.doc_b" +
+        " FROM g JOIN pr ON pr.hamming <= g.max_hamming)",
+      "pc AS (SELECT max_hamming, count(*) AS n_pairs FROM sw GROUP BY 1)",
+      "ac AS (SELECT max_hamming, count(DISTINCT d) AS n_assets FROM (" +
+        "SELECT max_hamming, doc_a AS d FROM sw" +
+        " UNION ALL SELECT max_hamming, doc_b AS d FROM sw) GROUP BY 1)"))
+      .mkString(",\n ") +
+      "\nSELECT g.max_hamming, coalesce(pc.n_pairs, 0) AS n_pairs," +
+      " coalesce(ac.n_assets, 0) AS n_assets" +
+      "\nFROM g LEFT JOIN pc ON pc.max_hamming = g.max_hamming" +
+      " LEFT JOIN ac ON ac.max_hamming = g.max_hamming"
+  }
 
   /** q_dup_ngrams: per-source counts of word-n-gram hashes shared by
     * >= 2 documents (shingle_hashes(text, n) semantics: DISTINCT gram

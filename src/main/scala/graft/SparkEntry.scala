@@ -159,6 +159,7 @@ object SparkEntry {
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
+    "q_media_hamming_sweep" -> ((s, d) => Multimodal.mediaHammingSweep(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
     "q_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "q_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
@@ -1480,6 +1481,7 @@ object SparkEntry {
       Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
     "q_fingerprint" -> OracleSql.fingerprints,
     "q_media_phash" -> OracleSql.mediaPhash,
+    "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |   WHERE event_type = 'view' GROUP BY 1),

@@ -1080,4 +1080,36 @@ object Multimodal {
       maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
+  /** Perceptual-dup radius tuning curve — the media leg of the tuning
+    * family (cosine ε sweep, IVF probe sweep, MinHash band sweep):
+    * pair and affected-asset counts per hamming radius, so a curator
+    * picks [[mediaPhashPairs]]' maxHamming before committing to a
+    * drop volume. ONE banded pass at the LOOSEST radius (sound
+    * pigeonhole recall at that radius ⇒ sound at every tighter one)
+    * produces the output-sparse (id, id, hamming) rows; the sweep
+    * multiplies only those against the radius grid — fingerprints are
+    * never re-banded per radius. Dry radii zero-fill. Output:
+    * (max_hamming, n_pairs, n_assets), exact integers. */
+  def mediaHammingSweep(spark: SparkSession, dir: String,
+                        radii: Seq[Int] = Seq(1, 2, 3, 5, 8)): DataFrame = {
+    import spark.implicits._
+    require(radii.nonEmpty, "empty radius grid")
+    val pairs = Dedup.hammingPairs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), byte_dhash(col("text").cast("binary")).as("fp")),
+      radii.max)
+    val grid = radii.toDF("max_hamming")
+    val swept = pairs.join(broadcast(grid), col("hamming") <= col("max_hamming"))
+    val pairCounts = swept.groupBy(col("max_hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val affected = swept
+      .select(col("max_hamming"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("max_hamming")).agg(countDistinct(col("id")).as("n_assets"))
+    grid.join(pairCounts, Seq("max_hamming"), "left")
+      .join(affected, Seq("max_hamming"), "left")
+      .select(col("max_hamming"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_assets"), lit(0L)).as("n_assets"))
+  }
+
 }

@@ -48,6 +48,12 @@ final case class AvailabilityRow(topic: String,
 final case class EwmaRow(topic: String, window_start: java.sql.Timestamp,
                          msg_count: Long, ewma_num: Long, ewma: Double)
 
+/** A live burst alarm — the streaming twin of a batch q_burst_detect
+  * row, emitted only for windows that trip the integer alarm test. */
+final case class BurstRow(topic: String, window_start: java.sql.Timestamp,
+                          msg_count: Long, baseline_windows: Long,
+                          baseline_sum: Long, burst_ratio: Double)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -592,6 +598,50 @@ object StreamingMonitor {
               val den = (1L << (h + 1)) - (1L << (h + 1 - len))
               EwmaRow(topic, r.window_start, r.msg_count, num,
                 num.toDouble / den.toDouble)
+            }
+          state.update((frontier, xs))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch q_burst_detect panel: live flood
+    * alarms when a window's count exceeds `factor`× its trailing-24-
+    * present-window baseline (≥ `minBaseline` windows of history) —
+    * the runaway-feed side of the alerting loop whose dead-feed side
+    * is [[streamGapFill]]→[[streamCusum]]. State per topic is the last
+    * ≤ 24 counts plus the frontier (the [[streamEwma]] bounded-frame
+    * shape) — the trailing rows-frame carried literally, so the alarm
+    * test is the IDENTICAL exact integer arithmetic as the batch
+    * window frame: count·baseline_windows > factor·baseline_sum, ratio
+    * the pair's one IEEE division. Feed it the PRESENT-window count
+    * stream ([[msgRates]] output; NOT the gap-filled grid — the batch
+    * frame skips absent windows, so zero-filled rows would dilute the
+    * baseline). Emits only alarm rows; drained on the batch window
+    * series it equals q_burst_detect exactly (asserted by spec).
+    * Windows fold in event-time order within a batch and the frontier
+    * drops late arrivals — the [[streamCusum]] ordering contract. */
+  def streamBurst(counts: Dataset[CountPoint], factor: Int = 3,
+                  minBaseline: Int = 6): Dataset[BurstRow] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Seq[Long]), BurstRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[(Long, Seq[Long])]) =>
+          var (frontier, xs) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          val out = rows.toSeq.sortBy(_.window_start.getTime)
+            .filter(_.window_start.getTime > frontier)
+            .flatMap { r =>
+              frontier = r.window_start.getTime
+              val bw = xs.length.toLong
+              val bs = xs.sum
+              val burst = bw >= minBaseline &&
+                r.msg_count * bw > factor.toLong * bs
+              xs = (xs :+ r.msg_count).takeRight(24)
+              if (burst)
+                Some(BurstRow(topic, r.window_start, r.msg_count, bw, bs,
+                  (r.msg_count * bw).toDouble / bs.toDouble))
+              else None
             }
           state.update((frontier, xs))
           out.iterator

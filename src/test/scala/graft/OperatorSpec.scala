@@ -236,6 +236,21 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 12).isEmpty)
   }
 
+  test("media hamming sweep: counts are radius-monotone and the r=3 row equals mediaPhashPairs") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Multimodal.mediaHammingSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("max_hamming"))
+    assert(rows.map(_.getAs[Int]("max_hamming")).toSeq == Seq(1, 2, 3, 5, 8))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val assets = rows.map(_.getAs[Long]("n_assets"))
+    assert(pairs.toSeq == pairs.sorted.toSeq && assets.toSeq == assets.sorted.toSeq)
+    assert(pairs.last > 0, "loosest radius found nothing")
+    // the radius-3 sweep row IS the production pair operator's count
+    val base = graft.operators.Multimodal.mediaPhashPairs(spark, sfDir).count()
+    assert(rows.find(_.getAs[Int]("max_hamming") == 3).get
+      .getAs[Long]("n_pairs") == base)
+  }
+
   test("graft session conf carries the scale-critical settings") {
     val conf = GraftSession.recommendedConf(32)
     assert(conf("spark.sql.adaptive.enabled") == "true")

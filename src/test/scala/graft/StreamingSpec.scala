@@ -713,6 +713,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst alarms equal the batch burst panel on the present-window series") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // PRESENT windows only (the batch frame skips gaps) — NOT gap-filled
+    val grid = graft.operators.Monitoring.msgRatePerTopic(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamBurst(input.toDS(), factor = 2)
+      .writeStream.format("memory").queryName("burst_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven shuffled chunks: in-batch event-time sort + cross-batch
+      // bounded-frame carry, the streamCusum harness
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("burst_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val batch = graft.operators.Monitoring.burstDetect(spark, sfDir, factor = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(batch.nonEmpty, "factor 2 must fire on this corpus")
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      // the 24-window trim must actually engage
+      assert(grid.groupBy(_.topic).values.exists(_.size > 25),
+        "trailing frame trim not exercised")
+    } finally q.stop()
+  }
+
   test("streaming availability: latest row per topic equals the batch gaps-and-islands panel") {
     val s = spark
     import s.implicits._
