@@ -244,6 +244,17 @@ FROM comp GROUP BY 1"""
     * set (shingle_hashes(text, n) semantics), shared by the
     * duplicated-gram oracles. */
   private def docGramCtes(n: Int): Seq[String] = {
+    val (ctes, gramLast) = gramSeqCtes(n)
+    ctes :+
+      // per-doc DISTINCT gram set (shingleHashes dedups before emit)
+      s"dg AS MATERIALIZED (SELECT DISTINCT g.doc_id, ${signedHL("g.h", "g.l")} AS gram FROM $gramLast g)"
+  }
+
+  /** CTE chain documents -> per-gram rows WITH MULTIPLICITY (the
+    * shingle_hash_seq semantics): returns (ctes, lastCte); consumers
+    * read doc_id + the h/l hash halves off `lastCte`. [[docGramCtes]]
+    * adds the DISTINCT collapse on top. */
+  private def gramSeqCtes(n: Int): (Seq[String], String) = {
     val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
     val (gramStages, gramLast) = mixStages("sh", "gx", Seq("doc_id"), Left("sh0"))
     // ((...(t0·B + t1)·B + ...)·B + t{n-1}) mod 2^64 over n joined rows
@@ -254,16 +265,38 @@ FROM comp GROUP BY 1"""
     val joins = aliases.tail.zipWithIndex.map { case (a, i) =>
       s" JOIN th $a ON $a.doc_id = t0.doc_id AND $a.ti = t0.ti + ${i + 1}"
     }.mkString
-    Seq(
+    (Seq(
       """t0s AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
       "t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0s)",
       s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
       tokStages ++ Seq(
       s"th AS MATERIALIZED (SELECT doc_id, ti, CAST(h AS HUGEINT) * 4294967296 + l AS h FROM $tokLast)",
       s"sh AS (SELECT t0.doc_id, $poly AS sh0 FROM th t0$joins)") ++
-      gramStages ++ Seq(
-      // per-doc DISTINCT gram set (shingleHashes dedups before emit)
-      s"dg AS MATERIALIZED (SELECT DISTINCT g.doc_id, ${signedHL("g.h", "g.l")} AS gram FROM $gramLast g)")
+      gramStages) -> gramLast
+  }
+
+  /** q_classifier_score: the shingle_hash_seq(text, 1) per-token hash
+    * chain WITH multiplicity, bucketed by floorMod into the
+    * `weights`-row table (stamped from the same JVM as the Spark
+    * side's literal array), per-doc exact BIGINT logit; LEFT JOIN
+    * zero-fills token-less documents. */
+  def classifierScore(weights: Seq[Long]): String = {
+    val (ctes, last) = gramSeqCtes(1)
+    val d = weights.length
+    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    "WITH " + (ctes ++ Seq(
+      s"wt(b, w) AS (VALUES $wValues)",
+      // floorMod of the SIGNED hash — ((g % D) + D) % D == Java floorMod
+      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
+        s" FROM $last)",
+      "lg AS (SELECT bk.doc_id, count(*) AS n_tokens," +
+        " CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
+        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)")).mkString(",\n ") +
+      "\nSELECT d.doc_id, d.source," +
+      " coalesce(lg.n_tokens, 0) AS n_tokens," +
+      " coalesce(lg.logit_fp, 0) AS logit_fp," +
+      " coalesce(lg.logit_fp, 0) > 0 AS accept" +
+      "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
   }
 
   def repeatedNgrams(n: Int): String = {

@@ -156,6 +156,7 @@ object SparkEntry {
     "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
     "q_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
+    "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -1479,6 +1480,8 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_dedup_band_sweep" -> OracleSql.dedupMinhashBandSweep(
       Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
+    "q_classifier_score" -> OracleSql.classifierScore(
+      TextAnalysis.classifierWeights(256)),
     "q_fingerprint" -> OracleSql.fingerprints,
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),

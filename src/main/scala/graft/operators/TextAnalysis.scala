@@ -766,6 +766,46 @@ object TextAnalysis {
         col("df_sum").cast("double") / col("n_distinct").cast("double"))
   }
 
+  /** Deterministic stand-in weight table for [[classifierScore]]:
+    * fixed-point milli-weights in [-1000, 1000] derived from
+    * splitmix64 of the bucket id — ONE definition, stamped into the
+    * DuckDB oracle text and broadcast as the Spark literal array, so
+    * both engines dot the identical integers (swap in trained weights
+    * in production; the plumbing, not the model, is the operator). */
+  def classifierWeights(buckets: Int): Seq[Long] =
+    (0 until buckets).map(b =>
+      java.lang.Math.floorMod(graft.plans.HashKernels.mix(b.toLong), 2001L) - 1000L)
+
+  /** Hashed-linear document classifier — model-based filtering
+    * (fastText-style quality gates, DSIR-style importance gating) as
+    * a Spark-first operator: every token hashes into one of `buckets`
+    * weight slots (the hashing trick — vocabulary-free, so the weight
+    * table is a FIXED-SIZE broadcast literal no matter the corpus),
+    * and the document's logit is the exact fixed-point BIGINT dot
+    * Σ w[floorMod(h(tok), D)] over tokens WITH multiplicity;
+    * accept = logit > 0 is an exact integer comparison — no sigmoid,
+    * no libm (the monotone transform can't change the accept set).
+    * Fully row-local: the fused tokenize+hash expression feeds an
+    * in-array fold — scan speed, zero shuffle, and at 100 TB the
+    * model rides the closure instead of a join. */
+  def classifierScore(spark: SparkSession, dir: String,
+                      buckets: Int = 256): DataFrame =
+    classifierScoreOf(Tables.documents(spark, dir), buckets)
+
+  /** [[classifierScore]] over a prepared (doc_id, source, text)
+    * frame. */
+  def classifierScoreOf(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val warr = array(classifierWeights(buckets).map(lit): _*)
+    val hs = shingle_hash_seq(coalesce(col("text"), lit("")), 1)
+    val logit = aggregate(hs, lit(0L), (acc, h) =>
+      acc + element_at(warr,
+        (pmod(h, lit(buckets.toLong)) + 1L).cast("int")))
+    docs.select(col("doc_id"), col("source"),
+      size(hs).cast("bigint").as("n_tokens"),
+      logit.as("logit_fp"))
+      .withColumn("accept", col("logit_fp") > 0L)
+  }
+
   /** RE2-compatible PII census patterns (no lookaround, no backrefs,
     * ASCII classes only) so Spark's Java regex and an RE2-family
     * engine find the identical non-overlapping leftmost matches. */

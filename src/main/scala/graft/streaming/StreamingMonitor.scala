@@ -54,6 +54,13 @@ final case class BurstRow(topic: String, window_start: java.sql.Timestamp,
                           msg_count: Long, baseline_windows: Long,
                           baseline_sum: Long, burst_ratio: Double)
 
+/** Running OLS forecast row — the streaming twin of a batch
+  * q_rate_forecast row over the windows folded so far. */
+final case class ForecastRow(topic: String, window_start: java.sql.Timestamp,
+                             n_windows: Long, slope_per_hour: Option[Double],
+                             intercept: Option[Double],
+                             forecast_next: Option[Double])
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -644,6 +651,51 @@ object StreamingMonitor {
               else None
             }
           state.update((frontier, xs))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of the batch q_rate_forecast panel: per-topic OLS
+    * slope / next-window forecast maintained incrementally — the live
+    * capacity gauge. State per topic is SEVEN longs (frontier, first-
+    * window hour x₀, n, Σx, Σy, Σxy, Σx² over x rebased to x₀) —
+    * cardinality-bounded, and because the per-topic frontier only
+    * advances, the stream's x₀ IS the batch side's min(x), so after
+    * folding the same windows every OLS sum is the IDENTICAL exact
+    * BIGINT and slope/intercept/forecast the identical IEEE op tree:
+    * the LATEST emitted row per topic equals the batch q_rate_forecast
+    * row exactly (asserted by spec, the [[streamAvailability]]
+    * latest-row contract). Degenerate series (n < 2 or zero
+    * x-variance) emit None — the batch NULL. Windows fold in
+    * event-time order within a batch and the frontier drops late
+    * arrivals — the [[streamCusum]] ordering contract. */
+  def streamForecast(counts: Dataset[CountPoint]): Dataset[ForecastRow] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long, Long), ForecastRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[(Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (frontier, x0, n, sx, sy, sxy, sxx) =
+            state.getOption.getOrElse(
+              (Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.window_start.getTime)
+            .filter(_.window_start.getTime > frontier)
+            .map { r =>
+              frontier = r.window_start.getTime
+              val x = r.window_start.getTime / 3600000L
+              if (x0 == Long.MinValue) x0 = x
+              val xr = x - x0
+              n += 1; sx += xr; sy += r.msg_count
+              sxy += xr * r.msg_count; sxx += xr * xr
+              val den = n * sxx - sx * sx
+              if (den != 0L) {
+                val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+                val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+                ForecastRow(topic, r.window_start, n, Some(slope),
+                  Some(intercept), Some(slope * (xr + 1).toDouble + intercept))
+              } else ForecastRow(topic, r.window_start, n, None, None, None)
+            }
+          state.update((frontier, x0, n, sx, sy, sxy, sxx))
           out.iterator
       }
   }

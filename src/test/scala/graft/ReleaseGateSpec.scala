@@ -43,6 +43,37 @@ class ReleaseGateSpec extends SparkSpec {
     }
   }
 
+  test("classifier score: logit equals the kernel-side recompute, gate discriminates") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Seq((1L, "a", "the quick fox"), (2L, "a", ""),
+      (3L, "b", "merge merge merge")).toDF("doc_id", "source", "text")
+    val w = TextAnalysis.classifierWeights(256)
+    def expect(text: String): (Long, Long) = {
+      val hs = graft.plans.HashKernels
+        .shingleHashSeq(UTF8String.fromString(text), 1).toLongArray()
+      (hs.length.toLong,
+        hs.map(h => w(java.lang.Math.floorMod(h, 256L).toInt)).sum)
+    }
+    val got = TextAnalysis.classifierScoreOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, text) <- Seq(1L -> "the quick fox", 3L -> "merge merge merge")) {
+      val (n, logit) = expect(text)
+      assert(got(id).getAs[Long]("n_tokens") == n)
+      assert(got(id).getAs[Long]("logit_fp") == logit, s"doc $id")
+      assert(got(id).getAs[Boolean]("accept") == (logit > 0))
+    }
+    // token-less doc: zero row, rejected
+    assert(got(2L).getAs[Long]("n_tokens") == 0 &&
+      got(2L).getAs[Long]("logit_fp") == 0 && !got(2L).getAs[Boolean]("accept"))
+    // multiplicity counted: 3 identical tokens = 3x one token's weight
+    val (_, one) = expect("merge")
+    assert(got(3L).getAs[Long]("logit_fp") == 3 * one)
+    // and on the corpus the gate must discriminate, not rubber-stamp
+    val corpus = TextAnalysis.classifierScore(spark, sfDir).collect()
+    assert(corpus.exists(_.getAs[Boolean]("accept")) &&
+      corpus.exists(!_.getAs[Boolean]("accept")), "gate is vacuous here")
+  }
+
   test("char diversity: hand-built docs score exactly") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
       .toDF("doc_id", "text")

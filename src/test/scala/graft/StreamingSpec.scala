@@ -749,6 +749,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming forecast: latest row per topic equals the batch OLS panel exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val grid = graft.operators.Monitoring.msgRatePerTopic(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamForecast(input.toDS())
+      .writeStream.format("memory").queryName("forecast_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // latest emitted row per topic (ties impossible: one row per window)
+      val latest = spark.table("forecast_t").collect()
+        .groupBy(_.getString(0)).map { case (t, rows) =>
+          val r = rows.maxBy(_.getTimestamp(1).getTime)
+          (t, r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        }.toSet
+      val batch = graft.operators.Monitoring.rateForecast(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      // exact equality including every double: identical integer sums,
+      // identical IEEE op tree
+      assert(latest == batch,
+        s"missing=${(batch -- latest).take(2)} extra=${(latest -- batch).take(2)}")
+    } finally q.stop()
+  }
+
   test("streaming availability: latest row per topic equals the batch gaps-and-islands panel") {
     val s = spark
     import s.implicits._
