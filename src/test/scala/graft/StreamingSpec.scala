@@ -1145,6 +1145,94 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming burst trailing-frame state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    // 8 calm windows then a spike: the alarm needs the ≥6-window
+    // baseline accumulated BEFORE the restart to fire after it
+    val all = (1 to 8).map(m => cp(m, 2L)) :+ cp(9, 50L)
+    val contIn = MemoryStream[graft.streaming.CountPoint]
+    val qc = StreamingMonitor.streamBurst(contIn.toDS())
+      .writeStream.format("memory").queryName("burst_cont_t")
+      .outputMode(OutputMode.Append()).start()
+    val want = try {
+      contIn.addData(all: _*)
+      qc.processAllAvailable()
+      s.table("burst_cont_t").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toSet
+    } finally qc.stop()
+    assert(want.nonEmpty, "the spike must alarm in the continuous run")
+    val ckpt = java.nio.file.Files.createTempDirectory("burst_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("burst_out").toString
+    val input = MemoryStream[graft.streaming.CountPoint]
+    def start() = StreamingMonitor.streamBurst(input.toDS())
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      input.addData(all.take(5): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(all.drop(5): _*)
+      q2.processAllAvailable()
+      val got = s.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("msg_count"),
+          r.getAs[Long]("baseline_windows"), r.getAs[Long]("baseline_sum"),
+          r.getAs[Double]("burst_ratio"))).toSet
+      assert(got == want,
+        s"restart diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q2.stop()
+  }
+
+  test("streaming forecast OLS-sum state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    val all = Seq(cp(1, 4L), cp(2, 8L), cp(3, 2L), cp(4, 6L), cp(5, 10L))
+    val contIn = MemoryStream[graft.streaming.CountPoint]
+    val qc = StreamingMonitor.streamForecast(contIn.toDS())
+      .writeStream.format("memory").queryName("fc_cont_t")
+      .outputMode(OutputMode.Append()).start()
+    val want = try {
+      contIn.addData(all: _*)
+      qc.processAllAvailable()
+      s.table("fc_cont_t").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    } finally qc.stop()
+    val ckpt = java.nio.file.Files.createTempDirectory("fc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fc_out").toString
+    val input = MemoryStream[graft.streaming.CountPoint]
+    def start() = StreamingMonitor.streamForecast(input.toDS())
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // split so x₀ (the rebase origin) is established before the
+    // restart — recovery must reuse it, not re-rebase at window 3
+    val q1 = start()
+    try {
+      input.addData(all.take(2): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(all.drop(2): _*)
+      q2.processAllAvailable()
+      val got = s.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_windows"),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+      assert(got == want,
+        s"restart diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q2.stop()
+  }
+
   test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
     val s = spark
     import s.implicits._
