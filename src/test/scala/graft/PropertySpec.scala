@@ -231,4 +231,55 @@ class PropertySpec extends SparkSpec {
     val cappedRef = tbl(TA.trainBpe(toDocs(words.filter(kept)), 12))
     assert(capped == cappedRef, s"capped=$capped ref=$cappedRef")
   }
+
+  test("char diversity fold equals a driver-side histogram on random text (seeded fuzz)") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    val rnd = new scala.util.Random(4242)
+    // alphabets of varying size incl. runs, whitespace, punctuation
+    val alphabets = Seq("ab", "abcde ", "xyz.,!? \t", "aaaaab", "α β γ")
+    val docs = (0 until 40).map { i =>
+      val a = alphabets(i % alphabets.length)
+      val n = 1 + rnd.nextInt(200)
+      (i.toLong, Seq.fill(n)(a(rnd.nextInt(a.length))).mkString)
+    }
+    val got = TA.charDiversityOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars_total"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Long]("sum_sq")))).toMap
+    docs.foreach { case (id, text) =>
+      // Java-regex reference: the same split("\\s*", -1)-free semantics
+      // the operator uses — split into chars, drop empties
+      val chars = text.split("").filter(_.nonEmpty)
+      val counts = chars.groupBy(identity).map(_._2.length.toLong)
+      val want = (chars.length.toLong, counts.size.toLong,
+        counts.map(c => c * c).sum)
+      assert(got(id) == want, s"doc $id '$text': got=${got(id)} want=$want")
+    }
+  }
+
+  test("classifier logit equals a driver-side hashed dot on random corpora (seeded fuzz)") {
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("the", "fox", "merge", "scan", "zz9", "Αθήνα", "a-b", "x")
+    val docs = (0 until 50).map { i =>
+      val n = rnd.nextInt(60)
+      (i.toLong, s"s${i % 3}", Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    for (buckets <- Seq(16, 256)) {
+      val w = TA.classifierWeights(buckets)
+      val got = TA.classifierScoreOf(docs.toDF("doc_id", "source", "text"), buckets)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("logit_fp")))).toMap
+      docs.foreach { case (id, _, text) =>
+        val hs = graft.plans.HashKernels
+          .shingleHashSeq(UTF8String.fromString(text), 1).toLongArray()
+        val want = (hs.length.toLong,
+          hs.map(h => w(java.lang.Math.floorMod(h, buckets.toLong).toInt)).sum)
+        assert(got(id) == want, s"buckets=$buckets doc $id")
+      }
+    }
+  }
 }
