@@ -553,15 +553,20 @@ object StreamingMonitor {
           val (w, t) = baseline.getOrElse(topic, (1L, 0L))
           var (sp, sn, frontier) =
             state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          // frontier re-checked INSIDE the fold: a duplicate delivery of
+          // one (topic, window) within a single micro-batch folds once,
+          // exactly like the same duplicate arriving a batch later
           val out = rows.toSeq.sortBy(_.window_start.getTime)
-            .filter(_.window_start.getTime > frontier)
-            .map { r =>
-              frontier = r.window_start.getTime
-              val dev = w * r.msg_count - t
-              sp = math.max(0L, sp + dev)
-              sn = math.max(0L, sn - dev)
-              CusumRow(topic, r.window_start, r.msg_count, sp, sn,
-                sp > alarmHours * t, sn > alarmHours * t)
+            .flatMap { r =>
+              if (r.window_start.getTime <= frontier) None
+              else {
+                frontier = r.window_start.getTime
+                val dev = w * r.msg_count - t
+                sp = math.max(0L, sp + dev)
+                sn = math.max(0L, sn - dev)
+                Some(CusumRow(topic, r.window_start, r.msg_count, sp, sn,
+                  sp > alarmHours * t, sn > alarmHours * t))
+              }
             }
           state.update((sp, sn, frontier))
           out.iterator
@@ -592,19 +597,22 @@ object StreamingMonitor {
         (topic, rows, state: GroupState[(Long, Seq[Long])]) =>
           var (frontier, xs) =
             state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          // in-fold frontier re-check: in-batch duplicates fold once
           val out = rows.toSeq.sortBy(_.window_start.getTime)
-            .filter(_.window_start.getTime > frontier)
-            .map { r =>
-              frontier = r.window_start.getTime
-              xs = (xs :+ r.msg_count).takeRight(h + 1)
-              val len = xs.length
-              // element i (oldest first) sits at distance len-1-i from
-              // the current window: weight 2^(h-(len-1-i)) = 2^(h+1+i-len)
-              val num = xs.iterator.zipWithIndex
-                .map { case (x, i) => x << (h + 1 + i - len) }.sum
-              val den = (1L << (h + 1)) - (1L << (h + 1 - len))
-              EwmaRow(topic, r.window_start, r.msg_count, num,
-                num.toDouble / den.toDouble)
+            .flatMap { r =>
+              if (r.window_start.getTime <= frontier) None
+              else {
+                frontier = r.window_start.getTime
+                xs = (xs :+ r.msg_count).takeRight(h + 1)
+                val len = xs.length
+                // element i (oldest first) sits at distance len-1-i from
+                // the current window: weight 2^(h-(len-1-i)) = 2^(h+1+i-len)
+                val num = xs.iterator.zipWithIndex
+                  .map { case (x, i) => x << (h + 1 + i - len) }.sum
+                val den = (1L << (h + 1)) - (1L << (h + 1 - len))
+                Some(EwmaRow(topic, r.window_start, r.msg_count, num,
+                  num.toDouble / den.toDouble))
+              }
             }
           state.update((frontier, xs))
           out.iterator
@@ -636,19 +644,26 @@ object StreamingMonitor {
         (topic, rows, state: GroupState[(Long, Seq[Long])]) =>
           var (frontier, xs) =
             state.getOption.getOrElse((Long.MinValue, Seq.empty[Long]))
+          // in-fold frontier re-check: an in-batch duplicate folding
+          // twice would corrupt the trailing baseline PERMANENTLY here,
+          // so the guard is load-bearing, not just tidy. bs > 0 guards
+          // the ratio against an (off-contract) all-zero baseline from
+          // a gap-filled feed — misuse yields no alarm, not Infinity
           val out = rows.toSeq.sortBy(_.window_start.getTime)
-            .filter(_.window_start.getTime > frontier)
             .flatMap { r =>
-              frontier = r.window_start.getTime
-              val bw = xs.length.toLong
-              val bs = xs.sum
-              val burst = bw >= minBaseline &&
-                r.msg_count * bw > factor.toLong * bs
-              xs = (xs :+ r.msg_count).takeRight(24)
-              if (burst)
-                Some(BurstRow(topic, r.window_start, r.msg_count, bw, bs,
-                  (r.msg_count * bw).toDouble / bs.toDouble))
-              else None
+              if (r.window_start.getTime <= frontier) None
+              else {
+                frontier = r.window_start.getTime
+                val bw = xs.length.toLong
+                val bs = xs.sum
+                val burst = bw >= minBaseline && bs > 0L &&
+                  r.msg_count * bw > factor.toLong * bs
+                xs = (xs :+ r.msg_count).takeRight(24)
+                if (burst)
+                  Some(BurstRow(topic, r.window_start, r.msg_count, bw, bs,
+                    (r.msg_count * bw).toDouble / bs.toDouble))
+                else None
+              }
             }
           state.update((frontier, xs))
           out.iterator
@@ -678,22 +693,26 @@ object StreamingMonitor {
           var (frontier, x0, n, sx, sy, sxy, sxx) =
             state.getOption.getOrElse(
               (Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          // in-fold frontier re-check: an in-batch duplicate folding
+          // twice would corrupt the OLS sums permanently
           val out = rows.toSeq.sortBy(_.window_start.getTime)
-            .filter(_.window_start.getTime > frontier)
-            .map { r =>
-              frontier = r.window_start.getTime
-              val x = r.window_start.getTime / 3600000L
-              if (x0 == Long.MinValue) x0 = x
-              val xr = x - x0
-              n += 1; sx += xr; sy += r.msg_count
-              sxy += xr * r.msg_count; sxx += xr * xr
-              val den = n * sxx - sx * sx
-              if (den != 0L) {
-                val slope = (n * sxy - sx * sy).toDouble / den.toDouble
-                val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
-                ForecastRow(topic, r.window_start, n, Some(slope),
-                  Some(intercept), Some(slope * (xr + 1).toDouble + intercept))
-              } else ForecastRow(topic, r.window_start, n, None, None, None)
+            .flatMap { r =>
+              if (r.window_start.getTime <= frontier) None
+              else {
+                frontier = r.window_start.getTime
+                val x = r.window_start.getTime / 3600000L
+                if (x0 == Long.MinValue) x0 = x
+                val xr = x - x0
+                n += 1; sx += xr; sy += r.msg_count
+                sxy += xr * r.msg_count; sxx += xr * xr
+                val den = n * sxx - sx * sx
+                if (den != 0L) {
+                  val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+                  val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+                  Some(ForecastRow(topic, r.window_start, n, Some(slope),
+                    Some(intercept), Some(slope * (xr + 1).toDouble + intercept)))
+                } else Some(ForecastRow(topic, r.window_start, n, None, None, None))
+              }
             }
           state.update((frontier, x0, n, sx, sy, sxy, sxx))
           out.iterator
@@ -721,19 +740,22 @@ object StreamingMonitor {
         (topic, rows, state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
           var (total, active, curGap, longest, nGaps, frontier) =
             state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          // in-fold frontier re-check: in-batch duplicates fold once
           val out = rows.toSeq.sortBy(_.window_start.getTime)
-            .filter(_.window_start.getTime > frontier)
-            .map { r =>
-              frontier = r.window_start.getTime
-              total += 1
-              if (r.msg_count > 0) { active += 1; curGap = 0L }
+            .flatMap { r =>
+              if (r.window_start.getTime <= frontier) None
               else {
-                if (curGap == 0L) nGaps += 1
-                curGap += 1
-                longest = math.max(longest, curGap)
+                frontier = r.window_start.getTime
+                total += 1
+                if (r.msg_count > 0) { active += 1; curGap = 0L }
+                else {
+                  if (curGap == 0L) nGaps += 1
+                  curGap += 1
+                  longest = math.max(longest, curGap)
+                }
+                Some(AvailabilityRow(topic, r.window_start, total, active,
+                  active * 1000000L / total, longest, nGaps))
               }
-              AvailabilityRow(topic, r.window_start, total, active,
-                active * 1000000L / total, longest, nGaps)
             }
           state.update((total, active, curGap, longest, nGaps, frontier))
           out.iterator

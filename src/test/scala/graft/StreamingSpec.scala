@@ -1194,8 +1194,12 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
-    val all = Seq(cp(1, 4L), cp(2, 8L), cp(3, 2L), cp(4, 6L), cp(5, 10L))
+    // HOURLY spacing: x = epoch-hour must differ between points or
+    // every row is the degenerate den=0 branch and the test proves
+    // nothing about the OLS sums
+    def hcp(hour: Int, c: Long) = graft.streaming.CountPoint("a",
+      new Timestamp(ts(0).getTime + hour * 3600000L), c)
+    val all = Seq(hcp(1, 4L), hcp(2, 8L), hcp(3, 2L), hcp(4, 6L), hcp(5, 10L))
     val contIn = MemoryStream[graft.streaming.CountPoint]
     val qc = StreamingMonitor.streamForecast(contIn.toDS())
       .writeStream.format("memory").queryName("fc_cont_t")
@@ -1207,6 +1211,8 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(1), r.getLong(2),
           Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
     } finally qc.stop()
+    // the comparison must include real slopes, not only degenerate Nones
+    assert(want.count(_._3.isDefined) >= 4, s"degenerate reference: $want")
     val ckpt = java.nio.file.Files.createTempDirectory("fc_ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("fc_out").toString
     val input = MemoryStream[graft.streaming.CountPoint]
@@ -1230,6 +1236,49 @@ class StreamingSpec extends SparkSpec {
           Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
       assert(got == want,
         s"restart diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q2.stop()
+  }
+
+  test("in-batch duplicate windows fold once across the frontier-ordered twins") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    // 7 calm windows, then the spike DELIVERED TWICE IN ONE BATCH: the
+    // alarm must fire once, and the duplicate must not enter the
+    // trailing baseline (checked via the next window's baseline_sum)
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.streamBurst(input.toDS())
+      .writeStream.format("memory").queryName("burst_dup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1 to 7).map(m => cp(m, 2L)): _*)
+      q.processAllAvailable()
+      input.addData(cp(8, 50L), cp(8, 50L), cp(9, 50L))
+      q.processAllAvailable()
+      val rows = s.table("burst_dup_t").collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1)
+      // exactly one alarm for window 8 (not two), and window 9's
+      // baseline contains ONE copy of the spike: 7·2 + 1·50 = 64
+      assert(rows.count(_._1 == ts(8).getTime) == 1, rows.toSeq.toString)
+      val w9 = rows.find(_._1 == ts(9).getTime)
+      assert(w9.exists(r => r._3 == 8L && r._4 == 64L),
+        s"duplicate corrupted the baseline: $w9")
+    } finally q.stop()
+    // forecast: the duplicate must not inflate n or the sums — its
+    // running panel over [dup batch] equals the dedup'd series' panel
+    val in2 = MemoryStream[graft.streaming.CountPoint]
+    def hcp(hour: Int, c: Long) = graft.streaming.CountPoint("a",
+      new Timestamp(ts(0).getTime + hour * 3600000L), c)
+    val q2 = StreamingMonitor.streamForecast(in2.toDS())
+      .writeStream.format("memory").queryName("fc_dup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(hcp(1, 4L), hcp(2, 8L), hcp(2, 8L), hcp(3, 6L))
+      q2.processAllAvailable()
+      val ns = s.table("fc_dup_t").collect().map(_.getLong(2)).sorted.toSeq
+      assert(ns == Seq(1L, 2L, 3L), s"duplicate folded: n sequence $ns")
     } finally q2.stop()
   }
 
