@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** One completed action's execution record: the action name Spark
+  * reports (collect/count/save/…), wall duration, and every SQLMetric
+  * of the executed plan summed by metric name across plan nodes. */
+final case class QueryRecord(action: String, durationNs: Long,
+                             metrics: Map[String, Long])
+
+/** Engine self-observability — the ops panel for operating graft at
+  * cluster scale, the same monitoring story the reference applies to
+  * its feeds turned inward on the engine itself: a
+  * `QueryExecutionListener` that, after every successful action, walks
+  * the executed `SparkPlan` tree and records each node's `SQLMetric`s
+  * summed by name (output rows, shuffle bytes/records written, spill
+  * size, scan rows/files). "Did tonight's dedup suddenly shuffle 100×
+  * more than yesterday's" becomes a query over [[snapshot]] instead of
+  * a UI archaeology session.
+  *
+  * Listener-based, so it costs NOTHING in the query plan — the
+  * metrics already exist on every `SparkPlan` node; this only reads
+  * them after completion on the driver. State is a bounded queue
+  * (`keep` most recent records) — safe to leave attached in a
+  * long-lived session. Metric VALUES are execution facts (task
+  * counts, bytes), not oracle-comparable data — the spec pins the
+  * deterministic ones (output rows ≡ result size) and presence/sanity
+  * of the rest.
+  *
+  * Reference parallel: the exporter's per-(broker, filter) counters
+  * (transitdata-metrics-exporter AppConfig.java / MqttConnector
+  * counters) — fixed-cardinality operational gauges scraped from a
+  * running process; here the process is the engine.
+  */
+final class QueryMetrics private (keep: Int) extends QueryExecutionListener {
+  private val records = new ConcurrentLinkedQueue[QueryRecord]()
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit = {
+    records.add(QueryRecord(funcName, durationNs, sumMetrics(qe.executedPlan)))
+    while (records.size() > keep) records.poll()
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit = ()
+
+  /** Every SQLMetric of the executed tree, summed by metric name.
+    * `AdaptiveSparkPlanExec` exposes NO children (the live plan is
+    * internal) and query stages wrap theirs the same way, so a plain
+    * collect sees only the empty-metric adaptive shell — the walk
+    * descends through `executedPlan`/`plan` explicitly, plus
+    * children and subqueries. */
+  private def sumMetrics(root: SparkPlan): Map[String, Long] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    def walk(plan: SparkPlan): Unit = {
+      plan.metrics.foreach { case (name, m) =>
+        // unset metrics report a negative sentinel; treat as absent
+        if (m.value >= 0L) acc(name) = acc.getOrElse(name, 0L) + m.value
+      }
+      plan match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      plan.children.foreach(walk)
+      plan.subqueries.foreach(walk)
+    }
+    walk(root)
+    acc.toMap
+  }
+
+  /** Most-recent-first completed-action records (≤ keep). */
+  def snapshot: Seq[QueryRecord] = records.asScala.toSeq.reverse
+
+  def clear(): Unit = records.clear()
+}
+
+object QueryMetrics {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession, keep: Int = 256): QueryMetrics = {
+    val qm = new QueryMetrics(keep)
+    spark.listenerManager.register(qm)
+    qm
+  }
+
+  /** Detach a previously attached listener. */
+  def detach(spark: SparkSession, qm: QueryMetrics): Unit =
+    spark.listenerManager.unregister(qm)
+}

@@ -98,4 +98,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(got("a") == ((3L, 6.0, 3.0)))
     assert(got("b") == ((1L, 10.0, 10.0)))
   }
+
+  test("query metrics listener records output rows, shuffle and scan metrics per action") {
+    import graft.plans.QueryMetrics
+    val qm = QueryMetrics.attach(spark)
+    try {
+      qm.clear()
+      val n = graft.operators.Monitoring.msgRatePerTopic(spark, sfDir).collect().length
+      // listener fires asynchronously after the action returns
+      var snap = qm.snapshot
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); snap = qm.snapshot
+      }
+      assert(snap.nonEmpty, "no record captured")
+      val rec = snap.head
+      assert(rec.durationNs > 0)
+      // the final aggregate's output rows are deterministic: they ARE
+      // the collected result
+      assert(rec.metrics.get("numOutputRows").exists(_ >= n),
+        s"metrics: ${rec.metrics.keys.toSeq.sorted}")
+      // a groupBy shuffled: shuffle write metrics must be present and
+      // non-negative (partial-agg collapse makes exact counts
+      // partitioning-dependent — presence and sanity, not equality)
+      assert(rec.metrics.keys.exists(_.contains("shuffle")),
+        s"no shuffle metrics: ${rec.metrics.keys.toSeq.sorted}")
+    } finally QueryMetrics.detach(spark, qm)
+  }
 }
