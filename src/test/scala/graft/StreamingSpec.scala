@@ -1282,6 +1282,86 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("burst and forecast equal driver references on random series, cuts and duplicates (seeded fuzz)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val hour = 3600000L
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // random per-topic present-window series over ~40 hours, counts
+      // 1..30 with occasional spikes
+      val pts = (for {
+        topic <- Seq("a", "b", "c")
+        h <- 0 until 40 if rnd.nextDouble() < 0.7
+      } yield graft.streaming.CountPoint(topic,
+        new Timestamp(ts(0).getTime + h * hour),
+        if (rnd.nextDouble() < 0.1) 20L + rnd.nextInt(100) else 1L + rnd.nextInt(8)))
+        .sortBy(p => (p.window_start.getTime, p.topic))
+      // random batch cuts; each batch shuffled AND salted with
+      // duplicates of its own rows (must fold once)
+      val nCuts = 2 + rnd.nextInt(3)
+      val batches = pts.grouped(math.max(1, pts.length / nCuts)).map { chunk =>
+        val dups = chunk.filter(_ => rnd.nextDouble() < 0.2)
+        rnd.shuffle(chunk ++ dups)
+      }.toSeq
+      def runStream[T](name: String, mk: org.apache.spark.sql.Dataset[graft.streaming.CountPoint] =>
+          org.apache.spark.sql.Dataset[T]): Seq[org.apache.spark.sql.Row] = {
+        val input = MemoryStream[graft.streaming.CountPoint]
+        val q = mk(input.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode(OutputMode.Append()).start()
+        try {
+          batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          s.table(name).collect().toSeq
+        } finally q.stop()
+      }
+      // burst vs driver fold
+      val factor = 2; val minBase = 3
+      val gotBurst = runStream(s"fz_burst_$seed",
+        ds => StreamingMonitor.streamBurst(ds, factor, minBase))
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val wantBurst = pts.groupBy(_.topic).toSeq.flatMap { case (t, rows) =>
+        var xs = Vector.empty[Long]
+        rows.sortBy(_.window_start.getTime).flatMap { p =>
+          val (bw, bs) = (xs.length.toLong, xs.sum)
+          val burst = bw >= minBase && bs > 0 && p.msg_count * bw > factor * bs
+          xs = (xs :+ p.msg_count).takeRight(24)
+          if (burst) Some((t, p.window_start.getTime, p.msg_count, bw, bs,
+            (p.msg_count * bw).toDouble / bs.toDouble))
+          else None
+        }
+      }.toSet
+      assert(gotBurst == wantBurst, s"seed=$seed missing=${(wantBurst -- gotBurst).take(3)}" +
+        s" extra=${(gotBurst -- wantBurst).take(3)}")
+      assert(wantBurst.nonEmpty, s"seed=$seed produced no bursts — weak fuzz")
+      // forecast vs driver OLS fold
+      val gotFc = runStream(s"fz_fc_$seed", ds => StreamingMonitor.streamForecast(ds))
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+      val wantFc = pts.groupBy(_.topic).toSeq.flatMap { case (t, rows) =>
+        var (x0, n, sx, sy, sxy, sxx) = (Long.MinValue, 0L, 0L, 0L, 0L, 0L)
+        rows.sortBy(_.window_start.getTime).map { p =>
+          val x = p.window_start.getTime / hour
+          if (x0 == Long.MinValue) x0 = x
+          val xr = x - x0
+          n += 1; sx += xr; sy += p.msg_count
+          sxy += xr * p.msg_count; sxx += xr * xr
+          val den = n * sxx - sx * sx
+          if (den != 0) {
+            val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+            val icpt = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+            (t, p.window_start.getTime, n, Option[Any](slope), Option[Any](icpt),
+              Option[Any](slope * (xr + 1).toDouble + icpt))
+          } else (t, p.window_start.getTime, n,
+            Option.empty[Any], Option.empty[Any], Option.empty[Any])
+        }
+      }.toSet
+      assert(gotFc == wantFc, s"seed=$seed missing=${(wantFc -- gotFc).take(3)}" +
+        s" extra=${(gotFc -- wantFc).take(3)}")
+    }
+  }
+
   test("streaming CUSUM drops a window arriving behind the per-topic frontier") {
     val s = spark
     import s.implicits._
