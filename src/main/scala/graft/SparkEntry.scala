@@ -56,6 +56,14 @@ object SparkEntry {
     "q5_shape" -> ((s, d) => Analytics.q5Shape(s, d)),
     "q6_shape" -> ((s, d) => Analytics.q6Shape(s, d)),
     "q18_shape" -> ((s, d) => Analytics.q18Shape(s, d)),
+    "q4_shape" -> ((s, d) => Analytics.q4Shape(s, d)),
+    "q7_shape" -> ((s, d) => Analytics.q7Shape(s, d)),
+    "q8_shape" -> ((s, d) => Analytics.q8Shape(s, d)),
+    "q10_shape" -> ((s, d) => Analytics.q10Shape(s, d)),
+    "q12_shape" -> ((s, d) => Analytics.q12Shape(s, d)),
+    "q14_shape" -> ((s, d) => Analytics.q14Shape(s, d)),
+    "q19_shape" -> ((s, d) => Analytics.q19Shape(s, d)),
+    "q22_shape" -> ((s, d) => Analytics.q22Shape(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
@@ -209,6 +217,127 @@ object SparkEntry {
         |  / 7.0 AS avg_yearly
         |FROM lf JOIN th USING (l_partkey)
         |WHERE l_quantity < qty_threshold""".stripMargin,
+    // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
+    // 60-day lateness predicate mirrors the semi-join condition
+    "q4_shape" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // Q7 shape: both nation-pair directions, exact decimal revenue
+    "q7_shape" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q8 shape: numerator/denominator as exact decimal sums, one
+    // division per year row (same op order as the Spark side)
+    "q8_shape" ->
+      """WITH v AS (
+        | SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+        |  sn.n_name AS supp_nation
+        | FROM lineitem
+        | JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation sn ON sn.n_nationkey = s_nationkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation cn ON cn.n_nationkey = c_nationkey
+        | JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'EUROPE')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |    AS DOUBLE) AS nation_volume,
+        |  CAST(sum(rev) AS DOUBLE) AS total_volume,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |    AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY 1""".stripMargin,
+    // Q10 shape: deterministic top-20 (exact decimal revenue tie-broken
+    // by custkey)
+    "q10_shape" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q12 shape: CASE-inside-SUM double counter; CAST keeps the BIGINT
+    // column class (DuckDB sum(int) is HUGEINT → float64 in pandas)
+    "q12_shape" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    // Q14 shape: one final division over exact decimal sums
+    "q14_shape" ->
+      """WITH v AS (SELECT
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev, p_type
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |   AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |    AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |    AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS promo_pct
+        |FROM v""".stripMargin,
+    // Q19 shape: three disjunctive brand/size/quantity blocks over one
+    // partkey equi-join
+    "q19_shape" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    // Q22 shape: avg comparison multiplied through (bal·n > Σ) so it
+    // stays exact decimal; anti join for "dormant since cutoff"
+    "q22_shape" ->
+      """WITH s AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+        |   count(*) AS pos_n FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer CROSS JOIN s
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * pos_n > pos_sum
+        |GROUP BY 1""".stripMargin,
     // audience overlap: the oracle rebuilds intersections relationally
     // (distinct pairs + equi-join); zero-overlap pairs kept via the
     // left join so both engines emit the full pair matrix

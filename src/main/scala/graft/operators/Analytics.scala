@@ -497,6 +497,206 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 shape (order-priority check): EXISTS decorrelated to a
+    * left-semi join — orders in a 6-month window that have at least
+    * one late-shipped line (shipped >60 days after the order date; the
+    * dataset has no commit/receipt dates, so late-vs-order is the
+    * lateness predicate). The semi join carries only (orderkey,
+    * shipdate) from the fact side and short-circuits per key; the
+    * date filter reaches the orders scan. */
+  def q4Shape(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nations in both directions, by ship year. The supplier→nation
+    * and customer→nation sides are broadcast dims; the only shuffles
+    * are the two fact equi-joins (lineitem⋈orders on orderkey,
+    * ⋈customer on custkey) plus the final 4-group aggregate. The
+    * nation-pair filter is applied before the aggregate so only
+    * matching rows reach it. */
+  def q7Shape(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): the share of PROMO-part
+    * revenue delivered by one nation's suppliers to one region's
+    * customers, per order year. Numerator and denominator are both
+    * exact decimal sums (order-independent), divided ONCE per year
+    * row — the only IEEE op, so the result is bit-stable across
+    * engines and partitionings. Part and supplier sides broadcast. */
+  def q8Shape(spark: SparkSession, dir: String,
+      nation: String = "NATION_3", region: String = "EUROPE"): DataFrame = {
+    val parts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val regionCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, rev).otherwise(lit(0)))
+          .cast("double").as("nation_volume"),
+        sum(rev).cast("double").as("total_volume"))
+      .withColumn("mkt_share",
+        col("nation_volume") / col("total_volume"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    * revenue lost to returns in a quarter. Fact joins shuffle on
+    * their keys; nation is broadcast; the final top-k is a
+    * TakeOrdered over the per-customer aggregate with a deterministic
+    * (revenue desc, custkey) tie-break — revenue is an exact decimal
+    * sum, so the cut is reproducible. */
+  def q10Shape(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (shipping priority audit): per line status (the
+    * dataset's stand-in for ship mode), how many late-shipped lines
+    * belong to critical vs non-critical orders — the CASE-inside-SUM
+    * aggregation pattern. One fact-fact shuffle join, then a 3-row
+    * aggregate with both counters from the same pass. */
+  def q12Shape(spark: SparkSession, dir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): percentage of one month's
+    * discounted revenue that came from PROMO parts. The part dim is
+    * broadcast; numerator/denominator are exact decimal sums with a
+    * single final division. */
+  def q14Shape(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three OR-blocks of correlated part/lineitem conditions — the
+    * equi-join key is shared by all blocks, so Catalyst keeps one
+    * hash join on partkey with the disjunction as a residual filter
+    * (not a cross product); the part side is broadcast. */
+  def q19Shape(spark: SparkSession, dir: String): DataFrame = {
+    val block = (brand: String, sizeMax: Int, qtyLo: Int, qtyHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(block("Brand#12", 15, 1, 30) ||
+        block("Brand#23", 20, 10, 40) ||
+        block("Brand#34", 25, 20, 50))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): market segments of
+    * dormant customers (no order since the cutoff — every customer
+    * has SOME order in this dataset, so the classic "never ordered"
+    * predicate would be vacuous) whose balance beats the
+    * positive-balance average. The scalar AVG subquery is
+    * decorrelated to a 1-row (Σ, n) aggregate and the comparison is
+    * multiplied through (bal·n > Σ) so it stays in exact decimal
+    * arithmetic — no division, no IEEE averaging, bit-identical
+    * across engines. The anti join ships only the recent orders'
+    * o_custkey. */
+  def q22Shape(spark: SparkSession, dir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val stats = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("pos_sum"),
+        count(lit(1)).as("pos_n"))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
   /** Pearson correlation per group from exact decimal component sums
     * (n, Σx, Σy, Σxy, Σxx, Σyy are order-independent decimals; the
     * final double formula is a fixed op sequence) — built-in corr()

@@ -1288,6 +1288,161 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  // ---- shared driver-side fixtures for the TPC-H shape specs ----
+  private def dec2(x: Double): BigDecimal =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+  private def rev2(price: Double, disc: Double): BigDecimal =
+    dec2(price) * (BigDecimal(1) - dec2(disc))
+  private lazy val lineRows =
+    graft.Tables.lineitem(spark, sfDir).collect().map(r => (
+      r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"),
+      r.getAs[Long]("l_suppkey"), r.getAs[Double]("l_quantity"),
+      r.getAs[Double]("l_extendedprice"), r.getAs[Double]("l_discount"),
+      ntzMs(r.getAs[java.time.LocalDateTime]("l_shipdate")),
+      r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")))
+  private lazy val orderRows =
+    graft.Tables.orders(spark, sfDir).collect().map(r => (
+      r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+      ntzMs(r.getAs[java.time.LocalDateTime]("o_orderdate")),
+      r.getAs[String]("o_orderpriority")))
+  private def ntzMs(t: java.time.LocalDateTime): Long =
+    t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  private def tsOf(s: String): Long =
+    java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+  private val dayMs = 86400000L
+
+  test("q4 shape equals a driver-side EXISTS evaluation") {
+    val got = graft.operators.Analytics.q4Shape(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lateKeys = lineRows.map(l => (l._1, l._7)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val exp = orderRows
+      .filter(o => o._3 >= tsOf("1997-01-01") && o._3 < tsOf("1997-07-01"))
+      .filter(o => lateKeys.get(o._1).exists(_ > o._3 + 60 * dayMs))
+      .groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    assert(got == exp, s"$got vs $exp")
+  }
+
+  test("q7 shape equals a driver-side two-nation volume rollup") {
+    val nations = graft.Tables.nation(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val suppNation = graft.Tables.supplier(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> nations(r.getAs[Int]("s_nationkey")))
+      .toMap
+    val custNation = graft.Tables.customer(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> nations(r.getAs[Int]("c_nationkey")))
+      .toMap
+    val orderCust = orderRows.map(o => o._1 -> o._2).toMap
+    val pair = Set("NATION_12", "NATION_10")
+    val exp = lineRows
+      .filter(l => l._7 >= tsOf("1996-01-01") && l._7 < tsOf("1998-01-01"))
+      .map(l => (suppNation(l._3), custNation(orderCust(l._1)),
+        1970 + java.time.Instant.ofEpochMilli(l._7)
+          .atZone(java.time.ZoneOffset.UTC).getYear - 1970, rev2(l._5, l._6)))
+      .filter(t => pair(t._1) && pair(t._2) && t._1 != t._2)
+      .groupBy(t => (t._1, t._2, t._3))
+      .view.mapValues(_.map(_._4).sum.toDouble).toMap
+    val got = graft.operators.Analytics
+      .q7Shape(spark, sfDir, "NATION_12", "NATION_10").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == exp.keySet, s"${got.keySet} vs ${exp.keySet}")
+    assert(got.nonEmpty, "pair chosen to be non-empty at sf0.001")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) <= 1e-9 * math.max(1.0, math.abs(exp(k))), s"$k") }
+  }
+
+  test("q8 shape market share is the per-year nation/total ratio") {
+    val rows = graft.operators.Analytics.q8Shape(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nation = r.getAs[Double]("nation_volume")
+      val total = r.getAs[Double]("total_volume")
+      assert(total > 0.0 && nation >= 0.0 && nation <= total)
+      assert(r.getAs[Double]("mkt_share") == nation / total)
+    }
+  }
+
+  test("q10 shape is the driver-side top-20 returned-revenue cut") {
+    val got = graft.operators.Analytics.q10Shape(spark, sfDir).collect()
+    val orderIn = orderRows.filter(o =>
+      o._3 >= tsOf("1997-07-01") && o._3 < tsOf("1997-10-01"))
+      .map(o => o._1 -> o._2).toMap
+    val byCust = lineRows.filter(l => l._8 == "R")
+      .flatMap(l => orderIn.get(l._1).map(c => c -> rev2(l._5, l._6)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val expTop = byCust.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    assert(got.length == expTop.length)
+    got.zip(expTop).foreach { case (r, (ck, rev)) =>
+      assert(r.getAs[Long]("c_custkey") == ck &&
+        math.abs(r.getAs[Double]("revenue") - rev) < 1e-9, s"$ck") }
+  }
+
+  test("q12 shape counters partition the late-line total exactly") {
+    val got = graft.operators.Analytics.q12Shape(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orderInfo = orderRows.map(o => o._1 -> (o._3, o._4)).toMap
+    val exp = lineRows
+      .filter(l => l._7 >= tsOf("1997-01-01") && l._7 < tsOf("1998-01-01"))
+      .flatMap(l => orderInfo.get(l._1).collect {
+        case (od, pri) if l._7 > od + 60 * dayMs => (l._9, pri) })
+      .groupBy(_._1).view.mapValues { ps =>
+        val hi = ps.count(p => p._2 == "1-URGENT" || p._2 == "2-HIGH")
+        (hi.toLong, (ps.length - hi).toLong) }.toMap
+    assert(got == exp, s"$got vs $exp")
+  }
+
+  test("q14 shape promo split is exact and the pct is its one division") {
+    val r = graft.operators.Analytics.q14Shape(spark, sfDir).collect()(0)
+    val partType = graft.Tables.part(spark, sfDir).collect()
+      .map(p => p.getAs[Long]("p_partkey") -> p.getAs[String]("p_type")).toMap
+    val in = lineRows.filter(l =>
+      l._7 >= tsOf("1997-09-01") && l._7 < tsOf("1997-10-01"))
+      .map(l => (partType(l._2), rev2(l._5, l._6)))
+    val promo = in.filter(_._1 == "PROMO").map(_._2).sum.toDouble
+    val total = in.map(_._2).sum.toDouble
+    assert(math.abs(r.getAs[Double]("promo_revenue") - promo) < 1e-9)
+    assert(math.abs(r.getAs[Double]("total_revenue") - total) < 1e-9)
+    assert(r.getAs[Double]("promo_pct") ==
+      100.0 * r.getAs[Double]("promo_revenue") / r.getAs[Double]("total_revenue"))
+  }
+
+  test("q19 shape equals a driver-side disjunctive-block filter") {
+    val r = graft.operators.Analytics.q19Shape(spark, sfDir).collect()(0)
+    val partInfo = graft.Tables.part(spark, sfDir).collect()
+      .map(p => p.getAs[Long]("p_partkey") ->
+        (p.getAs[String]("p_brand"), p.getAs[Int]("p_size"))).toMap
+    def blk(b: (String, Int), q: Double,
+        brand: String, sMax: Int, qLo: Int, qHi: Int): Boolean =
+      b._1 == brand && b._2 >= 1 && b._2 <= sMax && q >= qLo && q <= qHi
+    val hits = lineRows.map(l => (partInfo(l._2), l._4, rev2(l._5, l._6)))
+      .filter(t => blk(t._1, t._2, "Brand#12", 15, 1, 30) ||
+        blk(t._1, t._2, "Brand#23", 20, 10, 40) ||
+        blk(t._1, t._2, "Brand#34", 25, 20, 50))
+    assert(r.getAs[Long]("n_items") == hits.length)
+    assert(math.abs(r.getAs[Double]("revenue") - hits.map(_._3).sum.toDouble) < 1e-9)
+  }
+
+  test("q22 shape picks dormant above-average-balance customers exactly") {
+    val got = graft.operators.Analytics.q22Shape(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("total_acctbal")))
+      .toMap
+    val cust = graft.Tables.customer(spark, sfDir).collect().map(c => (
+      c.getAs[Long]("c_custkey"), c.getAs[Double]("c_acctbal"),
+      c.getAs[String]("c_mktsegment")))
+    val pos = cust.filter(_._2 > 0.0)
+    val (posSum, posN) = (pos.map(c => dec2(c._2)).sum, pos.length)
+    val active = orderRows.filter(_._3 >= tsOf("2000-01-01")).map(_._2).toSet
+    val exp = cust
+      .filter(c => !active(c._1) && dec2(c._2) * posN > posSum)
+      .groupBy(_._3).view.mapValues(cs =>
+        (cs.length.toLong, cs.map(c => dec2(c._2)).sum.toDouble)).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty, s"$got vs $exp")
+    got.foreach { case (k, (n, t)) =>
+      assert(n == exp(k)._1 && math.abs(t - exp(k)._2) < 1e-9, s"segment $k") }
+  }
+
   test("q17 shape equals a driver-side correlated-subquery evaluation") {
     val got = graft.operators.Analytics.q17Shape(spark, sfDir).collect()
     val parts = graft.Tables.part(spark, sfDir)
