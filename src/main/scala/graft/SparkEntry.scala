@@ -165,6 +165,8 @@ object SparkEntry {
     "q_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -1612,6 +1614,39 @@ object SparkEntry {
     "q_classifier_score" -> OracleSql.classifierScore(
       TextAnalysis.classifierWeights(256)),
     "q_fingerprint" -> OracleSql.fingerprints,
+    // DSIR weights: bigrams rebuilt positionally (q_cooccur pattern),
+    // the same md5-prefix bucket hash, integer mass sums + one
+    // smoothed division
+    "q_dsir_weights" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
+        |   unnest(range(1, len(arr) + 1)) AS pos
+        |  FROM (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents)),
+        | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
+        |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
+        |     % 4096 AS b
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        | tb AS (SELECT b,
+        |   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_target,
+        |   count(*) AS n_raw FROM bb GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(n_target) AS BIGINT) AS w_target,
+        |  CAST(sum(n_raw) AS BIGINT) AS w_raw,
+        |  CAST(sum(n_target) + 1 AS DOUBLE) /
+        |  CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
+        |FROM bb JOIN tb USING (b) GROUP BY 1""".stripMargin,
+    // unigram commonness: floor(log2(count)) via binary-string length
+    // — exact integers in both engines; one final division
+    "q_unigram_commonness" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, unnest(
+        |   regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+        | t2 AS (SELECT doc_id, word FROM tk WHERE word <> ''),
+        | f AS (SELECT word, count(*) AS f FROM t2 GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(length(printf('%b', f)) - 1) AS BIGINT) AS sum_log2f,
+        |  CAST(sum(length(printf('%b', f)) - 1) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS mean_log2f
+        |FROM t2 JOIN f USING (word) GROUP BY 1""".stripMargin,
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->

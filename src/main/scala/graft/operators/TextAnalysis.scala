@@ -931,6 +931,84 @@ object TextAnalysis {
           col("b.cum").cast("double") / col("b.n").cast("double"))).as("d_stat"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("d_stat"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed word-
+    * bigram features, a target-vs-raw bucket frequency table, and a
+    * per-document importance score. The classic formulation sums
+    * log-ratios; that is an order-dependent IEEE sum, so the score
+    * here is the equivalent-ranking integer form — the document's
+    * total target-bucket mass over its total raw-bucket mass, both
+    * exact BIGINT sums with one final (+1-smoothed) division.
+    *
+    * Scale shape: the bucket table is exactly `buckets` rows
+    * (broadcast); the corpus is scanned twice (once to build the
+    * table, once to score) — inherent to importance resampling, and
+    * each pass is row-local tokenize + hash, shuffle ∝ buckets for
+    * the first pass and ∝ docs (ids + 3 longs, never text) for the
+    * second. Feature hashing is first-6-hex-of-md5 mod buckets so the
+    * oracle reproduces it byte-identically. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en", buckets: Int = 4096): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir), targetLang, buckets)
+
+  /** [[dsirWeights]] over a prepared (doc_id, lang, text) frame. */
+  def dsirWeightsOf(docs: DataFrame, targetLang: String = "en",
+                    buckets: Int = 4096): DataFrame = {
+    val arr = T.tokens(col("text"))
+    // adjacent-word bigrams: zip the array against itself shifted by
+    // one; a doc with <2 tokens (incl. the single-empty-token split of
+    // blank text) contributes no features on either engine
+    val shift = greatest(size(arr) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(arr, lit(1), shift),
+      slice(arr, lit(2), shift),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = docs
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("bg")), 1, 6), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .select(col("doc_id"), col("lang"), col("b"))
+    val bucketTable = feats.groupBy(col("b"))
+      .agg(count(when(col("lang") === targetLang, 1)).as("n_target"),
+        count(lit(1)).as("n_raw"))
+    feats.join(broadcast(bucketTable), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("n_target")).as("w_target"),
+        sum(col("n_raw")).as("w_raw"))
+      .withColumn("weight",
+        (col("w_target") + 1L).cast("double") / (col("w_raw") + 1L).cast("double"))
+  }
+
+  /** Unigram-LM commonness score — the order-exact stand-in for the
+    * perplexity quality filter (CCNet, Wenzek et al. 2020): each
+    * token scores floor(log2(corpus frequency)) — an exact integer
+    * from the bit length of the count, identical in any engine — and
+    * a document's commonness is the mean over its tokens (one final
+    * IEEE division). Low mean ⇒ the document lives in the rare tail
+    * of the corpus unigram distribution (gibberish, boilerplate IDs);
+    * high mean ⇒ head-heavy common text. Two passes: corpus → (token,
+    * count) vocabulary (shuffle ∝ vocabulary), then tokens⋈vocabulary
+    * re-join (shuffle ∝ corpus token ids, never the document text)
+    * and a per-doc aggregate. */
+  def unigramCommonness(spark: SparkSession, dir: String): DataFrame =
+    unigramCommonnessOf(Tables.documents(spark, dir))
+
+  /** [[unigramCommonness]] over a prepared (doc_id, text) frame. */
+  def unigramCommonnessOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("f"))
+    toks.join(freq, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((length(bin(col("f"))) - 1).cast("long")).as("sum_log2f"))
+      .withColumn("mean_log2f",
+        col("sum_log2f").cast("double") / col("n_tokens").cast("double"))
+  }
 }
 
 /** Multimodal column plumbing: media payloads as opaque binary with

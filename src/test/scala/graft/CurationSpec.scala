@@ -120,4 +120,57 @@ class CurationSpec extends SparkSpec {
       assert(got == exp, s"source $src")
     }
   }
+
+  test("dsir weights equal a driver-side hashed-bigram importance eval") {
+    val buckets = 512
+    val got = TextAnalysis.dsirWeights(spark, sfDir, "en", buckets).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_target"),
+          r.getAs[Long]("w_raw"), r.getAs[Double]("weight"))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(bg: String): Long = {
+      val hex = md.digest(bg.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val feats = docs.flatMap { case (id, lang, text) =>
+      val ws = text.trim.split("\\s+")
+      ws.zip(ws.drop(1)).map(p => (id, lang, bucketOf(p._1 + " " + p._2)))
+    }
+    val table = feats.groupBy(_._3).view.mapValues { fs =>
+      (fs.count(_._2 == "en").toLong, fs.length.toLong) }.toMap
+    val exp = feats.groupBy(_._1).view.mapValues { fs =>
+      val t = fs.map(f => table(f._3)._1).sum
+      val r = fs.map(f => table(f._3)._2).sum
+      (fs.length.toLong, t, r, (t + 1).toDouble / (r + 1).toDouble) }.toMap
+    assert(got == exp.toMap, s"sizes ${got.size} vs ${exp.size}")
+    assert(got.nonEmpty)
+    // the target signal must discriminate: en-doc weights should not
+    // all coincide with the non-en distribution
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    val en = got.collect { case (id, v) if byLang(id) == "en" => v._4 }
+    val rest = got.collect { case (id, v) if byLang(id) != "en" => v._4 }
+    assert(en.sum / en.size > rest.sum / rest.size,
+      "mean importance of target-language docs must exceed the rest")
+  }
+
+  test("unigram commonness equals a driver-side floor-log2 frequency eval") {
+    val got = TextAnalysis.unigramCommonness(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_log2f"),
+          r.getAs[Double]("mean_log2f"))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).map(id -> _) }
+    val freq = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val exp = toks.groupBy(_._1).view.mapValues { ws =>
+      val s = ws.map(w => 63L - java.lang.Long.numberOfLeadingZeros(freq(w._2))).sum
+      (ws.length.toLong, s, s.toDouble / ws.length.toDouble) }.toMap
+    assert(got == exp.toMap && got.nonEmpty)
+  }
 }
