@@ -478,4 +478,76 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"band join degenerated:\n${plan.take(1200)}")
   }
+
+  test("q4: semi join with pushed order-date range, no full-lineitem aggregate") {
+    val plan = physical(Analytics.q4Shape(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order date range not pushed:\n$plan")
+  }
+
+  test("q7/q8: nation dims broadcast, fact joins stay equi, ship/type filters pushed") {
+    val p7 = physical(Analytics.q7Shape(spark, sfDir))
+    assert(p7.contains("BroadcastHashJoin"), p7)
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"), p7)
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate"), s"ship filter not pushed:\n$p7")
+    val p8 = physical(Analytics.q8Shape(spark, sfDir))
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(p8.contains("EqualTo(p_type,PROMO)"), s"part filter not pushed:\n$p8")
+  }
+
+  test("q10: top-20 via TakeOrdered over the aggregate, returnflag pushed") {
+    val plan = physical(Analytics.q10Shape(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$plan")
+  }
+
+  test("q19: one partkey equi-join with the disjunction as residual — no cartesian") {
+    val plan = physical(Analytics.q19Shape(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive blocks degenerated the join:\n$plan")
+  }
+
+  test("q22: anti join on the date-filtered order side, scalar stats broadcast") {
+    val plan = physical(Analytics.q22Shape(spark, sfDir))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), s"cutoff not pushed:\n$plan")
+    // the 1-row (Σ, n) frame must ride a broadcast, not shuffle the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  /** Every shuffle's input schema, descending through the AQE wrapper
+    * (executedPlan is AdaptiveSparkPlanExec pre-execution; sparkPlan
+    * predates EnsureRequirements and has no Exchange nodes at all). */
+  private def shuffleInputSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.schema.fieldNames.toSeq +: walk(e.child)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("dsir: bucket table broadcasts back; per-doc pass never shuffles text") {
+    val df = graft.operators.TextAnalysis.dsirWeights(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"bucket join degraded:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the scoring shuffle carries (doc_id, lang, b) — never the text column
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("unigram commonness: vocabulary join keeps partial aggregation, text never shuffles") {
+    val df = graft.operators.TextAnalysis.unigramCommonness(spark, sfDir)
+    val plan = physical(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
 }
