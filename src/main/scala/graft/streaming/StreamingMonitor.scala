@@ -61,6 +61,10 @@ final case class ForecastRow(topic: String, window_start: java.sql.Timestamp,
                              intercept: Option[Double],
                              forecast_next: Option[Double])
 
+/** A document entering the ingestion stream (for the live release
+  * gates — PII census etc.). */
+final case class DocEvent(source: String, ts: java.sql.Timestamp, text: String)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -818,6 +822,50 @@ object StreamingMonitor {
           (max(col("n_win")).cast(d19) * max(col("n_base")).cast(d19))
             .cast("double")).as("drift"))
   }
+
+  /** Shared kernel of the PII release gate: per (window, source),
+    * document count, per-detector-class hit-document and occurrence
+    * counts (the [[graft.operators.TextAnalysis.PiiPatterns]] census,
+    * row-local regexp_count map-side), any-class flagged count, and
+    * the integer-exact gate verdict flagged·100 ≤ n_docs·maxHitPct —
+    * no division, so stream and batch agree bit-for-bit. Used by both
+    * [[streamPiiGate]] and its batch twin (same grid ⇒ identical
+    * rows, asserted by spec). */
+  def piiGateOf(docs: DataFrame, windowDur: String = "1 hour",
+                maxHitPct: Int = 1): DataFrame = {
+    val classCols = graft.operators.TextAnalysis.PiiPatterns.flatMap {
+      case (nm, re) =>
+        val c = regexp_count(col("text"), lit(re))
+        Seq(sum(when(c > 0, 1L).otherwise(0L)).as(s"docs_$nm"),
+          sum(c.cast("long")).as(s"occ_$nm"))
+    }
+    val anyHit = graft.operators.TextAnalysis.PiiPatterns.map {
+      case (_, re) => regexp_count(col("text"), lit(re)) > 0
+    }.reduce(_ || _)
+    docs
+      .groupBy(window(col("ts"), windowDur).as("win"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(anyHit, 1L).otherwise(0L)).as("docs_flagged") +: classCols): _*)
+      .withColumn("gate_pass",
+        col("docs_flagged") * 100L <= col("n_docs") * maxHitPct.toLong)
+      .select((col("win.start").as("window_start") +:
+        col("source") +: col("n_docs") +: col("docs_flagged") +:
+        graft.operators.TextAnalysis.PiiPatterns.flatMap { case (nm, _) =>
+          Seq(col(s"docs_$nm"), col(s"occ_$nm")) } :+ col("gate_pass")): _*)
+  }
+
+  /** Live PII release gate — the streaming twin of the batch
+    * q_pii_scan census: watermarked tumbling-window PII counts per
+    * source with an exact integer pass/fail verdict per sealed
+    * window. Append mode: a window's verdict ships once, when the
+    * watermark seals it — the contract a downstream block/quarantine
+    * actor needs (no retractions). Scale: the census is row-local
+    * regexp work fused into the partial aggregate; only (window,
+    * source) cells cross the shuffle, never document text. */
+  def streamPiiGate(docs: DataFrame, windowDur: String = "1 hour",
+                    watermark: String = "2 hours",
+                    maxHitPct: Int = 1): DataFrame =
+    piiGateOf(docs.withWatermark("ts", watermark), windowDur, maxHitPct)
 
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and

@@ -1423,4 +1423,63 @@ class StreamingSpec extends SparkSpec {
         ("a", ts(3), "RESOLVED", 2.0)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming PII gate: sealed windows equal the batch census and the verdict is exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.DocEvent]
+    // 1-minute windows, 1-minute watermark, gate at 50% so the mixed
+    // window passes and the dirty one fails
+    val q = StreamingMonitor.streamPiiGate(input.toDF(), "1 minute", "1 minute",
+      maxHitPct = 50)
+      .writeStream.format("memory").queryName("pii_gate_t")
+      .outputMode(OutputMode.Append()).start()
+    val batch1 = Seq(
+      graft.streaming.DocEvent("web", ts(0, 5), "contact me at bob@example.com now"),
+      graft.streaming.DocEvent("web", ts(0, 15), "clean text no identifiers"),
+      graft.streaming.DocEvent("web", ts(0, 25), "clean again"),
+      graft.streaming.DocEvent("forum", ts(0, 10), "call +358 40 1234567 or 10.0.0.1"),
+      graft.streaming.DocEvent("forum", ts(0, 30), "id 123456789 leaked"))
+    val batch2 = Seq(
+      graft.streaming.DocEvent("web", ts(1, 10), "a@b.co and c@d.org twice"))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // seal both windows
+      input.addData(graft.streaming.DocEvent("web", ts(5), "closer"))
+      q.processAllAvailable()
+      val got = s.table("pii_gate_t").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("source")) -> r).toMap
+      // batch twin on the identical rows and grid
+      val exp = StreamingMonitor.piiGateOf(
+        (batch1 ++ batch2).toDF(), "1 minute", maxHitPct = 50)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("source")) -> r).toMap
+      assert(exp.keySet.subsetOf(got.keySet), s"${got.keySet} vs ${exp.keySet}")
+      exp.foreach { case (k, e) =>
+        val g = got(k)
+        e.schema.fieldNames.foreach { f =>
+          assert(g.getAs[Any](f) == e.getAs[Any](f), s"$k field $f") }
+      }
+      // verdicts: web 10:00 has 1/3 flagged (33% ≤ 50% → pass);
+      // forum 10:00 has 2/2 flagged (fail); web 10:01 1/1 (fail)
+      assert(got((ts(0, 0), "web")).getAs[Boolean]("gate_pass"))
+      assert(!got((ts(0, 0), "forum")).getAs[Boolean]("gate_pass"))
+      assert(!got((ts(1, 0), "web")).getAs[Boolean]("gate_pass"))
+      // class counters: forum window tripped phone+ipv4 and digit_run;
+      // note "123456789" trips BOTH digit_run and phone (digits are in
+      // the phone pattern's middle class) — docs_phone counts 2 docs
+      val forum = got((ts(0, 0), "forum"))
+      assert(forum.getAs[Long]("docs_phone") == 2L &&
+        forum.getAs[Long]("docs_ipv4") == 1L &&
+        forum.getAs[Long]("docs_digit_run") == 1L &&
+        forum.getAs[Long]("docs_email") == 0L)
+      val web1 = got((ts(1, 0), "web"))
+      assert(web1.getAs[Long]("occ_email") == 2L)
+    } finally q.stop()
+  }
 }
