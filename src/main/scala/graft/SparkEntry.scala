@@ -64,6 +64,9 @@ object SparkEntry {
     "q14_shape" -> ((s, d) => Analytics.q14Shape(s, d)),
     "q19_shape" -> ((s, d) => Analytics.q19Shape(s, d)),
     "q22_shape" -> ((s, d) => Analytics.q22Shape(s, d)),
+    "q2_shape" -> ((s, d) => Analytics.q2Shape(s, d)),
+    "q16_shape" -> ((s, d) => Analytics.q16Shape(s, d)),
+    "q21_shape" -> ((s, d) => Analytics.q21Shape(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
@@ -340,6 +343,46 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |  AND CAST(c_acctbal AS DECIMAL(18,2)) * pos_n > pos_sum
         |GROUP BY 1""".stripMargin,
+    // Q2 shape: argmax-per-group via row_number over the distinct
+    // (part, supplier) association; acctbal values compare raw (no
+    // arithmetic), so the rank is engine-exact
+    "q2_shape" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        | best AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal,
+        |   row_number() OVER (PARTITION BY l_partkey
+        |     ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM pairs JOIN supplier ON s_suppkey = l_suppkey)
+        |SELECT p_partkey, p_name, p_retailprice, s_suppkey, s_name, s_acctbal
+        |FROM best JOIN part ON p_partkey = l_partkey
+        |WHERE rn = 1 AND p_type = 'STANDARD'
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+    // Q16 shape: distinct-supplier count per attribute cell with the
+    // blacklist applied before the distinct
+    "q16_shape" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        | ok AS (SELECT * FROM pairs WHERE l_suppkey NOT IN
+        |   (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ok JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q21 shape: EXISTS/NOT-EXISTS decorrelated to one per-order
+    // aggregate (n_supp, n_late_supp, conditional-min late supplier)
+    "q21_shape" ->
+      """WITH po AS (
+        | SELECT l_orderkey,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN l_suppkey END) AS n_late_supp,
+        |  min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    THEN l_suppkey END) AS late_supp
+        | FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        | WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp > 1 AND n_late_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // audience overlap: the oracle rebuilds intersections relationally
     // (distinct pairs + equi-join); zero-overlap pairs kept via the
     // left join so both engines emit the full pair matrix

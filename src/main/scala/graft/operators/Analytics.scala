@@ -697,6 +697,96 @@ object Analytics {
         dsum(col("c_acctbal")).as("total_acctbal"))
   }
 
+  /** TPC-H Q2 shape (best supplier per part): the correlated
+    * min-cost subquery decorrelated to an argmax-per-group — for each
+    * STANDARD part, the richest supplier that ever shipped it
+    * (acctbal as the fitness stand-in for the missing ps_supplycost),
+    * tie-broken by suppkey. The (part, supplier) association is the
+    * DISTINCT pair projection of lineitem (shuffle carries two longs,
+    * and the distinct partial-aggregates map-side); supplier is
+    * broadcast; the pick is one row_number window per part over the
+    * pair table, not a per-row subquery; the final top-20 is a
+    * TakeOrdered. */
+  def q2Shape(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    pairs
+      // rank on (suppkey, acctbal) only — names join AFTER the rn=1
+      // cut, so the window shuffle stays two longs + one double wide
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("sk2"), col("s_name"))),
+        col("s_suppkey") === col("sk2"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q16 shape (supplier-count by part attribute): distinct
+    * supplier cardinality per (brand, type, size) cell, excluding one
+    * brand, one type, and a supplier blacklist (negative balance —
+    * the stand-in for the Q16 complaints filter) applied as a
+    * broadcast anti join BEFORE the distinct, so blacklisted pairs
+    * never reach the aggregate. The association is again the distinct
+    * lineitem pair projection; part attributes broadcast onto it;
+    * count(DISTINCT suppkey) per cell is exact. */
+  def q16Shape(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    val blacklist = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): on
+    * finished multi-supplier orders, the suppliers who were the ONLY
+    * late shipper. The classic EXISTS/NOT-EXISTS pair decorrelates to
+    * one per-order aggregate — n_suppliers, n_late_suppliers, and the
+    * (single) late supplier retained via a conditional min — so the
+    * fact table is scanned once and no correlated re-probe exists;
+    * the per-supplier rollup then counts orders where n_suppliers > 1
+    * and n_late_suppliers = 1. Late = shipped >60 days after the
+    * order date (this schema's lateness predicate, as in Q4/Q12). */
+  def q21Shape(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrder = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        min(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
+
   /** Pearson correlation per group from exact decimal component sums
     * (n, Σx, Σy, Σxy, Σxx, Σyy are order-independent decimals; the
     * final double formula is a fixed op sequence) — built-in corr()

@@ -1443,6 +1443,73 @@ class OperatorSpec extends SparkSpec {
       assert(n == exp(k)._1 && math.abs(t - exp(k)._2) < 1e-9, s"segment $k") }
   }
 
+  test("q2 shape picks each part's best supplier exactly") {
+    val got = graft.operators.Analytics.q2Shape(spark, sfDir).collect()
+    val supp = graft.Tables.supplier(spark, sfDir).collect()
+      .map(s => s.getAs[Long]("s_suppkey") ->
+        (s.getAs[String]("s_name"), s.getAs[Double]("s_acctbal"))).toMap
+    val parts = graft.Tables.part(spark, sfDir).collect()
+      .filter(_.getAs[String]("p_type") == "STANDARD")
+      .map(p => p.getAs[Long]("p_partkey") ->
+        (p.getAs[String]("p_name"), p.getAs[Double]("p_retailprice"))).toMap
+    val best = lineRows.map(l => (l._2, l._3)).distinct
+      .groupBy(_._1).view.mapValues(ps =>
+        ps.map(_._2).minBy(sk => (-supp(sk)._2, sk))).toMap
+    val exp = best.toSeq.flatMap { case (pk, sk) =>
+      parts.get(pk).map { case (nm, rp) => (pk, nm, rp, sk) } }
+      .sortBy { case (pk, _, rp, _) => (-rp, pk) }.take(20)
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (r, (pk, nm, rp, sk)) =>
+      assert(r.getAs[Long]("p_partkey") == pk && r.getAs[String]("p_name") == nm &&
+        r.getAs[Double]("p_retailprice") == rp &&
+        r.getAs[Long]("s_suppkey") == sk &&
+        r.getAs[Double]("s_acctbal") == supp(sk)._2, s"part $pk") }
+  }
+
+  test("q16 shape counts distinct non-blacklisted suppliers per attribute cell") {
+    val got = graft.operators.Analytics.q16Shape(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Int]("p_size")) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    val black = graft.Tables.supplier(spark, sfDir).collect()
+      .filter(_.getAs[Double]("s_acctbal") < 0.0)
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val attrs = graft.Tables.part(spark, sfDir).collect()
+      .filter(p => p.getAs[String]("p_brand") != "Brand#45" &&
+        p.getAs[String]("p_type") != "PROMO")
+      .map(p => p.getAs[Long]("p_partkey") ->
+        (p.getAs[String]("p_brand"), p.getAs[String]("p_type"),
+          p.getAs[Int]("p_size"))).toMap
+    val exp = lineRows.map(l => (l._2, l._3)).distinct
+      .filter(p => !black(p._2) && attrs.contains(p._1))
+      .groupBy(p => attrs(p._1))
+      .view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(got == exp.toMap && got.nonEmpty, s"${got.size} vs ${exp.size}")
+  }
+
+  test("q21 shape finds the only-late suppliers of multi-supplier finished orders") {
+    val got = graft.operators.Analytics.q21Shape(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val status = graft.Tables.orders(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderstatus"))
+      .toMap
+    val odate = orderRows.map(o => o._1 -> o._3).toMap
+    val perOrder = lineRows.filter(l => status(l._1) == "F")
+      .map(l => (l._1, l._3, l._7 > odate(l._1) + 60 * dayMs))
+      .groupBy(_._1).view.mapValues { ls =>
+        val supps = ls.map(_._2).distinct
+        val lateS = ls.filter(_._3).map(_._2).distinct
+        (supps.length, lateS.length, if (lateS.nonEmpty) lateS.min else -1L)
+      }.toMap
+    val suppName = graft.Tables.supplier(spark, sfDir).collect()
+      .map(s => s.getAs[Long]("s_suppkey") -> s.getAs[String]("s_name")).toMap
+    val exp = perOrder.values
+      .filter(v => v._1 > 1 && v._2 == 1)
+      .groupBy(v => suppName(v._3))
+      .view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    assert(got.toSeq == exp.toSeq && got.nonEmpty, s"$got vs $exp")
+  }
+
   test("q17 shape equals a driver-side correlated-subquery evaluation") {
     val got = graft.operators.Analytics.q17Shape(spark, sfDir).collect()
     val parts = graft.Tables.part(spark, sfDir)

@@ -531,6 +531,36 @@ class PlanAuditSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("q2: distinct pair projection partial-aggregates; supplier and part broadcast") {
+    val df = Analytics.q2Shape(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$plan")
+    // the distinct runs partial+final around its exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // shuffles carry only the two-long pair projection, never part names
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.nonEmpty && exchanges.forall(s =>
+      !s.contains("p_name") && !s.contains("s_name")), s"wide shuffle: $exchanges")
+  }
+
+  test("q16: blacklist anti join broadcasts before the distinct-count aggregate") {
+    val plan = physical(Analytics.q16Shape(spark, sfDir))
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q21: one fact pass — per-order aggregate, no correlated re-probe of lineitem") {
+    val df = Analytics.q21Shape(spark, sfDir)
+    val plan = physical(df)
+    // exactly one lineitem scan: the EXISTS/NOT-EXISTS pair is folded
+    // into the per-order aggregate, not two more joins against the fact
+    assert("lineitem".r.findAllIn(plan).size <= 2, // scan node + its ReadSchema line
+      s"lineitem scanned more than once:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status not pushed:\n$plan")
+  }
+
   test("dsir: bucket table broadcasts back; per-doc pass never shuffles text") {
     val df = graft.operators.TextAnalysis.dsirWeights(spark, sfDir)
     val plan = physical(df)
