@@ -1663,8 +1663,9 @@ object SparkEntry {
     "q_dsir_weights" ->
       """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
         |   unnest(range(1, len(arr) + 1)) AS pos
-        |  FROM (SELECT doc_id, lang,
-        |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents)),
+        |  FROM (SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '') AS arr FROM documents)),
         | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
         |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
         |     % 4096 AS b

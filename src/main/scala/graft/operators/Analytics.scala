@@ -778,11 +778,15 @@ object Analytics {
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     perOrder
       .groupBy(col("late_supp"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(count(lit(1)).as("kw"))
       .join(broadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
         col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      // re-aggregate by NAME (the report key): two suppliers sharing
+      // a name fold into one row, matching GROUP BY s_name exactly;
+      // the regroup runs over ≤ #suppliers rows, not orders
+      .groupBy(col("s_name"))
+      .agg(sum(col("kw")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)
   }

@@ -936,10 +936,16 @@ object TextAnalysis {
     * for Language Models via Importance Resampling"): hashed word-
     * bigram features, a target-vs-raw bucket frequency table, and a
     * per-document importance score. The classic formulation sums
-    * log-ratios; that is an order-dependent IEEE sum, so the score
-    * here is the equivalent-ranking integer form — the document's
-    * total target-bucket mass over its total raw-bucket mass, both
-    * exact BIGINT sums with one final (+1-smoothed) division.
+    * per-feature log-ratios; that is an order-dependent IEEE sum, so
+    * the score here is the mass-ratio form — the document's total
+    * target-bucket mass over its total raw-bucket mass, both exact
+    * BIGINT sums with one final (+1-smoothed) division. This is the
+    * occurrence-weighted AVERAGE of the per-feature ratios, not the
+    * log-product: a deterministic, order-exact importance proxy whose
+    * ranking can differ from the log-sum form when a document mixes
+    * extreme and neutral features (the log form is dominated by the
+    * extremes, the mass form by the bulk) — swap in the log-ratio sum
+    * only if bit-reproducibility across engines is surrendered.
     *
     * Scale shape: the bucket table is exactly `buckets` rows
     * (broadcast); the corpus is scanned twice (once to build the
@@ -955,10 +961,13 @@ object TextAnalysis {
   /** [[dsirWeights]] over a prepared (doc_id, lang, text) frame. */
   def dsirWeightsOf(docs: DataFrame, targetLang: String = "en",
                     buckets: Int = 4096): DataFrame = {
-    val arr = T.tokens(col("text"))
+    // drop empty tokens BEFORE pairing: SQL trim strips only spaces,
+    // so text leading with \t/\n splits to a phantom "" head token
+    // that would otherwise hash into a junk bigram feature
+    val arr = filter(T.tokens(col("text")), _ =!= "")
     // adjacent-word bigrams: zip the array against itself shifted by
-    // one; a doc with <2 tokens (incl. the single-empty-token split of
-    // blank text) contributes no features on either engine
+    // one; a doc with <2 tokens contributes no features on either
+    // engine
     val shift = greatest(size(arr) - 1, lit(0))
     val bigrams = zip_with(
       slice(arr, lit(1), shift),

@@ -833,16 +833,20 @@ object StreamingMonitor {
     * rows, asserted by spec). */
   def piiGateOf(docs: DataFrame, windowDur: String = "1 hour",
                 maxHitPct: Int = 1): DataFrame = {
-    val classCols = graft.operators.TextAnalysis.PiiPatterns.flatMap {
-      case (nm, re) =>
-        val c = regexp_count(col("text"), lit(re))
-        Seq(sum(when(c > 0, 1L).otherwise(0L)).as(s"docs_$nm"),
-          sum(c.cast("long")).as(s"occ_$nm"))
+    val pats = graft.operators.TextAnalysis.PiiPatterns
+    // each document's regexes run ONCE in this projection (the
+    // piiScanOf compute-once shape); the aggregate then only sums
+    // precomputed longs
+    val perDoc = docs.select(
+      (col("ts") +: col("source") +: pats.map { case (nm, re) =>
+        regexp_count(col("text"), lit(re)).cast("long").as(s"c_$nm")
+      }): _*)
+    val classCols = pats.flatMap { case (nm, _) =>
+      Seq(sum(when(col(s"c_$nm") > 0L, 1L).otherwise(0L)).as(s"docs_$nm"),
+        sum(col(s"c_$nm")).as(s"occ_$nm"))
     }
-    val anyHit = graft.operators.TextAnalysis.PiiPatterns.map {
-      case (_, re) => regexp_count(col("text"), lit(re)) > 0
-    }.reduce(_ || _)
-    docs
+    val anyHit = pats.map { case (nm, _) => col(s"c_$nm") > 0L }.reduce(_ || _)
+    perDoc
       .groupBy(window(col("ts"), windowDur).as("win"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(when(anyHit, 1L).otherwise(0L)).as("docs_flagged") +: classCols): _*)

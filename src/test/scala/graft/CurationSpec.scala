@@ -137,7 +137,7 @@ class CurationSpec extends SparkSpec {
       java.lang.Long.parseLong(hex, 16) % buckets
     }
     val feats = docs.flatMap { case (id, lang, text) =>
-      val ws = text.trim.split("\\s+")
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
       ws.zip(ws.drop(1)).map(p => (id, lang, bucketOf(p._1 + " " + p._2)))
     }
     val table = feats.groupBy(_._3).view.mapValues { fs =>

@@ -1353,7 +1353,7 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(v - exp(k)) <= 1e-9 * math.max(1.0, math.abs(exp(k))), s"$k") }
   }
 
-  test("q8 shape market share is the per-year nation/total ratio") {
+  test("q8 shape equals a driver-side market-share rollup") {
     val rows = graft.operators.Analytics.q8Shape(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -1362,6 +1362,41 @@ class OperatorSpec extends SparkSpec {
       assert(total > 0.0 && nation >= 0.0 && nation <= total)
       assert(r.getAs[Double]("mkt_share") == nation / total)
     }
+    // independent reference: rebuild the 6-table join driver-side
+    val nations = graft.Tables.nation(spark, sfDir).collect()
+      .map(n => n.getAs[Int]("n_nationkey") ->
+        (n.getAs[String]("n_name"), n.getAs[Int]("n_regionkey"))).toMap
+    val euRegion = graft.Tables.region(spark, sfDir).collect()
+      .filter(_.getAs[String]("r_name") == "EUROPE")
+      .map(_.getAs[Int]("r_regionkey")).toSet
+    val promoParts = graft.Tables.part(spark, sfDir).collect()
+      .filter(_.getAs[String]("p_type") == "PROMO")
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val suppNation = graft.Tables.supplier(spark, sfDir).collect()
+      .map(s => s.getAs[Long]("s_suppkey") -> nations(s.getAs[Int]("s_nationkey"))._1)
+      .toMap
+    val euCust = graft.Tables.customer(spark, sfDir).collect()
+      .filter(c => euRegion(nations(c.getAs[Int]("c_nationkey"))._2))
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val orderInfo = orderRows.map(o => o._1 -> (o._2, o._3)).toMap
+    val exp = lineRows
+      .filter(l => promoParts(l._2))
+      .flatMap { l =>
+        val (cust, odate) = orderInfo(l._1)
+        if (euCust(cust))
+          Some((1970 + java.time.Instant.ofEpochMilli(odate)
+            .atZone(java.time.ZoneOffset.UTC).getYear - 1970,
+            suppNation(l._3), rev2(l._5, l._6)))
+        else None }
+      .groupBy(_._1).view.mapValues { vs =>
+        (vs.filter(_._2 == "NATION_3").map(_._3).sum.toDouble,
+          vs.map(_._3).sum.toDouble) }.toMap
+    val got = rows.map(r => r.getAs[Int]("o_year") ->
+      (r.getAs[Double]("nation_volume"), r.getAs[Double]("total_volume"))).toMap
+    assert(got.keySet == exp.keySet, s"${got.keySet} vs ${exp.keySet}")
+    got.foreach { case (y, (n, t)) =>
+      assert(math.abs(n - exp(y)._1) < 1e-9 && math.abs(t - exp(y)._2) < 1e-9,
+        s"year $y: ($n,$t) vs ${exp(y)}") }
   }
 
   test("q10 shape is the driver-side top-20 returned-revenue cut") {
