@@ -67,6 +67,11 @@ object SparkEntry {
     "q2_shape" -> ((s, d) => Analytics.q2Shape(s, d)),
     "q16_shape" -> ((s, d) => Analytics.q16Shape(s, d)),
     "q21_shape" -> ((s, d) => Analytics.q21Shape(s, d)),
+    "q9_shape" -> ((s, d) => Analytics.q9Shape(s, d)),
+    "q11_shape" -> ((s, d) => Analytics.q11Shape(s, d)),
+    "q13_shape" -> ((s, d) => Analytics.q13Shape(s, d)),
+    "q15_shape" -> ((s, d) => Analytics.q15Shape(s, d)),
+    "q20_shape" -> ((s, d) => Analytics.q20Shape(s, d)),
     "q_join_broadcast" -> ((s, d) => Analytics.joinBroadcast(s, d)),
     "q_join_shuffle" -> ((s, d) => Analytics.joinShuffle(s, d)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAnti(s, d)),
@@ -383,6 +388,70 @@ object SparkEntry {
         |FROM po JOIN supplier ON s_suppkey = late_supp
         |WHERE n_supp > 1 AND n_late_supp = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // Q9 shape: cost factors narrowed to DECIMAL(12,2)/(2,1) exactly
+    // as the Spark side so no engine rounds an intermediate
+    "q9_shape" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2)) *
+        |      CAST('0.6' AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    // Q11 shape: above-1.1×-mean scalar multiplied through
+    // (value·n·10 > total·11)
+    "q11_shape" ->
+      """WITH v AS (SELECT l_partkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT sum(value_d) AS total_d, count(*) AS n_parts FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(value_d AS DOUBLE) AS part_value
+        |FROM v CROSS JOIN t
+        |WHERE value_d * n_parts * 10 > total_d * 11""".stripMargin,
+    // Q13 shape: LEFT join keeps zero-order customers; distribution
+    // of per-customer counts
+    "q13_shape" ->
+      """WITH c AS (SELECT c_custkey, count(o_custkey) AS c_count
+        | FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |   AND o_orderpriority <> '5-LOW'
+        | GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM c GROUP BY 1""".stripMargin,
+    // Q15 shape: max-revenue compare stays in exact decimal; ties
+    // surface as rows
+    "q15_shape" ->
+      """WITH r AS (SELECT l_suppkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        | m AS (SELECT max(rev_d) AS max_d FROM r)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM r CROSS JOIN m
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev_d = max_d ORDER BY s_suppkey""".stripMargin,
+    // Q20 shape: dominant-supplier predicate multiplied through
+    // (2·supp_qty > part_qty)
+    "q20_shape" ->
+      """WITH sq AS (SELECT l_partkey, l_suppkey,
+        |   sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        | pq AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM sq GROUP BY 1),
+        | dom AS (SELECT DISTINCT l_suppkey FROM sq JOIN pq USING (l_partkey)
+        |  WHERE supp_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
     // audience overlap: the oracle rebuilds intersections relationally
     // (distinct pairs + equi-join); zero-overlap pairs kept via the
     // left join so both engines emit the full pair matrix

@@ -791,6 +791,124 @@ object Analytics {
       .limit(k)
   }
 
+  /** TPC-H Q9 shape (product-type profit): per (supplier nation,
+    * order year), Σ revenue − cost over ECONOMY parts, with
+    * 0.6·retailprice·quantity as the cost stand-in for the missing
+    * ps_supplycost. All money factors are narrowed to DECIMAL(12,2)/
+    * DECIMAL(2,1) before multiplying so the product precision stays
+    * far under 38 digits — NO intermediate rounding on either engine,
+    * hence the order-independent exact sum the oracle can hash. Part
+    * and supplier sides broadcast; the two fact joins shuffle. */
+  def q9Shape(spark: SparkSession, dir: String): DataFrame = {
+    val d12 = (c: Column) => c.cast(DecimalType(12, 2))
+    val cost = d12(col("p_retailprice")) * d12(col("l_quantity")) *
+      lit(BigDecimal("0.6")).cast(DecimalType(2, 1))
+    val amount = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) - cost
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose corpus-wide
+    * value exceeds 1.1× the mean part value — the scalar-subquery
+    * HAVING, decorrelated to a 1-row (total, n) aggregate and
+    * multiplied through (value·n·10 > total·11) so the comparison
+    * never leaves exact decimal (Q11's fixed 0.0001 fraction keeps
+    * EVERY part at small part counts — a vacuous filter; the
+    * above-mean form bites at any scale). Per-part values
+    * partial-aggregate; the scalar is a second tiny aggregate over
+    * the per-part frame. */
+  def q11Shape(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value_d"))
+    val total = perPart.agg(sum(col("value_d")).as("total_d"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_d") * col("n_parts") * 10L > col("total_d") * 11L)
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_d").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join
+    * so order-less customers count as zero, one per-customer count,
+    * then the tiny distribution-of-counts aggregate. The priority
+    * filter stands in for Q13's comment exclusion. Shuffle ∝
+    * customers (two longs), then ∝ distinct counts. */
+  def q13Shape(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): the max-revenue scalar subquery
+    * kept in EXACT decimal — per-supplier quarterly revenue sums
+    * compare against the broadcast 1-row max by decimal equality, so
+    * ties surface as multiple rows (deterministically) instead of
+    * being cut by an arbitrary LIMIT 1. Cast to double only on
+    * output. */
+  def q15Shape(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("rev_d"))
+    val top = revenue.agg(max(col("rev_d")).as("max_d"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("rev_d") === col("max_d"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q20 shape (dominant suppliers): suppliers who shipped
+    * MORE THAN HALF of some PROMO part's 1997 volume — the
+    * availqty > ½·shipped correlated subquery re-expressed as a
+    * per-(part, supplier) vs per-part aggregate comparison multiplied
+    * through (2·supp_qty > part_qty, exact decimal). The qualifying
+    * pair set left-semi-joins the supplier dim; one fact scan feeds
+    * both aggregates. */
+  def q20Shape(spark: SparkSession, dir: String): DataFrame = {
+    val promo = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+    val perPart = shipped.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = shipped.join(perPart, Seq("l_partkey"))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   /** Pearson correlation per group from exact decimal component sums
     * (n, Σx, Σy, Σxy, Σxx, Σyy are order-independent decimals; the
     * final double formula is a fixed op sequence) — built-in corr()

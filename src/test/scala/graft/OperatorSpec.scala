@@ -1545,6 +1545,91 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq && got.nonEmpty, s"$got vs $exp")
   }
 
+  test("q9 shape equals a driver-side profit rollup") {
+    val got = graft.operators.Analytics.q9Shape(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val econParts = graft.Tables.part(spark, sfDir).collect()
+      .filter(_.getAs[String]("p_type") == "ECONOMY")
+      .map(p => p.getAs[Long]("p_partkey") -> p.getAs[Double]("p_retailprice"))
+      .toMap
+    val nations = graft.Tables.nation(spark, sfDir).collect()
+      .map(n => n.getAs[Int]("n_nationkey") -> n.getAs[String]("n_name")).toMap
+    val suppNation = graft.Tables.supplier(spark, sfDir).collect()
+      .map(s => s.getAs[Long]("s_suppkey") -> nations(s.getAs[Int]("s_nationkey")))
+      .toMap
+    val odate = orderRows.map(o => o._1 -> o._3).toMap
+    val exp = lineRows.flatMap { l =>
+      econParts.get(l._2).map { retail =>
+        val year = java.time.Instant.ofEpochMilli(odate(l._1))
+          .atZone(java.time.ZoneOffset.UTC).getYear
+        val amount = rev2(l._5, l._6) -
+          dec2(retail) * dec2(l._4) * BigDecimal("0.6")
+        ((suppNation(l._3), year), amount) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, s"$k") }
+  }
+
+  test("q11 shape keeps exactly the parts above the multiplied-through threshold") {
+    val got = graft.operators.Analytics.q11Shape(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perPart = lineRows.groupBy(_._2)
+      .view.mapValues(_.map(l => dec2(l._5)).sum).toMap
+    val total = perPart.values.sum
+    val n = perPart.size
+    val exp = perPart.filter { case (_, v) => v * n * 10 > total * 11 }
+      .map { case (k, v) => k -> v.toDouble }
+    assert(got == exp.toMap && got.nonEmpty)
+    // and it's a strict subset — the threshold must bite
+    assert(got.size < perPart.size)
+  }
+
+  test("q13 shape distribution counts zero-order customers") {
+    val got = graft.operators.Analytics.q13Shape(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCust = orderRows.filter(_._4 != "5-LOW").groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val custs = graft.Tables.customer(spark, sfDir).collect()
+      .map(_.getAs[Long]("c_custkey"))
+    val exp = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == exp.toMap && got.nonEmpty)
+    // the distribution must account for every customer exactly once
+    assert(got.values.sum == custs.length)
+  }
+
+  test("q15 shape returns exactly the max-revenue suppliers (ties surface)") {
+    val got = graft.operators.Analytics.q15Shape(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rev = lineRows
+      .filter(l => l._7 >= tsOf("1997-01-01") && l._7 < tsOf("1997-04-01"))
+      .groupBy(_._3).view.mapValues(_.map(l => rev2(l._5, l._6)).sum).toMap
+    val mx = rev.values.max
+    val names = graft.Tables.supplier(spark, sfDir).collect()
+      .map(s => s.getAs[Long]("s_suppkey") -> s.getAs[String]("s_name")).toMap
+    val exp = rev.filter(_._2 == mx).keys.toSeq.sorted
+      .map(sk => (sk, names(sk), mx.toDouble))
+    assert(got.toSeq == exp, s"${got.toSeq} vs $exp")
+  }
+
+  test("q20 shape finds exactly the dominant PROMO-part suppliers") {
+    val got = graft.operators.Analytics.q20Shape(spark, sfDir).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSeq
+    val promo = graft.Tables.part(spark, sfDir).collect()
+      .filter(_.getAs[String]("p_type") == "PROMO")
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val shipped = lineRows
+      .filter(l => promo(l._2) &&
+        l._7 >= tsOf("1997-01-01") && l._7 < tsOf("1998-01-01"))
+      .groupBy(l => (l._2, l._3)).view.mapValues(_.map(l => dec2(l._4)).sum)
+      .toMap
+    val partQty = shipped.groupBy(_._1._1)
+      .view.mapValues(_.values.sum).toMap
+    val exp = shipped.collect {
+      case ((pk, sk), q) if q * 2 > partQty(pk) => sk }.toSeq.distinct.sorted
+    assert(got == exp && got.nonEmpty, s"$got vs $exp")
+  }
+
   test("q17 shape equals a driver-side correlated-subquery evaluation") {
     val got = graft.operators.Analytics.q17Shape(spark, sfDir).collect()
     val parts = graft.Tables.part(spark, sfDir)

@@ -561,6 +561,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("EqualTo(o_orderstatus,F)"), s"status not pushed:\n$plan")
   }
 
+  test("q9: part/supplier dims broadcast; only the two fact joins shuffle") {
+    val plan = physical(Analytics.q9Shape(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"), s"part filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q11/q15: scalar aggregates ride a broadcast, per-key aggregates stay partial") {
+    for (df <- Seq(Analytics.q11Shape(spark, sfDir), Analytics.q15Shape(spark, sfDir))) {
+      val plan = physical(df)
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+        s"scalar subquery shuffled the corpus:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
+  test("q13: left join then two aggregates — shuffles carry keys, never names") {
+    val df = Analytics.q13Shape(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("LeftOuter") || plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.nonEmpty && exchanges.forall(s => !s.contains("c_name")),
+      s"customer name crossed a shuffle: $exchanges")
+  }
+
+  test("q20: one fact scan feeds both quantity aggregates; supplier side is a semi join") {
+    val plan = physical(Analytics.q20Shape(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("EqualTo(p_type,PROMO)"), s"part filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dsir: bucket table broadcasts back; per-doc pass never shuffles text") {
     val df = graft.operators.TextAnalysis.dsirWeights(spark, sfDir)
     val plan = physical(df)
