@@ -871,6 +871,44 @@ object StreamingMonitor {
                     maxHitPct: Int = 1): DataFrame =
     piiGateOf(docs.withWatermark("ts", watermark), windowDur, maxHitPct)
 
+  /** Live ingestion-mixture counts: per (window, source), document
+    * and whitespace-token mass — the watermarked windowed aggregate
+    * feeding [[mixtureOfSealed]]. Token counting is row-local in the
+    * partial aggregate; only (window, source) cells cross the
+    * shuffle. Append mode: a sealed window's cells ship once,
+    * together (the [[driftOfSealed]] whole-window contract). */
+  def streamMixtureCounts(docs: DataFrame, windowDur: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .select(col("win.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"))
+
+  /** Batch finisher for [[streamMixtureCounts]] (apply in
+    * foreachBatch): per sealed window, each source's share of the
+    * window's document and token mass — the live twin of the batch
+    * q_source_mixture planning view. Exact integer totals, one IEEE
+    * division per share, so the drained panel equals the batch
+    * computation on the same grid (spec). */
+  def mixtureOfSealed(batch: DataFrame): DataFrame = {
+    // the totals frame re-derives from `batch` itself; rename its key
+    // so the self-join never carries conflicting attribute references
+    val totals = batch.groupBy(col("window_start").as("ws"))
+      .agg(sum(col("n_docs")).as("win_docs"),
+        sum(col("n_tokens")).as("win_tokens"))
+    batch.join(broadcast(totals), col("window_start") === col("ws"))
+      .drop("ws")
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / col("win_docs").cast("double"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("win_tokens").cast("double"))
+      .select(col("window_start"), col("source"), col("n_docs"),
+        col("n_tokens"), col("win_docs"), col("win_tokens"),
+        col("doc_share"), col("token_share"))
+  }
+
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and
     * appends to `outDir` as text — the transport seam where the

@@ -1482,4 +1482,50 @@ class StreamingSpec extends SparkSpec {
       assert(web1.getAs[Long]("occ_email") == 2L)
     } finally q.stop()
   }
+
+  test("streaming mixture: sealed windows + finisher equal the batch shares exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.DocEvent]
+    val q = StreamingMonitor.streamMixtureCounts(input.toDF(), "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("mixture_t")
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq(
+      graft.streaming.DocEvent("wiki", ts(0, 5), "alpha beta gamma"),
+      graft.streaming.DocEvent("wiki", ts(0, 25), "delta"),
+      graft.streaming.DocEvent("web", ts(0, 45), "x y z w"),
+      graft.streaming.DocEvent("web", ts(1, 5), "one two"),
+      graft.streaming.DocEvent("forum", ts(1, 30), "a b c d e f"))
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      input.addData(graft.streaming.DocEvent("web", ts(5), "sealer"))
+      q.processAllAvailable()
+      val sealedCounts = s.table("mixture_t")
+        .filter(org.apache.spark.sql.functions.col("window_start") < ts(2))
+      val got = StreamingMonitor.mixtureOfSealed(sealedCounts).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("source")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Double]("doc_share"), r.getAs[Double]("token_share"))).toMap
+      // hand-computed reference on the same rows
+      val exp = Map(
+        (ts(0), "wiki") -> (2L, 4L), (ts(0), "web") -> (1L, 4L),
+        (ts(1), "web") -> (1L, 2L), (ts(1), "forum") -> (1L, 6L))
+      assert(got.keySet == exp.keySet, s"${got.keySet}")
+      exp.foreach { case (k, (nd, nt)) =>
+        val (gd, gt, ds, tks) = got(k)
+        assert(gd == nd && gt == nt, s"$k counts")
+        val winDocs = exp.filter(_._1._1 == k._1).values.map(_._1).sum
+        val winToks = exp.filter(_._1._1 == k._1).values.map(_._2).sum
+        assert(ds == nd.toDouble / winDocs && tks == nt.toDouble / winToks, s"$k shares")
+      }
+      // shares sum to 1 per sealed window
+      Seq(ts(0), ts(1)).foreach { w =>
+        val shares = got.collect { case ((ws, _), v) if ws == w => v._3 }
+        assert(math.abs(shares.sum - 1.0) < 1e-12, s"window $w")
+      }
+    } finally q.stop()
+  }
 }
