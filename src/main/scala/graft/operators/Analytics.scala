@@ -794,11 +794,14 @@ object Analytics {
   /** TPC-H Q9 shape (product-type profit): per (supplier nation,
     * order year), Σ revenue − cost over ECONOMY parts, with
     * 0.6·retailprice·quantity as the cost stand-in for the missing
-    * ps_supplycost. All money factors are narrowed to DECIMAL(12,2)/
-    * DECIMAL(2,1) before multiplying so the product precision stays
-    * far under 38 digits — NO intermediate rounding on either engine,
-    * hence the order-independent exact sum the oracle can hash. Part
-    * and supplier sides broadcast; the two fact joins shuffle. */
+    * ps_supplycost. The COST factors are narrowed to DECIMAL(12,2)/
+    * DECIMAL(2,1) so their triple product types well under the
+    * 38-digit cap with no intermediate rounding on either engine;
+    * the revenue term is the standard dec() kernel, whose product
+    * types AT the (38,4) cap — value-exact at these magnitudes (same
+    * contract as q1/q3/q5), but NOT a margin a future widening can
+    * rely on. Part and supplier sides broadcast; the two fact joins
+    * shuffle. */
   def q9Shape(spark: SparkSession, dir: String): DataFrame = {
     val d12 = (c: Column) => c.cast(DecimalType(12, 2))
     val cost = d12(col("p_retailprice")) * d12(col("l_quantity")) *

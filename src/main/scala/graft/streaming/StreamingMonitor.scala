@@ -873,23 +873,30 @@ object StreamingMonitor {
 
   /** Live ingestion-mixture counts: per (window, source), document
     * and whitespace-token mass — the watermarked windowed aggregate
-    * feeding [[mixtureOfSealed]]. Token counting is row-local in the
-    * partial aggregate; only (window, source) cells cross the
-    * shuffle. Append mode: a sealed window's cells ship once,
-    * together (the [[driftOfSealed]] whole-window contract). */
+    * feeding [[mixtureOfSealed]]. Token counting reuses the SHARED
+    * [[graft.functions.TextFunctions.wordCount]] kernel (the one the
+    * batch mixture queries count with — a divergent inline copy
+    * would silently break stream/batch parity if the tokenizer
+    * changes), row-local in the partial aggregate; only (window,
+    * source) cells cross the shuffle. Append mode: a sealed window's
+    * cells ship once, together (the [[driftOfSealed]] whole-window
+    * contract). */
   def streamMixtureCounts(docs: DataFrame, windowDur: String = "1 hour",
                           watermark: String = "2 hours"): DataFrame =
     docs.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("win"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        sum(graft.functions.TextFunctions.wordCount(col("text")).cast("long"))
+          .as("n_tokens"))
       .select(col("win.start").as("window_start"), col("source"),
         col("n_docs"), col("n_tokens"))
 
   /** Batch finisher for [[streamMixtureCounts]] (apply in
     * foreachBatch): per sealed window, each source's share of the
     * window's document and token mass — the live twin of the batch
-    * q_source_mixture planning view. Exact integer totals, one IEEE
+    * q_mixture_temperature share_raw computation (per-source token
+    * mass over the total; NOT q_source_mixture, which is a
+    * quota-capped doc sampler). Exact integer totals, one IEEE
     * division per share, so the drained panel equals the batch
     * computation on the same grid (spec). */
   def mixtureOfSealed(batch: DataFrame): DataFrame = {

@@ -1338,8 +1338,8 @@ class OperatorSpec extends SparkSpec {
     val exp = lineRows
       .filter(l => l._7 >= tsOf("1996-01-01") && l._7 < tsOf("1998-01-01"))
       .map(l => (suppNation(l._3), custNation(orderCust(l._1)),
-        1970 + java.time.Instant.ofEpochMilli(l._7)
-          .atZone(java.time.ZoneOffset.UTC).getYear - 1970, rev2(l._5, l._6)))
+        java.time.Instant.ofEpochMilli(l._7)
+          .atZone(java.time.ZoneOffset.UTC).getYear, rev2(l._5, l._6)))
       .filter(t => pair(t._1) && pair(t._2) && t._1 != t._2)
       .groupBy(t => (t._1, t._2, t._3))
       .view.mapValues(_.map(_._4).sum.toDouble).toMap
@@ -1384,8 +1384,8 @@ class OperatorSpec extends SparkSpec {
       .flatMap { l =>
         val (cust, odate) = orderInfo(l._1)
         if (euCust(cust))
-          Some((1970 + java.time.Instant.ofEpochMilli(odate)
-            .atZone(java.time.ZoneOffset.UTC).getYear - 1970,
+          Some((java.time.Instant.ofEpochMilli(odate)
+            .atZone(java.time.ZoneOffset.UTC).getYear,
             suppNation(l._3), rev2(l._5, l._6)))
         else None }
       .groupBy(_._1).view.mapValues { vs =>
