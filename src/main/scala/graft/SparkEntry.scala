@@ -181,6 +181,7 @@ object SparkEntry {
     "q_media_hamming_sweep" -> ((s, d) => Multimodal.mediaHammingSweep(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
     "q_media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    "q_media_scene_cuts" -> ((s, d) => Multimodal.mediaSceneCuts(s, d)),
     "q_media_resize" -> ((s, d) => Multimodal.mediaResize(s, d)),
     // Sampling / splits
     "q_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
@@ -2096,6 +2097,26 @@ object SparkEntry {
         |FROM d, range(0, 3) k(k), range(0, 480) i(i)
         |WHERE k.k < d.n_frames AND i.i < d.width*d.height
         |GROUP BY 1, 2, d.width, d.height""".stripMargin,
+    // scene cuts: the GR01 frame sums + a lag window; the verdict is
+    // the division-free |Δ| > 2·fsz integer test
+    "q_media_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 8 + 4*(doc_id % 5) AS width,
+        |   8 + 4*((doc_id // 5) % 4) AS height, 1 + (doc_id % 3) AS n_frames
+        | FROM documents),
+        | f AS (SELECT d.doc_id, k.k AS frame_idx,
+        |   CAST(d.width*d.height AS BIGINT) AS fsz,
+        |   CAST(sum((d.doc_id*131 + k.k*977 + i.i*2654435761) % 256)
+        |     AS BIGINT) AS frame_sum
+        |  FROM d, range(0, 3) k(k), range(0, 480) i(i)
+        |  WHERE k.k < d.n_frames AND i.i < d.width*d.height
+        |  GROUP BY 1, 2, 3),
+        | t AS (SELECT doc_id, frame_idx, fsz, frame_sum,
+        |   lag(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |     AS prev_sum FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(frame_sum - prev_sum AS BIGINT) AS delta,
+        | abs(frame_sum - prev_sum) > fsz * 2 AS is_cut
+        |FROM t WHERE prev_sum IS NOT NULL""".stripMargin,
     "q_media_resize" ->
       """WITH d AS (SELECT doc_id, 8 + 4*(doc_id % 5) AS width,
         |   8 + 4*((doc_id // 5) % 4) AS height FROM documents)

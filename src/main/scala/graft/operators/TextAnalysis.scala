@@ -1194,6 +1194,38 @@ object Multimodal {
       }).toDF("doc_id", "bx", "by", "pool_mean")
   }
 
+  /** Scene-cut detection over the decoded frame stream: per adjacent
+    * frame pair, the exact luma-sum delta and an integer-exact cut
+    * verdict |Δ| > 2·fsz (mean-luma jump above 2 — no division, so
+    * both engines agree bit-for-bit). The shot-boundary pass of a
+    * video curation pipeline: decode is partition-parallel
+    * (iterator-shaped like [[decodeStub]]); the lag window partitions
+    * by asset and orders by frame index, so shuffle volume is
+    * per-FRAME stats (4 longs), never pixels. Single-frame assets
+    * emit nothing. */
+  def mediaSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = syntheticRasters(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val g = gr01Decode(id, bytes)
+        val fsz = g.width * g.height
+        (0 until g.n_frames).map { k =>
+          var s = 0L
+          var i = 0
+          while (i < fsz) { s += (g.pixels(k * fsz + i) & 0xff); i += 1 }
+          (g.doc_id, k, fsz.toLong, s)
+        }
+      }).toDF("doc_id", "frame_idx", "fsz", "frame_sum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+    frames
+      .withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+      .filter(col("prev_sum").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_sum") - col("prev_sum")).as("delta"),
+        (abs(col("frame_sum") - col("prev_sum")) > col("fsz") * 2L).as("is_cut"))
+  }
+
   /** Perceptual near-dup pairs over media payloads: 64-bit dHash
     * (gradient-sign fingerprint, robust to uniform shifts) → banded
     * hamming-ball pairs via [[Dedup.hammingPairs]] (maxHamming+1

@@ -1630,6 +1630,27 @@ class OperatorSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty, s"$got vs $exp")
   }
 
+  test("scene cuts equal adjacent-frame deltas from the decoded frames") {
+    val frameSums = Multimodal.mediaFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dims = Multimodal.mediaDecode(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1).toLong * r.getInt(2), r.getInt(3))).toMap
+    val got = Multimodal.mediaSceneCuts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val exp = dims.toSeq.flatMap { case (id, (fsz, nf)) =>
+      (1 until nf).map { k =>
+        val d = frameSums((id, k)) - frameSums((id, k - 1))
+        (id, k) -> (d, math.abs(d) > fsz * 2) } }.toMap
+    assert(got == exp && got.nonEmpty, s"${got.size} vs ${exp.size}")
+    // the verdict must discriminate on this corpus
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+    // single-frame assets emit nothing
+    assert(dims.collect { case (id, (_, 1)) => id }
+      .forall(id => !got.keySet.exists(_._1 == id)))
+  }
+
   test("q17 shape equals a driver-side correlated-subquery evaluation") {
     val got = graft.operators.Analytics.q17Shape(spark, sfDir).collect()
     val parts = graft.Tables.part(spark, sfDir)
