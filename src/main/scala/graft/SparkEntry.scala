@@ -174,6 +174,7 @@ object SparkEntry {
     "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -1749,6 +1750,28 @@ object SparkEntry {
         |  CAST(sum(n_target) + 1 AS DOUBLE) /
         |  CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
         |FROM bb JOIN tb USING (b) GROUP BY 1""".stripMargin,
+    // DSIR selection: the weights pipeline + a deterministic
+    // (weight DESC, doc_id) top-k cut
+    "q_dsir_select" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
+        |   unnest(range(1, len(arr) + 1)) AS pos
+        |  FROM (SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '') AS arr FROM documents)),
+        | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
+        |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
+        |     % 4096 AS b
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        | tb AS (SELECT b,
+        |   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_target,
+        |   count(*) AS n_raw FROM bb GROUP BY 1),
+        | w AS (SELECT doc_id, count(*) AS n_feats,
+        |   CAST(sum(n_target) AS BIGINT) AS w_target,
+        |   CAST(sum(n_raw) AS BIGINT) AS w_raw,
+        |   CAST(sum(n_target) + 1 AS DOUBLE) /
+        |   CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
+        |  FROM bb JOIN tb USING (b) GROUP BY 1)
+        |SELECT * FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
     // unigram commonness: floor(log2(count)) via binary-string length
     // — exact integers in both engines; one final division
     "q_unigram_commonness" ->

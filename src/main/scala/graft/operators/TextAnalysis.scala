@@ -991,6 +991,22 @@ object TextAnalysis {
         (col("w_target") + 1L).cast("double") / (col("w_raw") + 1L).cast("double"))
   }
 
+  /** The selection step of the DSIR lifecycle: keep the `k` documents
+    * with the highest importance weight, deterministically tie-broken
+    * by doc_id — the "resample toward the target distribution" cut a
+    * curation pipeline commits after inspecting [[dsirWeights]]. (True
+    * DSIR samples Gumbel-perturbed; the deterministic top-k is the
+    * reproducible-build variant.) The weight doubles are identical
+    * IEEE divisions of identical exact integers on every engine, so
+    * the cut is engine-stable. Plan: the per-doc weight pass feeds a
+    * TakeOrdered — a bounded heap per partition + a k-row driver
+    * merge, never a global sort. */
+  def dsirSelect(spark: SparkSession, dir: String, targetLang: String = "en",
+                 buckets: Int = 4096, k: Int = 100): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir), targetLang, buckets)
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(k)
+
   /** Unigram-LM commonness score — the order-exact stand-in for the
     * perplexity quality filter (CCNet, Wenzek et al. 2020): each
     * token scores floor(log2(corpus frequency)) — an exact integer

@@ -157,6 +157,20 @@ class CurationSpec extends SparkSpec {
       "mean importance of target-language docs must exceed the rest")
   }
 
+  test("dsir select is the deterministic top-k cut of the weights") {
+    val k = 37
+    val weights = TextAnalysis.dsirWeights(spark, sfDir, "en", 4096).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("weight")))
+    val expIds = weights.sortBy { case (id, w) => (-w, id) }.take(k).map(_._1)
+    val got = TextAnalysis.dsirSelect(spark, sfDir, "en", 4096, k).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(got.toSeq == expIds.toSeq, s"${got.toSeq} vs ${expIds.toSeq}")
+    // the cut is a TakeOrdered, not a global sort
+    val plan = TextAnalysis.dsirSelect(spark, sfDir, "en", 4096, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
   test("unigram commonness equals a driver-side floor-log2 frequency eval") {
     val got = TextAnalysis.unigramCommonness(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
