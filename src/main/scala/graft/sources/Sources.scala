@@ -37,6 +37,28 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Schema-evolution read over a parquet directory whose files were
+    * written at different schema versions (columns APPENDED over
+    * time — the additive evolution a long-lived ingestion layout
+    * accumulates). `mergeSchema` unions the per-file footers (an
+    * extra footer-listing pass — metadata-sized, not a data pass) and
+    * back-fills missing columns with NULL; old readers keep working
+    * because a PINNED explicit schema ([[readParquetPinned]]) simply
+    * never selects the new columns. Renames/retypes are NOT additive
+    * evolution and are rejected upstream (the permissive-quarantine
+    * contract), not patched here. */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The version-stable read of the same layout: an explicit schema
+    * selects exactly the pinned columns regardless of which schema
+    * version each file carries — new columns invisible, missing
+    * columns NULL. This is the production default (see the object
+    * Scaladoc: inference and merge passes are opt-in, not ambient). */
+  def readParquetPinned(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** PERMISSIVE CSV ingestion for untrusted feeds: malformed rows land
     * in `_corrupt_record` instead of failing the 100 TB job (or being
     * silently dropped); [[splitCorrupt]] separates them for a

@@ -224,4 +224,39 @@ class SourcesSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", old)
   }
+
+  test("schema evolution: merged read unions versions, pinned read stays version-stable") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp() + "/evolved"
+    // v1 files: (id, a); v2 files append column c
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(dir + "/part=v1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "c")
+      .write.parquet(dir + "/part=v2")
+    val merged = Sources.readParquetEvolved(spark, dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "a", "c", "part"))
+    val rows = merged.select("id", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // old files back-fill the new column with NULL, new files carry it
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // a pinned v1 schema reads BOTH versions and never sees column c
+    val pinned = Sources.readParquetPinned(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType))))
+    // the partition-discovery column always surfaces; the DATA columns
+    // are exactly the pinned two — c never appears
+    assert(pinned.schema.fieldNames.toSeq == Seq("id", "a", "part"))
+    assert(pinned.count() == 4)
+    // and a WITHOUT-merge default read of the mixed layout must not be
+    // trusted for the union: it resolves one footer's schema (which
+    // one is read-order-dependent) — the reason Evolved is explicit
+    val unmergedCols = spark.read.parquet(dir).schema.fieldNames.toSet
+    assert(unmergedCols == Set("id", "a", "part") ||
+      unmergedCols == Set("id", "a", "c", "part"))
+  }
 }
