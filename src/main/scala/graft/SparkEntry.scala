@@ -214,6 +214,29 @@ object SparkEntry {
       |  + CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
       |         THEN 0.5 ELSE 0.0 END"""
 
+  /** The DSIR weights pipeline SQL — shared verbatim by
+    * q_dsir_weights and q_dsir_select so the weight definition can
+    * never drift between the two oracles. */
+  private val dsirWeightsSql: String =
+    """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
+      |   unnest(range(1, len(arr) + 1)) AS pos
+      |  FROM (SELECT doc_id, lang, list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'),
+      |    x -> x <> '') AS arr FROM documents)),
+      | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
+      |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
+      |     % 4096 AS b
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      | tb AS (SELECT b,
+      |   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_target,
+      |   count(*) AS n_raw FROM bb GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_feats,
+      |  CAST(sum(n_target) AS BIGINT) AS w_target,
+      |  CAST(sum(n_raw) AS BIGINT) AS w_raw,
+      |  CAST(sum(n_target) + 1 AS DOUBLE) /
+      |  CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
+      |FROM bb JOIN tb USING (b) GROUP BY 1""".stripMargin
+
   /** DuckDB-dialect oracle SQL per query (same tables by name). */
   def oracleSql: Map[String, String] = Map(
     // Q17 shape: same decorrelation — per-part thresholds over the
@@ -1731,47 +1754,11 @@ object SparkEntry {
     // DSIR weights: bigrams rebuilt positionally (q_cooccur pattern),
     // the same md5-prefix bucket hash, integer mass sums + one
     // smoothed division
-    "q_dsir_weights" ->
-      """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
-        |   unnest(range(1, len(arr) + 1)) AS pos
-        |  FROM (SELECT doc_id, lang, list_filter(
-        |    regexp_split_to_array(trim(text), '\s+'),
-        |    x -> x <> '') AS arr FROM documents)),
-        | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
-        |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
-        |     % 4096 AS b
-        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-        | tb AS (SELECT b,
-        |   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_target,
-        |   count(*) AS n_raw FROM bb GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_feats,
-        |  CAST(sum(n_target) AS BIGINT) AS w_target,
-        |  CAST(sum(n_raw) AS BIGINT) AS w_raw,
-        |  CAST(sum(n_target) + 1 AS DOUBLE) /
-        |  CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
-        |FROM bb JOIN tb USING (b) GROUP BY 1""".stripMargin,
-    // DSIR selection: the weights pipeline + a deterministic
+    "q_dsir_weights" -> dsirWeightsSql,
+    // DSIR selection: the SHARED weights pipeline + a deterministic
     // (weight DESC, doc_id) top-k cut
     "q_dsir_select" ->
-      """WITH tk AS MATERIALIZED (SELECT doc_id, lang, unnest(arr) AS tok,
-        |   unnest(range(1, len(arr) + 1)) AS pos
-        |  FROM (SELECT doc_id, lang, list_filter(
-        |    regexp_split_to_array(trim(text), '\s+'),
-        |    x -> x <> '') AS arr FROM documents)),
-        | bb AS MATERIALIZED (SELECT a.doc_id, a.lang,
-        |   CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 6)) AS BIGINT)
-        |     % 4096 AS b
-        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
-        | tb AS (SELECT b,
-        |   CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_target,
-        |   count(*) AS n_raw FROM bb GROUP BY 1),
-        | w AS (SELECT doc_id, count(*) AS n_feats,
-        |   CAST(sum(n_target) AS BIGINT) AS w_target,
-        |   CAST(sum(n_raw) AS BIGINT) AS w_raw,
-        |   CAST(sum(n_target) + 1 AS DOUBLE) /
-        |   CAST(sum(n_raw) + 1 AS DOUBLE) AS weight
-        |  FROM bb JOIN tb USING (b) GROUP BY 1)
-        |SELECT * FROM w ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+      s"SELECT * FROM ($dsirWeightsSql) w ORDER BY weight DESC, doc_id LIMIT 100",
     // unigram commonness: floor(log2(count)) via binary-string length
     // — exact integers in both engines; one final division
     "q_unigram_commonness" ->

@@ -1166,10 +1166,11 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_frames", "luma_sum", "mean_luma")
   }
 
-  /** Per-frame stats: one row per (asset, frame) with the frame's
-    * exact luma sum and mean — the decode-then-explode shape of video
-    * frame feature extraction, over real frame bytes. */
-  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared decode-then-explode kernel: one row per (asset, frame)
+    * with the frame's pixel count and exact luma sum — the single
+    * definition both [[mediaFrames]] and [[mediaSceneCuts]] derive
+    * from, so the frame-sum contract can never drift between them. */
+  private def gr01FrameSums(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     syntheticRasters(spark, dir).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -1179,10 +1180,19 @@ object Multimodal {
           var s = 0L
           var i = 0
           while (i < fsz) { s += (g.pixels(k * fsz + i) & 0xff); i += 1 }
-          (g.doc_id, k, s, s.toDouble / fsz)
+          (g.doc_id, k, fsz.toLong, s)
         }
-      }).toDF("doc_id", "frame_idx", "frame_sum", "frame_mean")
+      }).toDF("doc_id", "frame_idx", "fsz", "frame_sum")
   }
+
+  /** Per-frame stats: one row per (asset, frame) with the frame's
+    * exact luma sum and mean — the decode-then-explode shape of video
+    * frame feature extraction, over real frame bytes. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    gr01FrameSums(spark, dir)
+      .select(col("doc_id"), col("frame_idx"), col("frame_sum"),
+        (col("frame_sum").cast("double") / col("fsz").cast("double"))
+          .as("frame_mean"))
 
   /** Real average-pool resize of frame 0 to a `target`×`target` grid
     * (dimensions are multiples of `target`, so pools are exact): one
@@ -1220,21 +1230,9 @@ object Multimodal {
     * per-FRAME stats (4 longs), never pixels. Single-frame assets
     * emit nothing. */
   def mediaSceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val frames = syntheticRasters(spark, dir).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        val g = gr01Decode(id, bytes)
-        val fsz = g.width * g.height
-        (0 until g.n_frames).map { k =>
-          var s = 0L
-          var i = 0
-          while (i < fsz) { s += (g.pixels(k * fsz + i) & 0xff); i += 1 }
-          (g.doc_id, k, fsz.toLong, s)
-        }
-      }).toDF("doc_id", "frame_idx", "fsz", "frame_sum")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
-    frames
+    gr01FrameSums(spark, dir)
       .withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
       .filter(col("prev_sum").isNotNull)
       .select(col("doc_id"), col("frame_idx"),
