@@ -1483,6 +1483,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII gate: an unsealed window's partial census survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("piigate_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("piigate_out").toString
+    val input = MemoryStream[graft.streaming.DocEvent]
+    def start() =
+      StreamingMonitor.streamPiiGate(input.toDF(), "1 minute", "1 minute",
+        maxHitPct = 50)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      // two docs land in the 10:00 window; the watermark has not
+      // passed its end, so NOTHING is sealed before the stop
+      input.addData(
+        graft.streaming.DocEvent("web", ts(0, 5), "mail me bob@example.com"),
+        graft.streaming.DocEvent("web", ts(0, 20), "clean"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // restart recovers the partial aggregate; this doc both joins
+      // the window and (via a later sealer) proves the earlier rows
+      // weren't lost
+      input.addData(graft.streaming.DocEvent("web", ts(0, 40), "still clean"))
+      q2.processAllAvailable()
+      input.addData(graft.streaming.DocEvent("web", ts(5), "sealer"))
+      q2.processAllAvailable()
+      val rows = s.read.parquet(outDir).collect()
+        .filter(_.getAs[java.sql.Timestamp]("window_start") == ts(0))
+      assert(rows.length == 1, s"${rows.toSeq}")
+      val r = rows(0)
+      // all THREE docs counted: 2 pre-restart + 1 post-restart
+      assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("docs_flagged") == 1L &&
+        r.getAs[Long]("docs_email") == 1L && r.getAs[Long]("occ_email") == 1L)
+      // 1/3 flagged ≤ 50% → pass
+      assert(r.getAs[Boolean]("gate_pass"))
+    } finally q2.stop()
+  }
+
   test("streaming mixture: sealed windows + finisher equal the batch shares exactly") {
     val s = spark
     import s.implicits._
