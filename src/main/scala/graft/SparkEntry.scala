@@ -50,6 +50,7 @@ object SparkEntry {
     "q_prometheus_text" -> ((s, d) => Monitoring.prometheusText(s, d)),
     "q_rate_forecast" -> ((s, d) => Monitoring.rateForecast(s, d)),
     "q_burst_detect" -> ((s, d) => Monitoring.burstDetect(s, d)),
+    "q_topic_diversity" -> ((s, d) => Monitoring.topicDiversity(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -252,6 +253,18 @@ object SparkEntry {
         |  / 7.0 AS avg_yearly
         |FROM lf JOIN th USING (l_partkey)
         |WHERE l_quantity < qty_threshold""".stripMargin,
+    // topic diversity: c² through HUGEINT, one final division — the
+    // same exact-integer discipline as the Spark DECIMAL path
+    "q_topic_diversity" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |   event_type AS topic, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, count(*) AS n_topics,
+        | CAST(sum(c) AS BIGINT) AS n_events,
+        | CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT) AS DOUBLE) /
+        | CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+        |   AS inv_simpson
+        |FROM c GROUP BY 1""".stripMargin,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
     // 60-day lateness predicate mirrors the semi-join condition
     "q4_shape" ->

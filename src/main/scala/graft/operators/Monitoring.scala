@@ -43,6 +43,30 @@ object Monitoring {
       .agg(count(lit(1)).as("msg_count"))
       .withColumn("msgs_per_sec", col("msg_count") / lit(WindowSeconds))
 
+  /** Per-window topic-mix diversity: inverse Simpson index — the
+    * "effective number of equally-loud topics" N²/Σc², the one-number
+    * drift gauge (a window where one topic swallows the traffic
+    * scores ≈1 no matter how many topics whisper; a uniform mix
+    * scores n_topics). Internals stay in exact integers/decimals
+    * (c² through DECIMAL so 100 TB-scale counts can't overflow a
+    * BIGINT square) with ONE final IEEE division — engine-exact.
+    * Two keyed aggregates, both partial-aggregating; shuffle ∝
+    * windows × topics then ∝ windows. */
+  def topicDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type").as("topic"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_topics"),
+        sum(col("c")).as("n_events"),
+        sum(col("c").cast(d19) * col("c").cast(d19)).as("sum_c2"))
+      .select(col("window_start"), col("n_topics"), col("n_events"),
+        ((col("n_events").cast(d19) * col("n_events").cast(d19)).cast("double") /
+          col("sum_c2").cast("double")).as("inv_simpson"))
+  }
+
   /** Global per-window message rate (all topics together). */
   def msgRateTotal(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -1630,6 +1630,28 @@ class OperatorSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty, s"$got vs $exp")
   }
 
+  test("topic diversity equals the driver-side inverse Simpson and stays within bounds") {
+    val got = graft.operators.Monitoring.topicDiversity(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        (r.getAs[Long]("n_topics"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("inv_simpson"))).toMap
+    val byWin = graft.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.date_trunc("hour", col("ts"))
+        .as("w"), col("event_type")).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("w"), r.getString(1)))
+      .groupBy(_._1)
+    assert(got.keySet == byWin.keySet && got.nonEmpty)
+    byWin.foreach { case (w, rows) =>
+      val cs = rows.groupBy(_._2).values.map(_.length.toLong)
+      val n = cs.sum
+      val expInv = (BigInt(n) * BigInt(n)).toDouble /
+        cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      val (nt, ne, inv) = got(w)
+      assert(nt == cs.size && ne == n && inv == expInv, s"window $w")
+      assert(inv >= 1.0 - 1e-12 && inv <= nt + 1e-12, s"bounds $w")
+    }
+  }
+
   test("scene cuts equal adjacent-frame deltas from the decoded frames") {
     val frameSums = Multimodal.mediaFrames(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
