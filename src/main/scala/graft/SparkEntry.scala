@@ -99,6 +99,7 @@ object SparkEntry {
     "q_rolling_7d" -> ((s, d) => Analytics.rolling7d(s, d)),
     "q_salted_join" -> ((s, d) => Skew.saltedJoinTopics(s, d)),
     "q_funnel" -> ((s, d) => Sequence.funnel(s, d)),
+    "q_funnel_windowed" -> ((s, d) => Sequence.funnelWindowed(s, d)),
     "q_retention" -> ((s, d) => Sequence.retention(s, d)),
     "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
@@ -1795,6 +1796,22 @@ object SparkEntry {
         | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
         |   JOIN c ON e.user_id = c.user_id
         |   WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+    // windowed funnel: same min-ts chaining with the 7-day
+    // attribution bound as an extra predicate at each stage
+    "q_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |   JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |     AND e.ts <= v.t_view + INTERVAL 7 DAY GROUP BY 1),
+        | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |   JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |     AND e.ts <= c.t_click + INTERVAL 7 DAY GROUP BY 1)
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,

@@ -39,6 +39,38 @@ object Sequence {
         .select(lit("3_purchase").as("stage"), col("n_users")))
   }
 
+  /** Time-bounded conversion funnel: each stage must land STRICTLY
+    * AFTER the previous stage AND within `windowDays` of it — the
+    * attribution-window semantics product funnels actually use (an
+    * unbounded funnel credits a purchase a year after the click).
+    * Same min-ts chaining as [[funnel]], with the window bound as an
+    * extra join predicate; the earliest qualifying event per stage is
+    * chosen, so a user who converts late and again inside a later
+    * window still does NOT count (the first chain decides — standard
+    * first-touch attribution, pinned by the spec). Per-user
+    * aggregates keep every join key-equi on user_id. */
+  def funnelWindowed(spark: SparkSession, dir: String,
+                     windowDays: Int = 7): DataFrame = {
+    val bound = expr(s"INTERVAL $windowDays DAYS")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + bound)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + bound)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day,
     * distinct active users per (cohort_day, day offset). */
   def retention(spark: SparkSession, dir: String): DataFrame = {

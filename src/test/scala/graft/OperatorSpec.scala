@@ -170,6 +170,34 @@ class OperatorSpec extends SparkSpec {
     assert(f("1_view") > 0)
   }
 
+  test("windowed funnel equals driver-side first-touch chaining and narrows the unbounded funnel") {
+    val windowMs = 7L * 86400000L
+    val got = graft.operators.Sequence.funnelWindowed(spark, sfDir, 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unbounded = graft.operators.Sequence.funnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the bound can only remove conversions, never add them
+    assert(got("1_view") == unbounded("1_view"))
+    assert(got("2_click") <= unbounded("2_click") &&
+      got("3_purchase") <= unbounded("3_purchase"))
+    assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"))
+    // driver-side first-touch reference
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2).getTime))
+    def stage(tpe: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && prev.get(e._1).exists(t =>
+          e._3 > t && e._3 <= t + windowMs))
+        .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val v = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val c = stage("click", v)
+    val p = stage("purchase", c)
+    assert(got == Map("1_view" -> v.size.toLong, "2_click" -> c.size.toLong,
+      "3_purchase" -> p.size.toLong), s"$got")
+  }
+
   test("retention: offset-0 cohort sizes sum to total distinct users") {
     import org.apache.spark.sql.functions.col
     val r = graft.operators.Sequence.retention(spark, sfDir)
