@@ -916,6 +916,26 @@ object StreamingMonitor {
         col("doc_share"), col("token_share"))
   }
 
+  /** Batch finisher: per sealed window, the inverse-Simpson
+    * "effective topic count" N²/Σc² — the live twin of the batch
+    * q_topic_diversity mix-collapse gauge, applicable in foreachBatch
+    * to ANY sealed (window_start, key, msg_count) stream (e.g.
+    * [[msgRates]] output, whose windows arrive whole — the
+    * [[driftOfSealed]] contract). Squares ride DECIMAL so counts at
+    * scale cannot overflow a BIGINT square; ONE IEEE division per
+    * window, identical to the batch op tree (spec-pinned). */
+  def diversityOfSealed(batch: DataFrame): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    batch.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_topics"),
+        sum(col("msg_count")).as("n_events"),
+        sum(col("msg_count").cast(d19) * col("msg_count").cast(d19))
+          .as("sum_c2"))
+      .select(col("window_start"), col("n_topics"), col("n_events"),
+        ((col("n_events").cast(d19) * col("n_events").cast(d19)).cast("double") /
+          col("sum_c2").cast("double")).as("inv_simpson"))
+  }
+
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and
     * appends to `outDir` as text — the transport seam where the

@@ -1526,6 +1526,36 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming diversity: sealed msgRates windows yield the exact inverse Simpson") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = StreamingMonitor.msgRates(input.toDF(), "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("div_rates_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 10:00 — a:3, b:1 (N=4, Σc²=10 → inv = 16/10 = 1.6)
+      // window 10:01 — a:2, b:2 (N=4, Σc²=8  → inv = 16/8  = 2.0)
+      input.addData(
+        TopicEvent("a", ts(0, 5), 1.0), TopicEvent("a", ts(0, 15), 1.0),
+        TopicEvent("a", ts(0, 25), 1.0), TopicEvent("b", ts(0, 35), 1.0),
+        TopicEvent("a", ts(1, 5), 1.0), TopicEvent("a", ts(1, 15), 1.0),
+        TopicEvent("b", ts(1, 25), 1.0), TopicEvent("b", ts(1, 35), 1.0))
+      q.processAllAvailable()
+      input.addData(TopicEvent("a", ts(5), 1.0))
+      q.processAllAvailable()
+      val sealedCounts = s.table("div_rates_t")
+        .filter(org.apache.spark.sql.functions.col("window_start") < ts(2))
+      val got = StreamingMonitor.diversityOfSealed(sealedCounts).collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          (r.getAs[Long]("n_topics"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("inv_simpson"))).toMap
+      assert(got == Map(
+        ts(0) -> (2L, 4L, 1.6), ts(1) -> (2L, 4L, 2.0)), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming mixture: sealed windows + finisher equal the batch shares exactly") {
     val s = spark
     import s.implicits._
