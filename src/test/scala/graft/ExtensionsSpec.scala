@@ -125,4 +125,35 @@ class ExtensionsSpec extends SparkSpec {
         s"no shuffle metrics: ${rec.metrics.keys.toSeq.sorted}")
     } finally QueryMetrics.detach(spark, qm)
   }
+
+  test("shuffle-volume contract: exact dedup shuffles fingerprints, never document text") {
+    import graft.plans.QueryMetrics
+    val qm = QueryMetrics.attach(spark)
+    try {
+      qm.clear()
+      graft.operators.Dedup.exact(spark, sfDir).collect()
+      var snap = qm.snapshot
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); snap = qm.snapshot
+      }
+      assert(snap.nonEmpty, "no record captured")
+      val shuffleBytes = snap.head.metrics.collect {
+        case (k, v) if k == "shuffleBytesWritten" => v }.sum
+      assert(shuffleBytes > 0, s"metrics: ${snap.head.metrics.keys.toSeq.sorted}")
+      // the corpus payload this run COULD have shuffled had the plan
+      // carried text through the exchange
+      val textBytes = Tables.documents(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))))
+        .collect()(0).getLong(0)
+      // SURVEY's dedup contract made measurable: the shuffle carries
+      // 8-byte fingerprints + row overhead, a small fraction of the
+      // text mass — a regression that shuffles documents blows far
+      // past this bound
+      assert(shuffleBytes < textBytes / 2,
+        s"shuffled $shuffleBytes bytes vs $textBytes text bytes")
+    } finally QueryMetrics.detach(spark, qm)
+  }
 }
