@@ -916,9 +916,15 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
   }
 
   /** CTE chain documents -> sig(doc_id, p, s): the minhash_shingles
-    * signature rebuild shared by [[dedupMinhash]] and
-    * [[dedupMinhashBandSweep]]. */
-  private def minhashSigCtes: Seq[String] = {
+    * signature rebuild shared by [[dedupMinhash]],
+    * [[dedupMinhashBandSweep]] and [[minhashCalibration]]. */
+  private def minhashSigCtes: Seq[String] = minhashSigCtesWithBase._1
+
+  /** [[minhashSigCtes]] plus the name of the CTE holding the mixed
+    * shingle-base hashes (h/l halves) — the doc's underlying gram SET
+    * (what the signature sketches), needed by the calibration oracle
+    * for the exact-Jaccard side. */
+  private def minhashSigCtesWithBase: (Seq[String], String) = {
     // mix(p) constants pre-split into hi/lo halves
     val mpValues = (0 until 64).map { p =>
       val m = HashKernels.mix(p.toLong)
@@ -955,6 +961,46 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       // docs with < 3 tokens keep the Long.MaxValue sentinel signature
       "sig AS MATERIALIZED (SELECT d.doc_id, mp.p, coalesce(sig0.s, 9223372036854775807) AS s" +
         " FROM documents d CROSS JOIN mp LEFT JOIN sig0" +
-        " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)")
+        " ON sig0.doc_id = d.doc_id AND sig0.p = mp.p)") -> baseLast
+  }
+
+  /** q_minhash_calibration: estimator calibration for the MinHash
+    * family — on every banded candidate pair, the signature estimate
+    * (matches/64) next to the EXACT Jaccard of the underlying distinct
+    * shingle-base sets (the very sets the signature sketches —
+    * DISTINCT mixed base hashes from the shared CTE chain), plus the
+    * absolute error. Degenerate pairs (union 0: both docs under 3
+    * tokens) carry NULL exact/error on both engines. */
+  def minhashCalibration: String = {
+    val (ctes, baseLast) = minhashSigCtesWithBase
+    "WITH " + (ctes ++ Seq(
+      s"gset AS MATERIALIZED (SELECT DISTINCT doc_id, ${signedHL("h", "l")} AS g" +
+        s" FROM $baseLast)",
+      "gsz AS (SELECT d.doc_id, count(g.g) AS sz FROM documents d" +
+        " LEFT JOIN gset g ON g.doc_id = d.doc_id GROUP BY 1)",
+      "bands AS (SELECT doc_id, p // 8 AS band," +
+        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
+        " FROM sig GROUP BY 1, 2)",
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
+        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
+        " AND a.doc_id < b.doc_id)",
+      "est AS (SELECT c.doc_a, c.doc_b," +
+        " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64" +
+        " AS est_jaccard FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
+        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p GROUP BY 1, 2)",
+      "inter AS (SELECT e.doc_a, e.doc_b, count(*) AS ni FROM est e" +
+        " JOIN gset ga ON ga.doc_id = e.doc_a" +
+        " JOIN gset gb ON gb.doc_id = e.doc_b AND gb.g = ga.g GROUP BY 1, 2)"))
+      .mkString(",\n ") +
+      "\nSELECT e.doc_a, e.doc_b, e.est_jaccard," +
+      " CASE WHEN za.sz + zb.sz - coalesce(i.ni, 0) > 0 THEN" +
+      " CAST(coalesce(i.ni, 0) AS DOUBLE) /" +
+      " CAST(za.sz + zb.sz - coalesce(i.ni, 0) AS DOUBLE) END AS exact_jaccard," +
+      " CASE WHEN za.sz + zb.sz - coalesce(i.ni, 0) > 0 THEN" +
+      " abs(e.est_jaccard - CAST(coalesce(i.ni, 0) AS DOUBLE) /" +
+      " CAST(za.sz + zb.sz - coalesce(i.ni, 0) AS DOUBLE)) END AS abs_err" +
+      "\nFROM est e JOIN gsz za ON za.doc_id = e.doc_a" +
+      " JOIN gsz zb ON zb.doc_id = e.doc_b" +
+      " LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b"
   }
 }

@@ -120,6 +120,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_normalized" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dedup_edit" -> ((s, d) => Dedup.editPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -1760,6 +1761,7 @@ object SparkEntry {
     "q_cms_counts" -> OracleSql.cmsTopicCounts(),
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
+    "q_minhash_calibration" -> OracleSql.minhashCalibration,
     "q_dedup_band_sweep" -> OracleSql.dedupMinhashBandSweep(
       Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
     "q_classifier_score" -> OracleSql.classifierScore(

@@ -112,6 +112,35 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** Estimator calibration for the MinHash family — the missing leg
+    * next to q_ann_recall (LSH) and q_contain_eval (containment): on
+    * every banded candidate pair, the signature estimate next to the
+    * EXACT Jaccard of the underlying distinct shingle sets (the very
+    * sets [[graft.plans.Fingerprints.minhash_shingles]] sketches —
+    * `shingle_hashes` emits exactly those mixed base hashes), plus
+    * the absolute error a curator reads before trusting the
+    * estimate at a given signature width. Degenerate pairs (union 0)
+    * carry NULL exact/error. Scale: the exact side touches only the
+    * output-sparse candidate pairs — gram sets join back by doc id,
+    * never a corpus self-join. */
+  def minhashCalibration(spark: SparkSession, dir: String,
+                         numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val pairs = minhashPairs(spark, dir, numHashes, bands)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("grams"))
+    val ni = size(array_intersect(col("grams_a"), col("grams_b")))
+    val nu = size(col("grams_a")) + size(col("grams_b")) - ni
+    val exact = ni.cast("double") / nu.cast("double")
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        when(nu > 0, exact).as("exact_jaccard"),
+        when(nu > 0, abs(col("est_jaccard") - exact)).as("abs_err"))
+  }
+
   /** Hamming-ball candidate pairs over 64-bit fingerprints with a
     * SOUND pigeonhole guarantee: the fingerprint is split into
     * `maxHamming + 1` disjoint chunks, so a pair within `maxHamming`

@@ -191,4 +191,35 @@ class FingerprintSpec extends SparkSpec {
     assert(rows(0).getLong(2) == rows(1).getLong(2))
     assert(rows(0).getLong(0) != rows(2).getLong(0))
   }
+
+  test("minhash calibration: exact side equals driver-side set math on the candidate pairs") {
+    import graft.operators.Dedup
+    import graft.plans.Fingerprints.shingle_hashes
+    val got = Dedup.minhashCalibration(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("est_jaccard"),
+          Option(r.getAs[java.lang.Double]("exact_jaccard")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("abs_err")).map(_.doubleValue))).toMap
+    assert(got.nonEmpty)
+    // candidate set and estimates must be exactly minhashPairs'
+    val pairs = Dedup.minhashPairs(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == pairs.keySet)
+    got.foreach { case (k, (est, _, _)) => assert(est == pairs(k), s"$k") }
+    // exact side: driver-computed set Jaccard over the engine's own
+    // gram arrays (kernel values are pinned separately above)
+    val sets = Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    got.foreach { case (k @ (a, b), (est, exact, err)) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val u = (sa ++ sb).size
+      if (u == 0) assert(exact.isEmpty && err.isEmpty, s"$k")
+      else {
+        val e = sa.intersect(sb).size.toDouble / u.toDouble
+        assert(exact.contains(e) && err.contains(math.abs(est - e)), s"$k")
+        assert(e >= 0.0 && e <= 1.0)
+      }
+    }
+  }
 }
