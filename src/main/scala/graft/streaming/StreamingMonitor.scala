@@ -65,6 +65,16 @@ final case class ForecastRow(topic: String, window_start: java.sql.Timestamp,
   * gates — PII census etc.). */
 final case class DocEvent(source: String, ts: java.sql.Timestamp, text: String)
 
+/** A user-attributed event for the streaming funnel. */
+final case class UserEvent(user_id: Long, event_type: String,
+                           ts: java.sql.Timestamp)
+
+/** A funnel-stage transition: emitted once, when `user_id` first
+  * reaches `stage` (1_view / 2_click / 3_purchase) at event time
+  * `at`. */
+final case class StageReached(user_id: Long, stage: String,
+                              at: java.sql.Timestamp)
+
 /** Structured Streaming twins of the reference collectors.
   *
   * The reference counts messages per topic per 60 s period and ships
@@ -914,6 +924,59 @@ object StreamingMonitor {
       .select(col("window_start"), col("source"), col("n_docs"),
         col("n_tokens"), col("win_docs"), col("win_tokens"),
         col("doc_share"), col("token_share"))
+  }
+
+  /** Streaming conversion funnel — the live twin of the batch
+    * q_funnel_windowed first-touch attribution: a per-user stage
+    * state machine (view → click → purchase) in
+    * flatMapGroupsWithState, emitting ONE [[StageReached]] row the
+    * moment a user first completes each stage, with the same
+    * strictly-after + within-`windowMs` bound semantics. State per
+    * user is THREE longs (first qualifying ts per stage) + the event
+    * frontier — cardinality-bounded, never an event buffer. Events
+    * fold in event-time order within a batch and the per-user
+    * frontier drops late arrivals (the streamCusum ordering
+    * contract), so the drained stage sets equal the batch funnel on
+    * frontier-respecting input — pinned by spec. */
+  def streamFunnel(events: Dataset[UserEvent],
+                   windowMs: Long = 7L * 86400000L): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), StageReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (frontier, tView, tClick, tPurchase) =
+            state.getOption.getOrElse((unset, unset, unset, unset))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val t = e.ts.getTime
+            // frontier admits EQUAL timestamps (distinct events can
+            // share a ts — e.g. a view and a click in the same ms);
+            // replays are still safe because every stage transition
+            // is guarded by its own unset check, and strictly-older
+            // arrivals drop (the cross-batch lateness contract)
+            if (t >= frontier) {
+              frontier = t
+              e.event_type match {
+                case "view" if tView == unset =>
+                  tView = t
+                  out += StageReached(uid, "1_view", e.ts)
+                case "click" if tClick == unset && tView != unset &&
+                    t > tView && t <= tView + windowMs =>
+                  tClick = t
+                  out += StageReached(uid, "2_click", e.ts)
+                case "purchase" if tPurchase == unset && tClick != unset &&
+                    t > tClick && t <= tClick + windowMs =>
+                  tPurchase = t
+                  out += StageReached(uid, "3_purchase", e.ts)
+                case _ =>
+              }
+            }
+          }
+          state.update((frontier, tView, tClick, tPurchase))
+          out.iterator
+      }
   }
 
   /** Batch finisher: per sealed window, the inverse-Simpson

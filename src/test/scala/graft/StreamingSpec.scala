@@ -1526,6 +1526,76 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming funnel equals the batch windowed funnel on the corpus, drained in order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts")).collect()
+      .map(r => graft.streaming.UserEvent(r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Timestamp](2)))
+      .sortBy(_.ts.getTime)
+    val input = MemoryStream[graft.streaming.UserEvent]
+    val q = StreamingMonitor.streamFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three event-time-ordered chunks (the frontier contract)
+      corpus.grouped(math.max(1, corpus.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = s.table("funnel_t").collect()
+        .groupBy(_.getAs[String]("stage")).view.mapValues(_.length.toLong).toMap
+      val exp = graft.operators.Sequence.funnelWindowed(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp.filter(_._2 > 0), s"$got vs $exp")
+      // each user reached each stage at most once
+      val perUser = s.table("funnel_t").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage")))
+      assert(perUser.values.forall(_.length == 1))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: in-batch disorder folds correctly, stale arrivals drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[graft.streaming.UserEvent]
+    val q = StreamingMonitor.streamFunnel(input.toDS(), windowMs = 60000L)
+      .writeStream.format("memory").queryName("funnel_late_t")
+      .outputMode(OutputMode.Append()).start()
+    def ue(uid: Long, tpe: String, minute: Int, sec: Int = 0) =
+      graft.streaming.UserEvent(uid, tpe, ts(minute, sec))
+    try {
+      // batch 1, delivered OUT of event-time order: the in-batch sort
+      // must still chain view → click (1-minute window)
+      input.addData(ue(1, "click", 0, 30), ue(1, "view", 0, 10))
+      q.processAllAvailable()
+      // batch 2: purchase beyond the 1-min window from the click — no
+      // stage; then a purchase in-window
+      input.addData(ue(1, "purchase", 5))
+      q.processAllAvailable()
+      input.addData(ue(1, "purchase", 1, 20))
+      q.processAllAvailable()
+      // the late purchase is BEHIND the frontier (10:05) — dropped
+      val got = s.table("funnel_late_t").collect()
+        .map(r => (r.getAs[String]("stage"),
+          r.getAs[java.sql.Timestamp]("at"))).toSet
+      assert(got == Set(("1_view", ts(0, 10)), ("2_click", ts(0, 30))), s"$got")
+      // a second user whose click arrives a batch later, in order
+      input.addData(ue(2, "view", 6))
+      q.processAllAvailable()
+      input.addData(ue(2, "click", 6, 30))
+      q.processAllAvailable()
+      val u2 = s.table("funnel_late_t").collect()
+        .filter(_.getAs[Long]("user_id") == 2L).map(_.getAs[String]("stage")).toSet
+      assert(u2 == Set("1_view", "2_click"))
+    } finally q.stop()
+  }
+
   test("streaming diversity: sealed msgRates windows yield the exact inverse Simpson") {
     val s = spark
     import s.implicits._
