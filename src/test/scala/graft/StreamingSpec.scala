@@ -1596,6 +1596,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stage state survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel_out").toString
+    val input = MemoryStream[graft.streaming.UserEvent]
+    def start() =
+      StreamingMonitor.streamFunnel(input.toDS(), windowMs = 600000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    def ue(tpe: String, minute: Int, sec: Int = 0) =
+      graft.streaming.UserEvent(9L, tpe, ts(minute, sec))
+    val q1 = start()
+    try {
+      input.addData(ue("view", 0), ue("click", 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // recovered state must remember t_click (10:01): the purchase
+      // qualifies against it; lost state would emit nothing
+      input.addData(ue("purchase", 5))
+      q2.processAllAvailable()
+      // and must remember the stage was taken: a replayed click is a
+      // no-op
+      input.addData(ue("click", 6))
+      q2.processAllAvailable()
+      val got = s.read.parquet(outDir).collect()
+        .map(r => (r.getAs[String]("stage"),
+          r.getAs[java.sql.Timestamp]("at"))).toSet
+      assert(got == Set(("1_view", ts(0)), ("2_click", ts(1)),
+        ("3_purchase", ts(5))), s"$got")
+    } finally q2.stop()
+  }
+
   test("streaming diversity: sealed msgRates windows yield the exact inverse Simpson") {
     val s = spark
     import s.implicits._
