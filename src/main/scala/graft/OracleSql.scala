@@ -858,19 +858,26 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     * share a band of 8 consecutive signature values (joined on the
     * value slice itself — band-hash equality up to xxhash64 collisions
     * on the Spark side); est_jaccard = matching positions / 64. */
+  /** The default-geometry (8 bands × 8 rows) banding + candidate +
+    * estimate CTEs over the shared `sig` chain — ONE spelling, shared
+    * by [[dedupMinhash]] and [[minhashCalibration]] so the
+    * calibration rows always describe the dedup query's actual
+    * candidate set and estimates. */
+  private val minhashCandEstCtes: Seq[String] = Seq(
+    "bands AS (SELECT doc_id, p // 8 AS band," +
+      " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
+      " FROM sig GROUP BY 1, 2)",
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
+      " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
+      " AND a.doc_id < b.doc_id)",
+    "est AS (SELECT c.doc_a, c.doc_b," +
+      " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64" +
+      " AS est_jaccard FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
+      " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p GROUP BY 1, 2)")
+
   def dedupMinhash: String =
-    "WITH " + (minhashSigCtes ++ Seq(
-      "bands AS (SELECT doc_id, p // 8 AS band," +
-        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
-        " FROM sig GROUP BY 1, 2)",
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
-        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
-        " AND a.doc_id < b.doc_id)")).mkString(",\n ") +
-      "\nSELECT c.doc_a, c.doc_b," +
-      " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard" +
-      "\nFROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
-      " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p" +
-      "\nGROUP BY 1, 2"
+    "WITH " + (minhashSigCtes ++ minhashCandEstCtes).mkString(",\n ") +
+      "\nSELECT doc_a, doc_b, est_jaccard FROM est"
 
   /** q_dedup_sweep_bands: [[dedupMinhash]]'s signature chain once, the
     * band self-join per GRID geometry (p // rows with rows from the
@@ -977,17 +984,8 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       s"gset AS MATERIALIZED (SELECT DISTINCT doc_id, ${signedHL("h", "l")} AS g" +
         s" FROM $baseLast)",
       "gsz AS (SELECT d.doc_id, count(g.g) AS sz FROM documents d" +
-        " LEFT JOIN gset g ON g.doc_id = d.doc_id GROUP BY 1)",
-      "bands AS (SELECT doc_id, p // 8 AS band," +
-        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS bkey" +
-        " FROM sig GROUP BY 1, 2)",
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
-        " FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey" +
-        " AND a.doc_id < b.doc_id)",
-      "est AS (SELECT c.doc_a, c.doc_b," +
-        " CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64" +
-        " AS est_jaccard FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a" +
-        " JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p GROUP BY 1, 2)",
+        " LEFT JOIN gset g ON g.doc_id = d.doc_id GROUP BY 1)") ++
+      minhashCandEstCtes ++ Seq(
       "inter AS (SELECT e.doc_a, e.doc_b, count(*) AS ni FROM est e" +
         " JOIN gset ga ON ga.doc_id = e.doc_a" +
         " JOIN gset gb ON gb.doc_id = e.doc_b AND gb.g = ga.g GROUP BY 1, 2)"))

@@ -52,16 +52,29 @@ object Monitoring {
     * BIGINT square) with ONE final IEEE division — engine-exact.
     * Two keyed aggregates, both partial-aggregating; shuffle ∝
     * windows × topics then ∝ windows. */
-  def topicDiversity(spark: SparkSession, dir: String): DataFrame = {
+  def topicDiversity(spark: SparkSession, dir: String): DataFrame =
+    inverseSimpsonOf(
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type").as("topic"))
+        .agg(count(lit(1)).as("c")),
+      "c")
+
+  /** THE one spelling of the inverse-Simpson aggregate (the
+    * scurveMidpoint rule: a second spelling could drift to a
+    * different last-ulp double): per window_start over (window_start,
+    * key, `countCol`) cells — n_topics, N, and N²/Σc² with DECIMAL
+    * squares and one final division. Shared by [[topicDiversity]]
+    * and the streaming
+    * [[graft.streaming.StreamingMonitor.diversityOfSealed]]. */
+  private[graft] def inverseSimpsonOf(cells: DataFrame,
+                                      countCol: String): DataFrame = {
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
-    Tables.events(spark, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
-        col("event_type").as("topic"))
-      .agg(count(lit(1)).as("c"))
+    cells
       .groupBy(col("window_start"))
       .agg(count(lit(1)).as("n_topics"),
-        sum(col("c")).as("n_events"),
-        sum(col("c").cast(d19) * col("c").cast(d19)).as("sum_c2"))
+        sum(col(countCol)).as("n_events"),
+        sum(col(countCol).cast(d19) * col(countCol).cast(d19)).as("sum_c2"))
       .select(col("window_start"), col("n_topics"), col("n_events"),
         ((col("n_events").cast(d19) * col("n_events").cast(d19)).cast("double") /
           col("sum_c2").cast("double")).as("inv_simpson"))

@@ -933,15 +933,28 @@ object StreamingMonitor {
     * moment a user first completes each stage, with the same
     * strictly-after + within-`windowMs` bound semantics. State per
     * user is THREE longs (first qualifying ts per stage) + the event
-    * frontier — cardinality-bounded, never an event buffer. Events
-    * fold in event-time order within a batch and the per-user
-    * frontier drops late arrivals (the streamCusum ordering
-    * contract), so the drained stage sets equal the batch funnel on
+    * frontier — never an event buffer, but ∝ DISTINCT USERS and
+    * deliberately NOT expired (NoTimeout): first-touch semantics
+    * require remembering taken stages forever — ANY expiry re-emits
+    * 1_view when an expired user views again, breaking
+    * exactly-once-per-stage (this is the same per-user cardinality
+    * the batch funnel shuffles; at 100 TB scope the key space
+    * upstream — per-cohort/per-day streams — rather than expiring
+    * state). Timestamps compare at MICROsecond precision, matching
+    * the batch TimestampType comparisons (millis would merge
+    * same-ms view/click chains the batch counts). Events fold in
+    * event-time order within a batch and the per-user frontier drops
+    * late arrivals (the streamCusum ordering contract), so the
+    * drained stage sets equal the batch funnel on
     * frontier-respecting input — pinned by spec. */
   def streamFunnel(events: Dataset[UserEvent],
                    windowMs: Long = 7L * 86400000L): Dataset[StageReached] = {
     import events.sparkSession.implicits._
     val unset = Long.MinValue
+    val windowUs = math.multiplyExact(windowMs, 1000L)
+    def micros(ts: java.sql.Timestamp): Long =
+      math.addExact(math.multiplyExact(ts.toInstant.getEpochSecond, 1000000L),
+        (ts.toInstant.getNano / 1000).toLong)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long, Long), StageReached](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -949,8 +962,8 @@ object StreamingMonitor {
           var (frontier, tView, tClick, tPurchase) =
             state.getOption.getOrElse((unset, unset, unset, unset))
           val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-            val t = e.ts.getTime
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+            val t = micros(e.ts)
             // frontier admits EQUAL timestamps (distinct events can
             // share a ts — e.g. a view and a click in the same ms);
             // replays are still safe because every stage transition
@@ -963,11 +976,11 @@ object StreamingMonitor {
                   tView = t
                   out += StageReached(uid, "1_view", e.ts)
                 case "click" if tClick == unset && tView != unset &&
-                    t > tView && t <= tView + windowMs =>
+                    t > tView && t <= tView + windowUs =>
                   tClick = t
                   out += StageReached(uid, "2_click", e.ts)
                 case "purchase" if tPurchase == unset && tClick != unset &&
-                    t > tClick && t <= tClick + windowMs =>
+                    t > tClick && t <= tClick + windowUs =>
                   tPurchase = t
                   out += StageReached(uid, "3_purchase", e.ts)
                 case _ =>
@@ -987,17 +1000,8 @@ object StreamingMonitor {
     * [[driftOfSealed]] contract). Squares ride DECIMAL so counts at
     * scale cannot overflow a BIGINT square; ONE IEEE division per
     * window, identical to the batch op tree (spec-pinned). */
-  def diversityOfSealed(batch: DataFrame): DataFrame = {
-    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
-    batch.groupBy(col("window_start"))
-      .agg(count(lit(1)).as("n_topics"),
-        sum(col("msg_count")).as("n_events"),
-        sum(col("msg_count").cast(d19) * col("msg_count").cast(d19))
-          .as("sum_c2"))
-      .select(col("window_start"), col("n_topics"), col("n_events"),
-        ((col("n_events").cast(d19) * col("n_events").cast(d19)).cast("double") /
-          col("sum_c2").cast("double")).as("inv_simpson"))
-  }
+  def diversityOfSealed(batch: DataFrame): DataFrame =
+    graft.operators.Monitoring.inverseSimpsonOf(batch, "msg_count")
 
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and

@@ -138,22 +138,34 @@ class ExtensionsSpec extends SparkSpec {
         Thread.sleep(50); snap = qm.snapshot
       }
       assert(snap.nonEmpty, "no record captured")
-      val shuffleBytes = snap.head.metrics.collect {
-        case (k, v) if k == "shuffleBytesWritten" => v }.sum
-      assert(shuffleBytes > 0, s"metrics: ${snap.head.metrics.keys.toSeq.sorted}")
-      // the corpus payload this run COULD have shuffled had the plan
-      // carried text through the exchange
-      val textBytes = Tables.documents(spark, sfDir)
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.length(
-            org.apache.spark.sql.functions.col("text"))))
-        .collect()(0).getLong(0)
-      // SURVEY's dedup contract made measurable: the shuffle carries
-      // 8-byte fingerprints + row overhead, a small fraction of the
-      // text mass — a regression that shuffles documents blows far
-      // past this bound
-      assert(shuffleBytes < textBytes / 2,
-        s"shuffled $shuffleBytes bytes vs $textBytes text bytes")
+      def lastShuffleBytes(): Long = {
+        var snap2 = qm.snapshot
+        val dl = System.nanoTime() + 10_000_000_000L
+        while (snap2.isEmpty && System.nanoTime() < dl) {
+          Thread.sleep(50); snap2 = qm.snapshot
+        }
+        assert(snap2.nonEmpty, "no record captured")
+        snap2.head.metrics.collect {
+          case (k, v) if k == "shuffleBytesWritten" => v }.sum
+      }
+      val dedupBytes = lastShuffleBytes()
+      assert(dedupBytes > 0, s"metrics: ${snap.head.metrics.keys.toSeq.sorted}")
+      // MEASURED bad-plan baseline: force the text column itself
+      // through an exchange on the same corpus. Shuffle blocks are
+      // LZ4-compressed, so comparing against raw text length would be
+      // fooled by the corpus's compressibility — this baseline pays
+      // the same compression the regression would.
+      qm.clear()
+      Tables.documents(spark, sfDir)
+        .groupBy(org.apache.spark.sql.functions.col("text"))
+        .count().collect()
+      val textShuffleBytes = lastShuffleBytes()
+      assert(textShuffleBytes > 0)
+      // SURVEY's dedup contract made measurable: the fingerprint
+      // shuffle must be well under what the same engine pays to move
+      // the (compressed) text itself
+      assert(dedupBytes * 2 < textShuffleBytes,
+        s"dedup shuffled $dedupBytes bytes vs text-shuffle baseline $textShuffleBytes")
     } finally QueryMetrics.detach(spark, qm)
   }
 }
