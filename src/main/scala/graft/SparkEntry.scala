@@ -51,6 +51,7 @@ object SparkEntry {
     "q_rate_forecast" -> ((s, d) => Monitoring.rateForecast(s, d)),
     "q_burst_detect" -> ((s, d) => Monitoring.burstDetect(s, d)),
     "q_topic_diversity" -> ((s, d) => Monitoring.topicDiversity(s, d)),
+    "q_seasonal_residual" -> ((s, d) => Monitoring.seasonalResidual(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -267,6 +268,23 @@ object SparkEntry {
         | CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
         |   AS inv_simpson
         |FROM c GROUP BY 1""".stripMargin,
+    // seasonal residual: profile re-derived from the hourly grid,
+    // flags multiplied through, one division for the ratio
+    "q_seasonal_residual" ->
+      """WITH h AS (SELECT event_type AS topic,
+        |   date_trunc('hour', ts) AS window_start, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        | h2 AS (SELECT *, dayofweek(window_start) + 1 AS dow,
+        |   hour(window_start) AS hod FROM h),
+        | p AS (SELECT topic, dow, hod, CAST(sum(c) AS BIGINT) AS n,
+        |   count(*) AS n_win FROM h2 GROUP BY 1, 2, 3)
+        |SELECT h2.window_start, h2.topic, h2.c, p.n, p.n_win,
+        | CAST(h2.c * p.n_win AS DOUBLE) / CAST(p.n AS DOUBLE)
+        |   AS seasonal_ratio,
+        | h2.c * p.n_win > p.n * 2 AS flag_high,
+        | h2.c * p.n_win * 2 < p.n AS flag_low
+        |FROM h2 JOIN p ON p.topic = h2.topic AND p.dow = h2.dow
+        | AND p.hod = h2.hod""".stripMargin,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
     // 60-day lateness predicate mirrors the semi-join condition
     "q4_shape" ->

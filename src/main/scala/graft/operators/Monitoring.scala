@@ -690,6 +690,41 @@ object Monitoring {
         countDistinct(date_trunc("day", col("ts"))).as("n_days"))
       .withColumn("avg_per_day", col("n").cast("double") / col("n_days"))
 
+  /** Seasonal residuals: each (topic, hour window)'s count against
+    * its own (topic, day-of-week, hour-of-day) profile — the
+    * seasonal-naive anomaly view a flat z-score gets wrong on
+    * traffic with strong weekly shape (Monday 08:00 compares to
+    * Mondays at 08:00, not to 03:00). The profile is derived FROM
+    * the hourly grid (one corpus aggregate; the profile re-groups
+    * #topics×#windows cells, not events) and joins back broadcast
+    * (#topics×7×24 rows). Flags are multiplied through —
+    * c·n_win > 2·n (above 2× the per-present-window seasonal mean)
+    * and 2·c·n_win < n (below half) — exact integer comparisons; the
+    * ratio is the pair's one division. Products stay in BIGINT: at
+    * c ≤ 1e9 events/window and n_win ≤ 1e5 windows they are < 1e14,
+    * far under 2⁶³. */
+  def seasonalResidual(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("window_start")))
+      .withColumn("hod", hour(col("window_start")))
+    val profile = hourly.groupBy(col("topic").as("p_topic"),
+        col("dow").as("p_dow"), col("hod").as("p_hod"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_win"))
+    hourly
+      .join(broadcast(profile),
+        col("topic") === col("p_topic") && col("dow") === col("p_dow") &&
+          col("hod") === col("p_hod"))
+      .select(col("window_start"), col("topic"), col("c"), col("n"),
+        col("n_win"),
+        ((col("c") * col("n_win")).cast("double") / col("n").cast("double"))
+          .as("seasonal_ratio"),
+        (col("c") * col("n_win") > col("n") * 2L).as("flag_high"),
+        (col("c") * col("n_win") * 2L < col("n")).as("flag_low"))
+  }
+
   /** Hopping-window rates: 2 h windows sliding every 1 h (each event
     * lands in size/slide = 2 windows). Spark's window() explodes the
     * assignment map-side, so this is still one partial-aggregated

@@ -1680,6 +1680,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("seasonal residual equals a driver-side profile eval and flags are exact") {
+    val got = graft.operators.Monitoring.seasonalResidual(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("topic")) ->
+        (r.getAs[Long]("c"), r.getAs[Long]("n"), r.getAs[Long]("n_win"),
+          r.getAs[Double]("seasonal_ratio"), r.getAs[Boolean]("flag_high"),
+          r.getAs[Boolean]("flag_low"))).toMap
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("w"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("w")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def dowHod(t: java.sql.Timestamp): (Int, Int) = {
+      val z = t.toInstant.atZone(java.time.ZoneOffset.UTC)
+      // Spark dayofweek: Sunday=1 .. Saturday=7
+      (z.getDayOfWeek.getValue % 7 + 1, z.getHour)
+    }
+    val profile = hourly.groupBy { case ((tp, w), _) =>
+      (tp, dowHod(w)) }.view.mapValues { cs =>
+      (cs.values.sum, cs.size.toLong) }.toMap
+    assert(got.keySet == hourly.keySet.map { case (tp, w) => (w, tp) })
+    hourly.foreach { case (k @ (tp, w), c) =>
+      val (n, nWin) = profile((tp, dowHod(w)))
+      val (gc, gn, gw, ratio, hi, lo) = got((w, tp))
+      assert(gc == c && gn == n && gw == nWin, s"$k")
+      assert(ratio == (c * nWin).toDouble / n.toDouble, s"$k ratio")
+      assert(hi == (c * nWin > 2 * n) && lo == (2 * c * nWin < n), s"$k flags")
+    }
+    // discrimination at this scale: the sf0.001 corpus's ratios span
+    // [0.5, 2.0] — inside the strict >2 / <0.5 thresholds, so neither
+    // flag fires HERE (exactness vs the driver eval is asserted
+    // above); the denser sf0.01 oracle corpus fires both (39 high /
+    // 433 low windows). Assert the ratio spread instead.
+    assert(got.values.map(_._4).max > 1.5 && got.values.map(_._4).min < 0.7)
+  }
+
   test("scene cuts equal adjacent-frame deltas from the decoded frames") {
     val frameSums = Multimodal.mediaFrames(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
