@@ -1003,6 +1003,33 @@ object StreamingMonitor {
   def diversityOfSealed(batch: DataFrame): DataFrame =
     graft.operators.Monitoring.inverseSimpsonOf(batch, "msg_count")
 
+  /** Batch finisher: sealed (window_start, topic, msg_count) cells
+    * flagged against a TRAINED seasonal profile (topic, dow, hod, n,
+    * n_win — e.g. the aggregate q_seasonal_residual derives, computed
+    * over history and broadcast) — the live leg of the seasonal
+    * family: profile trained offline, live windows flagged with the
+    * IDENTICAL multiplied-through integer tests and single division
+    * as the batch op. Windows whose (topic, dow, hod) the profile
+    * has never seen emit NULL ratio and false flags (no baseline ⇒
+    * no alarm — the streamBurst contract). */
+  def seasonalFlagsOfSealed(batch: DataFrame, profile: DataFrame): DataFrame =
+    batch
+      .withColumn("dow", dayofweek(col("window_start")))
+      .withColumn("hod", hour(col("window_start")))
+      .join(broadcast(profile.select(col("topic").as("p_topic"),
+        col("dow").as("p_dow"), col("hod").as("p_hod"),
+        col("n"), col("n_win"))),
+        col("topic") === col("p_topic") && col("dow") === col("p_dow") &&
+          col("hod") === col("p_hod"), "left")
+      .select(col("window_start"), col("topic"), col("msg_count").as("c"),
+        col("n"), col("n_win"),
+        ((col("msg_count") * col("n_win")).cast("double") /
+          col("n").cast("double")).as("seasonal_ratio"),
+        coalesce(col("msg_count") * col("n_win") > col("n") * 2L, lit(false))
+          .as("flag_high"),
+        coalesce(col("msg_count") * col("n_win") * 2L < col("n"), lit(false))
+          .as("flag_low"))
+
   /** foreachBatch sink: formats each micro-batch of (topic, window)
     * rates as one Azure custom-metric JSON envelope per metric and
     * appends to `outDir` as text — the transport seam where the

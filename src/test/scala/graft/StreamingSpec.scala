@@ -1633,6 +1633,61 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming seasonal flags: sealed windows against the trained profile equal the batch rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.{col => c0}
+    // trained profile: the hourly-grid aggregate over the full corpus
+    val profile = Tables.events(spark, sfDir)
+      .groupBy(c0("event_type").as("topic"),
+        org.apache.spark.sql.functions.date_trunc("hour", c0("ts")).as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .groupBy(c0("topic"),
+        org.apache.spark.sql.functions.dayofweek(c0("w")).as("dow"),
+        org.apache.spark.sql.functions.hour(c0("w")).as("hod"))
+      .agg(org.apache.spark.sql.functions.sum(c0("c")).as("n"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_win"))
+    val corpus = Tables.events(spark, sfDir)
+      .select(c0("event_type"), c0("ts")).collect()
+      .map(r => graft.streaming.TopicEvent(r.getString(0),
+        r.getAs[java.sql.Timestamp](1), 1.0))
+      .sortBy(_.ts.getTime)
+    val input = MemoryStream[graft.streaming.TopicEvent]
+    val q = StreamingMonitor.msgRates(input.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("seasonal_rates_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val sealedCells = s.table("seasonal_rates_t")
+        .select(c0("window_start"), c0("topic"), c0("msg_count"))
+      val got = StreamingMonitor.seasonalFlagsOfSealed(sealedCells, profile)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("topic")) ->
+          (r.getAs[Long]("c"), r.getAs[Long]("n"), r.getAs[Long]("n_win"),
+            r.getAs[Double]("seasonal_ratio"), r.getAs[Boolean]("flag_high"),
+            r.getAs[Boolean]("flag_low"))).toMap
+      assert(got.nonEmpty)
+      val batch = graft.operators.Monitoring.seasonalResidual(spark, sfDir)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("topic")) ->
+          (r.getAs[Long]("c"), r.getAs[Long]("n"), r.getAs[Long]("n_win"),
+            r.getAs[Double]("seasonal_ratio"), r.getAs[Boolean]("flag_high"),
+            r.getAs[Boolean]("flag_low"))).toMap
+      // every sealed live cell matches its batch row exactly
+      assert(got.keySet.subsetOf(batch.keySet))
+      got.foreach { case (k, v) => assert(v == batch(k), s"$k") }
+      // and the stream sealed most of the grid (only the watermark
+      // tail is withheld)
+      assert(got.size > batch.size / 2, s"${got.size} of ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming diversity: sealed msgRates windows yield the exact inverse Simpson") {
     val s = spark
     import s.implicits._
