@@ -704,15 +704,10 @@ object Monitoring {
     * c ≤ 1e9 events/window and n_win ≤ 1e5 windows they are < 1e14,
     * far under 2⁶³. */
   def seasonalResidual(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("event_type").as("topic"),
-        date_trunc("hour", col("ts")).as("window_start"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("dow", dayofweek(col("window_start")))
-      .withColumn("hod", hour(col("window_start")))
-    val profile = hourly.groupBy(col("topic").as("p_topic"),
-        col("dow").as("p_dow"), col("hod").as("p_hod"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_win"))
+    val hourly = hourlyGrid(spark, dir)
+    val profile = seasonalProfileOf(hourly)
+      .select(col("topic").as("p_topic"), col("dow").as("p_dow"),
+        col("hod").as("p_hod"), col("n"), col("n_win"))
     hourly
       .join(broadcast(profile),
         col("topic") === col("p_topic") && col("dow") === col("p_dow") &&
@@ -724,6 +719,32 @@ object Monitoring {
         (col("c") * col("n_win") > col("n") * 2L).as("flag_high"),
         (col("c") * col("n_win") * 2L < col("n")).as("flag_low"))
   }
+
+  /** The (topic, window_start, c, dow, hod) hourly grid both seasonal
+    * legs derive from. */
+  private def hourlyGrid(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("window_start")))
+      .withColumn("hod", hour(col("window_start")))
+
+  /** THE seasonal-profile trainer (one spelling): (topic, dow, hod) →
+    * total count `n` and present-window count `n_win` over an hourly
+    * grid. [[seasonalResidual]] derives its in-corpus profile here,
+    * and this is the aggregate to train OFFLINE and broadcast into
+    * [[graft.streaming.StreamingMonitor.seasonalFlagsOfSealed]] —
+    * using any other spelling risks a dayofweek-convention drift that
+    * silently breaks the batch/stream exactness contract. */
+  def seasonalProfileOf(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("topic"), col("dow"), col("hod"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_win"))
+
+  /** [[seasonalProfileOf]] over the corpus hourly grid — the trained
+    * profile for the live seasonal gate. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame =
+    seasonalProfileOf(hourlyGrid(spark, dir))
 
   /** Hopping-window rates: 2 h windows sliding every 1 h (each event
     * lands in size/slide = 2 windows). Spark's window() explodes the

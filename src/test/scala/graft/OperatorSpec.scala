@@ -1681,12 +1681,16 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("seasonal residual equals a driver-side profile eval and flags are exact") {
-    val got = graft.operators.Monitoring.seasonalResidual(spark, sfDir).collect()
+    val gotRows = graft.operators.Monitoring.seasonalResidual(spark, sfDir)
+      .collect()
+    val got = gotRows
       .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
         r.getAs[String]("topic")) ->
         (r.getAs[Long]("c"), r.getAs[Long]("n"), r.getAs[Long]("n_win"),
           r.getAs[Double]("seasonal_ratio"), r.getAs[Boolean]("flag_high"),
           r.getAs[Boolean]("flag_low"))).toMap
+    // one row per (window, topic) cell — a join fan-out would inflate
+    assert(gotRows.length == got.size)
     val hourly = Tables.events(spark, sfDir)
       .select(col("event_type"),
         org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("w"))

@@ -594,6 +594,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("seasonal residual: the profile joins back broadcast, never sort-merge") {
+    val plan = physical(Monitoring.seasonalResidual(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"profile join degraded to shuffle:\n$plan")
+  }
+
   test("dsir: bucket table broadcasts back; per-doc pass never shuffles text") {
     val df = graft.operators.TextAnalysis.dsirWeights(spark, sfDir)
     val plan = physical(df)

@@ -1638,18 +1638,8 @@ class StreamingSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import org.apache.spark.sql.functions.{col => c0}
-    // trained profile: the hourly-grid aggregate over the full corpus
-    val profile = Tables.events(spark, sfDir)
-      .groupBy(c0("event_type").as("topic"),
-        org.apache.spark.sql.functions.date_trunc("hour", c0("ts")).as("w"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("c"))
-      .groupBy(c0("topic"),
-        org.apache.spark.sql.functions.dayofweek(c0("w")).as("dow"),
-        org.apache.spark.sql.functions.hour(c0("w")).as("hod"))
-      .agg(org.apache.spark.sql.functions.sum(c0("c")).as("n"),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_win"))
+    // trained profile: the library's own trainer (the one spelling)
+    val profile = graft.operators.Monitoring.seasonalProfile(spark, sfDir)
     val corpus = Tables.events(spark, sfDir)
       .select(c0("event_type"), c0("ts")).collect()
       .map(r => graft.streaming.TopicEvent(r.getString(0),
@@ -1666,13 +1656,15 @@ class StreamingSpec extends SparkSpec {
       }
       val sealedCells = s.table("seasonal_rates_t")
         .select(c0("window_start"), c0("topic"), c0("msg_count"))
-      val got = StreamingMonitor.seasonalFlagsOfSealed(sealedCells, profile)
-        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+      val gotRows = StreamingMonitor.seasonalFlagsOfSealed(sealedCells, profile)
+        .collect()
+      val got = gotRows.map(r => (r.getAs[java.sql.Timestamp]("window_start"),
           r.getAs[String]("topic")) ->
           (r.getAs[Long]("c"), r.getAs[Long]("n"), r.getAs[Long]("n_win"),
             r.getAs[Double]("seasonal_ratio"), r.getAs[Boolean]("flag_high"),
             r.getAs[Boolean]("flag_low"))).toMap
-      assert(got.nonEmpty)
+      // one row per cell — a profile fan-out would inflate this
+      assert(gotRows.length == got.size && got.nonEmpty)
       val batch = graft.operators.Monitoring.seasonalResidual(spark, sfDir)
         .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
           r.getAs[String]("topic")) ->
