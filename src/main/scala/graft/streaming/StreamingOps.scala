@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** One micro-batch's operational summary, flattened from Spark's
+  * StreamingQueryProgress: input volume, total stateful-operator
+  * state rows, rows the watermark dropped as too-late, and the
+  * watermark itself. */
+final case class StreamProgressRow(batchId: Long, inputRows: Long,
+                                   stateRows: Long, lateRows: Long,
+                                   watermark: String)
+
+/** Streaming self-observability — the streaming twin of
+  * [[graft.plans.QueryMetrics]] (which covers batch actions): typed
+  * per-micro-batch gauges read from the query's progress events, so
+  * "is this stream silently dropping late data" and "is state
+  * growing without bound" become queries over a small typed sequence
+  * instead of JSON spelunking in the progress log.
+  *
+  * Reference parallel: the collectors count what they drop and ship
+  * it as its own metric (the monitor monitors itself); here the
+  * monitored process is the streaming engine. Reading progress costs
+  * nothing in the stream — Spark already builds these objects per
+  * batch; this only projects the retained ring buffer
+  * (spark.sql.streaming.numRecentProgressUpdates, default 100).
+  */
+object StreamingOps {
+
+  /** Typed summaries of the query's retained progress events,
+    * oldest first. Batches with no stateful operators report zero
+    * state/late rows; a query with no watermark reports "" for it. */
+  def progressRows(q: StreamingQuery): Seq[StreamProgressRow] =
+    q.recentProgress.toSeq.map { p =>
+      StreamProgressRow(
+        p.batchId,
+        p.numInputRows,
+        p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum,
+        Option(p.eventTime.get("watermark")).getOrElse(""))
+    }
+
+  /** The lifetime late-drop total across retained progress — the
+    * single number an alert should watch: nonzero means the
+    * watermark is discarding data the producer thought was valid
+    * (clock skew, replay beyond the lateness budget). Restricted to
+    * the retained ring buffer — persist snapshots per batch (e.g.
+    * from a StreamingQueryListener) if full-lifetime accounting is
+    * needed. */
+  def lateRowsTotal(q: StreamingQuery): Long =
+    progressRows(q).map(_.lateRows).sum
+}

@@ -1680,6 +1680,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ops gauges: late-drop and state-row counts surface from progress") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val rates = StreamingMonitor.msgRates(input.toDF(), "1 minute", "1 minute")
+    val q = rates.writeStream.format("memory").queryName("ops_rates_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(TopicEvent("a", ts(0, 30), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past 10:00
+      input.addData(TopicEvent("a", ts(10), 1.0))
+      q.processAllAvailable()
+      assert(graft.streaming.StreamingOps.lateRowsTotal(q) == 0L)
+      // a row behind the watermark: dropped, and the gauge must see it
+      input.addData(TopicEvent("a", ts(0, 50), 1.0))
+      q.processAllAvailable()
+      val rows = graft.streaming.StreamingOps.progressRows(q)
+      assert(rows.nonEmpty)
+      assert(graft.streaming.StreamingOps.lateRowsTotal(q) == 1L,
+        s"rows: ${rows.map(r => (r.batchId, r.inputRows, r.lateRows))}")
+      // input accounting covers every addData row
+      assert(rows.map(_.inputRows).sum == 3L)
+      // the windowed agg holds state and the watermark string is set
+      assert(rows.last.stateRows > 0L)
+      assert(rows.exists(_.watermark.nonEmpty))
+    } finally q.stop()
+  }
+
   test("streaming diversity: sealed msgRates windows yield the exact inverse Simpson") {
     val s = spark
     import s.implicits._
