@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+import graft.plans.Fingerprints.{shingle_hashes, simhash_text}
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The whole training-data curation pipeline composed END-TO-END from
+  * the library's public primitives — quality gate → near-dup keep-set
+  * (SimHash bands + connected components) → eval decontamination →
+  * per-source domain cap → deterministic split → sequence packing —
+  * with the cross-stage invariants a production run relies on
+  * asserted at every boundary. Each stage's OPERATOR semantics are
+  * oracle-/spec-checked individually elsewhere; this spec pins that
+  * they compose (stages consume exactly the previous stage's
+  * survivors, and global invariants survive the chain).
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("quality -> near-dup -> decontaminate -> cap -> split -> pack composes with exact invariants") {
+    val docs = Tables.documents(spark, sfDir)
+    val all = ids(docs)
+
+    // 1. quality gate
+    val quality = docs.filter(T.qualityScore(col("text")) > 0.5)
+    val s1 = ids(quality)
+    assert(s1.nonEmpty && s1.subsetOf(all) && s1.size < all.size,
+      s"quality gate must bite: ${s1.size} of ${all.size}")
+
+    // 2. near-dup keep-set over the SURVIVORS ONLY: SimHash banding +
+    // connected components, keep the min doc of each component
+    val comps = Dedup.connectedComponents(
+      quality.select(col("doc_id").as("id")),
+      Dedup.hammingPairs(
+        quality.select(col("doc_id").as("id"),
+          simhash_text(col("text")).as("fp")), 3)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val keepers = comps.groupBy(col("component"))
+      .agg(min(col("id")).as("doc_id"))
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+    val s2 = ids(deduped)
+    assert(s2.subsetOf(s1))
+    // every dropped doc's component keeper IS in the kept set
+    val compMap = comps.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    val keeperOf = compMap.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    (s1 -- s2).foreach { dropped =>
+      assert(s2.contains(keeperOf(compMap(dropped))),
+        s"dropped $dropped lost its representative") }
+
+    // 3. decontamination: drop survivors sharing any 4-gram with the
+    // eval slice (source src0 plays the benchmark)
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(shingle_hashes(col("text"), 4)).as("gram")).distinct()
+    val contaminated = deduped
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), 4)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val s3 = ids(clean)
+    assert(s3.subsetOf(s2))
+    // no clean doc shares a 4-gram with the eval slice (driver check)
+    val evalSet = evalGrams.collect().map(_.getLong(0)).toSet
+    val cleanGrams = clean
+      .select(col("doc_id"), shingle_hashes(col("text"), 4).as("g")).collect()
+    cleanGrams.foreach { r =>
+      assert(!r.getSeq[Long](1).exists(evalSet), s"doc ${r.getLong(0)}") }
+
+    // 4. per-source domain cap (quality-best 5 per source)
+    val capped = TopKPerKey.topKPerKey(
+      clean.select(col("source"), col("doc_id"),
+        T.qualityScore(col("text")).as("quality")),
+      Seq("source"), Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc),
+      5)
+    val s4 = ids(capped)
+    assert(s4.subsetOf(s3))
+    capped.groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .foreach(r => assert(r.getLong(1) <= 5, r.getString(0)))
+
+    // 5. deterministic split partitions the capped set exactly
+    val split = capped.withColumn("split",
+      when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 100 < 90, "train")
+        .otherwise("heldout"))
+    val bySplit = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == s4.size)
+
+    // 6. packing the train split conserves every token
+    val train = split.filter(col("split") === "train")
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val toks = size(T.tokens(col("text"))).cast("long")
+    val packed = train
+      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("bin",
+        (((col("cum") - col("n_tokens")) -
+          pmod(col("cum") - col("n_tokens"), lit(256L))) / 256L).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    val packedTokens = packed.agg(sum(col("bin_tokens"))).collect()(0).getLong(0)
+    val trainTokens = train.agg(sum(toks)).collect()(0).getLong(0)
+    assert(packedTokens == trainTokens,
+      s"packing lost tokens: $packedTokens vs $trainTokens")
+    val packedDocs = packed.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(packedDocs == train.count())
+  }
+}
