@@ -112,6 +112,44 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** The near-dup KEEP-SET as an apply-form corpus filter: SimHash
+    * banded pairs over `docs` → connected components → keep each
+    * component's min-doc_id representative; returns the surviving
+    * (full-schema) rows. This is [[dedupApply]]'s kept set
+    * productized for pipeline composition (dedupApply reports the
+    * per-source aggregate): the corpus shuffles only (id, fp) into
+    * the pair stage and ids through CC; the final cut is a left-semi
+    * join of docs against the keeper ids. */
+  def keepSetOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val comps = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      hammingPairs(
+        docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+        maxHamming)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val keepers = comps.groupBy(col("component"))
+      .agg(min(col("id")).as("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** Eval decontamination as an apply-form corpus filter: drop every
+    * doc of `docs` sharing at least one word-`n`-gram with
+    * `evalDocs` — the enforcement twin of [[decontaminate]]'s hit
+    * report. The eval gram set broadcasts (benchmarks are tiny
+    * relative to the corpus); the corpus contributes its exploded
+    * gram stream only to the semi join, and the final cut is an anti
+    * join of full rows against the contaminated ids. */
+  def decontaminateApplyOf(docs: DataFrame, evalDocs: DataFrame,
+                           n: Int = 4): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingle_hashes(col("text"), n)).as("gram")).distinct()
+    val contaminated = docs
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Estimator calibration for the MinHash family — the missing leg
     * next to q_ann_recall (LSH) and q_contain_eval (containment): on
     * every banded candidate pair, the signature estimate next to the

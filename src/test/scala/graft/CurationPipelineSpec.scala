@@ -32,40 +32,38 @@ class CurationPipelineSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.subsetOf(all) && s1.size < all.size,
       s"quality gate must bite: ${s1.size} of ${all.size}")
 
-    // 2. near-dup keep-set over the SURVIVORS ONLY: SimHash banding +
-    // connected components, keep the min doc of each component
+    // 2. near-dup keep-set over the SURVIVORS ONLY — the library's
+    // apply-form filter
+    val deduped = Dedup.keepSetOf(quality, 3)
+    val s2 = ids(deduped)
+    assert(s2.subsetOf(s1))
+    // every dropped doc's component keeper IS in the kept set
+    // (recompute components independently for the audit)
     val comps = Dedup.connectedComponents(
       quality.select(col("doc_id").as("id")),
       Dedup.hammingPairs(
         quality.select(col("doc_id").as("id"),
           simhash_text(col("text")).as("fp")), 3)
         .select(col("id_a").as("src"), col("id_b").as("dst")))
-    val keepers = comps.groupBy(col("component"))
-      .agg(min(col("id")).as("doc_id"))
-    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
-    val s2 = ids(deduped)
-    assert(s2.subsetOf(s1))
-    // every dropped doc's component keeper IS in the kept set
     val compMap = comps.collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
     val keeperOf = compMap.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    assert(s2 == compMap.keySet.map(id => keeperOf(compMap(id))),
+      "kept set must be exactly the component representatives")
     (s1 -- s2).foreach { dropped =>
       assert(s2.contains(keeperOf(compMap(dropped))),
         s"dropped $dropped lost its representative") }
 
     // 3. decontamination: drop survivors sharing any 4-gram with the
-    // eval slice (source src0 plays the benchmark)
-    val evalGrams = docs.filter(col("source") === "src0")
-      .select(explode(shingle_hashes(col("text"), 4)).as("gram")).distinct()
-    val contaminated = deduped
-      .select(col("doc_id"), explode(shingle_hashes(col("text"), 4)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // eval slice (source src0 plays the benchmark) — apply-form filter
+    val evalSlice = docs.filter(col("source") === "src0")
+    val clean = Dedup.decontaminateApplyOf(deduped, evalSlice, 4)
     val s3 = ids(clean)
     assert(s3.subsetOf(s2))
     // no clean doc shares a 4-gram with the eval slice (driver check)
-    val evalSet = evalGrams.collect().map(_.getLong(0)).toSet
+    val evalSet = evalSlice
+      .select(explode(shingle_hashes(col("text"), 4)).as("gram")).distinct()
+      .collect().map(_.getLong(0)).toSet
     val cleanGrams = clean
       .select(col("doc_id"), shingle_hashes(col("text"), 4).as("g")).collect()
     cleanGrams.foreach { r =>
