@@ -142,6 +142,25 @@ private[graft] object OracleSql {
       "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
 
+  /** q_dedup_keepset: the apply-form near-dup filter — the simhash
+    * hamming≤3 pair graph's connected components (transitive closure
+    * via recursive CTE, the q_dedup_cluster pattern), keeping each
+    * component's min doc_id. The Spark side's banded pairs are
+    * recall-complete within the ball (pigeonhole), so the component
+    * structure — and hence the kept set — is identical. */
+  def dedupKeepset: String =
+    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + ",\n" +
+      " p AS (SELECT a.doc_id AS va, b.doc_id AS vb" +
+      " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+      " WHERE bit_count(xor(a.fp, b.fp)) <= 3),\n" +
+      " ed AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),\n" +
+      " reach(a, b) AS (SELECT a, b FROM ed" +
+      " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),\n" +
+      " m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)\n" +
+      "SELECT d.doc_id, d.source FROM documents d" +
+      " LEFT JOIN m ON m.a = d.doc_id" +
+      " WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id"
+
   /** q_dedup_edit: the simhash hamming<=3 candidate set exact-verified
     * by unit-cost Levenshtein <= maxEdits over the raw text — the same
     * Wagner-Fischer DP both engines implement (byte vs code-point

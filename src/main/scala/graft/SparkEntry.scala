@@ -139,6 +139,8 @@ object SparkEntry {
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "q_dedup_keepset" -> ((s, d) =>
+      Dedup.keepSetOf(Tables.documents(s, d)).select("doc_id", "source")),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
@@ -1713,6 +1715,7 @@ object SparkEntry {
     // principles (see OracleSql for the mod-2^64 SQL arithmetic), so
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
+    "q_dedup_keepset" -> OracleSql.dedupKeepset,
     "q_dedup_edit" -> OracleSql.dedupEdit(16),
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
     "q_source_overlap" -> OracleSql.sourceOverlap(8),
