@@ -386,6 +386,23 @@ WHERE d.source <> '$evalSource'
 GROUP BY 1, 2"""
   }
 
+  /** q_decontam_apply: the apply-form decontamination filter — the
+    * surviving (doc_id, source) rows after dropping every doc that
+    * shares at least one word-`n`-gram with the eval slice (the
+    * enforcement twin of [[evalContainment]]'s hit report; eval docs
+    * drop themselves, gram-less short docs survive — both by
+    * construction on each engine). */
+  def decontaminateApply(n: Int = 4, evalSource: String = "src0"): String = {
+    val ctes = docGramCtes(n) ++ Seq(
+      "ev AS MATERIALIZED (SELECT DISTINCT dg.gram FROM dg" +
+        s" JOIN documents d ON d.doc_id = dg.doc_id WHERE d.source = '$evalSource')",
+      "hit AS (SELECT DISTINCT dg.doc_id FROM dg" +
+        " JOIN ev ON ev.gram = dg.gram)")
+    "WITH " + ctes.mkString(",\n ") +
+      "\nSELECT d.doc_id, d.source FROM documents d" +
+      " WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = d.doc_id)"
+  }
+
   /** q_containment: Broder containment pairs over the same per-doc
     * DISTINCT gram sets — the prefix filter is exact-recall, so the
     * oracle computes the ground truth directly: same-lang gram-keyed

@@ -141,6 +141,12 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_dedup_keepset" -> ((s, d) =>
       Dedup.keepSetOf(Tables.documents(s, d)).select("doc_id", "source")),
+    "q_decontam_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateApplyOf(docs,
+        docs.filter(org.apache.spark.sql.functions.col("source") === "src0"), 4)
+        .select("doc_id", "source")
+    }),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
@@ -1716,6 +1722,7 @@ object SparkEntry {
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_keepset" -> OracleSql.dedupKeepset,
+    "q_decontam_apply" -> OracleSql.decontaminateApply(4),
     "q_dedup_edit" -> OracleSql.dedupEdit(16),
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
     "q_source_overlap" -> OracleSql.sourceOverlap(8),
