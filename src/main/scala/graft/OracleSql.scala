@@ -153,7 +153,7 @@ private[graft] object OracleSql {
       " p AS (SELECT a.doc_id AS va, b.doc_id AS vb" +
       " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       " WHERE bit_count(xor(a.fp, b.fp)) <= 3),\n" +
-      " ed AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),\n" +
+      " ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),\n" +
       " reach(a, b) AS (SELECT a, b FROM ed" +
       " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),\n" +
       " m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)\n" +

@@ -127,8 +127,12 @@ object Dedup {
         docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
         maxHamming)
         .select(col("id_a").as("src"), col("id_b").as("dst")))
-    val keepers = comps.groupBy(col("component"))
-      .agg(min(col("id")).as("doc_id"))
+    // CC labels every node with its component's MIN id (contract of
+    // connectedComponents), so the keeper set is exactly the rows
+    // where id == component — a narrow filter, no extra aggregate
+    // shuffle over the label set.
+    val keepers = comps.filter(col("id") === col("component"))
+      .select(col("id").as("doc_id"))
     docs.join(keepers, Seq("doc_id"), "left_semi")
   }
 

@@ -37,8 +37,12 @@ class CurationPipelineSpec extends SparkSpec {
     val deduped = Dedup.keepSetOf(quality, 3)
     val s2 = ids(deduped)
     assert(s2.subsetOf(s1))
-    // every dropped doc's component keeper IS in the kept set
-    // (recompute components independently for the audit)
+    // every dropped doc's component keeper IS in the kept set.
+    // The audit reuses hammingPairs/connectedComponents (the same
+    // kernels keepSetOf wraps) — it cross-checks the keeper-cut and
+    // semi-join plumbing, not the CC kernel itself; the CC kernel's
+    // independent check is the recursive-CTE DuckDB oracle
+    // (OracleSql.dedupKeepset) and DedupSpec's driver references.
     val comps = Dedup.connectedComponents(
       quality.select(col("doc_id").as("id")),
       Dedup.hammingPairs(
