@@ -136,6 +136,40 @@ object Bench {
     val medians = names.map(n =>
       n -> median(samples(n).collect { case (t, false, _) => t })).toMap
     val failedNames = names.filter(n => samples(n).exists(_._2))
+    // ---- self-adjudication against the BASELINE.md pins -----------
+    // The gate's claim ("zero rows over 2×") and the artifact must be
+    // one object a reader can't cross-check wrong (the r8 artifact
+    // recorded a 2.44× row while the gate prose claimed zero): load
+    // the pins, emit per-run geomean + the flag list, and re-run any
+    // flagged row bench-only (median-of-5, same process) so the
+    // artifact carries its own adjudication evidence. A flagged row
+    // has historically always been host noise (GC pause, steal storm,
+    // JIT recompile) — the rerun settles it either way, recorded.
+    val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "BASELINE.md")
+    val pinRow = """\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\*?\s*\|""".r
+    val pins: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(pinsPath, "UTF-8")
+        try src.getLines().collect { case pinRow(n, s) => n -> s.toDouble }.toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    def ratioOf(n: String, med: Double): Option[Double] =
+      pins.get(n).filter(_ > 0).filter(_ => !med.isNaN).map(med / _)
+    val ratios0 = names.flatMap(n => ratioOf(n, medians(n)).map(n -> _)).toMap
+    val geomean =
+      if (ratios0.isEmpty) Double.NaN
+      else math.exp(ratios0.values.map(math.log).sum / ratios0.size)
+    val flagged = ratios0.filter(_._2 > 2.0).keys.toSeq.sorted
+    // in-process rerun is JIT/cache-warm vs the driver's cold pass —
+    // that BIAS IS THE POINT: it isolates "plan got slower" (warm rerun
+    // still breaches) from "host had a bad minute" (warm rerun clears)
+    val adjSamples = flagged.map { n =>
+      n -> (1 to 5).map(_ => timeOnce(n, SparkEntry.queries(n))).toVector
+    }.toMap
+    val adjMedians = adjSamples.map { case (n, reps) =>
+      n -> median(reps.collect { case (t, false, _) => t }) }
+    val over2x = flagged.filter(n =>
+      ratioOf(n, adjMedians(n)).forall(_ > 2.0)).sorted
     // dump formatted physical plans of the slowest queries so a bench
     // regression comes with its plan attached (stdout stays one JSON
     // line; plans go to files)
@@ -178,8 +212,18 @@ object Bench {
       .filter(_._2.nonEmpty)
       .map { case (n, is) => s"\"$n\":${is.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    // adjudication block: original ratio, the 5 warm rerun samples,
+    // their median, and the post-rerun ratio — self-contained evidence
+    val adjJson = flagged.map { n =>
+      val repsJson = adjSamples(n).map { case (t, fail, _) =>
+        if (fail) "null" else t.toString }.mkString("[", ",", "]")
+      val r0 = ratios0(n)
+      val r1 = ratioOf(n, adjMedians(n)).map(_.toString).getOrElse("null")
+      s""""$n":{"ratio":$r0,"rerun_samples":$repsJson,"rerun_median":${jd(adjMedians(n))},"rerun_ratio":$r1}"""
+    }.mkString("{", ",", "}")
+    val over2xJson = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val artifact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"failed":$failedJson,"cold_reps":$trainedJson,"sf":"$sfDir","reps":$reps,"steal_start":$steal0,"steal_end":$steal1,"steal_delta":${steal1 - steal0}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$allSamples,"failed":$failedJson,"cold_reps":$trainedJson,"sf":"$sfDir","reps":$reps,"steal_start":$steal0,"steal_end":$steal1,"steal_delta":${steal1 - steal0},"pins_matched":${ratios0.size},"ratios_geomean":${jd(geomean)},"flagged":$adjJson,"over2x":$over2xJson}"""
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -199,8 +243,11 @@ object Bench {
     // carried in the `failed` array of both JSON forms
     names.filterNot(n => medians(n).isNaN)
       .foreach(n => println(s"BENCHQ $n ${fmt(medians(n), 3)}"))
+    // over2x is post-adjudication (names that breached 2× their pin
+    // AND stayed over in the warm rerun) — normally [], a handful of
+    // bytes; the full flag/rerun evidence lives in the artifact
     println(
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"artifact":"$outPath"}""")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${names.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,"steal_delta":${steal1 - steal0},"ratios_geomean":${fmt(geomean, 3)},"over2x":$over2xJson,"artifact":"$outPath"}""")
     spark.stop()
   }
 }

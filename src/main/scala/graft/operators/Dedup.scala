@@ -35,6 +35,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
+  /** The word-shingle width of the MinHash family — the ONE constant
+    * [[minhashPairsOf]] (the sketch) and [[minhashCalibration]] (its
+    * exact-Jaccard ground truth) both read, so signature and truth
+    * can never silently measure different gram sets (the dsirWeightsSql
+    * structural-sharing rule: shared literals live in one place). */
+  val MinhashShingleSize: Int = 3
+
   /** MinHash+LSH near-dup candidates: word-3-gram shingles → 64-hash
     * signature → 8 bands × 8 rows → equi-join on (band, band-hash).
     * `est_jaccard` = matching signature fraction.
@@ -88,7 +95,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = docs
       .select(col("doc_id"),
-        minhash_shingles(col("text"), 3, numHashes).as("sig"))
+        minhash_shingles(col("text"), MinhashShingleSize, numHashes).as("sig"))
     // band join on (band, band-hash, id) ONLY — 24-byte rows. The
     // 64-long signatures would otherwise ride the self-join 8× per
     // side; they are re-attached once per side after the candidate
@@ -169,7 +176,8 @@ object Dedup {
                          numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val pairs = minhashPairs(spark, dir, numHashes, bands)
     val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("grams"))
+      .select(col("doc_id"),
+        shingle_hashes(col("text"), MinhashShingleSize).as("grams"))
     val ni = size(array_intersect(col("grams_a"), col("grams_b")))
     val nu = size(col("grams_a")) + size(col("grams_b")) - ni
     val exact = ni.cast("double") / nu.cast("double")

@@ -700,10 +700,13 @@ object Monitoring {
     * (#topics×7×24 rows). Flags are multiplied through —
     * c·n_win > 2·n (above 2× the per-present-window seasonal mean)
     * and 2·c·n_win < n (below half) — exact integer comparisons; the
-    * ratio is the pair's one division. Products stay in BIGINT: at
-    * c ≤ 1e9 events/window and n_win ≤ 1e5 windows they are < 1e14,
-    * far under 2⁶³. */
+    * ratio is the pair's one division. Products ride DECIMAL(38,0)
+    * (operands cast to DECIMAL(19,0), the [[inverseSimpsonOf]] square
+    * idiom): raw BIGINT would silently wrap past 2⁶³ where the DuckDB
+    * oracle errors loudly — the two engines must not diverge in
+    * DIFFERENT ways; decimal keeps both exact to 1e38. */
   def seasonalResidual(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
     val hourly = hourlyGrid(spark, dir)
     val profile = seasonalProfileOf(hourly)
       .select(col("topic").as("p_topic"), col("dow").as("p_dow"),
@@ -714,10 +717,12 @@ object Monitoring {
           col("hod") === col("p_hod"))
       .select(col("window_start"), col("topic"), col("c"), col("n"),
         col("n_win"),
-        ((col("c") * col("n_win")).cast("double") / col("n").cast("double"))
-          .as("seasonal_ratio"),
-        (col("c") * col("n_win") > col("n") * 2L).as("flag_high"),
-        (col("c") * col("n_win") * 2L < col("n")).as("flag_low"))
+        ((col("c").cast(d19) * col("n_win").cast(d19)).cast("double") /
+          col("n").cast("double")).as("seasonal_ratio"),
+        (col("c").cast(d19) * col("n_win").cast(d19) >
+          col("n").cast(d19) * lit(2L).cast(d19)).as("flag_high"),
+        (col("c").cast(d19) * col("n_win").cast(d19) * lit(2L).cast(d19) <
+          col("n").cast(d19)).as("flag_low"))
   }
 
   /** The (topic, window_start, c, dow, hod) hourly grid both seasonal

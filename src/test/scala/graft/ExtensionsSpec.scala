@@ -162,10 +162,21 @@ class ExtensionsSpec extends SparkSpec {
       val textShuffleBytes = lastShuffleBytes()
       assert(textShuffleBytes > 0)
       // SURVEY's dedup contract made measurable: the fingerprint
-      // shuffle must be well under what the same engine pays to move
-      // the (compressed) text itself
-      assert(dedupBytes * 2 < textShuffleBytes,
+      // shuffle must be under what the same engine pays to move the
+      // (compressed) text itself. Margin 1.25×, not 2×: the gap this
+      // asserts is fingerprint-vs-text, and a shuffle-codec change
+      // that compresses text harder shrinks the baseline without any
+      // plan regression — the wide raw corpus ratio is re-asserted
+      // codec-independently by the records leg below.
+      assert(dedupBytes * 5 < textShuffleBytes * 4,
         s"dedup shuffled $dedupBytes bytes vs text-shuffle baseline $textShuffleBytes")
+      // codec-proof leg: the dedup shuffle moves ~one row per doc
+      // (fingerprint partials), never a text-expanded row set — record
+      // counts don't compress, so no codec can flake this bound
+      val nDocs = Tables.documents(spark, sfDir).count()
+      val dedupRecords = snap.head.metrics.getOrElse("shuffleRecordsWritten", 0L)
+      assert(dedupRecords > 0 && dedupRecords <= nDocs * 2,
+        s"dedup shuffled $dedupRecords records for $nDocs docs")
     } finally QueryMetrics.detach(spark, qm)
   }
 }
