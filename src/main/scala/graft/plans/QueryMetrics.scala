@@ -81,12 +81,60 @@ final class QueryMetrics private (keep: Int) extends QueryExecutionListener {
   def clear(): Unit = records.clear()
 }
 
+/** Everything `thunk` shuffled, summed task-level per stage:
+  * total write bytes/records plus the per-stage breakdown (bytes,
+  * records) for stages that wrote any shuffle data. */
+final case class ShuffleWriteTotals(bytes: Long, records: Long,
+                                    perStage: Seq[(Long, Long)])
+
 object QueryMetrics {
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession, keep: Int = 256): QueryMetrics = {
     val qm = new QueryMetrics(keep)
     spark.listenerManager.register(qm)
     qm
+  }
+
+  /** Task-level shuffle-write totals for every job `thunk` runs —
+    * including the jobs [[QueryMetrics]] itself never sees:
+    * `Dataset.checkpoint`/`localCheckpoint` materializations execute
+    * as raw RDD jobs with no QueryExecution, so a listener-based
+    * contract over a checkpointing operator would silently miss the
+    * one stage most likely to carry the regression. This is the
+    * measuring arm of the shuffle-volume CONTRACT specs: run the
+    * operator, get (bytes, records, per-stage breakdown), assert the
+    * stated bound. Records are codec-independent; per-stage
+    * bytes/record separates scalar rows from vector/text payloads
+    * that a total average would wash out.
+    *
+    * Scheduler events arrive async on the listener bus — the reader
+    * settles on two equal consecutive snapshots (the Bench stats
+    * spin) before returning. Not reentrant per-session (counts are
+    * global), so callers must not run concurrent queries. */
+  def measureShuffleWrite(spark: SparkSession)(thunk: => Unit): ShuffleWriteTotals = {
+    val stages = new ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null)
+          stages.add((m.shuffleWriteMetrics.bytesWritten,
+            m.shuffleWriteMetrics.recordsWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      thunk
+      var prev = -1
+      var spins = 0
+      while (prev != stages.size() && spins < 200) {
+        prev = stages.size()
+        Thread.sleep(50)
+        spins += 1
+      }
+      val per = stages.asScala.toSeq.filter(s => s._1 > 0 || s._2 > 0)
+      ShuffleWriteTotals(per.map(_._1).sum, per.map(_._2).sum, per)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   /** Detach a previously attached listener. */

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.plans.QueryMetrics
+
+/** Measured shuffle-volume CONTRACTS (the r8 x_metrics idea applied
+  * across the scale-critical operators): each test states the byte /
+  * record bound the operator's 100 TB story depends on and asserts it
+  * against live task-level shuffle metrics, so a plan regression that
+  * silently starts moving documents / vectors / the corpus through an
+  * exchange fails the build instead of surfacing as a cluster bill.
+  *
+  * Two measurement idioms, both codec-aware:
+  *  - INVARIANCE: double every document's text and assert shuffle
+  *    bytes stay flat — the fixed-size-sketch contract ("shuffles
+  *    signatures, not documents") made falsifiable without guessing
+  *    the shuffle codec's text compression ratio.
+  *  - PER-STAGE bytes/record: scalar rows (ids, codes, decimal
+  *    partials) serialize tens of bytes; a raw 64-float embedding is
+  *    256 B of incompressible mantissa — a stage moving vectors can't
+  *    hide under a low whole-query average.
+  */
+class ShuffleContractSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Same corpus, every text doubled (self-concatenated): same doc
+    * count, same vocabulary, ~2× the text mass. Fixed-size-sketch
+    * operators must shuffle the SAME bytes over it. */
+  private def docs2x: DataFrame =
+    docs.withColumn("text", concat_ws(" ", col("text"), col("text")))
+
+  test("minhash band join shuffles signatures, never documents: 2x text mass moves ~nothing extra") {
+    val pair = docs.select(col("doc_id"), col("text"))
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      Dedup.minhashPairsOf(pair, 64, 8).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      Dedup.minhashPairsOf(
+        docs2x.select(col("doc_id"), col("text")), 64, 8).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // signature geometry (64 hashes, 8 bands) is independent of text
+    // length, so the doubled corpus may only move the signature noise
+    // (slightly different band hashes → slightly different candidate
+    // sets): bound 1.4× + 16 KiB. A plan that lets text ride any
+    // exchange doubles its bytes and breaches.
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text mass grew the minhash shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
+
+  test("BPE token metering shuffles (source, word) cells, not the corpus") {
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.tokenBpeOf(docs, merges = 16).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.tokenBpeOf(docs2x, merges = 16).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // the (source, word) aggregate is dictionary-bounded: doubling
+    // every document's token count leaves the cell set identical (only
+    // the n_inst values grow), so shuffle bytes must stay flat — a
+    // regression that shuffles token instances instead of per-cell
+    // partials doubles. Bound 1.4× + 16 KiB.
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling the corpus grew the BPE shuffle ${base.bytes} -> ${doubled.bytes}")
+    // and the cell contract in absolute record terms: every shuffled
+    // row is a per-partition (source, word) partial, a vocabulary join
+    // row, or a count partial — bounded by cells × input partitions,
+    // nowhere near the corpus token count
+    val cells = docs.select(col("source"),
+      explode(split(col("text"), "\\s+")).as("w")).distinct().count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(base.records <= cells * (parts + 4),
+      s"${base.records} shuffled records for $cells (source, word) cells")
+  }
+
+  test("tiled cosine kernel shuffles (tiles+1)-replicated vectors, never the candidate pair space") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val tiles = 8
+    val m = QueryMetrics.measureShuffleWrite(spark) {
+      Dedup.cosinePairs(spark, sfDir, tiles = tiles).count()
+    }
+    // the within-label pair space the kernel covers WITHOUT ever
+    // materializing it through an exchange
+    val candidatePairs = emb.groupBy(col("label")).count()
+      .agg(sum((col("count") * (col("count") - 1)).cast("long") / 2).cast("long"))
+      .head().getLong(0)
+    // stated bound: each vector is replicated to at most tiles+1 tile
+    // cells per join side (the fragment-replicate scheme), plus
+    // aggregate partials — linear in vectors, NOT in pairs. At this
+    // corpus 2·n·(tiles+1) = 9000 vs ~12k candidate pairs; a plan that
+    // shuffles candidates (or worse, qualifying pairs with vectors
+    // attached) breaches immediately.
+    assert(m.records <= 2 * n * (tiles + 1) + 1024,
+      s"${m.records} shuffled records for $n vectors (tiles=$tiles)")
+    assert(m.records < candidatePairs,
+      s"${m.records} shuffled records reached the $candidatePairs-pair candidate space")
+  }
+
+  test("PQ ADC ranking: no stage shuffles vectors — every exchanged row is scalar") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val m = QueryMetrics.measureShuffleWrite(spark) {
+      // the uncached full plan (train + encode + ADC rank): the shared
+      // materialized-frame cache would hide the training shuffles
+      Ann.pqTopKPlan(emb, k = 5, nQueries = 10, dsub = 8, lloydRounds = 2).count()
+    }
+    assert(m.records > 0, s"no shuffle measured: $m")
+    // stated bound: the candidate shuffle carries (query_id, vec_id,
+    // distance partial) rows and the train/encode shuffles carry
+    // (vec_id, subspace, code, decimal) rows — ≤ ~100 B serialized.
+    // A raw 64-float embedding is 256 B of incompressible mantissa;
+    // any stage that lets vectors ride an exchange blows past the
+    // per-stage average. (Tiny stages — count partials — are skipped:
+    // framing overhead dominates below 64 rows.)
+    val offenders = m.perStage.filter { case (b, r) => r >= 64 && b > r * 100 }
+    assert(offenders.isEmpty,
+      s"stages averaging >100 B/record: $offenders (all: ${m.perStage})")
+  }
+}
