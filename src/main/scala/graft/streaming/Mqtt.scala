@@ -38,7 +38,10 @@ object Mqtt {
   final case class Connack(returnCode: Int) extends Packet
   final case class Subscribe(packetId: Int, filter: String, qos: Int) extends Packet
   final case class Suback(packetId: Int, grantedQos: Int) extends Packet
-  final case class Publish(topic: String, payload: Array[Byte]) extends Packet
+  final case class Publish(topic: String, payload: Array[Byte],
+                           qos: Int = 0, packetId: Int = 0,
+                           dup: Boolean = false) extends Packet
+  final case class Puback(packetId: Int) extends Packet
   case object PingReq extends Packet
   case object PingResp extends Packet
   case object Disconnect extends Packet
@@ -106,6 +109,25 @@ object Mqtt {
     def publish(topic: String, payload: Array[Byte]): Array[Byte] =
       packet(0x30, utf8Field(topic) ++ payload)
 
+    /** QoS-1 PUBLISH (§3.3.1): fixed-header QoS bits 01, DUP bit set on
+      * a redelivery, and the packet id after the topic (§3.3.2.2) —
+      * the at-least-once delivery the reference's deduplicated topics
+      * (`*-mqtt-raw-deduplicated`) imply upstream. */
+    def publishQos1(topic: String, packetId: Int, payload: Array[Byte],
+                    dup: Boolean = false): Array[Byte] = {
+      require(packetId > 0 && packetId <= 0xffff,
+        s"QoS-1 packet id must be a nonzero 16-bit value, got $packetId")
+      packet(0x32 | (if (dup) 0x08 else 0x00),
+        utf8Field(topic) ++
+          Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte) ++
+          payload)
+    }
+
+    /** PUBACK (§3.4): the receiver's QoS-1 acknowledgement — body is
+      * the acked PUBLISH's packet id. */
+    def puback(packetId: Int): Array[Byte] =
+      packet(0x40, Array[Byte]((packetId >> 8).toByte, (packetId & 0xff).toByte))
+
     def pingReq: Array[Byte] = packet(0xc0, Array.emptyByteArray)
     def pingResp: Array[Byte] = packet(0xd0, Array.emptyByteArray)
     def disconnect: Array[Byte] = packet(0xe0, Array.emptyByteArray)
@@ -145,10 +167,24 @@ object Mqtt {
         case 2 =>
           if (body.length < 2) throw new IOException("truncated CONNACK")
           Some(Connack(body(1) & 0xff))
-        case 3 => // QoS-0 PUBLISH only (the monitor never subscribes above QoS 0)
-          if (((first >> 1) & 0x03) != 0) throw new IOException("QoS >0 PUBLISH unsupported")
+        case 3 => // PUBLISH, QoS 0 or 1 (QoS 2's two-phase handshake is
+          // not a monitoring client's business — reject loudly)
+          val qos = (first >> 1) & 0x03
+          if (qos > 1) throw new IOException("QoS 2 PUBLISH unsupported")
+          val dup = (first & 0x08) != 0
           val (topic, p1) = readUtf8(body, 0)
-          Some(Publish(topic, java.util.Arrays.copyOfRange(body, p1, body.length)))
+          if (qos == 0)
+            Some(Publish(topic, java.util.Arrays.copyOfRange(body, p1, body.length)))
+          else {
+            if (p1 + 2 > body.length) throw new IOException("truncated QoS-1 PUBLISH packet id")
+            val pid = ((body(p1) & 0xff) << 8) | (body(p1 + 1) & 0xff)
+            Some(Publish(topic,
+              java.util.Arrays.copyOfRange(body, p1 + 2, body.length),
+              qos = 1, packetId = pid, dup = dup))
+          }
+        case 4 =>
+          if (body.length < 2) throw new IOException("truncated PUBACK")
+          Some(Puback(((body(0) & 0xff) << 8) | (body(1) & 0xff)))
         case 8 =>
           if (body.length < 2) throw new IOException("truncated SUBSCRIBE")
           val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
@@ -241,8 +277,22 @@ object Mqtt {
                              clock: () => Double = () => System.nanoTime() / 1e9,
                              clientId: String = "graft-monitor",
                              onPublish: Publish => Unit = _ => (),
-                             onDisconnect: () => Unit = () => ()) {
+                             onDisconnect: () => Unit = () => (),
+                             subscribeQos: Int = 0) {
+    require(subscribeQos == 0 || subscribeQos == 1,
+      s"subscribeQos must be 0 or 1, got $subscribeQos")
     val window = new RateWindow(keepAliveSecs, clock)
+
+    /** Count + hand off, then PUBACK a QoS-1 delivery — ack strictly
+      * AFTER onPublish so a crash between spool and ack leads to
+      * broker REDELIVERY (folded downstream by dedupStream), never to
+      * a silently lost message: the at-least-once contract behind the
+      * reference's `*-mqtt-raw-deduplicated` topics. */
+    private def deliver(p: Publish, out: OutputStream): Unit = {
+      window.onMessage()
+      onPublish(p)
+      if (p.qos == 1) send(out, Wire.puback(p.packetId))
+    }
     @volatile private var socket: Socket = _
     @volatile private var running = false
     @volatile private var starting = false
@@ -277,7 +327,7 @@ object Mqtt {
           case _ => s.close(); return false
         }
         filters.zipWithIndex.foreach { case (f, i) =>
-          send(out, Wire.subscribe(packetId = i + 1, f))
+          send(out, Wire.subscribe(packetId = i + 1, f, subscribeQos))
           // §3.8.4: the broker may start delivering PUBLISHes for an
           // earlier subscription before this SUBACK arrives — count
           // them instead of treating them as a handshake failure
@@ -286,7 +336,7 @@ object Mqtt {
           var acked = false
           while (!acked) Wire.readPacket(in) match {
             case Some(Suback(pid, _)) if pid == i + 1 => acked = true
-            case Some(p: Publish) => window.onMessage(); onPublish(p)
+            case Some(p: Publish) => deliver(p, out)
             case Some(PingResp) => ()
             case _ => s.close(); return false
           }
@@ -345,7 +395,7 @@ object Mqtt {
         var live = true
         while (live) {
           Wire.readPacket(in) match {
-            case Some(p: Publish) => window.onMessage(); onPublish(p)
+            case Some(p: Publish) => deliver(p, out)
             case Some(PingReq) => send(out, Wire.pingResp)
             case Some(PingResp) | Some(_: Suback) => ()
             case Some(Disconnect) | None => live = false

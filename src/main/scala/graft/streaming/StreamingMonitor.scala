@@ -517,6 +517,89 @@ object StreamingMonitor {
       }
   }
 
+  /** [[streamGapFill]] for LOOSER upstreams: the strict emitter treats
+    * an arriving count as its window's sealed value and interpolates
+    * zeros all the way up to it — correct when the upstream delivers
+    * windows in seal order (Append-mode window aggs do), but an
+    * upstream that seals out of order (multi-partition replay, a
+    * recovering feed) would watch the advancing frontier zero-fill
+    * PAST a still-in-flight count and drop it on arrival. Here
+    * nothing is interpolated ahead of the WATERMARK: arriving counts
+    * are buffered in state, and every row (count or zero) is emitted
+    * only when the watermark seals its window — so a count arriving
+    * within `maxDelay` of the stream's frontier can never be lost,
+    * whatever the arrival order. The price is emission latency
+    * (≤ the watermark delay) where the strict emitter emits counts
+    * the moment they arrive; the strict default is unchanged.
+    *
+    * Output is frontier-ordered per topic across batches (each window
+    * exactly once, in event-time order) — the ordering contract
+    * [[streamCusum]] requires, so the silent-feed alerting chain
+    * composes with this stage exactly as with the strict one
+    * (asserted by spec against the batch panel). State per topic is
+    * the sealed frontier plus the pending count buffer, bounded by
+    * ~maxDelay / windowMs entries. Duplicate deliveries of one window
+    * fold to the first, like the strict frontier re-check. */
+  def streamGapFillLoose(counts: Dataset[CountPoint],
+                         windowMs: Long = 3600000L,
+                         maxDelay: String = "2 hours"): Dataset[CountPoint] = {
+    import counts.sparkSession.implicits._
+    val w = windowMs
+    counts
+      .withWatermark("window_start", maxDelay)
+      .as[CountPoint]
+      .groupByKey(_.topic)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]), CountPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (topic, rows, state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (frontier, pendSeq) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, Long)]))
+          val pending = scala.collection.mutable.SortedMap[Long, Long](pendSeq: _*)
+          if (!state.hasTimedOut) rows.foreach { r =>
+            val ws = r.window_start.getTime
+            // ≤ frontier ⇒ the window already sealed, which means the
+            // watermark passed it before this arrival — watermark-late
+            // by definition (Spark's pre-operator late filter usually
+            // drops these first); first delivery wins inside the buffer
+            if (ws > frontier && !pending.contains(ws))
+              pending(ws) = r.msg_count
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[CountPoint]
+          // anchor the grid at the topic's FIRST count — but only once
+          // the watermark seals it: anchoring on arrival would let an
+          // early-window count still within maxDelay arrive "behind" a
+          // later-window anchor and be dropped, the exact loss this
+          // variant exists to prevent. (No yet-unseen window below the
+          // anchor can be in flight at that point: it would already be
+          // watermark-late.)
+          if (frontier == Long.MinValue && pending.nonEmpty &&
+              pending.head._1 + w <= wm) {
+            frontier = pending.head._1 - w
+          }
+          if (frontier != Long.MinValue) {
+            // seal every window whose END the watermark has passed:
+            // buffered count if present, interpolated zero otherwise
+            while (frontier + 2 * w <= wm) {
+              val s = frontier + w
+              out += CountPoint(topic, new java.sql.Timestamp(s),
+                pending.remove(s).getOrElse(0L))
+              frontier = s
+            }
+            state.update((frontier, pending.toSeq))
+            // strictly ahead of the watermark by the loop exit condition
+            state.setTimeoutTimestamp(frontier + 2 * w)
+          } else if (pending.nonEmpty) {
+            state.update((frontier, pending.toSeq))
+            // first seal fires when the watermark passes the earliest
+            // buffered window's end (+w, the seal-loop lookahead);
+            // > wm because the anchor above did not trigger
+            state.setTimeoutTimestamp(pending.head._1 + 2 * w)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the batch q_cusum panel: Page's two-sided CUSUM
     * per topic over a windowed-count stream. The batch query replaces
     * the serial recurrences with window closed forms; HERE the

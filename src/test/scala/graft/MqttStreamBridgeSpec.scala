@@ -99,6 +99,90 @@ class MqttStreamBridgeSpec extends SparkSpec {
     assert(rows.toSeq == Seq("run-1", "run-2"))
   }
 
+  test("QoS-1 redelivery: broker resends until PUBACK, spool + dedupStream folds the duplicate exactly once") {
+    import java.io.DataInputStream
+    import java.net.ServerSocket
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import graft.streaming.Mqtt.Wire
+    // At-least-once broker: delivers pid=9, redelivers it with DUP set
+    // (as if the first PUBACK was lost in flight), then a fresh pid=10 —
+    // each wave gated on actually RECEIVING the client's PUBACK.
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val acks = scala.collection.mutable.ArrayBuffer[Int]()
+    val done = new CountDownLatch(1)
+    val brokerThread = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        assert(Wire.readPacket(in).exists(_.isInstanceOf[Mqtt.Connect]))
+        out.write(Wire.connack(0)); out.flush()
+        Wire.readPacket(in) match {
+          case Some(Mqtt.Subscribe(id, _, qos)) =>
+            assert(qos == 1, s"client requested QoS $qos, wanted 1")
+            out.write(Wire.suback(id, 1)); out.flush()
+          case other => fail(s"broker expected SUBSCRIBE, got $other")
+        }
+        def awaitPuback(): Unit = {
+          var got = false
+          while (!got) Wire.readPacket(in) match {
+            case Some(Mqtt.Puback(pid)) => acks += pid; got = true
+            case Some(Mqtt.PingReq) => out.write(Wire.pingResp); out.flush()
+            case Some(Mqtt.Disconnect) | None => fail("connection died awaiting PUBACK")
+            case _ => ()
+          }
+        }
+        out.write(Wire.publishQos1("hfp/v2/a", 9,
+          "m-9".getBytes(StandardCharsets.UTF_8))); out.flush()
+        awaitPuback()
+        out.write(Wire.publishQos1("hfp/v2/a", 9,
+          "m-9".getBytes(StandardCharsets.UTF_8), dup = true)); out.flush()
+        awaitPuback()
+        out.write(Wire.publishQos1("hfp/v2/b", 10,
+          "m-10".getBytes(StandardCharsets.UTF_8))); out.flush()
+        awaitPuback()
+        done.countDown()
+        var live = true
+        while (live) Wire.readPacket(in) match {
+          case Some(Mqtt.PingReq) => out.write(Wire.pingResp); out.flush()
+          case Some(Mqtt.Disconnect) | None => live = false
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    }, "qos1-broker")
+    brokerThread.setDaemon(true)
+    brokerThread.start()
+    val dir = Files.createTempDirectory("graft-spool-qos1-")
+    val spool = new MqttStreamBridge.Spool(dir, clock = () => t0)
+    try {
+      val client = new Mqtt.CountingClient("127.0.0.1", server.getLocalPort,
+        filters = Seq("hfp/v2/#"), onPublish = spool.onPublish, subscribeQos = 1)
+      assert(client.start())
+      // the broker's own gating proves the client PUBACKed every wave —
+      // including the DUP redelivery, which MUST be re-acked (§4.3.2)
+      assert(done.await(10, TimeUnit.SECONDS), "broker never got all PUBACKs")
+      assert(acks.toSeq == Seq(9, 9, 10), s"ack sequence: $acks")
+      client.stop()
+    } finally server.close()
+    // transport level counts all three deliveries (at-least-once);
+    // the spool carries them all — acked strictly AFTER spooling
+    assert(spool.flush() == 3)
+    // downstream, dedupStream is exactly the fold the reference's
+    // *-mqtt-raw-deduplicated topics promise: the redelivered message
+    // survives ONCE, the distinct message untouched
+    val deduped = StreamingMonitor.dedupStream(
+      MqttStreamBridge.source(spark, dir.toString), Seq("topic", "payload"))
+    val q = deduped.writeStream.format("memory").queryName("qos1_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("qos1_dedup").collect()
+        .map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+      assert(rows == Seq(("hfp/v2/a", "m-9"), ("hfp/v2/b", "m-10")),
+        s"deduped rows: $rows")
+    } finally q.stop()
+  }
+
   test("empty flush writes nothing; payloads with JSON-hostile chars round-trip") {
     val dir = Files.createTempDirectory("graft-spool-")
     val spool = new MqttStreamBridge.Spool(dir, clock = () => t0)

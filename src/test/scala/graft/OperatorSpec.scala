@@ -285,6 +285,55 @@ class OperatorSpec extends SparkSpec {
     assert(conf("spark.sql.session.timeZone") == "UTC")
     assert(conf("spark.sql.files.maxPartitionBytes").toLong == 134217728L)
     assert(conf("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // checkpoint hygiene: iterative operators (connected components) and
+    // materializing ones (tokenBpeOf's perSourceWord) checkpoint per
+    // call; reliable checkpoint files are never deleted by Spark on its
+    // own, so a long-lived graft session MUST run with the cleaner
+    // enabled or nightly runs accumulate dirs on the object store
+    assert(conf("spark.cleaner.referenceTracking.cleanCheckpoints") == "true")
+  }
+
+  test("repeated tokenBpeOf calls leave no checkpoint dirs in a default session") {
+    // the shared test session has NO checkpoint dir configured — the
+    // library falls back to localCheckpoint (block-manager-backed,
+    // ContextCleaner-evicted), so repeated metering calls must neither
+    // require a dir nor create one behind the caller's back
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val docs = Tables.documents(spark, sfDir)
+    val first = graft.operators.TextAnalysis.tokenBpeOf(docs, merges = 4).count()
+    (1 to 2).foreach { _ =>
+      assert(graft.operators.TextAnalysis.tokenBpeOf(docs, merges = 4).count() == first)
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "tokenBpeOf configured a checkpoint dir behind the caller's back")
+  }
+
+  test("a non-UTC session timezone fails the events read loudly, then UTC variants pass") {
+    val tzConf = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzConf)
+    // the guard protects the NTZ→TIMESTAMP cast; driver rounds have also
+    // shipped ts as TIMESTAMP(NANOS)/long, where no cast happens — skip
+    // (not vacuously pass) when this round's layout makes the branch inert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assume(spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "events.ts is not NTZ this round")
+    try {
+      // a short id that RESOLVES (Spark validates the conf value) but is
+      // not UTC: the NTZ→TIMESTAMP cast would silently shift every event
+      // by the host offset — the guard must refuse with the explanation
+      spark.conf.set(tzConf, "PST")
+      val e = intercept[IllegalArgumentException](
+        Tables.events(spark, sfDir).count())
+      assert(e.getMessage.contains("requires a UTC session timezone"),
+        e.getMessage)
+      // any UTC-equivalent spelling passes — the guard checks the rules,
+      // not the string
+      Seq("UTC", "Etc/UTC", "GMT", "+00:00").foreach { z =>
+        spark.conf.set(tzConf, z)
+        assert(Tables.events(spark, sfDir).count() > 0, s"zone $z refused")
+      }
+    } finally spark.conf.set(tzConf, prev)
   }
 
   test("dhash: identical payloads collide, near payloads are close") {

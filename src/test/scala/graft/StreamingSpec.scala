@@ -916,6 +916,117 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("loose gap fill: an out-of-seal-order count within the watermark is kept, zeros defer to the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+    val feed = Seq(
+      Seq(cp(3, 7L)),                                      // later window FIRST
+      Seq(cp(1, 5L)),                                      // earlier window second, within maxDelay
+      Seq(cp(3, 99L)),                                     // duplicate of an in-flight window
+      Seq(graft.streaming.CountPoint("__s__", ts(10), 1L)), // sentinel: advance watermark
+      Seq(graft.streaming.CountPoint("__s__", ts(11), 1L))) // sentinel: fire timeouts
+    def drain(queryName: String,
+              mk: org.apache.spark.sql.Dataset[graft.streaming.CountPoint] =>
+                org.apache.spark.sql.Dataset[graft.streaming.CountPoint]): Set[(Timestamp, Long)] = {
+      val input = MemoryStream[graft.streaming.CountPoint]
+      val q = mk(input.toDS()).writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feed.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+        s.table(queryName).collect().filter(_.getString(0) == "a")
+          .map(r => (r.getTimestamp(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    val loose = drain("gapfill_loose_t",
+      StreamingMonitor.streamGapFillLoose(_, windowMs = 60000L, maxDelay = "3 minutes"))
+    // sealed in window order up to the final watermark (10:11 − 3 min −
+    // one window lookahead = 10:07 ⇒ last sealed window 10:06): the
+    // out-of-order 10:01 count survives, its gap zero-fills, duplicates
+    // fold to the first delivery
+    assert(loose == Set(ts(1) -> 5L, ts(2) -> 0L, ts(3) -> 7L,
+      ts(4) -> 0L, ts(5) -> 0L, ts(6) -> 0L), s"got $loose")
+    // contrast: the STRICT emitter on the same feed anchors at 10:03 on
+    // arrival and drops the 10:01 count behind its frontier — the loss
+    // mode this variant exists for (strict stays correct for seal-ordered
+    // upstreams, which is why it remains the default)
+    val strict = drain("gapfill_strict_contrast_t",
+      StreamingMonitor.streamGapFill(_, windowMs = 60000L))
+    assert(!strict.contains(ts(1) -> 5L), s"strict kept the late count: $strict")
+    assert(strict.contains(ts(3) -> 7L))
+  }
+
+  test("loose gap fill: shuffled seal order still chains into streamCusum equal to the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val hour = 3600000L
+    val grid = graft.operators.Monitoring.gapFilledRates(spark, sfDir).collect()
+      .map(r => graft.streaming.CountPoint(r.getString(0), r.getTimestamp(1),
+        r.getLong(2)))
+    val active = grid.filter(_.msg_count > 0)
+      .sortBy(p => (p.window_start.getTime, p.topic))
+    assert(active.length < grid.length, "corpus has no gaps to fill")
+    val baseline = grid.groupBy(_.topic).map { case (t, rows) =>
+      t -> ((rows.length.toLong, rows.map(_.msg_count).sum))
+    }
+    // deliver each consecutive 3-window block in REVERSED window order,
+    // one batch per window — cross-batch seal disorder the strict
+    // emitter cannot survive. maxDelay is sized from the worst block
+    // span so no shuffled row is watermark-late.
+    val windows = active.map(_.window_start.getTime).distinct.sorted
+    val blocks = windows.grouped(3).toSeq
+    val delayH = blocks.map(b => (b.last - b.head) / hour).max + 1
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = s.conf.get(checkConf)
+    s.conf.set(checkConf, "false")
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val chained = StreamingMonitor.streamCusum(
+      StreamingMonitor.streamGapFillLoose(input.toDS(),
+        maxDelay = s"$delayH hours"), baseline)
+    val q = chained.writeStream.format("memory").queryName("chain_loose_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      blocks.foreach { block =>
+        block.reverse.foreach { wn =>
+          input.addData(active.filter(_.window_start.getTime == wn).toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      }
+      val maxWs = windows.max
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + (delayH + 2) * hour), 1L))
+      q.processAllAvailable()
+      input.addData(graft.streaming.CountPoint("__sentinel__",
+        new Timestamp(maxWs + (delayH + 3) * hour), 1L))
+      q.processAllAvailable()
+      val streamed = s.table("chain_loose_t").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+        .filter(_._1 != "__sentinel__")
+      val hi = active.groupBy(_.topic).view
+        .mapValues(_.map(_.window_start.getTime).max).toMap
+      // on the batch grid the loose chain reproduces the closed-form
+      // panel EXACTLY despite the shuffled seal order — every count
+      // kept, every zero interpolated, frontier-ordered into the CUSUM
+      val inGrid = streamed.filter { case (t, w, _, _, _, _, _) => w <= hi(t) }.toSet
+      val batch = graft.operators.Monitoring.cusumShift(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      assert(inGrid == batch,
+        s"missing=${(batch -- inGrid).take(2)} extra=${(inGrid -- batch).take(2)}")
+      // beyond each topic's last count the watermark keeps sealing
+      // zeros — the silent-feed rows, all zero-count
+      val tail = streamed.filter { case (t, w, _, _, _, _, _) => w > hi(t) }
+      assert(tail.nonEmpty, "no watermark-sealed tail zeros")
+      assert(tail.forall(_._3 == 0L), s"nonzero tail: ${tail.filter(_._3 != 0L).take(3)}")
+    } finally {
+      q.stop()
+      s.conf.set(checkConf, prevCheck)
+    }
+  }
+
   test("streaming gap fill state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
