@@ -191,6 +191,27 @@ private[graft] object OracleSql {
 SELECT source, count(*) AS n_docs, count(DISTINCT component) AS n_kept
 FROM comp GROUP BY 1"""
 
+  /** q_soft_dedup: per-doc soft-dedup weights — the hamming<=3 simhash
+    * pair graph's connected components (the dedupKeepset closure),
+    * each doc weighted 1/|component| with the component size as its
+    * duplication census. Both engines do ONE IEEE division per row on
+    * exact integer inputs. */
+  def softDedupWeights: String =
+    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + """,
+ p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b
+   ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
+ ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+ reach(a, b) AS (SELECT a, b FROM ed
+   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+ m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
+ comp AS (SELECT d.doc_id,
+   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+  FROM documents d LEFT JOIN m ON m.a = d.doc_id),
+ cs AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT comp.doc_id, comp.component, cs.n_members,
+ CAST(1 AS DOUBLE) / CAST(cs.n_members AS DOUBLE) AS weight
+FROM comp JOIN cs USING (component)"""
+
   /** q_fingerprint: rolling min-window hash (w=16; min over SIGNED
     * mixed window hashes — JVM long comparison) + simhash. The corpus
     * guarantees len(text) >= 16 (asserted by OracleSqlSpec), so the

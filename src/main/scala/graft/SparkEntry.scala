@@ -141,6 +141,7 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "q_dedup_keepset" -> ((s, d) =>
       Dedup.keepSetOf(Tables.documents(s, d)).select("doc_id", "source")),
+    "q_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "q_decontam_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.decontaminateApplyOf(docs,
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
+    "q_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -1722,6 +1724,7 @@ object SparkEntry {
     // these formerly rows-only queries are hash-checked end to end.
     "q_dedup_simhash" -> OracleSql.dedupSimhash,
     "q_dedup_keepset" -> OracleSql.dedupKeepset,
+    "q_soft_dedup" -> OracleSql.softDedupWeights,
     "q_decontam_apply" -> OracleSql.decontaminateApply(4),
     "q_dedup_edit" -> OracleSql.dedupEdit(16),
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
@@ -1815,6 +1818,28 @@ object SparkEntry {
         |  CAST(sum(length(printf('%b', f)) - 1) AS DOUBLE) /
         |  CAST(count(*) AS DOUBLE) AS mean_log2f
         |FROM t2 JOIN f USING (word) GROUP BY 1""".stripMargin,
+    // bigram surprisal: floor-log2 via bit length on BOTH sides (libm
+    // log2 disagrees by last-ulp across engines; printf('%b', x) is
+    // DuckDB's bin()). Docs under 2 tokens have no transitions — the
+    // WHERE len >= 2 matches the Spark-side size filter exactly.
+    "q_bigram_surprisal" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | bi AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |         FROM tk WHERE len(toks) >= 2)),
+        | u AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        | g AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        | v AS (SELECT count(DISTINCT w) AS v FROM
+        |   (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum((length(printf('%b', c1 + v)) - 1) -
+        |           (length(printf('%b', c12 + 1)) - 1)) AS BIGINT) AS sum_bits,
+        |  CAST(sum((length(printf('%b', c1 + v)) - 1) -
+        |           (length(printf('%b', c12 + 1)) - 1)) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS mean_bits
+        |FROM bi JOIN g USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->

@@ -143,6 +143,36 @@ object Dedup {
     docs.join(keepers, Seq("doc_id"), "left_semi")
   }
 
+  /** SOFT deduplication: keep every near-duplicate and down-weight it
+    * by its duplicate-cluster size instead — each SimHash connected
+    * component carries total sampling weight 1 (1/|C| per member), so
+    * a 40×-duplicated boilerplate page contributes one document's
+    * worth of training mass rather than 40 (or, under [[keepSetOf]]'s
+    * hard cut, exactly one surviving copy and zero signal about the
+    * duplication itself). The weight column feeds straight into the
+    * weighted samplers/packers; n_members doubles as the duplication
+    * census per doc. Same scale shape as the hard cut: the corpus
+    * shuffles only (id, fp) into the banded pair stage, ids through
+    * CC; component sizes aggregate over ids and join back by id —
+    * text never moves. */
+  def softDedupWeights(spark: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame =
+    softDedupWeightsOf(Tables.documents(spark, dir), maxHamming)
+
+  /** [[softDedupWeights]] over a prepared (doc_id, text, …) frame. */
+  def softDedupWeightsOf(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val comps = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      hammingPairs(
+        docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+        maxHamming)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    comps.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("n_members"),
+        (lit(1).cast("double") / col("n_members").cast("double")).as("weight"))
+  }
+
   /** Eval decontamination as an apply-form corpus filter: drop every
     * doc of `docs` sharing at least one word-`n`-gram with
     * `evalDocs` — the enforcement twin of [[decontaminate]]'s hit

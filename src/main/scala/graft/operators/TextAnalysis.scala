@@ -1018,6 +1018,58 @@ object TextAnalysis {
     * count) vocabulary (shuffle ∝ vocabulary), then tokens⋈vocabulary
     * re-join (shuffle ∝ corpus token ids, never the document text)
     * and a per-doc aggregate. */
+  /** Perplexity-proxy quality filter: per-document mean bigram
+    * SURPRISAL against the corpus's own bigram statistics — the
+    * CCNet/Gopher "LM quality" gate made engine-portable. A real
+    * deployment scores with a pretrained LM; at curation time the
+    * corpus's own add-one-smoothed bigram model is the standard
+    * self-contained stand-in, and what the FILTER needs is a stable
+    * ranking, not calibrated probabilities. Per bigram (w1, w2) the
+    * surprisal is floor-log2(C(w1·) + V) − floor-log2(C(w1, w2) + 1):
+    * the −log2 of the add-one conditional (C12+1)/(C1+V) with both
+    * logs floored to exact integer bit lengths — the
+    * [[unigramCommonnessOf]] trick, because ln/log2 are libm calls
+    * that disagree by last-ulp across engines while bit lengths are
+    * exact everywhere. High mean ⇒ the document's word TRANSITIONS
+    * are rare in-corpus (gibberish, shuffled boilerplate, wrong
+    * language); [[unigramCommonnessOf]] by contrast only sees word
+    * CHOICE. Docs under 2 tokens have no transitions and drop out.
+    *
+    * Scale: corpus → bigram/prefix stat tables (shuffle ∝ distinct
+    * grams, partial-aggregated), V as a broadcast 1-row scalar (the
+    * decorrelated-subquery idiom), stats join the bigram stream back
+    * at vocabulary scale; the per-doc aggregate shuffles (doc,
+    * partials). Text never crosses an exchange. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(Tables.documents(spark, dir))
+
+  /** [[bigramSurprisal]] over a prepared (doc_id, text) frame. */
+  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val prefix = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val v = bi.select(col("w1").as("w"))
+      .union(bi.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    bi
+      .join(grams, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((length(bin(col("c1") + col("v"))) - 1) -
+          (length(bin(col("c12") + lit(1))) - 1)).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   def unigramCommonness(spark: SparkSession, dir: String): DataFrame =
     unigramCommonnessOf(Tables.documents(spark, dir))
 

@@ -586,6 +586,11 @@ object StreamingMonitor {
                 pending.remove(s).getOrElse(0L))
               frontier = s
             }
+            // grid contract: upstream windows are w-aligned (they come
+            // from a tumbling agg). A misaligned key can never match a
+            // seal step's exact timestamp — evict anything the frontier
+            // has passed so it cannot pin state forever.
+            pending.keys.takeWhile(_ <= frontier).toSeq.foreach(pending.remove)
             state.update((frontier, pending.toSeq))
             // strictly ahead of the watermark by the loop exit condition
             state.setTimeoutTimestamp(frontier + 2 * w)

@@ -336,6 +336,63 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.set(tzConf, prev)
   }
 
+  test("soft dedup: per-component weights sum to 1 and agree with the hard keep-set") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.operators.Dedup.softDedupWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every doc exactly once — soft dedup drops nothing
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      // census column is the actual component size, weights are 1/|C|
+      // and sum to one document's worth of mass per component
+      assert(members.forall(_._3 == members.length))
+      assert(members.forall(m => m._4 == 1.0 / members.length))
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-9, s"component $comp")
+    }
+    // the duplication structure must be the SAME one the hard cut uses:
+    // keepSetOf's survivors are exactly the component representatives
+    val keepers = graft.operators.Dedup.keepSetOf(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(r => r._1 == r._2).map(_._1).toSet == keepers)
+    // and the corpus must actually exercise multi-member components
+    assert(rows.exists(_._3 > 1), "no near-dup cluster in the corpus")
+  }
+
+  test("bigram surprisal equals a driver-side add-one bigram model (floor-log2)") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bi = texts.flatMap { case (id, t) =>
+      val ts = t.trim.split("\\s+").toSeq
+      if (ts.length < 2) Nil else ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c1 = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c12 = bi.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val v = bi.flatMap(b => Seq(b._2, b._3)).distinct.size.toLong
+    def l2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val want = bi.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map(b => l2(c1(b._2) + v) - l2(c12((b._2, b._3)) + 1L))
+      id -> ((bs.size.toLong, bits.sum, bits.sum.toDouble / bs.size))
+    }
+    val got = graft.operators.TextAnalysis.bigramSurprisal(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == want,
+      s"first diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+    // the filter's point: a shuffled-transition doc must out-surprise a
+    // predictable one — rank sanity on planted frames through the Of form
+    val s2 = spark
+    import s2.implicits._
+    val planted = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat"),
+      (2L, "mat the on cat sat the and mat on the sat cat the")).toDF("doc_id", "text")
+    val p = graft.operators.TextAnalysis.bigramSurprisalOf(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p(2L) > p(1L), s"shuffled doc did not out-surprise: $p")
+  }
+
   test("dhash: identical payloads collide, near payloads are close") {
     def h(s: String) = graft.plans.HashKernels.byteDHash(s.getBytes)
     val base = "the quick brown fox jumps over the lazy dog " * 3

@@ -925,6 +925,10 @@ class StreamingSpec extends SparkSpec {
       Seq(cp(3, 7L)),                                      // later window FIRST
       Seq(cp(1, 5L)),                                      // earlier window second, within maxDelay
       Seq(cp(3, 99L)),                                     // duplicate of an in-flight window
+      // misaligned (non-grid) window: can never match a seal step —
+      // must be evicted once the frontier passes it, not emitted and
+      // not pinned in state forever
+      Seq(graft.streaming.CountPoint("a", ts(2, 30), 42L)),
       Seq(graft.streaming.CountPoint("__s__", ts(10), 1L)), // sentinel: advance watermark
       Seq(graft.streaming.CountPoint("__s__", ts(11), 1L))) // sentinel: fire timeouts
     def drain(queryName: String,
