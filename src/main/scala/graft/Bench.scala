@@ -152,7 +152,18 @@ object Bench {
         val src = scala.io.Source.fromFile(pinsPath, "UTF-8")
         try src.getLines().collect { case pinRow(n, s) => n -> s.toDouble }.toMap
         finally src.close()
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        case e: Throwable =>
+          // non-fatal but LOUD: silently-empty pins would make the
+          // "zero rows over 2×" claim vacuously true — the exact
+          // unnoticed cross-check failure this gate exists to prevent
+          System.err.println(
+            s"[bench] WARNING: could not load pins from $pinsPath ($e) — self-adjudication disabled")
+          Map.empty
+      }
+    if (pins.isEmpty)
+      System.err.println(
+        s"[bench] WARNING: zero pin rows parsed from $pinsPath — ratios/over2x are vacuous")
     def ratioOf(n: String, med: Double): Option[Double] =
       pins.get(n).filter(_ > 0).filter(_ => !med.isNaN).map(med / _)
     val ratios0 = names.flatMap(n => ratioOf(n, medians(n)).map(n -> _)).toMap
@@ -168,6 +179,10 @@ object Bench {
     }.toMap
     val adjMedians = adjSamples.map { case (n, reps) =>
       n -> median(reps.collect { case (t, false, _) => t }) }
+    // over2x = flagged rows the warm rerun did NOT CLEAR. That includes
+    // a rerun whose every rep failed (NaN median → no ratio): producing
+    // no timing data cannot clear a flag — the artifact's null
+    // rerun_median distinguishes "confirmed slow" from "rerun failed"
     val over2x = flagged.filter(n =>
       ratioOf(n, adjMedians(n)).forall(_ > 2.0)).sorted
     // dump formatted physical plans of the slowest queries so a bench

@@ -1824,7 +1824,8 @@ object SparkEntry {
     // WHERE len >= 2 matches the Spark-side size filter exactly.
     "q_bigram_surprisal" ->
       """WITH tk AS MATERIALIZED (SELECT doc_id,
-        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |               t -> t <> '') AS toks FROM documents),
         | bi AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
         |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
         |         FROM tk WHERE len(toks) >= 2)),

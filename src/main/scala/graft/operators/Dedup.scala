@@ -1018,7 +1018,7 @@ object Dedup {
     import spark.implicits._
     val geo = bandGeometries(numHashes, geoms)
     val sigs0 = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhash_shingles(col("text"), 3, numHashes).as("sig"))
+      .select(col("doc_id"), minhash_shingles(col("text"), MinhashShingleSize, numHashes).as("sig"))
     val sigs =
       if (spark.sparkContext.getCheckpointDir.isDefined) sigs0.checkpoint(eager = true)
       else sigs0.localCheckpoint(eager = true)

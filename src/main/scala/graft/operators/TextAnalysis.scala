@@ -1046,16 +1046,25 @@ object TextAnalysis {
   /** [[bigramSurprisal]] over a prepared (doc_id, text) frame. */
   def bigramSurprisalOf(docs: DataFrame): DataFrame = {
     val bi = docs
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks0"))
+      // empty tokens (split of text with leading/edge non-space
+      // whitespace) must not enter the LM as a word — the same
+      // `=!= ""` rule every T.tokens consumer applies
+      .select(col("doc_id"), expr("filter(toks0, t -> t != '')").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1)," +
           " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val prefix = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // ONE corpus-scale aggregate: prefix counts are the bigram table's
+    // own row sums (C(w1·) = Σ_w2 C(w1,w2)) and the vocabulary is its
+    // distinct endpoints, so stats and V all derive from the
+    // vocabulary-scale `grams` frame — the corpus is tokenized twice
+    // total (stats pass + scoring pass), not once per stat table
     val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val v = bi.select(col("w1").as("w"))
-      .union(bi.select(col("w2").as("w")))
+    val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = grams.select(col("w1").as("w"))
+      .union(grams.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
     bi
       .join(grams, Seq("w1", "w2"))

@@ -335,7 +335,15 @@ object Mqtt {
           // connect to a busy broker).
           var acked = false
           while (!acked) Wire.readPacket(in) match {
-            case Some(Suback(pid, _)) if pid == i + 1 => acked = true
+            case Some(Suback(pid, granted)) if pid == i + 1 =>
+              // §3.8.4: the broker may grant a LOWER QoS (or 0x80 =
+              // failure). A downgrade silently voids the at-least-once
+              // contract a subscribeQos=1 caller is counting on —
+              // refuse loudly instead of counting unackable deliveries
+              if (granted == 0x80 || granted < subscribeQos) {
+                s.close(); return false
+              }
+              acked = true
             case Some(p: Publish) => deliver(p, out)
             case Some(PingResp) => ()
             case _ => s.close(); return false

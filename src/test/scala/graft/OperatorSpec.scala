@@ -364,7 +364,10 @@ class OperatorSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val bi = texts.flatMap { case (id, t) =>
-      val ts = t.trim.split("\\s+").toSeq
+      // mirror the operator: whitespace split, EMPTY TOKENS dropped
+      // (Java trim also strips tabs where Spark trim strips spaces
+      // only — the explicit nonEmpty filter makes them agree)
+      val ts = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
       if (ts.length < 2) Nil else ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
     }
     val c1 = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
