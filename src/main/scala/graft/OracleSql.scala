@@ -339,6 +339,22 @@ FROM comp JOIN cs USING (component)"""
       "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
   }
 
+  /** q_gram_novelty: per-doc fraction of distinct word-n-grams no
+    * earlier (min-doc_id) document contains — the dg chain plus a
+    * gram → first-doc aggregate; one IEEE division of exact ints. */
+  def gramNovelty(n: Int): String = {
+    val ctes = docGramCtes(n) :+
+      "fd AS MATERIALIZED (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1)"
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT dg.doc_id, count(*) AS n_grams,
+ CAST(sum(CASE WHEN dg.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_novel,
+ CAST(sum(CASE WHEN dg.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS DOUBLE) /
+ CAST(count(*) AS DOUBLE) AS novelty
+FROM dg JOIN fd USING (gram)
+GROUP BY 1"""
+  }
+
   def repeatedNgrams(n: Int): String = {
     val ctes = docGramCtes(n) :+
       "rep AS (SELECT gram FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)"

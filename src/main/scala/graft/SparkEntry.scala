@@ -135,6 +135,7 @@ object SparkEntry {
     "q_contain_eval" -> ((s, d) => Dedup.evalContainment(s, d)),
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
+    "q_gram_novelty" -> ((s, d) => Dedup.gramNovelty(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -1730,6 +1731,7 @@ object SparkEntry {
     "q_dup_ngrams" -> OracleSql.repeatedNgrams(8),
     "q_source_overlap" -> OracleSql.sourceOverlap(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
+    "q_gram_novelty" -> OracleSql.gramNovelty(8),
     "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
     // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.

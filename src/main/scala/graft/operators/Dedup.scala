@@ -582,6 +582,40 @@ object Dedup {
         countDistinct(col("doc_id")).as("docs_affected"))
   }
 
+  /** Corpus novelty curve (the Heaps-law view): per document, in
+    * doc_id ingest order, the fraction of its distinct word-n-grams
+    * that no EARLIER document contains — how much genuinely new text
+    * each marginal document adds. [[dupCoverage]] asks "how duplicated
+    * is this doc"; novelty asks the growth question a curator plots
+    * before paying for more of a source: when a crawl slice's per-doc
+    * novelty decays toward zero, more of it buys repeats, not data.
+    * A gram is novel exactly in the document holding its MINIMUM
+    * doc_id, so Σ n_novel = the corpus's distinct gram count
+    * (spec-pinned). Docs shorter than n tokens have no grams and drop
+    * out on both engines.
+    *
+    * Scale shape: fused 8-byte gram-hash explode → (gram → min doc)
+    * aggregate with map-side combine (shuffle ∝ distinct grams) →
+    * join back → doc-keyed aggregate. No pair space; text never
+    * crosses an exchange; the ratio is one IEEE division of exact
+    * integers. */
+  def gramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    gramNoveltyOf(Tables.documents(spark, dir), n)
+
+  /** [[gramNovelty]] over a prepared (doc_id, text) frame. */
+  def gramNoveltyOf(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Per-document duplicated-gram coverage — the doc-level removal
     * signal of exact substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): for each document,

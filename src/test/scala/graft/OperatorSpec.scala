@@ -396,6 +396,34 @@ class OperatorSpec extends SparkSpec {
     assert(p(2L) > p(1L), s"shuffled doc did not out-surprise: $p")
   }
 
+  test("gram novelty: first doc is all-novel, duplicates add nothing, mass conserves") {
+    val s2 = spark
+    import s2.implicits._
+    val planted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),           // exact repeat: zero novelty
+      (3L, "q r s t u v w x y z"),           // disjoint: fully novel
+      (4L, "a b c d e f g h i j k")).toDF("doc_id", "text") // one new gram
+    val got = graft.operators.Dedup.gramNoveltyOf(planted, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 10-token docs have 3 distinct 8-grams; 11 tokens have 4
+    assert(got(1L) == ((3L, 3L, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"got ${got(2L)}")
+    assert(got(3L) == ((3L, 3L, 1.0)), s"got ${got(3L)}")
+    assert(got(4L) == ((4L, 1L, 0.25)), s"got ${got(4L)}")
+    // conservation on the corpus: every distinct gram is novel exactly
+    // once, so Σ n_novel = the corpus's distinct gram count
+    val rows = graft.operators.Dedup.gramNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val distinctGrams = Tables.documents(spark, sfDir)
+      .select(explode(graft.plans.Fingerprints.shingle_hashes(col("text"), 8))
+        .as("g")).distinct().count()
+    assert(rows.map(_._2).sum == distinctGrams)
+    assert(rows.forall { case (ng, nv, r) =>
+      nv >= 0 && nv <= ng && r >= 0.0 && r <= 1.0 })
+  }
+
   test("dhash: identical payloads collide, near payloads are close") {
     def h(s: String) = graft.plans.HashKernels.byteDHash(s.getBytes)
     val base = "the quick brown fox jumps over the lazy dog " * 3
