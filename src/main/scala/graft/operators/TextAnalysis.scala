@@ -1043,9 +1043,15 @@ object TextAnalysis {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalOf(Tables.documents(spark, dir))
 
-  /** [[bigramSurprisal]] over a prepared (doc_id, text) frame. */
-  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
-    val bi = docs
+  /** [[bigramSurprisal]] over a prepared (doc_id, text) frame —
+    * trains the model on `docs` and scores `docs` against it. */
+  def bigramSurprisalOf(docs: DataFrame): DataFrame =
+    bigramSurprisalAgainst(docs, bigramModelOf(docs))
+
+  /** The corpus bigram stream: (doc_id, w1, w2), empty tokens dropped,
+    * sub-2-token docs excluded. */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), T.tokens(col("text")).as("toks0"))
       // empty tokens (split of text with leading/edge non-space
       // whitespace) must not enter the LM as a word — the same
@@ -1056,23 +1062,45 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1)," +
           " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE corpus-scale aggregate: prefix counts are the bigram table's
-    // own row sums (C(w1·) = Σ_w2 C(w1,w2)) and the vocabulary is its
-    // distinct endpoints, so stats and V all derive from the
-    // vocabulary-scale `grams` frame — the corpus is tokenized twice
-    // total (stats pass + scoring pass), not once per stat table
-    val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** The TRAINED bigram model as one persistable table: (w1, w2, c12,
+    * c1, v) — bigram count, prefix total C(w1·) = Σ_w2 C(w1,w2), and
+    * the vocabulary size stamped on every row (denormalized so the
+    * model survives a parquet round-trip whole, like the DSIR weight
+    * tables). ONE corpus-scale aggregate: prefix counts and V both
+    * derive from the vocabulary-scale bigram table, so training
+    * tokenizes the corpus once. */
+  def bigramModelOf(docs: DataFrame): DataFrame = {
+    val grams = bigramsOf(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = grams.select(col("w1").as("w"))
       .union(grams.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
-    bi
-      .join(grams, Seq("w1", "w2"))
-      .join(prefix, Seq("w1"))
+    grams.join(prefix, Seq("w1")).crossJoin(broadcast(v))
+  }
+
+  /** Score `docs` against a trained [[bigramModelOf]] table — the
+    * live-ingestion quality gate: the model is vocabulary-scale
+    * (broadcast-able, parquet-persistable), scoring is one pass over
+    * the incoming docs, so the SAME function serves the batch oracle
+    * row and the streaming foreachBatch finisher (spec pins the two
+    * equal). Bigrams absent from the model take the add-one floor
+    * (c12 = 0) and unknown prefixes score against the bare vocabulary
+    * (c1 = 0 ⇒ bits = floor-log2(V)) — maximum surprisal, which is
+    * exactly what an out-of-distribution document should read as. */
+  def bigramSurprisalAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
+    val grams = model.select(col("w1"), col("w2"), col("c12"))
+    val prefix = model.select(col("w1"), col("c1")).distinct()
+    val v = model.agg(max(col("v")).as("v"))
+    bigramsOf(docs)
+      .join(grams, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        ((length(bin(col("c1") + col("v"))) - 1) -
-          (length(bin(col("c12") + lit(1))) - 1)).cast("long").as("bits"))
+        ((length(bin(coalesce(col("c1"), lit(0L)) + col("v"))) - 1) -
+          (length(bin(coalesce(col("c12"), lit(0L)) + lit(1))) - 1))
+          .cast("long").as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .withColumn("mean_bits",

@@ -1031,6 +1031,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming surprisal gate: per-batch scores against the trained model equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // model trained OFFLINE on the corpus (vocabulary-scale, the
+    // broadcast/persist side of the live gate)
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val model = graft.operators.TextAnalysis.bigramModelOf(corpus).cache()
+    val want = graft.operators.TextAnalysis.bigramSurprisal(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val vocabV = model.select("v").head().getLong(0)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.bigramSurprisalAgainst(batch, model)
+          .collect().foreach(r => got(r.getLong(0)) =
+            ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        ()
+      }.start()
+    try {
+      val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // each arriving doc scored against the trained model equals its
+      // batch-panel row exactly — the same function on both sides
+      assert(got.toMap == want,
+        s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+      // an out-of-distribution doc reads as maximum surprisal: unseen
+      // prefix ⇒ bits = floor-log2(0 + V) − floor-log2(0 + 1)
+      input.addData((999999L, "zzqx vvkp zzqx"))
+      q.processAllAvailable()
+      val l2v = 63 - java.lang.Long.numberOfLeadingZeros(vocabV)
+      assert(got(999999L) == ((2L, 2L * l2v, l2v.toDouble)),
+        s"OOD doc scored ${got(999999L)}, vocab $vocabV")
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("streaming gap fill state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
