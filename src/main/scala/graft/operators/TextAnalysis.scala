@@ -1044,9 +1044,20 @@ object TextAnalysis {
     bigramSurprisalOf(Tables.documents(spark, dir))
 
   /** [[bigramSurprisal]] over a prepared (doc_id, text) frame —
-    * trains the model on `docs` and scores `docs` against it. */
-  def bigramSurprisalOf(docs: DataFrame): DataFrame =
-    bigramSurprisalAgainst(docs, bigramModelOf(docs))
+    * trains the model on `docs` and scores `docs` against it. Builds
+    * the stat frames directly (not through the [[bigramModelOf]]
+    * table) so the self-scoring plan keeps its pinned shape: the
+    * model indirection would re-derive the whole training aggregate
+    * once per stat reference. */
+  def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val bi = bigramsOf(docs)
+    val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = grams.select(col("w1").as("w"))
+      .union(grams.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    scoreBigrams(bi, grams, prefix, v)
+  }
 
   /** The corpus bigram stream: (doc_id, w1, w2), empty tokens dropped,
     * sub-2-token docs excluded. */
@@ -1082,18 +1093,37 @@ object TextAnalysis {
 
   /** Score `docs` against a trained [[bigramModelOf]] table — the
     * live-ingestion quality gate: the model is vocabulary-scale
-    * (broadcast-able, parquet-persistable), scoring is one pass over
+    * (parquet-persistable; the stat joins are UNHINTED so Catalyst/AQE
+    * broadcasts a dictionary-sized model and shuffle-joins one too big
+    * to broadcast — the meterBySource rule), scoring is one pass over
     * the incoming docs, so the SAME function serves the batch oracle
     * row and the streaming foreachBatch finisher (spec pins the two
     * equal). Bigrams absent from the model take the add-one floor
     * (c12 = 0) and unknown prefixes score against the bare vocabulary
     * (c1 = 0 ⇒ bits = floor-log2(V)) — maximum surprisal, which is
-    * exactly what an out-of-distribution document should read as. */
+    * exactly what an out-of-distribution document should read as.
+    *
+    * Robust to model-table storage accidents: stats are re-aggregated
+    * by key (max), so duplicated (w1, w2) rows — a doubled append, a
+    * union of snapshots — cannot fan the score join out; and scoring
+    * against an EMPTY model raises rather than emitting NULL scores a
+    * `mean_bits >= threshold` gate would silently wave through. */
   def bigramSurprisalAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
-    val grams = model.select(col("w1"), col("w2"), col("c12"))
-    val prefix = model.select(col("w1"), col("c1")).distinct()
-    val v = model.agg(max(col("v")).as("v"))
-    bigramsOf(docs)
+    val grams = model.groupBy(col("w1"), col("w2")).agg(max(col("c12")).as("c12"))
+    val prefix = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
+    val v = model.agg(
+      when(max(col("v")).isNull,
+        raise_error(lit("bigramSurprisalAgainst: empty bigram model")))
+        .otherwise(max(col("v"))).as("v"))
+    scoreBigrams(bigramsOf(docs), grams, prefix, v)
+  }
+
+  /** The shared scoring kernel: bigram stream ⋈ stats (left — misses
+    * take the add-one floor) → per-doc surprisal panel. `v` is a
+    * 1-row frame. */
+  private def scoreBigrams(bi: DataFrame, grams: DataFrame,
+                           prefix: DataFrame, v: DataFrame): DataFrame =
+    bi
       .join(grams, Seq("w1", "w2"), "left")
       .join(prefix, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -1105,7 +1135,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .withColumn("mean_bits",
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
-  }
 
   def unigramCommonness(spark: SparkSession, dir: String): DataFrame =
     unigramCommonnessOf(Tables.documents(spark, dir))

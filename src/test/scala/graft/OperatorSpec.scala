@@ -394,6 +394,21 @@ class OperatorSpec extends SparkSpec {
     val p = graft.operators.TextAnalysis.bigramSurprisalOf(planted).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(p(2L) > p(1L), s"shuffled doc did not out-surprise: $p")
+    // model-contract robustness: a storage-duplicated model (doubled
+    // append, unioned snapshots) must score identically, and an EMPTY
+    // model must raise instead of emitting NULL scores
+    val model = graft.operators.TextAnalysis.bigramModelOf(planted)
+    val clean = graft.operators.TextAnalysis
+      .bigramSurprisalAgainst(planted, model).collect().map(_.toSeq).toSet
+    val doubled = graft.operators.TextAnalysis
+      .bigramSurprisalAgainst(planted, model.union(model)).collect()
+      .map(_.toSeq).toSet
+    assert(doubled == clean, "duplicated model rows changed scores")
+    val emptyModel = graft.operators.TextAnalysis.bigramModelOf(
+      Seq((9L, "solo")).toDF("doc_id", "text"))
+    val ex = intercept[Exception](graft.operators.TextAnalysis
+      .bigramSurprisalAgainst(planted, emptyModel).collect())
+    assert(ex.getMessage != null)
   }
 
   test("gram novelty: first doc is all-novel, duplicates add nothing, mass conserves") {
