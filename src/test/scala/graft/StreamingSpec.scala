@@ -1035,10 +1035,15 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    // model trained OFFLINE on the corpus (vocabulary-scale, the
-    // broadcast/persist side of the live gate)
+    // model trained OFFLINE on the corpus, persisted and RELOADED —
+    // the advertised deployment shape (train once, park in parquet,
+    // score every ingestion batch against the file)
     val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val model = graft.operators.TextAnalysis.bigramModelOf(corpus).cache()
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-bigram-model-").toString
+    graft.operators.TextAnalysis.bigramModelOf(corpus)
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir).cache()
     val want = graft.operators.TextAnalysis.bigramSurprisal(spark, sfDir)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
