@@ -1074,4 +1074,87 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       " JOIN gsz zb ON zb.doc_id = e.doc_b" +
       " LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b"
   }
+
+  /** q_source_sketch: per-source position-wise MIN over the shared
+    * `sig` chain = the MinHash of the source's shingle-set union;
+    * pairwise match count / 64. Mirrors Dedup.sourceSketchOf. */
+  def sourceSketch: String =
+    "WITH " + (minhashSigCtes ++ Seq(
+      "psig AS (SELECT d.source, s.p, min(s.s) AS s FROM sig s" +
+        " JOIN documents d USING (doc_id) GROUP BY 1, 2)")).mkString(",\n ") +
+      "\nSELECT a.source AS source_a, b.source AS source_b," +
+      " CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match," +
+      " CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS DOUBLE) / 64" +
+      " AS est_jaccard" +
+      "\nFROM psig a JOIN psig b ON a.p = b.p AND a.source < b.source" +
+      " GROUP BY 1, 2"
+
+  /** q_bm25: the fixed-point BM25 oracle, generated from the SAME
+    * constants as TextAnalysis.bm25Of (quarter-bit Lucene idf via
+    * int64 bit lengths + one shift-compare; cleared-denominator
+    * integer tf-normalization quantized by Bm25Scale; `//` and Spark's
+    * `div` agree on positives). */
+  def bm25(terms: Seq[String], k: Int): String = {
+    import graft.operators.TextAnalysis._
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '${t.replace("'", "''")}')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n   ")
+    val dfCols = terms.indices.map(i =>
+      s"count(CASE WHEN tf_$i > 0 THEN 1 END) AS df_$i").mkString(", ")
+    // floor(log₂(p⁴/q⁴)) with p = 2N+2 (shared), q = 2·df_i+1
+    val idfExprs = terms.indices.map { i =>
+      s"""i$i AS (SELECT *,
+         |   (length(printf('%b', p4)) - length(printf('%b', q4_$i))
+         |    - CASE WHEN p4 < (q4_$i << (length(printf('%b', p4))
+         |        - length(printf('%b', q4_$i)))) THEN 1 ELSE 0 END)
+         |   AS idf_$i FROM ${if (i == 0) "q4" else s"i${i - 1}"})""".stripMargin
+    }
+    val q4Cols = terms.indices.map(i =>
+      s"(2*df_$i + 1)*(2*df_$i + 1)*(2*df_$i + 1)*(2*df_$i + 1) AS q4_$i")
+      .mkString(",\n   ")
+    val scoreTerms = terms.indices.map(i =>
+      s"idf_$i * (($Bm25Scale * $Bm25TfNum * t_tok * tf_$i) //" +
+        s" ($Bm25TfDen0 * t_tok * tf_$i + $Bm25TfDen1 * t_tok +" +
+        s" $Bm25TfDen2 * dl * n_docs))").mkString("\n   + ")
+    val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id,
+       |   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |               x -> x <> '') AS toks FROM documents),
+       | d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |   $tfCols FROM t),
+       | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok,
+       |   $dfCols FROM d),
+       | q4 AS (SELECT *,
+       |   (2*n_docs + 2)*(2*n_docs + 2)*(2*n_docs + 2)*(2*n_docs + 2) AS p4,
+       |   $q4Cols FROM st),
+       | ${idfExprs.mkString(",\n ")}
+       |SELECT doc_id, dl,
+       | CAST($scoreTerms AS BIGINT) AS score,
+       | ${terms.indices.map(i => s"tf_$i").mkString(", ")}
+       |FROM d CROSS JOIN i${terms.size - 1}
+       |WHERE $anyTf
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** q_pii_redact: the sequential count-then-replace chain generated
+    * from the SAME PiiPatterns + piiToken as
+    * TextAnalysis.piiRedactOf — each class counted on the text the
+    * previous classes already redacted ('g' = global, matching
+    * Spark's regexp_replace). */
+  def piiRedact: String = {
+    import graft.operators.TextAnalysis.{PiiPatterns, piiToken}
+    val stages = PiiPatterns.zipWithIndex.map { case ((name, pat), i) =>
+      val prevCols = PiiPatterns.take(i).map { case (n, _) => s"n_$n, " }.mkString
+      s"r${i + 1} AS (SELECT doc_id, $prevCols" +
+        s"CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name," +
+        s" regexp_replace(t$i, '$pat', '${piiToken(name)}', 'g') AS t${i + 1}" +
+        s" FROM r$i)"
+    }
+    val ns = PiiPatterns.map { case (n, _) => s"n_$n" }
+    "WITH r0 AS (SELECT doc_id, text AS t0 FROM documents),\n " +
+      stages.mkString(",\n ") +
+      s"\nSELECT doc_id, ${ns.mkString(", ")}," +
+      s" ${ns.mkString(" + ")} AS n_redactions," +
+      s" t${PiiPatterns.size} AS redacted FROM r${PiiPatterns.size}"
+  }
 }

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_gram_novelty" -> ((s, d) => Dedup.gramNovelty(s, d)),
+    "q_source_sketch" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -186,6 +187,8 @@ object SparkEntry {
     "q_ks_drift" -> ((s, d) => TextAnalysis.ksDrift(s, d)),
     "q_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
+    "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
@@ -1732,6 +1735,10 @@ object SparkEntry {
     "q_source_overlap" -> OracleSql.sourceOverlap(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
     "q_gram_novelty" -> OracleSql.gramNovelty(8),
+    "q_source_sketch" -> OracleSql.sourceSketch,
+    "q_bm25" ->
+      OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
+    "q_pii_redact" -> OracleSql.piiRedact,
     "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
     // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.

@@ -677,6 +677,46 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
   }
 
+  /** Per-source MinHash UNION sketch → pairwise source-level Jaccard
+    * estimate. The position-wise MIN of a source's per-doc MinHash
+    * signatures IS the MinHash of the union of its docs' shingle
+    * sets (min commutes with union — the sketch's defining property),
+    * so a whole source collapses to `numHashes` longs and the
+    * pairwise compare is #sources² × 64 tiny rows. This is how
+    * [[sourceOverlap]]'s exact measurement deploys at 100 TB: overlap
+    * keeps every distinct gram per source (shuffle ∝ corpus grams);
+    * the sketch keeps 64 longs per source — one doc-level scan with a
+    * map-side-combined (source, position) min — the signal a curator
+    * uses to spot mirrored dumps across sources before paying for the
+    * exact join. Short docs (< shingle size) carry the sentinel
+    * MaxValue signature, which min() absorbs unless a source has ONLY
+    * short docs — the same convention as [[minhashPairsOf]].
+    * `est_jaccard` = matching positions / numHashes, one IEEE
+    * division of exact integers. */
+  def sourceSketch(spark: SparkSession, dir: String,
+                   numHashes: Int = 64): DataFrame =
+    sourceSketchOf(
+      Tables.documents(spark, dir).select(col("source"), col("text")),
+      numHashes)
+
+  /** [[sourceSketch]] over a prepared (source, text) frame. */
+  def sourceSketchOf(docs: DataFrame, numHashes: Int): DataFrame = {
+    val srcSig = docs
+      .select(col("source"),
+        posexplode(minhash_shingles(col("text"), MinhashShingleSize, numHashes)))
+      .toDF("source", "p", "s")
+      .groupBy(col("source"), col("p")).agg(min(col("s")).as("s"))
+    srcSig.select(col("source").as("source_a"), col("p"), col("s").as("s_a"))
+      .join(srcSig.select(col("source").as("source_b"), col("p"),
+        col("s").as("s_b")), Seq("p"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("s_a") === col("s_b"), 1L).otherwise(0L))
+        .cast("long").as("n_match"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(numHashes).cast("double"))
+  }
+
   /** Exact substring dedup, APPLY step (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): [[repeatedNgrams]] /
     * [[dupCoverage]] compute the corpus signals; this one emits what a

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{TextFunctions => T}
 import graft.plans.Fingerprints._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -599,6 +599,108 @@ object TextAnalysis {
         terms.indices.map(i => col(s"tf_$i")): _*)
   }
 
+  /** Fixed-point BM25 constants, shared verbatim with the DuckDB
+    * oracle generator ([[graft.OracleSql.bm25]]) so both engines
+    * quantize identically (the dsirWeightsSql structural-sharing
+    * rule). k1 = 6/5 and b = 3/4 enter only through the integer
+    * coefficients of the cleared-denominator tf-normalization
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)   (avgdl = T/N, ×20T)
+    * and the score is quantized by `Bm25Scale` before the integer
+    * division. */
+  private[graft] val Bm25Scale = 1000L
+  private[graft] val Bm25TfNum = 44L   // 20·(k1+1) = 20·11/5
+  private[graft] val Bm25TfDen0 = 20L  // tf coefficient
+  private[graft] val Bm25TfDen1 = 6L   // ·T   (k1·(1−b)·20)
+  private[graft] val Bm25TfDen2 = 18L  // ·dl·N (k1·b·20)
+  private[graft] val Bm25DefaultTerms = Seq("dup", "key", "batch", "window")
+
+  /** BM25 ranked retrieval (disjunctive), rank-stable across engines:
+    * every float in classic BM25 is replaced by an exact integer
+    * surrogate so two engines can never disagree by an ulp and flip a
+    * rank.
+    *
+    *  - idf: quarter-bit Lucene idf `floor(4·log₂((N+1)/(df+½)))` =
+    *    `floor(log₂(p⁴/q⁴))` with p = 2N+2, q = 2df+1 — computed as
+    *    exact int64 bit lengths plus ONE shift-compare correction (no
+    *    libm log anywhere; the [[bigramSurprisalOf]] judgment, at 4×
+    *    the resolution because whole bits can't separate df=380 from
+    *    df=402 on a 31-word vocabulary). Lucene's +1-inside-the-log
+    *    keeps idf ≥ 0 where the Robertson form goes negative past
+    *    df > N/2.
+    *  - tf-normalization: the cleared-denominator integer form above,
+    *    quantized to `Bm25Scale` millis by integer division.
+    *
+    * score = Σ_terms idf_q · tfnorm_q, an exact BIGINT; ties break by
+    * doc_id, so LIMIT k is a total order. Scale shape: corpus stats
+    * (N, T, per-term df) are ONE 1-row aggregate cross-joined back as
+    * a broadcast scalar (the decorrelated-subquery idiom); scoring is
+    * row-local over the token array (|terms| is query-sized); the
+    * global top-k is a TakeOrderedAndProject — no inverted-index
+    * shuffle and no full sort at 100 TB. */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Bm25DefaultTerms, k: Int = 20): DataFrame =
+    bm25Of(Tables.documents(spark, dir), terms, k)
+
+  /** [[bm25]] over a prepared (doc_id, text) frame. */
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    // typed DSL for the term literals (terms are data, never parsed)
+    val withTf = docs
+      .select(col("doc_id"),
+        filter(T.tokens(col("text")), t => t =!= "").as("toks"))
+      .select(col("doc_id") +:
+        size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    // 1-row corpus stats: N, total tokens T, per-term df — broadcast
+    // back as a scalar (bounded: one row, |terms| columns)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tok") +:
+        terms.indices.map(i =>
+          count(when(col(s"tf_$i") > 0L, 1)).as(s"df_$i")): _*)
+    // floor-log₂ bit length (x ≥ 1): length(bin(x)) − 1; the −1s
+    // cancel in the difference below
+    def bl(x: Column): Column = length(bin(x)) // INT (shiftleft's shift type)
+    val p = lit(2L) * col("n_docs") + lit(2L)
+    val p4 = pow4(p)
+    val scored = withTf.crossJoin(broadcast(stats)).select(
+      Seq(col("doc_id"), col("dl")) ++
+        terms.indices.map { i =>
+          val q = lit(2L) * col(s"df_$i") + lit(1L)
+          val q4 = pow4(q)
+          val k0 = bl(p4) - bl(q4) // ≥ 0: p > q always (df ≤ N)
+          // floor(log₂(p⁴/q⁴)) = k0 − [p⁴ < q⁴·2^k0]
+          // functions.shiftleft only takes a literal shift; the SQL
+          // function accepts a column
+          val idf = k0 - when(p4 < call_function("shiftleft", q4, k0), 1L)
+            .otherwise(0L)
+          // SQL `div` (IntegralDivide) — exact BIGINT quotient, and
+          // `//` on the DuckDB side truncates identically on positives
+          val tfn = call_function("div",
+            lit(Bm25Scale * Bm25TfNum) * col("t_tok") * col(s"tf_$i"),
+            lit(Bm25TfDen0) * col("t_tok") * col(s"tf_$i") +
+              lit(Bm25TfDen1) * col("t_tok") +
+              lit(Bm25TfDen2) * col("dl") * col("n_docs"))
+          (idf * tfn).as(s"s_$i") // tf = 0 ⇒ tfn = 0 ⇒ term drops out
+        } ++
+        terms.indices.map(i => col(s"tf_$i")): _*)
+    scored
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0L).reduce(_ || _))
+      .select(Seq(col("doc_id"), col("dl"),
+        terms.indices.map(i => col(s"s_$i")).reduce(_ + _).cast("long")
+          .as("score")) ++
+        terms.indices.map(i => col(s"tf_$i")): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** x⁴ in exact int64 (callers bound x so x⁴ < 2⁶³: x = 2N+2 ≤
+    * ~10⁴ at sf0.1 → x⁴ ≈ 10¹⁶). */
+  private def pow4(x: Column): Column = { val xx = x * x; xx * xx }
+
   /** Heaps-law vocabulary-growth panel: distinct-word count as the
     * corpus grows through `buckets` doc_id-ordered prefixes — the
     * empirical measurement behind every "is this collect bounded?"
@@ -841,6 +943,45 @@ object TextAnalysis {
         Seq(count(when(col(s"c_$name") > 0L, 1)).as(s"docs_with_$name"),
           sum(col(s"c_$name")).as(s"n_$name"))
       }: _*)
+  }
+
+  /** The redaction token each PII class rewrites to — derived from
+    * the class name in ONE place so the Spark kernel and the oracle
+    * generator can't drift. Tokens contain no digits and no '@', so
+    * no replacement can create a match for a later pattern (the
+    * chain is confluent). */
+  private[graft] def piiToken(name: String): String =
+    "<" + name.toUpperCase + ">"
+
+  /** PII REDACTION — the apply-form companion of [[piiScan]]: rewrites
+    * each detector class's matches to a class token (`<EMAIL>`,
+    * `<PHONE>`, `<IPV4>`, `<DIGIT_RUN>`), applied in [[PiiPatterns]]
+    * order with each class COUNTED ON THE TEXT THE PREVIOUS CLASSES
+    * ALREADY REDACTED — so `n_<class>` is the number of spans that
+    * class actually rewrote, not the census overlap (a digit run
+    * inside a phone number is redacted once, as part of the phone
+    * span, and counted once). Σ counts = n_redactions, the exact
+    * number of rewrites in `redacted`. Fully row-local (regex over
+    * the text column) — scan speed, zero shuffle, the same 100 TB
+    * shape as [[maskDigits]]. On this synthetic corpus every count is
+    * zero and `redacted` = `text` (the oracle row verifies the
+    * plumbing); RedactSpec proves the rewrites on injected PII. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(spark, dir))
+
+  /** [[piiRedact]] over a prepared (doc_id, text) frame. */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
+    // fold the redaction chain, counting each class on the text as
+    // redacted so far (count-then-replace per stage)
+    val (finalText, counts) =
+      PiiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
+        case ((t, cs), (name, pat)) =>
+          (regexp_replace(t, lit(pat), lit(piiToken(name))),
+            cs :+ regexp_count(t, lit(pat)).cast("bigint").as(s"n_$name"))
+      }
+    docs.select(col("doc_id") +: counts :+ finalText.as("redacted"): _*)
+      .withColumn("n_redactions",
+        PiiPatterns.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
   }
 
   /** Character-level diversity panel per document — the "symbol soup /

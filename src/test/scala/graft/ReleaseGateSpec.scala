@@ -43,6 +43,53 @@ class ReleaseGateSpec extends SparkSpec {
     }
   }
 
+  test("pii redact: rewrites injected spans, counts the rewrites, chain is confluent") {
+    val docs = Seq(
+      (1L, "contact alice@example.com now"),
+      (2L, "server 10.0.12.34 id 1234567890"),
+      (3L, "call +358 40 123-4567 today"),
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedactOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("redacted") == "contact <EMAIL> now")
+    assert(got(1L).getAs[Long]("n_email") == 1 &&
+      got(1L).getAs[Long]("n_redactions") == 1)
+    // the 10-digit id matches the PHONE detector (digits are legal
+    // phone separators), which runs before DIGIT_RUN — redacted once,
+    // counted once, as phone
+    assert(got(2L).getAs[String]("redacted") == "server <IPV4> id <PHONE>")
+    assert(got(2L).getAs[Long]("n_ipv4") == 1 &&
+      got(2L).getAs[Long]("n_phone") == 1 &&
+      got(2L).getAs[Long]("n_digit_run") == 0 &&
+      got(2L).getAs[Long]("n_redactions") == 2)
+    assert(got(3L).getAs[String]("redacted") == "call <PHONE> today")
+    assert(got(3L).getAs[Long]("n_phone") == 1 &&
+      got(3L).getAs[Long]("n_digit_run") == 0)
+    assert(got(4L).getAs[String]("redacted") == "clean text" &&
+      got(4L).getAs[Long]("n_redactions") == 0)
+    // idempotent: redaction tokens contain no digits and no '@', so
+    // re-redacting the redacted text rewrites nothing
+    val redactedAsInput = TextAnalysis.piiRedactOf(
+      TextAnalysis.piiRedactOf(docs).select(col("doc_id"),
+        col("redacted").as("text"))).collect()
+    redactedAsInput.foreach { r =>
+      assert(r.getAs[Long]("n_redactions") == 0,
+        s"re-redaction rewrote doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("pii redact on this corpus: zero rewrites, text unchanged") {
+    val rows = TextAnalysis.piiRedact(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_redactions") == 0)
+      assert(r.getAs[String]("redacted") == r.getAs[String]("text"))
+    }
+  }
+
   test("classifier score: logit equals the kernel-side recompute, gate discriminates") {
     import org.apache.spark.unsafe.types.UTF8String
     val docs = Seq((1L, "a", "the quick fox"), (2L, "a", ""),

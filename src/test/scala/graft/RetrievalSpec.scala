@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the r9 retrieval/corpus-sketch rows: fixed-point BM25
+  * ranked retrieval and the per-source MinHash union sketch. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side mirror of the fixed-point BM25 contract (quarter-bit
+    * Lucene idf via bit lengths + shift compare; cleared-denominator
+    * integer tf-norm quantized by Bm25Scale). */
+  private def bm25Model(docs: Seq[(Long, String)],
+                        terms: Seq[String]): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val n = docs.size.toLong
+    val tTok = toks.map(_._2.size.toLong).sum
+    def bl(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def pow4(x: Long): Long = x * x * x * x
+    val p4 = pow4(2 * n + 2)
+    val idf = terms.map { t =>
+      val df = toks.count(_._2.contains(t)).toLong
+      val q4 = pow4(2 * df + 1)
+      val k0 = bl(p4) - bl(q4)
+      t -> (k0 - (if (p4 < (q4 << k0)) 1L else 0L))
+    }.toMap
+    toks.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val score = terms.map { t =>
+        val tf = tk.count(_ == t).toLong
+        idf(t) * ((1000L * 44L * tTok * tf) /
+          (20L * tTok * tf + 6L * tTok + 18L * dl * n))
+      }.sum
+      if (terms.exists(tk.contains)) Some(id -> ((dl, score))) else None
+    }.toMap
+  }
+
+  test("bm25: equals the driver-side fixed-point model on a planted corpus") {
+    val docs = Seq(
+      1L -> "dup pad pad pad", // the rare term: df=1
+      2L -> "key key key key key key key key", // common term, tf-heavy
+      3L -> "key pad pad pad",
+      4L -> "pad pad pad pad", // no query terms — filtered out
+      5L -> "key pad",
+      6L -> "key key pad pad")
+    val terms = Seq("dup", "key")
+    val want = bm25Model(docs, terms)
+    val got = TextAnalysis.bm25Of(docs.toDF("doc_id", "text"), terms, k = 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dl"), r.getAs[Long]("score"))))
+    assert(got.toMap == want, s"got ${got.toMap} want $want")
+    // result is sorted (score desc, doc_id asc) and doc 4 dropped
+    assert(got.map(_._1).toSet == want.keySet && !want.keySet.contains(4L))
+    val scores = got.map(_._2._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the rare term dominates: the dup-doc outranks every key-only doc
+    // (idf(dup)=8 quarter-bits vs idf(key)=2 on this planted corpus)
+    val dupDocs = Set(1L)
+    val worstDup = got.filter(r => dupDocs(r._1)).map(_._2._2).min
+    val bestKeyOnly = got.filterNot(r => dupDocs(r._1)).map(_._2._2).max
+    assert(worstDup > bestKeyOnly, s"$worstDup !> $bestKeyOnly")
+  }
+
+  test("bm25: tf-norm saturates below Scale*(k1+1) and k bounds the output") {
+    val rows = TextAnalysis.bm25(spark, sfDir).collect()
+    assert(rows.size <= 20 && rows.nonEmpty)
+    // per-term quantized contribution ≤ idf·Scale·(k1+1) = idf·2200;
+    // with 4 terms and idf ≤ 64 the score can never reach 64·2200·5
+    assert(rows.forall(_.getAs[Long]("score") < 64L * 2200L * 5L))
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // ties (equal score) resolve by doc_id ascending — total order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getAs[Long]("score") == b.getAs[Long]("score"))
+          assert(a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+      case _ =>
+    }
+  }
+
+  test("source sketch: identical sources match everywhere, duplicates are absorbed") {
+    val base = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog today"),
+      ("x", "pack my box with five dozen liquor jugs right now"),
+      ("y", "the quick brown fox jumps over the lazy dog today"),
+      ("y", "pack my box with five dozen liquor jugs right now"),
+      ("z", "completely different text about spark shuffles and joins here"))
+      .toDF("source", "text")
+    val got = Dedup.sourceSketchOf(base, 64).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r)
+      .toMap
+    // x and y hold identical doc sets → identical union sketches
+    assert(got(("x", "y")).getAs[Long]("n_match") == 64L)
+    assert(got(("x", "y")).getAs[Double]("est_jaccard") == 1.0)
+    // z shares no shingles with x → (near-)zero estimate; the sketch
+    // may collide on a few positions but not most
+    assert(got(("x", "z")).getAs[Long]("n_match") < 32L)
+    // union semantics: duplicating a doc inside a source changes nothing
+    val withDup = base.union(Seq(
+      ("x", "the quick brown fox jumps over the lazy dog today"))
+      .toDF("source", "text"))
+    val again = Dedup.sourceSketchOf(withDup, 64)
+    val first = Dedup.sourceSketchOf(base, 64)
+    assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+  }
+
+  test("source sketch: corpus estimates are bounded and cover every source pair") {
+    val rows = Dedup.sourceSketch(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select(countDistinct(col("source"))).head().getLong(0)
+    assert(rows.length == (nSources * (nSources - 1) / 2).toInt)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0L && m <= 64L)
+      assert(r.getAs[Double]("est_jaccard") == m.toDouble / 64.0)
+    }
+  }
+}
