@@ -616,6 +616,65 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Streaming/incremental twin of [[gramNoveltyOf]] — the LIVE
+    * marginal-novelty gauge: score each arriving micro-batch's docs
+    * for the fraction of their grams no earlier document (previous
+    * batch OR earlier doc in this batch) contains, against a
+    * PERSISTED gram store. The store holds exactly what the batch
+    * panel shuffles — the (gram, first_doc) table — parked on disk
+    * as one parquet dir per committed batch through
+    * [[graft.sources.Incremental.idempotentBatchWriter]]: an
+    * at-least-once replay of the same batchId overwrites its own
+    * `batch=<id>` dir and scores only against STRICTLY EARLIER
+    * batches, so replaying the latest batch returns identical rows
+    * (the [[dedupIncrementalBatch]] exactly-once discipline). Fed
+    * the corpus in doc_id order, the per-batch outputs concatenate
+    * to exactly the q_gram_novelty panel (spec-pinned).
+    *
+    * Scale shape: per batch, ONE gram explode feeding both the
+    * store write and the scoring join; the store probe is a
+    * gram-keyed left join (store ∝ corpus distinct grams — at 100 TB
+    * the store is bucketed by gram so the probe co-locates, and a
+    * bloom prefilter culls the untouched store partitions); the
+    * novelty attribution within the batch reuses the store's own
+    * (gram, first_doc) rows, so the batch is exploded once, not
+    * twice. */
+  def noveltyIncrementalBatch(batch: DataFrame, gramDir: String,
+                              batchId: Long, n: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    // commit this batch's gram table FIRST (crash replay re-lands the
+    // same dir), then score over the committed parquet so the explode
+    // runs once during the write, not once per consumer
+    graft.sources.Incremental.idempotentBatchWriter(gramDir)(
+      batch
+        .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
+        .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc")),
+      batchId)
+    val own = spark.read.parquet(s"$gramDir/batch=$batchId")
+    val grams = batch
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
+    // enumerate STRICTLY EARLIER batches via Hadoop FS (java.io.File
+    // would silently see nothing on HDFS/S3)
+    val basePath = new org.apache.hadoop.fs.Path(gramDir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = fs.listStatus(basePath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
+      .map(_.getPath.toString).toSeq
+    val seenBefore =
+      if (prior.isEmpty) own.select(col("gram")).limit(0)
+      else spark.read.parquet(prior: _*).select(col("gram")).distinct()
+    grams
+      .join(own.withColumnRenamed("first_doc", "first_in_batch"), Seq("gram"))
+      .join(seenBefore.withColumn("seen", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_in_batch") && col("seen").isNull,
+          1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Per-document duplicated-gram coverage — the doc-level removal
     * signal of exact substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): for each document,

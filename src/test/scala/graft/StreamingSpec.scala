@@ -1079,6 +1079,54 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("streaming novelty gate: incremental batches against the gram store equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val want = graft.operators.Dedup.gramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val gramDir = java.nio.file.Files
+      .createTempDirectory("graft-gram-store-").toString
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.Dedup.noveltyIncrementalBatch(batch, gramDir, id)
+          .collect().foreach(r => got(r.getLong(0)) =
+            ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        ()
+      }.start()
+    var lastChunk: Seq[(Long, String)] = Nil
+    var nBatches = 0L
+    try {
+      // ingest order = doc_id order: the incremental scores must then
+      // concatenate to exactly the batch novelty panel
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        lastChunk = chunk.toSeq; nBatches += 1
+      }
+      assert(got.toMap == want,
+        s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+    } finally q.stop()
+    // at-least-once replay of the LAST committed batch: overwrites its
+    // own store dir, scores only against STRICTLY earlier batches —
+    // identical rows (exactly-once store discipline)
+    val replay = graft.operators.Dedup.noveltyIncrementalBatch(
+      lastChunk.toDF("doc_id", "text"), gramDir, nBatches - 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val wantLast = lastChunk.map(_._1).filter(want.contains)
+      .map(id => id -> want(id)).toMap
+    assert(replay == wantLast,
+      s"replay diverged: ${(wantLast.toSet -- replay.toSet).take(2)}")
+  }
+
   test("streaming gap fill state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
