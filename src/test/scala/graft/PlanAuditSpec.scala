@@ -620,4 +620,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
       s"document text crosses a shuffle: $exchanges")
   }
+
+  test("bm25: stats ride a broadcast, top-k is TakeOrdered, text never shuffles") {
+    val df = graft.operators.TextAnalysis.bm25(spark, sfDir)
+    val plan = physical(df)
+    // the 1-row stats frame joins back as a broadcast nested loop
+    // (cross join of one row), never a shuffle-side join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"stats join degraded:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // global top-k without a full sort
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort:\n$plan")
+    // only the 1-row stats aggregate shuffles; text stays row-local
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("source sketch: per-source min partial-aggregates before one bounded shuffle") {
+    val df = graft.operators.Dedup.sourceSketch(spark, sfDir)
+    val plan = physical(df)
+    // map-side partial min: the shuffle carries (source, p, min s) —
+    // bounded by sources×64 per input partition, never per-doc rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("pii redact runs at scan speed: zero shuffles, whole-stage codegen") {
+    val df = graft.operators.TextAnalysis.piiRedact(spark, sfDir)
+    assert(shuffleInputSchemas(df).isEmpty,
+      s"redaction shuffled:\n${physical(df)}")
+    // the compact rendering marks codegen stages as "*(n)"
+    assert(physical(df).contains("*(1)"),
+      s"fell out of whole-stage codegen:\n${physical(df)}")
+  }
 }
