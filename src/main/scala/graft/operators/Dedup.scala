@@ -337,15 +337,9 @@ object Dedup {
       newBatch.select(col("id"), col("embedding"),
         V.srpFingerprint(col("embedding")).as("fp")), batchId)
     val e = spark.read.parquet(s"$corpusFpDir/batch=$batchId")
-    // enumerate prior batches through Hadoop's FileSystem — java.io.File
-    // only sees the local disk, and on HDFS/S3 its null listing would
-    // silently disable cross-batch dedup while the write still succeeds
-    val basePath = new org.apache.hadoop.fs.Path(corpusFpDir)
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val otherBatches = fs.listStatus(basePath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=") &&
-        st.getPath.getName != s"batch=$batchId")
-      .map(_.getPath.toString).toSeq
+    val otherBatches = graft.sources.Incremental
+      .committedBatchDirs(spark, corpusFpDir)
+      .collect { case (id, path) if id != batchId => path }
     val inBatch = srpPairsOf(e, maxHamming, minDotQ)
       .select(col("vec_b").as("dup_id"))
     val dups = if (otherBatches.isEmpty) inBatch else {
@@ -631,41 +625,35 @@ object Dedup {
     * the corpus in doc_id order, the per-batch outputs concatenate
     * to exactly the q_gram_novelty panel (spec-pinned).
     *
-    * Scale shape: per batch, ONE gram explode feeding both the
-    * store write and the scoring join; the store probe is a
-    * gram-keyed left join (store ∝ corpus distinct grams — at 100 TB
-    * the store is bucketed by gram so the probe co-locates, and a
-    * bloom prefilter culls the untouched store partitions); the
-    * novelty attribution within the batch reuses the store's own
-    * (gram, first_doc) rows, so the batch is exploded once, not
-    * twice. */
+    * Scale shape: the store holds the PER-DOC distinct-gram table
+    * (doc_id, gram) — the batch panel's own explode, parked — so the
+    * explode runs exactly once, during the store write, and the
+    * scoring pass reads only committed parquet (a non-deterministic
+    * batch source therefore cannot skew the score: the landed rows
+    * ARE the scored rows). The store probe is a gram-keyed left join
+    * (earlier-batch grams ∝ corpus gram instances; at 100 TB the
+    * store is bucketed by gram so the probe co-locates, and a bloom
+    * prefilter culls the untouched store partitions). */
   def noveltyIncrementalBatch(batch: DataFrame, gramDir: String,
                               batchId: Long, n: Int = 8): DataFrame = {
     val spark = batch.sparkSession
-    // commit this batch's gram table FIRST (crash replay re-lands the
-    // same dir), then score over the committed parquet so the explode
-    // runs once during the write, not once per consumer
+    // commit this batch's per-doc gram rows FIRST (crash replay
+    // re-lands the same dir); everything below reads the committed
+    // parquet, so the explode runs once — inside this write
     graft.sources.Incremental.idempotentBatchWriter(gramDir)(
       batch
-        .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
-        .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc")),
+        .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram")),
       batchId)
     val own = spark.read.parquet(s"$gramDir/batch=$batchId")
-    val grams = batch
-      .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
-    // enumerate STRICTLY EARLIER batches via Hadoop FS (java.io.File
-    // would silently see nothing on HDFS/S3)
-    val basePath = new org.apache.hadoop.fs.Path(gramDir)
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior = fs.listStatus(basePath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(_.getPath.getName.stripPrefix("batch=").toLong < batchId)
-      .map(_.getPath.toString).toSeq
+    val firsts = own.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    val prior = graft.sources.Incremental.committedBatchDirs(spark, gramDir)
+      .collect { case (id, path) if id < batchId => path }
     val seenBefore =
       if (prior.isEmpty) own.select(col("gram")).limit(0)
       else spark.read.parquet(prior: _*).select(col("gram")).distinct()
-    grams
-      .join(own.withColumnRenamed("first_doc", "first_in_batch"), Seq("gram"))
+    own
+      .join(firsts, Seq("gram"))
       .join(seenBefore.withColumn("seen", lit(1L)), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -615,6 +615,14 @@ object TextAnalysis {
   private[graft] val Bm25TfDen2 = 18L  // ·dl·N (k1·b·20)
   private[graft] val Bm25DefaultTerms = Seq("dup", "key", "batch", "window")
 
+  /** The int64 headroom of the fixed-point idf: p⁴ = (2N+2)⁴ must stay
+    * under 2⁶³, so N ≤ 27,553 ((2·27553+2)⁴ < 2⁶³ < (2·27554+2)⁴).
+    * [[bm25Of]] raises past the bound instead of wrapping (DuckDB
+    * errors natively on the same overflow — both engines fail LOUD,
+    * never diverge silently); past it, score per partition/day slice,
+    * or widen the idf intermediates to DECIMAL(38). */
+  private[graft] val Bm25MaxDocs = 27553L
+
   /** BM25 ranked retrieval (disjunctive), rank-stable across engines:
     * every float in classic BM25 is replaced by an exact integer
     * surrogate so two engines can never disagree by an ulp and flip a
@@ -655,18 +663,36 @@ object TextAnalysis {
           size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
         }: _*)
     // 1-row corpus stats: N, total tokens T, per-term df — broadcast
-    // back as a scalar (bounded: one row, |terms| columns)
+    // back as a scalar (bounded: one row, |terms| columns). N is
+    // guarded against the p⁴ int64 bound (see Bm25MaxDocs) — overflow
+    // must fail loud, not wrap into garbage rankings.
     val stats = withTf.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("t_tok") +:
         terms.indices.map(i =>
           count(when(col(s"tf_$i") > 0L, 1)).as(s"df_$i")): _*)
+      .withColumn("n_docs",
+        when(col("n_docs") > Bm25MaxDocs,
+          raise_error(concat(lit(s"bm25: corpus exceeds $Bm25MaxDocs docs — " +
+            "(2N+2)^4 would overflow int64; slice the corpus or widen " +
+            "the idf to DECIMAL(38). N = "), col("n_docs").cast("string"))))
+          .otherwise(col("n_docs")))
     // floor-log₂ bit length (x ≥ 1): length(bin(x)) − 1; the −1s
     // cancel in the difference below
     def bl(x: Column): Column = length(bin(x)) // INT (shiftleft's shift type)
     val p = lit(2L) * col("n_docs") + lit(2L)
     val p4 = pow4(p)
-    val scored = withTf.crossJoin(broadcast(stats)).select(
+    // per-row guard on the tf-norm numerator Scale·44·T·tf (tf ≤ dl,
+    // so bounding dl·T bounds it): loud failure beats a wrapped score
+    val dlGuarded = when(
+      col("dl") > call_function("div",
+        lit(Long.MaxValue / (Bm25Scale * Bm25TfNum)), col("t_tok")),
+      raise_error(lit("bm25: Scale*44*T*dl overflows int64 — slice the " +
+        "corpus or widen the tf-norm to DECIMAL(38)")))
+      .otherwise(col("dl")).as("dl")
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("dl", dlGuarded)
+      .select(
       Seq(col("doc_id"), col("dl")) ++
         terms.indices.map { i =>
           val q = lit(2L) * col(s"df_$i") + lit(1L)

@@ -19,6 +19,23 @@ object Incremental {
   def idempotentBatchWriter(outDir: String): (DataFrame, Long) => Unit =
     (df, id) => df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$id")
 
+  /** The `batch=<id>` dirs [[idempotentBatchWriter]] has committed
+    * under `dir`, as (id, path) — THE one reader of the writer's
+    * layout (callers apply their own id predicate: incremental dedup
+    * excludes its own batch, the novelty gauge keeps strictly earlier
+    * ones). Enumerated through Hadoop's FileSystem: java.io.File only
+    * sees local disk, and on HDFS/S3 its null listing would silently
+    * disable cross-batch logic while writes still succeed. */
+  def committedBatchDirs(spark: SparkSession,
+                         dir: String): Seq[(Long, String)] = {
+    val basePath = new org.apache.hadoop.fs.Path(dir)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(basePath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong,
+        st.getPath.toString)).toSeq
+  }
+
   /** Days present in the partitioned layout but not yet committed. */
   def pendingDays(partitionedDir: String, checkpointFile: String): Seq[String] = {
     val all = Option(new java.io.File(partitionedDir).listFiles()).getOrElse(Array())
