@@ -295,7 +295,9 @@ FROM comp JOIN cs USING (component)"""
     * read doc_id + the h/l hash halves off `lastCte`. [[docGramCtes]]
     * adds the DISTINCT collapse on top. */
   private def gramSeqCtes(n: Int): (Seq[String], String) = {
-    val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
+    // gfnv, not fnv: [[curationManifest]] splices this chain next to
+    // [[simhashFpCtes]] (which owns `fnv`) in ONE WITH block
+    val (tokStages, tokLast) = mixStages("gfnv", "tx", Seq("doc_id", "ti"), Left("h0"))
     val (gramStages, gramLast) = mixStages("sh", "gx", Seq("doc_id"), Left("sh0"))
     // ((...(t0·B + t1)·B + ...)·B + t{n-1}) mod 2^64 over n joined rows
     val aliases = (0 until n).map(i => s"t$i")
@@ -308,7 +310,7 @@ FROM comp JOIN cs USING (component)"""
     (Seq(
       """t0s AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
       "t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM t0s)",
-      s"fnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
+      s"gfnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM t WHERE tok <> '')") ++
       tokStages ++ Seq(
       s"th AS MATERIALIZED (SELECT doc_id, ti, CAST(h AS HUGEINT) * 4294967296 + l AS h FROM $tokLast)",
       s"sh AS (SELECT t0.doc_id, $poly AS sh0 FROM th t0$joins)") ++
@@ -1134,6 +1136,65 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
        |FROM d CROSS JOIN i${terms.size - 1}
        |WHERE $anyTf
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** q_curation_manifest: the WHOLE curation funnel as one
+    * hash-checked row set — quality gate → SimHash near-dup keep-set
+    * (recursive-CTE closure over the SURVIVORS' pair graph) → eval
+    * decontamination → per-source quality cap → deterministic Knuth
+    * split → 256-token sequence packing — reporting (stage, n_docs,
+    * n_tokens) per stage. This is CurationPipelineSpec's composition
+    * promoted to an oracle row: the per-stage counts AND the packing
+    * token-conservation now hash-match DuckDB end to end.
+    * `qualityKernel` is SparkEntry.qualitySqlKernel, passed in so the
+    * quality definition stays single-sourced. */
+  def curationManifest(qualityKernel: String, minQuality: String = "0.5",
+                       maxHamming: Int = 3, n: Int = 4,
+                       evalSource: String = "src0", capK: Int = 5,
+                       trainPct: Int = 90, binTokens: Int = 256): String = {
+    def st(name: String, from: String) =
+      s"SELECT '$name' AS stage, count(*) AS n_docs," +
+        s" CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM $from"
+    "WITH RECURSIVE " +
+      (simhashFpCtes ++ docGramCtes(n) ++ Seq(
+        s"""qq AS MATERIALIZED (SELECT doc_id, source, text,
+           |   $qualityKernel AS quality,
+           |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           |     AS n_tok FROM documents)""".stripMargin,
+        s"qual AS MATERIALIZED (SELECT * FROM qq WHERE quality > $minQuality)",
+        // near-dup pair graph restricted to the quality SURVIVORS
+        "p AS (SELECT a.doc_id AS va, b.doc_id AS vb" +
+          " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
+          s" AND bit_count(xor(a.fp, b.fp)) <= $maxHamming" +
+          " JOIN qual xa ON xa.doc_id = a.doc_id" +
+          " JOIN qual xb ON xb.doc_id = b.doc_id)",
+        "ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p)",
+        "reach(a, b) AS (SELECT a, b FROM ed" +
+          " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)",
+        "m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)",
+        "kept AS MATERIALIZED (SELECT d.* FROM qual d" +
+          " LEFT JOIN m ON m.a = d.doc_id" +
+          " WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id)",
+        "ev AS MATERIALIZED (SELECT DISTINCT dg.gram FROM dg" +
+          s" JOIN documents d ON d.doc_id = dg.doc_id WHERE d.source = '$evalSource')",
+        "hit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON ev.gram = dg.gram)",
+        "clean AS MATERIALIZED (SELECT k.* FROM kept k" +
+          " WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = k.doc_id))",
+        "capped AS MATERIALIZED (SELECT * FROM clean" +
+          " QUALIFY row_number() OVER (PARTITION BY source" +
+          s" ORDER BY quality DESC, doc_id) <= $capK)",
+        "train AS MATERIALIZED (SELECT * FROM capped" +
+          s" WHERE (doc_id * 2654435761) % 4294967296 % 100 < $trainPct)",
+        "cums AS (SELECT source, doc_id, n_tok," +
+          " sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM train)",
+        s"bins AS (SELECT source, (cum - n_tok) // $binTokens AS bin," +
+          " CAST(sum(n_tok) AS BIGINT) AS n_tok FROM cums GROUP BY 1, 2)"))
+        .mkString(",\n ") + "\n" +
+      Seq(st("0_raw", "qq"), st("1_quality", "qual"), st("2_dedup", "kept"),
+        st("3_decontam", "clean"), st("4_cap", "capped"),
+        st("5_train", "train"), st("6_pack", "bins"))
+        .mkString("\nUNION ALL ")
   }
 
   /** q_pii_redact: the sequential count-then-replace chain generated

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Dedup, Monitoring, Multimodal, Sampling, Sequence, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, Curation, Dedup, Monitoring, Multimodal, Sampling, Sequence, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -137,6 +137,7 @@ object SparkEntry {
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_gram_novelty" -> ((s, d) => Dedup.gramNovelty(s, d)),
     "q_source_sketch" -> ((s, d) => Dedup.sourceSketch(s, d)),
+    "q_curation_manifest" -> ((s, d) => Curation.manifest(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -1736,6 +1737,7 @@ object SparkEntry {
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
     "q_gram_novelty" -> OracleSql.gramNovelty(8),
     "q_source_sketch" -> OracleSql.sourceSketch,
+    "q_curation_manifest" -> OracleSql.curationManifest(qualitySqlKernel),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
     "q_pii_redact" -> OracleSql.piiRedact,

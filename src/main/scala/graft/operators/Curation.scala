@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The whole training-data curation funnel composed from the
+  * library's public primitives, reported as a per-stage manifest —
+  * the run record a production pipeline logs (and a release review
+  * reads) after every corpus build.
+  */
+object Curation {
+
+  /** End-to-end curation manifest: quality gate → SimHash near-dup
+    * keep-set over the survivors → eval decontamination → per-source
+    * quality-best cap → deterministic Knuth-hash split → fixed-budget
+    * sequence packing, one (stage, n_docs, n_tokens) row per stage.
+    * This is the CurationPipelineSpec composition promoted to an
+    * ORACLE ROW: every stage's survivor count/token mass AND the
+    * packing stage's token conservation (6_pack n_tokens ≡ 5_train
+    * n_tokens, n_docs = sequence count) hash-match a DuckDB replay of
+    * the full funnel (recursive-CTE component closure included).
+    *
+    * Scale shape: each stage is the already-audited operator —
+    * row-local quality kernel, (id, fp)-only pair stage + O(log n)
+    * CC rounds, broadcast eval-gram semi-join, bounded-heap
+    * TopKPerKeyExec, hash split, per-source window cumsum — and the
+    * manifest adds only 7 count/sum aggregates on top; the funnel
+    * frames are lazily shared, not re-scanned per stage row. */
+  def manifest(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+               maxHamming: Int = 3, evalSource: String = "src0",
+               nGram: Int = 4, capK: Int = 5, trainPct: Int = 90,
+               binTokens: Long = 256L): DataFrame =
+    manifestOf(Tables.documents(spark, dir), minQuality, maxHamming,
+      evalSource, nGram, capK, trainPct, binTokens)
+
+  /** [[manifest]] over a prepared (doc_id, source, text) frame. */
+  def manifestOf(docs: DataFrame, minQuality: Double, maxHamming: Int,
+                 evalSource: String, nGram: Int, capK: Int, trainPct: Int,
+                 binTokens: Long): DataFrame = {
+    val withTok = docs.select(col("doc_id"), col("source"), col("text"),
+      T.qualityScore(col("text")).as("quality"),
+      T.wordCount(col("text")).cast("long").as("n_tok"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val qual = withTok.filter(col("quality") > minQuality)
+    val kept = Dedup.keepSetOf(qual, maxHamming)
+    val clean = Dedup.decontaminateApplyOf(kept,
+      docs.filter(col("source") === evalSource), nGram)
+    val capped = TopKPerKey.topKPerKey(clean, Seq("source"),
+      Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc), capK)
+    val train = capped.filter(
+      pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < trainPct)
+    // greedy fixed-budget packing: per-source doc_id-ordered token
+    // cumsum, sequence = cumsum div binTokens (the q_pack kernel)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bins = train.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        call_function("div", col("cum") - col("n_tok"), lit(binTokens)))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tok")).as("n_tok"))
+    Seq(stage("0_raw", withTok), stage("1_quality", qual),
+      stage("2_dedup", kept), stage("3_decontam", clean),
+      stage("4_cap", capped), stage("5_train", train),
+      stage("6_pack", bins)).reduce(_ unionAll _)
+  }
+}

@@ -114,4 +114,35 @@ class CurationPipelineSpec extends SparkSpec {
     val packedDocs = packed.agg(sum(col("n_docs"))).collect()(0).getLong(0)
     assert(packedDocs == train.count())
   }
+
+  test("curation manifest: stage counts are monotone and packing conserves tokens") {
+    val rows = graft.operators.Curation.manifest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(rows.keySet == Set("0_raw", "1_quality", "2_dedup", "3_decontam",
+      "4_cap", "5_train", "6_pack"))
+    // the funnel only narrows: docs AND tokens non-increasing 0→5
+    val order = Seq("0_raw", "1_quality", "2_dedup", "3_decontam", "4_cap",
+      "5_train")
+    order.zip(order.tail).foreach { case (a, b) =>
+      assert(rows(b)._1 <= rows(a)._1 && rows(b)._2 <= rows(a)._2,
+        s"$b grew over $a: ${rows(b)} > ${rows(a)}")
+    }
+    // every gate actually bites on this corpus, and survivors remain
+    assert(rows("5_train")._1 > 0)
+    assert(rows("1_quality")._1 < rows("0_raw")._1)
+    assert(rows("4_cap")._1 < rows("3_decontam")._1)
+    // packing conserves the train tokens exactly, in fewer rows
+    assert(rows("6_pack")._2 == rows("5_train")._2,
+      s"packing lost tokens: ${rows("6_pack")._2} vs ${rows("5_train")._2}")
+    assert(rows("6_pack")._1 <= rows("5_train")._1)
+    // an impossible quality bar empties every later stage but the
+    // manifest still reports all 7 stages (zero rows, zero tokens)
+    val empty = graft.operators.Curation.manifestOf(
+      Tables.documents(spark, sfDir), minQuality = 1e9, maxHamming = 3,
+      evalSource = "src0", nGram = 4, capK = 5, trainPct = 90,
+      binTokens = 256L).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(empty.size == 7 && empty("1_quality") == 0 && empty("6_pack") == 0)
+  }
 }
