@@ -27,9 +27,14 @@ object Curation {
     * Scale shape: each stage is the already-audited operator —
     * row-local quality kernel, (id, fp)-only pair stage + O(log n)
     * CC rounds, broadcast eval-gram semi-join, bounded-heap
-    * TopKPerKeyExec, hash split, per-source window cumsum — and the
-    * manifest adds only 7 count/sum aggregates on top; the funnel
-    * frames are lazily shared, not re-scanned per stage row. */
+    * TopKPerKeyExec, hash split, per-source window cumsum. The CC
+    * closure — the expensive part — is materialized ONCE by its own
+    * fixpoint loop (checkpointed labels); the cheap row-local frames
+    * re-derive lazily under each stage aggregate. At 100 TB a
+    * production run PERSISTS each stage's survivors anyway (they are
+    * the pipeline's outputs) and the manifest is the read-out over
+    * those committed tables — this operator is the self-contained
+    * form of that read-out, not the materialization policy. */
   def manifest(spark: SparkSession, dir: String, minQuality: Double = 0.5,
                maxHamming: Int = 3, evalSource: String = "src0",
                nGram: Int = 4, capK: Int = 5, trainPct: Int = 90,
