@@ -142,6 +142,23 @@ private[graft] object OracleSql {
       "\nFROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
       "\nWHERE bit_count(xor(a.fp, b.fp)) <= 3"
 
+  /** The SimHash pair-graph connected-components closure CTEs
+    * (p → symmetric edges → recursive reach → per-node min) — ONE
+    * spelling shared by [[dedupKeepset]], [[dedupApply]],
+    * [[softDedupWeights]] and [[curationManifest]]; `extraJoins`
+    * restricts the pair graph (the manifest joins the quality
+    * survivors). Consumers read `m(a, mn)` and LEFT JOIN their node
+    * set against it. */
+  private def ccClosureCtes(maxHamming: Int,
+                            extraJoins: String = ""): Seq[String] = Seq(
+    "p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b" +
+      s" ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= $maxHamming" +
+      s"$extraJoins)",
+    "ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p)",
+    "reach(a, b) AS (SELECT a, b FROM ed" +
+      " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)",
+    "m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)")
+
   /** q_dedup_keepset: the apply-form near-dup filter — the simhash
     * hamming≤3 pair graph's connected components (transitive closure
     * via recursive CTE, the q_dedup_cluster pattern), keeping each
@@ -149,15 +166,8 @@ private[graft] object OracleSql {
     * recall-complete within the ball (pigeonhole), so the component
     * structure — and hence the kept set — is identical. */
   def dedupKeepset: String =
-    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + ",\n" +
-      " p AS (SELECT a.doc_id AS va, b.doc_id AS vb" +
-      " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
-      " WHERE bit_count(xor(a.fp, b.fp)) <= 3),\n" +
-      " ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),\n" +
-      " reach(a, b) AS (SELECT a, b FROM ed" +
-      " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),\n" +
-      " m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)\n" +
-      "SELECT d.doc_id, d.source FROM documents d" +
+    "WITH RECURSIVE " + (simhashFpCtes ++ ccClosureCtes(3)).mkString(",\n ") +
+      "\nSELECT d.doc_id, d.source FROM documents d" +
       " LEFT JOIN m ON m.a = d.doc_id" +
       " WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id"
 
@@ -178,13 +188,7 @@ private[graft] object OracleSql {
   /** q_dedup_apply: connected components (transitive closure) over the
     * hamming<=3 simhash pair graph; per-source kept/total counts. */
   def dedupApply: String =
-    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + """,
- p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b
-   ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
- ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
- reach(a, b) AS (SELECT a, b FROM ed
-   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
- m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
+    "WITH RECURSIVE " + (simhashFpCtes ++ ccClosureCtes(3)).mkString(",\n ") + """,
  comp AS (SELECT d.doc_id, d.source,
    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
   FROM documents d LEFT JOIN m ON m.a = d.doc_id)
@@ -197,13 +201,7 @@ FROM comp GROUP BY 1"""
     * duplication census. Both engines do ONE IEEE division per row on
     * exact integer inputs. */
   def softDedupWeights: String =
-    "WITH RECURSIVE " + simhashFpCtes.mkString(",\n ") + """,
- p AS (SELECT a.doc_id AS va, b.doc_id AS vb FROM fp a JOIN fp b
-   ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
- ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
- reach(a, b) AS (SELECT a, b FROM ed
-   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
- m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
+    "WITH RECURSIVE " + (simhashFpCtes ++ ccClosureCtes(3)).mkString(",\n ") + """,
  comp AS (SELECT d.doc_id,
    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
   FROM documents d LEFT JOIN m ON m.a = d.doc_id),
@@ -1161,24 +1159,21 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
            |   $qualityKernel AS quality,
            |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
            |     AS n_tok FROM documents)""".stripMargin,
-        s"qual AS MATERIALIZED (SELECT * FROM qq WHERE quality > $minQuality)",
-        // near-dup pair graph restricted to the quality SURVIVORS
-        "p AS (SELECT a.doc_id AS va, b.doc_id AS vb" +
-          " FROM fp a JOIN fp b ON a.doc_id < b.doc_id" +
-          s" AND bit_count(xor(a.fp, b.fp)) <= $maxHamming" +
-          " JOIN qual xa ON xa.doc_id = a.doc_id" +
-          " JOIN qual xb ON xb.doc_id = b.doc_id)",
-        "ed AS MATERIALIZED (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p)",
-        "reach(a, b) AS (SELECT a, b FROM ed" +
-          " UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)",
-        "m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1)",
+        s"qual AS MATERIALIZED (SELECT * FROM qq WHERE quality > $minQuality)") ++
+      // near-dup pair graph restricted to the quality SURVIVORS
+      ccClosureCtes(maxHamming,
+        " JOIN qual xa ON xa.doc_id = a.doc_id" +
+          " JOIN qual xb ON xb.doc_id = b.doc_id") ++ Seq(
         "kept AS MATERIALIZED (SELECT d.* FROM qual d" +
           " LEFT JOIN m ON m.a = d.doc_id" +
           " WHERE least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id)",
         "ev AS MATERIALIZED (SELECT DISTINCT dg.gram FROM dg" +
           s" JOIN documents d ON d.doc_id = dg.doc_id WHERE d.source = '$evalSource')",
         "hit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON ev.gram = dg.gram)",
-        "clean AS MATERIALIZED (SELECT k.* FROM kept k" +
+        // text projected away: nothing downstream of decontamination
+        // reads it (mirrors the Spark side's narrow funnel waist)
+        "clean AS MATERIALIZED (SELECT k.doc_id, k.source, k.quality," +
+          " k.n_tok FROM kept k" +
           " WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = k.doc_id))",
         "capped AS MATERIALIZED (SELECT * FROM clean" +
           " QUALIFY row_number() OVER (PARTITION BY source" +

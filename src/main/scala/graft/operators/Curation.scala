@@ -27,14 +27,17 @@ object Curation {
     * Scale shape: each stage is the already-audited operator —
     * row-local quality kernel, (id, fp)-only pair stage + O(log n)
     * CC rounds, broadcast eval-gram semi-join, bounded-heap
-    * TopKPerKeyExec, hash split, per-source window cumsum. The CC
-    * closure — the expensive part — is materialized ONCE by its own
-    * fixpoint loop (checkpointed labels); the cheap row-local frames
-    * re-derive lazily under each stage aggregate. At 100 TB a
-    * production run PERSISTS each stage's survivors anyway (they are
-    * the pipeline's outputs) and the manifest is the read-out over
-    * those committed tables — this operator is the self-contained
-    * form of that read-out, not the materialization policy. */
+    * TopKPerKeyExec, hash split, per-source window cumsum. The two
+    * expensive subtrees run ONCE each: the CC closure materializes
+    * via its own checkpointed fixpoint, and the post-decontamination
+    * survivors — the funnel's narrow waist, text projected away —
+    * are eagerly checkpointed so stages 4–6 re-rank a narrow
+    * materialized frame instead of re-running the gram join. Only
+    * the row-local quality scans (stages 0–2) re-derive lazily. At
+    * 100 TB a production run PERSISTS each stage's survivors anyway
+    * (they are the pipeline's outputs) and the manifest is the
+    * read-out over those committed tables — this operator is the
+    * self-contained form of that read-out. */
   def manifest(spark: SparkSession, dir: String, minQuality: Double = 0.5,
                maxHamming: Int = 3, evalSource: String = "src0",
                nGram: Int = 4, capK: Int = 5, trainPct: Int = 90,
@@ -55,19 +58,25 @@ object Curation {
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
     val qual = withTok.filter(col("quality") > minQuality)
     val kept = Dedup.keepSetOf(qual, maxHamming)
-    val clean = Dedup.decontaminateApplyOf(kept,
+    // the funnel's narrow waist: text projected away (nothing past
+    // decontamination reads it) and MATERIALIZED once — the CC
+    // checkpoint discipline — so the gram-join subtree runs once, not
+    // once per downstream stage aggregate
+    val clean0 = Dedup.decontaminateApplyOf(kept,
       docs.filter(col("source") === evalSource), nGram)
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tok"))
+    val sc = docs.sparkSession.sparkContext
+    val clean = if (sc.getCheckpointDir.isDefined) clean0.checkpoint(eager = true)
+      else clean0.localCheckpoint(eager = true)
     val capped = TopKPerKey.topKPerKey(clean, Seq("source"),
       Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc), capK)
-    val train = capped.filter(
-      pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < trainPct)
+    val train = capped.filter(Sampling.slot(col("doc_id")) < trainPct)
     // greedy fixed-budget packing: per-source doc_id-ordered token
     // cumsum, sequence = cumsum div binTokens (the q_pack kernel)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val bins = train.withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin",
-        call_function("div", col("cum") - col("n_tok"), lit(binTokens)))
+      .withColumn("bin", Sampling.packBin(col("cum"), col("n_tok"), binTokens))
       .groupBy(col("source"), col("bin"))
       .agg(sum(col("n_tok")).as("n_tok"))
     Seq(stage("0_raw", withTok), stage("1_quality", qual),

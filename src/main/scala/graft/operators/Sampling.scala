@@ -14,9 +14,21 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   /** Knuth multiplicative hash on the key → stable [0,100) slot,
-    * expressible in plain arithmetic in any engine. */
-  private def slot(key: org.apache.spark.sql.Column) =
+    * expressible in plain arithmetic in any engine. Shared with
+    * [[Curation.manifestOf]]'s split stage — the ONE spelling of the
+    * split hash, next to its oracle literals. */
+  private[operators] def slot(key: org.apache.spark.sql.Column) =
     pmod(key * lit(2654435761L), lit(4294967296L)) % 100
+
+  /** The packing bin of a window-cumsum row: (cum − n) div budget.
+    * Integral `div` — exact at ANY cumulative token count, where the
+    * (start − start%budget)/budget double-division form silently
+    * loses exactness past 2⁵³ total tokens. Shared by
+    * [[packSequences]] and [[Curation.manifestOf]]. */
+  private[operators] def packBin(cum: org.apache.spark.sql.Column,
+                                 n: org.apache.spark.sql.Column,
+                                 budget: Long): org.apache.spark.sql.Column =
+    call_function("div", cum - n, lit(budget))
 
   /** Partition-skew audit: row and byte load per hash shard under the
     * engine's own key-hash partitioning model — the capacity check run
@@ -100,11 +112,10 @@ object Sampling {
     val toks = size(split(trim(col("text")), "\\s+")).cast("long")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val start = col("cum") - col("n_tokens")
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), toks.as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", ((start - pmod(start, lit(budget))) / budget).cast("long"))
+      .withColumn("bin", packBin(col("cum"), col("n_tokens"), budget))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
