@@ -623,6 +623,23 @@ object TextAnalysis {
     * or widen the idf intermediates to DECIMAL(38). */
   private[graft] val Bm25MaxDocs = 27553L
 
+  /** The quarter-bit Lucene idf as a Column: floor(4·log₂((N+1)/(df+½)))
+    * = floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1 — exact int64 bit
+    * lengths plus ONE shift-compare correction, no libm log.
+    * Requires 0 ≤ df ≤ N ≤ [[Bm25MaxDocs]] (callers guard N).
+    * PropertySpec pins this against a BigInt floor-log₂ reference over
+    * the full domain including every boundary. */
+  private[graft] def bm25IdfQ(nDocs: Column, df: Column): Column = {
+    def bl(x: Column): Column = length(bin(x)) // bit length (INT)
+    def pw4(x: Column): Column = { val xx = x * x; xx * xx }
+    val p4 = pw4(lit(2L) * nDocs + lit(2L))
+    val q4 = pw4(lit(2L) * df + lit(1L))
+    val k0 = bl(p4) - bl(q4) // ≥ 0: p > q always (df ≤ N)
+    // functions.shiftleft only takes a literal shift; the SQL
+    // function accepts a column
+    k0 - when(p4 < call_function("shiftleft", q4, k0), 1L).otherwise(0L)
+  }
+
   /** BM25 ranked retrieval (disjunctive), rank-stable across engines:
     * every float in classic BM25 is replaced by an exact integer
     * surrogate so two engines can never disagree by an ulp and flip a
@@ -677,11 +694,6 @@ object TextAnalysis {
             "(2N+2)^4 would overflow int64; slice the corpus or widen " +
             "the idf to DECIMAL(38). N = "), col("n_docs").cast("string"))))
           .otherwise(col("n_docs")))
-    // floor-log₂ bit length (x ≥ 1): length(bin(x)) − 1; the −1s
-    // cancel in the difference below
-    def bl(x: Column): Column = length(bin(x)) // INT (shiftleft's shift type)
-    val p = lit(2L) * col("n_docs") + lit(2L)
-    val p4 = pow4(p)
     // per-row guard on the tf-norm numerator Scale·44·T·tf (tf ≤ dl,
     // so bounding dl·T bounds it): loud failure beats a wrapped score
     val dlGuarded = when(
@@ -695,14 +707,7 @@ object TextAnalysis {
       .select(
       Seq(col("doc_id"), col("dl")) ++
         terms.indices.map { i =>
-          val q = lit(2L) * col(s"df_$i") + lit(1L)
-          val q4 = pow4(q)
-          val k0 = bl(p4) - bl(q4) // ≥ 0: p > q always (df ≤ N)
-          // floor(log₂(p⁴/q⁴)) = k0 − [p⁴ < q⁴·2^k0]
-          // functions.shiftleft only takes a literal shift; the SQL
-          // function accepts a column
-          val idf = k0 - when(p4 < call_function("shiftleft", q4, k0), 1L)
-            .otherwise(0L)
+          val idf = bm25IdfQ(col("n_docs"), col(s"df_$i"))
           // SQL `div` (IntegralDivide) — exact BIGINT quotient, and
           // `//` on the DuckDB side truncates identically on positives
           val tfn = call_function("div",
@@ -722,10 +727,6 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
-
-  /** x⁴ in exact int64 (callers bound x so x⁴ < 2⁶³: x = 2N+2 ≤
-    * ~10⁴ at sf0.1 → x⁴ ≈ 10¹⁶). */
-  private def pow4(x: Column): Column = { val xx = x * x; xx * xx }
 
   /** Heaps-law vocabulary-growth panel: distinct-word count as the
     * corpus grows through `buckets` doc_id-ordered prefixes — the

@@ -282,4 +282,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bm25 quarter-bit idf equals a BigInt floor-log2 reference (boundaries + fuzz)") {
+    import spark.implicits._
+    // exact reference: floor(log2(p^4/q^4)) by BigInt shift-compare
+    def ref(n: Long, df: Long): Long = {
+      val p4 = BigInt(2 * n + 2).pow(4)
+      val q4 = BigInt(2 * df + 1).pow(4)
+      var k = 0
+      while ((q4 << (k + 1)) <= p4) k += 1 // 2^k ≤ p4/q4 < 2^(k+1)
+      k.toLong
+    }
+    val rnd = new scala.util.Random(7)
+    val maxN = graft.operators.TextAnalysis.Bm25MaxDocs
+    val cases =
+      // every boundary: tiny corpora, df=0, df=N, the int64 headroom edge
+      Seq((1L, 0L), (1L, 1L), (2L, 1L), (maxN, 0L), (maxN, maxN),
+        (maxN, maxN / 2), (maxN - 1L, 1L)) ++
+        Seq.fill(500) { val n = 1L + rnd.nextInt(maxN.toInt).toLong
+          (n, rnd.nextLong(n + 1)) }
+    val got = cases.toDF("n", "df")
+      .select(col("n"), col("df"),
+        graft.operators.TextAnalysis.bm25IdfQ(col("n"), col("df"))
+          .cast("long").as("idf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (n, df) =>
+      assert(got((n, df)) == ref(n, df),
+        s"N=$n df=$df: got ${got((n, df))} want ${ref(n, df)}")
+    }
+  }
 }
