@@ -195,6 +195,7 @@ object SparkEntry {
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
     "q_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(s, d)),
+    "q_surprisal_transfer" -> ((s, d) => TextAnalysis.surprisalTransfer(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
@@ -1851,6 +1852,34 @@ object SparkEntry {
         |           (length(printf('%b', c12 + 1)) - 1)) AS DOUBLE) /
         |  CAST(count(*) AS DOUBLE) AS mean_bits
         |FROM bi JOIN g USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+    // transfer surprisal: the q_bigram_surprisal kernel with the LM
+    // trained on source <> src0 and ONLY src0 scored; LEFT joins +
+    // coalesce give unseen bigrams the add-one floor and unknown
+    // prefixes the bare-vocabulary score, as bigramSurprisalAgainst
+    "q_surprisal_transfer" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, source,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |               t -> t <> '') AS toks FROM documents),
+        | bt AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |         FROM tk WHERE len(toks) >= 2 AND source <> 'src0')),
+        | be AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |         FROM tk WHERE len(toks) >= 2 AND source = 'src0')),
+        | u AS (SELECT w1, count(*) AS c1 FROM bt GROUP BY 1),
+        | g AS (SELECT w1, w2, count(*) AS c12 FROM bt GROUP BY 1, 2),
+        | v AS (SELECT count(DISTINCT w) AS v FROM
+        |   (SELECT w1 AS w FROM bt UNION ALL SELECT w2 FROM bt))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum((length(printf('%b', coalesce(u.c1, 0) + v.v)) - 1) -
+        |           (length(printf('%b', coalesce(g.c12, 0) + 1)) - 1))
+        |    AS BIGINT) AS sum_bits,
+        |  CAST(sum((length(printf('%b', coalesce(u.c1, 0) + v.v)) - 1) -
+        |           (length(printf('%b', coalesce(g.c12, 0) + 1)) - 1))
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+        |FROM be LEFT JOIN g USING (w1, w2) LEFT JOIN u USING (w1)
+        | CROSS JOIN v
         |GROUP BY 1""".stripMargin,
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),

@@ -1286,6 +1286,34 @@ object TextAnalysis {
     scoreBigrams(bigramsOf(docs), grams, prefix, v)
   }
 
+  /** Domain-TRANSFER surprisal: score `evalSource`'s documents
+    * against the bigram LM trained on the REST of the corpus — the
+    * held-out-domain generalization gauge ([[bigramSurprisalOf]]
+    * scores in-distribution by construction; this row scores ACROSS
+    * the cut). High mean_bits ⇒ the slice's word transitions are
+    * alien to the training mix — a domain gap, a wrong-language
+    * slice, or a source worth upweighting for diversity; bigrams the
+    * train side never saw take the add-one floor and unknown
+    * prefixes score floor-log₂(V), exactly the
+    * [[bigramSurprisalAgainst]] out-of-distribution contract (the
+    * spec pins the two paths equal). Stat frames are built directly
+    * on the train slice (the bigramSurprisalOf judgment — a model
+    * indirection would re-derive the training aggregate once per
+    * stat reference); same scale shape: shuffle ∝ distinct grams,
+    * text never crosses an exchange. */
+  def surprisalTransfer(spark: SparkSession, dir: String,
+                        evalSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = bigramsOf(docs.filter(col("source") =!= evalSource))
+    val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = grams.select(col("w1").as("w"))
+      .union(grams.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    scoreBigrams(bigramsOf(docs.filter(col("source") === evalSource)),
+      grams, prefix, v)
+  }
+
   /** The shared scoring kernel: bigram stream ⋈ stats (left — misses
     * take the add-one floor) → per-doc surprisal panel. `v` is a
     * 1-row frame. */

@@ -82,6 +82,29 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("surprisal transfer: direct-stats plan equals the persisted-model scoring path") {
+    val docs = Tables.documents(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the model-table path: train on everything but src0, score src0
+    val want = TextAnalysis.bigramSurprisalAgainst(
+      docs.filter(col("source") === "src0").select("doc_id", "text"),
+      TextAnalysis.bigramModelOf(
+        docs.filter(col("source") =!= "src0").select("doc_id", "text")))
+      .collect().map(key).toMap
+    val got = TextAnalysis.surprisalTransfer(spark, sfDir)
+      .collect().map(key).toMap
+    assert(got == want,
+      s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+    assert(got.nonEmpty)
+    // cross-cut scoring differs from self-scoring for at least one doc
+    // (the training mix changed under the eval slice)
+    val self = TextAnalysis.bigramSurprisal(spark, sfDir).collect()
+      .map(key).toMap
+    assert(got.exists { case (id, v) => self.get(id).exists(_ != v) },
+      "transfer panel identical to self-scoring — the cut is vacuous")
+  }
+
   test("source sketch: identical sources match everywhere, duplicates are absorbed") {
     val base = Seq(
       ("x", "the quick brown fox jumps over the lazy dog today"),
