@@ -827,14 +827,28 @@ object TextAnalysis {
 
   /** [[qualityBuckets]] over a prepared (source, text) frame. */
   def qualityBucketsOf(docs: DataFrame): DataFrame = {
+    val (cells, th) = qualityCellsAndThresholds(docs)
+    cells.join(broadcast(th), Seq("source"))
+      .groupBy(col("source"), col("t1"), col("t2"))
+      .agg(
+        sum(when(col("quality") < col("t1"), col("c")).otherwise(0L)).as("n_tail"),
+        sum(when(col("quality") >= col("t1") && col("quality") < col("t2"),
+          col("c")).otherwise(0L)).as("n_middle"),
+        sum(when(col("quality") >= col("t2"), col("c")).otherwise(0L)).as("n_head"),
+        sum(col("c")).as("n"))
+      .select(col("source"), col("t1"), col("t2"),
+        col("n_tail"), col("n_middle"), col("n_head"), col("n"))
+  }
+
+  /** The shared cell grid + tercile cuts of the quality-bucket
+    * family: (cells = (source, quality, count) — value-dictionary-
+    * bounded, MATERIALIZED because the grid feeds both the threshold
+    * window and the band sums and per-branch pruning blocks lazy
+    * exchange reuse (the perSourceWord idiom; measured 1.05 s →
+    * 0.88 s at sf0.1), thresholds = (source, t1, t2) at the exact
+    * integer ⌈n/3⌉/⌈2n/3⌉ cuts). */
+  private def qualityCellsAndThresholds(docs: DataFrame): (DataFrame, DataFrame) = {
     val q = docs.select(col("source"), T.qualityScore(col("text")).as("quality"))
-    // MATERIALIZED (the perSourceWord idiom): the grid feeds both the
-    // threshold window and the final band sums, and per-branch pruning
-    // blocks lazy exchange reuse — without the cut the corpus (and its
-    // regex kernel) runs once per consumer. The frame is sources ×
-    // distinct quality values — value-dictionary-bounded, far below
-    // corpus size (measured 1.05 s → 0.88 s at sf0.1; the remainder is
-    // the ~4-job planning floor at toy scale, not the data path).
     val cells0 = q.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("c"))
     val cells =
@@ -851,16 +865,43 @@ object TextAnalysis {
       .agg(
         min(when(col("cum") >= expr("(n + 2) div 3"), col("quality"))).as("t1"),
         min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("quality"))).as("t2"))
-    cells.join(broadcast(th), Seq("source"))
-      .groupBy(col("source"), col("t1"), col("t2"))
-      .agg(
-        sum(when(col("quality") < col("t1"), col("c")).otherwise(0L)).as("n_tail"),
-        sum(when(col("quality") >= col("t1") && col("quality") < col("t2"),
-          col("c")).otherwise(0L)).as("n_middle"),
-        sum(when(col("quality") >= col("t2"), col("c")).otherwise(0L)).as("n_head"),
-        sum(col("c")).as("n"))
-      .select(col("source"), col("t1"), col("t2"),
-        col("n_tail"), col("n_middle"), col("n_head"), col("n"))
+    (cells, th)
+  }
+
+  /** The per-source tercile thresholds as a persistable MODEL table
+    * (source, t1, t2) — the [[bigramModelOf]] deployment shape
+    * applied to CCNet-style source-relative quality: train once on
+    * the corpus, park in parquet, gate every ingestion batch against
+    * the file with [[qualityBucketAgainst]]. The SAME cut arithmetic
+    * as [[qualityBucketsOf]] (one shared helper), so the live gate
+    * can never drift from the oracle-checked batch panel. */
+  def qualityThresholdsOf(docs: DataFrame): DataFrame =
+    qualityCellsAndThresholds(docs)._2
+
+  /** Score a doc frame against a trained [[qualityThresholdsOf]]
+    * table: per doc, its source-relative band — quality < t1 ⇒
+    * `tail`, < t2 ⇒ `middle`, else `head` (exactly the batch panel's
+    * band predicate). Sources ABSENT from the model bucket as
+    * `unknown` — a new live source must be VISIBLE to whoever reads
+    * the gate, not silently head/tail-binned. Thresholds re-aggregate
+    * by key (max) so a doubled append or snapshot union cannot fan
+    * the join out (the [[bigramSurprisalAgainst]] discipline); the
+    * join is unhinted — a dictionary-sized model broadcasts, one too
+    * big shuffle-joins, AQE decides. Scoring is row-local: one regex
+    * kernel pass per doc, shuffle only the (source) join key side. */
+  def qualityBucketAgainst(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+    val th = thresholds.groupBy(col("source"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+    docs
+      .select(col("doc_id"), col("source"),
+        T.qualityScore(col("text")).as("quality"))
+      .join(th, Seq("source"), "left")
+      .withColumn("bucket",
+        when(col("t1").isNull, lit("unknown"))
+          .when(col("quality") < col("t1"), lit("tail"))
+          .when(col("quality") < col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .select(col("doc_id"), col("source"), col("quality"), col("bucket"))
   }
 
   /** Document specificity: mean document frequency of each doc's

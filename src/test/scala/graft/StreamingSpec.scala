@@ -1079,6 +1079,56 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("streaming quality gate: per-batch buckets against trained thresholds equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // thresholds trained OFFLINE, persisted, RELOADED — the
+    // train-once / gate-forever deployment shape
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-quality-model-").toString
+    graft.operators.TextAnalysis.qualityThresholdsOf(corpus)
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir).cache()
+    val want = graft.operators.TextAnalysis.qualityBuckets(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tail"), r.getAs[Long]("n_middle"),
+          r.getAs[Long]("n_head")))).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map[Long, (String, String)]()
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.qualityBucketAgainst(batch, model)
+          .collect().foreach(r => got(r.getLong(0)) =
+            ((r.getString(1), r.getString(3))))
+        ()
+      }.start()
+    try {
+      val docs = corpus.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // per-doc live buckets re-aggregate to EXACTLY the batch
+      // panel's band counts per source
+      val bands = got.values.groupBy(identity).view.mapValues(_.size.toLong)
+      want.foreach { case (src, (tail, mid, head)) =>
+        assert(bands.getOrElse((src, "tail"), 0L) == tail, s"$src tail")
+        assert(bands.getOrElse((src, "middle"), 0L) == mid, s"$src middle")
+        assert(bands.getOrElse((src, "head"), 0L) == head, s"$src head")
+      }
+      // a source the model never saw is VISIBLE, not silently binned
+      input.addData((999999L, "brand_new_source", "some words here"))
+      q.processAllAvailable()
+      assert(got(999999L) == (("brand_new_source", "unknown")))
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("streaming novelty gate: incremental batches against the gram store equal the batch panel") {
     val s = spark
     import s.implicits._
