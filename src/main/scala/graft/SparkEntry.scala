@@ -211,6 +211,7 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Sampling.sampleWeighted(s, d)),
     "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
+    "q_pack_sweep" -> ((s, d) => Sampling.packSweep(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
     "q_mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
@@ -1961,6 +1962,25 @@ object SparkEntry {
         |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1,2""".stripMargin,
+    // pack sweep: the q_pack cumsum once, re-binned per grid budget
+    "q_pack_sweep" ->
+      """WITH t AS (SELECT source, doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |     AS n_tokens FROM documents),
+        | c AS (SELECT source, doc_id, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        | g(budget) AS (VALUES (CAST(128 AS BIGINT)), (256), (512), (1024)),
+        | b AS (SELECT g.budget, c.source,
+        |   (cum - n_tokens) // g.budget AS bin,
+        |   CAST(sum(n_tokens) AS BIGINT) AS fill
+        |  FROM c CROSS JOIN g GROUP BY 1, 2, 3)
+        |SELECT budget, count(*) AS n_seqs,
+        | CAST(sum(fill) AS BIGINT) AS n_tokens,
+        | count(CASE WHEN fill > budget THEN 1 END) AS n_overfull,
+        | CAST(sum(fill) AS DOUBLE) / CAST(count(*) * budget AS DOUBLE)
+        |   AS utilization
+        |FROM b GROUP BY 1""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         | count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100 < 20)

@@ -120,6 +120,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** Packing-efficiency SWEEP: [[packSequences]]' bin statistics for a
+    * GRID of token budgets from ONE window-cumsum pass — the tuning
+    * panel a pipeline reads before fixing its context length (too
+    * small a budget ⇒ many overfull single-doc bins; too large ⇒
+    * utilization decays as tail bins ride empty). The per-source
+    * cumulative sum is budget-independent, so the corpus pays the
+    * window sort once and each grid point is a cheap re-bin of the
+    * same cumsum rows (the q_dedup_band_sweep one-pass-feeds-every-
+    * geometry idiom). Per budget: sequence count, total tokens
+    * (conserved — equal across budgets by construction), overfull
+    * bins (a doc longer than the budget overflows its bin — greedy
+    * packing's honest failure mode, reported not hidden), and
+    * utilization = tokens/(seqs·budget), ONE IEEE division of exact
+    * integers. */
+  def packSweep(spark: SparkSession, dir: String,
+                budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), s"bad budgets $budgets")
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+    val fills = cums
+      .select(col("source"), col("n_tokens"), col("cum"),
+        explode(array(budgets.map(lit): _*)).as("budget"))
+      .groupBy(col("budget"), col("source"),
+        call_function("div", col("cum") - col("n_tokens"), col("budget"))
+          .as("bin"))
+      .agg(sum(col("n_tokens")).as("fill"))
+    fills.groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("fill")).as("n_tokens"),
+        count(when(col("fill") > col("budget"), 1)).as("n_overfull"))
+      .withColumn("utilization",
+        col("n_tokens").cast("double") /
+          (col("n_seqs") * col("budget")).cast("double"))
+  }
+
   /** Systematic weighted (PPS) sampling: per source shard, walk docs
     * in doc_id order accumulating weight (n_chars) and keep each doc
     * that crosses a multiple of `step` weight units — "one doc per

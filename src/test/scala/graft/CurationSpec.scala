@@ -187,4 +187,28 @@ class CurationSpec extends SparkSpec {
       (ws.length.toLong, s, s.toDouble / ws.length.toDouble) }.toMap
     assert(got == exp.toMap && got.nonEmpty)
   }
+
+  test("pack sweep: tokens conserved at every budget, 256 row matches q_pack") {
+    val rows = graft.operators.Sampling.packSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("budget") -> r).toMap
+    assert(rows.keySet == Set(128L, 256L, 512L, 1024L))
+    // total tokens identical at every grid point (packing loses nothing)
+    assert(rows.values.map(_.getAs[Long]("n_tokens")).toSet.size == 1)
+    rows.values.foreach { r =>
+      val b = r.getAs[Long]("budget"); val seqs = r.getAs[Long]("n_seqs")
+      val tok = r.getAs[Long]("n_tokens"); val over = r.getAs[Long]("n_overfull")
+      assert(r.getAs[Double]("utilization") ==
+        tok.toDouble / (seqs * b).toDouble)
+      // no overfull bins ⇒ utilization cannot exceed 1
+      if (over == 0) assert(tok <= seqs * b)
+    }
+    // bigger budgets pack into no more sequences
+    val bySize = Seq(128L, 256L, 512L, 1024L).map(b => rows(b).getAs[Long]("n_seqs"))
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => b <= a }, bySize)
+    // the 256 grid point IS q_pack's bin set, summarized
+    val pack = graft.operators.Sampling.packSequences(spark, sfDir).collect()
+    assert(rows(256L).getAs[Long]("n_seqs") == pack.length.toLong)
+    assert(rows(256L).getAs[Long]("n_tokens") ==
+      pack.map(_.getAs[Long]("bin_tokens")).sum)
+  }
 }
