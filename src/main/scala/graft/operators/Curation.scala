@@ -76,7 +76,7 @@ object Curation {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val bins = train.withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin", Sampling.packBin(col("cum"), col("n_tok"), binTokens))
+      .withColumn("bin", Sampling.packBin(col("cum"), col("n_tok"), lit(binTokens)))
       .groupBy(col("source"), col("bin"))
       .agg(sum(col("n_tok")).as("n_tok"))
     Seq(stage("0_raw", withTok), stage("1_quality", qual),

@@ -23,12 +23,24 @@ object Sampling {
   /** The packing bin of a window-cumsum row: (cum − n) div budget.
     * Integral `div` — exact at ANY cumulative token count, where the
     * (start − start%budget)/budget double-division form silently
-    * loses exactness past 2⁵³ total tokens. Shared by
-    * [[packSequences]] and [[Curation.manifestOf]]. */
+    * loses exactness past 2⁵³ total tokens. THE one spelling, shared
+    * by [[packSequences]], [[packSweep]] and [[Curation.manifestOf]]
+    * (the sweep's 256 grid point ≡ q_pack guarantee rides on it). */
   private[operators] def packBin(cum: org.apache.spark.sql.Column,
                                  n: org.apache.spark.sql.Column,
-                                 budget: Long): org.apache.spark.sql.Column =
-    call_function("div", cum - n, lit(budget))
+                                 budget: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("div", cum - n, budget)
+
+  /** The per-source doc_id-ordered token cumsum both packing
+    * operators bin over: (source, doc_id, n_tokens, cum). */
+  private def tokenCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+  }
 
   /** Partition-skew audit: row and byte load per hash shard under the
     * engine's own key-hash partitioning model — the capacity check run
@@ -109,13 +121,8 @@ object Sampling {
     * order would serialize into one partition; per-shard packing is
     * what a real pipeline does anyway (shards = parallel writers). */
   def packSequences(spark: SparkSession, dir: String, budget: Long = 256): DataFrame = {
-    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", packBin(col("cum"), col("n_tokens"), budget))
+    tokenCumsum(spark, dir)
+      .withColumn("bin", packBin(col("cum"), col("n_tokens"), lit(budget)))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
@@ -129,26 +136,25 @@ object Sampling {
     * window sort once and each grid point is a cheap re-bin of the
     * same cumsum rows (the q_dedup_band_sweep one-pass-feeds-every-
     * geometry idiom). Per budget: sequence count, total tokens
-    * (conserved — equal across budgets by construction), overfull
-    * bins (a doc longer than the budget overflows its bin — greedy
-    * packing's honest failure mode, reported not hidden), and
-    * utilization = tokens/(seqs·budget), ONE IEEE division of exact
-    * integers. */
+    * (conserved — equal across budgets by construction), OVERFULL
+    * sequences — bins whose fill exceeds the budget because their
+    * LAST doc runs past the window boundary (a doc longer than the
+    * budget always does; any boundary-straddling tail also does).
+    * Whether the loader truncates, carries, or splits that tail is
+    * its policy call — the panel reports how often the call comes
+    * up, not hides it. utilization = tokens/(seqs·budget), ONE IEEE
+    * division of exact integers. */
   def packSweep(spark: SparkSession, dir: String,
                 budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L)): DataFrame = {
     require(budgets.nonEmpty && budgets.forall(_ > 0), s"bad budgets $budgets")
-    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-    val fills = cums
+    // duplicates would merge in the groupBy and double-count fill
+    require(budgets.distinct.size == budgets.size,
+      s"duplicate budgets $budgets")
+    val fills = tokenCumsum(spark, dir)
       .select(col("source"), col("n_tokens"), col("cum"),
         explode(array(budgets.map(lit): _*)).as("budget"))
       .groupBy(col("budget"), col("source"),
-        call_function("div", col("cum") - col("n_tokens"), col("budget"))
-          .as("bin"))
+        packBin(col("cum"), col("n_tokens"), col("budget")).as("bin"))
       .agg(sum(col("n_tokens")).as("fill"))
     fills.groupBy(col("budget"))
       .agg(count(lit(1)).as("n_seqs"),

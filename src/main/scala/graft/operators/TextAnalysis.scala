@@ -883,7 +883,13 @@ object TextAnalysis {
     * `tail`, < t2 ⇒ `middle`, else `head` (exactly the batch panel's
     * band predicate). Sources ABSENT from the model bucket as
     * `unknown` — a new live source must be VISIBLE to whoever reads
-    * the gate, not silently head/tail-binned. Thresholds re-aggregate
+    * the gate, not silently head/tail-binned — and empty/NULL-text
+    * docs bucket as `degenerate`: the punct-ratio kernel divides by
+    * length(text), which under ANSI mode (Spark 4's default) would
+    * KILL the streaming query on the first empty doc, so the gate
+    * nulls the score up front (CaseWhen branches evaluate lazily —
+    * the division never runs) instead of crashing or waving the doc
+    * through the NULL comparisons into `head`. Thresholds re-aggregate
     * by key (max) so a doubled append or snapshot union cannot fan
     * the join out (the [[bigramSurprisalAgainst]] discipline); the
     * join is unhinted — a dictionary-sized model broadcasts, one too
@@ -894,10 +900,13 @@ object TextAnalysis {
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"))
     docs
       .select(col("doc_id"), col("source"),
-        T.qualityScore(col("text")).as("quality"))
+        when(coalesce(length(col("text")), lit(0)) === 0,
+          lit(null).cast("double"))
+          .otherwise(T.qualityScore(col("text"))).as("quality"))
       .join(th, Seq("source"), "left")
       .withColumn("bucket",
-        when(col("t1").isNull, lit("unknown"))
+        when(col("quality").isNull, lit("degenerate"))
+          .when(col("t1").isNull, lit("unknown"))
           .when(col("quality") < col("t1"), lit("tail"))
           .when(col("quality") < col("t2"), lit("middle"))
           .otherwise(lit("head")))
@@ -1348,9 +1357,18 @@ object TextAnalysis {
     val bi = bigramsOf(docs.filter(col("source") =!= evalSource))
     val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // an EMPTY train slice (every doc in evalSource, or all sub-2-token)
+    // would make V = 0 and every eval doc score ZERO bits — silent
+    // minimum surprisal for a fully out-of-distribution slice, the
+    // inversion of the OOD contract. Raise instead (the
+    // bigramSurprisalAgainst empty-model discipline).
     val v = grams.select(col("w1").as("w"))
       .union(grams.select(col("w2").as("w")))
-      .agg(countDistinct(col("w")).as("v"))
+      .agg(countDistinct(col("w")).as("v0"))
+      .select(when(col("v0") === 0L,
+        raise_error(lit("surprisalTransfer: empty train slice — " +
+          s"no bigram model outside source '$evalSource'")))
+        .otherwise(col("v0")).as("v"))
     scoreBigrams(bigramsOf(docs.filter(col("source") === evalSource)),
       grams, prefix, v)
   }

@@ -1126,6 +1126,13 @@ class StreamingSpec extends SparkSpec {
       input.addData((999999L, "brand_new_source", "some words here"))
       q.processAllAvailable()
       assert(got(999999L) == (("brand_new_source", "unknown")))
+      // an empty doc (NULL quality: the ratio kernels divide by zero)
+      // reads 'degenerate', never the best bucket — the NULL
+      // comparisons must not fall through the when-chain into 'head'
+      val knownSource = want.keys.head
+      input.addData((999998L, knownSource, ""))
+      q.processAllAvailable()
+      assert(got(999998L) == ((knownSource, "degenerate")), got(999998L))
     } finally { q.stop(); model.unpersist() }
   }
 
