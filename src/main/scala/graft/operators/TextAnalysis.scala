@@ -1352,8 +1352,14 @@ object TextAnalysis {
     * stat reference); same scale shape: shuffle ∝ distinct grams,
     * text never crosses an exchange. */
   def surprisalTransfer(spark: SparkSession, dir: String,
-                        evalSource: String = "src0"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                        evalSource: String = "src0"): DataFrame =
+    surprisalTransferOf(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      evalSource)
+
+  /** [[surprisalTransfer]] over a prepared (doc_id, source, text)
+    * frame. */
+  def surprisalTransferOf(docs: DataFrame, evalSource: String): DataFrame = {
     val bi = bigramsOf(docs.filter(col("source") =!= evalSource))
     val grams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val prefix = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))

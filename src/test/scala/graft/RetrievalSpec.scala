@@ -105,6 +105,49 @@ class RetrievalSpec extends SparkSpec {
       "transfer panel identical to self-scoring — the cut is vacuous")
   }
 
+  test("bm25 raises loud past the idf int64 headroom instead of wrapping") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = (graft.operators.TextAnalysis.Bm25MaxDocs + 1).toInt
+    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+      lit("key pad").as("text"))
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.bm25Of(docs, Seq("key"), 5).collect()
+    }
+    assert(ex.getMessage.contains("overflow") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overflow")),
+      s"wrong failure: ${ex.getMessage}")
+    // and exactly AT the bound it still computes (no off-by-one)
+    val ok = graft.operators.TextAnalysis.bm25Of(
+      docs.filter(col("doc_id") < graft.operators.TextAnalysis.Bm25MaxDocs),
+      Seq("key"), 5).collect()
+    assert(ok.nonEmpty)
+  }
+
+  test("surprisal transfer raises loud on an empty train slice, tolerates empty eval") {
+    import spark.implicits._
+    // every doc in the eval source ⇒ nothing to train on ⇒ raise,
+    // never silent zero-bit (minimum-surprisal) scores
+    val oneSource = Seq((1L, "src0", "the quick brown fox jumps"),
+      (2L, "src0", "pack my box with jugs")).toDF("doc_id", "source", "text")
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.surprisalTransferOf(oneSource, "src0")
+        .collect()
+    }
+    assert(ex.getMessage.contains("empty train slice") ||
+      Option(ex.getCause).exists(_.getMessage.contains("empty train slice")),
+      s"wrong failure: ${ex.getMessage}")
+    // an empty EVAL side is legal: full model, zero scored rows
+    assert(graft.operators.TextAnalysis
+      .surprisalTransferOf(oneSource, "no_such_source").collect().isEmpty)
+  }
+
+  test("pack sweep rejects duplicate budgets") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.packSweep(spark, sfDir, Seq(256L, 256L))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
   test("source sketch: identical sources match everywhere, duplicates are absorbed") {
     val base = Seq(
       ("x", "the quick brown fox jumps over the lazy dog today"),
