@@ -663,6 +663,52 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Streaming/incremental near-dup KEEP-SET for text — the
+    * operational no-nightly-recluster form of [[keepSetOf]]: each
+    * arriving batch's SimHash fingerprints land in a persisted store
+    * (one parquet dir per committed batch, idempotent overwrite), and
+    * a doc survives iff it has NO hamming-≤k neighbor among earlier
+    * docs (strictly earlier batches' fingerprints, or earlier doc_ids
+    * within this batch) — the [[dedupIncremental]] greedy contract
+    * applied to text. Returns the batch's surviving full-schema rows.
+    *
+    * SEMANTICS vs the batch [[keepSetOf]]: greedy first-seen differs
+    * from CC's min-representative exactly on INDIRECT chains — docs
+    * 1≁2, 1~3, 2~3: CC keeps {1} (one component), greedy keeps
+    * {1, 2} (2 has no EARLIER neighbor when it arrives; 3 drops
+    * against both). The spec pins this divergence explicitly; on
+    * corpora whose near-dup relation is transitively direct the two
+    * coincide. Greedy is what an always-on pipeline can actually
+    * compute — CC over all history would re-cluster the corpus every
+    * batch.
+    *
+    * Scale: the store carries 8-byte fingerprints only; the probe is
+    * the banded [[hammingJoin]] (shuffle ∝ banded candidates). Replay
+    * of the latest batch overwrites its own dir and scores only
+    * strictly earlier batches — identical keep decisions. */
+  def keepSetIncrementalBatch(batch: DataFrame, fpDir: String,
+                              batchId: Long, maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    graft.sources.Incremental.idempotentBatchWriter(fpDir)(
+      batch.select(col("doc_id"), simhash_text(col("text")).as("fp")),
+      batchId)
+    val own = spark.read.parquet(s"$fpDir/batch=$batchId")
+      .select(col("doc_id").as("id"), col("fp"))
+    val prior = graft.sources.Incremental.committedBatchDirs(spark, fpDir)
+      .collect { case (id, path) if id < batchId => path }
+    // within-batch: earlier doc_id wins (hammingPairs emits id_a < id_b)
+    val inBatch = hammingPairs(own, maxHamming).select(col("id_b").as("dup_id"))
+    val dups =
+      if (prior.isEmpty) inBatch
+      else inBatch.unionAll(
+        hammingJoin(own,
+          spark.read.parquet(prior: _*).select(col("doc_id").as("id"), col("fp")),
+          maxHamming)
+          .select(col("id_l").as("dup_id")))
+    batch.join(dups.distinct(),
+      batch("doc_id") === col("dup_id"), "left_anti")
+  }
+
   /** Per-document duplicated-gram coverage — the doc-level removal
     * signal of exact substring dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better"): for each document,

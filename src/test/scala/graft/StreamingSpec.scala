@@ -1184,6 +1184,57 @@ class StreamingSpec extends SparkSpec {
       s"replay diverged: ${(wantLast.toSet -- replay.toSet).take(2)}")
   }
 
+  test("streaming keep-set: greedy incremental dedup against the fingerprint store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fpDir = java.nio.file.Files
+      .createTempDirectory("graft-fp-store-").toString
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.Dedup.keepSetIncrementalBatch(batch, fpDir, id)
+          .collect().foreach(r => kept += r.getAs[Long]("doc_id"))
+        ()
+      }.start()
+    var lastChunk: Seq[(Long, String)] = Nil
+    var nBatches = 0L
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        lastChunk = chunk.toSeq; nBatches += 1
+      }
+    } finally q.stop()
+    // driver greedy reference over the committed store's own
+    // fingerprints: keep x iff no y < x within hamming 3
+    val fps = s.read.parquet(fpDir).select("doc_id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val greedy = scala.collection.mutable.Set[Long]()
+    fps.foreach { case (id, fp) =>
+      val dup = fps.exists { case (id2, fp2) =>
+        id2 < id && java.lang.Long.bitCount(fp ^ fp2) <= 3 }
+      if (!dup) greedy += id
+    }
+    assert(kept == greedy,
+      s"missing=${(greedy -- kept).take(3)} extra=${(kept -- greedy).take(3)}")
+    // theorem: every CC min-representative has no earlier neighbor,
+    // so the batch keepSetOf survivors are a SUBSET of the greedy set
+    val cc = graft.operators.Dedup.keepSetOf(
+      Tables.documents(spark, sfDir), 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc.subsetOf(kept), s"CC keeper dropped: ${(cc -- kept).take(3)}")
+    // at-least-once replay of the last batch: identical keep decisions
+    val replay = graft.operators.Dedup.keepSetIncrementalBatch(
+      lastChunk.toDF("doc_id", "text"), fpDir, nBatches - 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == lastChunk.map(_._1).filter(kept).toSet)
+  }
+
   test("streaming gap fill state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
