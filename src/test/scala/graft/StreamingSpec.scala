@@ -1235,6 +1235,83 @@ class StreamingSpec extends SparkSpec {
     assert(replay == lastChunk.map(_._1).filter(kept).toSet)
   }
 
+  test("live curation pipeline: dedup, quality, PII and surprisal gates compose in one foreachBatch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    // models trained OFFLINE (the three persistable gate models),
+    // plus the incremental fingerprint store
+    val qModel = graft.operators.TextAnalysis.qualityThresholdsOf(corpus).cache()
+    val bModel = graft.operators.TextAnalysis
+      .bigramModelOf(corpus.select("doc_id", "text")).cache()
+    val fpDir = java.nio.file.Files
+      .createTempDirectory("graft-live-fp-").toString
+    val supThresh = 6.0
+    val decisions = scala.collection.mutable.Map[Long, Boolean]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        // gate 1: incremental near-dup keep-set (greedy vs the store)
+        val kept = graft.operators.Dedup
+          .keepSetIncrementalBatch(batch, fpDir, id)
+        // gates 2-4 score the SURVIVORS: source-relative quality band,
+        // PII rewrite count, LM surprisal — all against offline models
+        val qual = graft.operators.TextAnalysis
+          .qualityBucketAgainst(kept, qModel)
+          .select(col("doc_id"), col("bucket"))
+        val pii = graft.operators.TextAnalysis.piiRedactOf(kept)
+          .select(col("doc_id"), col("n_redactions"))
+        val sup = graft.operators.TextAnalysis
+          .bigramSurprisalAgainst(kept, bModel)
+          .select(col("doc_id"), col("mean_bits"))
+        val verdicts = qual.join(pii, Seq("doc_id"))
+          .join(sup, Seq("doc_id"), "left") // sub-2-token docs: no panel row
+          .select(col("doc_id"),
+            (col("bucket").isin("head", "middle") &&
+              col("n_redactions") === 0L &&
+              coalesce(col("mean_bits") <= supThresh, lit(false))).as("keep"))
+        verdicts.collect().foreach(r =>
+          decisions(r.getLong(0)) = r.getBoolean(1))
+        // dropped duplicates never reach a verdict at all
+        batch.select("doc_id").exceptAll(kept.select("doc_id")).collect()
+          .foreach(r => assert(!decisions.contains(r.getLong(0))))
+        ()
+      }.start()
+    try {
+      corpus.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .grouped(170).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+    } finally { q.stop(); qModel.unpersist(); bModel.unpersist() }
+    // batch replay of the same predicate over the same models: the
+    // survivors' verdicts must match doc for doc
+    import org.apache.spark.sql.functions._
+    val keptIds = decisions.keySet
+    val keptDocs = corpus.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val wantQ = graft.operators.TextAnalysis
+      .qualityBucketAgainst(keptDocs, qModel).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val wantP = graft.operators.TextAnalysis.piiRedactOf(keptDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_redactions")).toMap
+    val wantS = graft.operators.TextAnalysis
+      .bigramSurprisalAgainst(keptDocs, bModel).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_bits")).toMap
+    decisions.foreach { case (id, keep) =>
+      val want = Set("head", "middle").contains(wantQ(id)) &&
+        wantP(id) == 0L && wantS.get(id).exists(_ <= supThresh)
+      assert(keep == want, s"doc $id: live $keep vs batch $want")
+    }
+    // the pipeline must both keep and drop on this corpus
+    assert(decisions.values.exists(identity) &&
+      decisions.values.exists(!_), "vacuous gate")
+  }
+
   test("streaming gap fill state survives a checkpointed restart") {
     val s = spark
     import s.implicits._
