@@ -333,17 +333,14 @@ object Dedup {
     // over the committed parquet: the fingerprint expression runs once
     // (during the write) instead of once per consumer of the lazy
     // plan, and a crash replay re-lands the same batch=<id> dir
-    graft.sources.Incremental.idempotentBatchWriter(corpusFpDir)(
+    val (e, others) = graft.sources.Incremental.landBatch(
       newBatch.select(col("id"), col("embedding"),
-        V.srpFingerprint(col("embedding")).as("fp")), batchId)
-    val e = spark.read.parquet(s"$corpusFpDir/batch=$batchId")
-    val otherBatches = graft.sources.Incremental
-      .committedBatchDirs(spark, corpusFpDir)
-      .collect { case (id, path) if id != batchId => path }
+        V.srpFingerprint(col("embedding")).as("fp")), corpusFpDir, batchId)
+    val otherBatches = others.map(_._2)
     val inBatch = srpPairsOf(e, maxHamming, minDotQ)
       .select(col("vec_b").as("dup_id"))
     val dups = if (otherBatches.isEmpty) inBatch else {
-      val corpus = spark.read.parquet(otherBatches: _*)
+      val corpus = spark.read.schema(e.schema).parquet(otherBatches: _*)
       hammingJoin(e.select(col("id"), col("fp")),
         corpus.select(col("id"), col("fp")), maxHamming)
         .join(e.select(col("id").as("id_l"), col("embedding").as("e_l")), Seq("id_l"))
@@ -640,18 +637,17 @@ object Dedup {
     // commit this batch's per-doc gram rows FIRST (crash replay
     // re-lands the same dir); everything below reads the committed
     // parquet, so the explode runs once — inside this write
-    graft.sources.Incremental.idempotentBatchWriter(gramDir)(
+    val (own, dirs) = graft.sources.Incremental.landBatch(
       batch
         .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram")),
-      batchId)
-    val own = spark.read.parquet(s"$gramDir/batch=$batchId")
+      gramDir, batchId)
     val firsts = own.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_in_batch"))
-    val prior = graft.sources.Incremental.committedBatchDirs(spark, gramDir)
-      .collect { case (id, path) if id < batchId => path }
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
     val seenBefore =
       if (prior.isEmpty) own.select(col("gram")).limit(0)
-      else spark.read.parquet(prior: _*).select(col("gram")).distinct()
+      else spark.read.schema(own.schema).parquet(prior: _*)
+        .select(col("gram")).distinct()
     own
       .join(firsts, Seq("gram"))
       .join(seenBefore.withColumn("seen", lit(1L)), Seq("gram"), "left")
@@ -689,20 +685,19 @@ object Dedup {
   def keepSetIncrementalBatch(batch: DataFrame, fpDir: String,
                               batchId: Long, maxHamming: Int = 3): DataFrame = {
     val spark = batch.sparkSession
-    graft.sources.Incremental.idempotentBatchWriter(fpDir)(
+    val (own0, dirs) = graft.sources.Incremental.landBatch(
       batch.select(col("doc_id"), simhash_text(col("text")).as("fp")),
-      batchId)
-    val own = spark.read.parquet(s"$fpDir/batch=$batchId")
-      .select(col("doc_id").as("id"), col("fp"))
-    val prior = graft.sources.Incremental.committedBatchDirs(spark, fpDir)
-      .collect { case (id, path) if id < batchId => path }
+      fpDir, batchId)
+    val own = own0.select(col("doc_id").as("id"), col("fp"))
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
     // within-batch: earlier doc_id wins (hammingPairs emits id_a < id_b)
     val inBatch = hammingPairs(own, maxHamming).select(col("id_b").as("dup_id"))
     val dups =
       if (prior.isEmpty) inBatch
       else inBatch.unionAll(
         hammingJoin(own,
-          spark.read.parquet(prior: _*).select(col("doc_id").as("id"), col("fp")),
+          spark.read.schema(own0.schema).parquet(prior: _*)
+            .select(col("doc_id").as("id"), col("fp")),
           maxHamming)
           .select(col("id_l").as("dup_id")))
     batch.join(dups.distinct(),

@@ -26,6 +26,25 @@ object Incremental {
     * ones). Enumerated through Hadoop's FileSystem: java.io.File only
     * sees local disk, and on HDFS/S3 its null listing would silently
     * disable cross-batch logic while writes still succeed. */
+  /** Land a batch idempotently and hand back (the committed frame
+    * READ BACK from its `batch=<id>` dir, the other committed batch
+    * dirs as (id, path)) — the ONE spelling of the incremental-store
+    * discipline the three incremental operators share (incremental
+    * dedup keeps every other batch, the novelty gauge and the
+    * keep-set keep strictly earlier ones — callers apply their own
+    * id predicate). The read-back pins the input schema explicitly,
+    * so a ZERO-ROW landing (empty micro-batch ⇒ a dir holding only
+    * _SUCCESS) cannot kill the operator with parquet schema
+    * inference; prior-dir readers should reuse `own.schema` the same
+    * way. */
+  def landBatch(df: DataFrame, dir: String,
+                batchId: Long): (DataFrame, Seq[(Long, String)]) = {
+    idempotentBatchWriter(dir)(df, batchId)
+    val spark = df.sparkSession
+    val own = spark.read.schema(df.schema).parquet(s"$dir/batch=$batchId")
+    (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
+  }
+
   def committedBatchDirs(spark: SparkSession,
                          dir: String): Seq[(Long, String)] = {
     val basePath = new org.apache.hadoop.fs.Path(dir)

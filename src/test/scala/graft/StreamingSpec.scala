@@ -1233,6 +1233,12 @@ class StreamingSpec extends SparkSpec {
       lastChunk.toDF("doc_id", "text"), fpDir, nBatches - 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replay == lastChunk.map(_._1).filter(kept).toSet)
+    // a zero-row batch lands an empty dir and still reads back (the
+    // landBatch pinned-schema contract) — no schema-inference crash
+    val empty = graft.operators.Dedup.keepSetIncrementalBatch(
+      lastChunk.toDF("doc_id", "text").limit(0), fpDir, nBatches)
+      .collect()
+    assert(empty.isEmpty)
   }
 
   test("live curation pipeline: dedup, quality, PII and surprisal gates compose in one foreachBatch") {
@@ -1255,30 +1261,35 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
-        // gate 1: incremental near-dup keep-set (greedy vs the store)
+        // gate 1: incremental near-dup keep-set (greedy vs the
+        // store) — persisted: three gates and the audit read it, and
+        // the banded store probe must run once per batch, not once
+        // per consumer
         val kept = graft.operators.Dedup
-          .keepSetIncrementalBatch(batch, fpDir, id)
-        // gates 2-4 score the SURVIVORS: source-relative quality band,
-        // PII rewrite count, LM surprisal — all against offline models
-        val qual = graft.operators.TextAnalysis
-          .qualityBucketAgainst(kept, qModel)
-          .select(col("doc_id"), col("bucket"))
-        val pii = graft.operators.TextAnalysis.piiRedactOf(kept)
-          .select(col("doc_id"), col("n_redactions"))
-        val sup = graft.operators.TextAnalysis
-          .bigramSurprisalAgainst(kept, bModel)
-          .select(col("doc_id"), col("mean_bits"))
-        val verdicts = qual.join(pii, Seq("doc_id"))
-          .join(sup, Seq("doc_id"), "left") // sub-2-token docs: no panel row
-          .select(col("doc_id"),
-            (col("bucket").isin("head", "middle") &&
-              col("n_redactions") === 0L &&
-              coalesce(col("mean_bits") <= supThresh, lit(false))).as("keep"))
-        verdicts.collect().foreach(r =>
-          decisions(r.getLong(0)) = r.getBoolean(1))
-        // dropped duplicates never reach a verdict at all
-        batch.select("doc_id").exceptAll(kept.select("doc_id")).collect()
-          .foreach(r => assert(!decisions.contains(r.getLong(0))))
+          .keepSetIncrementalBatch(batch, fpDir, id).persist()
+        try {
+          // gates 2-4 score the SURVIVORS: source-relative quality
+          // band, PII rewrite count, LM surprisal — offline models
+          val qual = graft.operators.TextAnalysis
+            .qualityBucketAgainst(kept, qModel)
+            .select(col("doc_id"), col("bucket"))
+          val pii = graft.operators.TextAnalysis.piiRedactOf(kept)
+            .select(col("doc_id"), col("n_redactions"))
+          val sup = graft.operators.TextAnalysis
+            .bigramSurprisalAgainst(kept, bModel)
+            .select(col("doc_id"), col("mean_bits"))
+          val verdicts = qual.join(pii, Seq("doc_id"))
+            .join(sup, Seq("doc_id"), "left") // sub-2-token docs: no panel row
+            .select(col("doc_id"),
+              (col("bucket").isin("head", "middle") &&
+                col("n_redactions") === 0L &&
+                coalesce(col("mean_bits") <= supThresh, lit(false))).as("keep"))
+          verdicts.collect().foreach(r =>
+            decisions(r.getLong(0)) = r.getBoolean(1))
+          // dropped duplicates never reach a verdict at all
+          batch.select("doc_id").exceptAll(kept.select("doc_id")).collect()
+            .foreach(r => assert(!decisions.contains(r.getLong(0))))
+        } finally kept.unpersist()
         ()
       }.start()
     try {
