@@ -355,6 +355,37 @@ FROM dg JOIN fd USING (gram)
 GROUP BY 1"""
   }
 
+  /** q_novelty_by_source: the gram-novelty panel rolled up per
+    * source — Dedup.noveltyBySource. */
+  def noveltyBySource(n: Int): String = {
+    val ctes = docGramCtes(n) :+
+      "fd AS MATERIALIZED (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1)"
+    "WITH " + ctes.mkString(",\n ") + """
+SELECT d.source, count(DISTINCT dg.doc_id) AS n_docs,
+ count(*) AS n_grams,
+ CAST(sum(CASE WHEN dg.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+   AS n_novel,
+ CAST(sum(CASE WHEN dg.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS DOUBLE) /
+ CAST(count(*) AS DOUBLE) AS novelty
+FROM dg JOIN fd USING (gram)
+ JOIN documents d ON d.doc_id = dg.doc_id
+GROUP BY 1"""
+  }
+
+  /** q_dup_census: the duplication-census histogram — component-size
+    * distribution of the SimHash near-dup graph (Dedup.dupCensus):
+    * how many clusters of each size, and how many docs they hold. */
+  def dupCensus: String =
+    "WITH RECURSIVE " + (simhashFpCtes ++ ccClosureCtes(3)).mkString(",\n ") + """,
+ comp AS (SELECT d.doc_id,
+   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+  FROM documents d LEFT JOIN m ON m.a = d.doc_id),
+ cs AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+ count(*) AS n_components,
+ CAST(n_members * count(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY cs.n_members"""
+
   def repeatedNgrams(n: Int): String = {
     val ctes = docGramCtes(n) :+
       "rep AS (SELECT gram FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)"

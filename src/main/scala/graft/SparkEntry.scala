@@ -136,6 +136,8 @@ object SparkEntry {
     "q_dup_ngrams" -> ((s, d) => Dedup.repeatedNgrams(s, d)),
     "q_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
     "q_gram_novelty" -> ((s, d) => Dedup.gramNovelty(s, d)),
+    "q_novelty_by_source" -> ((s, d) => Dedup.noveltyBySource(s, d)),
+    "q_dup_census" -> ((s, d) => Dedup.dupCensus(s, d)),
     "q_source_sketch" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_curation_manifest" -> ((s, d) => Curation.manifest(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
@@ -1738,6 +1740,8 @@ object SparkEntry {
     "q_source_overlap" -> OracleSql.sourceOverlap(8),
     "q_dup_coverage" -> OracleSql.dupCoverage(8),
     "q_gram_novelty" -> OracleSql.gramNovelty(8),
+    "q_novelty_by_source" -> OracleSql.noveltyBySource(8),
+    "q_dup_census" -> OracleSql.dupCensus,
     "q_source_sketch" -> OracleSql.sourceSketch,
     "q_curation_manifest" -> OracleSql.curationManifest(qualitySqlKernel),
     "q_bm25" ->

@@ -607,6 +607,56 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** [[gramNovelty]] rolled up per SOURCE — the "should I buy more
+    * of this source" panel directly: each source's aggregate novelty
+    * over the corpus's ingest order (a crawl slice whose novelty has
+    * decayed toward zero buys repeats, not data; a high-novelty
+    * source is under-represented). Same plan as the per-doc panel —
+    * gram explode → min-doc aggregate → join back — with the final
+    * aggregate keyed by source instead of doc (shuffle ∝ sources);
+    * the ratio is one IEEE division of exact integers. */
+  def noveltyBySource(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** The duplication CENSUS histogram: component-size distribution
+    * of the SimHash near-dup graph — how many clusters of each size
+    * exist and how many documents they hold (Σ n_docs = corpus size;
+    * n_members = 1 rows are the unduplicated mass). The summary a
+    * curator reads FIRST: q_soft_dedup weights each doc by its
+    * cluster, this reports the cluster-size distribution those
+    * weights come from. Same scale shape as the keep-set: (id, fp)
+    * pairs → CC → size aggregate over ids — two tiny aggregates past
+    * the closure. */
+  def dupCensus(spark: SparkSession, dir: String,
+                maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      hammingPairs(
+        docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+        maxHamming)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    comps.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("n_members"),
+        col("n_components"),
+        (col("n_members") * col("n_components")).as("n_docs"))
+  }
+
   /** Streaming/incremental twin of [[gramNoveltyOf]] — the LIVE
     * marginal-novelty gauge: score each arriving micro-batch's docs
     * for the fraction of their grams no earlier document (previous

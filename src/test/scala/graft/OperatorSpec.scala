@@ -439,6 +439,32 @@ class OperatorSpec extends SparkSpec {
       nv >= 0 && nv <= ng && r >= 0.0 && r <= 1.0 })
   }
 
+  test("novelty by source and dup census: rollups conserve the corpus exactly") {
+    // Σ n_novel over sources = corpus distinct grams (same conservation
+    // law as the per-doc panel, rolled up), Σ n_grams = per-doc Σ
+    val bySrc = graft.operators.Dedup.noveltyBySource(spark, sfDir).collect()
+    val perDoc = graft.operators.Dedup.gramNovelty(spark, sfDir).collect()
+    assert(bySrc.map(_.getAs[Long]("n_novel")).sum ==
+      perDoc.map(_.getAs[Long]("n_novel")).sum)
+    assert(bySrc.map(_.getAs[Long]("n_grams")).sum ==
+      perDoc.map(_.getAs[Long]("n_grams")).sum)
+    assert(bySrc.map(_.getAs[Long]("n_docs")).sum == perDoc.length.toLong)
+    // census: clusters partition the corpus — Σ n_docs = doc count,
+    // and the weighted sizes match the soft-dedup member census
+    val census = graft.operators.Dedup.dupCensus(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    census.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("n_members") * r.getAs[Long]("n_components")))
+    val soft = graft.operators.Dedup.softDedupWeights(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_members"))
+    val fromSoft = soft.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromCensus = census.map(r => r.getAs[Long]("n_members") ->
+      r.getAs[Long]("n_members") * r.getAs[Long]("n_components")).toMap
+    assert(fromSoft == fromCensus,
+      s"census disagrees with soft-dedup: $fromSoft vs $fromCensus")
+  }
+
   test("dhash: identical payloads collide, near payloads are close") {
     def h(s: String) = graft.plans.HashKernels.byteDHash(s.getBytes)
     val base = "the quick brown fox jumps over the lazy dog " * 3
