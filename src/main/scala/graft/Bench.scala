@@ -147,10 +147,10 @@ object Bench {
     // JIT recompile) — the rerun settles it either way, recorded.
     val pinsPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "BASELINE.md")
     val pinRow = """\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\*?\s*\|""".r
-    val pins: Map[String, Double] =
+    val pinRows: Seq[(String, Double)] =
       try {
         val src = scala.io.Source.fromFile(pinsPath, "UTF-8")
-        try src.getLines().collect { case pinRow(n, s) => n -> s.toDouble }.toMap
+        try src.getLines().collect { case pinRow(n, s) => n -> s.toDouble }.toSeq
         finally src.close()
       } catch {
         case e: Throwable =>
@@ -159,8 +159,20 @@ object Bench {
           // unnoticed cross-check failure this gate exists to prevent
           System.err.println(
             s"[bench] WARNING: could not load pins from $pinsPath ($e) — self-adjudication disabled")
-          Map.empty
+          Seq.empty
       }
+    // a query pinned twice with CONFLICTING values (e.g. an updated pin
+    // APPENDED in a new table instead of edited in place) would silently
+    // let the last occurrence adjudicate the gate — fail the run loud
+    // instead (outside the read's catch, so it can't be swallowed)
+    locally {
+      val dups = pinRows.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      if (dups.nonEmpty)
+        sys.error(s"$pinsPath pins ${dups.keys.toSeq.sorted.mkString(", ")} " +
+          "more than once with conflicting values — edit the existing " +
+          "pin in place instead of appending a new row")
+    }
+    val pins: Map[String, Double] = pinRows.toMap
     if (pins.isEmpty)
       System.err.println(
         s"[bench] WARNING: zero pin rows parsed from $pinsPath — ratios/over2x are vacuous")

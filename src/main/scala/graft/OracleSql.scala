@@ -1108,23 +1108,35 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
 
   /** q_source_sketch: per-source position-wise MIN over the shared
     * `sig` chain = the MinHash of the source's shingle-set union;
-    * pairwise match count / 64. Mirrors Dedup.sourceSketchOf. */
-  def sourceSketch: String =
+    * pairwise match count / numHashes. Mirrors Dedup.sourceSketchOf;
+    * numHashes is threaded from the SAME constant as the Spark side
+    * (the Bm25Scale/MinhashShingleSize structural-sharing rule), and
+    * the sig chain itself is 64-wide, so any other value is refused
+    * loudly rather than silently diverging from the oracle. */
+  def sourceSketch(numHashes: Int): String = {
+    require(numHashes == 64,
+      s"minhashSigCtes is a 64-hash chain; got numHashes=$numHashes — " +
+        "widen the chain before widening the sketch")
     "WITH " + (minhashSigCtes ++ Seq(
       "psig AS (SELECT d.source, s.p, min(s.s) AS s FROM sig s" +
         " JOIN documents d USING (doc_id) GROUP BY 1, 2)")).mkString(",\n ") +
       "\nSELECT a.source AS source_a, b.source AS source_b," +
       " CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS n_match," +
-      " CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS DOUBLE) / 64" +
+      s" CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS DOUBLE) / $numHashes" +
       " AS est_jaccard" +
       "\nFROM psig a JOIN psig b ON a.p = b.p AND a.source < b.source" +
       " GROUP BY 1, 2"
+  }
 
   /** q_bm25: the fixed-point BM25 oracle, generated from the SAME
-    * constants as TextAnalysis.bm25Of (quarter-bit Lucene idf via
-    * int64 bit lengths + one shift-compare; cleared-denominator
-    * integer tf-normalization quantized by Bm25Scale; `//` and Spark's
-    * `div` agree on positives). */
+    * constants as TextAnalysis.bm25Of. The quarter-bit idf mirrors
+    * [[graft.operators.TextAnalysis.bm25IdfQ]] structurally: 4·t + r
+    * with t = floor(log₂(p/q)) by BIGINT bit lengths + one
+    * shift-compare, and the two quarter-bit square comparisons in
+    * HUGEINT (Spark runs them in DECIMAL(38,0) — both 128-bit-exact,
+    * p⁴ never materialized). The tf-normalization runs in HUGEINT
+    * (Spark: DECIMAL(38,0)); `//` and Spark's `div` agree on
+    * positives. */
   def bm25(terms: Seq[String], k: Int): String = {
     import graft.operators.TextAnalysis._
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -1132,21 +1144,37 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     }.mkString(",\n   ")
     val dfCols = terms.indices.map(i =>
       s"count(CASE WHEN tf_$i > 0 THEN 1 END) AS df_$i").mkString(", ")
-    // floor(log₂(p⁴/q⁴)) with p = 2N+2 (shared), q = 2·df_i+1
+    // floor(4·log₂(p/q)) with p = 2N+2 (shared), q = 2·df_i+1:
+    // t via bit lengths, then a = p², b = (q·2^t)², and the two-level
+    // quarter-bit binary search (HUGEINT residual products)
     val idfExprs = terms.indices.map { i =>
-      s"""i$i AS (SELECT *,
-         |   (length(printf('%b', p4)) - length(printf('%b', q4_$i))
-         |    - CASE WHEN p4 < (q4_$i << (length(printf('%b', p4))
-         |        - length(printf('%b', q4_$i)))) THEN 1 ELSE 0 END)
-         |   AS idf_$i FROM ${if (i == 0) "q4" else s"i${i - 1}"})""".stripMargin
+      s"""t$i AS (SELECT *,
+         |   (length(printf('%b', p)) - length(printf('%b', q_$i))
+         |    - CASE WHEN p < (q_$i << (length(printf('%b', p))
+         |        - length(printf('%b', q_$i)))) THEN 1 ELSE 0 END)
+         |   AS tt_$i FROM ${if (i == 0) "pq" else s"i${i - 1}"}),
+         | ab$i AS (SELECT *, p*p AS a_$i,
+         |   (q_$i << tt_$i)*(q_$i << tt_$i) AS b_$i FROM t$i),
+         | i$i AS (SELECT *, 4*tt_$i + (CASE
+         |   WHEN a_$i - b_$i >= b_$i THEN 2 + (CASE
+         |     WHEN a_$i - 2*b_$i >= b_$i
+         |       OR CAST(a_$i - 2*b_$i AS HUGEINT)*(a_$i - 2*b_$i)
+         |          >= 4*CAST(b_$i AS HUGEINT)*(b_$i - (a_$i - 2*b_$i))
+         |     THEN 1 ELSE 0 END)
+         |   ELSE (CASE
+         |     WHEN a_$i - b_$i >= b_$i - (a_$i - b_$i)
+         |       OR CAST(a_$i - b_$i AS HUGEINT)*(a_$i - b_$i)
+         |          >= CAST(b_$i AS HUGEINT)*(b_$i - 2*(a_$i - b_$i))
+         |     THEN 1 ELSE 0 END) END)
+         |   AS idf_$i FROM ab$i)""".stripMargin
     }
-    val q4Cols = terms.indices.map(i =>
-      s"(2*df_$i + 1)*(2*df_$i + 1)*(2*df_$i + 1)*(2*df_$i + 1) AS q4_$i")
+    val qCols = terms.indices.map(i => s"2*df_$i + 1 AS q_$i")
       .mkString(",\n   ")
     val scoreTerms = terms.indices.map(i =>
-      s"idf_$i * (($Bm25Scale * $Bm25TfNum * t_tok * tf_$i) //" +
-        s" ($Bm25TfDen0 * t_tok * tf_$i + $Bm25TfDen1 * t_tok +" +
-        s" $Bm25TfDen2 * dl * n_docs))").mkString("\n   + ")
+      s"idf_$i * (($Bm25Scale * $Bm25TfNum * CAST(t_tok AS HUGEINT) * tf_$i) //" +
+        s" ($Bm25TfDen0 * CAST(t_tok AS HUGEINT) * tf_$i +" +
+        s" $Bm25TfDen1 * CAST(t_tok AS HUGEINT) +" +
+        s" $Bm25TfDen2 * CAST(dl AS HUGEINT) * n_docs))").mkString("\n   + ")
     val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
     s"""WITH t AS (SELECT doc_id,
        |   list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1155,9 +1183,8 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
        |   $tfCols FROM t),
        | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok,
        |   $dfCols FROM d),
-       | q4 AS (SELECT *,
-       |   (2*n_docs + 2)*(2*n_docs + 2)*(2*n_docs + 2)*(2*n_docs + 2) AS p4,
-       |   $q4Cols FROM st),
+       | pq AS (SELECT *, 2*n_docs + 2 AS p,
+       |   $qCols FROM st),
        | ${idfExprs.mkString(",\n ")}
        |SELECT doc_id, dl,
        | CAST($scoreTerms AS BIGINT) AS score,

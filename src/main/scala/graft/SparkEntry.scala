@@ -176,6 +176,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 16)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "q_line_dup" -> ((s, d) => TextAnalysis.lineRepetition(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "q_mask_digits" -> ((s, d) => TextAnalysis.maskDigits(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "q_surprisal_transfer" -> ((s, d) => TextAnalysis.surprisalTransfer(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_media_audio" -> ((s, d) => Multimodal.mediaAudio(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
     "q_media_hamming_sweep" -> ((s, d) => Multimodal.mediaHammingSweep(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
@@ -301,7 +303,7 @@ object SparkEntry {
         | CAST(h2.c * p.n_win AS DOUBLE) / CAST(p.n AS DOUBLE)
         |   AS seasonal_ratio,
         | h2.c * p.n_win > p.n * 2 AS flag_high,
-        | h2.c * p.n_win * 2 < p.n AS flag_low
+        | h2.c * p.n_win <= (p.n - 1) // 2 AS flag_low
         |FROM h2 JOIN p ON p.topic = h2.topic AND p.dow = h2.dow
         | AND p.hod = h2.hod""".stripMargin,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
@@ -1701,6 +1703,49 @@ object SparkEntry {
         | 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
         |   AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS dup_ratio
         |FROM documents""".stripMargin,
+    // Gopher line/paragraph dup rules: the oracle rebuilds the SAME
+    // duplicate-group-membership integers by group-count instead of
+    // the Spark side's sorted-neighbor flags (identical semantics:
+    // members of any group with count >= 2), then the same single
+    // divisions; structure injected identically on both sides
+    "q_line_dup" ->
+      """WITH d AS (SELECT doc_id,
+        |   replace(replace(text, ' window ', chr(10)||chr(10)),
+        |           ' the ', chr(10)) AS t FROM documents),
+        | lg AS (SELECT doc_id, x, count(*) AS k FROM
+        |   (SELECT doc_id, unnest(string_split(t, chr(10))) AS x FROM d)
+        |   GROUP BY 1, 2),
+        | pg AS (SELECT doc_id, x, count(*) AS k FROM
+        |   (SELECT doc_id, unnest(string_split(t, chr(10)||chr(10))) AS x FROM d)
+        |   GROUP BY 1, 2),
+        | ls AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_lines,
+        |   CAST(sum(CASE WHEN k >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup,
+        |   CAST(sum(k * length(x)) AS BIGINT) AS tot_chars,
+        |   CAST(sum(CASE WHEN k >= 2 THEN k * length(x) ELSE 0 END) AS BIGINT)
+        |     AS dup_chars FROM lg GROUP BY 1),
+        | ps AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_paras,
+        |   CAST(sum(CASE WHEN k >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup,
+        |   CAST(sum(k * length(x)) AS BIGINT) AS tot_chars,
+        |   CAST(sum(CASE WHEN k >= 2 THEN k * length(x) ELSE 0 END) AS BIGINT)
+        |     AS dup_chars FROM pg GROUP BY 1),
+        | m AS (SELECT ls.doc_id, ls.n_lines,
+        |   CAST(ls.n_dup AS DOUBLE) / CAST(ls.n_lines AS DOUBLE)
+        |     AS dup_line_frac,
+        |   CASE WHEN ls.tot_chars > 0 THEN
+        |     CAST(ls.dup_chars AS DOUBLE) / CAST(ls.tot_chars AS DOUBLE) END
+        |     AS dup_line_char_frac,
+        |   ps.n_paras,
+        |   CAST(ps.n_dup AS DOUBLE) / CAST(ps.n_paras AS DOUBLE)
+        |     AS dup_para_frac,
+        |   CASE WHEN ps.tot_chars > 0 THEN
+        |     CAST(ps.dup_chars AS DOUBLE) / CAST(ps.tot_chars AS DOUBLE) END
+        |     AS dup_para_char_frac
+        |  FROM ls JOIN ps ON ps.doc_id = ls.doc_id)
+        |SELECT *,
+        | (dup_line_frac > 0.30 OR dup_para_frac > 0.30 OR
+        |  coalesce(dup_line_char_frac > 0.20, false) OR
+        |  coalesce(dup_para_char_frac > 0.20, false)) AS flag_gopher
+        |FROM m""".stripMargin,
     "q_decontaminate" ->
       """WITH g AS (SELECT doc_id, source,
         |   unnest(list_distinct(list_transform(range(1, len(toks)-2),
@@ -1742,7 +1787,8 @@ object SparkEntry {
     "q_gram_novelty" -> OracleSql.gramNovelty(8),
     "q_novelty_by_source" -> OracleSql.noveltyBySource(8),
     "q_dup_census" -> OracleSql.dupCensus,
-    "q_source_sketch" -> OracleSql.sourceSketch,
+    "q_source_sketch" ->
+      OracleSql.sourceSketch(Dedup.SourceSketchNumHashes),
     "q_curation_manifest" -> OracleSql.curationManifest(qualitySqlKernel),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
@@ -2224,6 +2270,35 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha
         |FROM documents""".stripMargin,
+    // GA01 audio oracle: synthetic PCM16 samples are a pure function
+    // of doc_id (see Multimodal.syntheticAudio) — DuckDB recomputes
+    // the windowed silence/energy/clipping aggregates from first
+    // principles, verifying the Spark side's real binary encode →
+    // header parse → sample walk end to end
+    "q_media_audio" ->
+      """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+        |  FROM documents),
+        | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
+        | v AS (SELECT id, n,  i // 256 AS k,
+        |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
+        |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
+        |  FROM s),
+        | w AS (SELECT id, n, k, sum(abs(x)) AS abs_sum,
+        |   CAST(sum(x * x) AS BIGINT) AS e,
+        |   CAST(sum(CASE WHEN x = 32767 OR x = -32768 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS clip
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT id AS doc_id, 8000 AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN abs_sum = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_silent,
+        | CAST(sum(CASE WHEN abs_sum = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE) AS silence_ratio,
+        | CAST(sum(e) AS BIGINT) AS energy,
+        | CAST(sum(e) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_square,
+        | CAST(sum(clip) AS BIGINT) AS n_clipped
+        |FROM w GROUP BY id, n""".stripMargin,
     // GR01 media oracles: the synthetic rasters' dimensions and pixels
     // are pure functions of doc_id (see Multimodal.syntheticRasters),
     // so DuckDB recomputes the decode/frame/resize aggregates from

@@ -471,7 +471,16 @@ object Ann {
     * codebook — the shared input of the corpus-code and query-ADC
     * halves. */
   private def encodeOf(emb: DataFrame, comp: DataFrame, dsub: Int,
-                       lloydRounds: Int): DataFrame = {
+                       lloydRounds: Int): DataFrame =
+    distToCodebook(comp, codebookOf(emb, comp, dsub, lloydRounds))
+
+  /** The trained truncated-centroid PQ codebook (s, c, i, cbv) —
+    * subspaces × clusters × dims rows, broadcast-sized by
+    * construction. Split out of [[encodeOf]] so the index lifecycle
+    * ([[trainPqOf]]) can PARK it and probe later batches against the
+    * reloaded table. */
+  private[graft] def codebookOf(emb: DataFrame, comp: DataFrame, dsub: Int,
+                                lloydRounds: Int): DataFrame = {
     // per-subspace codebook TRAINING: the label partition seeds a
     // bounded per-subspace Lloyd refinement (the PQ paper trains
     // per-subspace k-means) with the kmeansAssign arithmetic — exact
@@ -506,24 +515,26 @@ object Ann {
     // truncated-centroid codebook from the refined partition: exact
     // integer division as in quantizeEmbeddings (long/long `/` is
     // DOUBLE in Spark)
-    val cb = comp.join(asg, Seq("vec_id", "s"))
+    comp.join(asg, Seq("vec_id", "s"))
       .groupBy(col("s"), col("c"), col("i"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .select(col("s"), col("c"), col("i"),
         (when(col("sq") < 0, lit(-1L)).otherwise(lit(1L)) *
           ((abs(col("sq")) - pmod(abs(col("sq")), col("n"))) / col("n")).cast("long"))
           .as("cbv"))
-    // per-(vector, subspace, code) exact distance to the codebook
-    // entry; queries' rows double as their ADC lookup table. The
-    // vector's list label rides along (functionally dependent on
-    // vec_id — grouping unchanged) so IVF-PQ can probe-filter codes
-    // without a second corpus-sized join.
+  }
+
+  /** Per-(vector, subspace, code) exact distance of a component frame
+    * to a (broadcast) codebook; queries' rows double as their ADC
+    * lookup table. The vector's list label rides along (functionally
+    * dependent on vec_id — grouping unchanged) so IVF-PQ can
+    * probe-filter codes without a second corpus-sized join. */
+  private def distToCodebook(comp: DataFrame, cb: DataFrame): DataFrame =
     comp.join(broadcast(cb), Seq("s", "i"))
       .select(col("vec_id"), col("label"), col("s"), col("c"),
         ((col("q") - col("cbv")) * (col("q") - col("cbv"))).as("d2"))
       .groupBy(col("vec_id"), col("label"), col("s"), col("c"))
       .agg(sum(col("d2")).as("dist"))
-  }
 
   /** Nearest-code assignment + ADC ranking over the encode frame. */
   private def rankOf(enc: DataFrame, k: Int, nQueries: Int): DataFrame = {
@@ -535,6 +546,93 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("s"), col("c"),
         col("dist").as("part"))
     val approx = codes.join(broadcast(adc), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("approx_d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    approx.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Nearest-code assignment (vec_id, label, s, c) off a
+    * [[distToCodebook]] frame — the RAM-resident half of a parked PQ
+    * index (one code byte per subspace at scale; vectors never move
+    * after encoding). */
+  private def argminCodes(enc: DataFrame): DataFrame = {
+    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist").asc, col("c").asc)
+    enc.withColumn("rnk", row_number().over(wEnc))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("s"), col("c"))
+  }
+
+  /** The PQ subspace width a codebook was trained with, recovered
+    * from the codebook itself (s = i div dsub ⇒ the first dim of
+    * subspace 1 IS dsub; a single-subspace codebook ⇒ any dsub ≥ d
+    * acts identically, so d serves). One bounded collect over the
+    * broadcast-sized codebook — deriving it beats threading a
+    * parameter that can silently disagree with the parked table. */
+  private[graft] def dsubOfCodebook(codebook: DataFrame): Int = {
+    val r = codebook
+      .agg(min(when(col("s") === 1, col("i"))), max(col("i"))).head()
+    require(!r.isNullAt(1), "empty codebook — train before probing")
+    if (r.isNullAt(0)) r.getInt(1) + 1 else r.getInt(0)
+  }
+
+  /** Train a PQ index and return its two PARKABLE halves — the FAISS
+    * deployment shape the inline [[pqTopK]] row compresses into one
+    * call: `(codebook(s, c, i, cbv), codes(vec_id, label, s, c))`.
+    * Land both via [[graft.sources.Incremental.landBatch]] (the
+    * model-table discipline), then serve queries with
+    * [[pqProbeAgainst]] and encode later corpus batches with
+    * [[pqEncodeAgainst]] — train once, probe every batch, instead of
+    * re-running the Lloyd chain per query set. The codebook is
+    * materialized eagerly (it is broadcast-sized and every downstream
+    * consumer re-reads it); the corpus-sized code frame is returned
+    * lazy for the caller's one landing write. PqIndexSpec pins
+    * probe-against-reloaded-store ≡ the inline [[pqTopKOf]] row and
+    * append-a-batch replay idempotence. */
+  def trainPqOf(emb: DataFrame, dsub: Int = 8,
+                lloydRounds: Int = 2): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val comp = componentsOf(emb, dsub).persist()
+    try {
+      val cb0 = codebookOf(emb, comp, dsub, lloydRounds)
+      val cb =
+        if (spark.sparkContext.getCheckpointDir.isDefined)
+          cb0.checkpoint(eager = true)
+        else cb0.localCheckpoint(eager = true)
+      // codes rebuild components off the scan (narrow, no shuffle)
+      // rather than capturing `comp`, which unpersists on return
+      (cb, pqEncodeAgainst(emb, cb))
+    } finally comp.unpersist(blocking = true)
+  }
+
+  /** Encode a (new) batch of vectors against a parked codebook — the
+    * incremental half of the index lifecycle: the Lloyd chain is NOT
+    * re-run; the batch pays one narrow quantize + a broadcast join.
+    * Output schema matches [[trainPqOf]]'s code table, so batches
+    * land/append into the same store. */
+  def pqEncodeAgainst(emb: DataFrame, codebook: DataFrame): DataFrame =
+    argminCodes(distToCodebook(
+      componentsOf(emb, dsubOfCodebook(codebook)), codebook))
+
+  /** ADC top-k of `queries` against a parked (codebook, codes) index:
+    * the query batch builds its broadcast ADC tables from the
+    * codebook alone; the corpus-sized code table joins them broadcast
+    * and partial-aggregates before the single (query, vec) Exchange —
+    * identical arithmetic (and identical output, spec-pinned) to the
+    * inline [[pqTopKOf]] ranking, with training amortized away.
+    * Self-matches (a query probing its own vec_id) are excluded, as
+    * in the inline row. */
+  def pqProbeAgainst(queries: DataFrame, codebook: DataFrame,
+                     codes: DataFrame, k: Int): DataFrame = {
+    val adc = distToCodebook(
+      componentsOf(queries, dsubOfCodebook(codebook)), codebook)
+      .select(col("vec_id").as("query_id"), col("s"), col("c"),
+        col("dist").as("part"))
+    val approx = codes.select(col("vec_id"), col("s"), col("c"))
+      .join(broadcast(adc), Seq("s", "c"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("part")).as("approx_d"))

@@ -42,6 +42,11 @@ object Dedup {
     * structural-sharing rule: shared literals live in one place). */
   val MinhashShingleSize: Int = 3
 
+  /** Signature width of the per-source union sketch — ONE constant
+    * shared with the DuckDB oracle ([[graft.OracleSql.sourceSketch]])
+    * so the `/ numHashes` estimate can never silently diverge. */
+  val SourceSketchNumHashes: Int = 64
+
   /** MinHash+LSH near-dup candidates: word-3-gram shingles → 64-hash
     * signature → 8 bands × 8 rows → equi-join on (band, band-hash).
     * `est_jaccard` = matching signature fraction.
@@ -127,20 +132,55 @@ object Dedup {
     * per-source aggregate): the corpus shuffles only (id, fp) into
     * the pair stage and ids through CC; the final cut is a left-semi
     * join of docs against the keeper ids. */
-  def keepSetOf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val comps = connectedComponents(
+  def keepSetOf(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    keepSetFromComponents(docs, simhashComponentsOf(docs, maxHamming))
+
+  /** THE SimHash component closure of a (doc_id, text, …) frame:
+    * (id, component-min-id) labels via the banded hamming pair stage
+    * + alternating-star CC — the ONE expensive subtree the whole
+    * census family ([[keepSetOf]], [[softDedupWeightsOf]],
+    * [[dupCensus]]) derives from. The solo rows each run it inline
+    * (Verify keeps oracle rows independent); a production run wanting
+    * several family members computes this frame ONCE via
+    * [[censusSuiteOf]] instead of paying the closure per consumer. */
+  def simhashComponentsOf(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    connectedComponents(
       docs.select(col("doc_id").as("id")),
       hammingPairs(
         docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
         maxHamming)
         .select(col("id_a").as("src"), col("id_b").as("dst")))
-    // CC labels every node with its component's MIN id (contract of
-    // connectedComponents), so the keeper set is exactly the rows
-    // where id == component — a narrow filter, no extra aggregate
-    // shuffle over the label set.
+
+  /** [[keepSetOf]] from a prepared [[simhashComponentsOf]] frame.
+    * CC labels every node with its component's MIN id (contract of
+    * [[connectedComponents]]), so the keeper set is exactly the rows
+    * where id == component — a narrow filter, no extra aggregate
+    * shuffle over the label set. */
+  def keepSetFromComponents(docs: DataFrame, comps: DataFrame): DataFrame = {
     val keepers = comps.filter(col("id") === col("component"))
       .select(col("id").as("doc_id"))
     docs.join(keepers, Seq("doc_id"), "left_semi")
+  }
+
+  /** One-closure census suite: (kept, weights, census) off a SINGLE
+    * materialized component frame — what a production corpus build
+    * runs when it wants the hard cut AND the soft weights AND the
+    * duplication census (each solo row pays the pair stage + CC
+    * closure itself; three solo rows = three closures). The closure
+    * materializes eagerly (reliable checkpoint when configured, the
+    * CC fixpoint discipline) so the three consumers re-read labels,
+    * never re-derive them. CensusSuiteSpec pins each member ≡ its
+    * solo row. */
+  def censusSuiteOf(docs: DataFrame, maxHamming: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sc = docs.sparkSession.sparkContext
+    val comps0 = simhashComponentsOf(docs, maxHamming)
+    val comps =
+      if (sc.getCheckpointDir.isDefined) comps0.checkpoint(eager = true)
+      else comps0.localCheckpoint(eager = true)
+    (keepSetFromComponents(docs, comps),
+      softDedupWeightsFromComponents(comps),
+      dupCensusFromComponents(comps))
   }
 
   /** SOFT deduplication: keep every near-duplicate and down-weight it
@@ -160,13 +200,12 @@ object Dedup {
     softDedupWeightsOf(Tables.documents(spark, dir), maxHamming)
 
   /** [[softDedupWeights]] over a prepared (doc_id, text, …) frame. */
-  def softDedupWeightsOf(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val comps = connectedComponents(
-      docs.select(col("doc_id").as("id")),
-      hammingPairs(
-        docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
-        maxHamming)
-        .select(col("id_a").as("src"), col("id_b").as("dst")))
+  def softDedupWeightsOf(docs: DataFrame, maxHamming: Int): DataFrame =
+    softDedupWeightsFromComponents(simhashComponentsOf(docs, maxHamming))
+
+  /** [[softDedupWeightsOf]] from a prepared [[simhashComponentsOf]]
+    * frame. */
+  def softDedupWeightsFromComponents(comps: DataFrame): DataFrame = {
     val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
     comps.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("n_members"),
@@ -181,12 +220,31 @@ object Dedup {
     * gram stream only to the semi join, and the final cut is an anti
     * join of full rows against the contaminated ids. */
   def decontaminateApplyOf(docs: DataFrame, evalDocs: DataFrame,
-                           n: Int = 4): DataFrame = {
-    val evalGrams = evalDocs
+                           n: Int = 4): DataFrame =
+    decontaminateAgainst(docs, evalGramModelOf(evalDocs, n), n)
+
+  /** The eval-set gram MODEL: the distinct word-n-gram hashes of the
+    * eval corpus, one `gram` column — the parkable form of the
+    * decontamination gate (train offline, land in parquet via
+    * [[graft.sources.Incremental.landBatch]], broadcast-probe every
+    * micro-batch — the same model-table discipline as
+    * [[TextAnalysis.bigramModelOf]] / qualityThresholdsOf). Eval sets
+    * are benchmark-sized, so the model is broadcastable by
+    * construction. */
+  def evalGramModelOf(evalDocs: DataFrame, n: Int = 4): DataFrame =
+    evalDocs
       .select(explode(shingle_hashes(col("text"), n)).as("gram")).distinct()
+
+  /** [[decontaminateApplyOf]] against a prepared (or parquet-reloaded)
+    * [[evalGramModelOf]] frame — the streaming/live form: the gram
+    * model is trained once offline; every batch pays only its own
+    * gram explode + a broadcast semi-join. `n` must equal the model's
+    * training n (the gram hashes are n-dependent). */
+  def decontaminateAgainst(docs: DataFrame, gramModel: DataFrame,
+                           n: Int = 4): DataFrame = {
     val contaminated = docs
       .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(broadcast(gramModel.select(col("gram"))), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
@@ -641,21 +699,18 @@ object Dedup {
     * pairs → CC → size aggregate over ids — two tiny aggregates past
     * the closure. */
   def dupCensus(spark: SparkSession, dir: String,
-                maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val comps = connectedComponents(
-      docs.select(col("doc_id").as("id")),
-      hammingPairs(
-        docs.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
-        maxHamming)
-        .select(col("id_a").as("src"), col("id_b").as("dst")))
+                maxHamming: Int = 3): DataFrame =
+    dupCensusFromComponents(
+      simhashComponentsOf(Tables.documents(spark, dir), maxHamming))
+
+  /** [[dupCensus]] from a prepared [[simhashComponentsOf]] frame. */
+  def dupCensusFromComponents(comps: DataFrame): DataFrame =
     comps.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
       .groupBy(col("n_members"))
       .agg(count(lit(1)).as("n_components"))
       .select(col("n_members"),
         col("n_components"),
         (col("n_members") * col("n_components")).as("n_docs"))
-  }
 
   /** Streaming/incremental twin of [[gramNoveltyOf]] — the LIVE
     * marginal-novelty gauge: score each arriving micro-batch's docs
@@ -750,8 +805,16 @@ object Dedup {
             .select(col("doc_id").as("id"), col("fp")),
           maxHamming)
           .select(col("id_l").as("dup_id")))
-    batch.join(dups.distinct(),
-      batch("doc_id") === col("dup_id"), "left_anti")
+    // keep decisions derive from the LANDED rows (own = the committed
+    // parquet), not a recomputation of `batch`: survivors are the
+    // landed ids minus the dup ids, semi-joined back for the payload.
+    // A non-deterministic source can therefore never surface a row
+    // whose fingerprint was not landed and probed — the "landed rows
+    // ARE the scored rows" discipline noveltyIncrementalBatch states.
+    val keptIds = own.join(dups.distinct(),
+      own("id") === col("dup_id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    batch.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
   /** Per-document duplicated-gram coverage — the doc-level removal
@@ -832,7 +895,7 @@ object Dedup {
     * `est_jaccard` = matching positions / numHashes, one IEEE
     * division of exact integers. */
   def sourceSketch(spark: SparkSession, dir: String,
-                   numHashes: Int = 64): DataFrame =
+                   numHashes: Int = SourceSketchNumHashes): DataFrame =
     sourceSketchOf(
       Tables.documents(spark, dir).select(col("source"), col("text")),
       numHashes)

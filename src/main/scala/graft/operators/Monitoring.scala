@@ -721,8 +721,13 @@ object Monitoring {
           col("n").cast("double")).as("seasonal_ratio"),
         (col("c").cast(d19) * col("n_win").cast(d19) >
           col("n").cast(d19) * lit(2L).cast(d19)).as("flag_high"),
-        (col("c").cast(d19) * col("n_win").cast(d19) * lit(2L).cast(d19) <
-          col("n").cast(d19)).as("flag_low"))
+        // 2·c·n_win < n rewritten as c·n_win ≤ ⌊(n−1)/2⌋ so the LARGE
+        // side is never doubled: c·n_win alone can reach ~8.5e37, and
+        // ×2 would clear 10³⁸ — a decimal overflow where the promised
+        // failure mode is "exact to 1e38", not a wrapped/odd flag
+        (col("c").cast(d19) * col("n_win").cast(d19) <=
+          call_function("div", col("n") - lit(1L), lit(2L)).cast(d19))
+          .as("flag_low"))
   }
 
   /** The (topic, window_start, c, dow, hod) hourly grid both seasonal

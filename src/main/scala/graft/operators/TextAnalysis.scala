@@ -430,6 +430,61 @@ object TextAnalysis {
 
   /** Intra-document repetition signal (the Gopher/CCNet-style quality
     * gate): duplicate-token fraction per doc. Entirely row-local. */
+  /** Gopher line/paragraph repetition rules (Rae et al. 2021 §A.1.1 —
+    * the dup-line gates Gopher actually filters on, next to the
+    * token-level [[repetitionSignals]]): per document, the fraction
+    * of LINES (and of PARAGRAPHS) belonging to a duplicate group
+    * (all members of any group with count ≥ 2), plus the
+    * character-mass twins, plus the four-threshold Gopher flag
+    * (dup_line_frac > 0.30 ∨ dup_para_frac > 0.30 ∨ char fracs >
+    * 0.20).
+    *
+    * The driver corpus carries no newlines, so the dir entry derives
+    * the structure deterministically — ` window ` → blank line
+    * (paragraph break), ` the ` → newline — and hands the structured
+    * text to the REAL kernel [[lineRepetitionOf]], which splits on
+    * `\n` / `\n\n` exactly as it would on a production corpus.
+    *
+    * Scale shape: entirely row-local — sort the line array, flag
+    * elements with an EQUAL SORTED NEIGHBOR (any total order groups
+    * equal keys adjacently, so this is exact duplicate-group
+    * membership), fold lengths; zero shuffle, the [[charDiversityOf]]
+    * pattern. Fractions are single IEEE divisions of exact integers;
+    * zero-char docs carry NULL char fractions rather than NaN. */
+  def lineRepetition(spark: SparkSession, dir: String): DataFrame =
+    lineRepetitionOf(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        replace(replace(col("text"), lit(" window "), lit("\n\n")),
+          lit(" the "), lit("\n")).as("text")))
+
+  /** [[lineRepetition]] over a prepared (doc_id, text) frame whose
+    * text carries real `\n` line and `\n\n` paragraph structure. */
+  def lineRepetitionOf(docs: DataFrame): DataFrame = {
+    def dupFlag(a: Column, i: Column): Column =
+      (i > 1 && element_at(a, i) === element_at(a, (i - 1).cast("int"))) ||
+        (i < size(a) && element_at(a, i) === element_at(a, (i + 1).cast("int")))
+    def stats(a: Column, n: String): Seq[Column] = {
+      val dupIdx = filter(sequence(lit(1), size(a)), i => dupFlag(a, i))
+      val nDup = size(dupIdx)
+      val dupChars = aggregate(dupIdx, lit(0L),
+        (acc, i) => acc + length(element_at(a, i.cast("int"))).cast("long"))
+      val totChars = aggregate(a, lit(0L),
+        (acc, x) => acc + length(x).cast("long"))
+      Seq(size(a).cast("long").as(s"n_${n}s"),
+        (nDup.cast("double") / size(a).cast("double")).as(s"dup_${n}_frac"),
+        when(totChars > 0L, dupChars.cast("double") / totChars.cast("double"))
+          .as(s"dup_${n}_char_frac"))
+    }
+    val lines = array_sort(split(col("text"), "\n"))
+    val paras = array_sort(split(col("text"), "\n\n"))
+    docs
+      .select(col("doc_id") +: (stats(lines, "line") ++ stats(paras, "para")): _*)
+      .withColumn("flag_gopher",
+        col("dup_line_frac") > 0.30 || col("dup_para_frac") > 0.30 ||
+          coalesce(col("dup_line_char_frac") > 0.20, lit(false)) ||
+          coalesce(col("dup_para_char_frac") > 0.20, lit(false)))
+  }
+
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val toks = T.tokens(col("text"))
     Tables.documents(spark, dir)
@@ -615,29 +670,57 @@ object TextAnalysis {
   private[graft] val Bm25TfDen2 = 18L  // ·dl·N (k1·b·20)
   private[graft] val Bm25DefaultTerms = Seq("dup", "key", "batch", "window")
 
-  /** The int64 headroom of the fixed-point idf: p⁴ = (2N+2)⁴ must stay
-    * under 2⁶³, so N ≤ 27,553 ((2·27553+2)⁴ < 2⁶³ < (2·27554+2)⁴).
-    * [[bm25Of]] raises past the bound instead of wrapping (DuckDB
-    * errors natively on the same overflow — both engines fail LOUD,
-    * never diverge silently); past it, score per partition/day slice,
-    * or widen the idf intermediates to DECIMAL(38). */
-  private[graft] val Bm25MaxDocs = 27553L
+  /** The int64 headroom of the fixed-point idf: the square p² = (2N+2)²
+    * must stay under 2⁶³ (p⁴ is never materialized — see [[bm25IdfQ]]),
+    * so N ≤ 1,518,500,248 (2·1518500248+2 = 3,037,000,498 ≤
+    * ⌊√(2⁶³−1)⌋ = 3,037,000,499). [[bm25Of]] raises past the bound
+    * instead of wrapping (both engines fail LOUD, never diverge
+    * silently); past 1.5 B documents, score per partition/day slice. */
+  private[graft] val Bm25MaxDocs = 1518500248L
 
   /** The quarter-bit Lucene idf as a Column: floor(4·log₂((N+1)/(df+½)))
-    * = floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1 — exact int64 bit
-    * lengths plus ONE shift-compare correction, no libm log.
+    * = floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1 — WITHOUT ever
+    * materializing p⁴ (the r9 form's int64 ceiling at N = 27,553).
+    * Decompose as 4·t + r:
+    *  - t = floor(log₂(p/q)): int64 bit lengths + one shift-compare.
+    *  - r = floor(4·log₂(x)) ∈ {0..3} for x = p/Q ∈ [1,2), Q = q·2^t,
+    *    resolved by binary search on two exact square comparisons with
+    *    a = p², b = Q² (both ≤ 2⁶³ for N ≤ [[Bm25MaxDocs]]):
+    *      bit 1:  x² ≥ 2  ⟺  a − b ≥ b                  (pure int64)
+    *      bit 0 (x² ≥ 2, a2 = a−2b ∈ [0,2b)):  x⁴ ≥ 8
+    *              ⟺ a² ≥ 8b² ⟺ a2² ≥ 4b(b−a2)  ∨ a2 ≥ b
+    *      bit 0 (x² < 2, a1 = a−b  ∈ [0,b)):   x⁴ ≥ 2
+    *              ⟺ a² ≥ 2b² ⟺ a1² ≥ b(b−2a1)  ∨ 2a1 ≥ b
+    *    The residual products are DECIMAL(38,0)-exact: in the high
+    *    branch a ≥ 2b bounds b ≤ 2⁶²/…, so a2², 4b(b−a2), a1²,
+    *    b(b−2a1) all stay under 10³⁸ (≤ 8.6e37); the or-guards make
+    *    the negative-RHS cases true before the product matters.
     * Requires 0 ≤ df ≤ N ≤ [[Bm25MaxDocs]] (callers guard N).
     * PropertySpec pins this against a BigInt floor-log₂ reference over
     * the full domain including every boundary. */
   private[graft] def bm25IdfQ(nDocs: Column, df: Column): Column = {
     def bl(x: Column): Column = length(bin(x)) // bit length (INT)
-    def pw4(x: Column): Column = { val xx = x * x; xx * xx }
-    val p4 = pw4(lit(2L) * nDocs + lit(2L))
-    val q4 = pw4(lit(2L) * df + lit(1L))
-    val k0 = bl(p4) - bl(q4) // ≥ 0: p > q always (df ≤ N)
+    def dec(x: Column): Column = x.cast("decimal(19,0)")
+    val p = lit(2L) * nDocs + lit(2L)
+    val q = lit(2L) * df + lit(1L)
+    val d0 = bl(p) - bl(q) // ≥ 0: p > q always (df ≤ N)
     // functions.shiftleft only takes a literal shift; the SQL
     // function accepts a column
-    k0 - when(p4 < call_function("shiftleft", q4, k0), 1L).otherwise(0L)
+    val t = d0 - when(p < call_function("shiftleft", q, d0), 1L).otherwise(0L)
+    val bigQ = call_function("shiftleft", q, t) // Q ≤ p < 2Q
+    val a = p * p
+    val b = bigQ * bigQ
+    val a2 = a - b - b // high branch: ∈ [0, 2b)
+    val a1 = a - b     // low branch:  ∈ [0, b)
+    val b0hi = (a2 >= b) ||
+      (dec(a2) * dec(a2) >= lit(4L) * dec(b) * dec(b - a2))
+    val b0lo = (a1 >= b - a1) ||
+      (dec(a1) * dec(a1) >= dec(b) * dec(b - a1 - a1))
+    // branch bodies sit INSIDE the CaseWhen values so only the branch
+    // whose magnitude bounds hold is ever evaluated
+    val r = when(a - b >= b, lit(2L) + when(b0hi, 1L).otherwise(0L))
+      .otherwise(when(b0lo, 1L).otherwise(0L))
+    lit(4L) * t.cast("long") + r
   }
 
   /** BM25 ranked retrieval (disjunctive), rank-stable across engines:
@@ -647,12 +730,13 @@ object TextAnalysis {
     *
     *  - idf: quarter-bit Lucene idf `floor(4·log₂((N+1)/(df+½)))` =
     *    `floor(log₂(p⁴/q⁴))` with p = 2N+2, q = 2df+1 — computed as
-    *    exact int64 bit lengths plus ONE shift-compare correction (no
+    *    4·floor(log₂(p/q)) plus a two-comparison binary search for the
+    *    quarter bits, never materializing p⁴ (see [[bm25IdfQ]]; no
     *    libm log anywhere; the [[bigramSurprisalOf]] judgment, at 4×
     *    the resolution because whole bits can't separate df=380 from
     *    df=402 on a 31-word vocabulary). Lucene's +1-inside-the-log
     *    keeps idf ≥ 0 where the Robertson form goes negative past
-    *    df > N/2.
+    *    df > N/2. Exact to N = 1.5e9 documents ([[Bm25MaxDocs]]).
     *  - tf-normalization: the cleared-denominator integer form above,
     *    quantized to `Bm25Scale` millis by integer division.
     *
@@ -668,7 +752,14 @@ object TextAnalysis {
     bm25Of(Tables.documents(spark, dir), terms, k)
 
   /** [[bm25]] over a prepared (doc_id, text) frame. */
-  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25Of(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25OfBounded(docs, terms, k, Bm25MaxDocs)
+
+  /** [[bm25Of]] with an explicit document ceiling — the spec hook for
+    * exercising the loud-overflow guard without a 1.5 B-row corpus;
+    * production callers always pass [[Bm25MaxDocs]]. */
+  private[graft] def bm25OfBounded(docs: DataFrame, terms: Seq[String],
+                                   k: Int, maxDocs: Long): DataFrame = {
     require(terms.nonEmpty, "empty query")
     // typed DSL for the term literals (terms are data, never parsed)
     val withTf = docs
@@ -681,7 +772,7 @@ object TextAnalysis {
         }: _*)
     // 1-row corpus stats: N, total tokens T, per-term df — broadcast
     // back as a scalar (bounded: one row, |terms| columns). N is
-    // guarded against the p⁴ int64 bound (see Bm25MaxDocs) — overflow
+    // guarded against the p² int64 bound (see Bm25MaxDocs) — overflow
     // must fail loud, not wrap into garbage rankings.
     val stats = withTf.agg(
       count(lit(1)).as("n_docs"),
@@ -689,18 +780,24 @@ object TextAnalysis {
         terms.indices.map(i =>
           count(when(col(s"tf_$i") > 0L, 1)).as(s"df_$i")): _*)
       .withColumn("n_docs",
-        when(col("n_docs") > Bm25MaxDocs,
-          raise_error(concat(lit(s"bm25: corpus exceeds $Bm25MaxDocs docs — " +
-            "(2N+2)^4 would overflow int64; slice the corpus or widen " +
-            "the idf to DECIMAL(38). N = "), col("n_docs").cast("string"))))
+        when(col("n_docs") > maxDocs,
+          raise_error(concat(lit(s"bm25: corpus exceeds $maxDocs docs — " +
+            "(2N+2)^2 would overflow int64; score per partition/day " +
+            "slice. N = "), col("n_docs").cast("string"))))
           .otherwise(col("n_docs")))
     // per-row guard on the tf-norm numerator Scale·44·T·tf (tf ≤ dl,
-    // so bounding dl·T bounds it): loud failure beats a wrapped score
+    // so bounding dl·T bounds it): the tf-norm runs in DECIMAL(38,0),
+    // whose headroom is (10³⁸−1)/44000 ≈ 2.27e33 on the T·dl product —
+    // unreachable by any physical corpus (T ≤ 2⁶³ tokens total AND a
+    // single 10¹⁴-token document), but loud beats a wrapped score
+    val tfNormMax = new java.math.BigDecimal(
+      java.math.BigInteger.TEN.pow(38).subtract(java.math.BigInteger.ONE)
+        .divide(java.math.BigInteger.valueOf(Bm25Scale * Bm25TfNum)))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
     val dlGuarded = when(
-      col("dl") > call_function("div",
-        lit(Long.MaxValue / (Bm25Scale * Bm25TfNum)), col("t_tok")),
-      raise_error(lit("bm25: Scale*44*T*dl overflows int64 — slice the " +
-        "corpus or widen the tf-norm to DECIMAL(38)")))
+      dec(col("dl")) * dec(col("t_tok")) > lit(tfNormMax),
+      raise_error(lit("bm25: Scale*44*T*dl overflows DECIMAL(38) — " +
+        "slice the corpus")))
       .otherwise(col("dl")).as("dl")
     val scored = withTf.crossJoin(broadcast(stats))
       .withColumn("dl", dlGuarded)
@@ -708,13 +805,15 @@ object TextAnalysis {
       Seq(col("doc_id"), col("dl")) ++
         terms.indices.map { i =>
           val idf = bm25IdfQ(col("n_docs"), col(s"df_$i"))
-          // SQL `div` (IntegralDivide) — exact BIGINT quotient, and
-          // `//` on the DuckDB side truncates identically on positives
+          // SQL `div` (IntegralDivide) — exact BIGINT quotient over
+          // DECIMAL(38,0) intermediates (quotient ≤ Scale·44/20, so
+          // the long result never overflows), and `//` on the DuckDB
+          // side truncates identically on positives over HUGEINT
           val tfn = call_function("div",
-            lit(Bm25Scale * Bm25TfNum) * col("t_tok") * col(s"tf_$i"),
-            lit(Bm25TfDen0) * col("t_tok") * col(s"tf_$i") +
-              lit(Bm25TfDen1) * col("t_tok") +
-              lit(Bm25TfDen2) * col("dl") * col("n_docs"))
+            lit(Bm25Scale * Bm25TfNum) * (dec(col("t_tok")) * dec(col(s"tf_$i"))),
+            lit(Bm25TfDen0) * (dec(col("t_tok")) * dec(col(s"tf_$i"))) +
+              lit(Bm25TfDen1) * dec(col("t_tok")) +
+              lit(Bm25TfDen2) * (dec(col("dl")) * dec(col("n_docs"))))
           (idf * tfn).as(s"s_$i") // tf = 0 ⇒ tfn = 0 ⇒ term drops out
         } ++
         terms.indices.map(i => col(s"tf_$i")): _*)
@@ -1662,6 +1761,119 @@ object Multimodal {
       .select(col("max_hamming"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_assets"), lit(0L)).as("n_assets"))
+  }
+
+  // ---------------------------------------------------------------
+  // Audio leg of the media pipeline: the GA01 PCM wire format.
+  //
+  // GA01 is a tiny mono PCM16 container: 9-byte header 'G''A' 0x01 |
+  // channels u8 | sample_rate u16 LE | n_samples u32 LE, followed by
+  // n_samples × 2 bytes of little-endian signed 16-bit PCM. As with
+  // GR01, the encode → decode → feature path is REAL code over real
+  // binary columns and the synthetic samples are a pure function of
+  // doc_id, so DuckDB recomputes every aggregate from first
+  // principles. A foreign codec (MP3/FLAC) would plug into the same
+  // per-partition decode seam.
+  // ---------------------------------------------------------------
+
+  /** Samples per silence-detection window (windows are always full:
+    * synthetic clips are multiples of this). */
+  val Ga01Window: Int = 256
+
+  /** Encode one GA01 payload from a sample generator. */
+  def ga01Encode(sampleRate: Int, nSamples: Int,
+                 sample: Int => Int): Array[Byte] = {
+    val out = new Array[Byte](9 + 2 * nSamples)
+    out(0) = 'G'; out(1) = 'A'; out(2) = 1; out(3) = 1 // version, mono
+    out(4) = (sampleRate & 0xff).toByte
+    out(5) = ((sampleRate >> 8) & 0xff).toByte
+    out(6) = (nSamples & 0xff).toByte
+    out(7) = ((nSamples >> 8) & 0xff).toByte
+    out(8) = ((nSamples >> 16) & 0xff).toByte
+    var i = 0
+    while (i < nSamples) {
+      val v = sample(i)
+      out(9 + 2 * i) = (v & 0xff).toByte
+      out(9 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a GA01 payload into signed 16-bit samples (throws on bad
+    * magic/truncation — quarantine upstream). */
+  def ga01Decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes.length >= 9 && bytes(0) == 'G' && bytes(1) == 'A' &&
+      bytes(2) == 1, s"not a GA01 payload (${bytes.length} bytes)")
+    require((bytes(3) & 0xff) == 1, "unsupported GA01 channel count")
+    val sr = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    val n = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8) |
+      ((bytes(8) & 0xff) << 16)
+    require(bytes.length == 9 + 2 * n, s"truncated GA01: ${bytes.length}")
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (((bytes(9 + 2 * i) & 0xff) |
+        ((bytes(9 + 2 * i + 1) & 0xff) << 8)).toShort)
+      i += 1
+    }
+    (sr, s)
+  }
+
+  /** Synthetic GA01 clips, one per document: length and samples are
+    * pure functions of doc_id — sample(i) = 0 in every window k with
+    * (id + k) % 4 == 0 (planted silence), else ((id·7349 + i·104729)
+    * mod 65536) − 32768 (full-scale noise that deterministically hits
+    * the ±clip rails). */
+  def syntheticAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (512 + (id % 7) * Ga01Window).toInt
+        (id, ga01Encode(8000, n, { i =>
+          if ((id + i / Ga01Window) % 4 == 0L) 0
+          else (((id * 7349L + i * 104729L) % 65536L) - 32768L).toInt
+        }))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Decode + per-clip audio features over the binary column, all
+    * exact integers except two final divisions: sample count, window
+    * count, SILENT windows (Σ|x| = 0 over a [[Ga01Window]]-sample
+    * window — the VAD-style activity gate), silence ratio, exact
+    * energy Σx² (long-safe: ≤ 2³⁰ per sample), mean square (the
+    * RMS² — no libm sqrt), and hard-clipped sample count (x = ±full
+    * scale). Row-local per-partition decode, zero shuffle — the
+    * [[mediaDecode]] scale shape. */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sr, xs) = ga01Decode(bytes)
+        val nWin = xs.length / Ga01Window
+        var energy = 0L
+        var clipped = 0L
+        var silent = 0L
+        var k = 0
+        while (k < nWin) {
+          var absSum = 0L
+          var i = k * Ga01Window
+          val end = i + Ga01Window
+          while (i < end) {
+            val v = xs(i).toLong
+            absSum += math.abs(v)
+            energy += v * v
+            if (v == 32767L || v == -32768L) clipped += 1
+            i += 1
+          }
+          if (absSum == 0L) silent += 1
+          k += 1
+        }
+        (id, sr, xs.length.toLong, nWin.toLong, silent,
+          silent.toDouble / nWin.toDouble, energy,
+          energy.toDouble / xs.length.toDouble, clipped)
+      }).toDF("doc_id", "sample_rate", "n_samples", "n_windows",
+        "n_silent", "silence_ratio", "energy", "mean_square", "n_clipped")
   }
 
 }

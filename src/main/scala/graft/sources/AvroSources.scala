@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file source/sink — the row-oriented interchange
+  * format next to the columnar parquet/ORC pair ([[Sources]]), built
+  * directly on the Avro core + mapred libraries (no spark-avro
+  * datasource in this environment): writes go through
+  * `AvroKeyOutputFormat` via `saveAsNewAPIHadoopFile` (one container
+  * file per partition, splittable on read), reads through
+  * `AvroKeyInputFormat` with an explicit READER schema — the same
+  * schema-pinned discipline as every other source here (Avro resolves
+  * writer→reader schemas itself, so additive evolution behaves like
+  * [[Sources.readParquetPinned]]: missing fields fill with the
+  * reader's null default, extra writer fields are skipped).
+  *
+  * Supported Spark types: long, int, double, float, boolean, string,
+  * binary, timestamp (as timestamp-micros long) — the flat-record
+  * surface of the driver tables. Nullable fields map to
+  * `union {null, T}` with null default.
+  *
+  * Scale shape: both directions are embarrassingly parallel — no
+  * shuffle, records convert per-partition; the Hadoop input format
+  * splits container files on block boundaries, so a handful of big
+  * files still fans out across executors. */
+object AvroSources {
+
+  /** Spark → Avro schema for a flat StructType. */
+  def avroSchemaOf(schema: StructType, name: String = "graft_record"): Schema = {
+    def base(dt: DataType): Schema = dt match {
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType =>
+        val s = Schema.create(Schema.Type.LONG)
+        org.apache.avro.LogicalTypes.timestampMicros().addToSchema(s)
+      case other =>
+        throw new IllegalArgumentException(
+          s"avro sink: unsupported flat type $other — flatten/encode first")
+    }
+    val fields = schema.fields.map { f =>
+      if (f.nullable)
+        new Schema.Field(f.name,
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base(f.dataType)),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+      else new Schema.Field(f.name, base(f.dataType), null, null.asInstanceOf[AnyRef])
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Write a flat DataFrame as Avro container files under `path`
+    * (one file per partition; existing dir replaced — the
+    * overwrite-idempotent sink discipline). */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val sparkSchema = df.schema
+    val avroJson = avroSchemaOf(sparkSchema).toString
+    val spark = df.sparkSession
+    // clear the target first: saveAsNewAPIHadoopFile refuses to
+    // overwrite, and a half-written dir must not shadow a retry
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    val n = sparkSchema.fields.length
+    df.rdd.mapPartitions { it =>
+      // parse once per partition; GenericRecord is not serializable,
+      // so records are built task-side right before the writer
+      val schema = new Schema.Parser().parse(avroJson)
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < n) {
+          val v = row.get(i) match {
+            case null => null
+            case ts: java.sql.Timestamp =>
+              java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case other => other.asInstanceOf[AnyRef]
+          }
+          rec.put(i, v)
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+  }
+
+  /** Read Avro container files under `path` with an explicit PINNED
+    * Spark schema (writer→reader resolution per the Avro spec: field
+    * lookup is BY NAME, additive evolution fills nulls). */
+  def readAvro(spark: SparkSession, path: String,
+               schema: StructType): DataFrame = {
+    val avroJson = avroSchemaOf(schema).toString
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroJson))
+    val names = schema.fields.map(_.name)
+    val types: Array[DataType] = schema.fields.map(_.dataType)
+    val rows = spark.sparkContext.newAPIHadoopFile(
+      s"$path/*.avro",
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
+      .map { case (k, _) =>
+        // convert IMMEDIATELY: the input format reuses record objects
+        val rec = k.datum()
+        Row.fromSeq(names.indices.map { i =>
+          (rec.get(names(i)), types(i)) match {
+            case (null, _) => null
+            case (v, StringType) => v.toString
+            case (v: java.lang.Long, TimestampType) =>
+              java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                Math.floorDiv(v.longValue(), 1000000L),
+                Math.floorMod(v.longValue(), 1000000L) * 1000L))
+            case (v: java.nio.ByteBuffer, BinaryType) =>
+              val b = new Array[Byte](v.remaining()); v.duplicate().get(b); b
+            case (v, _) => v
+          }
+        })
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -49,10 +49,16 @@ object Incremental {
                          dir: String): Seq[(Long, String)] = {
     val basePath = new org.apache.hadoop.fs.Path(dir)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only `batch=<digits>` names parse — a stray temp dir or future
+    // layout addition under the store must not kill every reader with
+    // a NumberFormatException (it is simply not a committed batch)
+    val committed = "batch=(\\d+)".r
     fs.listStatus(basePath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong,
-        st.getPath.toString)).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case committed(id) => Some((id.toLong, st.getPath.toString))
+        case _ => None
+      }).toSeq
   }
 
   /** Days present in the partitioned layout but not yet committed. */

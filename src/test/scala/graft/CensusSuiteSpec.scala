@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The shared-closure census family (r10): one materialized SimHash
+  * component frame feeding the hard keep-set, the soft 1/|C| weights
+  * and the duplication census — each member pinned equal to its solo
+  * oracle row, which still computes its own closure under Verify. */
+class CensusSuiteSpec extends SparkSpec {
+
+  test("censusSuiteOf members equal the three solo rows on one shared closure") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val (kept, weights, census) = Dedup.censusSuiteOf(docs, maxHamming = 3)
+
+    val soloKept = Dedup.keepSetOf(docs, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotKept = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotKept == soloKept,
+      s"keep-set diverged: ${(soloKept -- gotKept).take(3)} vs ${(gotKept -- soloKept).take(3)}")
+
+    def wKey(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("weight")))
+    val soloW = Dedup.softDedupWeightsOf(docs, 3).collect().map(wKey).toMap
+    val gotW = weights.collect().map(wKey).toMap
+    assert(gotW == soloW, "soft weights diverged from the solo row")
+
+    def cKey(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("n_members") ->
+        ((r.getAs[Long]("n_components"), r.getAs[Long]("n_docs")))
+    val soloC = Dedup.dupCensus(spark, sfDir, 3).collect().map(cKey).toMap
+    val gotC = census.collect().map(cKey).toMap
+    assert(gotC == soloC, "census diverged from the solo row")
+
+    // the three views are mutually consistent off the one closure:
+    // census mass = corpus size, keepers = one per component,
+    // weights sum to the component count
+    assert(gotC.values.map(_._2).sum == docs.count())
+    assert(gotKept.size.toLong == gotC.values.map(_._1).sum)
+    val wSum = gotW.values.map(_._3).sum
+    assert(math.abs(wSum - gotC.values.map(_._1).sum) < 1e-6)
+  }
+}

@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   * reconstruction, plan shape is in PlanAuditSpec). */
 class CurationSpec extends SparkSpec {
 
+  test("line repetition: planted duplicate lines/paragraphs land exact fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "dup" twice (group of 2) → dup_line_frac = 0.5;
+      // one paragraph, unduplicated
+      (1L, "dup\nunique one\ndup\nunique two"),
+      // 2 paragraphs, both "same para" → dup_para_frac = 1.0; lines
+      // "same para" ×2 dup + "" (the blank split row) → 4/5 dup?
+      // lines of "A\n\nA" are [A, "", A] → 2 of 3 dup
+      (2L, "same para\n\nsame para"),
+      // no structure at all: single line, single paragraph, no dups
+      (3L, "plain body with no repetition"),
+      // all four lines identical → fracs 1.0, char fracs 1.0
+      (4L, "x\nx\nx\nx")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") == 4L)
+    assert(got(1L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(got(1L).getAs[Double]("dup_para_frac") == 0.0)
+    // doc 1 lines: "dup"(3), "unique one"(10), "dup"(3), "unique two"(10)
+    // → duplicated chars 6 of 26
+    assert(got(1L).getAs[Double]("dup_line_char_frac") == 6.0 / 26.0)
+    assert(got(1L).getAs[Boolean]("flag_gopher")) // 0.5 > 0.3
+    assert(got(2L).getAs[Long]("n_paras") == 2L)
+    assert(got(2L).getAs[Double]("dup_para_frac") == 1.0)
+    assert(got(2L).getAs[Long]("n_lines") == 3L)
+    assert(got(2L).getAs[Double]("dup_line_frac") == 2.0 / 3.0)
+    assert(got(2L).getAs[Boolean]("flag_gopher"))
+    assert(got(3L).getAs[Double]("dup_line_frac") == 0.0 &&
+      got(3L).getAs[Double]("dup_para_frac") == 0.0 &&
+      !got(3L).getAs[Boolean]("flag_gopher"))
+    assert(got(4L).getAs[Double]("dup_line_frac") == 1.0 &&
+      got(4L).getAs[Double]("dup_line_char_frac") == 1.0 &&
+      got(4L).getAs[Boolean]("flag_gopher"))
+    // the dir entry point injects structure and stays total: one row
+    // per document, fractions within [0,1]
+    val corpus = TextAnalysis.lineRepetition(spark, sfDir).collect()
+    assert(corpus.length == Tables.documents(spark, sfDir).count())
+    corpus.foreach { r =>
+      val f = r.getAs[Double]("dup_line_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("gopher panel: verdicts are consistent with their measured values") {
     val rows = TextAnalysis.gopherPanel(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -602,6 +602,50 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("GA01 audio encode/decode round-trips samples; features match a driver fold") {
+    // round trip incl. negative samples and both clip rails
+    val planted = Array(0, 1, -1, 32767, -32768, 12345, -12345, 100)
+    val bytes = Multimodal.ga01Encode(8000, planted.length, planted(_))
+    val (sr, back) = Multimodal.ga01Decode(bytes)
+    assert(sr == 8000 && back.map(_.toInt).sameElements(planted))
+    intercept[IllegalArgumentException] {
+      Multimodal.ga01Decode(bytes.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ga01Decode("nope!".getBytes)
+    }
+    // the corpus features equal a driver-side recomputation from the
+    // same doc_id formula — silence planted in every (id+k)%4==0
+    // window, clipping wherever the noise hits a rail
+    val got = Multimodal.mediaAudio(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    ids.take(50).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val nWin = n / Multimodal.Ga01Window
+      val silent = (0 until nWin).count(k =>
+        xs.slice(k * 256, k * 256 + 256).forall(_ == 0L)).toLong
+      val energy = xs.map(v => v * v).sum
+      val clipped = xs.count(v => v == 32767L || v == -32768L).toLong
+      val r = got(id)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("n_silent") == silent, s"doc $id silence")
+      assert(r.getAs[Long]("energy") == energy, s"doc $id energy")
+      assert(r.getAs[Long]("n_clipped") == clipped, s"doc $id clipping")
+      assert(r.getAs[Double]("silence_ratio") == silent.toDouble / nWin)
+      assert(r.getAs[Double]("mean_square") == energy.toDouble / n)
+    }
+    // non-vacuity: the corpus plants both silence and clipping
+    assert(got.values.exists(_.getAs[Long]("n_silent") > 0L))
+    assert(got.values.exists(_.getAs[Long]("n_clipped") > 0L))
+  }
+
   test("average-pool resize conserves total luma across pools") {
     val decode = Multimodal.mediaDecode(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"), col("n_frames")).collect()

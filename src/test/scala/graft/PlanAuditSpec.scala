@@ -33,6 +33,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("line repetition is a pure scan — zero Exchange, zero join") {
+    val plan = physical(
+      graft.operators.TextAnalysis.lineRepetition(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"row-local op shuffles:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("pq probe-against-store: ADC rides broadcasts, corpus codes never sort-merge") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val (cb, codes) = graft.operators.Ann.trainPqOf(emb, 8, 1)
+    val plan = physical(graft.operators.Ann.pqProbeAgainst(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), cb, codes, 3))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side code join degraded to shuffle:\n$plan")
+  }
+
   test("decontamination runs as a broadcast semi-join (train side never shuffles)") {
     val plan = physical(Dedup.decontaminate(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)

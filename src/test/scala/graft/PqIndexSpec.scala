@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Ann
+import graft.sources.Incremental
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index lifecycle (r10): train a PQ index once,
+  * PARK both halves in parquet via the landBatch discipline, then
+  * serve queries from the reloaded store and append later corpus
+  * batches without retraining — the FAISS deployment shape the inline
+  * q_ann_pq row compresses into one call. */
+class PqIndexSpec extends SparkSpec {
+
+  private def rowKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+      ((r.getAs[Long]("approx_d"), r.getAs[Int]("rnk")))
+
+  test("probe against the parquet-parked index equals the inline pqTopKOf ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val (cb, codes) = Ann.trainPqOf(emb, dsub = 8, lloydRounds = 2)
+    val cbDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-cb-").toString
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-codes-").toString
+    // land → the returned frames ARE the committed parquet read-back
+    val (cbStore, _) = Incremental.landBatch(cb, cbDir, 0L)
+    val (codesStore, _) = Incremental.landBatch(codes, codesDir, 0L)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Ann.pqProbeAgainst(queries, cbStore, codesStore, k = 5)
+      .collect().map(rowKey).toMap
+    val want = Ann.pqTopKOf(emb, 5, 10, 8, 2).collect().map(rowKey).toMap
+    assert(got == want,
+      s"store probe diverged: ${(want.toSet -- got.toSet).take(3)} vs " +
+        s"${(got.toSet -- want.toSet).take(3)}")
+    assert(got.nonEmpty)
+    // the code store is one row per (vector, subspace) — the
+    // byte-per-subspace RAM footprint of a real PQ deployment
+    val nVec = emb.filter(size(col("embedding")) > 0).count()
+    val dsub = Ann.dsubOfCodebook(cbStore)
+    val dim = emb.select(max(size(col("embedding")))).head().getInt(0)
+    val nSub = (dim + dsub - 1) / dsub
+    assert(codesStore.count() == nVec * nSub)
+  }
+
+  test("append-a-batch encodes against the parked codebook; replay is idempotent") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cut = emb.agg(expr("percentile(vec_id, 0.7)")).head().getDouble(0)
+    val first = emb.filter(col("vec_id") <= cut)
+    val later = emb.filter(col("vec_id") > cut)
+    assert(later.count() > 0, "empty later batch — cut is vacuous")
+    // train ONCE on the first batch; the codebook is the model
+    val (cb, codesA) = Ann.trainPqOf(first, dsub = 8, lloydRounds = 2)
+    val codesDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-inc-").toString
+    Incremental.landBatch(codesA, codesDir, 0L)
+    // the later batch pays ONLY quantize + broadcast join — no Lloyd
+    val codesB = Ann.pqEncodeAgainst(later, cb)
+    Incremental.landBatch(codesB, codesDir, 1L)
+    def storeCodes() = {
+      val dirs = Incremental.committedBatchDirs(spark, codesDir).map(_._2)
+      spark.read.schema(codesA.schema).parquet(dirs: _*)
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Ann.pqProbeAgainst(queries, cb, storeCodes(), k = 5)
+      .collect().map(rowKey).toMap
+    val want = Ann.pqProbeAgainst(queries, cb,
+      codesA.unionAll(codesB), k = 5).collect().map(rowKey).toMap
+    assert(got == want && got.nonEmpty,
+      s"store probe diverged: ${(want.toSet -- got.toSet).take(3)}")
+    // at-least-once replay of the last landing: same store, same probe
+    Incremental.landBatch(codesB, codesDir, 1L)
+    val replay = Ann.pqProbeAgainst(queries, cb, storeCodes(), k = 5)
+      .collect().map(rowKey).toMap
+    assert(replay == got, "replayed landing changed the probe result")
+    // and the store holds each (vec, subspace) exactly once
+    val dups = storeCodes().groupBy(col("vec_id"), col("s"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dups == 0L, s"$dups duplicated (vec, subspace) code rows")
+  }
+
+  test("a stray non-batch dir under the store is ignored, not fatal") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .limit(50)
+    val (cb, codes) = Ann.trainPqOf(emb, dsub = 8, lloydRounds = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-stray-").toString
+    Incremental.landBatch(codes, dir, 0L)
+    // the ADVICE regression: batch=tmp / _staging dirs must not kill
+    // every reader with a NumberFormatException
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "batch=tmp"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "_staging"))
+    val dirs = Incremental.committedBatchDirs(spark, dir)
+    assert(dirs.map(_._1) == Seq(0L), s"got $dirs")
+    val probe = Ann.pqProbeAgainst(emb.filter(col("vec_id") < 5), cb,
+      spark.read.schema(codes.schema).parquet(dirs.map(_._2): _*), k = 3)
+    assert(probe.count() > 0)
+  }
+}

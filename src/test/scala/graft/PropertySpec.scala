@@ -296,9 +296,12 @@ class PropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val maxN = graft.operators.TextAnalysis.Bm25MaxDocs
     val cases =
-      // every boundary: tiny corpora, df=0, df=N, the int64 headroom edge
+      // every boundary: tiny corpora, df=0, df=N, the (new, 1.5e9)
+      // headroom edge, and straddling the OLD r9 p⁴ ceiling at 27,553
       Seq((1L, 0L), (1L, 1L), (2L, 1L), (maxN, 0L), (maxN, maxN),
-        (maxN, maxN / 2), (maxN - 1L, 1L)) ++
+        (maxN, maxN / 2), (maxN - 1L, 1L),
+        (27553L, 100L), (27554L, 27553L), (1000000000L, 7L),
+        (1000000000L, 999999999L)) ++
         Seq.fill(500) { val n = 1L + rnd.nextInt(maxN.toInt).toLong
           (n, rnd.nextLong(n + 1)) }
     val got = cases.toDF("n", "df")

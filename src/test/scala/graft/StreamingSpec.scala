@@ -1241,42 +1241,57 @@ class StreamingSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
-  test("live curation pipeline: dedup, quality, PII and surprisal gates compose in one foreachBatch") {
+  test("live curation pipeline: dedup, decontamination, quality, PII and surprisal gates compose in one foreachBatch") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val corpus = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text")
-    // models trained OFFLINE (the three persistable gate models),
-    // plus the incremental fingerprint store
+    // models trained OFFLINE (the four persistable gate models),
+    // plus the incremental fingerprint store. The eval gram set is
+    // PARKED IN PARQUET and probed from the reloaded file — the
+    // model-table discipline, now covering the decontamination stage
+    // the batch funnel (Curation stage 3) always had
     val qModel = graft.operators.TextAnalysis.qualityThresholdsOf(corpus).cache()
     val bModel = graft.operators.TextAnalysis
       .bigramModelOf(corpus.select("doc_id", "text")).cache()
+    val gramDir = java.nio.file.Files
+      .createTempDirectory("graft-live-grams-").toString
+    graft.operators.Dedup.evalGramModelOf(
+      corpus.filter(org.apache.spark.sql.functions.col("source") === "src0"), 4)
+      .write.mode("overwrite").parquet(gramDir)
+    val gModel = s.read.parquet(gramDir)
     val fpDir = java.nio.file.Files
       .createTempDirectory("graft-live-fp-").toString
     val supThresh = 6.0
     val decisions = scala.collection.mutable.Map[Long, Boolean]()
+    var nContamDropped = 0L
     val input = MemoryStream[(Long, String, String)]
     val q = input.toDF().toDF("doc_id", "source", "text").writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
         // gate 1: incremental near-dup keep-set (greedy vs the
-        // store) — persisted: three gates and the audit read it, and
-        // the banded store probe must run once per batch, not once
-        // per consumer
+        // store) — persisted: the decontamination gate, the audit and
+        // the drop-count read it, and the banded store probe must run
+        // once per batch, not once per consumer
         val kept = graft.operators.Dedup
           .keepSetIncrementalBatch(batch, fpDir, id).persist()
+        // gate 2: eval-set decontamination against the parquet-parked
+        // gram model — the live twin of Curation stage 3_decontam
+        val keptClean = graft.operators.Dedup
+          .decontaminateAgainst(kept, gModel, 4).persist()
         try {
-          // gates 2-4 score the SURVIVORS: source-relative quality
-          // band, PII rewrite count, LM surprisal — offline models
+          nContamDropped += kept.count() - keptClean.count()
+          // gates 3-5 score the CLEAN SURVIVORS: source-relative
+          // quality band, PII rewrite count, LM surprisal — offline models
           val qual = graft.operators.TextAnalysis
-            .qualityBucketAgainst(kept, qModel)
+            .qualityBucketAgainst(keptClean, qModel)
             .select(col("doc_id"), col("bucket"))
-          val pii = graft.operators.TextAnalysis.piiRedactOf(kept)
+          val pii = graft.operators.TextAnalysis.piiRedactOf(keptClean)
             .select(col("doc_id"), col("n_redactions"))
           val sup = graft.operators.TextAnalysis
-            .bigramSurprisalAgainst(kept, bModel)
+            .bigramSurprisalAgainst(keptClean, bModel)
             .select(col("doc_id"), col("mean_bits"))
           val verdicts = qual.join(pii, Seq("doc_id"))
             .join(sup, Seq("doc_id"), "left") // sub-2-token docs: no panel row
@@ -1286,10 +1301,10 @@ class StreamingSpec extends SparkSpec {
                 coalesce(col("mean_bits") <= supThresh, lit(false))).as("keep"))
           verdicts.collect().foreach(r =>
             decisions(r.getLong(0)) = r.getBoolean(1))
-          // dropped duplicates never reach a verdict at all
-          batch.select("doc_id").exceptAll(kept.select("doc_id")).collect()
+          // dropped duplicates AND contaminated docs never reach a verdict
+          batch.select("doc_id").exceptAll(keptClean.select("doc_id")).collect()
             .foreach(r => assert(!decisions.contains(r.getLong(0))))
-        } finally kept.unpersist()
+        } finally { kept.unpersist(); keptClean.unpersist() }
         ()
       }.start()
     try {
@@ -1305,6 +1320,16 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val keptIds = decisions.keySet
     val keptDocs = corpus.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    // decontamination replay: every doc that reached a verdict is
+    // clean under the batch spelling of the same parked model, and
+    // the gate actually dropped something (src0 docs contain their
+    // own eval grams by construction)
+    val cleanIds = graft.operators.Dedup
+      .decontaminateAgainst(keptDocs, gModel, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == keptIds,
+      s"live-clean doc contaminated in batch replay: ${(keptIds -- cleanIds).take(3)}")
+    assert(nContamDropped > 0L, "decontamination gate vacuous")
     val wantQ = graft.operators.TextAnalysis
       .qualityBucketAgainst(keptDocs, qModel).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
@@ -1360,6 +1385,66 @@ class StreamingSpec extends SparkSpec {
         ts(3) -> 5L, ts(4) -> 0L, ts(5) -> 0L, ts(6) -> 7L),
         s"post-restart: ${readOut()}")
     } finally q2.stop()
+  }
+
+  test("stateful chain under the RocksDB state store: checkpointed restart continues exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import scala.jdk.CollectionConverters._
+    // the 100 TB state-scale configuration (state spills off-heap to
+    // RocksDB instead of living in executor heap) the rest of the
+    // suite never exercises — the full gapFill→cusum chain must give
+    // byte-identical results and survive a checkpointed restart
+    val provConf = "spark.sql.streaming.stateStore.providerClass"
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevProv = s.conf.getOption(provConf)
+    val prevCheck = s.conf.get(checkConf)
+    s.conf.set(provConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(checkConf, "false") // documented opt-out, see chain spec below
+    try {
+      val baseline = Map("a" -> ((4L, 8L))) // W=4 windows, T=8 events
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("rocks_out").toString
+      def cp(minute: Int, c: Long) = graft.streaming.CountPoint("a", ts(minute), c)
+      val input = MemoryStream[graft.streaming.CountPoint]
+      def start() = StreamingMonitor.streamCusum(
+        StreamingMonitor.streamGapFill(input.toDS(), windowMs = 60000L), baseline)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        input.addData(cp(0, 2L), cp(3, 5L))
+        q1.processAllAvailable()
+        // prove the provider actually engaged: RocksDB publishes its
+        // own custom state metrics per stateful operator
+        assert(q1.recentProgress.exists(_.stateOperators.exists(
+          _.customMetrics.keySet().asScala.exists(_.startsWith("rocksdb")))),
+          "RocksDB state store not engaged")
+      } finally q1.stop()
+      // restart on the same checkpoint: windows 4-6 must CONTINUE the
+      // recovered (sp, sn) = (12, 4) — lost state would restart at 0
+      val q2 = start()
+      try { input.addData(cp(6, 7L)); q2.processAllAvailable() } finally q2.stop()
+      val got = s.read.parquet(outDir).collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 60000L % 60 ->
+          ((r.getAs[Long]("msg_count"), r.getAs[Long]("cusum_surge"),
+            r.getAs[Long]("cusum_drop"))))
+        .toMap
+      // driver fold: dev = 4c − 8 over counts [2,0,0,5,0,0,7]
+      val want = Map(0L -> ((2L, 0L, 0L)), 1L -> ((0L, 0L, 8L)),
+        2L -> ((0L, 0L, 16L)), 3L -> ((5L, 12L, 4L)), 4L -> ((0L, 4L, 12L)),
+        5L -> ((0L, 0L, 20L)), 6L -> ((7L, 20L, 0L)))
+      assert(got == want, s"got $got")
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provConf, p)
+        case None => s.conf.unset(provConf)
+      }
+      s.conf.set(checkConf, prevCheck)
+    }
   }
 
   test("end-to-end silent-feed alerting: streamGapFill → streamCusum equals the batch panel and alarms dead topics") {
