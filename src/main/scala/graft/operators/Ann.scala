@@ -397,10 +397,7 @@ object Ann {
       (ctxKey, dir, dsub, lloydRounds),
       _ => {
         pqTrainCount.incrementAndGet()
-        def mat(df: DataFrame): DataFrame =
-          if (spark.sparkContext.getCheckpointDir.isDefined)
-            df.checkpoint(eager = true)
-          else df.localCheckpoint(eager = true)
+        def mat(df: DataFrame): DataFrame = graft.plans.Materialize(df)
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("label"), col("embedding"))
         val comp = mat(componentsOf(emb, dsub))
@@ -439,10 +436,7 @@ object Ann {
       val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
       try {
         val ranked = rank(comp, enc)
-        val out =
-          if (spark.sparkContext.getCheckpointDir.isDefined)
-            ranked.checkpoint(eager = false)
-          else ranked.localCheckpoint(eager = false)
+        val out = graft.plans.Materialize(ranked, eager = false)
         out.count()
         out
       } finally enc.unpersist(blocking = true)
@@ -594,14 +588,10 @@ object Ann {
     * append-a-batch replay idempotence. */
   def trainPqOf(emb: DataFrame, dsub: Int = 8,
                 lloydRounds: Int = 2): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
     val comp = componentsOf(emb, dsub).persist()
     try {
-      val cb0 = codebookOf(emb, comp, dsub, lloydRounds)
-      val cb =
-        if (spark.sparkContext.getCheckpointDir.isDefined)
-          cb0.checkpoint(eager = true)
-        else cb0.localCheckpoint(eager = true)
+      val cb = graft.plans.Materialize(
+        codebookOf(emb, comp, dsub, lloydRounds))
       // codes rebuild components off the scan (narrow, no shuffle)
       // rather than capturing `comp`, which unpersists on return
       (cb, pqEncodeAgainst(emb, cb))

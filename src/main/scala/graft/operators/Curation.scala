@@ -65,9 +65,7 @@ object Curation {
     val clean0 = Dedup.decontaminateApplyOf(kept,
       docs.filter(col("source") === evalSource), nGram)
       .select(col("doc_id"), col("source"), col("quality"), col("n_tok"))
-    val sc = docs.sparkSession.sparkContext
-    val clean = if (sc.getCheckpointDir.isDefined) clean0.checkpoint(eager = true)
-      else clean0.localCheckpoint(eager = true)
+    val clean = graft.plans.Materialize(clean0)
     val capped = TopKPerKey.topKPerKey(clean, Seq("source"),
       Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc), capK)
     val train = capped.filter(Sampling.slot(col("doc_id")) < trainPct)

@@ -173,11 +173,7 @@ object Dedup {
     * solo row. */
   def censusSuiteOf(docs: DataFrame, maxHamming: Int = 3)
       : (DataFrame, DataFrame, DataFrame) = {
-    val sc = docs.sparkSession.sparkContext
-    val comps0 = simhashComponentsOf(docs, maxHamming)
-    val comps =
-      if (sc.getCheckpointDir.isDefined) comps0.checkpoint(eager = true)
-      else comps0.localCheckpoint(eager = true)
+    val comps = graft.plans.Materialize(simhashComponentsOf(docs, maxHamming))
     (keepSetFromComponents(docs, comps),
       softDedupWeightsFromComponents(comps),
       dupCensusFromComponents(comps))

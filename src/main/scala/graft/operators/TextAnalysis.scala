@@ -1767,7 +1767,7 @@ object Multimodal {
   // Audio leg of the media pipeline: the GA01 PCM wire format.
   //
   // GA01 is a tiny mono PCM16 container: 9-byte header 'G''A' 0x01 |
-  // channels u8 | sample_rate u16 LE | n_samples u32 LE, followed by
+  // channels u8 | sample_rate u16 LE | n_samples u24 LE, followed by
   // n_samples × 2 bytes of little-endian signed 16-bit PCM. As with
   // GR01, the encode → decode → feature path is REAL code over real
   // binary columns and the synthetic samples are a pure function of
@@ -1780,9 +1780,16 @@ object Multimodal {
     * synthetic clips are multiples of this). */
   val Ga01Window: Int = 256
 
-  /** Encode one GA01 payload from a sample generator. */
+  /** Encode one GA01 payload from a sample generator. The header
+    * fields are range-checked up front — silent bit-truncation into a
+    * corrupt-but-parseable container is the one failure a wire format
+    * must never allow. */
   def ga01Encode(sampleRate: Int, nSamples: Int,
                  sample: Int => Int): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate <= 0xffff,
+      s"GA01 sample_rate is u16: got $sampleRate")
+    require(nSamples >= 0 && nSamples <= 0xffffff,
+      s"GA01 n_samples is u24: got $nSamples")
     val out = new Array[Byte](9 + 2 * nSamples)
     out(0) = 'G'; out(1) = 'A'; out(2) = 1; out(3) = 1 // version, mono
     out(4) = (sampleRate & 0xff).toByte

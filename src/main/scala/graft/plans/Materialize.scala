@@ -1,0 +1,17 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** THE checkpoint-or-localCheckpoint materialization idiom, in one
+  * spelling: a RELIABLE checkpoint (HDFS/object store) when
+  * `sparkContext.setCheckpointDir` is configured — surviving executor
+  * loss on a real cluster — else `localCheckpoint` for local runs.
+  * Every fixpoint/closure/model-train site routes through here so a
+  * change to the materialization policy is one edit, not ten (the
+  * SourceSketchNumHashes structural-sharing rule applied to plans). */
+object Materialize {
+  def apply(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = eager)
+    else df.localCheckpoint(eager = eager)
+}

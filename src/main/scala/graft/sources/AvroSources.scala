@@ -86,8 +86,15 @@ object AvroSources {
         while (i < n) {
           val v = row.get(i) match {
             case null => null
+            // both external timestamp types: java.sql.Timestamp
+            // (default) and java.time.Instant (the session's
+            // spark.sql.datetime.java8API.enabled=true surface)
             case ts: java.sql.Timestamp =>
               java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+            case inst: java.time.Instant =>
+              java.lang.Long.valueOf(
+                Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+                  (inst.getNano / 1000).toLong))
             case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
             case other => other.asInstanceOf[AnyRef]
           }
@@ -111,6 +118,21 @@ object AvroSources {
     AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroJson))
     val names = schema.fields.map(_.name)
     val types: Array[DataType] = schema.fields.map(_.dataType)
+    // the external timestamp type must match the session's java8API
+    // setting, or createDataFrame's converter rejects the row
+    val useJava8 =
+      spark.conf.get("spark.sql.datetime.java8API.enabled", "false").toBoolean
+    // a zero-partition write lands only _SUCCESS — an EMPTY store is a
+    // legal store (the landBatch zero-row discipline), not a crash in
+    // the input format's glob expansion
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = fs.exists(p) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro")) != null &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro")).nonEmpty
+    if (!hasFiles)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
     val rows = spark.sparkContext.newAPIHadoopFile(
       s"$path/*.avro",
       classOf[AvroKeyInputFormat[GenericRecord]],
@@ -124,9 +146,10 @@ object AvroSources {
             case (null, _) => null
             case (v, StringType) => v.toString
             case (v: java.lang.Long, TimestampType) =>
-              java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              val inst = java.time.Instant.ofEpochSecond(
                 Math.floorDiv(v.longValue(), 1000000L),
-                Math.floorMod(v.longValue(), 1000000L) * 1000L))
+                Math.floorMod(v.longValue(), 1000000L) * 1000L)
+              if (useJava8) inst else java.sql.Timestamp.from(inst)
             case (v: java.nio.ByteBuffer, BinaryType) =>
               val b = new Array[Byte](v.remaining()); v.duplicate().get(b); b
             case (v, _) => v

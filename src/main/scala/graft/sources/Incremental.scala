@@ -39,6 +39,10 @@ object Incremental {
     * way. */
   def landBatch(df: DataFrame, dir: String,
                 batchId: Long): (DataFrame, Seq[(Long, String)]) = {
+    // committedBatchDirs only recognizes batch=<digits>: a negative id
+    // would land a dir every reader then skips as a stray — refuse it
+    // here instead of silently orphaning the batch
+    require(batchId >= 0, s"batch ids are non-negative: got $batchId")
     idempotentBatchWriter(dir)(df, batchId)
     val spark = df.sparkSession
     val own = spark.read.schema(df.schema).parquet(s"$dir/batch=$batchId")

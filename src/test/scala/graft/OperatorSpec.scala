@@ -614,6 +614,14 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.ga01Decode("nope!".getBytes)
     }
+    // header fields are range-checked at encode time — no silent
+    // bit-truncation into a corrupt-but-parseable container
+    intercept[IllegalArgumentException] {
+      Multimodal.ga01Encode(96000, 4, _ => 0) // u16 sample rate
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ga01Encode(8000, 0x1000000, _ => 0) // u24 n_samples
+    }
     // the corpus features equal a driver-side recomputation from the
     // same doc_id formula — silence planted in every (id+k)%4==0
     // window, clipping wherever the noise hits a rail

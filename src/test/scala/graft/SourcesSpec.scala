@@ -49,6 +49,38 @@ class SourcesSpec extends SparkSpec {
     assert(cut.exceptAll(d.select(narrow.fieldNames.map(col): _*)).isEmpty)
   }
 
+  test("avro: empty store reads as empty frame; java8API session round-trips timestamps") {
+    import graft.sources.AvroSources
+    val d = Tables.events(spark, sfDir).limit(100)
+    // zero-partition write lands only _SUCCESS — reading it back is an
+    // empty frame, not an InvalidInputException (the landBatch
+    // zero-row discipline)
+    val emptyPath = tmp() + "/empty.avro"
+    AvroSources.writeAvro(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema), emptyPath)
+    val back = AvroSources.readAvro(spark, emptyPath, d.schema)
+    assert(back.schema == d.schema && back.count() == 0L)
+    // java8API=true sessions surface Instant externally — both
+    // directions must honor the session setting
+    val key = "spark.sql.datetime.java8API.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val path = tmp() + "/j8.avro"
+      AvroSources.writeAvro(d, path)
+      val got = AvroSources.readAvro(spark, path, d.schema)
+      assert(got.exceptAll(d).isEmpty && d.exceptAll(got).isEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("landBatch refuses negative batch ids loudly") {
+    val d = Tables.events(spark, sfDir).limit(5)
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.landBatch(d, tmp() + "/neg", -1L)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
   test("avro sink refuses nested types loudly") {
     import graft.sources.AvroSources
     val nested = Tables.documents(spark, sfDir)
