@@ -202,6 +202,7 @@ object SparkEntry {
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_audio" -> ((s, d) => Multimodal.mediaAudio(s, d)),
+    "q_media_audio_resample" -> ((s, d) => Multimodal.mediaAudioResample(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
     "q_media_hamming_sweep" -> ((s, d) => Multimodal.mediaHammingSweep(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
@@ -2299,6 +2300,28 @@ object SparkEntry {
         | CAST(sum(e) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_square,
         | CAST(sum(clip) AS BIGINT) AS n_clipped
         |FROM w GROUP BY id, n""".stripMargin,
+    // 2:1 decimation: y[j] = (x[2j] + x[2j+1]) >> 1 — arithmetic
+    // shift floors identically in both engines (where `div`/`//`
+    // disagree on negative sums); the positional checksum pins the
+    // whole output sequence
+    "q_media_audio_resample" ->
+      """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+        |  FROM documents),
+        | s AS (SELECT id, n, unnest(range(n // 2)) AS j FROM par),
+        | v AS (SELECT id, n, j,
+        |   ((CASE WHEN (id + (2*j) // 256) % 4 = 0 THEN 0
+        |          ELSE ((id * 7349 + (2*j) * 104729) % 65536) - 32768 END)
+        |    +
+        |    (CASE WHEN (id + (2*j+1) // 256) % 4 = 0 THEN 0
+        |          ELSE ((id * 7349 + (2*j+1) * 104729) % 65536) - 32768 END))
+        |   >> 1 AS y
+        |  FROM s)
+        |SELECT id AS doc_id, 4000 AS sample_rate,
+        | CAST(n AS BIGINT) AS n_in,
+        | CAST(n // 2 AS BIGINT) AS n_out,
+        | CAST(sum(y * y) AS BIGINT) AS energy_out,
+        | CAST(sum((j + 1) * y) AS BIGINT) AS checksum
+        |FROM v GROUP BY id, n""".stripMargin,
     // GR01 media oracles: the synthetic rasters' dimensions and pixels
     // are pure functions of doc_id (see Multimodal.syntheticRasters),
     // so DuckDB recomputes the decode/frame/resize aggregates from

@@ -1883,4 +1883,33 @@ object Multimodal {
         "n_silent", "silence_ratio", "energy", "mean_square", "n_clipped")
   }
 
+  /** 2:1 audio decimation with a 2-tap mean anti-alias kernel — the
+    * audio analog of [[mediaResize]]'s average-pool: y[j] =
+    * (x[2j] + x[2j+1]) >> 1 (arithmetic shift = floor on BOTH
+    * engines, where `div`/`//` disagree on negative sums). The row
+    * reports the resampled clip's exact integer energy plus a
+    * POSITIONAL checksum Σ (j+1)·y[j] that pins the entire output
+    * sequence — any dropped, reordered or mis-rounded sample changes
+    * it — so the oracle verifies the transform, not just a summary.
+    * Row-local per-partition decode+resample, zero shuffle. */
+  def mediaAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sr, xs) = ga01Decode(bytes)
+        val nOut = xs.length / 2
+        var energy = 0L
+        var checksum = 0L
+        var j = 0
+        while (j < nOut) {
+          val y = (xs(2 * j).toLong + xs(2 * j + 1).toLong) >> 1
+          energy += y * y
+          checksum += (j + 1).toLong * y
+          j += 1
+        }
+        (id, sr / 2, xs.length.toLong, nOut.toLong, energy, checksum)
+      }).toDF("doc_id", "sample_rate", "n_in", "n_out",
+        "energy_out", "checksum")
+  }
+
 }

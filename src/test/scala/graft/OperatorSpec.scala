@@ -652,6 +652,25 @@ class OperatorSpec extends SparkSpec {
     // non-vacuity: the corpus plants both silence and clipping
     assert(got.values.exists(_.getAs[Long]("n_silent") > 0L))
     assert(got.values.exists(_.getAs[Long]("n_clipped") > 0L))
+    // 2:1 resample: positional checksum + energy equal a driver fold
+    // of y[j] = (x[2j] + x[2j+1]) >> 1 (arithmetic-shift floor)
+    val res = Multimodal.mediaAudioResample(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    ids.take(20).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val ys = Array.tabulate(n / 2)(j => (xs(2 * j) + xs(2 * j + 1)) >> 1)
+      val r = res(id)
+      assert(r.getAs[Int]("sample_rate") == 4000)
+      assert(r.getAs[Long]("n_out") == (n / 2).toLong)
+      assert(r.getAs[Long]("energy_out") == ys.map(y => y * y).sum)
+      assert(r.getAs[Long]("checksum") ==
+        ys.zipWithIndex.map { case (y, j) => (j + 1).toLong * y }.sum,
+        s"doc $id resample checksum")
+    }
   }
 
   test("average-pool resize conserves total luma across pools") {

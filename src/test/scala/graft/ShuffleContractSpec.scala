@@ -122,4 +122,49 @@ class ShuffleContractSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"stages averaging >100 B/record: $offenders (all: ${m.perStage})")
   }
+
+  test("probe against the parked PQ index: queries never drag vectors through an exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val (cb, codes0) = Ann.trainPqOf(emb, 8, 2)
+    val codes = codes0.persist()
+    try {
+      codes.count()
+      val m = QueryMetrics.measureShuffleWrite(spark) {
+        Ann.pqProbeAgainst(emb.filter(col("vec_id") < 10), cb, codes, 5)
+          .count()
+      }
+      assert(m.records > 0, s"no shuffle measured: $m")
+      // the serve path's only exchanges are the (query_id, vec_id,
+      // distance-partial) aggregate and the per-query top-k window —
+      // scalar rows. The ADC tables ride a BROADCAST (plan-audited);
+      // a regression that shuffles query embeddings or codebook rows
+      // breaches the per-stage scalar bound.
+      val offenders = m.perStage.filter { case (b, r) => r >= 64 && b > r * 100 }
+      assert(offenders.isEmpty,
+        s"stages averaging >100 B/record: $offenders (all: ${m.perStage})")
+    } finally codes.unpersist()
+  }
+
+  test("line repetition and audio features shuffle NOTHING — row-local scans") {
+    // the noop sink drives the full pipeline without count()'s own
+    // single-row partial-aggregate exchange polluting the measurement
+    def drive(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val m1 = QueryMetrics.measureShuffleWrite(spark) {
+      drive(TextAnalysis.lineRepetition(spark, sfDir))
+    }
+    assert(m1.bytes == 0L && m1.records == 0L,
+      s"row-local line-dup kernel shuffled: $m1")
+    val m2 = QueryMetrics.measureShuffleWrite(spark) {
+      drive(graft.operators.Multimodal.mediaAudio(spark, sfDir))
+    }
+    assert(m2.bytes == 0L && m2.records == 0L,
+      s"row-local audio kernel shuffled: $m2")
+    val m3 = QueryMetrics.measureShuffleWrite(spark) {
+      drive(graft.operators.Multimodal.mediaAudioResample(spark, sfDir))
+    }
+    assert(m3.bytes == 0L && m3.records == 0L,
+      s"row-local resample kernel shuffled: $m3")
+  }
 }
