@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 reader for a GA01 audio container STORE — the
+  * extensibility leg the brief's "custom sources" asks for, done the
+  * Spark-native way (TableProvider → Table → ScanBuilder → Batch →
+  * PartitionReader) instead of an RDD shim.
+  *
+  * Store layout ([[Ga01Store.write]]): a directory of `part-*.ga01`
+  * files, each a stream of records
+  *   `doc_id u64 LE | sample_rate u16 LE | n_samples u32 LE |
+  *    payload_len u32 LE | payload bytes`
+  * — clip METADATA lives in the record header, so a metadata-only
+  * projection never touches payload bytes (the parquet
+  * footer-stats/page split applied to a media container). The scan
+  * implements REAL column pruning via
+  * `SupportsPushDownRequiredColumns`: `select(doc_id, n_samples)`
+  * seeks past every payload ([[Ga01Source.payloadBytesRead]] stays 0
+  * — spec-asserted), while `select(payload)` streams them. One
+  * input partition per container file (records are a byte stream —
+  * not splittable; the writer bounds file size by its input
+  * partitioning, the same contract as row-oriented Avro).
+  */
+class Ga01Source extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ga01"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Ga01Source.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new Ga01Table(properties.get("path"))
+}
+
+object Ga01Source {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Payload bytes actually read (not seeked past) — the observable
+    * the pruning spec pins to ZERO for metadata-only projections.
+    * Meaningful in local mode only (readers share the JVM). */
+  val payloadBytesRead = new AtomicLong(0L)
+}
+
+class Ga01Table(path: String) extends Table with SupportsRead {
+  require(path != null, "ga01 source requires a path")
+  override def name(): String = s"ga01:$path"
+  override def schema(): StructType = Ga01Source.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Ga01ScanBuilder(path)
+}
+
+class Ga01ScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Ga01Source.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Ga01Scan(path, required)
+}
+
+case class Ga01Partition(file: String) extends InputPartition
+
+class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"Ga01Scan path=$path ReadSchema=${required.fieldNames.mkString(",")}"
+  private def hadoopConf =
+    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Array.empty
+    else
+      fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
+        .sortBy(_.getPath.getName)
+        .map(st => Ga01Partition(st.getPath.toString): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the session's Hadoop conf ships WITH the factory — a reader
+    // rebuilding Configuration() from defaults would break on any
+    // non-default filesystem (credentials, endpoints)
+    new Ga01ReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+}
+
+class Ga01ReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new Ga01Reader(p.asInstanceOf[Ga01Partition].file, required, conf.value)
+}
+
+/** Streaming record reader over one container file. Only the
+  * REQUIRED columns are materialized; when `payload` is not required
+  * the reader seeks past it (zero payload IO beyond the seek). */
+class Ga01Reader(file: String, required: StructType,
+                 conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val fs = path.getFileSystem(conf)
+  private val in = fs.open(path)
+  private val fileLen = fs.getFileStatus(path).getLen
+  private val needPayload = required.fieldNames.contains("payload")
+  private val header = new Array[Byte](18)
+  private var current: InternalRow = _
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    u32(b, o) | (u32(b, o + 4) << 32)
+
+  override def next(): Boolean = {
+    if (in.getPos >= fileLen) return false
+    in.readFully(header)
+    val docId = u64(header, 0)
+    val sr = u16(header, 8)
+    val nSamples = u32(header, 10)
+    val len = u32(header, 14)
+    val payload: Array[Byte] =
+      if (needPayload) {
+        val b = new Array[Byte](len.toInt)
+        in.readFully(b)
+        Ga01Source.payloadBytesRead.addAndGet(len)
+        b
+      } else {
+        in.seek(in.getPos + len) // metadata-only scan: never read it
+        null
+      }
+    current = new GenericInternalRow(required.fieldNames.map {
+      case "doc_id" => docId: Any
+      case "sample_rate" => sr: Any
+      case "n_samples" => nSamples: Any
+      case "payload" => payload: Any
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Writer half: land a (doc_id, payload) frame as a GA01 container
+  * store — one `part-<pid>.ga01` file per input partition, record
+  * metadata parsed once from each payload's own GA01 header at write
+  * time. Overwrite-idempotent (the [[AvroSources.writeAvro]] sink
+  * discipline). */
+object Ga01Store {
+  def write(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val confS = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val fsx = new Path(dir).getFileSystem(confS.value)
+          val out = fsx.create(new Path(dir, f"part-$pid%05d.ga01"), true)
+          try {
+            it.foreach { case (id, payload) =>
+              // metadata from the payload's own GA01 header — the
+              // record header is derived, never trusted separately
+              val sr = (payload(4) & 0xff) | ((payload(5) & 0xff) << 8)
+              val n = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8) |
+                ((payload(8) & 0xff) << 16)
+              val h = new Array[Byte](18)
+              var v = id
+              for (i <- 0 until 8) { h(i) = (v & 0xff).toByte; v >>>= 8 }
+              h(8) = (sr & 0xff).toByte; h(9) = ((sr >> 8) & 0xff).toByte
+              var n2 = n.toLong
+              for (i <- 10 until 14) { h(i) = (n2 & 0xff).toByte; n2 >>>= 8 }
+              var l2 = payload.length.toLong
+              for (i <- 14 until 18) { h(i) = (l2 & 0xff).toByte; l2 >>>= 8 }
+              out.write(h); out.write(payload)
+            }
+          } finally out.close()
+          Iterator.single(1)
+        }
+      }.count()
+    ()
+  }
+}
