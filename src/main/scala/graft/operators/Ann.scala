@@ -430,7 +430,6 @@ object Ann {
     * by [[pqTopKOf]] and [[ivfPqTopKOf]]. */
   private def materializedPqRank(emb: DataFrame, dsub: Int, lloydRounds: Int)(
       rank: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val spark = emb.sparkSession
     val comp = componentsOf(emb, dsub).persist()
     try {
       val enc = encodeOf(emb, comp, dsub, lloydRounds).persist()
@@ -846,8 +845,7 @@ object Ann {
         posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
       .persist()
     def chk(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      graft.plans.Materialize(df, eager = false)
     try {
       var labels = chk(e.select(col("vec_id"), col("label")))
       var iter = 0

@@ -1094,10 +1094,8 @@ object Dedup {
     * detection round. */
   def connectedComponentsWithRounds(nodes: DataFrame, edges0: DataFrame,
                                     maxIters: Int = 20): (DataFrame, Int) = {
-    val sc = nodes.sparkSession.sparkContext
     def chk(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      graft.plans.Materialize(df, eager = false)
 
     // large-star over symmetric neighbor lists: emit (v, m) for the
     // strictly-larger neighbors v of every node u
@@ -1290,9 +1288,7 @@ object Dedup {
     val geo = bandGeometries(numHashes, geoms)
     val sigs0 = Tables.documents(spark, dir)
       .select(col("doc_id"), minhash_shingles(col("text"), MinhashShingleSize, numHashes).as("sig"))
-    val sigs =
-      if (spark.sparkContext.getCheckpointDir.isDefined) sigs0.checkpoint(eager = true)
-      else sigs0.localCheckpoint(eager = true)
+    val sigs = graft.plans.Materialize(sigs0)
     val bandStructs = geo.flatMap { case (b, r, _) =>
       (0 until b).map(i => struct(lit(b).as("bands"), lit(i).as("band"),
         xxhash64(slice(col("sig"), i * r + 1, r)).as("bh")))

@@ -138,9 +138,7 @@ object TextAnalysis {
   private def perSourceWord(docs: DataFrame): DataFrame = {
     val agg = tokenWords(docs)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n_inst"))
-    if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      agg.checkpoint(eager = true)
-    else agg.localCheckpoint(eager = true)
+    graft.plans.Materialize(agg)
   }
 
   /** The (word, wf) collect behind standalone [[trainBpe]] (one direct
@@ -950,10 +948,7 @@ object TextAnalysis {
     val q = docs.select(col("source"), T.qualityScore(col("text")).as("quality"))
     val cells0 = q.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("c"))
-    val cells =
-      if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        cells0.checkpoint(eager = true)
-      else cells0.localCheckpoint(eager = true)
+    val cells = graft.plans.Materialize(cells0)
     val totals = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val cum = cells.withColumn("cum", sum(col("c")).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("source"))

@@ -124,13 +124,16 @@ object AvroSources {
       spark.conf.get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     // a zero-partition write lands only _SUCCESS — an EMPTY store is a
     // legal store (the landBatch zero-row discipline), not a crash in
-    // the input format's glob expansion
+    // the input format's glob expansion. A MISSING path stays loud:
+    // a typo'd store or a read-before-produce must not become a
+    // silent zero-row computation.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasFiles = fs.exists(p) &&
-      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro")) != null &&
-      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro")).nonEmpty
-    if (!hasFiles)
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(s"avro store not found: $path")
+    val matched =
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro"))
+    if (matched == null || matched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     val rows = spark.sparkContext.newAPIHadoopFile(

@@ -73,15 +73,18 @@ class Ga01ScanBuilder(path: String)
   override def build(): Scan = new Ga01Scan(path, required)
 }
 
-case class Ga01Partition(file: String) extends InputPartition
+case class Ga01Partition(file: String, fileLen: Long) extends InputPartition
 
 class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"Ga01Scan path=$path ReadSchema=${required.fieldNames.mkString(",")}"
+  // the SESSION's Hadoop conf (sessionState.newHadoopConf folds
+  // spark.hadoop.* runtime overrides in), not the context-level one —
+  // per-session credentials/endpoints must reach the readers
   private def hadoopConf =
-    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
@@ -90,7 +93,9 @@ class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
       fs.listStatus(p)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
         .sortBy(_.getPath.getName)
-        .map(st => Ga01Partition(st.getPath.toString): InputPartition)
+        // file length rides in the partition: the reader must not pay
+        // a second getFileStatus round trip per task
+        .map(st => Ga01Partition(st.getPath.toString, st.getLen): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     // the session's Hadoop conf ships WITH the factory — a reader
@@ -104,20 +109,21 @@ class Ga01ReaderFactory(
     required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new Ga01Reader(p.asInstanceOf[Ga01Partition].file, required, conf.value)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[Ga01Partition]
+    new Ga01Reader(gp.file, gp.fileLen, required, conf.value)
+  }
 }
 
 /** Streaming record reader over one container file. Only the
   * REQUIRED columns are materialized; when `payload` is not required
   * the reader seeks past it (zero payload IO beyond the seek). */
-class Ga01Reader(file: String, required: StructType,
+class Ga01Reader(file: String, fileLen: Long, required: StructType,
                  conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val path = new Path(file)
   private val fs = path.getFileSystem(conf)
-  private val in = fs.open(path)
-  private val fileLen = fs.getFileStatus(path).getLen
+  private val in = fs.open(path) // the last fallible constructor step
   private val needPayload = required.fieldNames.contains("payload")
   private val header = new Array[Byte](18)
   private var current: InternalRow = _
@@ -137,6 +143,11 @@ class Ga01Reader(file: String, required: StructType,
     val sr = u16(header, 8)
     val nSamples = u32(header, 10)
     val len = u32(header, 14)
+    // the pruned path must detect truncation exactly like the payload
+    // path — a corrupt store must never yield MORE rows under pruning
+    if (in.getPos + len > fileLen)
+      throw new java.io.EOFException(
+        s"truncated GA01 record in $file: payload runs past EOF")
     val payload: Array[Byte] =
       if (needPayload) {
         val b = new Array[Byte](len.toInt)
@@ -162,29 +173,49 @@ class Ga01Reader(file: String, required: StructType,
 
 /** Writer half: land a (doc_id, payload) frame as a GA01 container
   * store — one `part-<pid>.ga01` file per input partition, record
-  * metadata parsed once from each payload's own GA01 header at write
-  * time. Overwrite-idempotent (the [[AvroSources.writeAvro]] sink
-  * discipline). */
+  * metadata parsed once from each payload's own (validated) GA01
+  * header at write time.
+  *
+  * Commit protocol (tasks have side effects, so the job needs one):
+  * every task ATTEMPT writes to a unique temp file under
+  * `.inprogress-<uuid>/part-<pid>-attempt<id>.ga01`; after the job
+  * succeeds, the driver promotes exactly ONE attempt per partition
+  * (lowest attempt id) to its final name, drops the rest (speculative
+  * twins), deletes the temp dir, and lands `_SUCCESS` last. A crash
+  * mid-job leaves only the temp dir — no final `*.ga01` files, so the
+  * DSv2 scan sees an empty (not half-written) store. */
 object Ga01Store {
   def write(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    val confS = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+    val tmpName = s".inprogress-${java.util.UUID.randomUUID()}"
+    val tmpDir = new Path(p, tmpName)
+    fs.mkdirs(tmpDir)
+    val confS = new org.apache.spark.util.SerializableConfiguration(conf)
     import spark.implicits._
     df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           val fsx = new Path(dir).getFileSystem(confS.value)
-          val out = fsx.create(new Path(dir, f"part-$pid%05d.ga01"), true)
+          val out = fsx.create(
+            new Path(new Path(dir, tmpName),
+              f"part-$pid%05d-attempt$attempt%012d.ga01"), true)
           try {
             it.foreach { case (id, payload) =>
-              // metadata from the payload's own GA01 header — the
-              // record header is derived, never trusted separately
+              // metadata from the payload's own GA01 header — and the
+              // header is VALIDATED, because a corrupt-but-parseable
+              // record is the one thing a wire format must never write
+              require(payload.length >= 9 && payload(0) == 'G' &&
+                payload(1) == 'A' && payload(2) == 1,
+                s"doc $id: payload is not a GA01 container " +
+                  s"(${payload.length} bytes)")
               val sr = (payload(4) & 0xff) | ((payload(5) & 0xff) << 8)
               val n = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8) |
                 ((payload(8) & 0xff) << 16)
@@ -202,6 +233,21 @@ object Ga01Store {
           Iterator.single(1)
         }
       }.count()
-    ()
+    // promote one attempt per partition (lexicographically-lowest
+    // attempt id — deterministic under speculation), drop the rest
+    val attemptRe = "part-(\\d{5})-attempt\\d{12}\\.ga01".r
+    fs.listStatus(tmpDir)
+      .filter(_.isFile)
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        st.getPath.getName match {
+          case attemptRe(pid) =>
+            val dest = new Path(p, s"part-$pid.ga01")
+            if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+          case _ =>
+        }
+      }
+    fs.delete(tmpDir, true)
+    fs.create(new Path(p, "_SUCCESS"), true).close()
   }
 }

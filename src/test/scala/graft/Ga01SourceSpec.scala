@@ -58,6 +58,46 @@ class Ga01SourceSpec extends SparkSpec {
     assert(Ga01Source.payloadBytesRead.get() == n && n > 0L)
   }
 
+  test("a truncated store fails loud under BOTH full and pruned scans") {
+    val dir = store()
+    assert(new java.io.File(dir, "_SUCCESS").exists, "no commit marker")
+    // chop the tail off the first container file: the last record's
+    // payload now runs past EOF
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".ga01")).minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try raf.setLength(raf.length() - 7) finally raf.close()
+    val full = intercept[Exception] {
+      spark.read.format("ga01").load(dir).select("payload").count()
+    }
+    // the PRUNED scan must not return more rows than the full scan on
+    // the same corrupt store — truncation is detected before the seek
+    val pruned = intercept[Exception] {
+      spark.read.format("ga01").load(dir).select("doc_id").count()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage) + c.getClass.getName
+    }
+    assert(rootMsg(full).contains("EOF") || rootMsg(full).contains("truncated"))
+    assert(rootMsg(pruned).contains("truncated"), rootMsg(pruned))
+  }
+
+  test("writer refuses a non-GA01 payload loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-bad-").toString
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val ex = intercept[Exception] { Ga01Store.write(bad, dir) }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(ex).contains("not a GA01 container") ||
+      ex.getMessage.contains("not a GA01 container"), ex.getMessage)
+  }
+
   test("empty and missing stores read as empty frames") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ga01-empty-").toString
     assert(spark.read.format("ga01").load(dir).count() == 0L)

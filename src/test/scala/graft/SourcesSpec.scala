@@ -60,6 +60,11 @@ class SourcesSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.schema), emptyPath)
     val back = AvroSources.readAvro(spark, emptyPath, d.schema)
     assert(back.schema == d.schema && back.count() == 0L)
+    // but a MISSING store path stays loud — a typo must not become a
+    // silent zero-row computation
+    intercept[java.io.FileNotFoundException] {
+      AvroSources.readAvro(spark, emptyPath + "-nope", d.schema)
+    }
     // java8API=true sessions surface Instant externally — both
     // directions must honor the session setting
     val key = "spark.sql.datetime.java8API.enabled"
