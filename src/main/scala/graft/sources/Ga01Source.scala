@@ -60,7 +60,8 @@ class Ga01Table(path: String) extends Table with SupportsRead {
   override def name(): String = s"ga01:$path"
   override def schema(): StructType = Ga01Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Ga01ScanBuilder(path)
 }
@@ -103,6 +104,64 @@ class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
     // non-default filesystem (credentials, endpoints)
     new Ga01ReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new Ga01MicroBatchStream(path, required,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+}
+
+/** Streaming leg of the GA01 connector: a MicroBatchStream over an
+  * APPEND-ONLY store — the offset is the count of container files in
+  * name order, so each micro-batch is exactly the files landed since
+  * the last one. Contract (spec-pinned): files are immutable once
+  * landed and new landings sort AFTER every existing file —
+  * [[Ga01Store.append]]'s monotone-stamp names guarantee this; mixing
+  * in [[Ga01Store.write]] (which mints `part-*` names sorting after
+  * the stamped ones, and deletes the store first) is not a streaming
+  * layout. Checkpoint recovery is free: the restored offset is a file
+  * count, and the name-sorted prefix it denotes never changes. */
+class Ga01MicroBatchStream(
+    path: String, required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileEntry(name: String, path: String, len: Long)
+
+  private def files(): Array[FileEntry] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Array.empty
+    else
+      fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
+        .map(st => FileEntry(st.getPath.getName, st.getPath.toString, st.getLen))
+        .sortBy(_.name)
+  }
+
+  override def initialOffset(): Offset = Ga01Offset(0L)
+  override def latestOffset(): Offset = Ga01Offset(files().length.toLong)
+  override def deserializeOffset(json: String): Offset =
+    Ga01Offset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[Ga01Offset].n.toInt
+    val e = end.asInstanceOf[Ga01Offset].n.toInt
+    val fsNow = files()
+    require(fsNow.length >= e,
+      s"ga01 stream: offset $e exceeds ${fsNow.length} files — store shrank " +
+        "(files must be immutable once landed)")
+    fsNow.slice(s, e).map(f => Ga01Partition(f.path, f.len): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Ga01ReaderFactory(required, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** File-count offset of the append-only GA01 store. */
+case class Ga01Offset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 class Ga01ReaderFactory(
@@ -191,6 +250,26 @@ object Ga01Store {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) fs.delete(p, true)
+    writeInto(df, dir, namePrefix = "")
+  }
+
+  /** Append a batch into an EXISTING store under monotone-stamped
+    * names (`b<stamp>-part-*.ga01`) — the streaming-compatible
+    * landing: new files sort after every smaller stamp, so the
+    * [[Ga01MicroBatchStream]] file-count offset stays stable, and an
+    * at-least-once replay of the same stamp keeps the FIRST landed
+    * attempt (the promote step never overwrites). Callers supply
+    * strictly increasing stamps (a batchId). */
+  def append(df: DataFrame, dir: String, stamp: Long): Unit = {
+    require(stamp >= 0, s"stamps are non-negative: got $stamp")
+    writeInto(df, dir, namePrefix = f"b$stamp%012d-")
+  }
+
+  private def writeInto(df: DataFrame, dir: String, namePrefix: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     val tmpName = s".inprogress-${java.util.UUID.randomUUID()}"
     val tmpDir = new Path(p, tmpName)
@@ -206,7 +285,7 @@ object Ga01Store {
           val fsx = new Path(dir).getFileSystem(confS.value)
           val out = fsx.create(
             new Path(new Path(dir, tmpName),
-              f"part-$pid%05d-attempt$attempt%012d.ga01"), true)
+              f"$namePrefix%spart-$pid%05d-attempt$attempt%012d.ga01"), true)
           try {
             it.foreach { case (id, payload) =>
               // metadata from the payload's own GA01 header — and the
@@ -235,14 +314,16 @@ object Ga01Store {
       }.count()
     // promote one attempt per partition (lexicographically-lowest
     // attempt id — deterministic under speculation), drop the rest
-    val attemptRe = "part-(\\d{5})-attempt\\d{12}\\.ga01".r
+    val attemptRe =
+      (java.util.regex.Pattern.quote(namePrefix) +
+        "part-(\\d{5})-attempt\\d{12}\\.ga01").r
     fs.listStatus(tmpDir)
       .filter(_.isFile)
       .sortBy(_.getPath.getName)
       .foreach { st =>
         st.getPath.getName match {
           case attemptRe(pid) =>
-            val dest = new Path(p, s"part-$pid.ga01")
+            val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
             if (!fs.exists(dest)) fs.rename(st.getPath, dest)
           case _ =>
         }
