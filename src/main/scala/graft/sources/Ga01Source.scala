@@ -53,6 +53,10 @@ object Ga01Source {
     * the pruning spec pins to ZERO for metadata-only projections.
     * Meaningful in local mode only (readers share the JVM). */
   val payloadBytesRead = new AtomicLong(0L)
+
+  /** Container files the last batch scan planned after sidecar-stats
+    * pruning — the file-skipping spec's observable. */
+  val filesPlanned = new AtomicLong(0L)
 }
 
 class Ga01Table(path: String) extends Table with SupportsRead {
@@ -67,20 +71,50 @@ class Ga01Table(path: String) extends Table with SupportsRead {
 }
 
 class Ga01ScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Ga01Source.Schema
+  private var docIdBounds: (Long, Long) = (Long.MinValue, Long.MaxValue)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new Ga01Scan(path, required)
+  /** doc_id comparisons tighten a [lo, hi] interval used ONLY to skip
+    * whole files by their min/max sidecar stats (the parquet
+    * row-group-skipping shape); every filter is returned as RESIDUAL
+    * so Spark still evaluates it row-by-row — stats pruning must
+    * never be trusted for exactness. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def tighten(lo: Long, hi: Long): Unit =
+      docIdBounds = (math.max(docIdBounds._1, lo), math.min(docIdBounds._2, hi))
+    filters.foreach {
+      case EqualTo("doc_id", v: Long) => tighten(v, v)
+      case GreaterThan("doc_id", v: Long) => tighten(v + 1, Long.MaxValue)
+      case GreaterThanOrEqual("doc_id", v: Long) => tighten(v, Long.MaxValue)
+      case LessThan("doc_id", v: Long) => tighten(Long.MinValue, v - 1)
+      case LessThanOrEqual("doc_id", v: Long) => tighten(Long.MinValue, v)
+      case In("doc_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        tighten(ls.min, ls.max)
+      case _ => // not a doc_id bound — no stats leverage
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty // nothing fully handled — stats only SKIP files
+  override def build(): Scan = new Ga01Scan(path, required, docIdBounds)
 }
 
 case class Ga01Partition(file: String, fileLen: Long) extends InputPartition
 
-class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
+class Ga01Scan(path: String, required: StructType,
+               docIdBounds: (Long, Long) = (Long.MinValue, Long.MaxValue))
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"Ga01Scan path=$path ReadSchema=${required.fieldNames.mkString(",")}"
+    s"Ga01Scan path=$path ReadSchema=${required.fieldNames.mkString(",")}" +
+      s" docIdBounds=$docIdBounds"
   // the SESSION's Hadoop conf (sessionState.newHadoopConf folds
   // spark.hadoop.* runtime overrides in), not the context-level one —
   // per-session credentials/endpoints must reach the readers
@@ -89,14 +123,42 @@ class Ga01Scan(path: String, required: StructType) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) Array.empty
-    else
-      fs.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
-        .sortBy(_.getPath.getName)
-        // file length rides in the partition: the reader must not pay
-        // a second getFileStatus round trip per task
-        .map(st => Ga01Partition(st.getPath.toString, st.getLen): InputPartition)
+    if (!fs.exists(p)) return Array.empty
+    val all = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
+      .sortBy(_.getPath.getName)
+    // sidecar min/max stats skip whole files outside the pushed
+    // doc_id interval (driver-side metadata pass — the parquet
+    // footer-stats shape); a file WITHOUT a sidecar never prunes
+    val (lo, hi) = docIdBounds
+    val kept =
+      if (lo == Long.MinValue && hi == Long.MaxValue) all
+      else all.filter { st =>
+        statsOf(fs, st.getPath) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    Ga01Source.filesPlanned.set(kept.length.toLong)
+    // file length rides in the partition: the reader must not pay
+    // a second getFileStatus round trip per task
+    kept.map(st => Ga01Partition(st.getPath.toString, st.getLen): InputPartition)
+  }
+
+  private def statsOf(fs: FileSystem, file: Path): Option[(Long, Long)] = {
+    val side = new Path(file.getParent, file.getName + ".stats")
+    if (!fs.exists(side)) None
+    else {
+      val in = fs.open(side)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        line.trim.split("\\s+") match {
+          case Array(mn, mx) => Some((mn.toLong, mx.toLong))
+          case _ => None
+        }
+      } catch { case _: Exception => None } finally in.close()
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     // the session's Hadoop conf ships WITH the factory — a reader
@@ -283,11 +345,14 @@ object Ga01Store {
           val attempt = Option(org.apache.spark.TaskContext.get())
             .map(_.taskAttemptId()).getOrElse(0L)
           val fsx = new Path(dir).getFileSystem(confS.value)
-          val out = fsx.create(
-            new Path(new Path(dir, tmpName),
-              f"$namePrefix%spart-$pid%05d-attempt$attempt%012d.ga01"), true)
+          val attemptPath = new Path(new Path(dir, tmpName),
+            f"$namePrefix%spart-$pid%05d-attempt$attempt%012d.ga01")
+          val out = fsx.create(attemptPath, true)
+          var minId = Long.MaxValue
+          var maxId = Long.MinValue
           try {
             it.foreach { case (id, payload) =>
+              minId = math.min(minId, id); maxId = math.max(maxId, id)
               // metadata from the payload's own GA01 header — and the
               // header is VALIDATED, because a corrupt-but-parseable
               // record is the one thing a wire format must never write
@@ -309,6 +374,13 @@ object Ga01Store {
               out.write(h); out.write(payload)
             }
           } finally out.close()
+          // min/max doc_id sidecar — the stats the scan skips files by
+          if (minId <= maxId) {
+            val st = fsx.create(
+              new Path(attemptPath.getParent, attemptPath.getName + ".stats"), true)
+            try st.write(s"$minId $maxId\n".getBytes("UTF-8"))
+            finally st.close()
+          }
           Iterator.single(1)
         }
       }.count()
@@ -324,7 +396,13 @@ object Ga01Store {
         st.getPath.getName match {
           case attemptRe(pid) =>
             val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
-            if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+            if (!fs.exists(dest)) {
+              fs.rename(st.getPath, dest)
+              val sideSrc = new Path(st.getPath.getParent,
+                st.getPath.getName + ".stats")
+              if (fs.exists(sideSrc))
+                fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
+            }
           case _ =>
         }
       }

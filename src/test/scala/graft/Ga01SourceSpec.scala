@@ -98,6 +98,44 @@ class Ga01SourceSpec extends SparkSpec {
       ex.getMessage.contains("not a GA01 container"), ex.getMessage)
   }
 
+  test("sidecar stats skip whole files on doc_id predicates; results stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-stats-").toString
+    // range-partitioned store: each container file covers a disjoint
+    // doc_id range, so the min/max sidecars have skipping power
+    Ga01Store.write(
+      Multimodal.syntheticAudio(spark, sfDir)
+        .repartitionByRange(4, col("doc_id")), dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".ga01.stats")) == 4, "sidecars missing")
+    def read() = spark.read.format("ga01").load(dir)
+    val all = read().select("doc_id").collect().map(_.getLong(0)).sorted
+    val target = all(all.length / 2)
+    // point lookup: exactly one file planned, exactly one row returned
+    val hit = read().filter(col("doc_id") === target)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(hit.toSeq == Seq(target))
+    assert(Ga01Source.filesPlanned.get() == 1L,
+      s"point lookup planned ${Ga01Source.filesPlanned.get()} files")
+    // range cut: at most half the files planned, rows exact
+    val cut = all(all.length / 4)
+    val lowIds = read().filter(col("doc_id") <= cut)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(lowIds.toSeq == all.filter(_ <= cut).toSeq)
+    assert(Ga01Source.filesPlanned.get() <= 2L,
+      s"range cut planned ${Ga01Source.filesPlanned.get()} files")
+    // an impossible interval plans zero files and returns zero rows
+    assert(read().filter(col("doc_id") === (all.max + 100)).count() == 0L)
+    assert(Ga01Source.filesPlanned.get() == 0L)
+    // stats are advisory: deleting the sidecars only disables
+    // skipping, never changes results
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".stats")).foreach(_.delete())
+    val again = read().filter(col("doc_id") === target)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(again.toSeq == Seq(target))
+    assert(Ga01Source.filesPlanned.get() == 4L, "sidecar-less store pruned")
+  }
+
   test("ga01 streaming source: appended batches arrive exactly once, offsets survive restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ga01-stream-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ga01-ckpt-").toString
