@@ -80,6 +80,51 @@ class PqIndexSpec extends SparkSpec {
     assert(dups == 0L, s"$dups duplicated (vec, subspace) code rows")
   }
 
+  test("live ANN serve: per-micro-batch probes against the parked index equal the batch ranking") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // train once, park, reload — the index the stream serves from
+    val (cb, codes) = Ann.trainPqOf(emb, dsub = 8, lloydRounds = 2)
+    val cbDir = java.nio.file.Files.createTempDirectory("graft-pq-live-cb-").toString
+    val cdDir = java.nio.file.Files.createTempDirectory("graft-pq-live-cd-").toString
+    val (cbStore, _) = Incremental.landBatch(cb, cbDir, 0L)
+    val (codesStore0, _) = Incremental.landBatch(codes, cdDir, 0L)
+    val codesStore = codesStore0.persist()
+    codesStore.count()
+    val results = scala.collection.mutable.Map[(Long, Long), (Long, Int)]()
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.pqProbeAgainst(batch, cbStore, codesStore, k = 5)
+          .collect().foreach(r => results(
+            (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))) =
+            ((r.getAs[Long]("approx_d"), r.getAs[Int]("rnk"))))
+        ()
+      }.start()
+    try {
+      val queries = emb.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+      // two micro-batches of queries against the SAME parked index
+      input.addData(queries.take(5).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(5).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); codesStore.unpersist() }
+    val want = Ann.pqProbeAgainst(emb.filter(col("vec_id") < 10),
+      cbStore, codesStore, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("approx_d"), r.getAs[Int]("rnk")))).toMap
+    assert(results.toMap == want,
+      s"live serve diverged: ${(want.toSet -- results.toSet).take(3)}")
+    assert(results.nonEmpty)
+  }
+
   test("a stray non-batch dir under the store is ignored, not fatal") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
