@@ -203,6 +203,7 @@ object SparkEntry {
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_audio" -> ((s, d) => Multimodal.mediaAudio(s, d)),
     "q_media_audio_resample" -> ((s, d) => Multimodal.mediaAudioResample(s, d)),
+    "q_ga01_store" -> ((s, d) => Multimodal.mediaStoreStats(s, d)),
     "q_media_phash" -> ((s, d) => Multimodal.mediaPhashPairs(s, d)),
     "q_media_hamming_sweep" -> ((s, d) => Multimodal.mediaHammingSweep(s, d)),
     "q_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
@@ -2300,6 +2301,15 @@ object SparkEntry {
         | CAST(sum(e) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_square,
         | CAST(sum(clip) AS BIGINT) AS n_clipped
         |FROM w GROUP BY id, n""".stripMargin,
+    // GA01 store round trip: DuckDB recomputes the per-length panel
+    // from the doc_id formula; the Spark side actually lands the
+    // store and reads it back through the DSv2 connector (pruned)
+    "q_ga01_store" ->
+      """SELECT 512 + (doc_id % 7) * 256 AS n_samples,
+        | count(*) AS n_clips,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        | 8000 AS sample_rate
+        |FROM documents GROUP BY 1""".stripMargin,
     // 2:1 decimation: y[j] = (x[2j] + x[2j+1]) >> 1 — arithmetic
     // shift floors identically in both engines (where `div`/`//`
     // disagree on negative sums); the positional checksum pins the

@@ -1878,6 +1878,27 @@ object Multimodal {
         "n_silent", "silence_ratio", "energy", "mean_square", "n_clipped")
   }
 
+  /** The GA01 store round trip as an ORACLE row: land the synthetic
+    * clips through [[graft.sources.Ga01Store.write]]'s commit
+    * protocol, read them back through the DataSourceV2 connector with
+    * a METADATA-ONLY projection (payload pruned — the scan seeks past
+    * every payload byte), and aggregate per clip length. DuckDB
+    * recomputes the same panel from the doc_id formula without
+    * touching any file, so a wrong record header, a lost/duplicated
+    * record, or a broken pruning path all hash-mismatch. The sum of
+    * doc_ids per group pins record identity, not just counts. */
+  def mediaStoreStats(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ga01-oracle-").toString
+    graft.sources.Ga01Store.write(syntheticAudio(spark, dir), tmp)
+    spark.read.format("ga01").load(tmp)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"))
+      .groupBy(col("n_samples"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        min(col("sample_rate")).as("sample_rate"))
+  }
+
   /** 2:1 audio decimation with a 2-tap mean anti-alias kernel — the
     * audio analog of [[mediaResize]]'s average-pool: y[j] =
     * (x[2j] + x[2j+1]) >> 1 (arithmetic shift = floor on BOTH
