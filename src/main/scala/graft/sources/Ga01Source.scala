@@ -57,6 +57,23 @@ object Ga01Source {
   /** Container files the last batch scan planned after sidecar-stats
     * pruning — the file-skipping spec's observable. */
   val filesPlanned = new AtomicLong(0L)
+
+  /** THE store-listing contract, in one place: the container files of
+    * a GA01 store are exactly the regular `*.ga01` files directly
+    * under the store dir, in name order. Both the batch scan and the
+    * micro-batch stream list through here — two private copies of
+    * this rule would let batch and streaming reads disagree about
+    * store contents the day the layout evolves. */
+  def listContainerFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
+      .sortBy(_.getPath.getName)
+  }
 }
 
 class Ga01Table(path: String) extends Table with SupportsRead {
@@ -87,11 +104,17 @@ class Ga01ScanBuilder(path: String)
     import org.apache.spark.sql.sources._
     def tighten(lo: Long, hi: Long): Unit =
       docIdBounds = (math.max(docIdBounds._1, lo), math.min(docIdBounds._2, hi))
+    // lo > hi denotes the EMPTY interval (contradictory predicates,
+    // or a strict bound at the Long edge where v±1 would wrap);
+    // tighten() preserves emptiness since max/min only narrow further
+    def markEmpty(): Unit = docIdBounds = (1L, 0L)
     filters.foreach {
       case EqualTo("doc_id", v: Long) => tighten(v, v)
-      case GreaterThan("doc_id", v: Long) => tighten(v + 1, Long.MaxValue)
+      case GreaterThan("doc_id", v: Long) =>
+        if (v == Long.MaxValue) markEmpty() else tighten(v + 1, Long.MaxValue)
       case GreaterThanOrEqual("doc_id", v: Long) => tighten(v, Long.MaxValue)
-      case LessThan("doc_id", v: Long) => tighten(Long.MinValue, v - 1)
+      case LessThan("doc_id", v: Long) =>
+        if (v == Long.MinValue) markEmpty() else tighten(Long.MinValue, v - 1)
       case LessThanOrEqual("doc_id", v: Long) => tighten(Long.MinValue, v)
       case In("doc_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
         val ls = vs.map(_.asInstanceOf[Long])
@@ -121,16 +144,18 @@ class Ga01Scan(path: String, required: StructType,
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) return Array.empty
-    val all = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
-      .sortBy(_.getPath.getName)
+    val conf = hadoopConf
+    val (lo, hi) = docIdBounds
+    // an EMPTY pushed interval (contradictory predicates) plans zero
+    // files — without this, the per-file keep test `mx >= lo && mn <= hi`
+    // is vacuously generous when lo > hi
+    if (lo > hi) { Ga01Source.filesPlanned.set(0L); return Array.empty }
+    val all = Ga01Source.listContainerFiles(path, conf)
+    if (all.isEmpty) { Ga01Source.filesPlanned.set(0L); return Array.empty }
+    val fs = new Path(path).getFileSystem(conf)
     // sidecar min/max stats skip whole files outside the pushed
     // doc_id interval (driver-side metadata pass — the parquet
     // footer-stats shape); a file WITHOUT a sidecar never prunes
-    val (lo, hi) = docIdBounds
     val kept =
       if (lo == Long.MinValue && hi == Long.MaxValue) all
       else all.filter { st =>
@@ -147,8 +172,10 @@ class Ga01Scan(path: String, required: StructType,
 
   private def statsOf(fs: FileSystem, file: Path): Option[(Long, Long)] = {
     val side = new Path(file.getParent, file.getName + ".stats")
-    if (!fs.exists(side)) None
-    else {
+    // open directly and treat absence as "no stats" — exists()+open()
+    // would be two metadata round trips per candidate file on an
+    // object store, doubling driver-side planning latency for nothing
+    try {
       val in = fs.open(side)
       try {
         val line = new java.io.BufferedReader(
@@ -157,8 +184,8 @@ class Ga01Scan(path: String, required: StructType,
           case Array(mn, mx) => Some((mn.toLong, mx.toLong))
           case _ => None
         }
-      } catch { case _: Exception => None } finally in.close()
-    }
+      } finally in.close()
+    } catch { case _: Exception => None } // absent or unreadable: never prune
   }
   override def createReaderFactory(): PartitionReaderFactory =
     // the session's Hadoop conf ships WITH the factory — a reader
@@ -190,16 +217,9 @@ class Ga01MicroBatchStream(
 
   private case class FileEntry(name: String, path: String, len: Long)
 
-  private def files(): Array[FileEntry] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Array.empty
-    else
-      fs.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".ga01"))
-        .map(st => FileEntry(st.getPath.getName, st.getPath.toString, st.getLen))
-        .sortBy(_.name)
-  }
+  private def files(): Array[FileEntry] =
+    Ga01Source.listContainerFiles(path, conf.value)
+      .map(st => FileEntry(st.getPath.getName, st.getPath.toString, st.getLen))
 
   override def initialOffset(): Offset = Ga01Offset(0L)
   override def latestOffset(): Offset = Ga01Offset(files().length.toLong)
@@ -320,8 +340,14 @@ object Ga01Store {
     * landing: new files sort after every smaller stamp, so the
     * [[Ga01MicroBatchStream]] file-count offset stays stable, and an
     * at-least-once replay of the same stamp keeps the FIRST landed
-    * attempt (the promote step never overwrites). Callers supply
-    * strictly increasing stamps (a batchId). */
+    * attempt IN FULL: the promote step is atomic at STAMP granularity
+    * (any existing final file under the stamp prefix skips the whole
+    * promotion), so a replay that recomputes the batch under a
+    * different partition layout can never interleave its files with
+    * the first landing's — per-file non-overwrite alone would promote
+    * the extra `part-<pid>` names, duplicating rows and shifting the
+    * file-count offset prefix. Callers supply strictly increasing
+    * stamps (a batchId). */
   def append(df: DataFrame, dir: String, stamp: Long): Unit = {
     require(stamp >= 0, s"stamps are non-negative: got $stamp")
     writeInto(df, dir, namePrefix = f"b$stamp%012d-")
@@ -384,28 +410,41 @@ object Ga01Store {
           Iterator.single(1)
         }
       }.count()
-    // promote one attempt per partition (lexicographically-lowest
-    // attempt id — deterministic under speculation), drop the rest
-    val attemptRe =
-      (java.util.regex.Pattern.quote(namePrefix) +
-        "part-(\\d{5})-attempt\\d{12}\\.ga01").r
-    fs.listStatus(tmpDir)
-      .filter(_.isFile)
-      .sortBy(_.getPath.getName)
-      .foreach { st =>
-        st.getPath.getName match {
-          case attemptRe(pid) =>
-            val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
-            if (!fs.exists(dest)) {
-              fs.rename(st.getPath, dest)
-              val sideSrc = new Path(st.getPath.getParent,
-                st.getPath.getName + ".stats")
-              if (fs.exists(sideSrc))
-                fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
-            }
-          case _ =>
+    // stamp-atomic replay guard: if ANY final file under this stamp
+    // prefix already exists, a previous landing of the same stamp won
+    // — skip the WHOLE promotion. Per-file non-overwrite alone is not
+    // idempotent: a replay recomputed under a different partition
+    // layout would promote its extra part-<pid> names alongside the
+    // first landing's files (duplicate rows + a shifted file-count
+    // offset prefix).
+    val stampAlreadyLanded = namePrefix.nonEmpty &&
+      fs.listStatus(p).exists(st => st.isFile &&
+        st.getPath.getName.startsWith(namePrefix) &&
+        st.getPath.getName.endsWith(".ga01"))
+    if (!stampAlreadyLanded) {
+      // promote one attempt per partition (lexicographically-lowest
+      // attempt id — deterministic under speculation), drop the rest
+      val attemptRe =
+        (java.util.regex.Pattern.quote(namePrefix) +
+          "part-(\\d{5})-attempt\\d{12}\\.ga01").r
+      fs.listStatus(tmpDir)
+        .filter(_.isFile)
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          st.getPath.getName match {
+            case attemptRe(pid) =>
+              val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
+              if (!fs.exists(dest)) {
+                fs.rename(st.getPath, dest)
+                val sideSrc = new Path(st.getPath.getParent,
+                  st.getPath.getName + ".stats")
+                if (fs.exists(sideSrc))
+                  fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
+              }
+            case _ =>
+          }
         }
-      }
+    }
     fs.delete(tmpDir, true)
     fs.create(new Path(p, "_SUCCESS"), true).close()
   }

@@ -182,6 +182,45 @@ class Ga01SourceSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("empty pushed intervals plan zero files: contradictions and Long-edge strict bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-empt-int-").toString
+    Ga01Store.write(
+      Multimodal.syntheticAudio(spark, sfDir)
+        .repartitionByRange(4, col("doc_id")), dir)
+    def read() = spark.read.format("ga01").load(dir)
+    // contradictory bounds (lo > hi): zero files, zero rows
+    assert(read().filter(col("doc_id") > 5L && col("doc_id") < 3L).count() == 0L)
+    assert(Ga01Source.filesPlanned.get() == 0L,
+      s"contradictory interval planned ${Ga01Source.filesPlanned.get()} files")
+    // strict bound at the Long edge: v+1 must not wrap into
+    // (MinValue, MaxValue) and silently disable pruning
+    assert(read().filter(col("doc_id") > Long.MaxValue).count() == 0L)
+    assert(Ga01Source.filesPlanned.get() == 0L,
+      s"> Long.MaxValue planned ${Ga01Source.filesPlanned.get()} files")
+    assert(read().filter(col("doc_id") < Long.MinValue).count() == 0L)
+    assert(Ga01Source.filesPlanned.get() == 0L,
+      s"< Long.MinValue planned ${Ga01Source.filesPlanned.get()} files")
+  }
+
+  test("stamp replay under a DIFFERENT partition layout lands nothing new") {
+    // at-least-once replay can recompute a batch with another
+    // partition count; promote is atomic per stamp, so the first
+    // landing wins in full — no interleaved extra part files, no
+    // duplicate rows, no shifted file-count offset prefix
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-replay-").toString
+    val audio = Multimodal.syntheticAudio(spark, sfDir).limit(40)
+    Ga01Store.append(audio.repartition(2), dir, 7L)
+    def listing() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".ga01")).sorted.toSeq
+    val first = listing()
+    assert(first.size == 2, s"expected 2 files, got $first")
+    val rows = spark.read.format("ga01").load(dir).count()
+    // replay the same stamp with 5 partitions: store unchanged
+    Ga01Store.append(audio.repartition(5), dir, 7L)
+    assert(listing() == first, s"replay changed the store: ${listing()}")
+    assert(spark.read.format("ga01").load(dir).count() == rows)
+  }
+
   test("empty and missing stores read as empty frames") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ga01-empty-").toString
     assert(spark.read.format("ga01").load(dir).count() == 0L)
