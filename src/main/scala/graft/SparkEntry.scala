@@ -2308,7 +2308,8 @@ object SparkEntry {
       """SELECT 512 + (doc_id % 7) * 256 AS n_samples,
         | count(*) AS n_clips,
         | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
-        | 8000 AS sample_rate
+        | 8000 AS sample_rate_min,
+        | 8000 AS sample_rate_max
         |FROM documents GROUP BY 1""".stripMargin,
     // 2:1 decimation: y[j] = (x[2j] + x[2j+1]) >> 1 — arithmetic
     // shift floors identically in both engines (where `div`/`//`

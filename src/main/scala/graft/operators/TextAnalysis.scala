@@ -1888,16 +1888,39 @@ object Multimodal {
     * record, or a broken pruning path all hash-mismatch. The sum of
     * doc_ids per group pins record identity, not just counts. */
   def mediaStoreStats(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-ga01-oracle-").toString
-    graft.sources.Ga01Store.write(syntheticAudio(spark, dir), tmp)
-    spark.read.format("ga01").load(tmp)
+    val store = ga01OracleStore(spark, dir)
+    spark.read.format("ga01").load(store)
       .select(col("doc_id"), col("sample_rate"), col("n_samples"))
       .groupBy(col("n_samples"))
       .agg(count(lit(1)).as("n_clips"),
         sum(col("doc_id")).as("sum_doc_id"),
-        min(col("sample_rate")).as("sample_rate"))
+        // min AND max: min alone would let a single corrupted header
+        // (byte-swapped rate > 8000) hide behind intact group members
+        min(col("sample_rate")).as("sample_rate_min"),
+        max(col("sample_rate")).as("sample_rate_max"))
   }
+
+  /** One landed GA01 oracle store per (JVM, source dir) — memoized so
+    * repeated query construction (bench reps, schema/plan audits)
+    * reuses a single temp store instead of landing a fresh corpus
+    * copy each call, and the shutdown hook reclaims what was made.
+    * Safe to reuse: the store content is a pure function of the
+    * source dir's doc_ids. */
+  private val ga01OracleStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ga01OracleStore(spark: SparkSession, dir: String): String =
+    ga01OracleStores.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ga01-oracle-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Exception => () }
+      }))
+      graft.sources.Ga01Store.write(syntheticAudio(spark, dir), tmp.toString)
+      tmp.toString
+    })
 
   /** 2:1 audio decimation with a 2-tap mean anti-alias kernel — the
     * audio analog of [[mediaResize]]'s average-pool: y[j] =
