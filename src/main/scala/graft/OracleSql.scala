@@ -847,6 +847,53 @@ SELECT nz.source, count(*) AS n_words,
 FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
   }
 
+  /** q_token_fertility: the per-source fertility panel off the same
+    * trainer CTE chain — tokens-per-word and chars-per-token, each a
+    * single division of two exact BIGINTs (bit-identical
+    * cross-engine, the tokenBpe parity argument). */
+  def tokenFertility(merges: Int = 16): String = {
+    val ctes = bpeCtes(merges)
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT nz.source, count(*) AS n_words,
+ CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens,
+ CAST(sum(len(nz.word)) AS BIGINT) AS word_chars,
+ CAST(sum(len(v.syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+ CAST(sum(len(nz.word)) AS DOUBLE) / CAST(sum(len(v.syms)) AS DOUBLE)
+   AS chars_per_token
+FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
+  }
+
+  /** q_keyness: per-source distinctive terms by Laplace-smoothed
+    * relative risk, ranked by the EXACT fixed-point ppm quotient —
+    * HUGEINT cross products mirror the Spark side's DECIMAL(38,0), so
+    * rank order is bit-identical (a double ratio would tie-break
+    * differently after rounding). */
+  def keyness(k: Int = 10): String =
+    s"""WITH nz AS (SELECT source, word FROM (SELECT source,
+       |   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents) WHERE word <> ''),
+       | sw AS (SELECT source, word, count(*) AS a FROM nz GROUP BY 1, 2),
+       | wt AS (SELECT word, sum(a) AS cw FROM sw GROUP BY 1),
+       | st AS (SELECT source, sum(a) AS ns FROM sw GROUP BY 1),
+       | tot AS (SELECT sum(a) AS n_total,
+       |   count(DISTINCT word) AS v_size FROM sw),
+       | scored AS (SELECT sw.source, sw.word, sw.a, wt.cw - sw.a AS b,
+       |   CAST(((CAST(sw.a + 1 AS HUGEINT) *
+       |          CAST(tot.n_total - st.ns + tot.v_size AS HUGEINT) *
+       |          1000000) //
+       |         (CAST(wt.cw - sw.a + 1 AS HUGEINT) *
+       |          CAST(st.ns + tot.v_size AS HUGEINT))) AS BIGINT)
+       |     AS keyness_ppm
+       |  FROM sw JOIN wt USING (word) JOIN st USING (source)
+       |  CROSS JOIN tot)
+       |SELECT source, word, a AS n_in_source,
+       | CAST(b AS BIGINT) AS n_in_rest,
+       | keyness_ppm, rnk
+       |FROM (SELECT *, row_number() OVER
+       |   (PARTITION BY source ORDER BY keyness_ppm DESC, word) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k""".stripMargin
+
   /** q_bpe_merges: the trained merge TABLE itself as the oracle-checked
     * output — each round's argmax CTE (m1..mN) stamped with its rank.
     * Verifies the reusable artifact trainBpe ships, not just the

@@ -173,6 +173,8 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(s, d)),
+    "q_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
+    "q_keyness" -> ((s, d) => TextAnalysis.keyness(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 16)),
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
@@ -1320,6 +1322,12 @@ object SparkEntry {
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
     "q_token_bpe" -> OracleSql.tokenBpe(),
+    // fertility panel rides the same trainer CTE chain; each ratio is
+    // one division of two exact BIGINTs
+    "q_token_fertility" -> OracleSql.tokenFertility(),
+    // keyness: smoothed relative risk ranked by exact fixed-point ppm
+    // (HUGEINT cross products mirror Spark DECIMAL(38,0))
+    "q_keyness" -> OracleSql.keyness(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -116,6 +116,95 @@ object TextAnalysis {
     meterBySource(perSW, vocab)
   }
 
+  /** Per-source tokenizer FERTILITY panel — the number a multilingual
+    * pipeline actually budgets with: tokens-per-word (fertility) and
+    * chars-per-token for the corpus-trained BPE tokenizer, by source.
+    * High fertility flags sources the tokenizer serves poorly (their
+    * text costs disproportionate sequence length per word — the
+    * standard argument for rebalancing tokenizer training data).
+    *
+    * Same one-scan shape as [[tokenBpeOf]]: the corpus collapses to
+    * the materialized (source, word, n_inst) aggregate, the trained
+    * vocabulary joins back at dictionary scale, and the char mass
+    * rides the SAME join (length(word)·n_inst) — no second corpus
+    * scan. Each ratio is ONE division of two exact BIGINTs, so it is
+    * bit-identical cross-engine. */
+  def tokenFertility(spark: SparkSession, dir: String, merges: Int = 16): DataFrame =
+    tokenFertilityOf(Tables.documents(spark, dir), merges)
+
+  def tokenFertilityOf(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSW = perSourceWord(docs)
+    val wordCounts = perSW
+      .groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
+      .as[(String, Long)].collect()
+    val (_, finalSyms) = bpeTrain(wordCounts, merges)
+    val vocab = spark.createDataFrame(
+      finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
+      .toDF("word", "n_tokens")
+    perSW
+      .join(vocab, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_words"),
+        sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"),
+        sum(col("n_inst") * length(col("word"))).cast("long").as("word_chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_token",
+        col("word_chars").cast("double") / col("bpe_tokens").cast("double"))
+  }
+
+  /** Per-source KEYNESS: the top-k most distinctive terms of each
+    * source vs the rest of the corpus, ranked by Laplace-smoothed
+    * relative risk — corpus-linguistics keyword extraction, and the
+    * standard first look at "what makes this source different" when
+    * auditing a training mixture. score = P̂(w|s) / P̂(w|rest) with
+    * add-one smoothing over the corpus vocabulary V:
+    * ((a+1)·(rest_total+V)) / ((b+1)·(s_total+V)), where a/b are the
+    * word's instance counts in/out of the source.
+    *
+    * The ranking is EXACT fixed-point: keyness_ppm =
+    * ⌊num·10⁶ / den⌋ over DECIMAL(38,0) cross products (int64-safe at
+    * any corpus size ≤ ~10³³ intermediate; DuckDB mirrors in
+    * HUGEINT), so rank order is bit-identical cross-engine — a double
+    * ratio would tie-break differently after rounding. Shape: one
+    * corpus scan → (source, word) counts (map-side combined); the
+    * word-margin re-aggregate shuffles vocabulary-sized rows; totals
+    * ride ONE broadcast 1-row frame; top-k is a per-source window
+    * over vocabulary-scale input. */
+  def keyness(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    keynessOf(Tables.documents(spark, dir), k)
+
+  def keynessOf(docs: DataFrame, k: Int): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val sw = tokenWords(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a"))
+    val wTot = sw.groupBy(col("word")).agg(sum(col("a")).as("cw"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+    val totals = sw.agg(sum(col("a")).as("n_total"),
+      count_distinct(col("word")).as("v_size"))
+    val scored = sw
+      .join(wTot, Seq("word"))
+      .join(broadcast(sTot), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("b", col("cw") - col("a"))
+      .withColumn("keyness_ppm", expr(
+        s"""CAST((CAST(a + 1 AS $d38) *
+           |      CAST(n_total - ns + v_size AS $d38) *
+           |      CAST(1000000 AS $d38)) DIV
+           |     (CAST(b + 1 AS $d38) *
+           |      CAST(ns + v_size AS $d38)) AS BIGINT)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("keyness_ppm").desc, col("word").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("word"), col("a").as("n_in_source"),
+        col("b").as("n_in_rest"), col("keyness_ppm"), col("rnk"))
+  }
+
   /** The corpus collapsed to (source, word, n_inst) and MATERIALIZED
     * (the kmeansIterate lineage-cut idiom): both encode consumers —
     * vocabulary enumeration and the rollup — read the checkpointed

@@ -899,6 +899,36 @@ class OperatorSpec extends SparkSpec {
     assert(chars == Map("s1" -> 8L, "s2" -> 5L))
   }
 
+  test("tokenizer fertility: tokens-per-word and chars-per-token, hand-derived") {
+    import spark.implicits._
+    val docs = Seq(("s1", "aaab aaab"), ("s2", "aaa ab")).toDF("source", "text")
+    // after 3 merges (see the tokenBpeOf test): s1 = 2 words / 2
+    // tokens / 8 chars → fertility 1.0, 4 chars per token;
+    // s2 = 2 words / 3 tokens ((aa,a) + (ab)) / 5 chars → 1.5, 5/3
+    val got = graft.operators.TextAnalysis.tokenFertilityOf(docs, merges = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("s1") == ((2L, 2L, 8L, 1.0, 4.0)))
+    assert(got("s2") == ((2L, 3L, 5L, 1.5, 5.0 / 3.0)))
+  }
+
+  test("keyness: source-exclusive words rank first, exact ppm hand-derived") {
+    import spark.implicits._
+    val docs = Seq(("s1", "x x y"), ("s2", "y y z")).toDF("source", "text")
+    // V=3, N=6, ns=3 each. s1/x: a=2,b=0 → (3·6·10⁶)/(1·6) = 3,000,000
+    // s1/y: a=1,b=2 → (2·6·10⁶)/(3·6) = 666,666 (floor)
+    // s2/z: a=1,b=0 → 2,000,000; s2/y: a=2,b=1 → 1,500,000
+    val got = graft.operators.TextAnalysis.keynessOf(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    assert(got == Set(
+      ("s1", "x", 2L, 0L, 3000000L, 1),
+      ("s1", "y", 1L, 2L, 666666L, 2),
+      ("s2", "z", 1L, 0L, 2000000L, 1),
+      ("s2", "y", 2L, 1L, 1500000L, 2)))
+  }
+
   test("BPE train/encode split: the merge table is a reusable artifact") {
     import spark.implicits._
     val docs = Seq(("s1", "aaab aaab"), ("s2", "aaa ab")).toDF("source", "text")
