@@ -185,6 +185,7 @@ object SparkEntry {
     "q_gopher_filters" -> ((s, d) => TextAnalysis.gopherPanel(s, d)),
     "q_oov_ratio" -> ((s, d) => TextAnalysis.oovRatio(s, d)),
     "q_chunk" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
+    "q_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q_quality_percentile" -> ((s, d) => TextAnalysis.qualityPercentile(s, d)),
@@ -1686,6 +1687,24 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32),
         |    ' ') AS chunk_text
         |FROM s""".stripMargin,
+    // chunk-grain duplication: the oracle groups by the reconstructed
+    // chunk STRINGS (q_dedup_spans pattern) where the Spark side moves
+    // 8-byte xxhash64 keys — a hash collision fails the gate
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | s AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS chunk_start,
+        |        toks FROM t),
+        | c AS (SELECT DISTINCT doc_id,
+        |   array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32),
+        |     ' ') AS chunk_text FROM s),
+        | f AS (SELECT chunk_text, count(*) AS df FROM c GROUP BY 1)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS dup_chunks,
+        | CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(count(*) AS DOUBLE) AS chunk_dup_ratio
+        |FROM c JOIN f USING (chunk_text) GROUP BY 1""".stripMargin,
     "q_keyword_search" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

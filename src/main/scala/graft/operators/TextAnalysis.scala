@@ -699,9 +699,13 @@ object TextAnalysis {
     * (∝ n_tokens/stride). Chunks are keyed (doc_id, chunk_start) —
     * deterministic, join-backable to the source doc. */
   def chunkWindows(spark: SparkSession, dir: String,
-                   window: Int = 32, stride: Int = 24): DataFrame = {
+                   window: Int = 32, stride: Int = 24): DataFrame =
+    chunkWindowsOf(Tables.documents(spark, dir), window, stride)
+
+  def chunkWindowsOf(docs: DataFrame,
+                     window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0, s"bad chunking $window/$stride")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(expr(s"sequence(0, size(toks) - 1, $stride)")).as("chunk_start"),
@@ -711,6 +715,42 @@ object TextAnalysis {
         size(expr(s"slice(toks, chunk_start + 1, $window)")).as("n_toks"),
         array_join(expr(s"slice(toks, chunk_start + 1, $window)"), " ")
           .as("chunk_text"))
+  }
+
+  /** Chunk-grain duplication: for each doc, the fraction of its
+    * DISTINCT context-window chunks (the [[chunkWindows]] grid — the
+    * units a RAG ingest or packing stage actually materializes) whose
+    * text also appears as a chunk elsewhere in the corpus (doc-distinct
+    * frequency ≥ 2, counting this doc). [[dupCoverage]]'s removal
+    * signal at chunk grain: a doc can be gram-clean yet assemble
+    * into already-indexed chunks (boilerplate windows), and vice
+    * versa — pipelines gate RAG ingestion on THIS ratio, not the
+    * gram one.
+    *
+    * Scale shape: chunks collapse to 8-byte xxhash64 keys before the
+    * shuffle (the chunk text never leaves the scan — at 100 TB the
+    * frequency aggregate moves hashes, not windows); doc-distinct
+    * dedup and the frequency aggregate are both map-side combined;
+    * one join back, one doc-keyed aggregate, ratio = one exact
+    * division. The DuckDB oracle groups by the reconstructed chunk
+    * STRINGS (the q_dedup_spans pattern), so a 64-bit collision
+    * would fail the gate rather than hide. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 window: Int = 32, stride: Int = 24): DataFrame =
+    chunkDedupOf(Tables.documents(spark, dir), window, stride)
+
+  def chunkDedupOf(docs: DataFrame,
+                   window: Int = 32, stride: Int = 24): DataFrame = {
+    val chunks = chunkWindowsOf(docs, window, stride)
+      .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch"))
+      .distinct()
+    val freq = chunks.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+    chunks.join(freq, Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("chunk_dup_ratio",
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
   /** Conjunctive keyword search with an exact integer rank: documents

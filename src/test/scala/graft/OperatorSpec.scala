@@ -929,6 +929,27 @@ class OperatorSpec extends SparkSpec {
       ("s2", "y", 2L, 1L, 1500000L, 2)))
   }
 
+  test("chunk dedup: doc-distinct chunk sets, corpus frequency >= 2 marks dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // chunks "a b", "c d"
+      (2L, "a b x y"),  // chunks "a b", "x y"
+      (3L, "q r"),      // chunk  "q r"
+      (4L, "a b a b")   // chunk "a b" twice → ONE distinct chunk
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .chunkDedupOf(docs, window = 2, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "a b" is a chunk of docs 1, 2 and 4 → dup everywhere it appears;
+    // within-doc repetition (doc 4) collapses to one distinct chunk
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0)),
+      4L -> ((1L, 1L, 1.0))))
+  }
+
   test("BPE train/encode split: the merge table is a reusable artifact") {
     import spark.implicits._
     val docs = Seq(("s1", "aaab aaab"), ("s2", "aaa ab")).toDF("source", "text")
