@@ -707,6 +707,32 @@ SELECT query_id, vec_id, approx_d, rnk FROM (
 WHERE rnk <= $k"""
   }
 
+  /** q_ann_rerank: two-stage ADC + refine (Ann.annRerank) — the PQ
+    * coarse top-R feeds an exact-integer-dot rescore of just those
+    * candidates; final top-k ordered (dot_q DESC, vec_id). */
+  def annRerank(k: Int = 5, nQueries: Int = 10, candidates: Int = 20,
+                dsub: Int = 8, lloydRounds: Int = 2): String = {
+    val ctes = pqCtes(nQueries, dsub, lloydRounds)
+    ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
+      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
+      " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
+      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+    ctes += s"cand AS (SELECT query_id, vec_id, approx_d FROM" +
+      " (SELECT *, row_number() OVER" +
+      " (PARTITION BY query_id ORDER BY approx_d, vec_id) AS crnk FROM ad)" +
+      s" WHERE crnk <= $candidates)"
+    ctes += "ex AS (SELECT c.query_id, c.vec_id, c.approx_d," +
+      " CAST(sum(a.q * b.q) AS BIGINT) AS dot_q" +
+      " FROM cand c JOIN e a ON a.vec_id = c.query_id" +
+      " JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i" +
+      " GROUP BY 1, 2, 3)"
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT query_id, vec_id, approx_d, dot_q, rnk FROM (
+ SELECT *, row_number() OVER
+   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM ex)
+WHERE rnk <= $k"""
+  }
+
   /** q_ann_ivfpq: the IVF coarse probe (integer list sums, affinity =
     * HUGEINT dot / list size — one double division, ties (affinity
     * DESC, label)) restricting the PQ ADC candidate join to the

@@ -167,6 +167,7 @@ object SparkEntry {
     "q_kmeans_cost" -> ((s, d) => Ann.kmeansCost(s, d)),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "q_ann_ivfpq" -> ((s, d) => Ann.ivfPqTopK(s, d)),
+    "q_ann_rerank" -> ((s, d) => Ann.annRerank(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -1850,6 +1851,8 @@ object SparkEntry {
     "q_kmeans_cost" -> OracleSql.kmeansCost,
     "q_ann_pq" -> OracleSql.pqTopK(),
     "q_ann_ivfpq" -> OracleSql.ivfPqTopK(),
+    // two-stage ADC + refine: coarse PQ top-R, exact-dot rescore of R
+    "q_ann_rerank" -> OracleSql.annRerank(),
     // Exact-substring-dedup apply: string grams stand in for the
     // 64-bit gram hashes (equality patterns agree modulo negligible
     // collisions), positions/occurrence counts/run-length merge are

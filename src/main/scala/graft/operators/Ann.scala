@@ -338,6 +338,38 @@ object Ann {
              dsub: Int = 8, lloydRounds: Int = 2): DataFrame =
     rankOf(sharedPqFrames(spark, dir, dsub, lloydRounds)._2, k, nQueries)
 
+  /** Two-stage retrieval — the shape every production vector-search
+    * deployment actually serves (FAISS/ScaNN "ADC + refine"): stage 1
+    * scans the compressed PQ codes and keeps `candidates` coarse
+    * top-R per query by ADC distance; stage 2 fetches ONLY those
+    * R·|queries| full vectors and exact-rescores them (integer dot),
+    * returning the reranked top-k carrying BOTH scores. The coarse
+    * pass never touches a full vector, the exact pass never scans the
+    * corpus — at 100 TB the codes are RAM-resident and the refine is
+    * R·|queries| point reads (here: a broadcast of the tiny candidate
+    * set against the vector table — the scan-shaped spelling of a
+    * fetch-by-id). Top-k ties: (dot_q DESC, vec_id) — a total order,
+    * deterministic cross-engine. */
+  def annRerank(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = 10, candidates: Int = 20,
+                dsub: Int = 8, lloydRounds: Int = 2): DataFrame = {
+    require(candidates >= k, s"refine pool $candidates smaller than k=$k")
+    val coarse = rankOf(sharedPqFrames(spark, dir, dsub, lloydRounds)._2,
+      candidates, nQueries)
+      .select(col("query_id"), col("vec_id"), col("approx_d"))
+    val e = embs(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(coarse), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("approx_d"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Process-level cache of the trained PQ materialization for the
     * dir-based entry points: (component frame, encode frame), both
     * materialized to checkpoint blocks. q_ann_pq and q_ann_ivfpq are

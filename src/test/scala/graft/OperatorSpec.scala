@@ -746,6 +746,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("two-stage rerank: exact scores, candidates from the coarse pool, wide pool equals brute") {
+    val rerank = Ann.annRerank(spark, sfDir).collect()
+    // per query: ranked by exact dot desc (vec_id tie-break), k rows
+    rerank.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length))
+      val dots = sorted.map(_.getLong(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        s"not dot-ordered: ${dots.toSeq}")
+    }
+    // every reranked hit came from the PQ coarse pool (the refine
+    // stage only reorders candidates, never conjures new ones)
+    val pool = Ann.pqTopK(spark, sfDir, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerank.forall(r => pool((r.getLong(0), r.getLong(1)))))
+    // exact dots agree with brute force on the same pairs
+    val bruteScores = Ann.bruteTopK(spark, sfDir, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rerank.foreach { r =>
+      assert(bruteScores((r.getLong(0), r.getLong(1))) == r.getLong(3))
+    }
+    // a candidate pool covering the corpus recovers exact search
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val wide = Ann.annRerank(spark, sfDir, candidates = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == brute, s"missing=${(brute -- wide).take(5)}")
+  }
+
   test("PQ ANN: planted clusters retrieved pure, Lloyd training recovers a scrambled seed") {
     import spark.implicits._
     // 10 clusters of 10 in 64d (center scale 0.3, noise 0.3 — tuned so
