@@ -707,6 +707,38 @@ SELECT query_id, vec_id, approx_d, rnk FROM (
 WHERE rnk <= $k"""
   }
 
+  /** q_label_prop: synchronous weighted label propagation over the
+    * shared-user topic graph, rounds unrolled as chained CTEs (the
+    * kmeansIterate pattern); vote ties (weight DESC, label ASC) make
+    * every round a total order (Sequence.labelProp). */
+  def labelProp(rounds: Int = 3): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += "du AS MATERIALIZED (SELECT DISTINCT event_type AS topic," +
+      " user_id FROM events)"
+    ctes += "e AS MATERIALIZED (SELECT a.topic AS src, b.topic AS dst," +
+      " count(*) AS w FROM du a JOIN du b ON b.user_id = a.user_id" +
+      " AND b.topic <> a.topic GROUP BY 1, 2)"
+    ctes += "nd AS MATERIALIZED (SELECT DISTINCT topic FROM du)"
+    ctes += "l0 AS (SELECT topic, topic AS label FROM nd)"
+    for (r <- 1 to rounds) {
+      ctes += s"v$r AS (SELECT e.src, l.label," +
+        s" CAST(sum(e.w) AS BIGINT) AS ws FROM e" +
+        s" JOIN l${r - 1} l ON l.topic = e.dst GROUP BY 1, 2)"
+      ctes += s"p$r AS (SELECT src AS topic, label FROM" +
+        " (SELECT src, label, row_number() OVER" +
+        s" (PARTITION BY src ORDER BY ws DESC, label) AS rn FROM v$r)" +
+        " WHERE rn = 1)"
+      ctes += s"l$r AS MATERIALIZED (SELECT nd.topic," +
+        s" coalesce(p$r.label, nd.topic) AS label FROM nd" +
+        s" LEFT JOIN p$r ON p$r.topic = nd.topic)"
+    }
+    ctes += s"sz AS (SELECT label, count(*) AS n_members FROM l$rounds" +
+      " GROUP BY 1)"
+    "WITH " + ctes.mkString(",\n ") +
+      s"\nSELECT l.topic, l.label AS community, sz.n_members" +
+      s"\nFROM l$rounds l JOIN sz ON sz.label = l.label"
+  }
+
   /** q_ann_rerank: two-stage ADC + refine (Ann.annRerank) — the PQ
     * coarse top-R feeds an exact-integer-dot rescore of just those
     * candidates; final top-k ordered (dot_q DESC, vec_id). */

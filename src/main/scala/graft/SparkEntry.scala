@@ -34,6 +34,7 @@ object SparkEntry {
     "q_cusum" -> ((s, d) => Monitoring.cusumShift(s, d)),
     "q_ewma" -> ((s, d) => Monitoring.ewmaRates(s, d)),
     "q_topic_affinity" -> ((s, d) => Sequence.topicAffinity(s, d)),
+    "q_label_prop" -> ((s, d) => Sequence.labelProp(s, d)),
     "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q_availability" -> ((s, d) => Monitoring.availability(s, d)),
     "q_compensated_rate" -> ((s, d) => Monitoring.compensatedRate(s, d)),
@@ -1851,6 +1852,8 @@ object SparkEntry {
     "q_kmeans_cost" -> OracleSql.kmeansCost,
     "q_ann_pq" -> OracleSql.pqTopK(),
     "q_ann_ivfpq" -> OracleSql.ivfPqTopK(),
+    // weighted LPA: rounds unrolled as chained CTEs, total-order votes
+    "q_label_prop" -> OracleSql.labelProp(),
     // two-stage ADC + refine: coarse PQ top-R, exact-dot rescore of R
     "q_ann_rerank" -> OracleSql.annRerank(),
     // Exact-substring-dedup apply: string grams stand in for the

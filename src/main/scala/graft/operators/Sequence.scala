@@ -166,6 +166,60 @@ object Sequence {
           .as("jaccard"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * shared-user topic graph — community detection where connected
+    * components is too blunt (CC fuses everything touching anything;
+    * LPA's weighted mode-label vote finds the densely-linked cores).
+    * Each round, every topic adopts the label carrying the largest
+    * edge-weight sum among its neighbors' current labels (ties:
+    * weight DESC, label ASC — a total order, so every round is
+    * deterministic and the unrolled DuckDB replay matches exactly);
+    * isolated topics keep their own label. `rounds` is fixed and
+    * small — bounded sync rounds, not a convergence loop, the
+    * q_kmeans_iterate discipline.
+    *
+    * Scale shape: the vote is one shuffle ∝ |edges| per round (join
+    * edge list to the label frame, map-side-combinable weight sums,
+    * per-node argmax window); the label frame is node-sized and
+    * MATERIALIZED each round (lineage cut — the kmeansIterate
+    * pattern, else round r's plan re-derives rounds 1..r-1). */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    labelPropOf(Tables.events(spark, dir), rounds)
+
+  /** [[labelProp]] over a prepared (event_type, user_id, ...) frame —
+    * the spec plants a two-core bridge graph through the production
+    * path. */
+  def labelPropOf(events: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val du = events
+      .select(col("event_type").as("topic"), col("user_id")).distinct()
+    val edges = graft.plans.Materialize(
+      du.as("a")
+        .join(du.withColumnRenamed("topic", "dst").as("b"), Seq("user_id"))
+        .filter(col("topic") =!= col("dst"))
+        .groupBy(col("topic").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w")))
+    val nodes = du.select(col("topic")).distinct()
+    var labels = nodes.withColumn("label", col("topic"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.withColumnRenamed("topic", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("ws"))
+      val wv = Window.partitionBy(col("src"))
+        .orderBy(col("ws").desc, col("label").asc)
+      val winner = votes.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("src").as("topic"), col("label").as("vote"))
+      labels = graft.plans.Materialize(
+        nodes.join(winner, Seq("topic"), "left")
+          .select(col("topic"),
+            coalesce(col("vote"), col("topic")).as("label")))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(broadcast(sizes), Seq("label"))
+      .select(col("topic"), col("label").as("community"), col("n_members"))
+  }
+
   /** Top-`topN` parts by triangle participation in the co-order part
     * graph (parts adjacent when some order contains both; orders
     * deterministically sampled by `orderkey % 10 = 0` so the demo

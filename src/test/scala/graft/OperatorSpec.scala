@@ -746,6 +746,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: a weak bridge separates two dense cores CC would fuse") {
+    import spark.implicits._
+    // two triangles (within-core edge weight 5) joined by ONE shared
+    // user (bridge weight 1): every topic is transitively connected,
+    // so components would report a single blob; LPA's weighted vote
+    // converges each core onto its own label
+    def pair(x: String, y: String, users: Range) =
+      users.flatMap(u => Seq((x, u.toLong), (y, u.toLong)))
+    val ev = (pair("a1", "a2", 1 to 5) ++ pair("a1", "a3", 6 to 10) ++
+      pair("a2", "a3", 11 to 15) ++ pair("b1", "b2", 21 to 25) ++
+      pair("b1", "b3", 26 to 30) ++ pair("b2", "b3", 31 to 35) ++
+      pair("a3", "b1", 41 to 41)).toDF("event_type", "user_id")
+    val got = graft.operators.Sequence.labelPropOf(ev, rounds = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "a1" -> (("a1", 3L)), "a2" -> (("a1", 3L)), "a3" -> (("a1", 3L)),
+      "b1" -> (("b1", 3L)), "b2" -> (("b1", 3L)), "b3" -> (("b1", 3L))),
+      s"communities: $got")
+  }
+
   test("two-stage rerank: exact scores, candidates from the coarse pool, wide pool equals brute") {
     val rerank = Ann.annRerank(spark, sfDir).collect()
     // per query: ranked by exact dot desc (vec_id tie-break), k rows
