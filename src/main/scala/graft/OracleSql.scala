@@ -339,6 +339,60 @@ FROM comp JOIN cs USING (component)"""
       "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
   }
 
+  /** q_score_auc: exact Mann-Whitney AUC of the hashed classifier
+    * against the Gopher pass verdict, per source — the classifier
+    * logit chain + the gopher rule CTEs + one cumsum window; u2 and
+    * the ppm quotient ride HUGEINT (TextAnalysis.scoreAuc). */
+  def scoreAuc(weights: Seq[Long]): String = {
+    val (ctes, last) = gramSeqCtes(1)
+    val d = weights.length
+    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    "WITH " + (ctes ++ Seq(
+      s"wt(b, w) AS (VALUES $wValues)",
+      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
+        s" FROM $last)",
+      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
+        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
+      "sc AS (SELECT d.doc_id, d.source," +
+        " coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)",
+      // the q_gopher_filters pass verdict, inlined
+      """gt AS (SELECT doc_id, text,
+        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+      """gm AS (SELECT doc_id,
+        |   len(toks) AS n_words,
+        |   len(list_intersect(list_distinct(toks),
+        |     ['the','a','and','of','to'])) AS stop_hits,
+        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |     / len(toks) AS mean_word_len,
+        |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+        |     / len(toks) AS symbol_ratio
+        |  FROM gt)""".stripMargin,
+      """gp AS (SELECT doc_id,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
+        |  (symbol_ratio <= 0.1) AND (stop_hits >= 2) AS pass
+        | FROM gm)""".stripMargin,
+      "bs AS (SELECT sc.source, sc.logit_fp," +
+        " CAST(sum(CASE WHEN gp.pass THEN 1 ELSE 0 END) AS BIGINT) AS pos," +
+        " CAST(sum(CASE WHEN gp.pass THEN 0 ELSE 1 END) AS BIGINT) AS neg" +
+        " FROM sc JOIN gp ON gp.doc_id = sc.doc_id GROUP BY 1, 2)",
+      "cn AS (SELECT source, logit_fp, pos, neg," +
+        " sum(neg) OVER (PARTITION BY source ORDER BY logit_fp" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg" +
+        " AS cum_neg FROM bs)",
+      "ag AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos," +
+        " CAST(sum(neg) AS BIGINT) AS n_neg," +
+        " sum(CAST(pos AS HUGEINT) * (2 * CAST(cum_neg AS HUGEINT)" +
+        " + CAST(neg AS HUGEINT))) AS u2 FROM cn GROUP BY 1)"))
+      .mkString(",\n ") +
+      "\nSELECT source, n_pos, n_neg," +
+      " CASE WHEN n_pos > 0 AND n_neg > 0 THEN" +
+      " CAST((u2 * 1000000) // (2 * CAST(n_pos AS HUGEINT)" +
+      " * CAST(n_neg AS HUGEINT)) AS BIGINT) ELSE NULL END AS auc_ppm" +
+      "\nFROM ag"
+  }
+
   /** q_gram_novelty: per-doc fraction of distinct word-n-grams no
     * earlier (min-doc_id) document contains — the dg chain plus a
     * gram → first-doc aggregate; one IEEE division of exact ints. */

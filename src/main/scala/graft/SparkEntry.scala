@@ -199,6 +199,7 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
+    "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
@@ -1895,6 +1896,8 @@ object SparkEntry {
       Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
     "q_classifier_score" -> OracleSql.classifierScore(
       TextAnalysis.classifierWeights(256)),
+    // exact Mann-Whitney AUC of the classifier vs the gopher verdict
+    "q_score_auc" -> OracleSql.scoreAuc(TextAnalysis.classifierWeights(256)),
     "q_fingerprint" -> OracleSql.fingerprints,
     // DSIR weights: bigrams rebuilt positionally (q_cooccur pattern),
     // the same md5-prefix bucket hash, integer mass sums + one

@@ -643,9 +643,17 @@ object TextAnalysis {
   def gopherPanel(spark: SparkSession, dir: String,
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-                  maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
+                  maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame =
+    gopherPanelOf(Tables.documents(spark, dir), minWords, maxWords,
+      minMeanLen, maxMeanLen, maxSymbolRatio, minStopHits)
+
+  /** [[gopherPanel]] over a prepared (doc_id, text, ...) frame. */
+  def gopherPanelOf(docs: DataFrame,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
     val stoplist = Seq("the", "a", "and", "of", "to")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), T.tokens(col("text")).as("toks"), col("text"))
       .select(
         col("doc_id"),
@@ -1206,6 +1214,54 @@ object TextAnalysis {
       size(hs).cast("bigint").as("n_tokens"),
       logit.as("logit_fp"))
       .withColumn("accept", col("logit_fp") > 0L)
+  }
+
+  /** Quality-classifier CALIBRATION: per-source AUC of the hashed
+    * linear classifier ([[classifierScore]]) against the Gopher rule
+    * panel's pass verdict ([[gopherPanel]]) — the eval a pipeline
+    * runs before trusting a cheap learned filter to stand in for its
+    * rule set. AUC is computed EXACTLY as the Mann-Whitney rank
+    * statistic with midrank tie handling, kept in integers end to
+    * end: group docs by (source, score), one window cumsum of
+    * negatives in score order, then u2 = Σ pos·(2·cumNeg + neg)
+    * (concordant pairs ×2 + ties ×1) and auc_ppm =
+    * ⌊u2·10⁶ / (2·n_pos·n_neg)⌋ over DECIMAL(38,0) (HUGEINT in the
+    * DuckDB mirror) — bit-identical cross-engine, no double sums. A
+    * single-class source reports NULL (no ranking to grade), not a
+    * division crash.
+    *
+    * Scale shape: both inputs are one corpus scan each (row-local
+    * scoring); the rank statistic runs over (source, DISTINCT score)
+    * groups — shuffle ∝ score cardinality, never documents — and the
+    * cumsum window partitions by source. */
+  def scoreAuc(spark: SparkSession, dir: String,
+               buckets: Int = 256): DataFrame =
+    scoreAucOf(Tables.documents(spark, dir), buckets)
+
+  def scoreAucOf(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val scored = classifierScoreOf(docs, buckets)
+      .select(col("doc_id"), col("source"), col("logit_fp"))
+    val labeled = gopherPanelOf(docs).select(col("doc_id"), col("pass"))
+    val byScore = scored.join(labeled, Seq("doc_id"))
+      .groupBy(col("source"), col("logit_fp"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("logit_fp").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byScore
+      .withColumn("cum_neg", sum(col("neg")).over(w) - col("neg"))
+      .groupBy(col("source"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(expr(s"CAST(pos AS $d38) *" +
+          s" (2 * CAST(cum_neg AS $d38) + CAST(neg AS $d38))")).as("u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr(s"CAST((u2 * 1000000) DIV" +
+            s" (2 * CAST(n_pos AS $d38) * CAST(n_neg AS $d38)) AS BIGINT)"))
+          .as("auc_ppm"))
   }
 
   /** RE2-compatible PII census patterns (no lookaround, no backrefs,

@@ -746,6 +746,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("score AUC: matches the brute-force pairwise Mann-Whitney count; single class is NULL") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val T = graft.operators.TextAnalysis
+    // independent driver model: count concordant (×2) and tied (×1)
+    // (pos, neg) pairs directly
+    val scores = T.classifierScoreOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("logit_fp")))).toMap
+    val pass = T.gopherPanelOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    val bySource = scores.toSeq.groupBy(_._2._1)
+    val want = bySource.map { case (src, rows) =>
+      val (p, n) = rows.partition { case (id, _) => pass(id) }
+      val u2 = (for ((_, (_, sp)) <- p; (_, (_, sn)) <- n) yield {
+        if (sp > sn) 2L else if (sp == sn) 1L else 0L
+      }).sum
+      val ppm =
+        if (p.isEmpty || n.isEmpty) None
+        else Some((BigInt(u2) * 1000000 /
+          (BigInt(2) * p.size * n.size)).toLong)
+      src -> ((p.size.toLong, n.size.toLong, ppm))
+    }
+    val got = T.scoreAucOf(docs).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    }.toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    // a single-class frame reports NULL, never a division crash
+    val oneClass = Seq((1L, "x", "the a and of to " + ("w " * 60)),
+      (2L, "x", "the a and of to " + ("v " * 60))).toDF("doc_id", "source", "text")
+    val r = T.scoreAucOf(oneClass).collect()
+    assert(r.length == 1 && r.head.isNullAt(3), r.toSeq.toString)
+  }
+
   test("label propagation: a weak bridge separates two dense cores CC would fuse") {
     import spark.implicits._
     // two triangles (within-core edge weight 5) joined by ONE shared
