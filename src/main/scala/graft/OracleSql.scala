@@ -339,10 +339,49 @@ FROM comp JOIN cs USING (component)"""
       "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
   }
 
+  /** THE gopher rule CTE chain (gt → gm → gp): token metrics plus the
+    * conjunctive pass verdict — one spelling shared by
+    * [[gopherFilters]] and [[scoreAuc]], mirroring the single
+    * `gopherAugmented` kernel on the Spark side. The thresholds and
+    * stoplist live HERE and nowhere else in the oracle. */
+  private def gopherCtes: Seq[String] = Seq(
+    """gt AS (SELECT doc_id, text,
+      |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+    """gm AS (SELECT doc_id,
+      |   len(toks) AS n_words,
+      |   CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      |     AS word_chars,
+      |   len(list_intersect(list_distinct(toks),
+      |     ['the','a','and','of','to'])) AS stop_hits,
+      |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |     / len(toks) AS mean_word_len,
+      |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+      |     / len(toks) AS symbol_ratio
+      |  FROM gt)""".stripMargin,
+    """gp AS (SELECT doc_id,
+      |  (n_words BETWEEN 50 AND 100000) AS pass_words,
+      |  (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_len,
+      |  (symbol_ratio <= 0.1) AS pass_symbol,
+      |  (stop_hits >= 2) AS pass_stop,
+      |  (n_words BETWEEN 50 AND 100000) AND
+      |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
+      |  (symbol_ratio <= 0.1) AND (stop_hits >= 2) AS pass
+      | FROM gm)""".stripMargin)
+
+  /** q_gopher_filters: the rule panel off the shared [[gopherCtes]]
+    * chain (TextAnalysis.gopherPanel). */
+  def gopherFilters: String =
+    "WITH " + gopherCtes.mkString(",\n ") + """
+SELECT gm.doc_id, gm.n_words, gm.word_chars, gm.stop_hits,
+ gm.mean_word_len, gm.symbol_ratio,
+ gp.pass_words, gp.pass_mean_len, gp.pass_symbol, gp.pass_stop, gp.pass
+FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
+
   /** q_score_auc: exact Mann-Whitney AUC of the hashed classifier
     * against the Gopher pass verdict, per source — the classifier
-    * logit chain + the gopher rule CTEs + one cumsum window; u2 and
-    * the ppm quotient ride HUGEINT (TextAnalysis.scoreAuc). */
+    * logit chain + the SHARED [[gopherCtes]] verdict + one cumsum
+    * window; u2 and the ppm quotient ride HUGEINT
+    * (TextAnalysis.scoreAuc). */
   def scoreAuc(weights: Seq[Long]): String = {
     val (ctes, last) = gramSeqCtes(1)
     val d = weights.length
@@ -355,24 +394,8 @@ FROM comp JOIN cs USING (component)"""
         " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
       "sc AS (SELECT d.doc_id, d.source," +
         " coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)",
-      // the q_gopher_filters pass verdict, inlined
-      """gt AS (SELECT doc_id, text,
-        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
-      """gm AS (SELECT doc_id,
-        |   len(toks) AS n_words,
-        |   len(list_intersect(list_distinct(toks),
-        |     ['the','a','and','of','to'])) AS stop_hits,
-        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        |     / len(toks) AS mean_word_len,
-        |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
-        |     / len(toks) AS symbol_ratio
-        |  FROM gt)""".stripMargin,
-      """gp AS (SELECT doc_id,
-        |  (n_words BETWEEN 50 AND 100000) AND
-        |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
-        |  (symbol_ratio <= 0.1) AND (stop_hits >= 2) AS pass
-        | FROM gm)""".stripMargin,
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+      gopherCtes ++ Seq(
       "bs AS (SELECT sc.source, sc.logit_fp," +
         " CAST(sum(CASE WHEN gp.pass THEN 1 ELSE 0 END) AS BIGINT) AS pos," +
         " CAST(sum(CASE WHEN gp.pass THEN 0 ELSE 1 END) AS BIGINT) AS neg" +
@@ -742,6 +765,16 @@ GROUP BY 1"""
     ctes
   }
 
+  /** The unfiltered ADC aggregate `ad` (coarse distance of every
+    * corpus code to every query) — shared by [[pqTopK]] and
+    * [[annRerank]] so the coarse stage has ONE spelling
+    * (ivfPqTopK's probe-filtered variant stays its own). */
+  private val adCte: String =
+    "ad AS (SELECT adc.query_id, codes.vec_id," +
+      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
+      " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
+      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+
   /** q_ann_pq: product-quantization ANN — per-subspace Lloyd codebook
     * training unrolled as chained CTE rounds (kmeansIterate pattern,
     * keyed by subspace), truncated integer codebook, then ALL-integer
@@ -750,10 +783,7 @@ GROUP BY 1"""
   def pqTopK(k: Int = 5, nQueries: Int = 10, dsub: Int = 8,
              lloydRounds: Int = 2): String = {
     val ctes = pqCtes(nQueries, dsub, lloydRounds)
-    ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
-      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
-      " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
-      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+    ctes += adCte
     "WITH " + ctes.mkString(",\n ") + s"""
 SELECT query_id, vec_id, approx_d, rnk FROM (
  SELECT *, row_number() OVER
@@ -799,10 +829,7 @@ WHERE rnk <= $k"""
   def annRerank(k: Int = 5, nQueries: Int = 10, candidates: Int = 20,
                 dsub: Int = 8, lloydRounds: Int = 2): String = {
     val ctes = pqCtes(nQueries, dsub, lloydRounds)
-    ctes += "ad AS (SELECT adc.query_id, codes.vec_id," +
-      " CAST(sum(adc.part) AS BIGINT) AS approx_d" +
-      " FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.c" +
-      " WHERE codes.vec_id <> adc.query_id GROUP BY 1, 2)"
+    ctes += adCte
     ctes += s"cand AS (SELECT query_id, vec_id, approx_d FROM" +
       " (SELECT *, row_number() OVER" +
       " (PARTITION BY query_id ORDER BY approx_d, vec_id) AS crnk FROM ad)" +

@@ -1491,30 +1491,9 @@ object SparkEntry {
         |WHERE token <> '' GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     // Gopher rule panel: integer census per doc, one double division
     // per ratio — identical IEEE ops on both sides
-    "q_gopher_filters" ->
-      """WITH t AS (SELECT doc_id, text,
-        |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        | m AS (SELECT doc_id,
-        |   len(toks) AS n_words,
-        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
-        |     AS word_chars,
-        |   len(list_intersect(list_distinct(toks),
-        |     ['the','a','and','of','to'])) AS stop_hits,
-        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        |     / len(toks) AS mean_word_len,
-        |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
-        |     / len(toks) AS symbol_ratio
-        |  FROM t)
-        |SELECT doc_id, n_words, word_chars, stop_hits, mean_word_len,
-        |  symbol_ratio,
-        |  n_words BETWEEN 50 AND 100000 AS pass_words,
-        |  mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_len,
-        |  symbol_ratio <= 0.1 AS pass_symbol,
-        |  stop_hits >= 2 AS pass_stop,
-        |  (n_words BETWEEN 50 AND 100000) AND
-        |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
-        |  (symbol_ratio <= 0.1) AND (stop_hits >= 2) AS pass
-        |FROM m""".stripMargin,
+    // gopher rule panel off the SHARED gopherCtes chain (one spelling
+    // of the thresholds/stoplist, reused by q_score_auc)
+    "q_gopher_filters" -> OracleSql.gopherFilters,
     // OOV: vocabulary = same deterministic (n DESC, token) top-30
     "q_oov_ratio" ->
       """WITH tok AS (SELECT doc_id,

@@ -191,8 +191,12 @@ object Sequence {
     * path. */
   def labelPropOf(events: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive: $rounds")
-    val du = events
-      .select(col("event_type").as("topic"), col("user_id")).distinct()
+    // MATERIALIZED (the oracle's du/nd CTEs): the edge self-join reads
+    // it twice and every round's eager label materialization re-derives
+    // `nodes` from it — left lazy, that is ~(2 + rounds) raw event
+    // scans instead of one
+    val du = graft.plans.Materialize(
+      events.select(col("event_type").as("topic"), col("user_id")).distinct())
     val edges = graft.plans.Materialize(
       du.as("a")
         .join(du.withColumnRenamed("topic", "dst").as("b"), Seq("user_id"))

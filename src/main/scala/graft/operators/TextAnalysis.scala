@@ -100,20 +100,27 @@ object TextAnalysis {
     * ships (word → n_tokens) directly instead of re-deriving the
     * vocabulary and re-encoding it executor-side. */
   def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val perSW = perSourceWord(docs)
-    // global word frequencies derive from the materialized aggregate
-    // (sum of per-source counts), so the whole fused query costs ONE
-    // corpus scan; the fuzz spec pins this path's numbers to the
-    // split trainBpe/encodeBpe path
+    meterBySource(perSW, trainedVocabOf(perSW, merges))
+  }
+
+  /** The fused-path trained vocabulary (word → post-merge token
+    * count): global word frequencies derive from the materialized
+    * (source, word) aggregate (sum of per-source counts), so the
+    * whole fused query costs ONE corpus scan; the fuzz spec pins this
+    * path's numbers to the split trainBpe/encodeBpe path. The collect
+    * is dictionary-bounded (the q_embed_pca argument). ONE spelling,
+    * shared by [[tokenBpeOf]] and [[tokenFertilityOf]]. */
+  private def trainedVocabOf(perSW: DataFrame, merges: Int): DataFrame = {
+    val spark = perSW.sparkSession
+    import spark.implicits._
     val wordCounts = perSW
       .groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
       .as[(String, Long)].collect()
     val (_, finalSyms) = bpeTrain(wordCounts, merges)
-    val vocab = spark.createDataFrame(finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
+    spark.createDataFrame(
+      finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
       .toDF("word", "n_tokens")
-    meterBySource(perSW, vocab)
   }
 
   /** Per-source tokenizer FERTILITY panel — the number a multilingual
@@ -133,18 +140,9 @@ object TextAnalysis {
     tokenFertilityOf(Tables.documents(spark, dir), merges)
 
   def tokenFertilityOf(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val perSW = perSourceWord(docs)
-    val wordCounts = perSW
-      .groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
-      .as[(String, Long)].collect()
-    val (_, finalSyms) = bpeTrain(wordCounts, merges)
-    val vocab = spark.createDataFrame(
-      finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
-      .toDF("word", "n_tokens")
     perSW
-      .join(vocab, Seq("word"))
+      .join(trainedVocabOf(perSW, merges), Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("n_inst")).as("n_words"),
         sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"),
@@ -651,17 +649,34 @@ object TextAnalysis {
   def gopherPanelOf(docs: DataFrame,
                     minWords: Int = 50, maxWords: Int = 100000,
                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-                    maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame = {
+                    maxSymbolRatio: Double = 0.1, minStopHits: Int = 2): DataFrame =
+    gopherAugmented(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, minStopHits)
+      .select(col("doc_id"), col("n_words"), col("word_chars"),
+        col("stop_hits"), col("mean_word_len"), col("symbol_ratio"),
+        col("pass_words"), col("pass_mean_len"), col("pass_symbol"),
+        col("pass_stop"), col("pass"))
+
+  /** The gopher rule columns APPENDED to the input frame (original
+    * columns preserved) — THE one spelling of the panel, so consumers
+    * that need the verdict alongside their own per-doc columns
+    * ([[scoreAucOf]]) fuse into the same single scan instead of
+    * joining two corpus scans on doc_id. */
+  private def gopherAugmented(docs: DataFrame,
+                              minWords: Int = 50, maxWords: Int = 100000,
+                              minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                              maxSymbolRatio: Double = 0.1,
+                              minStopHits: Int = 2): DataFrame = {
     val stoplist = Seq("the", "a", "and", "of", "to")
     docs
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"), col("text"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_words"),
-        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("word_chars"),
-        regexp_count(col("text"), lit("[#…]")).as("n_symbols"),
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("word_chars",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_symbols", regexp_count(col("text"), lit("[#…]")))
+      .withColumn("stop_hits",
         size(array_intersect(array_distinct(col("toks")),
-          array(stoplist.map(lit): _*))).as("stop_hits"))
+          array(stoplist.map(lit): _*))))
       .withColumn("mean_word_len",
         col("word_chars").cast("double") / col("n_words"))
       .withColumn("symbol_ratio",
@@ -673,7 +688,6 @@ object TextAnalysis {
       .withColumn("pass_stop", col("stop_hits") >= minStopHits)
       .withColumn("pass", col("pass_words") && col("pass_mean_len") &&
         col("pass_symbol") && col("pass_stop"))
-      .drop("n_symbols")
   }
 
   /** Out-of-vocabulary ratio per document against the corpus' own
@@ -1205,15 +1219,22 @@ object TextAnalysis {
   /** [[classifierScore]] over a prepared (doc_id, source, text)
     * frame. */
   def classifierScoreOf(docs: DataFrame, buckets: Int = 256): DataFrame = {
-    val warr = array(classifierWeights(buckets).map(lit): _*)
     val hs = shingle_hash_seq(coalesce(col("text"), lit("")), 1)
-    val logit = aggregate(hs, lit(0L), (acc, h) =>
-      acc + element_at(warr,
-        (pmod(h, lit(buckets.toLong)) + 1L).cast("int")))
     docs.select(col("doc_id"), col("source"),
       size(hs).cast("bigint").as("n_tokens"),
-      logit.as("logit_fp"))
+      classifierLogit(col("text"), buckets).as("logit_fp"))
       .withColumn("accept", col("logit_fp") > 0L)
+  }
+
+  /** The hashed-linear logit as ONE column expression — the kernel
+    * [[classifierScoreOf]] and [[scoreAucOf]] share, so the scoring
+    * rule has a single spelling. */
+  private def classifierLogit(text: Column, buckets: Int): Column = {
+    val warr = array(classifierWeights(buckets).map(lit): _*)
+    val hs = shingle_hash_seq(coalesce(text, lit("")), 1)
+    aggregate(hs, lit(0L), (acc, h) =>
+      acc + element_at(warr,
+        (pmod(h, lit(buckets.toLong)) + 1L).cast("int")))
   }
 
   /** Quality-classifier CALIBRATION: per-source AUC of the hashed
@@ -1240,10 +1261,15 @@ object TextAnalysis {
 
   def scoreAucOf(docs: DataFrame, buckets: Int = 256): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    val scored = classifierScoreOf(docs, buckets)
-      .select(col("doc_id"), col("source"), col("logit_fp"))
-    val labeled = gopherPanelOf(docs).select(col("doc_id"), col("pass"))
-    val byScore = scored.join(labeled, Seq("doc_id"))
+    // logit and verdict fused into ONE row-local scan — a join of the
+    // two per-doc frames on doc_id would make the first shuffle
+    // document-cardinality, where this plan's only shuffle is the
+    // (source, DISTINCT score) aggregate below
+    val perDoc = gopherAugmented(docs)
+      .select(col("source"),
+        classifierLogit(col("text"), buckets).as("logit_fp"),
+        col("pass"))
+    val byScore = perDoc
       .groupBy(col("source"), col("logit_fp"))
       .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("pass"), 0L).otherwise(1L)).as("neg"))
