@@ -775,6 +775,56 @@ object TextAnalysis {
         col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Streaming/incremental twin of [[chunkDedup]] — the LIVE
+    * chunk-grain dedup gate a RAG ingest runs on every arriving
+    * micro-batch: score each batch's docs for the fraction of their
+    * distinct context-window chunks already held by an EARLIER doc
+    * (a previous committed batch, or an earlier doc_id within this
+    * batch — first-doc-wins, the [[graft.operators.Dedup.noveltyIncrementalBatch]]
+    * contract at chunk grain). The store holds the per-doc distinct
+    * (doc_id, chunk-hash) rows, parked one parquet dir per committed
+    * batch via the idempotent landBatch discipline: an at-least-once
+    * replay of the same batchId overwrites its own dir and scores
+    * only against STRICTLY earlier batches, so replaying the latest
+    * batch returns identical rows. The landed rows ARE the scored
+    * rows — a non-deterministic micro-batch source cannot skew the
+    * verdicts.
+    *
+    * Note the deliberate semantic difference from the batch
+    * [[chunkDedup]] panel: the batch row marks BOTH copies of a
+    * duplicated chunk (df ≥ 2 is symmetric — a census); the live
+    * gate keeps the first copy clean and charges only later arrivals
+    * (an admission decision). Spec-pinned: fed the corpus in doc_id
+    * order, the per-batch outputs concatenate to exactly the
+    * first-seen panel. */
+  def chunkDedupIncrementalBatch(batch: DataFrame, storeDir: String,
+                                 batchId: Long, window: Int = 32,
+                                 stride: Int = 24): DataFrame = {
+    val spark = batch.sparkSession
+    val (own, dirs) = graft.sources.Incremental.landBatch(
+      chunkWindowsOf(batch, window, stride)
+        .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch"))
+        .distinct(),
+      storeDir, batchId)
+    val firsts = own.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
+    val seenBefore =
+      if (prior.isEmpty) own.select(col("ch")).limit(0)
+      else spark.read.schema(own.schema).parquet(prior: _*)
+        .select(col("ch")).distinct()
+    own
+      .join(firsts, Seq("ch"))
+      .join(seenBefore.withColumn("seen", lit(1L)), Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNotNull ||
+          col("doc_id") =!= col("first_in_batch"), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .withColumn("chunk_dup_ratio",
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Conjunctive keyword search with an exact integer rank: documents
     * containing ALL query terms, ordered by total term frequency
     * (DESC, doc_id ASC — a total order, so LIMIT is deterministic).

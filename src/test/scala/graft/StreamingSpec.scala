@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.{StreamingMonitor, TopicEvent}
+import org.apache.spark.sql.functions.{col, count, lit, min, sum, when, xxhash64}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
@@ -1175,6 +1176,62 @@ class StreamingSpec extends SparkSpec {
     // identical rows (exactly-once store discipline)
     val replay = graft.operators.Dedup.noveltyIncrementalBatch(
       lastChunk.toDF("doc_id", "text"), gramDir, nBatches - 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val wantLast = lastChunk.map(_._1).filter(want.contains)
+      .map(id => id -> want(id)).toMap
+    assert(replay == wantLast,
+      s"replay diverged: ${(wantLast.toSet -- replay.toSet).take(2)}")
+  }
+
+  test("streaming chunk-dedup gate: incremental batches equal the first-seen panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // expectation: chunk is dup iff an EARLIER doc_id holds it — the
+    // first-seen panel the incremental fold must reproduce when fed
+    // the corpus in doc_id order
+    val chunks = graft.operators.TextAnalysis
+      .chunkWindowsOf(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch")).distinct()
+    val want = chunks
+      .join(chunks.groupBy(col("ch")).agg(min(col("doc_id")).as("fd")), Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") =!= col("fd"), 1L).otherwise(0L)).as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(2).toDouble / r.getLong(1).toDouble))).toMap
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-store-").toString
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.TextAnalysis
+          .chunkDedupIncrementalBatch(batch, storeDir, id)
+          .collect().foreach(r => got(r.getLong(0)) =
+            ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        ()
+      }.start()
+    var lastChunk: Seq[(Long, String)] = Nil
+    var nBatches = 0L
+    try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { c =>
+        input.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+        lastChunk = c.toSeq; nBatches += 1
+      }
+      assert(got.toMap == want,
+        s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+    } finally q.stop()
+    // at-least-once replay of the last batch: identical verdicts
+    val replay = graft.operators.TextAnalysis.chunkDedupIncrementalBatch(
+      lastChunk.toDF("doc_id", "text"), storeDir, nBatches - 1)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
