@@ -176,8 +176,13 @@ object TextAnalysis {
 
   def keynessOf(docs: DataFrame, k: Int): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    val sw = tokenWords(docs)
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a"))
+    // MATERIALIZED: four consumers (sw itself + word margin + source
+    // margin + corpus totals) would each re-scan the corpus and re-pay
+    // the tokenize/explode/aggregate — Catalyst cannot share the
+    // subplan across the differently-pruned branches (the
+    // perSourceWord argument); plan-audited to ONE documents scan
+    val sw = graft.plans.Materialize(tokenWords(docs)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a")))
     val wTot = sw.groupBy(col("word")).agg(sum(col("a")).as("cw"))
     val sTot = sw.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val totals = sw.agg(sum(col("a")).as("n_total"),

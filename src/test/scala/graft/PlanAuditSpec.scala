@@ -53,6 +53,45 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-side code join degraded to shuffle:\n$plan")
   }
 
+  test("score AUC: one fused scan — no doc-keyed join, first exchange is the score aggregate") {
+    val df = graft.operators.TextAnalysis.scoreAuc(spark, sfDir)
+    val plan = physical(df)
+    // logit and gopher verdict fuse into ONE row-local projection; a
+    // regression back to two corpus scans joined on doc_id would put a
+    // doc-cardinality SortMergeJoin under the aggregate
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoreAuc re-grew a doc-keyed join:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+  }
+
+  test("keyness: totals ride broadcasts, no corpus-sized join") {
+    val plan = physical(graft.operators.TextAnalysis.keyness(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the (source, word) aggregate is materialized once; its four
+    // consumers read the checkpoint blocks, so the corpus is scanned
+    // exactly once per call
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"keyness re-scans the corpus past the materialize:\n$plan")
+  }
+
+  test("chunk dedup: chunk text collapses to hashes before every exchange") {
+    val plan = physical(graft.operators.TextAnalysis.chunkDedup(spark, sfDir))
+    // the frequency aggregate and the join back move 8-byte hashes; a
+    // plan shuffling chunk_text would carry window-sized strings
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("chunk_text")),
+      s"chunk_text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ann rerank: candidate set and queries broadcast against the vector table") {
+    val plan = physical(graft.operators.Ann.annRerank(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine stage degraded to a corpus shuffle:\n$plan")
+  }
+
   test("decontamination runs as a broadcast semi-join (train side never shuffles)") {
     val plan = physical(Dedup.decontaminate(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
