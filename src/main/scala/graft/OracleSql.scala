@@ -1323,7 +1323,11 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     * p⁴ never materialized). The tf-normalization runs in HUGEINT
     * (Spark: DECIMAL(38,0)); `//` and Spark's `div` agree on
     * positives. */
-  def bm25(terms: Seq[String], k: Int): String = {
+  /** The full BM25 scoring chain as CTEs ending at
+    * `bsc(doc_id, dl, score, tf_*)` — every doc matching ≥1 term with
+    * its exact-integer score, BEFORE any top-k cut, so [[bm25]] and
+    * [[rrfFusion]] share one spelling of the scorer. */
+  private def bm25Ctes(terms: Seq[String]): Seq[String] = {
     import graft.operators.TextAnalysis._
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '${t.replace("'", "''")}')) AS BIGINT) AS tf_$i"
@@ -1362,22 +1366,168 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
         s" $Bm25TfDen1 * CAST(t_tok AS HUGEINT) +" +
         s" $Bm25TfDen2 * CAST(dl AS HUGEINT) * n_docs))").mkString("\n   + ")
     val anyTf = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
-    s"""WITH t AS (SELECT doc_id,
-       |   list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |               x -> x <> '') AS toks FROM documents),
-       | d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-       |   $tfCols FROM t),
-       | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok,
-       |   $dfCols FROM d),
-       | pq AS (SELECT *, 2*n_docs + 2 AS p,
-       |   $qCols FROM st),
-       | ${idfExprs.mkString(",\n ")}
-       |SELECT doc_id, dl,
-       | CAST($scoreTerms AS BIGINT) AS score,
-       | ${terms.indices.map(i => s"tf_$i").mkString(", ")}
-       |FROM d CROSS JOIN i${terms.size - 1}
-       |WHERE $anyTf
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+    Seq(
+      s"""t AS (SELECT doc_id,
+         |   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |               x -> x <> '') AS toks FROM documents)""".stripMargin,
+      s"""d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |   $tfCols FROM t)""".stripMargin,
+      s"""st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok,
+         |   $dfCols FROM d)""".stripMargin,
+      s"""pq AS (SELECT *, 2*n_docs + 2 AS p,
+         |   $qCols FROM st)""".stripMargin) ++
+      idfExprs :+
+      s"""bsc AS (SELECT doc_id, dl,
+         | CAST($scoreTerms AS BIGINT) AS score,
+         | ${terms.indices.map(i => s"tf_$i").mkString(", ")}
+         |FROM d CROSS JOIN i${terms.size - 1}
+         |WHERE $anyTf)""".stripMargin
+  }
+
+  def bm25(terms: Seq[String], k: Int): String =
+    "WITH " + bm25Ctes(terms).mkString(",\n ") + s"""
+SELECT doc_id, dl, score, ${terms.indices.map(i => s"tf_$i").mkString(", ")}
+FROM bsc ORDER BY score DESC, doc_id LIMIT $k"""
+
+  /** q_rrf_fusion: hybrid retrieval — the BM25 chain's top-`r` and an
+    * exact-dot top-`r` for query vector `queryVec`, fused by
+    * `Σ ⌊10⁶/(60+rank)⌋` over a FULL OUTER join of the two lists
+    * (Retrieval.rrfFusionOf). Both reciprocal terms divide positive
+    * integers, so `//` and Spark's `div` agree. */
+  def rrfFusion(terms: Seq[String], k: Int, r: Int, queryVec: Int): String = {
+    import graft.operators.Retrieval.{RrfK, RrfScale}
+    val ctes = bm25Ctes(terms) ++ Seq(
+      s"""bleg AS (SELECT doc_id AS b_id, CAST(row_number() OVER
+         |   (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+         | FROM bsc QUALIFY bm25_rank <= $r)""".stripMargin,
+      s"""ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+         | FROM embeddings)""".stripMargin,
+      s"""vd AS (SELECT b.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+         | FROM ev a JOIN ev b ON b.i = a.i AND b.vec_id <> $queryVec
+         | WHERE a.vec_id = $queryVec GROUP BY 1)""".stripMargin,
+      s"""vleg AS (SELECT vec_id AS v_id, CAST(row_number() OVER
+         |   (ORDER BY dot_q DESC, vec_id) AS BIGINT) AS vec_rank
+         | FROM vd QUALIFY vec_rank <= $r)""".stripMargin)
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT coalesce(b_id, v_id) AS doc_id, bm25_rank, vec_rank,
+ coalesce($RrfScale // ($RrfK + bm25_rank), 0)
+   + coalesce($RrfScale // ($RrfK + vec_rank), 0) AS rrf_ppm
+FROM bleg FULL OUTER JOIN vleg ON v_id = b_id
+ORDER BY rrf_ppm DESC, doc_id LIMIT $k"""
+  }
+
+  /** q_mmr_rerank: greedy λ=½ Maximal Marginal Relevance over each
+    * query's brute top-`r` pool, the k rounds unrolled as chained
+    * CTEs (the [[labelProp]] pattern) — round 1 is pure relevance,
+    * each later round scores `dot_q − max_selected dot` over the
+    * remaining pool and picks the per-query argmax with (score DESC,
+    * vec_id) total-order ties (Retrieval.mmrRerankOf). */
+  def mmrRerank(k: Int, r: Int, nQueries: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += """e AS MATERIALIZED (SELECT vec_id,
+      |   generate_subscripts(embedding, 1) - 1 AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      | FROM embeddings)""".stripMargin
+    ctes += s"""dq AS (SELECT a.vec_id AS query_id, b.vec_id,
+      |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+      | FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+      | WHERE a.vec_id < $nQueries GROUP BY 1, 2)""".stripMargin
+    ctes += s"""pool AS MATERIALIZED (SELECT query_id, vec_id, dot_q FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY query_id
+      |     ORDER BY dot_q DESC, vec_id) AS rn FROM dq) WHERE rn <= $r)""".stripMargin
+    ctes += """pd AS MATERIALIZED (SELECT pa.query_id, pa.vec_id AS a,
+      |   pb.vec_id AS b, CAST(sum(ea.q * eb.q) AS BIGINT) AS dot_ab
+      | FROM pool pa JOIN pool pb ON pb.query_id = pa.query_id
+      |   AND pb.vec_id <> pa.vec_id
+      | JOIN e ea ON ea.vec_id = pa.vec_id
+      | JOIN e eb ON eb.vec_id = pb.vec_id AND eb.i = ea.i
+      | GROUP BY 1, 2, 3)""".stripMargin
+    ctes += """acc1 AS (SELECT query_id, vec_id, dot_q, dot_q AS mmr2x,
+      |   1 AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |     ORDER BY dot_q DESC, vec_id) AS rn FROM pool) WHERE rn = 1)""".stripMargin
+    for (round <- 2 to k) {
+      val p = round - 1
+      ctes += s"""cand$round AS (SELECT p.query_id, p.vec_id, p.dot_q,
+        |   p.dot_q - max(pd.dot_ab) AS mmr2x
+        | FROM pool p
+        | JOIN acc$p s ON s.query_id = p.query_id
+        | JOIN pd ON pd.query_id = p.query_id AND pd.a = p.vec_id
+        |   AND pd.b = s.vec_id
+        | WHERE NOT EXISTS (SELECT 1 FROM acc$p x
+        |   WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+        | GROUP BY 1, 2, 3)""".stripMargin
+      ctes += s"""acc$round AS (SELECT * FROM acc$p UNION ALL
+        | SELECT query_id, vec_id, dot_q, mmr2x, $round AS rnk FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY mmr2x DESC, vec_id) AS rn FROM cand$round)
+        | WHERE rn = 1)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n ") +
+      s"\nSELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, dot_q, mmr2x" +
+      s"\nFROM acc$k"
+  }
+
+  /** q_boilerplate: cross-document repeated-line census — the same
+    * deterministic delimiter injection as the Spark side, but lines
+    * group by their reconstructed STRINGS (the chunkDedup
+    * collision-detecting discipline); doc-distinct df within source,
+    * then per-doc occurrence/char fractions
+    * (TextAnalysis.boilerplateOf). */
+  def boilerplate(delims: Seq[String], minDf: Int): String = {
+    val injected = delims.foldLeft("text")((c, d) =>
+      s"replace($c, '${d.replace("'", "''")}', chr(10))")
+    s"""WITH dl AS MATERIALIZED (SELECT doc_id, source,
+       |   unnest(list_filter(string_split($injected, chr(10)),
+       |     x -> x <> '')) AS line
+       | FROM documents),
+       | dd AS (SELECT DISTINCT doc_id, source, line FROM dl),
+       | df AS MATERIALIZED (SELECT source, line, count(*) AS doc_df
+       |   FROM dd GROUP BY 1, 2),
+       | j AS (SELECT dl.doc_id, length(dl.line) AS len,
+       |     (df.doc_df >= $minDf) AS bp
+       |   FROM dl JOIN df ON df.source = dl.source AND df.line = dl.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       | CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS bp_lines,
+       | CAST(sum(len) AS BIGINT) AS n_line_chars,
+       | CAST(sum(CASE WHEN bp THEN len ELSE 0 END) AS BIGINT) AS bp_chars,
+       | CASE WHEN sum(len) > 0 THEN
+       |   CAST(sum(CASE WHEN bp THEN len ELSE 0 END) AS DOUBLE)
+       |     / CAST(sum(len) AS DOUBLE) END AS bp_char_frac
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
+  /** q_calibration_bins: the reliability diagram off the SAME logit
+    * chain as [[scoreAuc]] plus the shared [[gopherCtes]] verdict —
+    * equal-width integer bins over [min, max] logit, all operands of
+    * both truncating divisions non-negative so `//` and Spark's `div`
+    * floor identically (TextAnalysis.calibrationBinsOf). */
+  def calibrationBins(weights: Seq[Long], bins: Int): String = {
+    val (ctes, last) = gramSeqCtes(1)
+    val d = weights.length
+    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    "WITH " + (ctes ++ Seq(
+      s"wt(b, w) AS (VALUES $wValues)",
+      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
+        s" FROM $last)",
+      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
+        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
+      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+      gopherCtes ++ Seq(
+      "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
+        " JOIN gp ON gp.doc_id = sc.doc_id)",
+      "rg AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx FROM pnl)",
+      s"bn AS (SELECT ((logit_fp - mn) * $bins) // (mx - mn + 1) AS bin," +
+        s" mn + (((logit_fp - mn) * $bins) // (mx - mn + 1) * (mx - mn + 1))" +
+        s" // $bins AS bin_lo, logit_fp, pass FROM pnl CROSS JOIN rg)"))
+      .mkString(",\n ") + """
+SELECT bin, bin_lo, count(*) AS n_docs,
+ CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+ CAST(sum(logit_fp) AS BIGINT) AS sum_logit,
+ CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+   / CAST(count(*) AS DOUBLE) AS pass_rate
+FROM bn GROUP BY 1, 2"""
   }
 
   /** q_curation_manifest: the WHOLE curation funnel as one

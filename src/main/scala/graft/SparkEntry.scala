@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Curation, Dedup, Monitoring, Multimodal, Sampling, Sequence, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, Curation, Dedup, Monitoring, Multimodal, Retrieval, Sampling, Sequence, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -169,6 +169,8 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "q_ann_ivfpq" -> ((s, d) => Ann.ivfPqTopK(s, d)),
     "q_ann_rerank" -> ((s, d) => Ann.annRerank(s, d)),
+    "q_rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    "q_mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -181,6 +183,7 @@ object SparkEntry {
     "q_word_freq" -> ((s, d) => TextAnalysis.wordFreq(s, d)),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q_line_dup" -> ((s, d) => TextAnalysis.lineRepetition(s, d)),
+    "q_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "q_mask_digits" -> ((s, d) => TextAnalysis.maskDigits(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -200,6 +203,7 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
+    "q_calibration_bins" -> ((s, d) => TextAnalysis.calibrationBins(s, d)),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
@@ -1877,6 +1881,17 @@ object SparkEntry {
       TextAnalysis.classifierWeights(256)),
     // exact Mann-Whitney AUC of the classifier vs the gopher verdict
     "q_score_auc" -> OracleSql.scoreAuc(TextAnalysis.classifierWeights(256)),
+    // reliability diagram off the same logit chain + gopher verdict
+    "q_calibration_bins" -> OracleSql.calibrationBins(
+      TextAnalysis.classifierWeights(256), 10),
+    // hybrid retrieval: shared bm25 CTE chain + exact-dot vector leg
+    "q_rrf_fusion" -> OracleSql.rrfFusion(
+      TextAnalysis.Bm25DefaultTerms, 10, 30, 0),
+    // greedy MMR rounds unrolled as chained CTEs
+    "q_mmr_rerank" -> OracleSql.mmrRerank(5, 12, 4),
+    // cross-doc repeated-line census, lines grouped by STRING
+    "q_boilerplate" -> OracleSql.boilerplate(
+      TextAnalysis.BoilerplateDelims, TextAnalysis.BoilerplateMinDf),
     "q_fingerprint" -> OracleSql.fingerprints,
     // DSIR weights: bigrams rebuilt positionally (q_cooccur pattern),
     // the same md5-prefix bucket hash, integer mass sums + one

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Serving-tier retrieval compositions over the corpus the other
+  * operator families index: hybrid lexical+vector fusion and
+  * diversified reranking — the two steps between "we have a BM25
+  * ranker and an ANN index" and "we answer queries with one list".
+  *
+  * Both operators are EXACT-integer end to end (the
+  * [[TextAnalysis.bm25]] integer-surrogate discipline): ranks fuse
+  * through floor-divided reciprocal terms and MMR trades off exact
+  * quantized dots, so two engines can never disagree by an ulp and
+  * flip an answer.
+  */
+object Retrieval {
+
+  /** Default RRF dampening constant (Cormack et al. 2009's k=60). */
+  private[graft] val RrfK = 60L
+  /** Fixed-point scale of one reciprocal-rank term. */
+  private[graft] val RrfScale = 1000000L
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 top-`r`
+    * lexical list and the exact-dot top-`r` vector list (query =
+    * vector `queryVec`'s embedding; documents and vectors share ids)
+    * fused by `rrf_ppm = Σ_lists ⌊10⁶ / (60 + rank)⌋` — the
+    * standard engine-combination rule (Cormack et al. 2009), kept in
+    * exact integers so the fused order is engine-reproducible. A doc
+    * on only one list contributes only that list's term (the outer
+    * join, not an intersection — RRF's whole point is surfacing
+    * docs either retriever found).
+    *
+    * Scale shape: each leg is its own top-`r` kernel — BM25 is a
+    * corpus scan into a TakeOrderedAndProject ([[TextAnalysis.bm25Of]]),
+    * the vector leg broadcasts ONE query embedding over the
+    * embeddings scan into the same top-`r` shape — and fusion then
+    * joins two ≤`r`-row frames: query-bounded work, never
+    * corpus-bounded. At 100 TB both legs stay single-scan; the
+    * fusion cost does not grow with the corpus at all. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 10, r: Int = 30,
+                queryVec: Int = 0): DataFrame =
+    rrfFusionOf(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")),
+      TextAnalysis.Bm25DefaultTerms, k, r, queryVec)
+
+  /** [[rrfFusion]] over prepared (doc_id, text) / (vec_id, embedding)
+    * frames sharing an id space. */
+  def rrfFusionOf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                  k: Int, r: Int, queryVec: Int): DataFrame = {
+    require(k <= 2 * r,
+      s"fused top-k=$k cannot exceed the 2·r=${2 * r} fused candidates")
+    // lexical leg: the bm25 kernel's own top-r (already a total order
+    // on (score DESC, doc_id)); the rank window runs over ≤r rows
+    val bw = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bleg = TextAnalysis.bm25Of(docs, terms, r)
+      .select(col("doc_id").as("b_id"),
+        row_number().over(bw).cast("long").as("bm25_rank"))
+    // vector leg: one broadcast query embedding, exact integer dots,
+    // top-r via TakeOrderedAndProject — the bruteTopK shape for a
+    // single query (the query vector itself never self-matches)
+    val q = emb.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("e_query"))
+    val vw = Window.orderBy(col("dot_q").desc, col("v_id").asc)
+    val vleg = emb.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("v_id"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+      .orderBy(col("dot_q").desc, col("v_id").asc)
+      .limit(r)
+      .select(col("v_id"), row_number().over(vw).cast("long").as("vec_rank"))
+    def term(rank: org.apache.spark.sql.Column) =
+      coalesce(call_function("div", lit(RrfScale), lit(RrfK) + rank), lit(0L))
+    bleg.join(vleg, col("b_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("b_id"), col("v_id")).as("doc_id"),
+        col("bm25_rank"), col("vec_rank"),
+        (term(col("bm25_rank")) + term(col("vec_rank"))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Diversified reranking via Maximal Marginal Relevance (Carbonell
+    * & Goldstein 1998) at λ = ½ over exact integer dots: from each
+    * query's brute top-`r` candidate pool, greedily pick `k` results
+    * maximizing `2·MMR = dot(q, d) − max_{s∈selected} dot(d, s)` —
+    * relevance minus redundancy, the rerank every RAG stack runs
+    * between "top-r by similarity" and "k results worth showing".
+    * Rank 1 is pure relevance (nothing selected yet); ties break by
+    * vec_id so every round is a total order.
+    *
+    * Scale shape: the candidate scan is the [[Ann.bruteTopK]] kernel
+    * (broadcast queries over one embeddings scan, per-query top-r
+    * window); everything after operates on query-bounded frames —
+    * the pool (`nQueries·r` rows) and its pairwise dots
+    * (`nQueries·r²`) are materialized ONCE, and each greedy round is
+    * an anti-join + max-aggregate + argmax window over those tiny
+    * frames (the [[Sequence.labelPropOf]] unrolled-rounds pattern,
+    * never a driver-side loop over collected rows). At 100 TB only
+    * the candidate generation touches the corpus. */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5, r: Int = 12,
+                nQueries: Int = 4): DataFrame =
+    mmrRerankOf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), k, r, nQueries)
+
+  /** [[mmrRerank]] over a prepared (vec_id, embedding) frame. */
+  def mmrRerankOf(emb: DataFrame, k: Int, r: Int, nQueries: Int): DataFrame = {
+    require(k <= r, s"reranked top-k=$k cannot exceed pool depth r=$r")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    // candidate pool: per-query top-r with embeddings carried so the
+    // pairwise stage below needs no second corpus touch
+    val pool = graft.plans.Materialize(
+      emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= r)
+        .drop("rn"))
+    // pairwise dots within a query's pool: nQueries·r² rows, the
+    // redundancy term's whole input
+    val pd = graft.plans.Materialize(
+      pool.select(col("query_id"), col("vec_id").as("a"),
+          col("embedding").as("e_a"))
+        .join(pool.select(col("query_id"), col("vec_id").as("b"),
+          col("embedding").as("e_b")), Seq("query_id"))
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          V.quantizedDot(col("e_a"), col("e_b")).as("dot_ab")))
+    val slim = pool.select(col("query_id"), col("vec_id"), col("dot_q"))
+    def argmax(df: DataFrame, score: String, rank: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("vec_id").asc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("dot_q"),
+          col(score).cast("long").as("mmr2x"), lit(rank).cast("int").as("rnk"))
+    }
+    var acc = argmax(slim, "dot_q", 1)
+    for (round <- 2 to k) {
+      val accIds = acc.select(col("query_id"), col("vec_id"))
+      // redundancy term: each unselected candidate's max dot against
+      // the selected set so far (selected ids rename to the pair
+      // table's `b` side, candidates are its `a` side)
+      val maxSel = pd
+        .join(accIds.withColumnRenamed("vec_id", "b"), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("dot_ab")).as("max_sel"))
+        .withColumnRenamed("a", "vec_id")
+      val scored = slim
+        .join(accIds, Seq("query_id", "vec_id"), "left_anti")
+        .join(maxSel, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("dot_q"),
+          (col("dot_q") - col("max_sel")).as("mmr2x"))
+      // materialize each round: `acc` feeds BOTH the anti-join and
+      // the redundancy max, and the next round references the result
+      // again — lazily that doubles the re-evaluated plan per round
+      // (2^k tiny stages); checkpointed it is k linear rounds over a
+      // ≤nQueries·k-row frame (the kmeansIterate lineage-cut rule)
+      acc = graft.plans.Materialize(acc.unionAll(argmax(scored, "mmr2x", round)))
+    }
+    acc.select(col("query_id"), col("rnk"), col("vec_id"), col("dot_q"),
+      col("mmr2x"))
+  }
+}

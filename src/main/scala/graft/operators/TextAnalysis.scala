@@ -575,6 +575,69 @@ object TextAnalysis {
           coalesce(col("dup_para_char_frac") > 0.20, lit(false)))
   }
 
+  /** The words whose surrounding spaces become line breaks when the
+    * synthetic corpus needs line structure for the boilerplate
+    * census — shared with the oracle generator so the injected
+    * structure can't drift between engines. Three delimiters cut the
+    * text into short repeated phrases (the corpus vocabulary is
+    * small), giving the census real cross-document signal. */
+  private[graft] val BoilerplateDelims = Seq(" the ", " key ", " batch ")
+  /** A line is boilerplate when at least this many DISTINCT documents
+    * of the same source contain it (the CCNet/RefinedWeb "seen
+    * elsewhere" rule — df ≥ 2 marks anything shared at all). */
+  private[graft] val BoilerplateMinDf = 2
+
+  /** Cross-document BOILERPLATE census — the removal gate CCNet-style
+    * pipelines run before any quality scoring: a line that appears in
+    * ≥ [[BoilerplateMinDf]] distinct documents of the same source
+    * (site navigation, footers, legal banners) is boilerplate, and
+    * each document reports how much of its line mass that covers
+    * (count and character fractions — the char fraction is the one a
+    * removal pass actually deletes). Line structure is injected
+    * deterministically on both engines ([[BoilerplateDelims]]) since
+    * the driver corpus has no newlines; BoilerplateSpec covers real
+    * `\n` structure with planted boilerplate.
+    *
+    * Scale shape: lines collapse to (source, 8-byte xxhash64) keys
+    * before anything shuffles — line TEXT never leaves the scan (the
+    * [[chunkDedupOf]] discipline), the document-frequency table is
+    * line-vocabulary-sized, and the join back is co-partitioned on
+    * the same (source, hash) key the frequency aggregate just
+    * produced. The oracle groups by the reconstructed line STRINGS,
+    * so a 64-bit collision fails the gate rather than hiding. */
+  def boilerplate(spark: SparkSession, dir: String,
+                  minDf: Int = BoilerplateMinDf): DataFrame =
+    boilerplateOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        BoilerplateDelims.foldLeft(col("text"))((c, d) =>
+          replace(c, lit(d), lit("\n"))).as("text")), minDf)
+
+  /** [[boilerplate]] over a prepared (doc_id, source, text) frame
+    * whose text carries real `\n` line structure. */
+  def boilerplateOf(docs: DataFrame, minDf: Int = BoilerplateMinDf): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("source"),
+        explode(filter(split(col("text"), "\n"), x => x =!= "")).as("line"))
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("line")).as("h"), length(col("line")).cast("long").as("len"))
+    // doc-distinct df: a line repeated WITHIN one doc is repetition
+    // (q_line_dup's business), not boilerplate — df counts documents
+    val lineDf = occ.select(col("doc_id"), col("source"), col("h")).distinct()
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("doc_df"))
+    occ.join(lineDf, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
+        sum(col("len")).as("n_line_chars"),
+        sum(when(col("doc_df") >= minDf, col("len")).otherwise(0L)).as("bp_chars"))
+      .select(col("doc_id"), col("n_lines"), col("bp_lines"),
+        col("n_line_chars"), col("bp_chars"),
+        when(col("n_line_chars") > 0L,
+          col("bp_chars").cast("double") / col("n_line_chars").cast("double"))
+          .as("bp_char_frac"))
+  }
+
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val toks = T.tokens(col("text"))
     Tables.documents(spark, dir)
@@ -1343,6 +1406,53 @@ object TextAnalysis {
           expr(s"CAST((u2 * 1000000) DIV" +
             s" (2 * CAST(n_pos AS $d38) * CAST(n_neg AS $d38)) AS BIGINT)"))
           .as("auc_ppm"))
+  }
+
+  /** Reliability diagram for the quality classifier — the calibration
+    * companion of [[scoreAuc]] (AUC says the RANKING is good; this
+    * says whether the SCORE VALUES mean what a threshold consumer
+    * thinks): documents bucketed into `bins` equal-width logit bins
+    * over the observed [min, max] range, each bin reporting document
+    * count, Gopher-pass count, the empirical pass rate, and the exact
+    * logit mass. Everything before the one final IEEE division is
+    * integer — bin edges are `mn + ⌊bin·(mx−mn+1)/bins⌋`, assignment
+    * is `⌊(logit−mn)·bins/(mx−mn+1)⌋` (both operands non-negative, so
+    * truncating division IS floor division on both engines).
+    *
+    * Scale shape: logit and verdict fuse into ONE row-local corpus
+    * scan (the [[scoreAucOf]] plan), projected down to a 9-byte
+    * (logit, pass) panel that materializes once; the min/max scalar
+    * and the `bins`-row aggregate are then two cheap passes over that
+    * panel, never over text. */
+  def calibrationBins(spark: SparkSession, dir: String,
+                      buckets: Int = 256, bins: Int = 10): DataFrame =
+    calibrationBinsOf(Tables.documents(spark, dir), buckets, bins)
+
+  def calibrationBinsOf(docs: DataFrame, buckets: Int = 256,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"need at least one bin, got $bins")
+    val perDoc = graft.plans.Materialize(
+      gopherAugmented(docs)
+        .select(classifierLogit(col("text"), buckets).as("logit_fp"),
+          col("pass")))
+    val range = perDoc.agg(min(col("logit_fp")).as("mn"),
+      max(col("logit_fp")).as("mx"))
+    // width = mx−mn+1 keeps the max logit inside bin `bins−1`
+    val width = col("mx") - col("mn") + lit(1L)
+    perDoc.crossJoin(broadcast(range))
+      .select(call_function("div",
+        (col("logit_fp") - col("mn")) * lit(bins.toLong), width).as("bin"),
+        (col("mn") + call_function("div",
+          call_function("div",
+            (col("logit_fp") - col("mn")) * lit(bins.toLong), width) * width,
+          lit(bins.toLong))).as("bin_lo"),
+        col("logit_fp"), col("pass"))
+      .groupBy(col("bin"), col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("logit_fp")).as("sum_logit"))
+      .withColumn("pass_rate",
+        col("n_pos").cast("double") / col("n_docs").cast("double"))
   }
 
   /** RE2-compatible PII census patterns (no lookaround, no backrefs,

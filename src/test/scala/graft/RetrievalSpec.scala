@@ -212,4 +212,138 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Double]("est_jaccard") == m.toDouble / 64.0)
     }
   }
+
+  // ---- r10 serving tier: hybrid fusion + diversified rerank --------
+
+  /** The QuantizedDot contract mirrored on the driver. */
+  private def qdot(a: Array[Float], b: Array[Float]): Long =
+    a.zip(b).map { case (x, y) =>
+      graft.functions.QuantizedDot.rnd(x.toDouble * 1000) *
+        graft.functions.QuantizedDot.rnd(y.toDouble * 1000)
+    }.sum
+
+  test("rrf fusion equals a driver-side fusion of the two exact-rank lists") {
+    val terms = Seq("apple", "pear")
+    // docs 1-4 match terms with distinct bm25 scores; docs 5-6 don't
+    val docs = Seq(
+      1L -> "apple apple apple pear one two three four",
+      2L -> "apple pear pear five six seven eight nine",
+      3L -> "apple one two three four five six seven",
+      4L -> "pear one two three four five six seven eight nine",
+      5L -> "one two three four five six seven eight",
+      6L -> "nine ten one two three four five six")
+    // vectors: ids 0 (query) and 2,3,5,7 — 7 is vector-only, 1/4/6
+    // are lexical-only, so the outer join's both-sided rows exist
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f), 2L -> Array(0.9f, 0.3f),
+      3L -> Array(0.2f, 0.9f), 5L -> Array(0.8f, -0.4f),
+      7L -> Array(0.95f, 0.1f))
+    val (k, r) = (6, 4)
+    val got = graft.operators.Retrieval.rrfFusionOf(
+      docs.toDF("doc_id", "text"), vecs.toDF("vec_id", "embedding"),
+      terms, k, r, 0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rrf_ppm"))).toSeq
+    // driver mirror: bm25Model ranks, quantized-dot ranks, floor-div
+    // reciprocal terms, (rrf DESC, id) order
+    val bRank = bm25Model(docs, terms).toSeq
+      .sortBy { case (id, (_, s)) => (-s, id) }.take(r)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val q = vecs.head._2
+    val vRank = vecs.tail.map { case (id, v) => id -> qdot(q, v) }
+      .sortBy { case (id, d) => (-d, id) }.take(r)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val exp = (bRank.keySet ++ vRank.keySet).toSeq.map { id =>
+      val t = bRank.get(id).map(rk => 1000000L / (60L + rk)).getOrElse(0L) +
+        vRank.get(id).map(rk => 1000000L / (60L + rk)).getOrElse(0L)
+      (id, t)
+    }.sortBy { case (id, t) => (-t, id) }.take(k)
+    assert(got == exp)
+    // a doc on BOTH lists must beat one holding only a comparable
+    // single-list rank (the fusion's whole point)
+    assert(got.head._2 > 1000000L / 61L,
+      "top fused doc should carry two reciprocal terms")
+  }
+
+  test("mmr rerank demotes the planted near-duplicate and matches a greedy mirror") {
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f),      // query
+      1L -> Array(0.99f, 0.1f),     // most relevant
+      2L -> Array(0.985f, 0.12f),   // near-dup of 1
+      3L -> Array(0.6f, -0.7f),     // diverse, mid relevance
+      4L -> Array(0.3f, 0.8f),      // diverse, low relevance
+      5L -> Array(0.97f, 0.14f))    // another near-dup of 1
+    val (k, r, nq) = (3, 5, 1)
+    val got = graft.operators.Retrieval.mmrRerankOf(
+      vecs.toDF("vec_id", "embedding"), k, r, nq)
+      .orderBy(col("rnk")).collect()
+      .map(row => (row.getInt(1), row.getLong(2), row.getLong(4)))
+    // greedy driver mirror at λ=½ over the same quantized dots
+    val q = vecs.head._2
+    val pool = vecs.tail.map { case (id, v) => (id, v, qdot(q, v)) }
+      .sortBy { case (id, _, d) => (-d, id) }.take(r)
+    var selected = Vector(pool.maxBy { case (id, _, d) => (d, -id) })
+    var exp = Vector((1, selected.head._1, selected.head._3))
+    for (round <- 2 to k) {
+      val cand = pool.filterNot(p => selected.exists(_._1 == p._1))
+        .map { case (id, v, d) =>
+          (id, v, d, d - selected.map(s => qdot(v, s._2)).max)
+        }
+      val pick = cand.minBy { case (id, _, _, m) => (-m, id) }
+      selected :+= ((pick._1, pick._2, pick._3))
+      exp :+= ((round, pick._1, pick._4))
+    }
+    assert(got.toVector == exp)
+    // relevance-only top-3 is {1, 2, 5} (the dup cluster); MMR must
+    // break out of it after rank 1
+    assert(got.head._2 == 1L)
+    assert(got.map(_._2).toSet != Set(1L, 2L, 5L),
+      "rerank kept the whole near-dup cluster")
+  }
+
+  test("boilerplate: planted footer counts per source; within-doc repeats don't") {
+    val footer = "ALL RIGHTS RESERVED"
+    val docs = Seq(
+      (1L, "srcA", s"unique one\n$footer"),
+      (2L, "srcA", s"unique two\n$footer\nmore text"),
+      (3L, "srcA", s"$footer\nunique three"),
+      // same footer string in srcB, but only ONE srcB doc has it —
+      // boilerplate is a PER-SOURCE verdict
+      (4L, "srcB", s"other things\n$footer"),
+      // a line repeated twice INSIDE one doc and nowhere else is
+      // repetition (q_line_dup), not boilerplate: doc-distinct df = 1
+      (5L, "srcA", "solo line\nsolo line\nunique five"))
+    val got = TextAnalysis.boilerplateOf(
+        docs.toDF("doc_id", "source", "text"), minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("bp_lines"),
+          r.getAs[Long]("bp_chars")))).toMap
+    assert(got(1L) == ((2L, 1L, footer.length.toLong)))
+    assert(got(2L) == ((3L, 1L, footer.length.toLong)))
+    assert(got(3L) == ((2L, 1L, footer.length.toLong)))
+    assert(got(4L) == ((2L, 0L, 0L)), "cross-source twin leaked in")
+    assert(got(5L) == ((3L, 0L, 0L)), "within-doc repeat counted as boilerplate")
+  }
+
+  test("calibration bins: mass conservation, monotone edges, gopher agreement") {
+    val bins = TextAnalysis.calibrationBins(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nPass = TextAnalysis.gopherPanel(spark, sfDir)
+      .filter(col("pass")).count()
+    val logitSum = TextAnalysis.classifierScore(spark, sfDir)
+      .agg(sum(col("logit_fp"))).head().getLong(0)
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(bins.map(_.getAs[Long]("n_pos")).sum == nPass)
+    assert(bins.map(_.getAs[Long]("sum_logit")).sum == logitSum)
+    bins.foreach { b =>
+      assert(b.getAs[Long]("bin") >= 0L && b.getAs[Long]("bin") <= 9L)
+      val rate = b.getAs[Double]("pass_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val edges = bins.map(b => (b.getAs[Long]("bin"), b.getAs[Long]("bin_lo")))
+    assert(edges.sortBy(_._1).sliding(2).forall {
+      case Array((_, lo1), (_, lo2)) => lo1 < lo2
+      case _ => true
+    }, "bin_lo must increase with bin")
+  }
 }
