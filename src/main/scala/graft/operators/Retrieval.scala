@@ -108,6 +108,7 @@ object Retrieval {
 
   /** [[mmrRerank]] over a prepared (vec_id, embedding) frame. */
   def mmrRerankOf(emb: DataFrame, k: Int, r: Int, nQueries: Int): DataFrame = {
+    require(k >= 1, s"reranked top-k must be positive: got $k")
     require(k <= r, s"reranked top-k=$k cannot exceed pool depth r=$r")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))

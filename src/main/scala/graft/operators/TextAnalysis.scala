@@ -176,13 +176,11 @@ object TextAnalysis {
 
   def keynessOf(docs: DataFrame, k: Int): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    // MATERIALIZED: four consumers (sw itself + word margin + source
-    // margin + corpus totals) would each re-scan the corpus and re-pay
-    // the tokenize/explode/aggregate — Catalyst cannot share the
-    // subplan across the differently-pruned branches (the
-    // perSourceWord argument); plan-audited to ONE documents scan
-    val sw = graft.plans.Materialize(tokenWords(docs)
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("a")))
+    // the shared perSourceWord checkpoint: four consumers (sw itself +
+    // word margin + source margin + corpus totals) would each re-scan
+    // the corpus otherwise — see perSourceWord's Materialize rationale;
+    // plan-audited to ONE documents scan
+    val sw = perSourceWord(docs).withColumnRenamed("n_inst", "a")
     val wTot = sw.groupBy(col("word")).agg(sum(col("a")).as("cw"))
     val sTot = sw.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val totals = sw.agg(sum(col("a")).as("n_total"),
@@ -615,11 +613,15 @@ object TextAnalysis {
   /** [[boilerplate]] over a prepared (doc_id, source, text) frame
     * whose text carries real `\n` line structure. */
   def boilerplateOf(docs: DataFrame, minDf: Int = BoilerplateMinDf): DataFrame = {
-    val occ = docs
+    // MATERIALIZED: two consumers (the df aggregate and the join-back)
+    // would each re-scan + re-split + re-explode the corpus — Catalyst
+    // cannot share the subplan (the perSourceWord argument); the
+    // checkpointed frame is 4 slim columns, line text already dropped
+    val occ = graft.plans.Materialize(docs
       .select(col("doc_id"), col("source"),
         explode(filter(split(col("text"), "\n"), x => x =!= "")).as("line"))
       .select(col("doc_id"), col("source"),
-        xxhash64(col("line")).as("h"), length(col("line")).cast("long").as("len"))
+        xxhash64(col("line")).as("h"), length(col("line")).cast("long").as("len")))
     // doc-distinct df: a line repeated WITHIN one doc is repetition
     // (q_line_dup's business), not boilerplate — df counts documents
     val lineDf = occ.select(col("doc_id"), col("source"), col("h")).distinct()

@@ -76,6 +76,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 0, s"keyness re-scans the corpus past the materialize:\n$plan")
   }
 
+  test("boilerplate: one corpus scan, line text never crosses an exchange") {
+    val plan = physical(graft.operators.TextAnalysis.boilerplate(spark, sfDir))
+    // the slim (doc_id, source, h, len) occurrence frame is
+    // materialized once; both consumers (df aggregate + join back)
+    // read the checkpoint blocks — no second split/explode pass
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"boilerplate re-scans the corpus past the materialize:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    // "line#<id>" is the raw text attribute; n_lines/bp_lines don't match
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("line#")),
+      s"line text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("chunk dedup: chunk text collapses to hashes before every exchange") {
     val plan = physical(graft.operators.TextAnalysis.chunkDedup(spark, sfDir))
     // the frequency aggregate and the join back move 8-byte hashes; a

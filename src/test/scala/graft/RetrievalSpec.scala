@@ -232,8 +232,9 @@ class RetrievalSpec extends SparkSpec {
       4L -> "pear one two three four five six seven eight nine",
       5L -> "one two three four five six seven eight",
       6L -> "nine ten one two three four five six")
-    // vectors: ids 0 (query) and 2,3,5,7 — 7 is vector-only, 1/4/6
-    // are lexical-only, so the outer join's both-sided rows exist
+    // vectors: ids 0 (query) and 2,3,5,7 — lexical-only {1,4},
+    // vector-only {5,7}, both lists {2,3} (6 matches neither), so the
+    // outer join's single-sided AND both-sided rows all exist
     val vecs = Seq(
       0L -> Array(1.0f, 0.0f), 2L -> Array(0.9f, 0.3f),
       3L -> Array(0.2f, 0.9f), 5L -> Array(0.8f, -0.4f),
