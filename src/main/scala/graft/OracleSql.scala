@@ -1033,6 +1033,87 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |  FROM scored)
        |WHERE rnk <= $k""".stripMargin
 
+  /** q_centroid_drift: per-label centroid shift between the even-
+    * vec_id (indexed) and odd-vec_id (fresh) epochs — the exact
+    * integer cross-product numerator in HUGEINT mirrors Spark's
+    * DECIMAL(38,0); a label present in only one epoch yields NULL
+    * (Ann.centroidDriftOf). */
+  def centroidDrift(): String =
+    """WITH qv AS (SELECT label, vec_id % 2 = 0 AS is_old,
+      |   generate_subscripts(embedding, 1) AS pos,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+      |     AS q
+      |  FROM embeddings),
+      | pd AS (SELECT label, pos,
+      |   CAST(sum(CASE WHEN is_old THEN q ELSE 0 END) AS BIGINT) AS s_old,
+      |   CAST(sum(CASE WHEN NOT is_old THEN q ELSE 0 END) AS BIGINT)
+      |     AS s_new,
+      |   count(*) FILTER (is_old) AS n_old,
+      |   count(*) FILTER (NOT is_old) AS n_new
+      |  FROM qv GROUP BY 1, 2)
+      |SELECT label, max(n_old) AS n_old, max(n_new) AS n_new,
+      | count(*) AS dims,
+      | CASE WHEN max(n_old) > 0 AND max(n_new) > 0 THEN
+      |   CAST((sum(abs(CAST(s_old AS HUGEINT) * n_new -
+      |                 CAST(s_new AS HUGEINT) * n_old)) * 1000000) //
+      |        (CAST(max(n_old) AS HUGEINT) * max(n_new) *
+      |         1000 * count(*)) AS BIGINT)
+      | END AS drift_ppm
+      |FROM pd GROUP BY 1""".stripMargin
+
+  /** q_k_anonymity: quasi-identifier class census + discernibility
+    * (Σ size² in HUGEINT, shipped as canonical digits to mirror
+    * Spark's DECIMAL(38,0)→string); k and the length-bucket width
+    * thread from Curation's shared constants. */
+  def kAnonymity(k: Int, bucketChars: Long): String = {
+    require(k >= 1 && bucketChars >= 1L,
+      s"k and bucket width must be positive: got k=$k bucket=$bucketChars")
+    s"""WITH classes AS (SELECT lang, source,
+       |   n_chars // $bucketChars AS len_bucket, count(*) AS class_size
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT source, CAST(sum(class_size) AS BIGINT) AS n_docs,
+       | count(*) AS n_classes,
+       | CAST(min(class_size) AS BIGINT) AS min_class,
+       | CAST(sum(CASE WHEN class_size < $k THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS small_classes,
+       | CAST(sum(CASE WHEN class_size < $k THEN class_size ELSE 0 END)
+       |   AS BIGINT) AS docs_at_risk,
+       | CAST(sum(CAST(class_size AS HUGEINT) * class_size) AS VARCHAR)
+       |   AS discernibility,
+       | CAST((CAST(sum(CASE WHEN class_size < $k THEN class_size
+       |              ELSE 0 END) AS HUGEINT) * 1000000) //
+       |      CAST(sum(class_size) AS HUGEINT) AS BIGINT) AS risk_ppm
+       |FROM classes GROUP BY 1""".stripMargin
+  }
+
+  /** q_length_survival: truncation-loss panel over the shared context
+    * grid; fixed-point ppm divisions in HUGEINT mirror Spark's
+    * DECIMAL(38,0) DIV (all operands non-negative, so // and DIV
+    * floor identically). */
+  def lengthSurvival(grid: Seq[Long]): String = {
+    require(grid.nonEmpty && grid.forall(_ >= 1L),
+      s"context grid must be non-empty positive windows: got $grid")
+    s"""WITH g AS (SELECT CAST(unnest([${grid.mkString(", ")}]) AS BIGINT)
+       |     AS ctx),
+       | pd AS (SELECT source,
+       |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |     AS nt
+       |  FROM documents)
+       |SELECT source, ctx, count(*) AS n_docs,
+       | CAST(sum(nt) AS BIGINT) AS n_tokens,
+       | count(*) FILTER (nt > ctx) AS docs_over,
+       | CAST(sum(CASE WHEN nt > ctx THEN nt - ctx ELSE 0 END) AS BIGINT)
+       |   AS tokens_lost,
+       | CAST((CAST(count(*) FILTER (nt > ctx) AS HUGEINT) * 1000000) //
+       |   CAST(count(*) AS HUGEINT) AS BIGINT) AS over_ppm,
+       | CASE WHEN sum(nt) > 0 THEN
+       |   CAST((CAST(sum(CASE WHEN nt > ctx THEN nt - ctx ELSE 0 END)
+       |           AS HUGEINT) * 1000000) //
+       |        CAST(sum(nt) AS HUGEINT) AS BIGINT)
+       | END AS lost_ppm
+       |FROM pd CROSS JOIN g GROUP BY 1, 2""".stripMargin
+  }
+
   /** q_bpe_merges: the trained merge TABLE itself as the oracle-checked
     * output — each round's argmax CTE (m1..mN) stamped with its rank.
     * Verifies the reusable artifact trainBpe ships, not just the

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_dup_census" -> ((s, d) => Dedup.dupCensus(s, d)),
     "q_source_sketch" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_curation_manifest" -> ((s, d) => Curation.manifest(s, d)),
+    "q_k_anonymity" -> ((s, d) => Curation.kAnonymity(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "q_ann_probe_sweep" -> ((s, d) => Ann.ivfProbeSweep(s, d)),
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
+    "q_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
     "q_epoch_plan" -> ((s, d) => Sampling.epochPlan(s, d)),
     "q_domain_cap" -> ((s, d) => Sampling.domainCap(s, d)),
+    "q_length_survival" -> ((s, d) => Sampling.lengthSurvival(s, d)),
     "q_cooccur" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_winsorize" -> ((s, d) => Monitoring.winsorized(s, d)),
     "q_embed_norm" -> ((s, d) => Ann.embedNorms(s, d)),
@@ -1711,6 +1714,8 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY quality DESC, doc_id) <= 15"""
         .replace("%%QUALITY%%", qualitySqlKernel).stripMargin,
+    // truncation-loss survival panel over the shared context grid
+    "q_length_survival" -> OracleSql.lengthSurvival(Sampling.ContextGrid),
     "q_repetition" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -1805,6 +1810,10 @@ object SparkEntry {
     "q_source_sketch" ->
       OracleSql.sourceSketch(Dedup.SourceSketchNumHashes),
     "q_curation_manifest" -> OracleSql.curationManifest(qualitySqlKernel),
+    // quasi-identifier class census; k + bucket width thread from the
+    // shared Curation constants
+    "q_k_anonymity" -> OracleSql.kAnonymity(
+      Curation.KAnonK, Curation.KAnonBucketChars),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
     "q_pii_redact" -> OracleSql.piiRedact,
@@ -2298,6 +2307,9 @@ object SparkEntry {
         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         | FROM embeddings)
         |GROUP BY 1,2""".stripMargin,
+    // index staleness: exact cross-product drift per label, epochs on
+    // vec_id parity
+    "q_centroid_drift" -> OracleSql.centroidDrift(),
     "q_media_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_bytes,
         | sha256(text) AS sha

@@ -199,6 +199,63 @@ object Ann {
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
       .withColumn("centroid", col("sum_q") / (col("n") * lit(1000.0)))
 
+  /** ANN index STALENESS monitor — the "rebuild the index?" gauge a
+    * serving stack watches: per-label L1 drift between the centroid
+    * the index was trained on (vectors with even vec_id, standing in
+    * for the indexed epoch) and the centroid of the fresh epoch (odd
+    * vec_id). IVF/PQ recall degrades as the data distribution walks
+    * away from the trained codebook (the FAISS re-train guidance), so
+    * the drift per list is the trigger signal.
+    *
+    * Exactness: per dimension, |mean_old − mean_new| =
+    * |s_old·n_new − s_new·n_old| / (n_old·n_new) — the numerator is an
+    * exact integer over milli-quantized components, so the summed-
+    * over-dims numerator is exact, and drift_ppm =
+    * ⌊Σ_dim·10⁶ / (n_old·n_new·1000·dims)⌋ is ONE fixed-point division
+    * over DECIMAL(38,0) cross products (DuckDB mirrors in HUGEINT) —
+    * bit-identical rank order cross-engine, the q_keyness idiom. A
+    * label present in only one epoch reports NULL drift (no centroid
+    * pair), never a division crash.
+    *
+    * Scale shape: one embeddings scan → (label, dim) partial sums
+    * with BOTH epochs folded map-side (conditional sums — no
+    * self-join of the two epochs); the per-label re-aggregate handles
+    * #labels × dims rows, corpus-size-independent. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDriftOf(embs(spark, dir))
+
+  /** [[centroidDrift]] over a prepared (vec_id, label, embedding)
+    * frame; epoch = vec_id parity. */
+  def centroidDriftOf(emb: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val old = col("vec_id") % 2 === 0
+    val perDim = emb
+      .select(col("label"), old.as("is_old"),
+        posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(when(col("is_old"), col("q")).otherwise(0L)).as("s_old"),
+        sum(when(!col("is_old"), col("q")).otherwise(0L)).as("s_new"),
+        count(when(col("is_old"), 1)).as("n_old"),
+        count(when(!col("is_old"), 1)).as("n_new"))
+    perDim
+      .groupBy(col("label"))
+      // n_old/n_new repeat identically across a label's dims (every
+      // vector contributes one row per dim), so max() just reads them
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        count(lit(1)).as("dims"),
+        sum(abs(col("s_old").cast(d38) * col("n_new").cast(d38) -
+          col("s_new").cast(d38) * col("n_old").cast(d38)))
+          .cast(d38).as("num"))
+      .select(col("label"), col("n_old"), col("n_new"), col("dims"),
+        when(col("n_old") > 0L && col("n_new") > 0L, expr(
+          """CAST((num * CAST(1000000 AS DECIMAL(38,0))) DIV
+            |     (CAST(n_old AS DECIMAL(38,0)) *
+            |      CAST(n_new AS DECIMAL(38,0)) *
+            |      CAST(1000 AS DECIMAL(38,0)) *
+            |      CAST(dims AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+          .as("drift_ppm"))
+  }
+
   /** IVF probe: rank the inverted lists (labels) by the query's
     * similarity to each list CENTROID, scan only the top-`nprobe`
     * lists, and exact-rescore — the standard IVF search step over the

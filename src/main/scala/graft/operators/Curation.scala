@@ -82,4 +82,68 @@ object Curation {
       stage("4_cap", capped), stage("5_train", train),
       stage("6_pack", bins)).reduce(_ unionAll _)
   }
+
+  /** k-ANONYMITY audit — the re-identification check a corpus release
+    * review runs before publishing: documents group into equivalence
+    * classes on their quasi-identifiers (language, source, character-
+    * length bucket — the attributes an adversary can observe without
+    * reading the text), and any class smaller than `k` is at risk
+    * (Sweeney 2002). Per source the panel reports the class census,
+    * the at-risk document count, and the discernibility metric
+    * DM* = Σ class_size² (Bayardo & Agrawal 2005) — the standard
+    * anonymity cost that rises as classes concentrate.
+    *
+    * Exactness: sizes and DM ride exact integers (sizes squared in
+    * DECIMAL(38,0) — the inverseSimpsonOf idiom; raw BIGINT would wrap
+    * silently past 2⁶³ where DuckDB errors, and the engines must not
+    * diverge differently); risk_ppm = ⌊at_risk·10⁶ / n_docs⌋ is one
+    * truncating division of non-negative integers, identical under
+    * `div` and `//`.
+    *
+    * Scale shape: one documents scan (text column pruned — the scan
+    * reads 3 slim columns) → map-side-combined class counts (classes
+    * ∝ langs × sources × buckets, dictionary-bounded) → a per-source
+    * rollup of that tiny frame. Zero joins. */
+  /** Defaults shared with the oracle generator so the threshold and
+    * bucket width can't drift between engines. */
+  private[graft] val KAnonK = 5
+  private[graft] val KAnonBucketChars = 100L
+
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = KAnonK,
+                 bucketChars: Long = KAnonBucketChars): DataFrame =
+    kAnonymityOf(Tables.documents(spark, dir), k, bucketChars)
+
+  /** [[kAnonymity]] over a prepared (doc_id, lang, source, n_chars)
+    * frame. */
+  def kAnonymityOf(docs: DataFrame, k: Int, bucketChars: Long): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    require(k >= 1, s"anonymity threshold must be positive: got $k")
+    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
+    val classes = docs
+      // n_chars ≥ 0 and bucketChars > 0: div and // floor identically
+      .select(col("lang"), col("source"),
+        call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .groupBy(col("source"))
+      .agg(sum(col("class_size")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("small_classes"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("docs_at_risk"),
+        sum(expr(s"CAST(class_size AS $d38) * CAST(class_size AS $d38)"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("dm"))
+      .select(col("source"), col("n_docs"), col("n_classes"),
+        col("min_class"), col("small_classes"), col("docs_at_risk"),
+        // DM can exceed int64 at corpus scale (n_docs² order); ship it
+        // as the decimal's canonical digits — DuckDB mirrors HUGEINT
+        col("dm").cast("string").as("discernibility"),
+        // ×10⁶ rides DECIMAL so a ~10¹³-doc source can't wrap the int64
+        expr(s"""CAST((CAST(docs_at_risk AS $d38) *
+                |      CAST(1000000 AS $d38)) DIV
+                |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
+          .as("risk_ppm"))
+  }
 }

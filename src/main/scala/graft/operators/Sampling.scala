@@ -302,4 +302,67 @@ object Sampling {
       Seq("source"), Seq("quality" -> TopKPerKey.Desc, "doc_id" -> TopKPerKey.Asc),
       cap)
   }
+
+  /** Context-window grid for [[lengthSurvival]] — the window sizes a
+    * packing/truncation plan is evaluated against. Shared with the
+    * oracle generator so the grids can't drift between engines. */
+  private[graft] val ContextGrid: Seq[Long] =
+    Seq(8L, 16L, 32L, 64L, 128L, 256L)
+
+  /** Token-length SURVIVAL panel per source — the truncation-loss
+    * planning table behind every context-window decision: for each
+    * window size L in the grid, how many of a source's documents
+    * exceed L tokens, and what token mass a hard-truncate-at-L pass
+    * would delete. A packing plan reads this before choosing its bin
+    * size (the [[packBudgetSweep]] companion on the LENGTH axis —
+    * that row sweeps bin budgets over a fixed corpus; this one sweeps
+    * window sizes over the length distribution).
+    *
+    * Exactness: counts and lost-token masses are exact integers; each
+    * fraction is one truncating fixed-point division over
+    * DECIMAL(38,0) cross products (tokens_lost·10⁶ clears int64 at
+    * ~10¹³ corpus tokens — the q_keyness idiom, DuckDB in HUGEINT).
+    *
+    * Scale shape: ONE documents scan projecting each doc to a
+    * (source, n_tokens) pair, cross-joined against the broadcast
+    * grid literal (|grid| rows), then a map-side-combined aggregate
+    * on (source, L) — output ∝ sources × grid, never corpus-sized;
+    * zero non-broadcast joins, no window functions. */
+  def lengthSurvival(spark: SparkSession, dir: String,
+                     grid: Seq[Long] = ContextGrid): DataFrame =
+    lengthSurvivalOf(
+      Tables.documents(spark, dir).select(col("source"),
+        graft.functions.TextFunctions.wordCount(col("text"))
+          .cast("long").as("n_tokens")),
+      grid)
+
+  /** [[lengthSurvival]] over a prepared (source, n_tokens) frame. */
+  def lengthSurvivalOf(perDoc: DataFrame, grid: Seq[Long]): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 1L),
+      s"context grid must be non-empty positive windows: got $grid")
+    val d38 = "DECIMAL(38,0)"
+    val spark2 = perDoc.sparkSession
+    import spark2.implicits._
+    val g = grid.toDF("ctx")
+    perDoc.crossJoin(broadcast(g))
+      .groupBy(col("source"), col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(when(col("n_tokens") > col("ctx"), 1)).as("docs_over"),
+        sum(when(col("n_tokens") > col("ctx"),
+          col("n_tokens") - col("ctx")).otherwise(0L)).as("tokens_lost"))
+      .select(col("source"), col("ctx"), col("n_docs"), col("n_tokens"),
+        col("docs_over"), col("tokens_lost"),
+        expr(s"""CAST((CAST(docs_over AS $d38) *
+                |      CAST(1000000 AS $d38)) DIV
+                |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
+          .as("over_ppm"),
+        // an all-empty source has zero token mass: NULL loss, not a
+        // division crash (ANSI divide-by-zero throws)
+        when(col("n_tokens") > 0L,
+          expr(s"""CAST((CAST(tokens_lost AS $d38) *
+                  |      CAST(1000000 AS $d38)) DIV
+                  |     CAST(n_tokens AS $d38) AS BIGINT)""".stripMargin))
+          .as("lost_ppm"))
+  }
 }

@@ -2180,4 +2180,77 @@ class OperatorSpec extends SparkSpec {
     assert((10L to 13L).forall(got(_) == 10L))
     assert(Seq(8L, 9L, 14L, 20L).forall(i => got(i) == i))
   }
+
+  test("centroid drift: planted shift recovered exactly; single-epoch label is NULL") {
+    import spark.implicits._
+    // label 0: even-id (indexed) epoch at (1.0, 0.0), odd-id (fresh)
+    // epoch shifted to (1.0, 0.5) — per-dim |Δmean| = {0, 0.5}, mean
+    // 0.25 embedding units → 250000 ppm exactly.
+    // label 1: only fresh vectors — no centroid pair, NULL not a crash
+    val emb = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.5f)), (3L, 0, Array(1.0f, 0.5f)),
+      (5L, 1, Array(0.3f, 0.3f))).toDF("vec_id", "label", "embedding")
+    val rows = Ann.centroidDriftOf(emb).collect()
+    val drift = rows.map(r => r.getAs[Int]("label") ->
+      (if (r.isNullAt(r.fieldIndex("drift_ppm"))) None
+       else Some(r.getAs[Long]("drift_ppm")))).toMap
+    assert(drift(0).contains(250000L))
+    assert(drift(1).isEmpty)
+    val l0 = rows.find(_.getAs[Int]("label") == 0).get
+    assert(l0.getAs[Long]("n_old") == 2L && l0.getAs[Long]("n_new") == 2L &&
+      l0.getAs[Long]("dims") == 2L)
+  }
+
+  test("centroid drift is zero when the epochs share a distribution") {
+    import spark.implicits._
+    val emb = Seq((0L, 7, Array(0.25f, -1.5f)), (1L, 7, Array(0.25f, -1.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = Ann.centroidDriftOf(emb).collect().head
+    assert(r.getAs[Long]("drift_ppm") == 0L)
+  }
+
+  test("k-anonymity: planted small class flagged, discernibility and risk exact") {
+    import spark.implicits._
+    // source a: a 6-doc class (safe at k=5) + a 2-doc class (at risk);
+    // source b: a singleton — everything at risk
+    val docs = ((1L to 6L).map(i => (i, "en", "a", 10L * i)) ++
+      Seq((7L, "fi", "a", 150L), (8L, "fi", "a", 160L), (9L, "en", "b", 30L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.Curation.kAnonymityOf(docs, k = 5, bucketChars = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 8L && a.getAs[Long]("n_classes") == 2L)
+    assert(a.getAs[Long]("min_class") == 2L &&
+      a.getAs[Long]("small_classes") == 1L &&
+      a.getAs[Long]("docs_at_risk") == 2L)
+    assert(a.getAs[String]("discernibility") == "40") // 6² + 2²
+    assert(a.getAs[Long]("risk_ppm") == 250000L)      // ⌊2·10⁶/8⌋
+    val b = got("b")
+    assert(b.getAs[Long]("min_class") == 1L &&
+      b.getAs[Long]("risk_ppm") == 1000000L &&
+      b.getAs[String]("discernibility") == "1")
+  }
+
+  test("length survival: truncation loss exact, monotone in the window, empty source NULL") {
+    import spark.implicits._
+    val perDoc = Seq(("a", 10L), ("a", 4L), ("a", 20L), ("b", 3L), ("c", 0L))
+      .toDF("source", "n_tokens")
+    val got = graft.operators.Sampling.lengthSurvivalOf(perDoc, Seq(8L, 16L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a8 = got(("a", 8L))
+    assert(a8.getAs[Long]("docs_over") == 2L)            // 10 and 20
+    assert(a8.getAs[Long]("tokens_lost") == 14L)         // 2 + 12
+    assert(a8.getAs[Long]("over_ppm") == 666666L)        // ⌊2·10⁶/3⌋
+    assert(a8.getAs[Long]("lost_ppm") == 411764L)        // ⌊14·10⁶/34⌋
+    val a16 = got(("a", 16L))
+    assert(a16.getAs[Long]("docs_over") == 1L &&
+      a16.getAs[Long]("tokens_lost") == 4L)
+    assert(a16.getAs[Long]("docs_over") <= a8.getAs[Long]("docs_over"))
+    assert(got(("b", 8L)).getAs[Long]("docs_over") == 0L &&
+      got(("b", 8L)).getAs[Long]("lost_ppm") == 0L)
+    // a zero-token source reports NULL loss, never a division crash
+    val c8 = got(("c", 8L))
+    assert(c8.isNullAt(c8.fieldIndex("lost_ppm")))
+  }
 }

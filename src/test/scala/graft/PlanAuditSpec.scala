@@ -76,6 +76,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 0, s"keyness re-scans the corpus past the materialize:\n$plan")
   }
 
+  test("centroid drift: both epochs fold in one scan — no epoch self-join") {
+    val plan = physical(graft.operators.Ann.centroidDrift(spark, sfDir))
+    // conditional sums carry old/new epochs through ONE aggregate; a
+    // regression to per-epoch frames would join them back on (label,pos)
+    assert(!plan.contains("Join"), s"epochs joined instead of folded:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 embeddings scan, found $scans:\n$plan")
+  }
+
+  test("k-anonymity: text column pruned from the scan, zero joins") {
+    val plan = physical(graft.operators.Curation.kAnonymity(spark, sfDir))
+    assert(!plan.contains("Join"), s"class census grew a join:\n$plan")
+    // the audit reads quasi-identifiers only — document text must not
+    // leave the parquet reader
+    val reads = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString
+    assert(!reads.contains("text"), s"text survived pruning:\n$reads")
+  }
+
+  test("length survival: one scan, the grid joins as a broadcast literal") {
+    val plan = physical(graft.operators.Sampling.lengthSurvival(spark, sfDir))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"grid cross join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"grid join regressed to a shuffle:\n$plan")
+  }
+
   test("boilerplate: one corpus scan, line text never crosses an exchange") {
     val plan = physical(graft.operators.TextAnalysis.boilerplate(spark, sfDir))
     // the slim (doc_id, source, h, len) occurrence frame is
