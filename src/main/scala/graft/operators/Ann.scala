@@ -227,16 +227,22 @@ object Ann {
   /** [[centroidDrift]] over a prepared (vec_id, label, embedding)
     * frame; epoch = vec_id parity. */
   def centroidDriftOf(emb: DataFrame): DataFrame = {
-    val d38 = DecimalType(38, 0)
     val old = col("vec_id") % 2 === 0
-    val perDim = emb
+    driftOfPerDim(emb
       .select(col("label"), old.as("is_old"),
         posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(when(col("is_old"), col("q")).otherwise(0L)).as("s_old"),
         sum(when(!col("is_old"), col("q")).otherwise(0L)).as("s_new"),
         count(when(col("is_old"), 1)).as("n_old"),
-        count(when(!col("is_old"), 1)).as("n_new"))
+        count(when(!col("is_old"), 1)).as("n_new")))
+  }
+
+  /** The drift aggregate over a per-(label, dim) epoch-sum frame
+    * (label, pos, s_old, s_new, n_old, n_new) — shared by the batch
+    * row and the incremental gauge so the two can never diverge. */
+  private def driftOfPerDim(perDim: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
     perDim
       .groupBy(col("label"))
       // n_old/n_new repeat identically across a label's dims (every
@@ -254,6 +260,50 @@ object Ann {
             |      CAST(1000 AS DECIMAL(38,0)) *
             |      CAST(dims AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
           .as("drift_ppm"))
+  }
+
+  /** Streaming/incremental twin of [[centroidDrift]] — the LIVE index
+    * staleness gauge an ANN serving stack runs on every arriving
+    * vector micro-batch: drift of THIS batch's per-label centroids
+    * against the centroids of everything already committed (the epoch
+    * the index was trained on). The store parks per-label per-dim
+    * PARTIAL SUMS (label, pos, Σq, n) one parquet dir per committed
+    * batch — labels × dims rows per batch, never vectors — via the
+    * idempotent landBatch discipline: an at-least-once replay of the
+    * same batchId overwrites its own dir and scores only STRICTLY
+    * earlier batches, so replaying the latest batch returns identical
+    * rows, and the landed sums ARE the scored sums. Labels unseen in
+    * either epoch report NULL drift (no centroid pair), never a crash.
+    *
+    * Spec-pinned: fed the even-vec_id vectors as batch 0 and the odd
+    * ones as batch 1, batch 1's live gauge equals the q_centroid_drift
+    * batch row exactly. */
+  def centroidDriftIncrementalBatch(batch: DataFrame, sumsDir: String,
+                                    batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val (own, dirs) = graft.sources.Incremental.landBatch(
+      batch.select(col("label"),
+          posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n")),
+      sumsDir, batchId)
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
+    val priorSums =
+      if (prior.isEmpty) own.limit(0)
+      else spark.read.schema(own.schema).parquet(prior: _*)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    driftOfPerDim(priorSums
+      .select(col("label"), col("pos"),
+        col("s").as("po_s"), col("n").as("po_n"))
+      .join(own.select(col("label"), col("pos"),
+        col("s").as("ow_s"), col("n").as("ow_n")),
+        Seq("label", "pos"), "full_outer")
+      .select(col("label"), col("pos"),
+        coalesce(col("po_s"), lit(0L)).as("s_old"),
+        coalesce(col("ow_s"), lit(0L)).as("s_new"),
+        coalesce(col("po_n"), lit(0L)).as("n_old"),
+        coalesce(col("ow_n"), lit(0L)).as("n_new")))
   }
 
   /** IVF probe: rank the inverted lists (labels) by the query's

@@ -1241,6 +1241,54 @@ class StreamingSpec extends SparkSpec {
       s"replay diverged: ${(wantLast.toSet -- replay.toSet).take(2)}")
   }
 
+  test("streaming centroid drift: batch-1 live gauge equals the parity batch row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Int]("label") ->
+      ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Long]("dims"),
+        if (r.isNullAt(r.fieldIndex("drift_ppm"))) None
+        else Some(r.getAs[Long]("drift_ppm"))))
+    // the oracle row splits epochs on vec_id parity; feeding evens as
+    // batch 0 and odds as batch 1 must make the live gauge reproduce it
+    val want = graft.operators.Ann.centroidDrift(spark, sfDir)
+      .collect().map(key).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+    val sumsDir = java.nio.file.Files
+      .createTempDirectory("graft-centroid-store-").toString
+    val input = MemoryStream[(Long, Int, Array[Float])]
+    val perBatch = scala.collection.mutable.Map[Long, Map[Int, (Long, Long, Long, Option[Long])]]()
+    val q = input.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        perBatch(id) = graft.operators.Ann
+          .centroidDriftIncrementalBatch(batch, sumsDir, id)
+          .collect().map(key).toMap
+        ()
+      }.start()
+    val odds = vecs.filter(_._1 % 2 == 1)
+    try {
+      input.addData(vecs.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(odds.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 0 has no committed index epoch: every drift is NULL
+      assert(perBatch(0L).nonEmpty &&
+        perBatch(0L).values.forall(v => v._1 == 0L && v._4.isEmpty))
+      assert(perBatch(1L) == want,
+        s"live gauge diverged: ${(want.toSet -- perBatch(1L).toSet).take(2)} " +
+          s"vs ${(perBatch(1L).toSet -- want.toSet).take(2)}")
+    } finally q.stop()
+    // at-least-once replay of batch 1: identical gauge
+    val replay = graft.operators.Ann.centroidDriftIncrementalBatch(
+      odds.toSeq.toDF("vec_id", "label", "embedding"), sumsDir, 1L)
+      .collect().map(key).toMap
+    assert(replay == want, "replay diverged")
+  }
+
   test("streaming keep-set: greedy incremental dedup against the fingerprint store") {
     val s = spark
     import s.implicits._
