@@ -293,13 +293,18 @@ object Ann {
       else spark.read.schema(own.schema).parquet(prior: _*)
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-    driftOfPerDim(priorSums
-      .select(col("label"), col("pos"),
-        col("s").as("po_s"), col("n").as("po_n"))
-      .join(own.select(col("label"), col("pos"),
-        col("s").as("ow_s"), col("n").as("ow_n")),
-        Seq("label", "pos"), "full_outer")
-      .select(col("label"), col("pos"),
+    val po = priorSums.select(col("label").as("po_label"),
+      col("pos").as("po_pos"), col("s").as("po_s"), col("n").as("po_n"))
+    val ow = own.select(col("label").as("ow_label"),
+      col("pos").as("ow_pos"), col("s").as("ow_s"), col("n").as("ow_n"))
+    // NULL-SAFE equality: a NULL label must pair its two epochs (the
+    // batch kernel's groupBy groups NULLs together — a plain equality
+    // join would split them into two half-rows that report drift 0)
+    driftOfPerDim(po
+      .join(ow, po("po_label") <=> ow("ow_label") &&
+        po("po_pos") <=> ow("ow_pos"), "full_outer")
+      .select(coalesce(col("po_label"), col("ow_label")).as("label"),
+        coalesce(col("po_pos"), col("ow_pos")).as("pos"),
         coalesce(col("po_s"), lit(0L)).as("s_old"),
         coalesce(col("ow_s"), lit(0L)).as("s_new"),
         coalesce(col("po_n"), lit(0L)).as("n_old"),

@@ -83,6 +83,11 @@ object Curation {
       stage("6_pack", bins)).reduce(_ unionAll _)
   }
 
+  /** Defaults shared with the oracle generator so the threshold and
+    * bucket width can't drift between engines. */
+  private[graft] val KAnonK = 5
+  private[graft] val KAnonBucketChars = 100L
+
   /** k-ANONYMITY audit — the re-identification check a corpus release
     * review runs before publishing: documents group into equivalence
     * classes on their quasi-identifiers (language, source, character-
@@ -104,11 +109,6 @@ object Curation {
     * reads 3 slim columns) → map-side-combined class counts (classes
     * ∝ langs × sources × buckets, dictionary-bounded) → a per-source
     * rollup of that tiny frame. Zero joins. */
-  /** Defaults shared with the oracle generator so the threshold and
-    * bucket width can't drift between engines. */
-  private[graft] val KAnonK = 5
-  private[graft] val KAnonBucketChars = 100L
-
   def kAnonymity(spark: SparkSession, dir: String, k: Int = KAnonK,
                  bucketChars: Long = KAnonBucketChars): DataFrame =
     kAnonymityOf(Tables.documents(spark, dir), k, bucketChars)

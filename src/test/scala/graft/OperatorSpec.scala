@@ -2202,6 +2202,32 @@ class OperatorSpec extends SparkSpec {
       l0.getAs[Long]("dims") == 2L)
   }
 
+  test("incremental centroid drift folds NULL labels null-safely, matching the batch kernel") {
+    import spark.implicits._
+    // unlabeled (NULL) vectors must pair across epochs exactly like the
+    // batch kernel's groupBy (which groups NULLs together) — a plain
+    // equality join would split them and report drift 0
+    val all = Seq(
+      (0L, Option.empty[Int], Array(1.0f)), (2L, Option.empty[Int], Array(0.0f)),
+      (1L, Option.empty[Int], Array(3.0f)),
+      (4L, Some(1), Array(0.5f)), (5L, Some(1), Array(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Long]("dims"),
+          if (r.isNullAt(r.fieldIndex("drift_ppm"))) None
+          else Some(r.getAs[Long]("drift_ppm"))))
+    val want = Ann.centroidDriftOf(all).collect().map(key).toMap
+    // NULL label: old mean 0.5, new mean 3.0 → 2.5 units = 2.5M ppm
+    assert(want(None) == ((2L, 1L, 1L, Some(2500000L))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdrift-").toString
+    Ann.centroidDriftIncrementalBatch(
+      all.filter(col("vec_id") % 2 === 0), dir, 0L).collect()
+    val live = Ann.centroidDriftIncrementalBatch(
+      all.filter(col("vec_id") % 2 === 1), dir, 1L).collect().map(key).toMap
+    assert(live == want, s"live=$live want=$want")
+  }
+
   test("centroid drift is zero when the epochs share a distribution") {
     import spark.implicits._
     val emb = Seq((0L, 7, Array(0.25f, -1.5f)), (1L, 7, Array(0.25f, -1.5f)))
