@@ -1086,6 +1086,27 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |FROM classes GROUP BY 1""".stripMargin
   }
 
+  /** q_l_diversity: the homogeneity-attack companion of kAnonymity —
+    * distinct sensitive values (lang) per (source, length-bucket)
+    * class; l = 1 classes disclose the attribute exactly. */
+  def lDiversity(bucketChars: Long): String = {
+    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
+    s"""WITH classes AS (SELECT source,
+       |   n_chars // $bucketChars AS len_bucket,
+       |   count(*) AS class_size, count(DISTINCT lang) AS l
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(sum(class_size) AS BIGINT) AS n_docs,
+       | count(*) AS n_classes, CAST(min(l) AS BIGINT) AS min_l,
+       | CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS homogeneous_classes,
+       | CAST(sum(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS BIGINT)
+       |   AS docs_exposed,
+       | CAST((CAST(sum(CASE WHEN l = 1 THEN class_size ELSE 0 END)
+       |         AS HUGEINT) * 1000000) //
+       |      CAST(sum(class_size) AS HUGEINT) AS BIGINT) AS exposure_ppm
+       |FROM classes GROUP BY 1""".stripMargin
+  }
+
   /** q_length_survival: truncation-loss panel over the shared context
     * grid; fixed-point ppm divisions in HUGEINT mirror Spark's
     * DECIMAL(38,0) DIV (all operands non-negative, so // and DIV
@@ -1609,6 +1630,55 @@ SELECT bin, bin_lo, count(*) AS n_docs,
  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
    / CAST(count(*) AS DOUBLE) AS pass_rate
 FROM bn GROUP BY 1, 2"""
+  }
+
+  /** q_pr_curve: operating-point sweep — same fused logit+gopher
+    * panel as calibrationBins, confusion counts per equal-width
+    * threshold, all ppm quotients in HUGEINT (every operand
+    * non-negative, so // and DIV floor identically). */
+  def prCurve(weights: Seq[Long], bins: Int): String = {
+    require(bins >= 1, s"need at least one threshold, got $bins")
+    val (ctes, last) = gramSeqCtes(1)
+    val d = weights.length
+    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    "WITH " + (ctes ++ Seq(
+      s"wt(b, w) AS (VALUES $wValues)",
+      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
+        s" FROM $last)",
+      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
+        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
+      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+      gopherCtes ++ Seq(
+      "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
+        " JOIN gp ON gp.doc_id = sc.doc_id)",
+      "rg AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx," +
+        " CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos," +
+        " count(*) AS n_all FROM pnl)",
+      "bs AS (SELECT logit_fp," +
+        " CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS pos," +
+        " CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS neg" +
+        " FROM pnl GROUP BY 1)",
+      s"g AS (SELECT unnest(range(0, $bins)) AS bin)",
+      s"thr AS (SELECT CAST(bin AS BIGINT) AS bin," +
+        s" mn + (bin * (mx - mn + 1)) // $bins AS thr, n_pos, n_all" +
+        s" FROM g CROSS JOIN rg)",
+      "cf AS (SELECT bin, thr, n_pos, n_all," +
+        " CAST(sum(CASE WHEN logit_fp >= thr THEN pos ELSE 0 END) AS BIGINT) AS tp," +
+        " CAST(sum(CASE WHEN logit_fp >= thr THEN neg ELSE 0 END) AS BIGINT) AS fp" +
+        " FROM bs CROSS JOIN thr GROUP BY 1, 2, 3, 4)"))
+      .mkString(",\n ") + """
+SELECT bin, thr, tp, fp, n_pos - tp AS fn, n_all - n_pos - fp AS tn,
+ CASE WHEN tp + fp > 0 THEN
+   CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp) AS BIGINT)
+ END AS precision_ppm,
+ CASE WHEN n_pos > 0 THEN
+   CAST((CAST(tp AS HUGEINT) * 1000000) // n_pos AS BIGINT)
+ END AS recall_ppm,
+ CASE WHEN tp + fp + n_pos > 0 THEN
+   CAST((2 * CAST(tp AS HUGEINT) * 1000000) // (tp + fp + n_pos) AS BIGINT)
+ END AS f1_ppm
+FROM cf"""
   }
 
   /** q_curation_manifest: the WHOLE curation funnel as one

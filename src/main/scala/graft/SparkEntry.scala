@@ -142,6 +142,7 @@ object SparkEntry {
     "q_source_sketch" -> ((s, d) => Dedup.sourceSketch(s, d)),
     "q_curation_manifest" -> ((s, d) => Curation.manifest(s, d)),
     "q_k_anonymity" -> ((s, d) => Curation.kAnonymity(s, d)),
+    "q_l_diversity" -> ((s, d) => Curation.lDiversity(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
     "q_calibration_bins" -> ((s, d) => TextAnalysis.calibrationBins(s, d)),
+    "q_pr_curve" -> ((s, d) => TextAnalysis.prCurve(s, d)),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_dsir_select" -> ((s, d) => TextAnalysis.dsirSelect(s, d)),
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
@@ -1814,6 +1816,8 @@ object SparkEntry {
     // shared Curation constants
     "q_k_anonymity" -> OracleSql.kAnonymity(
       Curation.KAnonK, Curation.KAnonBucketChars),
+    // homogeneity-attack companion; bucket width shared with the above
+    "q_l_diversity" -> OracleSql.lDiversity(Curation.KAnonBucketChars),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
     "q_pii_redact" -> OracleSql.piiRedact,
@@ -1892,6 +1896,9 @@ object SparkEntry {
     "q_score_auc" -> OracleSql.scoreAuc(TextAnalysis.classifierWeights(256)),
     // reliability diagram off the same logit chain + gopher verdict
     "q_calibration_bins" -> OracleSql.calibrationBins(
+      TextAnalysis.classifierWeights(256), 10),
+    // operating-point sweep off the same fused logit+gopher panel
+    "q_pr_curve" -> OracleSql.prCurve(
       TextAnalysis.classifierWeights(256), 10),
     // hybrid retrieval: shared bm25 CTE chain + exact-dot vector leg
     "q_rrf_fusion" -> OracleSql.rrfFusion(

@@ -146,4 +146,52 @@ object Curation {
                 |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
           .as("risk_ppm"))
   }
+
+  /** l-DIVERSITY audit — [[kAnonymity]]'s homogeneity-attack companion
+    * (Machanavajjhala et al. 2007): k-anonymity only counts class
+    * SIZE, so a large class whose members all share one sensitive
+    * value still discloses that value to anyone who can place a
+    * person in the class. Here the quasi-identifiers are (source,
+    * character-length bucket) and the sensitive attribute is the
+    * language; per source the panel reports the class census, the
+    * minimum l (distinct sensitive values per class), the homogeneous
+    * (l = 1) class count, and the documents whose sensitive value a
+    * class-level adversary learns exactly, with exposure_ppm one
+    * truncating division over DECIMAL(38,0) (DuckDB HUGEINT).
+    *
+    * Scale shape: one 3-column scan (text pruned) → per-class
+    * (count, count_distinct) aggregate — the distinct expansion is
+    * bounded by classes × |language codes|, dictionary-scale — then
+    * a per-source rollup of that tiny frame. Zero joins. */
+  def lDiversity(spark: SparkSession, dir: String,
+                 bucketChars: Long = KAnonBucketChars): DataFrame =
+    lDiversityOf(Tables.documents(spark, dir), bucketChars)
+
+  /** [[lDiversity]] over a prepared (source, lang, n_chars) frame. */
+  def lDiversityOf(docs: DataFrame, bucketChars: Long): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
+    val classes = docs
+      .select(col("source"),
+        call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("lang")).as("l"))
+    classes
+      .groupBy(col("source"))
+      .agg(sum(col("class_size")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L))
+          .as("homogeneous_classes"),
+        sum(when(col("l") === 1L, col("class_size")).otherwise(0L))
+          .as("docs_exposed"))
+      .select(col("source"), col("n_docs"), col("n_classes"), col("min_l"),
+        col("homogeneous_classes"), col("docs_exposed"),
+        expr(s"""CAST((CAST(docs_exposed AS $d38) *
+                |      CAST(1000000 AS $d38)) DIV
+                |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
+          .as("exposure_ppm"))
+  }
 }

@@ -1457,6 +1457,78 @@ object TextAnalysis {
         col("n_pos").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** OPERATING-POINT sweep for the quality classifier — the
+    * precision/recall/F1 curve that completes the eval trilogy
+    * ([[scoreAucOf]] grades the ranking, [[calibrationBinsOf]] grades
+    * the score values, this grades each concrete THRESHOLD a pipeline
+    * could deploy): for `bins` equal-width thresholds over the
+    * observed logit range, the confusion counts of "accept iff
+    * logit ≥ t" against the Gopher rule verdict, with exact
+    * fixed-point precision/recall/F1 in ppm (F1's cleared form
+    * ⌊2·tp·10⁶/(tp+fp+n_pos)⌋ stays all-integer — no double P·R
+    * product). Empty accept sets report NULL precision; an
+    * all-negative corpus reports NULL recall/F1 — never a division
+    * crash.
+    *
+    * Scale shape: ONE fused row-local corpus scan (the scoreAuc
+    * plan) materialized as the 9-byte (logit, pass) panel; the
+    * per-DISTINCT-score aggregate is the only corpus-order shuffle,
+    * and the sweep joins that score table against `bins` broadcast
+    * threshold rows — every grid point reuses the one aggregate (the
+    * packBudgetSweep pay-once discipline). */
+  def prCurve(spark: SparkSession, dir: String, buckets: Int = 256,
+              bins: Int = 10): DataFrame =
+    prCurveOf(Tables.documents(spark, dir), buckets, bins)
+
+  def prCurveOf(docs: DataFrame, buckets: Int = 256,
+                bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"need at least one threshold, got $bins")
+    val d38 = "DECIMAL(38,0)"
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val perDoc = graft.plans.Materialize(
+      gopherAugmented(docs)
+        .select(classifierLogit(col("text"), buckets).as("logit_fp"),
+          col("pass")))
+    val byScore = perDoc.groupBy(col("logit_fp"))
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("neg"))
+    val range = perDoc.agg(min(col("logit_fp")).as("mn"),
+      max(col("logit_fp")).as("mx"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
+      count(lit(1)).as("n_all"))
+    // threshold i = mn + ⌊i·(mx−mn+1)/bins⌋ — the calibration bin
+    // edges; i·width ≥ 0 so truncating div IS floor on both engines
+    val width = col("mx") - col("mn") + lit(1L)
+    val thr = (0 until bins).map(_.toLong).toDF("bin")
+      .crossJoin(broadcast(range))
+      .select(col("bin"),
+        (col("mn") + call_function("div", col("bin") * width,
+          lit(bins.toLong))).as("thr"),
+        col("n_pos"), col("n_all"))
+    byScore.crossJoin(broadcast(thr))
+      .groupBy(col("bin"), col("thr"), col("n_pos"), col("n_all"))
+      .agg(sum(when(col("logit_fp") >= col("thr"), col("pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("logit_fp") >= col("thr"), col("neg"))
+          .otherwise(0L)).as("fp"))
+      .select(col("bin"), col("thr"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_all") - col("n_pos") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0L, expr(
+          s"""CAST((CAST(tp AS $d38) * 1000000) DIV
+             |     (CAST(tp AS $d38) + CAST(fp AS $d38)) AS BIGINT)"""
+            .stripMargin)).as("precision_ppm"),
+        when(col("n_pos") > 0L, expr(
+          s"CAST((CAST(tp AS $d38) * 1000000) DIV CAST(n_pos AS $d38)" +
+            " AS BIGINT)")).as("recall_ppm"),
+        when(col("tp") + col("fp") + col("n_pos") > 0L, expr(
+          s"""CAST((2 * CAST(tp AS $d38) * 1000000) DIV
+             |     (CAST(tp AS $d38) + CAST(fp AS $d38) +
+             |      CAST(n_pos AS $d38)) AS BIGINT)""".stripMargin))
+          .as("f1_ppm"))
+  }
+
   /** RE2-compatible PII census patterns (no lookaround, no backrefs,
     * ASCII classes only) so Spark's Java regex and an RE2-family
     * engine find the identical non-overlapping leftmost matches. */

@@ -347,4 +347,71 @@ class RetrievalSpec extends SparkSpec {
       case _ => true
     }, "bin_lo must increase with bin")
   }
+
+  test("pr curve: conservation, monotone recall, all-accept floor, direct-threshold agreement") {
+    val curve = TextAnalysis.prCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(curve.length == 10)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nPass = TextAnalysis.gopherPanel(spark, sfDir)
+      .filter(col("pass")).count()
+    // confusion counts conserve at EVERY operating point
+    curve.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == nDocs)
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPass)
+    }
+    // the lowest threshold is the observed min logit: everything
+    // accepted — recall 1, precision = base rate
+    val b0 = curve.head
+    assert(b0.getAs[Long]("tp") == nPass &&
+      b0.getAs[Long]("recall_ppm") == 1000000L &&
+      b0.getAs[Long]("precision_ppm") == nPass * 1000000L / nDocs)
+    // raising the threshold never accepts more: tp/fp non-increasing
+    assert(curve.sliding(2).forall {
+      case Array(a, b) => b.getAs[Long]("tp") <= a.getAs[Long]("tp") &&
+        b.getAs[Long]("fp") <= a.getAs[Long]("fp")
+      case _ => true
+    })
+    // one operating point cross-checked against a direct join of the
+    // public per-doc frames (logit >= thr vs the gopher verdict)
+    val mid = curve(5)
+    val thr = mid.getAs[Long]("thr")
+    val joined = TextAnalysis.classifierScore(spark, sfDir)
+      .select(col("doc_id"), col("logit_fp"))
+      .join(TextAnalysis.gopherPanel(spark, sfDir)
+        .select(col("doc_id"), col("pass")), Seq("doc_id"))
+      .agg(sum(when(col("logit_fp") >= thr && col("pass"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("logit_fp") >= thr && !col("pass"), 1L)
+          .otherwise(0L)).as("fp")).head()
+    assert(mid.getAs[Long]("tp") == joined.getLong(0) &&
+      mid.getAs[Long]("fp") == joined.getLong(1))
+    // F1's cleared integer form agrees with the P/R definition
+    curve.filter(r => !r.isNullAt(r.fieldIndex("f1_ppm"))).foreach { r =>
+      val (tp, fp) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"))
+      assert(r.getAs[Long]("f1_ppm") == 2L * tp * 1000000L / (tp + fp + nPass))
+    }
+  }
+
+  test("l-diversity: homogeneous classes exposed, diverse classes safe") {
+    import spark.implicits._
+    // source a, bucket 0: two langs (diverse); source a, bucket 1: one
+    // lang, 3 docs (homogeneous — exposed); source b: single doc
+    val docs = Seq(
+      (1L, "en", "a", 10L), (2L, "fi", "a", 20L),
+      (3L, "sv", "a", 150L), (4L, "sv", "a", 160L), (5L, "sv", "a", 170L),
+      (6L, "en", "b", 30L)).toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.Curation.lDiversityOf(docs, 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 5L && a.getAs[Long]("n_classes") == 2L)
+    assert(a.getAs[Long]("min_l") == 1L &&
+      a.getAs[Long]("homogeneous_classes") == 1L &&
+      a.getAs[Long]("docs_exposed") == 3L)
+    assert(a.getAs[Long]("exposure_ppm") == 600000L) // ⌊3·10⁶/5⌋
+    val b = got("b")
+    assert(b.getAs[Long]("min_l") == 1L &&
+      b.getAs[Long]("exposure_ppm") == 1000000L)
+  }
 }
