@@ -320,24 +320,45 @@ FROM comp JOIN cs USING (component)"""
     * `weights`-row table (stamped from the same JVM as the Spark
     * side's literal array), per-doc exact BIGINT logit; LEFT JOIN
     * zero-fills token-less documents. */
-  def classifierScore(weights: Seq[Long]): String = {
-    val (ctes, last) = gramSeqCtes(1)
-    val d = weights.length
-    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    "WITH " + (ctes ++ Seq(
-      s"wt(b, w) AS (VALUES $wValues)",
-      // floorMod of the SIGNED hash — ((g % D) + D) % D == Java floorMod
-      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
-        s" FROM $last)",
-      "lg AS (SELECT bk.doc_id, count(*) AS n_tokens," +
-        " CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
-        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)")).mkString(",\n ") +
+  def classifierScore(weights: Seq[Long]): String =
+    "WITH " + logitCtes(weights, lgExtra = " count(*) AS n_tokens,")
+      .mkString(",\n ") +
       "\nSELECT d.doc_id, d.source," +
       " coalesce(lg.n_tokens, 0) AS n_tokens," +
       " coalesce(lg.logit_fp, 0) AS logit_fp," +
       " coalesce(lg.logit_fp, 0) > 0 AS accept" +
       "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
+
+  /** THE hashed-logit CTE chain (token hashes → wt → bk → lg) — one
+    * spelling of the classifier scoring shared by [[classifierScore]],
+    * [[scoreAuc]], [[calibrationBins]] and [[prCurve]] (the
+    * gramSeqCtes/gopherCtes factoring rule: a weights/hashing fix must
+    * not have to land in four hand-kept copies). `lgExtra` lets
+    * classifierScore keep its token count without a second chain. */
+  private def logitCtes(weights: Seq[Long], lgExtra: String = ""): Seq[String] = {
+    val (ctes, last) = gramSeqCtes(1)
+    val d = weights.length
+    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    ctes ++ Seq(
+      s"wt(b, w) AS (VALUES $wValues)",
+      // floorMod of the SIGNED hash — ((g % D) + D) % D == Java floorMod
+      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
+        s" FROM $last)",
+      s"lg AS (SELECT bk.doc_id,$lgExtra" +
+        " CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
+        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)")
   }
+
+  /** [[logitCtes]] extended to the fused (logit, pass) panel `pnl`
+    * (zero-filled logits joined to the gopher verdict) — the shared
+    * prefix of [[calibrationBins]] and [[prCurve]]. */
+  private def logitGopherPanelCtes(weights: Seq[Long]): Seq[String] =
+    logitCtes(weights) ++ Seq(
+      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+      gopherCtes ++ Seq(
+      "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
+        " JOIN gp ON gp.doc_id = sc.doc_id)")
 
   /** THE gopher rule CTE chain (gt → gm → gp): token metrics plus the
     * conjunctive pass verdict — one spelling shared by
@@ -383,15 +404,7 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * window; u2 and the ppm quotient ride HUGEINT
     * (TextAnalysis.scoreAuc). */
   def scoreAuc(weights: Seq[Long]): String = {
-    val (ctes, last) = gramSeqCtes(1)
-    val d = weights.length
-    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    "WITH " + (ctes ++ Seq(
-      s"wt(b, w) AS (VALUES $wValues)",
-      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
-        s" FROM $last)",
-      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
-        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
+    "WITH " + (logitCtes(weights) ++ Seq(
       "sc AS (SELECT d.doc_id, d.source," +
         " coalesce(lg.logit_fp, 0) AS logit_fp" +
         " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
@@ -1605,20 +1618,7 @@ ORDER BY rrf_ppm DESC, doc_id LIMIT $k"""
     * both truncating divisions non-negative so `//` and Spark's `div`
     * floor identically (TextAnalysis.calibrationBinsOf). */
   def calibrationBins(weights: Seq[Long], bins: Int): String = {
-    val (ctes, last) = gramSeqCtes(1)
-    val d = weights.length
-    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    "WITH " + (ctes ++ Seq(
-      s"wt(b, w) AS (VALUES $wValues)",
-      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
-        s" FROM $last)",
-      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
-        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
-      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
-      gopherCtes ++ Seq(
-      "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
-        " JOIN gp ON gp.doc_id = sc.doc_id)",
+    "WITH " + (logitGopherPanelCtes(weights) ++ Seq(
       "rg AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx FROM pnl)",
       s"bn AS (SELECT ((logit_fp - mn) * $bins) // (mx - mn + 1) AS bin," +
         s" mn + (((logit_fp - mn) * $bins) // (mx - mn + 1) * (mx - mn + 1))" +
@@ -1638,20 +1638,7 @@ FROM bn GROUP BY 1, 2"""
     * non-negative, so // and DIV floor identically). */
   def prCurve(weights: Seq[Long], bins: Int): String = {
     require(bins >= 1, s"need at least one threshold, got $bins")
-    val (ctes, last) = gramSeqCtes(1)
-    val d = weights.length
-    val wValues = weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
-    "WITH " + (ctes ++ Seq(
-      s"wt(b, w) AS (VALUES $wValues)",
-      s"bk AS (SELECT doc_id, ((${signedHL("h", "l")} % $d) + $d) % $d AS b" +
-        s" FROM $last)",
-      "lg AS (SELECT bk.doc_id, CAST(sum(wt.w) AS BIGINT) AS logit_fp" +
-        " FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1)",
-      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
-      gopherCtes ++ Seq(
-      "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
-        " JOIN gp ON gp.doc_id = sc.doc_id)",
+    "WITH " + (logitGopherPanelCtes(weights) ++ Seq(
       "rg AS (SELECT min(logit_fp) AS mn, max(logit_fp) AS mx," +
         " CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos," +
         " count(*) AS n_all FROM pnl)",
@@ -1675,7 +1662,7 @@ SELECT bin, thr, tp, fp, n_pos - tp AS fn, n_all - n_pos - fp AS tn,
  CASE WHEN n_pos > 0 THEN
    CAST((CAST(tp AS HUGEINT) * 1000000) // n_pos AS BIGINT)
  END AS recall_ppm,
- CASE WHEN tp + fp + n_pos > 0 THEN
+ CASE WHEN n_pos > 0 THEN
    CAST((2 * CAST(tp AS HUGEINT) * 1000000) // (tp + fp + n_pos) AS BIGINT)
  END AS f1_ppm
 FROM cf"""

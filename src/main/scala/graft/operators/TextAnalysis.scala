@@ -1430,24 +1430,35 @@ object TextAnalysis {
                       buckets: Int = 256, bins: Int = 10): DataFrame =
     calibrationBinsOf(Tables.documents(spark, dir), buckets, bins)
 
-  def calibrationBinsOf(docs: DataFrame, buckets: Int = 256,
-                        bins: Int = 10): DataFrame = {
-    require(bins >= 1, s"need at least one bin, got $bins")
-    val perDoc = graft.plans.Materialize(
+  /** THE fused (logit, pass) panel — one row-local corpus scan
+    * (classifier logit + gopher verdict), materialized as 9 bytes per
+    * doc; the shared input of [[calibrationBinsOf]] and [[prCurveOf]]
+    * (one spelling, the gopherAugmented discipline). */
+  private def logitPassPanel(docs: DataFrame, buckets: Int): DataFrame =
+    graft.plans.Materialize(
       gopherAugmented(docs)
         .select(classifierLogit(col("text"), buckets).as("logit_fp"),
           col("pass")))
+
+  /** Equal-width edge `mn + ⌊i·width/bins⌋` over the observed logit
+    * range — the ONE spelling of the grid both the calibration bin_lo
+    * and the PR-sweep thresholds use (width = mx−mn+1 keeps the max
+    * logit inside the last bin; all div operands non-negative, so
+    * truncation IS floor on both engines). */
+  private def binEdge(i: Column, width: Column, bins: Int): Column =
+    col("mn") + call_function("div", i * width, lit(bins.toLong))
+
+  def calibrationBinsOf(docs: DataFrame, buckets: Int = 256,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"need at least one bin, got $bins")
+    val perDoc = logitPassPanel(docs, buckets)
     val range = perDoc.agg(min(col("logit_fp")).as("mn"),
       max(col("logit_fp")).as("mx"))
-    // width = mx−mn+1 keeps the max logit inside bin `bins−1`
     val width = col("mx") - col("mn") + lit(1L)
+    val bin = call_function("div",
+      (col("logit_fp") - col("mn")) * lit(bins.toLong), width)
     perDoc.crossJoin(broadcast(range))
-      .select(call_function("div",
-        (col("logit_fp") - col("mn")) * lit(bins.toLong), width).as("bin"),
-        (col("mn") + call_function("div",
-          call_function("div",
-            (col("logit_fp") - col("mn")) * lit(bins.toLong), width) * width,
-          lit(bins.toLong))).as("bin_lo"),
+      .select(bin.as("bin"), binEdge(bin, width, bins).as("bin_lo"),
         col("logit_fp"), col("pass"))
       .groupBy(col("bin"), col("bin_lo"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1486,10 +1497,7 @@ object TextAnalysis {
     val d38 = "DECIMAL(38,0)"
     val spark2 = docs.sparkSession
     import spark2.implicits._
-    val perDoc = graft.plans.Materialize(
-      gopherAugmented(docs)
-        .select(classifierLogit(col("text"), buckets).as("logit_fp"),
-          col("pass")))
+    val perDoc = logitPassPanel(docs, buckets)
     val byScore = perDoc.groupBy(col("logit_fp"))
       .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("pass"), 0L).otherwise(1L)).as("neg"))
@@ -1497,14 +1505,11 @@ object TextAnalysis {
       max(col("logit_fp")).as("mx"),
       sum(when(col("pass"), 1L).otherwise(0L)).as("n_pos"),
       count(lit(1)).as("n_all"))
-    // threshold i = mn + ⌊i·(mx−mn+1)/bins⌋ — the calibration bin
-    // edges; i·width ≥ 0 so truncating div IS floor on both engines
+    // thresholds ARE the calibration bin edges — the shared binEdge
     val width = col("mx") - col("mn") + lit(1L)
     val thr = (0 until bins).map(_.toLong).toDF("bin")
       .crossJoin(broadcast(range))
-      .select(col("bin"),
-        (col("mn") + call_function("div", col("bin") * width,
-          lit(bins.toLong))).as("thr"),
+      .select(col("bin"), binEdge(col("bin"), width, bins).as("thr"),
         col("n_pos"), col("n_all"))
     byScore.crossJoin(broadcast(thr))
       .groupBy(col("bin"), col("thr"), col("n_pos"), col("n_all"))
@@ -1522,7 +1527,9 @@ object TextAnalysis {
         when(col("n_pos") > 0L, expr(
           s"CAST((CAST(tp AS $d38) * 1000000) DIV CAST(n_pos AS $d38)" +
             " AS BIGINT)")).as("recall_ppm"),
-        when(col("tp") + col("fp") + col("n_pos") > 0L, expr(
+        // F1 is undefined without positives (recall is too) — NULL,
+        // not a defined-looking 0; with n_pos>0 the denominator is >0
+        when(col("n_pos") > 0L, expr(
           s"""CAST((2 * CAST(tp AS $d38) * 1000000) DIV
              |     (CAST(tp AS $d38) + CAST(fp AS $d38) +
              |      CAST(n_pos AS $d38)) AS BIGINT)""".stripMargin))

@@ -76,6 +76,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 0, s"keyness re-scans the corpus past the materialize:\n$plan")
   }
 
+  test("pr curve: fused panel pays the scan once, thresholds broadcast") {
+    val plan = physical(graft.operators.TextAnalysis.prCurve(spark, sfDir))
+    // the (logit, pass) panel materializes the one fused corpus scan;
+    // a regression to classifierScore ⋈ gopherPanel on doc_id would
+    // re-grow FileScans and a doc-keyed SortMergeJoin
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"prCurve re-scans the corpus past the materialize:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"doc-keyed join regrew:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold grid is not broadcast:\n$plan")
+  }
+
+  test("l-diversity: text column pruned from the scan, zero joins") {
+    val plan = physical(graft.operators.Curation.lDiversity(spark, sfDir))
+    assert(!plan.contains("Join"), s"class census grew a join:\n$plan")
+    val reads = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString
+    assert(!reads.contains("text"), s"text survived pruning:\n$reads")
+  }
+
   test("centroid drift: both epochs fold in one scan — no epoch self-join") {
     val plan = physical(graft.operators.Ann.centroidDrift(spark, sfDir))
     // conditional sums carry old/new epochs through ONE aggregate; a
