@@ -1120,6 +1120,51 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |FROM classes GROUP BY 1""".stripMargin
   }
 
+  /** q_t_closeness: the distribution-skew companion of lDiversity —
+    * per (source, length-bucket) class, the total-variation distance
+    * between the class's lang distribution and the source's overall
+    * one, cleared to the all-integer form
+    * Σ_v |c_cv·N − g_v·n_c| / (2·n_c·N) in HUGEINT, mirroring
+    * Spark's DECIMAL(38,0) DIV (all operands non-negative, so `//`
+    * and DIV floor identically). The grid LEFT JOIN keeps langs a
+    * class is MISSING: they contribute |0 − g·n_c|. */
+  def tCloseness(bucketChars: Long, tPpm: Long): String = {
+    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"t is a ppm fraction in [0, 1000000]: got $tPpm")
+    s"""WITH cells AS (SELECT source, n_chars // $bucketChars AS len_bucket,
+       |   lang, count(*) AS c
+       |  FROM documents GROUP BY 1, 2, 3),
+       | ctot AS (SELECT source, len_bucket, sum(c) AS n_c
+       |  FROM cells GROUP BY 1, 2),
+       | slang AS (SELECT source, lang, sum(c) AS g FROM cells GROUP BY 1, 2),
+       | stot AS (SELECT source, sum(c) AS n_s FROM cells GROUP BY 1),
+       | grid AS (SELECT ctot.source, ctot.len_bucket, ctot.n_c,
+       |   slang.lang, slang.g, COALESCE(cells.c, 0) AS c_cv
+       |  FROM ctot JOIN slang ON ctot.source = slang.source
+       |  LEFT JOIN cells ON cells.source = ctot.source
+       |   AND cells.len_bucket = ctot.len_bucket
+       |   AND cells.lang = slang.lang),
+       | cls AS (SELECT grid.source, grid.len_bucket, grid.n_c, stot.n_s,
+       |   CAST((sum(abs(CAST(c_cv AS HUGEINT) * stot.n_s -
+       |                 CAST(g AS HUGEINT) * grid.n_c)) * 1000000) //
+       |        (2 * CAST(grid.n_c AS HUGEINT) * stot.n_s) AS BIGINT)
+       |     AS tvd_ppm
+       |  FROM grid JOIN stot ON grid.source = stot.source
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+       | count(*) AS n_classes,
+       | CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+       | CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS skewed_classes,
+       | CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN n_c ELSE 0 END) AS BIGINT)
+       |   AS docs_skewed,
+       | CAST((CAST(sum(CASE WHEN tvd_ppm > $tPpm THEN n_c ELSE 0 END)
+       |         AS HUGEINT) * 1000000) //
+       |      CAST(max(n_s) AS HUGEINT) AS BIGINT) AS skew_ppm
+       |FROM cls GROUP BY 1""".stripMargin
+  }
+
   /** q_length_survival: truncation-loss panel over the shared context
     * grid; fixed-point ppm divisions in HUGEINT mirror Spark's
     * DECIMAL(38,0) DIV (all operands non-negative, so // and DIV
@@ -1610,6 +1655,48 @@ ORDER BY rrf_ppm DESC, doc_id LIMIT $k"""
        |   CAST(sum(CASE WHEN bp THEN len ELSE 0 END) AS DOUBLE)
        |     / CAST(sum(len) AS DOUBLE) END AS bp_char_frac
        |FROM j GROUP BY 1""".stripMargin
+  }
+
+  /** q_boilerplate_strip: the C4-style removal APPLY — same injected
+    * line structure and same doc-distinct within-source df as
+    * [[boilerplate]], but the deliverable is each document's CLEANED
+    * text (surviving lines re-joined in original order — the zipped
+    * unnest(lines)/unnest(generate_series) pair carries the
+    * ordinal) plus the removal ledger. Lines group by their
+    * reconstructed STRINGS while Spark keys on xxhash64, so a 64-bit
+    * collision diverges the cleaned text and fails the hash gate
+    * loudly (TextAnalysis.boilerplateStripOf). */
+  def boilerplateStrip(delims: Seq[String], minDf: Int): String = {
+    val injected = delims.foldLeft("text")((c, d) =>
+      s"replace($c, '${d.replace("'", "''")}', chr(10))")
+    s"""WITH dl AS MATERIALIZED (SELECT doc_id, source,
+       |   unnest(lines) AS line,
+       |   unnest(generate_series(1, len(lines))) AS ord
+       |  FROM (SELECT doc_id, source,
+       |    list_filter(string_split($injected, chr(10)), x -> x <> '')
+       |      AS lines FROM documents)),
+       | dd AS (SELECT DISTINCT doc_id, source, line FROM dl),
+       | df AS MATERIALIZED (SELECT source, line, count(*) AS doc_df
+       |   FROM dd GROUP BY 1, 2),
+       | j AS (SELECT dl.doc_id, dl.ord, dl.line, length(dl.line) AS len,
+       |     (df.doc_df >= $minDf) AS bp
+       |   FROM dl JOIN df ON df.source = dl.source AND df.line = dl.line),
+       | agg AS (SELECT doc_id, count(*) AS n_lines,
+       |   sum(CASE WHEN bp THEN 1 ELSE 0 END) AS bp_lines,
+       |   sum(CASE WHEN NOT bp THEN len ELSE 0 END) AS kept_chars,
+       |   sum(CASE WHEN bp THEN len ELSE 0 END) AS bp_chars,
+       |   string_agg(CASE WHEN NOT bp THEN line END, chr(10)
+       |     ORDER BY ord) AS cleaned
+       |  FROM j GROUP BY 1)
+       |SELECT d.doc_id,
+       | CAST(coalesce(agg.n_lines, 0) AS BIGINT) AS n_lines,
+       | CAST(coalesce(agg.n_lines, 0) - coalesce(agg.bp_lines, 0)
+       |   AS BIGINT) AS kept_lines,
+       | CAST(coalesce(agg.bp_lines, 0) AS BIGINT) AS bp_lines,
+       | CAST(coalesce(agg.kept_chars, 0) AS BIGINT) AS kept_chars,
+       | CAST(coalesce(agg.bp_chars, 0) AS BIGINT) AS bp_chars,
+       | coalesce(agg.cleaned, '') AS cleaned
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   }
 
   /** q_calibration_bins: the reliability diagram off the SAME logit

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_curation_manifest" -> ((s, d) => Curation.manifest(s, d)),
     "q_k_anonymity" -> ((s, d) => Curation.kAnonymity(s, d)),
     "q_l_diversity" -> ((s, d) => Curation.lDiversity(s, d)),
+    "q_t_closeness" -> ((s, d) => Curation.tCloseness(s, d)),
     "q_dedup_spans" -> ((s, d) => Dedup.dedupSpans(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q_line_dup" -> ((s, d) => TextAnalysis.lineRepetition(s, d)),
     "q_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
+    "q_boilerplate_strip" -> ((s, d) => TextAnalysis.boilerplateStrip(s, d)),
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
     "q_mask_digits" -> ((s, d) => TextAnalysis.maskDigits(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
@@ -1818,6 +1820,9 @@ object SparkEntry {
       Curation.KAnonK, Curation.KAnonBucketChars),
     // homogeneity-attack companion; bucket width shared with the above
     "q_l_diversity" -> OracleSql.lDiversity(Curation.KAnonBucketChars),
+    // distribution-skew companion; bucket width + t threshold shared
+    "q_t_closeness" -> OracleSql.tCloseness(
+      Curation.KAnonBucketChars, Curation.TClosePpm),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
     "q_pii_redact" -> OracleSql.piiRedact,
@@ -1907,6 +1912,10 @@ object SparkEntry {
     "q_mmr_rerank" -> OracleSql.mmrRerank(5, 12, 4),
     // cross-doc repeated-line census, lines grouped by STRING
     "q_boilerplate" -> OracleSql.boilerplate(
+      TextAnalysis.BoilerplateDelims, TextAnalysis.BoilerplateMinDf),
+    // the removal APPLY: cleaned text reassembled in original line
+    // order, hash-keyed on Spark vs string-keyed in the oracle
+    "q_boilerplate_strip" -> OracleSql.boilerplateStrip(
       TextAnalysis.BoilerplateDelims, TextAnalysis.BoilerplateMinDf),
     "q_fingerprint" -> OracleSql.fingerprints,
     // DSIR weights: bigrams rebuilt positionally (q_cooccur pattern),

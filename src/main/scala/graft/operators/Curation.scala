@@ -194,4 +194,92 @@ object Curation {
                 |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
           .as("exposure_ppm"))
   }
+
+  /** Default t-closeness threshold in ppm: t = 0.2 — the working
+    * value the original paper's experiments center on. Shared with
+    * the DuckDB oracle via the [[graft.OracleSql.tCloseness]]
+    * parameter (the Bm25Scale structural-sharing rule). */
+  private[graft] val TClosePpm = 200000L
+
+  /** t-CLOSENESS audit — the distribution-skew companion completing
+    * the [[kAnonymity]]/[[lDiversity]] release-review trio (Li, Li &
+    * Venkatasubramanian 2007): l-diversity counts DISTINCT sensitive
+    * values per class, so a class that is 99% one language while its
+    * source is 50/50 still passes l ≥ 2 yet hands an adversary a
+    * near-certain inference. A class satisfies t-closeness when the
+    * total-variation distance between its sensitive-value (lang)
+    * distribution and its source's OVERALL distribution is ≤ t. Per
+    * source the panel reports the class census, the worst class TVD,
+    * the classes past the threshold, and the documents inside them.
+    *
+    * Exactness: TVD_c = ½·Σ_v |c_cv/n_c − g_v/N| clears denominators
+    * to Σ_v |c_cv·N − g_v·n_c| / (2·n_c·N) — all-integer numerator
+    * and denominator in DECIMAL(38,0) (each product ≤ N² ≈ 10²⁶ for
+    * a 10¹³-doc source; ×10⁶ stays under 10³⁸, and ANSI decimal
+    * overflow fails loud past that), shipped as tvd_ppm =
+    * ⌊10⁶·num DIV den⌋ — identical to DuckDB's HUGEINT `//` on
+    * non-negatives.
+    *
+    * Scale shape: one 3-column scan (text pruned) collapses to
+    * (source, len_bucket, lang) cell counts — dictionary-bounded, the
+    * ONLY corpus-wide shuffle, materialized once for its four
+    * consumers — then every later step (class totals, source margins,
+    * the classes × langs grid, both rollups) is tiny-frame work on
+    * broadcast joins. Zero corpus-scale joins. */
+  def tCloseness(spark: SparkSession, dir: String,
+                 bucketChars: Long = KAnonBucketChars,
+                 tPpm: Long = TClosePpm): DataFrame =
+    tClosenessOf(Tables.documents(spark, dir), bucketChars, tPpm)
+
+  /** [[tCloseness]] over a prepared (source, lang, n_chars) frame. */
+  def tClosenessOf(docs: DataFrame, bucketChars: Long,
+                   tPpm: Long = TClosePpm): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"t is a ppm fraction in [0, 1000000]: got $tPpm")
+    val cells = graft.plans.Materialize(docs
+      .select(col("source"),
+        call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c")))
+    val classTot = cells.groupBy(col("source"), col("len_bucket"))
+      .agg(sum(col("c")).as("n_c"))
+    val srcLang = cells.groupBy(col("source"), col("lang"))
+      .agg(sum(col("c")).as("g"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    // full class × source-lang grid: a lang ABSENT from a class still
+    // contributes |0 − g·n_c| to that class's distance
+    val grid = classTot
+      .join(broadcast(srcLang), Seq("source"))
+      .join(broadcast(cells.withColumnRenamed("c", "c_cv")),
+        Seq("source", "len_bucket", "lang"), "left")
+      .join(broadcast(srcTot), Seq("source"))
+      .withColumn("c_cv", coalesce(col("c_cv"), lit(0L)))
+    val classTvd = grid
+      .groupBy(col("source"), col("len_bucket"), col("n_c"), col("n_s"))
+      .agg(sum(expr(s"""abs(CAST(c_cv AS $d38) * CAST(n_s AS $d38) -
+                       |    CAST(g AS $d38) * CAST(n_c AS $d38))""".stripMargin))
+        .as("num"))
+      .select(col("source"), col("n_c"), col("n_s"),
+        expr(s"""CAST((CAST(num AS $d38) * CAST(1000000 AS $d38)) DIV
+                |     (CAST(2 AS $d38) * CAST(n_c AS $d38) *
+                |      CAST(n_s AS $d38)) AS BIGINT)""".stripMargin)
+          .as("tvd_ppm"))
+    classTvd.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), // constant per source
+        count(lit(1)).as("n_classes"),
+        max(col("tvd_ppm")).as("max_tvd_ppm"),
+        sum(when(col("tvd_ppm") > tPpm, 1L).otherwise(0L))
+          .as("skewed_classes"),
+        sum(when(col("tvd_ppm") > tPpm, col("n_c")).otherwise(0L))
+          .as("docs_skewed"))
+      .select(col("source"), col("n_docs"), col("n_classes"),
+        col("max_tvd_ppm"), col("skewed_classes"), col("docs_skewed"),
+        expr(s"""CAST((CAST(docs_skewed AS $d38) *
+                |      CAST(1000000 AS $d38)) DIV
+                |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
+          .as("skew_ppm"))
+  }
 }

@@ -849,20 +849,29 @@ object Dedup {
     * [[dupCoverage]] and the eval-set [[decontaminate]].
     *
     * Scale shape: the per-source DISTINCT gram set is one dedup
-    * shuffle; the self-join keys on the 8-byte gram hash, so a gram
-    * present in k sources emits k·(k−1)/2 pairs — bounded by SOURCES²
-    * per gram, never a doc- or corpus-sized pair space. Per-source
-    * totals broadcast; the coefficient is one double division of two
-    * exact integers. */
+    * shuffle, MATERIALIZED once for its three consumers (both
+    * self-join sides and the totals — without it each consumer
+    * re-derives the corpus-wide explode+distinct); the self-join keys
+    * on the 8-byte gram hash, so a gram present in k sources emits
+    * k·(k−1)/2 pairs — bounded by SOURCES² per gram, never a doc- or
+    * corpus-sized pair space. Per-source totals broadcast; the
+    * coefficient is one double division of two exact integers.
+    * (A gram-keyed `collect_set(source)` + row-local pair expansion
+    * was tried r10 and measured 1.7× SLOWER at sf0.1: the object-
+    * based aggregate loses whole-stage codegen, which the hash
+    * self-join keeps.) */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val sg = Tables.documents(spark, dir)
+    val sg = graft.plans.Materialize(Tables.documents(spark, dir)
       .select(col("source"), explode(shingle_hashes(col("text"), n)).as("gram"))
-      .distinct()
+      .distinct())
     val st = sg.groupBy(col("source")).agg(count(lit(1)).as("total"))
+    // renames stay ABOVE the join: both sides are then the identical
+    // exchange subtree, so the gram repartition computes once and the
+    // second side is a ReusedExchange
     sg.as("a")
-      .join(sg.withColumnRenamed("source", "source_b").as("b"), Seq("gram"))
-      .filter(col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
+      .join(sg.as("b"), expr("a.gram = b.gram"))
+      .filter(expr("a.source < b.source"))
+      .groupBy(expr("a.source").as("source_a"), expr("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .join(broadcast(st.withColumnRenamed("source", "source_a")
         .withColumnRenamed("total", "n_a")), Seq("source_a"))

@@ -640,6 +640,79 @@ object TextAnalysis {
           .as("bp_char_frac"))
   }
 
+  /** C4-style boilerplate REMOVAL — the apply step of [[boilerplate]]:
+    * every line whose same-source document frequency reaches `minDf`
+    * is dropped, and each document returns its CLEANED text
+    * (surviving lines re-joined in original order) plus the removal
+    * ledger. The census reports how much template mass a doc carries;
+    * this is the rewrite a pipeline actually commits before
+    * tokenizing (C4 drops repeated lines; CCNet/RefinedWeb apply the
+    * same seen-elsewhere rule).
+    *
+    * Scale shape: the DECISION pass is exactly the [[boilerplateOf]]
+    * plan — slim (doc_id, source, pos, h, len) occurrences
+    * materialized once (line text never leaves its scan), a
+    * line-vocabulary df aggregate, one co-partitioned join back, and
+    * a doc-keyed rollup whose only payload is the kept-POSITION
+    * array. The REWRITE is then row-local: the position arrays join
+    * back to the documents scan on doc_id and each row re-splits its
+    * OWN text and picks the surviving lines — LINE text never rides
+    * an exchange; the one remaining data movement is that doc_id
+    * join (a broadcast of the slim verdicts at panel scale; at 100 TB
+    * it is the single corpus shuffle every rewrite-apply pays, and
+    * doc_id-bucketed storage deletes even that). Hash discipline:
+    * decisions key on xxhash64(line) within source; the ORACLE
+    * groups by reconstructed line STRINGS, so a 64-bit collision
+    * fails the gate rather than hiding. */
+  def boilerplateStrip(spark: SparkSession, dir: String,
+                       minDf: Int = BoilerplateMinDf): DataFrame =
+    boilerplateStripOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        BoilerplateDelims.foldLeft(col("text"))((c, d) =>
+          replace(c, lit(d), lit("\n"))).as("text")), minDf)
+
+  /** [[boilerplateStrip]] over a prepared (doc_id, source, text)
+    * frame whose text carries real `\n` line structure. */
+  def boilerplateStripOf(docs: DataFrame,
+                         minDf: Int = BoilerplateMinDf): DataFrame = {
+    val linesArr = filter(split(col("text"), "\n"), x => x =!= "")
+    val occ = graft.plans.Materialize(docs
+      .select(col("doc_id"), col("source"),
+        posexplode(linesArr).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        xxhash64(col("line")).as("h"),
+        length(col("line")).cast("long").as("len")))
+    val lineDf = occ.select(col("doc_id"), col("source"), col("h")).distinct()
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("doc_df"))
+    val verdicts = occ.join(lineDf, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
+        sum(when(col("doc_df") < minDf, col("len")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(col("doc_df") >= minDf, col("len")).otherwise(0L))
+          .as("bp_chars"),
+        // collect_list drops the when()'s nulls: only kept positions
+        sort_array(collect_list(when(col("doc_df") < minDf, col("pos"))))
+          .as("kept_pos"))
+    docs.select(col("doc_id"), col("text"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("bp_lines"), lit(0L))).as("kept_lines"),
+        coalesce(col("bp_lines"), lit(0L)).as("bp_lines"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("bp_chars"), lit(0L)).as("bp_chars"),
+        // row-local rewrite: re-split THIS row's text, keep surviving
+        // positions in order (posexplode's pos is 0-based; element_at
+        // is 1-based); an all-boilerplate or line-less doc → ""
+        concat_ws("\n", transform(
+          coalesce(col("kept_pos"), expr("CAST(array() AS array<int>)")),
+          i => element_at(linesArr, i + lit(1)))).as("cleaned"))
+  }
+
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val toks = T.tokens(col("text"))
     Tables.documents(spark, dir)
@@ -938,6 +1011,13 @@ object TextAnalysis {
   private[graft] val Bm25TfDen1 = 6L   // ·T   (k1·(1−b)·20)
   private[graft] val Bm25TfDen2 = 18L  // ·dl·N (k1·b·20)
   private[graft] val Bm25DefaultTerms = Seq("dup", "key", "batch", "window")
+  /** Per-row int64 fast-path bound for the tf-norm: rows where T, T·tf
+    * (≤ T·dl) and dl·N all stay ≤ this run the all-long spelling of
+    * the exact quotient inside whole-stage codegen; larger rows fall
+    * back to DECIMAL(38,0). 1e14 keeps every int64 intermediate under
+    * 4.4e18 (< 2⁶³); a 100 TB corpus (~2.5e13 tokens) still rides the
+    * fast path. Spec-pinned: both spellings score identically. */
+  private[graft] val Bm25FastBound = 100000000000000L
 
   /** The int64 headroom of the fixed-point idf: the square p² = (2N+2)²
     * must stay under 2⁶³ (p⁴ is never materialized — see [[bm25IdfQ]]),
@@ -967,6 +1047,22 @@ object TextAnalysis {
     * Requires 0 ≤ df ≤ N ≤ [[Bm25MaxDocs]] (callers guard N).
     * PropertySpec pins this against a BigInt floor-log₂ reference over
     * the full domain including every boundary. */
+  /** Driver-side exact quarter-bit Lucene idf:
+    * floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1, by BigInt
+    * shift-compare — the same integers [[bm25IdfQ]] computes in
+    * Column space (and PropertySpec pins both against), valid at any
+    * N. Production bm25 folds this into the scoring scan as a
+    * literal: the Column tree's per-query ANALYSIS cost (~1 s at 4
+    * terms) dwarfed the scan it decorated. */
+  private[graft] def bm25IdfBig(nDocs: Long, df: Long): Long = {
+    require(nDocs >= 0L && df >= 0L && df <= math.max(nDocs, 0L),
+      s"idf needs 0 <= df <= N: got N=$nDocs df=$df")
+    val p4 = BigInt(2L * nDocs + 2L).pow(4)
+    val q4 = BigInt(2L * df + 1L).pow(4)
+    val k0 = p4.bitLength - q4.bitLength // p > q always, so k0 >= 0
+    (if (p4 < (q4 << k0)) k0 - 1 else k0).toLong
+  }
+
   private[graft] def bm25IdfQ(nDocs: Column, df: Column): Column = {
     def bl(x: Column): Column = length(bin(x)) // bit length (INT)
     def dec(x: Column): Column = x.cast("decimal(19,0)")
@@ -1028,61 +1124,94 @@ object TextAnalysis {
     * exercising the loud-overflow guard without a 1.5 B-row corpus;
     * production callers always pass [[Bm25MaxDocs]]. */
   private[graft] def bm25OfBounded(docs: DataFrame, terms: Seq[String],
-                                   k: Int, maxDocs: Long): DataFrame = {
+                                   k: Int, maxDocs: Long,
+                                   fastBound: Long = Bm25FastBound): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    // typed DSL for the term literals (terms are data, never parsed)
-    val withTf = docs
+    // typed DSL for the term literals (terms are data, never parsed).
+    // The tokenize scan is the query's only expensive pass and BOTH
+    // jobs need it (the stats collect, then the scoring scan), so the
+    // narrow (doc_id, dl, tf_i) projection — (|terms|+2) longs/row,
+    // text projected away — materializes ONCE and each job reads the
+    // blocks instead of re-splitting the corpus.
+    val withTf = graft.plans.Materialize(docs
       .select(col("doc_id"),
         filter(T.tokens(col("text")), t => t =!= "").as("toks"))
       .select(col("doc_id") +:
         size(col("toks")).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
-        }: _*)
-    // 1-row corpus stats: N, total tokens T, per-term df — broadcast
-    // back as a scalar (bounded: one row, |terms| columns). N is
+        }: _*))
+    // 1-row corpus stats: N, total tokens T, per-term df — COLLECTED
+    // (bounded by construction: one row, |terms|+2 columns — the
+    // documented 1-row-collect pattern). The idf then computes in
+    // exact BigInt on the driver and folds into the scoring scan as
+    // LITERALS: the r10 Column spelling of the quarter-bit idf
+    // (bm25IdfQ, still the oracle's SQL form and property-pinned) is
+    // a ~100-node tree per term whose ANALYSIS cost dominated the
+    // whole query (~1 s planning vs 0.34 s execution at sf0.1), and
+    // folding stats also deletes the broadcast join entirely. N is
     // guarded against the p² int64 bound (see Bm25MaxDocs) — overflow
     // must fail loud, not wrap into garbage rankings.
-    val stats = withTf.agg(
+    val statsRow = withTf.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("t_tok") +:
         terms.indices.map(i =>
           count(when(col(s"tf_$i") > 0L, 1)).as(s"df_$i")): _*)
-      .withColumn("n_docs",
-        when(col("n_docs") > maxDocs,
-          raise_error(concat(lit(s"bm25: corpus exceeds $maxDocs docs — " +
-            "(2N+2)^2 would overflow int64; score per partition/day " +
-            "slice. N = "), col("n_docs").cast("string"))))
-          .otherwise(col("n_docs")))
-    // per-row guard on the tf-norm numerator Scale·44·T·tf (tf ≤ dl,
-    // so bounding dl·T bounds it): the tf-norm runs in DECIMAL(38,0),
-    // whose headroom is (10³⁸−1)/44000 ≈ 2.27e33 on the T·dl product —
-    // unreachable by any physical corpus (T ≤ 2⁶³ tokens total AND a
-    // single 10¹⁴-token document), but loud beats a wrapped score
+      .head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs <= maxDocs,
+      s"bm25: corpus exceeds $maxDocs docs — (2N+2)^2 would overflow " +
+        s"int64; score per partition/day slice. N = $nDocs")
+    val tTok = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val idfs = terms.indices.map(i => bm25IdfBig(nDocs, statsRow.getLong(2 + i)))
+    // tf-norm overflow guard for the DECIMAL branch: headroom is
+    // (10³⁸−1)/44000 ≈ 2.27e33 on the T·dl product — unreachable by
+    // any physical corpus (T ≤ 2⁶³ tokens total AND a single
+    // 10¹⁴-token document), but loud beats a wrapped score
     val tfNormMax = new java.math.BigDecimal(
       java.math.BigInteger.TEN.pow(38).subtract(java.math.BigInteger.ONE)
         .divide(java.math.BigInteger.valueOf(Bm25Scale * Bm25TfNum)))
     def dec(c: Column): Column = c.cast("decimal(19,0)")
-    val dlGuarded = when(
-      dec(col("dl")) * dec(col("t_tok")) > lit(tfNormMax),
-      raise_error(lit("bm25: Scale*44*T*dl overflows DECIMAL(38) — " +
-        "slice the corpus")))
-      .otherwise(col("dl")).as("dl")
-    val scored = withTf.crossJoin(broadcast(stats))
-      .withColumn("dl", dlGuarded)
+    // per-row fast/slow split precomputed as ONE dl bound: rows with
+    // dl ≤ dlFast keep every int64 intermediate ≤ 4.4e18 (T ≤ bound,
+    // T·tf ≤ T·dl ≤ bound, dl·N ≤ bound) and run the all-long
+    // spelling; larger rows fall back to DECIMAL(38,0) with the loud
+    // overflow guard paid only there
+    val dlFast =
+      if (tTok > fastBound) -1L
+      else math.min(fastBound / math.max(tTok, 1L),
+        fastBound / math.max(nDocs, 1L))
+    val scored = withTf
+      .withColumn("fast", col("dl") <= lit(dlFast))
+      .withColumn("dl", when(col("fast"), col("dl")).otherwise(
+        when(dec(col("dl")) * dec(lit(tTok)) > lit(tfNormMax),
+          raise_error(lit("bm25: Scale*44*T*dl overflows DECIMAL(38) — " +
+            "slice the corpus"))).otherwise(col("dl"))))
       .select(
       Seq(col("doc_id"), col("dl")) ++
         terms.indices.map { i =>
-          val idf = bm25IdfQ(col("n_docs"), col(s"df_$i"))
-          // SQL `div` (IntegralDivide) — exact BIGINT quotient over
-          // DECIMAL(38,0) intermediates (quotient ≤ Scale·44/20, so
-          // the long result never overflows), and `//` on the DuckDB
-          // side truncates identically on positives over HUGEINT
-          val tfn = call_function("div",
-            lit(Bm25Scale * Bm25TfNum) * (dec(col("t_tok")) * dec(col(s"tf_$i"))),
-            lit(Bm25TfDen0) * (dec(col("t_tok")) * dec(col(s"tf_$i"))) +
-              lit(Bm25TfDen1) * dec(col("t_tok")) +
-              lit(Bm25TfDen2) * (dec(col("dl")) * dec(col("n_docs"))))
+          val idf = lit(idfs(i)) // exact BigInt quarter-bit, driver-side
+          // exact quotient ⌊44000·T·tf / (20·T·tf + 6T + 18·dl·N)⌋ —
+          // TWO spellings of the same integers (spec-pinned equal):
+          // rows under the fast bound run all-int64; larger rows fall
+          // back to DECIMAL(38,0). Both are IntegralDivide over
+          // positives, so quotients match bit-for-bit (and `//` on
+          // the DuckDB side likewise).
+          // the pre-multiplied Scala literals are only sound when the
+          // fast path is reachable (tTok ≤ fastBound keeps them exact)
+          val tfnLong =
+            if (dlFast < 0L) lit(0L) // `fast` is false on every row
+            else call_function("div",
+              lit(Bm25Scale * Bm25TfNum * tTok) * col(s"tf_$i"),
+              lit(Bm25TfDen0 * tTok) * col(s"tf_$i") +
+                lit(Bm25TfDen1 * tTok) +
+                lit(Bm25TfDen2 * nDocs) * col("dl"))
+          val tfnDec = call_function("div",
+            lit(Bm25Scale * Bm25TfNum) * (dec(lit(tTok)) * dec(col(s"tf_$i"))),
+            lit(Bm25TfDen0) * (dec(lit(tTok)) * dec(col(s"tf_$i"))) +
+              lit(Bm25TfDen1) * dec(lit(tTok)) +
+              lit(Bm25TfDen2) * (dec(col("dl")) * dec(lit(nDocs))))
+          val tfn = when(col("fast"), tfnLong).otherwise(tfnDec)
           (idf * tfn).as(s"s_$i") // tf = 0 ⇒ tfn = 0 ⇒ term drops out
         } ++
         terms.indices.map(i => col(s"tf_$i")): _*)

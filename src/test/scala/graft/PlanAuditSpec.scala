@@ -95,6 +95,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!reads.contains("text"), s"text survived pruning:\n$reads")
   }
 
+  test("t-closeness: one corpus aggregate, grid joins all broadcast off the materialize") {
+    val plan = physical(graft.operators.Curation.tCloseness(spark, sfDir))
+    // the cell census materializes once; every grid/margin join is a
+    // broadcast over that tiny frame — a SortMergeJoin or a second
+    // FileScan means the corpus is being re-shuffled or re-read
+    assert(!plan.contains("SortMergeJoin"), s"tiny join degraded:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"corpus re-read past the materialize:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("centroid drift: both epochs fold in one scan — no epoch self-join") {
     val plan = physical(graft.operators.Ann.centroidDrift(spark, sfDir))
     // conditional sums carry old/new epochs through ONE aggregate; a
@@ -132,6 +144,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 0, s"boilerplate re-scans the corpus past the materialize:\n$plan")
     val exchanges = plan.split("\n").filter(_.contains("Exchange"))
     // "line#<id>" is the raw text attribute; n_lines/bp_lines don't match
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("line#")),
+      s"line text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("boilerplate strip: decisions off the materialize, line text never exchanged") {
+    val plan = physical(
+      graft.operators.TextAnalysis.boilerplateStrip(spark, sfDir))
+    // the decision pass reads the materialized slim occurrences; the
+    // ONE FileScan is the rewrite join's re-read of documents
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly the rewrite-side scan, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // LINE text stays row-local: only doc text may ride the final
+    // doc_id join; the per-line attribute must never hit an exchange
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("line#")),
       s"line text crossed an exchange:\n${exchanges.mkString("\n")}")
   }
@@ -266,7 +293,7 @@ class PlanAuditSpec extends SparkSpec {
       "self-join no longer keys on user_id")
   }
 
-  test("source overlap: self-join keys on the gram hash, totals broadcast") {
+  test("source overlap: self-join keys on the gram hash off ONE materialized distinct") {
     val df = Dedup.sourceOverlap(spark, sfDir)
     val plan = physical(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
@@ -274,6 +301,10 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
     assert(equiJoinKeySets(df).exists(_.exists(_.contains("gram"))),
       "self-join no longer keys on gram")
+    // the distinct gram set materializes once for its three consumers;
+    // a FileScan in the final plan means a consumer re-reads the corpus
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"corpus re-read past the materialize:\n$plan")
   }
 
   test("availability: islands and totals stay on the grid partitioning, gap join broadcasts") {
@@ -740,17 +771,17 @@ class PlanAuditSpec extends SparkSpec {
       s"document text crosses a shuffle: $exchanges")
   }
 
-  test("bm25: stats ride a broadcast, top-k is TakeOrdered, text never shuffles") {
+  test("bm25: stats fold as literals (no join), top-k is TakeOrdered, text never shuffles") {
     val df = graft.operators.TextAnalysis.bm25(spark, sfDir)
     val plan = physical(df)
-    // the 1-row stats frame joins back as a broadcast nested loop
-    // (cross join of one row), never a shuffle-side join
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), s"stats join degraded:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), plan)
+    // the 1-row stats collect folds N/T/idf into the scoring scan as
+    // literals — the plan carries NO join of any kind (the r10 form:
+    // a broadcast nested loop whose build-side idf trees cost ~1 s of
+    // per-query analysis)
+    assert(!plan.contains("Join"), s"stats regrew a join:\n$plan")
     // global top-k without a full sort
     assert(plan.contains("TakeOrderedAndProject"), s"full sort:\n$plan")
-    // only the 1-row stats aggregate shuffles; text stays row-local
+    // nothing shuffles at all; text stays row-local
     val exchanges = shuffleInputSchemas(df)
     assert(exchanges.forall(!_.contains("text")),
       s"document text crosses a shuffle: $exchanges")

@@ -312,6 +312,11 @@ class PropertySpec extends SparkSpec {
     cases.foreach { case (n, df) =>
       assert(got((n, df)) == ref(n, df),
         s"N=$n df=$df: got ${got((n, df))} want ${ref(n, df)}")
+      // the driver-side BigInt form production bm25 now folds into
+      // literals must agree with the same reference (and with the
+      // Column spelling the ORACLE still computes in SQL)
+      assert(graft.operators.TextAnalysis.bm25IdfBig(n, df) == ref(n, df),
+        s"bm25IdfBig diverged at N=$n df=$df")
     }
   }
 }

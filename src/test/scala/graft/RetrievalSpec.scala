@@ -130,6 +130,19 @@ class RetrievalSpec extends SparkSpec {
     assert(graft.operators.TextAnalysis.Bm25MaxDocs > 1000000000L)
   }
 
+  test("bm25 fast int64 path scores identically to the DECIMAL fallback") {
+    // the tf-norm has two spellings of the same exact quotient; force
+    // every row down the slow path (fastBound = 0) and pin equality
+    // with the default (all-fast at this scale) ranking
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val terms = TextAnalysis.Bm25DefaultTerms
+    def rows(fb: Long) = graft.operators.TextAnalysis
+      .bm25OfBounded(docs, terms, 20, TextAnalysis.Bm25MaxDocs, fastBound = fb)
+      .collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.Bm25FastBound) == rows(0L),
+      "int64 and DECIMAL tf-norm spellings diverged")
+  }
+
   test("bm25 scores a corpus past the old 27,553-doc int64 ceiling exactly") {
     // 30,000 docs — the r9 form's (2N+2)^4 overflows int64 here; the
     // lifted idf must match the BigInt driver mirror digit-for-digit
@@ -325,6 +338,41 @@ class RetrievalSpec extends SparkSpec {
     assert(got(5L) == ((3L, 0L, 0L)), "within-doc repeat counted as boilerplate")
   }
 
+  test("boilerplate strip: cleaned text keeps order, drops footers, survives edge docs") {
+    val footer = "ALL RIGHTS RESERVED"
+    val docs = Seq(
+      (1L, "srcA", s"unique one\n$footer\nafter"),
+      (2L, "srcA", s"$footer\nunique two"),
+      // all-boilerplate doc → cleaned = ""
+      (3L, "srcA", footer),
+      // cross-source twin: srcB's single copy survives
+      (4L, "srcB", s"other things\n$footer"),
+      // duplicate line WITHIN the doc at two positions: df = 2 in
+      // srcA only via docs 1-3's footer — "solo line" df = 1, kept
+      // twice in order
+      (5L, "srcA", "solo line\nmid\nsolo line"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.boilerplateStripOf(docs, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("kept_lines"),
+          r.getAs[Long]("bp_lines"), r.getAs[Long]("kept_chars"),
+          r.getAs[String]("cleaned")))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, "unique oneafter".length.toLong,
+      "unique one\nafter")))
+    assert(got(2L) == ((2L, 1L, 1L, "unique two".length.toLong, "unique two")))
+    assert(got(3L) == ((1L, 0L, 1L, 0L, "")), "all-boilerplate doc not emptied")
+    assert(got(4L)._5 == s"other things\n$footer", "cross-source twin dropped")
+    assert(got(5L) == ((3L, 3L, 0L, "solo linemidsolo line".length.toLong,
+      "solo line\nmid\nsolo line")), "within-doc repeat order lost")
+    // ledger ≡ the census on the same frame (the strip IS its apply)
+    val census = graft.operators.TextAnalysis.boilerplateOf(docs, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("bp_lines")))).toMap
+    got.foreach { case (id, (n, _, bp, _, _)) =>
+      assert(census(id) == ((n, bp)), s"doc $id ledger diverged from census")
+    }
+  }
+
   test("calibration bins: mass conservation, monotone edges, gopher agreement") {
     val bins = TextAnalysis.calibrationBins(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("bin"))
@@ -413,5 +461,45 @@ class RetrievalSpec extends SparkSpec {
     val b = got("b")
     assert(b.getAs[Long]("min_l") == 1L &&
       b.getAs[Long]("exposure_ppm") == 1000000L)
+  }
+
+  test("t-closeness: skewed classes flagged, balanced and single-class sources safe") {
+    import spark.implicits._
+    // source a: both buckets mirror the 50/50 source distribution →
+    // TVD 0 everywhere. source b: 4 en + 4 fi overall, but bucket 0 is
+    // 3:1 en and bucket 1 is 1:3 → per class TVD = ½(¼+¼) = ¼ =
+    // 250000 ppm > the 200000 default → both classes skewed. source c:
+    // one doc — its class IS the source distribution, TVD 0.
+    val docs = (Seq(
+      (1L, "en", "a", 10L), (2L, "fi", "a", 20L),
+      (3L, "en", "a", 150L), (4L, "fi", "a", 160L)) ++
+      Seq(
+        (5L, "en", "b", 10L), (6L, "en", "b", 20L), (7L, "en", "b", 30L),
+        (8L, "fi", "b", 40L),
+        (9L, "en", "b", 150L),
+        (10L, "fi", "b", 160L), (11L, "fi", "b", 170L), (12L, "fi", "b", 180L)) ++
+      Seq((13L, "sv", "c", 50L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.Curation.tClosenessOf(docs, 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 4L && a.getAs[Long]("n_classes") == 2L)
+    assert(a.getAs[Long]("max_tvd_ppm") == 0L &&
+      a.getAs[Long]("skewed_classes") == 0L &&
+      a.getAs[Long]("skew_ppm") == 0L)
+    val b = got("b")
+    assert(b.getAs[Long]("n_docs") == 8L && b.getAs[Long]("n_classes") == 2L)
+    // num = |3·8−4·4| + |1·8−4·4| = 16; den = 2·4·8 = 64 → 250000 ppm
+    assert(b.getAs[Long]("max_tvd_ppm") == 250000L)
+    assert(b.getAs[Long]("skewed_classes") == 2L &&
+      b.getAs[Long]("docs_skewed") == 8L &&
+      b.getAs[Long]("skew_ppm") == 1000000L)
+    val c = got("c")
+    assert(c.getAs[Long]("max_tvd_ppm") == 0L &&
+      c.getAs[Long]("skewed_classes") == 0L)
+    // threshold is strict-greater: at t = 250000 ppm source b passes
+    val atT = graft.operators.Curation.tClosenessOf(docs, 100L, tPpm = 250000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(atT("b").getAs[Long]("skewed_classes") == 0L)
   }
 }
