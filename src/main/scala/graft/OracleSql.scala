@@ -1141,16 +1141,19 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        | stot AS (SELECT source, sum(c) AS n_s FROM cells GROUP BY 1),
        | grid AS (SELECT ctot.source, ctot.len_bucket, ctot.n_c,
        |   slang.lang, slang.g, COALESCE(cells.c, 0) AS c_cv
-       |  FROM ctot JOIN slang ON ctot.source = slang.source
-       |  LEFT JOIN cells ON cells.source = ctot.source
-       |   AND cells.len_bucket = ctot.len_bucket
-       |   AND cells.lang = slang.lang),
+       |  FROM ctot JOIN slang
+       |   ON ctot.source IS NOT DISTINCT FROM slang.source
+       |  LEFT JOIN cells
+       |   ON cells.source IS NOT DISTINCT FROM ctot.source
+       |   AND cells.len_bucket IS NOT DISTINCT FROM ctot.len_bucket
+       |   AND cells.lang IS NOT DISTINCT FROM slang.lang),
        | cls AS (SELECT grid.source, grid.len_bucket, grid.n_c, stot.n_s,
        |   CAST((sum(abs(CAST(c_cv AS HUGEINT) * stot.n_s -
        |                 CAST(g AS HUGEINT) * grid.n_c)) * 1000000) //
        |        (2 * CAST(grid.n_c AS HUGEINT) * stot.n_s) AS BIGINT)
        |     AS tvd_ppm
-       |  FROM grid JOIN stot ON grid.source = stot.source
+       |  FROM grid JOIN stot
+       |   ON grid.source IS NOT DISTINCT FROM stot.source
        |  GROUP BY 1, 2, 3, 4)
        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
        | count(*) AS n_classes,

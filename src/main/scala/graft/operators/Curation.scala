@@ -115,16 +115,34 @@ object Curation {
 
   /** [[kAnonymity]] over a prepared (doc_id, lang, source, n_chars)
     * frame. */
-  def kAnonymityOf(docs: DataFrame, k: Int, bucketChars: Long): DataFrame = {
-    val d38 = "DECIMAL(38,0)"
-    require(k >= 1, s"anonymity threshold must be positive: got $k")
+  def kAnonymityOf(docs: DataFrame, k: Int, bucketChars: Long): DataFrame =
+    kAnonymityOfClasses(privacyCellsOf(docs, bucketChars), k)
+
+  /** The (lang, source, len_bucket, class_size) quasi-identifier ×
+    * sensitive-value census EVERY privacy audit derives from — one
+    * spelling shared by the batch trio and the live store, so no two
+    * audits can disagree on what a class is. Dictionary-bounded rows;
+    * n_chars ≥ 0 and bucketChars > 0, so div and `//` floor
+    * identically; groupBy keeps NULL lang/bucket/source classes
+    * whole. */
+  private[graft] def privacyCellsOf(docs: DataFrame,
+                                    bucketChars: Long): DataFrame = {
     require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
-    val classes = docs
-      // n_chars ≥ 0 and bucketChars > 0: div and // floor identically
+    docs
       .select(col("lang"), col("source"),
         call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"))
       .groupBy(col("lang"), col("source"), col("len_bucket"))
       .agg(count(lit(1)).as("class_size"))
+  }
+
+  /** The k-anonymity panel rollup from a prepared (lang, source,
+    * len_bucket, class_size) class census — ONE spelling shared by
+    * the batch audit and [[kAnonymityIncrementalBatch]]'s live gate,
+    * so the two can never disagree on the panel (the
+    * structural-sharing rule). */
+  private[graft] def kAnonymityOfClasses(classes: DataFrame, k: Int): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    require(k >= 1, s"anonymity threshold must be positive: got $k")
     classes
       .groupBy(col("source"))
       .agg(sum(col("class_size")).as("n_docs"),
@@ -168,15 +186,20 @@ object Curation {
     lDiversityOf(Tables.documents(spark, dir), bucketChars)
 
   /** [[lDiversity]] over a prepared (source, lang, n_chars) frame. */
-  def lDiversityOf(docs: DataFrame, bucketChars: Long): DataFrame = {
+  def lDiversityOf(docs: DataFrame, bucketChars: Long): DataFrame =
+    lDiversityOfCells(privacyCellsOf(docs, bucketChars))
+
+  /** The l-diversity rollup from a prepared [[privacyCellsOf]]-shaped
+    * census — each cell is already one distinct (class, lang) pair, so
+    * count_distinct(lang) over cells equals the doc-level distinct
+    * count (both skip NULL lang, so an all-NULL-lang class reports
+    * l = 0 — outside the l = 1 homogeneity flag in BOTH forms and in
+    * the oracle). Shared by the batch audit and the live store. */
+  private[graft] def lDiversityOfCells(cells: DataFrame): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
-    val classes = docs
-      .select(col("source"),
-        call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"),
-        col("lang"))
+    val classes = cells
       .groupBy(col("source"), col("len_bucket"))
-      .agg(count(lit(1)).as("class_size"),
+      .agg(sum(col("class_size")).as("class_size"),
         count_distinct(col("lang")).as("l"))
     classes
       .groupBy(col("source"))
@@ -233,29 +256,45 @@ object Curation {
 
   /** [[tCloseness]] over a prepared (source, lang, n_chars) frame. */
   def tClosenessOf(docs: DataFrame, bucketChars: Long,
-                   tPpm: Long = TClosePpm): DataFrame = {
+                   tPpm: Long = TClosePpm): DataFrame =
+    // MATERIALIZED: the grid/margin legs read the census four ways
+    tClosenessOfCells(
+      graft.plans.Materialize(privacyCellsOf(docs, bucketChars)), tPpm)
+
+  /** The t-closeness rollup from a prepared [[privacyCellsOf]]-shaped
+    * census. Shared by the batch audit and the live store. */
+  private[graft] def tClosenessOfCells(cells0: DataFrame,
+                                       tPpm: Long): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
     require(tPpm >= 0L && tPpm <= 1000000L,
       s"t is a ppm fraction in [0, 1000000]: got $tPpm")
-    val cells = graft.plans.Materialize(docs
-      .select(col("source"),
-        call_function("div", col("n_chars"), lit(bucketChars)).as("len_bucket"),
-        col("lang"))
-      .groupBy(col("source"), col("len_bucket"), col("lang"))
-      .agg(count(lit(1)).as("c")))
+    val cells = cells0.select(col("source"), col("len_bucket"),
+      col("lang"), col("class_size").as("c"))
     val classTot = cells.groupBy(col("source"), col("len_bucket"))
       .agg(sum(col("c")).as("n_c"))
     val srcLang = cells.groupBy(col("source"), col("lang"))
       .agg(sum(col("c")).as("g"))
     val srcTot = cells.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     // full class × source-lang grid: a lang ABSENT from a class still
-    // contributes |0 − g·n_c| to that class's distance
+    // contributes |0 − g·n_c| to that class's distance. Every join is
+    // NULL-SAFE (<=>): groupBy made NULL lang / NULL len_bucket /
+    // NULL source real classes and margins, and a plain-equality grid
+    // join would zero their c_cv while their g mass still charges
+    // every class — silently inflating TVD (the incremental-drift
+    // NULL-pairing lesson)
+    val cellsCv = cells.select(col("source").as("cv_source"),
+      col("len_bucket").as("cv_bucket"), col("lang").as("cv_lang"),
+      col("c").as("c_cv"))
+    val slang = srcLang.select(col("source").as("sl_source"),
+      col("lang"), col("g"))
+    val stot = srcTot.select(col("source").as("st_source"), col("n_s"))
     val grid = classTot
-      .join(broadcast(srcLang), Seq("source"))
-      .join(broadcast(cells.withColumnRenamed("c", "c_cv")),
-        Seq("source", "len_bucket", "lang"), "left")
-      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(slang), col("source") <=> col("sl_source"))
+      .join(broadcast(cellsCv),
+        col("source") <=> col("cv_source") &&
+          col("len_bucket") <=> col("cv_bucket") &&
+          col("lang") <=> col("cv_lang"), "left")
+      .join(broadcast(stot), col("source") <=> col("st_source"))
       .withColumn("c_cv", coalesce(col("c_cv"), lit(0L)))
     val classTvd = grid
       .groupBy(col("source"), col("len_bucket"), col("n_c"), col("n_s"))
@@ -281,5 +320,57 @@ object Curation {
                 |      CAST(1000000 AS $d38)) DIV
                 |     CAST(n_docs AS $d38) AS BIGINT)""".stripMargin)
           .as("skew_ppm"))
+  }
+
+  /** Streaming/incremental twin of [[kAnonymity]] — the LIVE release
+    * audit an always-on ingest runs on every arriving document
+    * micro-batch: the CUMULATIVE k-anonymity panel over everything
+    * committed so far, including this batch. The store parks per-batch
+    * quasi-identifier CLASS CENSUSES (lang, source, len_bucket,
+    * class_size — dictionary-bounded rows, never documents) one
+    * parquet dir per committed batch via the idempotent landBatch
+    * discipline: an at-least-once replay of the same batchId
+    * overwrites its OWN dir and reads only dirs ≤ batchId, so the
+    * replayed gauge returns identical rows even after later batches
+    * have landed. The cumulative census re-sums the committed cells
+    * and feeds the SAME [[kAnonymityOfClasses]] rollup as the batch
+    * audit — the two forms cannot disagree. Zero joins end to end
+    * (groupBy keeps NULL lang/bucket/source classes intact).
+    *
+    * This is the audit direction a live corpus needs most: classes
+    * only GROW, so a class that was at-risk can heal as mass arrives,
+    * and the per-batch panel is the release-readiness ticker. */
+  def kAnonymityIncrementalBatch(batch: DataFrame, cellsDir: String,
+                                 batchId: Long, k: Int = KAnonK,
+                                 bucketChars: Long = KAnonBucketChars): DataFrame =
+    kAnonymityOfClasses(
+      privacyCensusIncrementalBatch(batch, cellsDir, batchId, bucketChars), k)
+
+  /** Land this micro-batch's [[privacyCellsOf]] census in the
+    * idempotent per-batch store and return the CUMULATIVE census over
+    * dirs ≤ batchId — the one landing all three live privacy audits
+    * share: feed the result to [[kAnonymityOfClasses]],
+    * [[lDiversityOfCells]], and [[tClosenessOfCells]] and the whole
+    * release-review trio runs per batch off ONE store, each panel
+    * spelling-identical to its batch twin. An at-least-once replay of
+    * the same batchId overwrites its OWN dir and ignores later ones,
+    * so replayed gauges are bit-identical even after more batches
+    * land. */
+  def privacyCensusIncrementalBatch(batch: DataFrame, cellsDir: String,
+                                    batchId: Long,
+                                    bucketChars: Long = KAnonBucketChars): DataFrame = {
+    val spark = batch.sparkSession
+    val (own, dirs) = graft.sources.Incremental.landBatch(
+      privacyCellsOf(batch, bucketChars), cellsDir, batchId)
+    // landBatch returns the OTHER committed dirs; the cumulative
+    // census is the landed read-back (own — the committed rows ARE
+    // the scored rows) plus every strictly-earlier batch
+    val earlier = dirs.collect { case (id, path) if id < batchId => path }
+    val cumulative =
+      if (earlier.isEmpty) own
+      else own.unionAll(spark.read.schema(own.schema).parquet(earlier: _*))
+    cumulative
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(sum(col("class_size")).as("class_size"))
   }
 }

@@ -613,21 +613,8 @@ object TextAnalysis {
   /** [[boilerplate]] over a prepared (doc_id, source, text) frame
     * whose text carries real `\n` line structure. */
   def boilerplateOf(docs: DataFrame, minDf: Int = BoilerplateMinDf): DataFrame = {
-    // MATERIALIZED: two consumers (the df aggregate and the join-back)
-    // would each re-scan + re-split + re-explode the corpus — Catalyst
-    // cannot share the subplan (the perSourceWord argument); the
-    // checkpointed frame is 4 slim columns, line text already dropped
-    val occ = graft.plans.Materialize(docs
-      .select(col("doc_id"), col("source"),
-        explode(filter(split(col("text"), "\n"), x => x =!= "")).as("line"))
-      .select(col("doc_id"), col("source"),
-        xxhash64(col("line")).as("h"), length(col("line")).cast("long").as("len")))
-    // doc-distinct df: a line repeated WITHIN one doc is repetition
-    // (q_line_dup's business), not boilerplate — df counts documents
-    val lineDf = occ.select(col("doc_id"), col("source"), col("h")).distinct()
-      .groupBy(col("source"), col("h"))
-      .agg(count(lit(1)).as("doc_df"))
-    occ.join(lineDf, Seq("source", "h"))
+    val occ = lineOccurrencesOf(docs)
+    occ.join(lineDfOf(occ), Seq("source", "h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
@@ -639,6 +626,30 @@ object TextAnalysis {
           col("bp_chars").cast("double") / col("n_line_chars").cast("double"))
           .as("bp_char_frac"))
   }
+
+  /** THE line-occurrence frame both [[boilerplateOf]] and
+    * [[boilerplateStripOf]] decide from — one spelling so the census
+    * and its apply step can never disagree on what a "line" or its
+    * hash is (the structural-sharing rule). MATERIALIZED: every
+    * caller has two+ consumers (the df aggregate and a join-back)
+    * that would each re-scan + re-split + re-explode the corpus; the
+    * checkpointed frame is 5 slim columns, line text already dropped. */
+  private def lineOccurrencesOf(docs: DataFrame): DataFrame =
+    graft.plans.Materialize(docs
+      .select(col("doc_id"), col("source"),
+        posexplode(filter(split(col("text"), "\n"), x => x =!= ""))
+          .as(Seq("pos", "line")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        xxhash64(col("line")).as("h"),
+        length(col("line")).cast("long").as("len")))
+
+  /** Doc-distinct document frequency per (source, line hash): a line
+    * repeated WITHIN one doc is repetition (q_line_dup's business),
+    * not boilerplate — df counts documents. */
+  private def lineDfOf(occ: DataFrame): DataFrame =
+    occ.select(col("doc_id"), col("source"), col("h")).distinct()
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("doc_df"))
 
   /** C4-style boilerplate REMOVAL — the apply step of [[boilerplate]]:
     * every line whose same-source document frequency reaches `minDf`
@@ -675,17 +686,8 @@ object TextAnalysis {
     * frame whose text carries real `\n` line structure. */
   def boilerplateStripOf(docs: DataFrame,
                          minDf: Int = BoilerplateMinDf): DataFrame = {
-    val linesArr = filter(split(col("text"), "\n"), x => x =!= "")
-    val occ = graft.plans.Materialize(docs
-      .select(col("doc_id"), col("source"),
-        posexplode(linesArr).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("source"), col("pos"),
-        xxhash64(col("line")).as("h"),
-        length(col("line")).cast("long").as("len")))
-    val lineDf = occ.select(col("doc_id"), col("source"), col("h")).distinct()
-      .groupBy(col("source"), col("h"))
-      .agg(count(lit(1)).as("doc_df"))
-    val verdicts = occ.join(lineDf, Seq("source", "h"))
+    val occ = lineOccurrencesOf(docs)
+    val verdicts = occ.join(lineDfOf(occ), Seq("source", "h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
@@ -696,7 +698,12 @@ object TextAnalysis {
         // collect_list drops the when()'s nulls: only kept positions
         sort_array(collect_list(when(col("doc_df") < minDf, col("pos"))))
           .as("kept_pos"))
-    docs.select(col("doc_id"), col("text"))
+    // the lines array projects BELOW the join (CollapseProject cannot
+    // cross it), so split+filter runs ONCE per document — inlined into
+    // the transform lambda it would re-split the whole text per kept
+    // position (HOF lambdas are outside subexpression elimination)
+    docs.select(col("doc_id"),
+        filter(split(col("text"), "\n"), x => x =!= "").as("lines"))
       .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
@@ -705,12 +712,12 @@ object TextAnalysis {
         coalesce(col("bp_lines"), lit(0L)).as("bp_lines"),
         coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
         coalesce(col("bp_chars"), lit(0L)).as("bp_chars"),
-        // row-local rewrite: re-split THIS row's text, keep surviving
-        // positions in order (posexplode's pos is 0-based; element_at
-        // is 1-based); an all-boilerplate or line-less doc → ""
+        // row-local rewrite: keep surviving positions in order
+        // (posexplode's pos is 0-based; element_at is 1-based); an
+        // all-boilerplate or line-less doc → ""
         concat_ws("\n", transform(
           coalesce(col("kept_pos"), expr("CAST(array() AS array<int>)")),
-          i => element_at(linesArr, i + lit(1)))).as("cleaned"))
+          i => element_at(col("lines"), i + lit(1)))).as("cleaned"))
   }
 
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
@@ -1057,8 +1064,10 @@ object TextAnalysis {
   private[graft] def bm25IdfBig(nDocs: Long, df: Long): Long = {
     require(nDocs >= 0L && df >= 0L && df <= math.max(nDocs, 0L),
       s"idf needs 0 <= df <= N: got N=$nDocs df=$df")
-    val p4 = BigInt(2L * nDocs + 2L).pow(4)
-    val q4 = BigInt(2L * df + 1L).pow(4)
+    // widen BEFORE the *2+2: long arithmetic would wrap silently past
+    // N = (2^63-3)/2, and "valid at any N" must mean exactly that
+    val p4 = (BigInt(nDocs) * 2 + 2).pow(4)
+    val q4 = (BigInt(df) * 2 + 1).pow(4)
     val k0 = p4.bitLength - q4.bitLength // p > q always, so k0 >= 0
     (if (p4 < (q4 << k0)) k0 - 1 else k0).toLong
   }
@@ -1127,6 +1136,13 @@ object TextAnalysis {
                                    k: Int, maxDocs: Long,
                                    fastBound: Long = Bm25FastBound): DataFrame = {
     require(terms.nonEmpty, "empty query")
+    // the fast path folds Scale·44·T (and den terms) as DRIVER-side
+    // long literals; their no-wrap proof needs T ≤ fastBound ≤ the
+    // audited constant — a larger bound would overflow the literals
+    // SILENTLY in Scala, not loudly in ANSI Spark
+    require(fastBound <= Bm25FastBound,
+      s"fastBound $fastBound exceeds the audited $Bm25FastBound: the " +
+        "pre-multiplied int64 literals would wrap")
     // typed DSL for the term literals (terms are data, never parsed).
     // The tokenize scan is the query's only expensive pass and BOTH
     // jobs need it (the stats collect, then the scoring scan), so the

@@ -318,5 +318,20 @@ class PropertySpec extends SparkSpec {
       assert(graft.operators.TextAnalysis.bm25IdfBig(n, df) == ref(n, df),
         s"bm25IdfBig diverged at N=$n df=$df")
     }
+    // past ANY int64 staging: bm25IdfBig widens BEFORE the *2+2 (long
+    // 2n+2 wraps for n > (2^63-3)/2), so N at the long edge must still
+    // match a reference that never touches int64
+    def refBig(n: BigInt, df: BigInt): Long = {
+      val p4 = (n * 2 + 2).pow(4)
+      val q4 = (df * 2 + 1).pow(4)
+      var k = 0
+      while ((q4 << (k + 1)) <= p4) k += 1
+      k.toLong
+    }
+    Seq((Long.MaxValue / 2, 0L), (Long.MaxValue - 1L, 12345L),
+      (Long.MaxValue - 1L, Long.MaxValue - 1L)).foreach { case (n, df) =>
+      assert(graft.operators.TextAnalysis.bm25IdfBig(n, df) ==
+        refBig(BigInt(n), BigInt(df)), s"huge-N bm25IdfBig diverged at N=$n df=$df")
+    }
   }
 }

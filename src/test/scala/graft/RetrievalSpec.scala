@@ -141,6 +141,12 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(rows(TextAnalysis.Bm25FastBound) == rows(0L),
       "int64 and DECIMAL tf-norm spellings diverged")
+    // a bound past the audited constant would wrap the DRIVER-side
+    // premultiplied literals silently — it must refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bm25OfBounded(docs, terms, 20,
+        TextAnalysis.Bm25MaxDocs, fastBound = TextAnalysis.Bm25FastBound + 1L)
+    }
   }
 
   test("bm25 scores a corpus past the old 27,553-doc int64 ceiling exactly") {
@@ -501,5 +507,20 @@ class RetrievalSpec extends SparkSpec {
     val atT = graft.operators.Curation.tClosenessOf(docs, 100L, tPpm = 250000L)
       .collect().map(r => r.getString(0) -> r).toMap
     assert(atT("b").getAs[Long]("skewed_classes") == 0L)
+    // NULL lang is a REAL sensitive value: both buckets of source n
+    // mirror its 50/50 en-vs-NULL margin, so true TVD is 0 — a
+    // plain-equality grid join would zero the NULL cells and report
+    // 500000 ppm (every class skewed)
+    val withNull = Seq(
+      (21L, Some("en"), "n", 10L), (22L, None, "n", 20L),
+      (23L, Some("en"), "n", 150L), (24L, None, "n", 160L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val nRow = graft.operators.Curation.tClosenessOf(withNull, 100L)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("n")
+    assert(nRow.getAs[Long]("n_docs") == 4L &&
+      nRow.getAs[Long]("n_classes") == 2L)
+    assert(nRow.getAs[Long]("max_tvd_ppm") == 0L &&
+      nRow.getAs[Long]("skewed_classes") == 0L,
+      "NULL-lang cells were zeroed by a non-null-safe grid join")
   }
 }

@@ -1289,6 +1289,89 @@ class StreamingSpec extends SparkSpec {
     assert(replay == want, "replay diverged")
   }
 
+  test("streaming k-anonymity: cumulative live census equals the batch audit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Curation
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("source") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("min_class"), r.getAs[Long]("small_classes"),
+        r.getAs[Long]("docs_at_risk"), r.getAs[String]("discernibility"),
+        r.getAs[Long]("risk_ppm")))
+    val docsAll = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // the live gauge is CUMULATIVE: after batch 1 (odds) it must equal
+    // the batch audit over the whole table; after batch 0 (evens),
+    // the audit over evens alone
+    val want = Curation.kAnonymity(spark, sfDir).collect().map(key).toMap
+    val wantEvens = Curation.kAnonymityOf(
+      docsAll.filter(col("doc_id") % 2 === 0),
+      Curation.KAnonK, Curation.KAnonBucketChars).collect().map(key).toMap
+    val rows = docsAll.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cellsDir = java.nio.file.Files
+      .createTempDirectory("graft-kanon-store-").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val perBatch = scala.collection.mutable.Map[Long, Map[String, Any]]()
+    val q = input.toDF().toDF("doc_id", "lang", "source", "n_chars")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        perBatch(id) = Curation.kAnonymityIncrementalBatch(batch, cellsDir, id)
+          .collect().map(key).toMap
+        ()
+      }.start()
+    val odds = rows.filter(_._1 % 2 == 1)
+    try {
+      input.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(odds.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(perBatch(0L) == wantEvens, "batch-0 gauge != evens-only audit")
+      assert(perBatch(1L) == want, "batch-1 cumulative gauge != full audit")
+    } finally q.stop()
+    // at-least-once replay of batch 1 AFTER later state exists: the
+    // gauge reads only dirs <= its id and returns identical rows
+    val replay = Curation.kAnonymityIncrementalBatch(
+      odds.toSeq.toDF("doc_id", "lang", "source", "n_chars"), cellsDir, 1L)
+      .collect().map(key).toMap
+    assert(replay == want, "replay diverged")
+    // and a batch-0 replay stays the evens-only panel (ignores batch 1)
+    val replay0 = Curation.kAnonymityIncrementalBatch(
+      rows.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "lang", "source", "n_chars"),
+      cellsDir, 0L).collect().map(key).toMap
+    assert(replay0 == wantEvens, "batch-0 replay saw the future")
+    // ONE landed store serves the whole trio: the cumulative census
+    // (replayed at batch 1 = the full corpus) feeds l-diversity and
+    // t-closeness spelling-identical to their batch audits
+    val census = Curation.privacyCensusIncrementalBatch(
+      odds.toSeq.toDF("doc_id", "lang", "source", "n_chars"), cellsDir, 1L)
+    def rowKey(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("source") -> r.toSeq
+    assert(Curation.lDiversityOfCells(census).collect().map(rowKey).toMap ==
+      Curation.lDiversity(spark, sfDir).collect().map(rowKey).toMap,
+      "live l-diversity diverged from the batch audit")
+    assert(Curation.tClosenessOfCells(census, Curation.TClosePpm)
+      .collect().map(rowKey).toMap ==
+      Curation.tCloseness(spark, sfDir).collect().map(rowKey).toMap,
+      "live t-closeness diverged from the batch audit")
+    // NULL lang and NULL length bucket are REAL classes end to end
+    // (zero joins anywhere in the chain — groupBy keeps them whole)
+    val nullDir = java.nio.file.Files
+      .createTempDirectory("graft-kanon-null-").toString
+    val nd = Seq(
+      (1L, Option.empty[String], "z", Option(10L)),
+      (2L, Option.empty[String], "z", Option(15L)),
+      (3L, Option("en"), "z", Option.empty[Long]))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val liveNull = Curation.kAnonymityIncrementalBatch(nd, nullDir, 0L)
+      .collect().map(key).toMap
+    val batchNull = Curation.kAnonymityOf(nd,
+      Curation.KAnonK, Curation.KAnonBucketChars).collect().map(key).toMap
+    assert(liveNull == batchNull && liveNull("z")._2 == 2L,
+      "NULL quasi-identifier classes diverged between live and batch")
+  }
+
   test("streaming keep-set: greedy incremental dedup against the fingerprint store") {
     val s = spark
     import s.implicits._
