@@ -280,19 +280,16 @@ object Ann {
     * batch row exactly. */
   def centroidDriftIncrementalBatch(batch: DataFrame, sumsDir: String,
                                     batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
     val (own, dirs) = graft.sources.Incremental.landBatch(
       batch.select(col("label"),
           posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n")),
       sumsDir, batchId)
-    val prior = dirs.collect { case (id, path) if id < batchId => path }
-    val priorSums =
-      if (prior.isEmpty) own.limit(0)
-      else spark.read.schema(own.schema).parquet(prior: _*)
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    val priorSums = graft.sources.Incremental
+      .earlierBatches(own, dirs, batchId)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
     val po = priorSums.select(col("label").as("po_label"),
       col("pos").as("po_pos"), col("s").as("po_s"), col("n").as("po_n"))
     val ow = own.select(col("label").as("ow_label"),

@@ -125,8 +125,7 @@ object Curation {
     * n_chars ≥ 0 and bucketChars > 0, so div and `//` floor
     * identically; groupBy keeps NULL lang/bucket/source classes
     * whole. */
-  private[graft] def privacyCellsOf(docs: DataFrame,
-                                    bucketChars: Long): DataFrame = {
+  def privacyCellsOf(docs: DataFrame, bucketChars: Long): DataFrame = {
     require(bucketChars >= 1L, s"bucket width must be positive: got $bucketChars")
     docs
       .select(col("lang"), col("source"),
@@ -140,7 +139,7 @@ object Curation {
     * the batch audit and [[kAnonymityIncrementalBatch]]'s live gate,
     * so the two can never disagree on the panel (the
     * structural-sharing rule). */
-  private[graft] def kAnonymityOfClasses(classes: DataFrame, k: Int): DataFrame = {
+  def kAnonymityOfClasses(classes: DataFrame, k: Int): DataFrame = {
     val d38 = "DECIMAL(38,0)"
     require(k >= 1, s"anonymity threshold must be positive: got $k")
     classes
@@ -195,7 +194,7 @@ object Curation {
     * count (both skip NULL lang, so an all-NULL-lang class reports
     * l = 0 — outside the l = 1 homogeneity flag in BOTH forms and in
     * the oracle). Shared by the batch audit and the live store. */
-  private[graft] def lDiversityOfCells(cells: DataFrame): DataFrame = {
+  def lDiversityOfCells(cells: DataFrame): DataFrame = {
     val d38 = "DECIMAL(38,0)"
     val classes = cells
       .groupBy(col("source"), col("len_bucket"))
@@ -263,7 +262,7 @@ object Curation {
 
   /** The t-closeness rollup from a prepared [[privacyCellsOf]]-shaped
     * census. Shared by the batch audit and the live store. */
-  private[graft] def tClosenessOfCells(cells0: DataFrame,
+  def tClosenessOfCells(cells0: DataFrame,
                                        tPpm: Long): DataFrame = {
     val d38 = "DECIMAL(38,0)"
     require(tPpm >= 0L && tPpm <= 1000000L,
@@ -359,18 +358,16 @@ object Curation {
   def privacyCensusIncrementalBatch(batch: DataFrame, cellsDir: String,
                                     batchId: Long,
                                     bucketChars: Long = KAnonBucketChars): DataFrame = {
-    val spark = batch.sparkSession
     val (own, dirs) = graft.sources.Incremental.landBatch(
       privacyCellsOf(batch, bucketChars), cellsDir, batchId)
-    // landBatch returns the OTHER committed dirs; the cumulative
-    // census is the landed read-back (own — the committed rows ARE
-    // the scored rows) plus every strictly-earlier batch
-    val earlier = dirs.collect { case (id, path) if id < batchId => path }
-    val cumulative =
-      if (earlier.isEmpty) own
-      else own.unionAll(spark.read.schema(own.schema).parquet(earlier: _*))
-    cumulative
+    // cumulative = the landed read-back (own — the committed rows ARE
+    // the scored rows) plus every strictly-earlier batch, MATERIALIZED:
+    // the trio's rollups read the census up to six ways per
+    // micro-batch (four inside one t-closeness panel alone), and the
+    // store re-read + re-aggregate must be paid once, not per consumer
+    graft.plans.Materialize(own
+      .unionAll(graft.sources.Incremental.earlierBatches(own, dirs, batchId))
       .groupBy(col("lang"), col("source"), col("len_bucket"))
-      .agg(sum(col("class_size")).as("class_size"))
+      .agg(sum(col("class_size")).as("class_size")))
   }
 }

@@ -734,7 +734,6 @@ object Dedup {
     * prefilter culls the untouched store partitions). */
   def noveltyIncrementalBatch(batch: DataFrame, gramDir: String,
                               batchId: Long, n: Int = 8): DataFrame = {
-    val spark = batch.sparkSession
     // commit this batch's per-doc gram rows FIRST (crash replay
     // re-lands the same dir); everything below reads the committed
     // parquet, so the explode runs once — inside this write
@@ -744,11 +743,9 @@ object Dedup {
       gramDir, batchId)
     val firsts = own.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_in_batch"))
-    val prior = dirs.collect { case (id, path) if id < batchId => path }
-    val seenBefore =
-      if (prior.isEmpty) own.select(col("gram")).limit(0)
-      else spark.read.schema(own.schema).parquet(prior: _*)
-        .select(col("gram")).distinct()
+    val seenBefore = graft.sources.Incremental
+      .earlierBatches(own, dirs, batchId)
+      .select(col("gram")).distinct()
     own
       .join(firsts, Seq("gram"))
       .join(seenBefore.withColumn("seen", lit(1L)), Seq("gram"), "left")
@@ -785,22 +782,18 @@ object Dedup {
     * strictly earlier batches — identical keep decisions. */
   def keepSetIncrementalBatch(batch: DataFrame, fpDir: String,
                               batchId: Long, maxHamming: Int = 3): DataFrame = {
-    val spark = batch.sparkSession
     val (own0, dirs) = graft.sources.Incremental.landBatch(
       batch.select(col("doc_id"), simhash_text(col("text")).as("fp")),
       fpDir, batchId)
     val own = own0.select(col("doc_id").as("id"), col("fp"))
-    val prior = dirs.collect { case (id, path) if id < batchId => path }
     // within-batch: earlier doc_id wins (hammingPairs emits id_a < id_b)
     val inBatch = hammingPairs(own, maxHamming).select(col("id_b").as("dup_id"))
-    val dups =
-      if (prior.isEmpty) inBatch
-      else inBatch.unionAll(
-        hammingJoin(own,
-          spark.read.schema(own0.schema).parquet(prior: _*)
-            .select(col("doc_id").as("id"), col("fp")),
-          maxHamming)
-          .select(col("id_l").as("dup_id")))
+    val dups = inBatch.unionAll(
+      hammingJoin(own,
+        graft.sources.Incremental.earlierBatches(own0, dirs, batchId)
+          .select(col("doc_id").as("id"), col("fp")),
+        maxHamming)
+        .select(col("id_l").as("dup_id")))
     // keep decisions derive from the LANDED rows (own = the committed
     // parquet), not a recomputation of `batch`: survivors are the
     // landed ids minus the dup ids, semi-joined back for the payload.

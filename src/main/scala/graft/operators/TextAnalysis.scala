@@ -950,7 +950,6 @@ object TextAnalysis {
   def chunkDedupIncrementalBatch(batch: DataFrame, storeDir: String,
                                  batchId: Long, window: Int = 32,
                                  stride: Int = 24): DataFrame = {
-    val spark = batch.sparkSession
     val (own, dirs) = graft.sources.Incremental.landBatch(
       chunkWindowsOf(batch, window, stride)
         .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch"))
@@ -958,11 +957,9 @@ object TextAnalysis {
       storeDir, batchId)
     val firsts = own.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("first_in_batch"))
-    val prior = dirs.collect { case (id, path) if id < batchId => path }
-    val seenBefore =
-      if (prior.isEmpty) own.select(col("ch")).limit(0)
-      else spark.read.schema(own.schema).parquet(prior: _*)
-        .select(col("ch")).distinct()
+    val seenBefore = graft.sources.Incremental
+      .earlierBatches(own, dirs, batchId)
+      .select(col("ch")).distinct()
     own
       .join(firsts, Seq("ch"))
       .join(seenBefore.withColumn("seen", lit(1L)), Seq("ch"), "left")

@@ -49,6 +49,21 @@ object Incremental {
     (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
   }
 
+  /** The STRICTLY-EARLIER committed batches as one schema-pinned frame
+    * (empty — not missing — when this is the first batch): the read
+    * half of the [[landBatch]] discipline, factored once so the five
+    * incremental gauges share a single spelling of "score only what
+    * was committed before me". Pinning `own.schema` keeps a zero-row
+    * landing (a dir holding only _SUCCESS) from breaking parquet
+    * schema inference, exactly as [[landBatch]]'s own read-back
+    * does. */
+  def earlierBatches(own: DataFrame, dirs: Seq[(Long, String)],
+                     batchId: Long): DataFrame = {
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
+    if (prior.isEmpty) own.limit(0)
+    else own.sparkSession.read.schema(own.schema).parquet(prior: _*)
+  }
+
   def committedBatchDirs(spark: SparkSession,
                          dir: String): Seq[(Long, String)] = {
     val basePath = new org.apache.hadoop.fs.Path(dir)
