@@ -841,37 +841,73 @@ object Dedup {
     * src1?"), the source-granular complement of the per-doc
     * [[dupCoverage]] and the eval-set [[decontaminate]].
     *
-    * Scale shape: the per-source DISTINCT gram set is one dedup
-    * shuffle, MATERIALIZED once for its three consumers (both
-    * self-join sides and the totals — without it each consumer
-    * re-derives the corpus-wide explode+distinct); the self-join keys
-    * on the 8-byte gram hash, so a gram present in k sources emits
-    * k·(k−1)/2 pairs — bounded by SOURCES² per gram, never a doc- or
-    * corpus-sized pair space. Per-source totals broadcast; the
-    * coefficient is one double division of two exact integers.
-    * (A gram-keyed `collect_set(source)` + row-local pair expansion
-    * was tried r10 and measured 1.7× SLOWER at sf0.1: the object-
-    * based aggregate loses whole-stage codegen, which the hash
-    * self-join keeps.) */
+    * Scale shape (r10 bitmask form): with the source catalog bounded
+    * at 63 (the documented bounded-collect: one distinct over the
+    * dictionary-scale source column), each source gets a bit and the
+    * whole matrix costs ONE codegen'd aggregate — gram →
+    * `bit_or(1 << src_idx)`. No pre-distinct is even needed: OR is
+    * idempotent, so duplicate (source, gram) occurrences collapse
+    * map-side for free, and the long-typed bit_or keeps the entire
+    * hot path inside whole-stage codegen (the r1 gram self-join paid
+    * the distinct plus two more corpus-wide shuffles; a
+    * collect_set(source) rewrite measured 1.7× slower than even
+    * that — object aggregates lose codegen). The (mask, count) frame
+    * that remains is at most #distinct-masks rows (≪ 2^S in
+    * practice), MATERIALIZED once; pair counts and per-source totals
+    * both fold from it row-locally (C(k,2) struct expansion over the
+    * set bits), and the coefficient is one double division of two
+    * exact integers. Past 63 sources: partition the catalog and run
+    * the matrix per chunk pair — the mask is a per-chunk detail, the
+    * gram aggregate shape is unchanged. */
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val sg = graft.plans.Materialize(Tables.documents(spark, dir)
-      .select(col("source"), explode(shingle_hashes(col("text"), n)).as("gram"))
-      .distinct())
-    val st = sg.groupBy(col("source")).agg(count(lit(1)).as("total"))
-    // renames stay ABOVE the join: both sides are then the identical
-    // exchange subtree, so the gram repartition computes once and the
-    // second side is a ReusedExchange
-    sg.as("a")
-      .join(sg.as("b"), expr("a.gram = b.gram"))
-      .filter(expr("a.source < b.source"))
-      .groupBy(expr("a.source").as("source_a"), expr("b.source").as("source_b"))
-      .agg(count(lit(1)).as("shared_grams"))
-      .join(broadcast(st.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("total", "n_a")), Seq("source_a"))
-      .join(broadcast(st.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("total", "n_b")), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        col("shared_grams"),
+    val docs = Tables.documents(spark, dir)
+    // bounded collect: the source catalog (dictionary-scale, the
+    // Analytics topic-grid precedent). Sorted so bit order == string
+    // `<` order — pair (i < j) is then (name_i < name_j) directly.
+    val srcs = docs.select(col("source")).filter(col("source").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(srcs.size <= 63,
+      s"bitmask form holds ≤63 sources, got ${srcs.size}: chunk the " +
+        "catalog and run the matrix per chunk pair")
+    if (srcs.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit("").as("source_a"), lit("").as("source_b"),
+          lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("shared_grams"),
+          lit(0.0).as("overlap")).limit(0)
+    val idxMap = map(srcs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    val masks = graft.plans.Materialize(docs
+      .filter(col("source").isNotNull)
+      .select(element_at(idxMap, col("source")).as("src_idx"),
+        explode(shingle_hashes(col("text"), n)).as("gram"))
+      .select(expr("shiftleft(CAST(1 AS BIGINT), src_idx)").as("bit"),
+        col("gram"))
+      .groupBy(col("gram")).agg(expr("bit_or(bit)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt")))
+    val s = srcs.size
+    // set-bit indices of each mask, ascending — row-local on the tiny
+    // (mask, cnt) frame
+    val withBits = masks.withColumn("bits",
+      expr(s"filter(sequence(0, ${s - 1}), i -> (shiftright(mask, i) & 1) = 1)"))
+    val totals = withBits
+      .select(explode(col("bits")).as("b"), col("cnt"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("total"))
+    val shared = withBits
+      .select(col("cnt"), explode(expr(
+        """flatten(transform(bits, (x, ix) ->
+          |  transform(slice(bits, ix + 2, size(bits) - ix - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("ia"), col("p.b").as("ib"))
+      .agg(sum(col("cnt")).as("shared_grams"))
+    val srcNames = array(srcs.map(lit): _*)
+    shared
+      .join(broadcast(totals.select(col("b").as("ia"), col("total").as("n_a"))),
+        Seq("ia"))
+      .join(broadcast(totals.select(col("b").as("ib"), col("total").as("n_b"))),
+        Seq("ib"))
+      .select(element_at(srcNames, col("ia") + 1).as("source_a"),
+        element_at(srcNames, col("ib") + 1).as("source_b"),
+        col("n_a"), col("n_b"), col("shared_grams"),
         (col("shared_grams").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
   }

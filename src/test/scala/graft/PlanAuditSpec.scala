@@ -293,16 +293,20 @@ class PlanAuditSpec extends SparkSpec {
       "self-join no longer keys on user_id")
   }
 
-  test("source overlap: self-join keys on the gram hash off ONE materialized distinct") {
+  test("source overlap: one bit_or aggregate, no gram join, totals broadcast") {
     val df = Dedup.sourceOverlap(spark, sfDir)
     val plan = physical(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"pair space appeared:\n$plan")
-    assert(equiJoinKeySets(df).exists(_.exists(_.contains("gram"))),
-      "self-join no longer keys on gram")
-    // the distinct gram set materializes once for its three consumers;
-    // a FileScan in the final plan means a consumer re-reads the corpus
+    // the r10 bitmask form: the corpus collapses through ONE codegen'd
+    // gram → bit_or aggregate — a gram-keyed join reappearing means
+    // the wide frame is being self-joined again
+    assert(!plan.contains("SortMergeJoin"), s"wide join resurfaced:\n$plan")
+    assert(!equiJoinKeySets(df).exists(_.exists(_.contains("gram"))),
+      "a join keys on gram — the bitmask form has no gram join")
+    // the tiny (mask, cnt) frame materializes once; a FileScan in the
+    // final plan means a consumer re-reads the corpus
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 0, s"corpus re-read past the materialize:\n$plan")
   }
