@@ -859,36 +859,68 @@ object Dedup {
     * exact integers. Past 63 sources: partition the catalog and run
     * the matrix per chunk pair — the mask is a per-chunk detail, the
     * gram aggregate shape is unchanged. */
-  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, dir), n)
+
+  /** Sources ordered the way BOTH engines order strings — unsigned
+    * UTF-8 bytes (Spark's UTF8String.compareTo, DuckDB's collation).
+    * Scala's default `.sorted` compares UTF-16 code units, which
+    * flips supplementary-plane names (emoji sources) against U+E000..
+    * U+FFFF ones — a pair-orientation divergence the oracle would
+    * catch only on such a corpus. */
+  private def utf8Sorted(xs: Seq[String]): Seq[String] =
+    xs.sorted(Ordering.comparatorToOrdering[String]((a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+
+  /** [[sourceOverlap]] over a prepared (source, text) frame. */
+  def sourceOverlapOf(docs: DataFrame, n: Int = 8): DataFrame = {
     // bounded collect: the source catalog (dictionary-scale, the
-    // Analytics topic-grid precedent). Sorted so bit order == string
-    // `<` order — pair (i < j) is then (name_i < name_j) directly.
-    val srcs = docs.select(col("source")).filter(col("source").isNotNull)
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    require(srcs.size <= 63,
-      s"bitmask form holds ≤63 sources, got ${srcs.size}: chunk the " +
-        "catalog and run the matrix per chunk pair")
+    // Analytics topic-grid precedent), UTF-8-byte sorted so bit order
+    // == the engines' string `<` order. The mask scan filters to THIS
+    // snapshot (isin), so a source racing in between the two jobs is
+    // consistently absent rather than an ANSI element_at crash.
+    val srcs = utf8Sorted(docs.select(col("source"))
+      .filter(col("source").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq)
     if (srcs.isEmpty)
       return docs.sparkSession.emptyDataFrame
         .select(lit("").as("source_a"), lit("").as("source_b"),
           lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("shared_grams"),
           lit(0.0).as("overlap")).limit(0)
-    val idxMap = map(srcs.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i)) }: _*)
+    // past 63 sources the matrix does NOT degrade: the catalog splits
+    // into consecutive 63-bit chunks and the one gram aggregate
+    // carries a bit_or column per chunk; global bit index =
+    // 63·chunk + position, so the flattened set-bit array stays in
+    // catalog order and the pair/total expansion is chunk-agnostic
+    val chunks = srcs.grouped(63).toSeq
+    val bitCols = chunks.zipWithIndex.map { case (cs, c) =>
+      val m = map(cs.zipWithIndex.flatMap { case (s, i) =>
+        Seq(lit(s), lit(i)) }: _*)
+      // try_element_at: a source lives in exactly ONE chunk's map and
+      // must read as no-bit (0) in every other chunk, not an ANSI error
+      coalesce(call_function("shiftleft", lit(1L),
+        try_element_at(m, col("source"))), lit(0L)).as(s"bit_$c")
+    }
+    val maskAggs = chunks.indices.map(c =>
+      expr(s"bit_or(bit_$c)").as(s"mask_$c"))
+    val maskCols = chunks.indices.map(c => col(s"mask_$c"))
     val masks = graft.plans.Materialize(docs
-      .filter(col("source").isNotNull)
-      .select(element_at(idxMap, col("source")).as("src_idx"),
-        explode(shingle_hashes(col("text"), n)).as("gram"))
-      .select(expr("shiftleft(CAST(1 AS BIGINT), src_idx)").as("bit"),
-        col("gram"))
-      .groupBy(col("gram")).agg(expr("bit_or(bit)").as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).as("cnt")))
-    val s = srcs.size
-    // set-bit indices of each mask, ascending — row-local on the tiny
-    // (mask, cnt) frame
+      .filter(col("source").isin(srcs: _*))
+      .select(bitCols :+ explode(shingle_hashes(col("text"), n)).as("gram"): _*)
+      .groupBy(col("gram")).agg(maskAggs.head, maskAggs.tail: _*)
+      .groupBy(maskCols: _*).agg(count(lit(1)).as("cnt")))
+    // global set-bit indices of each mask tuple, ascending — row-local
+    // on the tiny (mask*, cnt) frame
+    val bitsPerChunk = chunks.zipWithIndex.map { case (cs, c) =>
+      s"""transform(
+         |  filter(sequence(0, ${cs.size - 1}),
+         |    i -> (shiftright(mask_$c, i) & 1) = 1),
+         |  i -> i + ${63 * c})""".stripMargin
+    }
     val withBits = masks.withColumn("bits",
-      expr(s"filter(sequence(0, ${s - 1}), i -> (shiftright(mask, i) & 1) = 1)"))
+      expr(s"flatten(array(${bitsPerChunk.mkString(", ")}))"))
     val totals = withBits
       .select(explode(col("bits")).as("b"), col("cnt"))
       .groupBy(col("b")).agg(sum(col("cnt")).as("total"))

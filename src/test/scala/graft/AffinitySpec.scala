@@ -85,4 +85,35 @@ class AffinitySpec extends SparkSpec {
       assert(ov == shared.toDouble / math.min(nA, nB).toDouble)
     }
   }
+
+  test("source overlap: 70 sources ride chunked masks; UTF-8 byte order wins") {
+    import spark.implicits._
+    // 70 sources force TWO 63-bit mask chunks. The last two names pin
+    // pair orientation: U+1F600 (UTF-8 F0 9F 98 80) sorts AFTER
+    // U+FFFD (EF BF BD) byte-wise — Scala's UTF-16 .sorted would flip
+    // them (surrogate D83D < FFFD), diverging from Spark/DuckDB `<`.
+    val emoji = "s😀"
+    val repl = "s�"
+    val names = (0 until 68).map(i => f"src$i%02d") ++ Seq(emoji, repl)
+    val shared8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = names.zipWithIndex.flatMap { case (s, i) =>
+      // every source: ONE shared 8-gram + ONE source-unique 8-gram
+      Seq((s, shared8), (s, (0 until 8).map(j => s"u${i}w$j").mkString(" ")))
+    }.toDF("source", "text")
+    val got = Dedup.sourceOverlapOf(docs, n = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 70 * 69 / 2, s"expected C(70,2) pairs, got ${got.size}")
+    got.foreach { case ((a, b), (nA, nB, sh, ov)) =>
+      assert(nA == 2L && nB == 2L && sh == 1L && ov == 0.5,
+        s"($a, $b): ($nA, $nB, $sh, $ov)")
+      // orientation must follow UNSIGNED UTF-8 bytes, both engines' `<`
+      assert(java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0,
+        s"pair ($a, $b) not UTF-8 ascending")
+    }
+    assert(got.contains((repl, emoji)) && !got.contains((emoji, repl)),
+      "supplementary-plane source pair flipped vs UTF-8 byte order")
+  }
 }
