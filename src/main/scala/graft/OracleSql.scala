@@ -1649,7 +1649,7 @@ ORDER BY rrf_ppm DESC, doc_id LIMIT $k"""
        |   FROM dd GROUP BY 1, 2),
        | j AS (SELECT dl.doc_id, length(dl.line) AS len,
        |     (df.doc_df >= $minDf) AS bp
-       |   FROM dl JOIN df ON df.source = dl.source AND df.line = dl.line)
+       |   FROM dl JOIN df ON df.source IS NOT DISTINCT FROM dl.source AND df.line = dl.line)
        |SELECT doc_id, count(*) AS n_lines,
        | CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS bp_lines,
        | CAST(sum(len) AS BIGINT) AS n_line_chars,
@@ -1683,7 +1683,7 @@ ORDER BY rrf_ppm DESC, doc_id LIMIT $k"""
        |   FROM dd GROUP BY 1, 2),
        | j AS (SELECT dl.doc_id, dl.ord, dl.line, length(dl.line) AS len,
        |     (df.doc_df >= $minDf) AS bp
-       |   FROM dl JOIN df ON df.source = dl.source AND df.line = dl.line),
+       |   FROM dl JOIN df ON df.source IS NOT DISTINCT FROM dl.source AND df.line = dl.line),
        | agg AS (SELECT doc_id, count(*) AS n_lines,
        |   sum(CASE WHEN bp THEN 1 ELSE 0 END) AS bp_lines,
        |   sum(CASE WHEN NOT bp THEN len ELSE 0 END) AS kept_chars,

@@ -613,8 +613,7 @@ object TextAnalysis {
   /** [[boilerplate]] over a prepared (doc_id, source, text) frame
     * whose text carries real `\n` line structure. */
   def boilerplateOf(docs: DataFrame, minDf: Int = BoilerplateMinDf): DataFrame = {
-    val occ = lineOccurrencesOf(docs)
-    occ.join(lineDfOf(occ), Seq("source", "h"))
+    withLineDf(lineOccurrencesOf(docs, withPos = false))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
@@ -632,16 +631,20 @@ object TextAnalysis {
     * and its apply step can never disagree on what a "line" or its
     * hash is (the structural-sharing rule). MATERIALIZED: every
     * caller has two+ consumers (the df aggregate and a join-back)
-    * that would each re-scan + re-split + re-explode the corpus; the
-    * checkpointed frame is 5 slim columns, line text already dropped. */
-  private def lineOccurrencesOf(docs: DataFrame): DataFrame =
+    * that would each re-scan + re-split + re-explode the corpus. The
+    * position column is opt-in — only the strip's kept-position
+    * rollup reads it, and the census's corpus-scale checkpoint should
+    * not carry an int per line occurrence for no consumer. */
+  private def lineOccurrencesOf(docs: DataFrame,
+                                withPos: Boolean): DataFrame =
     graft.plans.Materialize(docs
       .select(col("doc_id"), col("source"),
         posexplode(filter(split(col("text"), "\n"), x => x =!= ""))
           .as(Seq("pos", "line")))
-      .select(col("doc_id"), col("source"), col("pos"),
-        xxhash64(col("line")).as("h"),
-        length(col("line")).cast("long").as("len")))
+      .select(Seq(col("doc_id"), col("source")) ++
+        (if (withPos) Seq(col("pos")) else Nil) ++
+        Seq(xxhash64(col("line")).as("h"),
+          length(col("line")).cast("long").as("len")): _*))
 
   /** Doc-distinct document frequency per (source, line hash): a line
     * repeated WITHIN one doc is repetition (q_line_dup's business),
@@ -650,6 +653,21 @@ object TextAnalysis {
     occ.select(col("doc_id"), col("source"), col("h")).distinct()
       .groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("doc_df"))
+
+  /** Decision join: occurrences ⋈ their (source, line-hash) document
+    * frequency — NULL-SAFE on source. groupBy made NULL source a real
+    * df group; a plain-equality join would orphan every NULL-source
+    * line, silently dropping those docs from the census and — fatally
+    * for the APPLY step — wiping their text to "" in the strip's
+    * rewrite. The hash side stays plain equality (xxhash64 of a
+    * non-null line is never NULL). */
+  private def withLineDf(occ: DataFrame): DataFrame = {
+    val df = lineDfOf(occ).select(col("source").as("df_source"),
+      col("h").as("df_h"), col("doc_df"))
+    occ.join(df,
+      col("source") <=> col("df_source") && col("h") === col("df_h"))
+      .drop("df_source", "df_h")
+  }
 
   /** C4-style boilerplate REMOVAL — the apply step of [[boilerplate]]:
     * every line whose same-source document frequency reaches `minDf`
@@ -686,8 +704,7 @@ object TextAnalysis {
     * frame whose text carries real `\n` line structure. */
   def boilerplateStripOf(docs: DataFrame,
                          minDf: Int = BoilerplateMinDf): DataFrame = {
-    val occ = lineOccurrencesOf(docs)
-    val verdicts = occ.join(lineDfOf(occ), Seq("source", "h"))
+    val verdicts = withLineDf(lineOccurrencesOf(docs, withPos = true))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("doc_df") >= minDf, 1L).otherwise(0L)).as("bp_lines"),
@@ -1015,12 +1032,16 @@ object TextAnalysis {
   private[graft] val Bm25TfDen1 = 6L   // ·T   (k1·(1−b)·20)
   private[graft] val Bm25TfDen2 = 18L  // ·dl·N (k1·b·20)
   private[graft] val Bm25DefaultTerms = Seq("dup", "key", "batch", "window")
-  /** Per-row int64 fast-path bound for the tf-norm: rows where T, T·tf
-    * (≤ T·dl) and dl·N all stay ≤ this run the all-long spelling of
-    * the exact quotient inside whole-stage codegen; larger rows fall
+  /** Per-(row, term) int64 fast-path bound for the tf-norm: a pair
+    * where T·tf_i ≤ this AND dl·N ≤ this runs the all-long spelling
+    * of the exact quotient inside whole-stage codegen; the rest fall
     * back to DECIMAL(38,0). 1e14 keeps every int64 intermediate under
-    * 4.4e18 (< 2⁶³); a 100 TB corpus (~2.5e13 tokens) still rides the
-    * fast path. Spec-pinned: both spellings score identically. */
+    * 4.4e18 (< 2⁶³). The binding variable is the TERM frequency, not
+    * document length: at a 100 TB corpus (T ≈ 2.5e13 tokens) the
+    * fast path covers tf_i ≤ 4 — most matches of a selective query
+    * term — while high-tf outliers take the (equally exact,
+    * spec-pinned-identical) DECIMAL spelling. Both are the same
+    * integers; only the arithmetic width differs. */
   private[graft] val Bm25FastBound = 100000000000000L
 
   /** The int64 headroom of the fixed-point idf: the square p² = (2N+2)²
@@ -1030,6 +1051,24 @@ object TextAnalysis {
     * instead of wrapping (both engines fail LOUD, never diverge
     * silently); past 1.5 B documents, score per partition/day slice. */
   private[graft] val Bm25MaxDocs = 1518500248L
+
+  /** Driver-side exact quarter-bit Lucene idf:
+    * floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1, by BigInt
+    * shift-compare — the same integers [[bm25IdfQ]] computes in
+    * Column space (and PropertySpec pins both against), valid at any
+    * N. Production bm25 folds this into the scoring scan as a
+    * literal: the Column tree's per-query ANALYSIS cost (~1 s at 4
+    * terms) dwarfed the scan it decorated. */
+  private[graft] def bm25IdfBig(nDocs: Long, df: Long): Long = {
+    require(nDocs >= 0L && df >= 0L && df <= math.max(nDocs, 0L),
+      s"idf needs 0 <= df <= N: got N=$nDocs df=$df")
+    // widen BEFORE the *2+2: long arithmetic would wrap silently past
+    // N = (2^63-3)/2, and "valid at any N" must mean exactly that
+    val p4 = (BigInt(nDocs) * 2 + 2).pow(4)
+    val q4 = (BigInt(df) * 2 + 1).pow(4)
+    val k0 = p4.bitLength - q4.bitLength // p > q always, so k0 >= 0
+    (if (p4 < (q4 << k0)) k0 - 1 else k0).toLong
+  }
 
   /** The quarter-bit Lucene idf as a Column: floor(4·log₂((N+1)/(df+½)))
     * = floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1 — WITHOUT ever
@@ -1051,24 +1090,6 @@ object TextAnalysis {
     * Requires 0 ≤ df ≤ N ≤ [[Bm25MaxDocs]] (callers guard N).
     * PropertySpec pins this against a BigInt floor-log₂ reference over
     * the full domain including every boundary. */
-  /** Driver-side exact quarter-bit Lucene idf:
-    * floor(log₂(p⁴/q⁴)) with p = 2N+2, q = 2df+1, by BigInt
-    * shift-compare — the same integers [[bm25IdfQ]] computes in
-    * Column space (and PropertySpec pins both against), valid at any
-    * N. Production bm25 folds this into the scoring scan as a
-    * literal: the Column tree's per-query ANALYSIS cost (~1 s at 4
-    * terms) dwarfed the scan it decorated. */
-  private[graft] def bm25IdfBig(nDocs: Long, df: Long): Long = {
-    require(nDocs >= 0L && df >= 0L && df <= math.max(nDocs, 0L),
-      s"idf needs 0 <= df <= N: got N=$nDocs df=$df")
-    // widen BEFORE the *2+2: long arithmetic would wrap silently past
-    // N = (2^63-3)/2, and "valid at any N" must mean exactly that
-    val p4 = (BigInt(nDocs) * 2 + 2).pow(4)
-    val q4 = (BigInt(df) * 2 + 1).pow(4)
-    val k0 = p4.bitLength - q4.bitLength // p > q always, so k0 >= 0
-    (if (p4 < (q4 << k0)) k0 - 1 else k0).toLong
-  }
-
   private[graft] def bm25IdfQ(nDocs: Column, df: Column): Column = {
     def bl(x: Column): Column = length(bin(x)) // bit length (INT)
     def dec(x: Column): Column = x.cast("decimal(19,0)")
@@ -1185,18 +1206,25 @@ object TextAnalysis {
       java.math.BigInteger.TEN.pow(38).subtract(java.math.BigInteger.ONE)
         .divide(java.math.BigInteger.valueOf(Bm25Scale * Bm25TfNum)))
     def dec(c: Column): Column = c.cast("decimal(19,0)")
-    // per-row fast/slow split precomputed as ONE dl bound: rows with
-    // dl ≤ dlFast keep every int64 intermediate ≤ 4.4e18 (T ≤ bound,
-    // T·tf ≤ T·dl ≤ bound, dl·N ≤ bound) and run the all-long
-    // spelling; larger rows fall back to DECIMAL(38,0) with the loud
-    // overflow guard paid only there
+    // per-row, PER-TERM fast/slow split: a (row, term) pair runs the
+    // all-long spelling when tf_i ≤ tfFast (⇒ T·tf ≤ fastBound ⇒
+    // 44000·T·tf ≤ 4.4e18) AND dl ≤ dlFast (⇒ 18·dl·N ≤ 1.8e15);
+    // T ≤ fastBound itself is implied by tfFast ≥ 0. The binding
+    // variable is tf, not dl — a per-row dl-only proxy (tf ≤ dl)
+    // collapsed to dl ≤ 4 at T = 2.5e13 and sent essentially every
+    // document down the DECIMAL path at exactly the corpus scale the
+    // fast path was built for. Slow pairs fall back to DECIMAL(38,0)
+    // with the loud overflow guard paid only on slow rows.
+    val tfFast =
+      if (tTok > fastBound) -1L else fastBound / math.max(tTok, 1L)
     val dlFast =
-      if (tTok > fastBound) -1L
-      else math.min(fastBound / math.max(tTok, 1L),
-        fastBound / math.max(nDocs, 1L))
+      if (tTok > fastBound) -1L else fastBound / math.max(nDocs, 1L)
+    val dlOk = col("dl") <= lit(dlFast)
+    val allFast = terms.indices
+      .map(i => col(s"tf_$i") <= lit(tfFast) && dlOk)
+      .reduce(_ && _)
     val scored = withTf
-      .withColumn("fast", col("dl") <= lit(dlFast))
-      .withColumn("dl", when(col("fast"), col("dl")).otherwise(
+      .withColumn("dl", when(allFast, col("dl")).otherwise(
         when(dec(col("dl")) * dec(lit(tTok)) > lit(tfNormMax),
           raise_error(lit("bm25: Scale*44*T*dl overflows DECIMAL(38) — " +
             "slice the corpus"))).otherwise(col("dl"))))
@@ -1206,14 +1234,15 @@ object TextAnalysis {
           val idf = lit(idfs(i)) // exact BigInt quarter-bit, driver-side
           // exact quotient ⌊44000·T·tf / (20·T·tf + 6T + 18·dl·N)⌋ —
           // TWO spellings of the same integers (spec-pinned equal):
-          // rows under the fast bound run all-int64; larger rows fall
-          // back to DECIMAL(38,0). Both are IntegralDivide over
-          // positives, so quotients match bit-for-bit (and `//` on
-          // the DuckDB side likewise).
+          // (row, term) pairs under the fast bounds run all-int64;
+          // the rest fall back to DECIMAL(38,0). Both are
+          // IntegralDivide over positives, so quotients match
+          // bit-for-bit (and `//` on the DuckDB side likewise).
           // the pre-multiplied Scala literals are only sound when the
           // fast path is reachable (tTok ≤ fastBound keeps them exact)
+          val fastI = col(s"tf_$i") <= lit(tfFast) && dlOk
           val tfnLong =
-            if (dlFast < 0L) lit(0L) // `fast` is false on every row
+            if (tfFast < 0L) lit(0L) // fastI is false on every row
             else call_function("div",
               lit(Bm25Scale * Bm25TfNum * tTok) * col(s"tf_$i"),
               lit(Bm25TfDen0 * tTok) * col(s"tf_$i") +
@@ -1224,7 +1253,7 @@ object TextAnalysis {
             lit(Bm25TfDen0) * (dec(lit(tTok)) * dec(col(s"tf_$i"))) +
               lit(Bm25TfDen1) * dec(lit(tTok)) +
               lit(Bm25TfDen2) * (dec(col("dl")) * dec(lit(nDocs))))
-          val tfn = when(col("fast"), tfnLong).otherwise(tfnDec)
+          val tfn = when(fastI, tfnLong).otherwise(tfnDec)
           (idf * tfn).as(s"s_$i") // tf = 0 ⇒ tfn = 0 ⇒ term drops out
         } ++
         terms.indices.map(i => col(s"tf_$i")): _*)

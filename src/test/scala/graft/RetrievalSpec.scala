@@ -377,6 +377,28 @@ class RetrievalSpec extends SparkSpec {
     got.foreach { case (id, (n, _, bp, _, _)) =>
       assert(census(id) == ((n, bp)), s"doc $id ledger diverged from census")
     }
+    // NULL source is a real group: its lines df-count among NULL-source
+    // docs only, and the rewrite must NOT wipe the text (a plain-
+    // equality decision join would orphan every NULL-source line and
+    // clean it to "")
+    val nullDocs = Seq(
+      (10L, Option.empty[String], s"keep me\n$footer"),
+      (11L, Option.empty[String], s"$footer\nme too"),
+      (12L, Option("srcA"), s"also kept\n$footer"))
+      .toDF("doc_id", "source", "text")
+    val gotN = graft.operators.TextAnalysis
+      .boilerplateStripOf(nullDocs, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[String]("cleaned")))).toMap
+    assert(gotN(10L) == ((2L, "keep me")),
+      "NULL-source doc wiped or its shared footer survived")
+    assert(gotN(11L) == ((2L, "me too")))
+    // srcA's single footer copy is NOT boilerplate (per-source df = 1)
+    assert(gotN(12L) == ((2L, s"also kept\n$footer")))
+    val cenN = graft.operators.TextAnalysis.boilerplateOf(nullDocs, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bp_lines")).toMap
+    assert(cenN == Map(10L -> 1L, 11L -> 1L, 12L -> 0L),
+      s"census NULL-source df wrong: $cenN")
   }
 
   test("calibration bins: mass conservation, monotone edges, gopher agreement") {
