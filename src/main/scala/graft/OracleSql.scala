@@ -1036,7 +1036,8 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |         (CAST(wt.cw - sw.a + 1 AS HUGEINT) *
        |          CAST(st.ns + tot.v_size AS HUGEINT))) AS BIGINT)
        |     AS keyness_ppm
-       |  FROM sw JOIN wt USING (word) JOIN st USING (source)
+       |  FROM sw JOIN wt USING (word)
+       |  JOIN st ON sw.source IS NOT DISTINCT FROM st.source
        |  CROSS JOIN tot)
        |SELECT source, word, a AS n_in_source,
        | CAST(b AS BIGINT) AS n_in_rest,

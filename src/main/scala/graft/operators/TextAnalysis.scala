@@ -89,8 +89,10 @@ object TextAnalysis {
     *    (source, word) instance counts joined back to the per-word
     *    token counts — broadcast at dictionary scale, shuffle-join
     *    beyond, with NO window pass anywhere (plan-audited). */
-  def tokenBpe(spark: SparkSession, dir: String, merges: Int = 16): DataFrame =
-    tokenBpeOf(Tables.documents(spark, dir), merges)
+  def tokenBpe(spark: SparkSession, dir: String, merges: Int = 16,
+               minCount: Long = BpeDefaultMinCount,
+               topV: Int = BpeDefaultTopV): DataFrame =
+    tokenBpeOf(Tables.documents(spark, dir), merges, minCount, topV)
 
   /** [[tokenBpe]] over a prepared (source, text, ...) frame — the spec
     * plants a hand-computable corpus through the production path.
@@ -99,28 +101,84 @@ object TextAnalysis {
     * distinct word's final symbol array on the driver, the fused path
     * ships (word → n_tokens) directly instead of re-deriving the
     * vocabulary and re-encoding it executor-side. */
-  def tokenBpeOf(docs: DataFrame, merges: Int): DataFrame = {
+  def tokenBpeOf(docs: DataFrame, merges: Int,
+                 minCount: Long = BpeDefaultMinCount,
+                 topV: Int = BpeDefaultTopV): DataFrame = {
     val perSW = perSourceWord(docs)
-    meterBySource(perSW, trainedVocabOf(perSW, merges))
+    meterBySource(perSW, trainedVocabOf(perSW, merges, minCount, topV))
   }
+
+  /** Bounded-by-default training knobs: every public BPE entry point
+    * (train, fused meter, fertility) caps the driver-side word-table
+    * collect to ≤ `BpeDefaultTopV` rows with a hapax floor of
+    * `BpeDefaultMinCount` UNLESS the caller explicitly opts into the
+    * unbounded collect (`minCount = 1L, topV = Int.MaxValue`). On a
+    * raw-web corpus the distinct-word table grows by Heaps' law —
+    * unbounded-by-default was a guaranteed driver OOM at the scale
+    * this library targets; 2¹⁶ words with a floor of 2 is the
+    * standard tokenizer-training regime (Sennrich et al. train on
+    * frequency-floored vocabularies). Metering semantics are NOT
+    * capped: words excluded from training are still encoded against
+    * the learned merge table, so every (source, word) instance is
+    * counted in the budget panels regardless of the knobs. */
+  val BpeDefaultMinCount: Long = 2L
+  val BpeDefaultTopV: Int = 65536
 
   /** The fused-path trained vocabulary (word → post-merge token
     * count): global word frequencies derive from the materialized
     * (source, word) aggregate (sum of per-source counts), so the
     * whole fused query costs ONE corpus scan; the fuzz spec pins this
     * path's numbers to the split trainBpe/encodeBpe path. The collect
-    * is dictionary-bounded (the q_embed_pca argument). ONE spelling,
-    * shared by [[tokenBpeOf]] and [[tokenFertilityOf]]. */
-  private def trainedVocabOf(perSW: DataFrame, merges: Int): DataFrame = {
+    * is BOUNDED by construction under the default knobs: the top-`topV`
+    * words (wf DESC, word ASC under UTF8_BINARY) are collected in one
+    * pass — ≤ topV rows. If that top table is the COMPLETE vocabulary
+    * (fewer than topV rows came back), the `minCount` floor is applied
+    * driver-side — identical to floor-then-cap, since the cap provably
+    * didn't bind — and floored-out words are metered by a driver-side
+    * encode against the learned table (they're already in hand). Only
+    * when the cap truly binds (raw-web vocabulary > topV) does a second
+    * dictionary-scale job run: the exact floor-then-cap training set is
+    * re-collected and the unbounded remainder is encoded EXECUTOR-side
+    * against the broadcast merge table — work ∝ vocabulary, never
+    * corpus, and the driver never holds more than topV rows. ONE
+    * spelling, shared by [[tokenBpeOf]] and [[tokenFertilityOf]]. */
+  private def trainedVocabOf(perSW: DataFrame, merges: Int,
+                             minCount: Long, topV: Int): DataFrame = {
     val spark = perSW.sparkSession
     import spark.implicits._
-    val wordCounts = perSW
-      .groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
-      .as[(String, Long)].collect()
-    val (_, finalSyms) = bpeTrain(wordCounts, merges)
-    spark.createDataFrame(
-      finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
-      .toDF("word", "n_tokens")
+    val all = perSW.groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
+    val top =
+      (if (topV == Int.MaxValue) all
+       else all.orderBy(col("wf").desc, col("word").asc).limit(topV))
+        .as[(String, Long)].collect()
+    val complete = topV == Int.MaxValue || top.length < topV
+    if (complete) {
+      val (trainSet, dropped) = top.partition(_._2 >= minCount)
+      val (table, finalSyms) = bpeTrain(trainSet.toSeq, merges)
+      val rank = new java.util.HashMap[(String, String), Integer](table.length * 2 + 1)
+      table.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
+      val rows = finalSyms.map { case (w, syms) => (w, syms.length) } ++
+        dropped.map { case (w, _) =>
+          (w, bpeEncodeRanked(bpeCodePoints(w), rank).length) }
+      spark.createDataFrame(rows.toSeq).toDF("word", "n_tokens")
+    } else {
+      val floored = if (minCount <= 1L) all else all.filter(col("wf") >= minCount)
+      val trainSet = floored.orderBy(col("wf").desc, col("word").asc).limit(topV)
+        .as[(String, Long)].collect()
+      val (table, finalSyms) = bpeTrain(trainSet.toSeq, merges)
+      val trained = spark.createDataFrame(
+        finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
+        .toDF("word", "n_tokens")
+      val bc = spark.sparkContext.broadcast(table.toArray)
+      val rest = perSW.select(col("word")).distinct()
+        .join(trained.select(col("word")), Seq("word"), "left_anti")
+        .as[String].mapPartitions { it =>
+          val rank = new java.util.HashMap[(String, String), Integer](bc.value.length * 2 + 1)
+          bc.value.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
+          it.map(w => (w, bpeEncodeRanked(bpeCodePoints(w), rank).length))
+        }.toDF("word", "n_tokens")
+      trained.union(rest)
+    }
   }
 
   /** Per-source tokenizer FERTILITY panel — the number a multilingual
@@ -136,13 +194,17 @@ object TextAnalysis {
     * rides the SAME join (length(word)·n_inst) — no second corpus
     * scan. Each ratio is ONE division of two exact BIGINTs, so it is
     * bit-identical cross-engine. */
-  def tokenFertility(spark: SparkSession, dir: String, merges: Int = 16): DataFrame =
-    tokenFertilityOf(Tables.documents(spark, dir), merges)
+  def tokenFertility(spark: SparkSession, dir: String, merges: Int = 16,
+                     minCount: Long = BpeDefaultMinCount,
+                     topV: Int = BpeDefaultTopV): DataFrame =
+    tokenFertilityOf(Tables.documents(spark, dir), merges, minCount, topV)
 
-  def tokenFertilityOf(docs: DataFrame, merges: Int): DataFrame = {
+  def tokenFertilityOf(docs: DataFrame, merges: Int,
+                       minCount: Long = BpeDefaultMinCount,
+                       topV: Int = BpeDefaultTopV): DataFrame = {
     val perSW = perSourceWord(docs)
     perSW
-      .join(trainedVocabOf(perSW, merges), Seq("word"))
+      .join(trainedVocabOf(perSW, merges, minCount, topV), Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("n_inst")).as("n_words"),
         sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"),
@@ -185,9 +247,15 @@ object TextAnalysis {
     val sTot = sw.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val totals = sw.agg(sum(col("a")).as("n_total"),
       count_distinct(col("word")).as("v_size"))
+    // NULL-SAFE source join (<=>): groupBy put NULL-source rows in their
+    // own group, so a plain equality join here would silently drop that
+    // whole group from the panel (the r10 boilerplate-join lesson); the
+    // word key needs no guard — explode of a split never yields NULLs.
     val scored = sw
       .join(wTot, Seq("word"))
-      .join(broadcast(sTot), Seq("source"))
+      .join(broadcast(sTot.withColumnRenamed("source", "st_source")),
+        col("source") <=> col("st_source"))
+      .drop("st_source")
       .crossJoin(broadcast(totals))
       .withColumn("b", col("cw") - col("a"))
       .withColumn("keyness_ppm", expr(
@@ -243,10 +311,11 @@ object TextAnalysis {
     * `topV` keeps only the `topV` most frequent words (ties broken by
     * word ASC under Spark's default UTF8_BINARY collation, so the cut
     * is deterministic), making the collected table ≤ topV rows by
-    * construction. Both default to no-op so every existing caller and
-    * oracle row is byte-identical. */
-  private def collectWordCounts(docs: DataFrame, minCount: Long = 1L,
-                                topV: Int = Int.MaxValue): Array[(String, Long)] = {
+    * construction. Defaults are the BOUNDED knobs ([[BpeDefaultTopV]]);
+    * the unbounded collect is an explicit opt-in
+    * (`minCount = 1L, topV = Int.MaxValue`). */
+  private def collectWordCounts(docs: DataFrame, minCount: Long = BpeDefaultMinCount,
+                                topV: Int = BpeDefaultTopV): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val all = tokenWords(docs)
@@ -288,9 +357,12 @@ object TextAnalysis {
     * web text does not bound. Semantics of the floor: training with
     * `minCount = f` equals training on the corpus with every word
     * rarer than f deleted (pair counts lose exactly those words'
-    * weight) — pinned by spec. Defaults are no-op. */
-  def trainBpe(docs: DataFrame, merges: Int, minCount: Long = 1L,
-               topV: Int = Int.MaxValue): DataFrame = {
+    * weight) — pinned by spec. Defaults are the BOUNDED knobs
+    * ([[BpeDefaultMinCount]]/[[BpeDefaultTopV]]); pass
+    * `minCount = 1L, topV = Int.MaxValue` to opt into the unbounded
+    * collect explicitly. */
+  def trainBpe(docs: DataFrame, merges: Int, minCount: Long = BpeDefaultMinCount,
+               topV: Int = BpeDefaultTopV): DataFrame = {
     val spark = docs.sparkSession
     val (table, _) = bpeTrain(collectWordCounts(docs, minCount, topV), merges)
     spark.createDataFrame(table.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })

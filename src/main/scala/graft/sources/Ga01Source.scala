@@ -289,6 +289,12 @@ class Ga01Reader(file: String, fileLen: Long, required: StructType,
     if (in.getPos + len > fileLen)
       throw new java.io.EOFException(
         s"truncated GA01 record in $file: payload runs past EOF")
+    // u32 lengths in (2^31, 2^32) would truncate negative under .toInt
+    // and surface as NegativeArraySizeException in a large-enough file;
+    // raise the same loud corrupt-record error instead
+    if (len > Int.MaxValue)
+      throw new java.io.IOException(
+        s"corrupt GA01 record in $file: payload length $len exceeds 2^31-1")
     val payload: Array[Byte] =
       if (needPayload) {
         val b = new Array[Byte](len.toInt)
@@ -417,16 +423,29 @@ object Ga01Store {
     // layout would promote its extra part-<pid> names alongside the
     // first landing's files (duplicate rows + a shifted file-count
     // offset prefix).
+    promoteAttempts(fs, p, tmpDir, namePrefix)
+  }
+
+  /** The driver-side promotion step, split out so the spec can drive
+    * it over synthetic attempt layouts (wide partition/attempt ids,
+    * foreign files) without a 100k-partition write job. */
+  private[graft] def promoteAttempts(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, tmpDir: Path, namePrefix: String): Unit = {
     val stampAlreadyLanded = namePrefix.nonEmpty &&
       fs.listStatus(p).exists(st => st.isFile &&
         st.getPath.getName.startsWith(namePrefix) &&
         st.getPath.getName.endsWith(".ga01"))
     if (!stampAlreadyLanded) {
       // promote one attempt per partition (lexicographically-lowest
-      // attempt id — deterministic under speculation), drop the rest
+      // attempt id — deterministic under speculation), drop the rest.
+      // \d+ (not \d{5}/\d{12}): the writer's %05d/%012d pads to AT
+      // LEAST that width, so fixed-width matching would silently skip
+      // — and then delete with the temp dir — every partition past
+      // 99,999 while _SUCCESS still landed. Any non-sidecar file that
+      // matches neither pattern fails the promotion loudly instead.
       val attemptRe =
         (java.util.regex.Pattern.quote(namePrefix) +
-          "part-(\\d{5})-attempt\\d{12}\\.ga01").r
+          "part-(\\d+)-attempt\\d+\\.ga01").r
       fs.listStatus(tmpDir)
         .filter(_.isFile)
         .sortBy(_.getPath.getName)
@@ -441,7 +460,12 @@ object Ga01Store {
                 if (fs.exists(sideSrc))
                   fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
               }
-            case _ =>
+            case name if !name.endsWith(".ga01.stats") =>
+              throw new IllegalStateException(
+                s"GA01 promotion found unrecognized attempt file '$name' in " +
+                  s"$tmpDir — refusing to promote (its rows would be lost " +
+                  "with the temp dir)")
+            case _ => // .stats sidecars ride along with their data file
           }
         }
     }

@@ -221,6 +221,79 @@ class Ga01SourceSpec extends SparkSpec {
     assert(spark.read.format("ga01").load(dir).count() == rows)
   }
 
+  test("promotion handles wide partition/attempt ids and refuses foreign attempt files") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def mk(names: Seq[String]): (org.apache.hadoop.fs.FileSystem, Path, Path) = {
+      val p = new Path(java.nio.file.Files.createTempDirectory("graft-ga01-promo-").toString)
+      val fs = p.getFileSystem(conf)
+      val tmp = new Path(p, ".inprogress-test")
+      fs.mkdirs(tmp)
+      names.foreach { n => fs.create(new Path(tmp, n), true).close() }
+      (fs, p, tmp)
+    }
+    def landed(fs: org.apache.hadoop.fs.FileSystem, p: Path): Set[String] =
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+    // the writer pads pids/attempts to AT LEAST 5/12 digits — past
+    // 99,999 partitions (or 1e12 attempts) the names WIDEN; fixed-width
+    // matching silently dropped those partitions' rows while _SUCCESS
+    // still landed
+    val (fs1, p1, t1) = mk(Seq(
+      "part-00003-attempt000000000007.ga01",
+      "part-00003-attempt000000000007.ga01.stats",
+      "part-123456-attempt000000000008.ga01",
+      "part-123456-attempt000000000008.ga01.stats",
+      "part-00004-attempt1000000000000.ga01"))
+    Ga01Store.promoteAttempts(fs1, p1, t1, namePrefix = "")
+    assert(landed(fs1, p1) == Set("_SUCCESS",
+      "part-00003.ga01", "part-00003.ga01.stats",
+      "part-123456.ga01", "part-123456.ga01.stats",
+      "part-00004.ga01"))
+    assert(!fs1.exists(t1), "temp dir must be gone after promotion")
+    // speculation: lexicographically-lowest attempt per pid wins
+    val (fs2, p2, t2) = mk(Seq(
+      "part-00001-attempt000000000002.ga01",
+      "part-00001-attempt000000000009.ga01"))
+    Ga01Store.promoteAttempts(fs2, p2, t2, namePrefix = "")
+    assert(landed(fs2, p2) == Set("_SUCCESS", "part-00001.ga01"))
+    // an unrecognized non-sidecar file is a loud failure, never a
+    // silent delete-with-the-temp-dir
+    val (fs3, p3, t3) = mk(Seq(
+      "part-00001-attempt000000000002.ga01", "garbage.tmp"))
+    val e = intercept[IllegalStateException] {
+      Ga01Store.promoteAttempts(fs3, p3, t3, namePrefix = "")
+    }
+    assert(e.getMessage.contains("garbage.tmp"))
+    assert(!fs3.exists(new Path(p3, "_SUCCESS")), "_SUCCESS must not land on failure")
+  }
+
+  test("reader raises a loud corrupt-record error on a 2^31-overflowing payload length") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-len-").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    // hand-build one record whose u32 len field is 2^31+9 (valid u32,
+    // negative under .toInt) inside a file long enough that the EOF
+    // guard alone can't catch it — fake the trailing bytes
+    val h = new Array[Byte](18)
+    h(14) = 9; h(15) = 0; h(16) = 0; h(17) = 0x80.toByte // len = 2^31 + 9
+    // write with raw java.io (no hadoop .crc sidecar — we grow the file
+    // sparsely behind the checksummed FS's back)
+    val raw = new java.io.RandomAccessFile(new java.io.File(dir, "part-00000.ga01"), "rw")
+    try { raw.write(h); raw.setLength(18L + Integer.MAX_VALUE.toLong + 16L) }
+    finally raw.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("ga01").load(dir).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("exceeds 2^31-1")),
+      s"wanted the corrupt-record error, got: ${chain(e).map(_.getMessage)}")
+  }
+
   test("empty and missing stores read as empty frames") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ga01-empty-").toString
     assert(spark.read.format("ga01").load(dir).count() == 0L)

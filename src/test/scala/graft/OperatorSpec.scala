@@ -1015,6 +1015,21 @@ class OperatorSpec extends SparkSpec {
       ("s2", "y", 2L, 1L, 1500000L, 2)))
   }
 
+  test("keyness: a NULL-source group survives the per-source total join") {
+    import spark.implicits._
+    // groupBy puts NULL sources in their own group; a plain equality
+    // join on source would then silently drop that whole group from
+    // the panel (the r10 boilerplate-join / incremental-gauge lesson)
+    val docs = Seq((Option("s1"), "x x y"), (Option.empty[String], "q q z"))
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis.keynessOf(docs, k = 10)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(got.exists(_._1.isEmpty), s"NULL-source group dropped: $got")
+    assert(got == Set(
+      (Some("s1"), "x"), (Some("s1"), "y"),
+      (None, "q"), (None, "z")))
+  }
+
   test("chunk dedup: doc-distinct chunk sets, corpus frequency >= 2 marks dups") {
     import spark.implicits._
     val docs = Seq(

@@ -208,12 +208,20 @@ class PropertySpec extends SparkSpec {
     val docs = toDocs(words)
     def tbl(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
-    val base = tbl(TA.trainBpe(docs, 12))
+    // the unbounded collect is an explicit opt-in since r11 — defaults
+    // are the bounded knobs
+    val base = tbl(TA.trainBpe(docs, 12, minCount = 1L, topV = Int.MaxValue))
     val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     // no-op caps: floor 1 and a cap at (or above) the vocabulary size
     // reproduce the uncapped table byte-for-byte
     assert(tbl(TA.trainBpe(docs, 12, minCount = 1L, topV = freq.size)) == base)
-    assert(tbl(TA.trainBpe(docs, 12, topV = Int.MaxValue - 1)) == base)
+    assert(tbl(TA.trainBpe(docs, 12, minCount = 1L, topV = Int.MaxValue - 1)) == base)
+    // the DEFAULT knobs are the documented bounded constants — no
+    // public entry point collects an unbounded frame by default
+    assert(TA.BpeDefaultMinCount == 2L && TA.BpeDefaultTopV == 65536)
+    assert(tbl(TA.trainBpe(docs, 12)) ==
+      tbl(TA.trainBpe(docs, 12, minCount = TA.BpeDefaultMinCount,
+        topV = TA.BpeDefaultTopV)))
     // frequency floor == training on the corpus with rare words deleted:
     // pair counts lose exactly the dropped words' weight
     val f = 2L
@@ -227,9 +235,33 @@ class PropertySpec extends SparkSpec {
     // the UTF8_BINARY order Spark sorts by)
     val v = freq.size / 2
     val kept = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(v).map(_._1).toSet
-    val capped = tbl(TA.trainBpe(docs, 12, topV = v))
-    val cappedRef = tbl(TA.trainBpe(toDocs(words.filter(kept)), 12))
+    val capped = tbl(TA.trainBpe(docs, 12, minCount = 1L, topV = v))
+    val cappedRef = tbl(TA.trainBpe(toDocs(words.filter(kept)), 12,
+      minCount = 1L, topV = Int.MaxValue))
     assert(capped == cappedRef, s"capped=$capped ref=$cappedRef")
+    // FUSED-path metering with a BINDING cap: training sees only the
+    // top-v words, but every (source, word) instance is still metered
+    // — the panel equals encodeBpe over the same capped merge table
+    // (encodeBpe always encodes the full vocabulary executor-side)
+    def panel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fusedCapped = panel(TA.tokenBpeOf(docs, 12, minCount = 1L, topV = v))
+    val splitCapped = panel(TA.encodeBpe(docs,
+      TA.trainBpe(docs, 12, minCount = 1L, topV = v)))
+    assert(fusedCapped == splitCapped,
+      s"capped fused=$fusedCapped split=$splitCapped")
+    // word coverage is NOT capped: the metered word totals equal the
+    // raw corpus word count even though training was capped
+    val totalWords = words.size.toLong
+    assert(fusedCapped.toSeq.map(_._2).sum == totalWords,
+      s"capped metering dropped words: ${fusedCapped.toSeq.map(_._2).sum} != $totalWords")
+    // and with a binding FLOOR through the default-bounded fused path
+    val fusedFloored = panel(TA.tokenBpeOf(docs, 12, minCount = f, topV = 65536))
+    val splitFloored = panel(TA.encodeBpe(docs,
+      TA.trainBpe(docs, 12, minCount = f, topV = 65536)))
+    assert(fusedFloored == splitFloored,
+      s"floored fused=$fusedFloored split=$splitFloored")
+    assert(fusedFloored.toSeq.map(_._2).sum == totalWords)
   }
 
   test("char diversity fold equals a driver-side histogram on random text (seeded fuzz)") {
