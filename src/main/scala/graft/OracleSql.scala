@@ -1015,6 +1015,47 @@ SELECT nz.source, count(*) AS n_words,
 FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
   }
 
+  /** q_lang_script: Unicode-script census language ID. Generated from
+    * TextAnalysis.ScriptRanges — ONE catalog spelling, so the script
+    * classes, the tie-break preference (CASE order) and the ppm
+    * fixed-point can't drift between engines. The literal code-point
+    * classes parse identically under RE2 (`\x{...}`) and Java regex. */
+  def langScript(): String = {
+    val rs = graft.operators.TextAnalysis.ScriptRanges
+    val counts = rs.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n  ")
+    val names = rs.map(r => s"n_${r._1}")
+    val caseChain = rs.map { case (n, _) =>
+      s"WHEN n_$n = n_script_max THEN '$n'"
+    }.mkString("\n      ")
+    s"""WITH s AS (SELECT doc_id, text,
+       |  $counts
+       | FROM documents),
+       | t AS (SELECT *, ${names.mkString(" + ")} AS n_script_total,
+       |   greatest(${names.mkString(", ")}) AS n_script_max FROM s),
+       | v AS (SELECT *, CASE WHEN n_script_total = 0 THEN 'unknown'
+       |      $caseChain
+       |    END AS script,
+       |  len(regexp_extract_all(text, '\\bthe\\b')) AS c_en,
+       |  len(regexp_extract_all(text, '\\bder\\b')) +
+       |    len(regexp_extract_all(text, '\\bund\\b')) AS c_de,
+       |  len(regexp_extract_all(text, '\\bel\\b')) +
+       |    len(regexp_extract_all(text, '\\bla\\b')) AS c_es,
+       |  len(regexp_extract_all(text, '\\ble\\b')) +
+       |    len(regexp_extract_all(text, '\\bles\\b')) AS c_fr
+       |  FROM t)
+       |SELECT doc_id, ${names.mkString(", ")},
+       | n_script_total, n_script_max, script,
+       | CASE WHEN n_script_total > 0
+       |   THEN n_script_max * 1000000 // n_script_total END AS script_ppm,
+       | CASE WHEN script <> 'latin' THEN script
+       |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |      WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS lang_verdict
+       |FROM v""".stripMargin
+  }
+
   /** q_keyness: per-source distinctive terms by Laplace-smoothed
     * relative risk, ranked by the EXACT fixed-point ppm quotient —
     * HUGEINT cross products mirror the Spark side's DECIMAL(38,0), so

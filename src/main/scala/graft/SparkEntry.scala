@@ -177,6 +177,7 @@ object SparkEntry {
     "q_mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(s, d)),
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "q_lang_script" -> ((s, d) => TextAnalysis.langScript(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1343,6 +1344,7 @@ object SparkEntry {
     // keyness: smoothed relative risk ranked by exact fixed-point ppm
     // (HUGEINT cross products mirror Spark DECIMAL(38,0))
     "q_keyness" -> OracleSql.keyness(),
+    "q_lang_script" -> OracleSql.langScript(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -22,6 +22,69 @@ object TextAnalysis {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** Unicode-script catalog for [[langScript]] — ONE spelling shared
+    * with the oracle generator so the two engines can't drift. Order
+    * IS the deterministic tie-break preference (earlier wins an
+    * equal-count argmax). Ranges are literal code-point classes —
+    * identical semantics under Java regex (Spark) and RE2 (DuckDB),
+    * where named script properties spell differently. The Latin class
+    * covers ASCII letters + Latin-1/Extended-A/B letters, excluding
+    * U+00D7/U+00F7 (×, ÷ — symbols, not letters). */
+  private[graft] val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> ("[A-Za-z\\x{00C0}-\\x{00D6}" +
+      "\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]"),
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7A3}]")
+
+  /** Unicode-SCRIPT census language ID — the leg a multilingual 100 TB
+    * crawl needs that the Latin stopword census ([[langIdConfusion]])
+    * is blind to: per-document code-point counts over nine script
+    * ranges (row-local `regexp_count`, one pass over the text), an
+    * argmax script verdict with deterministic preference
+    * ([[ScriptRanges]] order breaks ties; zero letters → 'unknown'),
+    * the dominant script's share as an exact fixed-point ppm
+    * (⌊max·10⁶ DIV total⌋ over BIGINTs, NULL-guarded through a lazy
+    * CaseWhen branch so ANSI division can't throw on letterless
+    * docs), and the fold into the final language verdict: Latin-script
+    * docs defer to the stopword census (`T.langGuess`), non-Latin
+    * docs answer with the script itself. Entirely row-local — the
+    * plan is scan → project, ZERO exchanges (plan-audited); at 100 TB
+    * this runs at scan speed with perfect partition parallelism. */
+  def langScript(spark: SparkSession, dir: String): DataFrame =
+    langScriptOf(Tables.documents(spark, dir))
+
+  /** [[langScript]] over a prepared (doc_id, text) frame. */
+  def langScriptOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(
+      Seq(col("doc_id"), col("text")) ++ ScriptRanges.map { case (n, p) =>
+        regexp_count(col("text"), lit(p)).cast("bigint").as(s"n_$n")
+      }: _*)
+    val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    val chain = ScriptRanges.tail.foldLeft(
+      when(col(s"n_${ScriptRanges.head._1}") === col("n_script_max"),
+        lit(ScriptRanges.head._1))) {
+      case (acc, (n, _)) => acc.when(col(s"n_$n") === col("n_script_max"), lit(n))
+    }
+    counted
+      .withColumn("n_script_total", cnts.reduce(_ + _))
+      .withColumn("n_script_max", greatest(cnts: _*))
+      .withColumn("script",
+        when(col("n_script_total") === 0L, lit("unknown")).otherwise(chain))
+      .withColumn("script_ppm",
+        when(col("n_script_total") > 0L,
+          expr("CAST((n_script_max * 1000000) DIV n_script_total AS BIGINT)")))
+      .withColumn("lang_verdict",
+        when(col("script") === "latin", T.langGuess(col("text")))
+          .otherwise(col("script")))
+      .drop("text")
+  }
+
   /** Per-document quality panel. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1015,6 +1015,43 @@ class OperatorSpec extends SparkSpec {
       ("s2", "y", 2L, 1L, 1500000L, 2)))
   }
 
+  test("langScript: planted non-Latin docs get script verdicts the stopword census can't see") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the dog"),      // latin → stopword census
+      (2L, "привет мир как дела сегодня"),           // cyrillic
+      (3L, "你好世界今天天气很好"),                    // cjk
+      (4L, "مرحبا بالعالم كيف الحال"),               // arabic
+      (5L, "こんにちは せかい きょうは"),               // kana
+      (6L, "안녕하세요 세계 오늘"),                     // hangul
+      (7L, "नमस्ते दुनिया आज"),                      // devanagari
+      (8L, "12345 !!! ...")                          // no letters → unknown
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.langScriptOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("script"), r.getAs[String]("lang_verdict")))).toMap
+    assert(got(1L) == (("latin", "en")))
+    assert(got(2L) == (("cyrillic", "cyrillic")))
+    assert(got(3L) == (("cjk", "cjk")))
+    assert(got(4L) == (("arabic", "arabic")))
+    assert(got(5L) == (("kana", "kana")))
+    assert(got(6L) == (("hangul", "hangul")))
+    assert(got(7L) == (("devanagari", "devanagari")))
+    assert(got(8L) == (("unknown", "unknown")))
+    // mixed-script doc: argmax wins; exact ppm share of the dominant
+    // script — 6 cyrillic letters of 10 total → 600000
+    val mixed = Seq((9L, "пример test")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.langScriptOf(mixed).collect().head
+    assert(r.getAs[String]("script") == "cyrillic")
+    assert(r.getAs[Long]("n_cyrillic") == 6L && r.getAs[Long]("n_latin") == 4L)
+    assert(r.getAs[Long]("script_ppm") == 600000L)
+    // tie goes to the EARLIER catalog entry (deterministic preference):
+    // 2 latin vs 2 cyrillic → latin (and then the stopword census)
+    val tie = Seq((10L, "ab пр")).toDF("doc_id", "text")
+    val t = graft.operators.TextAnalysis.langScriptOf(tie).collect().head
+    assert(t.getAs[String]("script") == "latin")
+  }
+
   test("keyness: a NULL-source group survives the per-source total join") {
     import spark.implicits._
     // groupBy puts NULL sources in their own group; a plain equality

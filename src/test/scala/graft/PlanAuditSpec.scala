@@ -65,6 +65,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
   }
 
+  test("langScript is row-local: one scan, one projection, zero exchanges") {
+    val plan = physical(graft.operators.TextAnalysis.langScript(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"row-local script census grew a shuffle:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+    // the scan must prune to (doc_id, text) — a census reading the
+    // whole row defeats column pruning at 100 TB
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"langScript reads more than (doc_id, text):\n$plan")
+  }
+
   test("keyness: totals ride broadcasts, no corpus-sized join") {
     val plan = physical(graft.operators.TextAnalysis.keyness(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") ||
