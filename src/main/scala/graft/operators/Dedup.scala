@@ -305,22 +305,31 @@ object Dedup {
     * and only here. `ordered` applies the self-join's id_l < id_r
     * BEFORE the distinct, so self-pairs and mirror orientations never
     * enter the dedup shuffle. */
-  private def hammingCore(left: DataFrame, right: DataFrame, maxHamming: Int,
-                          ordered: Boolean): DataFrame = {
+  /** The pigeonhole band explode of an (id, fp) frame: one
+    * (id, fp, chunk, cv) row per disjoint fp chunk — `maxHamming + 1`
+    * chunks, so any pair within the ball shares at least one exact
+    * chunk value. Shared by [[hammingCore]] and the bucketed
+    * keep-set store (which PERSISTS these rows so the probe can
+    * bucket-prune on (chunk, cv)). */
+  private[graft] def bandedFps(fps: DataFrame, idAs: String, fpAs: String,
+                               maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
     val nChunks = maxHamming + 1
-    def banded(fps: DataFrame, idAs: String, fpAs: String): DataFrame =
-      fps.select(col("id").as(idAs), col("fp").as(fpAs),
-        explode(array((0 until nChunks).map { c =>
-          val lo = c * 64 / nChunks
-          val width = (c + 1) * 64 / nChunks - lo
-          val mask = if (width >= 64) -1L else (1L << width) - 1L
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
-        }: _*)).as("b"))
-        .select(col(idAs), col(fpAs), col("b.chunk"), col("b.cv"))
-    val joined = banded(left, "id_l", "fp_l")
-      .join(banded(right, "id_r", "fp_r"), Seq("chunk", "cv"))
+    fps.select(col("id").as(idAs), col("fp").as(fpAs),
+      explode(array((0 until nChunks).map { c =>
+        val lo = c * 64 / nChunks
+        val width = (c + 1) * 64 / nChunks - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("cv"))
+      }: _*)).as("b"))
+      .select(col(idAs), col(fpAs), col("b.chunk"), col("b.cv"))
+  }
+
+  private def hammingCore(left: DataFrame, right: DataFrame, maxHamming: Int,
+                          ordered: Boolean): DataFrame = {
+    val joined = bandedFps(left, "id_l", "fp_l", maxHamming)
+      .join(bandedFps(right, "id_r", "fp_r", maxHamming), Seq("chunk", "cv"))
     (if (ordered) joined.filter(col("id_l") < col("id_r")) else joined)
       .select(col("id_l"), col("id_r"),
         bit_count(col("fp_l").bitwiseXOR(col("fp_r"))).as("hamming"))
@@ -757,6 +766,53 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** [[noveltyIncrementalBatch]] over a BUCKETED store — the 100 TB
+    * deployment shape SURVEY promises for this family: batches land
+    * as `batch=<id>/bucket=<pmod(gram, buckets)>`, and the probe
+    *  (1) reads ONLY the bucket dirs this batch's own grams hash
+    *      into (partition-dir pruning: O(batch-touched buckets)
+    *      leaf dirs per earlier batch, never the whole store), then
+    *  (2) culls the surviving store rows through a BROADCAST bloom
+    *      over the batch's grams before the distinct/join (row-level
+    *      prefilter: grams the batch never mentions don't enter the
+    *      probe shuffle; a bloom can only keep extra rows, never
+    *      drop a matching one — no false negatives — so scores are
+    *      exact).
+    * Identical scores to the unbucketed form (spec-pinned); returns
+    * (panel, plannedDirs) where plannedDirs is the files-planned
+    * observable the pruning spec pins. */
+  def noveltyIncrementalBatchBucketed(batch: DataFrame, gramDir: String,
+                                      batchId: Long, n: Int = 8,
+                                      buckets: Int = 64): (DataFrame, Seq[String]) = {
+    import graft.plans.Bloom._
+    val (own, dirs) = graft.sources.Incremental.landBatchBucketed(
+      batch
+        .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram")),
+      gramDir, batchId, pmod(col("gram"), lit(buckets)), buckets)
+    // the batch's touched buckets: bounded collect (≤ `buckets` ints)
+    val touched = own.select(pmod(col("gram"), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val (earlier, planned) = graft.sources.Incremental
+      .earlierBatchesBuckets(own, dirs, batchId, touched)
+    val gramBloom = own.agg(bloom_agg(col("gram")).as("bf"))
+    val seenBefore = earlier
+      .join(broadcast(gramBloom))
+      .filter(bloom_might_contain(col("bf"), col("gram")))
+      .select(col("gram")).distinct()
+    val firsts = own.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    val panel = own
+      .join(firsts, Seq("gram"))
+      .join(seenBefore.withColumn("seen", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_in_batch") && col("seen").isNull,
+          1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    (panel, planned)
+  }
+
   /** Streaming/incremental near-dup KEEP-SET for text — the
     * operational no-nightly-recluster form of [[keepSetOf]]: each
     * arriving batch's SimHash fingerprints land in a persisted store
@@ -804,6 +860,58 @@ object Dedup {
       own("id") === col("dup_id"), "left_anti")
       .select(col("id").as("doc_id"))
     batch.join(keptIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** [[keepSetIncrementalBatch]] over a BUCKETED store — the 100 TB
+    * deployment shape: the store persists the BAND rows
+    * (doc_id, fp, chunk, cv), `maxHamming + 1` per fingerprint, laid
+    * out as `batch=<id>/bucket=<pmod(hash(chunk, cv), buckets)>`.
+    * Because any hamming-≤k neighbor shares at least one exact
+    * (chunk, cv) — the pigeonhole banding guarantee — an arriving
+    * batch only needs the bucket dirs ITS OWN band keys hash into:
+    * the probe plans O(batch-touched buckets) leaf dirs per earlier
+    * batch instead of the whole fingerprint history, then equi-joins
+    * its band rows against the read store rows on (chunk, cv) and
+    * exact-verifies bit_count(xor) ≤ k. A value-bucketed fp store
+    * could NOT prune this way (a neighbor differing in a low bit
+    * lands in another value bucket); bucketing by band key is what
+    * makes hamming probes prunable. Identical keep decisions to the
+    * unbucketed form (spec-pinned); returns (survivors, plannedDirs)
+    * with plannedDirs the files-planned pruning observable. Store
+    * cost: (maxHamming+1)·16-ish bytes per doc — still fingerprints,
+    * never text. */
+  def keepSetIncrementalBatchBucketed(batch: DataFrame, fpDir: String,
+                                      batchId: Long, maxHamming: Int = 3,
+                                      buckets: Int = 64): (DataFrame, Seq[String]) = {
+    val bandRows = bandedFps(
+      batch.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
+      "doc_id", "fp", maxHamming)
+    val bucketOf = pmod(hash(col("chunk"), col("cv")), lit(buckets))
+    val (own0, dirs) = graft.sources.Incremental.landBatchBucketed(
+      bandRows, fpDir, batchId, bucketOf, buckets)
+    // this batch's fingerprints, one row per doc (the band explode
+    // landed maxHamming+1 rows each)
+    val own = own0.select(col("doc_id").as("id"), col("fp")).distinct()
+    val touched = own0.select(bucketOf.cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val (earlier, planned) = graft.sources.Incremental
+      .earlierBatchesBuckets(own0, dirs, batchId, touched)
+    // within-batch: earlier doc_id wins (hammingPairs emits id_a < id_b)
+    val inBatch = hammingPairs(own, maxHamming).select(col("id_b").as("dup_id"))
+    // vs earlier batches: band rows are ALREADY on both sides — join
+    // on (chunk, cv) and exact-verify, no re-banding of the store
+    val vsEarlier = own0
+      .select(col("doc_id").as("id_l"), col("fp").as("fp_l"),
+        col("chunk"), col("cv"))
+      .join(earlier.select(col("doc_id").as("id_r"), col("fp").as("fp_r"),
+        col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .filter(bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxHamming)
+      .select(col("id_l").as("dup_id"))
+    val dups = inBatch.unionAll(vsEarlier)
+    val keptIds = own.join(dups.distinct(),
+      own("id") === col("dup_id"), "left_anti")
+      .select(col("id").as("doc_id"))
+    (batch.join(keptIds, Seq("doc_id"), "left_semi"), planned)
   }
 
   /** Per-document duplicated-gram coverage — the doc-level removal

@@ -49,6 +49,64 @@ object Incremental {
     (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
   }
 
+  /** [[landBatch]] with the store laid out BUCKETED:
+    * `batch=<id>/bucket=<b>` where b = `bucketOf` (callers derive it
+    * from the probe key, e.g. `pmod(gram, lit(B))`), so a later probe
+    * reads only the bucket dirs its own keys hash into —
+    * O(batch-touched buckets) files instead of the whole committed
+    * corpus. This is the 100 TB deployment shape for the incremental
+    * stores: the per-batch probe cost follows the ARRIVING batch, not
+    * the accumulated history. Same idempotent overwrite discipline as
+    * [[landBatch]] (replay re-lands the same `batch=<id>` dir
+    * wholesale). The returned frame carries the ORIGINAL schema (the
+    * bucket is a directory key, recomputable from the row). */
+  def landBatchBucketed(df: DataFrame, dir: String, batchId: Long,
+                        bucketOf: org.apache.spark.sql.Column,
+                        buckets: Int): (DataFrame, Seq[(Long, String)]) = {
+    require(batchId >= 0, s"batch ids are non-negative: got $batchId")
+    require(buckets > 0, s"bucket count must be positive: got $buckets")
+    df.withColumn("bucket", bucketOf)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/batch=$batchId")
+    val spark = df.sparkSession
+    val withBucket = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.IntegerType))
+    val own = spark.read.schema(withBucket)
+      .parquet(s"$dir/batch=$batchId").drop("bucket")
+    (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
+  }
+
+  /** The strictly-earlier committed batches RESTRICTED to the given
+    * bucket dirs — the pruned probe read of the
+    * [[landBatchBucketed]] layout. Returns (frame, plannedDirs):
+    * `plannedDirs` is the exact list of `bucket=<b>` leaf dirs the
+    * probe will scan — the files-planned observable the specs pin
+    * pruning with (a probe over a batch touching 3 of 64 buckets
+    * plans 3·#batches dirs, never 64·#batches). Leaf dirs are read
+    * schema-pinned to `own.schema` (the bucket is a directory name,
+    * not a data column), so zero-row landings stay harmless exactly
+    * as in [[earlierBatches]]. */
+  def earlierBatchesBuckets(own: DataFrame, dirs: Seq[(Long, String)],
+                            batchId: Long, buckets: Seq[Int])
+      : (DataFrame, Seq[String]) = {
+    val spark = own.sparkSession
+    val prior = dirs.collect { case (id, path) if id < batchId => path }
+    if (prior.isEmpty || buckets.isEmpty) (own.limit(0), Seq.empty)
+    else {
+      val fs = new org.apache.hadoop.fs.Path(prior.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val planned = for {
+        p <- prior
+        b <- buckets.distinct.sorted
+        leaf = s"$p/bucket=$b"
+        if fs.exists(new org.apache.hadoop.fs.Path(leaf))
+      } yield leaf
+      if (planned.isEmpty) (own.limit(0), Seq.empty)
+      else (spark.read.schema(own.schema).parquet(planned: _*), planned)
+    }
+  }
+
   /** The STRICTLY-EARLIER committed batches as one schema-pinned frame
     * (empty — not missing — when this is the first batch): the read
     * half of the [[landBatch]] discipline, factored once so the five

@@ -1429,6 +1429,97 @@ class StreamingSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("bucketed novelty store: identical scores to the plain store, probe plans only touched buckets") {
+    val s = spark
+    import s.implicits._
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-gram-plain-").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-gram-bucketed-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      val df = chunk.toSeq.toDF("doc_id", "text")
+      val plain = graft.operators.Dedup
+        .noveltyIncrementalBatch(df, plainDir, id).collect().map(key).toMap
+      val (bp, _) = graft.operators.Dedup
+        .noveltyIncrementalBatchBucketed(df, bDir, id, buckets = 256)
+      val bucketed = bp.collect().map(key).toMap
+      assert(bucketed == plain, s"batch $id: bucketed scores diverged")
+    }
+    // a TINY arriving batch (one short doc → a handful of grams) probes
+    // only the bucket dirs its grams hash into — O(batch), not O(store)
+    val tiny = Seq((999901L, "zq wv xr yt uk pl mn op qr st uv wx"))
+    val (tp, planned) = graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+      tiny.toDF("doc_id", "text"), bDir, batches.size.toLong, buckets = 256)
+    val tinyBucketed = tp.collect().map(key).toMap
+    val allLeafDirs = batches.indices.map { i =>
+      Option(new java.io.File(s"$bDir/batch=$i").listFiles())
+        .getOrElse(Array()).count(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")) }.sum
+    assert(planned.nonEmpty && planned.size < allLeafDirs / 4,
+      s"probe did not prune: planned ${planned.size} of $allLeafDirs leaf dirs")
+    // and the pruned probe's scores equal the plain store's
+    val tinyPlain = graft.operators.Dedup.noveltyIncrementalBatch(
+      tiny.toDF("doc_id", "text"), plainDir, batches.size.toLong)
+      .collect().map(key).toMap
+    assert(tinyBucketed == tinyPlain, "pruned probe diverged on the tiny batch")
+    // idempotent replay of the last full batch through the bucketed
+    // store (each landing overwrites batch=<id>, so collect each panel
+    // before re-landing)
+    val last = batches.last.toSeq.toDF("doc_id", "text")
+    val (rp, _) = graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+      last, bDir, batches.size.toLong - 1, buckets = 256)
+    val first = rp.collect().map(key).toMap
+    val (rp2, _) = graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+      last, bDir, batches.size.toLong - 1, buckets = 256)
+    assert(first == rp2.collect().map(key).toMap)
+  }
+
+  test("bucketed keep-set store: identical keep decisions, band-key buckets prune the hamming probe") {
+    val s = spark
+    import s.implicits._
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-fp-plain-").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-fp-bucketed-").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      val df = chunk.toSeq.toDF("doc_id", "text")
+      val plain = graft.operators.Dedup
+        .keepSetIncrementalBatch(df, plainDir, id)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val (bp, _) = graft.operators.Dedup
+        .keepSetIncrementalBatchBucketed(df, bDir, id, buckets = 64)
+      val bucketed = bp.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bucketed == plain, s"batch $id: keep decisions diverged " +
+        s"missing=${(plain -- bucketed).take(3)} extra=${(bucketed -- plain).take(3)}")
+    }
+    // a 2-doc arriving batch carries 2·(maxHamming+1) = 8 band keys →
+    // at most 8 touched buckets of 64 per earlier batch
+    val tiny = Seq(docs(0), docs(1)).map { case (id, t) => (id + 5000000L, t) }
+    val (tp, planned) = graft.operators.Dedup.keepSetIncrementalBatchBucketed(
+      tiny.toDF("doc_id", "text"), bDir, batches.size.toLong, buckets = 64)
+    val tinyKept = tp.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allLeafDirs = batches.indices.map { i =>
+      Option(new java.io.File(s"$bDir/batch=$i").listFiles())
+        .getOrElse(Array()).count(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")) }.sum
+    assert(planned.nonEmpty && planned.size <= 8 * batches.size,
+      s"probe planned ${planned.size} leaf dirs")
+    assert(planned.size < allLeafDirs / 2,
+      s"probe did not prune: planned ${planned.size} of $allLeafDirs leaf dirs")
+    // duplicates of docs 0/1 (same text → same fingerprint) must DROP
+    // against the store through the pruned probe
+    assert(tinyKept.isEmpty,
+      s"verbatim duplicates survived the pruned probe: $tinyKept")
+  }
+
   test("live curation pipeline: dedup, decontamination, quality, PII and surprisal gates compose in one foreachBatch") {
     val s = spark
     import s.implicits._
