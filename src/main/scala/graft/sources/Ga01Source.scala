@@ -58,6 +58,37 @@ object Ga01Source {
     * pruning — the file-skipping spec's observable. */
   val filesPlanned = new AtomicLong(0L)
 
+  /** Container files the STREAMING leg planned across a query's
+    * micro-batches after sidecar-stats pruning (cumulative — reset
+    * before a run, read after; separate from [[filesPlanned]] so
+    * batch and streaming specs can't cross-talk). The engine may
+    * plan the same offset window more than once per batch, so the
+    * spec divides by [[streamWindowsPlanned]] (non-empty windows)
+    * for the per-window figure. */
+  val streamFilesPlanned = new AtomicLong(0L)
+  val streamWindowsPlanned = new AtomicLong(0L)
+
+  /** The min/max doc_id sidecar of one container file, shared by the
+    * batch scan and the micro-batch planner — ONE spelling of the
+    * stats contract. Absent or unreadable sidecars never prune. */
+  def statsOf(fs: FileSystem, file: Path): Option[(Long, Long)] = {
+    val side = new Path(file.getParent, file.getName + ".stats")
+    // open directly and treat absence as "no stats" — exists()+open()
+    // would be two metadata round trips per candidate file on an
+    // object store, doubling driver-side planning latency for nothing
+    try {
+      val in = fs.open(side)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        line.trim.split("\\s+") match {
+          case Array(mn, mx) => Some((mn.toLong, mx.toLong))
+          case _ => None
+        }
+      } finally in.close()
+    } catch { case _: Exception => None } // absent or unreadable: never prune
+  }
+
   /** THE store-listing contract, in one place: the container files of
     * a GA01 store are exactly the regular `*.ga01` files directly
     * under the store dir, in name order. Both the batch scan and the
@@ -84,14 +115,27 @@ class Ga01Table(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Ga01ScanBuilder(path)
+    new Ga01ScanBuilder(path, options)
 }
 
-class Ga01ScanBuilder(path: String)
+class Ga01ScanBuilder(path: String,
+                      options: CaseInsensitiveStringMap =
+                        CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = Ga01Source.Schema
-  private var docIdBounds: (Long, Long) = (Long.MinValue, Long.MaxValue)
+  // Catalyst pushes filters only into BATCH DSv2 scans — micro-batch
+  // relations never see pushFilters. The `docIdMin`/`docIdMax` reader
+  // options are the STREAMING pushdown knob: they seed the same
+  // [lo, hi] interval the batch path derives from pushed filters, so
+  // a filtered readStream skips landed files by sidecar stats exactly
+  // like a batch scan. File skipping is conservative either way (the
+  // predicate still evaluates row-by-row), so a too-wide option can
+  // only cost IO, never rows; a too-NARROW one is the caller's
+  // explicit contract, same as any pushdown hint.
+  private var docIdBounds: (Long, Long) = (
+    Option(options.get("docIdMin")).map(_.toLong).getOrElse(Long.MinValue),
+    Option(options.get("docIdMax")).map(_.toLong).getOrElse(Long.MaxValue))
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** doc_id comparisons tighten a [lo, hi] interval used ONLY to skip
@@ -159,7 +203,7 @@ class Ga01Scan(path: String, required: StructType,
     val kept =
       if (lo == Long.MinValue && hi == Long.MaxValue) all
       else all.filter { st =>
-        statsOf(fs, st.getPath) match {
+        Ga01Source.statsOf(fs, st.getPath) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         }
@@ -170,23 +214,6 @@ class Ga01Scan(path: String, required: StructType,
     kept.map(st => Ga01Partition(st.getPath.toString, st.getLen): InputPartition)
   }
 
-  private def statsOf(fs: FileSystem, file: Path): Option[(Long, Long)] = {
-    val side = new Path(file.getParent, file.getName + ".stats")
-    // open directly and treat absence as "no stats" — exists()+open()
-    // would be two metadata round trips per candidate file on an
-    // object store, doubling driver-side planning latency for nothing
-    try {
-      val in = fs.open(side)
-      try {
-        val line = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        line.trim.split("\\s+") match {
-          case Array(mn, mx) => Some((mn.toLong, mx.toLong))
-          case _ => None
-        }
-      } finally in.close()
-    } catch { case _: Exception => None } // absent or unreadable: never prune
-  }
   override def createReaderFactory(): PartitionReaderFactory =
     // the session's Hadoop conf ships WITH the factory — a reader
     // rebuilding Configuration() from defaults would break on any
@@ -195,7 +222,7 @@ class Ga01Scan(path: String, required: StructType,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf))
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new Ga01MicroBatchStream(path, required,
+    new Ga01MicroBatchStream(path, required, docIdBounds,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf))
 }
 
@@ -211,6 +238,7 @@ class Ga01Scan(path: String, required: StructType,
   * count, and the name-sorted prefix it denotes never changes. */
 class Ga01MicroBatchStream(
     path: String, required: StructType,
+    docIdBounds: (Long, Long),
     conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -232,7 +260,29 @@ class Ga01MicroBatchStream(
     require(fsNow.length >= e,
       s"ga01 stream: offset $e exceeds ${fsNow.length} files — store shrank " +
         "(files must be immutable once landed)")
-    fsNow.slice(s, e).map(f => Ga01Partition(f.path, f.len): InputPartition)
+    // offsets stay a file-count over ALL landed files; the sidecar
+    // skip applies INSIDE the offset window, after the slice — a
+    // filtered stream reads fewer files but commits the same offsets,
+    // so pruning can never shift the replay prefix. Same conservative
+    // keep rule as the batch scan (no sidecar ⇒ never prune); an
+    // EMPTY pushed interval plans zero files.
+    val window = fsNow.slice(s, e)
+    val (lo, hi) = docIdBounds
+    val kept =
+      if (lo > hi) Array.empty[FileEntry]
+      else if (lo == Long.MinValue && hi == Long.MaxValue) window
+      else {
+        val fsys = new Path(path).getFileSystem(conf.value)
+        window.filter { f =>
+          Ga01Source.statsOf(fsys, new Path(f.path)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }
+    Ga01Source.streamFilesPlanned.addAndGet(kept.length.toLong)
+    if (window.nonEmpty) Ga01Source.streamWindowsPlanned.incrementAndGet()
+    kept.map(f => Ga01Partition(f.path, f.len): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new Ga01ReaderFactory(required, conf)

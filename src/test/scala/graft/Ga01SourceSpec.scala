@@ -182,6 +182,78 @@ class Ga01SourceSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("filtered readStream skips landed files by sidecar stats, matching the batch scan's pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga01-sprune-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ga01-sprune-ckpt-").toString
+    val audio = Multimodal.syntheticAudio(spark, sfDir)
+      .repartitionByRange(4, col("doc_id"))
+    val ids = audio.select("doc_id").collect().map(_.getLong(0)).sorted
+    // range-partitioned landing → each file's sidecar covers a
+    // disjoint doc_id interval, so a point predicate prunes to 1 file
+    graft.sources.Ga01Store.append(audio, dir, 0L)
+    val probe = ids(ids.length / 2)
+    // the batch scan's pruned plan is the reference
+    spark.read.format("ga01").load(dir)
+      .filter(col("doc_id") === probe).count()
+    val batchPlanned = Ga01Source.filesPlanned.get()
+    assert(batchPlanned >= 1L && batchPlanned < 4L,
+      s"batch reference did not prune: $batchPlanned of 4 files")
+    Ga01Source.streamFilesPlanned.set(0L)
+    Ga01Source.streamWindowsPlanned.set(0L)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    // Catalyst never pushes filters into micro-batch scans, so the
+    // stream seeds the interval via the docIdMin/docIdMax options —
+    // the row-level filter still applies for exactness
+    def start() = spark.readStream.format("ga01")
+      .option("docIdMin", probe.toString).option("docIdMax", probe.toString)
+      .load(dir)
+      .filter(col("doc_id") === probe)
+      .select("doc_id")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSeq == Seq(probe), s"filtered stream rows: $seen")
+      val w1 = Ga01Source.streamWindowsPlanned.get()
+      assert(w1 >= 1L, "no non-empty offset window planned")
+      assert(Ga01Source.streamFilesPlanned.get() == batchPlanned * w1,
+        s"stream planned ${Ga01Source.streamFilesPlanned.get()} files over " +
+          s"$w1 windows; batch scan planned $batchPlanned of 4")
+      // a newly landed batch prunes the same way INSIDE its offset
+      // window: 4 more files, only the matching ones read
+      graft.sources.Ga01Store.append(audio, dir, 1L)
+      Ga01Source.streamFilesPlanned.set(0L)
+      Ga01Source.streamWindowsPlanned.set(0L)
+      q.processAllAvailable()
+      assert(seen.toSeq == Seq(probe, probe),
+        s"second landing mis-delivered: $seen")
+      val w2 = Ga01Source.streamWindowsPlanned.get()
+      assert(w2 >= 1L && Ga01Source.streamFilesPlanned.get() == batchPlanned * w2,
+        s"second window planned ${Ga01Source.streamFilesPlanned.get()} over $w2")
+    } finally q.stop()
+    // offsets are over ALL landed files (pruning never shifts the
+    // replay prefix): an unfiltered restart on a FRESH checkpoint
+    // delivers every row landed so far
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ga01-sprune-ckpt2-").toString
+    val all = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = spark.readStream.format("ga01").load(dir)
+      .select("doc_id")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        all ++= batch.select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(all.size == 2 * ids.length, // two stamps landed above
+        s"unfiltered restart saw ${all.size} rows, wanted ${2 * ids.length}")
+    } finally q2.stop()
+  }
+
   test("empty pushed intervals plan zero files: contradictions and Long-edge strict bounds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ga01-empt-int-").toString
     Ga01Store.write(
