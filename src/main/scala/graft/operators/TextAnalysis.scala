@@ -442,6 +442,44 @@ object TextAnalysis {
     import spark.implicits._
     val mergeSeq = mergeTable.orderBy(col("rank"))
       .select(col("a"), col("b")).as[(String, String)].collect()
+    encodeBpeSeq(docs, mergeSeq)
+  }
+
+  /** Meter `docs` against a PARKED merge table — the tokenizer's
+    * model-table lifecycle leg (the bigram-LM / quality-threshold /
+    * PQ-index shape): train once with [[trainBpe]], park the (rank,
+    * a, b) table via Incremental.landBatch, then meter every batch —
+    * live micro-batches included — against the RELOADED store. Per-
+    * source sums are additive, so foreachBatch metering concatenates
+    * to exactly the batch [[tokenBpe]] panel over the same model
+    * (spec-pinned, with replay determinism).
+    *
+    * Hardened against storage accidents the way
+    * [[bigramSurprisalAgainst]] is: duplicated rows (a doubled
+    * append, a union of snapshots) collapse through distinct; a
+    * FORKED store (two different pairs under one rank — two landings
+    * that disagree) or a gapped rank chain fails LOUD, because
+    * re-ranking silently would re-segment every word; an empty store
+    * raises rather than quietly metering at code-point granularity. */
+  def encodeBpeAgainst(docs: DataFrame, store: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = store.select(col("rank"), col("a"), col("b")).distinct()
+      .orderBy(col("rank"))
+      .as[(Int, String, String)].collect()
+    require(rows.nonEmpty, "encodeBpeAgainst: empty merge-table store")
+    rows.zipWithIndex.foreach { case ((r, _, _), i) =>
+      require(r == i + 1,
+        s"encodeBpeAgainst: merge-table ranks not contiguous at $r " +
+          "(expected " + (i + 1) + ") — forked or partial store landing")
+    }
+    encodeBpeSeq(docs, rows.map { case (_, a, b) => (a, b) })
+  }
+
+  private def encodeBpeSeq(docs: DataFrame,
+                           mergeSeq: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(mergeSeq)
     // both the vocabulary and the rollup read the materialized
     // (source, word) aggregate — one corpus scan, and distinct works

@@ -1429,6 +1429,77 @@ class StreamingSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("tokenizer model lifecycle: parked merge table meters live batches equal to the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    // train ONCE, park via the landBatch discipline, reload from disk
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model-").toString
+    val (model, _) = graft.sources.Incremental.landBatch(
+      graft.operators.TextAnalysis.trainBpe(docs, merges = 16),
+      modelDir, 0L)
+    def key(r: org.apache.spark.sql.Row) =
+      Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))
+    val want = graft.operators.TextAnalysis.tokenBpe(spark, sfDir, merges = 16)
+      .collect().map(key).toMap
+    // live metering: every micro-batch scores against the RELOADED
+    // store; per-source sums are additive so the accumulated panel
+    // must equal the batch panel exactly
+    val acc = scala.collection.mutable.Map[Option[String], (Long, Long)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.encodeBpeAgainst(batch, model)
+          .collect().foreach { r =>
+            val (k, (w, t)) = (key(r)._1, key(r)._2)
+            val (w0, t0) = acc.getOrElse(k, (0L, 0L))
+            acc(k) = (w0 + w, t0 + t)
+          }
+        ()
+      }.start()
+    var lastChunk: Seq[(Long, String, String)] = Nil
+    try {
+      val rows = docs.select("doc_id", "source", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      rows.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        lastChunk = chunk.toSeq
+      }
+      assert(acc.toMap == want,
+        s"live metering diverged: ${(want.toSet -- acc.toSet).take(2)} vs " +
+          s"${(acc.toSet -- want.toSet).take(2)}")
+    } finally q.stop()
+    // replay determinism: the same batch re-metered against the same
+    // store returns identical rows
+    val once = graft.operators.TextAnalysis.encodeBpeAgainst(
+      lastChunk.toDF("doc_id", "source", "text"), model)
+      .collect().map(key).toMap
+    val again = graft.operators.TextAnalysis.encodeBpeAgainst(
+      lastChunk.toDF("doc_id", "source", "text"), model)
+      .collect().map(key).toMap
+    assert(once == again)
+    // storage-accident hardening: a doubled append collapses; a
+    // forked or gapped rank chain fails LOUD; an empty store raises
+    val doubled = graft.operators.TextAnalysis.encodeBpeAgainst(
+      lastChunk.toDF("doc_id", "source", "text"), model.unionAll(model))
+      .collect().map(key).toMap
+    assert(doubled == once, "doubled store rows changed the metering")
+    val forked = model.unionAll(
+      Seq((1, "zz", "qq")).toDF("rank", "a", "b"))
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.encodeBpeAgainst(
+        lastChunk.toDF("doc_id", "source", "text"), forked).collect()
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.encodeBpeAgainst(
+        lastChunk.toDF("doc_id", "source", "text"), model.limit(0)).collect()
+    }
+  }
+
   test("bucketed novelty store: identical scores to the plain store, probe plans only touched buckets") {
     val s = spark
     import s.implicits._
