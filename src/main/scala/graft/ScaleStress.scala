@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress measurement for the ITERATIVE family — the committed-
+  * artifact twin of ScaleStressSpec, run at a real SF
+  * (`runMain graft.ScaleStress /root/testdata/sf0.1 [copies]`):
+  * measures CC and Lloyd round counts at 1× and at an id-shifted
+  * N×-unioned corpus, plus the adversarial 20k-node chain, and prints
+  * ONE JSON line. The 100×-scale claim this records: rounds — the
+  * driver-synchronized unit of work — stay FLAT under replication and
+  * logarithmic under adversarial structure, so the iterative family's
+  * wall-clock at 100 TB is (rounds × per-round shuffle), never
+  * (rounds × corpus) driver work. */
+object ScaleStress {
+  private val Shift = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.build(s"graft-scale-stress")
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    val A = graft.operators.Ann
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- connected components over the corpus's simhash near-dup graph
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"),
+        graft.plans.Fingerprints.simhash_text(col("text")).as("fp"))
+    val edges = D.hammingPairs(fps, 3)
+      .select(col("id_a").as("src"), col("id_b").as("dst")).persist()
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    edges.count()
+    val ((_, ccR1), ccT1) = timed(D.connectedComponentsWithRounds(nodes, edges))
+    val ks = (0 until copies).map(_.toLong)
+    val nodesN = ks.map(k => nodes.select((col("id") + lit(k * Shift)).as("id")))
+      .reduce(_ unionAll _)
+    val edgesN = ks.map(k => edges.select(
+      (col("src") + lit(k * Shift)).as("src"),
+      (col("dst") + lit(k * Shift)).as("dst"))).reduce(_ unionAll _)
+    val ((_, ccRN), ccTN) = timed(D.connectedComponentsWithRounds(nodesN, edgesN))
+    edges.unpersist()
+
+    // --- adversarial chain: rounds must stay within 2·log2(n)
+    val n = 20000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val ((_, chainR), chainT) = timed(D.connectedComponentsWithRounds(
+      spark.range(n).select(col("id")), chain, maxIters = 40))
+
+    // --- Lloyd iteration at 1× and N×
+    val ((_, kmR1), kmT1) = timed(A.kmeansIterateWithRounds(spark, dir))
+    val dirN = java.nio.file.Files
+      .createTempDirectory("graft-scale-emb-").toString
+    ks.map(k => Tables.embeddings(spark, dir)
+        .withColumn("vec_id", col("vec_id") + lit(k * Shift)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
+    val ((_, kmRN), kmTN) = timed(A.kmeansIterateWithRounds(spark, dirN))
+
+    println(
+      s"""{"metric":"scale_stress","sf":"$dir","copies":$copies,""" +
+        s""""cc_rounds_1x":$ccR1,"cc_rounds_${copies}x":$ccRN,""" +
+        f""""cc_sec_1x":$ccT1%.2f,"cc_sec_${copies}x":$ccTN%.2f,""" +
+        s""""chain_n":$n,"chain_rounds":$chainR,"chain_bound":${
+          2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1))},""" +
+        f""""chain_sec":$chainT%.2f,""" +
+        s""""kmeans_rounds_1x":$kmR1,"kmeans_rounds_${copies}x":$kmRN,""" +
+        f""""kmeans_sec_1x":$kmT1%.2f,"kmeans_sec_${copies}x":$kmTN%.2f}""")
+    spark.stop()
+  }
+}

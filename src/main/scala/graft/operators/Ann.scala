@@ -980,7 +980,16 @@ object Ann {
     * loop's pattern. The static quantized-component frame is cached
     * once. Shuffle per round stays ∝ n·L candidates (map-side partial
     * agg before the Exchange), centroids broadcast. */
-  def kmeansIterate(spark: SparkSession, dir: String, maxIters: Int = 8): DataFrame = {
+  def kmeansIterate(spark: SparkSession, dir: String, maxIters: Int = 8): DataFrame =
+    kmeansIterateWithRounds(spark, dir, maxIters)._1
+
+  /** [[kmeansIterate]] exposing the CONVERGENCE ROUND COUNT — the
+    * scale-stress observable (ScaleStressSpec pins that an id-shifted
+    * 10x-replicated corpus converges in exactly the same number of
+    * rounds: identical points pool into identical centroids, so
+    * driver-synchronized work scales with ROUNDS, not data volume). */
+  private[graft] def kmeansIterateWithRounds(spark: SparkSession, dir: String,
+                                             maxIters: Int = 8): (DataFrame, Int) = {
     val e = Tables.embeddings(spark, dir)
     val q = e.select(col("vec_id"),
         posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
@@ -1005,7 +1014,7 @@ object Ann {
       // scheduled, without demoting a reliable checkpoint to
       // executor-local localCheckpoint blocks
       labels.count()
-      labels
+      (labels, iter)
       // blocking: the cached q's plan canonicalizes identically to the
       // other kmeans-family queries' component frames — a lingering
       // async drop must not race a later query's cache lookup

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress evidence for the ITERATIVE family (r11): the 100×
+  * claims for connected components and Lloyd iteration rest on round
+  * counts staying flat as data replicates and logarithmic in
+  * adversarial structure — this spec MEASURES both instead of
+  * asserting them in prose.
+  *
+  *  - Replication invariance: an id-shifted 10×-unioned corpus has
+  *    identical per-copy structure, so CC and k-means must converge
+  *    in EXACTLY the same number of rounds as 1× — driver-
+  *    synchronized work scales with rounds, never with data volume
+  *    (each round's collect is a 1-row signature / a count; nothing
+  *    driver-side grows with n).
+  *  - Adversarial depth: a pure path graph is the worst case for
+  *    neighbor-min label propagation (O(diameter) rounds); the
+  *    alternating large-star/small-star loop must close a 20,000-node
+  *    chain within 2·log₂(n) alternation rounds (Kiveris et al.,
+  *    SoCC'14), not 20,000.
+  *
+  * The same invariants at sf0.1×10 are recorded in the committed
+  * bench artifact scale-stress-r11.json (see SURVEY §6). */
+class ScaleStressSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+  private val Shift = 10000000L
+
+  test("connected components: 10x id-shifted replication keeps the round count flat") {
+    val D = graft.operators.Dedup
+    val fps = Tables.documents(spark, sf001)
+      .select(col("doc_id").as("id"),
+        graft.plans.Fingerprints.simhash_text(col("text")).as("fp"))
+    val edges = D.hammingPairs(fps, 3)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist()
+    val nodes = Tables.documents(spark, sf001).select(col("doc_id").as("id"))
+    try {
+      val (l1, r1) = D.connectedComponentsWithRounds(nodes, edges)
+      val copies = (0 until 10).map(_.toLong)
+      val nodes10 = copies.map(k =>
+        nodes.select((col("id") + lit(k * Shift)).as("id"))).reduce(_ unionAll _)
+      val edges10 = copies.map(k => edges.select(
+        (col("src") + lit(k * Shift)).as("src"),
+        (col("dst") + lit(k * Shift)).as("dst"))).reduce(_ unionAll _)
+      val (l10, r10) = D.connectedComponentsWithRounds(nodes10, edges10)
+      assert(r10 == r1,
+        s"10x replication changed the CC round count: $r1 -> $r10")
+      // copy 3 labels back-shift to exactly the 1x labels
+      val want = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = l10.filter(col("id") >= 3L * Shift && col("id") < 4L * Shift)
+        .select((col("id") - lit(3L * Shift)).as("id"),
+          (col("component") - lit(3L * Shift)).as("component"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "shifted copy's components diverged from 1x")
+      assert(l10.count() == 10L * l1.count())
+    } finally edges.unpersist()
+  }
+
+  test("connected components: a 20k-node chain closes in <= 2*log2(n) rounds, not O(n)") {
+    val D = graft.operators.Dedup
+    val n = 20000L
+    val nodes = spark.range(n).select(col("id"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val (labels, rounds) = D.connectedComponentsWithRounds(nodes, chain,
+      maxIters = 40)
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1))
+    assert(rounds <= bound,
+      s"chain of $n took $rounds rounds — exceeds the 2*log2(n) = $bound bound")
+    // and it actually solved the component: every node labels to 0
+    val comps = labels.select(countDistinct(col("component"))).collect()(0).getLong(0)
+    assert(comps == 1L, s"chain split into $comps components")
+    assert(labels.filter(col("component") =!= 0L).count() == 0L)
+  }
+
+  test("k-means: 10x id-shifted replication keeps the Lloyd round count flat") {
+    val A = graft.operators.Ann
+    val (l1, r1) = A.kmeansIterateWithRounds(spark, sf001)
+    // identical points pool into identical centroids, so every copy
+    // follows the 1x assignment trajectory — rounds must not move
+    val base = Tables.embeddings(spark, sf001)
+    val dir10 = java.nio.file.Files
+      .createTempDirectory("graft-scale-emb-").toString
+    (0 until 10).map(k => base.withColumn("vec_id", col("vec_id") + lit(k * Shift)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir10/embeddings.parquet")
+    val (l10, r10) = A.kmeansIterateWithRounds(spark, dir10)
+    assert(r10 == r1,
+      s"10x replication changed the Lloyd round count: $r1 -> $r10")
+    val want = l1.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = l10.filter(col("vec_id") >= 7L * Shift && col("vec_id") < 8L * Shift)
+      .select((col("vec_id") - lit(7L * Shift)).as("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, "shifted copy's final labels diverged from 1x")
+  }
+}
