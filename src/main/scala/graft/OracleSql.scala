@@ -1034,7 +1034,7 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        | FROM documents),
        | t AS (SELECT *, ${names.mkString(" + ")} AS n_script_total,
        |   greatest(${names.mkString(", ")}) AS n_script_max FROM s),
-       | v AS (SELECT *, CASE WHEN n_script_total = 0 THEN 'unknown'
+       | v AS (SELECT *, CASE WHEN coalesce(n_script_total, 0) = 0 THEN 'unknown'
        |      $caseChain
        |    END AS script,
        |  len(regexp_extract_all(text, '\\bthe\\b')) AS c_en,
@@ -1254,6 +1254,17 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
     * merge rounds) — tokenBpe selects the final vocabulary rollup,
     * bpeMerges the per-round argmax rows. */
   private def bpeCtes(merges: Int): Seq[String] = {
+    // Mirror TextAnalysis's BOUNDED-BY-DEFAULT training knobs
+    // (BpeDefaultMinCount/BpeDefaultTopV): the merge ARGMAX counts
+    // only the floored+capped training vocabulary's weight, while the
+    // apply/metering chain runs over ALL words — dropped words are
+    // still encoded against the learned table (sequential application
+    // of a trained table ≡ the driver's rank-priority encode,
+    // property-pinned incl. OOV probes). On a corpus where the knobs
+    // don't bind, trainw = every word and the chain is byte-identical
+    // to the unbounded form.
+    val minCount = graft.operators.TextAnalysis.BpeDefaultMinCount
+    val topV = graft.operators.TextAnalysis.BpeDefaultTopV
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += "nz AS MATERIALIZED (SELECT source, word FROM (SELECT source," +
       " unnest(regexp_split_to_array(trim(text), '\\s+')) AS word" +
@@ -1261,13 +1272,15 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
     ctes += "v0 AS MATERIALIZED (SELECT word, count(*) AS wf," +
       " list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms" +
       " FROM nz GROUP BY 1)"
+    ctes += s"trainw AS MATERIALIZED (SELECT word FROM v0" +
+      s" WHERE wf >= $minCount ORDER BY wf DESC, word LIMIT $topV)"
     for (r <- 1 to merges) {
       ctes += s"p$r AS MATERIALIZED (SELECT word, wf, i, syms[i] AS a," +
         " lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS b" +
         s" FROM (SELECT word, wf, unnest(range(1, len(syms) + 1)) AS i," +
         s" syms FROM v${r - 1}))"
       ctes += s"m$r AS (SELECT a, b FROM (SELECT a, b, sum(wf) AS cnt" +
-        s" FROM p$r WHERE b IS NOT NULL GROUP BY 1, 2)" +
+        s" FROM p$r JOIN trainw USING (word) WHERE b IS NOT NULL GROUP BY 1, 2)" +
         " ORDER BY cnt DESC, a, b LIMIT 1)"
       ctes += s"s$r AS (SELECT word, i FROM (SELECT word, i," +
         " row_number() OVER (PARTITION BY word, grp ORDER BY i) AS k" +

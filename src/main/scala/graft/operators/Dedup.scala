@@ -788,7 +788,8 @@ object Dedup {
     val (own, dirs) = graft.sources.Incremental.landBatchBucketed(
       batch
         .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram")),
-      gramDir, batchId, pmod(col("gram"), lit(buckets)), buckets)
+      gramDir, batchId, pmod(col("gram"), lit(buckets)), buckets,
+      layout = s"novelty;n=$n;buckets=$buckets")
     // the batch's touched buckets: bounded collect (≤ `buckets` ints)
     val touched = own.select(pmod(col("gram"), lit(buckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -888,7 +889,8 @@ object Dedup {
       "doc_id", "fp", maxHamming)
     val bucketOf = pmod(hash(col("chunk"), col("cv")), lit(buckets))
     val (own0, dirs) = graft.sources.Incremental.landBatchBucketed(
-      bandRows, fpDir, batchId, bucketOf, buckets)
+      bandRows, fpDir, batchId, bucketOf, buckets,
+      layout = s"keepset;maxHamming=$maxHamming;buckets=$buckets")
     // this batch's fingerprints, one row per doc (the band explode
     // landed maxHamming+1 rows each)
     val own = own0.select(col("doc_id").as("id"), col("fp")).distinct()

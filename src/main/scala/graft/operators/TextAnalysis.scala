@@ -75,7 +75,12 @@ object TextAnalysis {
       .withColumn("n_script_total", cnts.reduce(_ + _))
       .withColumn("n_script_max", greatest(cnts: _*))
       .withColumn("script",
-        when(col("n_script_total") === 0L, lit("unknown")).otherwise(chain))
+        // coalesce: NULL text yields NULL counts — a letterless doc
+        // and a NULL doc both read 'unknown', on BOTH engines (the
+        // oracle mirrors the coalesce; without it DuckDB's final CASE
+        // would fall through NULL conditions to ELSE 'fr')
+        when(coalesce(col("n_script_total"), lit(0L)) === 0L, lit("unknown"))
+          .otherwise(chain))
       .withColumn("script_ppm",
         when(col("n_script_total") > 0L,
           expr("CAST((n_script_max * 1000000) DIV n_script_total AS BIGINT)")))
@@ -194,17 +199,17 @@ object TextAnalysis {
     * path's numbers to the split trainBpe/encodeBpe path. The collect
     * is BOUNDED by construction under the default knobs: the top-`topV`
     * words (wf DESC, word ASC under UTF8_BINARY) are collected in one
-    * pass — ≤ topV rows. If that top table is the COMPLETE vocabulary
-    * (fewer than topV rows came back), the `minCount` floor is applied
-    * driver-side — identical to floor-then-cap, since the cap provably
-    * didn't bind — and floored-out words are metered by a driver-side
-    * encode against the learned table (they're already in hand). Only
-    * when the cap truly binds (raw-web vocabulary > topV) does a second
-    * dictionary-scale job run: the exact floor-then-cap training set is
-    * re-collected and the unbounded remainder is encoded EXECUTOR-side
-    * against the broadcast merge table — work ∝ vocabulary, never
-    * corpus, and the driver never holds more than topV rows. ONE
-    * spelling, shared by [[tokenBpeOf]] and [[tokenFertilityOf]]. */
+    * pass — ≤ topV rows. The `minCount` floor then applies DRIVER-side
+    * over that collect, which is provably the exact floor-then-cap
+    * set: a sub-floor word inside the top implies every word outside
+    * is also sub-floor, so the floor can never re-admit an outside
+    * word. Floored-out words are metered by a driver-side encode
+    * against the learned table (they're already in hand); only when
+    * the cap truly binds (raw-web vocabulary > topV) does the
+    * unbounded REMAINDER get encoded executor-side against the
+    * broadcast merge table — work ∝ vocabulary, never corpus, and the
+    * driver never holds more than topV rows. ONE spelling, shared by
+    * [[tokenBpeOf]] and [[tokenFertilityOf]]. */
   private def trainedVocabOf(perSW: DataFrame, merges: Int,
                              minCount: Long, topV: Int): DataFrame = {
     val spark = perSW.sparkSession
@@ -215,32 +220,38 @@ object TextAnalysis {
        else all.orderBy(col("wf").desc, col("word").asc).limit(topV))
         .as[(String, Long)].collect()
     val complete = topV == Int.MaxValue || top.length < topV
-    if (complete) {
-      val (trainSet, dropped) = top.partition(_._2 >= minCount)
-      val (table, finalSyms) = bpeTrain(trainSet.toSeq, merges)
-      val rank = new java.util.HashMap[(String, String), Integer](table.length * 2 + 1)
-      table.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
-      val rows = finalSyms.map { case (w, syms) => (w, syms.length) } ++
+    // The floor-then-cap training set derives DRIVER-SIDE from the one
+    // top-`topV` collect: a sub-floor word inside the top means every
+    // word OUTSIDE it is also sub-floor (outside wf <= inside wf), so
+    // flooring can never re-admit an outside word -- trainSet is exactly
+    // the floored top, no second distributed job needed either way.
+    val (trainSet, dropped) = top.partition(_._2 >= minCount)
+    val (table, finalSyms) = bpeTrain(trainSet.toSeq, merges)
+    val rank = new java.util.HashMap[(String, String), Integer](table.length * 2 + 1)
+    table.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
+    // every collected word is metered here (trained words ship their
+    // final training state; floored-out words driver-encode -- <= topV
+    // of each by construction)
+    val inTop = spark.createDataFrame(
+      (finalSyms.map { case (w, syms) => (w, syms.length) } ++
         dropped.map { case (w, _) =>
-          (w, bpeEncodeRanked(bpeCodePoints(w), rank).length) }
-      spark.createDataFrame(rows.toSeq).toDF("word", "n_tokens")
-    } else {
-      val floored = if (minCount <= 1L) all else all.filter(col("wf") >= minCount)
-      val trainSet = floored.orderBy(col("wf").desc, col("word").asc).limit(topV)
-        .as[(String, Long)].collect()
-      val (table, finalSyms) = bpeTrain(trainSet.toSeq, merges)
-      val trained = spark.createDataFrame(
-        finalSyms.map { case (w, syms) => (w, syms.length) }.toSeq)
-        .toDF("word", "n_tokens")
+          (w, bpeEncodeRanked(bpeCodePoints(w), rank).length) }).toSeq)
+      .toDF("word", "n_tokens")
+    if (complete) inTop
+    else {
+      // cap binds (raw-web vocabulary): the unbounded REMAINDER is
+      // encoded EXECUTOR-side against the broadcast table -- work
+      // proportional to vocabulary, never corpus; the driver never
+      // holds more than topV rows
       val bc = spark.sparkContext.broadcast(table.toArray)
       val rest = perSW.select(col("word")).distinct()
-        .join(trained.select(col("word")), Seq("word"), "left_anti")
+        .join(inTop.select(col("word")), Seq("word"), "left_anti")
         .as[String].mapPartitions { it =>
-          val rank = new java.util.HashMap[(String, String), Integer](bc.value.length * 2 + 1)
-          bc.value.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
-          it.map(w => (w, bpeEncodeRanked(bpeCodePoints(w), rank).length))
+          val rk = new java.util.HashMap[(String, String), Integer](bc.value.length * 2 + 1)
+          bc.value.zipWithIndex.foreach { case (p, i) => rk.put(p, Int.box(i)) }
+          it.map(w => (w, bpeEncodeRanked(bpeCodePoints(w), rk).length))
         }.toDF("word", "n_tokens")
-      trained.union(rest)
+      inTop.union(rest)
     }
   }
 

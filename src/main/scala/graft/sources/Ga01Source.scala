@@ -496,28 +496,41 @@ object Ga01Store {
       val attemptRe =
         (java.util.regex.Pattern.quote(namePrefix) +
           "part-(\\d+)-attempt\\d+\\.ga01").r
-      fs.listStatus(tmpDir)
+      val listed = fs.listStatus(tmpDir)
         .filter(_.isFile)
         .sortBy(_.getPath.getName)
-        .foreach { st =>
-          st.getPath.getName match {
-            case attemptRe(pid) =>
-              val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
-              if (!fs.exists(dest)) {
-                fs.rename(st.getPath, dest)
-                val sideSrc = new Path(st.getPath.getParent,
-                  st.getPath.getName + ".stats")
-                if (fs.exists(sideSrc))
-                  fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
-              }
-            case name if !name.endsWith(".ga01.stats") =>
-              throw new IllegalStateException(
-                s"GA01 promotion found unrecognized attempt file '$name' in " +
-                  s"$tmpDir — refusing to promote (its rows would be lost " +
-                  "with the temp dir)")
-            case _ => // .stats sidecars ride along with their data file
-          }
+      // validate EVERY name BEFORE the first rename: a mid-loop
+      // failure would leave a partial promotion visible to readers
+      // (no _SUCCESS gate on the scan), and a stamp REPLAY would then
+      // see the prefix as already landed, skip the whole promotion,
+      // and permanently commit the batch missing every partition
+      // after the one that promoted — exactly the silent-loss class
+      // this check exists to prevent
+      listed.foreach { st =>
+        st.getPath.getName match {
+          case attemptRe(_) =>
+          case name if !name.endsWith(".ga01.stats") =>
+            throw new IllegalStateException(
+              s"GA01 promotion found unrecognized attempt file '$name' in " +
+                s"$tmpDir — refusing to promote (its rows would be lost " +
+                "with the temp dir)")
+          case _ => // .stats sidecars ride along with their data file
         }
+      }
+      listed.foreach { st =>
+        st.getPath.getName match {
+          case attemptRe(pid) =>
+            val dest = new Path(p, s"${namePrefix}part-$pid.ga01")
+            if (!fs.exists(dest)) {
+              fs.rename(st.getPath, dest)
+              val sideSrc = new Path(st.getPath.getParent,
+                st.getPath.getName + ".stats")
+              if (fs.exists(sideSrc))
+                fs.rename(sideSrc, new Path(p, dest.getName + ".stats"))
+            }
+          case _ =>
+        }
+      }
     }
     fs.delete(tmpDir, true)
     fs.create(new Path(p, "_SUCCESS"), true).close()

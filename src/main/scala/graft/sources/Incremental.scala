@@ -62,9 +62,10 @@ object Incremental {
     * bucket is a directory key, recomputable from the row). */
   def landBatchBucketed(df: DataFrame, dir: String, batchId: Long,
                         bucketOf: org.apache.spark.sql.Column,
-                        buckets: Int): (DataFrame, Seq[(Long, String)]) = {
+                        buckets: Int, layout: String): (DataFrame, Seq[(Long, String)]) = {
     require(batchId >= 0, s"batch ids are non-negative: got $batchId")
     require(buckets > 0, s"bucket count must be positive: got $buckets")
+    requireLayout(df.sparkSession, dir, layout)
     df.withColumn("bucket", bucketOf)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/batch=$batchId")
@@ -75,6 +76,38 @@ object Incremental {
     val own = spark.read.schema(withBucket)
       .parquet(s"$dir/batch=$batchId").drop("bucket")
     (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
+  }
+
+  /** Write-once LAYOUT MANIFEST of a bucketed store (`_layout` at the
+    * store root): the first landing records every parameter baked
+    * into the directory geometry (bucket count, key derivation,
+    * band/gram shape); every later landing must present the SAME
+    * string. Without this, a probe called with different parameters
+    * than the committed layout would silently plan the WRONG bucket
+    * dirs and miss matches — previously-seen grams scoring as novel,
+    * near-verbatim duplicates admitted — with no error anywhere. The
+    * plain (unbucketed) stores are immune (they re-derive keys and
+    * read everything); geometry-on-disk demands this check. */
+  private def requireLayout(spark: SparkSession, dir: String,
+                            layout: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(p, "_layout")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val existing =
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        finally in.close()
+      require(existing == layout,
+        s"bucketed store $dir was landed with layout '$existing' but this " +
+          s"call uses '$layout' — refusing: mismatched bucket geometry " +
+          "silently misses matches (re-land the store or match the layout)")
+    } else {
+      fs.mkdirs(p)
+      val out = fs.create(f, true)
+      try out.write((layout + "\n").getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The strictly-earlier committed batches RESTRICTED to the given

@@ -337,6 +337,18 @@ class Ga01SourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("garbage.tmp"))
     assert(!fs3.exists(new Path(p3, "_SUCCESS")), "_SUCCESS must not land on failure")
+    // validation runs BEFORE the first rename: a foreign file sorting
+    // AFTER a valid attempt must leave the store fully unpromoted —
+    // a partial promotion would make a stamp replay skip the whole
+    // batch and permanently commit the loss
+    val (fs4, p4, t4) = mk(Seq(
+      "part-00001-attempt000000000002.ga01", "zzz-foreign.tmp"))
+    intercept[IllegalStateException] {
+      Ga01Store.promoteAttempts(fs4, p4, t4, namePrefix = "")
+    }
+    assert(landed(fs4, p4).isEmpty,
+      s"partial promotion leaked: ${landed(fs4, p4)}")
+    assert(fs4.exists(t4), "temp dir must survive a refused promotion")
   }
 
   test("reader raises a loud corrupt-record error on a 2^31-overflowing payload length") {

@@ -1050,6 +1050,13 @@ class OperatorSpec extends SparkSpec {
     val tie = Seq((10L, "ab пр")).toDF("doc_id", "text")
     val t = graft.operators.TextAnalysis.langScriptOf(tie).collect().head
     assert(t.getAs[String]("script") == "latin")
+    // NULL text: counts are NULL, verdicts read 'unknown' (never a
+    // fall-through to the stopword census's 'fr' default), ppm NULL
+    val nt = Seq((11L, Option.empty[String])).toDF("doc_id", "text")
+    val nr = graft.operators.TextAnalysis.langScriptOf(nt).collect().head
+    assert(nr.getAs[String]("script") == "unknown")
+    assert(nr.getAs[String]("lang_verdict") == "unknown")
+    assert(nr.isNullAt(nr.fieldIndex("script_ppm")))
   }
 
   test("keyness: a NULL-source group survives the per-source total join") {

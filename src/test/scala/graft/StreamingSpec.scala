@@ -1548,6 +1548,18 @@ class StreamingSpec extends SparkSpec {
     val (rp2, _) = graft.operators.Dedup.noveltyIncrementalBatchBucketed(
       last, bDir, batches.size.toLong - 1, buckets = 256)
     assert(first == rp2.collect().map(key).toMap)
+    // the bucket geometry is baked into the directory layout: probing
+    // the committed store with DIFFERENT parameters must fail loud —
+    // a mismatched probe would plan the wrong buckets and silently
+    // score previously-seen grams as novel
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+        last, bDir, batches.size.toLong, buckets = 64)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+        last, bDir, batches.size.toLong, n = 5, buckets = 256)
+    }
   }
 
   test("bucketed keep-set store: identical keep decisions, band-key buckets prune the hamming probe") {
@@ -1589,6 +1601,19 @@ class StreamingSpec extends SparkSpec {
     // against the store through the pruned probe
     assert(tinyKept.isEmpty,
       s"verbatim duplicates survived the pruned probe: $tinyKept")
+    // band geometry is persisted in the store rows: a probe with a
+    // different maxHamming (different chunk widths) or bucket count
+    // must fail loud instead of silently admitting near-duplicates
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.keepSetIncrementalBatchBucketed(
+        tiny.toDF("doc_id", "text"), bDir, batches.size.toLong + 1,
+        maxHamming = 4, buckets = 64)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.keepSetIncrementalBatchBucketed(
+        tiny.toDF("doc_id", "text"), bDir, batches.size.toLong + 1,
+        maxHamming = 3, buckets = 128)
+    }
   }
 
   test("live curation pipeline: dedup, decontamination, quality, PII and surprisal gates compose in one foreachBatch") {
