@@ -1056,6 +1056,78 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |FROM v""".stripMargin
   }
 
+  /** q_script_mixture: per-source Unicode-script composition —
+    * generated from the same TextAnalysis.ScriptRanges catalog as
+    * q_lang_script, so classes/preference/ppm cannot drift. */
+  def scriptMixture(): String = {
+    val rs = graft.operators.TextAnalysis.ScriptRanges
+    val counts = rs.map { case (n, p) =>
+      s"coalesce(CAST(len(regexp_extract_all(text, '$p')) AS BIGINT), 0) AS c_$n"
+    }.mkString(",\n  ")
+    // CAST: DuckDB sum(BIGINT) widens to HUGEINT (→ float64 in the
+    // driver's pandas compare); the Spark side is BIGINT throughout
+    val sums = rs.map { case (n, _) =>
+      s"CAST(sum(c_$n) AS BIGINT) AS n_$n" }.mkString(", ")
+    val names = rs.map(r => s"n_${r._1}")
+    val caseChain = rs.map { case (n, _) =>
+      s"WHEN n_$n = n_script_max THEN '$n'"
+    }.mkString("\n      ")
+    val ppms = rs.map { case (n, _) =>
+      s"CASE WHEN n_script_total > 0 THEN n_$n * 1000000 // n_script_total" +
+        s" END AS ${n}_ppm"
+    }.mkString(",\n ")
+    s"""WITH s AS (SELECT source,
+       |  $counts
+       | FROM documents),
+       | a AS (SELECT source, count(*) AS n_docs, $sums FROM s GROUP BY 1),
+       | t AS (SELECT *, ${names.mkString(" + ")} AS n_script_total,
+       |   greatest(${names.mkString(", ")}) AS n_script_max FROM a)
+       |SELECT source, n_docs, ${names.mkString(", ")},
+       | n_script_total, n_script_max,
+       | CASE WHEN n_script_total = 0 THEN 'unknown'
+       |      $caseChain
+       |    END AS script,
+       | $ppms
+       |FROM t""".stripMargin
+  }
+
+  /** q_affix_census: cross-document shared prefix/suffix counts —
+    * NULL-SAFE affix joins (a NULL-text doc is its own group). */
+  def affixCensus(k: Int = 32): String =
+    s"""WITH b AS (SELECT doc_id, substr(text, 1, $k) AS pref,
+       |   substr(text, greatest(length(text) - ${k - 1}, 1)) AS suff
+       |  FROM documents),
+       | pg AS (SELECT pref, count(*) AS prefix_dup_docs FROM b GROUP BY 1),
+       | sg AS (SELECT suff, count(*) AS suffix_dup_docs FROM b GROUP BY 1)
+       |SELECT b.doc_id, pg.prefix_dup_docs, sg.suffix_dup_docs,
+       | pg.prefix_dup_docs >= 2 AS is_prefix_dup,
+       | sg.suffix_dup_docs >= 2 AS is_suffix_dup
+       |FROM b
+       |JOIN pg ON b.pref IS NOT DISTINCT FROM pg.pref
+       |JOIN sg ON b.suff IS NOT DISTINCT FROM sg.suff""".stripMargin
+
+  /** q_char_lm: supervised char-trigram language classifier —
+    * profiles from labeled docs only, exact HUGEINT inner-product
+    * scores mirroring Spark's DECIMAL(38,0), (score DESC, lang ASC)
+    * argmax, confusion-matrix rollup. */
+  def charNgramLangId(): String =
+    """WITH tris AS (SELECT doc_id, lang, tri FROM (SELECT doc_id, lang,
+      |   unnest(list_transform(range(1, greatest(length(text) - 1, 2)),
+      |     i -> text[i:i+2])) AS tri
+      |  FROM documents) WHERE length(tri) = 3),
+      | dt AS (SELECT doc_id, lang, tri, count(*) AS c
+      |  FROM tris GROUP BY 1, 2, 3),
+      | prof AS (SELECT lang AS plang, tri, sum(c) AS pc
+      |  FROM dt WHERE lang IS NOT NULL GROUP BY 1, 2),
+      | scored AS (SELECT dt.doc_id, dt.lang, prof.plang,
+      |   sum(CAST(dt.c AS HUGEINT) * CAST(prof.pc AS HUGEINT)) AS score
+      |  FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+      | top AS (SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+      |   FROM scored) WHERE rn = 1)
+      |SELECT lang, plang AS pred_lang, count(*) AS n
+      |FROM top GROUP BY 1, 2""".stripMargin
+
   /** q_keyness: per-source distinctive terms by Laplace-smoothed
     * relative risk, ranked by the EXACT fixed-point ppm quotient —
     * HUGEINT cross products mirror the Spark side's DECIMAL(38,0), so

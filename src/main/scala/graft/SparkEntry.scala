@@ -178,6 +178,9 @@ object SparkEntry {
     // Text analysis
     "q_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "q_lang_script" -> ((s, d) => TextAnalysis.langScript(s, d)),
+    "q_script_mixture" -> ((s, d) => TextAnalysis.scriptMixture(s, d)),
+    "q_affix_census" -> ((s, d) => TextAnalysis.affixCensus(s, d)),
+    "q_char_lm" -> ((s, d) => TextAnalysis.charNgramLangId(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1345,6 +1348,9 @@ object SparkEntry {
     // (HUGEINT cross products mirror Spark DECIMAL(38,0))
     "q_keyness" -> OracleSql.keyness(),
     "q_lang_script" -> OracleSql.langScript(),
+    "q_script_mixture" -> OracleSql.scriptMixture(),
+    "q_affix_census" -> OracleSql.affixCensus(),
+    "q_char_lm" -> OracleSql.charNgramLangId(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

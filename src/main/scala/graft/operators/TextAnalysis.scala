@@ -90,6 +90,128 @@ object TextAnalysis {
       .drop("text")
   }
 
+  /** Per-SOURCE Unicode-script MIXTURE — the corpus-composition
+    * counterpart of [[langScript]]: script code-point mass summed per
+    * source (one scan, one keyed aggregate with map-side combine —
+    * shuffle ∝ #sources), the dominant script by the same
+    * catalog-preference argmax, and each script's exact ppm share of
+    * the source's letter mass (⌊mass·10⁶ DIV total⌋ over BIGINTs,
+    * CaseWhen-NULL-guarded). This is the table a multilingual mixture
+    * rebalance actually reads: which sources are script-homogeneous
+    * and which are mixed, in exact integers. */
+  def scriptMixture(spark: SparkSession, dir: String): DataFrame =
+    scriptMixtureOf(Tables.documents(spark, dir))
+
+  def scriptMixtureOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(
+      Seq(col("source")) ++ ScriptRanges.map { case (n, p) =>
+        regexp_count(col("text"), lit(p)).cast("bigint").as(s"c_$n")
+      }: _*)
+    val agg = counted.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      ScriptRanges.map { case (n, _) =>
+        sum(coalesce(col(s"c_$n"), lit(0L))).as(s"n_$n") }: _*)
+    val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    val chain = ScriptRanges.tail.foldLeft(
+      when(col(s"n_${ScriptRanges.head._1}") === col("n_script_max"),
+        lit(ScriptRanges.head._1))) {
+      case (acc, (n, _)) => acc.when(col(s"n_$n") === col("n_script_max"), lit(n))
+    }
+    val withTot = agg
+      .withColumn("n_script_total", cnts.reduce(_ + _))
+      .withColumn("n_script_max", greatest(cnts: _*))
+      .withColumn("script",
+        when(col("n_script_total") === 0L, lit("unknown")).otherwise(chain))
+    ScriptRanges.foldLeft(withTot) { case (df, (n, _)) =>
+      df.withColumn(s"${n}_ppm",
+        when(col("n_script_total") > 0L,
+          expr(s"CAST((n_$n * 1000000) DIV n_script_total AS BIGINT)")))
+    }
+  }
+
+  /** Cross-document AFFIX census — boilerplate detection at its
+    * cheapest grain (the C4/RefinedWeb first-look): for every
+    * document, how many documents share its first `k` characters and
+    * how many share its last `k`. Shared prefixes are scraped
+    * headers/banners, shared suffixes are footers/license blocks —
+    * both flag template mass an exact-dedup pass won't catch (the
+    * bodies differ). Shape: one scan → two affix-keyed aggregates
+    * (map-side combined, shuffle ∝ distinct affixes — bounded far
+    * below corpus size on template-heavy crawls) joined back
+    * NULL-SAFELY (a NULL-text doc is its own affix group, the
+    * boilerplate-join lesson). */
+  def affixCensus(spark: SparkSession, dir: String, k: Int = 32): DataFrame =
+    affixCensusOf(Tables.documents(spark, dir), k)
+
+  def affixCensusOf(docs: DataFrame, k: Int = 32): DataFrame = {
+    // MATERIALIZED: three consumers (row side + both affix aggregates)
+    // would each re-scan the corpus text otherwise — the perSourceWord
+    // discipline; the checkpointed frame is (doc_id, 2·k chars), a
+    // fraction of the text it derives from
+    val base = graft.plans.Materialize(docs.select(col("doc_id"),
+      substring(col("text"), 1, k).as("pref"),
+      expr(s"substr(text, greatest(length(text) - ${k - 1}, 1))").as("suff")))
+    val pg = base.groupBy(col("pref")).agg(count(lit(1)).as("prefix_dup_docs"))
+      .withColumnRenamed("pref", "pg_pref")
+    val sg = base.groupBy(col("suff")).agg(count(lit(1)).as("suffix_dup_docs"))
+      .withColumnRenamed("suff", "sg_suff")
+    base
+      .join(pg, col("pref") <=> col("pg_pref"))
+      .join(sg, col("suff") <=> col("sg_suff"))
+      .select(col("doc_id"), col("prefix_dup_docs"), col("suffix_dup_docs"),
+        (col("prefix_dup_docs") >= 2L).as("is_prefix_dup"),
+        (col("suffix_dup_docs") >= 2L).as("is_suffix_dup"))
+  }
+
+  /** Supervised CHAR-TRIGRAM language classifier — the third lang-ID
+    * leg (stopword census [[langIdConfusion]] for Latin languages,
+    * script census [[langScript]] for script families, THIS for
+    * same-script language pairs a crawl actually confuses): per-lang
+    * trigram profiles train from the corpus's own labels, every doc
+    * scores against every profile by the EXACT integer inner product
+    * Σ c_doc(t)·c_lang(t) over DECIMAL(38,0) (bit-identical
+    * cross-engine; a tf-idf double would tie-break differently), and
+    * the argmax (score DESC, lang ASC) fills the confusion matrix —
+    * in-corpus fit by construction (profiles include the scored doc;
+    * the panel measures class separability, not held-out accuracy).
+    * Shape: ONE corpus scan collapses to the (doc, lang, tri) count
+    * table and is MATERIALIZED (two consumers: scoring join +
+    * profile roll-up — the perSourceWord discipline); profiles are
+    * trigram-vocabulary × #langs rows, broadcast; the score join
+    * partial-aggregates to (doc, lang) before its shuffle. NULL-lang
+    * docs score but form NO profile (mirrored in the oracle —
+    * ORDER-BY NULL placement differs between engines, so unlabeled
+    * profiles would tie-break differently). */
+  def charNgramLangId(spark: SparkSession, dir: String): DataFrame =
+    charNgramLangIdOf(Tables.documents(spark, dir))
+
+  def charNgramLangIdOf(docs: DataFrame): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val tris = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as("tri"))
+      .filter(length(col("tri")) === 3)
+    val dt = graft.plans.Materialize(
+      tris.groupBy(col("doc_id"), col("lang"), col("tri"))
+        .agg(count(lit(1)).as("c")))
+    val prof = dt.filter(col("lang").isNotNull)
+      .groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum(col("c")).as("pc"))
+    val scored = dt
+      .join(broadcast(prof), Seq("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(expr(s"CAST(c AS $d38) * CAST(pc AS $d38)")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-document quality panel. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1059,6 +1059,68 @@ class OperatorSpec extends SparkSpec {
     assert(nr.isNullAt(nr.fieldIndex("script_ppm")))
   }
 
+  test("scriptMixture: planted mixed-script sources get exact masses, shares and dominant script") {
+    import spark.implicits._
+    val docs = Seq(
+      (Option("ru"), Option("привет мир")),        // 9 cyrillic
+      (Option("ru"), Option("тест abc")),          // 4 cyrillic + 3 latin
+      (Option("mix"), Option("ab кд")),            // 2 latin + 2 cyrillic (tie)
+      (Option("empty"), Option("123 !!!")),        // no letters
+      (Option("nulls"), Option.empty[String])      // NULL text
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.scriptMixtureOf(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"),
+          r.getAs[String]("script"),
+          Option(r.getAs[java.lang.Long]("cyrillic_ppm")).map(_.toLong)))).toMap
+    assert(got("ru") == ((3L, 13L, "cyrillic", Some(812500L))))   // 13/16
+    assert(got("mix") == ((2L, 2L, "latin", Some(500000L))))      // tie → catalog order
+    assert(got("empty") == ((0L, 0L, "unknown", None)))
+    assert(got("nulls") == ((0L, 0L, "unknown", None)))
+  }
+
+  test("affixCensus: shared prefixes/suffixes count across docs, NULL text forms its own group") {
+    import spark.implicits._
+    val h = "HEADER-" * 8   // 56 chars — longer than k=32
+    val f = "-FOOTER" * 8
+    val docs = Seq(
+      (1L, Option(h + "alpha body one" + f)),
+      (2L, Option(h + "totally different middle" + f)),
+      (3L, Option("unique doc with its own text entirely")),
+      (4L, Option.empty[String]),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.affixCensusOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 2L, true, true)))
+    assert(got(2L) == ((2L, 2L, true, true)))
+    assert(got(3L) == ((1L, 1L, false, false)))
+    // NULL-text docs share the NULL affix group — counted, not dropped
+    assert(got(4L) == ((2L, 2L, true, true)))
+    assert(got(5L) == ((2L, 2L, true, true)))
+  }
+
+  test("charNgramLangId: trigram profiles separate same-script languages; unlabeled docs score without training") {
+    import spark.implicits._
+    // two 'languages' with disjoint trigram inventories + one doc of
+    // each, plus an unlabeled doc written in lang-B trigrams: it must
+    // SCORE (against both profiles) but train neither
+    val docs = Seq(
+      (1L, Option("aa"), "aaaa aaab aaba abaa"),
+      (2L, Option("aa"), "aaab aabb aaaa"),
+      (3L, Option("zz"), "zzzz zzyz zyzz yzzz"),
+      (4L, Option("zz"), "zzzy zzzz yyzz"),
+      (5L, Option.empty[String], "zzzz yzzz zzyz")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis.charNgramLangIdOf(docs)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (Some("aa"), "aa") -> 2L,
+      (Some("zz"), "zz") -> 2L,
+      (None, "zz") -> 1L))
+  }
+
   test("keyness: a NULL-source group survives the per-source total join") {
     import spark.implicits._
     // groupBy puts NULL sources in their own group; a plain equality

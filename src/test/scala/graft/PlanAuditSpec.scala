@@ -77,6 +77,37 @@ class PlanAuditSpec extends SparkSpec {
       s"langScript reads more than (doc_id, text):\n$plan")
   }
 
+  test("scriptMixture: one scan, one keyed aggregate, no joins") {
+    val plan = physical(graft.operators.TextAnalysis.scriptMixture(spark, sfDir))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+    assert(!plan.contains("Join"), s"script mixture grew a join:\n$plan")
+    // exactly the aggregate's exchange — ppm/verdict fold row-locally
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"more than the one aggregate shuffle:\n$plan")
+  }
+
+  test("affixCensus: corpus scanned once (materialized), affix joins keep partial aggregates") {
+    val plan = physical(graft.operators.TextAnalysis.affixCensus(spark, sfDir))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"affix census re-scans the corpus past the materialize:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"affix aggregates lost their partial side:\n$plan")
+  }
+
+  test("charNgramLangId: one corpus scan, profiles broadcast back") {
+    val plan = physical(graft.operators.TextAnalysis.charNgramLangId(spark, sfDir))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"char-LM re-scans the corpus past the materialize:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"profile join degraded to a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"profile join sort-merges the corpus side:\n$plan")
+  }
+
   test("keyness: totals ride broadcasts, no corpus-sized join") {
     val plan = physical(graft.operators.TextAnalysis.keyness(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") ||
