@@ -1106,6 +1106,60 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |JOIN pg ON b.pref IS NOT DISTINCT FROM pg.pref
        |JOIN sg ON b.suff IS NOT DISTINCT FROM sg.suff""".stripMargin
 
+  /** q_affix_strip: the apply-form of q_affix_census — deterministic
+    * prefix-then-suffix strip, cleaned text hash-checked. */
+  def affixStrip(k: Int = 32, minDocs: Long = 2L): String =
+    s"""WITH b AS (SELECT doc_id, text, substr(text, 1, $k) AS pref,
+       |   substr(text, greatest(length(text) - ${k - 1}, 1)) AS suff
+       |  FROM documents),
+       | pg AS (SELECT pref, count(*) AS np FROM b GROUP BY 1),
+       | sg AS (SELECT suff, count(*) AS ns FROM b GROUP BY 1),
+       | j AS (SELECT b.doc_id, b.text,
+       |   pg.np >= $minDocs AND length(b.text) >= $k AS pref_stripped,
+       |   sg.ns AS ns
+       |  FROM b
+       |  JOIN pg ON b.pref IS NOT DISTINCT FROM pg.pref
+       |  JOIN sg ON b.suff IS NOT DISTINCT FROM sg.suff),
+       | s2 AS (SELECT doc_id, pref_stripped, ns,
+       |   CASE WHEN pref_stripped THEN substr(text, ${k + 1})
+       |        ELSE text END AS t2
+       |  FROM j),
+       | s3 AS (SELECT doc_id, pref_stripped,
+       |   ns >= $minDocs AND length(t2) >= $k AS suff_stripped, t2
+       |  FROM s2)
+       |SELECT doc_id, pref_stripped, suff_stripped,
+       | CASE WHEN suff_stripped THEN substr(t2, 1, length(t2) - $k)
+       |      ELSE t2 END AS clean_text,
+       | length(CASE WHEN suff_stripped THEN substr(t2, 1, length(t2) - $k)
+       |      ELSE t2 END) AS clean_len
+       |FROM s3""".stripMargin
+
+  /** q_char_lm_eval: held-out (even-train / odd-eval) accuracy of the
+    * char-trigram classifier — exact integer counts + ppm ratio. */
+  def charNgramLangIdEval(): String =
+    """WITH tris AS (SELECT doc_id, lang, tri FROM (SELECT doc_id, lang,
+      |   unnest(list_transform(range(1, greatest(length(text) - 1, 2)),
+      |     i -> text[i:i+2])) AS tri
+      |  FROM documents) WHERE length(tri) = 3),
+      | dt AS (SELECT doc_id, lang, tri, count(*) AS c
+      |  FROM tris GROUP BY 1, 2, 3),
+      | prof AS (SELECT lang AS plang, tri, sum(c) AS pc
+      |  FROM dt WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1, 2),
+      | scored AS (SELECT dt.doc_id, dt.lang, prof.plang,
+      |   sum(CAST(dt.c AS HUGEINT) * CAST(prof.pc AS HUGEINT)) AS score
+      |  FROM dt JOIN prof USING (tri) WHERE dt.doc_id % 2 = 1
+      |  GROUP BY 1, 2, 3),
+      | top AS (SELECT * FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+      |   FROM scored) WHERE rn = 1)
+      |SELECT lang, count(*) AS n_eval,
+      | CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_correct,
+      | CASE WHEN count(*) > 0 THEN
+      |   CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
+      |     AS BIGINT) * 1000000 // count(*) END AS acc_ppm
+      |FROM top GROUP BY 1""".stripMargin
+
   /** q_char_lm: supervised char-trigram language classifier —
     * profiles from labeled docs only, exact HUGEINT inner-product
     * scores mirroring Spark's DECIMAL(38,0), (score DESC, lang ASC)

@@ -180,7 +180,9 @@ object SparkEntry {
     "q_lang_script" -> ((s, d) => TextAnalysis.langScript(s, d)),
     "q_script_mixture" -> ((s, d) => TextAnalysis.scriptMixture(s, d)),
     "q_affix_census" -> ((s, d) => TextAnalysis.affixCensus(s, d)),
+    "q_affix_strip" -> ((s, d) => TextAnalysis.affixStrip(s, d)),
     "q_char_lm" -> ((s, d) => TextAnalysis.charNgramLangId(s, d)),
+    "q_char_lm_eval" -> ((s, d) => TextAnalysis.charNgramLangIdEval(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1350,7 +1352,9 @@ object SparkEntry {
     "q_lang_script" -> OracleSql.langScript(),
     "q_script_mixture" -> OracleSql.scriptMixture(),
     "q_affix_census" -> OracleSql.affixCensus(),
+    "q_affix_strip" -> OracleSql.affixStrip(),
     "q_char_lm" -> OracleSql.charNgramLangId(),
+    "q_char_lm_eval" -> OracleSql.charNgramLangIdEval(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -163,6 +163,90 @@ object TextAnalysis {
         (col("suffix_dup_docs") >= 2L).as("is_suffix_dup"))
   }
 
+  /** APPLY-form of [[affixCensus]] — the C4-style boilerplate strip
+    * at affix grain (the [[boilerplateStrip]] precedent): a document
+    * whose first `k` chars are shared by ≥ `minDocs` documents loses
+    * that prefix; then, if its REMAINING text still carries a shared
+    * suffix and is long enough to hold it, the suffix goes too
+    * (ordered prefix-then-suffix so the two strips can't overlap on
+    * short docs — the rule is stated, deterministic, and mirrored
+    * verbatim in the oracle). Cleaned text rides the row, so the
+    * oracle hash-checks the ACTUAL strings a downstream pipeline
+    * would train on, not just the flags. Same shape as the census:
+    * materialized affix pass, two dictionary-scale aggregates,
+    * null-safe joins. */
+  def affixStrip(spark: SparkSession, dir: String, k: Int = 32,
+                 minDocs: Long = 2L): DataFrame =
+    affixStripOf(Tables.documents(spark, dir), k, minDocs)
+
+  def affixStripOf(docs: DataFrame, k: Int = 32, minDocs: Long = 2L): DataFrame = {
+    val base = graft.plans.Materialize(docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, k).as("pref"),
+      expr(s"substr(text, greatest(length(text) - ${k - 1}, 1))").as("suff")))
+    val pg = base.groupBy(col("pref")).agg(count(lit(1)).as("np"))
+      .withColumnRenamed("pref", "pg_pref")
+    val sg = base.groupBy(col("suff")).agg(count(lit(1)).as("ns"))
+      .withColumnRenamed("suff", "sg_suff")
+    base
+      .join(pg, col("pref") <=> col("pg_pref"))
+      .join(sg, col("suff") <=> col("sg_suff"))
+      .withColumn("pref_stripped",
+        col("np") >= minDocs && length(col("text")) >= k)
+      .withColumn("t2",
+        when(col("pref_stripped"), expr(s"substr(text, ${k + 1})"))
+          .otherwise(col("text")))
+      .withColumn("suff_stripped",
+        col("ns") >= minDocs && length(col("t2")) >= k)
+      .withColumn("clean_text",
+        when(col("suff_stripped"),
+          expr(s"substr(t2, 1, length(t2) - $k)")).otherwise(col("t2")))
+      .select(col("doc_id"), col("pref_stripped"), col("suff_stripped"),
+        col("clean_text"), length(col("clean_text")).as("clean_len"))
+  }
+
+  /** HOLDOUT evaluation of the char-trigram classifier — the
+    * generalization gauge [[charNgramLangId]]'s in-corpus fit can't
+    * give: profiles train on EVEN doc_ids only, the odd half scores
+    * against them, and the panel reports per-language held-out
+    * accuracy as exact integers + a ppm ratio (⌊correct·10⁶ DIV
+    * evaluated⌋). Docs whose trigrams miss every profile (or that are
+    * too short to have any) simply don't score — n_eval counts SCORED
+    * docs, the denominator a pipeline actually gates on. Same
+    * one-scan materialized shape as the fit panel. */
+  def charNgramLangIdEval(spark: SparkSession, dir: String): DataFrame =
+    charNgramLangIdEvalOf(Tables.documents(spark, dir))
+
+  def charNgramLangIdEvalOf(docs: DataFrame): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val tris = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as("tri"))
+      .filter(length(col("tri")) === 3)
+    val dt = graft.plans.Materialize(
+      tris.groupBy(col("doc_id"), col("lang"), col("tri"))
+        .agg(count(lit(1)).as("c")))
+    val prof = dt.filter(col("lang").isNotNull && col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum(col("c")).as("pc"))
+    val scored = dt.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(prof), Seq("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(expr(s"CAST(c AS $d38) * CAST(pc AS $d38)")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("plang") <=> col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm",
+        when(col("n_eval") > 0L,
+          expr("CAST((n_correct * 1000000) DIV n_eval AS BIGINT)")))
+  }
+
   /** Supervised CHAR-TRIGRAM language classifier — the third lang-ID
     * leg (stopword census [[langIdConfusion]] for Latin languages,
     * script census [[langScript]] for script families, THIS for

@@ -1121,6 +1121,62 @@ class OperatorSpec extends SparkSpec {
       (None, "zz") -> 1L))
   }
 
+  test("affixStrip: shared affixes strip deterministically, short and NULL docs survive unharmed") {
+    import spark.implicits._
+    val h = "H" * 40
+    val f = "F" * 40
+    val docs = Seq(
+      (1L, Option(h + "body one " + f)),
+      (2L, Option(h + "body two longer than one " + f)),
+      (3L, Option("totally unique document text here")),
+      (4L, Option(h.take(20))),          // shares no 32-prefix (len 20)
+      (5L, Option.empty[String]),
+      (6L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.affixStripOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Boolean]("pref_stripped")).map(_.booleanValue),
+          Option(r.getAs[java.lang.Boolean]("suff_stripped")).map(_.booleanValue),
+          Option(r.getAs[String]("clean_text"))))).toMap
+    // docs 1/2 share first and last 32 chars: both affixes strip —
+    // prefix first, then the suffix off the remainder
+    val w1 = h.drop(32) + "body one " + f
+    assert(got(1L) == ((Some(true), Some(true),
+      Some(w1.dropRight(32)))), got(1L))
+    val w2 = h.drop(32) + "body two longer than one " + f
+    assert(got(2L) == ((Some(true), Some(true), Some(w2.dropRight(32)))))
+    assert(got(3L) == ((Some(false), Some(false),
+      Some("totally unique document text here"))))
+    // len < k: never stripped even if its (whole-text) prefix matched
+    assert(got(4L) == ((Some(false), Some(false), Some(h.take(20)))))
+    // NULL text: the NULL-affix group has 2 members, so np >= 2 is
+    // true and length(NULL) >= k is NULL → NULL flags (identically in
+    // both engines' three-valued logic), NULL clean text — never an
+    // empty string
+    assert(got(5L) == ((None, None, None)))
+    assert(got(6L) == ((None, None, None)))
+  }
+
+  test("charNgramLangIdEval: even docs train, odd docs score held-out accuracy") {
+    import spark.implicits._
+    val aaText = "aaaa aaab aaba abaa"
+    val zzText = "zzzz zzyz zyzz yzzz"
+    val docs = Seq(
+      (0L, "aa", aaText), (2L, "aa", aaText),   // aa train
+      (4L, "zz", zzText), (6L, "zz", zzText),   // zz train
+      (1L, "aa", aaText),                        // eval: correct
+      (5L, "aa", aaText),                        // eval: correct
+      (3L, "zz", aaText)                         // eval: mislabeled → wrong
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis.charNgramLangIdEvalOf(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[java.lang.Long]("acc_ppm").toLong)))
+      .toMap
+    assert(got == Map(
+      "aa" -> ((2L, 2L, 1000000L)),
+      "zz" -> ((1L, 0L, 0L))))
+  }
+
   test("keyness: a NULL-source group survives the per-source total join") {
     import spark.implicits._
     // groupBy puts NULL sources in their own group; a plain equality
