@@ -102,15 +102,26 @@ object TextAnalysis {
   def scriptMixture(spark: SparkSession, dir: String): DataFrame =
     scriptMixtureOf(Tables.documents(spark, dir))
 
-  def scriptMixtureOf(docs: DataFrame): DataFrame = {
-    val counted = docs.select(
+  def scriptMixtureOf(docs: DataFrame): DataFrame =
+    scriptMixtureFinish(scriptMassOf(docs))
+
+  /** The per-source script-mass aggregate (source, n_docs, n_<script>…)
+    * — the MERGEABLE half of [[scriptMixtureOf]] (sums re-aggregate
+    * across batches), shared with the incremental gauge. */
+  private def scriptMassOf(docs: DataFrame): DataFrame =
+    docs.select(
       Seq(col("source")) ++ ScriptRanges.map { case (n, p) =>
         regexp_count(col("text"), lit(p)).cast("bigint").as(s"c_$n")
       }: _*)
-    val agg = counted.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      ScriptRanges.map { case (n, _) =>
-        sum(coalesce(col(s"c_$n"), lit(0L))).as(s"n_$n") }: _*)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        ScriptRanges.map { case (n, _) =>
+          sum(coalesce(col(s"c_$n"), lit(0L))).as(s"n_$n") }: _*)
+
+  /** Totals / dominant-script argmax / ppm shares over an aggregated
+    * (source, n_docs, n_<script>…) frame — row-local, so batch and
+    * incremental callers share one spelling of the verdict. */
+  private def scriptMixtureFinish(agg: DataFrame): DataFrame = {
     val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
     val chain = ScriptRanges.tail.foldLeft(
       when(col(s"n_${ScriptRanges.head._1}") === col("n_script_max"),
@@ -127,6 +138,30 @@ object TextAnalysis {
         when(col("n_script_total") > 0L,
           expr(s"CAST((n_$n * 1000000) DIV n_script_total AS BIGINT)")))
     }
+  }
+
+  /** LIVE corpus-composition gauge — the incremental-store twin of
+    * [[scriptMixture]] (the novelty/keep-set/census discipline): each
+    * micro-batch lands its per-source script-mass aggregate (a
+    * #sources-row frame, NOT documents) via the idempotent
+    * `batch=<id>` store, then the cumulative mixture re-aggregates
+    * own + STRICTLY-EARLIER batches and applies the shared verdict
+    * finish. Fed the corpus in batches, the final gauge equals the
+    * batch panel exactly (sums are mergeable by construction);
+    * replaying the latest batch overwrites its own dir — identical
+    * rows (spec-pinned). Store growth: #sources × #batches tiny
+    * rows, and the probe reads aggregates, never text. */
+  def scriptMixtureIncrementalBatch(batch: DataFrame, dir: String,
+                                    batchId: Long): DataFrame = {
+    val (own, dirs) = graft.sources.Incremental.landBatch(
+      scriptMassOf(batch), dir, batchId)
+    val all = own.unionAll(
+      graft.sources.Incremental.earlierBatches(own, dirs, batchId))
+    scriptMixtureFinish(
+      all.groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        ScriptRanges.map { case (n, _) =>
+          sum(col(s"n_$n")).as(s"n_$n") }: _*))
   }
 
   /** Cross-document AFFIX census — boilerplate detection at its

@@ -1500,6 +1500,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("live script-mixture gauge: incremental batches re-aggregate to the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      Option(r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_script_total"),
+          r.getAs[String]("script"),
+          Option(r.getAs[java.lang.Long]("latin_ppm")).map(_.toLong)))
+    val want = graft.operators.TextAnalysis.scriptMixture(spark, sfDir)
+      .collect().map(key).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-script-store-").toString
+    val input = MemoryStream[(Long, String, String)]
+    @volatile var latest: Map[Option[String], (Long, Long, String, Option[Long])] = Map.empty
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        latest = graft.operators.TextAnalysis
+          .scriptMixtureIncrementalBatch(batch, dir, id)
+          .collect().map(key).toMap
+        ()
+      }.start()
+    var lastChunk: Seq[(Long, String, String)] = Nil
+    var nBatches = 0L
+    try {
+      val rows = Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      rows.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        lastChunk = chunk.toSeq; nBatches += 1
+      }
+      assert(latest == want,
+        s"gauge diverged: ${(want.toSet -- latest.toSet).take(2)} vs " +
+          s"${(latest.toSet -- want.toSet).take(2)}")
+    } finally q.stop()
+    // replay of the latest batch: own-dir overwrite, identical rows
+    val replay = graft.operators.TextAnalysis.scriptMixtureIncrementalBatch(
+      lastChunk.toDF("doc_id", "source", "text"), dir, nBatches - 1)
+      .collect().map(key).toMap
+    assert(replay == want, "replay diverged from the batch panel")
+  }
+
   test("bucketed novelty store: identical scores to the plain store, probe plans only touched buckets") {
     val s = spark
     import s.implicits._
