@@ -1072,9 +1072,11 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
     val caseChain = rs.map { case (n, _) =>
       s"WHEN n_$n = n_script_max THEN '$n'"
     }.mkString("\n      ")
+    // HUGEINT product: per-source script masses at scale overflow an
+    // int64 × 10⁶ (the Spark side computes in DECIMAL(38,0))
     val ppms = rs.map { case (n, _) =>
-      s"CASE WHEN n_script_total > 0 THEN n_$n * 1000000 // n_script_total" +
-        s" END AS ${n}_ppm"
+      s"CASE WHEN n_script_total > 0 THEN CAST(CAST(n_$n AS HUGEINT)" +
+        s" * 1000000 // n_script_total AS BIGINT) END AS ${n}_ppm"
     }.mkString(",\n ")
     s"""WITH s AS (SELECT source,
        |  $counts
@@ -1094,26 +1096,28 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
   /** q_affix_census: cross-document shared prefix/suffix counts —
     * NULL-SAFE affix joins (a NULL-text doc is its own group). */
   def affixCensus(k: Int = 32): String =
-    s"""WITH b AS (SELECT doc_id, substr(text, 1, $k) AS pref,
-       |   substr(text, greatest(length(text) - ${k - 1}, 1)) AS suff
-       |  FROM documents),
-       | pg AS (SELECT pref, count(*) AS prefix_dup_docs FROM b GROUP BY 1),
-       | sg AS (SELECT suff, count(*) AS suffix_dup_docs FROM b GROUP BY 1)
-       |SELECT b.doc_id, pg.prefix_dup_docs, sg.suffix_dup_docs,
-       | pg.prefix_dup_docs >= 2 AS is_prefix_dup,
-       | sg.suffix_dup_docs >= 2 AS is_suffix_dup
-       |FROM b
-       |JOIN pg ON b.pref IS NOT DISTINCT FROM pg.pref
-       |JOIN sg ON b.suff IS NOT DISTINCT FROM sg.suff""".stripMargin
+    affixCtes(k) + """
+SELECT b.doc_id, pg.np AS prefix_dup_docs, sg.ns AS suffix_dup_docs,
+ pg.np >= 2 AS is_prefix_dup,
+ sg.ns >= 2 AS is_suffix_dup
+FROM b
+JOIN pg ON b.pref IS NOT DISTINCT FROM pg.pref
+JOIN sg ON b.suff IS NOT DISTINCT FROM sg.suff"""
 
-  /** q_affix_strip: the apply-form of q_affix_census — deterministic
-    * prefix-then-suffix strip, cleaned text hash-checked. */
-  def affixStrip(k: Int = 32, minDocs: Long = 2L): String =
+  /** The shared affix CTE chain (mirror of TextAnalysis.affixBase):
+    * (doc_id, pref, suff) + the two affix aggregates — ONE spelling
+    * behind the census and the strip. */
+  private def affixCtes(k: Int): String =
     s"""WITH b AS (SELECT doc_id, text, substr(text, 1, $k) AS pref,
        |   substr(text, greatest(length(text) - ${k - 1}, 1)) AS suff
        |  FROM documents),
        | pg AS (SELECT pref, count(*) AS np FROM b GROUP BY 1),
-       | sg AS (SELECT suff, count(*) AS ns FROM b GROUP BY 1),
+       | sg AS (SELECT suff, count(*) AS ns FROM b GROUP BY 1)""".stripMargin
+
+  /** q_affix_strip: the apply-form of q_affix_census — deterministic
+    * prefix-then-suffix strip, cleaned text hash-checked. */
+  def affixStrip(k: Int = 32, minDocs: Long = 2L): String =
+    affixCtes(k) + s""",
        | j AS (SELECT b.doc_id, b.text,
        |   pg.np >= $minDocs AND length(b.text) >= $k AS pref_stripped,
        |   sg.ns AS ns
@@ -1135,52 +1139,51 @@ FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
        |FROM s3""".stripMargin
 
   /** q_char_lm_eval: held-out (even-train / odd-eval) accuracy of the
-    * char-trigram classifier — exact integer counts + ppm ratio. */
+    * char-trigram classifier — exact integer counts + ppm ratio,
+    * generated off the SAME CTE chain as q_char_lm. */
   def charNgramLangIdEval(): String =
-    """WITH tris AS (SELECT doc_id, lang, tri FROM (SELECT doc_id, lang,
-      |   unnest(list_transform(range(1, greatest(length(text) - 1, 2)),
-      |     i -> text[i:i+2])) AS tri
-      |  FROM documents) WHERE length(tri) = 3),
-      | dt AS (SELECT doc_id, lang, tri, count(*) AS c
-      |  FROM tris GROUP BY 1, 2, 3),
-      | prof AS (SELECT lang AS plang, tri, sum(c) AS pc
-      |  FROM dt WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1, 2),
-      | scored AS (SELECT dt.doc_id, dt.lang, prof.plang,
-      |   sum(CAST(dt.c AS HUGEINT) * CAST(prof.pc AS HUGEINT)) AS score
-      |  FROM dt JOIN prof USING (tri) WHERE dt.doc_id % 2 = 1
-      |  GROUP BY 1, 2, 3),
-      | top AS (SELECT * FROM (SELECT *, row_number() OVER
-      |    (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
-      |   FROM scored) WHERE rn = 1)
-      |SELECT lang, count(*) AS n_eval,
-      | CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
-      |   AS BIGINT) AS n_correct,
-      | CASE WHEN count(*) > 0 THEN
-      |   CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
-      |     AS BIGINT) * 1000000 // count(*) END AS acc_ppm
-      |FROM top GROUP BY 1""".stripMargin
+    charLmTopCtes(
+      trainWhere = "lang IS NOT NULL AND doc_id % 2 = 0",
+      scoreWhere = "dt.doc_id % 2 = 1") + """
+SELECT lang, count(*) AS n_eval,
+ CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
+   AS BIGINT) AS n_correct,
+ CASE WHEN count(*) > 0 THEN
+   CAST(sum(CASE WHEN plang IS NOT DISTINCT FROM lang THEN 1 ELSE 0 END)
+     AS BIGINT) * 1000000 // count(*) END AS acc_ppm
+FROM top GROUP BY 1"""
+
+  /** The shared char-trigram classifier CTE chain (mirror of
+    * TextAnalysis.charLmTop): trigram explode → (doc, lang, tri)
+    * counts → profiles from `trainWhere` rows → HUGEINT inner-product
+    * scores of `scoreWhere` rows → per-doc argmax in `top`. ONE
+    * spelling behind both panels, so the boundary formulas and
+    * tie-break can't drift between the fit and eval rows. */
+  private def charLmTopCtes(trainWhere: String, scoreWhere: String): String =
+    s"""WITH tris AS (SELECT doc_id, lang, tri FROM (SELECT doc_id, lang,
+       |   unnest(list_transform(range(1, greatest(length(text) - 1, 2)),
+       |     i -> text[i:i+2])) AS tri
+       |  FROM documents) WHERE length(tri) = 3),
+       | dt AS (SELECT doc_id, lang, tri, count(*) AS c
+       |  FROM tris GROUP BY 1, 2, 3),
+       | prof AS (SELECT lang AS plang, tri, sum(c) AS pc
+       |  FROM dt WHERE $trainWhere GROUP BY 1, 2),
+       | scored AS (SELECT dt.doc_id, dt.lang, prof.plang,
+       |   sum(CAST(dt.c AS HUGEINT) * CAST(prof.pc AS HUGEINT)) AS score
+       |  FROM dt JOIN prof USING (tri) WHERE $scoreWhere
+       |  GROUP BY 1, 2, 3),
+       | top AS (SELECT * FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+       |   FROM scored) WHERE rn = 1)""".stripMargin
 
   /** q_char_lm: supervised char-trigram language classifier —
     * profiles from labeled docs only, exact HUGEINT inner-product
     * scores mirroring Spark's DECIMAL(38,0), (score DESC, lang ASC)
     * argmax, confusion-matrix rollup. */
   def charNgramLangId(): String =
-    """WITH tris AS (SELECT doc_id, lang, tri FROM (SELECT doc_id, lang,
-      |   unnest(list_transform(range(1, greatest(length(text) - 1, 2)),
-      |     i -> text[i:i+2])) AS tri
-      |  FROM documents) WHERE length(tri) = 3),
-      | dt AS (SELECT doc_id, lang, tri, count(*) AS c
-      |  FROM tris GROUP BY 1, 2, 3),
-      | prof AS (SELECT lang AS plang, tri, sum(c) AS pc
-      |  FROM dt WHERE lang IS NOT NULL GROUP BY 1, 2),
-      | scored AS (SELECT dt.doc_id, dt.lang, prof.plang,
-      |   sum(CAST(dt.c AS HUGEINT) * CAST(prof.pc AS HUGEINT)) AS score
-      |  FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
-      | top AS (SELECT * FROM (SELECT *, row_number() OVER
-      |    (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
-      |   FROM scored) WHERE rn = 1)
-      |SELECT lang, plang AS pred_lang, count(*) AS n
-      |FROM top GROUP BY 1, 2""".stripMargin
+    charLmTopCtes(trainWhere = "lang IS NOT NULL", scoreWhere = "TRUE") + """
+SELECT lang, plang AS pred_lang, count(*) AS n
+FROM top GROUP BY 1, 2"""
 
   /** q_keyness: per-source distinctive terms by Laplace-smoothed
     * relative risk, ranked by the EXACT fixed-point ppm quotient —

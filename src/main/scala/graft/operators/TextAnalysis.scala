@@ -60,19 +60,32 @@ object TextAnalysis {
     langScriptOf(Tables.documents(spark, dir))
 
   /** [[langScript]] over a prepared (doc_id, text) frame. */
-  def langScriptOf(docs: DataFrame): DataFrame = {
-    val counted = docs.select(
-      Seq(col("doc_id"), col("text")) ++ ScriptRanges.map { case (n, p) =>
-        regexp_count(col("text"), lit(p)).cast("bigint").as(s"n_$n")
-      }: _*)
-    val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
-    val chain = ScriptRanges.tail.foldLeft(
+  /** The catalog-preference argmax chain over n_<script> columns —
+    * ONE spelling of the tie-break, shared by the doc-grain
+    * ([[langScriptOf]]) and source-grain ([[scriptMixtureFinish]])
+    * verdicts so the preference can never drift between grains. */
+  private def scriptArgmaxChain: Column =
+    ScriptRanges.tail.foldLeft(
       when(col(s"n_${ScriptRanges.head._1}") === col("n_script_max"),
         lit(ScriptRanges.head._1))) {
       case (acc, (n, _)) => acc.when(col(s"n_$n") === col("n_script_max"), lit(n))
     }
-    counted
-      .withColumn("n_script_total", cnts.reduce(_ + _))
+
+  /** Exact ppm share ⌊num·10⁶ DIV n_script_total⌋ — DECIMAL(38,0)
+    * product (the keyness discipline: per-SOURCE script masses at
+    * 100 TB overflow an int64 product; the oracle mirrors in
+    * HUGEINT), BIGINT result, NULL-guarded through a lazy CaseWhen. */
+  private def scriptPpm(num: String): Column =
+    when(col("n_script_total") > 0L,
+      expr(s"CAST((CAST($num AS DECIMAL(38,0)) * 1000000) DIV " +
+        s"CAST(n_script_total AS DECIMAL(38,0)) AS BIGINT)"))
+
+  /** Totals + dominant-script verdict over a frame carrying the nine
+    * n_<script> columns — row-local; 'unknown' when the letter mass
+    * is zero OR NULL (NULL text), identically in both engines. */
+  private def withScriptVerdict(df: DataFrame): DataFrame = {
+    val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    df.withColumn("n_script_total", cnts.reduce(_ + _))
       .withColumn("n_script_max", greatest(cnts: _*))
       .withColumn("script",
         // coalesce: NULL text yields NULL counts — a letterless doc
@@ -80,10 +93,16 @@ object TextAnalysis {
         // oracle mirrors the coalesce; without it DuckDB's final CASE
         // would fall through NULL conditions to ELSE 'fr')
         when(coalesce(col("n_script_total"), lit(0L)) === 0L, lit("unknown"))
-          .otherwise(chain))
-      .withColumn("script_ppm",
-        when(col("n_script_total") > 0L,
-          expr("CAST((n_script_max * 1000000) DIV n_script_total AS BIGINT)")))
+          .otherwise(scriptArgmaxChain))
+  }
+
+  def langScriptOf(docs: DataFrame): DataFrame = {
+    val counted = docs.select(
+      Seq(col("doc_id"), col("text")) ++ ScriptRanges.map { case (n, p) =>
+        regexp_count(col("text"), lit(p)).cast("bigint").as(s"n_$n")
+      }: _*)
+    withScriptVerdict(counted)
+      .withColumn("script_ppm", scriptPpm("n_script_max"))
       .withColumn("lang_verdict",
         when(col("script") === "latin", T.langGuess(col("text")))
           .otherwise(col("script")))
@@ -120,25 +139,13 @@ object TextAnalysis {
 
   /** Totals / dominant-script argmax / ppm shares over an aggregated
     * (source, n_docs, n_<script>…) frame — row-local, so batch and
-    * incremental callers share one spelling of the verdict. */
-  private def scriptMixtureFinish(agg: DataFrame): DataFrame = {
-    val cnts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
-    val chain = ScriptRanges.tail.foldLeft(
-      when(col(s"n_${ScriptRanges.head._1}") === col("n_script_max"),
-        lit(ScriptRanges.head._1))) {
-      case (acc, (n, _)) => acc.when(col(s"n_$n") === col("n_script_max"), lit(n))
+    * incremental callers share one spelling of the verdict (and the
+    * verdict itself is [[withScriptVerdict]], shared with the
+    * doc-grain panel). */
+  private def scriptMixtureFinish(agg: DataFrame): DataFrame =
+    ScriptRanges.foldLeft(withScriptVerdict(agg)) { case (df, (n, _)) =>
+      df.withColumn(s"${n}_ppm", scriptPpm(s"n_$n"))
     }
-    val withTot = agg
-      .withColumn("n_script_total", cnts.reduce(_ + _))
-      .withColumn("n_script_max", greatest(cnts: _*))
-      .withColumn("script",
-        when(col("n_script_total") === 0L, lit("unknown")).otherwise(chain))
-    ScriptRanges.foldLeft(withTot) { case (df, (n, _)) =>
-      df.withColumn(s"${n}_ppm",
-        when(col("n_script_total") > 0L,
-          expr(s"CAST((n_$n * 1000000) DIV n_script_total AS BIGINT)")))
-    }
-  }
 
   /** LIVE corpus-composition gauge — the incremental-store twin of
     * [[scriptMixture]] (the novelty/keep-set/census discipline): each
@@ -178,24 +185,38 @@ object TextAnalysis {
   def affixCensus(spark: SparkSession, dir: String, k: Int = 32): DataFrame =
     affixCensusOf(Tables.documents(spark, dir), k)
 
-  def affixCensusOf(docs: DataFrame, k: Int = 32): DataFrame = {
-    // MATERIALIZED: three consumers (row side + both affix aggregates)
-    // would each re-scan the corpus text otherwise — the perSourceWord
-    // discipline; the checkpointed frame is (doc_id, 2·k chars), a
-    // fraction of the text it derives from
+  /** The k-char affix columns — ONE spelling shared by the census,
+    * the strip, and the oracle generator's mirror of them. */
+  private def prefCol(k: Int): Column = substring(col("text"), 1, k)
+  private def suffCol(k: Int): Column =
+    expr(s"substr(text, greatest(length(text) - ${k - 1}, 1))")
+
+  /** The materialized (doc_id, pref, suff) frame and its two affix
+    * aggregates — shared by [[affixCensusOf]] and [[affixStripOf]].
+    * MATERIALIZED because multiple consumers would each re-scan the
+    * corpus text otherwise (the perSourceWord discipline); the
+    * checkpointed frame is (doc_id, 2·k chars), a fraction of the
+    * text it derives from. */
+  private def affixBase(docs: DataFrame, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = graft.plans.Materialize(docs.select(col("doc_id"),
-      substring(col("text"), 1, k).as("pref"),
-      expr(s"substr(text, greatest(length(text) - ${k - 1}, 1))").as("suff")))
-    val pg = base.groupBy(col("pref")).agg(count(lit(1)).as("prefix_dup_docs"))
+      prefCol(k).as("pref"), suffCol(k).as("suff")))
+    val pg = base.groupBy(col("pref")).agg(count(lit(1)).as("np"))
       .withColumnRenamed("pref", "pg_pref")
-    val sg = base.groupBy(col("suff")).agg(count(lit(1)).as("suffix_dup_docs"))
+    val sg = base.groupBy(col("suff")).agg(count(lit(1)).as("ns"))
       .withColumnRenamed("suff", "sg_suff")
+    (base, pg, sg)
+  }
+
+  def affixCensusOf(docs: DataFrame, k: Int = 32): DataFrame = {
+    val (base, pg, sg) = affixBase(docs, k)
     base
       .join(pg, col("pref") <=> col("pg_pref"))
       .join(sg, col("suff") <=> col("sg_suff"))
-      .select(col("doc_id"), col("prefix_dup_docs"), col("suffix_dup_docs"),
-        (col("prefix_dup_docs") >= 2L).as("is_prefix_dup"),
-        (col("suffix_dup_docs") >= 2L).as("is_suffix_dup"))
+      .select(col("doc_id"), col("np").as("prefix_dup_docs"),
+        col("ns").as("suffix_dup_docs"),
+        (col("np") >= 2L).as("is_prefix_dup"),
+        (col("ns") >= 2L).as("is_suffix_dup"))
   }
 
   /** APPLY-form of [[affixCensus]] — the C4-style boilerplate strip
@@ -215,23 +236,27 @@ object TextAnalysis {
     affixStripOf(Tables.documents(spark, dir), k, minDocs)
 
   def affixStripOf(docs: DataFrame, k: Int = 32, minDocs: Long = 2L): DataFrame = {
-    val base = graft.plans.Materialize(docs.select(col("doc_id"), col("text"),
-      substring(col("text"), 1, k).as("pref"),
-      expr(s"substr(text, greatest(length(text) - ${k - 1}, 1))").as("suff")))
-    val pg = base.groupBy(col("pref")).agg(count(lit(1)).as("np"))
-      .withColumnRenamed("pref", "pg_pref")
-    val sg = base.groupBy(col("suff")).agg(count(lit(1)).as("ns"))
-      .withColumnRenamed("suff", "sg_suff")
-    base
-      .join(pg, col("pref") <=> col("pg_pref"))
-      .join(sg, col("suff") <=> col("sg_suff"))
+    // the affix DICTIONARIES come from the small materialized base;
+    // the corpus text itself is NEVER checkpointed — the strip side
+    // re-scans documents once, recomputes its affixes row-locally and
+    // left-joins the (filtered, >= minDocs) shared-affix sets. A
+    // filtered dict entry being ABSENT is exactly "np/ns below the
+    // floor", so isNotNull reproduces the threshold under identical
+    // three-valued logic.
+    val (_, pg, sg) = affixBase(docs, k)
+    docs.select(col("doc_id"), col("text"),
+      prefCol(k).as("pref"), suffCol(k).as("suff"))
+      .join(pg.filter(col("np") >= minDocs),
+        col("pref") <=> col("pg_pref"), "left")
+      .join(sg.filter(col("ns") >= minDocs),
+        col("suff") <=> col("sg_suff"), "left")
       .withColumn("pref_stripped",
-        col("np") >= minDocs && length(col("text")) >= k)
+        col("np").isNotNull && length(col("text")) >= k)
       .withColumn("t2",
         when(col("pref_stripped"), expr(s"substr(text, ${k + 1})"))
           .otherwise(col("text")))
       .withColumn("suff_stripped",
-        col("ns") >= minDocs && length(col("t2")) >= k)
+        col("ns").isNotNull && length(col("t2")) >= k)
       .withColumn("clean_text",
         when(col("suff_stripped"),
           expr(s"substr(t2, 1, length(t2) - $k)")).otherwise(col("t2")))
@@ -251,7 +276,29 @@ object TextAnalysis {
   def charNgramLangIdEval(spark: SparkSession, dir: String): DataFrame =
     charNgramLangIdEvalOf(Tables.documents(spark, dir))
 
-  def charNgramLangIdEvalOf(docs: DataFrame): DataFrame = {
+  def charNgramLangIdEvalOf(docs: DataFrame): DataFrame =
+    charLmTop(docs,
+      trainPred = col("lang").isNotNull && col("doc_id") % 2 === 0,
+      scorePred = col("doc_id") % 2 === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("plang") <=> col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm",
+        when(col("n_eval") > 0L,
+          expr("CAST((n_correct * 1000000) DIV n_eval AS BIGINT)")))
+
+  /** The shared trigram-classifier core — ONE spelling of the
+    * explode/materialize/profile/score/argmax pipeline behind BOTH
+    * panels (fit = train-on-all, eval = even-train/odd-score):
+    * profiles from `trainPred` rows of the materialized (doc, lang,
+    * tri) table, `scorePred` rows argmax-scored against them.
+    * Returns the per-doc winner frame (doc_id, lang, plang).
+    * EXCLUSION RULE (identical in both engines, by construction):
+    * docs with no trigram (shorter than 3 chars) and docs whose
+    * trigrams overlap NO profile produce no winner row — the panels
+    * count SCORED docs, the denominator a gate acts on. */
+  private def charLmTop(docs: DataFrame, trainPred: Column,
+                        scorePred: Column): DataFrame = {
     val d38 = "DECIMAL(38,0)"
     val tris = docs.select(col("doc_id"), col("lang"),
       explode(expr(
@@ -261,10 +308,10 @@ object TextAnalysis {
     val dt = graft.plans.Materialize(
       tris.groupBy(col("doc_id"), col("lang"), col("tri"))
         .agg(count(lit(1)).as("c")))
-    val prof = dt.filter(col("lang").isNotNull && col("doc_id") % 2 === 0)
+    val prof = dt.filter(trainPred)
       .groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("c")).as("pc"))
-    val scored = dt.filter(col("doc_id") % 2 === 1)
+    val scored = dt.filter(scorePred)
       .join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(sum(expr(s"CAST(c AS $d38) * CAST(pc AS $d38)")).as("score"))
@@ -274,20 +321,17 @@ object TextAnalysis {
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("plang") <=> col("lang"), 1L).otherwise(0L)).as("n_correct"))
-      .withColumn("acc_ppm",
-        when(col("n_eval") > 0L,
-          expr("CAST((n_correct * 1000000) DIV n_eval AS BIGINT)")))
+      .select(col("doc_id"), col("lang"), col("plang"))
   }
 
   /** Supervised CHAR-TRIGRAM language classifier — the third lang-ID
     * leg (stopword census [[langIdConfusion]] for Latin languages,
     * script census [[langScript]] for script families, THIS for
     * same-script language pairs a crawl actually confuses): per-lang
-    * trigram profiles train from the corpus's own labels, every doc
-    * scores against every profile by the EXACT integer inner product
+    * trigram profiles train from the corpus's own labels, every SCOREABLE doc
+    * (>= 1 trigram overlapping >= 1 profile; shorter or fully-OOV
+    * docs produce no row, identically in both engines) scores
+    * against every profile by the EXACT integer inner product
     * Σ c_doc(t)·c_lang(t) over DECIMAL(38,0) (bit-identical
     * cross-engine; a tf-idf double would tie-break differently), and
     * the argmax (score DESC, lang ASC) fills the confusion matrix —
@@ -304,32 +348,10 @@ object TextAnalysis {
   def charNgramLangId(spark: SparkSession, dir: String): DataFrame =
     charNgramLangIdOf(Tables.documents(spark, dir))
 
-  def charNgramLangIdOf(docs: DataFrame): DataFrame = {
-    val d38 = "DECIMAL(38,0)"
-    val tris = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> substring(text, i, 3))")).as("tri"))
-      .filter(length(col("tri")) === 3)
-    val dt = graft.plans.Materialize(
-      tris.groupBy(col("doc_id"), col("lang"), col("tri"))
-        .agg(count(lit(1)).as("c")))
-    val prof = dt.filter(col("lang").isNotNull)
-      .groupBy(col("lang").as("plang"), col("tri"))
-      .agg(sum(col("c")).as("pc"))
-    val scored = dt
-      .join(broadcast(prof), Seq("tri"))
-      .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(sum(expr(s"CAST(c AS $d38) * CAST(pc AS $d38)")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("plang").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def charNgramLangIdOf(docs: DataFrame): DataFrame =
+    charLmTop(docs, trainPred = col("lang").isNotNull, scorePred = lit(true))
       .groupBy(col("lang"), col("plang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Per-document quality panel. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =

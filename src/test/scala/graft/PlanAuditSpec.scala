@@ -97,6 +97,17 @@ class PlanAuditSpec extends SparkSpec {
       s"affix aggregates lost their partial side:\n$plan")
   }
 
+  test("affixStrip: text never checkpoints — one strip-side scan, dicts from the small base") {
+    val plan = physical(graft.operators.TextAnalysis.affixStrip(spark, sfDir))
+    // the affix dictionaries read the materialized (doc_id, pref,
+    // suff) frame; the full text rides ONE parquet scan on the strip
+    // side and is never checkpointed (a corpus-sized write at scale)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 strip-side scan, found $scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"affix dicts bypass the materialized base:\n$plan")
+  }
+
   test("charNgramLangId: one corpus scan, profiles broadcast back") {
     val plan = physical(graft.operators.TextAnalysis.charNgramLangId(spark, sfDir))
     val scans = "FileScan parquet".r.findAllIn(plan).length
