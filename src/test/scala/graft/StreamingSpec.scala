@@ -1607,6 +1607,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed chunk-dedup store: identical ratios, chunk-hash buckets prune the probe") {
+    val s = spark
+    import s.implicits._
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-plain-").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-bucketed-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      val df = chunk.toSeq.toDF("doc_id", "text")
+      val plain = graft.operators.TextAnalysis
+        .chunkDedupIncrementalBatch(df, plainDir, id).collect().map(key).toMap
+      val (bp, _) = graft.operators.TextAnalysis
+        .chunkDedupIncrementalBatchBucketed(df, bDir, id, buckets = 256)
+      assert(bp.collect().map(key).toMap == plain,
+        s"batch $id: bucketed chunk ratios diverged")
+    }
+    // a 1-doc batch touches a handful of chunk buckets of 256
+    val tiny = Seq((999902L, docs.head._2))
+    val (tp, planned) = graft.operators.TextAnalysis
+      .chunkDedupIncrementalBatchBucketed(
+        tiny.toDF("doc_id", "text"), bDir, batches.size.toLong, buckets = 256)
+    val tinyBucketed = tp.collect().map(key).toMap
+    val allLeafDirs = batches.indices.map { i =>
+      Option(new java.io.File(s"$bDir/batch=$i").listFiles())
+        .getOrElse(Array()).count(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")) }.sum
+    assert(planned.nonEmpty && planned.size < allLeafDirs / 4,
+      s"chunk probe did not prune: planned ${planned.size} of $allLeafDirs")
+    val tinyPlain = graft.operators.TextAnalysis.chunkDedupIncrementalBatch(
+      tiny.toDF("doc_id", "text"), plainDir, batches.size.toLong)
+      .collect().map(key).toMap
+    assert(tinyBucketed == tinyPlain)
+    // a verbatim copy of doc 0's text: every chunk already committed →
+    // ratio 1.0 through the pruned probe
+    assert(tinyBucketed.values.forall(_._3 == 1.0),
+      s"copied doc not fully dup through pruned probe: $tinyBucketed")
+    // geometry manifest: different window/stride/buckets refuse loudly
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDedupIncrementalBatchBucketed(
+        tiny.toDF("doc_id", "text"), bDir, batches.size.toLong + 1,
+        window = 16, buckets = 256)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDedupIncrementalBatchBucketed(
+        tiny.toDF("doc_id", "text"), bDir, batches.size.toLong + 1,
+        buckets = 64)
+    }
+  }
+
   test("bucketed keep-set store: identical keep decisions, band-key buckets prune the hamming probe") {
     val s = spark
     import s.implicits._
