@@ -2019,4 +2019,111 @@ FROM cf"""
       s" ${ns.mkString(" + ")} AS n_redactions," +
       s" t${PiiPatterns.size} AS redacted FROM r${PiiPatterns.size}"
   }
+
+  /** t = floor(log₂(n/d)) for BIGINT exprs with 1 ≤ d ≤ n: bit
+    * lengths + one shift-compare — the first stage of the half-bit
+    * log mirroring CorpusStats.halfLog2Ratio. */
+  private def hlogT(n: String, d: String): String =
+    s"(length(printf('%b', $n)) - length(printf('%b', $d))" +
+      s" - CASE WHEN $n < (($d) << (length(printf('%b', $n))" +
+      s" - length(printf('%b', $d)))) THEN 1 ELSE 0 END)"
+
+  /** The finished half-bit value 2·t + bit given the precomputed
+    * t column and q = d·2^t column: bit ⟺ n² − q² ≥ q², HUGEINT-exact
+    * (Spark runs the same subtraction form in DECIMAL(38,0)). */
+  private def hlogFinish(n: String, t: String, q: String): String =
+    s"(2*$t + CASE WHEN CAST($n AS HUGEINT)*($n) - CAST($q AS HUGEINT)*($q)" +
+      s" >= CAST($q AS HUGEINT)*($q) THEN 1 ELSE 0 END)"
+
+  /** q_domain_kl: per-source unigram KL divergence from the corpus
+    * mix, mirroring CorpusStats.domainKlOf — half-bit floor-log₂ via
+    * bit length + one exact square comparison (HUGEINT here,
+    * DECIMAL(38,0) on the Spark side), entropy/cross-entropy summed
+    * separately so every `//` floor divides non-negatives, add-one
+    * smoothing against the corpus vocabulary on the cross side. */
+  def domainKl: String =
+    """WITH tk AS MATERIALIZED (SELECT source, unnest(
+      |   regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+      | t2 AS (SELECT source, word FROM tk WHERE word <> ''),
+      | sw AS MATERIALIZED (SELECT source, word, count(*) AS a
+      |   FROM t2 GROUP BY 1, 2),
+      | wc AS (SELECT word, CAST(sum(a) AS BIGINT) AS b FROM sw GROUP BY 1),
+      | tot AS (SELECT CAST(sum(b) AS BIGINT) AS bt, count(*) AS v FROM wc),
+      | j AS (SELECT sw.source, sw.a, wc.b, tot.bt, tot.v,
+      |   CAST(sum(sw.a) OVER (PARTITION BY sw.source) AS BIGINT) AS at
+      |   FROM sw JOIN wc USING (word) CROSS JOIN tot),
+      | s1 AS (SELECT *, T_H AS t_h, T_C AS t_c FROM j),
+      | s2 AS (SELECT *, (a << t_h) AS q_h, ((b + 1) << t_c) AS q_c FROM s1),
+      | s3 AS (SELECT source, a, at, HB_H AS h1, HB_C AS c1 FROM s2),
+      | g AS (SELECT source, max(at) AS n_tokens, count(*) AS vocab_src,
+      |   CAST(sum(a * h1) AS BIGINT) AS h_hb,
+      |   CAST(sum(a * c1) AS BIGINT) AS ce_hb FROM s3 GROUP BY 1)
+      |SELECT source, n_tokens, vocab_src, h_hb, ce_hb,
+      |  ce_hb - h_hb AS kl_hb,
+      |  CASE WHEN n_tokens > 0 THEN CAST((CAST(h_hb AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * 2) AS BIGINT) END AS h_mbit_tok,
+      |  CASE WHEN n_tokens > 0 THEN CAST((CAST(ce_hb AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * 2) AS BIGINT) END AS ce_mbit_tok,
+      |  (CASE WHEN n_tokens > 0 THEN CAST((CAST(ce_hb AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * 2) AS BIGINT) END) -
+      |  (CASE WHEN n_tokens > 0 THEN CAST((CAST(h_hb AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * 2) AS BIGINT) END) AS kl_mbit_tok
+      |FROM g""".stripMargin
+      .replace("T_H", hlogT("at", "a"))
+      .replace("T_C", hlogT("bt + v", "b + 1"))
+      .replace("HB_H", hlogFinish("at", "t_h", "q_h"))
+      .replace("HB_C", hlogFinish("bt + v", "t_c", "q_c"))
+
+  /** q_burstiness: per-word Fano factor over all N documents (zeros
+    * included via the N-and-containing-sums identity), exact ppm in
+    * HUGEINT, mirroring CorpusStats.burstinessOf. */
+  def burstiness(minDf: Long = 5L, k: Int = 50): String =
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      | tk AS MATERIALIZED (SELECT doc_id, unnest(
+      |   regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents),
+      | t2 AS (SELECT doc_id, word FROM tk WHERE word <> ''),
+      | wd AS (SELECT word, doc_id, count(*) AS x FROM t2 GROUP BY 1, 2),
+      | ws AS (SELECT word, CAST(sum(x) AS BIGINT) AS tf,
+      |   CAST(sum(x * x) AS BIGINT) AS sq, count(*) AS df
+      |   FROM wd GROUP BY 1)
+      |SELECT word, tf, df, n_docs,
+      |  CAST(((CAST(n_docs AS HUGEINT) * sq - CAST(tf AS HUGEINT) * tf)
+      |    * 1000000) // (CAST(n_docs AS HUGEINT) * tf) AS BIGINT) AS fano_ppm
+      |FROM ws CROSS JOIN n WHERE df >= $minDf
+      |ORDER BY fano_ppm DESC, word LIMIT $k""".stripMargin
+
+  /** q_zipf_fit: OLS of half-bit log-frequency on half-bit log-rank
+    * over the top-N words, mirroring CorpusStats.zipfFitOf — the
+    * negated slope keeps the floor division non-negative (rank order
+    * makes x and y oppositely sorted), the intercept sign is guarded
+    * identically to the Spark side. */
+  def zipfFit(topN: Int = 100): String =
+    s"""WITH tk AS MATERIALIZED (SELECT unnest(
+      |   regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents),
+      | t2 AS (SELECT word FROM tk WHERE word <> ''),
+      | wc AS (SELECT word, count(*) AS f FROM t2 GROUP BY 1),
+      | top AS (SELECT word, f FROM wc ORDER BY f DESC, word LIMIT $topN),
+      | rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, word)
+      |   AS BIGINT) AS r FROM top),
+      | s1 AS (SELECT *, T_X AS t_x, T_Y AS t_y FROM rk),
+      | s2 AS (SELECT *, (CAST(1 AS BIGINT) << t_x) AS q_x,
+      |   (CAST(1 AS BIGINT) << t_y) AS q_y FROM s1),
+      | xy AS (SELECT HB_X AS x, HB_Y AS y FROM s2),
+      | ag AS (SELECT count(*) AS n_words, CAST(sum(x) AS BIGINT) AS sum_x,
+      |   CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |   CAST(sum(x * x) AS BIGINT) AS sum_xx FROM xy),
+      | d AS (SELECT *, n_words * sum_xx - sum_x * sum_x AS den,
+      |   sum_y * sum_xx - sum_x * sum_xy AS icept FROM ag)
+      |SELECT n_words, sum_x, sum_y, sum_xy, sum_xx,
+      |  CASE WHEN den > 0 THEN CAST((CAST(sum_x AS HUGEINT) * sum_y -
+      |    CAST(n_words AS HUGEINT) * sum_xy) * 1000000
+      |    // CAST(den AS HUGEINT) AS BIGINT) END AS neg_slope_ppm,
+      |  CASE WHEN den > 0 AND icept >= 0 THEN
+      |    CAST(CAST(icept AS HUGEINT) * 1000000
+      |    // CAST(den AS HUGEINT) AS BIGINT) END AS intercept_hb_ppm
+      |FROM d""".stripMargin
+      .replace("T_X", hlogT("r", "CAST(1 AS BIGINT)"))
+      .replace("T_Y", hlogT("f", "CAST(1 AS BIGINT)"))
+      .replace("HB_X", hlogFinish("r", "t_x", "q_x"))
+      .replace("HB_Y", hlogFinish("f", "t_y", "q_y"))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, Curation, Dedup, Monitoring, Multimodal, Retrieval, Sampling, Sequence, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, CorpusStats, Curation, Dedup, Monitoring, Multimodal, Retrieval, Sampling, Sequence, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -183,6 +183,9 @@ object SparkEntry {
     "q_affix_strip" -> ((s, d) => TextAnalysis.affixStrip(s, d)),
     "q_char_lm" -> ((s, d) => TextAnalysis.charNgramLangId(s, d)),
     "q_char_lm_eval" -> ((s, d) => TextAnalysis.charNgramLangIdEval(s, d)),
+    "q_domain_kl" -> ((s, d) => CorpusStats.domainKl(s, d)),
+    "q_burstiness" -> ((s, d) => CorpusStats.burstiness(s, d)),
+    "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1355,6 +1358,11 @@ object SparkEntry {
     "q_affix_strip" -> OracleSql.affixStrip(),
     "q_char_lm" -> OracleSql.charNgramLangId(),
     "q_char_lm_eval" -> OracleSql.charNgramLangIdEval(),
+    // per-source KL / burstiness / Zipf fit: exact half-bit logs
+    // (bit length + ONE square compare, HUGEINT vs DECIMAL(38,0))
+    "q_domain_kl" -> OracleSql.domainKl,
+    "q_burstiness" -> OracleSql.burstiness(),
+    "q_zipf_fit" -> OracleSql.zipfFit(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional statistics for training-data curation:
+  * per-source KL divergence from the corpus unigram mix (domain-drift
+  * detection), per-word burstiness (Church & Gale 1995's clumping
+  * diagnostic — separates topical words from function words), and the
+  * Zipf rank-frequency fit (a power-law sanity check that a scraped
+  * corpus behaves like natural language — synthetic/template mass
+  * flattens the slope).
+  *
+  * Every statistic is exact integer arithmetic, bit-reproducible in
+  * any engine: logarithms are HALF-BIT floor-log₂ values —
+  * floor(2·log₂(n/d)) via bit lengths plus ONE exact square
+  * comparison — valid on the FULL int64 domain (1 ≤ d ≤ n < 2⁶³),
+  * because only n² and q² are ever materialized (DECIMAL(38,0)-exact
+  * for any long; DuckDB mirrors in HUGEINT). No BM25-style document
+  * ceiling: a 100 TB corpus' token totals (~10¹⁴) are nowhere near
+  * the bound.
+  */
+object CorpusStats {
+
+  /** floor(2·log₂(n/d)) for long columns with 1 ≤ d ≤ n < 2⁶³ —
+    * the half-bit log-ratio every operator here shares. Decomposed as
+    * 2·t + bit:
+    *  - t = floor(log₂(n/d)): int64 bit lengths + one shift-compare
+    *    (d<<t has bit length ≤ bl(n) ≤ 63, so the shift never wraps);
+    *  - bit: x = n/(d·2^t) ∈ [1,2); x² ≥ 2 ⟺ n² − q² ≥ q² with
+    *    q = d·2^t — squares of longs, ≤ 8.6e37 < 10³⁸, so the whole
+    *    comparison is DECIMAL(38,0)-exact with NO intermediate above
+    *    the type (n² ≥ 2q² would overflow at q near 2⁶³; the
+    *    subtraction form never exceeds n²).
+    * PropertySpec pins this against [[halfLog2Big]] over the full
+    * domain including every power-of-two boundary. */
+  private[graft] def halfLog2Ratio(n: Column, d: Column): Column = {
+    def bl(x: Column): Column = length(bin(x))
+    def dec(x: Column): Column = x.cast("decimal(19,0)")
+    val d0 = bl(n) - bl(d)
+    val t = d0 - when(n < call_function("shiftleft", d, d0), 1L).otherwise(0L)
+    val q = call_function("shiftleft", d, t)
+    val bit = when(dec(n) * dec(n) - dec(q) * dec(q) >= dec(q) * dec(q),
+      1L).otherwise(0L)
+    lit(2L) * t.cast("long") + bit
+  }
+
+  /** Driver-side BigInt reference of [[halfLog2Ratio]]:
+    * floor(2·log₂(n/d)) = bitLength(n²/d²-ish) via shift-compare on
+    * exact squares — valid for any 1 ≤ d ≤ n. */
+  private[graft] def halfLog2Big(n: Long, d: Long): Long = {
+    require(d >= 1L && n >= d, s"halfLog2 needs 1 <= d <= n: got n=$n d=$d")
+    val n2 = BigInt(n).pow(2)
+    val d2 = BigInt(d).pow(2)
+    val k0 = n2.bitLength - d2.bitLength
+    if (n2 < (d2 << k0)) (k0 - 1).toLong else k0.toLong
+  }
+
+  // ---------------------------------------------------------------
+  // Per-source unigram KL divergence from the corpus mix
+  // ---------------------------------------------------------------
+
+  /** Per-source unigram KL divergence from the whole-corpus unigram
+    * distribution — the domain-composition gauge: KL(P_source ‖
+    * Q_corpus) ≈ how many extra bits/token a corpus-tuned code wastes
+    * on this source. High KL ⇒ the source's word mix is alien to the
+    * blend (wrong language, template mass, a domain worth separate
+    * treatment); near-zero ⇒ the source looks like the average.
+    *
+    * Exact half-bit integers: cross-entropy and entropy are summed
+    * SEPARATELY (both non-negative, so the ppm floors divide
+    * non-negatives — `DIV` and DuckDB `//` only agree there) and the
+    * KL is their difference. The corpus side is add-one smoothed over
+    * the corpus vocabulary (q_w = (b_w+1)/(B+V)) so the SAME kernel
+    * scores a live batch against a parked model where unseen words
+    * exist ([[domainKlAgainst]]); self-scoring keeps b_w ≥ a_w ≥ 1.
+    *
+    * Shape at 100 TB: one tokenize scan → (source, word) counts (one
+    * corpus-scale shuffle) → corpus counts by RE-AGGREGATION of that
+    * frame (vocabulary-scale, never a second scan) → one
+    * vocabulary-scale join on `word` → per-source sums. Totals
+    * (B, V) ride a broadcast 1-row frame; per-source totals come from
+    * a window over the already-joined frame (partition by `source`
+    * groups NULL sources together — no null-fragile equality join).
+    * Text never crosses an exchange; the widest shuffled row is a
+    * (source, word, count) triple. */
+  def domainKl(spark: SparkSession, dir: String): DataFrame =
+    domainKlOf(Tables.documents(spark, dir))
+
+  /** [[domainKl]] over a prepared (source, text) frame. */
+  def domainKlOf(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("a"))
+    val corpus = sw.groupBy(col("word")).agg(sum(col("a")).as("b"))
+    val totals = corpus.agg(
+      sum(col("b")).as("bt"), count(lit(1)).as("v"))
+    klFinish(sw.join(corpus, Seq("word")).crossJoin(broadcast(totals)))
+  }
+
+  /** The TRAINED corpus unigram model as one persistable table:
+    * (word, c) — counts only; totals and vocabulary size re-derive
+    * from the table itself on load, so a parquet round-trip cannot
+    * leave the stats and the rows disagreeing. */
+  def unigramModelOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  /** Score `docs` against a trained [[unigramModelOf]] table — the
+    * live domain-drift gate: per source, KL(P_batch-source ‖ Q_model)
+    * with the model add-one smoothed over ITS vocabulary, so words
+    * the model never saw cost floor-log₂(B+V) bits — maximum
+    * surprise, exactly what out-of-distribution mass should read as.
+    * Same kernel as [[domainKlOf]] (spec-pinned equal when the model
+    * IS the scored corpus). Robust to model-table storage accidents:
+    * counts re-aggregate by word (max) so duplicated rows cannot
+    * inflate the denominator, and an EMPTY model raises rather than
+    * emitting NULL scores a drift alert would silently ignore. */
+  def domainKlAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
+    val m = model.groupBy(col("word")).agg(max(col("c")).as("b"))
+    val totals = m.agg(
+      when(sum(col("b")).isNull,
+        raise_error(lit("domainKlAgainst: empty unigram model")))
+        .otherwise(sum(col("b"))).as("bt"),
+      count(lit(1)).as("v"))
+    val sw = docs
+      .select(col("source"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("a"))
+    klFinish(sw.join(m, Seq("word"), "left")
+      .withColumn("b", coalesce(col("b"), lit(0L)))
+      .crossJoin(broadcast(totals)))
+  }
+
+  /** The shared KL finish over joined (source, word, a, b, bt, v)
+    * rows: per-word half-bit surprisals — source side hlog(A, a),
+    * corpus side hlog(B+V, b+1) — weighted by the source's own count
+    * and summed per source. A (the per-source token total) comes from
+    * a window so NULL sources stay one group. */
+  private def klFinish(joined: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    joined
+      .withColumn("at", sum(col("a")).over(w))
+      .withColumn("h_w", col("a") * halfLog2Ratio(col("at"), col("a")))
+      .withColumn("ce_w",
+        col("a") * halfLog2Ratio(col("bt") + col("v"), col("b") + lit(1L)))
+      .groupBy(col("source"))
+      .agg(
+        max(col("at")).as("n_tokens"),
+        count(lit(1)).as("vocab_src"),
+        sum(col("h_w")).as("h_hb"),
+        sum(col("ce_w")).as("ce_hb"))
+      .withColumn("kl_hb", col("ce_hb") - col("h_hb"))
+      .withColumn("h_mbit_tok", perTokenMilliBits("h_hb"))
+      .withColumn("ce_mbit_tok", perTokenMilliBits("ce_hb"))
+      .withColumn("kl_mbit_tok", col("ce_mbit_tok") - col("h_mbit_tok"))
+  }
+
+  /** ⌊hb·10⁶ / (2·n_tokens)⌋ — half-bit sums to exact milli-bits per
+    * token. Both operands are non-negative (entropy and cross-entropy
+    * sums), the only regime where Spark `DIV` and DuckDB `//` agree;
+    * the KL ppm is the difference of the two floors, never its own
+    * division. */
+  private def perTokenMilliBits(hb: String): Column =
+    when(col("n_tokens") > 0L,
+      expr(s"CAST((CAST($hb AS DECIMAL(38,0)) * 1000000) DIV " +
+        s"(CAST(n_tokens AS DECIMAL(38,0)) * 2) AS BIGINT)"))
+
+  // ---------------------------------------------------------------
+  // Word burstiness (Fano factor)
+  // ---------------------------------------------------------------
+
+  /** Per-word burstiness: the Fano factor (variance-to-mean ratio) of
+    * the word's per-document count over ALL N corpus documents,
+    * zeros included — Church & Gale's clumping diagnostic. Function
+    * words arrive ~Poisson (factor ≈ 1−ppm-of-mean); topical words
+    * clump (factor ≫ 1). Exact in ppm:
+    *   fano_ppm = ⌊(N·Σx² − tf²)·10⁶ / (N·tf)⌋
+    * with tf = Σx, both sums over documents containing the word — the
+    * zero documents contribute nothing to either sum, so the
+    * all-documents variance needs only the containing-doc aggregates
+    * plus N. The numerator is non-negative by Cauchy-Schwarz
+    * (df·Σx² ≥ tf² and N ≥ df), keeping the floor division in the
+    * engine-agreeing regime. DECIMAL(38,0) throughout — headroom to
+    * N·Σx²·10⁶ < 10³⁸, i.e. Σx² < 10²⁵ at N = 10⁷ docs/partition-
+    * slice and < 10²⁰ at a full 10¹² — beyond it Spark's ANSI decimal
+    * raises loudly rather than silently wrapping.
+    *
+    * Shape at 100 TB: tokenize scan → (word, doc) counts (one
+    * corpus-scale shuffle with map-side partial aggregation) →
+    * per-word sums (vocabulary-scale) → broadcast 1-row N →
+    * TakeOrdered k. Nothing wider than (word, three longs) shuffles. */
+  def burstiness(spark: SparkSession, dir: String,
+                 minDf: Long = 5L, k: Int = 50): DataFrame =
+    burstinessOf(Tables.documents(spark, dir), minDf, k)
+
+  /** [[burstiness]] over a prepared (doc_id, text) frame. */
+  def burstinessOf(docs: DataFrame, minDf: Long = 5L, k: Int = 50): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("word"))
+      .agg(sum(col("x")).as("tf"),
+        sum(col("x") * col("x")).as("sq"),
+        count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .withColumn("fano_ppm",
+        expr("CAST(((CAST(n_docs AS DECIMAL(38,0)) * sq - " +
+          "CAST(tf AS DECIMAL(38,0)) * tf) * 1000000) DIV " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * tf) AS BIGINT)"))
+      .select(col("word"), col("tf"), col("df"), col("n_docs"), col("fano_ppm"))
+      .orderBy(col("fano_ppm").desc, col("word"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // Zipf rank-frequency fit
+  // ---------------------------------------------------------------
+
+  /** Zipf power-law fit over the top `topN` words: ordinary least
+    * squares of y = floor(2·log₂ f) against x = floor(2·log₂ rank),
+    * rank 1-based by (frequency DESC, word ASC — a total order, so
+    * the cut is deterministic). Natural language fits slope ≈ −1;
+    * template/synthetic mass flattens it. Reported as
+    * `neg_slope_ppm` = ⌊(Σx·Σy − n·Σxy)·10⁶ / (n·Σx² − (Σx)²)⌋ —
+    * the NEGATED slope, which is non-negative whenever y is
+    * non-increasing in x (guaranteed: ranking by frequency makes the
+    * sequences oppositely sorted — Chebyshev's sum inequality), so
+    * the floor division stays in the regime where both engines agree.
+    * The intercept (the fitted log₂-frequency at rank 1, in half-bit
+    * ppm) is NULL-guarded on its sign for the same reason.
+    *
+    * Shape at 100 TB: word counts (one corpus-scale shuffle) →
+    * TakeOrdered topN (per-partition heaps, driver merges topN rows)
+    * → a topN-row window + one scalar aggregate. The fit itself
+    * touches topN rows, never the corpus. */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    zipfFitOf(Tables.documents(spark, dir), topN)
+
+  /** [[zipfFit]] over a prepared (text) frame. */
+  def zipfFitOf(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val top = docs
+      .select(explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word"))
+      .limit(topN)
+    val ranked = top.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("word"))).cast("long"))
+      .withColumn("x", halfLog2Ratio(col("r"), lit(1L)))
+      .withColumn("y", halfLog2Ratio(col("f"), lit(1L)))
+    ranked.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("x")).as("sum_x"),
+      sum(col("y")).as("sum_y"),
+      sum(col("x") * col("y")).as("sum_xy"),
+      sum(col("x") * col("x")).as("sum_xx"))
+      .withColumn("den",
+        col("n_words") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn("neg_slope_ppm",
+        when(col("den") > 0L,
+          expr("CAST((CAST(sum_x AS DECIMAL(38,0)) * sum_y - " +
+            "CAST(n_words AS DECIMAL(38,0)) * sum_xy) * 1000000 DIV " +
+            "CAST(den AS DECIMAL(38,0)) AS BIGINT)")))
+      .withColumn("icept_num",
+        col("sum_y") * col("sum_xx") - col("sum_x") * col("sum_xy"))
+      .withColumn("intercept_hb_ppm",
+        when(col("den") > 0L && col("icept_num") >= 0L,
+          expr("CAST(CAST(icept_num AS DECIMAL(38,0)) * 1000000 DIV " +
+            "CAST(den AS DECIMAL(38,0)) AS BIGINT)")))
+      .drop("den", "icept_num")
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import graft.operators.CorpusStats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** CorpusStats operators against driver-side exact references: the
+  * half-bit floor-log₂ kernel over its full domain (boundaries
+  * included), the per-source KL panel on a planted corpus (NULL
+  * source included), the model-scoring twin, burstiness on planted
+  * clumped/uniform words, and the Zipf OLS on a constructed
+  * rank-frequency table.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  test("halfLog2Ratio equals the BigInt reference over the full domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // powers of two and their neighbors (where the floor steps), plus
+    // random pairs across magnitudes up to Long.MaxValue
+    val interesting = (0 until 63).flatMap { k =>
+      val p = 1L << k
+      Seq(p - 1, p, p + 1).filter(_ >= 1L)
+    } :+ Long.MaxValue
+    val pairs = (for {
+      n <- interesting; d <- interesting if d <= n
+    } yield (n, d)) ++ (0 until 4000).map { _ =>
+      val n = math.abs(rnd.nextLong()) max 1L
+      val d = (math.abs(rnd.nextLong()) % n) max 1L
+      (n, d)
+    }
+    val got = pairs.toDF("n", "d")
+      .withColumn("hl", CorpusStats.halfLog2Ratio(col("n"), col("d")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (n, d) =>
+      val want = CorpusStats.halfLog2Big(n, d)
+      assert(got((n, d)) == want, s"hlog($n, $d): got ${got((n, d))} want $want")
+    }
+  }
+
+  private def klReference(docs: Seq[(Option[String], String)])
+  : Map[Option[String], (Long, Long, Long, Long)] = {
+    // (n_tokens, vocab_src, h_hb, ce_hb) per source, the spec's own
+    // independent spelling of the smoothed half-bit KL kernel
+    val toks = docs.flatMap { case (src, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(w => (src, w))
+    }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bt = corpus.values.sum
+    val v = corpus.size.toLong
+    toks.groupBy(_._1).map { case (src, ts) =>
+      val a = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val at = a.values.sum
+      val h = a.values.map(c => c * CorpusStats.halfLog2Big(at, c)).sum
+      val ce = a.map { case (w, c) =>
+        c * CorpusStats.halfLog2Big(bt + v, corpus(w) + 1L)
+      }.sum
+      src -> (at, a.size.toLong, h, ce)
+    }
+  }
+
+  test("domainKl equals the driver reference, NULL source one group") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some("a"), "x x x y z"),
+      (Some("a"), "x y y w"),
+      (Some("b"), "q q q q r"),
+      (None: Option[String], "x q z z"),
+      (None: Option[String], "z w"))
+    val df = docs.map { case (s, t) => (s.orNull, t) }.toDF("source", "text")
+    val got = CorpusStats.domainKlOf(df).collect().map { r =>
+      Option(r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_src"),
+          r.getAs[Long]("h_hb"), r.getAs[Long]("ce_hb"),
+          r.getAs[Long]("kl_hb"))
+    }.toMap
+    val want = klReference(docs)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (at, vs, h, ce)) =>
+      assert(got(src) == ((at, vs, h, ce, ce - h)), s"source=$src: ${got(src)}")
+    }
+    // the ppm floors divide non-negatives and subtract exactly
+    CorpusStats.domainKlOf(df).collect().foreach { r =>
+      val at = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("h_mbit_tok") ==
+        r.getAs[Long]("h_hb") * 1000000L / (2L * at))
+      assert(r.getAs[Long]("kl_mbit_tok") ==
+        r.getAs[Long]("ce_mbit_tok") - r.getAs[Long]("h_mbit_tok"))
+    }
+  }
+
+  test("domainKlAgainst: self-scoring equals domainKlOf; unseen words cost the vocabulary floor") {
+    import spark.implicits._
+    val df = Seq(("a", "x x y"), ("b", "x z z z")).toDF("source", "text")
+    val model = CorpusStats.unigramModelOf(df)
+    val self = CorpusStats.domainKlAgainst(df, model)
+      .orderBy("source").collect().toSeq
+    val batch = CorpusStats.domainKlOf(df).orderBy("source").collect().toSeq
+    assert(self == batch)
+    // a doc of only-unseen words: every token costs hlog(B+V, 1)
+    val alien = Seq(("c", "unk1 unk2 unk1")).toDF("source", "text")
+    val row = CorpusStats.domainKlAgainst(alien, model).collect().head
+    val bt = 7L; val v = 3L // model: x=2+1... x:3? recompute below
+    val btGot = model.agg(sum("c")).collect().head.getLong(0)
+    val vGot = model.count()
+    val ceWant = 3L * CorpusStats.halfLog2Big(btGot + vGot, 1L)
+    assert(row.getAs[Long]("ce_hb") == ceWant, s"bt=$bt v=$v row=$row")
+    // duplicated model rows (a doubled append) must not change scores
+    val dup = CorpusStats.domainKlAgainst(df, model.unionAll(model))
+      .orderBy("source").collect().toSeq
+    assert(dup == batch)
+    // empty model raises rather than emitting NULL scores
+    val err = intercept[Exception] {
+      CorpusStats.domainKlAgainst(df, model.filter(lit(false))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("burstiness: clumped word outranks uniform word, values exact") {
+    import spark.implicits._
+    // 10 docs; 'uni' once per doc (Fano -> (N*10-100)/(N*10)=0 ppm
+    // at N=10); 'clump' 10 times in one doc (Fano=(10*100-100)/(10*10)
+    // = 9 -> 9,000,000 ppm)
+    val docs = (0L until 10L).map { i =>
+      val body = if (i == 0) "clump " * 10 else ""
+      (i, s"uni $body pad$i")
+    }
+    val got = CorpusStats.burstinessOf(docs.toDF("doc_id", "text"),
+      minDf = 1L, k = 100)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("fano_ppm")))
+      .toMap
+    assert(got("clump") == ((10L, 1L, 9000000L)))
+    assert(got("uni") == ((10L, 10L, 0L)))
+    assert(got("clump")._3 > got("uni")._3)
+    // minDf filters the pad words (df=1) when raised
+    val filtered = CorpusStats.burstinessOf(docs.toDF("doc_id", "text"),
+      minDf = 5L, k = 100).collect().map(_.getString(0)).toSet
+    assert(filtered == Set("uni"))
+  }
+
+  test("zipfFit matches a driver OLS on the same half-bit logs") {
+    import spark.implicits._
+    // construct a corpus with known frequencies: word w_i repeated
+    // 2^(8-i) times, i = 0..7 -> slope should be ~ -log2 spacing
+    val words = (0 until 8).flatMap { i =>
+      Seq.fill(1 << (8 - i))(s"w$i")
+    }
+    val df = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = CorpusStats.zipfFitOf(df, topN = 8).collect().head
+    val freqs = (0 until 8).map(i => (s"w$i", (1 << (8 - i)).toLong))
+      .sortBy { case (w, f) => (-f, w) }
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (CorpusStats.halfLog2Big(i + 1L, 1L), CorpusStats.halfLog2Big(f, 1L))
+    }
+    val n = xy.size.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    assert(row.getAs[Long]("n_words") == n)
+    assert(row.getAs[Long]("sum_x") == sx)
+    assert(row.getAs[Long]("sum_y") == sy)
+    assert(row.getAs[Long]("sum_xy") == sxy)
+    assert(row.getAs[Long]("sum_xx") == sxx)
+    val den = n * sxx - sx * sx
+    assert(row.getAs[Long]("neg_slope_ppm") ==
+      (BigInt(sx) * sy - BigInt(n) * sxy) * 1000000 / den)
+    // a real corpus: slope is negative (neg_slope positive), one row
+    val real = CorpusStats.zipfFit(spark, sfDir).collect()
+    assert(real.length == 1)
+    assert(real.head.getAs[Long]("neg_slope_ppm") > 0L)
+  }
+}
