@@ -2020,6 +2020,85 @@ FROM cf"""
       s" t${PiiPatterns.size} AS redacted FROM r${PiiPatterns.size}"
   }
 
+  /** CTE chain documents → `wfp(doc_id, g)` = the winnowing-selected
+    * gram fingerprints (one row per SELECTED POSITION — duplicate g
+    * values survive, matching HashKernels.winnowHashes) and
+    * `wgc(doc_id, n_grams)`. Selection is re-expressed relationally:
+    * pack (hash, position) into one HUGEINT key whose unsigned order
+    * is (signed hash ASC, position DESC) — key = (g + 2⁶³)·2³² +
+    * (2³²−1−p) — take the window MIN over every `w`-gram frame, and
+    * DISTINCT the winning keys: exactly "rightmost minimum per
+    * window, each position recorded once". */
+  private def winnowCtes(n: Int, w: Int): Seq[String] = {
+    val (tokStages, tokLast) = mixStages("wfnv", "wtx", Seq("doc_id", "ti"), Left("h0"))
+    val (gramStages, gramLast) = mixStages("wsh", "wgx", Seq("doc_id", "gi"), Left("sh0"))
+    val aliases = (0 until n).map(i => s"t$i")
+    val poly = aliases.tail.foldLeft("t0.h") { (acc, a) =>
+      s"(($acc) * 1099511628211 % $P64 + $a.h) % $P64"
+    }
+    val joins = aliases.tail.zipWithIndex.map { case (a, i) =>
+      s" JOIN wth $a ON $a.doc_id = t0.doc_id AND $a.ti = t0.ti + ${i + 1}"
+    }.mkString
+    Seq(
+      """wt0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
+      "wt AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti, unnest(toks) AS tok FROM wt0)",
+      s"wfnv AS (SELECT doc_id, ti, $fnvTok AS h0 FROM wt WHERE tok <> '')") ++
+      tokStages ++ Seq(
+      s"wth AS MATERIALIZED (SELECT doc_id, ti, CAST(h AS HUGEINT) * 4294967296 + l AS h FROM $tokLast)",
+      s"wsh AS (SELECT t0.doc_id, t0.ti AS gi, $poly AS sh0 FROM wth t0$joins)") ++
+      gramStages ++ Seq(
+      s"wg AS MATERIALIZED (SELECT doc_id, gi, ${signedHL("h", "l")} AS g FROM $gramLast)",
+      "wgp AS (SELECT doc_id, g, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gi) - 1 AS BIGINT) AS p FROM wg)",
+      "wk AS (SELECT doc_id, p, (CAST(g AS HUGEINT) + 9223372036854775808) * 4294967296 + (4294967295 - p) AS key FROM wgp)",
+      s"ww AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wkey," +
+        s" count(*) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS cnt FROM wk)",
+      s"wsel AS (SELECT DISTINCT doc_id, wkey FROM ww WHERE cnt = $w)",
+      "wfp AS MATERIALIZED (SELECT doc_id, CAST((wkey // 4294967296) - 9223372036854775808 AS BIGINT) AS g FROM wsel)",
+      "wgc AS (SELECT doc_id, count(*) AS n_grams FROM wg GROUP BY 1)")
+  }
+
+  /** q_winnow_fingerprint: the per-document winnowing census,
+    * mirroring Winnow.winnowFingerprintOf (left joins keep gram-less
+    * documents with zeroed counts and the '0' checksum). */
+  def winnowFingerprint(n: Int = 3, w: Int = 4): String =
+    "WITH " + (winnowCtes(n, w) :+
+      ("wag AS (SELECT doc_id, count(*) AS n_selected," +
+        " count(DISTINCT g) AS n_distinct_fp," +
+        " CAST(sum(CAST(g AS HUGEINT)) AS VARCHAR) AS fp_sum" +
+        " FROM wfp GROUP BY 1)")).mkString(",\n ") +
+      """
+        |SELECT d.doc_id,
+        |  coalesce(c.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_selected, 0) AS n_selected,
+        |  coalesce(a.n_distinct_fp, 0) AS n_distinct_fp,
+        |  coalesce(a.fp_sum, '0') AS fp_sum,
+        |  CASE WHEN coalesce(c.n_grams, 0) > 0 THEN
+        |    (coalesce(a.n_selected, 0) * CAST(1000000 AS BIGINT))
+        |      // c.n_grams END AS density_ppm
+        |FROM documents d LEFT JOIN wgc c USING (doc_id)
+        |  LEFT JOIN wag a USING (doc_id)""".stripMargin
+
+  /** q_winnow_overlap: MOSS match candidates from shared winnowed
+    * fingerprints, mirroring Winnow.winnowOverlapOf — distinct
+    * fingerprints per doc, df-capped before the pair expansion. */
+  def winnowOverlap(n: Int = 3, w: Int = 4,
+                    maxDf: Long = 50L, minShared: Long = 2L): String =
+    "WITH " + (winnowCtes(n, w) ++ Seq(
+      "wnd AS (SELECT doc_id, count(DISTINCT g) AS nd FROM wfp GROUP BY 1)",
+      "wdfp AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM wfp)",
+      "wdfc AS (SELECT g, count(*) AS dfc FROM wdfp GROUP BY 1)",
+      s"wf2 AS MATERIALIZED (SELECT f.doc_id, f.g, n.nd FROM wdfp f" +
+        " JOIN wnd n USING (doc_id) JOIN wdfc c ON c.g = f.g" +
+        s" WHERE c.dfc >= 2 AND c.dfc <= $maxDf)")).mkString(",\n ") +
+      s"""
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |  max(a.nd) AS nd_a, max(b.nd) AS nd_b,
+        |  CASE WHEN least(max(a.nd), max(b.nd)) > 0 THEN
+        |    (count(*) * CAST(1000000 AS BIGINT))
+        |      // least(max(a.nd), max(b.nd)) END AS overlap_ppm
+        |FROM wf2 a JOIN wf2 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** t = floor(log₂(n/d)) for BIGINT exprs with 1 ≤ d ≤ n: bit
     * lengths + one shift-compare — the first stage of the half-bit
     * log mirroring CorpusStats.halfLog2Ratio. */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Ann, CorpusStats, Curation, Dedup, Monitoring, Multimodal, Retrieval, Sampling, Sequence, Skew, TextAnalysis}
+import graft.operators.{Analytics, Ann, CorpusStats, Curation, Dedup, Monitoring, Multimodal, Retrieval, Sampling, Sequence, Skew, TextAnalysis, Winnow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
@@ -184,6 +184,8 @@ object SparkEntry {
     "q_char_lm" -> ((s, d) => TextAnalysis.charNgramLangId(s, d)),
     "q_char_lm_eval" -> ((s, d) => TextAnalysis.charNgramLangIdEval(s, d)),
     "q_domain_kl" -> ((s, d) => CorpusStats.domainKl(s, d)),
+    "q_winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprint(s, d)),
+    "q_winnow_overlap" -> ((s, d) => Winnow.winnowOverlap(s, d)),
     "q_burstiness" -> ((s, d) => CorpusStats.burstiness(s, d)),
     "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -1361,6 +1363,10 @@ object SparkEntry {
     // per-source KL / burstiness / Zipf fit: exact half-bit logs
     // (bit length + ONE square compare, HUGEINT vs DECIMAL(38,0))
     "q_domain_kl" -> OracleSql.domainKl,
+    // MOSS winnowing: window-min over a packed (hash, position)
+    // HUGEINT key mirrors the fused deque expression exactly
+    "q_winnow_fingerprint" -> OracleSql.winnowFingerprint(),
+    "q_winnow_overlap" -> OracleSql.winnowOverlap(),
     "q_burstiness" -> OracleSql.burstiness(),
     "q_zipf_fit" -> OracleSql.zipfFit(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),

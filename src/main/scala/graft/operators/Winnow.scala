@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.Fingerprints._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS local-fingerprinting algorithm): select the
+  * rightmost minimum of every `w`-gram window over the word-n-gram
+  * hash sequence. Two guarantees the simpler min-hash/rolling-min
+  * fingerprints can't give: (1) any shared token run of at least
+  * w+n−1 tokens between two documents is CAUGHT (at least one shared
+  * fingerprint — detection, not estimation), and (2) the selected set
+  * is a ~2/(w+1) fraction of the grams, so the cross-document index
+  * is an order of magnitude smaller than the gram set it covers.
+  *
+  * Scale shape: selection is a fused codegen expression (one O(grams)
+  * pass per document, monotonic deque, zero shuffle); only the
+  * SELECTED 8-byte fingerprints ever leave the row for the overlap
+  * index, and the pair join is bounded per fingerprint by the df cap
+  * (boilerplate-dominant fingerprints are dropped loudly, the
+  * standard MOSS move — a shared-by-everything fingerprint identifies
+  * nothing). */
+object Winnow {
+
+  /** Per-document winnowing fingerprint census: gram count, selected
+    * count (expected ≈ 2/(w+1) density — the `density_ppm` column),
+    * distinct selected hashes, and an order-insensitive exact
+    * checksum of the selected multiset (sum over int64 hashes, wide
+    * enough that it cannot wrap: DECIMAL(38,0) here, HUGEINT in the
+    * oracle, shipped as a string). */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+                        n: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintOf(Tables.documents(spark, dir), n, w)
+
+  /** [[winnowFingerprint]] over a prepared (doc_id, text) frame. */
+  def winnowFingerprintOf(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    docs
+      // project the two hash arrays FIRST: both are referenced more
+      // than once below, which keeps CollapseProject from re-inlining
+      // the expensive kernels into every consumer
+      .select(col("doc_id"),
+        winnow_hashes(coalesce(col("text"), lit("")), n, w).as("fps"),
+        shingle_hash_seq(coalesce(col("text"), lit("")), n).as("gseq"))
+      .select(col("doc_id"),
+        size(col("gseq")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_selected"),
+        size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"),
+        expr("CAST(aggregate(fps, CAST(0 AS DECIMAL(38,0))," +
+          " (acc, x) -> acc + x) AS STRING)").as("fp_sum"))
+      .withColumn("density_ppm",
+        when(col("n_grams") > 0L,
+          expr("(n_selected * CAST(1000000 AS BIGINT)) DIV n_grams")))
+
+  /** Cross-document overlap candidates from shared winnowing
+    * fingerprints — the MOSS match step: documents sharing at least
+    * `minShared` selected fingerprints, with the share expressed
+    * against the smaller document's distinct-fingerprint count.
+    * Fingerprints shared by more than `maxDf` documents are
+    * boilerplate, dropped BEFORE the pair expansion (the df cap is
+    * what bounds the self-join: each surviving fingerprint contributes
+    * at most maxDf² pairs, never a corpus-quadratic bucket).
+    *
+    * Shape at 100 TB: explode DISTINCT selected fingerprints
+    * (≈ 2/(w+1) of the grams, 8 bytes each + doc id), ONE shuffle by
+    * fingerprint shared by the df-count window and both join sides
+    * (byte-identical children — the exchange is planned once and
+    * reused), then a pair-keyed aggregate. Text never leaves the
+    * scan. */
+  def winnowOverlap(spark: SparkSession, dir: String,
+                    n: Int = 3, w: Int = 4,
+                    maxDf: Long = 50L, minShared: Long = 2L): DataFrame =
+    winnowOverlapOf(Tables.documents(spark, dir), n, w, maxDf, minShared)
+
+  /** [[winnowOverlap]] over a prepared (doc_id, text) frame. */
+  def winnowOverlapOf(docs: DataFrame, n: Int = 3, w: Int = 4,
+                      maxDf: Long = 50L, minShared: Long = 2L): DataFrame = {
+    val sel = docs
+      .select(col("doc_id"),
+        array_distinct(winnow_hashes(coalesce(col("text"), lit("")), n, w))
+          .as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("nd"),
+        explode(col("fps")).as("g"))
+    val byFp = Window.partitionBy(col("g"))
+    val kept = sel
+      .withColumn("dfc", count(lit(1)).over(byFp))
+      .filter(col("dfc") >= 2L && col("dfc") <= maxDf)
+      .select(col("doc_id"), col("g"), col("nd"))
+    kept.as("a")
+      .join(kept.as("b"), expr("a.g = b.g AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.nd")).as("nd_a"), max(col("b.nd")).as("nd_b"))
+      .filter(col("shared") >= minShared)
+      .withColumn("overlap_ppm",
+        when(least(col("nd_a"), col("nd_b")) > 0L,
+          expr("(shared * CAST(1000000 AS BIGINT)) DIV least(nd_a, nd_b)")))
+  }
+}

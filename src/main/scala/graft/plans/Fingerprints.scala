@@ -175,6 +175,54 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): over the word-n-gram hash
+    * sequence, slide a window of `w` grams and select each window's
+    * minimum (rightmost on ties), recording each selected position
+    * once. Guarantee: any shared token run of ≥ w+n−1 tokens between
+    * two documents yields at least one shared fingerprint; expected
+    * density 2/(w+1) of the grams. Returns the selected gram hashes
+    * in position order (values may repeat when the same hash wins at
+    * different positions). O(grams) via a monotonic deque — one pass,
+    * row-local, no shuffle. Documents with fewer than `w` grams
+    * select nothing (below the guarantee threshold t = w+n−1). */
+  def winnowHashes(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val toks = tokenHashes(s, 0L)
+    val m = toks.length - n + 1
+    if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var sh = 0L
+      var j = 0
+      while (j < n) { sh = sh * 0x100000001b3L + toks(i + j); j += 1 }
+      grams(i) = mix(sh)
+      i += 1
+    }
+    // monotonic deque of gram indices, values strictly increasing from
+    // the head; pushing pops >= (an equal later gram replaces the
+    // earlier one, making the head the RIGHTMOST minimum of the window)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * m / (w + 1) + 4)
+    var lastSel = -1
+    i = 0
+    while (i < m) {
+      while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        val start = i - w + 1
+        while (dq(head) < start) head += 1
+        val f = dq(head)
+        if (f != lastSel) { out += grams(f); lastSel = f }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Hash of the normalized text (lowercase ASCII + whitespace runs
     * collapsed to one space + trim), computed in ONE pass over the
     * UTF-8 bytes with no intermediate string — hash equality ≡
@@ -405,6 +453,21 @@ case class ShingleHashSeq(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShingleHashSeq = copy(child = c)
 }
 
+/** winnow_hashes(text, n, w): fused tokenize+shingle+winnow — the
+  * selected MOSS fingerprints in position order. */
+case class WinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "winnow_hashes"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.winnowHashes(s.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.winnowHashes($c, $n, $w);")
+  override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
+}
+
 /** simhash_text(text): fused tokenize+simhash. */
 case class SimHashText(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -434,6 +497,8 @@ object Fingerprints {
     bridge.column(ShingleHashes(bridge.expression(text), n))
   def shingle_hash_seq(text: Column, n: Int): Column =
     bridge.column(ShingleHashSeq(bridge.expression(text), n))
+  def winnow_hashes(text: Column, n: Int, w: Int): Column =
+    bridge.column(WinnowHashes(bridge.expression(text), n, w))
   def normalized_hash(text: Column): Column =
     bridge.column(NormalizedHash(bridge.expression(text)))
   def sig_matches(a: Column, b: Column): Column =

@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.Winnow
+import graft.plans.HashKernels
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprints against a brute-force per-window reference
+  * (select the rightmost minimum of EVERY window explicitly, dedupe
+  * positions), the MOSS detection guarantee, and the overlap
+  * candidate generator against an all-pairs reference.
+  */
+class WinnowSpec extends SparkSpec {
+
+  /** Brute-force winnowing: explicit window scan, rightmost min. */
+  private def reference(text: String, n: Int, w: Int): Seq[Long] = {
+    val toks = HashKernels.tokenHashes(UTF8String.fromString(text), 0L)
+    val m = toks.length - n + 1
+    if (m < w) return Seq.empty
+    val grams = (0 until m).map { i =>
+      var sh = 0L
+      (0 until n).foreach(j => sh = sh * 0x100000001b3L + toks(i + j))
+      HashKernels.mix(sh)
+    }
+    val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+    (0 to m - w).foreach { s =>
+      var best = s
+      ((s + 1) until (s + w)).foreach { p =>
+        if (grams(p) <= grams(best)) best = p // <= : rightmost min
+      }
+      selected += best
+    }
+    selected.toSeq.sorted.map(grams)
+  }
+
+  private def winnowOf(text: String, n: Int, w: Int): Seq[Long] =
+    HashKernels.winnowHashes(UTF8String.fromString(text), n, w)
+      .toLongArray().toSeq
+
+  test("winnowHashes equals the brute-force window scan (seeded fuzz)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "h")
+    (0 until 300).foreach { _ =>
+      val len = rnd.nextInt(40)
+      val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val n = 1 + rnd.nextInt(3)
+      val w = 1 + rnd.nextInt(5)
+      assert(winnowOf(text, n, w) == reference(text, n, w),
+        s"n=$n w=$w text='$text'")
+    }
+    // degenerate shapes
+    assert(winnowOf("", 3, 4).isEmpty)
+    assert(winnowOf("one two", 3, 4).isEmpty)           // no grams
+    assert(winnowOf("a b c d e", 3, 4).isEmpty)         // 3 grams < w
+    assert(winnowOf("a b c d e f", 3, 4).size == 1)     // exactly one window
+  }
+
+  test("detection guarantee: a shared run of w+n-1 tokens shares a fingerprint") {
+    val rnd = new scala.util.Random(23)
+    val n = 3; val w = 4
+    (0 until 100).foreach { k =>
+      val run = Seq.fill(w + n - 1)(s"shared${rnd.nextInt(50)}_$k")
+      val docA = (Seq.fill(10)(s"a${rnd.nextInt(1000)}") ++ run ++
+        Seq.fill(10)(s"a${rnd.nextInt(1000)}")).mkString(" ")
+      val docB = (Seq.fill(7)(s"b${rnd.nextInt(1000)}") ++ run ++
+        Seq.fill(13)(s"b${rnd.nextInt(1000)}")).mkString(" ")
+      val shared = winnowOf(docA, n, w).toSet intersect winnowOf(docB, n, w).toSet
+      assert(shared.nonEmpty, s"k=$k: guarantee violated")
+    }
+  }
+
+  test("winnowFingerprintOf counts and checksum match the kernel") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x y"),                       // no grams
+      (2L, "p p p p p p p p"),           // all-equal grams
+      (3L, "")).toDF("doc_id", "text")
+    val got = Winnow.winnowFingerprintOf(docs, 3, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L -> "a b c d e f g h i j", 1L -> "x y", 2L -> "p p p p p p p p",
+      3L -> "").foreach { case (id, text) =>
+      val sel = winnowOf(text, 3, 4)
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val r = got(id)
+      assert(r.getAs[Long]("n_grams") == math.max(0, toks.length - 2))
+      assert(r.getAs[Long]("n_selected") == sel.size)
+      assert(r.getAs[Long]("n_distinct_fp") == sel.distinct.size)
+      assert(r.getAs[String]("fp_sum") == sel.map(BigInt(_)).sum.toString)
+    }
+    // all-equal grams: the rightmost-min rule selects the LAST
+    // position of every window (one per window start), collapsing to
+    // a single distinct fingerprint value
+    assert(got(2L).getAs[Long]("n_selected") == 3L)
+    assert(got(2L).getAs[Long]("n_distinct_fp") == 1L)
+  }
+
+  test("winnowOverlapOf equals the all-pairs reference and caps boilerplate") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, s"one two three $run four five six seven"),
+      (1L, s"red green blue $run cyan magenta yellow black"),
+      (2L, "unrelated words only here nothing shared at all present"),
+      (3L, s"$run trailing tokens here again padding")).toDF("doc_id", "text")
+    val got = Winnow.winnowOverlapOf(docs, 3, 4, maxDf = 50L, minShared = 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("shared")).toMap
+    // reference: distinct winnowed sets, df in [2, 50], pairwise
+    val sets = Seq(0L, 1L, 2L, 3L).map { id =>
+      val t = docs.filter(col("doc_id") === id).collect().head.getString(1)
+      id -> winnowOf(t, 3, 4).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val kept = sets.view.mapValues(_.filter(g => df(g) >= 2 && df(g) <= 50)).toMap
+    val want = (for {
+      a <- Seq(0L, 1L, 2L, 3L); b <- Seq(0L, 1L, 2L, 3L) if a < b
+      s = (kept(a) intersect kept(b)).size if s >= 1
+    } yield (a, b) -> s.toLong).toMap
+    assert(got == want)
+    assert(got.keySet.forall { case (a, b) => a != 2L && b != 2L })
+    // ppm definition: shared / min distinct-kept? no -- min distinct
+    // overall; just pin the df cap: with maxDf = 2 the run (df = 3)
+    // disappears
+    val capped = Winnow.winnowOverlapOf(docs, 3, 4, maxDf = 2L, minShared = 1L)
+      .collect()
+    val refCapped = {
+      val kept2 = sets.view.mapValues(_.filter(g => df(g) >= 2 && df(g) <= 2)).toMap
+      (for {
+        a <- Seq(0L, 1L, 2L, 3L); b <- Seq(0L, 1L, 2L, 3L) if a < b
+        s = (kept2(a) intersect kept2(b)).size if s >= 1
+      } yield (a, b)).toSet
+    }
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == refCapped)
+  }
+}
