@@ -2153,6 +2153,62 @@ FROM cf"""
       .replace("HB_H", hlogFinish("at", "t_h", "q_h"))
       .replace("HB_C", hlogFinish("bt + v", "t_c", "q_c"))
 
+  /** q_doc_entropy: per-document unigram entropy in exact half-bits
+    * + type-token ratio ppm, mirroring CorpusStats.docEntropyOf. */
+  def docEntropy: String =
+    """WITH tk AS MATERIALIZED (SELECT doc_id, unnest(
+      |   regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+      | t2 AS (SELECT doc_id, word FROM tk WHERE word <> ''),
+      | dw AS MATERIALIZED (SELECT doc_id, word, count(*) AS c
+      |   FROM t2 GROUP BY 1, 2),
+      | j AS (SELECT doc_id, c,
+      |   CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS nt FROM dw),
+      | s1 AS (SELECT *, T_H AS t_h FROM j),
+      | s2 AS (SELECT *, (c << t_h) AS q_h FROM s1),
+      | s3 AS (SELECT doc_id, c, nt, HB_H AS h1 FROM s2),
+      | g AS (SELECT doc_id, max(nt) AS n_tokens, count(*) AS vocab_doc,
+      |   CAST(sum(c * h1) AS BIGINT) AS h_hb FROM s3 GROUP BY 1)
+      |SELECT doc_id, n_tokens, vocab_doc, h_hb,
+      |  CASE WHEN n_tokens > 0 THEN CAST((CAST(h_hb AS HUGEINT) * 1000000)
+      |    // (CAST(n_tokens AS HUGEINT) * 2) AS BIGINT) END AS h_mbit_tok,
+      |  CASE WHEN n_tokens > 0 THEN CAST((CAST(vocab_doc AS HUGEINT) * 1000000)
+      |    // CAST(n_tokens AS HUGEINT) AS BIGINT) END AS ttr_ppm
+      |FROM g""".stripMargin
+      .replace("T_H", hlogT("nt", "c"))
+      .replace("HB_H", hlogFinish("nt", "t_h", "q_h"))
+
+  /** q_media_vad: the VAD run structure rebuilt relationally from the
+    * GA01 doc_id formula — per-window Σ|x| from first principles,
+    * threshold compare, gaps-and-islands for segments/longest run and
+    * the first/last trim points (NULL when the clip never crosses the
+    * threshold), mirroring Multimodal.mediaVad's decode-loop
+    * bookkeeping. */
+  def mediaVad(thrSum: Long): String =
+    s"""WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+      |  FROM documents),
+      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
+      | v AS (SELECT id, i // 256 AS k,
+      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
+      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
+      |  FROM s),
+      | w AS (SELECT id, k, CASE WHEN sum(abs(x)) >= $thrSum THEN 1 ELSE 0 END
+      |   AS act FROM v GROUP BY 1, 2),
+      | f AS (SELECT id, k, act, CAST(row_number() OVER
+      |   (PARTITION BY id, act ORDER BY k) AS BIGINT) AS rn FROM w),
+      | isl AS (SELECT id, k - rn AS island, CAST(count(*) AS BIGINT) AS run,
+      |   min(k) AS k0, max(k) AS k1 FROM f WHERE act = 1 GROUP BY 1, 2),
+      | agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_segments,
+      |   max(run) AS max_run, CAST(min(k0) AS BIGINT) AS first_active,
+      |   CAST(max(k1) AS BIGINT) AS last_active,
+      |   CAST(sum(run) AS BIGINT) AS n_active FROM isl GROUP BY 1),
+      | tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_windows
+      |   FROM w GROUP BY 1)
+      |SELECT t.id AS doc_id, t.n_windows,
+      |  coalesce(a.n_active, 0) AS n_active,
+      |  coalesce(a.n_segments, 0) AS n_segments,
+      |  a.max_run, a.first_active, a.last_active
+      |FROM tot t LEFT JOIN agg a ON a.id = t.id""".stripMargin
+
   /** q_burstiness: per-word Fano factor over all N documents (zeros
     * included via the N-and-containing-sums identity), exact ppm in
     * HUGEINT, mirroring CorpusStats.burstinessOf. */

@@ -188,6 +188,8 @@ object SparkEntry {
     "q_winnow_overlap" -> ((s, d) => Winnow.winnowOverlap(s, d)),
     "q_burstiness" -> ((s, d) => CorpusStats.burstiness(s, d)),
     "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
+    "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
+    "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1369,6 +1371,9 @@ object SparkEntry {
     "q_winnow_overlap" -> OracleSql.winnowOverlap(),
     "q_burstiness" -> OracleSql.burstiness(),
     "q_zipf_fit" -> OracleSql.zipfFit(),
+    "q_doc_entropy" -> OracleSql.docEntropy,
+    // VAD: per-window sums from the doc_id formula + gaps-and-islands
+    "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * 256L),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

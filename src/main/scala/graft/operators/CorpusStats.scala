@@ -174,6 +174,48 @@ object CorpusStats {
         s"(CAST(n_tokens AS DECIMAL(38,0)) * 2) AS BIGINT)"))
 
   // ---------------------------------------------------------------
+  // Per-document unigram entropy (lexical diversity)
+  // ---------------------------------------------------------------
+
+  /** Per-document unigram entropy in exact half-bits — the
+    * lexical-diversity quality signal at the WORD grain
+    * (char_diversity covers characters, unigram_commonness covers
+    * corpus frequency; this row measures how repetitive the document
+    * itself is): H(doc) = Σ_w (c_w/n)·log₂(n/c_w), summed as integer
+    * half-bit surprisals weighted by counts, plus the type-token
+    * ratio in ppm. Template/spam mass scores low; natural prose
+    * tracks log₂(vocabulary).
+    *
+    * Shape at 100 TB: one tokenize scan → (doc, word) counts (one
+    * corpus-scale shuffle with map-side partials) → per-doc totals
+    * via a window over the SAME partitioning (no second exchange) →
+    * per-doc sums. Nothing wider than (doc_id, word, count)
+    * shuffles. */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame =
+    docEntropyOf(Tables.documents(spark, dir))
+
+  /** [[docEntropy]] over a prepared (doc_id, text) frame. */
+  def docEntropyOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nt", sum(col("c")).over(w))
+      .withColumn("h_w", col("c") * halfLog2Ratio(col("nt"), col("c")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nt")).as("n_tokens"),
+        count(lit(1)).as("vocab_doc"),
+        sum(col("h_w")).as("h_hb"))
+      .withColumn("h_mbit_tok", perTokenMilliBits("h_hb"))
+      .withColumn("ttr_ppm",
+        when(col("n_tokens") > 0L,
+          expr("CAST((CAST(vocab_doc AS DECIMAL(38,0)) * 1000000) DIV " +
+            "CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)")))
+  }
+
+  // ---------------------------------------------------------------
   // Word burstiness (Fano factor)
   // ---------------------------------------------------------------
 

@@ -3070,4 +3070,53 @@ object Multimodal {
         "energy_out", "checksum")
   }
 
+  /** Energy-threshold voice-activity detection over the GA01 clips —
+    * the segment-structure gauge a silence RATIO can't give: a window
+    * of [[Ga01Window]] samples is ACTIVE when its Σ|x| ≥
+    * `thrMeanAbs`·window (an exact integer compare — no float
+    * energy), and the row reports the activity RUN structure per
+    * clip: active count, segment count (inactive→active transitions),
+    * longest run, and the first/last active window (NULL when the
+    * whole clip is quiet) — the trim points a speech-data pipeline
+    * cuts leading/trailing silence at. The oracle recomputes every
+    * window sum from the doc_id formula and rebuilds the runs
+    * relationally (gaps-and-islands), so the decode loop's run
+    * bookkeeping is hash-checked, not trusted. Row-local
+    * per-partition decode, zero shuffle. */
+  def mediaVad(spark: SparkSession, dir: String,
+               thrMeanAbs: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val thrSum = thrMeanAbs * Ga01Window
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, xs) = ga01Decode(bytes)
+        val nWin = xs.length / Ga01Window
+        var nActive = 0L
+        var nSegments = 0L
+        var maxRun = 0L
+        var run = 0L
+        var firstActive: Option[Long] = None
+        var lastActive: Option[Long] = None
+        var k = 0
+        while (k < nWin) {
+          var absSum = 0L
+          var i = k * Ga01Window
+          val end = i + Ga01Window
+          while (i < end) { absSum += math.abs(xs(i).toLong); i += 1 }
+          if (absSum >= thrSum) {
+            nActive += 1
+            if (run == 0L) nSegments += 1
+            run += 1
+            if (run > maxRun) maxRun = run
+            if (firstActive.isEmpty) firstActive = Some(k.toLong)
+            lastActive = Some(k.toLong)
+          } else run = 0L
+          k += 1
+        }
+        (id, nWin.toLong, nActive, nSegments,
+          if (nActive == 0L) None else Some(maxRun), firstActive, lastActive)
+      }).toDF("doc_id", "n_windows", "n_active", "n_segments",
+        "max_run", "first_active", "last_active")
+  }
+
 }

@@ -116,6 +116,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("docEntropy equals the driver reference; repetitive docs score low") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"),        // all-distinct: H = log2(8) = 3 bits
+      (1L, "a a a a a a a a"),        // degenerate: H = 0
+      (2L, "a a b b"),                // H = 1 bit
+      (3L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.docEntropyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(0L -> "a b c d e f g h", 1L -> "a a a a a a a a",
+      2L -> "a a b b", 3L -> "x").foreach { case (id, text) =>
+      val counts = text.split(" ").groupBy(identity).view.mapValues(_.size.toLong)
+      val nt = counts.values.sum
+      val hb = counts.values.map(c => c * CorpusStats.halfLog2Big(nt, c)).sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("vocab_doc") == counts.size.toLong)
+      assert(r.getAs[Long]("h_hb") == hb, s"doc $id")
+      assert(r.getAs[Long]("ttr_ppm") == counts.size.toLong * 1000000L / nt)
+    }
+    // exact landmark values: 8 distinct tokens = 3 bits = 6 half-bits
+    // per token; a constant doc = 0
+    assert(got(0L).getAs[Long]("h_hb") == 48L) // 8 tokens x 6 hb
+    assert(got(1L).getAs[Long]("h_hb") == 0L)
+    assert(got(2L).getAs[Long]("h_mbit_tok") == 1000000L)
+    assert(got(0L).getAs[Long]("h_mbit_tok") > got(1L).getAs[Long]("h_mbit_tok"))
+  }
+
   test("burstiness: clumped word outranks uniform word, values exact") {
     import spark.implicits._
     // 10 docs; 'uni' once per doc (Fano -> (N*10-100)/(N*10)=0 ppm

@@ -673,6 +673,52 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mediaVad run structure equals a driver rebuild of the windows") {
+    val got = Multimodal.mediaVad(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    ids.take(50).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val nWin = n / Multimodal.Ga01Window
+      val act = (0 until nWin).map(k =>
+        xs.slice(k * 256, k * 256 + 256).map(math.abs).sum >= 64L * 256L)
+      val runs = {
+        var out = List.empty[(Int, Int)] // (start, len)
+        var k = 0
+        while (k < nWin) {
+          if (act(k)) {
+            val s = k
+            while (k < nWin && act(k)) k += 1
+            out = (s, k - s) :: out
+          } else k += 1
+        }
+        out.reverse
+      }
+      val r = got(id)
+      assert(r.getAs[Long]("n_windows") == nWin.toLong)
+      assert(r.getAs[Long]("n_active") == act.count(identity).toLong)
+      assert(r.getAs[Long]("n_segments") == runs.size.toLong, s"doc $id")
+      if (runs.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("max_run")), s"doc $id max_run")
+        assert(r.isNullAt(r.fieldIndex("first_active")))
+        assert(r.isNullAt(r.fieldIndex("last_active")))
+      } else {
+        assert(r.getAs[Long]("max_run") == runs.map(_._2).max.toLong)
+        assert(r.getAs[Long]("first_active") == runs.head._1.toLong)
+        assert(r.getAs[Long]("last_active") ==
+          (runs.last._1 + runs.last._2 - 1).toLong)
+      }
+    }
+    // non-vacuity: the planted silence makes multi-segment clips
+    assert(got.values.exists(_.getAs[Long]("n_segments") >= 2L))
+  }
+
   test("average-pool resize conserves total luma across pools") {
     val decode = Multimodal.mediaDecode(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"), col("n_frames")).collect()
