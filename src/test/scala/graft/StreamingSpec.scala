@@ -1080,6 +1080,66 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("streaming domain-KL gate: per-source batches against the parked unigram model equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // unigram model trained OFFLINE, parked in parquet, RELOADED —
+    // totals re-derive from the table itself so the round trip cannot
+    // desynchronize stats from rows
+    val corpus = Tables.documents(spark, sfDir).select("source", "text")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-unigram-model-").toString
+    graft.operators.CorpusStats.unigramModelOf(corpus)
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir).cache()
+    val want = graft.operators.CorpusStats.domainKl(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_src"),
+          r.getAs[Long]("h_hb"), r.getAs[Long]("ce_hb"),
+          r.getAs[Long]("kl_mbit_tok")))).toMap
+    val input = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Map[String, (Long, Long, Long, Long, Long)]()
+    val q = input.toDF().toDF("source", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.CorpusStats.domainKlAgainst(batch, model)
+          .collect().foreach(r => got(r.getAs[String]("source")) =
+            ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_src"),
+              r.getAs[Long]("h_hb"), r.getAs[Long]("ce_hb"),
+              r.getAs[Long]("kl_mbit_tok"))))
+        ()
+      }.start()
+    try {
+      // one micro-batch per source: the per-source KL of a complete
+      // slice against the corpus-trained model IS the batch-panel row
+      // (same kernel, same smoothing — spec-pinned equal)
+      val bySource = corpus.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1)
+      bySource.values.foreach { docs =>
+        input.addData(docs.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(got.toMap == want,
+        s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+      // an out-of-distribution batch: every unseen word costs the
+      // add-one vocabulary floor hlog(B+V, 1) — maximum surprise
+      val bt = model.agg(org.apache.spark.sql.functions.sum("c"))
+        .head().getLong(0)
+      val v = model.count()
+      input.addData(("alien", "zzqx vvkp zzqx"))
+      q.processAllAvailable()
+      import graft.operators.CorpusStats.halfLog2Big
+      val hWant = 2L * halfLog2Big(3L, 2L) + halfLog2Big(3L, 1L)
+      val ceWant = 3L * halfLog2Big(bt + v, 1L)
+      val klWant = ceWant * 1000000L / 6L - hWant * 1000000L / 6L
+      assert(got("alien") == ((3L, 2L, hWant, ceWant, klWant)),
+        s"OOD batch scored ${got("alien")}, bt=$bt v=$v")
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("streaming quality gate: per-batch buckets against trained thresholds equal the batch panel") {
     val s = spark
     import s.implicits._
