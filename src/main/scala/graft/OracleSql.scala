@@ -2028,7 +2028,11 @@ FROM cf"""
     * is (signed hash ASC, position DESC) — key = (g + 2⁶³)·2³² +
     * (2³²−1−p) — take the window MIN over every `w`-gram frame, and
     * DISTINCT the winning keys: exactly "rightmost minimum per
-    * window, each position recorded once". */
+    * window, each position recorded once". The 2³² position slot can
+    * never saturate: gram positions are bounded by the document's
+    * token count, and a Spark string cell caps at 2³¹ bytes (the
+    * UTF8String/Array[Byte] limit the deque kernel itself inherits),
+    * so p < 2³¹ < 2³² on any representable input. */
   private def winnowCtes(n: Int, w: Int): Seq[String] = {
     val (tokStages, tokLast) = mixStages("wfnv", "wtx", Seq("doc_id", "ti"), Left("h0"))
     val (gramStages, gramLast) = mixStages("wsh", "wgx", Seq("doc_id", "gi"), Left("sh0"))

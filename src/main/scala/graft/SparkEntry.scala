@@ -1373,7 +1373,8 @@ object SparkEntry {
     "q_zipf_fit" -> OracleSql.zipfFit(),
     "q_doc_entropy" -> OracleSql.docEntropy,
     // VAD: per-window sums from the doc_id formula + gaps-and-islands
-    "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * 256L),
+    // (threshold derives from the SAME constants as the Spark side)
+    "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * Multimodal.Ga01Window),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -186,23 +186,24 @@ object CorpusStats {
     * ratio in ppm. Template/spam mass scores low; natural prose
     * tracks log₂(vocabulary).
     *
-    * Shape at 100 TB: one tokenize scan → (doc, word) counts (one
-    * corpus-scale shuffle with map-side partials) → per-doc totals
-    * via a window over the SAME partitioning (no second exchange) →
-    * per-doc sums. Nothing wider than (doc_id, word, count)
-    * shuffles. */
+    * Shape at 100 TB: the per-doc token total is computed ROW-LOCALLY
+    * before the explode (it is just the token count — no window, no
+    * extra exchange), then one corpus-scale (doc, word) shuffle with
+    * map-side partials and one doc-scale rollup. Nothing wider than
+    * (doc_id, word, count) shuffles. */
   def docEntropy(spark: SparkSession, dir: String): DataFrame =
     docEntropyOf(Tables.documents(spark, dir))
 
   /** [[docEntropy]] over a prepared (doc_id, text) frame. */
-  def docEntropyOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+  def docEntropyOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks0"))
+      .select(col("doc_id"),
+        expr("filter(toks0, t -> t != '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
+        explode(col("toks")).as("word"))
       .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("nt", sum(col("c")).over(w))
+      .agg(count(lit(1)).as("c"), max(col("nt")).as("nt"))
       .withColumn("h_w", col("c") * halfLog2Ratio(col("nt"), col("c")))
       .groupBy(col("doc_id"))
       .agg(max(col("nt")).as("n_tokens"),
@@ -213,7 +214,6 @@ object CorpusStats {
         when(col("n_tokens") > 0L,
           expr("CAST((CAST(vocab_doc AS DECIMAL(38,0)) * 1000000) DIV " +
             "CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)")))
-  }
 
   // ---------------------------------------------------------------
   // Word burstiness (Fano factor)

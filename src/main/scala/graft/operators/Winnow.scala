@@ -39,14 +39,17 @@ object Winnow {
   /** [[winnowFingerprint]] over a prepared (doc_id, text) frame. */
   def winnowFingerprintOf(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
     docs
-      // project the two hash arrays FIRST: both are referenced more
-      // than once below, which keeps CollapseProject from re-inlining
-      // the expensive kernels into every consumer
+      // project the hash array FIRST: it is referenced more than once
+      // below, which keeps CollapseProject from re-inlining the
+      // expensive kernel into every consumer. n_grams is pure
+      // arithmetic on the token count (max(0, tokens−n+1)) — never a
+      // second tokenize+hash pass over the text
       .select(col("doc_id"),
         winnow_hashes(coalesce(col("text"), lit("")), n, w).as("fps"),
-        shingle_hash_seq(coalesce(col("text"), lit("")), n).as("gseq"))
+        size(expr("filter(split(trim(coalesce(text, '')), '\\\\s+')," +
+          " t -> t != '')")).cast("long").as("n_toks"))
       .select(col("doc_id"),
-        size(col("gseq")).cast("long").as("n_grams"),
+        greatest(col("n_toks") - lit(n - 1L), lit(0L)).as("n_grams"),
         size(col("fps")).cast("long").as("n_selected"),
         size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"),
         expr("CAST(aggregate(fps, CAST(0 AS DECIMAL(38,0))," +
