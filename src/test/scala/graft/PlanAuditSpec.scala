@@ -856,6 +856,64 @@ class PlanAuditSpec extends SparkSpec {
       s"document text crosses a shuffle: $exchanges")
   }
 
+  test("winnow overlap: one fingerprint exchange reused by both join sides, text never shuffles") {
+    val df = graft.operators.Winnow.winnowOverlap(spark, sfDir)
+    df.collect() // AQE must finalize before ReusedExchange is visible
+    val plan = physical(df)
+    assert(plan.contains("ReusedExchange"),
+      s"self-join children diverged — fingerprint exchange planned twice:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"), plan)
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("winnow fingerprint census is row-local: zero exchanges, zero joins") {
+    val df = graft.operators.Winnow.winnowFingerprint(spark, sfDir)
+    val plan = physical(df)
+    assert(!plan.contains("Exchange"), s"row-local census shuffles:\n$plan")
+    assert(!plan.contains("Join"), plan)
+    // the selection kernel must appear ONCE in the plan (the projected
+    // column is reused, not re-inlined per consumer)
+    assert("winnow_hashes".r.findAllIn(plan).size <= 2,
+      s"winnow kernel re-inlined:\n$plan")
+  }
+
+  test("domain KL: the (source, word) exchange is planned once and reused — one executed tokenize scan") {
+    val df = graft.operators.CorpusStats.domainKl(spark, sfDir)
+    df.collect() // finalize AQE: reuse replaces the repeated subtrees
+    val plan = physical(df)
+    // the corpus-count and totals branches re-aggregate the SAME
+    // (source, word) exchange; after reuse only one scan executes
+    assert(plan.contains("ReusedExchange"),
+      s"(source,word) aggregate planned more than once:\n$plan")
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("burstiness: map-side partials, global top-k without a full sort, no text shuffle") {
+    val df = graft.operators.CorpusStats.burstiness(spark, sfDir)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
+  test("doc entropy: no window operator, text never shuffles") {
+    val df = graft.operators.CorpusStats.docEntropy(spark, sfDir)
+    val plan = physical(df)
+    // per-doc totals are row-local arithmetic BEFORE the explode — a
+    // regression back to a window would single-partition nothing but
+    // still pay a per-doc sort
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    val exchanges = shuffleInputSchemas(df)
+    assert(exchanges.forall(!_.contains("text")),
+      s"document text crosses a shuffle: $exchanges")
+  }
+
   test("pii redact runs at scan speed: zero shuffles, whole-stage codegen") {
     val df = graft.operators.TextAnalysis.piiRedact(spark, sfDir)
     assert(shuffleInputSchemas(df).isEmpty,
