@@ -429,6 +429,87 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
       "\nFROM ag"
   }
 
+  /** q_judge_agreement: Cohen's kappa between the Gopher gate and the
+    * hashed classifier off the SHARED logit + gopher chains — 2×2
+    * confusion counts, exact kappa numerator/denominator in HUGEINT
+    * (VARCHAR-shipped, above int64 at web scale) and the shifted
+    * ⌊(num+den)·10⁶/(2·den)⌋ headline whose operands are always
+    * non-negative (TextAnalysis.judgeAgreementOf). */
+  def judgeAgreement(weights: Seq[Long]): String =
+    "WITH " + (logitCtes(weights) ++ Seq(
+      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+      gopherCtes ++ Seq(
+      "pv AS (SELECT coalesce(gp.pass, false) AS p, sc.logit_fp > 0 AS a" +
+        " FROM sc JOIN gp ON gp.doc_id = sc.doc_id)",
+      """ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p AND a THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN p AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
+        |  CAST(sum(CASE WHEN NOT p AND a THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+        |  CAST(sum(CASE WHEN NOT p AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        | FROM pv)""".stripMargin,
+      """kd AS (SELECT *,
+        |  CAST(n_docs AS HUGEINT) * (n_both + n_neither) -
+        |   ((CAST(n_both AS HUGEINT) + n_gopher_only) * (CAST(n_both AS HUGEINT) + n_clf_only) +
+        |    (CAST(n_clf_only AS HUGEINT) + n_neither) * (CAST(n_gopher_only AS HUGEINT) + n_neither))
+        |   AS kappa_num_d,
+        |  CAST(n_docs AS HUGEINT) * n_docs -
+        |   ((CAST(n_both AS HUGEINT) + n_gopher_only) * (CAST(n_both AS HUGEINT) + n_clf_only) +
+        |    (CAST(n_clf_only AS HUGEINT) + n_neither) * (CAST(n_gopher_only AS HUGEINT) + n_neither))
+        |   AS kappa_den_d
+        | FROM ag)""".stripMargin))
+      .mkString(",\n ") +
+      """
+        |SELECT n_docs, n_both, n_gopher_only, n_clf_only, n_neither,
+        |  CASE WHEN n_docs > 0 THEN CAST(((CAST(n_both AS HUGEINT) + n_neither)
+        |    * 1000000) // CAST(n_docs AS HUGEINT) AS BIGINT) END AS po_ppm,
+        |  CAST(kappa_num_d AS VARCHAR) AS kappa_num,
+        |  CAST(kappa_den_d AS VARCHAR) AS kappa_den,
+        |  CASE WHEN kappa_den_d > 0 THEN CAST(((kappa_num_d + kappa_den_d)
+        |    * 1000000) // (kappa_den_d * 2) AS BIGINT) END AS kappa_shift_ppm
+        |FROM kd""".stripMargin
+
+  /** q_mixture_unimax: the exact integer water-filling, mirroring
+    * Sampling.mixtureUnimaxOf — capacity-ascending prefix sums, the
+    * floor-share fits compare, first-failure cut, equal split of the
+    * remainder with the first R mod m uncapped sources (capacity
+    * order) taking one extra token. CASE evaluates lazily per row in
+    * both engines, so the all-capped corpus never divides by the
+    * empty uncapped count. */
+  def mixtureUnimax(epochCap: Int = 4): String =
+    s"""WITH ps AS (SELECT source, CAST(sum(len(
+      |   regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      | cp AS (SELECT source, n_tokens, n_tokens * $epochCap AS cap_tokens FROM ps),
+      | tt AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |   CAST(sum(n_tokens) * 3 // 2 AS BIGINT) AS budget FROM cp),
+      | rk AS (SELECT cp.*, tt.n_sources, tt.budget,
+      |   CAST(row_number() OVER (ORDER BY cap_tokens ASC, source ASC NULLS FIRST)
+      |     AS BIGINT) AS i,
+      |   CAST(coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens ASC, source ASC NULLS FIRST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+      |  FROM cp CROSS JOIN tt),
+      | ft AS (SELECT *, (cap_tokens * (n_sources - i + 1) + pre <= budget) AS fits
+      |  FROM rk),
+      | ct AS (SELECT min(CASE WHEN NOT fits THEN i END) AS k_raw FROM ft),
+      | kf AS (SELECT ft.*, coalesce(ct.k_raw, n_sources + 1) AS k
+      |  FROM ft CROSS JOIN ct),
+      | sp AS (SELECT CAST(coalesce(sum(CASE WHEN i < k THEN cap_tokens END), 0)
+      |   AS BIGINT) AS p_capped FROM kf),
+      | al AS (SELECT kf.*, sp.p_capped,
+      |   CASE WHEN i < k THEN cap_tokens
+      |        ELSE ((budget - p_capped) // (n_sources - k + 1)) +
+      |          (CASE WHEN i - k + 1 <= (budget - p_capped) -
+      |            ((budget - p_capped) // (n_sources - k + 1)) * (n_sources - k + 1)
+      |           THEN 1 ELSE 0 END)
+      |   END AS alloc_tokens
+      |  FROM kf CROSS JOIN sp)
+      |SELECT source, n_tokens, cap_tokens, budget, (i < k) AS capped,
+      |  alloc_tokens,
+      |  CASE WHEN n_tokens > 0 THEN CAST((CAST(alloc_tokens AS HUGEINT)
+      |    * 1000000) // CAST(n_tokens AS HUGEINT) AS BIGINT) END AS epochs_ppm
+      |FROM al""".stripMargin
+
   /** q_gram_novelty: per-doc fraction of distinct word-n-grams no
     * earlier (min-doc_id) document contains — the dg chain plus a
     * gram → first-doc aggregate; one IEEE division of exact ints. */

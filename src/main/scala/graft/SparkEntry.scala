@@ -190,6 +190,8 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
     "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
+    "q_judge_agreement" -> ((s, d) => TextAnalysis.judgeAgreement(s, d)),
+    "q_mixture_unimax" -> ((s, d) => Sampling.mixtureUnimax(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1375,6 +1377,11 @@ object SparkEntry {
     // VAD: per-window sums from the doc_id formula + gaps-and-islands
     // (threshold derives from the SAME constants as the Spark side)
     "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * Multimodal.Ga01Window),
+    // Cohen's kappa between the two quality judges (shared chains)
+    "q_judge_agreement" ->
+      OracleSql.judgeAgreement(TextAnalysis.classifierWeights(256)),
+    // UniMax water-filling over the per-source token census
+    "q_mixture_unimax" -> OracleSql.mixtureUnimax(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

@@ -365,4 +365,84 @@ object Sampling {
                   |     CAST(n_tokens AS $d38) AS BIGINT)""".stripMargin))
           .as("lost_ppm"))
   }
+
+  /** UniMax-style epoch-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): split a total token
+    * budget across sources so no source repeats more than `epochCap`
+    * epochs — small sources cap out at epochCap·size, the leftover
+    * budget water-fills EQUALLY among the big ones. The
+    * mixture-planning step that turns the per-source census into an
+    * actual sampling plan ([[mixtureTemperature]] reweights
+    * proportionally; this allocates an absolute budget with a
+    * repetition bound).
+    *
+    * Exact integer water-filling, no iteration: sort sources by
+    * capacity c = epochCap·tokens ascending (source ASC tiebreak —
+    * NULLS FIRST in both engines); with prefix sums P and n sources,
+    * source i caps out iff every j ≤ i satisfies
+    * c_j·(n−j+1) + P_{j−1} ≤ T (the floor-share compare
+    * c ≤ ⌊R/m⌋ ⟺ c·m ≤ R — integers make the fair-share argument
+    * exact). Uncapped sources split the remainder R as base = ⌊R/m⌋
+    * with the first R mod m of them (capacity order) getting one
+    * extra token, so Σ alloc = min(T, Σc) EXACTLY — no ppm drift for
+    * a downstream packer to reconcile. The default budget is 1.5×
+    * the corpus (⌊3·Σtokens/2⌋), stamped on every row.
+    *
+    * Scale shape: one tokenize scan → per-source token sums (one
+    * keyed shuffle); everything after runs on the #sources-row frame
+    * (a catalog, not data — the global windows are bounded by the
+    * source count at any corpus size). */
+  def mixtureUnimax(spark: SparkSession, dir: String,
+                    epochCap: Int = 4): DataFrame =
+    mixtureUnimaxOf(Tables.documents(spark, dir), epochCap)
+
+  /** [[mixtureUnimax]] over a prepared (source, text) frame. */
+  def mixtureUnimaxOf(docs: DataFrame, epochCap: Int = 4): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val perSource = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.wordCount(col("text"))
+          .cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+    val totals = perSource.agg(
+      count(lit(1)).as("n_sources"),
+      expr("CAST(sum(n_tokens) * 3 DIV 2 AS BIGINT)").as("budget"))
+    val w = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+    val ranked = perSource.crossJoin(broadcast(totals))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pre",
+        coalesce(sum(col("cap_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fits",
+        col("cap_tokens") * (col("n_sources") - col("i") + 1L) + col("pre")
+          <= col("budget"))
+    // k = first index whose fair-share compare fails; everything
+    // before it caps out (the water-filling prefix property)
+    val cut = ranked.agg(
+      min(when(!col("fits"), col("i"))).as("k_raw"),
+      sum(when(col("fits"), col("cap_tokens")).otherwise(0L)).as("p_any"))
+    val kFrame = ranked.crossJoin(broadcast(cut))
+      .withColumn("k", coalesce(col("k_raw"), col("n_sources") + 1L))
+      .withColumn("capped", col("i") < col("k"))
+    val spent = kFrame.agg(
+      sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("p_capped"))
+    kFrame.crossJoin(broadcast(spent))
+      .withColumn("m", col("n_sources") - col("k") + 1L)
+      .withColumn("rest", col("budget") - col("p_capped"))
+      .withColumn("base",
+        when(col("m") > 0L, expr("rest DIV m")).otherwise(lit(0L)))
+      .withColumn("extra", col("rest") - col("base") * col("m"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(col("base") +
+            when(col("i") - col("k") + 1L <= col("extra"), 1L).otherwise(0L)))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0L,
+          expr(s"CAST((CAST(alloc_tokens AS $d38) * 1000000) DIV " +
+            s"CAST(n_tokens AS $d38) AS BIGINT)")))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("budget"), col("capped"), col("alloc_tokens"), col("epochs_ppm"))
+  }
 }

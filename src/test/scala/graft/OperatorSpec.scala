@@ -719,6 +719,98 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.exists(_.getAs[Long]("n_segments") >= 2L))
   }
 
+  test("judgeAgreement: kappa counts equal the joined public verdicts") {
+    val ta = graft.operators.TextAnalysis
+    val pass = ta.gopherPanel(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("pass")).exists(_ == true)).toMap
+    val accept = ta.classifierScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("accept")).toMap
+    assert(pass.keySet == accept.keySet)
+    val n = pass.size.toLong
+    val both = pass.keys.count(k => pass(k) && accept(k)).toLong
+    val gOnly = pass.keys.count(k => pass(k) && !accept(k)).toLong
+    val cOnly = pass.keys.count(k => !pass(k) && accept(k)).toLong
+    val neither = n - both - gOnly - cOnly
+    val r = ta.judgeAgreement(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_both") == both)
+    assert(r.getAs[Long]("n_gopher_only") == gOnly)
+    assert(r.getAs[Long]("n_clf_only") == cOnly)
+    assert(r.getAs[Long]("n_neither") == neither)
+    // exact kappa identity on BigInt, shifted-ppm floor included
+    val diag = BigInt(both + neither)
+    val s = BigInt(both + gOnly) * BigInt(both + cOnly) +
+      BigInt(cOnly + neither) * BigInt(gOnly + neither)
+    val num = BigInt(n) * diag - s
+    val den = BigInt(n) * BigInt(n) - s
+    assert(BigInt(r.getAs[String]("kappa_num")) == num)
+    assert(BigInt(r.getAs[String]("kappa_den")) == den)
+    if (den > 0)
+      assert(BigInt(r.getAs[Long]("kappa_shift_ppm")) ==
+        (num + den) * 1000000 / (den * 2))
+    assert(r.getAs[Long]("po_ppm") == (both + neither) * 1000000L / n)
+  }
+
+  test("mixtureUnimax matches sequential water-filling invariants (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (0 until 25).foreach { trial =>
+      val nSrc = 1 + rnd.nextInt(8)
+      // synthesize (source, text) with known token counts
+      val sizes = (0 until nSrc).map(i => s"s$i" -> (1 + rnd.nextInt(40)))
+      val docs = sizes.map { case (src, toks) =>
+        (src, Seq.fill(toks)("w").mkString(" "))
+      }.toDF("source", "text")
+      val cap = 4L
+      val got = graft.operators.Sampling.mixtureUnimaxOf(docs, 4).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val caps = sizes.map { case (s, t) => s -> t.toLong * cap }.toMap
+      val total = sizes.map(_._2.toLong).sum
+      val budget = total * 3L / 2L
+      // sequential reference (ascending capacity, source tiebreak)
+      val order = sizes.map(_._1).sortBy(s => (caps(s), s))
+      var rem = budget
+      var m = nSrc.toLong
+      val seqAlloc = scala.collection.mutable.Map[String, Long]()
+      order.foreach { s =>
+        val share = rem / m
+        val a = math.min(caps(s), share)
+        seqAlloc(s) = a; rem -= a; m -= 1
+      }
+      val seqCapped = order.takeWhile(s => seqAlloc(s) == caps(s)).toSet
+      // invariants: identical capped set, exact budget conservation,
+      // per-source drift <= 1 token (remainder placement differs by
+      // documented design), caps never exceeded
+      sizes.foreach { case (s, t) =>
+        val r = got(s)
+        assert(r.getAs[Long]("n_tokens") == t.toLong, s"trial $trial $s")
+        assert(r.getAs[Long]("cap_tokens") == caps(s))
+        assert(r.getAs[Long]("budget") == budget)
+        assert(r.getAs[Long]("alloc_tokens") <= caps(s), s"over cap: $s")
+        assert(math.abs(r.getAs[Long]("alloc_tokens") - seqAlloc(s)) <= 1L,
+          s"trial $trial $s: ${r.getAs[Long]("alloc_tokens")} vs ${seqAlloc(s)}")
+        // the capped PREFIX is identical by construction: sequential
+        // water-filling caps exactly the sources before the first
+        // failed fair-share compare
+        assert(r.getAs[Boolean]("capped") == seqCapped.contains(s),
+          s"trial $trial $s capped mismatch")
+      }
+      assert(got.values.map(_.getAs[Long]("alloc_tokens")).sum ==
+        math.min(budget, caps.values.sum), s"trial $trial: budget not conserved")
+    }
+    // hand example: sources 1/2/100 tokens, cap 4 -> caps 4/8/400,
+    // budget 154: 4 and 8 cap out, the big source takes 142 (< 400)
+    val hand = Seq(("a", "w"), ("b", "w w"),
+      ("c", Seq.fill(100)("w").mkString(" "))).toDF("source", "text")
+    val h = graft.operators.Sampling.mixtureUnimaxOf(hand, 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped")))).toMap
+    assert(h("a") == ((4L, true)))
+    assert(h("b") == ((8L, true)))
+    assert(h("c") == ((142L, false)))
+  }
+
   test("average-pool resize conserves total luma across pools") {
     val decode = Multimodal.mediaDecode(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"), col("n_frames")).collect()
