@@ -2184,6 +2184,31 @@ FROM cf"""
         |FROM wf2 a JOIN wf2 b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
 
+  /** q_winnow_decontam: detection-guaranteed contamination scan —
+    * train docs (source ≠ evalSource, NULL included) sharing ≥
+    * minShared distinct winnowed fingerprints with the eval slice's
+    * fingerprint UNION, mirroring Winnow.winnowDecontamOf (linear
+    * join against the distinct eval set, no pair expansion). */
+  def winnowDecontam(evalSource: String = "src0", n: Int = 3, w: Int = 4,
+                     minShared: Long = 2L): String = {
+    val ev = evalSource.replace("'", "''")
+    "WITH " + (winnowCtes(n, w) ++ Seq(
+      "wdd AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM wfp)",
+      "wnd2 AS (SELECT doc_id, count(*) AS nd FROM wdd GROUP BY 1)",
+      "wsrc AS (SELECT wdd.doc_id, d.source, wdd.g FROM wdd" +
+        " JOIN documents d USING (doc_id))",
+      s"ev AS (SELECT DISTINCT g FROM wsrc WHERE source IS NOT DISTINCT FROM '$ev')",
+      s"tr AS (SELECT doc_id, g FROM wsrc WHERE source IS DISTINCT FROM '$ev')",
+      "hit AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared" +
+        " FROM tr JOIN ev USING (g) GROUP BY 1)")).mkString(",\n ") +
+      s"""
+        |SELECT h.doc_id, n.nd, h.n_shared,
+        |  CASE WHEN n.nd > 0 THEN (h.n_shared * CAST(1000000 AS BIGINT))
+        |    // n.nd END AS share_ppm
+        |FROM hit h JOIN wnd2 n USING (doc_id)
+        |WHERE h.n_shared >= $minShared""".stripMargin
+  }
+
   /** t = floor(log₂(n/d)) for BIGINT exprs with 1 ≤ d ≤ n: bit
     * lengths + one shift-compare — the first stage of the half-bit
     * log mirroring CorpusStats.halfLog2Ratio. */
@@ -2312,6 +2337,42 @@ FROM cf"""
       |FROM ws CROSS JOIN n WHERE df >= $minDf
       |ORDER BY fano_ppm DESC, word LIMIT $k""".stripMargin
 
+  /** The shared half-bit OLS SQL tail (mirrors
+    * CorpusStats.olsHalfBit): given a source CTE carrying BIGINT
+    * columns `xExpr` ≥ 1 and `yExpr` ≥ 1, emits the hlog stages, the
+    * sum aggregate, and the final SELECT with the slope (negated when
+    * `negate`) and sign-guarded intercept — one spelling of the fit
+    * for the Zipf and Heaps rows. */
+  private def olsHalfBitSql(srcCte: String, xExpr: String, yExpr: String,
+                            nName: String, slopeName: String,
+                            negate: Boolean): String = {
+    val slopeNum =
+      if (negate)
+        s"CAST(sum_x AS HUGEINT) * sum_y - CAST($nName AS HUGEINT) * sum_xy"
+      else
+        s"CAST($nName AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y"
+    s""" s1 AS (SELECT *, T_X AS t_x, T_Y AS t_y FROM $srcCte),
+      | s2 AS (SELECT *, (CAST(1 AS BIGINT) << t_x) AS q_x,
+      |   (CAST(1 AS BIGINT) << t_y) AS q_y FROM s1),
+      | xy AS (SELECT HB_X AS x, HB_Y AS y FROM s2),
+      | ag AS (SELECT count(*) AS $nName, CAST(sum(x) AS BIGINT) AS sum_x,
+      |   CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(x * y) AS BIGINT) AS sum_xy,
+      |   CAST(sum(x * x) AS BIGINT) AS sum_xx FROM xy),
+      | d AS (SELECT *, $nName * sum_xx - sum_x * sum_x AS den,
+      |   sum_y * sum_xx - sum_x * sum_xy AS icept FROM ag)
+      |SELECT $nName, sum_x, sum_y, sum_xy, sum_xx,
+      |  CASE WHEN den > 0 THEN CAST(($slopeNum) * 1000000
+      |    // CAST(den AS HUGEINT) AS BIGINT) END AS $slopeName,
+      |  CASE WHEN den > 0 AND icept >= 0 THEN
+      |    CAST(CAST(icept AS HUGEINT) * 1000000
+      |    // CAST(den AS HUGEINT) AS BIGINT) END AS intercept_hb_ppm
+      |FROM d""".stripMargin
+      .replace("T_X", hlogT(xExpr, "CAST(1 AS BIGINT)"))
+      .replace("T_Y", hlogT(yExpr, "CAST(1 AS BIGINT)"))
+      .replace("HB_X", hlogFinish(xExpr, "t_x", "q_x"))
+      .replace("HB_Y", hlogFinish(yExpr, "t_y", "q_y"))
+  }
+
   /** q_zipf_fit: OLS of half-bit log-frequency on half-bit log-rank
     * over the top-N words, mirroring CorpusStats.zipfFitOf — the
     * negated slope keeps the floor division non-negative (rank order
@@ -2324,26 +2385,33 @@ FROM cf"""
       | wc AS (SELECT word, count(*) AS f FROM t2 GROUP BY 1),
       | top AS (SELECT word, f FROM wc ORDER BY f DESC, word LIMIT $topN),
       | rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, word)
-      |   AS BIGINT) AS r FROM top),
-      | s1 AS (SELECT *, T_X AS t_x, T_Y AS t_y FROM rk),
-      | s2 AS (SELECT *, (CAST(1 AS BIGINT) << t_x) AS q_x,
-      |   (CAST(1 AS BIGINT) << t_y) AS q_y FROM s1),
-      | xy AS (SELECT HB_X AS x, HB_Y AS y FROM s2),
-      | ag AS (SELECT count(*) AS n_words, CAST(sum(x) AS BIGINT) AS sum_x,
-      |   CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(x * y) AS BIGINT) AS sum_xy,
-      |   CAST(sum(x * x) AS BIGINT) AS sum_xx FROM xy),
-      | d AS (SELECT *, n_words * sum_xx - sum_x * sum_x AS den,
-      |   sum_y * sum_xx - sum_x * sum_xy AS icept FROM ag)
-      |SELECT n_words, sum_x, sum_y, sum_xy, sum_xx,
-      |  CASE WHEN den > 0 THEN CAST((CAST(sum_x AS HUGEINT) * sum_y -
-      |    CAST(n_words AS HUGEINT) * sum_xy) * 1000000
-      |    // CAST(den AS HUGEINT) AS BIGINT) END AS neg_slope_ppm,
-      |  CASE WHEN den > 0 AND icept >= 0 THEN
-      |    CAST(CAST(icept AS HUGEINT) * 1000000
-      |    // CAST(den AS HUGEINT) AS BIGINT) END AS intercept_hb_ppm
-      |FROM d""".stripMargin
-      .replace("T_X", hlogT("r", "CAST(1 AS BIGINT)"))
-      .replace("T_Y", hlogT("f", "CAST(1 AS BIGINT)"))
-      .replace("HB_X", hlogFinish("r", "t_x", "q_x"))
-      .replace("HB_Y", hlogFinish("f", "t_y", "q_y"))
+      |   AS BIGINT) AS r FROM top),""".stripMargin +
+      olsHalfBitSql("rk", "r", "f", "n_words", "neg_slope_ppm", negate = true)
+
+  /** q_heaps_fit: the Heaps-law exponent off the q_vocab_growth panel
+    * — OLS of half-bit log-vocabulary on half-bit log-tokens across
+    * the doc_id-ordered prefixes, zero prefixes excluded, mirroring
+    * CorpusStats.heapsFitOf. */
+  def heapsFit(buckets: Int = 10): String =
+    s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+      | grid AS (SELECT k AS bucket, (k * max_id) // $buckets AS cut_doc_id
+      |          FROM range(1, ${buckets + 1}) t(k), mx),
+      | tok AS (SELECT doc_id,
+      |   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      |  FROM documents),
+      | nz AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      | fs AS (SELECT word, min(doc_id) AS first_doc FROM nz GROUP BY 1),
+      | voc AS (SELECT g.bucket, count(*) AS vocab
+      |         FROM fs JOIN grid g ON fs.first_doc <= g.cut_doc_id GROUP BY 1),
+      | dcnt AS (SELECT doc_id, count(*) AS n_tok FROM nz GROUP BY 1),
+      | dstat AS (SELECT d.doc_id, coalesce(c.n_tok, 0) AS n_tok
+      |           FROM documents d LEFT JOIN dcnt c USING (doc_id)),
+      | ds AS (SELECT g.bucket, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |        FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1),
+      | pf AS (SELECT coalesce(ds.n_tokens, 0) AS n_tokens,
+      |   coalesce(voc.vocab, 0) AS vocab
+      |  FROM grid g LEFT JOIN ds USING (bucket) LEFT JOIN voc USING (bucket)
+      |  WHERE coalesce(ds.n_tokens, 0) >= 1 AND coalesce(voc.vocab, 0) >= 1),""".stripMargin +
+      olsHalfBitSql("pf", "n_tokens", "vocab", "n_points", "beta_ppm",
+        negate = false)
 }

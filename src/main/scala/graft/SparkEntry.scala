@@ -186,6 +186,8 @@ object SparkEntry {
     "q_domain_kl" -> ((s, d) => CorpusStats.domainKl(s, d)),
     "q_winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprint(s, d)),
     "q_winnow_overlap" -> ((s, d) => Winnow.winnowOverlap(s, d)),
+    "q_winnow_decontam" -> ((s, d) => Winnow.winnowDecontam(s, d)),
+    "q_heaps_fit" -> ((s, d) => CorpusStats.heapsFit(s, d)),
     "q_burstiness" -> ((s, d) => CorpusStats.burstiness(s, d)),
     "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
@@ -1371,6 +1373,9 @@ object SparkEntry {
     // HUGEINT key mirrors the fused deque expression exactly
     "q_winnow_fingerprint" -> OracleSql.winnowFingerprint(),
     "q_winnow_overlap" -> OracleSql.winnowOverlap(),
+    "q_winnow_decontam" -> OracleSql.winnowDecontam(),
+    // Heaps exponent off the shared vocab-growth panel, half-bit OLS
+    "q_heaps_fit" -> OracleSql.heapsFit(),
     "q_burstiness" -> OracleSql.burstiness(),
     "q_zipf_fit" -> OracleSql.zipfFit(),
     "q_doc_entropy" -> OracleSql.docEntropy,

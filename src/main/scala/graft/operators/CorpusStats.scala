@@ -303,18 +303,36 @@ object CorpusStats {
         .orderBy(col("f").desc, col("word"))).cast("long"))
       .withColumn("x", halfLog2Ratio(col("r"), lit(1L)))
       .withColumn("y", halfLog2Ratio(col("f"), lit(1L)))
-    ranked.agg(
-      count(lit(1)).as("n_words"),
+    olsHalfBit(ranked, "n_words", slopeCol = "neg_slope_ppm",
+      negateSlope = true)
+  }
+
+  /** The shared half-bit OLS finish over a frame carrying integer
+    * (x, y) columns: n + the four sums, the slope in ppm (negated
+    * when `negateSlope` — the Zipf convention, where ranking makes
+    * x and y OPPOSITELY sorted so the negated numerator is the
+    * non-negative one; Heaps uses the positive form, where both grow
+    * together and Chebyshev's sum inequality keeps the plain
+    * numerator non-negative), and the sign-guarded intercept. Every
+    * division floors non-negatives. */
+  private def olsHalfBit(xy: DataFrame, nCol: String,
+                         slopeCol: String, negateSlope: Boolean): DataFrame = {
+    val slopeNum =
+      if (negateSlope)
+        "CAST(sum_x AS DECIMAL(38,0)) * sum_y - CAST(n_fit AS DECIMAL(38,0)) * sum_xy"
+      else
+        "CAST(n_fit AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y"
+    xy.agg(
+      count(lit(1)).as("n_fit"),
       sum(col("x")).as("sum_x"),
       sum(col("y")).as("sum_y"),
       sum(col("x") * col("y")).as("sum_xy"),
       sum(col("x") * col("x")).as("sum_xx"))
       .withColumn("den",
-        col("n_words") * col("sum_xx") - col("sum_x") * col("sum_x"))
-      .withColumn("neg_slope_ppm",
+        col("n_fit") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn(slopeCol,
         when(col("den") > 0L,
-          expr("CAST((CAST(sum_x AS DECIMAL(38,0)) * sum_y - " +
-            "CAST(n_words AS DECIMAL(38,0)) * sum_xy) * 1000000 DIV " +
+          expr(s"CAST(($slopeNum) * 1000000 DIV " +
             "CAST(den AS DECIMAL(38,0)) AS BIGINT)")))
       .withColumn("icept_num",
         col("sum_y") * col("sum_xx") - col("sum_x") * col("sum_xy"))
@@ -323,5 +341,34 @@ object CorpusStats {
           expr("CAST(CAST(icept_num AS DECIMAL(38,0)) * 1000000 DIV " +
             "CAST(den AS DECIMAL(38,0)) AS BIGINT)")))
       .drop("den", "icept_num")
+      .withColumnRenamed("n_fit", nCol)
+  }
+
+  // ---------------------------------------------------------------
+  // Heaps-law vocabulary-growth fit
+  // ---------------------------------------------------------------
+
+  /** Heaps-law exponent fit over the [[TextAnalysis.vocabGrowth]]
+    * panel: OLS of y = ⌊2·log₂ vocab⌋ on x = ⌊2·log₂ tokens⌋ across
+    * the doc_id-ordered corpus prefixes — vocab ≈ K·tokens^β with
+    * β ≈ 0.5 for natural text. THE capacity-planning number for every
+    * driver-side vocabulary collect in the engine (the BPE trainer's
+    * topV, the model-table sizes): a measured β says how the
+    * dictionary grows when the corpus 1000×es. Both sequences grow
+    * together, so the plain slope numerator is non-negative
+    * (Chebyshev) and every floor divides non-negatives. Zero-token /
+    * zero-vocab prefixes (an empty corpus head) are excluded — the
+    * log is undefined there identically in both engines. */
+  def heapsFit(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame =
+    heapsFitOf(Tables.documents(spark, dir), buckets)
+
+  /** [[heapsFit]] over a prepared (doc_id, text) frame. */
+  def heapsFitOf(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val panel = TextAnalysis.vocabGrowthOf(docs, buckets)
+      .filter(col("n_tokens") >= 1L && col("vocab") >= 1L)
+      .withColumn("x", halfLog2Ratio(col("n_tokens"), lit(1L)))
+      .withColumn("y", halfLog2Ratio(col("vocab"), lit(1L)))
+    olsHalfBit(panel, "n_points", slopeCol = "beta_ppm",
+      negateSlope = false)
   }
 }

@@ -78,6 +78,51 @@ object Winnow {
                     maxDf: Long = 50L, minShared: Long = 2L): DataFrame =
     winnowOverlapOf(Tables.documents(spark, dir), n, w, maxDf, minShared)
 
+  /** Winnowing-based eval-set decontamination scan — the
+    * detection-GUARANTEED contamination check (q_decontaminate's
+    * n-gram variant estimates; this one provably catches any train
+    * document sharing a run of ≥ w+n−1 tokens with any eval
+    * document): eval = the `evalSource` slice, train = everything
+    * else (NULL sources are train — a doc of unknown provenance must
+    * still be checked). A train document is flagged when it shares at
+    * least `minShared` distinct winnowed fingerprints with the eval
+    * UNION set.
+    *
+    * Shape at 100 TB: the eval side collapses to its DISTINCT
+    * fingerprint set (eval suites are small — the join is
+    * broadcast-able and left UNHINTED so AQE decides); the train side
+    * joins fingerprints (8 bytes + doc id) against it and aggregates
+    * per train doc — LINEAR, no pair expansion at all, so no df cap
+    * is needed. */
+  def winnowDecontam(spark: SparkSession, dir: String,
+                     evalSource: String = "src0",
+                     n: Int = 3, w: Int = 4,
+                     minShared: Long = 2L): DataFrame =
+    winnowDecontamOf(Tables.documents(spark, dir), evalSource, n, w, minShared)
+
+  /** [[winnowDecontam]] over a prepared (doc_id, source, text)
+    * frame. */
+  def winnowDecontamOf(docs: DataFrame, evalSource: String,
+                       n: Int = 3, w: Int = 4,
+                       minShared: Long = 2L): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(winnow_hashes(coalesce(col("text"), lit("")), n, w))
+          .as("fps"))
+      .select(col("doc_id"), col("source"),
+        size(col("fps")).cast("long").as("nd"), explode(col("fps")).as("g"))
+    val evalFps = fps.filter(col("source") <=> evalSource)
+      .select(col("g")).distinct()
+    fps.filter(!(col("source") <=> evalSource))
+      .join(evalFps, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nd")).as("nd"), count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("share_ppm",
+        when(col("nd") > 0L,
+          expr("(n_shared * CAST(1000000 AS BIGINT)) DIV nd")))
+  }
+
   /** [[winnowOverlap]] over a prepared (doc_id, text) frame. */
   def winnowOverlapOf(docs: DataFrame, n: Int = 3, w: Int = 4,
                       maxDf: Long = 50L, minShared: Long = 2L): DataFrame = {

@@ -167,6 +167,47 @@ class CorpusStatsSpec extends SparkSpec {
     assert(filtered == Set("uni"))
   }
 
+  test("heapsFit matches a driver OLS over the vocab-growth panel") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val panel = graft.operators.TextAnalysis.vocabGrowthOf(docs, 10)
+      .collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab")))
+      .filter { case (t, v) => t >= 1L && v >= 1L }
+    val xy = panel.map { case (t, v) =>
+      (CorpusStats.halfLog2Big(t, 1L), CorpusStats.halfLog2Big(v, 1L))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val row = CorpusStats.heapsFit(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_points") == n)
+    assert(row.getAs[Long]("sum_x") == sx)
+    assert(row.getAs[Long]("sum_y") == sy)
+    assert(row.getAs[Long]("sum_xy") == sxy)
+    assert(row.getAs[Long]("sum_xx") == sxx)
+    val den = n * sxx - sx * sx
+    if (den > 0) {
+      assert(row.getAs[Long]("beta_ppm") ==
+        (BigInt(n) * sxy - BigInt(sx) * sy) * 1000000 / den)
+      // sublinear growth: 0 <= beta < 1 (the synthetic corpus draws
+      // from a FIXED word list, so its vocabulary saturates in the
+      // first prefix and beta legitimately floors to 0; natural text
+      // sits near 0.5)
+      assert(row.getAs[Long]("beta_ppm") >= 0L &&
+        row.getAs[Long]("beta_ppm") < 1000000L,
+        s"beta ${row.getAs[Long]("beta_ppm")}")
+    }
+    // a genuinely growing corpus: doc i contributes i fresh words, so
+    // vocab grows with tokens and the fitted beta is positive
+    val growing = (1L to 40L).map { i =>
+      (i, (1L to i).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = CorpusStats.heapsFitOf(growing, 10).collect().head
+    assert(g.getAs[Long]("beta_ppm") > 0L, s"growing corpus: $g")
+  }
+
   test("zipfFit matches a driver OLS on the same half-bit logs") {
     import spark.implicits._
     // construct a corpus with known frequencies: word w_i repeated

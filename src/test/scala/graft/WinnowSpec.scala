@@ -95,6 +95,36 @@ class WinnowSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("n_distinct_fp") == 1L)
   }
 
+  test("winnowDecontamOf flags planted contamination, guarantee run included, NULL source is train") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+n-1
+    val docs = Seq(
+      (0L, Some("eval"), s"question one about $run answer here today"),
+      (1L, Some("train"), s"some scraped page contains $run verbatim inside text"),
+      (2L, Some("train"), "totally unrelated content nothing shared with anything here"),
+      (3L, None: Option[String], s"null source page with $run copied across it too"))
+      .map { case (id, s, t) => (id, s.orNull, t) }
+      .toDF("doc_id", "source", "text")
+    // minShared = 1: the w+n-1 guarantee says ANY doc containing the
+    // run shares at least one fingerprint with the eval doc
+    val got = Winnow.winnowDecontamOf(docs, "eval", 3, 4, minShared = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got.contains(1L), s"contaminated train doc missed: $got")
+    assert(got.contains(3L), s"NULL-source doc must be scanned as train: $got")
+    assert(!got.contains(2L), s"clean doc flagged: $got")
+    assert(!got.contains(0L), "the eval doc itself must never be flagged")
+    // reference count: shared distinct fps with the eval set
+    val sets = Seq(0L, 1L, 2L, 3L).map { id =>
+      val t = docs.filter(col("doc_id") === id).collect().head.getString(2)
+      id -> HashKernels.winnowHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3, 4)
+        .toLongArray().toSet
+    }.toMap
+    assert(got(1L) == (sets(1L) intersect sets(0L)).size.toLong)
+    assert(got(3L) == (sets(3L) intersect sets(0L)).size.toLong)
+  }
+
   test("winnowOverlapOf equals the all-pairs reference and caps boilerplate") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta"
