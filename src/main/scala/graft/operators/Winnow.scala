@@ -78,6 +78,58 @@ object Winnow {
                     maxDf: Long = 50L, minShared: Long = 2L): DataFrame =
     winnowOverlapOf(Tables.documents(spark, dir), n, w, maxDf, minShared)
 
+  /** LIVE plagiarism/contamination gate — the streaming twin of
+    * [[winnowOverlap]] at admission grain, over a BUCKETED
+    * fingerprint store (the novelty/keep-set/chunk-store discipline):
+    * each arriving micro-batch lands its distinct (doc_id,
+    * fingerprint) rows as `batch=<id>/bucket=<pmod(g, buckets)>` via
+    * the idempotent landBatch protocol, then scores every landed doc
+    * for the fraction of its fingerprints already held by an EARLIER
+    * document — a strictly-earlier committed batch, or a smaller
+    * doc_id within this batch (first-doc-wins). The probe reads ONLY
+    * the bucket dirs this batch's own fingerprints hash into and
+    * bloom-prefilters the surviving store rows (no false negatives ⇒
+    * counts exact); the layout manifest refuses a probe under
+    * different (n, w, buckets) geometry, where hashes would be
+    * incomparable and matches silently undercounted. Returns
+    * (panel, plannedDirs) — the planned-dirs observable is what the
+    * spec pins pruning with. */
+  def winnowIncrementalBatchBucketed(batch: DataFrame, storeDir: String,
+                                     batchId: Long, n: Int = 3, w: Int = 4,
+                                     buckets: Int = 64)
+      : (DataFrame, Seq[String]) = {
+    import graft.plans.Bloom._
+    val fps = batch
+      .select(col("doc_id"),
+        explode(array_distinct(
+          winnow_hashes(coalesce(col("text"), lit("")), n, w))).as("g"))
+    val (own, dirs) = graft.sources.Incremental.landBatchBucketed(
+      fps, storeDir, batchId, pmod(col("g"), lit(buckets)), buckets,
+      layout = s"winnow;n=$n;w=$w;buckets=$buckets")
+    val touched = own.select(pmod(col("g"), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val (earlier, planned) = graft.sources.Incremental
+      .earlierBatchesBuckets(own, dirs, batchId, touched)
+    val gBloom = own.agg(bloom_agg(col("g")).as("bf"))
+    val seenBefore = earlier
+      .join(broadcast(gBloom))
+      .filter(bloom_might_contain(col("bf"), col("g")))
+      .select(col("g")).distinct()
+    val firsts = own.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    val panel = own
+      .join(firsts, Seq("g"))
+      .join(seenBefore.withColumn("seen", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("seen").isNotNull ||
+          col("doc_id") =!= col("first_in_batch"), 1L).otherwise(0L))
+          .as("matched_fps"))
+      .withColumn("matched_ratio",
+        col("matched_fps").cast("double") / col("n_fps").cast("double"))
+    (panel, planned)
+  }
+
   /** Winnowing-based eval-set decontamination scan — the
     * detection-GUARANTEED contamination check (q_decontaminate's
     * n-gram variant estimates; this one provably catches any train

@@ -1721,6 +1721,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed winnow store: first-seen contamination gate equals the corpus reference, fp buckets prune") {
+    val s = spark
+    import s.implicits._
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-winnow-store-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // corpus-wide first-seen reference off the kernel itself
+    val fpsByDoc = docs.map { case (id, t) =>
+      id -> graft.plans.HashKernels.winnowHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3, 4)
+        .toLongArray().toSet
+    }.toMap
+    val firstDoc = fpsByDoc.toSeq
+      .flatMap { case (id, set) => set.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = fpsByDoc.collect { case (id, set) if set.nonEmpty =>
+      val matched = set.count(g => firstDoc(g) < id).toLong
+      id -> ((set.size.toLong, matched, matched.toDouble / set.size))
+    }.toMap
+    val batches = docs.grouped(170).toSeq
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      val (panel, _) = graft.operators.Winnow.winnowIncrementalBatchBucketed(
+        chunk.toSeq.toDF("doc_id", "text"), bDir, id, buckets = 256)
+      panel.collect().map(key).foreach { case (k, v) => got(k) = v }
+    }
+    assert(got.toMap == want,
+      s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+    // at-least-once replay of the LAST batch: identical rows (the
+    // store re-lands its own dir, scores only strictly earlier)
+    val lastId = batches.size - 1L
+    val (rp, _) = graft.operators.Winnow.winnowIncrementalBatchBucketed(
+      batches.last.toSeq.toDF("doc_id", "text"), bDir, lastId, buckets = 256)
+    rp.collect().map(key).foreach { case (k, v) => assert(got(k) == v) }
+    // a verbatim copy probes fully matched through a PRUNED read
+    val tiny = Seq((999901L, docs.head._2)).toDF("doc_id", "text")
+    val (tp, planned) = graft.operators.Winnow.winnowIncrementalBatchBucketed(
+      tiny, bDir, batches.size.toLong, buckets = 256)
+    val tinyGot = tp.collect().map(key).toMap
+    assert(tinyGot.values.forall(_._3 == 1.0), s"copy not matched: $tinyGot")
+    val allLeafDirs = batches.indices.map { i =>
+      Option(new java.io.File(s"$bDir/batch=$i").listFiles())
+        .getOrElse(Array()).count(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")) }.sum
+    assert(planned.nonEmpty && planned.size < allLeafDirs / 4,
+      s"winnow probe did not prune: planned ${planned.size} of $allLeafDirs")
+    // geometry manifest: different (n, w, buckets) refuse loudly
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Winnow.winnowIncrementalBatchBucketed(
+        tiny, bDir, batches.size.toLong + 1, n = 5, buckets = 256)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Winnow.winnowIncrementalBatchBucketed(
+        tiny, bDir, batches.size.toLong + 1, buckets = 64)
+    }
+  }
+
   test("bucketed keep-set store: identical keep decisions, band-key buckets prune the hamming probe") {
     val s = spark
     import s.implicits._
