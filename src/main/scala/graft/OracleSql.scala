@@ -436,12 +436,8 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * ⌊(num+den)·10⁶/(2·den)⌋ headline whose operands are always
     * non-negative (TextAnalysis.judgeAgreementOf). */
   def judgeAgreement(weights: Seq[Long]): String =
-    "WITH " + (logitCtes(weights) ++ Seq(
-      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
-      gopherCtes ++ Seq(
-      "pv AS (SELECT coalesce(gp.pass, false) AS p, sc.logit_fp > 0 AS a" +
-        " FROM sc JOIN gp ON gp.doc_id = sc.doc_id)",
+    "WITH " + (logitGopherPanelCtes(weights) ++ Seq(
+      "pv AS (SELECT coalesce(pass, false) AS p, logit_fp > 0 AS a FROM pnl)",
       """ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN p AND a THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
         |  CAST(sum(CASE WHEN p AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
@@ -477,8 +473,8 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * both engines, so the all-capped corpus never divides by the
     * empty uncapped count. */
   def mixtureUnimax(epochCap: Int = 4): String =
-    s"""WITH ps AS (SELECT source, CAST(sum(len(
-      |   regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+    s"""WITH ps AS (SELECT source, CAST(sum(coalesce(len(
+      |   regexp_split_to_array(trim(text), '\\s+')), 0)) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
       | cp AS (SELECT source, n_tokens, n_tokens * $epochCap AS cap_tokens FROM ps),
       | tt AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
@@ -491,19 +487,19 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
       |  FROM cp CROSS JOIN tt),
       | ft AS (SELECT *, (cap_tokens * (n_sources - i + 1) + pre <= budget) AS fits
       |  FROM rk),
-      | ct AS (SELECT min(CASE WHEN NOT fits THEN i END) AS k_raw FROM ft),
-      | kf AS (SELECT ft.*, coalesce(ct.k_raw, n_sources + 1) AS k
+      | ct AS (SELECT min(CASE WHEN NOT fits THEN i END) AS k_raw,
+      |   CAST(coalesce(sum(CASE WHEN fits THEN cap_tokens END), 0)
+      |     AS BIGINT) AS p_capped FROM ft),
+      | kf AS (SELECT ft.*, coalesce(ct.k_raw, n_sources + 1) AS k, ct.p_capped
       |  FROM ft CROSS JOIN ct),
-      | sp AS (SELECT CAST(coalesce(sum(CASE WHEN i < k THEN cap_tokens END), 0)
-      |   AS BIGINT) AS p_capped FROM kf),
-      | al AS (SELECT kf.*, sp.p_capped,
+      | al AS (SELECT kf.*,
       |   CASE WHEN i < k THEN cap_tokens
       |        ELSE ((budget - p_capped) // (n_sources - k + 1)) +
       |          (CASE WHEN i - k + 1 <= (budget - p_capped) -
       |            ((budget - p_capped) // (n_sources - k + 1)) * (n_sources - k + 1)
       |           THEN 1 ELSE 0 END)
       |   END AS alloc_tokens
-      |  FROM kf CROSS JOIN sp)
+      |  FROM kf)
       |SELECT source, n_tokens, cap_tokens, budget, (i < k) AS capped,
       |  alloc_tokens,
       |  CASE WHEN n_tokens > 0 THEN CAST((CAST(alloc_tokens AS HUGEINT)
@@ -2388,30 +2384,52 @@ FROM cf"""
       |   AS BIGINT) AS r FROM top),""".stripMargin +
       olsHalfBitSql("rk", "r", "f", "n_words", "neg_slope_ppm", negate = true)
 
-  /** q_heaps_fit: the Heaps-law exponent off the q_vocab_growth panel
-    * — OLS of half-bit log-vocabulary on half-bit log-tokens across
-    * the doc_id-ordered prefixes, zero prefixes excluded, mirroring
-    * CorpusStats.heapsFitOf. */
-  def heapsFit(buckets: Int = 10): String =
-    s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
-      | grid AS (SELECT k AS bucket, (k * max_id) // $buckets AS cut_doc_id
-      |          FROM range(1, ${buckets + 1}) t(k), mx),
-      | tok AS (SELECT doc_id,
-      |   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-      |  FROM documents),
-      | nz AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-      | fs AS (SELECT word, min(doc_id) AS first_doc FROM nz GROUP BY 1),
-      | voc AS (SELECT g.bucket, count(*) AS vocab
-      |         FROM fs JOIN grid g ON fs.first_doc <= g.cut_doc_id GROUP BY 1),
-      | dcnt AS (SELECT doc_id, count(*) AS n_tok FROM nz GROUP BY 1),
-      | dstat AS (SELECT d.doc_id, coalesce(c.n_tok, 0) AS n_tok
-      |           FROM documents d LEFT JOIN dcnt c USING (doc_id)),
-      | ds AS (SELECT g.bucket, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-      |        FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1),
-      | pf AS (SELECT coalesce(ds.n_tokens, 0) AS n_tokens,
+  /** THE vocab-growth panel CTE chain ending at
+    * `panel(bucket, cut_doc_id, n_docs, n_tokens, vocab)` — one
+    * spelling shared by [[vocabGrowth]] and [[heapsFit]] (the
+    * gopherCtes factoring rule: a cut-formula or empty-token fix must
+    * not have to land in two hand-kept copies, or the Heaps β would
+    * silently fit a panel the vocab-growth row no longer shows). */
+  private def vocabGrowthPanelCtes(buckets: Int): Seq[String] = Seq(
+    "mx AS (SELECT max(doc_id) AS max_id FROM documents)",
+    s"grid AS (SELECT k AS bucket, (k * max_id) // $buckets AS cut_doc_id" +
+      s" FROM range(1, ${buckets + 1}) t(k), mx)",
+    """tok AS (SELECT doc_id,
+      |   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents)""".stripMargin,
+    "nz AS (SELECT doc_id, word FROM tok WHERE word <> '')",
+    "fs AS (SELECT word, min(doc_id) AS first_doc FROM nz GROUP BY 1)",
+    "voc AS (SELECT g.bucket, count(*) AS vocab" +
+      " FROM fs JOIN grid g ON fs.first_doc <= g.cut_doc_id GROUP BY 1)",
+    "dcnt AS (SELECT doc_id, count(*) AS n_tok FROM nz GROUP BY 1)",
+    "dstat AS (SELECT d.doc_id, coalesce(c.n_tok, 0) AS n_tok" +
+      " FROM documents d LEFT JOIN dcnt c USING (doc_id))",
+    "ds AS (SELECT g.bucket, count(*) AS n_docs," +
+      " CAST(sum(n_tok) AS BIGINT) AS n_tokens" +
+      " FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1)",
+    """panel AS (SELECT g.bucket AS bucket,
+      |   CAST(g.cut_doc_id AS BIGINT) AS cut_doc_id,
+      |   coalesce(ds.n_docs, 0) AS n_docs,
+      |   coalesce(ds.n_tokens, 0) AS n_tokens,
       |   coalesce(voc.vocab, 0) AS vocab
-      |  FROM grid g LEFT JOIN ds USING (bucket) LEFT JOIN voc USING (bucket)
-      |  WHERE coalesce(ds.n_tokens, 0) >= 1 AND coalesce(voc.vocab, 0) >= 1),""".stripMargin +
+      |  FROM grid g LEFT JOIN ds USING (bucket)
+      |   LEFT JOIN voc USING (bucket))""".stripMargin)
+
+  /** q_vocab_growth: the Heaps panel itself (TextAnalysis
+    * .vocabGrowth) — distinct-word count through doc_id-ordered
+    * corpus prefixes. */
+  def vocabGrowth(buckets: Int = 10): String =
+    "WITH " + vocabGrowthPanelCtes(buckets).mkString(",\n ") +
+      "\nSELECT bucket, cut_doc_id, n_docs, n_tokens, vocab FROM panel"
+
+  /** q_heaps_fit: the Heaps-law exponent off the SHARED
+    * [[vocabGrowthPanelCtes]] — OLS of half-bit log-vocabulary on
+    * half-bit log-tokens across the prefixes, zero prefixes excluded,
+    * mirroring CorpusStats.heapsFitOf. */
+  def heapsFit(buckets: Int = 10): String =
+    "WITH " + vocabGrowthPanelCtes(buckets).mkString(",\n ") +
+      ",\n pf AS (SELECT n_tokens, vocab FROM panel" +
+      " WHERE n_tokens >= 1 AND vocab >= 1),\n" +
       olsHalfBitSql("pf", "n_tokens", "vocab", "n_points", "beta_ppm",
         negate = false)
 }

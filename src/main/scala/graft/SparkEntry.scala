@@ -1565,29 +1565,8 @@ object SparkEntry {
         |FROM nz GROUP BY 1""".stripMargin,
     // Heaps-law growth: integer cuts k·max_id // 10 (both engines'
     // integer division truncate; ids non-negative so // == div)
-    "q_vocab_growth" ->
-      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
-        | grid AS (SELECT k AS bucket, (k * max_id) // 10 AS cut_doc_id
-        |          FROM range(1, 11) t(k), mx),
-        | tok AS (SELECT doc_id,
-        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |  FROM documents),
-        | nz AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-        | fs AS (SELECT word, min(doc_id) AS first_doc FROM nz GROUP BY 1),
-        | voc AS (SELECT g.bucket, count(*) AS vocab
-        |         FROM fs JOIN grid g ON fs.first_doc <= g.cut_doc_id GROUP BY 1),
-        | dcnt AS (SELECT doc_id, count(*) AS n_tok FROM nz GROUP BY 1),
-        | dstat AS (SELECT d.doc_id, coalesce(c.n_tok, 0) AS n_tok
-        |           FROM documents d LEFT JOIN dcnt c USING (doc_id)),
-        | ds AS (SELECT g.bucket, count(*) AS n_docs,
-        |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |        FROM dstat JOIN grid g ON dstat.doc_id <= g.cut_doc_id GROUP BY 1)
-        |SELECT g.bucket AS bucket, CAST(g.cut_doc_id AS BIGINT) AS cut_doc_id,
-        |  coalesce(ds.n_docs, 0) AS n_docs,
-        |  coalesce(ds.n_tokens, 0) AS n_tokens,
-        |  coalesce(voc.vocab, 0) AS vocab
-        |FROM grid g LEFT JOIN ds USING (bucket)
-        |  LEFT JOIN voc USING (bucket)""".stripMargin,
+    // the Heaps panel — ONE spelling shared with q_heaps_fit's fit
+    "q_vocab_growth" -> OracleSql.vocabGrowth(),
     // per-source percent_rank calibration over the exact q_quality_score
     // kernel; (rank-1)/(n-1) and the 1/3, 2/3 cuts are identical IEEE
     // ops in both engines

@@ -402,8 +402,12 @@ object Sampling {
     val d38 = "DECIMAL(38,0)"
     val perSource = docs
       .select(col("source"),
-        graft.functions.TextFunctions.wordCount(col("text"))
-          .cast("long").as("nt"))
+        // NULL text counts zero tokens (NOT NULL-propagated: a source
+        // of only NULL docs must rank as empty, identically in both
+        // engines — NULL capacities would sort at OPPOSITE ends of
+        // the capacity order under the engines' defaults)
+        coalesce(graft.functions.TextFunctions.wordCount(col("text"))
+          .cast("long"), lit(0L)).as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * epochCap)
     val totals = perSource.agg(
@@ -419,16 +423,17 @@ object Sampling {
         col("cap_tokens") * (col("n_sources") - col("i") + 1L) + col("pre")
           <= col("budget"))
     // k = first index whose fair-share compare fails; everything
-    // before it caps out (the water-filling prefix property)
+    // before it caps out. `fits` is MONOTONE non-increasing in i
+    // (g(i) = c_i·(n−i+1) + P_{i−1} has g(i+1) − g(i) =
+    // (n−i)·(c_{i+1} − c_i) ≥ 0 under the ascending capacity order),
+    // so Σ(cap | fits) IS the capped-prefix spend — one aggregate
+    // covers both the cut and the remainder.
     val cut = ranked.agg(
       min(when(!col("fits"), col("i"))).as("k_raw"),
-      sum(when(col("fits"), col("cap_tokens")).otherwise(0L)).as("p_any"))
-    val kFrame = ranked.crossJoin(broadcast(cut))
+      sum(when(col("fits"), col("cap_tokens")).otherwise(0L)).as("p_capped"))
+    ranked.crossJoin(broadcast(cut))
       .withColumn("k", coalesce(col("k_raw"), col("n_sources") + 1L))
       .withColumn("capped", col("i") < col("k"))
-    val spent = kFrame.agg(
-      sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).as("p_capped"))
-    kFrame.crossJoin(broadcast(spent))
       .withColumn("m", col("n_sources") - col("k") + 1L)
       .withColumn("rest", col("budget") - col("p_capped"))
       .withColumn("base",

@@ -1448,37 +1448,15 @@ object TextAnalysis {
   def chunkDedupIncrementalBatchBucketed(batch: DataFrame, storeDir: String,
                                          batchId: Long, window: Int = 32,
                                          stride: Int = 24, buckets: Int = 64)
-      : (DataFrame, Seq[String]) = {
-    import graft.plans.Bloom._
-    val (own, dirs) = graft.sources.Incremental.landBatchBucketed(
+      : (DataFrame, Seq[String]) =
+    graft.sources.Incremental.firstSeenProbeBucketed(
       chunkWindowsOf(batch, window, stride)
         .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch"))
         .distinct(),
-      storeDir, batchId, pmod(col("ch"), lit(buckets)), buckets,
-      layout = s"chunkdedup;window=$window;stride=$stride;buckets=$buckets")
-    val touched = own.select(pmod(col("ch"), lit(buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val (earlier, planned) = graft.sources.Incremental
-      .earlierBatchesBuckets(own, dirs, batchId, touched)
-    val chBloom = own.agg(bloom_agg(col("ch")).as("bf"))
-    val seenBefore = earlier
-      .join(broadcast(chBloom))
-      .filter(bloom_might_contain(col("bf"), col("ch")))
-      .select(col("ch")).distinct()
-    val firsts = own.groupBy(col("ch"))
-      .agg(min(col("doc_id")).as("first_in_batch"))
-    val panel = own
-      .join(firsts, Seq("ch"))
-      .join(seenBefore.withColumn("seen", lit(1L)), Seq("ch"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("seen").isNotNull ||
-          col("doc_id") =!= col("first_in_batch"), 1L).otherwise(0L))
-          .as("dup_chunks"))
-      .withColumn("chunk_dup_ratio",
-        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
-    (panel, planned)
-  }
+      "ch", storeDir, batchId, buckets,
+      layout = s"chunkdedup;window=$window;stride=$stride;buckets=$buckets",
+      nCol = "n_chunks", matchedCol = "dup_chunks",
+      ratioCol = "chunk_dup_ratio")
 
   /** Conjunctive keyword search with an exact integer rank: documents
     * containing ALL query terms, ordered by total term frequency

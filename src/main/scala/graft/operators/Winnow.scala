@@ -98,36 +98,14 @@ object Winnow {
                                      batchId: Long, n: Int = 3, w: Int = 4,
                                      buckets: Int = 64)
       : (DataFrame, Seq[String]) = {
-    import graft.plans.Bloom._
     val fps = batch
       .select(col("doc_id"),
         explode(array_distinct(
           winnow_hashes(coalesce(col("text"), lit("")), n, w))).as("g"))
-    val (own, dirs) = graft.sources.Incremental.landBatchBucketed(
-      fps, storeDir, batchId, pmod(col("g"), lit(buckets)), buckets,
-      layout = s"winnow;n=$n;w=$w;buckets=$buckets")
-    val touched = own.select(pmod(col("g"), lit(buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val (earlier, planned) = graft.sources.Incremental
-      .earlierBatchesBuckets(own, dirs, batchId, touched)
-    val gBloom = own.agg(bloom_agg(col("g")).as("bf"))
-    val seenBefore = earlier
-      .join(broadcast(gBloom))
-      .filter(bloom_might_contain(col("bf"), col("g")))
-      .select(col("g")).distinct()
-    val firsts = own.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_in_batch"))
-    val panel = own
-      .join(firsts, Seq("g"))
-      .join(seenBefore.withColumn("seen", lit(1L)), Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"),
-        sum(when(col("seen").isNotNull ||
-          col("doc_id") =!= col("first_in_batch"), 1L).otherwise(0L))
-          .as("matched_fps"))
-      .withColumn("matched_ratio",
-        col("matched_fps").cast("double") / col("n_fps").cast("double"))
-    (panel, planned)
+    graft.sources.Incremental.firstSeenProbeBucketed(
+      fps, "g", storeDir, batchId, buckets,
+      layout = s"winnow;n=$n;w=$w;buckets=$buckets",
+      nCol = "n_fps", matchedCol = "matched_fps", ratioCol = "matched_ratio")
   }
 
   /** Winnowing-based eval-set decontamination scan — the

@@ -189,6 +189,52 @@ object Incremental {
     (df, days)
   }
 
+  /** THE bucketed first-seen probe — the land → touched-buckets →
+    * strictly-earlier pruned read → bloom prefilter → first-in-batch
+    * → admission panel scaffolding shared by the chunk-dedup and
+    * winnow-fingerprint stores (factored once, like [[landBatch]],
+    * so a fix to the probe discipline — bloom sizing, touched-bucket
+    * derivation, the seen-or-later-doc rule — lands in one spelling).
+    * `pairs` carries exactly (doc_id, `keyCol`) distinct rows; the
+    * panel reports, per landed doc, the total key count and how many
+    * keys an EARLIER document already holds (a strictly-earlier
+    * committed batch, or a smaller doc_id within this batch —
+    * first-doc-wins), plus the ratio. Bloom false positives only ever
+    * ADMIT store rows into the exact distinct-join behind them —
+    * counts stay exact. Returns (panel, plannedDirs). */
+  def firstSeenProbeBucketed(pairs: DataFrame, keyCol: String,
+                             storeDir: String, batchId: Long, buckets: Int,
+                             layout: String, nCol: String, matchedCol: String,
+                             ratioCol: String): (DataFrame, Seq[String]) = {
+    import graft.plans.Bloom._
+    import org.apache.spark.sql.functions._
+    val (own, dirs) = landBatchBucketed(
+      pairs, storeDir, batchId, pmod(col(keyCol), lit(buckets)), buckets,
+      layout)
+    val touched = own.select(pmod(col(keyCol), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val (earlier, planned) =
+      earlierBatchesBuckets(own, dirs, batchId, touched)
+    val keyBloom = own.agg(bloom_agg(col(keyCol)).as("bf"))
+    val seenBefore = earlier
+      .join(broadcast(keyBloom))
+      .filter(bloom_might_contain(col("bf"), col(keyCol)))
+      .select(col(keyCol)).distinct()
+    val firsts = own.groupBy(col(keyCol))
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    val panel = own
+      .join(firsts, Seq(keyCol))
+      .join(seenBefore.withColumn("seen", lit(1L)), Seq(keyCol), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as(nCol),
+        sum(when(col("seen").isNotNull ||
+          col("doc_id") =!= col("first_in_batch"), 1L).otherwise(0L))
+          .as(matchedCol))
+      .withColumn(ratioCol,
+        col(matchedCol).cast("double") / col(nCol).cast("double"))
+    (panel, planned)
+  }
+
   /** Advance the watermark — call AFTER the downstream write succeeds
     * (crash between write and commit ⇒ the day replays; pair with an
     * idempotent sink for exactly-once). */

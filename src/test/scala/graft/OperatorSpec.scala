@@ -809,6 +809,17 @@ class OperatorSpec extends SparkSpec {
     assert(h("a") == ((4L, true)))
     assert(h("b") == ((8L, true)))
     assert(h("c") == ((142L, false)))
+    // a source of only NULL text ranks as EMPTY (zero capacity, zero
+    // alloc) — never a NULL capacity the two engines would order at
+    // opposite ends of the water-filling
+    val withNull = Seq(("a", "w w w"), ("z", null: String))
+      .toDF("source", "text")
+    val hz = graft.operators.Sampling.mixtureUnimaxOf(withNull, 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cap_tokens"),
+          r.getAs[Long]("alloc_tokens")))).toMap
+    assert(hz("z") == ((0L, 0L, 0L)), s"NULL-text source: ${hz("z")}")
+    assert(hz("a")._3 <= hz("a")._2)
   }
 
   test("average-pool resize conserves total luma across pools") {

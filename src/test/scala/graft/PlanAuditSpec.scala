@@ -862,7 +862,10 @@ class PlanAuditSpec extends SparkSpec {
     val plan = physical(df)
     assert(plan.contains("ReusedExchange"),
       s"self-join children diverged — fingerprint exchange planned twice:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"), plan)
+    // the pair join must stay an equi-join on the fingerprint (SMJ vs
+    // shuffled-hash is the planner's call) — never a product
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
     val exchanges = shuffleInputSchemas(df)
     assert(exchanges.forall(!_.contains("text")),
       s"document text crosses a shuffle: $exchanges")
