@@ -159,6 +159,7 @@ object SparkEntry {
     }),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
+    "q_ann_filtered" -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_recall" -> ((s, d) => Ann.annRecall(s, d)),
     "q_ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
@@ -1235,6 +1236,20 @@ object SparkEntry {
         |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
         |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
         |  WHERE a.vec_id < 10 GROUP BY 1,2)
+        |SELECT query_id, vec_id, dot_q, rnk FROM (
+        | SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+    // filtered vector search: the brute kernel with the label
+    // PRE-filter on the candidate side (pushed below the scoring join)
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10 AND b.label = 3 GROUP BY 1,2)
         |SELECT query_id, vec_id, dot_q, rnk FROM (
         | SELECT *, row_number() OVER
         |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)

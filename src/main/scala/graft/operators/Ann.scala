@@ -92,6 +92,33 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Filtered vector search — the metadata-predicate top-k every
+    * production vector store ships (RAG "search within this tenant /
+    * doc-type / language" queries): exact top-k among ONLY the
+    * candidates satisfying the attribute predicate, here `label =
+    * targetLabel`. This is PRE-filtering — the predicate applies
+    * below the scoring join, so it pushes into the parquet scan
+    * (plan-audited) and the scan cost follows the FILTERED candidate
+    * count, not the corpus; post-filtering (top-k first, filter
+    * after) returns fewer than k rows whenever the filter is
+    * selective, which is exactly the production bug this shape
+    * avoids. Same exact integer-dot scoring and deterministic
+    * (dot DESC, vec_id) cut as [[bruteTopK]]. */
+  def filteredTopK(spark: SparkSession, dir: String, targetLabel: Int = 3,
+                   k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = embs(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
+    val scored = e.filter(col("label") === targetLabel)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** How many `nPlanes`-bit hash tables does a target recall need?
     * Per-bit agreement of an SRP fingerprint is p = 1 − θ/π (Charikar
     * 2002), a table matches with p^nPlanes, and a pair is a candidate

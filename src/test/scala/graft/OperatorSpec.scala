@@ -719,6 +719,32 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.exists(_.getAs[Long]("n_segments") >= 2L))
   }
 
+  test("filteredTopK equals brute force over the filtered candidates only") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1000))))
+    val target = 3
+    val got = Ann.filteredTopK(spark, sfDir, targetLabel = target)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // every hit is a target-label vector
+    val labels = e.map(v => v._1 -> v._2).toMap
+    assert(got.forall { case (_, v, _, _) => labels(v) == target })
+    // reference: per query, exact top-5 among label-3 candidates
+    val cands = e.filter(_._2 == target)
+    e.filter(_._1 < 10).foreach { case (qid, _, qv) =>
+      val want = cands.filter(_._1 != qid)
+        .map { case (vid, _, cv) =>
+          (vid, qv.zip(cv).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (vid, dot) => (-dot, vid) }.take(5)
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+        .map(r => (r._2, r._3))
+      assert(mine.toSeq == want.toSeq, s"query $qid")
+    }
+  }
+
   test("judgeAgreement: kappa counts equal the joined public verdicts") {
     val ta = graft.operators.TextAnalysis
     val pass = ta.gopherPanel(spark, sfDir).collect()

@@ -917,6 +917,18 @@ class PlanAuditSpec extends SparkSpec {
       s"document text crosses a shuffle: $exchanges")
   }
 
+  test("filtered ANN: the label predicate pushes into the candidate scan, queries broadcast") {
+    val df = graft.operators.Ann.filteredTopK(spark, sfDir)
+    val plan = physical(df)
+    // PRE-filter: the scan itself reads only the target label — the
+    // whole point over post-filtering a top-k
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]") ||
+      plan.contains("EqualTo(label,3)"), s"label filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("pii redact runs at scan speed: zero shuffles, whole-stage codegen") {
     val df = graft.operators.TextAnalysis.piiRedact(spark, sfDir)
     assert(shuffleInputSchemas(df).isEmpty,
