@@ -506,6 +506,52 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
       |    * 1000000) // CAST(n_tokens AS HUGEINT) AS BIGINT) END AS epochs_ppm
       |FROM al""".stripMargin
 
+  /** q_threshold_sweep: the classifier data-survival curve — per
+    * DISTINCT logit cut (descending), surviving docs/tokens and their
+    * ppm of the corpus, off the SHARED logit chain
+    * (TextAnalysis.thresholdSweepOf). */
+  def thresholdSweep(weights: Seq[Long]): String =
+    "WITH " + (logitCtes(weights, lgExtra = " count(*) AS n_tokens,") ++ Seq(
+      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp," +
+        " coalesce(lg.n_tokens, 0) AS n_tokens" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)",
+      "bs AS (SELECT logit_fp, CAST(count(*) AS BIGINT) AS n_at," +
+        " CAST(sum(n_tokens) AS BIGINT) AS tok_at FROM sc GROUP BY 1)",
+      "tt AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_docs," +
+        " CAST(sum(tok_at) AS BIGINT) AS tok_all FROM bs)",
+      "cm AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY logit_fp DESC" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_kept," +
+        " CAST(sum(tok_at) OVER (ORDER BY logit_fp DESC" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_kept" +
+        " FROM bs)")).mkString(",\n ") +
+      """
+        |SELECT logit_fp, n_at, tok_at, n_kept, tok_kept,
+        |  CASE WHEN n_docs > 0 THEN CAST((CAST(n_kept AS HUGEINT) * 1000000)
+        |    // CAST(n_docs AS HUGEINT) AS BIGINT) END AS kept_ppm,
+        |  CASE WHEN tok_all > 0 THEN CAST((CAST(tok_kept AS HUGEINT) * 1000000)
+        |    // CAST(tok_all AS HUGEINT) AS BIGINT) END AS tok_kept_ppm
+        |FROM cm CROSS JOIN tt""".stripMargin
+
+  /** q_doc_skyline: the Pareto frontier rebuilt by brute force — a
+    * NOT EXISTS over all pairs with the strict-dominance predicate,
+    * metrics spelled exactly as the gopher panel
+    * (TextAnalysis.docSkylineOf). */
+  def docSkyline: String =
+    """WITH t AS (SELECT doc_id, text,
+      |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      | m AS MATERIALIZED (SELECT doc_id,
+      |   CAST(coalesce(len(toks), 0) AS BIGINT) AS n_words,
+      |   CAST(coalesce(len(list_intersect(list_distinct(toks),
+      |     ['the','a','and','of','to'])), 0) AS BIGINT) AS stop_hits,
+      |   CAST(coalesce(len(regexp_extract_all(text, '[#…]')), 0) AS BIGINT)
+      |     AS n_symbols
+      |  FROM t)
+      |SELECT a.doc_id, a.n_words, a.stop_hits, a.n_symbols FROM m a
+      |WHERE NOT EXISTS (SELECT 1 FROM m b WHERE
+      |  b.n_words >= a.n_words AND b.stop_hits >= a.stop_hits AND
+      |  b.n_symbols <= a.n_symbols AND (b.n_words > a.n_words OR
+      |  b.stop_hits > a.stop_hits OR b.n_symbols < a.n_symbols))""".stripMargin
+
   /** q_gram_novelty: per-doc fraction of distinct word-n-grams no
     * earlier (min-doc_id) document contains — the dg chain plus a
     * gram → first-doc aggregate; one IEEE division of exact ints. */

@@ -194,6 +194,8 @@ object SparkEntry {
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
     "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
     "q_judge_agreement" -> ((s, d) => TextAnalysis.judgeAgreement(s, d)),
+    "q_threshold_sweep" -> ((s, d) => TextAnalysis.thresholdSweep(s, d)),
+    "q_doc_skyline" -> ((s, d) => TextAnalysis.docSkyline(s, d)),
     "q_mixture_unimax" -> ((s, d) => Sampling.mixtureUnimax(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
@@ -1400,6 +1402,12 @@ object SparkEntry {
     // Cohen's kappa between the two quality judges (shared chains)
     "q_judge_agreement" ->
       OracleSql.judgeAgreement(TextAnalysis.classifierWeights(256)),
+    // classifier data-survival curve off the shared logit chain
+    "q_threshold_sweep" ->
+      OracleSql.thresholdSweep(TextAnalysis.classifierWeights(256)),
+    // skyline: brute-force NOT EXISTS checks the distributive
+    // partial-frontier + anti-join plan
+    "q_doc_skyline" -> OracleSql.docSkyline,
     // UniMax water-filling over the per-source token census
     "q_mixture_unimax" -> OracleSql.mixtureUnimax(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),

@@ -2050,6 +2050,103 @@ object TextAnalysis {
           .as("auc_ppm"))
   }
 
+  /** Skyline (Pareto-frontier) of documents over three exact quality
+    * metrics — the SKYLINE operator of Börzsönyi, Kossmann &
+    * Stocker (ICDE 2001) applied to corpus curation: a document is on
+    * the frontier iff no other document is at least as good on ALL of
+    * (n_words ↑, stop_hits ↑, n_symbols ↓) and strictly better on
+    * one. The "best exemplars" cut no single weighted score can
+    * express (every weighting picks one frontier point; the skyline
+    * is all of them) — the inspection set a curation reviewer
+    * actually wants. Metrics are the SAME gopher spellings as the
+    * rule panel, so the frontier is hash-checkable.
+    *
+    * Distributed shape (skyline is DISTRIBUTIVE: skyline(A ∪ B) =
+    * skyline(skyline(A) ∪ skyline(B))): each partition reduces to its
+    * LOCAL frontier in one imperative pass (mapPartitions — genuine
+    * per-partition pruning state, the operator Catalyst can't
+    * express), survivors are candidate-scale, and one
+    * broadcast-nested-loop ANTI join over the candidates finishes the
+    * global frontier — the corpus is never pairwise-compared, only
+    * the frontier candidates are. The oracle recomputes the frontier
+    * as a brute-force NOT EXISTS over all pairs. */
+  def docSkyline(spark: SparkSession, dir: String): DataFrame =
+    docSkylineOf(Tables.documents(spark, dir))
+
+  /** [[docSkyline]] over a prepared (doc_id, text) frame. */
+  def docSkylineOf(docs: DataFrame): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val m = gopherAugmented(docs).select(col("doc_id"),
+      coalesce(col("n_words").cast("long"), lit(0L)).as("n_words"),
+      coalesce(col("stop_hits").cast("long"), lit(0L)).as("stop_hits"),
+      coalesce(col("n_symbols").cast("long"), lit(0L)).as("n_symbols"))
+    // strict dominance: >= on every dim, > on at least one
+    def dominates(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
+      b._2 >= a._2 && b._3 >= a._3 && b._4 <= a._4 &&
+        (b._2 > a._2 || b._3 > a._3 || b._4 < a._4)
+    val local = m.as[(Long, Long, Long, Long)].mapPartitions { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      it.foreach { p =>
+        if (!buf.exists(q => dominates(q, p))) {
+          val kept = buf.filterNot(q => dominates(p, q))
+          buf.clear(); buf ++= kept += p
+        }
+      }
+      buf.iterator
+    }.toDF("doc_id", "n_words", "stop_hits", "n_symbols")
+    local.as("a").join(broadcast(local.as("b")), expr(
+      "b.n_words >= a.n_words AND b.stop_hits >= a.stop_hits AND " +
+        "b.n_symbols <= a.n_symbols AND (b.n_words > a.n_words OR " +
+        "b.stop_hits > a.stop_hits OR b.n_symbols < a.n_symbols)"),
+      "left_anti")
+  }
+
+  /** Data-survival curve of the hashed quality classifier — for EVERY
+    * distinct logit cut (descending), how many documents and how many
+    * tokens survive a `logit ≥ cut` gate, in exact counts and ppm of
+    * the corpus: the capacity-planning companion of [[prCurve]]
+    * (precision/recall says how GOOD each cut is; this says how much
+    * DATA each cut keeps — the number a token-budgeted pretraining
+    * run actually needs). One row-local scoring scan ([[
+    * classifierScoreOf]] — the one spelling of logit + token count),
+    * one distinct-logit aggregate, one cumulative window over the
+    * distinct-score frame; totals re-aggregate that frame (never a
+    * second corpus scan). The cumsum window is global but runs at
+    * DISTINCT-SCORE cardinality, not documents — where score
+    * cardinality is itself unbounded, the binned [[prCurve]] grid is
+    * the fallback shape. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     buckets: Int = 256): DataFrame =
+    thresholdSweepOf(Tables.documents(spark, dir), buckets)
+
+  /** [[thresholdSweep]] over a prepared (doc_id, source, text)
+    * frame. */
+  def thresholdSweepOf(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val byScore = classifierScoreOf(docs, buckets)
+      .groupBy(col("logit_fp"))
+      .agg(count(lit(1)).as("n_at"), sum(col("n_tokens")).as("tok_at"))
+    val totals = byScore.agg(
+      sum(col("n_at")).as("n_docs"), sum(col("tok_at")).as("tok_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logit_fp").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byScore
+      .withColumn("n_kept", sum(col("n_at")).over(w))
+      .withColumn("tok_kept", sum(col("tok_at")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("logit_fp"), col("n_at"), col("tok_at"),
+        col("n_kept"), col("tok_kept"),
+        when(col("n_docs") > 0L, expr(
+          s"CAST((CAST(n_kept AS $d38) * 1000000) DIV " +
+            s"CAST(n_docs AS $d38) AS BIGINT)")).as("kept_ppm"),
+        when(col("tok_all") > 0L, expr(
+          s"CAST((CAST(tok_kept AS $d38) * 1000000) DIV " +
+            s"CAST(tok_all AS $d38) AS BIGINT)")).as("tok_kept_ppm"))
+  }
+
   /** Cohen's kappa agreement between the two quality judges the
     * pipeline already ships — the Gopher rule gate and the hashed
     * classifier (logit > 0) — the inter-judge reliability gauge every

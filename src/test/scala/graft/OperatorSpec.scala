@@ -745,6 +745,65 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("docSkyline equals the brute-force frontier and is partitioning-invariant") {
+    val ta = graft.operators.TextAnalysis
+    val got = ta.docSkyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force: recompute the three gopher metric spellings in the
+    // driver and take the frontier by definition
+    val metrics = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val t = r.getString(1)
+        val toks = t.trim.split("\\s+")
+        val stops = Set("the", "a", "and", "of", "to")
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.count(stops).toLong,
+          t.count(c => c == '#' || c == '…').toLong)
+      }
+    def dom(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)) =
+      b._2 >= a._2 && b._3 >= a._3 && b._4 <= a._4 &&
+        (b._2 > a._2 || b._3 > a._3 || b._4 < a._4)
+    val want = metrics.filter(a => !metrics.exists(b => dom(b, a))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // distributive: the frontier is independent of partitioning
+    val repart = ta.docSkylineOf(
+      Tables.documents(spark, sfDir).repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == want)
+    // a planted universal dominator collapses the frontier to itself
+    import spark.implicits._
+    val stacked = Seq(
+      (1L, "a b"), (2L, "c d e"),
+      (3L, "the a and of to " * 50)).toDF("doc_id", "text")
+    val sky = ta.docSkylineOf(stacked).collect().map(_.getLong(0)).toSet
+    assert(sky == Set(3L), s"dominator not alone on the frontier: $sky")
+  }
+
+  test("thresholdSweep: survival curve is monotone and equals a driver recompute") {
+    val ta = graft.operators.TextAnalysis
+    val perDoc = ta.classifierScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("logit_fp"), r.getAs[Long]("n_tokens")))
+    val rows = ta.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("logit_fp"), r.getAs[Long]("n_at"),
+        r.getAs[Long]("tok_at"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("tok_kept"), r.getAs[Long]("kept_ppm")))
+      .sortBy(-_._1)
+    // one row per distinct logit, counts match the per-doc frame
+    assert(rows.map(_._1).toSet == perDoc.map(_._1).toSet)
+    rows.foreach { case (cut, nAt, tokAt, nKept, tokKept, keptPpm) =>
+      assert(nAt == perDoc.count(_._1 == cut))
+      assert(tokAt == perDoc.filter(_._1 == cut).map(_._2).sum)
+      assert(nKept == perDoc.count(_._1 >= cut))
+      assert(tokKept == perDoc.filter(_._1 >= cut).map(_._2).sum)
+      assert(keptPpm == nKept * 1000000L / perDoc.length)
+    }
+    // monotone: lowering the cut never loses data; the lowest cut
+    // keeps everything
+    assert(rows.map(_._4).sameElements(rows.map(_._4).sorted))
+    assert(rows.last._4 == perDoc.length.toLong)
+  }
+
   test("judgeAgreement: kappa counts equal the joined public verdicts") {
     val ta = graft.operators.TextAnalysis
     val pass = ta.gopherPanel(spark, sfDir).collect()
