@@ -321,13 +321,22 @@ FROM comp JOIN cs USING (component)"""
     * side's literal array), per-doc exact BIGINT logit; LEFT JOIN
     * zero-fills token-less documents. */
   def classifierScore(weights: Seq[Long]): String =
-    "WITH " + logitCtes(weights, lgExtra = " count(*) AS n_tokens,")
-      .mkString(",\n ") +
-      "\nSELECT d.doc_id, d.source," +
-      " coalesce(lg.n_tokens, 0) AS n_tokens," +
-      " coalesce(lg.logit_fp, 0) AS logit_fp," +
-      " coalesce(lg.logit_fp, 0) > 0 AS accept" +
-      "\nFROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id"
+    "WITH " + logitScCtes(weights).mkString(",\n ") +
+      "\nSELECT doc_id, source, n_tokens, logit_fp," +
+      " logit_fp > 0 AS accept FROM sc"
+
+  /** [[logitCtes]] plus THE zero-filled per-document panel
+    * `sc(doc_id, source, n_tokens, logit_fp)` — one spelling of the
+    * token-less-document fill shared by [[classifierScore]],
+    * [[scoreAuc]], [[logitGopherPanelCtes]] and [[thresholdSweep]]
+    * (the gopherCtes factoring rule again: a fill-semantics change
+    * must not land in four hand-kept joins). */
+  private def logitScCtes(weights: Seq[Long]): Seq[String] =
+    logitCtes(weights, lgExtra = " count(*) AS n_tokens,") :+
+      ("sc AS (SELECT d.doc_id, d.source," +
+        " coalesce(lg.n_tokens, 0) AS n_tokens," +
+        " coalesce(lg.logit_fp, 0) AS logit_fp" +
+        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)")
 
   /** THE hashed-logit CTE chain (token hashes → wt → bk → lg) — one
     * spelling of the classifier scoring shared by [[classifierScore]],
@@ -353,9 +362,7 @@ FROM comp JOIN cs USING (component)"""
     * (zero-filled logits joined to the gopher verdict) — the shared
     * prefix of [[calibrationBins]] and [[prCurve]]. */
   private def logitGopherPanelCtes(weights: Seq[Long]): Seq[String] =
-    logitCtes(weights) ++ Seq(
-      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+    logitScCtes(weights) ++
       gopherCtes ++ Seq(
       "pnl AS MATERIALIZED (SELECT sc.logit_fp, gp.pass FROM sc" +
         " JOIN gp ON gp.doc_id = sc.doc_id)")
@@ -374,6 +381,8 @@ FROM comp JOIN cs USING (component)"""
       |     AS word_chars,
       |   len(list_intersect(list_distinct(toks),
       |     ['the','a','and','of','to'])) AS stop_hits,
+      |   CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT)
+      |     AS n_symbols,
       |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
       |     / len(toks) AS mean_word_len,
       |   CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
@@ -404,10 +413,7 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * window; u2 and the ppm quotient ride HUGEINT
     * (TextAnalysis.scoreAuc). */
   def scoreAuc(weights: Seq[Long]): String = {
-    "WITH " + (logitCtes(weights) ++ Seq(
-      "sc AS (SELECT d.doc_id, d.source," +
-        " coalesce(lg.logit_fp, 0) AS logit_fp" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)") ++
+    "WITH " + (logitScCtes(weights) ++
       gopherCtes ++ Seq(
       "bs AS (SELECT sc.source, sc.logit_fp," +
         " CAST(sum(CASE WHEN gp.pass THEN 1 ELSE 0 END) AS BIGINT) AS pos," +
@@ -511,10 +517,7 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * ppm of the corpus, off the SHARED logit chain
     * (TextAnalysis.thresholdSweepOf). */
   def thresholdSweep(weights: Seq[Long]): String =
-    "WITH " + (logitCtes(weights, lgExtra = " count(*) AS n_tokens,") ++ Seq(
-      "sc AS (SELECT d.doc_id, coalesce(lg.logit_fp, 0) AS logit_fp," +
-        " coalesce(lg.n_tokens, 0) AS n_tokens" +
-        " FROM documents d LEFT JOIN lg ON lg.doc_id = d.doc_id)",
+    "WITH " + (logitScCtes(weights) ++ Seq(
       "bs AS (SELECT logit_fp, CAST(count(*) AS BIGINT) AS n_at," +
         " CAST(sum(n_tokens) AS BIGINT) AS tok_at FROM sc GROUP BY 1)",
       "tt AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_docs," +
@@ -537,15 +540,12 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
     * metrics spelled exactly as the gopher panel
     * (TextAnalysis.docSkylineOf). */
   def docSkyline: String =
-    """WITH t AS (SELECT doc_id, text,
-      |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    "WITH " + gopherCtes.mkString(",\n ") + """,
       | m AS MATERIALIZED (SELECT doc_id,
-      |   CAST(coalesce(len(toks), 0) AS BIGINT) AS n_words,
-      |   CAST(coalesce(len(list_intersect(list_distinct(toks),
-      |     ['the','a','and','of','to'])), 0) AS BIGINT) AS stop_hits,
-      |   CAST(coalesce(len(regexp_extract_all(text, '[#…]')), 0) AS BIGINT)
-      |     AS n_symbols
-      |  FROM t)
+      |   CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+      |   CAST(coalesce(stop_hits, 0) AS BIGINT) AS stop_hits,
+      |   CAST(coalesce(n_symbols, 0) AS BIGINT) AS n_symbols
+      |  FROM gm)
       |SELECT a.doc_id, a.n_words, a.stop_hits, a.n_symbols FROM m a
       |WHERE NOT EXISTS (SELECT 1 FROM m b WHERE
       |  b.n_words >= a.n_words AND b.stop_hits >= a.stop_hits AND

@@ -77,13 +77,20 @@ object Ann {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
 
-  /** Brute-force top-k neighbors (exact integer dot score) for the
-    * query set vec_id < nQueries. */
-  def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = embs(spark, dir)
+  /** THE exact top-k kernel shared by [[bruteTopK]] and
+    * [[filteredTopK]] — one spelling of the scoring expression,
+    * tie-break, and broadcast shape, so a fix cannot desynchronize
+    * the two rows: queries broadcast, candidates (optionally
+    * pre-filtered BELOW the join, so the predicate pushes into the
+    * scan) score with the exact integer dot, deterministic
+    * (dot DESC, vec_id) cut. */
+  private def exactTopK(e: DataFrame, k: Int, nQueries: Int,
+                        candPred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
-    val scored = e.select(col("vec_id"), col("embedding"))
+    val cands = candPred.fold(e)(p => e.filter(p))
+      .select(col("vec_id"), col("embedding"))
+    val scored = cands
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
@@ -91,6 +98,11 @@ object Ann {
       .orderBy(col("dot_q").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Brute-force top-k neighbors (exact integer dot score) for the
+    * query set vec_id < nQueries. */
+  def bruteTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10): DataFrame =
+    exactTopK(embs(spark, dir), k, nQueries, None)
 
   /** Filtered vector search — the metadata-predicate top-k every
     * production vector store ships (RAG "search within this tenant /
@@ -105,19 +117,9 @@ object Ann {
     * avoids. Same exact integer-dot scoring and deterministic
     * (dot DESC, vec_id) cut as [[bruteTopK]]. */
   def filteredTopK(spark: SparkSession, dir: String, targetLabel: Int = 3,
-                   k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val e = embs(spark, dir)
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_query"))
-    val scored = e.filter(col("label") === targetLabel)
-      .select(col("vec_id"), col("embedding"))
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot_q").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-  }
+                   k: Int = 5, nQueries: Int = 10): DataFrame =
+    exactTopK(embs(spark, dir), k, nQueries,
+      Some(col("label") === targetLabel))
 
   /** How many `nPlanes`-bit hash tables does a target recall need?
     * Per-bit agreement of an SRP fingerprint is p = 1 − θ/π (Charikar

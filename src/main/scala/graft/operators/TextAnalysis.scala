@@ -2095,7 +2095,11 @@ object TextAnalysis {
       }
       buf.iterator
     }.toDF("doc_id", "n_words", "stop_hits", "n_symbols")
-    local.as("a").join(broadcast(local.as("b")), expr(
+    // materialize the candidate frontier: both self-join sides reuse
+    // ONE corpus scan + local-frontier pass (the bare plan would
+    // re-derive the whole subtree under the BroadcastExchange)
+    val cands = graft.plans.Materialize(local)
+    cands.as("a").join(broadcast(cands.as("b")), expr(
       "b.n_words >= a.n_words AND b.stop_hits >= a.stop_hits AND " +
         "b.n_symbols <= a.n_symbols AND (b.n_words > a.n_words OR " +
         "b.stop_hits > a.stop_hits OR b.n_symbols < a.n_symbols)"),

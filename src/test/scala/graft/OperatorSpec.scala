@@ -723,7 +723,10 @@ class OperatorSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1),
-        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1000))))
+        // HALF_UP away from zero like Spark's round (math.round would
+        // round -62.5 toward +inf instead)
+        r.getSeq[Float](2).map(v => BigDecimal(v.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
     val target = 3
     val got = Ann.filteredTopK(spark, sfDir, targetLabel = target)
       .collect()

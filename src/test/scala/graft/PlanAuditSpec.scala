@@ -922,8 +922,8 @@ class PlanAuditSpec extends SparkSpec {
     val plan = physical(df)
     // PRE-filter: the scan itself reads only the target label — the
     // whole point over post-filtering a top-k
-    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]") ||
-      plan.contains("EqualTo(label,3)"), s"label filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
+      s"label filter not pushed:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"query set not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
