@@ -167,4 +167,68 @@ class ShuffleContractSpec extends SparkSpec {
     assert(m3.bytes == 0L && m3.records == 0L,
       s"row-local resample kernel shuffled: $m3")
   }
+
+  test("domain KL shuffles (source, word) cells, not the corpus: 2x text mass moves ~nothing extra") {
+    // self-concatenated text doubles every count but not the
+    // (source, word) CELL set — map-side partial aggregation means
+    // the exchange moves cells, so the doubled corpus shuffles the
+    // same bytes; text riding the exchange would double them
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.domainKlOf(
+        docs.select(col("source"), col("text"))).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.domainKlOf(
+        docs2x.select(col("source"), col("text"))).count()
+    }
+    assert(base.bytes > 0, s"no shuffle measured: $base")
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text mass grew the KL shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
+
+  test("doc entropy and burstiness shuffle per-key cells, invariant under 2x text mass") {
+    val baseE = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.docEntropyOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    }
+    val dblE = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.docEntropyOf(
+        docs2x.select(col("doc_id"), col("text"))).count()
+    }
+    assert(baseE.bytes > 0)
+    assert(dblE.bytes <= (baseE.bytes * 1.4 + 16384).toLong,
+      s"doc-entropy shuffle grew ${baseE.bytes} -> ${dblE.bytes}")
+    val baseB = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.burstinessOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    }
+    val dblB = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.CorpusStats.burstinessOf(
+        docs2x.select(col("doc_id"), col("text"))).count()
+    }
+    assert(baseB.bytes > 0)
+    assert(dblB.bytes <= (baseB.bytes * 1.4 + 16384).toLong,
+      s"burstiness shuffle grew ${baseB.bytes} -> ${dblB.bytes}")
+  }
+
+  test("winnow overlap shuffles 8-byte fingerprints: linear in grams, scalar-sized records") {
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.Winnow.winnowOverlapOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      graft.operators.Winnow.winnowOverlapOf(
+        docs2x.select(col("doc_id"), col("text"))).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // selected fingerprints are ~2/(w+1) of the grams, so 2x text ⇒
+    // ~2x fingerprints — LINEAR growth (a quadratic pair blowup or
+    // text on the exchange breaches the 3x bound)
+    assert(doubled.bytes <= (base.bytes * 3.0 + 16384).toLong,
+      s"winnow shuffle superlinear: ${base.bytes} -> ${doubled.bytes}")
+    // the exchange carries (fingerprint, doc id, count) scalars —
+    // a text column would blow the per-record average past this
+    assert(base.bytes / base.records < 64,
+      s"winnow shuffle rows too wide: ${base.bytes}/${base.records}")
+  }
 }
