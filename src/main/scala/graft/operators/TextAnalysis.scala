@@ -2074,14 +2074,65 @@ object TextAnalysis {
     docSkylineOf(Tables.documents(spark, dir))
 
   /** [[docSkyline]] over a prepared (doc_id, text) frame. */
-  def docSkylineOf(docs: DataFrame): DataFrame = {
-    val spark2 = docs.sparkSession
-    import spark2.implicits._
-    val m = gopherAugmented(docs).select(col("doc_id"),
+  def docSkylineOf(docs: DataFrame): DataFrame =
+    docSkylineMetricsOf(
+      gopherAugmented(docs).select(col("doc_id"),
+        coalesce(col("n_words").cast("long"), lit(0L)).as("n_words"),
+        coalesce(col("stop_hits").cast("long"), lit(0L)).as("stop_hits"),
+        coalesce(col("n_symbols").cast("long"), lit(0L)).as("n_symbols")))
+
+  /** LIVE frontier maintenance — the streaming twin of [[docSkyline]]
+    * (skyline is DISTRIBUTIVE: skyline(A ∪ B) = skyline(skyline(A) ∪
+    * B), so per-batch maintenance is EXACT, never approximate): each
+    * micro-batch unions its documents' metric rows with the LATEST
+    * committed frontier, reduces to the new frontier, and lands it as
+    * `batch=<id>` via the idempotent landBatch discipline — replaying
+    * a batch re-lands its own dir off the strictly-earlier frontier,
+    * so at-least-once delivery converges. The store holds FRONTIERS
+    * (candidate-scale), never corpora: the probe reads one frontier
+    * dir + the arriving batch, whatever the accumulated history.
+    * Spec-pinned: fed the corpus in batches, the final landed
+    * frontier equals the batch [[docSkyline]] exactly. */
+  def skylineIncrementalBatch(batch: DataFrame, storeDir: String,
+                              batchId: Long): DataFrame = {
+    val spark2 = batch.sparkSession
+    val metrics = gopherAugmented(batch).select(col("doc_id"),
       coalesce(col("n_words").cast("long"), lit(0L)).as("n_words"),
       coalesce(col("stop_hits").cast("long"), lit(0L)).as("stop_hits"),
       coalesce(col("n_symbols").cast("long"), lit(0L)).as("n_symbols"))
-    // strict dominance: >= on every dim, > on at least one
+    // the latest STRICTLY-EARLIER frontier (empty on batch 0); the
+    // frontier is already pairwise non-dominated, so the union with
+    // the batch feeds the same distributive reduction docSkylineOf
+    // runs over raw partitions
+    // batch 0 lands into a store that does not exist yet — listing it
+    // unguarded would throw, and a swallowed Try would also hide real
+    // store corruption, so check existence explicitly
+    val basePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = basePath.getFileSystem(spark2.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(basePath))
+        graft.sources.Incremental.committedBatchDirs(spark2, storeDir)
+      else Seq.empty[(Long, String)]
+    val prior = dirs.filter(_._1 < batchId).sortBy(_._1).lastOption
+    val pool = prior match {
+      case Some((_, path)) =>
+        val f = spark2.read.schema(metrics.schema).parquet(path)
+        metrics.unionAll(f)
+      case None => metrics
+    }
+    val frontier = docSkylineMetricsOf(pool)
+    val (own, _) = graft.sources.Incremental.landBatch(
+      frontier, storeDir, batchId)
+    own
+  }
+
+  /** The frontier reduction over a prepared metric frame — shared by
+    * [[docSkylineOf]] (raw corpus) and [[skylineIncrementalBatch]]
+    * (frontier ∪ batch), so the dominance predicate has ONE
+    * spelling. */
+  private def docSkylineMetricsOf(m: DataFrame): DataFrame = {
+    val spark2 = m.sparkSession
+    import spark2.implicits._
     def dominates(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
       b._2 >= a._2 && b._3 >= a._3 && b._4 <= a._4 &&
         (b._2 > a._2 || b._3 > a._3 || b._4 < a._4)
@@ -2095,9 +2146,6 @@ object TextAnalysis {
       }
       buf.iterator
     }.toDF("doc_id", "n_words", "stop_hits", "n_symbols")
-    // materialize the candidate frontier: both self-join sides reuse
-    // ONE corpus scan + local-frontier pass (the bare plan would
-    // re-derive the whole subtree under the BroadcastExchange)
     val cands = graft.plans.Materialize(local)
     cands.as("a").join(broadcast(cands.as("b")), expr(
       "b.n_words >= a.n_words AND b.stop_hits >= a.stop_hits AND " +

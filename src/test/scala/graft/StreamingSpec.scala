@@ -1721,6 +1721,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental skyline store: per-batch frontier maintenance equals the batch operator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skyline-store-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = graft.operators.TextAnalysis.docSkyline(spark, sfDir)
+      .collect().map(key).toSet
+    // distributivity makes per-batch maintenance exact: the landed
+    // frontier after the last batch IS the batch operator's answer
+    val batches = docs.grouped(170).toSeq
+    var last: Set[(Long, Long, Long, Long)] = Set.empty
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      last = graft.operators.TextAnalysis.skylineIncrementalBatch(
+        chunk.toSeq.toDF("doc_id", "text"), dir, id)
+        .collect().map(key).toSet
+    }
+    assert(last == want,
+      s"missing=${(want -- last).take(3)} extra=${(last -- want).take(3)}")
+    // at-least-once replay of the LAST batch converges (idempotent
+    // batch=<id> overwrite off the strictly-earlier frontier)
+    val replay = graft.operators.TextAnalysis.skylineIncrementalBatch(
+      batches.last.toSeq.toDF("doc_id", "text"), dir,
+      batches.size - 1L).collect().map(key).toSet
+    assert(replay == want)
+    // the store holds FRONTIERS, never the corpus: every landed dir
+    // is candidate-scale
+    batches.indices.foreach { i =>
+      val n = spark.read.parquet(s"$dir/batch=$i").count()
+      assert(n <= want.size + 50,
+        s"batch $i landed $n rows — store holds corpora, not frontiers?")
+    }
+  }
+
   test("bucketed winnow store: first-seen contamination gate equals the corpus reference, fp buckets prune") {
     val s = spark
     import s.implicits._
