@@ -300,21 +300,36 @@ object TextAnalysis {
   private def charLmTop(docs: DataFrame, trainPred: Column,
                         scorePred: Column): DataFrame = {
     val d38 = "DECIMAL(38,0)"
+    // trigram keys ride every exchange as xxhash64 int64s (the
+    // chunk-dedup key discipline): 8 fixed bytes instead of a 3-char
+    // UTF-8 string — the trigram itself never leaves the first scan
     val tris = docs.select(col("doc_id"), col("lang"),
       explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), " +
           "i -> substring(text, i, 3))")).as("tri"))
       .filter(length(col("tri")) === 3)
+      .select(col("doc_id"), col("lang"), xxhash64(col("tri")).as("tri"))
     val dt = graft.plans.Materialize(
       tris.groupBy(col("doc_id"), col("lang"), col("tri"))
         .agg(count(lit(1)).as("c")))
     val prof = dt.filter(trainPred)
       .groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("c")).as("pc"))
+    // deliberately UNHINTED (the bigramSurprisalAgainst convention):
+    // the profile table is trigram-vocabulary × #langs rows — tiny on
+    // a monolingual corpus, multi-GB on a multilingual 100 TB crawl
+    // (10⁷–10⁸ distinct CJK trigrams), above the broadcast hard cap.
+    // AQE broadcasts a dictionary-sized model and shuffle-joins one
+    // too big; a forced broadcast() here is a guaranteed job failure.
     val scored = dt.filter(scorePred)
-      .join(broadcast(prof), Seq("tri"))
+      .join(prof, Seq("tri"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(sum(expr(s"CAST(c AS $d38) * CAST(pc AS $d38)")).as("score"))
+    // argmax (score DESC, plang ASC) as a row_number window: the
+    // scored frame is docs × langs rows (already aggregated), so the
+    // doc-partition sort is tiny relative to the scoring join; a
+    // min(struct(-score, plang)) aggregate measured SLOWER here —
+    // struct ordering falls out of codegen while the sort stays in
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("plang").asc)
@@ -338,10 +353,14 @@ object TextAnalysis {
     * in-corpus fit by construction (profiles include the scored doc;
     * the panel measures class separability, not held-out accuracy).
     * Shape: ONE corpus scan collapses to the (doc, lang, tri) count
-    * table and is MATERIALIZED (two consumers: scoring join +
-    * profile roll-up — the perSourceWord discipline); profiles are
-    * trigram-vocabulary × #langs rows, broadcast; the score join
-    * partial-aggregates to (doc, lang) before its shuffle. NULL-lang
+    * table — trigrams hashed to xxhash64 int64 keys at the scan, so
+    * every exchange carries 8-byte keys — and is MATERIALIZED (two
+    * consumers: scoring join + profile roll-up — the perSourceWord
+    * discipline); the profile join is UNHINTED: a dictionary-sized
+    * profile broadcasts under AQE, a multilingual-crawl-sized one
+    * (10⁷–10⁸ trigrams) shuffle-joins instead of failing the job;
+    * the score join partial-aggregates to (doc, lang) before its
+    * shuffle. NULL-lang
     * docs score but form NO profile (mirrored in the oracle —
     * ORDER-BY NULL placement differs between engines, so unlabeled
     * profiles would tie-break differently). */

@@ -108,15 +108,30 @@ class PlanAuditSpec extends SparkSpec {
       s"affix dicts bypass the materialized base:\n$plan")
   }
 
-  test("charNgramLangId: one corpus scan, profiles broadcast back") {
-    val plan = physical(graft.operators.TextAnalysis.charNgramLangId(spark, sfDir))
+  test("charNgramLangId: one corpus scan, profile join UNHINTED — AQE broadcasts at this scale") {
+    // the profile table is trigram-vocabulary × #langs rows: tiny on
+    // a monolingual corpus, 10⁷–10⁸ rows on a multilingual crawl — a
+    // forced broadcast() is a guaranteed 100 TB job failure, so the
+    // join must carry NO build-side hint and let AQE size it
+    val df = graft.operators.TextAnalysis.charNgramLangId(spark, sfDir)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "char-LM profile join re-grew a broadcast hint")
+    val plan = physical(df)
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 0,
       s"char-LM re-scans the corpus past the materialize:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"profile join degraded to a shuffle:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"profile join sort-merges the corpus side:\n$plan")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(200))
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the dictionary-sized profile:\n$finalPlan")
+    // trigram keys cross every exchange as xxhash64 int64s, never as
+    // UTF-8 strings: the materialized count table's key is a bigint
+    val tri = df.queryExecution.analyzed.collectLeaves()
+      .flatMap(_.output).filter(_.name == "tri")
+    assert(tri.nonEmpty && tri.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      s"trigram exchange key is not int64: ${tri.map(_.dataType)}")
   }
 
   test("keyness: totals ride broadcasts, no corpus-sized join") {

@@ -231,4 +231,22 @@ class ShuffleContractSpec extends SparkSpec {
     assert(base.bytes / base.records < 64,
       s"winnow shuffle rows too wide: ${base.bytes}/${base.records}")
   }
+
+  test("char-LM exchanges are trigram-CELL bounded int64 keys: 2x text mass moves ~nothing extra") {
+    // every exchange in the classifier carries (doc, lang, tri-hash)
+    // cells or vocabulary-scale profile rows, never trigram INSTANCES
+    // and never trigram STRINGS: self-concatenating the text doubles
+    // every count but adds only a handful of junction trigrams per
+    // doc, so shuffle bytes must stay flat — an instance-level or
+    // string-keyed exchange roughly doubles
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.charNgramLangIdOf(docs).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.charNgramLangIdOf(docs2x).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text mass grew the char-LM shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
 }
