@@ -2103,15 +2103,21 @@ object TextAnalysis {
   /** LIVE frontier maintenance — the streaming twin of [[docSkyline]]
     * (skyline is DISTRIBUTIVE: skyline(A ∪ B) = skyline(skyline(A) ∪
     * B), so per-batch maintenance is EXACT, never approximate): each
-    * micro-batch unions its documents' metric rows with the LATEST
-    * committed frontier, reduces to the new frontier, and lands it as
-    * `batch=<id>` via the idempotent landBatch discipline — replaying
-    * a batch re-lands its own dir off the strictly-earlier frontier,
-    * so at-least-once delivery converges. The store holds FRONTIERS
-    * (candidate-scale), never corpora: the probe reads one frontier
-    * dir + the arriving batch, whatever the accumulated history.
+    * micro-batch unions its documents' metric rows with ALL
+    * strictly-earlier committed frontiers — not just the latest, so
+    * an OUT-OF-ORDER landing (batch 1 committed after batch 2, a
+    * retried upstream) still contributes to every later frontier,
+    * matching the other incremental stores' commit-order tolerance —
+    * reduces to the new frontier, and lands it as `batch=<id>` via
+    * the idempotent landBatch discipline: replaying a batch re-lands
+    * its own dir off the strictly-earlier frontiers, so
+    * at-least-once delivery converges. The store holds FRONTIERS
+    * (candidate-scale), never corpora: the union of earlier frontiers
+    * stays candidate-scale (a doc surviving several frontiers
+    * collapses in the distinct), whatever the accumulated history.
     * Spec-pinned: fed the corpus in batches, the final landed
-    * frontier equals the batch [[docSkyline]] exactly. */
+    * frontier equals the batch [[docSkyline]] exactly — including an
+    * out-of-order commit sequence. */
   def skylineIncrementalBatch(batch: DataFrame, storeDir: String,
                               batchId: Long): DataFrame = {
     val spark2 = batch.sparkSession
@@ -2132,13 +2138,17 @@ object TextAnalysis {
       if (fs.exists(basePath))
         graft.sources.Incremental.committedBatchDirs(spark2, storeDir)
       else Seq.empty[(Long, String)]
-    val prior = dirs.filter(_._1 < batchId).sortBy(_._1).lastOption
-    val pool = prior match {
-      case Some((_, path)) =>
-        val f = spark2.read.schema(metrics.schema).parquet(path)
-        metrics.unionAll(f)
-      case None => metrics
-    }
+    val prior = dirs.filter(_._1 < batchId).map(_._2)
+    val pool =
+      if (prior.isEmpty) metrics
+      else {
+        // ALL earlier frontiers, deduplicated: identical metric rows
+        // for the same doc across frontiers must not enter the
+        // reduction twice (equal tuples never dominate each other, so
+        // duplicates would BOTH survive into the landed frontier)
+        val f = spark2.read.schema(metrics.schema).parquet(prior: _*)
+        metrics.unionAll(f.distinct())
+      }
     val frontier = docSkylineMetricsOf(pool)
     val (own, _) = graft.sources.Incremental.landBatch(
       frontier, storeDir, batchId)

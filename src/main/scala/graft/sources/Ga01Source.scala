@@ -58,15 +58,35 @@ object Ga01Source {
     * pruning — the file-skipping spec's observable. */
   val filesPlanned = new AtomicLong(0L)
 
-  /** Container files the STREAMING leg planned across a query's
-    * micro-batches after sidecar-stats pruning (cumulative — reset
-    * before a run, read after; separate from [[filesPlanned]] so
-    * batch and streaming specs can't cross-talk). The engine may
-    * plan the same offset window more than once per batch, so the
-    * spec divides by [[streamWindowsPlanned]] (non-empty windows)
-    * for the per-window figure. */
-  val streamFilesPlanned = new AtomicLong(0L)
-  val streamWindowsPlanned = new AtomicLong(0L)
+  /** Per-STREAM pruning observables: files planned after sidecar
+    * pruning and non-empty offset windows, counted on the stream
+    * INSTANCE — a process-global counter would let two concurrent
+    * filtered streams (or a replayed planInputPartitions on another
+    * query) cross-contaminate the figure the specs divide. The engine
+    * may plan the same offset window more than once per batch, so
+    * readers divide `filesPlanned` by `windowsPlanned` for the
+    * per-window figure. */
+  final class StreamObservables {
+    val filesPlanned = new AtomicLong(0L)
+    val windowsPlanned = new AtomicLong(0L)
+  }
+
+  private val streamRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamObservables]()
+
+  /** Called by each micro-batch stream at creation: fresh counters,
+    * registered as the store path's MOST RECENT stream (latest wins —
+    * the spec inspects the stream it just started). */
+  private[sources] def registerStream(path: String): StreamObservables = {
+    val o = new StreamObservables
+    streamRegistry.put(path, o)
+    o
+  }
+
+  /** The observables of the most recently created micro-batch stream
+    * over `path` (zeros when no stream was ever planned there). */
+  def streamObservables(path: String): StreamObservables =
+    streamRegistry.computeIfAbsent(path, _ => new StreamObservables)
 
   /** The min/max doc_id sidecar of one container file, shared by the
     * batch scan and the micro-batch planner — ONE spelling of the
@@ -243,6 +263,9 @@ class Ga01MicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // this stream's OWN pruning counters (see Ga01Source.StreamObservables)
+  private val observables = Ga01Source.registerStream(path)
+
   private case class FileEntry(name: String, path: String, len: Long)
 
   private def files(): Array[FileEntry] =
@@ -280,8 +303,8 @@ class Ga01MicroBatchStream(
           }
         }
       }
-    Ga01Source.streamFilesPlanned.addAndGet(kept.length.toLong)
-    if (window.nonEmpty) Ga01Source.streamWindowsPlanned.incrementAndGet()
+    observables.filesPlanned.addAndGet(kept.length.toLong)
+    if (window.nonEmpty) observables.windowsPlanned.incrementAndGet()
     kept.map(f => Ga01Partition(f.path, f.len): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -496,7 +519,20 @@ object Ga01Store {
       val attemptRe =
         (java.util.regex.Pattern.quote(namePrefix) +
           "part-(\\d+)-attempt\\d+\\.ga01").r
-      val listed = fs.listStatus(tmpDir)
+      val entries = fs.listStatus(tmpDir)
+      // a DIRECTORY inside the temp dir (e.g. a committer-style
+      // _temporary dir still holding attempt files) must fail the
+      // promotion loudly: it would otherwise pass the per-file
+      // validation below unseen and be deleted with the temp dir
+      // while _SUCCESS still lands — the same silent-loss class as
+      // an unrecognized file name
+      entries.filter(_.isDirectory).foreach { st =>
+        throw new IllegalStateException(
+          s"GA01 promotion found a directory '${st.getPath.getName}' in " +
+            s"$tmpDir — refusing to promote (any rows inside it would be " +
+            "lost with the temp dir)")
+      }
+      val listed = entries
         .filter(_.isFile)
         .sortBy(_.getPath.getName)
       // validate EVERY name BEFORE the first rename: a mid-loop

@@ -105,8 +105,33 @@ object Incremental {
           "silently misses matches (re-land the store or match the layout)")
     } else {
       fs.mkdirs(p)
-      val out = fs.create(f, true)
-      try out.write((layout + "\n").getBytes("UTF-8")) finally out.close()
+      // overwrite=false: two concurrent FIRST landings with different
+      // geometry must not both pass the exists() check and let the
+      // later create() silently replace the winner's manifest — the
+      // exact silent-miss class this file exists to prevent. The
+      // loser of the create race falls through to re-read the
+      // winner's manifest and compare instead.
+      val created =
+        try {
+          val out = fs.create(f, false)
+          try out.write((layout + "\n").getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!created) requireLayout(spark, dir, layout)
+      else {
+        // and re-verify the write landed intact: a store whose
+        // create(false) resolves concurrent writers last-writer-wins
+        // still ends with ONE agreed manifest or a loud failure here
+        val in = fs.open(f)
+        val readBack =
+          try new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+          finally in.close()
+        require(readBack == layout,
+          s"bucketed store $dir manifest read back '$readBack' after " +
+            s"writing '$layout' — concurrent first landings with " +
+            "mixed geometry (re-land the store with one layout)")
+      }
     }
   }
 

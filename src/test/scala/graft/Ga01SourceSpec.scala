@@ -198,8 +198,6 @@ class Ga01SourceSpec extends SparkSpec {
     val batchPlanned = Ga01Source.filesPlanned.get()
     assert(batchPlanned >= 1L && batchPlanned < 4L,
       s"batch reference did not prune: $batchPlanned of 4 files")
-    Ga01Source.streamFilesPlanned.set(0L)
-    Ga01Source.streamWindowsPlanned.set(0L)
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     // Catalyst never pushes filters into micro-batch scans, so the
     // stream seeds the interval via the docIdMin/docIdMax options —
@@ -218,22 +216,27 @@ class Ga01SourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(seen.toSeq == Seq(probe), s"filtered stream rows: $seen")
-      val w1 = Ga01Source.streamWindowsPlanned.get()
+      // per-STREAM observables (a process-global counter would let a
+      // concurrent stream cross-contaminate this division): read the
+      // instance this query registered for the store path
+      val obs = Ga01Source.streamObservables(dir)
+      val w1 = obs.windowsPlanned.get()
+      val f1 = obs.filesPlanned.get()
       assert(w1 >= 1L, "no non-empty offset window planned")
-      assert(Ga01Source.streamFilesPlanned.get() == batchPlanned * w1,
-        s"stream planned ${Ga01Source.streamFilesPlanned.get()} files over " +
+      assert(f1 == batchPlanned * w1,
+        s"stream planned $f1 files over " +
           s"$w1 windows; batch scan planned $batchPlanned of 4")
       // a newly landed batch prunes the same way INSIDE its offset
-      // window: 4 more files, only the matching ones read
+      // window: 4 more files, only the matching ones read (deltas on
+      // the same instance — the counters are never reset)
       graft.sources.Ga01Store.append(audio, dir, 1L)
-      Ga01Source.streamFilesPlanned.set(0L)
-      Ga01Source.streamWindowsPlanned.set(0L)
       q.processAllAvailable()
       assert(seen.toSeq == Seq(probe, probe),
         s"second landing mis-delivered: $seen")
-      val w2 = Ga01Source.streamWindowsPlanned.get()
-      assert(w2 >= 1L && Ga01Source.streamFilesPlanned.get() == batchPlanned * w2,
-        s"second window planned ${Ga01Source.streamFilesPlanned.get()} over $w2")
+      val w2 = obs.windowsPlanned.get() - w1
+      val f2 = obs.filesPlanned.get() - f1
+      assert(w2 >= 1L && f2 == batchPlanned * w2,
+        s"second window planned $f2 over $w2")
     } finally q.stop()
     // offsets are over ALL landed files (pruning never shifts the
     // replay prefix): an unfiltered restart on a FRESH checkpoint
@@ -349,6 +352,19 @@ class Ga01SourceSpec extends SparkSpec {
     assert(landed(fs4, p4).isEmpty,
       s"partial promotion leaked: ${landed(fs4, p4)}")
     assert(fs4.exists(t4), "temp dir must survive a refused promotion")
+    // a DIRECTORY in the temp dir (a committer-style _temporary dir
+    // still holding attempt files) must also refuse loudly: the old
+    // isFile-only validation passed it silently and deleted its rows
+    // with the temp dir while _SUCCESS still landed
+    val (fs5, p5, t5) = mk(Seq("part-00001-attempt000000000002.ga01"))
+    fs5.mkdirs(new Path(t5, "_temporary"))
+    val e5 = intercept[IllegalStateException] {
+      Ga01Store.promoteAttempts(fs5, p5, t5, namePrefix = "")
+    }
+    assert(e5.getMessage.contains("_temporary"))
+    assert(landed(fs5, p5).isEmpty,
+      s"partial promotion leaked past a directory: ${landed(fs5, p5)}")
+    assert(fs5.exists(t5), "temp dir must survive a refused promotion")
   }
 
   test("reader raises a loud corrupt-record error on a 2^31-overflowing payload length") {

@@ -1756,6 +1756,27 @@ class StreamingSpec extends SparkSpec {
       assert(n <= want.size + 50,
         s"batch $i landed $n rows — store holds corpora, not frontiers?")
     }
+    // OUT-OF-ORDER commits converge: batch 1 lands AFTER batch 2 (a
+    // retried upstream), and the next landing must still fold its
+    // docs in — the store unions ALL strictly-earlier frontiers, not
+    // just the latest (which would permanently drop the late commit)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-skyline-ooo-").toString
+    val order = Seq(0, 2, 1) ++ (3 until batches.size)
+    order.foreach { id =>
+      graft.operators.TextAnalysis.skylineIncrementalBatch(
+        batches(id).toSeq.toDF("doc_id", "text"), dir2, id.toLong)
+    }
+    // the late commit is visible to the NEXT landing: replaying the
+    // highest batch reads frontiers {0, 1, …} and must now equal the
+    // batch operator — under latest-frontier-only semantics batch 1's
+    // frontier docs would be permanently gone
+    val lastOoo = graft.operators.TextAnalysis.skylineIncrementalBatch(
+      batches.last.toSeq.toDF("doc_id", "text"), dir2,
+      batches.size - 1L).collect().map(key).toSet
+    assert(lastOoo == want,
+      s"out-of-order commits diverged: missing=${(want -- lastOoo).take(3)} " +
+        s"extra=${(lastOoo -- want).take(3)}")
   }
 
   test("bucketed winnow store: first-seen contamination gate equals the corpus reference, fp buckets prune") {
