@@ -2266,6 +2266,76 @@ FROM cf"""
     s"(2*$t + CASE WHEN CAST($n AS HUGEINT)*($n) - CAST($q AS HUGEINT)*($q)" +
       s" >= CAST($q AS HUGEINT)*($q) THEN 1 ELSE 0 END)"
 
+  /** q_trigram_surprisal / q_trigram_transfer: the Stupid-Backoff
+    * trigram panel mirroring TextAnalysis.scoreTrigrams — the unified
+    * 1-based gram stream (w2/w3 NULL past the doc tail), three stat
+    * censuses + totals off the TRAIN slice, LEFT joins off the EVAL
+    * slice, and the per-row half-bit CASE ladder (trigram hit /
+    * +pen bigram backoff / +2·pen add-one unigram floor) in HUGEINT
+    * (the Spark side runs the same subtraction-form square compare in
+    * DECIMAL(38,0)). `trainWhere`/`evalWhere` are SQL predicates over
+    * the documents row (TRUE/TRUE for the self-scored row, the
+    * source cut for the transfer row). */
+  def trigramSurprisal(pen: Long, trainWhere: String,
+                       evalWhere: String): String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, source, list_filter(
+      |   regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      |   FROM documents),
+      | gst AS MATERIALIZED (SELECT toks[i] AS w1,
+      |     CASE WHEN i < len(toks) THEN toks[i+1] END AS w2,
+      |     CASE WHEN i + 1 < len(toks) THEN toks[i+2] END AS w3
+      |   FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+      |         FROM tk WHERE len(toks) >= 1 AND ($trainWhere))),
+      | gse AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+      |     toks[i+2] AS w3
+      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |         FROM tk WHERE len(toks) >= 3 AND ($evalWhere))),
+      | g3 AS (SELECT w1, w2, w3, count(*) AS c123 FROM gst
+      |   WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+      | g2p AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+      |   FROM g3 GROUP BY 1, 2),
+      | gb AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c23 FROM gst
+      |   WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      | gbp AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM gb GROUP BY 1),
+      | gu AS (SELECT w1 AS w3, count(*) AS c3 FROM gst GROUP BY 1),
+      | tot AS (SELECT CAST(sum(c3) AS BIGINT) AS n, count(*) AS v FROM gu),
+      | j AS (SELECT e.doc_id, g3.c123, g2p.c12, gb.c23, gbp.c2, gu.c3,
+      |     tot.n, tot.v
+      |   FROM gse e
+      |   LEFT JOIN g3 USING (w1, w2, w3)
+      |   LEFT JOIN g2p USING (w1, w2)
+      |   LEFT JOIN gb USING (w2, w3)
+      |   LEFT JOIN gbp USING (w2)
+      |   LEFT JOIN gu USING (w3)
+      |   CROSS JOIN tot),
+      | s1 AS (SELECT *,
+      |   CASE WHEN c123 IS NOT NULL THEN T_3 END AS t3,
+      |   CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN T_2 END AS t2,
+      |   CASE WHEN c123 IS NULL AND c23 IS NULL THEN T_1 END AS t1 FROM j),
+      | s2 AS (SELECT *, (c123 << t3) AS q3, (c23 << t2) AS q2,
+      |   ((coalesce(c3, 0) + 1) << t1) AS q1 FROM s1),
+      | s3 AS (SELECT doc_id, c123, c23,
+      |   CASE WHEN c123 IS NOT NULL THEN HB_3
+      |        WHEN c23 IS NOT NULL THEN $pen + HB_2
+      |        ELSE ${2 * pen} + HB_1 END AS hb FROM s2)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      |  CAST(sum(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tri_hit,
+      |  CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bi_backoff,
+      |  CAST(sum(CASE WHEN c123 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_uni_backoff,
+      |  CAST(sum(hb) AS BIGINT) AS sum_hb,
+      |  CAST((CAST(sum(hb) AS HUGEINT) * 1000000)
+      |    // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS mean_mbits
+      |FROM s3 GROUP BY 1""".stripMargin
+      .replace("T_3", hlogT("c12", "c123"))
+      .replace("T_2", hlogT("c2", "c23"))
+      .replace("T_1", hlogT("n + v", "coalesce(c3, 0) + 1"))
+      .replace("HB_3", hlogFinish("c12", "t3", "q3"))
+      .replace("HB_2", hlogFinish("c2", "t2", "q2"))
+      .replace("HB_1", hlogFinish("n + v", "t1", "q1"))
+
   /** q_domain_kl: per-source unigram KL divergence from the corpus
     * mix, mirroring CorpusStats.domainKlOf — half-bit floor-log₂ via
     * bit length + one exact square comparison (HUGEINT here,

@@ -235,6 +235,8 @@ object SparkEntry {
     "q_unigram_commonness" -> ((s, d) => TextAnalysis.unigramCommonness(s, d)),
     "q_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(s, d)),
     "q_surprisal_transfer" -> ((s, d) => TextAnalysis.surprisalTransfer(s, d)),
+    "q_trigram_surprisal" -> ((s, d) => TextAnalysis.trigramSurprisal(s, d)),
+    "q_trigram_transfer" -> ((s, d) => TextAnalysis.trigramTransfer(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_audio" -> ((s, d) => Multimodal.mediaAudio(s, d)),
@@ -2035,6 +2037,16 @@ object SparkEntry {
         |FROM be LEFT JOIN g USING (w1, w2) LEFT JOIN u USING (w1)
         | CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // trigram Stupid-Backoff: shared CTE ladder, self-scored (every
+    // trigram a hit by construction — the backoff legs are exercised
+    // by the transfer row and the live-gate spec)
+    "q_trigram_surprisal" -> OracleSql.trigramSurprisal(
+      TextAnalysis.TrigramBackoffHalfBits, "TRUE", "TRUE"),
+    // transfer leg: model trained outside src0, ONLY src0 scored —
+    // the backoff ladder actually fires here
+    "q_trigram_transfer" -> OracleSql.trigramSurprisal(
+      TextAnalysis.TrigramBackoffHalfBits,
+      "source <> 'src0'", "source = 'src0'"),
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->

@@ -2829,6 +2829,213 @@ object TextAnalysis {
       .withColumn("mean_bits",
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
 
+  // ---------------------------------------------------------------
+  // Trigram Stupid-Backoff surprisal (Brants et al. 2007)
+  // ---------------------------------------------------------------
+
+  /** Backoff penalty in HALF-BITS per backoff level: the Stupid
+    * Backoff α as a power of two (α = 2⁻², close to the paper's 0.4)
+    * so a backed-off term ADDS exactly 2·k = 4 half-bits and every
+    * score stays an exact integer — no float multiplies anywhere. */
+  val TrigramBackoffHalfBits: Long = 4L
+
+  /** ONE corpus scan → the unified gram stream (doc_id, w1, w2, w3):
+    * one row per token position i with w2/w3 NULL past the document
+    * tail, so the SAME frame serves the unigram census (all rows),
+    * the bigram census (w2 non-NULL), the trigram census and the
+    * scoring stream (w3 non-NULL) — the charLmTop one-scan
+    * discipline extended to three orders. Empty tokens dropped by
+    * the `t != ''` rule every T.tokens consumer applies; CASE guards
+    * keep the out-of-range subscripts unevaluated under ANSI. */
+  private def gramStreamOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks0"))
+      .select(col("doc_id"), expr("filter(toks0, t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)), i -> struct(" +
+          "toks[i-1] AS w1, " +
+          "CASE WHEN i < size(toks) THEN toks[i] END AS w2, " +
+          "CASE WHEN i + 1 < size(toks) THEN toks[i+1] END AS w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+
+  /** The three stat tables + totals off one (materialized) gram
+    * stream: trigram counts with their context totals, bigram counts
+    * keyed (w2, w3) for the backoff join, unigram counts keyed w3,
+    * and the (N, V) totals — which RAISE on an empty stream rather
+    * than scoring everything zero bits (the surprisalTransfer
+    * empty-train discipline). */
+  private def trigramStatsOf(gs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val g3 = gs.filter(col("w3").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val g2p = g3.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val gb = gs.filter(col("w2").isNotNull)
+      .select(col("w1").as("w2"), col("w2").as("w3"))
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
+    val gbp = gb.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val gu = gs.groupBy(col("w1")).agg(count(lit(1)).as("c3"))
+      .select(col("w1").as("w3"), col("c3"))
+    val tot = gu.agg(
+      when(sum(col("c3")).isNull,
+        raise_error(lit("trigramSurprisal: empty training gram stream")))
+        .otherwise(sum(col("c3"))).as("n"),
+      count(lit(1)).as("v"))
+    (g3, g2p, gb, gbp, gu, tot)
+  }
+
+  /** The shared Stupid-Backoff scoring kernel: per eval trigram
+    * (w1, w2, w3), exact half-bit surprisal of the highest-order
+    * estimate that EXISTS in the stats —
+    *  - trigram hit:        floor(2·log₂(C(w1w2·)/C(w1w2w3)))
+    *  - bigram backoff:  k + floor(2·log₂(C(w2·)/C(w2w3)))
+    *  - unigram backoff: 2k + floor(2·log₂((N+V)/(C(w3)+1)))
+    * with k = [[TrigramBackoffHalfBits]] (α = 2^-k/2 per level) and
+    * the add-one floor on the unigram leg so a NEVER-seen word costs
+    * ~2k + 2·log₂(N+V) half-bits — maximum surprisal, exactly what
+    * out-of-distribution text should read as. All joins UNHINTED
+    * (vocabulary-scale stats: AQE broadcasts a dictionary-sized
+    * model, shuffle-joins one too big — the char-LM rule); the panel
+    * reports per-order hit counts so a transfer run shows WHERE the
+    * eval slice fell off the model. */
+  private def scoreTrigrams(e: DataFrame, g3: DataFrame, g2p: DataFrame,
+                            gb: DataFrame, gbp: DataFrame, gu: DataFrame,
+                            tot: DataFrame): DataFrame = {
+    val pen = TrigramBackoffHalfBits
+    val j = e
+      .join(g3, Seq("w1", "w2", "w3"), "left")
+      .join(g2p, Seq("w1", "w2"), "left")
+      .join(gb, Seq("w2", "w3"), "left")
+      .join(gbp, Seq("w2"), "left")
+      .join(gu, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    val hb = when(col("c123").isNotNull,
+        CorpusStats.halfLog2Ratio(col("c12"), col("c123")))
+      .when(col("c23").isNotNull,
+        lit(pen) + CorpusStats.halfLog2Ratio(col("c2"), col("c23")))
+      .otherwise(lit(2L * pen) + CorpusStats.halfLog2Ratio(
+        col("n") + col("v"), coalesce(col("c3"), lit(0L)) + lit(1L)))
+    j.select(col("doc_id"), col("c123"), col("c23"), hb.as("hb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c123").isNotNull, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("c123").isNull && col("c23").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("c123").isNull && col("c23").isNull, 1L)
+          .otherwise(0L)).as("n_uni_backoff"),
+        sum(col("hb")).as("sum_hb"))
+      .withColumn("mean_mbits", expr(
+        "CAST((CAST(sum_hb AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(CAST(n_trigrams AS DECIMAL(38,0)) * 2) AS BIGINT)"))
+  }
+
+  /** Trigram STUPID-BACKOFF surprisal — the higher-order LM quality
+    * gate the bigram family stops short of (CCNet-style filtering
+    * ranks with exactly this): per document, the mean surprisal of
+    * its token TRIPLES under the corpus's own trigram model, backing
+    * off to the bigram then the add-one unigram estimate with a
+    * fixed α = 2^-k penalty per level — every term an exact half-bit
+    * integer ([[CorpusStats.halfLog2Ratio]]'s bit-length + one
+    * square-compare kernel, DECIMAL(38,0) here / HUGEINT in the
+    * oracle), so the panel is bit-identical cross-engine. Self-scored
+    * (profiles include the scored doc), every trigram is a hit by
+    * construction; the backoff legs exist for [[trigramTransfer]]
+    * and the parked-model live gate, where eval text actually falls
+    * off the model.
+    *
+    * Shape at 100 TB: ONE corpus scan collapses to the materialized
+    * unified gram stream (4 consumers: three stat censuses + the
+    * scoring stream); stats are gram-vocabulary scale and join back
+    * UNHINTED; the per-doc aggregate shuffles (doc, partials). Text
+    * never crosses an exchange. */
+  def trigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    trigramSurprisalOf(Tables.documents(spark, dir))
+
+  /** [[trigramSurprisal]] over a prepared (doc_id, text) frame. */
+  def trigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val gs = graft.plans.Materialize(gramStreamOf(docs))
+    val (g3, g2p, gb, gbp, gu, tot) = trigramStatsOf(gs)
+    scoreTrigrams(gs.filter(col("w3").isNotNull), g3, g2p, gb, gbp, gu, tot)
+  }
+
+  /** The TRAINED Stupid-Backoff model as one persistable table:
+    * (lvl, w1, w2, w3, c) — lvl 3/2/1 rows carry trigram/bigram/
+    * unigram counts (w3, then w2, NULL below their order). Context
+    * totals and (N, V) re-derive from the table on load, so a
+    * parquet round trip cannot desynchronize stats from rows (the
+    * unigramModelOf discipline). */
+  def trigramModelOf(docs: DataFrame): DataFrame = {
+    val gs = graft.plans.Materialize(gramStreamOf(docs))
+    val nulls = lit(null).cast("string")
+    val g3 = gs.filter(col("w3").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c")).withColumn("lvl", lit(3))
+    val gb = gs.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .withColumn("w3", nulls).withColumn("lvl", lit(2))
+    val gu = gs.groupBy(col("w1")).agg(count(lit(1)).as("c"))
+      .withColumn("w2", nulls).withColumn("w3", nulls)
+      .withColumn("lvl", lit(1))
+    val cols = Seq("lvl", "w1", "w2", "w3", "c").map(col)
+    g3.select(cols: _*)
+      .unionByName(gb.select(cols: _*))
+      .unionByName(gu.select(cols: _*))
+  }
+
+  /** Score `docs` against a parked [[trigramModelOf]] table — the
+    * live-ingestion gate twin (same function serves the batch row
+    * and the streaming foreachBatch finisher; spec pins them equal).
+    * Robust to model-table storage accidents: counts re-aggregate by
+    * (lvl, key) with max so duplicated rows cannot fan the score
+    * joins out, and an EMPTY model raises rather than emitting
+    * zero-bit scores an ingestion gate would wave through. */
+  def trigramSurprisalAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
+    val g3 = model.filter(col("lvl") === 3)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(max(col("c")).as("c123"))
+    val g2p = g3.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val gb = model.filter(col("lvl") === 2)
+      .groupBy(col("w1"), col("w2")).agg(max(col("c")).as("cb"))
+      .select(col("w1").as("w2"), col("w2").as("w3"), col("cb").as("c23"))
+    val gbp = gb.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val guRaw = model.filter(col("lvl") === 1)
+      .groupBy(col("w1")).agg(max(col("c")).as("cu"))
+    val gu = guRaw.select(col("w1").as("w3"), col("cu").as("c3"))
+    val tot = guRaw.agg(
+      when(sum(col("cu")).isNull,
+        raise_error(lit("trigramSurprisalAgainst: empty trigram model")))
+        .otherwise(sum(col("cu"))).as("n"),
+      count(lit(1)).as("v"))
+    scoreTrigrams(gramStreamOf(docs).filter(col("w3").isNotNull),
+      g3, g2p, gb, gbp, gu, tot)
+  }
+
+  /** Domain-TRANSFER Stupid-Backoff surprisal: score `evalSource`'s
+    * documents against the trigram model trained on the REST of the
+    * corpus — the held-out leg where the backoff ladder actually
+    * fires (trigrams the train slice never saw drop to the bigram
+    * estimate, unseen bigrams to the add-one unigram floor), and the
+    * per-order hit counts quantify HOW far off-model the slice sits.
+    * Empty train slice raises (the [[surprisalTransferOf]] rule). */
+  def trigramTransfer(spark: SparkSession, dir: String,
+                      evalSource: String = "src0"): DataFrame =
+    trigramTransferOf(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      evalSource)
+
+  /** [[trigramTransfer]] over a prepared (doc_id, source, text)
+    * frame. */
+  def trigramTransferOf(docs: DataFrame, evalSource: String): DataFrame = {
+    val train = graft.plans.Materialize(
+      gramStreamOf(docs.filter(col("source") =!= evalSource)))
+    val (g3, g2p, gb, gbp, gu, tot) = trigramStatsOf(train)
+    scoreTrigrams(
+      gramStreamOf(docs.filter(col("source") === evalSource))
+        .filter(col("w3").isNotNull),
+      g3, g2p, gb, gbp, gu, tot)
+  }
+
   def unigramCommonness(spark: SparkSession, dir: String): DataFrame =
     unigramCommonnessOf(Tables.documents(spark, dir))
 

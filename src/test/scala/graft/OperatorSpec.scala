@@ -411,6 +411,62 @@ class OperatorSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("trigram stupid-backoff: the ladder picks the highest existing order with exact half-bit penalties") {
+    val s2 = spark
+    import s2.implicits._
+    // train corpus: one doc "a b c d" → trigrams {abc, bcd}, bigrams
+    // {ab, bc, cd}, unigrams {a,b,c,d} once each; N = 4, V = 4
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.trigramModelOf(train)
+    val pen = graft.operators.TextAnalysis.TrigramBackoffHalfBits
+    // four single-trigram eval docs, one per ladder rung:
+    //  10 "a b c":  trigram HIT       hb = ⌊2·log₂(C(ab·)/C(abc))⌋ = 0
+    //  11 "x b c":  bigram backoff    hb = pen + ⌊2·log₂(C(b·)/C(bc))⌋ = pen
+    //  12 "a b d":  unigram backoff   hb = 2·pen + ⌊2·log₂((N+V)/(C(d)+1))⌋
+    //                                    = 2·pen + ⌊2·log₂(8/2)⌋ = 2·pen + 4
+    //  13 "a b zz": unseen word floor hb = 2·pen + ⌊2·log₂(8/1)⌋ = 2·pen + 6
+    val eval = Seq((10L, "a b c"), (11L, "x b c"),
+      (12L, "a b d"), (13L, "a b zz")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .trigramSurprisalAgainst(eval, model).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // (n_trigrams, n_tri_hit, n_bi_backoff, n_uni_backoff, sum_hb, mean_mbits)
+    def mm(hb: Long) = hb * 1000000L / 2L
+    assert(got(10L) == ((1L, 1L, 0L, 0L, 0L, 0L)), s"hit: ${got(10L)}")
+    assert(got(11L) == ((1L, 0L, 1L, 0L, pen, mm(pen))), s"bi: ${got(11L)}")
+    assert(got(12L) == ((1L, 0L, 0L, 1L, 2 * pen + 4L, mm(2 * pen + 4L))),
+      s"uni: ${got(12L)}")
+    assert(got(13L) == ((1L, 0L, 0L, 1L, 2 * pen + 6L, mm(2 * pen + 6L))),
+      s"floor: ${got(13L)}")
+    // self-scored corpus: every trigram is a model hit by construction
+    val self = graft.operators.TextAnalysis.trigramSurprisalOf(train).collect()
+    assert(self.length == 1 && self.head.getLong(1) == 2L &&
+      self.head.getLong(2) == 2L && self.head.getLong(5) == 0L,
+      s"self-scored train doc: ${self.toSeq}")
+    // storage-accident robustness: duplicated model rows change nothing;
+    // an empty model raises instead of scoring everything zero bits
+    val doubled = graft.operators.TextAnalysis
+      .trigramSurprisalAgainst(eval, model.union(model)).collect()
+      .map(_.toSeq).toSet
+    val clean = graft.operators.TextAnalysis
+      .trigramSurprisalAgainst(eval, model).collect().map(_.toSeq).toSet
+    assert(doubled == clean, "duplicated model rows changed scores")
+    val emptyModel = graft.operators.TextAnalysis.trigramModelOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ex = intercept[Exception](graft.operators.TextAnalysis
+      .trigramSurprisalAgainst(eval, emptyModel).collect())
+    assert(ex.getMessage != null)
+    // transfer = against(model of the complement): the two paths agree
+    val mixed = Seq((1L, "src1", "a b c d"), (10L, "src0", "a b c"),
+      (11L, "src0", "x b c")).toDF("doc_id", "source", "text")
+    val transfer = graft.operators.TextAnalysis
+      .trigramTransferOf(mixed, "src0").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(transfer == Map(10L -> 0L, 11L -> pen), s"transfer: $transfer")
+  }
+
   test("gram novelty: first doc is all-novel, duplicates add nothing, mass conserves") {
     val s2 = spark
     import s2.implicits._

@@ -1080,6 +1080,55 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("streaming trigram gate: per-batch stupid-backoff scores against the parked model equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // Stupid-Backoff model trained OFFLINE, parked in parquet,
+    // RELOADED — context totals and (N, V) re-derive from the table
+    // on load, so the round trip cannot desynchronize stats from rows
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-trigram-model-").toString
+    graft.operators.TextAnalysis.trigramModelOf(corpus)
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir).cache()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val want = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
+      .collect().map(key).toMap
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable
+      .Map[Long, (Long, Long, Long, Long, Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.trigramSurprisalAgainst(batch, model)
+          .collect().foreach(r => got += key(r))
+        ()
+      }.start()
+    try {
+      val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // the model includes every corpus doc, so live scoring against
+      // the parked table equals the self-scored batch panel exactly —
+      // the same scoreTrigrams kernel on both sides
+      assert(got.toMap == want,
+        s"diff: ${(want.toSet -- got.toSet).take(2)} vs ${(got.toSet -- want.toSet).take(2)}")
+      // an out-of-distribution doc walks the whole backoff ladder:
+      // three unseen words → every trigram takes the unigram FLOOR
+      input.addData((999999L, "zzqx vvkp wwri"))
+      q.processAllAvailable()
+      val (n1, hit1, bi1, uni1, _, _) = got(999999L)
+      assert((n1, hit1, bi1, uni1) == ((1L, 0L, 0L, 1L)),
+        s"OOD doc did not floor: ${got(999999L)}")
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("streaming domain-KL gate: per-source batches against the parked unigram model equal the batch panel") {
     val s = spark
     import s.implicits._
