@@ -2121,26 +2121,43 @@ FROM cf"""
         .mkString("\nUNION ALL ")
   }
 
-  /** q_pii_redact: the sequential count-then-replace chain generated
-    * from the SAME PiiPatterns + piiToken as
-    * TextAnalysis.piiRedactOf — each class counted on the text the
-    * previous classes already redacted ('g' = global, matching
-    * Spark's regexp_replace). */
-  def piiRedact: String = {
-    import graft.operators.TextAnalysis.{PiiPatterns, piiToken}
-    val stages = PiiPatterns.zipWithIndex.map { case ((name, pat), i) =>
-      val prevCols = PiiPatterns.take(i).map { case (n, _) => s"n_$n, " }.mkString
+  /** q_pii_redact / q_secret_redact: the sequential
+    * count-then-replace chain generated from the SAME pattern list +
+    * piiToken as TextAnalysis.patternRedactOf — each class counted on
+    * the text the previous classes already redacted ('g' = global,
+    * matching Spark's regexp_replace). */
+  def patternRedact(pats: Seq[(String, String)]): String = {
+    import graft.operators.TextAnalysis.piiToken
+    val stages = pats.zipWithIndex.map { case ((name, pat), i) =>
+      val prevCols = pats.take(i).map { case (n, _) => s"n_$n, " }.mkString
       s"r${i + 1} AS (SELECT doc_id, $prevCols" +
         s"CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name," +
         s" regexp_replace(t$i, '$pat', '${piiToken(name)}', 'g') AS t${i + 1}" +
         s" FROM r$i)"
     }
-    val ns = PiiPatterns.map { case (n, _) => s"n_$n" }
+    val ns = pats.map { case (n, _) => s"n_$n" }
     "WITH r0 AS (SELECT doc_id, text AS t0 FROM documents),\n " +
       stages.mkString(",\n ") +
       s"\nSELECT doc_id, ${ns.mkString(", ")}," +
       s" ${ns.mkString(" + ")} AS n_redactions," +
-      s" t${PiiPatterns.size} AS redacted FROM r${PiiPatterns.size}"
+      s" t${pats.size} AS redacted FROM r${pats.size}"
+  }
+
+  def piiRedact: String =
+    patternRedact(graft.operators.TextAnalysis.PiiPatterns)
+
+  /** q_pii_scan / q_secret_scan: the per-source pattern census
+    * generated from the same list as TextAnalysis.patternScanOf. */
+  def patternScan(pats: Seq[(String, String)]): String = {
+    val counts = pats.map { case (name, pat) =>
+      s"   CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS c_$name"
+    }.mkString(",\n")
+    val aggs = pats.map { case (name, _) =>
+      s" count(CASE WHEN c_$name > 0 THEN 1 END) AS docs_with_$name,\n" +
+        s" CAST(sum(c_$name) AS BIGINT) AS n_$name"
+    }.mkString(",\n")
+    s"WITH m AS (SELECT source,\n$counts\n  FROM documents)\n" +
+      s"SELECT source, count(*) AS n_docs,\n$aggs\nFROM m GROUP BY 1"
   }
 
   /** CTE chain documents → `wfp(doc_id, g)` = the winnowing-selected

@@ -225,6 +225,8 @@ object SparkEntry {
     "q_char_diversity" -> ((s, d) => TextAnalysis.charDiversity(s, d)),
     "q_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q_secret_scan" -> ((s, d) => TextAnalysis.secretScan(s, d)),
+    "q_secret_redact" -> ((s, d) => TextAnalysis.secretRedact(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
@@ -1693,29 +1695,12 @@ object SparkEntry {
     // PII census: RE2-compatible patterns, non-overlapping leftmost
     // matches in both engines; zero hits on this corpus by design
     // (PiiSpec proves detection on injected text)
-    "q_pii_scan" ->
-      """WITH m AS (SELECT source,
-        |   CAST(len(regexp_extract_all(text,
-        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |     AS c_email,
-        |   CAST(len(regexp_extract_all(text,
-        |     '\+?[0-9][0-9()\t\n\f\r -]{6,}[0-9]')) AS BIGINT) AS c_phone,
-        |   CAST(len(regexp_extract_all(text,
-        |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
-        |     AS c_ipv4,
-        |   CAST(len(regexp_extract_all(text, '[0-9]{8,}')) AS BIGINT)
-        |     AS c_digit_run
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        | count(CASE WHEN c_email > 0 THEN 1 END) AS docs_with_email,
-        | CAST(sum(c_email) AS BIGINT) AS n_email,
-        | count(CASE WHEN c_phone > 0 THEN 1 END) AS docs_with_phone,
-        | CAST(sum(c_phone) AS BIGINT) AS n_phone,
-        | count(CASE WHEN c_ipv4 > 0 THEN 1 END) AS docs_with_ipv4,
-        | CAST(sum(c_ipv4) AS BIGINT) AS n_ipv4,
-        | count(CASE WHEN c_digit_run > 0 THEN 1 END) AS docs_with_digit_run,
-        | CAST(sum(c_digit_run) AS BIGINT) AS n_digit_run
-        |FROM m GROUP BY 1""".stripMargin,
+    // generated from the SAME PiiPatterns as the Spark kernel (one
+    // spelling — the r11 hand-copied-CTE review theme)
+    "q_pii_scan" -> OracleSql.patternScan(TextAnalysis.PiiPatterns),
+    // the credential/secret siblings share the generated builders
+    "q_secret_scan" -> OracleSql.patternScan(TextAnalysis.SecretPatterns),
+    "q_secret_redact" -> OracleSql.patternRedact(TextAnalysis.SecretPatterns),
     // chunking: range() stop-exclusive == sequence() stop-inclusive at
     // size-1; list_slice clamps exactly like slice
     "q_chunk" ->

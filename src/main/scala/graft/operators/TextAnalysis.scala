@@ -2441,14 +2441,22 @@ object TextAnalysis {
     piiScanOf(Tables.documents(spark, dir))
 
   /** [[piiScan]] over a prepared (source, text) frame. */
-  def piiScanOf(docs: DataFrame): DataFrame = {
+  def piiScanOf(docs: DataFrame): DataFrame =
+    patternScanOf(docs, PiiPatterns)
+
+  /** The pattern-census kernel behind [[piiScanOf]] and
+    * [[secretScanOf]] — ONE spelling of the row-local
+    * regexp_count-per-class projection + per-source roll-up, so the
+    * two release gates cannot drift. */
+  private def patternScanOf(docs: DataFrame,
+                            pats: Seq[(String, String)]): DataFrame = {
     val counted = docs.select(
-      col("source") +: PiiPatterns.map { case (name, pat) =>
+      col("source") +: pats.map { case (name, pat) =>
         regexp_count(col("text"), lit(pat)).cast("bigint").as(s"c_$name")
       }: _*)
     counted.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
-      PiiPatterns.flatMap { case (name, _) =>
+      pats.flatMap { case (name, _) =>
         Seq(count(when(col(s"c_$name") > 0L, 1)).as(s"docs_with_$name"),
           sum(col(s"c_$name")).as(s"n_$name"))
       }: _*)
@@ -2479,19 +2487,81 @@ object TextAnalysis {
     piiRedactOf(Tables.documents(spark, dir))
 
   /** [[piiRedact]] over a prepared (doc_id, text) frame. */
-  def piiRedactOf(docs: DataFrame): DataFrame = {
-    // fold the redaction chain, counting each class on the text as
-    // redacted so far (count-then-replace per stage)
+  def piiRedactOf(docs: DataFrame): DataFrame =
+    patternRedactOf(docs, PiiPatterns)
+
+  /** The sequential count-then-replace kernel behind [[piiRedactOf]]
+    * and [[secretRedactOf]]: fold the redaction chain in pattern
+    * order, counting each class on the text the PREVIOUS classes
+    * already redacted, so `n_<class>` is the number of spans that
+    * class actually rewrote and Σ counts = n_redactions exactly. */
+  private def patternRedactOf(docs: DataFrame,
+                              pats: Seq[(String, String)]): DataFrame = {
     val (finalText, counts) =
-      PiiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
+      pats.foldLeft((col("text"), Seq.empty[Column])) {
         case ((t, cs), (name, pat)) =>
           (regexp_replace(t, lit(pat), lit(piiToken(name))),
             cs :+ regexp_count(t, lit(pat)).cast("bigint").as(s"n_$name"))
       }
     docs.select(col("doc_id") +: counts :+ finalText.as("redacted"): _*)
       .withColumn("n_redactions",
-        PiiPatterns.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
+        pats.map { case (n, _) => col(s"n_$n") }.reduce(_ + _))
   }
+
+  /** RE2-compatible CREDENTIAL/SECRET detector patterns — the classes
+    * a release gate scans for beyond personal identifiers: AWS-style
+    * access key ids, PEM private-key blocks (header + base64 body +
+    * footer in one span — the body's character class excludes '-',
+    * so the greedy match stops exactly at the END header; whitespace
+    * spelled out because Java's \s includes \x0B and RE2's does not),
+    * JWT triplets (two eyJ base64url segments + signature), and the
+    * generic high-entropy carriers: standalone ≥32-char hex runs and
+    * ≥40-char base64 runs. ORDER IS REDACTION PRIORITY: the PEM
+    * envelope swallows its own base64 body before the run detectors
+    * can nibble it, keys and JWTs beat the generic runs — the same
+    * specific-before-generic rule that puts phone before digit_run in
+    * [[PiiPatterns]]. Same constraints as PiiPatterns (no lookaround,
+    * no backrefs, ASCII classes) so Spark's Java regex and an
+    * RE2-family engine find identical non-overlapping leftmost
+    * matches. */
+  private[graft] val SecretPatterns: Seq[(String, String)] = Seq(
+    "pem_block" -> ("-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+      "[A-Za-z0-9+/= \\t\\n\\r\\f]*-----END [A-Z ]*PRIVATE KEY-----"),
+    "aws_key" -> "\\bAKIA[0-9A-Z]{16}\\b",
+    "jwt" -> "eyJ[A-Za-z0-9_-]{4,}\\.eyJ[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]{8,}",
+    "hex_run" -> "\\b[0-9a-fA-F]{32,}\\b",
+    "b64_run" -> "[A-Za-z0-9+/]{40,}={0,2}")
+
+  /** Credential/secret census per source — the leak half of the
+    * release gate ([[piiScan]] covers personal identifiers; a corpus
+    * slice can be PII-clean and still ship somebody's signing key).
+    * Identical kernel and 100 TB shape as [[piiScan]]: row-local
+    * regexp_count per class, one #sources-row aggregate, scan speed,
+    * shuffle ∝ #sources. On this synthetic corpus all hit counts are
+    * zero — the oracle row verifies the aggregation shape while
+    * ReleaseGateSpec proves each detector on injected secrets. */
+  def secretScan(spark: SparkSession, dir: String): DataFrame =
+    secretScanOf(Tables.documents(spark, dir))
+
+  /** [[secretScan]] over a prepared (source, text) frame. */
+  def secretScanOf(docs: DataFrame): DataFrame =
+    patternScanOf(docs, SecretPatterns)
+
+  /** Secret REDACTION — the apply-form companion of [[secretScan]]
+    * (the [[piiRedact]] chain over [[SecretPatterns]]): each class's
+    * matches rewrite to its token (`<PEM_BLOCK>`, `<AWS_KEY>`,
+    * `<JWT>`, `<HEX_RUN>`, `<B64_RUN>`), counted on the text the
+    * previous classes already redacted — a key id inside a base64
+    * run is redacted once, as the key, and counted once. Tokens
+    * contain no hex-run-length runs, no '+'/'/', and '<'/'_' break
+    * every run class, so the chain is confluent and idempotent
+    * (spec-proven). Fully row-local: scan speed, zero shuffle. */
+  def secretRedact(spark: SparkSession, dir: String): DataFrame =
+    secretRedactOf(Tables.documents(spark, dir))
+
+  /** [[secretRedact]] over a prepared (doc_id, text) frame. */
+  def secretRedactOf(docs: DataFrame): DataFrame =
+    patternRedactOf(docs, SecretPatterns)
 
   /** Character-level diversity panel per document — the "symbol soup /
     * degenerate repetition" quality gate that token-level signals miss

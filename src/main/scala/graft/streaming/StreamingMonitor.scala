@@ -928,10 +928,15 @@ object StreamingMonitor {
     * the integer-exact gate verdict flagged·100 ≤ n_docs·maxHitPct —
     * no division, so stream and batch agree bit-for-bit. Used by both
     * [[streamPiiGate]] and its batch twin (same grid ⇒ identical
-    * rows, asserted by spec). */
+    * rows, asserted by spec). Pattern-parameterized, so the
+    * credential gate is THE SAME function over
+    * [[graft.operators.TextAnalysis.SecretPatterns]] —
+    * unchanged-by-construction (spec drives it with injected
+    * secrets). */
   def piiGateOf(docs: DataFrame, windowDur: String = "1 hour",
-                maxHitPct: Int = 1): DataFrame = {
-    val pats = graft.operators.TextAnalysis.PiiPatterns
+                maxHitPct: Int = 1,
+                pats: Seq[(String, String)] =
+                  graft.operators.TextAnalysis.PiiPatterns): DataFrame = {
     // each document's regexes run ONCE in this projection (the
     // piiScanOf compute-once shape); the aggregate then only sums
     // precomputed longs
@@ -952,7 +957,7 @@ object StreamingMonitor {
         col("docs_flagged") * 100L <= col("n_docs") * maxHitPct.toLong)
       .select((col("win.start").as("window_start") +:
         col("source") +: col("n_docs") +: col("docs_flagged") +:
-        graft.operators.TextAnalysis.PiiPatterns.flatMap { case (nm, _) =>
+        pats.flatMap { case (nm, _) =>
           Seq(col(s"docs_$nm"), col(s"occ_$nm")) } :+ col("gate_pass")): _*)
   }
 
@@ -966,8 +971,10 @@ object StreamingMonitor {
     * source) cells cross the shuffle, never document text. */
   def streamPiiGate(docs: DataFrame, windowDur: String = "1 hour",
                     watermark: String = "2 hours",
-                    maxHitPct: Int = 1): DataFrame =
-    piiGateOf(docs.withWatermark("ts", watermark), windowDur, maxHitPct)
+                    maxHitPct: Int = 1,
+                    pats: Seq[(String, String)] =
+                      graft.operators.TextAnalysis.PiiPatterns): DataFrame =
+    piiGateOf(docs.withWatermark("ts", watermark), windowDur, maxHitPct, pats)
 
   /** Live ingestion-mixture counts: per (window, source), document
     * and whitespace-token mass — the watermarked windowed aggregate
