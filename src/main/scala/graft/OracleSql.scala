@@ -2268,6 +2268,33 @@ FROM cf"""
         |WHERE h.n_shared >= $minShared""".stripMargin
   }
 
+  /** q_winnow_store: the bucketed first-seen contamination store
+    * replayed relationally — a fingerprint of doc d counts as matched
+    * when SOME other document holds it either in a strictly-earlier
+    * batch (batch = doc_id % nBatches, the deterministic landing
+    * schedule) or in the same batch with a smaller doc_id
+    * (first-doc-wins), mirroring Incremental.firstSeenProbeBucketed's
+    * panel over Winnow.winnowStoreStats' landing order. DuckDB never
+    * touches the store files: a wrong layout manifest, a mis-planned
+    * bucket dir, or a bloom false negative on the Spark side all
+    * hash-mismatch here. */
+  def winnowStore(n: Int = 3, w: Int = 4, nBatches: Int = 4): String =
+    "WITH " + (winnowCtes(n, w) ++ Seq(
+      "wsd AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM wfp)",
+      s"wsb AS (SELECT doc_id, doc_id % $nBatches AS b, g FROM wsd)",
+      "wse AS (SELECT a.doc_id, a.g FROM wsb a WHERE EXISTS (" +
+        "SELECT 1 FROM wsb e WHERE e.g = a.g AND (e.b < a.b OR" +
+        " (e.b = a.b AND e.doc_id < a.doc_id))))",
+      "wsn AS (SELECT doc_id, count(*) AS n_fps FROM wsd GROUP BY 1)",
+      "wsm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched" +
+        " FROM wse GROUP BY 1)")).mkString(",\n ") +
+      """
+        |SELECT n.doc_id, n.n_fps,
+        |  coalesce(m.matched, 0) AS matched_fps,
+        |  CAST(coalesce(m.matched, 0) AS DOUBLE) /
+        |  CAST(n.n_fps AS DOUBLE) AS matched_ratio
+        |FROM wsn n LEFT JOIN wsm m USING (doc_id)""".stripMargin
+
   /** t = floor(log₂(n/d)) for BIGINT exprs with 1 ≤ d ≤ n: bit
     * lengths + one shift-compare — the first stage of the half-bit
     * log mirroring CorpusStats.halfLog2Ratio. */

@@ -227,6 +227,7 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_secret_scan" -> ((s, d) => TextAnalysis.secretScan(s, d)),
     "q_secret_redact" -> ((s, d) => TextAnalysis.secretRedact(s, d)),
+    "q_winnow_store" -> ((s, d) => Winnow.winnowStoreStats(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
@@ -1395,6 +1396,9 @@ object SparkEntry {
     "q_winnow_fingerprint" -> OracleSql.winnowFingerprint(),
     "q_winnow_overlap" -> OracleSql.winnowOverlap(),
     "q_winnow_decontam" -> OracleSql.winnowDecontam(),
+    // the bucketed store panel replayed from the landing schedule —
+    // the bucket/bloom/manifest path hash-checked, not only spec-pinned
+    "q_winnow_store" -> OracleSql.winnowStore(),
     // Heaps exponent off the shared vocab-growth panel, half-bit OLS
     "q_heaps_fit" -> OracleSql.heapsFit(),
     "q_burstiness" -> OracleSql.burstiness(),

@@ -108,6 +108,86 @@ object Winnow {
       nCol = "n_fps", matchedCol = "matched_fps", ratioCol = "matched_ratio")
   }
 
+  /** The bucketed contamination store as an ORACLE row (the
+    * q_ga01_store precedent, promoting the bucket/bloom/manifest path
+    * from spec-pinned to hash-checked): land the corpus in `nBatches`
+    * deterministic batches (batch = doc_id % nBatches) through the
+    * FULL [[winnowIncrementalBatchBucketed]] commit protocol — layout
+    * manifest, bucket=<pmod> dirs, touched-bucket pruned probe,
+    * broadcast-bloom prefilter — and ship the union of the per-batch
+    * admission panels. DuckDB replays the first-seen rule (earlier
+    * batch, or smaller doc_id within the batch) relationally from the
+    * winnowing CTE chain WITHOUT touching any file, so a wrong
+    * manifest, a mis-planned bucket dir, or a bloom false negative
+    * all hash-mismatch. Re-entrant: each call re-lands the same
+    * batch ids idempotently into one memoized per-(JVM, dir,
+    * geometry) temp store (replay ≡ overwrite of the same dirs —
+    * the landBatch discipline). */
+  def winnowStoreStats(spark: SparkSession, dir: String,
+                       n: Int = 3, w: Int = 4, buckets: Int = 64,
+                       nBatches: Int = 4): DataFrame =
+    winnowStoreStatsWithPlan(spark, dir, n, w, buckets, nBatches)._1
+
+  /** [[winnowStoreStats]] plus each batch's planned-leaf-dir
+    * observable — the spec asserts the probe pruned (planned dirs a
+    * strict subset of the committed leaves) on the SAME run the
+    * oracle panel ships from. The corpus LANDS once per (JVM, source
+    * dir, geometry) — the q_ga01_store memoization precedent — and
+    * every call serves the panels through the PROBE-ONLY path over
+    * the committed store (schema-pinned batch-dir read-back +
+    * [[graft.sources.Incremental.firstSeenPanelOf]]), the
+    * steady-state serving shape a deployed store runs. */
+  def winnowStoreStatsWithPlan(spark: SparkSession, dir: String,
+                               n: Int = 3, w: Int = 4, buckets: Int = 64,
+                               nBatches: Int = 4)
+      : (DataFrame, Seq[Seq[String]]) = {
+    require(nBatches > 0, s"need a positive batch count: got $nBatches")
+    val store = winnowOracleStores.computeIfAbsent(
+      s"$dir;n=$n;w=$w;buckets=$buckets;k=$nBatches", { _ =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-winnow-oracle-")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: Exception => () }
+        }))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        (0 until nBatches).foreach { b =>
+          winnowIncrementalBatchBucketed(
+            docs.filter(col("doc_id") % nBatches.toLong === b.toLong),
+            tmp.toString, b.toLong, n, w, buckets)
+        }
+        tmp.toString
+      })
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "g", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.IntegerType)))
+    val committed =
+      graft.sources.Incremental.committedBatchDirs(spark, store)
+    val served = (0 until nBatches).map { b =>
+      val own = spark.read.schema(pairSchema)
+        .parquet(s"$store/batch=$b").drop("bucket")
+      graft.sources.Incremental.firstSeenPanelOf(
+        own, committed.filter(_._1 != b), "g", b.toLong, buckets,
+        nCol = "n_fps", matchedCol = "matched_fps",
+        ratioCol = "matched_ratio")
+    }
+    (served.map(_._1).reduce(_.unionAll(_)), served.map(_._2))
+  }
+
+  /** One LANDED store per (JVM, source dir, geometry) — the store
+    * content is a pure function of the source corpus, landings are
+    * idempotent per batch id, and the shutdown hook reclaims what was
+    * made. */
+  private val winnowOracleStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Winnowing-based eval-set decontamination scan — the
     * detection-GUARANTEED contamination check (q_decontaminate's
     * n-gram variant estimates; this one provably catches any train

@@ -231,11 +231,27 @@ object Incremental {
                              storeDir: String, batchId: Long, buckets: Int,
                              layout: String, nCol: String, matchedCol: String,
                              ratioCol: String): (DataFrame, Seq[String]) = {
-    import graft.plans.Bloom._
     import org.apache.spark.sql.functions._
     val (own, dirs) = landBatchBucketed(
       pairs, storeDir, batchId, pmod(col(keyCol), lit(buckets)), buckets,
       layout)
+    firstSeenPanelOf(own, dirs, keyCol, batchId, buckets,
+      nCol, matchedCol, ratioCol)
+  }
+
+  /** The PROBE half of [[firstSeenProbeBucketed]], factored so an
+    * already-committed store can be re-scored without re-landing
+    * (`own` = the batch's (doc_id, key) rows — the landing call's
+    * read-back, or a schema-pinned read of its `batch=<id>` dir;
+    * `dirs` = the OTHER committed batch dirs). Same touched-bucket
+    * pruned read + bloom prefilter + first-in-batch rule; returns
+    * (panel, plannedDirs). */
+  def firstSeenPanelOf(own: DataFrame, dirs: Seq[(Long, String)],
+                       keyCol: String, batchId: Long, buckets: Int,
+                       nCol: String, matchedCol: String,
+                       ratioCol: String): (DataFrame, Seq[String]) = {
+    import graft.plans.Bloom._
+    import org.apache.spark.sql.functions._
     val touched = own.select(pmod(col(keyCol), lit(buckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val (earlier, planned) =

@@ -164,4 +164,45 @@ class WinnowSpec extends SparkSpec {
     }
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == refCapped)
   }
+
+  test("winnowStoreStats: bucketed store panel equals the first-seen reference, probe plans only earlier touched buckets") {
+    val (panel, plans) = Winnow.winnowStoreStatsWithPlan(spark, sfDir)
+    val got = panel.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-side reference: distinct winnowed fingerprints per doc,
+    // batch = doc_id % 4 (the landing schedule), a fingerprint is
+    // matched when SOME doc holds it earlier in (batch, doc_id) order
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val fps = docs.map { case (id, t) =>
+      id -> HashKernels.winnowHashes(UTF8String.fromString(t), 3, 4)
+        .toLongArray().toSet
+    }.filter(_._2.nonEmpty).toMap
+    def key(id: Long) = (id % 4, id)
+    val firstHolder = fps.toSeq
+      .flatMap { case (id, s) => s.map(g => g -> key(id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val want = fps.map { case (id, s) =>
+      id -> ((s.size.toLong,
+        s.count(g => {
+          val f = firstHolder(g)
+          f._1 < id % 4 || (f._1 == id % 4 && f._2 < id)
+        }).toLong))
+    }
+    assert(got == want,
+      s"diff: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+    // planned-dirs observable ON THE SAME RUN: batch 0 probes nothing,
+    // every later batch plans only batch=<i < b>/bucket=<j> leaves of
+    // its OWN touched buckets
+    assert(plans.head.isEmpty, s"batch 0 probed ${plans.head.take(3)}")
+    val leaf = ".*/batch=(\\d+)/bucket=(\\d+)$".r
+    plans.zipWithIndex.drop(1).foreach { case (dirs, b) =>
+      assert(dirs.nonEmpty, s"batch $b planned no dirs")
+      dirs.foreach {
+        case leaf(i, _) =>
+          assert(i.toInt < b, s"batch $b planned a non-earlier dir batch=$i")
+        case d => fail(s"unparseable planned dir: $d")
+      }
+    }
+  }
 }
