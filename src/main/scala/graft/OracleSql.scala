@@ -2443,6 +2443,33 @@ FROM cf"""
       .replace("T_H", hlogT("nt", "c"))
       .replace("HB_H", hlogFinish("nt", "t_h", "q_h"))
 
+  /** q_media_zcr: per-window zero-crossing census rebuilt relationally
+    * from the GA01 doc_id formula — adjacent pairs via lag() over
+    * (id, window) so window boundaries reset the chain exactly as the
+    * decode walk does, crossings = strictly-opposite signs
+    * (px·x < 0), mirroring Multimodal.mediaZcr. */
+  def mediaZcr: String =
+    """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+      |  FROM documents),
+      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
+      | v AS (SELECT id, i // 256 AS k, i,
+      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
+      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
+      |  FROM s),
+      | w AS (SELECT id, k, x,
+      |   lag(x) OVER (PARTITION BY id, k ORDER BY i) AS px FROM v),
+      | c AS (SELECT id, k, CAST(sum(CASE WHEN px * x < 0 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS cw FROM w GROUP BY 1, 2)
+      |SELECT p.id AS doc_id, CAST(p.n AS BIGINT) AS n_samples,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(count(*) * 255 AS BIGINT) AS n_pairs,
+      |  CAST(sum(cw) AS BIGINT) AS n_cross,
+      |  CAST(max(cw) AS BIGINT) AS max_cross_win,
+      |  CASE WHEN count(*) > 0 THEN CAST((CAST(sum(cw) AS HUGEINT) * 1000000)
+      |    // (CAST(count(*) AS HUGEINT) * 255) AS BIGINT) END AS zcr_ppm
+      |FROM c JOIN par p ON p.id = c.id
+      |GROUP BY 1, 2""".stripMargin
+
   /** q_media_vad: the VAD run structure rebuilt relationally from the
     * GA01 doc_id formula — per-window Σ|x| from first principles,
     * threshold compare, gaps-and-islands for segments/longest run and

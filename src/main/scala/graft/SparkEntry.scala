@@ -193,6 +193,7 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, d) => CorpusStats.zipfFit(s, d)),
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
     "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
+    "q_media_zcr" -> ((s, d) => Multimodal.mediaZcr(s, d)),
     "q_judge_agreement" -> ((s, d) => TextAnalysis.judgeAgreement(s, d)),
     "q_threshold_sweep" -> ((s, d) => TextAnalysis.thresholdSweep(s, d)),
     "q_doc_skyline" -> ((s, d) => TextAnalysis.docSkyline(s, d)),
@@ -1407,6 +1408,7 @@ object SparkEntry {
     // VAD: per-window sums from the doc_id formula + gaps-and-islands
     // (threshold derives from the SAME constants as the Spark side)
     "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * Multimodal.Ga01Window),
+    "q_media_zcr" -> OracleSql.mediaZcr,
     // Cohen's kappa between the two quality judges (shared chains)
     "q_judge_agreement" ->
       OracleSql.judgeAgreement(TextAnalysis.classifierWeights(256)),

@@ -3493,6 +3493,48 @@ object Multimodal {
         "n_silent", "silence_ratio", "energy", "mean_square", "n_clipped")
   }
 
+  /** Zero-crossing rate per [[Ga01Window]] — the cheap spectral-proxy
+    * leg completing the time-domain audio census ([[mediaAudio]]
+    * measures energy/silence/clipping; ZCR separates low-frequency
+    * rumble from high-frequency noise at the SAME exact-integer
+    * cost, the classic VAD companion feature): within each window,
+    * count adjacent sample pairs with strictly opposite signs
+    * (x[i−1]·x[i] < 0 — zeros never cross, so the census is exact
+    * integer arithmetic with no sign-convention ambiguity; window
+    * boundaries reset the pair chain, so every window is judged on
+    * its own 255 pairs). Reports per clip: totals, the busiest
+    * window, and the rate as ⌊crossings·10⁶ / pairs⌋. Row-local
+    * per-partition decode, zero shuffle — the [[mediaDecode]] scale
+    * shape; DuckDB recomputes from the doc_id formula via lag() over
+    * (id, window). */
+  def mediaZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, xs) = ga01Decode(bytes)
+        val nWin = xs.length / Ga01Window
+        var total = 0L
+        var maxWin = 0L
+        var k = 0
+        while (k < nWin) {
+          var cw = 0L
+          var i = k * Ga01Window + 1
+          val end = (k + 1) * Ga01Window
+          while (i < end) {
+            if (xs(i - 1).toLong * xs(i).toLong < 0L) cw += 1
+            i += 1
+          }
+          if (cw > maxWin) maxWin = cw
+          total += cw
+          k += 1
+        }
+        val nPairs = nWin.toLong * (Ga01Window - 1L)
+        (id, xs.length.toLong, nWin.toLong, nPairs, total, maxWin,
+          if (nPairs > 0L) Some(total * 1000000L / nPairs) else None)
+      }).toDF("doc_id", "n_samples", "n_windows", "n_pairs",
+        "n_cross", "max_cross_win", "zcr_ppm")
+  }
+
   /** The GA01 store round trip as an ORACLE row: land the synthetic
     * clips through [[graft.sources.Ga01Store.write]]'s commit
     * protocol, read them back through the DataSourceV2 connector with

@@ -729,6 +729,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mediaZcr equals a driver rebuild: window-reset pair chains, strict sign crossings") {
+    val got = Multimodal.mediaZcr(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    ids.take(50).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val nWin = n / Multimodal.Ga01Window
+      // per-window chains: pairs never straddle a window boundary
+      val perWin = (0 until nWin).map { k =>
+        (k * 256 + 1 until (k + 1) * 256)
+          .count(i => xs(i - 1) * xs(i) < 0L).toLong
+      }
+      val r = got(id)
+      assert(r.getAs[Long]("n_windows") == nWin.toLong)
+      assert(r.getAs[Long]("n_pairs") == nWin.toLong * 255L)
+      assert(r.getAs[Long]("n_cross") == perWin.sum, s"doc $id crossings")
+      assert(r.getAs[Long]("max_cross_win") == perWin.max, s"doc $id max")
+      assert(r.getAs[Long]("zcr_ppm") ==
+        perWin.sum * 1000000L / (nWin.toLong * 255L))
+    }
+    // non-vacuity: the noise windows cross constantly, the silent
+    // windows never do — both extremes exist in the corpus
+    assert(got.values.exists(_.getAs[Long]("n_cross") > 0L))
+    assert(got.values.exists(r =>
+      r.getAs[Long]("max_cross_win") * r.getAs[Long]("n_windows") >
+        r.getAs[Long]("n_cross")),
+      "no clip shows window-to-window ZCR variation")
+  }
+
   test("mediaVad run structure equals a driver rebuild of the windows") {
     val got = Multimodal.mediaVad(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
