@@ -2155,25 +2155,54 @@ object TextAnalysis {
     own
   }
 
+  /** HARD BOUND on the per-partition skyline pre-filter buffer: the
+    * local pass costs O(cap) compares per row and O(cap) memory —
+    * never O(partition) of either, the anti-correlated worst case
+    * (Börzsönyi et al.'s known skyline pathology, where EVERY point
+    * is on the frontier and an unbounded local buffer grows to the
+    * partition and turns the pass quadratic). Once the buffer is
+    * full, further non-dominated points PASS THROUGH unfiltered —
+    * sound, because the local pass is only a pre-filter: the global
+    * anti join performs the exact dominance test over all survivors,
+    * so the result is identical for every cap ≥ 1 (spec-pinned with
+    * a planted anti-correlated worst case at cap ≪ frontier).
+    * On friendly data the frontier is tiny and the cap never binds;
+    * on data whose TRUE frontier is corpus-scale the cost moves to
+    * the verify join, which is the skyline OUTPUT bound no exact
+    * algorithm escapes. */
+  private[graft] val SkylineLocalCap: Int = 1 << 14
+
   /** The frontier reduction over a prepared metric frame — shared by
     * [[docSkylineOf]] (raw corpus) and [[skylineIncrementalBatch]]
     * (frontier ∪ batch), so the dominance predicate has ONE
-    * spelling. */
-  private def docSkylineMetricsOf(m: DataFrame): DataFrame = {
+    * spelling. `localCap` bounds the per-partition buffer
+    * ([[SkylineLocalCap]]; the spec overrides it to plant the
+    * worst case small). */
+  private[graft] def docSkylineMetricsOf(
+      m: DataFrame, localCap: Int = SkylineLocalCap): DataFrame = {
     val spark2 = m.sparkSession
     import spark2.implicits._
+    require(localCap >= 1, s"skyline local cap must be >= 1: got $localCap")
     def dominates(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
       b._2 >= a._2 && b._3 >= a._3 && b._4 <= a._4 &&
         (b._2 > a._2 || b._3 > a._3 || b._4 < a._4)
     val local = m.as[(Long, Long, Long, Long)].mapPartitions { it =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      it.foreach { p =>
-        if (!buf.exists(q => dominates(q, p))) {
+      // points dominated by the buffer drop even once it is full; a
+      // full buffer passes every other point straight through (the
+      // global verify keeps the result exact) — O(localCap) compares
+      // per row, O(localCap) memory, never O(partition)
+      val passthrough = it.filter { p =>
+        if (buf.exists(q => dominates(q, p))) false
+        else if (buf.length < localCap) {
           val kept = buf.filterNot(q => dominates(p, q))
           buf.clear(); buf ++= kept += p
-        }
+          false
+        } else true
       }
-      buf.iterator
+      // lazy concat: the buffer is only read after the input (and so
+      // every buffer mutation) is exhausted
+      passthrough ++ buf.iterator
     }.toDF("doc_id", "n_words", "stop_hits", "n_symbols")
     val cands = graft.plans.Materialize(local)
     cands.as("a").join(broadcast(cands.as("b")), expr(

@@ -874,6 +874,41 @@ class OperatorSpec extends SparkSpec {
     assert(sky == Set(3L), s"dominator not alone on the frontier: $sky")
   }
 
+  test("skyline local-frontier cap: planted anti-correlated worst case stays exact at cap << frontier") {
+    val ta = graft.operators.TextAnalysis
+    val s2 = spark
+    import s2.implicits._
+    // the known skyline pathology: perfectly anti-correlated metrics
+    // ⇒ NO point dominates any other ⇒ the true frontier is the whole
+    // set. An unbounded local buffer would grow to the partition here
+    // (O(n²) compares, O(n) memory); the capped pre-filter holds the
+    // buffer at `localCap` and passes the rest through to the exact
+    // global verify — the stated bound: O(cap) compares per row,
+    // O(cap) memory, IDENTICAL result for every cap ≥ 1
+    val n = 5000
+    val anti = (0 until n).map(i =>
+      (i.toLong, i.toLong, (n - i).toLong, 0L))
+      .toDF("doc_id", "n_words", "stop_hits", "n_symbols")
+      .repartition(1) // one partition = the worst case for ONE buffer
+    val capped = ta.docSkylineMetricsOf(anti, localCap = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == (0 until n).map(_.toLong).toSet,
+      s"anti-correlated frontier lost rows at cap 64: ${capped.size} of $n")
+    // the degenerate cap=1 still agrees with the default on a mixed
+    // frame (dominated mass + a frontier): pre-filter strength only
+    // changes WORK, never the answer
+    val mixed = ((0 until 200).map(i =>
+      (i.toLong, 10L + (i % 7), 5L + (i % 3), 50L)) ++ // dominated herd
+      Seq((900L, 1000L, 1000L, 0L), (901L, 2000L, 500L, 0L))) // frontier
+      .toDF("doc_id", "n_words", "stop_hits", "n_symbols")
+    val one = ta.docSkylineMetricsOf(mixed, localCap = 1)
+      .collect().map(_.getLong(0)).toSet
+    val default = ta.docSkylineMetricsOf(mixed)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == default && one == Set(900L, 901L),
+      s"cap=1 diverged: $one vs $default")
+  }
+
   test("thresholdSweep: survival curve is monotone and equals a driver recompute") {
     val ta = graft.operators.TextAnalysis
     val perDoc = ta.classifierScore(spark, sfDir).collect()
