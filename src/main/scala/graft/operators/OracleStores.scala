@@ -1,0 +1,31 @@
+package graft.operators
+
+/** Memoized per-(JVM, key) ORACLE STORE directories — the one
+  * spelling of the land-once-serve-many discipline behind the store
+  * oracle rows (q_ga01_store, q_winnow_store): repeated query
+  * construction (bench reps, schema/plan audits) reuses a single
+  * landed temp store instead of re-landing a corpus copy per call,
+  * and the shutdown hook reclaims what was made. Safe to memoize
+  * because every store's content is a pure function of its key
+  * (source dir + geometry). */
+private[graft] object OracleStores {
+
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The store for `key`, landing it via `build` on first use.
+    * `prefix` names the temp dir (and should make keys from
+    * different families disjoint by itself). */
+  def of(prefix: String, key: String)(build: String => Unit): String =
+    stores.computeIfAbsent(s"$prefix;$key", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Exception => () }
+      }))
+      build(tmp.toString)
+      tmp.toString
+    })
+}

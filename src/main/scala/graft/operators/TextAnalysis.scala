@@ -354,7 +354,13 @@ object TextAnalysis {
     * the panel measures class separability, not held-out accuracy).
     * Shape: ONE corpus scan collapses to the (doc, lang, tri) count
     * table — trigrams hashed to xxhash64 int64 keys at the scan, so
-    * every exchange carries 8-byte keys — and is MATERIALIZED (two
+    * every exchange carries 8-byte keys. COLLISION ASSUMPTION: the
+    * oracle joins raw trigram strings, so a 64-bit collision between
+    * two distinct trigrams would merge their counts on the Spark side
+    * only and hash-mismatch the row (expected collisions ≈ V²/2⁶⁵ —
+    * ~3·10⁻⁴ even at the 10⁸-trigram multilingual-crawl ceiling, and
+    * the oracle gate DETECTS rather than hides one at test scale);
+    * the count table is MATERIALIZED (two
     * consumers: scoring join + profile roll-up — the perSourceWord
     * discipline); the profile join is UNHINTED: a dictionary-sized
     * profile broadcasts under AQE, a multilingual-crawl-sized one
@@ -2103,21 +2109,22 @@ object TextAnalysis {
   /** LIVE frontier maintenance — the streaming twin of [[docSkyline]]
     * (skyline is DISTRIBUTIVE: skyline(A ∪ B) = skyline(skyline(A) ∪
     * B), so per-batch maintenance is EXACT, never approximate): each
-    * micro-batch unions its documents' metric rows with ALL
-    * strictly-earlier committed frontiers — not just the latest, so
-    * an OUT-OF-ORDER landing (batch 1 committed after batch 2, a
-    * retried upstream) still contributes to every later frontier,
-    * matching the other incremental stores' commit-order tolerance —
-    * reduces to the new frontier, and lands it as `batch=<id>` via
-    * the idempotent landBatch discipline: replaying a batch re-lands
-    * its own dir off the strictly-earlier frontiers, so
-    * at-least-once delivery converges. The store holds FRONTIERS
-    * (candidate-scale), never corpora: the union of earlier frontiers
-    * stays candidate-scale (a doc surviving several frontiers
-    * collapses in the distinct), whatever the accumulated history.
-    * Spec-pinned: fed the corpus in batches, the final landed
-    * frontier equals the batch [[docSkyline]] exactly — including an
-    * out-of-order commit sequence. */
+    * micro-batch unions its documents' metric rows with the
+    * MAXIMAL-COVERAGE strictly-earlier frontier plus any earlier
+    * dirs that frontier does not cover, reduces to the new frontier,
+    * and lands it as `batch=<id>` via the idempotent landBatch
+    * discipline. Every landed frontier carries a `_covered` sidecar
+    * listing the batch ids it folded in (hidden `_` file — parquet
+    * readers skip it), so the probe reads ONE frontier dir in the
+    * in-order case — per-batch cost independent of stream history —
+    * while an OUT-OF-ORDER landing (batch 1 committed after batch 2,
+    * a retried upstream) is folded back in by the next landing that
+    * sees its dir uncovered (spec drives a 0,2,1 commit order to
+    * convergence). A missing/unreadable sidecar degrades the dir to
+    * covering only itself — more reads, still exact. Replaying a
+    * batch re-lands its own dir and sidecar off the strictly-earlier
+    * frontiers, so at-least-once delivery converges. The store holds
+    * FRONTIERS (candidate-scale), never corpora. */
   def skylineIncrementalBatch(batch: DataFrame, storeDir: String,
                               batchId: Long): DataFrame = {
     val spark2 = batch.sparkSession
@@ -2125,10 +2132,6 @@ object TextAnalysis {
       coalesce(col("n_words").cast("long"), lit(0L)).as("n_words"),
       coalesce(col("stop_hits").cast("long"), lit(0L)).as("stop_hits"),
       coalesce(col("n_symbols").cast("long"), lit(0L)).as("n_symbols"))
-    // the latest STRICTLY-EARLIER frontier (empty on batch 0); the
-    // frontier is already pairwise non-dominated, so the union with
-    // the batch feeds the same distributive reduction docSkylineOf
-    // runs over raw partitions
     // batch 0 lands into a store that does not exist yet — listing it
     // unguarded would throw, and a swallowed Try would also hide real
     // store corruption, so check existence explicitly
@@ -2138,21 +2141,65 @@ object TextAnalysis {
       if (fs.exists(basePath))
         graft.sources.Incremental.committedBatchDirs(spark2, storeDir)
       else Seq.empty[(Long, String)]
-    val prior = dirs.filter(_._1 < batchId).map(_._2)
-    val pool =
-      if (prior.isEmpty) metrics
+    val prior = dirs.filter(_._1 < batchId)
+    // pick the frontier covering the most earlier ids, then add only
+    // the dirs outside its coverage: exact because every earlier id
+    // has a dir, and a frontier dominates everything it folded in
+    // (transitivity) — dominated points excluded from a read frontier
+    // are re-excluded by their surviving dominators
+    val entries = prior.map { case (id, path) =>
+      (id, path, skylineCoveredOf(fs, path, id))
+    }
+    val (toRead, coveredNow) =
+      if (entries.isEmpty) (Seq.empty[String], Set.empty[Long])
       else {
-        // ALL earlier frontiers, deduplicated: identical metric rows
-        // for the same doc across frontiers must not enter the
-        // reduction twice (equal tuples never dominate each other, so
-        // duplicates would BOTH survive into the landed frontier)
-        val f = spark2.read.schema(metrics.schema).parquet(prior: _*)
+        val base = entries.maxBy(e => (e._3.size, e._1))
+        val extra = entries.filter(e => !base._3.contains(e._1))
+        ((base +: extra).map(_._2).distinct,
+          base._3 ++ extra.map(_._1))
+      }
+    val pool =
+      if (toRead.isEmpty) metrics
+      else {
+        // deduplicate across read frontiers: identical metric rows for
+        // the same doc must not enter the reduction twice (equal
+        // tuples never dominate each other, so duplicates would BOTH
+        // survive into the landed frontier)
+        val f = spark2.read.schema(metrics.schema).parquet(toRead: _*)
         metrics.unionAll(f.distinct())
       }
     val frontier = docSkylineMetricsOf(pool)
     val (own, _) = graft.sources.Incremental.landBatch(
       frontier, storeDir, batchId)
+    skylineWriteCovered(fs, storeDir, batchId, coveredNow + batchId)
     own
+  }
+
+  /** The batch ids a landed frontier folded in, from its `_covered`
+    * sidecar — absent, unreadable, or corrupt degrades to "covers
+    * itself only": conservative (more reads next landing), never
+    * wrong. A crash between the frontier landing and the sidecar
+    * write leaves exactly this state. */
+  private def skylineCoveredOf(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String, id: Long): Set[Long] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path, "_covered"))
+      val line =
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        finally in.close()
+      Option(line).map(_.trim.split(",").filter(_.nonEmpty)
+        .map(_.toLong).toSet).getOrElse(Set.empty) + id
+    } catch { case _: Exception => Set(id) }
+
+  private def skylineWriteCovered(fs: org.apache.hadoop.fs.FileSystem,
+                                  storeDir: String, id: Long,
+                                  covered: Set[Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$storeDir/batch=$id", "_covered"), true)
+    try out.write((covered.toSeq.sorted.mkString(",") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** HARD BOUND on the per-partition skyline pre-filter buffer: the
@@ -3586,27 +3633,14 @@ object Multimodal {
         max(col("sample_rate")).as("sample_rate_max"))
   }
 
-  /** One landed GA01 oracle store per (JVM, source dir) — memoized so
-    * repeated query construction (bench reps, schema/plan audits)
-    * reuses a single temp store instead of landing a fresh corpus
-    * copy each call, and the shutdown hook reclaims what was made.
-    * Safe to reuse: the store content is a pure function of the
-    * source dir's doc_ids. */
-  private val ga01OracleStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One landed GA01 oracle store per (JVM, source dir) — the shared
+    * [[OracleStores]] memoization (land once, serve every bench rep /
+    * plan audit from the same temp store; content is a pure function
+    * of the source dir's doc_ids). */
   private def ga01OracleStore(spark: SparkSession, dir: String): String =
-    ga01OracleStores.computeIfAbsent(dir, { _ =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ga01-oracle-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        catch { case _: Exception => () }
-      }))
-      graft.sources.Ga01Store.write(syntheticAudio(spark, dir), tmp.toString)
-      tmp.toString
-    })
+    OracleStores.of("graft-ga01-oracle-", dir) { tmp =>
+      graft.sources.Ga01Store.write(syntheticAudio(spark, dir), tmp)
+    }
 
   /** 2:1 audio decimation with a 2-tap mean anti-alias kernel — the
     * audio analog of [[mediaResize]]'s average-pool: y[j] =

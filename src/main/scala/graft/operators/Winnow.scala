@@ -142,37 +142,26 @@ object Winnow {
                                nBatches: Int = 4)
       : (DataFrame, Seq[Seq[String]]) = {
     require(nBatches > 0, s"need a positive batch count: got $nBatches")
-    val store = winnowOracleStores.computeIfAbsent(
-      s"$dir;n=$n;w=$w;buckets=$buckets;k=$nBatches", { _ =>
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-winnow-oracle-")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          import scala.jdk.CollectionConverters._
-          try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-          catch { case _: Exception => () }
-        }))
-        val docs = Tables.documents(spark, dir)
-          .select(col("doc_id"), col("text"))
-        (0 until nBatches).foreach { b =>
-          winnowIncrementalBatchBucketed(
-            docs.filter(col("doc_id") % nBatches.toLong === b.toLong),
-            tmp.toString, b.toLong, n, w, buckets)
-        }
-        tmp.toString
-      })
+    val store = OracleStores.of("graft-winnow-oracle-",
+      s"$dir;n=$n;w=$w;buckets=$buckets;k=$nBatches") { tmp =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      (0 until nBatches).foreach { b =>
+        winnowIncrementalBatchBucketed(
+          docs.filter(col("doc_id") % nBatches.toLong === b.toLong),
+          tmp, b.toLong, n, w, buckets)
+      }
+    }
     val pairSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
         "doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField(
-        "g", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        "bucket", org.apache.spark.sql.types.IntegerType)))
+        "g", org.apache.spark.sql.types.LongType)))
     val committed =
       graft.sources.Incremental.committedBatchDirs(spark, store)
     val served = (0 until nBatches).map { b =>
-      val own = spark.read.schema(pairSchema)
-        .parquet(s"$store/batch=$b").drop("bucket")
+      val own = graft.sources.Incremental.readBucketedBatchDir(
+        spark, store, b.toLong, pairSchema)
       graft.sources.Incremental.firstSeenPanelOf(
         own, committed.filter(_._1 != b), "g", b.toLong, buckets,
         nCol = "n_fps", matchedCol = "matched_fps",
@@ -180,13 +169,6 @@ object Winnow {
     }
     (served.map(_._1).reduce(_.unionAll(_)), served.map(_._2))
   }
-
-  /** One LANDED store per (JVM, source dir, geometry) — the store
-    * content is a pure function of the source corpus, landings are
-    * idempotent per batch id, and the shutdown hook reclaims what was
-    * made. */
-  private val winnowOracleStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Winnowing-based eval-set decontamination scan — the
     * detection-GUARANTEED contamination check (q_decontaminate's

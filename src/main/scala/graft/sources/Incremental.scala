@@ -70,12 +70,24 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/batch=$batchId")
     val spark = df.sparkSession
-    val withBucket = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "bucket", org.apache.spark.sql.types.IntegerType))
-    val own = spark.read.schema(withBucket)
-      .parquet(s"$dir/batch=$batchId").drop("bucket")
+    val own = readBucketedBatchDir(spark, dir, batchId, df.schema)
     (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
+  }
+
+  /** Schema-pinned read of one committed `batch=<id>` dir of a
+    * BUCKETED store — THE one spelling of the layout's read-back
+    * (`rowSchema` + the appended `bucket` dir-column, dropped after
+    * the read), shared by [[landBatchBucketed]]'s own read and
+    * probe-only replays over an already-landed store, so the two can
+    * never diverge about what a batch dir holds. */
+  def readBucketedBatchDir(spark: SparkSession, dir: String, batchId: Long,
+                           rowSchema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val withBucket = org.apache.spark.sql.types.StructType(
+      rowSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.IntegerType))
+    spark.read.schema(withBucket)
+      .parquet(s"$dir/batch=$batchId").drop("bucket")
   }
 
   /** Write-once LAYOUT MANIFEST of a bucketed store (`_layout` at the
@@ -93,45 +105,43 @@ object Incremental {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val f = new org.apache.hadoop.fs.Path(p, "_layout")
-    if (fs.exists(f)) {
+    def manifest(): String = {
       val in = fs.open(f)
-      val existing =
-        try new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        finally in.close()
+      try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    }
+    def compare(existing: String, who: String): Unit =
       require(existing == layout,
-        s"bucketed store $dir was landed with layout '$existing' but this " +
+        s"bucketed store $dir $who layout '$existing' but this " +
           s"call uses '$layout' — refusing: mismatched bucket geometry " +
           "silently misses matches (re-land the store or match the layout)")
-    } else {
+    if (fs.exists(f)) compare(manifest(), "was landed with")
+    else {
       fs.mkdirs(p)
       // overwrite=false: two concurrent FIRST landings with different
       // geometry must not both pass the exists() check and let the
       // later create() silently replace the winner's manifest — the
-      // exact silent-miss class this file exists to prevent. The
-      // loser of the create race falls through to re-read the
-      // winner's manifest and compare instead.
+      // exact silent-miss class this file exists to prevent. ONLY a
+      // lost create race (the file exists now) falls through to the
+      // read-and-compare path; a persistent create failure
+      // (permissions, safe mode, quota) rethrows instead of retrying
+      // forever against a filesystem that will never cooperate.
       val created =
         try {
           val out = fs.create(f, false)
           try out.write((layout + "\n").getBytes("UTF-8")) finally out.close()
           true
-        } catch { case _: java.io.IOException => false }
-      if (!created) requireLayout(spark, dir, layout)
-      else {
-        // and re-verify the write landed intact: a store whose
-        // create(false) resolves concurrent writers last-writer-wins
-        // still ends with ONE agreed manifest or a loud failure here
-        val in = fs.open(f)
-        val readBack =
-          try new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, "UTF-8")).readLine()
-          finally in.close()
-        require(readBack == layout,
-          s"bucketed store $dir manifest read back '$readBack' after " +
-            s"writing '$layout' — concurrent first landings with " +
-            "mixed geometry (re-land the store with one layout)")
-      }
+        } catch {
+          case e: java.io.IOException =>
+            if (fs.exists(f)) false else throw e
+        }
+      // losers compare against the winner; winners re-verify their own
+      // write landed intact (a store that resolves the double create
+      // last-writer-wins still ends with ONE agreed manifest or a
+      // loud failure here)
+      compare(manifest(),
+        if (created) "manifest read back" else "lost the first-landing race to")
     }
   }
 
