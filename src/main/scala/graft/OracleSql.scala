@@ -2470,6 +2470,29 @@ FROM cf"""
       |FROM c JOIN par p ON p.id = c.id
       |GROUP BY 1, 2""".stripMargin
 
+  /** q_media_tone: the exact fs/4 DFT bin rebuilt relationally from
+    * the GA01 doc_id formula — per (id, window), re/im as signed sums
+    * over n mod 4 (the {1, −i, −1, i} twiddle wheel), power re²+im²,
+    * mirroring Multimodal.mediaTone. */
+  def mediaTone: String =
+    """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+      |  FROM documents),
+      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
+      | v AS (SELECT id, i // 256 AS k, i % 256 AS wn,
+      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
+      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
+      |  FROM s),
+      | w AS (SELECT id, k,
+      |   CAST(sum(CASE WHEN wn % 4 = 0 THEN x
+      |                 WHEN wn % 4 = 2 THEN -x ELSE 0 END) AS BIGINT) AS re,
+      |   CAST(sum(CASE WHEN wn % 4 = 3 THEN x
+      |                 WHEN wn % 4 = 1 THEN -x ELSE 0 END) AS BIGINT) AS im
+      |  FROM v GROUP BY 1, 2)
+      |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(re * re + im * im) AS BIGINT) AS tone_power_sum,
+      |  CAST(max(re * re + im * im) AS BIGINT) AS tone_power_max
+      |FROM w GROUP BY 1""".stripMargin
+
   /** q_media_vad: the VAD run structure rebuilt relationally from the
     * GA01 doc_id formula — per-window Σ|x| from first principles,
     * threshold compare, gaps-and-islands for segments/longest run and

@@ -194,6 +194,7 @@ object SparkEntry {
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
     "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
     "q_media_zcr" -> ((s, d) => Multimodal.mediaZcr(s, d)),
+    "q_media_tone" -> ((s, d) => Multimodal.mediaTone(s, d)),
     "q_judge_agreement" -> ((s, d) => TextAnalysis.judgeAgreement(s, d)),
     "q_threshold_sweep" -> ((s, d) => TextAnalysis.thresholdSweep(s, d)),
     "q_doc_skyline" -> ((s, d) => TextAnalysis.docSkyline(s, d)),
@@ -1409,6 +1410,7 @@ object SparkEntry {
     // (threshold derives from the SAME constants as the Spark side)
     "q_media_vad" -> OracleSql.mediaVad(thrSum = 64L * Multimodal.Ga01Window),
     "q_media_zcr" -> OracleSql.mediaZcr,
+    "q_media_tone" -> OracleSql.mediaTone,
     // Cohen's kappa between the two quality judges (shared chains)
     "q_judge_agreement" ->
       OracleSql.judgeAgreement(TextAnalysis.classifierWeights(256)),

@@ -3611,6 +3611,53 @@ object Multimodal {
         "n_cross", "max_cross_win", "zcr_ppm")
   }
 
+  /** Exact single-bin DFT tone power at fs/4 per [[Ga01Window]] — the
+    * frequency-domain leg of the audio census ([[mediaZcr]] proxies
+    * spectral content ordinally; THIS measures one bin exactly): at
+    * bin k = N/4 the DFT twiddles are e^(−iπn/2) ∈ {1, −i, −1, i},
+    * so re = Σ(x[n] | n≡0 mod 4) − Σ(x[n] | n≡2) and im =
+    * Σ(x[n] | n≡3) − Σ(x[n] | n≡1) are plain signed integer sums
+    * (the one Goertzel bin whose coefficient 2cos(2πk/N) = 0 makes
+    * the whole recurrence exact integer), and the window's tone
+    * power re² + im² is exact int64 (|re| ≤ 256·32768 ⇒ re² ≤ 7·10¹³).
+    * Per clip: window count, summed and peak window power — a
+    * narrowband tone at a quarter of the sample rate (alias whistle,
+    * test tone, carrier) lights this up while broadband noise
+    * spreads. Row-local per-partition decode, zero shuffle; DuckDB
+    * recomputes from the doc_id formula via CASE on n mod 4. */
+  def mediaTone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, xs) = ga01Decode(bytes)
+        val nWin = xs.length / Ga01Window
+        var total = 0L
+        var maxWin = 0L
+        var k = 0
+        while (k < nWin) {
+          var re = 0L
+          var im = 0L
+          var n = 0
+          val base = k * Ga01Window
+          while (n < Ga01Window) {
+            val v = xs(base + n).toLong
+            (n & 3) match {
+              case 0 => re += v
+              case 1 => im -= v
+              case 2 => re -= v
+              case _ => im += v
+            }
+            n += 1
+          }
+          val p = re * re + im * im
+          if (p > maxWin) maxWin = p
+          total += p
+          k += 1
+        }
+        (id, nWin.toLong, total, maxWin)
+      }).toDF("doc_id", "n_windows", "tone_power_sum", "tone_power_max")
+  }
+
   /** The GA01 store round trip as an ORACLE row: land the synthetic
     * clips through [[graft.sources.Ga01Store.write]]'s commit
     * protocol, read them back through the DataSourceV2 connector with

@@ -764,6 +764,56 @@ class OperatorSpec extends SparkSpec {
       "no clip shows window-to-window ZCR variation")
   }
 
+  test("mediaTone equals a driver DFT rebuild: exact fs/4 bin power per window") {
+    val got = Multimodal.mediaTone(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    ids.take(50).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val nWin = n / Multimodal.Ga01Window
+      // the honest reference: a double-precision DFT at bin N/4,
+      // rounded — the integer twiddle wheel must equal the real DFT
+      val powers = (0 until nWin).map { k =>
+        var re = 0.0; var im = 0.0
+        (0 until 256).foreach { j =>
+          val ang = -2.0 * math.Pi * (256 / 4) * j / 256
+          re += xs(k * 256 + j) * math.cos(ang)
+          im += xs(k * 256 + j) * math.sin(ang)
+        }
+        math.round(re) * math.round(re) + math.round(im) * math.round(im)
+      }
+      val r = got(id)
+      assert(r.getAs[Long]("n_windows") == nWin.toLong)
+      assert(r.getAs[Long]("tone_power_sum") == powers.sum, s"doc $id sum")
+      assert(r.getAs[Long]("tone_power_max") == powers.max, s"doc $id max")
+    }
+    // non-vacuity: a planted pure fs/4 tone concentrates its energy in
+    // this bin — build one clip by hand and check the closed form
+    val tone = Array.tabulate(512)(i => (i % 4) match {
+      case 0 => 1000; case 1 => 0; case 2 => -1000; case _ => 0
+    })
+    val bytes = Multimodal.ga01Encode(8000, tone.length, tone(_))
+    val (_, back) = Multimodal.ga01Decode(bytes)
+    var re = 0L; var im = 0L
+    (0 until 256).foreach { j =>
+      (j & 3) match {
+        case 0 => re += back(j)
+        case 1 => im -= back(j)
+        case 2 => re -= back(j)
+        case _ => im += back(j)
+      }
+    }
+    // 64 samples of +1000 (twiddle +1) and 64 of −1000 (twiddle −1)
+    // add coherently: re = 64·1000 + 64·1000 = 128000 exactly, im = 0
+    assert(re == 128L * 1000L && im == 0L, s"tone bin re=$re im=$im")
+  }
+
   test("mediaVad run structure equals a driver rebuild of the windows") {
     val got = Multimodal.mediaVad(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
