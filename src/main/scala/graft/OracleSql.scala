@@ -2443,19 +2443,28 @@ FROM cf"""
       .replace("T_H", hlogT("nt", "c"))
       .replace("HB_H", hlogFinish("nt", "t_h", "q_h"))
 
+  /** The GA01 synthetic-signal CTE prefix shared by the three media
+    * oracles (zcr/tone/vad) — ONE spelling of the doc_id formula
+    * (clip length 512 + (id%7)·256, silent every (id+k)%4==0 window,
+    * LCG noise elsewhere), superset columns (window k, in-window
+    * position wn) so each oracle reads what it needs. A formula
+    * change in Multimodal.syntheticAudio is one edit here. */
+  private def ga01SignalCtes: String =
+    """par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
+      |  FROM documents),
+      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
+      | v AS (SELECT id, i // 256 AS k, i % 256 AS wn, i,
+      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
+      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
+      |  FROM s)""".stripMargin
+
   /** q_media_zcr: per-window zero-crossing census rebuilt relationally
     * from the GA01 doc_id formula — adjacent pairs via lag() over
     * (id, window) so window boundaries reset the chain exactly as the
     * decode walk does, crossings = strictly-opposite signs
     * (px·x < 0), mirroring Multimodal.mediaZcr. */
   def mediaZcr: String =
-    """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
-      |  FROM documents),
-      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
-      | v AS (SELECT id, i // 256 AS k, i,
-      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
-      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
-      |  FROM s),
+    "WITH " + ga01SignalCtes + """,
       | w AS (SELECT id, k, x,
       |   lag(x) OVER (PARTITION BY id, k ORDER BY i) AS px FROM v),
       | c AS (SELECT id, k, CAST(sum(CASE WHEN px * x < 0 THEN 1 ELSE 0 END)
@@ -2475,13 +2484,7 @@ FROM cf"""
     * over n mod 4 (the {1, −i, −1, i} twiddle wheel), power re²+im²,
     * mirroring Multimodal.mediaTone. */
   def mediaTone: String =
-    """WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
-      |  FROM documents),
-      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
-      | v AS (SELECT id, i // 256 AS k, i % 256 AS wn,
-      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
-      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
-      |  FROM s),
+    "WITH " + ga01SignalCtes + """,
       | w AS (SELECT id, k,
       |   CAST(sum(CASE WHEN wn % 4 = 0 THEN x
       |                 WHEN wn % 4 = 2 THEN -x ELSE 0 END) AS BIGINT) AS re,
@@ -2500,13 +2503,7 @@ FROM cf"""
     * threshold), mirroring Multimodal.mediaVad's decode-loop
     * bookkeeping. */
   def mediaVad(thrSum: Long): String =
-    s"""WITH par AS (SELECT doc_id AS id, 512 + (doc_id % 7) * 256 AS n
-      |  FROM documents),
-      | s AS (SELECT id, n, unnest(range(n)) AS i FROM par),
-      | v AS (SELECT id, i // 256 AS k,
-      |   CASE WHEN (id + i // 256) % 4 = 0 THEN 0
-      |        ELSE ((id * 7349 + i * 104729) % 65536) - 32768 END AS x
-      |  FROM s),
+    "WITH " + ga01SignalCtes + s""",
       | w AS (SELECT id, k, CASE WHEN sum(abs(x)) >= $thrSum THEN 1 ELSE 0 END
       |   AS act FROM v GROUP BY 1, 2),
       | f AS (SELECT id, k, act, CAST(row_number() OVER

@@ -2109,15 +2109,16 @@ object TextAnalysis {
   /** LIVE frontier maintenance — the streaming twin of [[docSkyline]]
     * (skyline is DISTRIBUTIVE: skyline(A ∪ B) = skyline(skyline(A) ∪
     * B), so per-batch maintenance is EXACT, never approximate): each
-    * micro-batch unions its documents' metric rows with the
-    * MAXIMAL-COVERAGE strictly-earlier frontier plus any earlier
-    * dirs that frontier does not cover, reduces to the new frontier,
-    * and lands it as `batch=<id>` via the idempotent landBatch
-    * discipline. Every landed frontier carries a `_covered` sidecar
-    * listing the batch ids it folded in (hidden `_` file — parquet
-    * readers skip it), so the probe reads ONE frontier dir in the
-    * in-order case — per-batch cost independent of stream history —
-    * while an OUT-OF-ORDER landing (batch 1 committed after batch 2,
+    * micro-batch unions its documents' metric rows with the NEWEST
+    * strictly-earlier frontier plus any earlier dirs that frontier's
+    * sidecar does not cover, reduces to the new frontier, and lands
+    * it as `batch=<id>` via the idempotent landBatch discipline.
+    * Every landed frontier carries a `_covered` sidecar listing the
+    * batch ids it folded in (hidden `_` file — parquet readers skip
+    * it), and ONLY the newest sidecar is ever opened, so the probe
+    * costs ONE sidecar read + ONE frontier dir in the in-order case
+    * — per-batch cost independent of stream history — while an
+    * OUT-OF-ORDER landing (batch 1 committed after batch 2,
     * a retried upstream) is folded back in by the next landing that
     * sees its dir uncovered (spec drives a 0,2,1 commit order to
     * convergence). A missing/unreadable sidecar degrades the dir to
@@ -2142,21 +2143,22 @@ object TextAnalysis {
         graft.sources.Incremental.committedBatchDirs(spark2, storeDir)
       else Seq.empty[(Long, String)]
     val prior = dirs.filter(_._1 < batchId)
-    // pick the frontier covering the most earlier ids, then add only
-    // the dirs outside its coverage: exact because every earlier id
-    // has a dir, and a frontier dominates everything it folded in
-    // (transitivity) — dominated points excluded from a read frontier
-    // are re-excluded by their surviving dominators
-    val entries = prior.map { case (id, path) =>
-      (id, path, skylineCoveredOf(fs, path, id))
-    }
+    // read ONLY the newest strictly-earlier frontier's sidecar: in
+    // the in-order case it covers every prior id, so the probe costs
+    // ONE sidecar read + ONE frontier dir regardless of stream
+    // history; only the dirs it does NOT cover (an out-of-order
+    // landing) add reads. Exact because every earlier id has a dir,
+    // and a frontier dominates everything it folded in (transitivity)
+    // — dominated points excluded from a read frontier are
+    // re-excluded by their surviving dominators
     val (toRead, coveredNow) =
-      if (entries.isEmpty) (Seq.empty[String], Set.empty[Long])
+      if (prior.isEmpty) (Seq.empty[String], Set.empty[Long])
       else {
-        val base = entries.maxBy(e => (e._3.size, e._1))
-        val extra = entries.filter(e => !base._3.contains(e._1))
-        ((base +: extra).map(_._2).distinct,
-          base._3 ++ extra.map(_._1))
+        val newest = prior.maxBy(_._1)
+        val newestCov = skylineCoveredOf(fs, newest._2, newest._1)
+        val uncovered = prior.filter(e => !newestCov.contains(e._1))
+        ((newest._2 +: uncovered.map(_._2)).distinct,
+          newestCov ++ uncovered.map(_._1))
       }
     val pool =
       if (toRead.isEmpty) metrics
