@@ -2992,10 +2992,19 @@ object TextAnalysis {
     * tail, so the SAME frame serves the unigram census (all rows),
     * the bigram census (w2 non-NULL), the trigram census and the
     * scoring stream (w3 non-NULL) — the charLmTop one-scan
-    * discipline extended to three orders. Empty tokens dropped by
-    * the `t != ''` rule every T.tokens consumer applies; CASE guards
-    * keep the out-of-range subscripts unevaluated under ANSI. */
-  private def gramStreamOf(docs: DataFrame): DataFrame =
+    * discipline extended to three orders. Words leave the scan as
+    * xxhash64 int64 keys (NULL-preserved — Spark's xxhash64 maps
+    * NULL to the seed, which would make "past the doc tail" look
+    * like a real word, so the hash rides under an isNotNull guard):
+    * the five stat joins and every exchange carry 8-byte keys, never
+    * word strings — the char-LM key discipline, with the same
+    * documented collision assumption (the oracle joins raw words and
+    * DETECTS a collision as a hash mismatch). Empty tokens dropped
+    * by the `t != ''` rule every T.tokens consumer applies; CASE
+    * guards keep the out-of-range subscripts unevaluated under
+    * ANSI. */
+  private def gramStreamOf(docs: DataFrame): DataFrame = {
+    def h(c: Column): Column = when(c.isNotNull, xxhash64(c))
     docs
       .select(col("doc_id"), T.tokens(col("text")).as("toks0"))
       .select(col("doc_id"), expr("filter(toks0, t -> t != '')").as("toks"))
@@ -3005,8 +3014,9 @@ object TextAnalysis {
           "toks[i-1] AS w1, " +
           "CASE WHEN i < size(toks) THEN toks[i] END AS w2, " +
           "CASE WHEN i + 1 < size(toks) THEN toks[i+1] END AS w3))")).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"),
-        col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .select(col("doc_id"), h(col("g.w1")).as("w1"),
+        h(col("g.w2")).as("w2"), h(col("g.w3")).as("w3"))
+  }
 
   /** The three stat tables + totals off one (materialized) gram
     * stream: trigram counts with their context totals, bigram counts
@@ -3110,13 +3120,15 @@ object TextAnalysis {
 
   /** The TRAINED Stupid-Backoff model as one persistable table:
     * (lvl, w1, w2, w3, c) — lvl 3/2/1 rows carry trigram/bigram/
-    * unigram counts (w3, then w2, NULL below their order). Context
-    * totals and (N, V) re-derive from the table on load, so a
-    * parquet round trip cannot desynchronize stats from rows (the
+    * unigram counts (w3, then w2, NULL below their order); keys are
+    * the gram stream's xxhash64 word hashes, so the parked table is
+    * 8-byte-keyed like every exchange that feeds it. Context totals
+    * and (N, V) re-derive from the table on load, so a parquet
+    * round trip cannot desynchronize stats from rows (the
     * unigramModelOf discipline). */
   def trigramModelOf(docs: DataFrame): DataFrame = {
     val gs = graft.plans.Materialize(gramStreamOf(docs))
-    val nulls = lit(null).cast("string")
+    val nulls = lit(null).cast("bigint")
     val g3 = gs.filter(col("w3").isNotNull)
       .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c")).withColumn("lvl", lit(3))
