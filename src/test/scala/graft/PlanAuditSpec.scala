@@ -134,6 +134,30 @@ class PlanAuditSpec extends SparkSpec {
       s"trigram exchange key is not int64: ${tri.map(_.dataType)}")
   }
 
+  test("trigram surprisal: one materialized gram scan, stat joins unhinted, int64 word keys") {
+    val df = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
+    // the five stat tables are gram-vocabulary scale — like the
+    // char-LM profile, a forced broadcast is a 100 TB job-killer, so
+    // the ONLY hint in the plan is the deliberate 1-row totals frame
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 1,
+      s"expected exactly the 1-row totals hint, found $hints")
+    // every consumer (three censuses + scoring) reads the ONE
+    // materialized gram stream — no second corpus scan
+    val plan = physical(df)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"trigram family re-scans the corpus past the materialize:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+    // word keys cross exchanges as xxhash64 int64s, never strings
+    val words = df.queryExecution.analyzed.collectLeaves()
+      .flatMap(_.output).filter(a => Set("w1", "w2", "w3")(a.name))
+    assert(words.nonEmpty && words.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      s"gram keys are not int64: ${words.map(a => a.name -> a.dataType)}")
+  }
+
   test("keyness: totals ride broadcasts, no corpus-sized join") {
     val plan = physical(graft.operators.TextAnalysis.keyness(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") ||
