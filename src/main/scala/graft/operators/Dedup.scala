@@ -781,6 +781,11 @@ object Dedup {
     * Identical scores to the unbucketed form (spec-pinned); returns
     * (panel, plannedDirs) where plannedDirs is the files-planned
     * observable the pruning spec pins. */
+  /** ONE spelling of the novelty store's layout manifest — shared by
+    * the landing and the compactor so the geometry cannot fork. */
+  private def noveltyLayout(n: Int, buckets: Int): String =
+    s"novelty;n=$n;buckets=$buckets"
+
   def noveltyIncrementalBatchBucketed(batch: DataFrame, gramDir: String,
                                       batchId: Long, n: Int = 8,
                                       buckets: Int = 64): (DataFrame, Seq[String]) = {
@@ -789,7 +794,7 @@ object Dedup {
       batch
         .select(col("doc_id"), explode(shingle_hashes(col("text"), n)).as("gram")),
       gramDir, batchId, pmod(col("gram"), lit(buckets)), buckets,
-      layout = s"novelty;n=$n;buckets=$buckets")
+      layout = noveltyLayout(n, buckets))
     // the batch's touched buckets: bounded collect (≤ `buckets` ints)
     val touched = own.select(pmod(col("gram"), lit(buckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -813,6 +818,25 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
     (panel, planned)
   }
+
+  /** Compact the bucketed novelty store's history up to `upTo` into
+    * one `compact=<upTo>` dir — [[graft.sources.Incremental
+    * .compactBucketedBatches]] with THIS store's geometry (ONE
+    * spelling with [[noveltyIncrementalBatchBucketed]]'s landing), so
+    * a long-lived gauge's probe reads one folded dir plus the batches
+    * landed since, not every dir the stream ever committed. Only
+    * compact ids the stream's checkpoint has committed past. */
+  def noveltyStoreCompact(spark: SparkSession, gramDir: String, upTo: Long,
+                          n: Int = 8, buckets: Int = 64): Unit =
+    graft.sources.Incremental.compactBucketedBatches(
+      spark, gramDir, upTo,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "gram", org.apache.spark.sql.types.LongType))),
+      pmod(col("gram"), lit(buckets)), buckets,
+      layout = noveltyLayout(n, buckets))
 
   /** Streaming/incremental near-dup KEEP-SET for text — the
     * operational no-nightly-recluster form of [[keepSetOf]]: each

@@ -78,6 +78,30 @@ object Winnow {
                     maxDf: Long = 50L, minShared: Long = 2L): DataFrame =
     winnowOverlapOf(Tables.documents(spark, dir), n, w, maxDf, minShared)
 
+  /** ONE spelling of the winnow store's layout manifest — shared by
+    * the landing and the compactor so the geometry cannot fork. */
+  private def winnowLayout(n: Int, w: Int, buckets: Int): String =
+    s"winnow;n=$n;w=$w;buckets=$buckets"
+
+  /** Compact the bucketed winnow store's history up to `upTo` into
+    * one `compact=<upTo>` dir — [[graft.sources.Incremental
+    * .compactBucketedBatches]] with THIS store's geometry, so a
+    * long-lived contamination gate probes one folded dir plus the
+    * batches landed since. Only compact ids the stream's checkpoint
+    * has committed past. */
+  def winnowStoreCompact(spark: SparkSession, storeDir: String, upTo: Long,
+                         n: Int = 3, w: Int = 4, buckets: Int = 64): Unit =
+    graft.sources.Incremental.compactBucketedBatches(
+      spark, storeDir, upTo,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "g", org.apache.spark.sql.types.LongType))),
+      org.apache.spark.sql.functions.pmod(col("g"),
+        org.apache.spark.sql.functions.lit(buckets)), buckets,
+      layout = winnowLayout(n, w, buckets))
+
   /** LIVE plagiarism/contamination gate — the streaming twin of
     * [[winnowOverlap]] at admission grain, over a BUCKETED
     * fingerprint store (the novelty/keep-set/chunk-store discipline):
@@ -104,7 +128,7 @@ object Winnow {
           winnow_hashes(coalesce(col("text"), lit("")), n, w))).as("g"))
     graft.sources.Incremental.firstSeenProbeBucketed(
       fps, "g", storeDir, batchId, buckets,
-      layout = s"winnow;n=$n;w=$w;buckets=$buckets",
+      layout = winnowLayout(n, w, buckets),
       nCol = "n_fps", matchedCol = "matched_fps", ratioCol = "matched_ratio")
   }
 

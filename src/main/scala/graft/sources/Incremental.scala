@@ -66,6 +66,19 @@ object Incremental {
     require(batchId >= 0, s"batch ids are non-negative: got $batchId")
     require(buckets > 0, s"bucket count must be positive: got $buckets")
     requireLayout(df.sparkSession, dir, layout)
+    // refuse a landing at or below a compaction horizon BEFORE the
+    // write: a replayed batch id folded into a compaction can no
+    // longer reconstruct its strictly-earlier slice, and landing its
+    // rows first would leave unscored data a later probe reads as
+    // earlier history
+    val fsPre = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fsPre.exists(new org.apache.hadoop.fs.Path(dir)))
+      committedBatchDirs(df.sparkSession, dir).foreach { case (id, p) =>
+        require(!(p.contains("/compact=") && id >= batchId),
+          s"batch $batchId lands at or below the compaction horizon $id " +
+            s"($p) — replay past a compaction is unsupported")
+      }
     df.withColumn("bucket", bucketOf)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/batch=$batchId")
@@ -82,12 +95,85 @@ object Incremental {
     * never diverge about what a batch dir holds. */
   def readBucketedBatchDir(spark: SparkSession, dir: String, batchId: Long,
                            rowSchema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    readBucketedDir(spark, s"$dir/batch=$batchId", rowSchema)
+
+  private def readBucketedDir(spark: SparkSession, path: String,
+                              rowSchema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     val withBucket = org.apache.spark.sql.types.StructType(
       rowSchema.fields :+ org.apache.spark.sql.types.StructField(
         "bucket", org.apache.spark.sql.types.IntegerType))
-    spark.read.schema(withBucket)
-      .parquet(s"$dir/batch=$batchId").drop("bucket")
+    spark.read.schema(withBucket).parquet(path).drop("bucket")
+  }
+
+  /** COMPACT a bucketed store's history: fold every committed dir
+    * with id ≤ `upTo` (batch dirs and earlier compactions alike) into
+    * ONE `compact=<upTo>` dir in the same bucketed layout, then drop
+    * the inputs — so a long-lived store's probe cost returns to
+    * O(one dir's touched buckets + batches landed since), instead of
+    * growing with every landing the stream ever made.
+    *
+    * SOUND for the first-seen/earlier-batch probes: [[committedBatchDirs]]
+    * lists a committed compaction as id `upTo`, so a later batch
+    * treats every folded row as strictly-earlier — exactly as when
+    * the rows lived in their original dirs (within-batch
+    * first-doc-wins only ever applies to the PROBING batch itself).
+    *
+    * CRASH-SAFE by never overwriting a dir that holds unique data:
+    * the output dir must be NEW (`upTo` strictly above any committed
+    * compaction — re-running with the SAME id is an idempotent
+    * no-op that only finishes deleting leftover inputs), it becomes
+    * visible only once its `_SUCCESS` commits, and inputs are
+    * deleted strictly AFTER that. A crash mid-write leaves the store
+    * untouched (uncommitted compact dirs are invisible); a crash
+    * mid-delete leaves duplicate rows across dirs, which the probes'
+    * distinct seen-key joins already collapse — more reads, never a
+    * wrong count and never a silent miss.
+    *
+    * REPLAY HORIZON: after compacting to `upTo`, a probe for any
+    * batchId ≤ `upTo` REFUSES loudly ([[earlierBatchesBuckets]]) —
+    * its strictly-earlier slice can no longer be reconstructed. Only
+    * compact ids the stream's checkpoint has committed past (a
+    * replayed micro-batch id must be > `upTo`). */
+  def compactBucketedBatches(spark: SparkSession, dir: String, upTo: Long,
+                             rowSchema: org.apache.spark.sql.types.StructType,
+                             bucketOf: org.apache.spark.sql.Column,
+                             buckets: Int, layout: String): Unit = {
+    require(upTo >= 0, s"compaction ids are non-negative: got $upTo")
+    requireLayout(spark, dir, layout)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outPath = s"$dir/compact=$upTo"
+    val committedOut = fs.exists(
+      new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
+    // self-exclusion by dir NAME, not raw path string: the listing
+    // returns scheme-qualified paths (file:/..., hdfs://...) while
+    // outPath is the caller's spelling — a string compare would let a
+    // replay list its own committed output as an input and DELETE it
+    val inputs = committedBatchDirs(spark, dir)
+      .filter { case (id, path) =>
+        id <= upTo && !path.endsWith(s"/compact=$upTo")
+      }
+    if (!committedOut) {
+      require(inputs.nonEmpty, s"nothing committed at ids <= $upTo in $dir")
+      require(committedBatchDirs(spark, dir)
+        .forall { case (id, p) => !p.contains("/compact=") || id <= upTo },
+        s"a newer compaction already covers id $upTo in $dir")
+      // the output is never an input (a fresh dir, or an uncommitted
+      // torn write that committedBatchDirs ignores), so this write
+      // never reads the dir it overwrites
+      val union = inputs.map(e => readBucketedDir(spark, e._2, rowSchema))
+        .reduce(_.unionAll(_)).distinct()
+      union.withColumn("bucket", bucketOf)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(outPath)
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")),
+      s"compaction write to $outPath did not commit")
+    inputs.foreach { case (_, path) =>
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
   }
 
   /** Write-once LAYOUT MANIFEST of a bucketed store (`_layout` at the
@@ -159,6 +245,16 @@ object Incremental {
                             batchId: Long, buckets: Seq[Int])
       : (DataFrame, Seq[String]) = {
     val spark = own.sparkSession
+    // a probe at or below a compaction horizon cannot reconstruct its
+    // strictly-earlier slice (those batches were folded into one dir
+    // listed AT the horizon id) — refuse loudly rather than silently
+    // scoring against too much or too little history
+    dirs.foreach { case (id, path) =>
+      require(!(path.contains("/compact=") && id >= batchId),
+        s"batch $batchId probes at or below the compaction horizon $id " +
+          s"($path) — replay past a compaction is unsupported; only " +
+          "compact ids the stream's checkpoint has committed past")
+    }
     val prior = dirs.collect { case (id, path) if id < batchId => path }
     if (prior.isEmpty || buckets.isEmpty) (own.limit(0), Seq.empty)
     else {
@@ -196,12 +292,21 @@ object Incremental {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // only `batch=<digits>` names parse — a stray temp dir or future
     // layout addition under the store must not kill every reader with
-    // a NumberFormatException (it is simply not a committed batch)
+    // a NumberFormatException (it is simply not a committed batch).
+    // `compact=<id>` dirs ([[compactBucketedBatches]]) list as id —
+    // the folded history IS "batches ≤ id" to every earlier-than
+    // reader — but only once their _SUCCESS committed: a torn
+    // compaction write must stay invisible while the original batch
+    // dirs still carry the data
     val committed = "batch=(\\d+)".r
+    val compacted = "compact=(\\d+)".r
     fs.listStatus(basePath)
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
         case committed(id) => Some((id.toLong, st.getPath.toString))
+        case compacted(id) if fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          Some((id.toLong, st.getPath.toString))
         case _ => None
       }).toSeq
   }

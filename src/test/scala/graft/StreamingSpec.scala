@@ -1716,6 +1716,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store compaction: history folds to one dir, scores identical, horizon refuses replays") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gram-compact-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq // 3 batches at sf0.01
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+        chunk.toSeq.toDF("doc_id", "text"), dir, id, buckets = 256)
+        ._1.collect()
+    }
+    // the reference probe BEFORE compaction: reads every batch dir
+    val probe = Seq((999901L, docs(3)._2), (999902L, "zq wv xr yt uk"))
+      .toDF("doc_id", "text")
+    val (p1, planned1) = graft.operators.Dedup
+      .noveltyIncrementalBatchBucketed(probe, dir, batches.size.toLong,
+        buckets = 256)
+    val before = p1.collect().map(key).toMap
+    // compact everything the probe scored against into ONE dir
+    graft.operators.Dedup.noveltyStoreCompact(
+      spark, dir, upTo = batches.size - 1L, buckets = 256)
+    assert(!new java.io.File(s"$dir/batch=0").exists &&
+      !new java.io.File(s"$dir/batch=1").exists,
+      "compaction left its input dirs")
+    assert(new java.io.File(
+      s"$dir/compact=${batches.size - 1}/_SUCCESS").exists,
+      "compacted dir did not commit")
+    // identical scores, and the probe now plans ONLY compacted leaves
+    val (p2, planned2) = graft.operators.Dedup
+      .noveltyIncrementalBatchBucketed(probe, dir, batches.size.toLong,
+        buckets = 256)
+    assert(p2.collect().map(key).toMap == before,
+      "compaction changed the probe's scores")
+    assert(planned2.nonEmpty && planned2.size < planned1.size &&
+      planned2.forall(_.contains(s"compact=${batches.size - 1}")),
+      s"probe did not collapse to the compacted dir: $planned2")
+    // replaying the SAME compaction is an idempotent no-op
+    graft.operators.Dedup.noveltyStoreCompact(
+      spark, dir, upTo = batches.size - 1L, buckets = 256)
+    val (p3, _) = graft.operators.Dedup
+      .noveltyIncrementalBatchBucketed(probe, dir, batches.size.toLong,
+        buckets = 256)
+    assert(p3.collect().map(key).toMap == before)
+    // landing/probing AT or BELOW the horizon refuses loudly BEFORE
+    // any write (a folded id's strictly-earlier slice is gone), and
+    // an OLDER compaction id refuses once a newer one committed
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyIncrementalBatchBucketed(
+        probe, dir, batches.size - 1L, buckets = 256)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyStoreCompact(spark, dir, 0L, buckets = 256)
+    }
+    // mismatched geometry still refuses through the compactor too
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyStoreCompact(
+        spark, dir, batches.size - 1L, buckets = 64)
+    }
+  }
+
   test("bucketed chunk-dedup store: identical ratios, chunk-hash buckets prune the probe") {
     val s = spark
     import s.implicits._
@@ -1886,6 +1950,18 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Winnow.winnowIncrementalBatchBucketed(
         tiny, bDir, batches.size.toLong + 1, buckets = 64)
     }
+    // compaction through the winnow-geometry wrapper: the copy probe
+    // scores identically off the single folded dir (a wrong schema
+    // spelling in the wrapper would read silent NULL keys instead)
+    graft.operators.Winnow.winnowStoreCompact(
+      spark, bDir, upTo = batches.size.toLong, buckets = 256)
+    val (cp, cPlanned) = graft.operators.Winnow.winnowIncrementalBatchBucketed(
+      tiny, bDir, batches.size.toLong + 1, buckets = 256)
+    assert(cp.collect().map(key).toMap == tinyGot,
+      "compaction changed the winnow probe's scores")
+    assert(cPlanned.nonEmpty &&
+      cPlanned.forall(_.contains(s"compact=${batches.size}")),
+      s"winnow probe did not collapse to the compacted dir: $cPlanned")
   }
 
   test("bucketed keep-set store: identical keep decisions, band-key buckets prune the hamming probe") {
