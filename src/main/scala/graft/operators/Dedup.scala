@@ -766,6 +766,11 @@ object Dedup {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** ONE spelling of the novelty store's layout manifest — shared by
+    * the landing and the compactor so the geometry cannot fork. */
+  private def noveltyLayout(n: Int, buckets: Int): String =
+    s"novelty;n=$n;buckets=$buckets"
+
   /** [[noveltyIncrementalBatch]] over a BUCKETED store — the 100 TB
     * deployment shape SURVEY promises for this family: batches land
     * as `batch=<id>/bucket=<pmod(gram, buckets)>`, and the probe
@@ -781,11 +786,6 @@ object Dedup {
     * Identical scores to the unbucketed form (spec-pinned); returns
     * (panel, plannedDirs) where plannedDirs is the files-planned
     * observable the pruning spec pins. */
-  /** ONE spelling of the novelty store's layout manifest — shared by
-    * the landing and the compactor so the geometry cannot fork. */
-  private def noveltyLayout(n: Int, buckets: Int): String =
-    s"novelty;n=$n;buckets=$buckets"
-
   def noveltyIncrementalBatchBucketed(batch: DataFrame, gramDir: String,
                                       batchId: Long, n: Int = 8,
                                       buckets: Int = 64): (DataFrame, Seq[String]) = {
@@ -835,7 +835,7 @@ object Dedup {
           "doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(
           "gram", org.apache.spark.sql.types.LongType))),
-      pmod(col("gram"), lit(buckets)), buckets,
+      pmod(col("gram"), lit(buckets)),
       layout = noveltyLayout(n, buckets))
 
   /** Streaming/incremental near-dup KEEP-SET for text — the

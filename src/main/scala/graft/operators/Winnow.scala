@@ -99,7 +99,7 @@ object Winnow {
         org.apache.spark.sql.types.StructField(
           "g", org.apache.spark.sql.types.LongType))),
       org.apache.spark.sql.functions.pmod(col("g"),
-        org.apache.spark.sql.functions.lit(buckets)), buckets,
+        org.apache.spark.sql.functions.lit(buckets)),
       layout = winnowLayout(n, w, buckets))
 
   /** LIVE plagiarism/contamination gate — the streaming twin of
@@ -187,7 +187,13 @@ object Winnow {
       val own = graft.sources.Incremental.readBucketedBatchDir(
         spark, store, b.toLong, pairSchema)
       graft.sources.Incremental.firstSeenPanelOf(
-        own, committed.filter(_._1 != b), "g", b.toLong, buckets,
+        // exclude only the batch's OWN dir by NAME: an id-equality
+        // filter would also drop a compact=<b> horizon dir and
+        // silently bypass the probe's horizon refusal (all-novel
+        // scores after a crash-mid-delete compaction); kept compact
+        // dirs make earlierBatchesBuckets refuse loudly instead
+        own, committed.filterNot(_._2.endsWith(s"/batch=$b")),
+        "g", b.toLong, buckets,
         nCol = "n_fps", matchedCol = "matched_fps",
         ratioCol = "matched_ratio")
     }

@@ -66,25 +66,26 @@ object Incremental {
     require(batchId >= 0, s"batch ids are non-negative: got $batchId")
     require(buckets > 0, s"bucket count must be positive: got $buckets")
     requireLayout(df.sparkSession, dir, layout)
-    // refuse a landing at or below a compaction horizon BEFORE the
-    // write: a replayed batch id folded into a compaction can no
-    // longer reconstruct its strictly-earlier slice, and landing its
-    // rows first would leave unscored data a later probe reads as
-    // earlier history
-    val fsPre = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fsPre.exists(new org.apache.hadoop.fs.Path(dir)))
-      committedBatchDirs(df.sparkSession, dir).foreach { case (id, p) =>
-        require(!(p.contains("/compact=") && id >= batchId),
-          s"batch $batchId lands at or below the compaction horizon $id " +
-            s"($p) — replay past a compaction is unsupported")
-      }
+    // ONE root listing serves both the horizon check and the return
+    // value (the landing's own dir is excluded from the return anyway,
+    // so the pre-write listing is exactly the post-write view): refuse
+    // a landing at or below a compaction horizon BEFORE the write — a
+    // replayed batch id folded into a compaction can no longer
+    // reconstruct its strictly-earlier slice, and landing its rows
+    // first would leave unscored data a later probe reads as earlier
+    // history. requireLayout has already created the store root.
+    val listed = committedBatchDirs(df.sparkSession, dir)
+    listed.foreach { case (id, p) =>
+      require(!(p.contains("/compact=") && id >= batchId),
+        s"batch $batchId lands at or below the compaction horizon $id " +
+          s"($p) — replay past a compaction is unsupported")
+    }
     df.withColumn("bucket", bucketOf)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/batch=$batchId")
     val spark = df.sparkSession
     val own = readBucketedBatchDir(spark, dir, batchId, df.schema)
-    (own, committedBatchDirs(spark, dir).filter(_._1 != batchId))
+    (own, listed.filterNot(_._2.endsWith(s"/batch=$batchId")))
   }
 
   /** Schema-pinned read of one committed `batch=<id>` dir of a
@@ -139,7 +140,7 @@ object Incremental {
   def compactBucketedBatches(spark: SparkSession, dir: String, upTo: Long,
                              rowSchema: org.apache.spark.sql.types.StructType,
                              bucketOf: org.apache.spark.sql.Column,
-                             buckets: Int, layout: String): Unit = {
+                             layout: String): Unit = {
     require(upTo >= 0, s"compaction ids are non-negative: got $upTo")
     requireLayout(spark, dir, layout)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -147,17 +148,26 @@ object Incremental {
     val outPath = s"$dir/compact=$upTo"
     val committedOut = fs.exists(
       new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
+    val listed = committedBatchDirs(spark, dir)
     // self-exclusion by dir NAME, not raw path string: the listing
     // returns scheme-qualified paths (file:/..., hdfs://...) while
     // outPath is the caller's spelling — a string compare would let a
     // replay list its own committed output as an input and DELETE it
-    val inputs = committedBatchDirs(spark, dir)
-      .filter { case (id, path) =>
-        id <= upTo && !path.endsWith(s"/compact=$upTo")
-      }
+    val inputs = listed.filter { case (id, path) =>
+      id <= upTo && !path.endsWith(s"/compact=$upTo")
+    }
     if (!committedOut) {
       require(inputs.nonEmpty, s"nothing committed at ids <= $upTo in $dir")
-      require(committedBatchDirs(spark, dir)
+      // the horizon must be an EXISTING committed id: compacting to an
+      // id above every landing would refuse the stream's next
+      // (monotone, unskippable) batch ids forever — an irreversible
+      // store-brick a loud refusal here prevents
+      require(listed.exists(_._1 == upTo),
+        s"compaction id $upTo is not a committed id in $dir — " +
+          s"refusing: ids in (${inputs.map(_._1).max}, $upTo] could " +
+          "never land again (committed ids: " +
+          s"${listed.map(_._1).sorted.mkString(", ")})")
+      require(listed
         .forall { case (id, p) => !p.contains("/compact=") || id <= upTo },
         s"a newer compaction already covers id $upTo in $dir")
       // the output is never an input (a fresh dir, or an uncommitted

@@ -1778,6 +1778,13 @@ class StreamingSpec extends SparkSpec {
       graft.operators.Dedup.noveltyStoreCompact(
         spark, dir, batches.size - 1L, buckets = 64)
     }
+    // compacting to an id NOTHING ever landed at refuses: the stream's
+    // next (monotone, unskippable) batch ids would hit the horizon
+    // forever — an irreversible store-brick the guard prevents
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.noveltyStoreCompact(spark, dir, 99L,
+        buckets = 256)
+    }
   }
 
   test("bucketed chunk-dedup store: identical ratios, chunk-hash buckets prune the probe") {
