@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Alert-rule EVALUATION over the collector's rate series — the half
+  * of the reference's monitoring loop it delegates to Azure Monitor
+  * (README.md:3 "sends it to Azure Monitor so that alerts can monitor
+  * the data and alert when needed"; send_data_to_azure_monitor.py
+  * ships the series, Azure evaluates the rules). Here the evaluation
+  * itself is a native operator family, Prometheus-semantics:
+  *
+  *   - [[alertRules]]: per (rule, topic, window) PENDING→FIRING state
+  *     under a `for`-duration rule — breach when the hourly count
+  *     reaches the threshold, FIRING once the breach has held for
+  *     `for_n` CONSECUTIVE hours (a missing hour carries no row and
+  *     breaks the run, exactly Prometheus's ALERTS series semantics:
+  *     no row at all when inactive).
+  *   - [[alertEpisodes]]: the same runs collapsed to one row per
+  *     breach EPISODE (start/end/length/peak + whether it reached
+  *     FIRING) — the flap-census view an on-call reads.
+  *   - [[sloBurn]]: Google-SRE multiwindow error-budget BURN RATE over
+  *     the global error ratio (events with `event_type = 'error'`
+  *     over all events), 1h/6h/24h windows: page when the short
+  *     windows both burn hot, warn when the long pair smolders.
+  *
+  * Scale notes: everything here aggregates events to the (topic ×
+  * hour) grid first — map-side combined, shuffle ∝ #topics × #windows
+  * regardless of event volume — and every window/join after that
+  * operates on the grid, which is time-bounded (720 rows per topic
+  * per month), not data-bounded. The rule catalog is a config-bounded
+  * literal (broadcast by size). The run-length machinery is EXACT
+  * integer arithmetic (hour indices, row_number differences), so the
+  * state column is engine-reproducible with no float straddle.
+  */
+object Alerting {
+
+  /** Rule catalog — driver literals stamped into BOTH engines (the
+    * HLL log-table idiom). `threshold` breaches when the hourly
+    * count ≥ it; `for_n` consecutive breached hours promote
+    * PENDING → FIRING. Two rules so both states occur at test scale:
+    * hot2 fires often (the paging rule), hot3 rarely (the slow one). */
+  val Rules: Seq[(String, Int, Int)] =
+    Seq(("hot2", 4, 2), ("hot3", 5, 3))
+
+  /** SLO error budget: 200000 ppm (an 80% success objective — sized
+    * so the synthetic ~20% error ratio crosses it both ways). */
+  val SloBudgetPpm: Long = 200000L
+  /** Burn thresholds in HUNDREDTHS (1.50×, 1.25×, 1.10×) so every
+    * comparison is an exact integer cross-multiply. */
+  val BurnPageShortC: Long = 150L
+  val BurnPageLongC: Long  = 125L
+  val BurnWarnLongC: Long  = 110L
+
+  /** The (topic, hour) rate grid every rule evaluates over. */
+  private[graft] def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type").as("topic"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("msg_count"))
+
+  /** Per (rule, topic, breached window): PENDING/FIRING state machine.
+    *
+    * Consecutiveness is gaps-and-islands on the exact integer hour
+    * index: within (rule, topic), `hr − row_number()` is constant
+    * exactly along a run of consecutive breached hours (a gap — an
+    * hour below threshold OR with no events at all — shifts it), so
+    * grouping by it recovers the runs without any self-join. The
+    * window sort is over breached grid rows only (≤ #topics × #hours
+    * × #rules — time-bounded, never event-bounded). */
+  def alertRules(spark: SparkSession, dir: String): DataFrame =
+    alertStatesOf(hourlyCounts(spark, dir))
+
+  private[graft] def withRuns(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val rules = Rules.toDF("rule_id", "threshold", "for_n")
+    // config-bounded catalog × grid, non-equi on the threshold:
+    // Catalyst plans a broadcast nested-loop over the 2-row catalog
+    val breach = counts
+      .join(rules, counts("msg_count") >= rules("threshold"))
+      .withColumn("hr", expr("unix_timestamp(window_start) div 3600"))
+    val w = Window.partitionBy(col("rule_id"), col("topic"))
+      .orderBy(col("hr"))
+    breach.withColumn("grp", col("hr") - row_number().over(w))
+  }
+
+  private[graft] def alertStatesOf(counts: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("rule_id"), col("topic"), col("grp"))
+      .orderBy(col("hr"))
+    withRuns(counts)
+      .withColumn("run_idx", row_number().over(wr))
+      .withColumn("state",
+        when(col("run_idx") >= col("for_n"), lit("firing"))
+          .otherwise(lit("pending")))
+      .select(col("rule_id"), col("topic"), col("window_start"),
+        col("msg_count"), col("run_idx"), col("state"))
+  }
+
+  /** One row per breach EPISODE: when it started/ended, how long it
+    * held, its peak rate, and whether it lived long enough to FIRE —
+    * plus the episode ordinal per (rule, topic), so flap frequency
+    * (many short episodes) reads directly off the panel. */
+  def alertEpisodes(spark: SparkSession, dir: String): DataFrame =
+    alertEpisodesOf(hourlyCounts(spark, dir))
+
+  private[graft] def alertEpisodesOf(counts: DataFrame): DataFrame = {
+    val eps = withRuns(counts)
+      .groupBy(col("rule_id"), col("topic"), col("grp"), col("for_n"))
+      .agg(
+        min(col("window_start")).as("episode_start"),
+        max(col("window_start")).as("episode_end"),
+        count(lit(1)).as("n_windows"),
+        max(col("msg_count")).as("peak_count"))
+      .withColumn("fired", col("n_windows") >= col("for_n"))
+    val wo = Window.partitionBy(col("rule_id"), col("topic"))
+      .orderBy(col("episode_start"))
+    eps
+      .withColumn("episode_no", row_number().over(wo))
+      .select(col("rule_id"), col("topic"), col("episode_no"),
+        col("episode_start"), col("episode_end"), col("n_windows"),
+        col("peak_count"), col("fired"))
+  }
+
+  /** Multiwindow-multiburn SLO panel (Google SRE workbook ch. 5): per
+    * hour, the error-budget burn rate over the trailing 1h/6h/24h
+    * windows — burn = error_ratio / budget, reported as an exact
+    * fixed-point ppm floor over DECIMAL(38,0) cross products (DuckDB
+    * mirrors in HUGEINT), PAGE when the 1h AND 6h windows both exceed
+    * their thresholds, WARN when the 6h AND 24h pair does. Every flag
+    * is an exact integer cross-multiply — errs·10⁶·100 ≥
+    * thr_c·budget_ppm·total — so no float threshold straddle can flip
+    * a row between engines.
+    *
+    * The hourly error/total grid is ONE map-side-combined aggregate of
+    * the events scan (conditional sum — no per-type self-join); the
+    * trailing windows run over the time-bounded grid (720 rows/month
+    * — a single in-memory frame at any horizon a burn alert is
+    * meaningful over). */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame =
+    sloBurnOf(Tables.events(spark, dir))
+
+  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
+    val grid = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    val w = Window.orderBy(col("window_start"))
+    def trail(c: String, back: Int) = sum(col(c)).over(w.rowsBetween(-back, 0))
+    def burnPpm(e: String, t: String) = expr(
+      s"CAST((CAST($e AS DECIMAL(38,0)) * 1000000000000) DIV " +
+        s"(CAST($t AS DECIMAL(38,0)) * $SloBudgetPpm) AS BIGINT)")
+    def hot(e: String, t: String, thrC: Long) = expr(
+      s"CAST($e AS DECIMAL(38,0)) * 100000000 >= " +
+        s"CAST($t AS DECIMAL(38,0)) * ${thrC * SloBudgetPpm}")
+    grid
+      .withColumn("e6", trail("errs", 5)).withColumn("t6", trail("total", 5))
+      .withColumn("e24", trail("errs", 23)).withColumn("t24", trail("total", 23))
+      .select(col("window_start"), col("total"), col("errs"),
+        burnPpm("errs", "total").as("burn_1h_ppm"),
+        burnPpm("e6", "t6").as("burn_6h_ppm"),
+        burnPpm("e24", "t24").as("burn_24h_ppm"),
+        (hot("errs", "total", BurnPageShortC) && hot("e6", "t6", BurnPageLongC))
+          .as("page"),
+        (hot("e6", "t6", BurnPageLongC) && hot("e24", "t24", BurnWarnLongC))
+          .as("warn"))
+  }
+}

@@ -35,6 +35,13 @@ final case class RatePoint(topic: String, window_start: java.sql.Timestamp,
 final case class AlertEdge(topic: String, at: java.sql.Timestamp,
                            kind: String, rate: Double)
 
+/** Live PENDING/FIRING state row — the streaming twin of the batch
+  * q_alert_rules panel (one row per breached (rule, topic, window)). */
+final case class AlertStateRow(rule_id: String, topic: String,
+                               window_start: java.sql.Timestamp,
+                               msg_count: Long, run_idx: Int,
+                               state: String)
+
 /** Running availability/SLO panel row — the streaming twin of the
   * batch q_availability output, emitted once per folded window. */
 final case class AvailabilityRow(topic: String,
@@ -435,6 +442,49 @@ object StreamingMonitor {
           }
           state.update(firing)
           edges.iterator
+      }
+  }
+
+  /** Live `for`-duration alert state machine — the streaming twin of
+    * the batch [[graft.operators.Alerting.alertRules]] panel
+    * (Prometheus ALERTS semantics: a row only while breached, PENDING
+    * until the breach has held `for_n` CONSECUTIVE hours, FIRING
+    * after). State per topic is the per-rule (last breached hour,
+    * run length) pair — #rules entries, cardinality-bounded, never
+    * window history — and consecutiveness is the exact integer
+    * hour-index check (`hr == last + 1`), so a silent hour or a
+    * below-threshold hour both reset the run exactly as the batch
+    * gaps-and-islands does. Windows are processed in event-time order
+    * within each batch; across batches the count stream must arrive
+    * frontier-ordered per topic (the [[streamCusum]] contract — an
+    * arriving count row is the window's sealed value). On the same
+    * sealed windows the drained stream equals the batch panel EXACTLY
+    * (asserted by spec). */
+  def alertRuleStates(counts: Dataset[CountPoint]): Dataset[AlertStateRow] = {
+    import counts.sparkSession.implicits._
+    val rules = graft.operators.Alerting.Rules
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[Map[String, (Long, Int)], AlertStateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[Map[String, (Long, Int)]]) =>
+          var st = state.getOption.getOrElse(Map.empty[String, (Long, Int)])
+          val out = rows.toSeq.sortBy(_.window_start.getTime).flatMap { r =>
+            val hr = r.window_start.getTime / 3600000L
+            rules.flatMap { case (ruleId, threshold, forN) =>
+              if (r.msg_count >= threshold) {
+                val run = st.get(ruleId) match {
+                  case Some((last, len)) if hr == last + 1 => len + 1
+                  case _ => 1
+                }
+                st = st.updated(ruleId, (hr, run))
+                Some(AlertStateRow(ruleId, topic, r.window_start,
+                  r.msg_count, run,
+                  if (run >= forN) "firing" else "pending"))
+              } else None
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -2869,4 +2869,78 @@ class OperatorSpec extends SparkSpec {
     val c8 = got(("c", 8L))
     assert(c8.isNullAt(c8.fieldIndex("lost_ppm")))
   }
+
+  test("alert rules: planted series walks pending->firing, gaps and dips reset the run") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // hours 0,1,2 hot (5 msgs), dip at 3, breach at 4, gap at 5, breach at 6
+    val counts = Seq(
+      ("t", ts(0), 5L), ("t", ts(1), 5L), ("t", ts(2), 5L),
+      ("t", ts(3), 3L), ("t", ts(4), 4L), ("t", ts(6), 9L))
+      .toDF("topic", "window_start", "msg_count")
+    val got = graft.operators.Alerting.alertStatesOf(counts).collect()
+      .map(r => (r.getString(0), r.getTimestamp(2).getTime / 3600000L) ->
+        ((r.getInt(4), r.getString(5)))).toMap
+    // hot2 (thr 4, for 2): run 1,2,3 over 0..2; dip resets; 4 restarts; gap resets 6
+    assert(got(("hot2", 0L)) == ((1, "pending")))
+    assert(got(("hot2", 1L)) == ((2, "firing")))
+    assert(got(("hot2", 2L)) == ((3, "firing")))
+    assert(!got.contains(("hot2", 3L))) // below threshold: no ALERTS row at all
+    assert(got(("hot2", 4L)) == ((1, "pending")))
+    assert(got(("hot2", 6L)) == ((1, "pending"))) // hour-5 gap broke the run
+    // hot3 (thr 5, for 3): only 0..2 and 6 breach; fires exactly at the third hour
+    assert(got(("hot3", 0L)) == ((1, "pending")))
+    assert(got(("hot3", 1L)) == ((2, "pending")))
+    assert(got(("hot3", 2L)) == ((3, "firing")))
+    assert(!got.contains(("hot3", 4L))) // 4 < thr 5
+    assert(got(("hot3", 6L)) == ((1, "pending")))
+  }
+
+  test("alert episodes: islands collapse to ordered episodes with exact fired flags") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    val counts = Seq(
+      ("t", ts(0), 5L), ("t", ts(1), 5L), ("t", ts(2), 5L),
+      ("t", ts(3), 3L), ("t", ts(4), 4L), ("t", ts(6), 9L))
+      .toDF("topic", "window_start", "msg_count")
+    val got = graft.operators.Alerting.alertEpisodesOf(counts).collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        ((r.getTimestamp(3).getTime / 3600000L, r.getTimestamp(4).getTime / 3600000L,
+          r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got(("hot2", 1)) == ((0L, 2L, 3L, 5L, true)))
+    assert(got(("hot2", 2)) == ((4L, 4L, 1L, 4L, false)))
+    assert(got(("hot2", 3)) == ((6L, 6L, 1L, 9L, false)))
+    assert(got(("hot3", 1)) == ((0L, 2L, 3L, 5L, true)))
+    assert(got(("hot3", 2)) == ((6L, 6L, 1L, 9L, false)))
+    assert(got.size == 5)
+  }
+
+  test("slo burn: planted hours give exact ppm floors and multiwindow flags") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // hour 0: 1/10 errors; hour 1: 9/10 (hot); hour 2: 2/10
+    val events = (Seq.fill(1)(("error", ts(0))) ++ Seq.fill(9)(("view", ts(0))) ++
+      Seq.fill(9)(("error", ts(1))) ++ Seq.fill(1)(("view", ts(1))) ++
+      Seq.fill(2)(("error", ts(2))) ++ Seq.fill(8)(("view", ts(2))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Alerting.sloBurnOf(events).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L -> r).toMap
+    // burn_ppm = e * 10^12 / (t * 200000) = e * 5,000,000 / t
+    assert(got(0L).getAs[Long]("burn_1h_ppm") == 500000L)   // 1/10 vs 20% budget
+    assert(got(1L).getAs[Long]("burn_1h_ppm") == 4500000L)  // 9/10 -> 4.5x
+    // 6h window at hour 1 = hours 0..1: 10 errs / 20 total -> 2.5x
+    assert(got(1L).getAs[Long]("burn_6h_ppm") == 2500000L)
+    // page needs burn_1h >= 1.50 AND burn_6h >= 1.25
+    assert(!got(0L).getAs[Boolean]("page"))
+    assert(got(1L).getAs[Boolean]("page"))
+    // hour 2: burn_1h = 1.0x -> no page even though 6h window still hot
+    assert(!got(2L).getAs[Boolean]("page"))
+    // warn needs burn_6h >= 1.25 AND burn_24h >= 1.10; at hour 2 the
+    // 6h and 24h windows both hold 12/30 = 2.0x -> warn
+    assert(got(2L).getAs[Long]("burn_6h_ppm") == 2000000L)
+    assert(got(2L).getAs[Long]("burn_24h_ppm") == 2000000L)
+    assert(got(2L).getAs[Boolean]("warn"))
+    assert(!got(0L).getAs[Boolean]("warn"))  // 1/10 everywhere: 0.5x
+  }
+
 }

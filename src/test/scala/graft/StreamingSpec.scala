@@ -3061,4 +3061,43 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming alert states equal the batch q_alert_rules panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // planted series (sf0.001 hourly counts never breach): two topics,
+    // runs that cross micro-batch boundaries, dips and gaps that reset
+    def cts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    val grid = Seq(
+      ("t", 0L, 5L), ("t", 1L, 5L), ("t", 2L, 5L), ("t", 3L, 3L),
+      ("t", 4L, 4L), ("t", 6L, 9L), ("u", 1L, 4L), ("u", 2L, 4L),
+      ("u", 3L, 4L), ("u", 5L, 6L), ("u", 6L, 6L), ("u", 7L, 6L))
+      .map { case (t, h, n) => graft.streaming.CountPoint(t, cts(h), n) }
+      .sortBy(p => (p.window_start.getTime, p.topic)).toArray
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.alertRuleStates(input.toDS())
+      .writeStream.format("memory").queryName("alerts_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven shuffled chunks: in-batch event-time sort + cross-batch
+      // run-length carry (the streamCusum harness)
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("alerts_t").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getInt(4), r.getString(5))).toSet
+      val countsDf = grid.toSeq
+        .map(p => (p.topic, p.window_start, p.msg_count))
+        .toDF("topic", "window_start", "msg_count")
+      val batch = graft.operators.Alerting.alertStatesOf(countsDf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getInt(4), r.getString(5))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
