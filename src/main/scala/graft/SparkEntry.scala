@@ -245,6 +245,9 @@ object SparkEntry {
     "q_surprisal_transfer" -> ((s, d) => TextAnalysis.surprisalTransfer(s, d)),
     "q_trigram_surprisal" -> ((s, d) => TextAnalysis.trigramSurprisal(s, d)),
     "q_trigram_transfer" -> ((s, d) => TextAnalysis.trigramTransfer(s, d)),
+    "q_template_census" -> ((s, d) => TextAnalysis.templateCensus(s, d)),
+    "q_kn_continuation" -> ((s, d) => TextAnalysis.knContinuation(s, d)),
+    "q_confusable_skeleton" -> ((s, d) => TextAnalysis.confusableSkeleton(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_media_audio" -> ((s, d) => Multimodal.mediaAudio(s, d)),
@@ -2119,6 +2122,82 @@ object SparkEntry {
     "q_trigram_transfer" -> OracleSql.trigramSurprisal(
       TextAnalysis.TrigramBackoffHalfBits,
       "source <> 'src0'", "source = 'src0'"),
+    // positional template census: oracle groups by reconstructed
+    // anchor STRINGS (a 64-bit collision on the Spark side fails the
+    // gate); slicing semantics pinned on both engines (one-token docs
+    // contribute their word to all four anchors)
+    "q_template_census" ->
+      """WITH t AS (SELECT source, doc_id,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |     x -> x <> '') AS toks FROM documents),
+        | nz AS (SELECT * FROM t WHERE len(toks) >= 1),
+        | a AS (
+        |  SELECT source, 'head1' AS kind, toks[1] AS anchor FROM nz
+        |  UNION ALL
+        |  SELECT source, 'head2',
+        |   array_to_string(toks[1:2], ' ') FROM nz
+        |  UNION ALL
+        |  SELECT source, 'tail1', toks[len(toks)] FROM nz
+        |  UNION ALL
+        |  SELECT source, 'tail2',
+        |   array_to_string(toks[greatest(len(toks) - 1, 1):len(toks)], ' ')
+        |   FROM nz),
+        | df AS (SELECT source, kind, anchor, count(*) AS df
+        |  FROM a GROUP BY 1, 2, 3)
+        |SELECT source, kind, CAST(sum(df) AS BIGINT) AS n_docs,
+        | count(*) AS n_distinct,
+        | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_templates,
+        | CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT)
+        |   AS template_docs,
+        | max(df) AS top_df
+        |FROM df GROUP BY 1, 2""".stripMargin,
+    // Kneser–Ney continuation stats: oracle works on raw word strings
+    // end to end (the Spark side's xxhash64 pair keys collide ⇒ the
+    // counts differ ⇒ hash mismatch — the documented detection)
+    "q_kn_continuation" ->
+      """WITH t AS (SELECT list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | nz AS (SELECT toks FROM t WHERE len(toks) >= 1),
+        | uni AS (SELECT w, count(*) AS c FROM
+        |   (SELECT unnest(toks) AS w FROM nz) GROUP BY 1),
+        | pairs AS (SELECT DISTINCT w1, w2 FROM
+        |   (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |    FROM nz, unnest(generate_series(1, len(toks) - 1)) AS g(i))),
+        | np AS (SELECT w2 AS w, count(*) AS n_pred FROM pairs GROUP BY 1),
+        | ns AS (SELECT w1 AS w, count(*) AS n_succ FROM pairs GROUP BY 1),
+        | tot AS (SELECT (SELECT CAST(sum(c) AS HUGEINT) FROM uni) AS n_total,
+        |   (SELECT CAST(count(*) AS HUGEINT) FROM pairs) AS b_types)
+        |SELECT u.w AS word, u.c,
+        | CAST(coalesce(np.n_pred, 0) AS BIGINT) AS n_pred,
+        | CAST(coalesce(ns.n_succ, 0) AS BIGINT) AS n_succ,
+        | CAST(CAST(coalesce(np.n_pred, 0) AS HUGEINT) * 1000000 //
+        |   nullif(tot.b_types, 0) AS BIGINT) AS p_cont_ppm,
+        | CAST(CAST(u.c AS HUGEINT) * 1000000 // tot.n_total AS BIGINT)
+        |   AS freq_ppm
+        |FROM uni u
+        |LEFT JOIN np ON np.w = u.w
+        |LEFT JOIN ns ON ns.w = u.w
+        |CROSS JOIN tot""".stripMargin,
+    // confusable skeleton: oracle folds with the SAME translate map
+    // and groups by the skeleton STRING; zero confusables on this
+    // corpus by design (spec proves the fold on planted Cyrillic)
+    "q_confusable_skeleton" ->
+      ("""WITH per AS (SELECT doc_id, text,
+        |   length(text) - length(translate(text, 'FROMCHARS', ''))
+        |     AS n_confusable,
+        |   translate(text, 'FROMCHARS', 'TOCHARS') AS skel
+        |  FROM documents),
+        | grp AS (SELECT skel, count(*) AS skel_group_size,
+        |   count(DISTINCT text) AS n_variants
+        |  FROM per GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.n_confusable AS BIGINT) AS n_confusable,
+        | g.skel_group_size, g.n_variants,
+        | g.n_variants >= 2 AS is_spoof
+        |FROM per p JOIN grp g ON g.skel = p.skel""".stripMargin
+        .replace("FROMCHARS", TextAnalysis.ConfusableFrom)
+        .replace("TOCHARS", TextAnalysis.ConfusableTo)),
     "q_media_phash" -> OracleSql.mediaPhash,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->

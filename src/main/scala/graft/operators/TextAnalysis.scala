@@ -3212,6 +3212,169 @@ object TextAnalysis {
       .withColumn("mean_log2f",
         col("sum_log2f").cast("double") / col("n_tokens").cast("double"))
   }
+  // ───────────────────────────── positional template census ─────────
+
+  /** Cross-document POSITIONAL template census — the boilerplate the
+    * line-based gate (q_boilerplate) cannot anchor: headers and
+    * footers that always sit at the document's edge. Per (source,
+    * anchor kind ∈ head1/head2/tail1/tail2 — the first/last one and
+    * two words), how many documents share each edge anchor: an anchor
+    * carried by ≥ 2 documents of the same source is a TEMPLATE (the
+    * doc-df ≥ 2 rule of the boilerplate family).
+    *
+    * Anchors collapse to (source, kind, xxhash64) keys before
+    * anything shuffles — anchor text never leaves the scan (the
+    * chunkDedup discipline; the oracle groups by reconstructed anchor
+    * STRINGS, so a 64-bit collision fails the gate). Two map-side
+    * combined aggregates: anchors → df (output ∝ distinct anchors),
+    * df → the per-(source, kind) panel (output = sources × 4). Edge
+    * slicing is exact on both engines: head2 = the first min(2, n)
+    * words, tail2 = words from position max(n−1, 1) — a one-word
+    * document contributes its word to all four anchors. */
+  def templateCensus(spark: SparkSession, dir: String): DataFrame =
+    templateCensusOf(Tables.documents(spark, dir))
+
+  private[graft] def templateCensusOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val anchors = toks
+      .select(col("source"), explode(array(
+        struct(lit("head1").as("kind"), expr("toks[0]").as("anchor")),
+        struct(lit("head2").as("kind"),
+          expr("concat_ws(' ', slice(toks, 1, 2))").as("anchor")),
+        struct(lit("tail1").as("kind"),
+          expr("toks[size(toks) - 1]").as("anchor")),
+        struct(lit("tail2").as("kind"),
+          expr("concat_ws(' ', slice(toks, greatest(size(toks) - 1, 1), 2))")
+            .as("anchor")))).as("a"))
+      .select(col("source"), col("a.kind").as("kind"),
+        xxhash64(col("a.anchor")).as("ah"))
+    val df = anchors.groupBy(col("source"), col("kind"), col("ah"))
+      .agg(count(lit(1)).as("df"))
+    df.groupBy(col("source"), col("kind"))
+      .agg(
+        sum(col("df")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_templates"),
+        sum(when(col("df") >= 2, col("df")).otherwise(0L)).as("template_docs"),
+        max(col("df")).as("top_df"))
+  }
+
+  // ───────────────────────── Kneser–Ney continuation stats ──────────
+
+  /** Kneser–Ney CONTINUATION statistics (Kneser & Ney 1995) — the
+    * vocabulary panel behind the KN smoothing family, next to the
+    * Stupid-Backoff ladder (q_trigram_surprisal): per word, the raw
+    * token count `c` beside `n_pred` = the number of DISTINCT
+    * left-contexts the word follows (the continuation count KN
+    * replaces raw frequency with — a word that is frequent but glued
+    * to one context, the "Francisco" case, scores high `freq_ppm` and
+    * low `p_cont_ppm`) and `n_succ` = its distinct-successor fan-out.
+    * p_cont_ppm = ⌊n_pred·10⁶ / B⌋ with B = distinct bigram TYPES;
+    * freq_ppm = ⌊c·10⁶ / N⌋ — both exact fixed-point floors over
+    * DECIMAL(38,0) (DuckDB HUGEINT).
+    *
+    * One corpus scan: adjacent pairs leave the scan as 8-byte
+    * xxhash64 key pairs (the gram-stream discipline — word strings
+    * never cross an exchange at token scale; the oracle joins raw
+    * words and DETECTS a collision), partial-distinct to bigram
+    * types, two vocabulary-sized aggregates, and the word STRING
+    * dictionary joins back UNHINTED at vocabulary scale only. The
+    * 1-row totals broadcast. */
+  def knContinuation(spark: SparkSession, dir: String): DataFrame =
+    knContinuationOf(Tables.documents(spark, dir))
+
+  private[graft] def knContinuationOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(T.tokens(col("text")).as("toks0"))
+      .select(expr("filter(toks0, t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 1)
+    // ONE corpus scan → the hashed (w1h, w2h) stream with a NULL w2h
+    // at each document tail (the gramStreamOf discipline, two
+    // orders): serves the unigram census AND the pair-type distinct —
+    // without it each census re-derives the explode from the scan.
+    // sequence over 1..size works for one-token docs too (the tail
+    // row), so no separate size guard is needed here.
+    val gs = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)), i -> struct(" +
+          "xxhash64(toks[i-1]) AS w1h, " +
+          "CASE WHEN i < size(toks) THEN xxhash64(toks[i]) END AS w2h))"))
+        .as("g"))
+      .select(col("g.w1h").as("w1h"), col("g.w2h").as("w2h"))
+    val uni = gs.groupBy(col("w1h").as("h")).agg(count(lit(1)).as("c"))
+    // distinct pair TYPES: vocab²-bounded, three consumers below —
+    // materialize so the distinct's shuffle runs once
+    val pairs = graft.plans.Materialize(
+      gs.filter(col("w2h").isNotNull).distinct())
+    // the string dictionary is the one place words shuffle — at
+    // vocabulary scale after the partial distinct
+    val dict = toks.select(explode(col("toks")).as("word"))
+      .select(col("word"), xxhash64(col("word")).as("h"))
+      .distinct()
+    val npred = pairs.groupBy(col("w2h")).agg(count(lit(1)).as("n_pred"))
+      .withColumnRenamed("w2h", "h")
+    val nsucc = pairs.groupBy(col("w1h")).agg(count(lit(1)).as("n_succ"))
+      .withColumnRenamed("w1h", "h")
+    val totals = uni.agg(sum(col("c")).as("n_total"))
+      .crossJoin(pairs.agg(count(lit(1)).as("b_types")))
+    dict.join(uni, Seq("h"))
+      .join(npred, Seq("h"), "left")
+      .join(nsucc, Seq("h"), "left")
+      .crossJoin(totals)
+      .select(col("word"), col("c"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_succ"), lit(0L)).as("n_succ"),
+        expr("CAST((CAST(coalesce(n_pred, 0) AS DECIMAL(38,0)) * 1000000)" +
+          " DIV nullif(CAST(b_types AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("p_cont_ppm"),
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000)" +
+          " DIV CAST(n_total AS DECIMAL(38,0)) AS BIGINT)").as("freq_ppm"))
+  }
+
+  // ─────────────────────── confusable-skeleton census ───────────────
+
+  /** Unicode-confusable SKELETON census (TR39-lite) — the adversarial
+    * near-dup the byte-exact gates cannot see: a document whose only
+    * difference from another is homoglyph substitution (Cyrillic а
+    * for Latin a) hashes differently everywhere but FOLDS to the same
+    * skeleton under the confusable map. Per doc: `n_confusable` =
+    * how many mapped characters it carries, `skel_group_size` = how
+    * many docs share its folded skeleton, `n_variants` = how many
+    * DISTINCT raw texts that group holds, `is_spoof` = the group
+    * mixes variants (≥ 2 raw spellings of one skeleton — the
+    * homoglyph-duplication signal a release gate blocks on).
+    *
+    * Entirely two map-side-combined steps: fold is row-local
+    * (translate — one pass, no regex), groups collapse to xxhash64
+    * skeleton keys before the shuffle (skeleton text never leaves the
+    * scan; the oracle groups by reconstructed skeleton STRINGS so a
+    * collision fails the gate), one join back at group scale. Zero
+    * hits on the ASCII test corpus BY DESIGN (the q_secret_scan
+    * precedent) — the spec proves the fold on planted Cyrillic
+    * spoofs, the oracle hash-checks the full chain cross-engine. */
+  val ConfusableFrom = "\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0456\u0458\u0455"
+  val ConfusableTo = "aeopcyxijs"
+
+  def confusableSkeleton(spark: SparkSession, dir: String): DataFrame =
+    confusableSkeletonOf(Tables.documents(spark, dir))
+
+  private[graft] def confusableSkeletonOf(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("doc_id"),
+      (length(col("text")) -
+        length(translate(col("text"), ConfusableFrom, ""))).as("n_confusable"),
+      xxhash64(translate(col("text"), ConfusableFrom, ConfusableTo)).as("sh"),
+      xxhash64(col("text")).as("th"))
+    val grp = per.groupBy(col("sh")).agg(
+      count(lit(1)).as("skel_group_size"),
+      countDistinct(col("th")).as("n_variants"))
+    per.join(grp, Seq("sh"))
+      .select(col("doc_id"), col("n_confusable"),
+        col("skel_group_size"), col("n_variants"),
+        (col("n_variants") >= 2).as("is_spoof"))
+  }
 }
 
 /** Multimodal column plumbing: media payloads as opaque binary with
@@ -3780,5 +3943,4 @@ object Multimodal {
       }).toDF("doc_id", "n_windows", "n_active", "n_segments",
         "max_run", "first_active", "last_active")
   }
-
 }

@@ -2943,4 +2943,89 @@ class OperatorSpec extends SparkSpec {
     assert(!got(0L).getAs[Boolean]("warn"))  // 1/10 everywhere: 0.5x
   }
 
+
+  test("template census: planted edge anchors count templates exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "breaking news alpha beta", "s1"),
+      (2L, "breaking news gamma delta", "s1"),
+      (3L, "quiet words here today", "s1"),
+      (4L, "breaking story omega", "s2"),
+      (5L, "solo", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.templateCensusOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // s1 head1: breaking x2 + quiet -> 2 distinct, 1 template covering 2 docs
+    assert(got(("s1", "head1")) == ((3L, 2L, 1L, 2L, 2L)))
+    // s1 head2: "breaking news" x2 + "quiet words"
+    assert(got(("s1", "head2")) == ((3L, 2L, 1L, 2L, 2L)))
+    // s1 tails all distinct
+    assert(got(("s1", "tail1")) == ((3L, 3L, 0L, 0L, 1L)))
+    assert(got(("s1", "tail2")) == ((3L, 3L, 0L, 0L, 1L)))
+    // templates never cross sources: s2's breaking is df=1
+    assert(got(("s2", "head1")) == ((2L, 2L, 0L, 0L, 1L)))
+    // one-token doc contributes its word to every anchor kind
+    assert(got(("s2", "tail2")) == ((2L, 2L, 0L, 0L, 1L)))
+    assert(got.size == 8)
+  }
+
+  test("kn continuation: the Francisco case reads high freq, low continuation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "san francisco is big"),
+      (2L, "san francisco is old"),
+      (3L, "new york is big"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.knContinuationOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // B = 6 distinct bigram types, N = 12 tokens
+    val fr = got("francisco")
+    assert(fr.getAs[Long]("c") == 2L)
+    assert(fr.getAs[Long]("n_pred") == 1L)     // only ever follows san
+    assert(fr.getAs[Long]("n_succ") == 1L)     // only precedes is
+    assert(fr.getAs[Long]("p_cont_ppm") == 166666L)  // 1e6/6
+    assert(fr.getAs[Long]("freq_ppm") == 166666L)    // 2e6/12
+    val is_ = got("is")
+    assert(is_.getAs[Long]("c") == 3L)
+    assert(is_.getAs[Long]("n_pred") == 2L)    // francisco, york
+    assert(is_.getAs[Long]("n_succ") == 2L)    // big, old
+    assert(is_.getAs[Long]("p_cont_ppm") == 333333L)
+    // doc-initial-only words have zero continuation mass
+    assert(got("san").getAs[Long]("n_pred") == 0L)
+    assert(got("new").getAs[Long]("n_pred") == 0L)
+    // tail words have zero fan-out
+    assert(got("old").getAs[Long]("n_succ") == 0L)
+    assert(got.size == 7)
+  }
+
+  test("confusable skeleton: planted Cyrillic homoglyphs fold to one spoof group") {
+    import spark.implicits._
+    // doc 2 spells paypal with two Cyrillic U+0430 's
+    val docs = Seq(
+      (1L, "paypal order now"),
+      (2L, "p\u0430yp\u0430l order now"),
+      (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.confusableSkeletonOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_confusable") == 0)
+    assert(got(2L).getAs[Int]("n_confusable") == 2)
+    // both fold to the same skeleton: a 2-doc group with 2 raw variants
+    Seq(1L, 2L).foreach { id =>
+      assert(got(id).getAs[Long]("skel_group_size") == 2L)
+      assert(got(id).getAs[Long]("n_variants") == 2L)
+      assert(got(id).getAs[Boolean]("is_spoof"))
+    }
+    assert(got(3L).getAs[Long]("skel_group_size") == 1L)
+    assert(!got(3L).getAs[Boolean]("is_spoof"))
+    // the fold is idempotent: a skeleton refolds to itself
+    val refold = graft.operators.TextAnalysis.confusableSkeletonOf(
+      docs.selectExpr("doc_id",
+        s"translate(text, '${graft.operators.TextAnalysis.ConfusableFrom}', " +
+          s"'${graft.operators.TextAnalysis.ConfusableTo}') AS text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_confusable")).toMap
+    assert(refold.values.forall(_ == 0))
+  }
 }
