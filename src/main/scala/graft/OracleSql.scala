@@ -1859,6 +1859,25 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
 SELECT doc_id, dl, score, ${terms.indices.map(i => s"tf_$i").mkString(", ")}
 FROM bsc ORDER BY score DESC, doc_id LIMIT $k"""
 
+  /** q_prf_expand: Rocchio/RM3 feedback expansion off the shared BM25
+    * chain — top-`r` of `bsc` as the feedback set, expansion weight =
+    * Σ tf·score in HUGEINT (Spark: DECIMAL(38,0)), query terms
+    * excluded, (weight DESC, term) total order. The `t` CTE (tokens)
+    * is the same one the scorer reads. */
+  def prfExpand(terms: Seq[String], r: Int, m: Int): String = {
+    val ctes = bm25Ctes(terms) ++ Seq(
+      s"""fb AS (SELECT doc_id, score FROM bsc
+         | ORDER BY score DESC, doc_id LIMIT $r)""".stripMargin,
+      s"""ftok AS (SELECT f.doc_id, f.score, unnest(t.toks) AS term
+         | FROM fb f JOIN t ON t.doc_id = f.doc_id)""".stripMargin)
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT term, count(DISTINCT doc_id) AS n_fb_docs, count(*) AS fb_tf,
+ CAST(sum(CAST(score AS HUGEINT)) AS BIGINT) AS weight
+FROM ftok WHERE term NOT IN ($termList)
+GROUP BY 1 ORDER BY weight DESC, term LIMIT $m"""
+  }
+
   /** q_rrf_fusion: hybrid retrieval — the BM25 chain's top-`r` and an
     * exact-dot top-`r` for query vector `queryVec`, fused by
     * `Σ ⌊10⁶/(60+rank)⌋` over a FULL OUTER join of the two lists

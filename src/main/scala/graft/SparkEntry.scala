@@ -234,6 +234,7 @@ object SparkEntry {
     "q_secret_redact" -> ((s, d) => TextAnalysis.secretRedact(s, d)),
     "q_winnow_store" -> ((s, d) => Winnow.winnowStoreStats(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q_prf_expand" -> ((s, d) => TextAnalysis.prfExpand(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
     "q_calibration_bins" -> ((s, d) => TextAnalysis.calibrationBins(s, d)),
@@ -1948,6 +1949,10 @@ object SparkEntry {
       Curation.KAnonBucketChars, Curation.TClosePpm),
     "q_bm25" ->
       OracleSql.bm25(graft.operators.TextAnalysis.Bm25DefaultTerms, 20),
+    // PRF expansion: feedback set + weights replayed off the same
+    // shared BM25 CTE chain (one spelling of the scorer)
+    "q_prf_expand" ->
+      OracleSql.prfExpand(graft.operators.TextAnalysis.Bm25DefaultTerms, 10, 10),
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127

@@ -3212,6 +3212,48 @@ object TextAnalysis {
       .withColumn("mean_log2f",
         col("sum_log2f").cast("double") / col("n_tokens").cast("double"))
   }
+
+  // ────────────────── pseudo-relevance-feedback expansion ───────────
+
+  /** Rocchio/RM3-style PSEUDO-RELEVANCE-FEEDBACK query expansion
+    * (Rocchio 1971; Lavrenko & Croft 2001) — the missing step between
+    * one-shot BM25 and a second, better retrieval pass: run the
+    * query, treat the top-`r` documents as relevant, and mine the
+    * terms that characterize them. Expansion weight is the exact
+    * integer surrogate weight(w) = Σ_{d ∈ top-r} tf(w,d)·score(d)
+    * (every token occurrence contributes its document's exact BM25
+    * integer score — the Rocchio centroid cleared of divisions), so
+    * the ranking is engine-reproducible; original query terms are
+    * excluded; ties break by term.
+    *
+    * Scale shape: the feedback list is `r` rows — broadcast into the
+    * corpus scan so ONLY feedback documents re-tokenize (one
+    * broadcast-pruned scan; nothing corpus-scale shuffles: the
+    * aggregate output is bounded by the feedback docs' vocabulary).
+    * Weights sum in DECIMAL(38,0) (DuckDB HUGEINT). */
+  def prfExpand(spark: SparkSession, dir: String,
+                terms: Seq[String] = Bm25DefaultTerms,
+                r: Int = 10, m: Int = 10): DataFrame =
+    prfExpandOf(Tables.documents(spark, dir), terms, r, m)
+
+  private[graft] def prfExpandOf(docs: DataFrame, terms: Seq[String],
+                                 r: Int, m: Int): DataFrame = {
+    val fb = bm25Of(docs, terms, r).select(col("doc_id"), col("score"))
+    val fbToks = docs.join(broadcast(fb), Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        explode(filter(T.tokens(col("text")), t => t =!= "")).as("term"))
+    fbToks
+      .filter(!col("term").isInCollection(terms))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_fb_docs"),
+        count(lit(1)).as("fb_tf"),
+        expr("CAST(sum(CAST(score AS DECIMAL(38,0))) AS BIGINT)")
+          .as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(m)
+  }
+
   // ───────────────────────────── positional template census ─────────
 
   /** Cross-document POSITIONAL template census — the boilerplate the

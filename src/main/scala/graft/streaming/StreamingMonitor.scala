@@ -35,6 +35,18 @@ final case class RatePoint(topic: String, window_start: java.sql.Timestamp,
 final case class AlertEdge(topic: String, at: java.sql.Timestamp,
                            kind: String, rate: Double)
 
+/** One sealed hour of the global error grid (input to the SLO gauge). */
+final case class HourCell(window_start: java.sql.Timestamp,
+                          total: Long, errs: Long)
+
+/** Live SLO burn panel row — the streaming twin of the batch
+  * q_slo_burn output, emitted once per sealed hour. */
+final case class SloBurnRow(window_start: java.sql.Timestamp,
+                            total: Long, errs: Long,
+                            burn_1h_ppm: Long, burn_6h_ppm: Long,
+                            burn_24h_ppm: Long,
+                            page: Boolean, warn: Boolean)
+
 /** Live PENDING/FIRING state row — the streaming twin of the batch
   * q_alert_rules panel (one row per breached (rule, topic, window)). */
 final case class AlertStateRow(rule_id: String, topic: String,
@@ -484,6 +496,52 @@ object StreamingMonitor {
             }
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Live multiwindow SLO burn gauge — the streaming twin of the
+    * batch [[graft.operators.Alerting.sloBurn]] panel. The SLO is
+    * service-GLOBAL, so the stream groups under one logical key whose
+    * state is the trailing ≤ 23 sealed (errs, total) pairs — constant
+    * size, never window history (the batch side's 24-row frame,
+    * carried instead of recomputed). Every burn ppm and flag is the
+    * SAME exact integer arithmetic as the batch row (BigInt driver
+    * math ≡ the DECIMAL(38,0) floors — asserted by spec over the full
+    * grid, flags in both polarities). Windows are processed in
+    * event-time order within each batch; across batches the sealed
+    * grid must arrive frontier-ordered (the streamCusum contract).
+    * One key is not a scale concern: the input is the time-bounded
+    * hourly grid (720 cells/month), not the event stream — the
+    * event-scale aggregation happens upstream in the windowed count,
+    * exactly as the batch plan does. */
+  def sloBurnGauge(cells: Dataset[HourCell]): Dataset[SloBurnRow] = {
+    import cells.sparkSession.implicits._
+    import graft.operators.Alerting._
+    cells.groupByKey(_ => true)
+      .flatMapGroupsWithState[Vector[(Long, Long)], SloBurnRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[Vector[(Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Vector.empty) // oldest first
+          val out = rows.toSeq.sortBy(_.window_start.getTime).map { c =>
+            hist = (hist :+ ((c.errs, c.total))).takeRight(24)
+            def win(n: Int): (Long, Long) = {
+              val w = hist.takeRight(n)
+              (w.map(_._1).sum, w.map(_._2).sum)
+            }
+            val (e6, t6) = win(6)
+            val (e24, t24) = win(24)
+            def ppm(e: Long, t: Long): Long =
+              (BigInt(e) * BigInt(1000000000000L) /
+                (BigInt(t) * SloBudgetPpm)).toLong
+            def hot(e: Long, t: Long, thrC: Long): Boolean =
+              BigInt(e) * 100000000L >= BigInt(t) * (thrC * SloBudgetPpm)
+            SloBurnRow(c.window_start, c.total, c.errs,
+              ppm(c.errs, c.total), ppm(e6, t6), ppm(e24, t24),
+              hot(c.errs, c.total, BurnPageShortC) && hot(e6, t6, BurnPageLongC),
+              hot(e6, t6, BurnPageLongC) && hot(e24, t24, BurnWarnLongC))
+          }
+          state.update(hist)
           out.iterator
       }
   }
