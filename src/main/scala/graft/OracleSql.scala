@@ -1878,6 +1878,41 @@ FROM ftok WHERE term NOT IN ($termList)
 GROUP BY 1 ORDER BY weight DESC, term LIMIT $m"""
   }
 
+  /** q_dirichlet_lm: Dirichlet query-likelihood retrieval mirroring
+    * TextAnalysis.dirichletLmOf — the same (doc_id, dl, tf_i)
+    * projection and 1-row stats, then the half-bit cleared-denominator
+    * cost per term (hlogT/hlogFinish in HUGEINT; Spark runs
+    * DECIMAL(38,0)); cf = 0 terms floor their denominator at 1. */
+  def dirichletLm(terms: Seq[String], mu: Long, k: Int): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '${t.replace("'", "''")}')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n   ")
+    val cfCols = terms.indices.map(i =>
+      s"CAST(sum(tf_$i) AS BIGINT) AS cf_$i").mkString(", ")
+    val dCols = terms.indices.map(i =>
+      s"greatest(tf_$i * t_tok + $mu * cf_$i, 1) AS d_$i").mkString(",\n   ")
+    val tCols = terms.indices.map(i =>
+      s"${hlogT("n_num", s"d_$i")} AS t_$i").mkString(",\n   ")
+    val qCols = terms.indices.map(i =>
+      s"(d_$i << t_$i) AS qq_$i").mkString(",\n   ")
+    val costSum = terms.indices.map(i =>
+      hlogFinish("n_num", s"t_$i", s"qq_$i")).mkString("\n   + ")
+    s"""WITH t AS (SELECT doc_id,
+      |   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |               x -> x <> '') AS toks FROM documents),
+      | d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |   $tfCols FROM t),
+      | st AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tok, $cfCols FROM d),
+      | nd AS (SELECT d.*, (dl + $mu) * t_tok AS n_num,
+      |   $dCols FROM d CROSS JOIN st),
+      | tt AS (SELECT *, $tCols FROM nd),
+      | qq AS (SELECT *, $qCols FROM tt)
+      |SELECT doc_id, dl,
+      | ${terms.indices.map(i => s"tf_$i").mkString(", ")},
+      | CAST($costSum AS BIGINT) AS cost_halfbits
+      |FROM qq ORDER BY cost_halfbits, doc_id LIMIT $k""".stripMargin
+  }
+
   /** q_rrf_fusion: hybrid retrieval — the BM25 chain's top-`r` and an
     * exact-dot top-`r` for query vector `queryVec`, fused by
     * `Σ ⌊10⁶/(60+rank)⌋` over a FULL OUTER join of the two lists

@@ -235,6 +235,7 @@ object SparkEntry {
     "q_winnow_store" -> ((s, d) => Winnow.winnowStoreStats(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_prf_expand" -> ((s, d) => TextAnalysis.prfExpand(s, d)),
+    "q_dirichlet_lm" -> ((s, d) => TextAnalysis.dirichletLm(s, d)),
     "q_classifier_score" -> ((s, d) => TextAnalysis.classifierScore(s, d)),
     "q_score_auc" -> ((s, d) => TextAnalysis.scoreAuc(s, d)),
     "q_calibration_bins" -> ((s, d) => TextAnalysis.calibrationBins(s, d)),
@@ -1953,6 +1954,10 @@ object SparkEntry {
     // shared BM25 CTE chain (one spelling of the scorer)
     "q_prf_expand" ->
       OracleSql.prfExpand(graft.operators.TextAnalysis.Bm25DefaultTerms, 10, 10),
+    // Dirichlet LM: μ shared verbatim; half-bit kernel in HUGEINT
+    "q_dirichlet_lm" -> OracleSql.dirichletLm(
+      graft.operators.TextAnalysis.Bm25DefaultTerms,
+      graft.operators.TextAnalysis.DirichletMu, 20),
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_contain_eval" -> OracleSql.evalContainment(4),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127

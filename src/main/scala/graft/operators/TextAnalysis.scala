@@ -3213,6 +3213,75 @@ object TextAnalysis {
         col("sum_log2f").cast("double") / col("n_tokens").cast("double"))
   }
 
+  // ─────────────── Dirichlet query-likelihood retrieval ─────────────
+
+  /** Dirichlet-prior smoothing mass (Zhai & Lafferty 2001's μ) —
+    * shared verbatim with the oracle generator. */
+  private[graft] val DirichletMu = 100L
+
+  /** Dirichlet QUERY-LIKELIHOOD retrieval (Zhai & Lafferty 2001) —
+    * the language-modeling scorer next to BM25 (the other classic
+    * lexical ranker; LM smoothing grounds the score in the corpus
+    * model where BM25's idf is a heuristic): per document, the query
+    * cost Σ_q −log P(q|d) under Dirichlet smoothing
+    * P(q|d) = (tf + μ·cf/T)/(dl + μ), expressed in exact HALF-BITS by
+    * clearing denominators — cost_q = ⌊2·log₂((dl+μ)·T /
+    * (tf·T + μ·cf))⌋ (the halfLog2Ratio kernel: bit lengths + one
+    * DECIMAL(38,0) square compare, no libm log) — so the ranking is
+    * engine-reproducible; LOWER cost = more relevant, ties by doc_id,
+    * LIMIT k a total order. A term absent from the whole corpus
+    * (cf = 0 ⇒ tf = 0) floors its denominator at 1 — maximum
+    * surprisal, the trigram never-seen convention.
+    *
+    * Scale shape: the bm25 plan — the (doc_id, dl, tf_i) projection
+    * materializes once, corpus stats (T, max dl, per-term cf) are ONE
+    * 1-row aggregate collected and folded back as literals (no join
+    * at all), scoring is row-local, top-k is TakeOrderedAndProject.
+    * The cleared products are guarded loudly: (max_dl + μ)·T must fit
+    * int64 (score per slice past that, the Bm25MaxDocs discipline). */
+  def dirichletLm(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Bm25DefaultTerms,
+                  k: Int = 20): DataFrame =
+    dirichletLmOf(Tables.documents(spark, dir), terms, k)
+
+  private[graft] def dirichletLmOf(docs: DataFrame, terms: Seq[String],
+                                   k: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val mu = DirichletMu
+    val withTf = graft.plans.Materialize(docs
+      .select(col("doc_id"),
+        filter(T.tokens(col("text")), t => t =!= "").as("toks"))
+      .select(col("doc_id") +:
+        size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*))
+    val statsRow = withTf.agg(
+      sum(col("dl")).as("t_tok"),
+      max(col("dl")).as("max_dl") +:
+        terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i")): _*)
+      .head()
+    val tTok = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val maxDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    require(tTok >= 1L, "dirichletLm: empty corpus")
+    require((BigInt(maxDl) + mu) * tTok <= Long.MaxValue,
+      s"dirichletLm: (max_dl + mu) * T = ${(BigInt(maxDl) + mu) * tTok} " +
+        "would overflow int64 — score per partition/day slice")
+    val cfs = terms.indices.map(i =>
+      if (statsRow.isNullAt(2 + i)) 0L else statsRow.getLong(2 + i))
+    val n = (col("dl") + lit(mu)) * lit(tTok)
+    val costs = terms.indices.map { i =>
+      val d = greatest(col(s"tf_$i") * lit(tTok) + lit(mu * cfs(i)), lit(1L))
+      graft.operators.CorpusStats.halfLog2Ratio(n, d)
+    }
+    withTf
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+
+        costs.reduce(_ + _).as("cost_halfbits"): _*)
+      .orderBy(col("cost_halfbits"), col("doc_id"))
+      .limit(k)
+  }
+
   // ────────────────── pseudo-relevance-feedback expansion ───────────
 
   /** Rocchio/RM3-style PSEUDO-RELEVANCE-FEEDBACK query expansion

@@ -3028,4 +3028,69 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_confusable")).toMap
     assert(refold.values.forall(_ == 0))
   }
+
+  test("dirichlet lm: costs equal the BigInt half-bit reference, absent terms floor at 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c c a")).toDF("doc_id", "text")
+    val mu = graft.operators.TextAnalysis.DirichletMu
+    val got = graft.operators.TextAnalysis
+      .dirichletLmOf(docs, Seq("a", "zzz"), 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // driver reference: T = 9, cf_a = 4, cf_zzz = 0
+    val T = 9L
+    def ref(dl: Long, tfA: Long): Long = {
+      val n = (dl + mu) * T
+      graft.operators.CorpusStats.halfLog2Big(n, tfA * T + mu * 4L) +
+        graft.operators.CorpusStats.halfLog2Big(n, 1L) // cf=0 floors at 1
+    }
+    assert(got(1L) == ((3L, 2L, ref(3L, 2L))))
+    assert(got(2L) == ((2L, 0L, ref(2L, 0L))))
+    assert(got(3L) == ((4L, 2L, ref(4L, 2L))))
+    // more query mass at equal length ranks cheaper: doc 1 beats doc 2
+    // on the a-term (2/3 vs 0/2) and the ordering reflects it
+    val ranked = graft.operators.TextAnalysis
+      .dirichletLmOf(docs, Seq("a"), 10).collect().map(_.getLong(0)).toSeq
+    assert(ranked.head == 1L, s"expected doc 1 first, got $ranked")
+  }
+
+  test("dirichlet lm: empty corpus and overflow guards fail loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      graft.operators.TextAnalysis.dirichletLmOf(empty, Seq("a"), 5).collect()
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+  }
+
+  test("prf expansion: weights equal a driver-side replay of tf x score over the feedback set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup key dup window noise alpha"),
+      (2L, "key batch window alpha alpha"),
+      (3L, "noise beta beta gamma"),
+      (4L, "dup dup dup key key beta"),
+      (5L, "unrelated words only here")).toDF("doc_id", "text")
+    val terms = Seq("dup", "key")
+    val r = 3
+    val fb = graft.operators.TextAnalysis.bm25Of(docs, terms, r).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("score")).toMap
+    val texts = docs.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val expected = fb.toSeq.flatMap { case (id, score) =>
+      texts(id).split("\\s+").filter(_.nonEmpty).map(w => (w, id, score))
+    }.filterNot(t => terms.contains(t._1))
+      .groupBy(_._1).map { case (w, occ) =>
+        w -> ((occ.map(_._2).distinct.size.toLong, occ.size.toLong,
+          occ.map(_._3).sum))
+      }
+    val got = graft.operators.TextAnalysis.prfExpandOf(docs, terms, r, 10)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.keySet.exists(terms.contains), "query terms must be excluded")
+    // the weight order prefers terms concentrated in high-scoring docs
+    val ordered = graft.operators.TextAnalysis.prfExpandOf(docs, terms, r, 10)
+      .collect().map(x => (x.getLong(3), x.getString(0)))
+    assert(ordered.sortBy(t => (-t._1, t._2)).toSeq == ordered.toSeq)
+  }
 }
