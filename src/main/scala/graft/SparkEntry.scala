@@ -56,6 +56,7 @@ object SparkEntry {
     "q_alert_rules" -> ((s, d) => Alerting.alertRules(s, d)),
     "q_alert_episodes" -> ((s, d) => Alerting.alertEpisodes(s, d)),
     "q_slo_burn" -> ((s, d) => Alerting.sloBurn(s, d)),
+    "q_error_budget" -> ((s, d) => Alerting.errorBudget(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     }),
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
+    "q_ann_hubness" -> ((s, d) => Ann.hubness(s, d)),
     "q_ann_filtered" -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_recall" -> ((s, d) => Ann.annRecall(s, d)),
@@ -435,6 +437,28 @@ object SparkEntry {
         |    CAST(t6v AS HUGEINT) * 25000000
         |  AND CAST(e24 AS HUGEINT) * 100000000 >=
         |    CAST(t24v AS HUGEINT) * 22000000) AS warn
+        |FROM w""".stripMargin,
+    // error-budget ledger: the burn arithmetic over the CUMULATIVE
+    // window; spend/remainder exact HUGEINT floors, exhaustion an
+    // exact integer cross-multiply
+    "q_error_budget" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |   count(*) AS total,
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS errs
+        |  FROM events GROUP BY 1),
+        | w AS (SELECT window_start,
+        |   CAST(sum(total) OVER cw AS BIGINT) AS cum_total,
+        |   CAST(sum(errs) OVER cw AS BIGINT) AS cum_errs
+        |  FROM c WINDOW cw AS (ORDER BY window_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT window_start, cum_total, cum_errs,
+        | CAST(CAST(cum_errs AS HUGEINT) * 1000000000000 //
+        |   (CAST(cum_total AS HUGEINT) * 200000) AS BIGINT) AS spent_ppm,
+        | CAST(1000000 - CAST(cum_errs AS HUGEINT) * 1000000000000 //
+        |   (CAST(cum_total AS HUGEINT) * 200000) AS BIGINT) AS remaining_ppm,
+        | CAST(cum_errs AS HUGEINT) * 1000000 >
+        |   CAST(cum_total AS HUGEINT) * 200000 AS exhausted
         |FROM w""".stripMargin,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
     // 60-day lateness predicate mirrors the semi-join condition
@@ -1333,6 +1357,24 @@ object SparkEntry {
         | SELECT *, row_number() OVER
         |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
         |WHERE rnk <= 5""".stripMargin,
+    // hubness census: the brute top-k chain at nQueries=100 rolled up
+    // per NEIGHBOR — in-degree + rank extremes
+    "q_ann_hubness" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 100 GROUP BY 1,2),
+        | tk AS (SELECT query_id, vec_id, rnk FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
+        |  WHERE rnk <= 5)
+        |SELECT vec_id, count(*) AS in_deg,
+        | CAST(min(rnk) AS INT) AS best_rank,
+        | CAST(max(rnk) AS INT) AS worst_rank
+        |FROM tk GROUP BY 1""".stripMargin,
     // filtered vector search: the brute kernel with the label
     // PRE-filter on the candidate side (pushed below the scoring join)
     "q_ann_filtered" ->

@@ -142,6 +142,41 @@ object Alerting {
   def sloBurn(spark: SparkSession, dir: String): DataFrame =
     sloBurnOf(Tables.events(spark, dir))
 
+  /** Month-to-date error-budget LEDGER — the "how much budget is
+    * left" panel under the burn alerts (SRE dashboards show both: the
+    * burn rate says "paging now", the ledger says "can we afford the
+    * next risky deploy"): per hour, cumulative errors/total since the
+    * start of the series, budget spend as an exact fixed-point ppm of
+    * the SLO budget (the [[sloBurn]] arithmetic over the cumulative
+    * window), the signed remainder, and the exhaustion flag (an exact
+    * integer cross-multiply — cum error ratio past the budget). Same
+    * plan shape as [[sloBurn]]: one conditional-sum aggregate to the
+    * time-bounded hourly grid, cumulative window over grid rows. */
+  def errorBudget(spark: SparkSession, dir: String): DataFrame =
+    errorBudgetOf(Tables.events(spark, dir))
+
+  private[graft] def errorBudgetOf(events: DataFrame): DataFrame = {
+    val grid = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    val w = Window.orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_total", sum(col("total")).over(w))
+      .withColumn("cum_errs", sum(col("errs")).over(w))
+      .select(col("window_start"), col("cum_total"), col("cum_errs"),
+        expr("CAST((CAST(cum_errs AS DECIMAL(38,0)) * 1000000000000) DIV " +
+          s"(CAST(cum_total AS DECIMAL(38,0)) * $SloBudgetPpm) AS BIGINT)")
+          .as("spent_ppm"),
+        expr("CAST(1000000 - (CAST(cum_errs AS DECIMAL(38,0)) * " +
+          s"1000000000000) DIV (CAST(cum_total AS DECIMAL(38,0)) * " +
+          s"$SloBudgetPpm) AS BIGINT)").as("remaining_ppm"),
+        expr(s"CAST(cum_errs AS DECIMAL(38,0)) * 1000000 > " +
+          s"CAST(cum_total AS DECIMAL(38,0)) * $SloBudgetPpm")
+          .as("exhausted"))
+  }
+
   private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
     val grid = events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"))

@@ -121,6 +121,25 @@ object Ann {
     exactTopK(embs(spark, dir), k, nQueries,
       Some(col("label") === targetLabel))
 
+  /** ANN HUBNESS census (Radovanović et al. 2010) — the
+    * high-dimensional pathology every vector store should watch: a
+    * few "hub" vectors appear in a disproportionate share of top-k
+    * lists (and anti-hubs in none), degrading retrieval diversity and
+    * recall evaluation. Per neighbor over the exact top-k lists of a
+    * `nQueries` query sample (the standard sampled-query estimator —
+    * at full scale the census reads the k-NN graph the production ANN
+    * path materializes anyway): in-degree and best/worst rank
+    * position. Expected in-degree is k·nQueries/N — a vector at many
+    * multiples of it is a hub. One vocabulary-scale aggregate over
+    * the shared [[exactTopK]] kernel's output (k·nQueries rows). */
+  def hubness(spark: SparkSession, dir: String,
+              k: Int = 5, nQueries: Int = 100): DataFrame =
+    bruteTopK(spark, dir, k, nQueries)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("in_deg"),
+        min(col("rnk")).as("best_rank"),
+        max(col("rnk")).as("worst_rank"))
+
   /** How many `nPlanes`-bit hash tables does a target recall need?
     * Per-bit agreement of an SRP fingerprint is p = 1 − θ/π (Charikar
     * 2002), a table matches with p^nPlanes, and a pair is a candidate

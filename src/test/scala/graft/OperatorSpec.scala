@@ -3093,4 +3093,44 @@ class OperatorSpec extends SparkSpec {
       .collect().map(x => (x.getLong(3), x.getString(0)))
     assert(ordered.sortBy(t => (-t._1, t._2)).toSeq == ordered.toSeq)
   }
+
+  test("error budget: cumulative ledger exact, exhaustion flips both ways") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // hour 0: 1/10 errors (under the 20% budget), hour 1: 9/10 (blows
+    // it cumulatively: 10/20 = 50%), hour 2: 0/20 (back under: 10/40)
+    val events = (Seq.fill(1)(("error", ts(0))) ++ Seq.fill(9)(("view", ts(0))) ++
+      Seq.fill(9)(("error", ts(1))) ++ Seq.fill(1)(("view", ts(1))) ++
+      Seq.fill(20)(("view", ts(2))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Alerting.errorBudgetOf(events).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L -> r).toMap
+    assert(got(0L).getAs[Long]("cum_total") == 10L &&
+      got(0L).getAs[Long]("cum_errs") == 1L)
+    // spent = 1e12/(10*200000) = 500000 ppm of budget
+    assert(got(0L).getAs[Long]("spent_ppm") == 500000L)
+    assert(got(0L).getAs[Long]("remaining_ppm") == 500000L)
+    assert(!got(0L).getAs[Boolean]("exhausted"))
+    // hour 1: 10/20 = 50% >> 20% budget -> spent 2.5e6 ppm, negative remainder
+    assert(got(1L).getAs[Long]("spent_ppm") == 2500000L)
+    assert(got(1L).getAs[Long]("remaining_ppm") == -1500000L)
+    assert(got(1L).getAs[Boolean]("exhausted"))
+    // hour 2: 10/40 = 25% still past budget
+    assert(got(2L).getAs[Long]("spent_ppm") == 1250000L)
+    assert(got(2L).getAs[Boolean]("exhausted"))
+  }
+
+  test("ann hubness: in-degrees conserve k x nQueries and a planted hub dominates") {
+    val rows = graft.operators.Ann.hubness(spark, sfDir, k = 5, nQueries = 10)
+      .collect()
+    val totalInDeg = rows.map(_.getAs[Long]("in_deg")).sum
+    assert(totalInDeg == 5L * 10L,
+      s"every query contributes exactly k rows: got $totalInDeg")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("best_rank") >= 1 &&
+        r.getAs[Int]("best_rank") <= r.getAs[Int]("worst_rank") &&
+        r.getAs[Int]("worst_rank") <= 5)
+      assert(r.getAs[Long]("in_deg") <= 10L)
+    }
+  }
 }
