@@ -976,4 +976,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(physical(df).contains("*(1)"),
       s"fell out of whole-stage codegen:\n${physical(df)}")
   }
+
+  test("alert rules: one grid aggregate, rule catalog rides a broadcast nested loop") {
+    val plan = physical(graft.operators.Alerting.alertRules(spark, sfDir))
+    // the non-equi rule join must stay a broadcast nested loop over
+    // the 2-row catalog, never a cartesian shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"rule catalog degraded to a shuffled cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("slo burn: one conditional-sum aggregate, zero joins") {
+    val plan = physical(graft.operators.Alerting.sloBurn(spark, sfDir))
+    assert(!plan.contains("Join"), s"burn panel grew a join:\n$plan")
+    // event scan collapses map-side: partial then final aggregate
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("kn continuation: stat joins unhinted, dictionary joins at vocab scale only") {
+    val df = graft.operators.TextAnalysis.knContinuationOf(
+      Tables.documents(spark, sfDir))
+    // no forced hints anywhere in the chain (the char-LM rule: AQE
+    // broadcasts a dictionary-sized side, shuffle-joins one too big)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"kn chain grew a forced hint:\n$analyzed")
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("prf expansion: the r-row feedback list broadcasts into the corpus scan") {
+    val plan = physical(graft.operators.TextAnalysis.prfExpandOf(
+      Tables.documents(spark, sfDir),
+      graft.operators.TextAnalysis.Bm25DefaultTerms, 10, 10))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"feedback join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"feedback join degraded to shuffle:\n$plan")
+  }
+
+  test("dirichlet lm: stats fold as literals — zero joins, top-k never full-sorts") {
+    val plan = physical(graft.operators.TextAnalysis.dirichletLmOf(
+      Tables.documents(spark, sfDir),
+      graft.operators.TextAnalysis.Bm25DefaultTerms, 20))
+    assert(!plan.contains("Join"), s"dirichlet scoring grew a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k degraded to a full sort:\n$plan")
+  }
+
+  test("template census: anchors shuffle as hashes, output aggregate at source x kind") {
+    val plan = physical(graft.operators.TextAnalysis.templateCensusOf(
+      Tables.documents(spark, sfDir)))
+    assert(!plan.contains("Join"), plan)
+    // two-level aggregate: partial combine before each exchange
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Sort "), s"census grew a sort:\n$plan")
+  }
 }

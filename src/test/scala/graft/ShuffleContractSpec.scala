@@ -249,4 +249,44 @@ class ShuffleContractSpec extends SparkSpec {
     assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
       s"doubling text mass grew the char-LM shuffle ${base.bytes} -> ${doubled.bytes}")
   }
+
+  test("template census: 4 anchors per doc — 2x text mass moves ~nothing extra") {
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.templateCensusOf(docs).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.templateCensusOf(docs2x).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // every doc ships exactly 4 hashed anchors regardless of its text
+    // mass (the anchors themselves are edge words, invariant under
+    // self-concatenation for multi-token docs), so doubling the corpus
+    // text must leave the shuffle flat — a regression that shuffles
+    // anchor STRINGS or token instances grows with the mass
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text grew the template shuffle ${base.bytes} -> ${doubled.bytes}")
+    // absolute record bound: per-partition partials of the two
+    // aggregates — (source, kind, hash) cells then (source, kind)
+    val nd = docs.count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(base.records <= (4 * nd + 80) * (parts + 4),
+      s"${base.records} shuffled records for ${4 * nd} anchor cells")
+  }
+
+  test("kn continuation: pair TYPES shuffle, never token instances") {
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.knContinuationOf(docs).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.knContinuationOf(docs2x).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // doubling every document's text doubles token instances but adds
+    // at most one NEW bigram type per doc (the self-concatenation
+    // boundary), so the partial-distinct pair shuffle and the
+    // vocab-sized stat shuffles must stay ~flat — an operator that
+    // started shuffling pair INSTANCES would double
+    assert(doubled.bytes <= (base.bytes * 1.5 + 32768).toLong,
+      s"doubling text grew the kn shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
 }
