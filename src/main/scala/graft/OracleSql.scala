@@ -2693,4 +2693,109 @@ FROM cf"""
       " WHERE n_tokens >= 1 AND vocab >= 1),\n" +
       olsHalfBitSql("pf", "n_tokens", "vocab", "n_points", "beta_ppm",
         negate = false)
+  /** The alert family's shared CTE prefix — hourly grid, rule
+    * catalog, breach join, island grouping — stamped from the SAME
+    * constants the operators evaluate (graft.operators.Alerting.Rules),
+    * so tuning a threshold cannot desynchronize the oracle (the
+    * bm25Ctes discipline). */
+  private def alertRunCtes: Seq[String] = {
+    val rules = graft.operators.Alerting.Rules
+      .map { case (id, thr, forN) =>
+        s"('${id.replace("'", "''")}', $thr, $forN)" }
+      .mkString(", ")
+    Seq(
+      """c AS (SELECT event_type AS topic,
+        |   date_trunc('hour', ts) AS window_start, count(*) AS msg_count
+        |  FROM events GROUP BY 1, 2)""".stripMargin,
+      s"rules(rule_id, threshold, for_n) AS (VALUES $rules)",
+      """b AS (SELECT r.rule_id, c.topic, c.window_start, c.msg_count,
+        |   r.for_n, epoch_us(c.window_start) // 3600000000 AS hr
+        |  FROM c JOIN rules r ON c.msg_count >= r.threshold)""".stripMargin,
+      """g AS (SELECT *, hr - row_number() OVER
+        |   (PARTITION BY rule_id, topic ORDER BY hr) AS grp FROM b)""".stripMargin)
+  }
+
+  /** q_alert_rules: PENDING/FIRING per breached window off the shared
+    * island chain. */
+  def alertRules: String =
+    "WITH " + alertRunCtes.mkString(",\n ") + """,
+      | s AS (SELECT *, row_number() OVER
+      |   (PARTITION BY rule_id, topic, grp ORDER BY hr) AS run_idx FROM g)
+      |SELECT rule_id, topic, window_start, msg_count, run_idx,
+      | CASE WHEN run_idx >= for_n THEN 'firing' ELSE 'pending' END AS state
+      |FROM s""".stripMargin
+
+  /** q_alert_episodes: the same islands collapsed to one row each. */
+  def alertEpisodes: String =
+    "WITH " + alertRunCtes.mkString(",\n ") + """,
+      | e AS (SELECT rule_id, topic, grp, for_n,
+      |   min(window_start) AS episode_start,
+      |   max(window_start) AS episode_end,
+      |   count(*) AS n_windows, max(msg_count) AS peak_count
+      |  FROM g GROUP BY 1, 2, 3, 4)
+      |SELECT rule_id, topic, row_number() OVER
+      |  (PARTITION BY rule_id, topic ORDER BY episode_start) AS episode_no,
+      | episode_start, episode_end, n_windows, peak_count,
+      | n_windows >= for_n AS fired
+      |FROM e""".stripMargin
+
+  /** The SLO family's shared hourly error grid CTE. */
+  private val sloGridCte: String =
+    """c AS (SELECT date_trunc('hour', ts) AS window_start,
+      |   count(*) AS total,
+      |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS errs
+      |  FROM events GROUP BY 1)""".stripMargin
+
+  /** q_slo_burn: multiwindow burn panel stamped from the SAME
+    * budget/threshold constants the operator and the streaming gauge
+    * use. */
+  def sloBurn: String = {
+    import graft.operators.Alerting._
+    val bud = SloBudgetPpm
+    def hot(e: String, t: String, thrC: Long) =
+      s"CAST($e AS HUGEINT) * 100000000 >= CAST($t AS HUGEINT) * ${thrC * bud}"
+    def ppm(e: String, t: String) =
+      s"CAST(CAST($e AS HUGEINT) * 1000000000000 // " +
+        s"(CAST($t AS HUGEINT) * $bud) AS BIGINT)"
+    s"""WITH $sloGridCte,
+      | w AS (SELECT window_start, total, errs,
+      |   CAST(sum(errs) OVER t6 AS BIGINT) AS e6,
+      |   CAST(sum(total) OVER t6 AS BIGINT) AS t6v,
+      |   CAST(sum(errs) OVER t24 AS BIGINT) AS e24,
+      |   CAST(sum(total) OVER t24 AS BIGINT) AS t24v
+      |  FROM c WINDOW
+      |   t6 AS (ORDER BY window_start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+      |   t24 AS (ORDER BY window_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT window_start, total, errs,
+      | ${ppm("errs", "total")} AS burn_1h_ppm,
+      | ${ppm("e6", "t6v")} AS burn_6h_ppm,
+      | ${ppm("e24", "t24v")} AS burn_24h_ppm,
+      | (${hot("errs", "total", BurnPageShortC)}
+      |  AND ${hot("e6", "t6v", BurnPageLongC)}) AS page,
+      | (${hot("e6", "t6v", BurnPageLongC)}
+      |  AND ${hot("e24", "t24v", BurnWarnLongC)}) AS warn
+      |FROM w""".stripMargin
+  }
+
+  /** q_error_budget: the burn arithmetic over the cumulative window,
+    * same stamped constants. */
+  def errorBudget: String = {
+    import graft.operators.Alerting._
+    val bud = SloBudgetPpm
+    s"""WITH $sloGridCte,
+      | w AS (SELECT window_start,
+      |   CAST(sum(total) OVER cw AS BIGINT) AS cum_total,
+      |   CAST(sum(errs) OVER cw AS BIGINT) AS cum_errs
+      |  FROM c WINDOW cw AS (ORDER BY window_start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT window_start, cum_total, cum_errs,
+      | CAST(CAST(cum_errs AS HUGEINT) * 1000000000000 //
+      |   (CAST(cum_total AS HUGEINT) * $bud) AS BIGINT) AS spent_ppm,
+      | CAST(1000000 - CAST(cum_errs AS HUGEINT) * 1000000000000 //
+      |   (CAST(cum_total AS HUGEINT) * $bud) AS BIGINT) AS remaining_ppm,
+      | CAST(cum_errs AS HUGEINT) * 1000000 >
+      |   CAST(cum_total AS HUGEINT) * $bud AS exhausted
+      |FROM w""".stripMargin
+  }
 }

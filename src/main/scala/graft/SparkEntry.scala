@@ -362,104 +362,13 @@ object SparkEntry {
         | h2.c * p.n_win <= (p.n - 1) // 2 AS flag_low
         |FROM h2 JOIN p ON p.topic = h2.topic AND p.dow = h2.dow
         | AND p.hod = h2.hod""".stripMargin,
-    // alert-rule evaluation: gaps-and-islands on the exact integer
-    // hour index (hr − row_number is constant along a consecutive
-    // run), rule catalog a shared VALUES literal; run_idx/state are
-    // exact integer machinery so no straddle can flip a state
-    "q_alert_rules" ->
-      """WITH c AS (SELECT event_type AS topic,
-        |   date_trunc('hour', ts) AS window_start, count(*) AS msg_count
-        |  FROM events GROUP BY 1, 2),
-        | rules(rule_id, threshold, for_n) AS
-        |  (VALUES ('hot2', 4, 2), ('hot3', 5, 3)),
-        | b AS (SELECT r.rule_id, c.topic, c.window_start, c.msg_count,
-        |   r.for_n, epoch_us(c.window_start) // 3600000000 AS hr
-        |  FROM c JOIN rules r ON c.msg_count >= r.threshold),
-        | g AS (SELECT *, hr - row_number() OVER
-        |   (PARTITION BY rule_id, topic ORDER BY hr) AS grp FROM b),
-        | s AS (SELECT *, row_number() OVER
-        |   (PARTITION BY rule_id, topic, grp ORDER BY hr) AS run_idx FROM g)
-        |SELECT rule_id, topic, window_start, msg_count, run_idx,
-        | CASE WHEN run_idx >= for_n THEN 'firing' ELSE 'pending' END AS state
-        |FROM s""".stripMargin,
-    // breach episodes: the same islands collapsed to one row each;
-    // fired is the exact integer n_windows >= for_n
-    "q_alert_episodes" ->
-      """WITH c AS (SELECT event_type AS topic,
-        |   date_trunc('hour', ts) AS window_start, count(*) AS msg_count
-        |  FROM events GROUP BY 1, 2),
-        | rules(rule_id, threshold, for_n) AS
-        |  (VALUES ('hot2', 4, 2), ('hot3', 5, 3)),
-        | b AS (SELECT r.rule_id, c.topic, c.window_start, c.msg_count,
-        |   r.for_n, epoch_us(c.window_start) // 3600000000 AS hr
-        |  FROM c JOIN rules r ON c.msg_count >= r.threshold),
-        | g AS (SELECT *, hr - row_number() OVER
-        |   (PARTITION BY rule_id, topic ORDER BY hr) AS grp FROM b),
-        | e AS (SELECT rule_id, topic, grp, for_n,
-        |   min(window_start) AS episode_start,
-        |   max(window_start) AS episode_end,
-        |   count(*) AS n_windows, max(msg_count) AS peak_count
-        |  FROM g GROUP BY 1, 2, 3, 4)
-        |SELECT rule_id, topic, row_number() OVER
-        |  (PARTITION BY rule_id, topic ORDER BY episode_start) AS episode_no,
-        | episode_start, episode_end, n_windows, peak_count,
-        | n_windows >= for_n AS fired
-        |FROM e""".stripMargin,
-    // SLO burn: trailing windows over the time-bounded hourly grid;
-    // burn ppm is an exact HUGEINT floor division and both flags are
-    // exact integer cross-multiplies (errs·10⁸ vs thr_c·budget·total)
-    "q_slo_burn" ->
-      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
-        |   count(*) AS total,
-        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |     AS BIGINT) AS errs
-        |  FROM events GROUP BY 1),
-        | w AS (SELECT window_start, total, errs,
-        |   CAST(sum(errs) OVER t6 AS BIGINT) AS e6,
-        |   CAST(sum(total) OVER t6 AS BIGINT) AS t6v,
-        |   CAST(sum(errs) OVER t24 AS BIGINT) AS e24,
-        |   CAST(sum(total) OVER t24 AS BIGINT) AS t24v
-        |  FROM c WINDOW
-        |   t6 AS (ORDER BY window_start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
-        |   t24 AS (ORDER BY window_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-        |SELECT window_start, total, errs,
-        | CAST(CAST(errs AS HUGEINT) * 1000000000000 //
-        |   (CAST(total AS HUGEINT) * 200000) AS BIGINT) AS burn_1h_ppm,
-        | CAST(CAST(e6 AS HUGEINT) * 1000000000000 //
-        |   (CAST(t6v AS HUGEINT) * 200000) AS BIGINT) AS burn_6h_ppm,
-        | CAST(CAST(e24 AS HUGEINT) * 1000000000000 //
-        |   (CAST(t24v AS HUGEINT) * 200000) AS BIGINT) AS burn_24h_ppm,
-        | (CAST(errs AS HUGEINT) * 100000000 >=
-        |    CAST(total AS HUGEINT) * 30000000
-        |  AND CAST(e6 AS HUGEINT) * 100000000 >=
-        |    CAST(t6v AS HUGEINT) * 25000000) AS page,
-        | (CAST(e6 AS HUGEINT) * 100000000 >=
-        |    CAST(t6v AS HUGEINT) * 25000000
-        |  AND CAST(e24 AS HUGEINT) * 100000000 >=
-        |    CAST(t24v AS HUGEINT) * 22000000) AS warn
-        |FROM w""".stripMargin,
-    // error-budget ledger: the burn arithmetic over the CUMULATIVE
-    // window; spend/remainder exact HUGEINT floors, exhaustion an
-    // exact integer cross-multiply
-    "q_error_budget" ->
-      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
-        |   count(*) AS total,
-        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |     AS BIGINT) AS errs
-        |  FROM events GROUP BY 1),
-        | w AS (SELECT window_start,
-        |   CAST(sum(total) OVER cw AS BIGINT) AS cum_total,
-        |   CAST(sum(errs) OVER cw AS BIGINT) AS cum_errs
-        |  FROM c WINDOW cw AS (ORDER BY window_start
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT window_start, cum_total, cum_errs,
-        | CAST(CAST(cum_errs AS HUGEINT) * 1000000000000 //
-        |   (CAST(cum_total AS HUGEINT) * 200000) AS BIGINT) AS spent_ppm,
-        | CAST(1000000 - CAST(cum_errs AS HUGEINT) * 1000000000000 //
-        |   (CAST(cum_total AS HUGEINT) * 200000) AS BIGINT) AS remaining_ppm,
-        | CAST(cum_errs AS HUGEINT) * 1000000 >
-        |   CAST(cum_total AS HUGEINT) * 200000 AS exhausted
-        |FROM w""".stripMargin,
+    // alert family: every rule/budget/threshold literal stamped from
+    // the SAME Alerting constants the operators evaluate (bm25Ctes
+    // discipline — one spelling, shared island chain)
+    "q_alert_rules" -> OracleSql.alertRules,
+    "q_alert_episodes" -> OracleSql.alertEpisodes,
+    "q_slo_burn" -> OracleSql.sloBurn,
+    "q_error_budget" -> OracleSql.errorBudget,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
     // 60-day lateness predicate mirrors the semi-join condition
     "q4_shape" ->
@@ -2240,7 +2149,7 @@ object SparkEntry {
         |   length(text) - length(translate(text, 'FROMCHARS', ''))
         |     AS n_confusable,
         |   translate(text, 'FROMCHARS', 'TOCHARS') AS skel
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         | grp AS (SELECT skel, count(*) AS skel_group_size,
         |   count(DISTINCT text) AS n_variants
         |  FROM per GROUP BY 1)

@@ -156,10 +156,7 @@ object Alerting {
     errorBudgetOf(Tables.events(spark, dir))
 
   private[graft] def errorBudgetOf(events: DataFrame): DataFrame = {
-    val grid = events
-      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
-      .agg(count(lit(1)).as("total"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    val grid = errorGridOf(events)
     val w = Window.orderBy(col("window_start"))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid
@@ -177,11 +174,16 @@ object Alerting {
           .as("exhausted"))
   }
 
-  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
-    val grid = events
+  /** ONE spelling of the hourly error grid both SLO panels evaluate
+    * over (what counts as an error changes in one place). */
+  private def errorGridOf(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+
+  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
+    val grid = errorGridOf(events)
     val w = Window.orderBy(col("window_start"))
     def trail(c: String, back: Int) = sum(col(c)).over(w.rowsBetween(-back, 0))
     def burnPpm(e: String, t: String) = expr(

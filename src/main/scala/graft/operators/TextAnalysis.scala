@@ -3245,7 +3245,16 @@ object TextAnalysis {
     dirichletLmOf(Tables.documents(spark, dir), terms, k)
 
   private[graft] def dirichletLmOf(docs: DataFrame, terms: Seq[String],
-                                   k: Int): DataFrame = {
+                                   k: Int): DataFrame =
+    dirichletLmBounded(docs, terms, k, Long.MaxValue)
+
+  /** [[dirichletLmOf]] with an explicit product ceiling — the spec
+    * hook for exercising the loud (max_dl + μ)·T overflow guard
+    * without a corpus that actually overflows int64 (the
+    * bm25OfBounded discipline); production callers always pass
+    * Long.MaxValue. */
+  private[graft] def dirichletLmBounded(docs: DataFrame, terms: Seq[String],
+                                        k: Int, maxProduct: Long): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val mu = DirichletMu
     val withTf = graft.plans.Materialize(docs
@@ -3264,7 +3273,7 @@ object TextAnalysis {
     val tTok = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     val maxDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     require(tTok >= 1L, "dirichletLm: empty corpus")
-    require((BigInt(maxDl) + mu) * tTok <= Long.MaxValue,
+    require((BigInt(maxDl) + mu) * tTok <= maxProduct,
       s"dirichletLm: (max_dl + mu) * T = ${(BigInt(maxDl) + mu) * tTok} " +
         "would overflow int64 — score per partition/day slice")
     val cfs = terms.indices.map(i =>
@@ -3348,7 +3357,7 @@ object TextAnalysis {
   private[graft] def templateCensusOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("source"), col("doc_id"),
-        expr("filter(split(trim(text), '\\\\s+'), t -> t != '')").as("toks"))
+        filter(T.tokens(col("text")), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= 1)
     val anchors = toks
       .select(col("source"), explode(array(
@@ -3472,7 +3481,11 @@ object TextAnalysis {
   def confusableSkeleton(spark: SparkSession, dir: String): DataFrame =
     confusableSkeletonOf(Tables.documents(spark, dir))
 
-  private[graft] def confusableSkeletonOf(docs: DataFrame): DataFrame = {
+  private[graft] def confusableSkeletonOf(docs0: DataFrame): DataFrame = {
+    // NULL text would hash to the xxhash64 seed on this side while
+    // the oracle's skeleton join drops it — exclude it the way every
+    // sibling excludes empty docs, so both engines see the same rows
+    val docs = docs0.filter(col("text").isNotNull)
     val per = docs.select(col("doc_id"),
       (length(col("text")) -
         length(translate(col("text"), ConfusableFrom, ""))).as("n_confusable"),

@@ -3060,6 +3060,17 @@ class OperatorSpec extends SparkSpec {
       graft.operators.TextAnalysis.dirichletLmOf(empty, Seq("a"), 5).collect()
     }
     assert(e1.getMessage.contains("empty corpus"))
+    // the (max_dl + mu) * T int64 guard, exercised through the
+    // bounded spec hook: T = 5, max_dl = 3 -> product 515 > cap 514
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      graft.operators.TextAnalysis
+        .dirichletLmBounded(docs, Seq("a"), 5, 514L).collect()
+    }
+    assert(e2.getMessage.contains("would overflow int64"))
+    // and one past the boundary scores fine
+    assert(graft.operators.TextAnalysis
+      .dirichletLmBounded(docs, Seq("a"), 5, 515L).count() == 2L)
   }
 
   test("prf expansion: weights equal a driver-side replay of tf x score over the feedback set") {
