@@ -47,6 +47,13 @@ final case class SloBurnRow(window_start: java.sql.Timestamp,
                             burn_24h_ppm: Long,
                             page: Boolean, warn: Boolean)
 
+/** Live error-budget ledger row — the streaming twin of the batch
+  * q_error_budget output, emitted once per sealed hour. */
+final case class BudgetRow(window_start: java.sql.Timestamp,
+                           cum_total: Long, cum_errs: Long,
+                           spent_ppm: Long, remaining_ppm: Long,
+                           exhausted: Boolean)
+
 /** Live PENDING/FIRING state row — the streaming twin of the batch
   * q_alert_rules panel (one row per breached (rule, topic, window)). */
 final case class AlertStateRow(rule_id: String, topic: String,
@@ -542,6 +549,35 @@ object StreamingMonitor {
               hot(e6, t6, BurnPageLongC) && hot(e24, t24, BurnWarnLongC))
           }
           state.update(hist)
+          out.iterator
+      }
+  }
+
+  /** Live month-to-date error-budget LEDGER — the streaming twin of
+    * the batch [[graft.operators.Alerting.errorBudget]] panel and the
+    * cumulative companion of [[sloBurnGauge]]: state is just the two
+    * running sums (the whole ledger compresses to (cum_errs,
+    * cum_total) — constant, not even a window history), spend /
+    * remainder / exhaustion the identical exact integer arithmetic
+    * (BigInt ≡ the batch DECIMAL(38,0) floors, spec-pinned over the
+    * full grid). Same contracts as the burn gauge: in-batch
+    * event-time sort, frontier-ordered sealed cells. */
+  def errorBudgetGauge(cells: Dataset[HourCell]): Dataset[BudgetRow] = {
+    import cells.sparkSession.implicits._
+    import graft.operators.Alerting._
+    cells.groupByKey(_ => true)
+      .flatMapGroupsWithState[(Long, Long), BudgetRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[(Long, Long)]) =>
+          var (cumE, cumT) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.window_start.getTime).map { c =>
+            cumE += c.errs; cumT += c.total
+            val spent = (BigInt(cumE) * BigInt(1000000000000L) /
+              (BigInt(cumT) * SloBudgetPpm)).toLong
+            BudgetRow(c.window_start, cumT, cumE, spent, 1000000L - spent,
+              BigInt(cumE) * 1000000L > BigInt(cumT) * SloBudgetPpm)
+          }
+          state.update((cumE, cumT))
           out.iterator
       }
   }

@@ -3137,4 +3137,38 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.exists(_._8) && streamed.exists(!_._8), "warn invariant")
     } finally q.stop()
   }
+
+  test("streaming error-budget ledger equals the batch q_error_budget panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val grid = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+      .collect()
+      .map(r => graft.streaming.HourCell(r.getTimestamp(0), r.getLong(1),
+        r.getLong(2)))
+      .sortBy(_.window_start.getTime)
+    val input = MemoryStream[graft.streaming.HourCell]
+    val q = StreamingMonitor.errorBudgetGauge(input.toDS())
+      .writeStream.format("memory").queryName("budget_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      grid.grouped(math.max(1, grid.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))
+      val streamed = spark.table("budget_t").collect().map(key).toSet
+      val batch = graft.operators.Alerting.errorBudget(spark, sfDir).collect()
+        .map(key).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
