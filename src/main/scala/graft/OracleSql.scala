@@ -2798,4 +2798,41 @@ FROM cf"""
       |   CAST(cum_total AS HUGEINT) * $bud AS exhausted
       |FROM w""".stripMargin
   }
+  /** q_kcore_peel: bounded synchronous k-core peeling unrolled as
+    * chained CTEs (the q_pagerank/q_label_prop idiom) over the SAME
+    * co-order part graph spelling as q_graph_triangles. Both engines
+    * run exactly `rounds` synchronous rounds, so the panel agrees
+    * even short of the fixpoint. */
+  def kcorePeel(k: Int, rounds: Int): String = {
+    val base = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 10 = 0),
+      | ed AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b USING (ok)
+      |  WHERE a.p < b.p GROUP BY 1, 2),
+      | e2 AS MATERIALIZED (SELECT u AS n, v AS m FROM ed
+      |  UNION ALL SELECT v AS n, u AS m FROM ed),
+      | s0 AS MATERIALIZED (SELECT DISTINCT n FROM e2)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.n, count(*) AS c FROM e2 e
+         |  JOIN s${r - 1} sa ON sa.n = e.n
+         |  JOIN s${r - 1} sb ON sb.n = e.m GROUP BY 1),
+         | p$r AS MATERIALIZED (SELECT s.n, $r AS peel_round FROM s${r - 1} s
+         |  LEFT JOIN d$r ON d$r.n = s.n WHERE coalesce(d$r.c, 0) < $k),
+         | s$r AS MATERIALIZED (SELECT n FROM s${r - 1}
+         |  EXCEPT SELECT n FROM p$r)""".stripMargin
+    }.mkString(",\n ")
+    val peelUnion = (1 to rounds).map(r =>
+      s"SELECT n, peel_round FROM p$r").mkString("\n  UNION ALL ")
+    s"""WITH $base,
+ $roundsSql,
+ peeled AS ($peelUnion),
+ cd AS (SELECT e.n, count(*) AS core_deg FROM e2 e
+  JOIN s$rounds sa ON sa.n = e.n
+  JOIN s$rounds sb ON sb.n = e.m GROUP BY 1)
+SELECT s.n AS part, CAST(NULL AS INT) AS peel_round,
+ CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg, TRUE AS in_core
+FROM s$rounds s LEFT JOIN cd ON cd.n = s.n
+UNION ALL
+SELECT n AS part, CAST(peel_round AS INT), CAST(NULL AS BIGINT), FALSE
+FROM peeled"""
+  }
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
     "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
+    "q_kcore_peel" -> ((s, d) => Sequence.kcorePeel(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
     "q_drift" -> ((s, d) => Monitoring.topicDrift(s, d)),
@@ -2349,6 +2350,9 @@ object SparkEntry {
     // degree-oriented triangle counting: every CTE mirrors the Spark
     // pipeline (same sampling, same (degree, id) orientation and wedge
     // order), all-integer counting
+    // k-core peel: rounds unrolled as chained CTEs, SAME edge
+    // spelling as the triangles row (k/rounds stamped from the call)
+    "q_kcore_peel" -> OracleSql.kcorePeel(4, 6),
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |   FROM lineitem WHERE l_orderkey % 10 = 0),

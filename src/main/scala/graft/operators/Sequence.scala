@@ -239,16 +239,79 @@ object Sequence {
     * map-side-combined count; each triangle {apex,a,b} is found
     * exactly once and credited to all three corners. Everything is
     * integer counting — the DuckDB oracle replays it exactly. */
-  def triangles(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+  /** ONE spelling of the sampled co-order part graph (parts adjacent
+    * when some sampled order contains both; u < v, distinct) — shared
+    * by [[triangles]] and [[kcorePeel]] so the two graph rows can
+    * never disagree about what an edge is. */
+  private[graft] def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+    li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-    trianglesOf(edges, topN)
+  }
+
+  def triangles(spark: SparkSession, dir: String, topN: Int = 10): DataFrame =
+    trianglesOf(coOrderEdges(spark, dir), topN)
+
+  /** k-CORE decomposition by bounded SYNCHRONOUS peeling (Seidman
+    * 1983; the onion layering of Batagelj & Zaveršnik) over the
+    * co-order part graph — the density structure triangles count
+    * locally and CC can't see at all: round r simultaneously removes
+    * every node whose degree among SURVIVORS is < k, and the round a
+    * node leaves at (its onion layer) is deterministic, so the panel
+    * is engine-reproducible even if the bound stops short of the
+    * fixpoint — both engines run EXACTLY `rounds` synchronous rounds
+    * (the q_label_prop contract; at the test scales the peel
+    * converges well inside the bound, spec-asserted, and a production
+    * run would loop the same step under the CC fixpoint idiom).
+    *
+    * Per round: one semi-join degree count over the (undirected,
+    * doubled) edge list + one anti-join — shuffle ∝ |edges|, the
+    * survivor frame materialized per round (the labelProp lineage
+    * cut). Output per node: peel_round (NULL for core members),
+    * core_deg (degree inside the final core; NULL for peeled),
+    * in_core. */
+  def kcorePeel(spark: SparkSession, dir: String,
+                k: Int = 4, rounds: Int = 6): DataFrame =
+    kcorePeelOf(coOrderEdges(spark, dir), k, rounds)
+
+  private[graft] def kcorePeelOf(edges: DataFrame, k: Int,
+                                 rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k, rounds >= 1: k=$k rounds=$rounds")
+    val spark = edges.sparkSession
+    val e2 = graft.plans.Materialize(
+      edges.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(edges.select(col("v").as("n"), col("u").as("m"))))
+    var alive = graft.plans.Materialize(e2.select(col("n")).distinct())
+    var peeled: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val deg = e2
+        .join(alive.withColumnRenamed("n", "m"), Seq("m"), "left_semi")
+        .join(alive, Seq("n"), "left_semi")
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val out = alive.join(deg, Seq("n"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("n"), lit(r).as("peel_round"))
+      peeled = Some(peeled.fold(out)(_ unionAll out))
+      alive = graft.plans.Materialize(
+        alive.join(out.select(col("n")), Seq("n"), "left_anti"))
+    }
+    val coreDeg = e2
+      .join(alive.withColumnRenamed("n", "m"), Seq("m"), "left_semi")
+      .join(alive, Seq("n"), "left_semi")
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+    val core = alive.join(coreDeg, Seq("n"), "left")
+      .select(col("n").as("part"), lit(null).cast("int").as("peel_round"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        lit(true).as("in_core"))
+    val peeledOut = peeled.get
+      .select(col("n").as("part"), col("peel_round").cast("int"),
+        lit(null).cast("long").as("core_deg"), lit(false).as("in_core"))
+    core.unionAll(peeledOut)
   }
 
   /** [[triangles]] over a prepared undirected edge list (u < v,

@@ -3144,4 +3144,42 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Long]("in_deg") <= 10L)
     }
   }
+
+  test("k-core peel: chain peels from the ends layer by layer, a clique survives as the core") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (dies under k=2, onion layers 1,2,3) + K4 clique
+    val edges = (Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)) ++
+      (for { a <- Seq(10L,11L,12L,13L); b <- Seq(10L,11L,12L,13L) if a < b }
+        yield (a, b))).toDF("u", "v")
+    val got = graft.operators.Sequence.kcorePeelOf(edges, k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Int]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3)))).toMap
+    assert(got(1L) == ((Some(1), None, false)))
+    assert(got(5L) == ((Some(1), None, false)))
+    assert(got(2L) == ((Some(2), None, false)))
+    assert(got(4L) == ((Some(2), None, false)))
+    assert(got(3L) == ((Some(3), None, false)))
+    Seq(10L, 11L, 12L, 13L).foreach { n =>
+      assert(got(n) == ((None, Some(3L), true)), s"clique node $n: ${got(n)}")
+    }
+    assert(got.size == 9)
+  }
+
+  test("k-core peel on the corpus graph converges inside the round bound") {
+    val rows = graft.operators.Sequence.kcorePeel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val maxRound = rows.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Int]))
+      .foldLeft(0)(math.max)
+    // the default bound is 6 synchronous rounds; the sampled co-order
+    // graph peels out well inside it, so the bounded panel IS the
+    // fixpoint here (both engines would agree either way — the bound
+    // is part of the contract)
+    assert(maxRound < 6, s"peel used all $maxRound rounds — raise the bound")
+    // every core member really has >= k surviving neighbors
+    val core = rows.filter(_.getBoolean(3))
+    core.foreach(r => assert(r.getLong(2) >= 4L,
+      s"core member ${r.getLong(0)} has core_deg ${r.getLong(2)} < k=4"))
+  }
 }
