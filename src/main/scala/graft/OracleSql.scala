@@ -2835,4 +2835,45 @@ UNION ALL
 SELECT n AS part, CAST(peel_round AS INT), CAST(NULL AS BIGINT), FALSE
 FROM peeled"""
   }
+  /** q_coreset_kcenter: the Gonzalez farthest-point greedy unrolled
+    * as MATERIALIZED CTE rounds (the q_kcore_peel idiom) — exact
+    * integer squared-L2 over the quantized vectors, seed = min
+    * vec_id, ties by vec_id. */
+  def coresetKcenter(k: Int): String = {
+    require(k >= 1)
+    def d2block(name: String, centerSel: String): String =
+      s"""(SELECT b.vec_id,
+         |   CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+         |  FROM e b JOIN e a ON a.i = b.i
+         |  JOIN $centerSel ON a.vec_id = $name.vid GROUP BY 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prior = (Seq("SELECT vid FROM c1") ++
+        (2 until r).map(i => s"SELECT vec_id AS vid FROM p$i")).mkString(" UNION ALL ")
+      val pick =
+        s"""p$r AS MATERIALIZED (SELECT vec_id, min_d2 FROM md${r - 1}
+           |  WHERE vec_id NOT IN ($prior)
+           |  ORDER BY min_d2 DESC, vec_id LIMIT 1)""".stripMargin
+      val upd = if (r < k)
+        s""",
+           | md$r AS MATERIALIZED (SELECT m.vec_id,
+           |   least(m.min_d2, d.d2) AS min_d2
+           |  FROM md${r - 1} m JOIN ${d2block(s"pc$r", s"(SELECT vec_id AS vid FROM p$r) pc$r")} d
+           |   ON d.vec_id = m.vec_id)""".stripMargin
+      else ""
+      pick + upd
+    }.mkString(",\n ")
+    val sel = (Seq(
+      "SELECT 1 AS sel_order, vid AS vec_id, CAST(NULL AS BIGINT) AS radius_d2 FROM c1") ++
+      (2 to k).map(r => s"SELECT $r, vec_id, min_d2 FROM p$r")).mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+ generate_subscripts(embedding, 1) AS i,
+ CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+ FROM embeddings),
+ c1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM e),
+ md1 AS MATERIALIZED (SELECT b.vec_id,
+   CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS min_d2
+  FROM e b JOIN e a ON a.i = b.i JOIN c1 ON a.vec_id = c1.vid GROUP BY 1),
+ $rounds
+$sel"""
+  }
 }

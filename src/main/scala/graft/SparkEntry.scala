@@ -165,6 +165,9 @@ object SparkEntry {
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_hubness" -> ((s, d) => Ann.hubness(s, d)),
+    "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
+    "q_hard_negatives" -> ((s, d) => Ann.hardNegatives(s, d)),
+    "q_coreset_kcenter" -> ((s, d) => Ann.coresetKcenter(s, d)),
     "q_ann_filtered" -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "q_ann_recall" -> ((s, d) => Ann.annRecall(s, d)),
@@ -1285,6 +1288,51 @@ object SparkEntry {
         | CAST(min(rnk) AS INT) AS best_rank,
         | CAST(max(rnk) AS INT) AS worst_rank
         |FROM tk GROUP BY 1""".stripMargin,
+    // k-center coreset: greedy rounds unrolled as MATERIALIZED CTEs,
+    // k stamped from the call
+    "q_coreset_kcenter" -> OracleSql.coresetKcenter(8),
+    // kNN label-noise screen: the hubness brute chain joined back to
+    // both endpoint labels, disagreement census per query
+    "q_knn_label_noise" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 100 GROUP BY 1,2),
+        | tk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM s)
+        |  WHERE rnk <= 5)
+        |SELECT tk.query_id, ql.label AS q_label,
+        | CAST(sum(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_diff,
+        | sum(CASE WHEN nl.label <> ql.label THEN 1 ELSE 0 END) >= 4
+        |   AS suspect
+        |FROM tk
+        |JOIN embeddings ql ON ql.vec_id = tk.query_id
+        |JOIN embeddings nl ON nl.vec_id = tk.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+    // hard-negative mining: scored sample + hardest-positive margin;
+    // a query with no same-label candidate reports NULL margin on
+    // both engines (LEFT JOIN)
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        | FROM embeddings),
+        | s AS (SELECT a.vec_id AS query_id, a.label AS q_label,
+        |   b.vec_id AS vec_id, b.label AS label,
+        |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10 GROUP BY 1, 2, 3, 4),
+        | hp AS (SELECT query_id, max(dot_q) AS pos_dot FROM s
+        |  WHERE label = q_label GROUP BY 1),
+        | neg AS (SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk
+        |  FROM s WHERE label <> q_label)
+        |SELECT query_id, vec_id, dot_q, rnk, pos_dot - dot_q AS margin
+        |FROM neg LEFT JOIN hp USING (query_id) WHERE rnk <= 3""".stripMargin,
     // filtered vector search: the brute kernel with the label
     // PRE-filter on the candidate side (pushed below the scoring join)
     "q_ann_filtered" ->

@@ -140,6 +140,129 @@ object Ann {
         min(col("rnk")).as("best_rank"),
         max(col("rnk")).as("worst_rank"))
 
+  /** kNN LABEL-NOISE estimate (Wilson 1972's edited nearest neighbor,
+    * the kNN screen behind Confident-Learning-style cleaning) — the
+    * mislabeled-example detector a curator runs before training a
+    * classifier on the labels: per query of the sample, how many of
+    * its exact top-k neighbors carry a DIFFERENT label; a point whose
+    * neighborhood votes overwhelmingly against its own label
+    * (n_diff ≥ suspectAt) is flagged suspect. Same sampled-query
+    * estimator shape as [[hubness]] (at scale the screen reads the
+    * production k-NN graph). One bounded aggregate + one broadcast
+    * label join over the shared [[exactTopK]] kernel's output. */
+  def knnLabelNoise(spark: SparkSession, dir: String, k: Int = 5,
+                    nQueries: Int = 100, suspectAt: Int = 4): DataFrame =
+    knnLabelNoiseOf(embs(spark, dir), k, nQueries, suspectAt)
+
+  private[graft] def knnLabelNoiseOf(e: DataFrame, k: Int, nQueries: Int,
+                                     suspectAt: Int): DataFrame = {
+    val labels = e.select(col("vec_id"), col("label"))
+    val qLab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val nLab = labels
+      .select(col("vec_id"), col("label").as("n_label"))
+    exactTopK(e, k, nQueries, None)
+      .join(broadcast(qLab), Seq("query_id"))
+      .join(nLab, Seq("vec_id"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+        .as("n_diff"))
+      .select(col("query_id"), col("q_label"), col("n_diff"),
+        (col("n_diff") >= suspectAt).as("suspect"))
+  }
+
+  /** HARD-NEGATIVE mining (the triplet/contrastive training-data
+    * step: Schroff et al. 2015's semi-hard selection, batch-global
+    * form) — per query of the sample, the `j` highest-scoring
+    * candidates of a DIFFERENT label (the negatives a contrastive
+    * loss learns most from), each carrying its MARGIN against the
+    * query's hardest positive (max same-label dot): a negative with
+    * margin ≤ 0 outranks every positive — the triplet violation the
+    * miner exists to surface. Exact integer dots end to end; ties
+    * (dot DESC, vec_id). One scored scan (queries broadcast), one
+    * per-query positive max, one window cut — candidate-bounded,
+    * never pair-materializing beyond the scored sample. */
+  def hardNegatives(spark: SparkSession, dir: String, j: Int = 3,
+                    nQueries: Int = 10): DataFrame =
+    hardNegativesOf(embs(spark, dir), j, nQueries)
+
+  private[graft] def hardNegativesOf(e: DataFrame, j: Int,
+                                     nQueries: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("e_query"))
+    val scored = e
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val hardPos = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("query_id")).agg(max(col("dot_q")).as("pos_dot"))
+    val wNeg = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(wNeg))
+      .filter(col("rnk") <= j)
+      .join(hardPos, Seq("query_id"), "left")
+      .select(col("query_id"), col("vec_id"), col("dot_q"), col("rnk"),
+        (col("pos_dot") - col("dot_q")).as("margin"))
+  }
+
+  /** Gonzalez k-CENTER greedy coreset selection (Gonzalez 1985; the
+    * farthest-point-first seed every diversity-driven data-selection
+    * pipeline runs, and the 2-approximation to the k-center optimum)
+    * — pick the point farthest from everything selected so far, k
+    * times, and read the RADIUS CURVE (each pick's distance at
+    * selection = the coverage radius before it joined): the
+    * diminishing-returns plot a curator uses to size an exemplar set.
+    * Exact integer squared-L2 over the quantized vectors, ties by
+    * vec_id, seed = min vec_id — fully deterministic.
+    *
+    * Scale shape: the min-distance frame (vec_id, qv, min_d2) is THE
+    * state — one row per vector, updated per round against the ONE
+    * new center shipped as a literal array (no join at all), then one
+    * 1-row argmax (TakeOrderedAndProject). k rounds × one scan of the
+    * frame; the k selected rows collect driver-side (the documented
+    * bounded-catalog contract — k is a config constant). */
+  def coresetKcenter(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    coresetKcenterOf(embs(spark, dir), k)
+
+  private[graft] def coresetKcenterOf(e0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = e0.sparkSession
+    import spark.implicits._
+    def d2To(center: Seq[Long]): org.apache.spark.sql.Column =
+      aggregate(zip_with(col("qv"),
+          org.apache.spark.sql.functions.typedLit(center),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val e = graft.plans.Materialize(
+      e0.select(col("vec_id"), V.quantize(col("embedding")).as("qv")))
+    val seed = e.orderBy(col("vec_id")).limit(1).head()
+    val seedId = seed.getLong(0)
+    val seedQv = seed.getSeq[Long](1)
+    var selected = List((1, seedId, Option.empty[Long]))
+    var selIds = Set(seedId)
+    var md = graft.plans.Materialize(
+      e.select(col("vec_id"), col("qv"), d2To(seedQv).as("min_d2")))
+    for (r <- 2 to k) {
+      val pick = md.filter(!col("vec_id").isInCollection(selIds))
+        .orderBy(col("min_d2").desc, col("vec_id").asc)
+        .limit(1).head()
+      val (vid, dist, qv) =
+        (pick.getLong(0), pick.getLong(2), pick.getSeq[Long](1))
+      selected ::= ((r, vid, Some(dist)))
+      selIds += vid
+      if (r < k) md = graft.plans.Materialize(
+        md.select(col("vec_id"), col("qv"),
+          least(col("min_d2"), d2To(qv)).as("min_d2")))
+    }
+    selected.reverse
+      .map { case (o, v, rad) => (o, v, rad) }
+      .toDF("sel_order", "vec_id", "radius_d2")
+      .select(col("sel_order"), col("vec_id"),
+        col("radius_d2").cast("long").as("radius_d2"))
+  }
+
   /** How many `nPlanes`-bit hash tables does a target recall need?
     * Per-bit agreement of an SRP fingerprint is p = 1 − θ/π (Charikar
     * 2002), a table matches with p^nPlanes, and a pair is a candidate

@@ -3189,4 +3189,67 @@ class OperatorSpec extends SparkSpec {
     core.foreach(r => assert(r.getLong(2) >= 4L,
       s"core member ${r.getLong(0)} has core_deg ${r.getLong(2)} < k=4"))
   }
+
+  test("k-center coreset: greedy picks the farthest point with exact radii") {
+    import spark.implicits._
+    // 1-D geometry (second dim zero): 0, 10, 4, 10.1
+    val e = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(10.0f, 0.0f), 0),
+      (2L, Seq(4.0f, 0.0f), 0), (3L, Seq(10.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann.coresetKcenterOf(e, k = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1) == ((0L, None)))               // seed = min vec_id
+    // farthest from 0 is 10.1 (quantized 10100): d2 = 10100^2
+    assert(got(2) == ((3L, Some(102010000L))))
+    // then 4.0: min(d2 to 0 = 4000^2, d2 to 10.1) = 16e6
+    assert(got(3) == ((2L, Some(16000000L))))
+  }
+
+  test("k-center coreset on the corpus: radii non-increasing, picks distinct") {
+    val rows = graft.operators.Ann.coresetKcenter(spark, sfDir, k = 6)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(1)).distinct.length == 6, "duplicate pick")
+    val radii = rows.drop(1).map(_.getLong(2))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"radius curve must be non-increasing: $a then $b")
+    }
+  }
+
+  test("knn label noise: a mislabeled point inside a tight cluster is flagged") {
+    import spark.implicits._
+    // cluster A at (1,0): ids 0-4, label 0 except id 2 mislabeled 1;
+    // cluster B at (0,1): ids 5-9, label 1
+    val e = ((0L to 4L).map(i => (i, Seq(1.0f, 0.0f), if (i == 2L) 1 else 0)) ++
+      (5L to 9L).map(i => (i, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann.knnLabelNoiseOf(e, k = 3, nQueries = 10,
+      suspectAt = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // id 2's three nearest carry label 0, against its own label 1
+    assert(got(2L) == ((1, 3L, true)))
+    // its clean neighbors see ONE disagreeing vote (id 2 itself)
+    assert(got(0L) == ((0, 1L, false)))
+    assert(got(5L) == ((1, 0L, false)))
+    assert(got.size == 10)
+  }
+
+  test("hard negatives: margins expose triplet violations exactly") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // the query
+      (1L, Seq(0.9f, 0.0f), 0),   // hardest positive: dot 900000
+      (2L, Seq(0.95f, 0.0f), 1),  // violating negative: dot 950000
+      (3L, Seq(0.5f, 0.0f), 1))   // easy negative: dot 500000
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann.hardNegativesOf(e, j = 2, nQueries = 1)
+      .collect().filter(_.getLong(0) == 0L)
+      .map(r => r.getInt(3) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got(1) == ((2L, 950000L, -50000L)), s"got $got") // violation
+    assert(got(2) == ((3L, 500000L, 400000L)))
+  }
 }
