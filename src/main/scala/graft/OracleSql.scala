@@ -2876,4 +2876,20 @@ FROM peeled"""
  $rounds
 $sel"""
   }
+  /** q_apdex: the Apdex SLI per topic, T stamped from Alerting.ApdexT
+    * (tolerating to 4T per the standard); exact fixed-point floor. */
+  def apdex: String = {
+    val t = graft.operators.Alerting.ApdexT
+    s"""SELECT event_type AS topic, count(*) AS n,
+ CAST(sum(CASE WHEN value <= $t THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+ CAST(sum(CASE WHEN value > $t AND value <= ${4 * t} THEN 1 ELSE 0 END)
+   AS BIGINT) AS tolerating,
+ CAST(sum(CASE WHEN value > ${4 * t} THEN 1 ELSE 0 END) AS BIGINT)
+   AS frustrated,
+ CAST(CAST(2 * sum(CASE WHEN value <= $t THEN 1 ELSE 0 END)
+   + sum(CASE WHEN value > $t AND value <= ${4 * t} THEN 1 ELSE 0 END)
+   AS HUGEINT) * 1000000 // CAST(2 * count(*) AS HUGEINT) AS BIGINT)
+   AS apdex_ppm
+FROM events GROUP BY 1"""
+  }
 }

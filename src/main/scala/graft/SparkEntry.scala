@@ -57,6 +57,7 @@ object SparkEntry {
     "q_alert_episodes" -> ((s, d) => Alerting.alertEpisodes(s, d)),
     "q_slo_burn" -> ((s, d) => Alerting.sloBurn(s, d)),
     "q_error_budget" -> ((s, d) => Alerting.errorBudget(s, d)),
+    "q_apdex" -> ((s, d) => Alerting.apdex(s, d)),
     // Analytical core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shape" -> ((s, d) => Analytics.q3Shape(s, d)),
@@ -373,6 +374,7 @@ object SparkEntry {
     "q_alert_episodes" -> OracleSql.alertEpisodes,
     "q_slo_burn" -> OracleSql.sloBurn,
     "q_error_budget" -> OracleSql.errorBudget,
+    "q_apdex" -> OracleSql.apdex,
     // Q4 shape: EXISTS kept correlated (DuckDB decorrelates it); the
     // 60-day lateness predicate mirrors the semi-join condition
     "q4_shape" ->

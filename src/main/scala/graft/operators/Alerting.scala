@@ -142,6 +142,35 @@ object Alerting {
   def sloBurn(spark: SparkSession, dir: String): DataFrame =
     sloBurnOf(Tables.events(spark, dir))
 
+  /** Apdex satisfied threshold (seconds-of-latency analog on the
+    * events `value` column); tolerating runs to 4·T per the Apdex
+    * standard. Shared verbatim with the oracle. */
+  val ApdexT: Double = 50.0
+
+  /** APDEX score per topic (the Apdex standard's user-satisfaction
+    * SLI: satisfied ≤ T, tolerating ≤ 4T, frustrated beyond):
+    * apdex = (satisfied + tolerating/2) / n, computed as the exact
+    * fixed-point floor ⌊(2·sat + tol)·10⁶ / (2·n)⌋ so no half-count
+    * float can straddle between engines; threshold compares are
+    * literal-vs-stored-double, identical on both. ONE map-side
+    * combined conditional-sum aggregate, shuffle ∝ #topics. */
+  def apdex(spark: SparkSession, dir: String): DataFrame =
+    apdexOf(Tables.events(spark, dir))
+
+  private[graft] def apdexOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("topic"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") <= ApdexT, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(col("value") > ApdexT && col("value") <= 4 * ApdexT, 1L)
+          .otherwise(0L)).as("tolerating"),
+        sum(when(col("value") > 4 * ApdexT, 1L).otherwise(0L))
+          .as("frustrated"))
+      .withColumn("apdex_ppm",
+        expr("CAST((CAST(2 * satisfied + tolerating AS DECIMAL(38,0)) " +
+          "* 1000000) DIV CAST(2 * n AS DECIMAL(38,0)) AS BIGINT)"))
+
   /** Month-to-date error-budget LEDGER — the "how much budget is
     * left" panel under the burn alerts (SRE dashboards show both: the
     * burn rate says "paging now", the ledger says "can we afford the

