@@ -54,6 +54,24 @@ object ScaleStress {
     val ((_, chainR), chainT) = timed(D.connectedComponentsWithRounds(
       spark.range(n).select(col("id")), chain, maxIters = 40))
 
+    // --- k-core peel rounds at 1× and N× (disjoint id-shifted copies:
+    // the peel is per-component, so rounds must stay EXACTLY flat)
+    val S = graft.operators.Sequence
+    val kcEdges = S.coOrderEdges(spark, dir).persist()
+    kcEdges.count()
+    val (kcR1, kcT1) = timed {
+      val (df, r) = S.kcorePeelWithRounds(kcEdges, 4, 12)
+      df.count(); r
+    }
+    val kcEdgesN = ks.map(k => kcEdges.select(
+      (col("u") + lit(k * Shift)).as("u"),
+      (col("v") + lit(k * Shift)).as("v"))).reduce(_ unionAll _)
+    val (kcRN, kcTN) = timed {
+      val (df, r) = S.kcorePeelWithRounds(kcEdgesN, 4, 12)
+      df.count(); r
+    }
+    kcEdges.unpersist()
+
     // --- Lloyd iteration at 1× and N×
     val ((_, kmR1), kmT1) = timed(A.kmeansIterateWithRounds(spark, dir))
     val dirN = java.nio.file.Files
@@ -72,7 +90,9 @@ object ScaleStress {
           2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1))},""" +
         f""""chain_sec":$chainT%.2f,""" +
         s""""kmeans_rounds_1x":$kmR1,"kmeans_rounds_${copies}x":$kmRN,""" +
-        f""""kmeans_sec_1x":$kmT1%.2f,"kmeans_sec_${copies}x":$kmTN%.2f}""")
+        f""""kmeans_sec_1x":$kmT1%.2f,"kmeans_sec_${copies}x":$kmTN%.2f,""" +
+        s""""kcore_rounds_1x":$kcR1,"kcore_rounds_${copies}x":$kcRN,""" +
+        f""""kcore_sec_1x":$kcT1%.2f,"kcore_sec_${copies}x":$kcTN%.2f}""")
     spark.stop()
   }
 }

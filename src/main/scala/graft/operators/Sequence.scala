@@ -280,7 +280,15 @@ object Sequence {
     kcorePeelOf(coOrderEdges(spark, dir), k, rounds)
 
   private[graft] def kcorePeelOf(edges: DataFrame, k: Int,
-                                 rounds: Int): DataFrame = {
+                                 rounds: Int): DataFrame =
+    kcorePeelWithRounds(edges, k, rounds)._1
+
+  /** [[kcorePeelOf]] plus the number of peel rounds actually RUN
+    * before the early exit — the scale-stress observable (rounds are
+    * the driver-synchronized unit of work; they must stay flat under
+    * corpus replication). */
+  private[graft] def kcorePeelWithRounds(edges: DataFrame, k: Int,
+                                         rounds: Int): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, s"need k, rounds >= 1: k=$k rounds=$rounds")
     val spark = edges.sparkSession
     val e2 = graft.plans.Materialize(
@@ -295,7 +303,9 @@ object Sequence {
     // produce identical panels while the engine stops paying for
     // post-convergence rounds (measured ~2× at sf0.1)
     var converged = false
+    var roundsRun = 0
     for (r <- 1 to rounds if !converged) {
+      roundsRun = r
       val deg = e2
         .join(alive.withColumnRenamed("n", "m"), Seq("m"), "left_semi")
         .join(alive, Seq("n"), "left_semi")
@@ -325,7 +335,7 @@ object Sequence {
       .getOrElse(alive.limit(0).select(col("n"), lit(0).as("peel_round")))
       .select(col("n").as("part"), col("peel_round").cast("int"),
         lit(null).cast("long").as("core_deg"), lit(false).as("in_core"))
-    core.unionAll(peeledOut)
+    (core.unionAll(peeledOut), roundsRun)
   }
 
   /** [[triangles]] over a prepared undirected edge list (u < v,
