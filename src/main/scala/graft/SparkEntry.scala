@@ -99,6 +99,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => Skew.saltedTopicSum(s, d)),
     "q_approx_distinct" -> ((s, d) => Skew.approxDistinctUsers(s, d)),
     "q_cms_counts" -> ((s, d) => Skew.cmsTopicCounts(s, d)),
+    "q_snapshot_diff" -> ((s, d) => Analytics.snapshotDiff(s, d)),
     "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
     "q_mode" -> ((s, d) => Analytics.modePerTopic(s, d)),
     "q_unpivot" -> ((s, d) => Analytics.unpivotStats(s, d)),
@@ -1660,6 +1661,36 @@ object SparkEntry {
         | lead(ts) OVER w AS valid_to,
         | CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // snapshot diff: CDC classification over two deterministic
+    // literal-derived snapshots; NULL-safe compares on both engines
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |   FROM orders),
+        | v1 AS (SELECT * FROM base WHERE o_orderkey % 101 <> 0),
+        | v2 AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+        |     AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 <> 0),
+        | j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |   a.o_orderkey IS NOT NULL AS in_a,
+        |   b.o_orderkey IS NOT NULL AS in_b,
+        |   a.o_orderstatus AS a_s, b.o_orderstatus AS b_s,
+        |   a.o_totalprice AS a_p, b.o_totalprice AS b_p
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+        | c AS (SELECT k,
+        |   CASE WHEN NOT in_a THEN 'added' WHEN NOT in_b THEN 'removed'
+        |    WHEN NOT (a_s IS NOT DISTINCT FROM b_s)
+        |      OR NOT (a_p IS NOT DISTINCT FROM b_p) THEN 'changed'
+        |    ELSE 'unchanged' END AS change,
+        |   concat_ws(',',
+        |    CASE WHEN NOT (a_s IS NOT DISTINCT FROM b_s)
+        |      THEN 'o_orderstatus' END,
+        |    CASE WHEN NOT (a_p IS NOT DISTINCT FROM b_p)
+        |      THEN 'o_totalprice' END) AS cc
+        |  FROM j)
+        |SELECT k AS o_orderkey, change,
+        | CASE WHEN change = 'changed' THEN cc ELSE '' END AS cols_changed
+        |FROM c WHERE change <> 'unchanged'""".stripMargin,
     "q_word_freq" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

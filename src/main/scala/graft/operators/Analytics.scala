@@ -1020,4 +1020,55 @@ object Analytics {
       .select(col("event_id"), col("k").as("user_id"),
         col("last_ok").as("o_orderkey"), col("last_od").as("o_orderdate"))
   }
+  /** Generic SNAPSHOT DIFF — the change-data-capture view between two
+    * versions of a keyed table (the Delta/Iceberg "what changed"
+    * question as an operator): full outer join on the key, classify
+    * `added` (key only in the new snapshot), `removed` (only in the
+    * old), `changed` (present in both, any compared column differs —
+    * NULL-safe), with the changed column NAMES joined
+    * deterministically (schema order) so the row is hash-comparable;
+    * unchanged rows are NOT emitted (output ∝ churn, never table
+    * size). One co-partitioned shuffle on the key; compared columns
+    * are a config-bounded list evaluated row-locally. */
+  def snapshotDiffOf(v1: DataFrame, v2: DataFrame, key: String,
+                     compare: Seq[String]): DataFrame = {
+    require(compare.nonEmpty, "empty compare column list")
+    val a = v1.select(col(key).as("k") +:
+      compare.map(c => col(c).as(s"a_$c")): _*)
+    val b = v2.select(col(key).as("k") +:
+      compare.map(c => col(c).as(s"b_$c")): _*)
+    val aK = a.withColumn("in_a", lit(true))
+    val bK = b.withColumn("in_b", lit(true))
+    val joined = aK.join(bK, Seq("k"), "full_outer")
+    val changedCols = concat_ws(",",
+      compare.map(c => when(!(col(s"a_$c") <=> col(s"b_$c")), lit(c))): _*)
+    joined
+      .withColumn("change",
+        when(col("in_a").isNull, lit("added"))
+          .when(col("in_b").isNull, lit("removed"))
+          .when(changedCols =!= lit(""), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("k").as(key), col("change"),
+        when(col("change") === "changed", changedCols)
+          .otherwise(lit("")).as("cols_changed"))
+  }
+
+  /** [[snapshotDiffOf]] demoed on two DETERMINISTIC order snapshots
+    * (no testdata mutation): v1 drops keys ≡ 0 mod 101 ("rows added
+    * later"), v2 drops keys ≡ 0 mod 97 ("rows deleted") and flips
+    * o_orderstatus to 'X' for keys ≡ 0 mod 13 ("rows updated") —
+    * every class occurs, both engines derive the same snapshots from
+    * the same literals. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v1 = base.filter(col("o_orderkey") % 101 =!= 0)
+    val v2 = base.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    snapshotDiffOf(v1, v2, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
 }

@@ -3270,4 +3270,29 @@ class OperatorSpec extends SparkSpec {
     // (2*2 + 2) * 1e6 / (2*5) = 600000
     assert(r.getAs[Long]("apdex_ppm") == 600000L)
   }
+
+  test("snapshot diff: adds, removes, and NULL-safe changes classify exactly") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, Some("A"), Some(10.0)), (2L, Some("B"), Some(20.0)),
+      (3L, None: Option[String], Some(30.0)), (4L, Some("D"), None: Option[Double]),
+      (5L, None: Option[String], None: Option[Double]))
+      .toDF("k", "status", "price")
+    val v2 = Seq(
+      (1L, Some("A"), Some(10.0)),              // unchanged -> not emitted
+      (2L, Some("B2"), Some(20.0)),             // status changed
+      (3L, Some("C"), Some(31.0)),              // NULL -> value AND price change
+      (5L, None: Option[String], None: Option[Double]), // NULL == NULL unchanged
+      (6L, Some("F"), Some(60.0)))              // added
+      .toDF("k", "status", "price")
+    val got = graft.operators.Analytics
+      .snapshotDiffOf(v1, v2, "k", Seq("status", "price")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(2L) == (("changed", "status")))
+    assert(got(3L) == (("changed", "status,price")))
+    assert(got(4L) == (("removed", "")))
+    assert(got(6L) == (("added", "")))
+    assert(!got.contains(1L) && !got.contains(5L))
+    assert(got.size == 4)
+  }
 }
