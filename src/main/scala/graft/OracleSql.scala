@@ -2865,6 +2865,7 @@ FROM peeled"""
     val sel = (Seq(
       "SELECT 1 AS sel_order, vid AS vec_id, CAST(NULL AS BIGINT) AS radius_d2 FROM c1") ++
       (2 to k).map(r => s"SELECT $r, vec_id, min_d2 FROM p$r")).mkString("\nUNION ALL ")
+    val roundsPart = if (rounds.isEmpty) "" else s",\n $rounds"
     s"""WITH e AS MATERIALIZED (SELECT vec_id,
  generate_subscripts(embedding, 1) AS i,
  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -2872,8 +2873,7 @@ FROM peeled"""
  c1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM e),
  md1 AS MATERIALIZED (SELECT b.vec_id,
    CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS min_d2
-  FROM e b JOIN e a ON a.i = b.i JOIN c1 ON a.vec_id = c1.vid GROUP BY 1),
- $rounds
+  FROM e b JOIN e a ON a.i = b.i JOIN c1 ON a.vec_id = c1.vid GROUP BY 1)$roundsPart
 $sel"""
   }
   /** q_apdex: the Apdex SLI per topic, T stamped from Alerting.ApdexT

@@ -2431,9 +2431,6 @@ object SparkEntry {
     // degree-oriented triangle counting: every CTE mirrors the Spark
     // pipeline (same sampling, same (degree, id) orientation and wedge
     // order), all-integer counting
-    // k-core peel: rounds unrolled as chained CTEs, SAME edge
-    // spelling as the triangles row (k/rounds stamped from the call)
-    "q_kcore_peel" -> OracleSql.kcorePeel(4, 6),
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |   FROM lineitem WHERE l_orderkey % 10 = 0),
@@ -2454,6 +2451,9 @@ object SparkEntry {
         |  UNION ALL SELECT a FROM tri UNION ALL SELECT b FROM tri)
         |SELECT part, count(*) AS triangles FROM corners GROUP BY part
         |ORDER BY triangles DESC, part ASC LIMIT 10""".stripMargin,
+    // k-core peel: rounds unrolled as chained CTEs, SAME edge
+    // spelling as the triangles row (k/rounds stamped from the call)
+    "q_kcore_peel" -> OracleSql.kcorePeel(4, 6),
     "q_unpivot" ->
       """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
         |   CAST(sum(length(props)) AS BIGINT) AS storage_size,

@@ -226,15 +226,24 @@ object Ann {
   def coresetKcenter(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     coresetKcenterOf(embs(spark, dir), k)
 
+  /** ONE spelling of the per-round min-distance update: the new
+    * center ships as a LITERAL array, so the update plans NO join at
+    * all (plan-audited on this exact method). */
+  private[graft] def kcenterRoundUpdate(md: DataFrame,
+                                        centerQv: Seq[Long]): DataFrame =
+    md.select(col("vec_id"), col("qv"),
+      least(col("min_d2"), kcenterD2(centerQv)).as("min_d2"))
+
+  private def kcenterD2(center: Seq[Long]): org.apache.spark.sql.Column =
+    aggregate(zip_with(col("qv"),
+        org.apache.spark.sql.functions.typedLit(center),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   private[graft] def coresetKcenterOf(e0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     val spark = e0.sparkSession
     import spark.implicits._
-    def d2To(center: Seq[Long]): org.apache.spark.sql.Column =
-      aggregate(zip_with(col("qv"),
-          org.apache.spark.sql.functions.typedLit(center),
-          (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
     val e = graft.plans.Materialize(
       e0.select(col("vec_id"), V.quantize(col("embedding")).as("qv")))
     val seed = e.orderBy(col("vec_id")).limit(1).head()
@@ -243,24 +252,27 @@ object Ann {
     var selected = List((1, seedId, Option.empty[Long]))
     var selIds = Set(seedId)
     var md = graft.plans.Materialize(
-      e.select(col("vec_id"), col("qv"), d2To(seedQv).as("min_d2")))
-    for (r <- 2 to k) {
-      val pick = md.filter(!col("vec_id").isInCollection(selIds))
+      e.select(col("vec_id"), col("qv"),
+        kcenterD2(seedQv).as("min_d2")))
+    // k past the vector count EXHAUSTS the candidates: emit the
+    // partial panel (exactly what the oracle's empty p_r rounds
+    // yield) rather than crashing on an empty argmax
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      val picks = md.filter(!col("vec_id").isInCollection(selIds))
         .orderBy(col("min_d2").desc, col("vec_id").asc)
-        .limit(1).head()
-      val (vid, dist, qv) =
-        (pick.getLong(0), pick.getLong(2), pick.getSeq[Long](1))
-      selected ::= ((r, vid, Some(dist)))
-      selIds += vid
-      if (r < k) md = graft.plans.Materialize(
-        md.select(col("vec_id"), col("qv"),
-          least(col("min_d2"), d2To(qv)).as("min_d2")))
+        .limit(1).collect()
+      if (picks.isEmpty) exhausted = true
+      else {
+        val pick = picks.head
+        val (vid, dist, qv) =
+          (pick.getLong(0), pick.getLong(2), pick.getSeq[Long](1))
+        selected ::= ((r, vid, Some(dist)))
+        selIds += vid
+        if (r < k) md = graft.plans.Materialize(kcenterRoundUpdate(md, qv))
+      }
     }
-    selected.reverse
-      .map { case (o, v, rad) => (o, v, rad) }
-      .toDF("sel_order", "vec_id", "radius_d2")
-      .select(col("sel_order"), col("vec_id"),
-        col("radius_d2").cast("long").as("radius_d2"))
+    selected.reverse.toDF("sel_order", "vec_id", "radius_d2")
   }
 
   /** How many `nPlanes`-bit hash tables does a target recall need?

@@ -224,21 +224,6 @@ object Sequence {
       .select(col("topic"), col("label").as("community"), col("n_members"))
   }
 
-  /** Top-`topN` parts by triangle participation in the co-order part
-    * graph (parts adjacent when some order contains both; orders
-    * deterministically sampled by `orderkey % 10 = 0` so the demo
-    * graph stays bounded) — the degree-ORIENTED node-iterator
-    * (Chiba–Nishizeki orientation; Suri & Vassilvitskii's MapReduce
-    * formulation): orient each edge from its lower (degree, id)
-    * endpoint, build wedges only at each pair's apex, close them
-    * against the oriented edge list. Orientation is what makes this
-    * survive 100 TB: wedge volume is bounded by O(m^{3/2}) REGARDLESS
-    * of skew — a hub of degree D spawns no wedges unless both spokes
-    * out-rank it, so a hot part cannot trigger a neighborhood
-    * cross-product. Execution is edge-bounded hash joins + one
-    * map-side-combined count; each triangle {apex,a,b} is found
-    * exactly once and credited to all three corners. Everything is
-    * integer counting — the DuckDB oracle replays it exactly. */
   /** ONE spelling of the sampled co-order part graph (parts adjacent
     * when some sampled order contains both; u < v, distinct) — shared
     * by [[triangles]] and [[kcorePeel]] so the two graph rows can
@@ -254,6 +239,21 @@ object Sequence {
       .distinct()
   }
 
+  /** Top-`topN` parts by triangle participation in the co-order part
+    * graph (parts adjacent when some order contains both; orders
+    * deterministically sampled by `orderkey % 10 = 0` so the demo
+    * graph stays bounded) — the degree-ORIENTED node-iterator
+    * (Chiba–Nishizeki orientation; Suri & Vassilvitskii's MapReduce
+    * formulation): orient each edge from its lower (degree, id)
+    * endpoint, build wedges only at each pair's apex, close them
+    * against the oriented edge list. Orientation is what makes this
+    * survive 100 TB: wedge volume is bounded by O(m^{3/2}) REGARDLESS
+    * of skew — a hub of degree D spawns no wedges unless both spokes
+    * out-rank it, so a hot part cannot trigger a neighborhood
+    * cross-product. Execution is edge-bounded hash joins + one
+    * map-side-combined count; each triangle {apex,a,b} is found
+    * exactly once and credited to all three corners. Everything is
+    * integer counting — the DuckDB oracle replays it exactly. */
   def triangles(spark: SparkSession, dir: String, topN: Int = 10): DataFrame =
     trianglesOf(coOrderEdges(spark, dir), topN)
 

@@ -1051,26 +1051,21 @@ class PlanAuditSpec extends SparkSpec {
       s"query-bounded margin join stayed a sort-merge at runtime:\n$finalPlan")
   }
 
-  test("k-center coreset: the per-round update is join-free, argmax is a 1-row top-k") {
-    val df = graft.operators.Ann.coresetKcenterOf(
-      Tables.embeddings(spark, sfDir), 3)
-    // the OUTPUT frame is a driver-built k-row catalog; the real
-    // contract is the round plumbing, which the operator runs while
-    // building it — assert on the state frame instead
+  test("k-center coreset: the REAL per-round update plans no join") {
+    import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir)
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        graft.functions.VectorFunctions.quantize(
-          org.apache.spark.sql.functions.col("embedding")).as("qv"))
-    assert(df.collect().length == 3)
-    // a literal-center distance update plans no join at all
-    val upd = e.select(org.apache.spark.sql.functions.col("vec_id"),
-      org.apache.spark.sql.functions.aggregate(
-        org.apache.spark.sql.functions.zip_with(
-          org.apache.spark.sql.functions.col("qv"),
-          org.apache.spark.sql.functions.typedLit(Seq.fill(64)(0L)),
-          (x, y) => (x - y) * (x - y)),
-        org.apache.spark.sql.functions.lit(0L), (a, x) => a + x).as("d2"))
-    assert(!physical(upd).contains("Join"), physical(upd))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+    val md = e.withColumn("min_d2", lit(0L))
+    // audit the operator's own update spelling (kcenterRoundUpdate is
+    // the single method the loop calls), against a live center vector
+    val center = e.orderBy(col("vec_id")).limit(1).head().getSeq[Long](1)
+    val upd = graft.operators.Ann.kcenterRoundUpdate(md, center)
+    assert(!physical(upd).contains("Join"),
+      s"literal-center update grew a join:\n${physical(upd)}")
+    // and the operator end-to-end still yields the k-row catalog
+    assert(graft.operators.Ann.coresetKcenterOf(
+      Tables.embeddings(spark, sfDir), 3).collect().length == 3)
   }
 
   test("apdex: one map-side combined aggregate, zero joins") {
