@@ -2550,6 +2550,30 @@ FROM cf"""
       |  CAST(max(re * re + im * im) AS BIGINT) AS tone_power_max
       |FROM w GROUP BY 1""".stripMargin
 
+  /** q_media_entropy: the per-clip sample-distribution entropy
+    * rebuilt relationally from the GA01 doc_id formula — 256-level
+    * bucket census, then the half-bit floor per bucket via
+    * hlogT/hlogFinish in HUGEINT (mirroring halfLog2Big), mass and
+    * ppm mean as exact integer ops. */
+  def mediaEntropy: String =
+    "WITH " + ga01SignalCtes + """,
+      | bk AS (SELECT id, (x + 32768) // 256 AS bucket FROM v),
+      | cts AS (SELECT id, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+      | nn AS (SELECT id, CAST(sum(c) AS BIGINT) AS n FROM cts GROUP BY 1),
+      | tt AS (SELECT cts.id, cts.c, nn.n,
+      |   """.stripMargin + hlogT("nn.n", "cts.c") + """ AS t
+      |  FROM cts JOIN nn ON nn.id = cts.id),
+      | hh AS (SELECT id, c, n, t, (c << t) AS qq FROM tt),
+      | hb AS (SELECT id, c, n,
+      |   """.stripMargin + hlogFinish("n", "t", "qq") + """ AS h FROM hh)
+      |SELECT id AS doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+      | CAST(count(*) AS BIGINT) AS n_buckets,
+      | CAST(max(c) AS BIGINT) AS top_bucket,
+      | CAST(sum(c * h) AS BIGINT) AS entropy_mass,
+      | CAST(CAST(sum(c * h) AS HUGEINT) * 1000000 //
+      |   CAST(max(n) AS HUGEINT) AS BIGINT) AS mean_halfbits_ppm
+      |FROM hb GROUP BY 1""".stripMargin
+
   /** q_media_vad: the VAD run structure rebuilt relationally from the
     * GA01 doc_id formula — per-window Σ|x| from first principles,
     * threshold compare, gaps-and-islands for segments/longest run and

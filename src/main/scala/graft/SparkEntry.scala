@@ -205,6 +205,7 @@ object SparkEntry {
     "q_doc_entropy" -> ((s, d) => CorpusStats.docEntropy(s, d)),
     "q_media_vad" -> ((s, d) => Multimodal.mediaVad(s, d)),
     "q_media_zcr" -> ((s, d) => Multimodal.mediaZcr(s, d)),
+    "q_media_entropy" -> ((s, d) => Multimodal.mediaEntropy(s, d)),
     "q_media_tone" -> ((s, d) => Multimodal.mediaTone(s, d)),
     "q_judge_agreement" -> ((s, d) => TextAnalysis.judgeAgreement(s, d)),
     "q_threshold_sweep" -> ((s, d) => TextAnalysis.thresholdSweep(s, d)),
@@ -2242,6 +2243,7 @@ object SparkEntry {
         .replace("FROMCHARS", TextAnalysis.ConfusableFrom)
         .replace("TOCHARS", TextAnalysis.ConfusableTo)),
     "q_media_phash" -> OracleSql.mediaPhash,
+    "q_media_entropy" -> OracleSql.mediaEntropy,
     "q_media_hamming_sweep" -> OracleSql.mediaHammingSweep(Seq(1, 2, 3, 5, 8)),
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

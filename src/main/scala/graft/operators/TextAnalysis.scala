@@ -3912,6 +3912,49 @@ object Multimodal {
         "n_cross", "max_cross_win", "zcr_ppm")
   }
 
+  /** Sample-distribution ENTROPY per clip — the INTEGRITY leg of the
+    * audio census (energy/silence say how loud; THIS says whether the
+    * payload still looks like a signal at all): bucket every sample
+    * to 256 levels ((x + 32768) >> 8) and report the exact half-bit
+    * entropy mass Σ c·⌊2·log₂(N/c)⌋ over the bucket census (the
+    * docEntropy kernel applied to samples — halfLog2Big, the same
+    * BigInt floor the SQL twin mirrors in HUGEINT) plus its per-sample
+    * ppm mean. A dead/stuck channel collapses to one bucket (mass 0),
+    * healthy wideband noise reads near the 16-half-bit ceiling,
+    * heavy silence padding sits between — the corruption triage a
+    * media ingest runs before paying for feature extraction.
+    * Row-local per-partition decode, zero shuffle. */
+  def mediaEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, xs) = ga01Decode(bytes)
+        val hist = new Array[Long](256)
+        var i = 0
+        while (i < xs.length) {
+          hist((xs(i) + 32768) >> 8) += 1
+          i += 1
+        }
+        val n = xs.length.toLong
+        var mass = 0L
+        var nBuckets = 0L
+        var topBucket = 0L
+        var b = 0
+        while (b < 256) {
+          val cnt = hist(b)
+          if (cnt > 0L) {
+            nBuckets += 1
+            if (cnt > topBucket) topBucket = cnt
+            mass += cnt * graft.operators.CorpusStats.halfLog2Big(n, cnt)
+          }
+          b += 1
+        }
+        (id, n, nBuckets, topBucket, mass,
+          if (n > 0L) Some(mass * 1000000L / n) else None)
+      }).toDF("doc_id", "n_samples", "n_buckets", "top_bucket",
+        "entropy_mass", "mean_halfbits_ppm")
+  }
+
   /** Exact single-bin DFT tone power at fs/4 per [[Ga01Window]] — the
     * frequency-domain leg of the audio census ([[mediaZcr]] proxies
     * spectral content ordinally; THIS measures one bin exactly): at

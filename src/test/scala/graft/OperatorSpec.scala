@@ -3295,4 +3295,34 @@ class OperatorSpec extends SparkSpec {
     assert(!got.contains(1L) && !got.contains(5L))
     assert(got.size == 4)
   }
+
+  test("mediaEntropy equals a driver rebuild: bucket census, exact half-bit mass") {
+    val got = Multimodal.mediaEntropy(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    ids.take(50).foreach { id =>
+      val n = (512 + (id % 7) * 256).toInt
+      val xs = Array.tabulate(n) { i =>
+        if ((id + i / Multimodal.Ga01Window) % 4 == 0L) 0L
+        else ((id * 7349L + i * 104729L) % 65536L) - 32768L
+      }
+      val hist = new Array[Long](256)
+      xs.foreach(x => hist(((x + 32768L) >> 8).toInt) += 1)
+      val mass = hist.filter(_ > 0L)
+        .map(c => c * graft.operators.CorpusStats.halfLog2Big(n.toLong, c)).sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("n_buckets") == hist.count(_ > 0L).toLong)
+      assert(r.getAs[Long]("top_bucket") == hist.max)
+      assert(r.getAs[Long]("entropy_mass") == mass, s"doc $id mass")
+      assert(r.getAs[Long]("mean_halfbits_ppm") == mass * 1000000L / n)
+    }
+    // non-vacuity: silence padding concentrates mass in the zero
+    // bucket, so the per-sample mean varies across clips and never
+    // reaches the flat-noise 16-half-bit ceiling exactly
+    val means = got.values.map(_.getAs[Long]("mean_halfbits_ppm")).toSet
+    assert(means.size > 1, "entropy mean is constant across clips")
+  }
 }
