@@ -278,6 +278,7 @@ object SparkEntry {
     "q_forget" -> ((s, d) => Sampling.forgetDocs(s, d)),
     "q_pack" -> ((s, d) => Sampling.packSequences(s, d)),
     "q_pack_sweep" -> ((s, d) => Sampling.packSweep(s, d)),
+    "q_source_gini" -> ((s, d) => Sampling.sourceGini(s, d)),
     "q_source_mixture" -> ((s, d) => Sampling.sourceMixture(s, d)),
     "q_mixture_temperature" -> ((s, d) => Sampling.mixtureTemperature(s, d)),
     "q_hash_sample" -> ((s, d) => Sampling.hashSample(s, d)),
@@ -1532,6 +1533,22 @@ object SparkEntry {
         |  CAST(coalesce(c.n_bytes, 0) AS DOUBLE) * 32
         |    / CAST(t.total_bytes AS DOUBLE) AS load_ratio
         |FROM g LEFT JOIN c USING (shard), t""".stripMargin,
+    // source Gini: exact rank-form inequality over per-source token
+    // mass, ascending (mass, source) total order, HUGEINT ppm floor
+    "q_source_gini" ->
+      """WITH m AS (SELECT source, CAST(sum(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))
+        |    AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        | r AS (SELECT mass, row_number() OVER
+        |   (ORDER BY mass ASC, source ASC) AS i FROM m)
+        |SELECT count(*) AS n_sources,
+        | CAST(sum(mass) AS BIGINT) AS total_tokens,
+        | CAST(CAST(2 * sum(i * mass) - (count(*) + 1) * sum(mass)
+        |     AS HUGEINT) * 1000000 //
+        |   nullif(CAST(count(*) AS HUGEINT) *
+        |     CAST(sum(mass) AS HUGEINT), 0) AS BIGINT) AS gini_ppm
+        |FROM r""".stripMargin,
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars

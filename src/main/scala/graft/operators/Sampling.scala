@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -449,5 +450,38 @@ object Sampling {
             s"CAST(n_tokens AS $d38) AS BIGINT)")))
       .select(col("source"), col("n_tokens"), col("cap_tokens"),
         col("budget"), col("capped"), col("alloc_tokens"), col("epochs_ppm"))
+  }
+  /** Source-imbalance GINI coefficient — the one-scalar inequality
+    * panel next to the mixture tables (q_source_mixture says who has
+    * what; THIS says how lopsided the whole corpus is, the number a
+    * curator tracks release over release): Gini over per-source token
+    * mass via the exact rank form G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx)
+    * with masses sorted ascending and ties broken by source name (a
+    * deterministic total order, so the rank sum is engine-exact),
+    * reported as a DECIMAL(38,0) ppm floor. 0 = perfectly balanced,
+    * →1 = one source holds everything.
+    *
+    * One map-side combined per-source aggregate (shuffle ∝ #sources),
+    * a rank window over the #sources-row frame, one 1-row fold. */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame =
+    sourceGiniOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceGiniOf(docs: DataFrame): DataFrame = {
+    val mass = docs
+      .select(col("source"),
+        size(filter(T.tokens(col("text")), t => t =!= ""))
+          .cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("mass"))
+    val w = Window.orderBy(col("mass").asc, col("source").asc)
+    mass.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("mass")).as("total_tokens"),
+        sum(col("i") * col("mass")).as("ixm"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("CAST((CAST(2 * ixm - (n_sources + 1) * total_tokens" +
+          " AS DECIMAL(38,0)) * 1000000) DIV nullif(" +
+          "CAST(n_sources AS DECIMAL(38,0)) *" +
+          " CAST(total_tokens AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("gini_ppm"))
   }
 }

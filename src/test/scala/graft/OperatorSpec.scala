@@ -12,7 +12,12 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("every declared query runs and every oracle key has a query") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // EXACT 1:1 — a query without an oracle is an unchecked operator,
+    // an oracle without a query is a dead entry; both are protocol
+    // violations the driver would surface late and confusingly
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"onlyQueries=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet} " +
+        s"onlyOracle=${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
   }
 
   test("azure value shaping follows the reference rules") {
@@ -3324,5 +3329,21 @@ class OperatorSpec extends SparkSpec {
     // reaches the flat-noise 16-half-bit ceiling exactly
     val means = got.values.map(_.getAs[Long]("mean_halfbits_ppm")).toSet
     assert(means.size > 1, "entropy mean is constant across clips")
+  }
+
+  test("source gini: planted masses give the exact rank-form coefficient") {
+    import spark.implicits._
+    // masses 1,1,1,1 -> perfectly balanced, gini 0
+    val bal = Seq(("s1", "a"), ("s2", "a"), ("s3", "a"), ("s4", "a"))
+      .toDF("source", "text")
+    val b = graft.operators.Sampling.sourceGiniOf(bal).collect().head
+    assert(b.getAs[Long]("n_sources") == 4L)
+    assert(b.getAs[Long]("gini_ppm") == 0L)
+    // masses 1,1,6 sorted asc: G = (2*(1+2+18) - 4*8)/(3*8) = 10/24
+    val skew = Seq(("s1", "a"), ("s2", "a"),
+      ("s3", "a a a a a a")).toDF("source", "text")
+    val s = graft.operators.Sampling.sourceGiniOf(skew).collect().head
+    assert(s.getAs[Long]("total_tokens") == 8L)
+    assert(s.getAs[Long]("gini_ppm") == 416666L)  // floor(10e6/24)
   }
 }
