@@ -2773,22 +2773,34 @@ FROM cf"""
 
   /** q_slo_burn: multiwindow burn panel stamped from the SAME
     * budget/threshold constants the operator and the streaming gauge
-    * use. */
+    * use. The grid is GAP-FILLED (explicit zero rows for silent hours
+    * between min and max — mirroring Alerting.gapFilledErrorGrid), so
+    * the trailing ROWS frames are wall-clock windows; zero-traffic
+    * windows carry NULL burn and are never hot (the t > 0 guards). */
   def sloBurn: String = {
     import graft.operators.Alerting._
     val bud = SloBudgetPpm
     def hot(e: String, t: String, thrC: Long) =
-      s"CAST($e AS HUGEINT) * 100000000 >= CAST($t AS HUGEINT) * ${thrC * bud}"
+      s"($t > 0 AND CAST($e AS HUGEINT) * 100000000 >= " +
+        s"CAST($t AS HUGEINT) * ${thrC * bud})"
     def ppm(e: String, t: String) =
-      s"CAST(CAST($e AS HUGEINT) * 1000000000000 // " +
-        s"(CAST($t AS HUGEINT) * $bud) AS BIGINT)"
+      s"CASE WHEN $t > 0 THEN CAST(CAST($e AS HUGEINT) * 1000000000000 // " +
+        s"(CAST($t AS HUGEINT) * $bud) AS BIGINT) END"
     s"""WITH $sloGridCte,
+      | span AS (SELECT min(window_start) AS lo, max(window_start) AS hi
+      |  FROM c),
+      | grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |   AS window_start FROM span WHERE lo IS NOT NULL),
+      | cf AS (SELECT g.window_start,
+      |   CAST(coalesce(c.total, 0) AS BIGINT) AS total,
+      |   CAST(coalesce(c.errs, 0) AS BIGINT) AS errs
+      |  FROM grid g LEFT JOIN c ON c.window_start = g.window_start),
       | w AS (SELECT window_start, total, errs,
       |   CAST(sum(errs) OVER t6 AS BIGINT) AS e6,
       |   CAST(sum(total) OVER t6 AS BIGINT) AS t6v,
       |   CAST(sum(errs) OVER t24 AS BIGINT) AS e24,
       |   CAST(sum(total) OVER t24 AS BIGINT) AS t24v
-      |  FROM c WINDOW
+      |  FROM cf WINDOW
       |   t6 AS (ORDER BY window_start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
       |   t24 AS (ORDER BY window_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
       |SELECT window_start, total, errs,

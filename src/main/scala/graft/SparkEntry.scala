@@ -1534,10 +1534,13 @@ object SparkEntry {
         |    / CAST(t.total_bytes AS DOUBLE) AS load_ratio
         |FROM g LEFT JOIN c USING (shard), t""".stripMargin,
     // source Gini: exact rank-form inequality over per-source token
-    // mass, ascending (mass, source) total order, HUGEINT ppm floor
+    // mass, ascending (mass, source) total order, HUGEINT ppm floor.
+    // Per-doc count coalesced to 0 on NULL text (mirrors the operator):
+    // a NULL mass would sort NULLS FIRST in Spark / LAST in DuckDB and
+    // shift every other source's rank
     "q_source_gini" ->
-      """WITH m AS (SELECT source, CAST(sum(len(list_filter(
-        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))
+      """WITH m AS (SELECT source, CAST(sum(coalesce(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')), 0))
         |    AS BIGINT) AS mass
         |  FROM documents GROUP BY 1),
         | r AS (SELECT mass, row_number() OVER

@@ -81,7 +81,14 @@ object Alerting {
     // Catalyst plans a broadcast nested-loop over the 2-row catalog
     val breach = counts
       .join(rules, counts("msg_count") >= rules("threshold"))
-      .withColumn("hr", expr("unix_timestamp(window_start) div 3600"))
+      // FLOOR-division hour index (pmod is non-negative, so the
+      // subtraction lands on the floor multiple before the exact DIV):
+      // the oracle floors (epoch_us // 3600000000) and `div` truncates
+      // toward zero, which diverges on pre-1970 timestamps — the run
+      // grouping must agree cross-engine on ANY clock
+      .withColumn("hr", expr(
+        "(unix_timestamp(window_start) - " +
+          "pmod(unix_timestamp(window_start), 3600)) DIV 3600"))
     val w = Window.partitionBy(col("rule_id"), col("topic"))
       .orderBy(col("hr"))
     breach.withColumn("grp", col("hr") - row_number().over(w))
@@ -125,7 +132,10 @@ object Alerting {
   }
 
   /** Multiwindow-multiburn SLO panel (Google SRE workbook ch. 5): per
-    * hour, the error-budget burn rate over the trailing 1h/6h/24h
+    * hour of the GAP-FILLED grid (a silent hour is an explicit
+    * zero-traffic row — [[gapFilledErrorGrid]] — so the trailing
+    * frames are wall-clock windows, not active-hour windows), the
+    * error-budget burn rate over the trailing 1h/6h/24h
     * windows — burn = error_ratio / budget, reported as an exact
     * fixed-point ppm floor over DECIMAL(38,0) cross products (DuckDB
     * mirrors in HUGEINT), PAGE when the 1h AND 6h windows both exceed
@@ -211,15 +221,38 @@ object Alerting {
       .agg(count(lit(1)).as("total"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
 
-  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
+  /** The error grid made DENSE over [min, max] observed hours: a
+    * silent hour carries an explicit (0, 0) row, so [[sloBurnOf]]'s
+    * trailing 6h/24h ROWS frames are true WALL-CLOCK windows — on
+    * sparse traffic the un-filled form would let a "trailing 6h" burn
+    * span days of silence and skew page/warn timing. The span fold is
+    * one 1-row aggregate; the generated grid is time-bounded (720
+    * rows/month), never event-bounded. */
+  private def gapFilledErrorGrid(events: DataFrame): DataFrame = {
     val grid = errorGridOf(events)
+    val hours = grid
+      .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("window_start"))
+    hours.join(grid, Seq("window_start"), "left")
+      .select(col("window_start"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("errs"), lit(0L)).as("errs"))
+  }
+
+  private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
+    val grid = gapFilledErrorGrid(events)
     val w = Window.orderBy(col("window_start"))
     def trail(c: String, back: Int) = sum(col(c)).over(w.rowsBetween(-back, 0))
+    // a zero-traffic window has no error RATIO: the burn is NULL (not
+    // zero, not hot) — the t > 0 guards keep a silent hour from either
+    // dividing by zero or reading "hot" off the vacuous 0 >= 0
     def burnPpm(e: String, t: String) = expr(
-      s"CAST((CAST($e AS DECIMAL(38,0)) * 1000000000000) DIV " +
-        s"(CAST($t AS DECIMAL(38,0)) * $SloBudgetPpm) AS BIGINT)")
+      s"CASE WHEN $t > 0 THEN " +
+        s"CAST((CAST($e AS DECIMAL(38,0)) * 1000000000000) DIV " +
+        s"(CAST($t AS DECIMAL(38,0)) * $SloBudgetPpm) AS BIGINT) END")
     def hot(e: String, t: String, thrC: Long) = expr(
-      s"CAST($e AS DECIMAL(38,0)) * 100000000 >= " +
+      s"$t > 0 AND CAST($e AS DECIMAL(38,0)) * 100000000 >= " +
         s"CAST($t AS DECIMAL(38,0)) * ${thrC * SloBudgetPpm}")
     grid
       .withColumn("e6", trail("errs", 5)).withColumn("t6", trail("total", 5))

@@ -1033,9 +1033,18 @@ object Analytics {
   def snapshotDiffOf(v1: DataFrame, v2: DataFrame, key: String,
                      compare: Seq[String]): DataFrame = {
     require(compare.nonEmpty, "empty compare column list")
-    val a = v1.select(col(key).as("k") +:
+    // NON-NULL KEY CONTRACT, enforced loud: a NULL key never matches
+    // itself under the full-outer equi-join, so the row would classify
+    // as one "added" AND one "removed" — a phantom churn pair no CDC
+    // consumer should ever see silently
+    def keyed(c: org.apache.spark.sql.Column) =
+      when(c.isNull, raise_error(lit(
+        s"snapshotDiffOf: NULL '$key' — the CDC view requires " +
+          "non-null keys (a NULL never equi-joins to itself)")))
+        .otherwise(c)
+    val a = v1.select(keyed(col(key)).as("k") +:
       compare.map(c => col(c).as(s"a_$c")): _*)
-    val b = v2.select(col(key).as("k") +:
+    val b = v2.select(keyed(col(key)).as("k") +:
       compare.map(c => col(c).as(s"b_$c")): _*)
     val aK = a.withColumn("in_a", lit(true))
     val bK = b.withColumn("in_b", lit(true))

@@ -467,9 +467,13 @@ object Sampling {
     sourceGiniOf(Tables.documents(spark, dir))
 
   private[graft] def sourceGiniOf(docs: DataFrame): DataFrame = {
+    // NULL-text docs carry ZERO mass (coalesce): without it a source
+    // whose docs are all NULL sums to a NULL mass, and Spark's ASC
+    // window sorts NULLs first while DuckDB sorts them last — every
+    // other source's rank i (and so gini_ppm) would shift cross-engine
     val mass = docs
       .select(col("source"),
-        size(filter(T.tokens(col("text")), t => t =!= ""))
+        coalesce(size(filter(T.tokens(col("text")), t => t =!= "")), lit(0))
           .cast("long").as("tk"))
       .groupBy(col("source")).agg(sum(col("tk")).as("mass"))
     val w = Window.orderBy(col("mass").asc, col("source").asc)

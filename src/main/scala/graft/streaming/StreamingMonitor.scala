@@ -43,8 +43,8 @@ final case class HourCell(window_start: java.sql.Timestamp,
   * q_slo_burn output, emitted once per sealed hour. */
 final case class SloBurnRow(window_start: java.sql.Timestamp,
                             total: Long, errs: Long,
-                            burn_1h_ppm: Long, burn_6h_ppm: Long,
-                            burn_24h_ppm: Long,
+                            burn_1h_ppm: Option[Long], burn_6h_ppm: Option[Long],
+                            burn_24h_ppm: Option[Long],
                             page: Boolean, warn: Boolean)
 
 /** Live error-budget ledger row — the streaming twin of the batch
@@ -488,7 +488,9 @@ object StreamingMonitor {
         (topic, rows, state: GroupState[Map[String, (Long, Int)]]) =>
           var st = state.getOption.getOrElse(Map.empty[String, (Long, Int)])
           val out = rows.toSeq.sortBy(_.window_start.getTime).flatMap { r =>
-            val hr = r.window_start.getTime / 3600000L
+            // floorDiv: the batch side floors its hour index too — a
+            // truncating `/` would disagree on pre-1970 clocks
+            val hr = Math.floorDiv(r.window_start.getTime, 3600000L)
             rules.flatMap { case (ruleId, threshold, forN) =>
               if (r.msg_count >= threshold) {
                 val run = st.get(ruleId) match {
@@ -510,9 +512,12 @@ object StreamingMonitor {
   /** Live multiwindow SLO burn gauge — the streaming twin of the
     * batch [[graft.operators.Alerting.sloBurn]] panel. The SLO is
     * service-GLOBAL, so the stream groups under one logical key whose
-    * state is the trailing ≤ 23 sealed (errs, total) pairs — constant
-    * size, never window history (the batch side's 24-row frame,
-    * carried instead of recomputed). Every burn ppm and flag is the
+    * state is the frontier hour plus the trailing ≤ 24 sealed
+    * (errs, total) cells — constant size, never window history (the
+    * batch side's gap-filled 24-row frame, carried instead of
+    * recomputed). A gap in the arriving grid BACK-FILLS explicit
+    * zero-traffic rows first (the batch gapFilledErrorGrid mirror), so
+    * the trailing frames stay wall-clock windows on sparse traffic. Every burn ppm and flag is the
     * SAME exact integer arithmetic as the batch row (BigInt driver
     * math ≡ the DECIMAL(38,0) floors — asserted by spec over the full
     * grid, flags in both polarities). Windows are processed in
@@ -526,29 +531,47 @@ object StreamingMonitor {
     import cells.sparkSession.implicits._
     import graft.operators.Alerting._
     cells.groupByKey(_ => true)
-      .flatMapGroupsWithState[Vector[(Long, Long)], SloBurnRow](
+      .flatMapGroupsWithState[(Long, Vector[(Long, Long)]), SloBurnRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_, rows, state: GroupState[Vector[(Long, Long)]]) =>
-          var hist = state.getOption.getOrElse(Vector.empty) // oldest first
-          val out = rows.toSeq.sortBy(_.window_start.getTime).map { c =>
-            hist = (hist :+ ((c.errs, c.total))).takeRight(24)
+        (_, rows, state: GroupState[(Long, Vector[(Long, Long)])]) =>
+          // state = (frontier hour index, trailing <=24 sealed cells
+          // oldest-first). The frontier lets a gap BACK-FILL zero
+          // cells, so the trailing frames stay wall-clock hours — the
+          // batch panel's gap-filled grid, carried instead of rebuilt.
+          var (frontier, hist) =
+            state.getOption.getOrElse((Long.MinValue, Vector.empty[(Long, Long)]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SloBurnRow]
+          def emit(ms: Long, errs: Long, total: Long): Unit = {
+            hist = (hist :+ ((errs, total))).takeRight(24)
             def win(n: Int): (Long, Long) = {
               val w = hist.takeRight(n)
               (w.map(_._1).sum, w.map(_._2).sum)
             }
             val (e6, t6) = win(6)
             val (e24, t24) = win(24)
-            def ppm(e: Long, t: Long): Long =
-              (BigInt(e) * BigInt(1000000000000L) /
-                (BigInt(t) * SloBudgetPpm)).toLong
+            // a zero-traffic window has no error ratio: NULL burn,
+            // never hot — the batch t > 0 guards, verbatim
+            def ppm(e: Long, t: Long): Option[Long] =
+              if (t > 0) Some((BigInt(e) * BigInt(1000000000000L) /
+                (BigInt(t) * SloBudgetPpm)).toLong)
+              else None
             def hot(e: Long, t: Long, thrC: Long): Boolean =
-              BigInt(e) * 100000000L >= BigInt(t) * (thrC * SloBudgetPpm)
-            SloBurnRow(c.window_start, c.total, c.errs,
-              ppm(c.errs, c.total), ppm(e6, t6), ppm(e24, t24),
-              hot(c.errs, c.total, BurnPageShortC) && hot(e6, t6, BurnPageLongC),
+              t > 0 && BigInt(e) * 100000000L >= BigInt(t) * (thrC * SloBudgetPpm)
+            out += SloBurnRow(new java.sql.Timestamp(ms), total, errs,
+              ppm(errs, total), ppm(e6, t6), ppm(e24, t24),
+              hot(errs, total, BurnPageShortC) && hot(e6, t6, BurnPageLongC),
               hot(e6, t6, BurnPageLongC) && hot(e24, t24, BurnWarnLongC))
           }
-          state.update(hist)
+          rows.toSeq.sortBy(_.window_start.getTime).foreach { c =>
+            val h = Math.floorDiv(c.window_start.getTime, 3600000L)
+            if (frontier != Long.MinValue) {
+              var s = frontier + 1
+              while (s < h) { emit(s * 3600000L, 0L, 0L); s += 1 }
+            }
+            emit(c.window_start.getTime, c.errs, c.total)
+            frontier = math.max(frontier, h)
+          }
+          state.update((frontier, hist))
           out.iterator
       }
   }

@@ -2948,6 +2948,38 @@ class OperatorSpec extends SparkSpec {
     assert(!got(0L).getAs[Boolean]("warn"))  // 1/10 everywhere: 0.5x
   }
 
+  test("slo burn: silent hours gap-fill, so trailing windows are wall-clock") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // hour 0 burns hot (9/10 errors); hours 1..6 silent; hour 7 clean
+    val events = (Seq.fill(9)(("error", ts(0))) ++ Seq.fill(1)(("view", ts(0))) ++
+      Seq.fill(10)(("view", ts(7))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Alerting.sloBurnOf(events).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L -> r).toMap
+    // every hour of the span is a row — silent hours are explicit zeros
+    assert(got.keySet == (0L to 7L).toSet)
+    val silent = got(3L)
+    assert(silent.getAs[Long]("total") == 0L)
+    // zero traffic has no error RATIO: NULL 1h burn, so the silent
+    // hour can never PAGE (the 1h leg is un-hot by the t > 0 guard) —
+    // but its trailing 6h/24h windows still see hour 0's errors, so
+    // WARN legitimately stays up through the silence
+    assert(silent.isNullAt(silent.fieldIndex("burn_1h_ppm")))
+    assert(!silent.getAs[Boolean]("page"))
+    assert(silent.getAs[Boolean]("warn"))
+    // WALL-CLOCK trailing 6h: at hour 5 the window is hours 0..5 =
+    // 9/10 errors -> 4.5x burn; at hour 6 (hours 1..6, all silent) the
+    // 6h burn is NULL — the un-filled active-hour form would have kept
+    // hour 0 inside "the trailing 6h" forever
+    assert(got(5L).getAs[Long]("burn_6h_ppm") == 4500000L)
+    assert(got(6L).isNullAt(got(6L).fieldIndex("burn_6h_ppm")))
+    // hour 7: 6h window = hours 2..7 = 0/10 errors -> 0 burn
+    assert(got(7L).getAs[Long]("burn_6h_ppm") == 0L)
+    // 24h at hour 7 still sees hour 0: 9/20 -> 2.25x
+    assert(got(7L).getAs[Long]("burn_24h_ppm") == 2250000L)
+  }
+
 
   test("template census: planted edge anchors count templates exactly") {
     import spark.implicits._
@@ -3301,6 +3333,21 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("snapshot diff: a NULL key fails loud instead of phantom add+remove") {
+    import spark.implicits._
+    val v1 = Seq((Some(1L), "A"), (None: Option[Long], "B"))
+      .toDF("k", "status")
+    val v2 = Seq((Some(1L), "A")).toDF("k", "status")
+    val e = intercept[Exception] {
+      graft.operators.Analytics
+        .snapshotDiffOf(v1, v2, "k", Seq("status")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL 'k'")), msgs(e).mkString(" | "))
+  }
+
   test("mediaEntropy equals a driver rebuild: bucket census, exact half-bit mass") {
     val got = Multimodal.mediaEntropy(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -3345,5 +3392,15 @@ class OperatorSpec extends SparkSpec {
     val s = graft.operators.Sampling.sourceGiniOf(skew).collect().head
     assert(s.getAs[Long]("total_tokens") == 8L)
     assert(s.getAs[Long]("gini_ppm") == 416666L)  // floor(10e6/24)
+    // a NULL-text source carries ZERO mass (not NULL): it must rank
+    // FIRST under ASC in both engines, not NULLS-first here and
+    // NULLS-last in the oracle — masses (0,1,6), n=3:
+    // G = (2*(0+2+18) - 4*7)/(3*7) = 12/21
+    val nul = Seq(("s0", null: String), ("s1", "a"),
+      ("s2", "a a a a a a")).toDF("source", "text")
+    val g = graft.operators.Sampling.sourceGiniOf(nul).collect().head
+    assert(g.getAs[Long]("n_sources") == 3L)
+    assert(g.getAs[Long]("total_tokens") == 7L)
+    assert(g.getAs[Long]("gini_ppm") == 571428L)  // floor(12e6/21)
   }
 }

@@ -3123,9 +3123,12 @@ class StreamingSpec extends SparkSpec {
         input.addData(chunk.reverse.toIndexedSeq: _*)
         q.processAllAvailable()
       }
+      // Option getters: silent hours of the gap-filled grid carry
+      // NULL burns on both sides
       def key(r: org.apache.spark.sql.Row) =
-        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7))
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          r.getBoolean(6), r.getBoolean(7))
       val streamed = spark.table("slo_t").collect().map(key).toSet
       val batch = graft.operators.Alerting.sloBurn(spark, sfDir).collect()
         .map(key).toSet
@@ -3135,6 +3138,43 @@ class StreamingSpec extends SparkSpec {
       // polarities actually occur on the corpus
       assert(streamed.exists(_._7) && streamed.exists(!_._7), "page invariant")
       assert(streamed.exists(_._8) && streamed.exists(!_._8), "warn invariant")
+    } finally q.stop()
+  }
+
+  test("streaming SLO burn gauge back-fills silent hours like the batch gap-filled grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // active cells at hours 0 and 7 only — the gauge must back-fill
+    // the six silent hours so its trailing frames stay wall-clock
+    val events = (Seq.fill(9)(("error", ts(0))) ++ Seq.fill(1)(("view", ts(0))) ++
+      Seq.fill(10)(("view", ts(7)))).toDF("event_type", "ts")
+    val cells = Seq(
+      graft.streaming.HourCell(ts(0), 10L, 9L),
+      graft.streaming.HourCell(ts(7), 10L, 0L))
+    val input = MemoryStream[graft.streaming.HourCell]
+    val q = StreamingMonitor.sloBurnGauge(input.toDS())
+      .writeStream.format("memory").queryName("slo_gap_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the two active cells arrive in DIFFERENT batches: the back-fill
+      // must work off carried state, not in-batch context
+      cells.foreach { c => input.addData(c); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          r.getBoolean(6), r.getBoolean(7))
+      val streamed = spark.table("slo_gap_t").collect().map(key).toSet
+      val batch = graft.operators.Alerting.sloBurnOf(events).collect()
+        .map(key).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      assert(streamed.size == 8, "all 8 wall-clock hours emitted")
+      // a silent hour reads NULL 1h burn and can never PAGE (warn may
+      // stay up — its trailing windows still see hour 0's errors)
+      assert(streamed.exists(r => r._1 == ts(3).getTime && r._2 == 0L &&
+        r._4.isEmpty && !r._7))
     } finally q.stop()
   }
 
