@@ -768,19 +768,7 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     * vec_id, dot_q)`. Used by [[lshTopK]] (q_ann_lsh) and
     * [[annRecall]] (q_ann_recall). */
   private def lshCtes(nQueries: Int): String =
-    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-      | FROM embeddings),
-      | pr AS (SELECT vec_id, j,
-      |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
-      |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
-      |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
-      | f AS MATERIALIZED (SELECT vec_id,
-      |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
-      |     ELSE 0 END) AS BIGINT) AS lo,
-      |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
-      |     ELSE 0 END) AS BIGINT) AS hi
-      |  FROM pr GROUP BY 1),
+    s"""$srpFpCtes,
       | banded AS MATERIALIZED (SELECT vec_id, t,
       |   CASE WHEN t * 4 < 32 THEN (lo >> (t * 4)) & 15
       |        ELSE (hi >> (t * 4 - 32)) & 15 END AS bkt
@@ -792,6 +780,85 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |  FROM cand c JOIN e a ON a.vec_id = c.query_id
       |  JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The shared SRP fingerprint chain (quantized components `e`, 64
+    * per-plane sign bits `pr`, the fingerprint as two 32-bit halves
+    * `f(vec_id, lo, hi)`) — factored so [[lshCtes]] and
+    * [[knnGraphCtes]] recompute identical buckets. */
+  private val srpFpCtes: String =
+    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      | FROM embeddings),
+      | pr AS (SELECT vec_id, j,
+      |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
+      |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+      | f AS MATERIALIZED (SELECT vec_id,
+      |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
+      |     ELSE 0 END) AS BIGINT) AS lo,
+      |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+      |     ELSE 0 END) AS BIGINT) AS hi
+      |  FROM pr GROUP BY 1)""".stripMargin
+
+  /** Shared CTE chain of the k-NN graph rows (q_knn_graph /
+    * q_knn_graph_recall), mirroring Ann.knnGraphOf: EVERY node a
+    * query, `nTables` consecutive `nPlanes`-bit bands — including
+    * bands STRADDLING the lo/hi 32-bit split (the ELSE leg stitches
+    * lo's top bits to hi's bottom bits; p = 4 never straddles, which
+    * is why lshCtes's two-branch CASE sufficed) — exact integer-dot
+    * scoring, per-node (dot DESC, dst) top-k. Ends at `gk(src_id,
+    * dst_id, dot_q, rnk)`. */
+  private def knnGraphCtes(k: Int, nPlanes: Int, nTables: Int): String = {
+    val mask = (1 << nPlanes) - 1
+    s"""$srpFpCtes,
+      | gbanded AS MATERIALIZED (SELECT vec_id, t,
+      |   CASE WHEN t * $nPlanes + $nPlanes <= 32
+      |          THEN (lo >> (t * $nPlanes)) & $mask
+      |        WHEN t * $nPlanes >= 32
+      |          THEN (hi >> (t * $nPlanes - 32)) & $mask
+      |        ELSE ((lo >> (t * $nPlanes)) |
+      |              (hi << (32 - t * $nPlanes))) & $mask END AS bkt
+      |  FROM f CROSS JOIN (SELECT unnest(range($nTables)) AS t)),
+      | gcand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+      |  FROM gbanded a JOIN gbanded b ON b.t = a.t AND b.bkt = a.bkt
+      |  WHERE b.vec_id <> a.vec_id),
+      | gsc AS (SELECT c.src_id, c.dst_id,
+      |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+      |  FROM gcand c JOIN e a ON a.vec_id = c.src_id
+      |  JOIN e b ON b.vec_id = c.dst_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      | gk AS (SELECT src_id, dst_id, dot_q, rnk FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY src_id ORDER BY dot_q DESC, dst_id) AS rnk FROM gsc)
+      |  WHERE rnk <= $k)""".stripMargin
+  }
+
+  /** q_knn_graph: the per-node top-k adjacency (Ann.knnGraphOf). */
+  def knnGraph(k: Int = 5, nPlanes: Int = 6, nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(k, nPlanes, nTables) +
+      "\nSELECT src_id, dst_id, dot_q, rnk FROM gk"
+
+  /** q_knn_graph_recall: recall@k of the built graph's edges against
+    * brute-force ground truth on the sampled node set
+    * (Ann.knnGraphRecallOf — the annRecall shape over the graph). */
+  def knnGraphRecall(k: Int = 5, nQueries: Int = 10, nPlanes: Int = 6,
+                     nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(k, nPlanes, nTables) + s""",
+ ge AS (SELECT src_id AS query_id, dst_id AS vec_id FROM gk
+  WHERE src_id < $nQueries),
+ bs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $nQueries GROUP BY 1, 2),
+ bk AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM bs)
+  WHERE rnk <= $k)
+SELECT bk.query_id, count(ge.vec_id) AS hits,
+ CAST(count(ge.vec_id) AS DOUBLE) / $k AS recall
+FROM bk LEFT JOIN ge
+ ON ge.query_id = bk.query_id AND ge.vec_id = bk.vec_id
+GROUP BY 1"""
 
   /** q_ann_lsh: SRP bucket recomputation + candidate top-k
     * (Ann.lshTopK). */
@@ -1119,6 +1186,23 @@ FROM $L v"""
     "WITH " + ctes.mkString(",\n ") + s"""
 SELECT nz.source, count(*) AS n_words,
  CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens
+FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
+  }
+
+  /** q_token_roundtrip: the encode∘decode identity + token-mass
+    * conservation panel off the same trainer CTE chain — the final
+    * symbol lists re-concatenate (`array_to_string`) and compare to
+    * the original word, mirroring TextAnalysis.tokenRoundtripOf's
+    * computed (never assumed) round-trip columns. */
+  def tokenRoundtrip(merges: Int = 16): String = {
+    val ctes = bpeCtes(merges)
+    "WITH " + ctes.mkString(",\n ") + s"""
+SELECT nz.source, count(*) AS n_words,
+ CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens,
+ CAST(sum(length(nz.word)) AS BIGINT) AS word_chars,
+ CAST(sum(length(array_to_string(v.syms, ''))) AS BIGINT) AS decoded_chars,
+ CAST(sum(CASE WHEN array_to_string(v.syms, '') = nz.word
+   THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_words
 FROM nz JOIN v$merges v ON v.word = nz.word GROUP BY 1"""
   }
 

@@ -167,6 +167,8 @@ object SparkEntry {
     // Similarity search
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_hubness" -> ((s, d) => Ann.hubness(s, d)),
+    "q_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
+    "q_knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
     "q_hard_negatives" -> ((s, d) => Ann.hardNegatives(s, d)),
     "q_coreset_kcenter" -> ((s, d) => Ann.coresetKcenter(s, d)),
@@ -215,6 +217,7 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(s, d)),
+    "q_token_roundtrip" -> ((s, d) => TextAnalysis.tokenRoundtrip(s, d)),
     "q_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "q_keyness" -> ((s, d) => TextAnalysis.keyness(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 16)),
@@ -1293,6 +1296,12 @@ object SparkEntry {
         | CAST(min(rnk) AS INT) AS best_rank,
         | CAST(max(rnk) AS INT) AS worst_rank
         |FROM tk GROUP BY 1""".stripMargin,
+    // k-NN graph build: SRP fingerprints, 8 six-bit bands (incl. the
+    // lo/hi straddling ones), all-node bucket candidates, exact-dot
+    // top-k per node — the full adjacency, hash-checked
+    "q_knn_graph" -> OracleSql.knnGraph(),
+    // recall@k of the built graph vs brute force on the node sample
+    "q_knn_graph_recall" -> OracleSql.knnGraphRecall(),
     // k-center coreset: greedy rounds unrolled as MATERIALIZED CTEs,
     // k stamped from the call
     "q_coreset_kcenter" -> OracleSql.coresetKcenter(8),
@@ -1467,6 +1476,7 @@ object SparkEntry {
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
     "q_token_bpe" -> OracleSql.tokenBpe(),
+    "q_token_roundtrip" -> OracleSql.tokenRoundtrip(),
     // fertility panel rides the same trainer CTE chain; each ratio is
     // one division of two exact BIGINTs
     "q_token_fertility" -> OracleSql.tokenFertility(),

@@ -367,6 +367,103 @@ object Ann {
         (col("hits").cast("double") / k).as("recall"))
   }
 
+  /** k-NN GRAPH build (the production adjacency [[hubness]],
+    * [[knnLabelNoise]] and [[hardNegatives]] document themselves as
+    * reading at scale, instead of re-running brute force per panel):
+    * per node, its top-`k` neighbors by exact integer dot, with
+    * candidates drawn from SRP-LSH banding — a node pairs only with
+    * nodes sharing one of its `nTables` `nPlanes`-bit fingerprint
+    * buckets (the [[lshTopK]] construction with EVERY node a query).
+    * Output (src_id, dst_id, dot_q, rnk); a node in a singleton
+    * bucket across all tables emits fewer than k edges (the graph is
+    * as dense as the banding finds — [[knnGraphRecall]] is the gauge).
+    *
+    * Scale shape: the banded frame materializes ONCE and self-joins
+    * on (table, bucket) — candidate work ∝ Σ bucket², tuned by
+    * nPlanes (more planes ⇒ smaller buckets), never the n² pair
+    * space; scoring happens AT the join (vectors co-located by the
+    * one bucket exchange), and only (src, dst, dot) triples cross the
+    * dedup + top-k exchanges. Land the result via
+    * [[graft.sources.Incremental.landBatch]] (the x_pq_index
+    * discipline) and the census panels probe the parked table —
+    * [[hubnessOfGraph]] — instead of rebuilding. The DuckDB oracle
+    * recomputes fingerprints, buckets, candidates and ranks exactly
+    * (pure-integer SRP — the lshTopK argument). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+               nPlanes: Int = 6, nTables: Int = 8): DataFrame =
+    knnGraphOf(embs(spark, dir), k, nPlanes, nTables)
+
+  /** [[knnGraph]] over a prepared (vec_id, embedding) frame. */
+  def knnGraphOf(emb: DataFrame, k: Int, nPlanes: Int,
+                 nTables: Int): DataFrame = {
+    require(nPlanes * nTables <= 64,
+      s"$nTables tables × $nPlanes planes exceeds 64 fingerprint bits")
+    val mask = (1 << nPlanes) - 1
+    // materialized so the (t, bkt) self-join reads ONE computed frame
+    // (ReusedExchange) instead of re-hashing the corpus per side
+    val banded = graft.plans.Materialize(
+      emb.select(col("vec_id"), col("embedding"),
+        V.srpFingerprint(col("embedding")).as("fp"))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(expr(
+            s"transform(sequence(0, ${nTables - 1})," +
+              s" t -> int(shiftright(fp, t * $nPlanes) & $mask))"))
+            .as(Seq("t", "bkt"))))
+    val scored = banded
+      .select(col("vec_id").as("src_id"), col("embedding").as("e_src"),
+        col("t"), col("bkt"))
+      .join(banded.select(col("vec_id").as("dst_id"),
+        col("embedding").as("e_dst"), col("t"), col("bkt")), Seq("t", "bkt"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        V.quantizedDot(col("e_src"), col("e_dst")).as("dot_q"))
+      // collapse per-table duplicates over small (id, id, long) rows —
+      // vector payloads never cross this exchange
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(max(col("dot_q")).as("dot_q"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("dot_q").desc, col("dst_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** The [[hubness]] census read OFF a k-NN graph (inline or parked
+    * and reloaded — the at-scale deployment the hubness scaladoc
+    * promises): in-degree and best/worst rank per neighbor, one
+    * bounded aggregate over the adjacency rows. Same output schema as
+    * the sampled-estimator [[hubness]] row. */
+  def hubnessOfGraph(graph: DataFrame): DataFrame =
+    graph.groupBy(col("dst_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"),
+        min(col("rnk")).as("best_rank"),
+        max(col("rnk")).as("worst_rank"))
+
+  /** Index-quality recall@k of the BUILT graph against brute-force
+    * ground truth on a sampled node set (the [[annRecall]] pattern
+    * applied to the shipped artifact): per sampled node, how many of
+    * its exact top-k neighbors the graph edges contain. Builds the
+    * graph through the production [[knnGraphOf]] path — this gauges
+    * the artifact, not a lookalike. */
+  def knnGraphRecall(spark: SparkSession, dir: String, k: Int = 5,
+                     nQueries: Int = 10, nPlanes: Int = 6,
+                     nTables: Int = 8): DataFrame =
+    knnGraphRecallOf(embs(spark, dir), k, nQueries, nPlanes, nTables)
+
+  /** [[knnGraphRecall]] over a prepared (vec_id, embedding) frame. */
+  def knnGraphRecallOf(emb: DataFrame, k: Int, nQueries: Int,
+                       nPlanes: Int, nTables: Int): DataFrame = {
+    val brute = exactTopK(emb, k, nQueries, None)
+      .select(col("query_id"), col("vec_id"))
+    val g = knnGraphOf(emb, k, nPlanes, nTables)
+      .filter(col("src_id") < nQueries)
+      .select(col("src_id").as("query_id"), col("dst_id").as("vec_id"),
+        lit(true).as("hit"))
+    brute.join(g, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** Per-label embedding centroid — the cluster-assignment step of an
     * IVF index build (and one k-means iteration). posexplode to
     * (label, dim) with milli-quantized BIGINT components, so the sums

@@ -499,9 +499,28 @@ object TextAnalysis {
     * driver never holds more than topV rows. ONE spelling, shared by
     * [[tokenBpeOf]] and [[tokenFertilityOf]]. */
   private def trainedVocabOf(perSW: DataFrame, merges: Int,
-                             minCount: Long, topV: Int): DataFrame = {
+                             minCount: Long, topV: Int): DataFrame =
+    trainedWordRows(perSW, merges, minCount, topV)
+      .select(col("word"), col("n_tokens"))
+
+  /** [[trainedVocabOf]] plus the DECODE columns the round-trip row
+    * meters (`dec_len` = length of the tokens concatenated back,
+    * `n_bad` = 1 when that concatenation differs from the word —
+    * COMPUTED per word, never assumed): one shared trainer spelling,
+    * projection-pruned back to (word, n_tokens) for the count rows. */
+  private def trainedWordRows(perSW: DataFrame, merges: Int,
+                              minCount: Long, topV: Int): DataFrame = {
     val spark = perSW.sparkSession
     import spark.implicits._
+    def rowOf(w: String, syms: Array[String]): (String, Int, Int, Long) = {
+      val dec = syms.mkString
+      // CODE-POINT length, not String.length: Spark's length() and
+      // DuckDB's length() both count code points, and a UTF-16 count
+      // here would break conservation on every supplementary-plane
+      // word (caught by the 𝄞hello spec probe)
+      (w, syms.length, dec.codePointCount(0, dec.length),
+        if (dec == w) 0L else 1L)
+    }
     val all = perSW.groupBy(col("word")).agg(sum(col("n_inst")).as("wf"))
     val top =
       (if (topV == Int.MaxValue) all
@@ -521,10 +540,10 @@ object TextAnalysis {
     // final training state; floored-out words driver-encode -- <= topV
     // of each by construction)
     val inTop = spark.createDataFrame(
-      (finalSyms.map { case (w, syms) => (w, syms.length) } ++
+      (finalSyms.map { case (w, syms) => rowOf(w, syms) } ++
         dropped.map { case (w, _) =>
-          (w, bpeEncodeRanked(bpeCodePoints(w), rank).length) }).toSeq)
-      .toDF("word", "n_tokens")
+          rowOf(w, bpeEncodeRanked(bpeCodePoints(w), rank)) }).toSeq)
+      .toDF("word", "n_tokens", "dec_len", "n_bad")
     if (complete) inTop
     else {
       // cap binds (raw-web vocabulary): the unbounded REMAINDER is
@@ -537,10 +556,41 @@ object TextAnalysis {
         .as[String].mapPartitions { it =>
           val rk = new java.util.HashMap[(String, String), Integer](bc.value.length * 2 + 1)
           bc.value.zipWithIndex.foreach { case (p, i) => rk.put(p, Int.box(i)) }
-          it.map(w => (w, bpeEncodeRanked(bpeCodePoints(w), rk).length))
-        }.toDF("word", "n_tokens")
+          it.map(w => rowOf(w, bpeEncodeRanked(bpeCodePoints(w), rk)))
+        }.toDF("word", "n_tokens", "dec_len", "n_bad")
       inTop.union(rest)
     }
+  }
+
+  /** Tokenizer ROUND-TRIP audit (q_token_roundtrip) — the read-side
+    * gate the lifecycle was missing: per source, the encode∘decode
+    * identity and token-mass conservation of the corpus-trained BPE,
+    * all COMPUTED (`decoded_chars` re-concatenates every word's
+    * tokens, `n_bad_words` counts instances whose decode differs —
+    * structurally zero for a trained table, but a gate asserts, it
+    * does not assume). Same one-scan shape as [[tokenBpeOf]]: the
+    * corpus collapses to the materialized (source, word) aggregate,
+    * the trained vocabulary (now carrying its decode columns) joins
+    * back at dictionary scale. The DuckDB oracle replays the merge
+    * rounds relationally and re-concatenates the final symbol lists,
+    * so identity and conservation are hash-checked cross-engine. */
+  def tokenRoundtrip(spark: SparkSession, dir: String, merges: Int = 16,
+                     minCount: Long = BpeDefaultMinCount,
+                     topV: Int = BpeDefaultTopV): DataFrame =
+    tokenRoundtripOf(Tables.documents(spark, dir), merges, minCount, topV)
+
+  def tokenRoundtripOf(docs: DataFrame, merges: Int,
+                       minCount: Long = BpeDefaultMinCount,
+                       topV: Int = BpeDefaultTopV): DataFrame = {
+    val perSW = perSourceWord(docs)
+    perSW
+      .join(trainedWordRows(perSW, merges, minCount, topV), Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_words"),
+        sum(col("n_inst") * col("n_tokens")).cast("long").as("bpe_tokens"),
+        sum(col("n_inst") * length(col("word"))).cast("long").as("word_chars"),
+        sum(col("n_inst") * col("dec_len")).cast("long").as("decoded_chars"),
+        sum(col("n_inst") * col("n_bad")).cast("long").as("n_bad_words"))
   }
 
   /** Per-source tokenizer FERTILITY panel — the number a multilingual
@@ -760,19 +810,122 @@ object TextAnalysis {
     * that disagree) or a gapped rank chain fails LOUD, because
     * re-ranking silently would re-segment every word; an empty store
     * raises rather than quietly metering at code-point granularity. */
-  def encodeBpeAgainst(docs: DataFrame, store: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def encodeBpeAgainst(docs: DataFrame, store: DataFrame): DataFrame =
+    encodeBpeSeq(docs, loadMergeSeq(store, "encodeBpeAgainst"))
+
+  /** ONE spelling of the parked merge-table load + storage-accident
+    * checks, shared by the encode AND decode halves of the lifecycle:
+    * duplicated rows collapse (doubled append / snapshot union), a
+    * FORKED store (two pairs under one rank) or a GAPPED rank chain
+    * fails loud — re-ranking silently would re-segment every word —
+    * and an empty store raises rather than quietly degrading to
+    * code-point granularity. */
+  private def loadMergeSeq(store: DataFrame,
+                           who: String): Array[(String, String)] = {
+    val spark = store.sparkSession
     import spark.implicits._
     val rows = store.select(col("rank"), col("a"), col("b")).distinct()
       .orderBy(col("rank"))
       .as[(Int, String, String)].collect()
-    require(rows.nonEmpty, "encodeBpeAgainst: empty merge-table store")
+    require(rows.nonEmpty, s"$who: empty merge-table store")
     rows.zipWithIndex.foreach { case ((r, _, _), i) =>
       require(r == i + 1,
-        s"encodeBpeAgainst: merge-table ranks not contiguous at $r " +
+        s"$who: merge-table ranks not contiguous at $r " +
           "(expected " + (i + 1) + ") — forked or partial store landing")
     }
-    encodeBpeSeq(docs, rows.map { case (_, a, b) => (a, b) })
+    rows.map { case (_, a, b) => (a, b) }
+  }
+
+  /** The token VOCABULARY a parked merge table defines, with the
+    * deterministic id scheme both lifecycle halves share: a merge
+    * product (token = a||b) carries id = the SMALLEST rank producing
+    * its string; a base symbol (single code point) carries
+    * id = −codePoint — disjoint ranges, derivable from the table
+    * alone, no side-channel id file to desynchronize.
+    *
+    * Fails LOUD on a non-CONSTRUCTIBLE table — rank r whose `a` or
+    * `b` is neither a single code point nor the product of an
+    * earlier rank. Such a table cannot have come from [[trainBpe]]
+    * (training only ever merges existing symbols); it is a corrupted
+    * or hand-spliced store whose decode would fabricate text. */
+  private[graft] def bpeVocabOf(mergeSeq: Array[(String, String)])
+      : Map[Int, String] = {
+    val constructed = scala.collection.mutable.HashSet.empty[String]
+    def ok(s: String): Boolean =
+      bpeCodePoints(s).length == 1 || constructed.contains(s)
+    mergeSeq.zipWithIndex.foreach { case ((a, b), i) =>
+      require(ok(a) && ok(b),
+        s"bpeVocabOf: rank ${i + 1} merges ('$a', '$b') but " +
+          (if (ok(a)) s"'$b'" else s"'$a'") +
+          " is neither a code point nor an earlier product — " +
+          "corrupted or spliced merge table")
+      constructed += (a + b)
+    }
+    mergeSeq.zipWithIndex
+      .map { case ((a, b), i) => (a + b, i + 1) }
+      .groupBy(_._1).map { case (tok, xs) => xs.map(_._2).min -> tok }
+  }
+
+  /** Encode each DISTINCT word of `docs` into its token-ID sequence
+    * against a PARKED merge table — the id-level read side of the
+    * tokenizer lifecycle ([[encodeBpeAgainst]] meters counts; THIS
+    * ships the sequences a training pipeline actually feeds the
+    * model). Output (word, ids); work ∝ vocabulary (each distinct
+    * word encodes once on the executors against the broadcast
+    * table), never corpus. Same storage-accident checks as the
+    * count path ([[loadMergeSeq]]). */
+  def encodeBpeIdsAgainst(docs: DataFrame, store: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeSeq = loadMergeSeq(store, "encodeBpeIdsAgainst")
+    val prodId = bpeVocabOf(mergeSeq).map(_.swap) // token string -> id
+    val bc = spark.sparkContext.broadcast((mergeSeq, prodId))
+    perSourceWord(docs).select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val (seq, pid) = bc.value
+        val rank = new java.util.HashMap[(String, String), Integer](seq.length * 2 + 1)
+        seq.zipWithIndex.foreach { case (p, i) => rank.put(p, Int.box(i)) }
+        it.map { w =>
+          val ids = bpeEncodeRanked(bpeCodePoints(w), rank).map { s =>
+            pid.getOrElse(s, {
+              val cps = bpeCodePoints(s)
+              require(cps.length == 1,
+                s"encodeBpeIdsAgainst: emitted symbol '$s' is neither " +
+                  "a table product nor a code point")
+              -s.codePointAt(0)
+            })
+          }
+          (w, ids)
+        }
+      }.toDF("word", "ids")
+  }
+
+  /** DECODE token-ID sequences back to text against the parked merge
+    * table — the inverse of [[encodeBpeIdsAgainst]], closing the
+    * lifecycle: positive ids look up the table's product vocabulary
+    * ([[bpeVocabOf]] — constructibility-validated, loud on splice),
+    * negative ids are code points, unknown ids FAIL (a silent skip
+    * would conserve neither text nor token mass). Spec-pinned:
+    * decode ∘ encode is the identity on every distinct word,
+    * including out-of-vocabulary and supplementary-plane probes. */
+  def decodeBpeIds(encoded: DataFrame, store: DataFrame): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val vocab = bpeVocabOf(loadMergeSeq(store, "decodeBpeIds"))
+    val bc = spark.sparkContext.broadcast(vocab)
+    encoded.select(col("word"), col("ids")).as[(String, Seq[Int])]
+      .map { case (w, ids) =>
+        val sb = new java.lang.StringBuilder
+        ids.foreach { id =>
+          if (id > 0) sb.append(bc.value.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"decodeBpeIds: id $id is not a canonical product id of " +
+                "this table (ids of duplicate-string products collapse " +
+                "to the smallest rank)")))
+          else sb.appendCodePoint(-id)
+        }
+        (w, sb.toString)
+      }.toDF("word", "text")
   }
 
   private def encodeBpeSeq(docs: DataFrame,

@@ -614,6 +614,57 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("knn graph: planted pairs are edges, census conserves mass, parked store probes equal") {
+    import spark.implicits._
+    // the lshTopKOf planted-pair harness: 100 base/variant pairs at
+    // cosine 0.96 — through the production knnGraphOf path
+    val nPairs = 100
+    val d = 32
+    val cosT = 0.96
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val rows = (0 until nPairs).flatMap { i =>
+      def vec(seed: Int) = {
+        val r = new scala.util.Random(seed)
+        Array.fill(d)(r.nextGaussian().toFloat)
+      }
+      val base = vec(i)
+      val nb = math.sqrt(base.map(x => x.toDouble * x).sum)
+      val u = base.map(x => (x / nb).toFloat)
+      val raw = vec(i + 100000)
+      val dotRU = (0 until d).map(j => raw(j).toDouble * u(j)).sum
+      val orth = Array.tabulate(d)(j => raw(j) - (dotRU * u(j)).toFloat)
+      val no = math.sqrt(orth.map(x => x.toDouble * x).sum)
+      val variant = Array.tabulate(d)(j => (cosT * u(j) + sinT * orth(j) / no).toFloat)
+      Seq((i.toLong, u), (nPairs + i.toLong, variant))
+    }.toDF("vec_id", "embedding")
+    val graph = Ann.knnGraphOf(rows, k = 3, nPlanes = 4, nTables = 8)
+    val edges = graph.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a planted pair is an edge in BOTH directions (each node queries)
+    val fwd = (0 until nPairs).count(i => edges((i.toLong, nPairs + i.toLong)))
+    val bwd = (0 until nPairs).count(i => edges((nPairs + i.toLong, i.toLong)))
+    assert(fwd >= (0.9 * nPairs).toInt, s"forward recall $fwd/$nPairs")
+    assert(bwd >= (0.9 * nPairs).toInt, s"backward recall $bwd/$nPairs")
+    // the recall gauge over the sampled node set reads the same graph
+    val rec = Ann.knnGraphRecallOf(rows, k = 1, nQueries = nPairs,
+      nPlanes = 4, nTables = 8).agg(org.apache.spark.sql.functions
+        .sum(col("hits"))).head.getLong(0)
+    assert(rec >= (0.9 * nPairs).toLong, s"recall gauge $rec/$nPairs")
+    // census conservation: sum of in-degrees = edge count, ranks in [1, k]
+    val census = Ann.hubnessOfGraph(graph)
+    val (sumDeg, nEdges) = (census.agg(org.apache.spark.sql.functions
+      .sum(col("in_deg"))).head.getLong(0), graph.count())
+    assert(sumDeg == nEdges)
+    assert(census.filter(col("best_rank") < 1 || col("worst_rank") > 3).count() == 0)
+    // parked-store lifecycle (the x_pq_index discipline): land the
+    // graph via landBatch, probe the RELOADED rows — census identical
+    val dir = java.nio.file.Files.createTempDirectory("knngraph").toString
+    val (own, _) = graft.sources.Incremental.landBatch(graph, dir, 0L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(key(Ann.hubnessOfGraph(own)) == key(census))
+  }
+
   test("kmeansIterate(1) equals the single assignment step, and iteration reduces movement") {
     val oneStep = Ann.kmeansAssign(spark, sfDir)
       .select(col("vec_id"), col("new_label").as("label"))
@@ -2918,6 +2969,67 @@ class OperatorSpec extends SparkSpec {
     assert(got(("hot3", 1)) == ((0L, 2L, 3L, 5L, true)))
     assert(got(("hot3", 2)) == ((6L, 6L, 1L, 9L, false)))
     assert(got.size == 5)
+  }
+
+  test("tokenizer decode: id sequences round-trip through the parked table, splices fail loud") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "low lower lowest low low lower"),
+      (2L, "s1", "new newer newest new new newer"),
+      (3L, "s2", "low newer 𝄞hello"))
+      .toDF("doc_id", "source", "text")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-decode-").toString
+    val (model, _) = graft.sources.Incremental.landBatch(
+      graft.operators.TextAnalysis.trainBpe(docs, merges = 8,
+        minCount = 1L, topV = Int.MaxValue), modelDir, 0L)
+    val enc = graft.operators.TextAnalysis.encodeBpeIdsAgainst(docs, model)
+    // decode ∘ encode is the identity on EVERY distinct word —
+    // including the supplementary-plane 𝄞hello probe (code-point ids,
+    // never lone surrogates)
+    val dec = graft.operators.TextAnalysis.decodeBpeIds(enc, model)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val wordSet = Seq("low", "lower", "lowest", "new", "newer", "newest",
+      "𝄞hello").toSet
+    assert(dec.map(_._1).toSet == wordSet)
+    dec.foreach { case (w, t) => assert(w == t, s"round-trip broke '$w' -> '$t'") }
+    // the id scheme is table-derived: positive ids are merge ranks,
+    // negative ids are code points — and merging actually compresses
+    val encMap = enc.collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(encMap("low").length < 3, "no merge fired on the corpus-hottest word")
+    assert(encMap.values.flatten.forall(id => id != 0))
+    assert(encMap("𝄞hello").exists(_ < 0), "OOV code point got no negative id")
+    // a table whose rank 1 merges a 2-code-point symbol that no
+    // earlier rank constructed is spliced/corrupt: decode fails loud
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.decodeBpeIds(enc,
+        Seq((1, "lo", "w")).toDF("rank", "a", "b")).collect()
+    }
+    // forked store (two pairs under one rank): same loud refusal as
+    // the encode half
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.decodeBpeIds(enc,
+        model.unionAll(Seq((1, "zz", "qq")).toDF("rank", "a", "b"))).collect()
+    }
+    // an id beyond the table's products must fail, not skip silently
+    val bogus = Seq(("w", Seq(999))).toDF("word", "ids")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.decodeBpeIds(bogus, model).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("canonical product id")), msgs(e).take(3))
+    // the aggregate round-trip row: conservation holds and zero bad words
+    val panel = graft.operators.TextAnalysis
+      .tokenRoundtripOf(docs, merges = 8, minCount = 1L, topV = Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r).toMap
+    panel.values.foreach { r =>
+      assert(r.getAs[Long]("decoded_chars") == r.getAs[Long]("word_chars"))
+      assert(r.getAs[Long]("n_bad_words") == 0L)
+    }
+    assert(panel.keySet == Set("s1", "s2"))
   }
 
   test("slo burn: planted hours give exact ppm floors and multiwindow flags") {

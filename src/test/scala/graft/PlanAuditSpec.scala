@@ -134,6 +134,21 @@ class PlanAuditSpec extends SparkSpec {
       s"trigram exchange key is not int64: ${tri.map(_.dataType)}")
   }
 
+  test("knn graph: banded self-join off one materialized frame, no pair-space join") {
+    val df = graft.operators.Ann.knnGraph(spark, sfDir)
+    val plan = physical(df)
+    // candidates come from the (t, bkt) equi-join — an n² shape would
+    // surface as a nested-loop/cartesian here
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // both sides of the self-join read the ONE materialized banded
+    // frame, not two recomputations of the fingerprint explode
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"graph build re-scans embeddings past the materialize:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+  }
+
   test("trigram surprisal: one materialized gram scan, stat joins unhinted, int64 word keys") {
     val df = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
     // the five stat tables are gram-vocabulary scale — like the
