@@ -2518,6 +2518,68 @@ FROM cf"""
       .replace("HB_2", hlogFinish("c2", "t2", "q2"))
       .replace("HB_1", hlogFinish("n + v", "t1", "q1"))
 
+  /** q_kn_surprisal / q_kn_transfer: the interpolated Kneser–Ney
+    * panel mirroring TextAnalysis.scoreKn — bigram stream + the four
+    * stat censuses off the TRAIN slice, the cleared-discount
+    * fixed-point numerator/denominator (D = 3/4, 2^16 continuation
+    * scale, the one over-int64 product in HUGEINT collapsing through
+    * its ÷B), the half-bit ladder per row, the add-one continuation
+    * unigram on prefix misses. Constants stamped from the SAME
+    * TextAnalysis.KnScale the operator evaluates. */
+  def knSurprisal(trainWhere: String, evalWhere: String): String = {
+    val s = graft.operators.TextAnalysis.KnScale
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, source, list_filter(
+      |   regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      |   FROM documents),
+      | gst AS MATERIALIZED (SELECT toks[i] AS w1,
+      |     CASE WHEN i < len(toks) THEN toks[i+1] END AS w2
+      |   FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+      |         FROM tk WHERE len(toks) >= 1 AND ($trainWhere))),
+      | gse AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |         FROM tk WHERE len(toks) >= 2 AND ($evalWhere))),
+      | g2 AS (SELECT w1, w2, count(*) AS c12 FROM gst
+      |   WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      | g1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |   count(*) AS n_succ FROM g2 GROUP BY 1),
+      | gp AS (SELECT w2, count(*) AS n_pred FROM g2 GROUP BY 1),
+      | tot AS (SELECT (SELECT count(*) FROM g2) AS b,
+      |   (SELECT count(DISTINCT w1) FROM gst) AS v),
+      | j AS (SELECT e.doc_id, g2.c12, g1.c1, g1.n_succ, gp.n_pred,
+      |     tot.b, tot.v
+      |   FROM gse e
+      |   LEFT JOIN g2 USING (w1, w2)
+      |   LEFT JOIN g1 USING (w1)
+      |   LEFT JOIN gp USING (w2)
+      |   CROSS JOIN tot),
+      | jj AS (SELECT *,
+      |   greatest(CASE WHEN c12 IS NOT NULL
+      |       THEN (4 * c12 - 3) * $s ELSE 0 END +
+      |     CAST((3 * CAST(n_succ AS HUGEINT) * coalesce(n_pred, 0) * $s)
+      |       // b AS BIGINT), 1) AS num,
+      |   4 * c1 * $s AS den FROM j),
+      | s1 AS (SELECT *,
+      |   CASE WHEN c1 IS NOT NULL THEN T_2 END AS t2,
+      |   CASE WHEN c1 IS NULL THEN T_1 END AS t1 FROM jj),
+      | s2 AS (SELECT *, (num << t2) AS q2,
+      |   ((coalesce(n_pred, 0) + 1) << t1) AS q1 FROM s1),
+      | s3 AS (SELECT doc_id, c1,
+      |   CASE WHEN c1 IS NOT NULL THEN HB_2 ELSE HB_1 END AS hb FROM s2)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kn_hit,
+      |  CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cont_backoff,
+      |  CAST(sum(hb) AS BIGINT) AS sum_hb,
+      |  CAST((CAST(sum(hb) AS HUGEINT) * 1000000)
+      |    // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS mean_mbits
+      |FROM s3 GROUP BY 1""".stripMargin
+      .replace("T_2", hlogT("den", "num"))
+      .replace("T_1", hlogT("b + v", "coalesce(n_pred, 0) + 1"))
+      .replace("HB_2", hlogFinish("den", "t2", "q2"))
+      .replace("HB_1", hlogFinish("b + v", "t1", "q1"))
+  }
+
   /** q_domain_kl: per-source unigram KL divergence from the corpus
     * mix, mirroring CorpusStats.domainKlOf — half-bit floor-log₂ via
     * bit length + one exact square comparison (HUGEINT here,

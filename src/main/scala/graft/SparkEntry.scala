@@ -261,6 +261,8 @@ object SparkEntry {
     "q_trigram_transfer" -> ((s, d) => TextAnalysis.trigramTransfer(s, d)),
     "q_template_census" -> ((s, d) => TextAnalysis.templateCensus(s, d)),
     "q_kn_continuation" -> ((s, d) => TextAnalysis.knContinuation(s, d)),
+    "q_kn_surprisal" -> ((s, d) => TextAnalysis.knSurprisal(s, d)),
+    "q_kn_transfer" -> ((s, d) => TextAnalysis.knTransfer(s, d)),
     "q_confusable_skeleton" -> ((s, d) => TextAnalysis.confusableSkeleton(s, d)),
     // Multimodal
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -2195,6 +2197,11 @@ object SparkEntry {
     // the backoff ladder actually fires here
     "q_trigram_transfer" -> OracleSql.trigramSurprisal(
       TextAnalysis.TrigramBackoffHalfBits,
+      "source <> 'src0'", "source = 'src0'"),
+    // interpolated Kneser-Ney: self-scored (every prefix a hit) and
+    // the transfer leg where the continuation backoff actually fires
+    "q_kn_surprisal" -> OracleSql.knSurprisal("TRUE", "TRUE"),
+    "q_kn_transfer" -> OracleSql.knSurprisal(
       "source <> 'src0'", "source = 'src0'"),
     // positional template census: oracle groups by reconstructed
     // anchor STRINGS (a 64-bit collision on the Spark side fails the

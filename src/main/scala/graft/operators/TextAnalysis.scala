@@ -3607,6 +3607,168 @@ object TextAnalysis {
           " DIV CAST(n_total AS DECIMAL(38,0)) AS BIGINT)").as("freq_ppm"))
   }
 
+  // ─────────────────── interpolated Kneser–Ney scorer ───────────────
+
+  /** Fixed KN discount D = 3/4 (Kneser & Ney 1995 use absolute
+    * discounting with 0 < D < 1; 3/4 keeps every cleared term an
+    * exact small-integer multiple) and the 2^16 fixed-point scale the
+    * continuation mass enters the ladder at. With counts ≤ 2^45
+    * (≈ 3.5·10^13 tokens — comfortably past 100 TB of text) every
+    * ladder operand stays inside int64; the one product that can
+    * exceed it (3·n_succ·n_pred·2^16 before its ÷B) is computed in
+    * DECIMAL(38,0)/HUGEINT. */
+  val KnScale: Long = 65536L
+
+  /** Interpolated Kneser–Ney surprisal (q_kn_surprisal) — the scorer
+    * [[knContinuation]]'s statistics exist for: per document, the
+    * mean surprisal of its token bigrams under
+    * P(w2|w1) = (c12 − D)/c1 + D·(n_succ(w1)/c1)·(n_pred(w2)/B),
+    * the absolute-discount + continuation-mass interpolation that
+    * fixes the "Francisco" pathology (a frequent word glued to one
+    * context gets almost no continuation mass — spec-pinned). Every
+    * term is exact fixed-point: with D = 3/4 the probability clears
+    * to num/den with den = 4·c1·B and num = (4·c12 − 3)·B +
+    * 3·n_succ·n_pred; the B is then folded in at [[KnScale]]
+    * resolution (ONE floor-div, identical cross-engine) so the
+    * half-bit ladder operands stay int64:
+    *   num' = (4·c12 − 3)·2^16 + ⌊3·n_succ·n_pred·2^16 / B⌋,
+    *   den' = 4·c1·2^16,  hb = ⌊2·log₂(den'/max(num', 1))⌋.
+    * An UNSEEN prefix (c1 miss) backs off to the add-one-floored
+    * continuation unigram (n_pred(w2)+1)/(B+V) — a never-seen word
+    * costs ~2·log₂(B+V) half-bits, the OOD contract the transfer row
+    * and live gate rely on. Since Σ_w2 n_pred = B and
+    * Σ max(c12−D, 0) = c1 − D·n_succ (integer counts ≥ 1 > D), the
+    * exact rational sums to 1 per prefix — a real distribution, not
+    * a score heuristic.
+    *
+    * Shape at 100 TB: the trigram family's discipline — ONE corpus
+    * scan collapses to the materialized hashed gram stream (stats +
+    * eval stream read it; words cross exchanges as xxhash64 int64s),
+    * stats are bigram-vocabulary scale and join back UNHINTED, the
+    * 1-row totals broadcast. */
+  def knSurprisal(spark: SparkSession, dir: String): DataFrame =
+    knSurprisalOf(Tables.documents(spark, dir))
+
+  def knSurprisalOf(docs: DataFrame): DataFrame = {
+    val gs = graft.plans.Materialize(gramStreamOf(docs))
+    val (g2, g1, gp, tot) = knStatsOf(gs, "knSurprisal")
+    scoreKn(gs.filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2")), g2, g1, gp, tot)
+  }
+
+  /** Domain-transfer twin (q_kn_transfer): score `evalSource` under
+    * the KN model trained on the REST of the corpus — the held-out
+    * generalization gauge, where the continuation backoff actually
+    * fires (self-scoring hits the bigram leg by construction). */
+  def knTransfer(spark: SparkSession, dir: String,
+                 evalSource: String = "src0"): DataFrame =
+    knTransferOf(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      evalSource)
+
+  def knTransferOf(docs: DataFrame, evalSource: String): DataFrame = {
+    val train = graft.plans.Materialize(
+      gramStreamOf(docs.filter(col("source") =!= evalSource)))
+    val (g2, g1, gp, tot) =
+      knStatsOf(train, s"knTransfer (no grams outside source '$evalSource')")
+    scoreKn(gramStreamOf(docs.filter(col("source") === evalSource))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2")), g2, g1, gp, tot)
+  }
+
+  /** The TRAINED KN model as one persistable table (lvl, w1, w2, c):
+    * lvl-2 rows carry bigram counts, lvl-1 rows the unigram census
+    * (w2 NULL) — prefix totals, fan-outs, continuation counts, B and
+    * V all RE-DERIVE from the table on load (the trigramModelOf
+    * discipline: a parquet round trip cannot desynchronize stats
+    * from rows). Keys are the gram stream's xxhash64 word hashes. */
+  def knModelOf(docs: DataFrame): DataFrame = {
+    val gs = graft.plans.Materialize(gramStreamOf(docs))
+    val g2 = gs.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val g1 = gs.groupBy(col("w1")).agg(count(lit(1)).as("c"))
+    g2.select(lit(2).as("lvl"), col("w1"), col("w2"), col("c"))
+      .unionAll(g1.select(lit(1).as("lvl"), col("w1"),
+        lit(null).cast("long").as("w2"), col("c")))
+  }
+
+  /** Score `docs` against a parked [[knModelOf]] table — the live
+    * quality gate (the bigram/trigram-Against shape): stats
+    * re-aggregate by key (max) so duplicated rows — a doubled
+    * append, a union of snapshots — cannot fan the score join out;
+    * an empty model RAISES rather than emitting zero-bit scores an
+    * OOD gate would wave through. */
+  def knSurprisalAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
+    val l2 = model.filter(col("lvl") === 2)
+      .groupBy(col("w1"), col("w2")).agg(max(col("c")).as("c12"))
+    val g1 = l2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
+    val gp = l2.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
+      .select(col("w2"), col("n_pred"))
+    val uni = model.filter(col("lvl") === 1).select(col("w1")).distinct()
+    val tot = l2.agg(count(lit(1)).as("b")).crossJoin(
+      uni.agg(when(count(lit(1)) === 0L,
+        raise_error(lit("knSurprisalAgainst: empty KN model")))
+        .otherwise(count(lit(1))).as("v")))
+    scoreKn(gramStreamOf(docs).filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2")), l2, g1, gp, tot)
+  }
+
+  /** The KN stat tables off one (materialized) hashed gram stream:
+    * bigram counts keyed (w1, w2), prefix totals + distinct-successor
+    * fan-outs keyed w1, continuation counts keyed w2, and the 1-row
+    * (B, V) totals — which RAISE on an empty train stream (the
+    * surprisalTransfer discipline). */
+  private def knStatsOf(gs: DataFrame, who: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val g2 = gs.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val g1 = g2.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
+    val gp = g2.groupBy(col("w2")).agg(count(lit(1)).as("n_pred"))
+    val tot = g2.agg(count(lit(1)).as("b")).crossJoin(
+      gs.agg(when(countDistinct(col("w1")) === 0L,
+        raise_error(lit(s"$who: empty training gram stream")))
+        .otherwise(countDistinct(col("w1"))).as("v")))
+    (g2, g1, gp, tot)
+  }
+
+  /** The shared KN scoring kernel over an eval bigram stream —
+    * see [[knSurprisal]] for the exact fixed-point spelling. */
+  private def scoreKn(e: DataFrame, g2: DataFrame, g1: DataFrame,
+                      gp: DataFrame, tot: DataFrame): DataFrame = {
+    val s = KnScale
+    val j = e
+      .join(g2, Seq("w1", "w2"), "left")
+      .join(g1, Seq("w1"), "left")
+      .join(gp, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+    // the only over-int64 product runs in DECIMAL(38,0) and collapses
+    // through its ÷B before re-entering the int64 ladder
+    val cont = expr(
+      s"CAST((CAST(3 AS DECIMAL(38,0)) * CAST(n_succ AS DECIMAL(38,0)) * " +
+        s"CAST(coalesce(n_pred, 0) AS DECIMAL(38,0)) * $s) DIV " +
+        "CAST(b AS DECIMAL(38,0)) AS BIGINT)")
+    val num = greatest(
+      when(col("c12").isNotNull,
+        (lit(4L) * col("c12") - lit(3L)) * s).otherwise(lit(0L)) + cont,
+      lit(1L))
+    val den = lit(4L) * col("c1") * s
+    val hb = when(col("c1").isNotNull,
+        CorpusStats.halfLog2Ratio(den, num))
+      .otherwise(CorpusStats.halfLog2Ratio(
+        col("b") + col("v"), coalesce(col("n_pred"), lit(0L)) + lit(1L)))
+    j.select(col("doc_id"), col("c1"), hb.as("hb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_kn_hit"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_cont_backoff"),
+        sum(col("hb")).as("sum_hb"))
+      .withColumn("mean_mbits", expr(
+        "CAST((CAST(sum_hb AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(CAST(n_bigrams AS DECIMAL(38,0)) * 2) AS BIGINT)"))
+  }
+
   // ─────────────────────── confusable-skeleton census ───────────────
 
   /** Unicode-confusable SKELETON census (TR39-lite) — the adversarial

@@ -3149,6 +3149,89 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("kn surprisal: exact interpolated ladder, the Francisco pathology, parked-model gate") {
+    import spark.implicits._
+    val corpus = Map(
+      1L -> Seq("san", "francisco", "is", "big"),
+      2L -> Seq("san", "francisco", "is", "old"),
+      3L -> Seq("new", "york", "is", "big"))
+    val docs = corpus.toSeq
+      .map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.knSurprisalOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // driver BigInt rebuild of the exact fixed-point ladder
+    val bigrams = corpus.values.toSeq.flatMap(ws => ws.zip(ws.tail))
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nSucc = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nPred = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val b = c12.size.toLong                       // 6 bigram types
+    val v = corpus.values.flatten.toSet.size.toLong // 7 words
+    assert(b == 6L && v == 7L)
+    def hbOf(w1: String, w2: String): Long = c1.get(w1) match {
+      case Some(c1v) =>
+        val np: Long = nPred.getOrElse(w2, 0L)
+        val cont = (BigInt(3) * nSucc(w1) * np *
+          graft.operators.TextAnalysis.KnScale / b).toLong
+        val num = math.max(c12.get((w1, w2))
+          .map(c => (4 * c - 3) * graft.operators.TextAnalysis.KnScale)
+          .getOrElse(0L) + cont, 1L)
+        graft.operators.CorpusStats.halfLog2Big(
+          4 * c1v * graft.operators.TextAnalysis.KnScale, num)
+      case None =>
+        graft.operators.CorpusStats.halfLog2Big(b + v, nPred.getOrElse(w2, 0L) + 1)
+    }
+    corpus.foreach { case (id, ws) =>
+      val want = ws.zip(ws.tail).map { case (a, c) => hbOf(a, c) }.sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_bigrams") == ws.length - 1L)
+      assert(r.getAs[Long]("n_cont_backoff") == 0L, "self-scored: every prefix seen")
+      assert(r.getAs[Long]("sum_hb") == want, s"doc $id ladder")
+      assert(r.getAs[Long]("mean_mbits") ==
+        want * 1000000L / (2L * (ws.length - 1)))
+    }
+    // the Francisco pathology through the PARKED model: "francisco"
+    // and "is" have comparable raw frequency (2 vs 3), but francisco
+    // only ever follows "san" (n_pred 1) — after an unseen prefix its
+    // continuation probability is tiny and its surprisal HIGHER
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-kn-model-").toString
+    val (model, _) = graft.sources.Incremental.landBatch(
+      graft.operators.TextAnalysis.knModelOf(docs), modelDir, 0L)
+    val ood = Seq((10L, "qq francisco"), (11L, "qq is")).toDF("doc_id", "text")
+    val oodGot = graft.operators.TextAnalysis
+      .knSurprisalAgainst(ood, model).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact continuation-unigram floors: (B+V, n_pred+1) = (13, 2) and (13, 3)
+    assert(oodGot(10L).getAs[Long]("sum_hb") == 5L)
+    assert(oodGot(11L).getAs[Long]("sum_hb") == 4L)
+    assert(oodGot(10L).getAs[Long]("n_cont_backoff") == 1L)
+    assert(oodGot(10L).getAs[Long]("sum_hb") >
+      oodGot(11L).getAs[Long]("sum_hb"), "Francisco must score HIGHER surprisal")
+    // parked gate: reloaded model reproduces the inline panel exactly;
+    // doubled rows collapse; an empty model raises
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val inline = graft.operators.TextAnalysis.knSurprisalOf(docs)
+      .collect().map(key).toSet
+    val against = graft.operators.TextAnalysis.knSurprisalAgainst(docs, model)
+      .collect().map(key).toSet
+    assert(against == inline)
+    val doubled = graft.operators.TextAnalysis
+      .knSurprisalAgainst(docs, model.unionAll(model)).collect().map(key).toSet
+    assert(doubled == inline, "doubled model rows changed the scores")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis
+        .knSurprisalAgainst(docs, model.limit(0)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("empty KN model")), msgs(e).take(3))
+  }
+
   test("confusable skeleton: planted Cyrillic homoglyphs fold to one spoof group") {
     import spark.implicits._
     // doc 2 spells paypal with two Cyrillic U+0430 's
