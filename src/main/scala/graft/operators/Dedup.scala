@@ -905,16 +905,26 @@ object Dedup {
     * with plannedDirs the files-planned pruning observable. Store
     * cost: (maxHamming+1)·16-ish bytes per doc — still fingerprints,
     * never text. */
+  /** ONE spelling of the keepset store's directory geometry (layout
+    * manifest + bucket derivation), shared by the landing probe and
+    * [[keepsetStoreCompact]] so the two can never disagree about what
+    * a bucket dir holds. */
+  private def keepsetLayout(maxHamming: Int, buckets: Int): String =
+    s"keepset;maxHamming=$maxHamming;buckets=$buckets"
+
+  private def keepsetBucketOf(buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col("chunk"), col("cv")), lit(buckets))
+
   def keepSetIncrementalBatchBucketed(batch: DataFrame, fpDir: String,
                                       batchId: Long, maxHamming: Int = 3,
                                       buckets: Int = 64): (DataFrame, Seq[String]) = {
     val bandRows = bandedFps(
       batch.select(col("doc_id").as("id"), simhash_text(col("text")).as("fp")),
       "doc_id", "fp", maxHamming)
-    val bucketOf = pmod(hash(col("chunk"), col("cv")), lit(buckets))
+    val bucketOf = keepsetBucketOf(buckets)
     val (own0, dirs) = graft.sources.Incremental.landBatchBucketed(
       bandRows, fpDir, batchId, bucketOf, buckets,
-      layout = s"keepset;maxHamming=$maxHamming;buckets=$buckets")
+      layout = keepsetLayout(maxHamming, buckets))
     // this batch's fingerprints, one row per doc (the band explode
     // landed maxHamming+1 rows each)
     val own = own0.select(col("doc_id").as("id"), col("fp")).distinct()
@@ -939,6 +949,34 @@ object Dedup {
       .select(col("id").as("doc_id"))
     (batch.join(keptIds, Seq("doc_id"), "left_semi"), planned)
   }
+
+  /** Compact the bucketed keepset store's history up to `upTo` into
+    * one `compact=<upTo>` dir — [[graft.sources.Incremental
+    * .compactBucketedBatches]] with THIS store's geometry
+    * ([[keepsetLayout]]/[[keepsetBucketOf]], the exact spelling the
+    * landing probe writes), so a long-lived dedup gate probes one
+    * folded dir plus the batches landed since instead of every dir
+    * the stream ever committed. SOUND for the keep decisions: the
+    * probe treats every folded band row as strictly-earlier history,
+    * exactly as when the rows lived in their original dirs
+    * (within-batch first-doc-wins only ever applies to the PROBING
+    * batch). Only compact ids the stream's checkpoint has committed
+    * past. */
+  def keepsetStoreCompact(spark: SparkSession, fpDir: String, upTo: Long,
+                          maxHamming: Int = 3, buckets: Int = 64): Unit =
+    graft.sources.Incremental.compactBucketedBatches(
+      spark, fpDir, upTo,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "fp", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "chunk", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(
+          "cv", org.apache.spark.sql.types.LongType))),
+      keepsetBucketOf(buckets),
+      layout = keepsetLayout(maxHamming, buckets))
 
   /** Per-document duplicated-gram coverage — the doc-level removal
     * signal of exact substring dedup (Lee et al., "Deduplicating

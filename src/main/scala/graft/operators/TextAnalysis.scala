@@ -1623,6 +1623,11 @@ object TextAnalysis {
     * window/stride/bucket parameters — a probe under different chunk
     * geometry would compare incompatible hashes and under-count
     * duplicates silently. Returns (panel, plannedDirs). */
+  /** ONE spelling of the chunk-dedup store's directory geometry,
+    * shared by the landing probe and [[chunkDedupStoreCompact]]. */
+  private def chunkDedupLayout(window: Int, stride: Int, buckets: Int): String =
+    s"chunkdedup;window=$window;stride=$stride;buckets=$buckets"
+
   def chunkDedupIncrementalBatchBucketed(batch: DataFrame, storeDir: String,
                                          batchId: Long, window: Int = 32,
                                          stride: Int = 24, buckets: Int = 64)
@@ -1632,9 +1637,31 @@ object TextAnalysis {
         .select(col("doc_id"), xxhash64(col("chunk_text")).as("ch"))
         .distinct(),
       "ch", storeDir, batchId, buckets,
-      layout = s"chunkdedup;window=$window;stride=$stride;buckets=$buckets",
+      layout = chunkDedupLayout(window, stride, buckets),
       nCol = "n_chunks", matchedCol = "dup_chunks",
       ratioCol = "chunk_dup_ratio")
+
+  /** Compact the bucketed chunk-dedup store's history up to `upTo`
+    * into one `compact=<upTo>` dir — [[graft.sources.Incremental
+    * .compactBucketedBatches]] with THIS store's geometry (the
+    * [[chunkDedupLayout]] spelling the landing probe writes; bucket =
+    * pmod(ch, buckets), exactly [[graft.sources.Incremental
+    * .firstSeenProbeBucketed]]'s derivation over the "ch" key), so a
+    * long-lived RAG ingest gate probes one folded dir plus the
+    * batches landed since. First-seen soundness and the replay
+    * horizon follow the shared compactor's contract. */
+  def chunkDedupStoreCompact(spark: SparkSession, storeDir: String,
+                             upTo: Long, window: Int = 32, stride: Int = 24,
+                             buckets: Int = 64): Unit =
+    graft.sources.Incremental.compactBucketedBatches(
+      spark, storeDir, upTo,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "ch", org.apache.spark.sql.types.LongType))),
+      pmod(col("ch"), lit(buckets)),
+      layout = chunkDedupLayout(window, stride, buckets))
 
   /** Conjunctive keyword search with an exact integer rank: documents
     * containing ALL query terms, ordered by total term frequency

@@ -62,6 +62,152 @@ class FullPipelineSpec extends SparkSpec {
     }
   }
 
+  /** Broker that publishes ON DEMAND (phased traffic for the alert
+    * leg): CONNACK + SUBACK on connect, then [[publish]] pushes n
+    * copies of a topic whenever the test says so. Writes to the
+    * socket are serialized with the read loop's PingResp writes. */
+  private final class PhasedBroker {
+    private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    val ready = new CountDownLatch(1)
+    @volatile var protocolError: String = _
+    @volatile private var client: java.net.Socket = _
+    @volatile private var out: java.io.OutputStream = _
+    private def expect(cond: Boolean, msg: => String): Unit =
+      if (!cond && protocolError == null) { protocolError = msg; throw new java.io.IOException(msg) }
+    private val t = new Thread(() => {
+      try {
+        val s = server.accept(); client = s
+        val in = new DataInputStream(s.getInputStream)
+        out = s.getOutputStream
+        val first = Wire.readPacket(in)
+        expect(first.exists(_.isInstanceOf[Connect]), s"expected CONNECT, got $first")
+        out.synchronized { out.write(Wire.connack(0)); out.flush() }
+        val second = Wire.readPacket(in)
+        expect(second.exists(_.isInstanceOf[Subscribe]), s"expected SUBSCRIBE, got $second")
+        val subId = second.collect { case Subscribe(id, _, _) => id }.get
+        out.synchronized { out.write(Wire.suback(subId, 0)); out.flush() }
+        ready.countDown()
+        var live = true
+        while (live) Wire.readPacket(in) match {
+          case Some(PingReq) =>
+            out.synchronized { out.write(Wire.pingResp); out.flush() }
+          case Some(Disconnect) | None => live = false
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    })
+    t.setDaemon(true); t.start()
+    def publish(topic: String, n: Int): Unit = out.synchronized {
+      (1 to n).foreach(_ => out.write(
+        Wire.publish(topic, "x".getBytes(StandardCharsets.UTF_8))))
+      out.flush()
+    }
+    def close(): Unit = {
+      try if (client != null) client.close() catch { case _: Exception => () }
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  test("alert leg: planted breach fires through broker -> spool -> rates -> alert states -> envelope -> HTTP POST") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // loopback "Azure" collecting the alert envelopes
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    val azure = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    azure.createContext("/res/metrics", ex => {
+      delivered.synchronized {
+        delivered += new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      }
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("{}".getBytes); ex.close()
+    })
+    azure.start()
+    val broker = new PhasedBroker
+    val spoolDir = Files.createTempDirectory("graft-alert-pipe-")
+    val countsDir = Files.createTempDirectory("graft-alert-counts-").toString
+    val hourMs = 3600000L
+    val t0 = 472223L * hourMs // hour-aligned epoch
+    @volatile var now = t0 + 10000L
+    val spool = new MqttStreamBridge.Spool(spoolDir, clock = () => now)
+    val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+      filters = Seq("hfp/v2/#"), onPublish = p => {
+        val coarse = p.topic.split("/").take(3).mkString("/")
+        spool.onPublish(Mqtt.Publish(coarse, p.payload))
+      })
+    try {
+      assert(client.start())
+      assert(broker.ready.await(5, TimeUnit.SECONDS), s"broker: ${broker.protocolError}")
+      // stream 1: spool -> sealed hourly counts, bridged as parquet
+      val rates = StreamingMonitor.msgRates(
+        MqttStreamBridge.source(spark, spoolDir.toString), "1 hour", "0 seconds")
+      val q1 = rates.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select(col("topic"), col("window_start"), col("msg_count"))
+            .write.mode("append").parquet(countsDir)
+          ()
+        }.start()
+      // stream 2: sealed counts -> the live PENDING/FIRING state
+      // machine -> alert envelopes -> token-lifecycle HTTP delivery
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(HttpConnectors.newClient()), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "res",
+        host = s"http://127.0.0.1:${azure.getAddress.getPort}")
+      val countsStream = spark.readStream
+        .schema("topic STRING, window_start TIMESTAMP, msg_count BIGINT")
+        .parquet(countsDir)
+        .as[graft.streaming.CountPoint]
+      val alerts = StreamingMonitor.alertRuleStates(countsStream)
+        .select(lit("Alerts").as("namespace"), lit("Alert State").as("metric"),
+          concat_ws("/", col("rule_id"), col("topic"), col("state")).as("topic"),
+          col("run_idx").cast("double").as("msgs_per_sec"))
+      val q2 = StreamingMonitor.azureEnvelopeSink(alerts.toDF(), outDir = null)(
+        StreamingMonitor.azureDeliveryWriter(sender)).start()
+      try {
+        // phased breach: hours 0..2 hot (5 msgs >= both thresholds),
+        // hour 3 recovers (2 < 4), hour 4 re-breaches, hour 5 seals 4
+        Seq(5, 5, 5, 2, 5, 1).zipWithIndex.foreach { case (n, k) =>
+          now = t0 + k * hourMs + 10000L
+          broker.publish("hfp/v2/bus/1", n)
+          // pending counts the UN-flushed tail: each phase waits for
+          // its own n, the flush below drains it
+          val deadline = System.nanoTime() + 5e9.toLong
+          while (spool.pending < n && System.nanoTime() < deadline)
+            Thread.sleep(10)
+          assert(spool.pending == n, s"phase $k: spool ${spool.pending} != $n")
+          spool.flush()
+          q1.processAllAvailable()
+          q2.processAllAvailable()
+        }
+      } finally { q2.stop(); q1.stop() }
+      // read the FIRING transition and the recovery at the SINK
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val series = delivered.synchronized(delivered.toVector).flatMap { e =>
+        val b = mapper.readTree(e).path("data").path("baseData")
+        (0 until b.path("series").size()).map { i =>
+          val el = b.path("series").get(i)
+          (b.path("metric").asText(), el.path("dimValues").get(0).asText(),
+            el.path("sum").asDouble())
+        }
+      }
+      assert(series.forall(_._1 == "Alert State"), series.take(3))
+      val dims = series.map(x => (x._2, x._3))
+      // hot2 (for 2): pending at hour 0, FIRING at hours 1 and 2
+      assert(dims.contains(("hot2/hfp/v2/bus/pending", 1.0)), dims)
+      assert(dims.contains(("hot2/hfp/v2/bus/firing", 2.0)), dims)
+      assert(dims.contains(("hot2/hfp/v2/bus/firing", 3.0)), dims)
+      // hot3 (for 3): fires exactly at the third consecutive hour
+      assert(dims.contains(("hot3/hfp/v2/bus/firing", 3.0)), dims)
+      assert(!dims.exists(d => d._1 == "hot3/hfp/v2/bus/firing" && d._2 > 3.0))
+      // recovery: the hour-3 dip broke the run, so hour 4's re-breach
+      // restarts BOTH rules at pending run 1 — the pending/1.0 dim
+      // appears twice (hour 0 and hour 4)
+      assert(dims.count(_ == (("hot2/hfp/v2/bus/pending", 1.0))) == 2, dims)
+      assert(dims.count(_ == (("hot3/hfp/v2/bus/pending", 1.0))) == 2, dims)
+    } finally { client.stop(); broker.close(); azure.stop(0) }
+  }
+
   test("broker socket -> client -> spool -> streaming rates -> envelope -> HTTP POST") {
     // loopback "Azure": collects the POSTed envelopes
     val delivered = scala.collection.mutable.ArrayBuffer[String]()

@@ -1787,6 +1787,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("keepset store compaction: keep decisions identical, horizon and geometry refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-keepset-compact-").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      graft.operators.Dedup.keepSetIncrementalBatchBucketed(
+        chunk.toSeq.toDF("doc_id", "text"), dir, id)._1.collect()
+    }
+    // probe: one verbatim duplicate of an early doc (must DROP) and
+    // one novel doc (must survive)
+    val probe = Seq((999901L, docs(3)._2), (999902L, "zq wv xr yt uk"))
+      .toDF("doc_id", "text")
+    val (k1, planned1) = graft.operators.Dedup
+      .keepSetIncrementalBatchBucketed(probe, dir, batches.size.toLong)
+    val before = k1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before.contains(999902L) && !before.contains(999901L))
+    // compact, inputs gone, output committed
+    graft.operators.Dedup.keepsetStoreCompact(
+      spark, dir, upTo = batches.size - 1L)
+    assert(!new java.io.File(s"$dir/batch=0").exists &&
+      new java.io.File(s"$dir/compact=${batches.size - 1}/_SUCCESS").exists)
+    // identical keep decisions; the probe plans only compacted leaves
+    val (k2, planned2) = graft.operators.Dedup
+      .keepSetIncrementalBatchBucketed(probe, dir, batches.size.toLong)
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet == before,
+      "compaction changed the keep decisions")
+    assert(planned2.nonEmpty && planned2.size < planned1.size &&
+      planned2.forall(_.contains(s"compact=${batches.size - 1}")), planned2)
+    // horizon: probing at/below the fold refuses; stale compact id
+    // refuses; mismatched geometry refuses through the compactor
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.keepSetIncrementalBatchBucketed(
+        probe, dir, batches.size - 1L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.keepsetStoreCompact(spark, dir, 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Dedup.keepsetStoreCompact(
+        spark, dir, batches.size - 1L, maxHamming = 5)
+    }
+  }
+
+  test("chunk-dedup store compaction: ratios identical, horizon and geometry refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-chunk-compact-").toString
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(170).toSeq
+    batches.zipWithIndex.foreach { case (chunk, id) =>
+      graft.operators.TextAnalysis.chunkDedupIncrementalBatchBucketed(
+        chunk.toSeq.toDF("doc_id", "text"), dir, id)._1.collect()
+    }
+    val probe = Seq((999901L, docs(3)._2), (999902L, "zq wv xr yt uk"))
+      .toDF("doc_id", "text")
+    val (p1, planned1) = graft.operators.TextAnalysis
+      .chunkDedupIncrementalBatchBucketed(probe, dir, batches.size.toLong)
+    val before = p1.collect().map(key).toMap
+    graft.operators.TextAnalysis.chunkDedupStoreCompact(
+      spark, dir, upTo = batches.size - 1L)
+    assert(!new java.io.File(s"$dir/batch=0").exists &&
+      new java.io.File(s"$dir/compact=${batches.size - 1}/_SUCCESS").exists)
+    val (p2, planned2) = graft.operators.TextAnalysis
+      .chunkDedupIncrementalBatchBucketed(probe, dir, batches.size.toLong)
+    assert(p2.collect().map(key).toMap == before,
+      "compaction changed the dup ratios")
+    assert(planned2.nonEmpty && planned2.size < planned1.size &&
+      planned2.forall(_.contains(s"compact=${batches.size - 1}")), planned2)
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDedupIncrementalBatchBucketed(
+        probe, dir, batches.size - 1L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDedupStoreCompact(spark, dir, 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDedupStoreCompact(
+        spark, dir, batches.size - 1L, window = 16)
+    }
+  }
+
   test("bucketed chunk-dedup store: identical ratios, chunk-hash buckets prune the probe") {
     val s = spark
     import s.implicits._
