@@ -82,6 +82,14 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$dirN/embeddings.parquet")
     val ((_, kmRN), kmTN) = timed(A.kmeansIterateWithRounds(spark, dirN))
 
+    // --- Gonzalez k-center at 1× and N× (k driver-synchronized rounds
+    // BY CONSTRUCTION — each round is one scan of the one-row-per-
+    // vector min-distance frame plus a 1-row argmax; the stress here
+    // is that the round count stays pinned at k while wall grows only
+    // with the scanned frame, never superlinearly)
+    val (kcenR1, kcenT1) = timed(A.coresetKcenter(spark, dir).count())
+    val (kcenRN, kcenTN) = timed(A.coresetKcenter(spark, dirN).count())
+
     println(
       s"""{"metric":"scale_stress","sf":"$dir","copies":$copies,""" +
         s""""cc_rounds_1x":$ccR1,"cc_rounds_${copies}x":$ccRN,""" +
@@ -92,7 +100,9 @@ object ScaleStress {
         s""""kmeans_rounds_1x":$kmR1,"kmeans_rounds_${copies}x":$kmRN,""" +
         f""""kmeans_sec_1x":$kmT1%.2f,"kmeans_sec_${copies}x":$kmTN%.2f,""" +
         s""""kcore_rounds_1x":$kcR1,"kcore_rounds_${copies}x":$kcRN,""" +
-        f""""kcore_sec_1x":$kcT1%.2f,"kcore_sec_${copies}x":$kcTN%.2f}""")
+        f""""kcore_sec_1x":$kcT1%.2f,"kcore_sec_${copies}x":$kcTN%.2f,""" +
+        s""""kcenter_rounds_1x":$kcenR1,"kcenter_rounds_${copies}x":$kcenRN,""" +
+        f""""kcenter_sec_1x":$kcenT1%.2f,"kcenter_sec_${copies}x":$kcenTN%.2f}""")
     spark.stop()
   }
 }
