@@ -229,7 +229,10 @@ object Alerting {
     * one 1-row aggregate; the generated grid is time-bounded (720
     * rows/month), never event-bounded. */
   private def gapFilledErrorGrid(events: DataFrame): DataFrame = {
-    val grid = errorGridOf(events)
+    // materialized: the span fold AND the join probe both read the
+    // aggregated grid — without this each consumer re-scans the
+    // event-scale table (two corpus scans at 100 TB for one panel)
+    val grid = graft.plans.Materialize(errorGridOf(events))
     val hours = grid
       .agg(min(col("window_start")).as("lo"), max(col("window_start")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 hour)"))

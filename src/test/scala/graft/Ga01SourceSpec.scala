@@ -235,8 +235,16 @@ class Ga01SourceSpec extends SparkSpec {
         s"second landing mis-delivered: $seen")
       val w2 = obs.windowsPlanned.get() - w1
       val f2 = obs.filesPlanned.get() - f1
-      assert(w2 >= 1L && f2 == batchPlanned * w2,
-        s"second window planned $f2 over $w2")
+      // the LIVE landing is not atomic: under load the source's
+      // offset polls can observe it partially, splitting the 4 files
+      // across several windows — some non-empty windows then keep
+      // ZERO matching files. The robust pruning invariant: the probe
+      // file plans at least once, and no window ever plans more than
+      // the batch reference (window ⊆ landing ⇒ per-window kept ≤
+      // batchPlanned); row exactness is already pinned by `seen`.
+      assert(w2 >= 1L && f2 >= batchPlanned && f2 <= batchPlanned * w2,
+        s"second landing pruning out of bounds: $f2 files over $w2 " +
+          s"windows (batch reference $batchPlanned of 4)")
     } finally q.stop()
     // offsets are over ALL landed files (pruning never shifts the
     // replay prefix): an unfiltered restart on a FRESH checkpoint

@@ -1002,11 +1002,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("slo burn: one conditional-sum aggregate, zero joins") {
-    val plan = physical(graft.operators.Alerting.sloBurn(spark, sfDir))
-    assert(!plan.contains("Join"), s"burn panel grew a join:\n$plan")
+  test("slo burn: one conditional-sum aggregate, gap-fill joins at grid scale only") {
+    val df = graft.operators.Alerting.sloBurn(spark, sfDir)
+    val plan = physical(df)
     // event scan collapses map-side: partial then final aggregate
     assert(plan.contains("HashAggregate"), plan)
+    // the gap-fill's ONLY join is the generated hour grid against the
+    // aggregated (time-bounded) grid — broadcast, never a sort-merge
+    // over event-scale rows; and the events table scans ONCE (the span
+    // fold and the grid both read the aggregate)
+    assert(!plan.contains("SortMergeJoin"), s"grid join went sort-merge:\n$plan")
+    // the aggregated grid MATERIALIZES once: span fold and join probe
+    // read it, the event-scale table never scans inside this plan
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"gap-fill re-scans events past the materialize:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(600))
   }
 
   test("kn continuation: stat joins unhinted, dictionary joins at vocab scale only") {
