@@ -838,6 +838,123 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     "WITH " + knnGraphCtes(k, nPlanes, nTables) +
       "\nSELECT src_id, dst_id, dot_q, rnk FROM gk"
 
+  /** q_knn_components: semantic clusters off the k-NN graph — mutual
+    * edges (both directions present in `gk`), transitive closure (the
+    * q_dedup_cluster recursive idiom), per-cluster label census with
+    * exact fixed-point purity; singletons label themselves via the
+    * left join (Ann.knnComponentsOf). */
+  def knnComponents(k: Int = 5, nPlanes: Int = 6, nTables: Int = 8,
+                    minDotQ: Long = 400000L): String =
+    "WITH RECURSIVE " + knnGraphCtes(k, nPlanes, nTables) + s""",
+ gkm AS MATERIALIZED (SELECT src_id, dst_id, dot_q FROM gk
+  WHERE dot_q >= $minDotQ),
+ mu AS (SELECT a.src_id, a.dst_id FROM gkm a JOIN gkm b
+   ON b.src_id = a.dst_id AND b.dst_id = a.src_id
+  WHERE a.src_id < a.dst_id),
+ med AS (SELECT src_id AS a, dst_id AS b FROM mu
+  UNION SELECT dst_id, src_id FROM mu),
+ reach(a, b) AS (SELECT a, b FROM med
+  UNION SELECT r.a, e2.b FROM reach r JOIN med e2 ON r.b = e2.a),
+ m AS (SELECT a, min(b) AS mn FROM reach GROUP BY 1),
+ lab AS (SELECT v.vec_id,
+   least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id, v.label
+  FROM embeddings v LEFT JOIN m ON m.a = v.vec_id),
+ pl AS (SELECT cluster_id, label, count(*) AS n FROM lab GROUP BY 1, 2),
+ tot AS (SELECT cluster_id, CAST(sum(n) AS BIGINT) AS sz,
+   count(*) AS n_labels FROM pl GROUP BY 1),
+ tp AS (SELECT cluster_id, label AS top_label, n AS top_n FROM (
+   SELECT *, row_number() OVER
+     (PARTITION BY cluster_id ORDER BY n DESC, label) AS rk FROM pl)
+  WHERE rk = 1)
+SELECT t.cluster_id, t.sz, t.n_labels, tp.top_label,
+ CAST(tp.top_n AS BIGINT) AS top_n,
+ CAST(CAST(tp.top_n AS HUGEINT) * 1000000 // CAST(t.sz AS HUGEINT)
+   AS BIGINT) AS purity_ppm
+FROM tot t JOIN tp USING (cluster_id)"""
+
+  /** The graph-walk CTE chain shared by q_graph_search and its recall
+    * leg — the bounded-hop beam search unrolled (the q_kcore_peel
+    * idiom): s0 scores the fixed min-id entry per query; each hop
+    * joins the previous frontier to the MATERIALIZED adjacency,
+    * scores the neighbors with the same exact-dot spelling as gsc,
+    * and cuts the next frontier at `beam` by (dot DESC, vec_id).
+    * Ends at `dd(query_id, vec_id, dot_q)` — everything scored,
+    * self-hits dropped, deduped. */
+  private def graphWalkCtes(nQueries: Int, beam: Int,
+                            hops: Int): String = {
+    val base = s"""qm AS MATERIALIZED (SELECT vec_id AS query_id
+      |  FROM embeddings WHERE vec_id < $nQueries),
+      | gm AS MATERIALIZED (SELECT src_id, dst_id FROM gk),
+      | ent AS (SELECT min(vec_id) AS v FROM embeddings),
+      | s0 AS MATERIALIZED (SELECT n.query_id, n.vec_id,
+      |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+      |  FROM (SELECT q.query_id, ent.v AS vec_id
+      |    FROM qm q CROSS JOIN ent
+      |   UNION SELECT query_id, query_id FROM qm) n
+      |  JOIN e a ON a.vec_id = n.query_id
+      |  JOIN e b ON b.vec_id = n.vec_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      | f0 AS (SELECT * FROM s0)""".stripMargin
+    val hopSql = (1 to hops).map { h =>
+      s"""n$h AS (SELECT DISTINCT f.query_id, g.dst_id AS vec_id
+         |  FROM f${h - 1} f JOIN gm g ON g.src_id = f.vec_id),
+         | s$h AS MATERIALIZED (SELECT n.query_id, n.vec_id,
+         |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+         |  FROM n$h n JOIN e a ON a.vec_id = n.query_id
+         |  JOIN e b ON b.vec_id = n.vec_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         | f$h AS MATERIALIZED (SELECT query_id, vec_id, dot_q FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot_q DESC, vec_id) AS r FROM s$h)
+         |  WHERE r <= $beam)""".stripMargin
+    }.mkString(",\n ")
+    val visUnion = (0 to hops).map(h => s"SELECT * FROM s$h")
+      .mkString("\n  UNION ALL ")
+    s"""$base,
+ $hopSql,
+ vis AS ($visUnion),
+ dd AS (SELECT query_id, vec_id, max(dot_q) AS dot_q FROM vis
+  WHERE vec_id <> query_id GROUP BY 1, 2)"""
+  }
+
+  /** q_graph_search: bounded-hop beam search over the k-NN graph
+    * (Ann.graphSearchOf) — top-k of everything the walk scored. */
+  def graphSearch(k: Int = 5, nQueries: Int = 10, beam: Int = 8,
+                  hops: Int = 4, kGraph: Int = 5, nPlanes: Int = 6,
+                  nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(kGraph, nPlanes, nTables) + ",\n " +
+      graphWalkCtes(nQueries, beam, hops) + s"""
+SELECT query_id, vec_id, dot_q, rnk FROM (
+ SELECT *, row_number() OVER (PARTITION BY query_id
+   ORDER BY dot_q DESC, vec_id) AS rnk FROM dd)
+WHERE rnk <= $k"""
+
+  /** q_graph_search_recall: recall@k of the graph WALK against brute
+    * force (Ann.graphSearchRecall — the knnGraphRecall gauge pointed
+    * at the serving path). */
+  def graphSearchRecall(k: Int = 5, nQueries: Int = 10, beam: Int = 8,
+                        hops: Int = 4, kGraph: Int = 5, nPlanes: Int = 6,
+                        nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(kGraph, nPlanes, nTables) + ",\n " +
+      graphWalkCtes(nQueries, beam, hops) + s""",
+ ws AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dot_q DESC, vec_id) AS rnk FROM dd)
+  WHERE rnk <= $k),
+ bs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $nQueries GROUP BY 1, 2),
+ bk AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM bs)
+  WHERE rnk <= $k)
+SELECT bk.query_id, count(ws.vec_id) AS hits,
+ CAST(count(ws.vec_id) AS DOUBLE) / $k AS recall
+FROM bk LEFT JOIN ws
+ ON ws.query_id = bk.query_id AND ws.vec_id = bk.vec_id
+GROUP BY 1"""
+
   /** q_knn_graph_recall: recall@k of the built graph's edges against
     * brute-force ground truth on the sampled node set
     * (Ann.knnGraphRecallOf — the annRecall shape over the graph). */
@@ -2980,6 +3097,101 @@ FROM cf"""
       |   CAST(cum_total AS HUGEINT) * $bud AS exhausted
       |FROM w""".stripMargin
   }
+  /** The silence verdict CASE chain stamped from the SAME
+    * [[graft.operators.Alerting.Silences]] catalog the operator folds
+    * into its scan (first listed match wins); the residue is spelled
+    * non-negative (((hr % m) + m) % m) to mirror Spark's pmod on any
+    * clock. */
+  private def silenceCaseSql: String = {
+    val whens = graft.operators.Alerting.Silences.map {
+      case (sid, rp, tp, m, lo, hi) =>
+        val conds = Seq(
+          if (rp == "*") None
+          else Some(s"rule_id = '${rp.replace("'", "''")}'"),
+          if (tp == "*") None
+          else Some(s"topic = '${tp.replace("'", "''")}'"),
+          Some(s"((hr % $m) + $m) % $m BETWEEN $lo AND $hi")
+        ).flatten.mkString(" AND ")
+        s"WHEN $conds THEN '${sid.replace("'", "''")}'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
+
+  /** The alert-state CTE chain extended with the silence verdict —
+    * the shared prefix of the notification-side oracles. */
+  private def silencedStateCtes: Seq[String] =
+    alertRunCtes ++ Seq(
+      """s AS (SELECT *, row_number() OVER
+        |   (PARTITION BY rule_id, topic, grp ORDER BY hr) AS run_idx FROM g)""".stripMargin,
+      s"""st AS (SELECT rule_id, topic, window_start, msg_count, run_idx,
+        |   CASE WHEN run_idx >= for_n THEN 'firing' ELSE 'pending' END AS state,
+        |   hr, $silenceCaseSql AS silence_id FROM s)""".stripMargin)
+
+  /** q_alert_silences: the alert states decorated with the first
+    * matching recurring silence and the suppressed flag. */
+  def alertSilences: String =
+    "WITH " + silencedStateCtes.mkString(",\n ") + """
+      |SELECT rule_id, topic, window_start, msg_count, run_idx, state,
+      | hr, silence_id, silence_id IS NOT NULL AS suppressed
+      |FROM st""".stripMargin
+
+  /** q_alert_groups: per-topic notification digest — firing
+    * un-silenced hours fold to hourly rosters, islands to episodes,
+    * and each episode notifies at its start then every RepeatHours
+    * (the stamped Alerting.RepeatHours). */
+  def alertGroups: String = {
+    val rep = graft.operators.Alerting.RepeatHours
+    "WITH " + silencedStateCtes.mkString(",\n ") + s""",
+      | nf AS (SELECT * FROM st
+      |   WHERE state = 'firing' AND silence_id IS NULL),
+      | hourly AS (SELECT topic, hr, min(window_start) AS window_start,
+      |   count(DISTINCT rule_id) AS n_rules,
+      |   string_agg(DISTINCT rule_id, ',' ORDER BY rule_id) AS rules
+      |  FROM nf GROUP BY 1, 2),
+      | isl AS (SELECT *, hr - row_number() OVER
+      |   (PARTITION BY topic ORDER BY hr) AS grp FROM hourly),
+      | ep AS (SELECT *, dense_rank() OVER
+      |   (PARTITION BY topic ORDER BY grp) AS episode_no,
+      |   min(hr) OVER (PARTITION BY topic, grp) AS ep_start FROM isl),
+      | nt AS (SELECT *, row_number() OVER
+      |   (PARTITION BY topic, grp ORDER BY hr) AS notif_no FROM ep
+      |  WHERE (((hr - ep_start) % $rep) + $rep) % $rep = 0)
+      |SELECT topic, episode_no, notif_no, window_start, n_rules, rules
+      |FROM nt""".stripMargin
+  }
+
+  /** The receiver CASE chain stamped from the SAME ordered
+    * [[graft.operators.Alerting.Routes]] catalog (first match wins,
+    * fallback receiver last). */
+  private def receiverCaseSql: String = {
+    val whens = graft.operators.Alerting.Routes.map {
+      case (_, rp, tp, recv) =>
+        val conds = Seq(
+          if (rp == "*") None
+          else Some(s"rule_id = '${rp.replace("'", "''")}'"),
+          if (tp == "%") None
+          else Some(s"topic LIKE '${tp.replace("'", "''")}'")
+        ).flatten match {
+          case Nil => Seq("TRUE")
+          case cs  => cs
+        }
+        s"WHEN ${conds.mkString(" AND ")} THEN '${recv.replace("'", "''")}'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${graft.operators.Alerting.FallbackReceiver}' END"
+  }
+
+  /** q_alert_routing: firing un-silenced alerts run the ordered
+    * first-match route catalog; one census row per receiver. */
+  def alertRouting: String =
+    "WITH " + silencedStateCtes.mkString(",\n ") + s""",
+      | nf AS (SELECT *, $receiverCaseSql AS receiver FROM st
+      |   WHERE state = 'firing' AND silence_id IS NULL)
+      |SELECT receiver, count(*) AS n_alerts,
+      | count(DISTINCT topic) AS n_topics,
+      | count(DISTINCT rule_id) AS n_rules,
+      | min(window_start) AS first_seen, max(window_start) AS last_seen
+      |FROM nf GROUP BY 1""".stripMargin
+
   /** q_kcore_peel: bounded synchronous k-core peeling unrolled as
     * chained CTEs (the q_pagerank/q_label_prop idiom) over the SAME
     * co-order part graph spelling as q_graph_triangles. Both engines

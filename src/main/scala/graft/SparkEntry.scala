@@ -55,6 +55,9 @@ object SparkEntry {
     "q_seasonal_residual" -> ((s, d) => Monitoring.seasonalResidual(s, d)),
     "q_alert_rules" -> ((s, d) => Alerting.alertRules(s, d)),
     "q_alert_episodes" -> ((s, d) => Alerting.alertEpisodes(s, d)),
+    "q_alert_silences" -> ((s, d) => Alerting.alertSilences(s, d)),
+    "q_alert_groups" -> ((s, d) => Alerting.alertGroups(s, d)),
+    "q_alert_routing" -> ((s, d) => Alerting.alertRouting(s, d)),
     "q_slo_burn" -> ((s, d) => Alerting.sloBurn(s, d)),
     "q_error_budget" -> ((s, d) => Alerting.errorBudget(s, d)),
     "q_apdex" -> ((s, d) => Alerting.apdex(s, d)),
@@ -169,6 +172,9 @@ object SparkEntry {
     "q_ann_hubness" -> ((s, d) => Ann.hubness(s, d)),
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "q_knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
+    "q_knn_components" -> ((s, d) => Ann.knnComponents(s, d)),
+    "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
+    "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
     "q_hard_negatives" -> ((s, d) => Ann.hardNegatives(s, d)),
     "q_coreset_kcenter" -> ((s, d) => Ann.coresetKcenter(s, d)),
@@ -380,6 +386,9 @@ object SparkEntry {
     // discipline — one spelling, shared island chain)
     "q_alert_rules" -> OracleSql.alertRules,
     "q_alert_episodes" -> OracleSql.alertEpisodes,
+    "q_alert_silences" -> OracleSql.alertSilences,
+    "q_alert_groups" -> OracleSql.alertGroups,
+    "q_alert_routing" -> OracleSql.alertRouting,
     "q_slo_burn" -> OracleSql.sloBurn,
     "q_error_budget" -> OracleSql.errorBudget,
     "q_apdex" -> OracleSql.apdex,
@@ -1302,6 +1311,13 @@ object SparkEntry {
     // lo/hi straddling ones), all-node bucket candidates, exact-dot
     // top-k per node — the full adjacency, hash-checked
     "q_knn_graph" -> OracleSql.knnGraph(),
+    // semantic clusters off the graph: mutual edges → transitive
+    // closure → per-cluster label census with exact purity
+    "q_knn_components" -> OracleSql.knnComponents(),
+    // graph-ANN serving: bounded-hop beam walk over the adjacency,
+    // hops unrolled as chained CTEs; plus its recall gauge
+    "q_graph_search" -> OracleSql.graphSearch(),
+    "q_graph_search_recall" -> OracleSql.graphSearchRecall(),
     // recall@k of the built graph vs brute force on the node sample
     "q_knn_graph_recall" -> OracleSql.knnGraphRecall(),
     // k-center coreset: greedy rounds unrolled as MATERIALIZED CTEs,

@@ -243,6 +243,152 @@ object Alerting {
         coalesce(col("errs"), lit(0L)).as("errs"))
   }
 
+  /** Silence catalog — Alertmanager-style suppression windows as
+    * RECURRING maintenance schedules (the real shape: "nightly
+    * 02:00–05:59 UTC", "all of Thursday for the error feed"), each a
+    * matcher pair (exact rule/topic or `*`) plus a modular window on
+    * the exact hour index: active when pmod(hr, mod) ∈ [lo, hi].
+    * Driver literals stamped into BOTH engines (the rule-catalog
+    * idiom); first listed match wins, so the catalog order is the
+    * precedence order. */
+  val Silences: Seq[(String, String, String, Int, Int, Int)] = Seq(
+    ("s_nightly", "*", "*", 24, 2, 5),
+    ("s_thu_err", "*", "error", 168, 0, 23))
+
+  /** Notification repeat interval (hours): within a firing episode a
+    * group re-notifies every `RepeatHours` hours after the episode's
+    * first notification (Alertmanager's `repeat_interval`). */
+  val RepeatHours: Int = 2
+
+  /** Routing tree flattened to an ordered first-match catalog
+    * (Alertmanager routes depth-first; a flattened route list with
+    * priorities is the same function): exact-or-`*` rule matcher, SQL
+    * LIKE topic matcher, receiver. Unmatched alerts land on
+    * [[FallbackReceiver]] (the root route). */
+  val Routes: Seq[(Int, String, String, String)] = Seq(
+    (1, "*", "err%", "pager"),
+    (2, "hot3", "%", "pager"),
+    (3, "*", "%up%", "email"))
+  val FallbackReceiver: String = "slack"
+
+  /** The silence verdict as a driver-side function — the SAME catalog
+    * walk the batch CASE chain folds into its scan, for the streaming
+    * gauge's per-row check (first listed match wins). */
+  def silenceIdFor(ruleId: String, topic: String, hr: Long): Option[String] =
+    Silences.collectFirst {
+      case (sid, rp, tp, m, lo, hi)
+        if (rp == "*" || rp == ruleId) && (tp == "*" || tp == topic) && {
+          val r = ((hr % m) + m) % m; r >= lo && r <= hi
+        } => sid
+    }
+
+  /** The alert states decorated with the silence verdict: per
+    * breached (rule, topic, window), the first matching active
+    * silence (or NULL) and the suppressed flag. The catalog is a
+    * driver literal, so matching folds into ONE scan-local CASE
+    * chain — no join, no extra exchange over [[alertStatesOf]]'s
+    * grid-bounded frame; pmod keeps the residue non-negative on any
+    * clock (the floor-hour contract). */
+  def alertSilences(spark: SparkSession, dir: String): DataFrame =
+    silencedStatesOf(hourlyCounts(spark, dir))
+
+  private def silenceIdExpr = Silences.foldRight(
+    lit(null).cast("string")) { case ((sid, rp, tp, m, lo, hi), acc) =>
+    val matches =
+      (if (rp == "*") lit(true) else col("rule_id") === lit(rp)) &&
+        (if (tp == "*") lit(true) else col("topic") === lit(tp)) &&
+        pmod(col("hr"), lit(m.toLong)).between(lo.toLong, hi.toLong)
+    when(matches, lit(sid)).otherwise(acc)
+  }
+
+  private[graft] def silencedStatesOf(counts: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("rule_id"), col("topic"), col("grp"))
+      .orderBy(col("hr"))
+    withRuns(counts)
+      .withColumn("run_idx", row_number().over(wr))
+      .withColumn("state",
+        when(col("run_idx") >= col("for_n"), lit("firing"))
+          .otherwise(lit("pending")))
+      .withColumn("silence_id", silenceIdExpr)
+      .select(col("rule_id"), col("topic"), col("window_start"),
+        col("msg_count"), col("run_idx"), col("state"), col("hr"),
+        col("silence_id"), col("silence_id").isNotNull.as("suppressed"))
+  }
+
+  /** The notifiable stream every notification-side panel reads: one
+    * row per FIRING, un-silenced (rule, topic, hour). */
+  private def notifiableOf(counts: DataFrame): DataFrame =
+    silencedStatesOf(counts)
+      .filter(col("state") === "firing" && !col("suppressed"))
+
+  /** Notification GROUPING (Alertmanager semantics, batch form): the
+    * firing un-silenced alerts group by topic (the group-by label);
+    * contiguous firing hours form an episode (gaps-and-islands on the
+    * hour index — the [[alertRules]] machinery one level up), and the
+    * group notifies at the episode's first hour then every
+    * [[RepeatHours]] hours after it (`repeat_interval`), each
+    * notification folding that hour's firing rules into one sorted
+    * roster. Output: one row per NOTIFICATION — what the receiver
+    * actually sees, a flap-storm of per-rule alerts collapsed to a
+    * paced per-topic digest.
+    *
+    * Scale: every step after [[notifiableOf]] operates on the
+    * (topic × hour) grid — time-bounded, never event-bounded; the
+    * windows sort grid rows within topics. */
+  def alertGroups(spark: SparkSession, dir: String): DataFrame =
+    alertGroupsOf(hourlyCounts(spark, dir))
+
+  private[graft] def alertGroupsOf(counts: DataFrame): DataFrame = {
+    val hourly = notifiableOf(counts)
+      .groupBy(col("topic"), col("hr"))
+      .agg(min(col("window_start")).as("window_start"),
+        countDistinct(col("rule_id")).as("n_rules"),
+        array_join(sort_array(collect_set(col("rule_id"))), ",")
+          .as("rules"))
+    val wt = Window.partitionBy(col("topic")).orderBy(col("hr"))
+    val isl = hourly.withColumn("grp", col("hr") - row_number().over(wt))
+    val we = Window.partitionBy(col("topic"), col("grp"))
+    isl
+      // grp strictly increases across a topic's episodes (hr jumps by
+      // more than row_number at every gap), so dense_rank over it is
+      // the episode ordinal
+      .withColumn("episode_no",
+        dense_rank().over(Window.partitionBy(col("topic")).orderBy(col("grp"))))
+      .withColumn("ep_start", min(col("hr")).over(we))
+      .filter(pmod(col("hr") - col("ep_start"), lit(RepeatHours.toLong)) === 0L)
+      .withColumn("notif_no",
+        row_number().over(we.orderBy(col("hr"))))
+      .select(col("topic"), col("episode_no"), col("notif_no"),
+        col("window_start"), col("n_rules"), col("rules"))
+  }
+
+  /** Receiver ROUTING census: every firing un-silenced alert row runs
+    * the ordered first-match route catalog (exact-or-`*` rule, LIKE
+    * topic, fallback receiver), then one bounded aggregate per
+    * receiver — volume, breadth, and the seen-span an on-call rota
+    * audits. The catalog folds to a scan-local CASE chain (driver
+    * literal — no join); shuffle ∝ #receivers. */
+  def alertRouting(spark: SparkSession, dir: String): DataFrame =
+    alertRoutingOf(hourlyCounts(spark, dir))
+
+  private def receiverExpr = Routes.foldRight(lit(FallbackReceiver)) {
+    case ((_, rp, tp, recv), acc) =>
+      val matches =
+        (if (rp == "*") lit(true) else col("rule_id") === lit(rp)) &&
+          (if (tp == "%") lit(true) else col("topic").like(tp))
+      when(matches, lit(recv)).otherwise(acc)
+  }
+
+  private[graft] def alertRoutingOf(counts: DataFrame): DataFrame =
+    notifiableOf(counts)
+      .withColumn("receiver", receiverExpr)
+      .groupBy(col("receiver"))
+      .agg(count(lit(1)).as("n_alerts"),
+        countDistinct(col("topic")).as("n_topics"),
+        countDistinct(col("rule_id")).as("n_rules"),
+        min(col("window_start")).as("first_seen"),
+        max(col("window_start")).as("last_seen"))
+
   private[graft] def sloBurnOf(events: DataFrame): DataFrame = {
     val grid = gapFilledErrorGrid(events)
     val w = Window.orderBy(col("window_start"))

@@ -464,6 +464,180 @@ object Ann {
         (col("hits").cast("double") / k).as("recall"))
   }
 
+  /** SEMANTIC CLUSTERS off the k-NN graph — the cluster consumer the
+    * graph artifact exists for (semDedup clusters by centroid;
+    * this clusters by topology): keep the MUTUAL edges (a↔b both in
+    * each other's top-k — the standard symmetrization that kills
+    * hub-induced chaining), run connected components over them (the
+    * [[graft.operators.Dedup.connectedComponents]] large-star /
+    * small-star kernel — O(log n) rounds, measured flat under 10×),
+    * and census each cluster: size, label breadth, majority label and
+    * its exact fixed-point purity. Edges must also clear `minDotQ` —
+    * the [[graft.operators.Dedup.nearDupClusters]] similarity-floor
+    * discipline: mutual rank alone still percolates through the
+    * generic correlation of an embedding space (measured: the
+    * unthresholded mutual 5-NN graph on the synthetic corpus is ONE
+    * component holding 98% of the vectors — a useless census and an
+    * intractable closure), while mutual + floor keeps exactly the
+    * near-duplicate-grade edges. Reads the graph INLINE here for
+    * the oracle protocol; production probes the landBatch-parked
+    * adjacency (the [[hubnessOfGraph]] discipline) — the mutual
+    * filter and everything after touch only (src, dst) id pairs, so
+    * nothing embedding-sized crosses an exchange.
+    *
+    * Singletons (no qualifying mutual edge) census as their own
+    * 1-row clusters — the curation read is "how much of the corpus
+    * is semantically redundant", so the denominator must be every
+    * vector. */
+  def knnComponents(spark: SparkSession, dir: String, k: Int = 5,
+                    nPlanes: Int = 6, nTables: Int = 8,
+                    minDotQ: Long = 400000L, maxIters: Int = 20): DataFrame =
+    knnComponentsOf(embs(spark, dir), k, nPlanes, nTables, minDotQ, maxIters)
+
+  /** [[knnComponents]] over a prepared (vec_id, embedding, label)
+    * frame. */
+  def knnComponentsOf(emb: DataFrame, k: Int, nPlanes: Int,
+                      nTables: Int, minDotQ: Long,
+                      maxIters: Int): DataFrame = {
+    // materialized: the mutual self-join reads the built graph once
+    // (ReusedExchange), not two full LSH+score builds
+    val g = graft.plans.Materialize(
+      knnGraphOf(emb, k, nPlanes, nTables)
+        .filter(col("dot_q") >= minDotQ)
+        .select(col("src_id"), col("dst_id")))
+    val mutual = g.filter(col("src_id") < col("dst_id"))
+      .join(g.filter(col("src_id") > col("dst_id"))
+          .select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+        Seq("src_id", "dst_id"))
+    val labels = graft.operators.Dedup.connectedComponents(
+      emb.select(col("vec_id").as("id")),
+      mutual.select(col("src_id").as("src"), col("dst_id").as("dst")),
+      maxIters)
+    val perLabel = labels
+      .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      .groupBy(col("component").as("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n").desc, col("label").asc)
+    val tot = perLabel.groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("sz"), count(lit(1)).as("n_labels"))
+    val top = perLabel.withColumn("rk", row_number().over(wt))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("label").as("top_label"),
+        col("n").as("top_n"))
+    tot.join(top, Seq("cluster_id"))
+      .select(col("cluster_id"), col("sz"), col("n_labels"),
+        col("top_label"), col("top_n"),
+        expr("CAST((CAST(top_n AS DECIMAL(38,0)) * 1000000) DIV " +
+          "CAST(sz AS DECIMAL(38,0)) AS BIGINT)").as("purity_ppm"))
+  }
+
+  /** Graph-based ANN SEARCH — the SERVING consumer of the k-NN graph
+    * artifact (the production standard: HNSW/NSG-style navigation,
+    * here the deterministic bounded-hop beam variant): the walk
+    * seeds at the QUERY NODE ITSELF plus a fixed global entry
+    * (min vec_id — production would park a centroid-nearest root
+    * with the graph; corpus-member queries, the shape every other
+    * ANN row here uses, always have the self seed — measured on the
+    * synthetic corpus the root alone recalls 0.22 because the walk
+    * must cross between tight clusters; self+root recalls 0.70-0.82
+    * across scales); each hop expands the current beam's graph
+    * neighbors, scores them with the exact integer dot, and keeps
+    * the top-`beam` as the next frontier; after `hops` rounds the
+    * answer is the top-`k` over everything scored. Exactly the Lloyd/k-center bounded-rounds discipline:
+    * `hops` driver-synchronized rounds, each a frontier→adjacency
+    * join plus one score-and-cut, every frame materialized so lineage
+    * stays shallow. Scored work per hop ≤ nQueries × beam × degree —
+    * independent of corpus size; the corpus appears only through the
+    * graph adjacency and the id-keyed embedding lookups (at 100 TB
+    * both sides bucket by vec_id, so the probe exchange carries id
+    * pairs, never vectors). The DuckDB oracle unrolls the same hops
+    * as chained CTEs (the q_kcore_peel idiom), so both engines walk
+    * the identical frontier — including ties, cut by (dot DESC,
+    * vec_id).
+    *
+    * Contract a spec pins: on a COMPLETE graph (degree ≥ n−1) one hop
+    * equals brute force exactly; on a disconnected graph the walk
+    * cannot leave its SEEDS' components (the connectivity contract
+    * every graph-ANN deployment must mind — [[graphSearchRecall]] is
+    * the gauge). */
+  def graphSearch(spark: SparkSession, dir: String, k: Int = 5,
+                  nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
+                  kGraph: Int = 5, nPlanes: Int = 6,
+                  nTables: Int = 8): DataFrame =
+    graphSearchOf(embs(spark, dir), k, nQueries, beam, hops, kGraph,
+      nPlanes, nTables)
+
+  /** [[graphSearch]] over a prepared (vec_id, embedding) frame. */
+  def graphSearchOf(emb: DataFrame, k: Int, nQueries: Int, beam: Int,
+                    hops: Int, kGraph: Int, nPlanes: Int,
+                    nTables: Int): DataFrame = {
+    val graph = graft.plans.Materialize(
+      knnGraphOf(emb, kGraph, nPlanes, nTables)
+        .select(col("src_id"), col("dst_id")))
+    val queries = graft.plans.Materialize(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("e_query")))
+    // ONE 1-row bounded collect: the deterministic entry node
+    val entry = emb.agg(min(col("vec_id"))).head.getLong(0)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    var frontier = graft.plans.Materialize(
+      score(queries.select(col("query_id"), lit(entry).as("vec_id"))
+        .unionAll(queries.select(col("query_id"),
+          col("query_id").as("vec_id")))
+        // distinct: the entry may BE a query node — the oracle's
+        // UNION dedups, so the beam must hold one copy on both sides
+        .distinct()))
+    var visited = frontier
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id").asc)
+    for (_ <- 1 to hops) {
+      val nbrs = frontier
+        .select(col("query_id"), col("vec_id").as("src_id"))
+        .join(graph, Seq("src_id"))
+        .select(col("query_id"), col("dst_id").as("vec_id"))
+        .distinct()
+      val scored = graft.plans.Materialize(score(nbrs))
+      visited = visited.unionAll(scored)
+      frontier = graft.plans.Materialize(
+        scored.withColumn("r", row_number().over(wq))
+          .filter(col("r") <= beam).drop("r"))
+    }
+    visited
+      .filter(col("vec_id") =!= col("query_id"))
+      // a node can be scored on several hops — same exact dot, dedup
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("dot_q")).as("dot_q"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+  }
+
+  /** recall@k of the graph WALK against brute-force ground truth —
+    * the [[knnGraphRecall]] gauge pointed at the serving path: how
+    * much of the exact top-k the bounded-hop beam actually reaches
+    * (entry placement + connectivity + beam width, measured as one
+    * number per query). */
+  def graphSearchRecall(spark: SparkSession, dir: String, k: Int = 5,
+                        nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
+                        kGraph: Int = 5, nPlanes: Int = 6,
+                        nTables: Int = 8): DataFrame = {
+    val e = embs(spark, dir)
+    val brute = exactTopK(e, k, nQueries, None)
+      .select(col("query_id"), col("vec_id"))
+    val walked = graphSearchOf(e, k, nQueries, beam, hops, kGraph,
+      nPlanes, nTables)
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit"))
+    brute.join(walked, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** Per-label embedding centroid — the cluster-assignment step of an
     * IVF index build (and one k-means iteration). posexplode to
     * (label, dim) with milli-quantized BIGINT components, so the sums

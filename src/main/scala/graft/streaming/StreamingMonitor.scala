@@ -61,6 +61,20 @@ final case class AlertStateRow(rule_id: String, topic: String,
                                msg_count: Long, run_idx: Int,
                                state: String)
 
+/** Live notification row — the streaming twin of the batch
+  * q_alert_groups output (one row per PACED per-topic digest). */
+final case class NotifRow(topic: String, episode_no: Int, notif_no: Int,
+                          window_start: java.sql.Timestamp,
+                          n_rules: Long, rules: String)
+
+/** Per-topic notification-gauge state: the per-rule (last hour, run)
+  * map plus the current episode's (last notifiable hour, start hour,
+  * ordinal, notifications so far) — cardinality-bounded, never
+  * window history. */
+final case class NotifState(runs: Map[String, (Long, Int)],
+                            lastHr: Long, epStart: Long,
+                            episodeNo: Int, notifNo: Int)
+
 /** Running availability/SLO panel row — the streaming twin of the
   * batch q_availability output, emitted once per folded window. */
 final case class AvailabilityRow(topic: String,
@@ -501,6 +515,67 @@ object StreamingMonitor {
                 Some(AlertStateRow(ruleId, topic, r.window_start,
                   r.msg_count, run,
                   if (run >= forN) "firing" else "pending"))
+              } else None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Live notification GROUPING — the streaming twin of the batch
+    * [[graft.operators.Alerting.alertGroups]] digest (Alertmanager
+    * semantics end to end: evaluate → silence → group → pace). Keyed
+    * by topic (the group-by label); per sealed hourly count the gauge
+    * re-runs the [[alertRuleStates]] run machinery in-line, drops
+    * silenced rules via the SAME stamped catalog walk
+    * ([[graft.operators.Alerting.silenceIdFor]]), and when the hour's
+    * roster is non-empty advances the episode state — contiguous
+    * notifiable hours extend the episode, a gap starts the next — and
+    * emits a notification only at the episode start and every
+    * RepeatHours after it. State per topic is the per-rule run map
+    * plus four episode scalars — cardinality-bounded, never window
+    * history. Same ordering contracts as [[alertRuleStates]]; on the
+    * same sealed counts the drained stream equals the batch digest
+    * EXACTLY (spec-pinned across shuffled micro-batch boundaries). */
+  def notificationGauge(counts: Dataset[CountPoint]): Dataset[NotifRow] = {
+    import counts.sparkSession.implicits._
+    import graft.operators.Alerting.{Rules, RepeatHours, silenceIdFor}
+    counts.groupByKey(_.topic)
+      .flatMapGroupsWithState[NotifState, NotifRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (topic, rows, state: GroupState[NotifState]) =>
+          var st = state.getOption.getOrElse(
+            NotifState(Map.empty, Long.MinValue, Long.MinValue, 0, 0))
+          val out = rows.toSeq.sortBy(_.window_start.getTime).flatMap { r =>
+            val hr = Math.floorDiv(r.window_start.getTime, 3600000L)
+            var runs = st.runs
+            val roster = Rules.flatMap { case (ruleId, threshold, forN) =>
+              if (r.msg_count >= threshold) {
+                val run = runs.get(ruleId) match {
+                  case Some((last, len)) if hr == last + 1 => len + 1
+                  case _ => 1
+                }
+                runs = runs.updated(ruleId, (hr, run))
+                if (run >= forN && silenceIdFor(ruleId, topic, hr).isEmpty)
+                  Some(ruleId)
+                else None
+              } else None
+            }
+            st = st.copy(runs = runs)
+            if (roster.isEmpty) None
+            else {
+              // a non-contiguous notifiable hour opens the next episode
+              val (epStart, epNo, nSoFar) =
+                if (hr == st.lastHr + 1) (st.epStart, st.episodeNo, st.notifNo)
+                else (hr, st.episodeNo + 1, 0)
+              st = st.copy(lastHr = hr, epStart = epStart,
+                episodeNo = epNo, notifNo = nSoFar)
+              if (((hr - epStart) % RepeatHours + RepeatHours) %
+                    RepeatHours == 0) {
+                st = st.copy(notifNo = nSoFar + 1)
+                Some(NotifRow(topic, epNo, st.notifNo, r.window_start,
+                  roster.size.toLong, roster.sorted.mkString(",")))
               } else None
             }
           }

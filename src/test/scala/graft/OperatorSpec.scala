@@ -665,6 +665,74 @@ class OperatorSpec extends SparkSpec {
     assert(key(Ann.hubnessOfGraph(own)) == key(census))
   }
 
+  test("knn components: planted clusters census with exact purity, loner stays a singleton") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one anti-aligned loner:
+    // with k=2 each member's top-2 are its cluster mates (mutual), the
+    // loner is nobody's top-2 (no mutual edge)
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f, 0.00f, 0.01f), 1),
+      (1L, Array(0.99f, 0.01f, 0.00f, 0.00f), 1),
+      (2L, Array(1.01f, 0.00f, 0.01f, 0.00f), 2),
+      (10L, Array(0.00f, 1.00f, 0.00f, 0.01f), 3),
+      (11L, Array(0.00f, 0.99f, 0.01f, 0.00f), 3),
+      (12L, Array(0.01f, 1.01f, 0.00f, 0.00f), 3),
+      (20L, Array(-0.01f, 0.00f, -1.00f, 0.00f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann
+      .knnComponentsOf(rows, k = 2, nPlanes = 6, nTables = 8,
+        minDotQ = 400000L, maxIters = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // cluster 0 = {0,1,2}: labels {1:2, 2:1} → top 1, purity ⌊2·10⁶/3⌋
+    assert(got(0L) == ((3L, 2L, 1, 2L, 666666L)))
+    // cluster 10 = {10,11,12}: pure label 3
+    assert(got(10L) == ((3L, 1L, 3, 3L, 1000000L)))
+    // the loner censuses as its own 1-row cluster (denominator = corpus)
+    assert(got(20L) == ((1L, 1L, 9, 1L, 1000000L)))
+    assert(got.size == 3)
+  }
+
+  test("graph search: one hop on a complete graph is brute force, the walk cannot leave the entry's component") {
+    import spark.implicits._
+    // 1-D line: dots to v0 are exactly 1000·round(x·1000) — on the
+    // complete graph (degree n−1) one hop from the entry scores every
+    // node, so the walk IS brute force
+    val line = Seq(0L -> 1.0f, 1L -> 0.9f, 2L -> 0.8f, 3L -> 0.7f,
+      4L -> 0.6f, 5L -> 0.5f)
+      .map { case (id, x) => (id, Array(x), 0) }
+      .toDF("vec_id", "embedding", "label")
+    val full = graft.operators.Ann.graphSearchOf(line, k = 3, nQueries = 1,
+      beam = 6, hops = 1, kGraph = 5, nPlanes = 6, nTables = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
+      .sortBy(_._3)
+    assert(full == List((1L, 900000L, 1), (2L, 800000L, 2), (3L, 700000L, 3)))
+    // the two-cluster corpus from the components spec, degree 2: the
+    // walk seeds at {self, min-id root} and can NEVER leave those
+    // seeds' components — the connectivity contract the recall gauge
+    // exists to measure
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f, 0.00f, 0.01f), 1),
+      (1L, Array(0.99f, 0.01f, 0.00f, 0.00f), 1),
+      (2L, Array(1.01f, 0.00f, 0.01f, 0.00f), 2),
+      (10L, Array(0.00f, 1.00f, 0.00f, 0.01f), 3),
+      (11L, Array(0.00f, 0.99f, 0.01f, 0.00f), 3),
+      (12L, Array(0.01f, 1.01f, 0.00f, 0.00f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val walked = graft.operators.Ann.graphSearchOf(rows, k = 3,
+      nQueries = 13, beam = 4, hops = 3, kGraph = 2, nPlanes = 6,
+      nTables = 8).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(r => r.getInt(3) -> r.getLong(1)).toMap }
+    // an A-side query's walk is CONFINED to A (seeds 0 and 1 are both
+    // A-side): its true neighbors exactly, and never a B node
+    assert(walked(1L).values.toSet == Set(0L, 2L))
+    // a B-side query self-seeds into B: true neighbors rank 1-2 (the
+    // root seed contributes only near-zero-dot A nodes behind them)
+    assert(Set(walked(11L)(1), walked(11L)(2)) == Set(10L, 12L))
+  }
+
   test("kmeansIterate(1) equals the single assignment step, and iteration reduces movement") {
     val oneStep = Ann.kmeansAssign(spark, sfDir)
       .select(col("vec_id"), col("new_label").as("label"))
@@ -2969,6 +3037,77 @@ class OperatorSpec extends SparkSpec {
     assert(got(("hot3", 1)) == ((0L, 2L, 3L, 5L, true)))
     assert(got(("hot3", 2)) == ((6L, 6L, 1L, 9L, false)))
     assert(got.size == 5)
+  }
+
+  test("alert silences: first listed matching window wins, unmatched rows stay loud") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // "error" hot at hours 0..5 (hot2 fires from hour 1); "click" hot
+    // at hour 10 only (pending, outside every window)
+    val counts = (0L to 5L).map(h => ("error", ts(h), 5L)) :+
+      (("click", ts(10L), 9L))
+    val got = graft.operators.Alerting.silencedStatesOf(counts.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(6)) ->
+        ((Option(r.getString(7)), r.getBoolean(8)))).toMap
+    // s_nightly (hr%24 in 2..5) is listed before s_thu_err (error all
+    // Thursday, hr%168 in 0..23): hours 2..5 report s_nightly even
+    // though both match; 0..1 fall through to s_thu_err
+    assert(got(("hot2", "error", 0L)) == ((Some("s_thu_err"), true)))
+    assert(got(("hot2", "error", 1L)) == ((Some("s_thu_err"), true)))
+    (2L to 5L).foreach { h =>
+      assert(got(("hot2", "error", h)) == ((Some("s_nightly"), true)))
+    }
+    // hour 10 on a non-error topic matches nothing: silence NULL,
+    // suppressed false — the alert stays loud
+    assert(got(("hot2", "click", 10L)) == ((None, false)))
+  }
+
+  test("alert groups: episodes notify at start then every repeat interval, rosters fold rules") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // topic t hot (5 ≥ both thresholds) hours 10..15, then 20..22:
+    // hot2 fires 11..15 and 21..22, hot3 fires 12..15 and 22
+    val counts = ((10L to 15L) ++ (20L to 22L)).map(h => ("t", ts(h), 5L))
+    val got = graft.operators.Alerting.alertGroupsOf(counts.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) ->
+        ((r.getTimestamp(3).getTime / 3600000L, r.getLong(4), r.getString(5))))
+      .toMap
+    // episode 1 = firing hours 11..15, ep_start 11, repeat 2 ⇒
+    // notifications at 11, 13, 15; the hour-13 roster carries both rules
+    assert(got((1, 1)) == ((11L, 1L, "hot2")))
+    assert(got((1, 2)) == ((13L, 2L, "hot2,hot3")))
+    assert(got((1, 3)) == ((15L, 2L, "hot2,hot3")))
+    // episode 2 = firing hours 21..22 ⇒ one notification at 21 (22,
+    // where hot3 joins, is off-cadence), roster hot2 only
+    assert(got((2, 1)) == ((21L, 1L, "hot2")))
+    assert(got.size == 4)
+  }
+
+  test("alert routing: ordered first match routes receivers, fallback catches the rest") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // three topics firing at hours 10..12 (outside every silence):
+    // error-svc → pager (rule-* err%), signup → email (%up%),
+    // click → slack fallback for hot2 but pager for hot3 (prio 2)
+    val counts = for {
+      t <- Seq("error-svc", "signup", "click"); h <- 10L to 12L
+    } yield (t, ts(h), 5L)
+    val got = graft.operators.Alerting.alertRoutingOf(counts.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // per topic: hot2 fires hours 11,12 (2 rows), hot3 fires hour 12
+    // (1 row). error-svc: all 3 rows → pager via 'err%'; EVERY hot3
+    // row → pager via the prio-2 rule matcher — including signup's,
+    // which would otherwise hit '%up%' (first match wins)
+    assert(got("pager") == ((5L, 3L, 2L)))
+    // signup's hot2 rows reach the '%up%' route
+    assert(got("email") == ((2L, 1L, 1L)))
+    // click's hot2 rows fall through every matcher
+    assert(got("slack") == ((2L, 1L, 1L)))
+    assert(got.size == 3)
   }
 
   test("tokenizer decode: id sequences round-trip through the parked table, splices fail loud") {

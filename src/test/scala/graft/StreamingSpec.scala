@@ -3190,6 +3190,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming notification gauge equals the batch q_alert_groups digest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def cts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // topic t: hot 1..6 (nightly silence eats firing hours 2..5 →
+    // episode {6}), hot 10..15 (episode {11..15}, notifs 11/13/15),
+    // hot 20..22 (episode {21,22}, notif 21); topic error: hot 10..12
+    // but s_thu_err silences ALL of hours 0..23 → zero notifications
+    val grid = ((1L to 6L) ++ (10L to 15L) ++ (20L to 22L))
+      .map(h => graft.streaming.CountPoint("t", cts(h), 5L)) ++
+      (10L to 12L).map(h => graft.streaming.CountPoint("error", cts(h), 9L))
+    val sorted = grid.sortBy(p => (p.window_start.getTime, p.topic)).toArray
+    val input = MemoryStream[graft.streaming.CountPoint]
+    val q = StreamingMonitor.notificationGauge(input.toDS())
+      .writeStream.format("memory").queryName("notifs_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven shuffled chunks: in-batch event-time sort + cross-batch
+      // episode carry (the alertRuleStates harness)
+      sorted.grouped(math.max(1, sorted.length / 3) + 1).foreach { chunk =>
+        input.addData(chunk.reverse.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getTimestamp(3).getTime,
+          r.getLong(4), r.getString(5))
+      val streamed = spark.table("notifs_t").collect().map(key).toSet
+      val countsDf = sorted.toSeq
+        .map(p => (p.topic, p.window_start, p.msg_count))
+        .toDF("topic", "window_start", "msg_count")
+      val batch = graft.operators.Alerting.alertGroupsOf(countsDf)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+      // the silenced topic notifies NOWHERE; the hour-6 survivor
+      // carries both rules; the paced episode re-notifies on cadence
+      assert(!streamed.exists(_._1 == "error"))
+      assert(streamed(("t", 1, 1, 6L * 3600000L, 2L, "hot2,hot3")))
+      assert(streamed(("t", 2, 2, 13L * 3600000L, 2L, "hot2,hot3")))
+      assert(streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("streaming SLO burn gauge equals the batch q_slo_burn panel") {
     val s = spark
     import s.implicits._
