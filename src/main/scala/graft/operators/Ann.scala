@@ -571,10 +571,33 @@ object Ann {
   /** [[graphSearch]] over a prepared (vec_id, embedding) frame. */
   def graphSearchOf(emb: DataFrame, k: Int, nQueries: Int, beam: Int,
                     hops: Int, kGraph: Int, nPlanes: Int,
-                    nTables: Int): DataFrame = {
-    val graph = graft.plans.Materialize(
-      knnGraphOf(emb, kGraph, nPlanes, nTables)
-        .select(col("src_id"), col("dst_id")))
+                    nTables: Int): DataFrame =
+    graphWalk(emb,
+      graft.plans.Materialize(
+        knnGraphOf(emb, kGraph, nPlanes, nTables)
+          .select(col("src_id"), col("dst_id"))),
+      k, nQueries, beam, hops)
+
+  /** [[graphSearch]] against a PARKED adjacency (landBatch-landed and
+    * reloaded — the x_pq_index serve discipline): build once, serve
+    * forever; the walk never rebuilds the banding. Spec-pinned ≡ the
+    * inline build. */
+  def graphSearchAgainst(emb: DataFrame, graph: DataFrame, k: Int = 5,
+                         nQueries: Int = 10, beam: Int = 8,
+                         hops: Int = 4): DataFrame = {
+    require(graph.columns.contains("src_id") &&
+      graph.columns.contains("dst_id"),
+      s"parked graph must carry (src_id, dst_id); got ${graph.columns.mkString(",")}")
+    graphWalk(emb,
+      // distinct: a doubled landing (retried append) must not double
+      // the neighbor fan-out
+      graft.plans.Materialize(
+        graph.select(col("src_id"), col("dst_id")).distinct()),
+      k, nQueries, beam, hops)
+  }
+
+  private def graphWalk(emb: DataFrame, graph: DataFrame, k: Int,
+                        nQueries: Int, beam: Int, hops: Int): DataFrame = {
     val queries = graft.plans.Materialize(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("e_query")))
@@ -601,11 +624,13 @@ object Ann {
         .join(graph, Seq("src_id"))
         .select(col("query_id"), col("dst_id").as("vec_id"))
         .distinct()
+      // ONE checkpoint per hop: the scored frame is the round's only
+      // expensive product — the beam cut is a window over its (tiny)
+      // checkpointed rows and stays lazy
       val scored = graft.plans.Materialize(score(nbrs))
       visited = visited.unionAll(scored)
-      frontier = graft.plans.Materialize(
-        scored.withColumn("r", row_number().over(wq))
-          .filter(col("r") <= beam).drop("r"))
+      frontier = scored.withColumn("r", row_number().over(wq))
+        .filter(col("r") <= beam).drop("r")
     }
     visited
       .filter(col("vec_id") =!= col("query_id"))

@@ -731,6 +731,22 @@ class OperatorSpec extends SparkSpec {
     // a B-side query self-seeds into B: true neighbors rank 1-2 (the
     // root seed contributes only near-zero-dot A nodes behind them)
     assert(Set(walked(11L)(1), walked(11L)(2)) == Set(10L, 12L))
+    // serve lifecycle (the x_pq_index discipline): land the built
+    // adjacency, probe the RELOADED store — identical walk; a doubled
+    // landing (retried append) must not change it either
+    val built = graft.operators.Ann.knnGraphOf(rows, k = 2, nPlanes = 6,
+      nTables = 8).select(col("src_id"), col("dst_id"))
+    val gdir = java.nio.file.Files.createTempDirectory("graphserve").toString
+    graft.sources.Incremental.landBatch(built, gdir, 0L)
+    val (parked, _) = graft.sources.Incremental.landBatch(built, gdir, 1L)
+    def walkKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val inline = graft.operators.Ann.graphSearchOf(rows, k = 3,
+      nQueries = 13, beam = 4, hops = 3, kGraph = 2, nPlanes = 6,
+      nTables = 8)
+    val served = graft.operators.Ann.graphSearchAgainst(rows, parked,
+      k = 3, nQueries = 13, beam = 4, hops = 3)
+    assert(walkKey(served) == walkKey(inline))
   }
 
   test("kmeansIterate(1) equals the single assignment step, and iteration reduces movement") {
