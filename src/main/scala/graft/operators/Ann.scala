@@ -513,10 +513,14 @@ object Ann {
       emb.select(col("vec_id").as("id")),
       mutual.select(col("src_id").as("src"), col("dst_id").as("dst")),
       maxIters)
-    val perLabel = labels
+    // materialized: BOTH census reads (totals and majority) consume
+    // this clusters×labels frame — unmaterialized, each re-runs the
+    // label join and re-scans the embedding table (4 scans for one
+    // bounded census; plan-audited at zero)
+    val perLabel = graft.plans.Materialize(labels
       .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
       .groupBy(col("component").as("cluster_id"), col("label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val wt = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n").desc, col("label").asc)
     val tot = perLabel.groupBy(col("cluster_id"))

@@ -149,6 +149,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan.take(600))
   }
 
+  test("alert silences/routing: the catalog folds to a scan-local CASE chain, no extra join") {
+    // the silence and route catalogs are driver literals — matching
+    // must NOT add a join (the states frame already joined the 2-row
+    // rule catalog; one broadcast nested-loop over it is the known,
+    // deliberate shape)
+    val sil = physical(graft.operators.Alerting.alertSilences(spark, sfDir))
+    val joins = ("Join".r.findAllIn(sil).length)
+    val rte = physical(graft.operators.Alerting.alertRouting(spark, sfDir))
+    val joinsR = ("Join".r.findAllIn(rte).length)
+    // exactly the rule-catalog join appears in each plan — the
+    // silence/route CASE chains contribute zero
+    assert(joins == joinsR,
+      s"silences ($joins joins) vs routing ($joinsR) diverged")
+    assert(sil.contains("CASE WHEN") || sil.contains("caseWhen") ||
+      joins <= 1, s"silence verdict is not scan-local:\n${sil.take(800)}")
+    // ONE events scan each: grid → breach → decorate, never a re-scan
+    assert("FileScan parquet".r.findAllIn(sil).length == 1, sil.take(800))
+    assert("FileScan parquet".r.findAllIn(rte).length == 1, rte.take(800))
+  }
+
+  test("knn components / graph search: consumers reuse one materialized graph, no cartesian") {
+    val comp = physical(graft.operators.Ann.knnComponents(spark, sfDir))
+    assert(!comp.contains("CartesianProduct") &&
+      !comp.contains("BroadcastNestedLoopJoin"), comp.take(800))
+    // mutual join + census run off checkpointed frames — the banding
+    // chain and the label join never re-run past their materializes
+    assert("FileScan parquet".r.findAllIn(comp).length == 0,
+      s"components re-scan embeddings:\n${comp.take(800)}")
+    val walk = physical(graft.operators.Ann.graphSearch(spark, sfDir))
+    assert(!walk.contains("CartesianProduct"), walk.take(800))
+    // the final cut reads checkpointed hop scores + the parquet
+    // lookup joins — the graph build's banding chain is materialized
+    assert(walk.contains("Scan ExistingRDD"), walk.take(600))
+  }
+
   test("trigram surprisal: one materialized gram scan, stat joins unhinted, int64 word keys") {
     val df = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
     // the five stat tables are gram-vocabulary scale — like the
