@@ -3229,6 +3229,49 @@ UNION ALL
 SELECT n AS part, CAST(peel_round AS INT), CAST(NULL AS BIGINT), FALSE
 FROM peeled"""
   }
+  /** q_ktruss: bounded synchronous k-truss EDGE peeling unrolled as
+    * chained CTEs over the SAME co-order part graph spelling as
+    * q_kcore_peel / q_graph_triangles. Per round, an edge's support
+    * is its common-neighbor count among survivors (≡ the operator's
+    * oriented wedge enumeration credited to edges — same triangles,
+    * different traversal); edges below k−2 leave together. Both
+    * engines run exactly `rounds` rounds. */
+  def kTruss(k: Int, rounds: Int): String = {
+    require(k >= 3 && rounds >= 1)
+    val base = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 10 = 0),
+      | e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM li a JOIN li b USING (ok)
+      |  WHERE a.p < b.p GROUP BY 1, 2)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT u AS n, v AS m FROM e${r - 1}
+         |  UNION ALL SELECT v AS n, u AS m FROM e${r - 1}),
+         | s$r AS MATERIALIZED (SELECT e.u, e.v, count(*) AS c
+         |  FROM e${r - 1} e JOIN n$r a ON a.n = e.u
+         |  JOIN n$r b ON b.n = e.v AND b.m = a.m GROUP BY 1, 2),
+         | p$r AS MATERIALIZED (SELECT e.u, e.v, $r AS peel_round
+         |  FROM e${r - 1} e LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.c, 0) < ${k - 2}),
+         | e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |  EXCEPT SELECT u, v FROM p$r)""".stripMargin
+    }.mkString(",\n ")
+    val peelUnion = (1 to rounds).map(r =>
+      s"SELECT u, v, peel_round FROM p$r").mkString("\n  UNION ALL ")
+    s"""WITH $base,
+ $roundsSql,
+ peeled AS ($peelUnion),
+ nf AS (SELECT u AS n, v AS m FROM e$rounds
+  UNION ALL SELECT v AS n, u AS m FROM e$rounds),
+ sf AS (SELECT e.u, e.v, count(*) AS c FROM e$rounds e
+  JOIN nf a ON a.n = e.u JOIN nf b ON b.n = e.v AND b.m = a.m
+  GROUP BY 1, 2)
+SELECT e.u, e.v, CAST(NULL AS INT) AS peel_round,
+ CAST(coalesce(sf.c, 0) AS BIGINT) AS support, TRUE AS in_truss
+FROM e$rounds e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+UNION ALL
+SELECT u, v, CAST(peel_round AS INT), CAST(NULL AS BIGINT), FALSE
+FROM peeled"""
+  }
+
   /** q_coreset_kcenter: the Gonzalez farthest-point greedy unrolled
     * as MATERIALIZED CTE rounds (the q_kcore_peel idiom) — exact
     * integer squared-L2 over the quantized vectors, seed = min

@@ -70,6 +70,16 @@ object ScaleStress {
       val (df, r) = S.kcorePeelWithRounds(kcEdgesN, 4, 12)
       df.count(); r
     }
+    // --- k-truss edge peel at 1× and N× (same disjoint-copy argument:
+    // support is per-component, rounds must stay exactly flat)
+    val (ktR1, ktT1) = timed {
+      val (df, r) = S.trussPeelWithRounds(kcEdges, 4, 8)
+      df.count(); r
+    }
+    val (ktRN, ktTN) = timed {
+      val (df, r) = S.trussPeelWithRounds(kcEdgesN, 4, 8)
+      df.count(); r
+    }
     kcEdges.unpersist()
 
     // --- Lloyd iteration at 1× and N×
@@ -102,7 +112,9 @@ object ScaleStress {
         s""""kcore_rounds_1x":$kcR1,"kcore_rounds_${copies}x":$kcRN,""" +
         f""""kcore_sec_1x":$kcT1%.2f,"kcore_sec_${copies}x":$kcTN%.2f,""" +
         s""""kcenter_rounds_1x":$kcenR1,"kcenter_rounds_${copies}x":$kcenRN,""" +
-        f""""kcenter_sec_1x":$kcenT1%.2f,"kcenter_sec_${copies}x":$kcenTN%.2f}""")
+        f""""kcenter_sec_1x":$kcenT1%.2f,"kcenter_sec_${copies}x":$kcenTN%.2f,""" +
+        s""""ktruss_rounds_1x":$ktR1,"ktruss_rounds_${copies}x":$ktRN,""" +
+        f""""ktruss_sec_1x":$ktT1%.2f,"ktruss_sec_${copies}x":$ktTN%.2f}""")
     spark.stop()
   }
 }

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
     "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
     "q_kcore_peel" -> ((s, d) => Sequence.kcorePeel(s, d)),
+    "q_ktruss" -> ((s, d) => Sequence.trussPeel(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
     "q_outlier_mad" -> ((s, d) => Monitoring.madOutliers(s, d)),
     "q_drift" -> ((s, d) => Monitoring.topicDrift(s, d)),
@@ -2509,6 +2510,9 @@ object SparkEntry {
     // k-core peel: rounds unrolled as chained CTEs, SAME edge
     // spelling as the triangles row (k/rounds stamped from the call)
     "q_kcore_peel" -> OracleSql.kcorePeel(4, 6),
+    // k-truss edge peel: same co-order graph, support = common
+    // neighbors among survivors, rounds unrolled
+    "q_ktruss" -> OracleSql.kTruss(4, 4),
     "q_unpivot" ->
       """WITH panel AS (SELECT event_type AS topic, count(*) AS msg_count,
         |   CAST(sum(length(props)) AS BIGINT) AS storage_size,

@@ -351,6 +351,103 @@ object Sequence {
     * once as a table and the three consumers would scan it — the
     * decision to materialize belongs to the caller's storage layer,
     * not this operator. */
+  /** k-TRUSS decomposition by bounded SYNCHRONOUS edge peeling (Cohen
+    * 2008) over the co-order part graph — the EDGE-density analog of
+    * [[kcorePeel]]'s node peel (a k-truss edge sits in ≥ k−2
+    * triangles among survivors; trusses are the community-grade cores
+    * triangle counts see only locally): round r simultaneously
+    * removes every edge whose triangle SUPPORT among surviving edges
+    * is < k−2, and the round an edge leaves at is deterministic, so
+    * the panel is engine-reproducible even short of the fixpoint —
+    * both engines run EXACTLY `rounds` synchronous rounds (the
+    * q_kcore_peel contract), with the same EXACT early exit (a round
+    * that peels nothing is the fixpoint; the survivor set is
+    * monotone).
+    *
+    * Per round, support comes from the SAME degree-oriented wedge
+    * enumeration as [[triangles]] (each triangle found once at its
+    * lowest-(degree,id) corner, credited to its three edges) — wedge
+    * volume O(m^{3/2}) regardless of skew, so a hub part cannot
+    * trigger a neighborhood cross-product in ANY round; every round
+    * is edge-bounded hash joins with the survivor frame materialized
+    * (the kcorePeel lineage cut). Output per ORIGINAL edge:
+    * peel_round (NULL for truss members), support inside the final
+    * truss (NULL for peeled), in_truss. */
+  def trussPeel(spark: SparkSession, dir: String,
+                k: Int = 4, rounds: Int = 4): DataFrame =
+    trussPeelOf(coOrderEdges(spark, dir), k, rounds)
+
+  private[graft] def trussPeelOf(edges: DataFrame, k: Int,
+                                 rounds: Int): DataFrame =
+    trussPeelWithRounds(edges, k, rounds)._1
+
+  /** [[trussPeelOf]] plus the rounds actually run before the early
+    * exit — the scale-stress observable. */
+  private[graft] def trussPeelWithRounds(edges: DataFrame, k: Int,
+                                         rounds: Int): (DataFrame, Int) = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1: k=$k rounds=$rounds")
+    // per-edge triangle support over the CURRENT survivor edges: the
+    // trianglesOf orientation, but credited to the three EDGES of
+    // each found triangle instead of the three corners
+    def supportOf(e: DataFrame): DataFrame = {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keyU = struct(col("du"), col("u"))
+      val keyV = struct(col("dv"), col("v"))
+      val de = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(keyU < keyV, col("u")).otherwise(col("v")).as("s"),
+          when(keyU < keyV, col("v")).otherwise(col("u")).as("t"),
+          when(keyU < keyV, col("dv")).otherwise(col("du")).as("dt"))
+      val wedges = de.select(col("s"), col("t").as("a"), col("dt").as("da"))
+        .join(de.select(col("s"), col("t").as("b"), col("dt").as("db")), Seq("s"))
+        .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+        .select(col("s").as("apex"), col("a"), col("b"))
+      wedges
+        .join(de.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+        .select(explode(array(
+          struct(least(col("apex"), col("a")).as("u"),
+            greatest(col("apex"), col("a")).as("v")),
+          struct(least(col("apex"), col("b")).as("u"),
+            greatest(col("apex"), col("b")).as("v")),
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    var alive = graft.plans.Materialize(
+      edges.select(col("u"), col("v")).distinct())
+    var peeled: Option[DataFrame] = None
+    var converged = false
+    var roundsRun = 0
+    for (r <- 1 to rounds if !converged) {
+      roundsRun = r
+      val out = graft.plans.Materialize(
+        alive.join(supportOf(alive), Seq("u", "v"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) < (k - 2).toLong)
+          .select(col("u"), col("v"), lit(r).as("peel_round")))
+      if (out.isEmpty) converged = true
+      else {
+        peeled = Some(peeled.fold(out)(_ unionAll out))
+        alive = graft.plans.Materialize(
+          alive.join(out.select(col("u"), col("v")),
+            Seq("u", "v"), "left_anti"))
+      }
+    }
+    val truss = alive.join(supportOf(alive), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), lit(null).cast("int").as("peel_round"),
+        coalesce(col("sup"), lit(0L)).as("support"), lit(true).as("in_truss"))
+    val peeledOut = peeled
+      .getOrElse(alive.limit(0)
+        .select(col("u"), col("v"), lit(0).as("peel_round")))
+      .select(col("u"), col("v"), col("peel_round").cast("int"),
+        lit(null).cast("long").as("support"), lit(false).as("in_truss"))
+    (truss.unionAll(peeledOut), roundsRun)
+  }
+
   private[graft] def trianglesOf(edges: DataFrame, topN: Int): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))

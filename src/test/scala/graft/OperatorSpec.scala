@@ -3577,6 +3577,53 @@ class OperatorSpec extends SparkSpec {
       s"core member ${r.getLong(0)} has core_deg ${r.getLong(2)} < k=4"))
   }
 
+  test("k-truss peel: wings peel first, the spine cascades a round later, K4 survives") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (every edge in 2 triangles — a 4-truss), a "book"
+    // {20,21} with wings 22,23 (wing edges support 1 → peel round 1;
+    // the spine (20,21) holds support 2 until its wings vanish → peel
+    // round 2 — the cascade k-core can't see), and a pendant (1,30)
+    val edges = ((for { a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L) if a < b }
+      yield (a, b)) ++ Seq((20L, 21L), (20L, 22L), (21L, 22L),
+      (20L, 23L), (21L, 23L), (1L, 30L))).toDF("u", "v")
+    val (rows, roundsRun) = graft.operators.Sequence
+      .trussPeelWithRounds(edges, k = 4, rounds = 4)
+    val got = rows.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4)))).toMap
+    // K4's six edges survive, each in exactly 2 triangles
+    for { a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L) if a < b }
+      assert(got((a, b)) == ((None, Some(2L), true)), s"($a,$b)")
+    // wings and the pendant leave in round 1
+    Seq((20L, 22L), (21L, 22L), (20L, 23L), (21L, 23L), (1L, 30L))
+      .foreach(e => assert(got(e) == ((Some(1), None, false)), s"$e"))
+    // the spine survives round 1 (support 2) and cascades in round 2
+    assert(got((20L, 21L)) == ((Some(2), None, false)))
+    // round 3 peels nothing: exact early exit at the fixpoint
+    assert(roundsRun == 3 && got.size == 12)
+    // disjoint id-shifted replication: support is per-component, so
+    // the synchronous round count stays EXACTLY flat (the scale-
+    // stress invariant, pinned in-suite at toy scale)
+    val shifted = (0 until 3).map(c => edges.select(
+      (col("u") + lit(c * 1000L)).as("u"),
+      (col("v") + lit(c * 1000L)).as("v"))).reduce(_ unionAll _)
+    val (rows3, rounds3) = graft.operators.Sequence
+      .trussPeelWithRounds(shifted, k = 4, rounds = 4)
+    assert(rounds3 == roundsRun && rows3.count() == 36L)
+  }
+
+  test("k-truss peel on the corpus graph converges inside the round bound") {
+    val rows = graft.operators.Sequence.trussPeel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val maxRound = rows.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Int]))
+      .foldLeft(0)(math.max)
+    assert(maxRound < 4, s"truss peel used all $maxRound rounds — raise the bound")
+    // every surviving edge really sits in >= k-2 surviving triangles
+    rows.filter(_.getBoolean(4)).foreach(r => assert(r.getLong(3) >= 2L,
+      s"truss edge (${r.getLong(0)},${r.getLong(1)}) support ${r.getLong(3)} < 2"))
+  }
+
   test("k-center coreset: greedy picks the farthest point with exact radii") {
     import spark.implicits._
     // 1-D geometry (second dim zero): 0, 10, 4, 10.1
