@@ -580,7 +580,8 @@ object Ann {
       graft.plans.Materialize(
         knnGraphOf(emb, kGraph, nPlanes, nTables)
           .select(col("src_id"), col("dst_id"))),
-      k, nQueries, beam, hops)
+      emb.filter(col("vec_id") < nQueries),
+      k, beam, hops)
 
   /** [[graphSearch]] against a PARKED adjacency (landBatch-landed and
     * reloaded — the x_pq_index serve discipline): build once, serve
@@ -588,7 +589,18 @@ object Ann {
     * inline build. */
   def graphSearchAgainst(emb: DataFrame, graph: DataFrame, k: Int = 5,
                          nQueries: Int = 10, beam: Int = 8,
-                         hops: Int = 4): DataFrame = {
+                         hops: Int = 4): DataFrame =
+    graphServeAgainst(emb, graph, emb.filter(col("vec_id") < nQueries),
+      k, beam, hops)
+
+  /** The live SERVE form: an arbitrary (vec_id, embedding) QUERY
+    * frame — a micro-batch in the s_graph_serve foreachBatch leg —
+    * walks the parked adjacency. Per-query results are independent,
+    * so micro-batched serving accumulates to exactly the batch panel
+    * (spec-pinned). */
+  def graphServeAgainst(emb: DataFrame, graph: DataFrame,
+                        queryFrame: DataFrame, k: Int = 5, beam: Int = 8,
+                        hops: Int = 4): DataFrame = {
     require(graph.columns.contains("src_id") &&
       graph.columns.contains("dst_id"),
       s"parked graph must carry (src_id, dst_id); got ${graph.columns.mkString(",")}")
@@ -597,13 +609,14 @@ object Ann {
       // the neighbor fan-out
       graft.plans.Materialize(
         graph.select(col("src_id"), col("dst_id")).distinct()),
-      k, nQueries, beam, hops)
+      queryFrame, k, beam, hops)
   }
 
-  private def graphWalk(emb: DataFrame, graph: DataFrame, k: Int,
-                        nQueries: Int, beam: Int, hops: Int): DataFrame = {
+  private def graphWalk(emb: DataFrame, graph: DataFrame,
+                        queryFrame: DataFrame, k: Int,
+                        beam: Int, hops: Int): DataFrame = {
     val queries = graft.plans.Materialize(
-      emb.filter(col("vec_id") < nQueries)
+      queryFrame
         .select(col("vec_id").as("query_id"), col("embedding").as("e_query")))
     // ONE 1-row bounded collect: the deterministic entry node
     val entry = emb.agg(min(col("vec_id"))).head.getLong(0)

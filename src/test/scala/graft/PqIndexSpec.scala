@@ -125,6 +125,52 @@ class PqIndexSpec extends SparkSpec {
     assert(results.nonEmpty)
   }
 
+  test("live graph serve: per-micro-batch walks against the parked adjacency equal the batch panel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // build once, park, reload — the adjacency the stream serves from
+    val built = Ann.knnGraphOf(emb, k = 5, nPlanes = 6, nTables = 8)
+      .select(col("src_id"), col("dst_id"))
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graft-graph-live-").toString
+    val (gStore0, _) = Incremental.landBatch(built, gDir, 0L)
+    val gStore = gStore0.persist()
+    gStore.count()
+    val results = scala.collection.mutable.Map[(Long, Long), (Long, Int)]()
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.graphServeAgainst(emb, gStore, batch, k = 5, beam = 8, hops = 3)
+          .collect().foreach(r => results(
+            (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))) =
+            ((r.getAs[Long]("dot_q"), r.getAs[Int]("rnk"))))
+        ()
+      }.start()
+    try {
+      val queries = emb.filter(col("vec_id") < 8).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+      // two micro-batches of queries against the SAME parked graph —
+      // per-query walks are independent, so accumulation = batch
+      input.addData(queries.take(4).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(4).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally { q.stop(); gStore.unpersist() }
+    val want = Ann.graphServeAgainst(emb, gStore,
+      emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("dot_q"), r.getAs[Int]("rnk")))).toMap
+    assert(results.toMap == want,
+      s"live graph serve diverged: ${(want.toSet -- results.toSet).take(3)}")
+    assert(results.nonEmpty)
+  }
+
   test("a stray non-batch dir under the store is ignored, not fatal") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
