@@ -396,31 +396,70 @@ object Ann {
   /** [[knnGraph]] over a prepared (vec_id, embedding) frame. */
   def knnGraphOf(emb: DataFrame, k: Int, nPlanes: Int,
                  nTables: Int): DataFrame = {
+    val banded = bandedOf(emb, nPlanes, nTables)
+    val pairs = bandCandidates(
+      banded.select(col("vec_id").as("src_id"), col("fp").as("fp_s"),
+        col("t"), col("bkt")),
+      banded.select(col("vec_id").as("dst_id"), col("fp").as("fp_d"),
+        col("t"), col("bkt")),
+      nPlanes, nTables)
+    topKOfPairs(scorePairs(pairs, emb), k)
+  }
+
+  /** The NARROW banded frame — (vec_id, fp, t, bkt) only, no vector
+    * payload: what actually crosses the bucket self-join's exchange.
+    * Materialized so both join sides read ONE computed frame. */
+  private def bandedOf(emb: DataFrame, nPlanes: Int,
+                       nTables: Int): DataFrame = {
     require(nPlanes * nTables <= 64,
       s"$nTables tables × $nPlanes planes exceeds 64 fingerprint bits")
     val mask = (1 << nPlanes) - 1
-    // materialized so the (t, bkt) self-join reads ONE computed frame
-    // (ReusedExchange) instead of re-hashing the corpus per side
-    val banded = graft.plans.Materialize(
-      emb.select(col("vec_id"), col("embedding"),
+    graft.plans.Materialize(
+      emb.select(col("vec_id"),
         V.srpFingerprint(col("embedding")).as("fp"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("fp"),
           posexplode(expr(
             s"transform(sequence(0, ${nTables - 1})," +
               s" t -> int(shiftright(fp, t * $nPlanes) & $mask))"))
             .as(Seq("t", "bkt"))))
-    val scored = banded
-      .select(col("vec_id").as("src_id"), col("embedding").as("e_src"),
-        col("t"), col("bkt"))
-      .join(banded.select(col("vec_id").as("dst_id"),
-        col("embedding").as("e_dst"), col("t"), col("bkt")), Seq("t", "bkt"))
+  }
+
+  /** Candidate pairs from two banded frames, each pair emitted ONCE —
+    * at its FIRST shared band, decided by a statically-unrolled XOR
+    * check over the carried fingerprints (a higher-order exists() here
+    * was CodegenFallback — interpreted lambdas over the joined-row
+    * flood): the join itself moves only (id, fp, t, bkt) rows, never
+    * vectors, and no post-join groupBy dedup is needed because the
+    * first-band filter already makes pairs unique. */
+  private def bandCandidates(src: DataFrame, dst: DataFrame,
+                             nPlanes: Int, nTables: Int): DataFrame = {
+    val mask = (1 << nPlanes) - 1
+    val xr = col("fp_s").bitwiseXOR(col("fp_d"))
+    val firstShared = (0 until nTables).foldRight(lit(nTables)) {
+      case (i, acc) =>
+        when((shiftright(xr, i * nPlanes).bitwiseAND(lit(mask.toLong)))
+          === 0L, lit(i)).otherwise(acc)
+    }
+    src.join(dst, Seq("t", "bkt"))
       .filter(col("src_id") =!= col("dst_id"))
+      .filter(col("t") === firstShared)
+      .select(col("src_id"), col("dst_id"))
+  }
+
+  /** Exact integer rescoring of candidate (src, dst) id pairs: the
+    * vectors join back ID-KEYED and unhinted — at 100 TB both sides
+    * bucket by vec_id, so the probe exchange carries id pairs, never
+    * embeddings. */
+  private def scorePairs(pairs: DataFrame, emb: DataFrame): DataFrame =
+    pairs
+      .join(emb.select(col("vec_id").as("src_id"),
+        col("embedding").as("e_src")), Seq("src_id"))
+      .join(emb.select(col("vec_id").as("dst_id"),
+        col("embedding").as("e_dst")), Seq("dst_id"))
       .select(col("src_id"), col("dst_id"),
         V.quantizedDot(col("e_src"), col("e_dst")).as("dot_q"))
-      // collapse per-table duplicates over small (id, id, long) rows —
-      // vector payloads never cross this exchange
-      .groupBy(col("src_id"), col("dst_id"))
-      .agg(max(col("dot_q")).as("dot_q"))
+
+  private def topKOfPairs(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("dot_q").desc, col("dst_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

@@ -134,7 +134,7 @@ class PlanAuditSpec extends SparkSpec {
       s"trigram exchange key is not int64: ${tri.map(_.dataType)}")
   }
 
-  test("knn graph: banded self-join off one materialized frame, no pair-space join") {
+  test("knn graph: narrow banded self-join, vectors only in the id-keyed rescore") {
     val df = graft.operators.Ann.knnGraph(spark, sfDir)
     val plan = physical(df)
     // candidates come from the (t, bkt) equi-join — an n² shape would
@@ -142,11 +142,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     // both sides of the self-join read the ONE materialized banded
-    // frame, not two recomputations of the fingerprint explode
-    val scans = "FileScan parquet".r.findAllIn(plan).length
-    assert(scans == 0,
-      s"graph build re-scans embeddings past the materialize:\n$plan")
+    // frame (no recomputed fingerprint explode), and that frame is
+    // NARROW — no embedding column rides the bucket exchange
     assert(plan.contains("Scan ExistingRDD"), plan.take(600))
+    plan.linesIterator.filter(_.contains("Scan ExistingRDD")).foreach(l =>
+      assert(!l.contains("embedding"),
+        s"vector payload crosses the banded exchange:\n$l"))
+    // vectors appear EXACTLY in the two id-keyed rescore lookups —
+    // the only parquet reads past the materialize
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"expected the two id-keyed vector lookups, got $scans:\n$plan")
   }
 
   test("alert silences/routing: the catalog folds to a scan-local CASE chain, no extra join") {
