@@ -172,6 +172,7 @@ object SparkEntry {
     "q_ann_brute" -> ((s, d) => Ann.bruteTopK(s, d)),
     "q_ann_hubness" -> ((s, d) => Ann.hubness(s, d)),
     "q_knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
+    "q_knn_graph_append" -> ((s, d) => Ann.knnGraphAppend(s, d)),
     "q_knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "q_knn_components" -> ((s, d) => Ann.knnComponents(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
@@ -1312,6 +1313,10 @@ object SparkEntry {
     // lo/hi straddling ones), all-node bucket candidates, exact-dot
     // top-k per node — the full adjacency, hash-checked
     "q_knn_graph" -> OracleSql.knnGraph(),
+    // incremental append: Spark appends a batch onto the pre-append
+    // graph; the oracle FULL-REBUILDS over the grown corpus — the
+    // merge-and-recut exactness theorem makes them row-identical
+    "q_knn_graph_append" -> OracleSql.knnGraph(),
     // semantic clusters off the graph: mutual edges → transitive
     // closure → per-cluster label census with exact purity
     "q_knn_components" -> OracleSql.knnComponents(),

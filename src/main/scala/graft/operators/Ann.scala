@@ -465,6 +465,65 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Incremental k-NN graph APPEND — the maintenance path a parked
+    * adjacency needs when the embedding store grows (without it,
+    * "build once, serve forever" decays into "rebuild nightly"):
+    * given the corpus WITH the new batch and the graph built BEFORE
+    * it, band only the pairs touching a new vector — (new × all) for
+    * the new nodes' lists, (old × new) for updates into old lists —
+    * score them exactly, and re-cut: new nodes take the top-k of
+    * their candidates; old nodes take the top-k of their EXISTING
+    * edges unioned with their new-vector candidates.
+    *
+    * EXACTNESS THEOREM (what the oracle checks): the result equals
+    * the full rebuild over the grown corpus, row for row. An old
+    * candidate that sat below an old node's top-k can never enter the
+    * new top-k — additions only push ranks down — so the old top-k
+    * edges are a sufficient summary of every old×old candidate, and
+    * the (old × new) banding supplies exactly the candidates the full
+    * rebuild would add. The DuckDB oracle therefore runs the FULL
+    * knnGraph chain over all embeddings; the Spark side appends —
+    * the strongest possible check of the incremental path.
+    *
+    * Scale shape: pair work ∝ (batch size × bucket occupancy), never
+    * corpus²; the one full-corpus touch here is re-banding (one
+    * fingerprint scan) because the oracle row is self-contained — at
+    * 100 TB the banded frame is itself parked via landBatch next to
+    * the graph, so an append bands ONLY the batch and probes the
+    * parked bands (the winnow-store discipline). */
+  def knnGraphAppend(spark: SparkSession, dir: String, k: Int = 5,
+                     nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val e = embs(spark, dir)
+    val isNew = col("vec_id") % 4 === 0
+    knnGraphAppendOf(e,
+      knnGraphOf(e.filter(!isNew), k, nPlanes, nTables),
+      isNew, k, nPlanes, nTables)
+  }
+
+  /** [[knnGraphAppend]] over prepared frames: the grown corpus, the
+    * pre-append graph (src_id, dst_id, dot_q[, rnk]), and the
+    * predicate (over vec_id) marking the appended rows. */
+  def knnGraphAppendOf(embAll: DataFrame, oldGraph: DataFrame,
+                       newPred: org.apache.spark.sql.Column, k: Int,
+                       nPlanes: Int, nTables: Int): DataFrame = {
+    val bandedAll = bandedOf(embAll, nPlanes, nTables)
+    val bandedNew = bandedAll.filter(newPred)
+    val bandedOld = bandedAll.filter(!newPred)
+    val asSrc = (d: DataFrame) => d.select(col("vec_id").as("src_id"),
+      col("fp").as("fp_s"), col("t"), col("bkt"))
+    val asDst = (d: DataFrame) => d.select(col("vec_id").as("dst_id"),
+      col("fp").as("fp_d"), col("t"), col("bkt"))
+    val newLists = topKOfPairs(scorePairs(
+      bandCandidates(asSrc(bandedNew), asDst(bandedAll), nPlanes, nTables),
+      embAll), k)
+    val oldMerged = topKOfPairs(
+      oldGraph.select(col("src_id"), col("dst_id"), col("dot_q"))
+        .unionAll(scorePairs(
+          bandCandidates(asSrc(bandedOld), asDst(bandedNew),
+            nPlanes, nTables), embAll)), k)
+    newLists.unionAll(oldMerged)
+  }
+
   /** The [[hubness]] census read OFF a k-NN graph (inline or parked
     * and reloaded — the at-scale deployment the hubness scaladoc
     * promises): in-degree and best/worst rank per neighbor, one

@@ -694,6 +694,49 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("knn graph append: a new vector displaces old ranks exactly, append equals full rebuild") {
+    import spark.implicits._
+    // 1-D line, k=2: before the append node 0's list is {1, 2};
+    // appending 3 (0.95 — dot 950000 to node 0) must displace 2
+    val all = Seq(0L -> 1.0f, 1L -> 0.9f, 2L -> 0.8f, 3L -> 0.95f,
+      4L -> 0.6f, 5L -> 0.5f)
+      .map { case (id, x) => (id, Array(x), 0) }
+      .toDF("vec_id", "embedding", "label")
+    val isNew = col("vec_id") === 3L
+    val oldGraph = graft.operators.Ann.knnGraphOf(all.filter(!isNew),
+      k = 2, nPlanes = 6, nTables = 8)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val appended = graft.operators.Ann.knnGraphAppendOf(all, oldGraph,
+      isNew, k = 2, nPlanes = 6, nTables = 8)
+    // the exactness theorem, directly: append ≡ full rebuild
+    assert(key(appended) ==
+      key(graft.operators.Ann.knnGraphOf(all, k = 2, nPlanes = 6, nTables = 8)))
+    // and the displacement really happened: 0's list is now {3, 1}
+    val zero = appended.filter(col("src_id") === 0L).collect()
+      .map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(zero == Map(1 -> 3L, 2 -> 1L), s"$zero")
+    // the new node got a full list of its own
+    assert(appended.filter(col("src_id") === 3L).count() == 2L)
+  }
+
+  test("knn graph append equals the full rebuild on the corpus") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val isNew = col("vec_id") % 4 === 0
+    val oldGraph = graft.operators.Ann.knnGraphOf(e.filter(!isNew),
+      k = 5, nPlanes = 6, nTables = 8)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val appended = graft.operators.Ann.knnGraphAppendOf(e, oldGraph,
+      isNew, k = 5, nPlanes = 6, nTables = 8)
+    val full = graft.operators.Ann.knnGraphOf(e, k = 5, nPlanes = 6,
+      nTables = 8)
+    assert(key(appended) == key(full))
+  }
+
   test("graph search: one hop on a complete graph is brute force, the walk cannot leave the entry's component") {
     import spark.implicits._
     // 1-D line: dots to v0 are exactly 1000·round(x·1000) — on the
