@@ -3097,6 +3097,25 @@ FROM cf"""
       |   CAST(cum_total AS HUGEINT) * $bud AS exhausted
       |FROM w""".stripMargin
   }
+  /** q_alert_flaps: the flap census over the episode frame — one
+    * bounded aggregate per (rule, topic), mean episode length as an
+    * exact HUGEINT ppm floor, flappy = exact integer cross-multiply
+    * (Alerting.alertFlapsOf). */
+  def alertFlaps: String =
+    "WITH " + alertRunCtes.mkString(",\n ") + """,
+      | e AS (SELECT rule_id, topic, grp, for_n,
+      |   count(*) AS n_windows,
+      |   CAST(count(*) >= for_n AS BOOLEAN) AS fired
+      |  FROM g GROUP BY 1, 2, 3, 4)
+      |SELECT rule_id, topic, count(*) AS n_episodes,
+      | CAST(sum(CASE WHEN fired THEN 1 ELSE 0 END) AS BIGINT) AS n_fired,
+      | CAST(sum(n_windows) AS BIGINT) AS total_windows,
+      | CAST(max(n_windows) AS BIGINT) AS longest,
+      | CAST(CAST(sum(n_windows) AS HUGEINT) * 1000000 //
+      |   CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_len_ppm,
+      | count(*) >= 3 AND sum(n_windows) < count(*) * 2 AS flappy
+      |FROM e GROUP BY 1, 2""".stripMargin
+
   /** The silence verdict CASE chain stamped from the SAME
     * [[graft.operators.Alerting.Silences]] catalog the operator folds
     * into its scan (first listed match wins); the residue is spelled

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_seasonal_residual" -> ((s, d) => Monitoring.seasonalResidual(s, d)),
     "q_alert_rules" -> ((s, d) => Alerting.alertRules(s, d)),
     "q_alert_episodes" -> ((s, d) => Alerting.alertEpisodes(s, d)),
+    "q_alert_flaps" -> ((s, d) => Alerting.alertFlaps(s, d)),
     "q_alert_silences" -> ((s, d) => Alerting.alertSilences(s, d)),
     "q_alert_groups" -> ((s, d) => Alerting.alertGroups(s, d)),
     "q_alert_routing" -> ((s, d) => Alerting.alertRouting(s, d)),
@@ -388,6 +389,7 @@ object SparkEntry {
     // discipline — one spelling, shared island chain)
     "q_alert_rules" -> OracleSql.alertRules,
     "q_alert_episodes" -> OracleSql.alertEpisodes,
+    "q_alert_flaps" -> OracleSql.alertFlaps,
     "q_alert_silences" -> OracleSql.alertSilences,
     "q_alert_groups" -> OracleSql.alertGroups,
     "q_alert_routing" -> OracleSql.alertRouting,

@@ -131,6 +131,34 @@ object Alerting {
         col("peak_count"), col("fired"))
   }
 
+  /** FLAP census per (rule, topic) — the rule-quality view over the
+    * episode panel (Alertmanager's flapping pathology: many short
+    * episodes page more than one long incident, and the fix is rule
+    * tuning, not on-call heroics): episode count, how many reached
+    * FIRING, total breached windows, mean episode length as an exact
+    * fixed-point ppm floor, and the flappy flag — ≥ 3 episodes with a
+    * mean under 2 windows, the comparison spelled as an exact integer
+    * cross-multiply (total < 2·episodes) so no float straddle can
+    * flip it. One bounded aggregate over the episode frame; shuffle
+    * ∝ #rules × #topics. */
+  def alertFlaps(spark: SparkSession, dir: String): DataFrame =
+    alertFlapsOf(hourlyCounts(spark, dir))
+
+  private[graft] def alertFlapsOf(counts: DataFrame): DataFrame =
+    alertEpisodesOf(counts)
+      .groupBy(col("rule_id"), col("topic"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(when(col("fired"), 1L).otherwise(0L)).as("n_fired"),
+        sum(col("n_windows")).as("total_windows"),
+        max(col("n_windows")).as("longest"))
+      .select(col("rule_id"), col("topic"), col("n_episodes"),
+        col("n_fired"), col("total_windows"), col("longest"),
+        expr("CAST((CAST(total_windows AS DECIMAL(38,0)) * 1000000) DIV " +
+          "CAST(n_episodes AS DECIMAL(38,0)) AS BIGINT)")
+          .as("mean_len_ppm"),
+        (col("n_episodes") >= 3 &&
+          col("total_windows") < col("n_episodes") * 2).as("flappy"))
+
   /** Multiwindow-multiburn SLO panel (Google SRE workbook ch. 5): per
     * hour of the GAP-FILLED grid (a silent hour is an explicit
     * zero-traffic row — [[gapFilledErrorGrid]] — so the trailing

@@ -3098,6 +3098,23 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("alert flaps: many short episodes flag flappy, the long-incident rule does not") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    val counts = Seq(
+      ("t", ts(0), 5L), ("t", ts(1), 5L), ("t", ts(2), 5L),
+      ("t", ts(3), 3L), ("t", ts(4), 4L), ("t", ts(6), 9L))
+      .toDF("topic", "window_start", "msg_count")
+    val got = graft.operators.Alerting.alertFlapsOf(counts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    // hot2: episodes [0..2] (fired), [4], [6] — 3 episodes, 5 windows,
+    // mean ⌊5·10⁶/3⌋, flappy (≥3 episodes AND 5 < 2·3)
+    assert(got("hot2") == ((3L, 1L, 5L, 3L, 1666666L, true)))
+    // hot3: two episodes only — not flappy however short
+    assert(got("hot3") == ((2L, 1L, 4L, 3L, 2000000L, false)))
+  }
+
   test("alert silences: first listed matching window wins, unmatched rows stay loud") {
     import spark.implicits._
     def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
