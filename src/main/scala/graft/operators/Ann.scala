@@ -502,17 +502,51 @@ object Ann {
 
   /** [[knnGraphAppend]] over prepared frames: the grown corpus, the
     * pre-append graph (src_id, dst_id, dot_q[, rnk]), and the
-    * predicate (over vec_id) marking the appended rows. */
+    * predicate (over vec_id) marking the appended rows. Bands the
+    * WHOLE grown corpus inline (the self-contained oracle-row form);
+    * [[knnGraphAppendAgainst]] is the parked-band serving form. */
   def knnGraphAppendOf(embAll: DataFrame, oldGraph: DataFrame,
                        newPred: org.apache.spark.sql.Column, k: Int,
                        nPlanes: Int, nTables: Int): DataFrame = {
     val bandedAll = bandedOf(embAll, nPlanes, nTables)
-    val bandedNew = bandedAll.filter(newPred)
-    val bandedOld = bandedAll.filter(!newPred)
+    appendFromBands(embAll, oldGraph, bandedAll.filter(!newPred),
+      bandedAll.filter(newPred), k, nPlanes, nTables)
+  }
+
+  /** The banded fingerprint frame as a PARKABLE artifact — land it
+    * via landBatch next to the graph so appends band only the batch
+    * ([[knnGraphAppendAgainst]]). */
+  def knnGraphBands(emb: DataFrame, nPlanes: Int = 6,
+                    nTables: Int = 8): DataFrame =
+    bandedOf(emb, nPlanes, nTables)
+
+  /** The parked-band APPEND — the 100 TB serving form: the old
+    * corpus's bands come from the landBatch store (NO full-corpus
+    * re-banding scan; doubled landings collapse via distinct), only
+    * the appended batch is fingerprinted. Spec-pinned ≡ the inline
+    * [[knnGraphAppendOf]], which the oracle pins ≡ the full rebuild. */
+  def knnGraphAppendAgainst(embAll: DataFrame, oldGraph: DataFrame,
+                            oldBands: DataFrame, newEmb: DataFrame,
+                            k: Int, nPlanes: Int = 6,
+                            nTables: Int = 8): DataFrame = {
+    require(Seq("vec_id", "fp", "t", "bkt").forall(oldBands.columns.contains),
+      s"parked bands must carry (vec_id, fp, t, bkt); got ${oldBands.columns.mkString(",")}")
+    appendFromBands(embAll, oldGraph,
+      graft.plans.Materialize(
+        oldBands.select(col("vec_id"), col("fp"), col("t"), col("bkt"))
+          .distinct()),
+      bandedOf(newEmb, nPlanes, nTables), k, nPlanes, nTables)
+  }
+
+  private def appendFromBands(embAll: DataFrame, oldGraph: DataFrame,
+                              bandedOld: DataFrame, bandedNew: DataFrame,
+                              k: Int, nPlanes: Int,
+                              nTables: Int): DataFrame = {
     val asSrc = (d: DataFrame) => d.select(col("vec_id").as("src_id"),
       col("fp").as("fp_s"), col("t"), col("bkt"))
     val asDst = (d: DataFrame) => d.select(col("vec_id").as("dst_id"),
       col("fp").as("fp_d"), col("t"), col("bkt"))
+    val bandedAll = bandedOld.unionAll(bandedNew)
     val newLists = topKOfPairs(scorePairs(
       bandCandidates(asSrc(bandedNew), asDst(bandedAll), nPlanes, nTables),
       embAll), k)

@@ -721,7 +721,7 @@ class OperatorSpec extends SparkSpec {
     assert(appended.filter(col("src_id") === 3L).count() == 2L)
   }
 
-  test("knn graph append equals the full rebuild on the corpus") {
+  test("knn graph append equals the full rebuild on the corpus, parked bands included") {
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
     val isNew = col("vec_id") % 4 === 0
@@ -732,9 +732,20 @@ class OperatorSpec extends SparkSpec {
       .toSet
     val appended = graft.operators.Ann.knnGraphAppendOf(e, oldGraph,
       isNew, k = 5, nPlanes = 6, nTables = 8)
-    val full = graft.operators.Ann.knnGraphOf(e, k = 5, nPlanes = 6,
-      nTables = 8)
-    assert(key(appended) == key(full))
+    val full = key(graft.operators.Ann.knnGraphOf(e, k = 5, nPlanes = 6,
+      nTables = 8))
+    assert(key(appended) == full)
+    // the parked-band serving form: land the OLD corpus's bands (twice
+    // — a doubled landing must collapse), append banding only the new
+    // batch; identical to the inline append, hence to the rebuild
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-bands-").toString
+    val bands = graft.operators.Ann.knnGraphBands(e.filter(!isNew))
+    graft.sources.Incremental.landBatch(bands, bDir, 0L)
+    val (parkedBands, _) = graft.sources.Incremental.landBatch(bands, bDir, 1L)
+    val served = graft.operators.Ann.knnGraphAppendAgainst(e, oldGraph,
+      parkedBands, e.filter(isNew), k = 5)
+    assert(key(served) == full)
   }
 
   test("graph search: one hop on a complete graph is brute force, the walk cannot leave the entry's component") {
