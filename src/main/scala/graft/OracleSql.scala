@@ -872,6 +872,46 @@ SELECT t.cluster_id, t.sz, t.n_labels, tp.top_label,
    AS BIGINT) AS purity_ppm
 FROM tot t JOIN tp USING (cluster_id)"""
 
+  /** q_embed_trunc: Matryoshka truncation audit — per prefix width,
+    * recall@k of the prefix-dot top-k vs the full-width top-k on the
+    * query sample (Ann.embedTruncOf); 0-based dim index `i`, same
+    * (dot DESC, vec_id) cut on both rankings. */
+  def embedTrunc(k: Int = 5, nQueries: Int = 10,
+                 prefixes: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    val perL = prefixes.map { l =>
+      s"""bs$l AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |   CAST(sum(a.q * b.q) AS BIGINT) AS dot
+         |  FROM te a JOIN te b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $nQueries AND a.i < $l GROUP BY 1, 2),
+         | tk$l AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, vec_id) AS r FROM bs$l) WHERE r <= $k),
+         | ag$l AS (SELECT $l AS prefix_dims, count(*) AS n_expected,
+         |   count(t.vec_id) AS hits
+         |  FROM fullk f LEFT JOIN tk$l t
+         |   ON t.query_id = f.query_id AND t.vec_id = f.vec_id)""".stripMargin
+    }.mkString(",\n ")
+    val unionL = prefixes.map(l => s"SELECT * FROM ag$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH te AS MATERIALIZED (SELECT vec_id,
+   generate_subscripts(embedding, 1) - 1 AS i,
+   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings),
+ fbs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+   CAST(sum(a.q * b.q) AS BIGINT) AS dot
+  FROM te a JOIN te b ON b.i = a.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $nQueries GROUP BY 1, 2),
+ fullk AS MATERIALIZED (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dot DESC, vec_id) AS r FROM fbs) WHERE r <= $k),
+ $perL,
+ u AS ($unionL)
+SELECT prefix_dims, n_expected, CAST(hits AS BIGINT) AS hits,
+ CAST(CAST(hits AS HUGEINT) * 1000000 // CAST(n_expected AS HUGEINT)
+   AS BIGINT) AS recall_ppm
+FROM u"""
+  }
+
   /** The graph-walk CTE chain shared by q_graph_search and its recall
     * leg — the bounded-hop beam search unrolled (the q_kcore_peel
     * idiom): s0 scores the fixed min-id entry per query; each hop

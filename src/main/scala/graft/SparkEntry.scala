@@ -189,6 +189,7 @@ object SparkEntry {
     "q_centroids" -> ((s, d) => Ann.labelCentroids(s, d)),
     "q_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
     "q_embed_quant" -> ((s, d) => Ann.quantizeEmbeddings(s, d)),
+    "q_embed_trunc" -> ((s, d) => Ann.embedTrunc(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
     "q_kmeans_iterate" -> ((s, d) => Ann.kmeansIterate(s, d)),
@@ -2050,6 +2051,9 @@ object SparkEntry {
       graft.operators.TextAnalysis.DirichletMu, 20),
     "q_pii_redact" -> OracleSql.piiRedact,
     "q_contain_eval" -> OracleSql.evalContainment(4),
+    // Matryoshka truncation audit: per prefix width, recall@k of the
+    // prefix-dot top-k against the full-width top-k — exact ppm floor
+    "q_embed_trunc" -> OracleSql.embedTrunc(),
     // int8 quantization: all-integer arithmetic (code = sign·(2|q|·127
     // + scale) div (2·scale), err in 127ths) — bit-exact cross-engine.
     "q_embed_quant" ->

@@ -596,6 +596,42 @@ object Ann {
         (col("hits").cast("double") / k).as("recall"))
   }
 
+  /** Matryoshka TRUNCATION audit (Kusupati et al. 2022 — MRL-style
+    * embeddings are served at prefix widths to cut index cost): per
+    * candidate prefix length, recall@k of the prefix-dot top-k
+    * against the full-width top-k on the sampled query set — the
+    * gauge that picks the serving width (how many dims can the index
+    * drop before retrieval degrades). Both rankings run through the
+    * shared [[exactTopK]] kernel (the prefix leg on sliced vectors),
+    * so tie-breaks and cut semantics cannot diverge; recall is an
+    * exact fixed-point ppm floor. Scan work ∝ prefixes × queries ×
+    * corpus — the recall-gauge shape, not an index build. */
+  def embedTrunc(spark: SparkSession, dir: String, k: Int = 5,
+                 nQueries: Int = 10,
+                 prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+    embedTruncOf(embs(spark, dir), k, nQueries, prefixes)
+
+  /** [[embedTrunc]] over a prepared (vec_id, embedding) frame. */
+  def embedTruncOf(emb: DataFrame, k: Int, nQueries: Int,
+                   prefixes: Seq[Int]): DataFrame = {
+    val full = graft.plans.Materialize(
+      exactTopK(emb, k, nQueries, None)
+        .select(col("query_id"), col("vec_id")))
+    prefixes.map { L =>
+      val pref = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, L).as("embedding"))
+      val tk = exactTopK(pref, k, nQueries, None)
+        .select(col("query_id"), col("vec_id"), lit(true).as("hit"))
+      full.join(tk, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          count(col("hit")).as("hits"))
+        .select(lit(L).as("prefix_dims"), col("n_expected"), col("hits"),
+          expr("CAST((CAST(hits AS DECIMAL(38,0)) * 1000000) DIV " +
+            "CAST(n_expected AS DECIMAL(38,0)) AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** SEMANTIC CLUSTERS off the k-NN graph — the cluster consumer the
     * graph artifact exists for (semDedup clusters by centroid;
     * this clusters by topology): keep the MUTUAL edges (a↔b both in

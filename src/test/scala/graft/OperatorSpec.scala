@@ -694,6 +694,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("embed truncation: a prefix-flipped neighbor reads recall 0, the full width reads 1") {
+    import spark.implicits._
+    // query (1,1): full top-1 is id 1 (dot 1.6M), but on the first
+    // dim alone id 2 outranks it (0.8 > 0.7) — the truncation hazard
+    // the audit exists to measure
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f), 0),
+      (1L, Array(0.7f, 0.9f), 0),
+      (2L, Array(0.8f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann
+      .embedTruncOf(rows, k = 1, nQueries = 1, prefixes = Seq(1, 2))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1) == ((1L, 0L, 0L)))
+    assert(got(2) == ((1L, 1L, 1000000L)))
+  }
+
   test("knn graph append: a new vector displaces old ranks exactly, append equals full rebuild") {
     import spark.implicits._
     // 1-D line, k=2: before the append node 0's list is {1, 2};
