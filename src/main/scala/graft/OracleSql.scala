@@ -3194,15 +3194,63 @@ FROM cf"""
       | hr, silence_id, silence_id IS NOT NULL AS suppressed
       |FROM st""".stripMargin
 
+  /** The inhibition verdict stamped from the SAME ordered
+    * [[graft.operators.Alerting.Inhibits]] catalog the operator plans
+    * (first listed match wins): per catalog rule, the target matchers
+    * plus a correlated EXISTS over the same state frame for a
+    * DIFFERENT firing source in the same hour (same topic when the
+    * rule is equal-on-topic). Silenced sources still inhibit — the
+    * EXISTS reads states, not notifications. */
+  private def inhibitCaseSql: String = {
+    val whens = graft.operators.Alerting.Inhibits.map {
+      case (iid, sr, stp, tr, tt, eq) =>
+        def q(s: String) = s.replace("'", "''")
+        val tgt = Seq(
+          if (tr == "*") None else Some(s"t.rule_id = '${q(tr)}'"),
+          if (tt == "%") None else Some(s"t.topic LIKE '${q(tt)}'")).flatten
+        val src = Seq(
+          Some("s.state = 'firing'"),
+          if (sr == "*") None else Some(s"s.rule_id = '${q(sr)}'"),
+          if (stp == "%") None else Some(s"s.topic LIKE '${q(stp)}'"),
+          Some("s.hr = t.hr"),
+          if (eq) Some("s.topic = t.topic") else None,
+          Some("NOT (s.rule_id = t.rule_id AND s.topic = t.topic)")).flatten
+        val ex =
+          s"EXISTS (SELECT 1 FROM st s WHERE ${src.mkString(" AND ")})"
+        s"WHEN ${(tgt :+ ex).mkString(" AND ")} THEN '${q(iid)}'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
+
+  /** The notification-side CTE chain extended with the inhibition
+    * verdict — the shared prefix of every panel downstream of the
+    * notifiable filter. */
+  private def inhibitedStateCtes: Seq[String] =
+    silencedStateCtes :+
+      s"inh AS (SELECT t.*, $inhibitCaseSql AS inhibited_by FROM st t)"
+
+  /** q_alert_inhibit: the alert states decorated with the first
+    * matching inhibit rule and the notifiable verdict
+    * (Alerting.inhibitedStatesWith). */
+  def alertInhibit: String =
+    "WITH " + inhibitedStateCtes.mkString(",\n ") + """
+      |SELECT rule_id, topic, window_start, msg_count, run_idx, state,
+      | hr, silence_id, silence_id IS NOT NULL AS suppressed,
+      | inhibited_by, inhibited_by IS NOT NULL AS inhibited,
+      | (state = 'firing' AND silence_id IS NULL
+      |   AND inhibited_by IS NULL) AS notifiable
+      |FROM inh""".stripMargin
+
   /** q_alert_groups: per-topic notification digest — firing
     * un-silenced hours fold to hourly rosters, islands to episodes,
     * and each episode notifies at its start then every RepeatHours
     * (the stamped Alerting.RepeatHours). */
   def alertGroups: String = {
     val rep = graft.operators.Alerting.RepeatHours
-    "WITH " + silencedStateCtes.mkString(",\n ") + s""",
-      | nf AS (SELECT * FROM st
-      |   WHERE state = 'firing' AND silence_id IS NULL),
+    "WITH " + inhibitedStateCtes.mkString(",\n ") + s""",
+      | nf AS (SELECT * FROM inh
+      |   WHERE state = 'firing' AND silence_id IS NULL
+      |     AND inhibited_by IS NULL),
       | hourly AS (SELECT topic, hr, min(window_start) AS window_start,
       |   count(DISTINCT rule_id) AS n_rules,
       |   string_agg(DISTINCT rule_id, ',' ORDER BY rule_id) AS rules
@@ -3242,9 +3290,10 @@ FROM cf"""
   /** q_alert_routing: firing un-silenced alerts run the ordered
     * first-match route catalog; one census row per receiver. */
   def alertRouting: String =
-    "WITH " + silencedStateCtes.mkString(",\n ") + s""",
-      | nf AS (SELECT *, $receiverCaseSql AS receiver FROM st
-      |   WHERE state = 'firing' AND silence_id IS NULL)
+    "WITH " + inhibitedStateCtes.mkString(",\n ") + s""",
+      | nf AS (SELECT *, $receiverCaseSql AS receiver FROM inh
+      |   WHERE state = 'firing' AND silence_id IS NULL
+      |     AND inhibited_by IS NULL)
       |SELECT receiver, count(*) AS n_alerts,
       | count(DISTINCT topic) AS n_topics,
       | count(DISTINCT rule_id) AS n_rules,

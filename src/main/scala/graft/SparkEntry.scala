@@ -57,6 +57,7 @@ object SparkEntry {
     "q_alert_episodes" -> ((s, d) => Alerting.alertEpisodes(s, d)),
     "q_alert_flaps" -> ((s, d) => Alerting.alertFlaps(s, d)),
     "q_alert_silences" -> ((s, d) => Alerting.alertSilences(s, d)),
+    "q_alert_inhibit" -> ((s, d) => Alerting.alertInhibit(s, d)),
     "q_alert_groups" -> ((s, d) => Alerting.alertGroups(s, d)),
     "q_alert_routing" -> ((s, d) => Alerting.alertRouting(s, d)),
     "q_slo_burn" -> ((s, d) => Alerting.sloBurn(s, d)),
@@ -392,6 +393,7 @@ object SparkEntry {
     "q_alert_episodes" -> OracleSql.alertEpisodes,
     "q_alert_flaps" -> OracleSql.alertFlaps,
     "q_alert_silences" -> OracleSql.alertSilences,
+    "q_alert_inhibit" -> OracleSql.alertInhibit,
     "q_alert_groups" -> OracleSql.alertGroups,
     "q_alert_routing" -> OracleSql.alertRouting,
     "q_slo_burn" -> OracleSql.sloBurn,

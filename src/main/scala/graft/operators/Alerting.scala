@@ -288,6 +288,26 @@ object Alerting {
     * first notification (Alertmanager's `repeat_interval`). */
   val RepeatHours: Int = 2
 
+  /** Inhibition catalog (Alertmanager `inhibit_rules` — the
+    * cascade-suppression primitive: a FIRING alert matching the
+    * SOURCE matchers mutes alerts matching the TARGET matchers, the
+    * "node down ⇒ silence its per-service alerts" hygiene the
+    * reference's whole monitoring loop exists to feed, README.md:3).
+    * Fields: (inhibit_id, source rule exact-or-`*`, source topic SQL
+    * LIKE, target rule exact-or-`*`, target topic SQL LIKE,
+    * equal-on-topic). `equal-on-topic` is Alertmanager's
+    * `equal: [instance]` label set over this grid's one instance-like
+    * label: when true the source must fire on the SAME topic.
+    * First listed match wins (the Silences precedence discipline).
+    * Alertmanager fidelity notes a spec pins: an alert never inhibits
+    * ITSELF (the self-inhibition guard — a row matching both sides is
+    * only muted by a DIFFERENT firing source), and a SILENCED source
+    * still inhibits (silences act at notification time; the inhibitor
+    * reads the active-alert store). */
+  val Inhibits: Seq[(String, String, String, String, String, Boolean)] = Seq(
+    ("i_err_dual", "hot3", "err%", "hot2", "err%", true),
+    ("i_cascade", "hot3", "%", "hot2", "%", true))
+
   /** Routing tree flattened to an ordered first-match catalog
     * (Alertmanager routes depth-first; a flattened route list with
     * priorities is the same function): exact-or-`*` rule matcher, SQL
@@ -308,6 +328,33 @@ object Alerting {
         if (rp == "*" || rp == ruleId) && (tp == "*" || tp == topic) && {
           val r = ((hr % m) + m) % m; r >= lo && r <= hi
         } => sid
+    }
+
+  /** SQL-LIKE `%` matcher for the driver-side catalog twins (the
+    * catalogs use only `%`, never `_` — quoted segments between the
+    * wildcards, so a literal regex metacharacter in a topic can't
+    * change the match). */
+  private def likeMatch(pat: String, s: String): Boolean =
+    java.util.regex.Pattern.matches(
+      pat.split("%", -1).map(java.util.regex.Pattern.quote).mkString(".*"), s)
+
+  /** The inhibition verdict as a driver-side function — the SAME
+    * catalog walk the batch plan folds in ([[inhibitedStatesWith]]),
+    * for the streaming gauge's per-row check. `firing` is the hour's
+    * FIRING (rule_id, topic) roster; with an equal-on-topic catalog
+    * the caller may pass just its own topic's roster (sources on
+    * other topics can't match), which is what keeps the topic-keyed
+    * streaming gauge self-contained. */
+  def inhibitIdFor(ruleId: String, topic: String,
+                   firing: Set[(String, String)]): Option[String] =
+    Inhibits.collectFirst {
+      case (iid, sr, stp, tr, tt, eq)
+        if (tr == "*" || tr == ruleId) && likeMatch(tt, topic) &&
+          firing.exists { case (fr, ft) =>
+            (sr == "*" || sr == fr) && likeMatch(stp, ft) &&
+              (!eq || ft == topic) &&
+              !(fr == ruleId && ft == topic)
+          } => iid
     }
 
   /** The alert states decorated with the silence verdict: per
@@ -343,11 +390,81 @@ object Alerting {
         col("silence_id"), col("silence_id").isNotNull.as("suppressed"))
   }
 
+  /** The alert states decorated with the INHIBITION verdict — the
+    * notification primitive the silences/groups/routing family still
+    * lacked: per breached (rule, topic, window), the first matching
+    * [[Inhibits]] rule whose SOURCE side has a DIFFERENT alert FIRING
+    * in the same hour (equal-on-topic rules additionally require the
+    * same topic), plus the notifiable verdict every downstream panel
+    * consumes (firing AND un-silenced AND un-inhibited). */
+  def alertInhibit(spark: SparkSession, dir: String): DataFrame =
+    inhibitedStatesOf(hourlyCounts(spark, dir))
+
+  private[graft] def inhibitedStatesOf(counts: DataFrame): DataFrame =
+    inhibitedStatesWith(counts, Inhibits)
+
+  /** [[alertInhibit]] over a prepared hourly-counts frame and an
+    * explicit catalog (the spec's hook for the non-equal and
+    * self-inhibition cases).
+    *
+    * Scale shape: per catalog row (config-bounded literal), ONE
+    * grid-bounded aggregate of the firing sources down to (hr[,
+    * topic]) candidate COUNTS and one grid-keyed left join back onto
+    * the state frame — existence is a count, never a join fan-out, so
+    * no row multiplication; shuffle ∝ grid size × catalog size,
+    * event-volume-independent. The self-inhibition guard is
+    * scan-local: the target row knows whether IT is one of the
+    * counted sources (its state and the matchers are row-local
+    * literals), so "another source exists" is n ≥ 2 OR (n = 1 AND NOT
+    * self) — the same count the oracle's correlated EXISTS reaches. */
+  private[graft] def inhibitedStatesWith(counts: DataFrame,
+      catalog: Seq[(String, String, String, String, String, Boolean)])
+      : DataFrame = {
+    def ruleM(p: String) =
+      if (p == "*") lit(true) else col("rule_id") === lit(p)
+    def topicM(p: String) =
+      if (p == "%") lit(true) else col("topic").like(p)
+    val st = graft.plans.Materialize(silencedStatesOf(counts))
+    val firing = st.filter(col("state") === "firing")
+    val flagged = catalog.zipWithIndex.foldLeft(st) {
+      case (acc, ((_, sr, stp, tr, tt, eq), i)) =>
+        val srcs = firing.filter(ruleM(sr) && topicM(stp))
+        val keyCols =
+          if (eq) Seq(col("hr"), col("topic")) else Seq(col("hr"))
+        val agg0 = srcs.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as(s"i${i}_n"))
+        val agg = (if (eq) agg0.withColumnRenamed("topic", s"i${i}_topic")
+                   else agg0).withColumnRenamed("hr", s"i${i}_hr")
+        val cond =
+          if (eq) acc("hr") === agg(s"i${i}_hr") &&
+            acc("topic") === agg(s"i${i}_topic")
+          else acc("hr") === agg(s"i${i}_hr")
+        val selfIn = (col("state") === "firing") && ruleM(sr) && topicM(stp)
+        val n = coalesce(col(s"i${i}_n"), lit(0L))
+        acc.join(agg, cond, "left")
+          .withColumn(s"i${i}_hit",
+            ruleM(tr) && topicM(tt) &&
+              (n >= 2 || (n === 1 && !selfIn)))
+          .drop(s"i${i}_hr", s"i${i}_topic", s"i${i}_n")
+    }
+    val inhibitedBy = catalog.zipWithIndex.foldRight(
+      lit(null).cast("string")) { case (((iid, _, _, _, _, _), i), acc) =>
+      when(col(s"i${i}_hit"), lit(iid)).otherwise(acc)
+    }
+    flagged
+      .withColumn("inhibited_by", inhibitedBy)
+      .select(col("rule_id"), col("topic"), col("window_start"),
+        col("msg_count"), col("run_idx"), col("state"), col("hr"),
+        col("silence_id"), col("suppressed"),
+        col("inhibited_by"), col("inhibited_by").isNotNull.as("inhibited"),
+        (col("state") === "firing" && !col("suppressed") &&
+          col("inhibited_by").isNull).as("notifiable"))
+  }
+
   /** The notifiable stream every notification-side panel reads: one
-    * row per FIRING, un-silenced (rule, topic, hour). */
+    * row per FIRING, un-silenced, UN-INHIBITED (rule, topic, hour). */
   private def notifiableOf(counts: DataFrame): DataFrame =
-    silencedStatesOf(counts)
-      .filter(col("state") === "firing" && !col("suppressed"))
+    inhibitedStatesOf(counts).filter(col("notifiable"))
 
   /** Notification GROUPING (Alertmanager semantics, batch form): the
     * firing un-silenced alerts group by topic (the group-by label);

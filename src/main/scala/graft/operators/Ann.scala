@@ -520,6 +520,122 @@ object Ann {
                     nTables: Int = 8): DataFrame =
     bandedOf(emb, nPlanes, nTables)
 
+  /** The parked-band store GEOMETRY manifest (the noveltyLayout
+    * discipline): landing or compacting with mismatched banding
+    * parameters silently misses candidates, so the store refuses. */
+  def knnBandsLayout(nPlanes: Int, nTables: Int, buckets: Int): String =
+    s"knn-bands:v1:planes=$nPlanes:tables=$nTables:buckets=$buckets"
+
+  /** Bucket key of a banded row — the (t, bkt) band coordinate hashed
+    * to a bounded dir key, so an append's probe reads only the bucket
+    * dirs its own batch's bands hash into. */
+  def knnBandsBucketOf(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("t"), col("bkt")), lit(buckets.toLong)).cast("int")
+
+  private def knnBandsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "fp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "t", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(
+        "bkt", org.apache.spark.sql.types.IntegerType)))
+
+  /** Land one batch's banded fingerprints into the BUCKETED parked
+    * store (idempotent overwrite, geometry-manifested). */
+  def knnBandsLand(bands: DataFrame, dir: String, batchId: Long,
+                   nPlanes: Int = 6, nTables: Int = 8,
+                   buckets: Int = 16): (DataFrame, Seq[(Long, String)]) =
+    graft.sources.Incremental.landBatchBucketed(
+      bands.select(col("vec_id"), col("fp"), col("t"), col("bkt")),
+      dir, batchId, knnBandsBucketOf(buckets), buckets,
+      knnBandsLayout(nPlanes, nTables, buckets))
+
+  /** Fold the parked-band store's history ≤ `upTo` into ONE
+    * `compact=<upTo>` dir ([[graft.sources.Incremental
+    * .compactBucketedBatches]] with THIS store's geometry — the
+    * novelty/winnow/keepset/chunk-dedup discipline), so a long-lived
+    * index's append probe reads one folded dir plus the batches
+    * landed since, not every dir the stream ever committed. The
+    * fold's distinct IS the doubled-landing collapse, so appends read
+    * identical bands before and after (spec-pinned). Only compact ids
+    * the stream's checkpoint has committed past. */
+  def knnBandsStoreCompact(spark: SparkSession, dir: String, upTo: Long,
+                           nPlanes: Int = 6, nTables: Int = 8,
+                           buckets: Int = 16): Unit =
+    graft.sources.Incremental.compactBucketedBatches(
+      spark, dir, upTo, knnBandsSchema, knnBandsBucketOf(buckets),
+      knnBandsLayout(nPlanes, nTables, buckets))
+
+  private def knnGraphSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "src_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "dst_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "dot_q", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "rnk", org.apache.spark.sql.types.IntegerType)))
+
+  /** The LIVE append kernel — the s_graph_append foreachBatch leg:
+    * one micro-batch of new (vec_id, embedding) rows lands into the
+    * parked three-store index and republishes the adjacency.
+    *
+    *   1. the embeddings land at `embDir/batch=<id>` (idempotent);
+    *   2. ONLY the batch is fingerprinted; its bands land into the
+    *      BUCKETED parked-band store ([[knnBandsLand]]);
+    *   3. the strictly-earlier bands (batch dirs and compactions
+    *      alike, compaction-horizon-guarded) and the latest committed
+    *      adjacency feed [[knnGraphAppendAgainst]] — the merge-and-
+    *      recut whose exactness theorem the batch oracle pins;
+    *   4. the re-cut graph publishes as `graphDir/batch=<id>` — the
+    *      store's LATEST committed id IS the serving adjacency
+    *      ([[graphServeAgainst]] walks it), and a replayed micro-batch
+    *      overwrites its own dir wholesale, converging to the same
+    *      store.
+    *
+    * A cold store (no committed adjacency yet) builds the batch's own
+    * graph — the corpus IS the batch. Scale shape: banding/scoring
+    * work ∝ batch × bucket occupancy (never corpus²); the one
+    * corpus-proportional step is the k·n-row republication, which is
+    * exactly the output the merge-and-recut computes anyway — no
+    * hidden full-corpus scan (the embeddings store is read only for
+    * id-keyed rescore lookups). */
+  def graphAppendLand(embBatch: DataFrame, embDir: String,
+                      bandsDir: String, graphDir: String, batchId: Long,
+                      k: Int = 5, nPlanes: Int = 6, nTables: Int = 8,
+                      buckets: Int = 16): DataFrame = {
+    val spark = embBatch.sparkSession
+    val (ownEmb, embDirs) = graft.sources.Incremental.landBatch(
+      embBatch.select(col("vec_id"), col("embedding")), embDir, batchId)
+    val priorEmb =
+      graft.sources.Incremental.earlierBatches(ownEmb, embDirs, batchId)
+    val (ownBands, bandDirs) = knnBandsLand(
+      bandedOf(ownEmb, nPlanes, nTables), bandsDir, batchId,
+      nPlanes, nTables, buckets)
+    val priorBands = graft.sources.Incremental.earlierBatchesBuckets(
+      ownBands, bandDirs, batchId, 0 until buckets)._1
+    val graphDirs = graft.sources.Incremental
+      .committedBatchDirs(spark, graphDir).filter(_._1 < batchId)
+    val merged =
+      // no committed adjacency yet: FULL build over everything landed
+      // (first batch: the corpus IS the batch; a wiped graph store
+      // with surviving embeddings: the honest rebuild)
+      if (graphDirs.isEmpty)
+        knnGraphOf(priorEmb.unionAll(ownEmb), k, nPlanes, nTables)
+      else knnGraphAppendAgainst(
+        priorEmb.unionAll(ownEmb),
+        spark.read.schema(knnGraphSchema)
+          .parquet(graphDirs.maxBy(_._1)._2),
+        priorBands, ownEmb, k, nPlanes, nTables)
+    graft.sources.Incremental.landBatch(
+      merged.select(col("src_id"), col("dst_id"), col("dot_q"),
+        col("rnk")), graphDir, batchId)._1
+  }
+
   /** The parked-band APPEND — the 100 TB serving form: the old
     * corpus's bands come from the landBatch store (NO full-corpus
     * re-banding scan; doubled landings collapse via distinct), only
@@ -551,7 +667,11 @@ object Ann {
       bandCandidates(asSrc(bandedNew), asDst(bandedAll), nPlanes, nTables),
       embAll), k)
     val oldMerged = topKOfPairs(
+      // distinct: a doubled landing of the PARKED GRAPH (retried
+      // append) must not hand a duplicated edge two rank slots in the
+      // re-cut — the bands/serve-side doubled-landing discipline
       oldGraph.select(col("src_id"), col("dst_id"), col("dot_q"))
+        .distinct()
         .unionAll(scorePairs(
           bandCandidates(asSrc(bandedOld), asDst(bandedNew),
             nPlanes, nTables), embAll)), k)

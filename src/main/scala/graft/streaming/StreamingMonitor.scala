@@ -540,7 +540,15 @@ object StreamingMonitor {
     * EXACTLY (spec-pinned across shuffled micro-batch boundaries). */
   def notificationGauge(counts: Dataset[CountPoint]): Dataset[NotifRow] = {
     import counts.sparkSession.implicits._
-    import graft.operators.Alerting.{Rules, RepeatHours, silenceIdFor}
+    import graft.operators.Alerting.{Rules, RepeatHours, silenceIdFor,
+      inhibitIdFor, Inhibits}
+    // the gauge is keyed by topic, so its per-row inhibition check
+    // can only see ITS topic's firing roster — sound exactly when
+    // every catalog rule is equal-on-topic (sources on other topics
+    // can never match); fail loud before the stream starts otherwise
+    require(Inhibits.forall(_._6),
+      "notificationGauge requires an equal-on-topic inhibit catalog: " +
+        "a cross-topic source can't be seen from a topic-keyed gauge")
     counts.groupByKey(_.topic)
       .flatMapGroupsWithState[NotifState, NotifRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -550,17 +558,24 @@ object StreamingMonitor {
           val out = rows.toSeq.sortBy(_.window_start.getTime).flatMap { r =>
             val hr = Math.floorDiv(r.window_start.getTime, 3600000L)
             var runs = st.runs
-            val roster = Rules.flatMap { case (ruleId, threshold, forN) =>
+            // pass 1: advance every rule's run — the hour's full
+            // FIRING roster, before silences/inhibition (a silenced
+            // source still inhibits: the batch contract)
+            val firing = Rules.flatMap { case (ruleId, threshold, forN) =>
               if (r.msg_count >= threshold) {
                 val run = runs.get(ruleId) match {
                   case Some((last, len)) if hr == last + 1 => len + 1
                   case _ => 1
                 }
                 runs = runs.updated(ruleId, (hr, run))
-                if (run >= forN && silenceIdFor(ruleId, topic, hr).isEmpty)
-                  Some(ruleId)
-                else None
+                if (run >= forN) Some(ruleId) else None
               } else None
+            }
+            val firingPairs = firing.map(rid => (rid, topic)).toSet
+            // pass 2: notifiable = firing, un-silenced, un-inhibited
+            val roster = firing.filter { ruleId =>
+              silenceIdFor(ruleId, topic, hr).isEmpty &&
+                inhibitIdFor(ruleId, topic, firingPairs).isEmpty
             }
             st = st.copy(runs = runs)
             if (roster.isEmpty) None

@@ -764,6 +764,12 @@ class OperatorSpec extends SparkSpec {
     val served = graft.operators.Ann.knnGraphAppendAgainst(e, oldGraph,
       parkedBands, e.filter(isNew), k = 5)
     assert(key(served) == full)
+    // a doubled landing of the GRAPH store (retried append read back
+    // whole) must collapse too — a duplicated edge must not take two
+    // rank slots in the merge-and-recut and push a real neighbor out
+    val servedDoubled = graft.operators.Ann.knnGraphAppendAgainst(e,
+      oldGraph.unionAll(oldGraph), parkedBands, e.filter(isNew), k = 5)
+    assert(key(servedDoubled) == full)
   }
 
   test("graph search: one hop on a complete graph is brute force, the walk cannot leave the entry's component") {
@@ -3179,13 +3185,16 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getInt(2)) ->
         ((r.getTimestamp(3).getTime / 3600000L, r.getLong(4), r.getString(5))))
       .toMap
-    // episode 1 = firing hours 11..15, ep_start 11, repeat 2 ⇒
-    // notifications at 11, 13, 15; the hour-13 roster carries both rules
+    // episode 1 = notifiable hours 11..15, ep_start 11, repeat 2 ⇒
+    // notifications at 11, 13, 15. From hour 12 hot3 FIRES on the
+    // same topic, so i_cascade INHIBITS hot2 there (the grouping
+    // panel inherits the notifiable verdict): the 13/15 rosters carry
+    // hot3 alone, not both rules
     assert(got((1, 1)) == ((11L, 1L, "hot2")))
-    assert(got((1, 2)) == ((13L, 2L, "hot2,hot3")))
-    assert(got((1, 3)) == ((15L, 2L, "hot2,hot3")))
-    // episode 2 = firing hours 21..22 ⇒ one notification at 21 (22,
-    // where hot3 joins, is off-cadence), roster hot2 only
+    assert(got((1, 2)) == ((13L, 1L, "hot3")))
+    assert(got((1, 3)) == ((15L, 1L, "hot3")))
+    // episode 2 = notifiable hours 21..22 ⇒ one notification at 21
+    // (22, where hot3 takes over, is off-cadence), roster hot2 only
     assert(got((2, 1)) == ((21L, 1L, "hot2")))
     assert(got.size == 4)
   }
@@ -3203,16 +3212,103 @@ class OperatorSpec extends SparkSpec {
       "topic", "window_start", "msg_count")).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    // per topic: hot2 fires hours 11,12 (2 rows), hot3 fires hour 12
-    // (1 row). error-svc: all 3 rows → pager via 'err%'; EVERY hot3
-    // row → pager via the prio-2 rule matcher — including signup's,
-    // which would otherwise hit '%up%' (first match wins)
-    assert(got("pager") == ((5L, 3L, 2L)))
-    // signup's hot2 rows reach the '%up%' route
-    assert(got("email") == ((2L, 1L, 1L)))
-    // click's hot2 rows fall through every matcher
-    assert(got("slack") == ((2L, 1L, 1L)))
+    // per topic: hot2 fires hours 11,12, hot3 fires hour 12 — and the
+    // hour-12 hot3 INHIBITS that topic's hot2 row (i_err_dual on
+    // error-svc, i_cascade elsewhere; routing inherits the notifiable
+    // verdict), so only hot2@11 and hot3@12 route. error-svc's pair →
+    // pager via 'err%'; EVERY hot3 row → pager via the prio-2 rule
+    // matcher — including signup's, which would otherwise hit '%up%'
+    // (first match wins)
+    assert(got("pager") == ((4L, 3L, 2L)))
+    // signup's hot2@11 reaches the '%up%' route
+    assert(got("email") == ((1L, 1L, 1L)))
+    // click's hot2@11 falls through every matcher
+    assert(got("slack") == ((1L, 1L, 1L)))
     assert(got.size == 3)
+  }
+
+  test("alert inhibition: firing source mutes targets, resolves loud; precedence; notifiable verdict") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // two topics hot 10..13 (both rules fire), cooling to 4 at 14..15
+    // (hot2 alone — the SOURCE resolves): hot2 fires 11..15, hot3
+    // fires 12..13 only
+    val counts = for {
+      t <- Seq("pay", "errors"); h <- 10L to 15L
+    } yield (t, ts(h), if (h <= 13L) 5L else 4L)
+    val got = graft.operators.Alerting.inhibitedStatesOf(counts.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(6)) ->
+        ((r.getString(5), Option(r.getString(9)), r.getBoolean(10),
+          r.getBoolean(11)))).toMap
+    // source firing ⇒ target muted: hot3 fires 12..13, so hot2 is
+    // inhibited exactly there; on the err% topic the first-listed
+    // i_err_dual wins over i_cascade (catalog order = precedence)
+    (12L to 13L).foreach { h =>
+      assert(got(("hot2", "pay", h)) ==
+        (("firing", Some("i_cascade"), true, false)))
+      assert(got(("hot2", "errors", h)) ==
+        (("firing", Some("i_err_dual"), true, false)))
+      // the SOURCE itself is never muted by its own firing
+      assert(got(("hot3", "pay", h)) == (("firing", None, false, true)))
+    }
+    // source resolves ⇒ target loud again (and loud before it fired)
+    Seq(11L, 14L, 15L).foreach { h =>
+      assert(got(("hot2", "pay", h)) == (("firing", None, false, true)))
+      assert(got(("hot2", "errors", h)) == (("firing", None, false, true)))
+    }
+    // pending rows are never notifiable but can be decorated: hot2@10
+    assert(got(("hot2", "pay", 10L)) == (("pending", None, false, false)))
+  }
+
+  test("alert inhibition: self-guard, cross-topic non-equal rules, silenced sources still inhibit") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // --- self-inhibition guard on a both-sides catalog (*/* → */*):
+    // hot2 fires 11..13, hot3 fires 12..13 — at hour 11 hot2's only
+    // source is ITSELF (→ loud); from 12 each rule inhibits the OTHER
+    val c1 = (10L to 13L).map(h => ("t", ts(h), 5L))
+    val both = graft.operators.Alerting.inhibitedStatesWith(
+      c1.toDF("topic", "window_start", "msg_count"),
+      Seq(("i_any", "*", "%", "*", "%", true))).collect()
+      .map(r => (r.getString(0), r.getLong(6)) ->
+        ((r.getString(5), Option(r.getString(9))))).toMap
+    assert(both(("hot2", 11L)) == (("firing", None)))
+    assert(both(("hot2", 13L)) == (("firing", Some("i_any"))))
+    assert(both(("hot3", 13L)) == (("firing", Some("i_any"))))
+    // --- non-equal rule: hot3 firing on an err% topic mutes EVERY
+    // topic's targets that hour (the global-outage cascade), except
+    // the source row itself
+    val c2 = (10L to 13L).flatMap(h =>
+      Seq(("errdb", ts(h), 5L), ("web", ts(h), 5L)))
+    val storm = graft.operators.Alerting.inhibitedStatesWith(
+      c2.toDF("topic", "window_start", "msg_count"),
+      Seq(("i_storm", "hot3", "err%", "*", "%", false))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(6)) ->
+        Option(r.getString(9))).toMap
+    // hot3 fires 12..13 on both topics, but only errdb's hot3 matches
+    // the source side: it stays loud (self-guard — no OTHER source
+    // exists) while every other firing row those hours mutes,
+    // cross-topic included
+    assert(storm(("hot3", "errdb", 13L)).isEmpty)
+    assert(storm(("hot2", "errdb", 13L)) == Some("i_storm"))
+    assert(storm(("hot2", "web", 13L)) == Some("i_storm"))
+    assert(storm(("hot3", "web", 13L)) == Some("i_storm"))
+    assert(storm(("hot2", "web", 11L)).isEmpty)
+    // --- a SILENCED source still inhibits (silences act at
+    // notification time; the inhibitor reads the active-alert store):
+    // hours 2..5 are s_nightly-silenced, hot3 fires 2..6
+    val c3 = (0L to 6L).map(h => ("t", ts(h), 5L))
+    val sil = graft.operators.Alerting.inhibitedStatesOf(c3.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => (r.getString(0), r.getLong(6)) ->
+        ((r.getBoolean(8), Option(r.getString(9)), r.getBoolean(11)))).toMap
+    // hot2@3: suppressed AND inhibited — the verdicts are independent
+    assert(sil(("hot2", 3L)) == ((true, Some("i_cascade"), false)))
+    // hot2@6: silence window over, source still firing → inhibited
+    assert(sil(("hot2", 6L)) == ((false, Some("i_cascade"), false)))
+    // hot3@6: loud — the source notifies
+    assert(sil(("hot3", 6L)) == ((false, None, true)))
   }
 
   test("tokenizer decode: id sequences round-trip through the parked table, splices fail loud") {

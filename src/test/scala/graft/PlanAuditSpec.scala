@@ -162,17 +162,28 @@ class PlanAuditSpec extends SparkSpec {
     // deliberate shape)
     val sil = physical(graft.operators.Alerting.alertSilences(spark, sfDir))
     val joins = ("Join".r.findAllIn(sil).length)
+    // independent assertions (a regression that drops the CASE chain
+    // but keeps the join count must FAIL — the old OR-chain was
+    // vacuous whenever joins <= 1): exactly the rule-catalog join,
+    // AND the silence verdict spelled as a scan-local CASE chain
+    assert(joins == 1,
+      s"silences: expected exactly the rule-catalog join, got $joins:\n${sil.take(800)}")
+    assert(sil.contains("CASE WHEN"),
+      s"silence verdict is not a scan-local CASE chain:\n${sil.take(800)}")
+    // ONE events scan: grid → breach → decorate, never a re-scan
+    assert("FileScan parquet".r.findAllIn(sil).length == 1, sil.take(800))
+    // routing reads the CHECKPOINTED inhibited-state frame: zero
+    // parquet re-scans past the materialize, and exactly one
+    // grid-bounded existence join per inhibit-catalog rule — the
+    // route CASE chain itself contributes zero joins
     val rte = physical(graft.operators.Alerting.alertRouting(spark, sfDir))
     val joinsR = ("Join".r.findAllIn(rte).length)
-    // exactly the rule-catalog join appears in each plan — the
-    // silence/route CASE chains contribute zero
-    assert(joins == joinsR,
-      s"silences ($joins joins) vs routing ($joinsR) diverged")
-    assert(sil.contains("CASE WHEN") || sil.contains("caseWhen") ||
-      joins <= 1, s"silence verdict is not scan-local:\n${sil.take(800)}")
-    // ONE events scan each: grid → breach → decorate, never a re-scan
-    assert("FileScan parquet".r.findAllIn(sil).length == 1, sil.take(800))
-    assert("FileScan parquet".r.findAllIn(rte).length == 1, rte.take(800))
+    assert(joinsR == graft.operators.Alerting.Inhibits.size,
+      s"routing: expected one existence join per inhibit rule, got $joinsR:\n${rte.take(800)}")
+    assert(rte.contains("CASE WHEN"),
+      s"receiver verdict is not a scan-local CASE chain:\n${rte.take(800)}")
+    assert("FileScan parquet".r.findAllIn(rte).length == 0,
+      s"routing re-scans events past the materialize:\n${rte.take(800)}")
   }
 
   test("knn components / graph search: consumers reuse one materialized graph, no cartesian") {

@@ -171,6 +171,83 @@ class PqIndexSpec extends SparkSpec {
     assert(results.nonEmpty)
   }
 
+  test("live graph append: micro-batches land into the parked stores; the adjacency equals the full rebuild; compaction holds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    // four chunks: three streamed micro-batches + one direct-call
+    // append after compaction
+    val chunks = (0 to 3).map(i => rows.filter(_._1 % 4 == i))
+    def sofarDf(n: Int) = chunks.take(n).flatten
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft-ga-emb-").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-ga-bands-").toString
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graft-ga-graph-").toString
+    def parkedGraph() = {
+      val dirs = Incremental.committedBatchDirs(spark, gDir)
+      spark.read.parquet(dirs.maxBy(_._1)._2)
+        .select(col("src_id"), col("dst_id"), col("dot_q"), col("rnk"))
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Ann.graphAppendLand(batch, eDir, bDir, gDir, id, k = 5)
+        ()
+      }.start()
+    try {
+      // after EVERY micro-batch the accumulated parked adjacency is
+      // the full rebuild over everything landed so far — the append
+      // exactness theorem, live
+      for (i <- 0 to 2) {
+        input.addData(chunks(i).toIndexedSeq: _*)
+        q.processAllAvailable()
+        assert(key(parkedGraph()) ==
+          key(Ann.knnGraphOf(sofarDf(i + 1), k = 5, nPlanes = 6,
+            nTables = 8)),
+          s"parked graph diverged from the rebuild after batch $i")
+      }
+    } finally q.stop()
+    // a REPLAYED micro-batch (at-least-once foreachBatch) overwrites
+    // its own dirs wholesale and converges to the same store
+    Ann.graphAppendLand(chunks(2).toSeq.toDF("vec_id", "embedding"),
+      eDir, bDir, gDir, 2L, k = 5)
+    assert(key(parkedGraph()) ==
+      key(Ann.knnGraphOf(sofarDf(3), k = 5, nPlanes = 6, nTables = 8)))
+    // compact the band history ≤ 1, then append a fourth batch: the
+    // probe reads the folded dir + batch 2, result still ≡ rebuild
+    Ann.knnBandsStoreCompact(spark, bDir, upTo = 1L)
+    val bandDirs = Incremental.committedBatchDirs(spark, bDir)
+    assert(bandDirs.exists(_._2.endsWith("/compact=1")) &&
+      !bandDirs.exists(_._2.endsWith("/batch=0")), s"got $bandDirs")
+    Ann.graphAppendLand(chunks(3).toSeq.toDF("vec_id", "embedding"),
+      eDir, bDir, gDir, 3L, k = 5)
+    assert(key(parkedGraph()) ==
+      key(Ann.knnGraphOf(sofarDf(4), k = 5, nPlanes = 6, nTables = 8)))
+    // horizon refusal: replaying a batch id at/below the compaction
+    // can no longer reconstruct its strictly-earlier band slice
+    intercept[IllegalArgumentException] {
+      Ann.graphAppendLand(chunks(1).toSeq.toDF("vec_id", "embedding"),
+        eDir, bDir, gDir, 1L, k = 5)
+    }
+    // geometry refusal: compacting with mismatched bucket geometry
+    // would silently miss candidates — the manifest refuses
+    intercept[IllegalArgumentException] {
+      Ann.knnBandsStoreCompact(spark, bDir, upTo = 2L, buckets = 8)
+    }
+  }
+
   test("a stray non-batch dir under the store is ignored, not fatal") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))

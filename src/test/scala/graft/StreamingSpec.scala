@@ -3226,10 +3226,12 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch,
         s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
       // the silenced topic notifies NOWHERE; the hour-6 survivor
-      // carries both rules; the paced episode re-notifies on cadence
+      // carries hot3 ALONE (its firing inhibits hot2 via i_cascade —
+      // the gauge applies the same notifiable verdict as the batch
+      // panel); the paced episode re-notifies on cadence
       assert(!streamed.exists(_._1 == "error"))
-      assert(streamed(("t", 1, 1, 6L * 3600000L, 2L, "hot2,hot3")))
-      assert(streamed(("t", 2, 2, 13L * 3600000L, 2L, "hot2,hot3")))
+      assert(streamed(("t", 1, 1, 6L * 3600000L, 1L, "hot3")))
+      assert(streamed(("t", 2, 2, 13L * 3600000L, 1L, "hot3")))
       assert(streamed.size == 5)
     } finally q.stop()
   }
