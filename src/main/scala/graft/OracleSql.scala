@@ -920,16 +920,45 @@ FROM u"""
     * and cuts the next frontier at `beam` by (dot DESC, vec_id).
     * Ends at `dd(query_id, vec_id, dot_q)` — everything scored,
     * self-hits dropped, deduped. */
+  /** The centroid-root CTEs (Ann.graphRootsOf / queryRootsAgainst):
+    * integer label-centroid sums, per-label member argmax root (ties
+    * → min vec_id), and the per-query nearest-centroid assignment as
+    * a sign-magnitude fixed-point floor ⌊|d|·10⁶ / n⌋ in HUGEINT —
+    * magnitude-then-sign so DuckDB's floor `//` agrees with Spark's
+    * toward-zero DECIMAL DIV on negative dots (ties → min label). */
+  private def graphRootCtes(nQueries: Int): String =
+    s"""lb AS (SELECT vec_id, label FROM embeddings),
+      | cs AS MATERIALIZED (SELECT lb.label, e.i,
+      |   CAST(sum(e.q) AS BIGINT) AS s, count(*) AS n
+      |  FROM e JOIN lb ON lb.vec_id = e.vec_id GROUP BY 1, 2),
+      | rd AS (SELECT lb.label, e.vec_id,
+      |   CAST(sum(e.q * cs.s) AS BIGINT) AS dot_s
+      |  FROM e JOIN lb ON lb.vec_id = e.vec_id
+      |  JOIN cs ON cs.label = lb.label AND cs.i = e.i GROUP BY 1, 2),
+      | rt AS MATERIALIZED (SELECT label, vec_id AS root_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY label
+      |    ORDER BY dot_s DESC, vec_id) AS rn FROM rd) WHERE rn = 1),
+      | qd AS (SELECT e.vec_id AS query_id, cs.label,
+      |   CAST(sum(e.q * cs.s) AS HUGEINT) AS d, max(cs.n) AS n
+      |  FROM e JOIN cs ON cs.i = e.i WHERE e.vec_id < $nQueries
+      |  GROUP BY 1, 2),
+      | qs AS (SELECT query_id, label,
+      |   CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END) *
+      |     ((abs(d) * 1000000) // n) AS BIGINT) AS s6 FROM qd),
+      | qr AS MATERIALIZED (SELECT x.query_id, rt.root_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY s6 DESC, label) AS rn FROM qs) x
+      |  JOIN rt ON rt.label = x.label WHERE x.rn = 1)""".stripMargin
+
   private def graphWalkCtes(nQueries: Int, beam: Int,
                             hops: Int): String = {
     val base = s"""qm AS MATERIALIZED (SELECT vec_id AS query_id
       |  FROM embeddings WHERE vec_id < $nQueries),
       | gm AS MATERIALIZED (SELECT src_id, dst_id FROM gk),
-      | ent AS (SELECT min(vec_id) AS v FROM embeddings),
+      | ${graphRootCtes(nQueries)},
       | s0 AS MATERIALIZED (SELECT n.query_id, n.vec_id,
       |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
-      |  FROM (SELECT q.query_id, ent.v AS vec_id
-      |    FROM qm q CROSS JOIN ent
+      |  FROM (SELECT query_id, root_id AS vec_id FROM qr
       |   UNION SELECT query_id, query_id FROM qm) n
       |  JOIN e a ON a.vec_id = n.query_id
       |  JOIN e b ON b.vec_id = n.vec_id AND b.i = a.i
@@ -956,6 +985,24 @@ FROM u"""
  dd AS (SELECT query_id, vec_id, max(dot_q) AS dot_q FROM vis
   WHERE vec_id <> query_id GROUP BY 1, 2)"""
   }
+
+  /** q_graph_roots: per-label centroid ENTRY POINTS — the member
+    * vector with the maximal exact integer dot against its own
+    * centroid sum, ties → min vec_id (Ann.graphRootsOf). */
+  def graphRoots: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id, label,
+      |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+      |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      | FROM embeddings),
+      | cs AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+      |  FROM q GROUP BY 1, 2),
+      | rd AS (SELECT q.label, q.vec_id,
+      |   CAST(sum(q.qv * cs.s) AS BIGINT) AS dot_s,
+      |   CAST(max(cs.n) AS BIGINT) AS n_members
+      |  FROM q JOIN cs ON cs.label = q.label AND cs.i = q.i GROUP BY 1, 2)
+      |SELECT label, vec_id AS root_id, dot_s, n_members FROM (
+      | SELECT *, row_number() OVER (PARTITION BY label
+      |   ORDER BY dot_s DESC, vec_id) AS rn FROM rd) WHERE rn = 1""".stripMargin
 
   /** q_graph_search: bounded-hop beam search over the k-NN graph
     * (Ann.graphSearchOf) — top-k of everything the walk scored. */

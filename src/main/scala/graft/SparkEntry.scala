@@ -177,6 +177,7 @@ object SparkEntry {
     "q_knn_graph_append" -> ((s, d) => Ann.knnGraphAppend(s, d)),
     "q_knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "q_knn_components" -> ((s, d) => Ann.knnComponents(s, d)),
+    "q_graph_roots" -> ((s, d) => Ann.graphRoots(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
     "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
@@ -1327,6 +1328,7 @@ object SparkEntry {
     "q_knn_components" -> OracleSql.knnComponents(),
     // graph-ANN serving: bounded-hop beam walk over the adjacency,
     // hops unrolled as chained CTEs; plus its recall gauge
+    "q_graph_roots" -> OracleSql.graphRoots,
     "q_graph_search" -> OracleSql.graphSearch(),
     "q_graph_search_recall" -> OracleSql.graphSearchRecall(),
     // recall@k of the built graph vs brute force on the node sample

@@ -827,13 +827,12 @@ object Ann {
   /** Graph-based ANN SEARCH — the SERVING consumer of the k-NN graph
     * artifact (the production standard: HNSW/NSG-style navigation,
     * here the deterministic bounded-hop beam variant): the walk
-    * seeds at the QUERY NODE ITSELF plus a fixed global entry
-    * (min vec_id — production would park a centroid-nearest root
-    * with the graph; corpus-member queries, the shape every other
-    * ANN row here uses, always have the self seed — measured on the
-    * synthetic corpus the root alone recalls 0.22 because the walk
-    * must cross between tight clusters; self+root recalls 0.70-0.82
-    * across scales); each hop expands the current beam's graph
+    * seeds at the QUERY NODE ITSELF plus its nearest centroid's
+    * PARKED ROOT ([[graphRootsOf]] — the IVF-entry-point standard;
+    * r13 shipped a single global min-id entry, which recalled
+    * 0.70-0.82 because cross-cluster queries had to walk over from
+    * one fixed corner; the per-centroid roots seed every query inside
+    * its own region); each hop expands the current beam's graph
     * neighbors, scores them with the exact integer dot, and keeps
     * the top-`beam` as the next frontier; after `hops` rounds the
     * answer is the top-`k` over everything scored. Exactly the Lloyd/k-center bounded-rounds discipline:
@@ -860,16 +859,105 @@ object Ann {
     graphSearchOf(embs(spark, dir), k, nQueries, beam, hops, kGraph,
       nPlanes, nTables)
 
-  /** [[graphSearch]] over a prepared (vec_id, embedding) frame. */
+  /** Integer centroid SUMS per label — (label, pos, s, n): the coarse
+    * quantizer the rooted walk assigns against. The label partition
+    * is the corpus's shipped IVF list structure; for an unlabeled
+    * corpus swap in [[kmeansIterate]] labels — everything downstream
+    * is label-agnostic. Shuffle ∝ #labels × dims after map-side
+    * partial aggregation. */
+  private[graft] def labelCentroidSums(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+      posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+
+  /** Per-centroid ENTRY POINTS for the graph walk — the production
+    * fix the [[graphSearch]] scaladoc names: for each label centroid,
+    * the member vector with the maximal exact integer dot against its
+    * OWN centroid sum (the 1/(1000·n) centroid scale is constant
+    * within a label, so the integer argmax IS the against-centroid
+    * argmax; ties → min vec_id). Parked next to the adjacency, these
+    * roots give every query a seed INSIDE its own region — the walk
+    * no longer has to cross between clusters from one global entry.
+    * Scale shape: one corpus scan for the sums, one broadcast-joined
+    * scan for the member dots, top-1 per label; shuffle ∝ corpus
+    * (map-side combined to (label, vec_id) partials), never corpus². */
+  def graphRoots(spark: SparkSession, dir: String): DataFrame =
+    graphRootsOf(embs(spark, dir))
+
+  /** [[graphRoots]] over a prepared (vec_id, label, embedding)
+    * frame. */
+  def graphRootsOf(emb: DataFrame): DataFrame = {
+    val sums = labelCentroidSums(emb)
+    val dots = emb.select(col("vec_id"), col("label"),
+      posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+      .join(broadcast(sums), Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("q") * col("s")).as("dot_s"), max(col("n")).as("n"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dot_s").desc, col("vec_id").asc)
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("vec_id").as("root_id"), col("dot_s"),
+        col("n").as("n_members"))
+  }
+
+  /** The parked ROOTS INDEX — roots ⋈ centroid sums in ONE landable
+    * frame (label, root_id, pos, s, n): everything
+    * [[queryRootsAgainst]] needs to hand an arbitrary query vector
+    * its entry point, bounded by #labels × dims rows. */
+  def knnGraphRootsIdx(emb: DataFrame): DataFrame =
+    graphRootsOf(emb).select(col("label"), col("root_id"))
+      .join(labelCentroidSums(emb), Seq("label"))
+      .select(col("label"), col("root_id"), col("pos"), col("s"),
+        col("n"))
+
+  /** Assign each query vector its nearest centroid's ROOT: per
+    * (query, label) the exact integer dot against the centroid sum,
+    * compared across labels as the sign-magnitude fixed-point floor
+    * ⌊|d|·10⁶ / n⌋ over DECIMAL(38,0) (DuckDB mirrors in HUGEINT with
+    * the same magnitude-then-sign spelling, so no floor-vs-truncate
+    * straddle on negative dots); ties → smaller label. Works for ANY
+    * (vec_id, embedding) query frame — corpus membership never
+    * consulted, which is what gives the serve path real entry points
+    * for new vectors. Work ∝ queries × labels × dims against a
+    * broadcast index. */
+  def queryRootsAgainst(rootsIdx: DataFrame,
+                        queryFrame: DataFrame): DataFrame = {
+    require(Seq("label", "root_id", "pos", "s", "n")
+      .forall(rootsIdx.columns.contains),
+      s"roots index must carry (label, root_id, pos, s, n); got " +
+        rootsIdx.columns.mkString(","))
+    val qq = queryFrame.select(col("vec_id").as("query_id"),
+      posexplode(V.quantize(col("embedding"))).as(Seq("pos", "q")))
+    val dots = qq.join(broadcast(rootsIdx), Seq("pos"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(col("q") * col("s")).as("d"), max(col("n")).as("n"),
+        max(col("root_id")).as("root_id"))
+      .withColumn("s6", expr(
+        "CAST(CASE WHEN d < 0 THEN " +
+          "-((CAST(-d AS DECIMAL(38,0)) * 1000000) DIV n) " +
+          "ELSE (CAST(d AS DECIMAL(38,0)) * 1000000) DIV n END AS BIGINT)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s6").desc, col("label").asc)
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("root_id"))
+  }
+
+  /** [[graphSearch]] over a prepared (vec_id, label, embedding)
+    * frame — rooted: each query seeds at ITSELF plus its nearest
+    * centroid's parked root. */
   def graphSearchOf(emb: DataFrame, k: Int, nQueries: Int, beam: Int,
                     hops: Int, kGraph: Int, nPlanes: Int,
-                    nTables: Int): DataFrame =
+                    nTables: Int): DataFrame = {
+    val queryFrame = emb.filter(col("vec_id") < nQueries)
     graphWalk(emb,
       graft.plans.Materialize(
         knnGraphOf(emb, kGraph, nPlanes, nTables)
           .select(col("src_id"), col("dst_id"))),
-      emb.filter(col("vec_id") < nQueries),
-      k, beam, hops)
+      queryFrame, k, beam, hops,
+      Some(queryRootsAgainst(
+        graft.plans.Materialize(knnGraphRootsIdx(emb)), queryFrame)))
+  }
 
   /** [[graphSearch]] against a PARKED adjacency (landBatch-landed and
     * reloaded — the x_pq_index serve discipline): build once, serve
@@ -888,38 +976,64 @@ object Ann {
     * (spec-pinned). */
   def graphServeAgainst(emb: DataFrame, graph: DataFrame,
                         queryFrame: DataFrame, k: Int = 5, beam: Int = 8,
-                        hops: Int = 4): DataFrame = {
+                        hops: Int = 4,
+                        rootsIdx: Option[DataFrame] = None): DataFrame = {
     require(graph.columns.contains("src_id") &&
       graph.columns.contains("dst_id"),
       s"parked graph must carry (src_id, dst_id); got ${graph.columns.mkString(",")}")
+    // the serve path roots every query at its nearest centroid's
+    // parked entry point (pass the landBatch-reloaded index; built
+    // inline from the corpus when absent), so a NON-corpus query
+    // vector gets a real seed in its own region — its self seed is
+    // scored from the query frame's own embedding but has no graph
+    // edges, so without a root it would degrade to whatever global
+    // entry happened to be reachable
+    val idx = rootsIdx.getOrElse(
+      graft.plans.Materialize(knnGraphRootsIdx(emb)))
     graphWalk(emb,
       // distinct: a doubled landing (retried append) must not double
       // the neighbor fan-out
       graft.plans.Materialize(
         graph.select(col("src_id"), col("dst_id")).distinct()),
-      queryFrame, k, beam, hops)
+      queryFrame, k, beam, hops,
+      Some(queryRootsAgainst(idx, queryFrame)))
   }
 
   private def graphWalk(emb: DataFrame, graph: DataFrame,
                         queryFrame: DataFrame, k: Int,
-                        beam: Int, hops: Int): DataFrame = {
+                        beam: Int, hops: Int,
+                        roots: Option[DataFrame] = None): DataFrame = {
     val queries = graft.plans.Materialize(
       queryFrame
         .select(col("vec_id").as("query_id"), col("embedding").as("e_query")))
-    // ONE 1-row bounded collect: the deterministic entry node
-    val entry = emb.agg(min(col("vec_id"))).head.getLong(0)
     def score(cand: DataFrame): DataFrame = cand
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         V.quantizedDot(col("e_query"), col("embedding")).as("dot_q"))
+    val entrySeeds = roots match {
+      // per-query parked root: (query_id, root_id)
+      case Some(r) => broadcast(queries).join(r, Seq("query_id"))
+        .select(col("query_id"), col("root_id").as("vec_id"))
+      case None =>
+        // ONE 1-row bounded collect: the deterministic global entry
+        val entry = emb.agg(min(col("vec_id"))).head.getLong(0)
+        queries.select(col("query_id"), lit(entry).as("vec_id"))
+    }
+    // the self seed is scored from the QUERY FRAME's own embedding —
+    // never a corpus lookup on the query id, so a serve-path query
+    // whose id is absent from (or collides with) the corpus keeps an
+    // honestly-scored self row; for corpus-member queries this is the
+    // identical dot. The groupBy collapses root==self coincidences —
+    // the oracle's UNION dedups, so the beam holds one copy on both
+    // sides.
+    val selfSeed = queries.select(col("query_id"),
+      col("query_id").as("vec_id"),
+      V.quantizedDot(col("e_query"), col("e_query")).as("dot_q"))
     var frontier = graft.plans.Materialize(
-      score(queries.select(col("query_id"), lit(entry).as("vec_id"))
-        .unionAll(queries.select(col("query_id"),
-          col("query_id").as("vec_id")))
-        // distinct: the entry may BE a query node — the oracle's
-        // UNION dedups, so the beam must hold one copy on both sides
-        .distinct()))
+      score(entrySeeds).unionAll(selfSeed)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("dot_q")).as("dot_q")))
     var visited = frontier
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dot_q").desc, col("vec_id").asc)

@@ -772,6 +772,60 @@ class OperatorSpec extends SparkSpec {
     assert(key(servedDoubled) == full)
   }
 
+  test("rooted graph serve: non-corpus queries reach their own cluster via parked centroid roots") {
+    import spark.implicits._
+    // three orthogonal clusters, kGraph=2 ⇒ three DISCONNECTED
+    // components (each node's top-2 are its cluster mates)
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f, 0.00f, 0.01f), 0),
+      (1L, Array(0.99f, 0.01f, 0.00f, 0.00f), 0),
+      (2L, Array(1.01f, 0.00f, 0.01f, 0.00f), 0),
+      (10L, Array(0.00f, 1.00f, 0.00f, 0.01f), 1),
+      (11L, Array(0.00f, 0.99f, 0.01f, 0.00f), 1),
+      (12L, Array(0.01f, 1.01f, 0.00f, 0.00f), 1),
+      (20L, Array(0.00f, 0.00f, 1.00f, 0.01f), 2),
+      (21L, Array(0.01f, 0.00f, 0.99f, 0.00f), 2),
+      (22L, Array(0.00f, 0.01f, 1.01f, 0.00f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val graph = graft.operators.Ann.knnGraphOf(rows, k = 2, nPlanes = 6,
+      nTables = 8).select(col("src_id"), col("dst_id"))
+    // park + reload the roots index (landBatch, doubled landing)
+    val rDir = java.nio.file.Files
+      .createTempDirectory("graft-roots-").toString
+    val idx = graft.operators.Ann.knnGraphRootsIdx(rows)
+    graft.sources.Incremental.landBatch(idx, rDir, 0L)
+    val (parked, _) = graft.sources.Incremental.landBatch(idx, rDir, 1L)
+    // NON-corpus query vectors (fresh ids): their self seeds have no
+    // graph edges — without a region root the walk is stuck wherever
+    // the global entry lives
+    val queries = Seq(
+      (100L, Array(0.00f, 1.00f, 0.02f, 0.00f)),
+      (200L, Array(0.00f, 0.02f, 1.00f, 0.00f)))
+      .toDF("vec_id", "embedding")
+    val served = graft.operators.Ann.graphServeAgainst(rows, graph,
+      queries, k = 2, beam = 4, hops = 3, rootsIdx = Some(parked))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // each query lands in ITS cluster and finds its exact top-2
+    assert(served(100L) == Set(12L, 10L), s"${served(100L)}")
+    assert(served(200L) == Set(22L, 20L), s"${served(200L)}")
+    // parked ≡ inline-built roots
+    val inline = graft.operators.Ann.graphServeAgainst(rows, graph,
+      queries, k = 2, beam = 4, hops = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(inline == served)
+    // the counterfactual (the r13 single-global-entry regime, spelled
+    // as a one-label index rooted at vec 0): the walk cannot leave
+    // cluster 0 for either query — the recall these roots recovered
+    val fake = (0 until 4).map(p => (0, 0L, p, 0L, 1L))
+      .toDF("label", "root_id", "pos", "s", "n")
+    val stuck = graft.operators.Ann.graphServeAgainst(rows, graph,
+      queries, k = 2, beam = 4, hops = 3, rootsIdx = Some(fake))
+      .collect().map(_.getLong(1)).toSet
+    assert(stuck.subsetOf(Set(0L, 1L, 2L)), s"$stuck")
+  }
+
   test("graph search: one hop on a complete graph is brute force, the walk cannot leave the entry's component") {
     import spark.implicits._
     // 1-D line: dots to v0 are exactly 1000·round(x·1000) — on the
