@@ -208,6 +208,113 @@ class FullPipelineSpec extends SparkSpec {
     } finally { client.stop(); broker.close(); azure.stop(0) }
   }
 
+  test("notify leg: flap-storm digests arrive PACED at the HTTP sink — cadence, rosters, inhibition") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val delivered = scala.collection.mutable.ArrayBuffer[String]()
+    val azure = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    azure.createContext("/res/metrics", ex => {
+      delivered.synchronized {
+        delivered += new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      }
+      ex.sendResponseHeaders(200, 2); ex.getResponseBody.write("{}".getBytes); ex.close()
+    })
+    azure.start()
+    val broker = new PhasedBroker
+    val spoolDir = Files.createTempDirectory("graft-notify-pipe-")
+    val countsDir = Files.createTempDirectory("graft-notify-counts-").toString
+    val hourMs = 3600000L
+    // hour index ≡ 6 (mod 24): the ten planted hours 6..15 sit outside
+    // every recurring silence window — this leg tests pacing and
+    // inhibition at the sink, not the silence gate
+    val h0 = 472230L
+    val t0 = h0 * hourMs
+    @volatile var now = t0 + 10000L
+    val spool = new MqttStreamBridge.Spool(spoolDir, clock = () => now)
+    val client = new Mqtt.CountingClient("127.0.0.1", broker.port,
+      filters = Seq("hfp/v2/#"), onPublish = p => {
+        val coarse = p.topic.split("/").take(3).mkString("/")
+        spool.onPublish(Mqtt.Publish(coarse, p.payload))
+      })
+    try {
+      assert(client.start())
+      assert(broker.ready.await(5, TimeUnit.SECONDS), s"broker: ${broker.protocolError}")
+      val rates = StreamingMonitor.msgRates(
+        MqttStreamBridge.source(spark, spoolDir.toString), "1 hour", "0 seconds")
+      val q1 = rates.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select(col("topic"), col("window_start"), col("msg_count"))
+            .write.mode("append").parquet(countsDir)
+          ()
+        }.start()
+      val sender = new AzureDelivery.Sender(
+        HttpConnectors.postTransport(HttpConnectors.newClient()), mintToken = () => "t",
+        store = new AzureDelivery.InMemoryTokenStore(Some("t")),
+        seedToken = () => "t", resourceId = "res",
+        host = s"http://127.0.0.1:${azure.getAddress.getPort}")
+      val countsStream = spark.readStream
+        .schema("topic STRING, window_start TIMESTAMP, msg_count BIGINT")
+        .parquet(countsDir)
+        .as[graft.streaming.CountPoint]
+      // the DIGEST stream — one row per paced notification, its hour
+      // index carried as the series value so cadence is assertable at
+      // the receiver
+      val notifs = StreamingMonitor.notificationGauge(countsStream)
+        .select(lit("Alerts").as("namespace"),
+          lit("Notification").as("metric"),
+          concat_ws("/", col("topic"), col("episode_no"), col("notif_no"),
+            col("rules")).as("topic"),
+          (unix_timestamp(col("window_start")) / 3600L).cast("double")
+            .as("msgs_per_sec"))
+      val q2 = StreamingMonitor.azureEnvelopeSink(notifs.toDF(), outDir = null)(
+        StreamingMonitor.azureDeliveryWriter(sender)).start()
+      try {
+        // flap storm: hot 0..3 (hot3 joins from hour 2 and INHIBITS
+        // hot2), dip, two-hour flap, dip, two-hour flap; the final
+        // 1-count hour only SEALS hour 9's window
+        Seq(5, 5, 5, 5, 1, 5, 5, 1, 5, 5, 1).zipWithIndex.foreach { case (n, k) =>
+          now = t0 + k * hourMs + 10000L
+          broker.publish("hfp/v2/bus/1", n)
+          val deadline = System.nanoTime() + 5e9.toLong
+          while (spool.pending < n && System.nanoTime() < deadline)
+            Thread.sleep(10)
+          assert(spool.pending == n, s"phase $k: spool ${spool.pending} != $n")
+          spool.flush()
+          q1.processAllAvailable()
+          q2.processAllAvailable()
+        }
+      } finally { q2.stop(); q1.stop() }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val series = delivered.synchronized(delivered.toVector).flatMap { e =>
+        val b = mapper.readTree(e).path("data").path("baseData")
+        (0 until b.path("series").size()).map { i =>
+          val el = b.path("series").get(i)
+          (b.path("metric").asText(), el.path("dimValues").get(0).asText(),
+            el.path("sum").asDouble())
+        }
+      }
+      assert(series.forall(_._1 == "Notification"), series.take(3))
+      val dims = series.map(x => (x._2, x._3)).toSet
+      // hot2 fires 1..3 but hot3's firing INHIBITS it from hour 2:
+      // episode 1 notifies at its start (hour 1, roster hot2) and on
+      // the repeat-interval beat (hour 3, roster hot3 ALONE — the
+      // digest the receiver sees carries the un-inhibited roster)
+      assert(dims(("hfp/v2/bus/1/1/hot2", (h0 + 1).toDouble)), dims)
+      assert(dims(("hfp/v2/bus/1/2/hot3", (h0 + 3).toDouble)), dims)
+      // the two flaps are their own episodes, one digest each — the
+      // per-rule flap storm collapses to exactly four notifications
+      assert(dims(("hfp/v2/bus/2/1/hot2", (h0 + 6).toDouble)), dims)
+      assert(dims(("hfp/v2/bus/3/1/hot2", (h0 + 9).toDouble)), dims)
+      assert(series.size == 4, series)
+      // pacing: hour 2 is notifiable (hot3) but OFF-cadence — nothing
+      // posted for it; and no digest ever carries a combined roster
+      // (inhibition removed hot2 before grouping folded the hour)
+      assert(!series.exists(_._3 == (h0 + 2).toDouble), series)
+      assert(!series.exists(_._2.contains("hot2,hot3")), series)
+    } finally { client.stop(); broker.close(); azure.stop(0) }
+  }
+
   test("broker socket -> client -> spool -> streaming rates -> envelope -> HTTP POST") {
     // loopback "Azure": collects the POSTed envelopes
     val delivered = scala.collection.mutable.ArrayBuffer[String]()
