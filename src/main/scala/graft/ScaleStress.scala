@@ -100,6 +100,16 @@ object ScaleStress {
     val (kcenR1, kcenT1) = timed(A.coresetKcenter(spark, dir).count())
     val (kcenRN, kcenTN) = timed(A.coresetKcenter(spark, dirN).count())
 
+    // --- banding candidate DENSITY at 1× and N× (r14: the census
+    // guards the fixed SRP weights at scale — the ppm must stay at
+    // the geometry floor under replication; the N× copies add exact
+    // duplicates whose extra collisions are O(copies²·n), negligible
+    // against the n²·floor candidate mass)
+    def censusPpm(d: String): Long =
+      A.bandCensus(spark, d).head.getLong(2)
+    val (cen1, cenT1) = timed(censusPpm(dir))
+    val (cenN, cenTN) = timed(censusPpm(dirN))
+
     println(
       s"""{"metric":"scale_stress","sf":"$dir","copies":$copies,""" +
         s""""cc_rounds_1x":$ccR1,"cc_rounds_${copies}x":$ccRN,""" +
@@ -114,7 +124,9 @@ object ScaleStress {
         s""""kcenter_rounds_1x":$kcenR1,"kcenter_rounds_${copies}x":$kcenRN,""" +
         f""""kcenter_sec_1x":$kcenT1%.2f,"kcenter_sec_${copies}x":$kcenTN%.2f,""" +
         s""""ktruss_rounds_1x":$ktR1,"ktruss_rounds_${copies}x":$ktRN,""" +
-        f""""ktruss_sec_1x":$ktT1%.2f,"ktruss_sec_${copies}x":$ktTN%.2f}""")
+        f""""ktruss_sec_1x":$ktT1%.2f,"ktruss_sec_${copies}x":$ktTN%.2f,""" +
+        s""""band_ppm_1x":$cen1,"band_ppm_${copies}x":$cenN,""" +
+        f""""band_sec_1x":$cenT1%.2f,"band_sec_${copies}x":$cenTN%.2f}""")
     spark.stop()
   }
 }

@@ -907,10 +907,14 @@ object Ann {
     * here the deterministic bounded-hop beam variant): the walk
     * seeds at the QUERY NODE ITSELF plus its nearest centroid's
     * PARKED ROOT ([[graphRootsOf]] — the IVF-entry-point standard;
-    * r13 shipped a single global min-id entry, which recalled
-    * 0.70-0.82 because cross-cluster queries had to walk over from
-    * one fixed corner; the per-centroid roots seed every query inside
-    * its own region); each hop expands the current beam's graph
+    * r13 shipped a single global min-id entry, which left non-corpus
+    * serve queries in a root-only regime — the roots seed every query
+    * inside its own region. Recall gauged against brute force on this
+    * corpus is bounded by the GRAPH, not the seeding: the corpus is
+    * uniform random (r14, measured), so its "top-5 neighbors" sit
+    * near cos 0.4 where honest banding keeps ~35% of candidate bands
+    * — the planted-pair specs are the gauges for real neighbors);
+    * each hop expands the current beam's graph
     * neighbors, scores them with the exact integer dot, and keeps
     * the top-`beam` as the next frontier; after `hops` rounds the
     * answer is the top-`k` over everything scored. Exactly the Lloyd/k-center bounded-rounds discipline:
