@@ -863,9 +863,9 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |  WHERE b.vec_id <> a.vec_id)""".stripMargin
   }
 
-  private def knnGraphCtes(k: Int, nPlanes: Int,
-                           nTables: Int): String = {
-    s"""${bandCtes(nPlanes, nTables)},
+  private def knnGraphCtes(k: Int, nPlanes: Int, nTables: Int,
+                           dupped: Boolean = false): String = {
+    s"""${bandCtes(nPlanes, nTables, dupped)},
       | gsc AS (SELECT c.src_id, c.dst_id,
       |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
       |  FROM gcand c JOIN e a ON a.vec_id = c.src_id
@@ -983,8 +983,14 @@ FROM u"""
     * a sign-magnitude fixed-point floor ⌊|d|·10⁶ / n⌋ in HUGEINT —
     * magnitude-then-sign so DuckDB's floor `//` agrees with Spark's
     * toward-zero DECIMAL DIV on negative dots (ties → min label). */
-  private def graphRootCtes(nQueries: Int): String = {
-    s"""lb AS (SELECT vec_id, label FROM embeddings),
+  private def graphRootCtes(dupped: Boolean = false): String = {
+    val lbl =
+      if (dupped)
+        """SELECT vec_id, label FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000, label FROM embeddings
+          |   WHERE vec_id < 250""".stripMargin
+      else "SELECT vec_id, label FROM embeddings"
+    s"""lb AS ($lbl),
       | cs AS MATERIALIZED (SELECT lb.label, e.i,
       |   CAST(sum(e.q) AS BIGINT) AS s, count(*) AS n
       |  FROM e JOIN lb ON lb.vec_id = e.vec_id GROUP BY 1, 2),
@@ -997,7 +1003,8 @@ FROM u"""
       |    ORDER BY dot_s DESC, vec_id) AS rn FROM rd) WHERE rn = 1),
       | qd AS (SELECT e.vec_id AS query_id, cs.label,
       |   CAST(sum(e.q * cs.s) AS HUGEINT) AS d, max(cs.n) AS n
-      |  FROM e JOIN cs ON cs.i = e.i WHERE e.vec_id < $nQueries
+      |  FROM e JOIN qm ON qm.query_id = e.vec_id
+      |  JOIN cs ON cs.i = e.i
       |  GROUP BY 1, 2),
       | qs AS (SELECT query_id, label,
       |   CAST((CASE WHEN d < 0 THEN -1 ELSE 1 END) *
@@ -1008,12 +1015,14 @@ FROM u"""
       |  JOIN rt ON rt.label = x.label WHERE x.rn = 1)""".stripMargin
   }
 
-  private def graphWalkCtes(nQueries: Int, beam: Int,
-                            hops: Int): String = {
-    val base = s"""qm AS MATERIALIZED (SELECT vec_id AS query_id
-      |  FROM embeddings WHERE vec_id < $nQueries),
+  private def graphWalkCtes(nQueries: Int, beam: Int, hops: Int,
+                            dupped: Boolean = false,
+                            qmSql: Option[String] = None): String = {
+    val qm = qmSql.getOrElse(
+      s"SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $nQueries")
+    val base = s"""qm AS MATERIALIZED ($qm),
       | gm AS MATERIALIZED (SELECT src_id, dst_id FROM gk),
-      | ${graphRootCtes(nQueries)},
+      | ${graphRootCtes(dupped)},
       | s0 AS MATERIALIZED (SELECT n.query_id, n.vec_id,
       |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
       |  FROM (SELECT query_id, root_id AS vec_id FROM qr
@@ -1058,6 +1067,26 @@ FROM u"""
       | (SELECT count(*) FROM fnd) AS n_found,
       | CAST(((SELECT count(*) FROM fnd) * 1000000) //
       |   (SELECT count(*) FROM pl) AS BIGINT) AS recall_ppm""".stripMargin
+
+  /** q_graph_dup_recall: graph-walk recall of the planted near-dups
+    * — the serving-level twin of q_srp_wide_recall (Ann.graphDupRecall):
+    * each planted copy queries the dupped-corpus graph; its original
+    * must surface in the walk's top-k. */
+  def graphDupRecall(k: Int = 5, nQueries: Int = 10, beam: Int = 8,
+                     hops: Int = 4, kGraph: Int = 5, nPlanes: Int = 6,
+                     nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(kGraph, nPlanes, nTables, dupped = true) +
+      ",\n " + graphWalkCtes(nQueries, beam, hops, dupped = true,
+        qmSql = Some("SELECT vec_id + 100000 AS query_id FROM embeddings" +
+          s" WHERE vec_id < $nQueries")) + s""",
+ tk AS (SELECT query_id, vec_id, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dot_q DESC, vec_id) AS rnk FROM dd)
+  WHERE rnk <= $k)
+SELECT q.query_id, CAST(tk.rnk AS INT) AS orig_rank,
+ tk.rnk IS NOT NULL AS hit
+FROM qm q LEFT JOIN tk ON tk.query_id = q.query_id
+ AND tk.vec_id = q.query_id - 100000"""
 
   /** q_graph_roots: per-label centroid ENTRY POINTS — the member
     * vector with the maximal exact integer dot against its own

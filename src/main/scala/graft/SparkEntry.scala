@@ -181,6 +181,7 @@ object SparkEntry {
     "q_band_census" -> ((s, d) => Ann.bandCensus(s, d)),
     "q_band_census_wide" -> ((s, d) => Ann.bandCensus(s, d, nPlanes = 12, nTables = 5)),
     "q_srp_wide_recall" -> ((s, d) => Ann.srpWideRecall(s, d)),
+    "q_graph_dup_recall" -> ((s, d) => Ann.graphDupRecall(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
     "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
@@ -1313,6 +1314,7 @@ object SparkEntry {
     "q_band_census" -> OracleSql.bandCensus(),
     "q_band_census_wide" -> OracleSql.bandCensus(nPlanes = 12, nTables = 5),
     "q_srp_wide_recall" -> OracleSql.srpWideRecall(),
+    "q_graph_dup_recall" -> OracleSql.graphDupRecall(),
     "q_graph_search" -> OracleSql.graphSearch(),
     "q_graph_search_recall" -> OracleSql.graphSearchRecall(),
     // recall@k of the built graph vs brute force on the node sample

@@ -91,11 +91,41 @@ object Ann {
     * PLANTED near-dups and nothing else. */
   private[graft] def embsDupped(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"))
     base.unionAll(base.filter(col("vec_id") < 250)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
         expr("transform(embedding, (x, i) -> " +
           "IF(CAST(i AS BIGINT) = vec_id % 64, -x, x))").as("embedding")))
+  }
+
+  /** Graph-walk recall of the PLANTED near-dups — the SERVING-level
+    * twin of [[srpWideRecall]]: each planted copy queries the graph
+    * built over the dupped corpus; its original (cos ≈ 0.97 — the one
+    * TRUE neighbor in the corpus) must surface in the walk's top-k.
+    * This is the recall gauge that measures what the serving path is
+    * FOR: [[graphSearchRecall]] against brute force on the uniform
+    * random corpus gauges connectivity on cos-0.4 non-neighbors;
+    * THIS row gauges retrieval of real near-duplicates end to end
+    * (banding → adjacency → rooted walk). */
+  def graphDupRecall(spark: SparkSession, dir: String, k: Int = 5,
+                     nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
+                     kGraph: Int = 5, nPlanes: Int = 6,
+                     nTables: Int = 8): DataFrame = {
+    val dup = embsDupped(spark, dir)
+    val queries = dup.filter(col("vec_id") >= 100000L &&
+      col("vec_id") < 100000L + nQueries)
+    val walked = graphServeAgainst(dup,
+      graft.plans.Materialize(
+        knnGraphOf(dup, kGraph, nPlanes, nTables)
+          .select(col("src_id"), col("dst_id"))),
+      queries, k, beam, hops)
+    val expect = queries.select(col("vec_id").as("query_id"),
+      (col("vec_id") - 100000L).as("orig_id"))
+    expect.join(walked,
+      walked("query_id") === expect("query_id") &&
+        walked("vec_id") === expect("orig_id"), "left")
+      .select(expect("query_id"), walked("rnk").as("orig_rank"),
+        walked("rnk").isNotNull.as("hit"))
   }
 
   /** Band-candidate DENSITY census — the pruning evidence the graph
@@ -657,6 +687,27 @@ object Ann {
         "dot_q", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField(
         "rnk", org.apache.spark.sql.types.IntegerType)))
+
+  /** Prune SUPERSEDED adjacency publications — the graph store's GC:
+    * every `batch=<id>` dir below the latest committed id holds a
+    * fully-REPLACED graph (the [[graphAppendLand]] contract: each
+    * landing republishes the WHOLE re-cut adjacency), so dropping
+    * them never loses data and the serving read (latest committed id)
+    * is untouched. A replayed micro-batch at the latest id still
+    * converges after pruning: its strictly-earlier graph list is
+    * empty, so it takes the cold-store branch — the honest FULL
+    * rebuild the exactness theorem pins equal to the append
+    * (spec-verified). Returns the pruned ids. */
+  def knnGraphStorePrune(spark: SparkSession, graphDir: String): Seq[Long] = {
+    val dirs = graft.sources.Incremental.committedBatchDirs(spark, graphDir)
+    require(dirs.nonEmpty, s"no committed adjacency under $graphDir")
+    val keep = dirs.map(_._1).max
+    val fs = new org.apache.hadoop.fs.Path(graphDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.filter(_._1 < keep).map { case (id, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); id
+    }.sorted
+  }
 
   /** The LIVE append kernel — the s_graph_append foreachBatch leg:
     * one micro-batch of new (vec_id, embedding) rows lands into the

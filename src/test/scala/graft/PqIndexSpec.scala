@@ -241,6 +241,19 @@ class PqIndexSpec extends SparkSpec {
       Ann.graphAppendLand(chunks(1).toSeq.toDF("vec_id", "embedding"),
         eDir, bDir, gDir, 1L, k = 5)
     }
+    // graph-store GC: superseded publications drop, serving unchanged
+    val pruned = Ann.knnGraphStorePrune(spark, gDir)
+    assert(pruned == Seq(0L, 1L, 2L), s"pruned $pruned")
+    assert(Incremental.committedBatchDirs(spark, gDir).map(_._1) == Seq(3L))
+    val full4 = key(Ann.knnGraphOf(sofarDf(4), k = 5, nPlanes = 6,
+      nTables = 8))
+    assert(key(parkedGraph()) == full4)
+    // a replayed LATEST batch after pruning takes the cold-store
+    // branch (no strictly-earlier graph) — the honest full rebuild,
+    // converging to the same store by the exactness theorem
+    Ann.graphAppendLand(chunks(3).toSeq.toDF("vec_id", "embedding"),
+      eDir, bDir, gDir, 3L, k = 5)
+    assert(key(parkedGraph()) == full4)
     // geometry refusal: compacting with mismatched bucket geometry
     // would silently miss candidates — the manifest refuses
     intercept[IllegalArgumentException] {
