@@ -186,6 +186,37 @@ class PlanAuditSpec extends SparkSpec {
       s"routing re-scans events past the materialize:\n${rte.take(800)}")
   }
 
+  test("alert inhibition: existence is a count, never a join fan-out; one catalog join per rule past the materialize") {
+    val plan = physical(graft.operators.Alerting.alertInhibit(spark, sfDir))
+    // the state frame is checkpointed once: the inhibit decoration
+    // must not re-scan events
+    assert("FileScan parquet".r.findAllIn(plan).length == 0,
+      s"inhibit panel re-scans events past the materialize:\n${plan.take(800)}")
+    // exactly one grid-keyed LEFT join per catalog rule (the count
+    // aggregate makes existence a lookup, not a row multiplier) — a
+    // regression to a fan-out join adds joins or an extra dedup
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == graft.operators.Alerting.Inhibits.size,
+      s"expected one existence join per inhibit rule, got $joins:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("band census: one banded frame self-joins, no vector payload on the exchange") {
+    val plan = physical(graft.operators.Ann.bandCensus(spark, sfDir))
+    // the banded frame materializes once; both candidate-join sides
+    // read it. The only parquet touch left is the n_vectors count — a
+    // COLUMN-LESS scan (ReadSchema struct<>), never the vectors
+    val scans = "FileScan parquet[^\\n]*".r.findAllIn(plan).toSeq
+    assert(scans.length <= 1 &&
+      scans.forall(_.contains("ReadSchema: struct<>")),
+      s"census re-reads embedding columns past the materialize:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(800))
+    "Exchange[^\\n]*".r.findAllIn(plan).foreach(l =>
+      assert(!l.contains("embedding"),
+        s"vector payload crosses the census exchange:\n$l"))
+  }
+
   test("knn components / graph search: consumers reuse one materialized graph, no cartesian") {
     val comp = physical(graft.operators.Ann.knnComponents(spark, sfDir))
     assert(!comp.contains("CartesianProduct") &&
