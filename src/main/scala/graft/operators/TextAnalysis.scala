@@ -302,16 +302,17 @@ object TextAnalysis {
     val d38 = "DECIMAL(38,0)"
     // trigram keys ride every exchange as xxhash64 int64s (the
     // chunk-dedup key discipline): 8 fixed bytes instead of a 3-char
-    // UTF-8 string — the trigram itself never leaves the first scan
-    val tris = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> substring(text, i, 3))")).as("tri"))
-      .filter(length(col("tri")) === 3)
-      .select(col("doc_id"), col("lang"), xxhash64(col("tri")).as("tri"))
+    // UTF-8 string — the trigram itself never leaves the first scan.
+    // r14: the per-doc counts compute ROW-LOCALLY in one byte pass
+    // (plans.Fingerprints.char_ngram_counts — same xxhash64 keys bit
+    // for bit), so the corpus's character volume never crosses an
+    // exchange: the old explode → groupBy(doc, tri) shuffled it all
     val dt = graft.plans.Materialize(
-      tris.groupBy(col("doc_id"), col("lang"), col("tri"))
-        .agg(count(lit(1)).as("c")))
+      docs.select(col("doc_id"), col("lang"),
+        explode(graft.plans.Fingerprints.char_ngram_counts(
+          col("text"), 3)).as("kv"))
+        .select(col("doc_id"), col("lang"),
+          col("kv.tri").as("tri"), col("kv.c").as("c")))
     val prof = dt.filter(trainPred)
       .groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("c")).as("pc"))

@@ -77,6 +77,51 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** Per-row char-n-gram counts in one byte pass (see
+    * [[CharNgramCounts]]): codepoint start offsets, then per window
+    * xxhash64(bytes, seed 42) — Spark's own kernel via
+    * XxHash64Function, so the key equals xxhash64(substring(s,i,n))
+    * bit for bit — counted into a small open map and emitted as
+    * (tri, c) struct rows. */
+  def charNgramCounts(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // codepoint start byte offsets + the end sentinel
+    val starts = new Array[Int](s.numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < len) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      c += 1
+    }
+    starts(c) = len
+    if (c < n) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var k = 0
+    while (k + n <= c) {
+      val b0 = starts(k)
+      val b1 = starts(k + n)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + b0, b1 - b0, 42L)
+      val cell = m.get(h)
+      if (cell == null) m.put(h, Array(1L)) else cell(0) += 1L
+      k += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hashes of whitespace-separated tokens, computed in ONE pass over
     * the UTF-8 bytes with zero allocation per token. */
   def tokenHashes(s: UTF8String, seed: Long): Array[Long] = {
@@ -349,6 +394,35 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** char_ngram_counts(text, n) → array<struct<tri bigint, c bigint>>:
+  * per-row char-n-gram COUNTS in ONE pass over the UTF-8 bytes — the
+  * whole-operator replacement for explode(n-char substrings) →
+  * groupBy(doc, tri) count, whose exchange otherwise carries the
+  * corpus's full character volume (the q_char_lm hot path). Keys are
+  * xxhash64 (Spark's default seed 42) of each n-codepoint window's
+  * byte slice — bit-identical to xxhash64(substring(text, i, n)), so
+  * the oracle contract (DuckDB joins the raw trigram strings) is
+  * unchanged. Windows shorter than n emit nothing, exactly like the
+  * length(tri) = n filter they replace. */
+case class CharNgramCounts(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n > 0, s"n-gram width must be positive: $n")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tri", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "char_ngram_counts"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.charNgramCounts(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.charNgramCounts($c, $n);")
+  override protected def withNewChildInternal(c: Expression): CharNgramCounts =
+    copy(child = c)
+}
+
 /** rolling_fingerprint(text, w) → bigint (min window hash). */
 case class RollingFingerprint(child: Expression, w: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -491,6 +565,9 @@ object Fingerprints {
     bridge.column(MinHashSig(bridge.expression(tokens), k))
   def minhash_shingles(text: Column, n: Int, k: Int): Column =
     bridge.column(MinHashShingles(bridge.expression(text), n, k))
+  def char_ngram_counts(text: Column, n: Int): Column =
+    bridge.column(CharNgramCounts(bridge.expression(text), n))
+
   def rolling_fingerprint(text: Column, w: Int): Column =
     bridge.column(RollingFingerprint(bridge.expression(text), w))
   def shingle_hashes(text: Column, n: Int): Column =
