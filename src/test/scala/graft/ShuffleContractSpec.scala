@@ -79,6 +79,24 @@ class ShuffleContractSpec extends SparkSpec {
       s"${base.records} shuffled records for $cells (source, word) cells")
   }
 
+  test("char-trigram classifier shuffles (doc, tri) cells, never the character volume") {
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.charNgramLangIdOf(docs).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      TextAnalysis.charNgramLangIdOf(docs2x).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // self-concatenation preserves each doc's trigram CELL SET (plus
+    // at most two join-boundary trigrams per doc): counts double,
+    // cells don't — so the r14 row-local counting kernel
+    // (char_ngram_counts) must shuffle the SAME bytes. The pre-r14
+    // plan exploded every character window into a groupBy exchange
+    // and would double here. Bound 1.4× + 16 KiB.
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text mass grew the classifier shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
+
   test("tiled cosine kernel shuffles (tiles+1)-replicated vectors, never the candidate pair space") {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
