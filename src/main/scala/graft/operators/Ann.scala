@@ -1054,8 +1054,8 @@ object Ann {
     * consulted, which is what gives the serve path real entry points
     * for new vectors. Work ∝ queries × labels × dims against a
     * broadcast index. */
-  def queryRootsAgainst(rootsIdx: DataFrame,
-                        queryFrame: DataFrame): DataFrame = {
+  def queryRootsAgainst(rootsIdx: DataFrame, queryFrame: DataFrame,
+                        nprobe: Int = 1): DataFrame = {
     require(Seq("label", "root_id", "pos", "s", "n")
       .forall(rootsIdx.columns.contains),
       s"roots index must carry (label, root_id, pos, s, n); got " +
@@ -1072,7 +1072,11 @@ object Ann {
           "ELSE (CAST(d AS DECIMAL(38,0)) * 1000000) DIV n END AS BIGINT)"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("s6").desc, col("label").asc)
-    dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // nprobe > 1 is the IVF multi-list probe: seed the walk at the
+    // roots of the nprobe nearest centroids (frontier dedup collapses
+    // coincidences) — more entry coverage for the same hop budget
+    dots.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("root_id"))
   }
 
@@ -1110,7 +1114,8 @@ object Ann {
   def graphServeAgainst(emb: DataFrame, graph: DataFrame,
                         queryFrame: DataFrame, k: Int = 5, beam: Int = 8,
                         hops: Int = 4,
-                        rootsIdx: Option[DataFrame] = None): DataFrame = {
+                        rootsIdx: Option[DataFrame] = None,
+                        nprobe: Int = 1): DataFrame = {
     require(graph.columns.contains("src_id") &&
       graph.columns.contains("dst_id"),
       s"parked graph must carry (src_id, dst_id); got ${graph.columns.mkString(",")}")
@@ -1129,7 +1134,7 @@ object Ann {
       graft.plans.Materialize(
         graph.select(col("src_id"), col("dst_id")).distinct()),
       queryFrame, k, beam, hops,
-      Some(queryRootsAgainst(idx, queryFrame)))
+      Some(queryRootsAgainst(idx, queryFrame, nprobe)))
   }
 
   private def graphWalk(emb: DataFrame, graph: DataFrame,

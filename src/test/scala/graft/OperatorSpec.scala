@@ -837,6 +837,15 @@ class OperatorSpec extends SparkSpec {
       .collect().groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     assert(inline == served)
+    // nprobe=2 (the IVF multi-list probe) adds a second-nearest
+    // centroid's seed: extra coverage, and on this fixture the same
+    // exact top-k (the wrong cluster's dots rank far below)
+    val served2 = graft.operators.Ann.graphServeAgainst(rows, graph,
+      queries, k = 2, beam = 4, hops = 3, rootsIdx = Some(parked),
+      nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(served2 == served)
     // the counterfactual (the r13 single-global-entry regime, spelled
     // as a one-label index rooted at vec 0): the walk cannot leave
     // cluster 0 for either query — the recall these roots recovered
