@@ -3394,7 +3394,17 @@ FROM cf"""
     * un-silenced hours fold to hourly rosters, islands to episodes,
     * and each episode notifies at its start then every RepeatHours
     * (the stamped Alerting.RepeatHours). */
-  def alertGroups: String = {
+  def alertGroups: String = groupedNotifications(waitHours = 0)
+
+  /** q_alert_group_wait: the same digest chain with Alertmanager's
+    * `group_wait` initial delay — an episode's cadence starts
+    * GroupWaitHours after its first notifiable hour, and an episode
+    * shorter than the wait notifies nobody
+    * (Alerting.alertGroupWaitOf). */
+  def alertGroupWait: String =
+    groupedNotifications(graft.operators.Alerting.GroupWaitHours)
+
+  private def groupedNotifications(waitHours: Int): String = {
     val rep = graft.operators.Alerting.RepeatHours
     "WITH " + inhibitedStateCtes.mkString(",\n ") + s""",
       | nf AS (SELECT * FROM inh
@@ -3411,7 +3421,8 @@ FROM cf"""
       |   min(hr) OVER (PARTITION BY topic, grp) AS ep_start FROM isl),
       | nt AS (SELECT *, row_number() OVER
       |   (PARTITION BY topic, grp ORDER BY hr) AS notif_no FROM ep
-      |  WHERE (((hr - ep_start) % $rep) + $rep) % $rep = 0)
+      |  WHERE hr - ep_start >= $waitHours
+      |   AND (((hr - ep_start - $waitHours) % $rep) + $rep) % $rep = 0)
       |SELECT topic, episode_no, notif_no, window_start, n_rules, rules
       |FROM nt""".stripMargin
   }

@@ -288,6 +288,14 @@ object Alerting {
     * first notification (Alertmanager's `repeat_interval`). */
   val RepeatHours: Int = 2
 
+  /** Initial-notification delay (hours) for the WAITED grouping
+    * panel (Alertmanager's `group_wait`): an episode's first
+    * notification fires `GroupWaitHours` after its start — batching
+    * late-joining rules into the first digest and ABSORBING episodes
+    * shorter than the wait entirely (the flap-storm suppression
+    * group_wait exists for). */
+  val GroupWaitHours: Int = 1
+
   /** Inhibition catalog (Alertmanager `inhibit_rules` — the
     * cascade-suppression primitive: a FIRING alert matching the
     * SOURCE matchers mutes alerts matching the TARGET matchers, the
@@ -483,7 +491,25 @@ object Alerting {
   def alertGroups(spark: SparkSession, dir: String): DataFrame =
     alertGroupsOf(hourlyCounts(spark, dir))
 
-  private[graft] def alertGroupsOf(counts: DataFrame): DataFrame = {
+  private[graft] def alertGroupsOf(counts: DataFrame): DataFrame =
+    groupedNotificationsOf(counts, waitHours = 0)
+
+  /** Notification grouping under `group_wait` (Alertmanager's
+    * initial-delay pacing): identical machinery to [[alertGroups]],
+    * but an episode's notification cadence starts `GroupWaitHours`
+    * AFTER its first notifiable hour — a late-joining rule makes the
+    * first digest instead of spamming a second page, and an episode
+    * that resolves inside the wait notifies NOBODY (measured flap
+    * absorption; episode ordinals stay aligned with the un-waited
+    * panel, so the two read side by side). */
+  def alertGroupWait(spark: SparkSession, dir: String): DataFrame =
+    alertGroupWaitOf(hourlyCounts(spark, dir))
+
+  private[graft] def alertGroupWaitOf(counts: DataFrame): DataFrame =
+    groupedNotificationsOf(counts, waitHours = GroupWaitHours)
+
+  private def groupedNotificationsOf(counts: DataFrame,
+                                     waitHours: Int): DataFrame = {
     val hourly = notifiableOf(counts)
       .groupBy(col("topic"), col("hr"))
       .agg(min(col("window_start")).as("window_start"),
@@ -500,7 +526,9 @@ object Alerting {
       .withColumn("episode_no",
         dense_rank().over(Window.partitionBy(col("topic")).orderBy(col("grp"))))
       .withColumn("ep_start", min(col("hr")).over(we))
-      .filter(pmod(col("hr") - col("ep_start"), lit(RepeatHours.toLong)) === 0L)
+      .filter(col("hr") - col("ep_start") >= waitHours.toLong &&
+        pmod(col("hr") - col("ep_start") - waitHours.toLong,
+          lit(RepeatHours.toLong)) === 0L)
       .withColumn("notif_no",
         row_number().over(we.orderBy(col("hr"))))
       .select(col("topic"), col("episode_no"), col("notif_no"),

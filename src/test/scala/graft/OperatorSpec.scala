@@ -3265,9 +3265,12 @@ class OperatorSpec extends SparkSpec {
   test("alert groups: episodes notify at start then every repeat interval, rosters fold rules") {
     import spark.implicits._
     def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
-    // topic t hot (5 ≥ both thresholds) hours 10..15, then 20..22:
-    // hot2 fires 11..15 and 21..22, hot3 fires 12..15 and 22
-    val counts = ((10L to 15L) ++ (20L to 22L)).map(h => ("t", ts(h), 5L))
+    // topic t hot (5 ≥ both thresholds) hours 10..15, then 20..22,
+    // then a two-hour FLAP at 30..31 (hot2 fires at 31 only — a
+    // one-notifiable-hour episode): hot2 fires 11..15, 21..22, 31;
+    // hot3 fires 12..15 and 22 (and inhibits hot2 there)
+    val counts = ((10L to 15L) ++ (20L to 22L) ++ (30L to 31L))
+      .map(h => ("t", ts(h), 5L))
     val got = graft.operators.Alerting.alertGroupsOf(counts.toDF(
       "topic", "window_start", "msg_count")).collect()
       .map(r => (r.getInt(1), r.getInt(2)) ->
@@ -3284,7 +3287,24 @@ class OperatorSpec extends SparkSpec {
     // episode 2 = notifiable hours 21..22 ⇒ one notification at 21
     // (22, where hot3 takes over, is off-cadence), roster hot2 only
     assert(got((2, 1)) == ((21L, 1L, "hot2")))
-    assert(got.size == 4)
+    // episode 3 = the flap's single notifiable hour 31
+    assert(got((3, 1)) == ((31L, 1L, "hot2")))
+    assert(got.size == 5)
+    // --- the WAITED panel (group_wait = 1h): every episode's cadence
+    // shifts one hour (the first digest batches late joiners — hour
+    // 12's roster is hot3, the rule that JOINED during the wait), and
+    // the one-hour flap episode notifies NOBODY (flap absorption —
+    // episode ordinals stay aligned with the un-waited panel)
+    val waited = graft.operators.Alerting.alertGroupWaitOf(counts.toDF(
+      "topic", "window_start", "msg_count")).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) ->
+        ((r.getTimestamp(3).getTime / 3600000L, r.getLong(4), r.getString(5))))
+      .toMap
+    assert(waited((1, 1)) == ((12L, 1L, "hot3")))
+    assert(waited((1, 2)) == ((14L, 1L, "hot3")))
+    assert(waited((2, 1)) == ((22L, 1L, "hot3")))
+    assert(!waited.keySet.exists(_._1 == 3), s"flap not absorbed: $waited")
+    assert(waited.size == 3)
   }
 
   test("alert routing: ordered first match routes receivers, fallback catches the rest") {
