@@ -1207,9 +1207,13 @@ object SparkEntry {
     // threshold sweep: the q_dedup_cosine pair algebra at the loosest
     // cutoff, counts per grid threshold, zero-filled
     "q_dedup_sweep" ->
-      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      """WITH e0 AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
         |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         | FROM embeddings),
+        | e AS (SELECT vec_id, label, i, q FROM e0
+        |  UNION ALL SELECT vec_id + 100000, label, i,
+        |   CASE WHEN i - 1 = vec_id % 64 THEN -q ELSE q END AS q
+        |  FROM e0 WHERE vec_id < 250),
         | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
         |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label

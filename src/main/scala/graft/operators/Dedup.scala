@@ -1479,7 +1479,15 @@ object Dedup {
                            tiles: Int = 8): DataFrame = {
     import spark.implicits._
     require(thresholds.nonEmpty, "empty threshold grid")
-    val pairs = cosinePairs(spark, dir, thresholds.min, tiles)
+    // the TUNING sweep runs over the planted-dup corpus (Ann.embsDupped
+    // — copies inherit their original's label, so each planted pair is
+    // within-block): the gate corpus has no pair above cos 0.5
+    // (measured r14), which left every upper tier a vacuous zero; the
+    // planted cos≈0.97 pairs make the curve's knee measurable
+    val pairs = tiledCosinePairs(
+      Ann.embsDupped(spark, dir)
+        .select(col("vec_id"), col("label").as("block"), col("embedding")),
+      thresholds.min, tiles)
     val grid = thresholds.toDF("min_dot_q")
     val swept = pairs.join(broadcast(grid), col("dot_q") >= col("min_dot_q"))
     val pairCounts = swept.groupBy(col("min_dot_q"))

@@ -2093,11 +2093,26 @@ class OperatorSpec extends SparkSpec {
     // tightening the cut can only shrink both counts
     assert(sweep.zip(sweep.tail).forall { case (a, b) =>
       b._2 <= a._2 && b._3 <= a._3 }, s"not monotone: ${sweep.toSeq}")
-    // the loosest point IS the production single-cut pair count
-    val single = graft.operators.Dedup.cosinePairs(spark, sfDir).count()
-    assert(sweep.head._2 == single,
-      s"sweep@250000 ${sweep.head._2} != cosinePairs $single")
+    // the loosest point anchors at a NAIVE within-label recount over
+    // the same planted-dup corpus the sweep tunes against (r14: the
+    // raw corpus has no pair above cos 0.5, so the sweep moved to the
+    // dupped corpus where the curve's knee is measurable)
+    val dup = graft.operators.Ann.embsDupped(spark, sfDir)
+    val naive = dup.select(col("vec_id").as("a"), col("label").as("la"),
+        col("embedding").as("ea"))
+      .join(dup.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("embedding").as("eb")),
+        col("a") < col("b") && col("la") === col("lb"))
+      .filter(graft.functions.VectorFunctions
+        .quantizedDot(col("ea"), col("eb")) >= 250000L)
+      .count()
+    assert(sweep.head._2 == naive,
+      s"sweep@250000 ${sweep.head._2} != naive $naive")
     assert(sweep.head._2 > 0, "no pairs at the loosest cut — sweep exercises nothing")
+    // the planted pairs make the upper tiers non-vacuous: every
+    // planted copy is a ≥cos-0.5 pair with its original
+    assert(sweep.find(_._1 == 500000L).get._2 >= 250,
+      s"planted pairs missing from the 0.5 tier: ${sweep.toSeq}")
     // an unreachable cut reports zeros instead of vanishing
     assert(sweep.last == (Long.MaxValue / 2, 0L, 0L), s"dry cut: ${sweep.last}")
   }
