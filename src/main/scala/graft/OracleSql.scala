@@ -2029,6 +2029,76 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     "WITH " + (minhashSigCtes ++ minhashCandEstCtes).mkString(",\n ") +
       "\nSELECT doc_a, doc_b, est_jaccard FROM est"
 
+  /** The OPH sketch chain (q_dedup_oph / q_oph_calibration),
+    * mirroring Dedup.ophPairsOf over the shared shingle-base hashes:
+    * bin = top-5 bits of the mixed shingle hash (h is the unsigned
+    * high 32-bit half, so `h >> 27` IS `base >>> 59`), per-bin signed
+    * MIN, rotation densification (nearest occupied bin clockwise via
+    * arg_min over the circular distance, xor'd with that distance —
+    * an occupied bin is its own zero-distance donor, so ONE spelling
+    * serves both legs), Long.MaxValue sentinel for shingle-less docs.
+    * Ends at `dens(doc_id, b, s)` plus the banded candidates
+    * `ocand(doc_a, doc_b)` and estimates `oest(.., est_jaccard)`. */
+  private def ophCtes(bins: Int, bands: Int): (Seq[String], String) = {
+    require(bins == 32,
+      s"the oracle bin spelling is the top-5-bit bucket (h >> 27); got bins=$bins")
+    val rows = bins / bands
+    val (basePrefix, baseLast) = shingleBaseCtes
+    (basePrefix ++ Seq(
+      s"ophb AS MATERIALIZED (SELECT doc_id, h >> 27 AS b," +
+        s" min(${signedHL("h", "l")}) AS raw FROM $baseLast GROUP BY 1, 2)",
+      s"bgrid AS (SELECT d.doc_id, gb.b FROM documents d" +
+        s" CROSS JOIN (SELECT unnest(range($bins)) AS b) gb)",
+      s"dens AS MATERIALIZED (SELECT g.doc_id, g.b, coalesce(" +
+        s"xor(arg_min(o.raw, (o.b - g.b + $bins) % $bins)," +
+        s" min((o.b - g.b + $bins) % $bins))," +
+        " 9223372036854775807) AS s" +
+        " FROM bgrid g LEFT JOIN ophb o ON o.doc_id = g.doc_id GROUP BY 1, 2)",
+      s"obands AS (SELECT doc_id, b // $rows AS band," +
+        " string_agg(CAST(s AS VARCHAR), ',' ORDER BY b) AS bkey" +
+        " FROM dens GROUP BY 1, 2)",
+      "ocand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b" +
+        " FROM obands a JOIN obands b ON a.band = b.band AND a.bkey = b.bkey" +
+        " AND a.doc_id < b.doc_id)",
+      s"oest AS (SELECT c.doc_a, c.doc_b," +
+        s" CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / $bins" +
+        " AS est_jaccard FROM ocand c JOIN dens sa ON sa.doc_id = c.doc_a" +
+        " JOIN dens sb ON sb.doc_id = c.doc_b AND sb.b = sa.b GROUP BY 1, 2)")) -> baseLast
+  }
+
+  /** q_dedup_oph: one-permutation-hashing near-dup candidates
+    * (Dedup.ophPairs — 32 densified bins, 4 bands × 8 rows). */
+  def dedupOph(bins: Int, bands: Int): String =
+    "WITH " + ophCtes(bins, bands)._1.mkString(",\n ") +
+      "\nSELECT doc_a, doc_b, est_jaccard FROM oest"
+
+  /** q_oph_calibration: the OPH estimate next to the EXACT Jaccard of
+    * the underlying shingle-base sets on every OPH candidate pair
+    * (Dedup.ophCalibration — the q_minhash_calibration panel for the
+    * one-permutation family). */
+  def ophCalibration(bins: Int, bands: Int): String = {
+    val (ctes, baseLast) = ophCtes(bins, bands)
+    "WITH " + (ctes ++ Seq(
+      s"gset AS MATERIALIZED (SELECT DISTINCT doc_id, ${signedHL("h", "l")} AS g" +
+        s" FROM $baseLast)",
+      "gsz AS (SELECT d.doc_id, count(g.g) AS sz FROM documents d" +
+        " LEFT JOIN gset g ON g.doc_id = d.doc_id GROUP BY 1)",
+      "inter AS (SELECT e.doc_a, e.doc_b, count(*) AS ni FROM oest e" +
+        " JOIN gset ga ON ga.doc_id = e.doc_a" +
+        " JOIN gset gb ON gb.doc_id = e.doc_b AND gb.g = ga.g GROUP BY 1, 2)"))
+      .mkString(",\n ") +
+      "\nSELECT e.doc_a, e.doc_b, e.est_jaccard," +
+      " CASE WHEN za.sz + zb.sz - coalesce(i.ni, 0) > 0 THEN" +
+      " CAST(coalesce(i.ni, 0) AS DOUBLE) /" +
+      " CAST(za.sz + zb.sz - coalesce(i.ni, 0) AS DOUBLE) END AS exact_jaccard," +
+      " CASE WHEN za.sz + zb.sz - coalesce(i.ni, 0) > 0 THEN" +
+      " abs(e.est_jaccard - CAST(coalesce(i.ni, 0) AS DOUBLE) /" +
+      " CAST(za.sz + zb.sz - coalesce(i.ni, 0) AS DOUBLE)) END AS abs_err" +
+      "\nFROM oest e JOIN gsz za ON za.doc_id = e.doc_a" +
+      " JOIN gsz zb ON zb.doc_id = e.doc_b" +
+      " LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b"
+  }
+
   /** q_dedup_sweep_bands: [[dedupMinhash]]'s signature chain once, the
     * band self-join per GRID geometry (p // rows with rows from the
     * geometry VALUES), union of candidates verified once. Midpoint
@@ -2081,18 +2151,18 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
     * shingle-base hashes (h/l halves) — the doc's underlying gram SET
     * (what the signature sketches), needed by the calibration oracle
     * for the exact-Jaccard side. */
-  private def minhashSigCtesWithBase: (Seq[String], String) = {
-    // mix(p) constants pre-split into hi/lo halves
-    val mpValues = (0 until 64).map { p =>
-      val m = HashKernels.mix(p.toLong)
-      s"($p, ${m >>> 32}, ${m & 0xffffffffL})"
-    }.mkString(", ")
+  /** The PREFIX of the signature chain: documents → tokens → FNV
+    * token hashes → 3-token shingle polynomial → mixed shingle-base
+    * hashes, ending at a CTE with (doc_id, si, h, l) halves of
+    * mix(shingle). Shared by [[minhashSigCtesWithBase]] (which fans
+    * the 64 remixed hash functions over it) and [[dedupOph]] (which
+    * bins the base hashes directly — the whole point of OPH). */
+  private def shingleBaseCtes: (Seq[String], String) = {
     val (tokStages, tokLast) = mixStages("fnv", "tx", Seq("doc_id", "ti"), Left("h0"))
     val (baseStages, baseLast) = mixStages("sh", "bx", Seq("doc_id", "si"), Left("sh0"))
-    val (hStages, hLast) = mixStages("hx", "hm", Seq("doc_id", "p"), Right(()))
     val shingle = // ((t1·B + t2)·B + t3) mod 2^64, B = 0x100000001b3
       s"((((a.h * 1099511628211) % $P64 + b.h) % $P64) * 1099511628211 % $P64 + c.h) % $P64"
-    Seq(
+    (Seq(
       """t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""",
       // MATERIALIZED: re-chunk the unnested tokens so the FNV fold
       // below parallelizes (the documents scan is one morsel)
@@ -2106,7 +2176,18 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
       s"sh AS (SELECT a.doc_id, a.ti AS si, $shingle AS sh0" +
         " FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.ti = a.ti + 1" +
         " JOIN th c ON c.doc_id = a.doc_id AND c.ti = a.ti + 2)") ++
-      baseStages ++ Seq(
+      baseStages) -> baseLast
+  }
+
+  private def minhashSigCtesWithBase: (Seq[String], String) = {
+    // mix(p) constants pre-split into hi/lo halves
+    val mpValues = (0 until 64).map { p =>
+      val m = HashKernels.mix(p.toLong)
+      s"($p, ${m >>> 32}, ${m & 0xffffffffL})"
+    }.mkString(", ")
+    val (hStages, hLast) = mixStages("hx", "hm", Seq("doc_id", "p"), Right(()))
+    val (basePrefix, baseLast) = shingleBaseCtes
+    basePrefix ++ Seq(
       s"mp(p, mh, ml) AS (VALUES $mpValues)",
       // the big cross product: copy first (cheap), xor the halves in a
       // follow-up projection, then run the mix chain over it — all

@@ -137,6 +137,8 @@ object SparkEntry {
     "q_dedup_normalized" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q_dedup_oph" -> ((s, d) => Dedup.ophPairs(s, d)),
+    "q_oph_calibration" -> ((s, d) => Dedup.ophCalibration(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q_dedup_edit" -> ((s, d) => Dedup.editPairs(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -2116,6 +2118,8 @@ object SparkEntry {
     "q_dedup_apply" -> OracleSql.dedupApply,
     "q_dedup_minhash" -> OracleSql.dedupMinhash,
     "q_minhash_calibration" -> OracleSql.minhashCalibration,
+    "q_dedup_oph" -> OracleSql.dedupOph(Dedup.OphBins, Dedup.OphBands),
+    "q_oph_calibration" -> OracleSql.ophCalibration(Dedup.OphBins, Dedup.OphBands),
     "q_dedup_band_sweep" -> OracleSql.dedupMinhashBandSweep(
       Dedup.bandGeometries(64, Seq(2, 4, 8, 16))),
     "q_classifier_score" -> OracleSql.classifierScore(

@@ -124,6 +124,87 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** Sketch geometry of the ONE-PERMUTATION-HASHING family, shared
+    * with the DuckDB oracle: 32 bins (each shingle hash's top 5 bits
+    * pick the bin — ONE mix per shingle where the classic signature
+    * pays 64), banded 4 × 8 for candidates — S-curve midpoint
+    * (1/4)^(1/8) ≈ 0.84, deliberately above the classic family's
+    * 0.77 because this corpus's 31-word vocabulary puts random pairs
+    * at J ≈ 0.3 (the [[minhashPairs]] lesson). */
+  val OphBins: Int = 32
+  val OphBands: Int = 4
+
+  /** MinHash+LSH near-dup candidates via ONE-PERMUTATION HASHING
+    * with rotation densification (Li, Owen & Zhang 2012; Shrivastava
+    * & Li 2014) — the scale path of the MinHash family: per shingle,
+    * ONE 64-bit hash whose top bits pick a bin and whose value mins
+    * into it, vs [[minhashPairs]]'s 64 remixes per shingle. At 100 TB
+    * the shingle stream dominates the sketch cost, so OPH cuts the
+    * CPU of the signature pass ~64× at comparable estimator variance
+    * (empty bins borrow clockwise, xor-tagged with the borrow
+    * distance, so the densified sketch stays an unbiased Jaccard
+    * estimator). Candidates band exactly like the classic family;
+    * `est_jaccard` = matching densified bins / bins. */
+  def ophPairs(spark: SparkSession, dir: String,
+               bins: Int = OphBins, bands: Int = OphBands): DataFrame =
+    ophPairsOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      bins, bands)
+
+  /** [[ophPairs]] over a prepared (doc_id, text) frame. */
+  def ophPairsOf(docs: DataFrame, bins: Int, bands: Int): DataFrame = {
+    require(bins % bands == 0, s"bands $bands must divide bins $bins")
+    val rows = bins / bands
+    val sigs = docs
+      .select(col("doc_id"),
+        oph_shingles(col("text"), MinhashShingleSize, bins).as("sig"))
+    // the [[minhashPairsOf]] discipline: band join on (band, hash,
+    // id) only; sketches re-attach once per side after the dedup
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (sig_matches(col("sig_a"), col("sig_b")).cast("double") / bins)
+          .as("est_jaccard"))
+  }
+
+  /** Estimator calibration for the OPH sketch — the q_minhash_
+    * calibration panel for the one-permutation family: on every OPH
+    * candidate pair, the densified-bin estimate next to the EXACT
+    * Jaccard of the underlying shingle sets, plus the absolute error
+    * (what decides whether the 64×-cheaper sketch can replace the
+    * classic one at a given threshold). Degenerate pairs (both docs
+    * under [[MinhashShingleSize]] tokens) carry NULL exact/error. */
+  def ophCalibration(spark: SparkSession, dir: String,
+                     bins: Int = OphBins, bands: Int = OphBands): DataFrame = {
+    val pairs = ophPairs(spark, dir, bins, bands)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        shingle_hashes(col("text"), MinhashShingleSize).as("grams"))
+    val ni = size(array_intersect(col("grams_a"), col("grams_b")))
+    val nu = size(col("grams_a")) + size(col("grams_b")) - ni
+    val exact = ni.cast("double") / nu.cast("double")
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        when(nu > 0, exact).as("exact_jaccard"),
+        when(nu > 0, abs(col("est_jaccard") - exact)).as("abs_err"))
+  }
+
   /** The near-dup KEEP-SET as an apply-form corpus filter: SimHash
     * banded pairs over `docs` → connected components → keep each
     * component's min-doc_id representative; returns the surviving

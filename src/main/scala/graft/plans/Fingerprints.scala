@@ -173,6 +173,56 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** One-Permutation-Hashing sketch over word-n-gram shingles (Li,
+    * Owen & Zhang, NIPS 2012) with rotation densification
+    * (Shrivastava & Li, ICML 2014): ONE mix per shingle — the hash's
+    * top log₂(bins) bits pick the bin, the signed 64-bit hash is the
+    * bin's running MIN — where [[minhashShingles]] pays k remixes per
+    * shingle. That is the 100 TB argument: per-shingle hash work
+    * drops k-fold (64× at the classic signature width) at comparable
+    * sketch quality for documents long enough to populate the bins.
+    * An EMPTY bin borrows the nearest occupied bin clockwise
+    * (i+1, i+2, … mod bins), xor'd with the borrow distance so two
+    * sketches agree on a densified bin only when they agree on the
+    * donor bin AND its offset (the unbiased-estimator correction of
+    * the densified scheme). A doc with no shingles keeps the
+    * Long.MaxValue sentinel everywhere, like [[minhashShingles]]. */
+  def ophShingles(s: UTF8String, n: Int, bins: Int): ArrayData = {
+    val toks = tokenHashes(s, 0L)
+    val raw = new Array[Long](bins)
+    val occ = new Array[Boolean](bins)
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(bins)
+    if (toks.length >= n) {
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        var sh = 0L
+        var j = 0
+        while (j < n) { sh = sh * 0x100000001b3L + toks(i + j); j += 1 }
+        val base = mix(sh)
+        val b = (base >>> shift).toInt
+        if (!occ(b) || base < raw(b)) { raw(b) = base; occ(b) = true }
+        i += 1
+      }
+    }
+    var probe = 0
+    while (probe < bins && !occ(probe)) probe += 1
+    val anyOcc = probe < bins
+    val out = new Array[Long](bins)
+    var b = 0
+    while (b < bins) {
+      if (occ(b)) out(b) = raw(b)
+      else if (!anyOcc) out(b) = Long.MaxValue
+      else {
+        var d = 1
+        while (!occ((b + d) % bins)) d += 1
+        out(b) = raw((b + d) % bins) ^ d.toLong
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** DISTINCT word-n-gram shingle hashes in one pass: tokenize →
     * rolling polynomial combine of n token hashes → sort+dedup. The
     * sorted long array is the doc's shingle SET — equality on these
@@ -451,6 +501,24 @@ case class MinHashShingles(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(child = c)
 }
 
+/** oph_shingles(text, n, bins): fused tokenize+shingle+one-permutation
+  * minhash with rotation densification ([[HashKernels.ophShingles]]).
+  * `bins` must be a power of two (the bin is the hash's top bits). */
+case class OphShingles(child: Expression, n: Int, bins: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(bins > 0 && (bins & (bins - 1)) == 0 && bins <= 64,
+    s"bins must be a power of two in [1, 64], got $bins")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def prettyName: String = "oph_shingles"
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.ophShingles(s.asInstanceOf[UTF8String], n, bins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.ophShingles($c, $n, $bins);")
+  override protected def withNewChildInternal(c: Expression): OphShingles = copy(child = c)
+}
+
 /** normalized_hash(text) → bigint: fused normalize+hash. */
 case class NormalizedHash(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -565,6 +633,8 @@ object Fingerprints {
     bridge.column(MinHashSig(bridge.expression(tokens), k))
   def minhash_shingles(text: Column, n: Int, k: Int): Column =
     bridge.column(MinHashShingles(bridge.expression(text), n, k))
+  def oph_shingles(text: Column, n: Int, bins: Int): Column =
+    bridge.column(OphShingles(bridge.expression(text), n, bins))
   def char_ngram_counts(text: Column, n: Int): Column =
     bridge.column(CharNgramCounts(bridge.expression(text), n))
 

@@ -122,6 +122,100 @@ class FingerprintSpec extends SparkSpec {
     assert(math.abs(row8.getAs[Double]("mean_est_jaccard") - meanEst) < 1e-9)
   }
 
+  test("oph sketch: densification equals a brute-force recompute, bin by bin") {
+    import graft.operators.Dedup
+    // brute-force the spec's own OPH over the kernel's building blocks
+    def brute(text: String, bins: Int): Array[Long] = {
+      val toks = HashKernels.tokenHashes(UTF8String.fromString(text), 0L)
+      val shift = 64 - java.lang.Integer.numberOfTrailingZeros(bins)
+      val raw = scala.collection.mutable.Map.empty[Int, Long]
+      for (i <- 0 to toks.length - 3) {
+        val sh = ((toks(i) * 0x100000001b3L + toks(i + 1)) * 0x100000001b3L
+          + toks(i + 2))
+        val base = HashKernels.mix(sh)
+        val b = (base >>> shift).toInt
+        if (!raw.contains(b) || base < raw(b)) raw(b) = base
+      }
+      Array.tabulate(bins) { b =>
+        if (raw.contains(b)) raw(b)
+        else if (raw.isEmpty) Long.MaxValue
+        else {
+          val d = (1 until bins).find(d => raw.contains((b + d) % bins)).get
+          raw((b + d) % bins) ^ d.toLong
+        }
+      }
+    }
+    // long doc: most bins occupied; short doc: heavy densification
+    val long = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val short = "a b c d e"
+    for (text <- Seq(long, short)) {
+      val got = HashKernels.ophShingles(
+        UTF8String.fromString(text), 3, Dedup.OphBins).toLongArray()
+      assert(got.toSeq == brute(text, Dedup.OphBins).toSeq, text.take(20))
+    }
+    // shingle-less docs keep the sentinel everywhere (the classic
+    // family's contract): both all-sentinel, so they band together
+    val none = HashKernels.ophShingles(UTF8String.fromString("a b"), 3, 32)
+    assert(none.toLongArray().forall(_ == Long.MaxValue))
+    // the short doc HAS shingles, so no bin may carry the sentinel —
+    // densification must have filled every empty bin from a donor
+    val dsh = HashKernels.ophShingles(UTF8String.fromString(short), 3, 32)
+    assert(dsh.toLongArray().forall(_ != Long.MaxValue))
+  }
+
+  test("oph estimator tracks exact jaccard and the banding recalls planted near-dups") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // unique-vocabulary corpus (the minhash recall spec's design):
+    // doc 2i shares 96 of 100 tokens with doc 2i+1 → shingle J ≈ 0.92,
+    // P(candidate | 4 bands × 8 rows) ≈ 0.94
+    val nPairs = 50
+    val docs = (0 until nPairs).flatMap { i =>
+      val base = (0 until 100).map(j => s"w${i}_$j")
+      val variant = base.take(96) ++ (0 until 4).map(j => s"v${i}_$j")
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, variant.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val got = Dedup.ophPairsOf(docs, Dedup.OphBins, Dedup.OphBands)
+      .filter(col("doc_b") === col("doc_a") + 1 && col("doc_a") % 2 === 0)
+      .collect()
+    assert(got.length >= (0.8 * nPairs).toInt,
+      s"recalled ${got.length} of $nPairs planted J≈0.92 pairs")
+    // the estimator reads near the true similarity on the recalled
+    // pairs (32 densified bins: ±0.25 covers the sketch variance)
+    got.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(math.abs(est - 0.92) < 0.25, s"est=$est")
+    }
+    // disjoint-vocabulary pairs never band together
+    val cross = Dedup.ophPairsOf(docs, Dedup.OphBins, Dedup.OphBands)
+      .filter(!(col("doc_b") === col("doc_a") + 1 && col("doc_a") % 2 === 0))
+      .count()
+    assert(cross == 0, s"$cross spurious cross-pair candidates")
+  }
+
+  test("oph calibration: candidate set and estimates equal ophPairs, exact side is set math") {
+    import graft.operators.Dedup
+    import graft.plans.Fingerprints.shingle_hashes
+    val got = Dedup.ophCalibration(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("est_jaccard"),
+          Option(r.getAs[java.lang.Double]("exact_jaccard")).map(_.doubleValue))).toMap
+    assert(got.nonEmpty)
+    val pairs = Dedup.ophPairs(spark, SparkSpec.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == pairs.keySet)
+    got.foreach { case (k, (est, _)) => assert(est == pairs(k), s"$k") }
+    val sets = Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    got.foreach { case ((a, b), (_, exact)) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val u = (sa ++ sb).size
+      if (u == 0) assert(exact.isEmpty)
+      else assert(exact.contains((sa & sb).size.toDouble / u), s"($a,$b)")
+    }
+  }
+
   test("substring-dedup spans: planted repeated 3-grams drop exactly their covering ranges") {
     import graft.operators.Dedup
     import spark.implicits._
