@@ -1017,11 +1017,12 @@ FROM u"""
 
   private def graphWalkCtes(nQueries: Int, beam: Int, hops: Int,
                             dupped: Boolean = false,
-                            qmSql: Option[String] = None): String = {
+                            qmSql: Option[String] = None,
+                            graphCte: String = "gk"): String = {
     val qm = qmSql.getOrElse(
       s"SELECT vec_id AS query_id FROM embeddings WHERE vec_id < $nQueries")
     val base = s"""qm AS MATERIALIZED ($qm),
-      | gm AS MATERIALIZED (SELECT src_id, dst_id FROM gk),
+      | gm AS MATERIALIZED (SELECT src_id, dst_id FROM $graphCte),
       | ${graphRootCtes(dupped)},
       | s0 AS MATERIALIZED (SELECT n.query_id, n.vec_id,
       |   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
@@ -1117,6 +1118,71 @@ SELECT query_id, vec_id, dot_q, rnk FROM (
  SELECT *, row_number() OVER (PARTITION BY query_id
    ORDER BY dot_q DESC, vec_id) AS rnk FROM dd)
 WHERE rnk <= $k"""
+
+  /** The α-RNG occlusion-prune CTEs over the `gk` adjacency
+    * (Ann.graphPruneOf, α² = alphaNum/alphaDen as exact integers):
+    * squared distances from the quantized self-dots, per-node (w, v)
+    * neighbor pairs with w ranked above v, the w–v dot rescored off
+    * the shared `e` components, occluded edges dropped via NOT
+    * EXISTS. Ends at `pk(src_id, dst_id, dot_q, rnk, rnk_after)`. */
+  private def graphPruneCtes(alphaNum: Long, alphaDen: Long): String =
+    s"""nrm AS MATERIALIZED (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+      |  FROM e GROUP BY 1),
+      | ged AS MATERIALIZED (SELECT g.src_id, g.dst_id, g.dot_q, g.rnk,
+      |   nd.n2 AS n2_d, ns.n2 + nd.n2 - 2 * g.dot_q AS d2
+      |  FROM gk g JOIN nrm ns ON ns.vec_id = g.src_id
+      |  JOIN nrm nd ON nd.vec_id = g.dst_id),
+      | wv AS (SELECT v.src_id, v.dst_id AS v_id, v.d2 AS dv2,
+      |   v.n2_d AS n2_v, w.dst_id AS w_id, w.n2_d AS n2_w
+      |  FROM ged v JOIN ged w ON w.src_id = v.src_id AND w.rnk < v.rnk),
+      | occ AS (SELECT DISTINCT src_id, v_id FROM (
+      |  SELECT wv.src_id, wv.v_id, wv.dv2, wv.n2_w, wv.n2_v, wv.w_id,
+      |    CAST(sum(a.q * b.q) AS BIGINT) AS dot_wv
+      |   FROM wv JOIN e a ON a.vec_id = wv.w_id
+      |   JOIN e b ON b.vec_id = wv.v_id AND b.i = a.i
+      |   GROUP BY 1, 2, 3, 4, 5, 6)
+      |  WHERE $alphaNum * (n2_w + n2_v - 2 * dot_wv) <= $alphaDen * dv2),
+      | pk AS (SELECT src_id, dst_id, dot_q, rnk, CAST(row_number() OVER
+      |    (PARTITION BY src_id ORDER BY dot_q DESC, dst_id) AS INT)
+      |    AS rnk_after
+      |  FROM ged g WHERE NOT EXISTS (SELECT 1 FROM occ
+      |   WHERE occ.src_id = g.src_id AND occ.v_id = g.dst_id))""".stripMargin
+
+  /** q_graph_prune: the α-RNG-pruned adjacency — kept edges with
+    * both ranks (Ann.graphPrune over the dense k = 10 build). */
+  def graphPrune(alphaNum: Long, alphaDen: Long, kGraph: Int = 10,
+                 nPlanes: Int = 6, nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(kGraph, nPlanes, nTables) + ",\n " +
+      graphPruneCtes(alphaNum, alphaDen) +
+      "\nSELECT src_id, dst_id, dot_q, rnk, rnk_after FROM pk"
+
+  /** q_graph_prune_recall: recall@k of the rooted beam walk OVER THE
+    * PRUNED adjacency against brute force (Ann.graphPruneRecall —
+    * the gauge proving the walk survives the α-cut). */
+  def graphPruneRecall(alphaNum: Long, alphaDen: Long, k: Int = 5,
+                       nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
+                       kGraph: Int = 10, nPlanes: Int = 6,
+                       nTables: Int = 8): String =
+    "WITH " + knnGraphCtes(kGraph, nPlanes, nTables) + ",\n " +
+      graphPruneCtes(alphaNum, alphaDen) + ",\n " +
+      graphWalkCtes(nQueries, beam, hops, graphCte = "pk") + s""",
+ ws AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY dot_q DESC, vec_id) AS rnk FROM dd)
+  WHERE rnk <= $k),
+ bs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+   CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < $nQueries GROUP BY 1, 2),
+ bk AS (SELECT query_id, vec_id FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rnk FROM bs)
+  WHERE rnk <= $k)
+SELECT bk.query_id, count(ws.vec_id) AS hits,
+ CAST(count(ws.vec_id) AS DOUBLE) / $k AS recall
+FROM bk LEFT JOIN ws
+ ON ws.query_id = bk.query_id AND ws.vec_id = bk.vec_id
+GROUP BY 1"""
 
   /** q_graph_search_recall: recall@k of the graph WALK against brute
     * force (Ann.graphSearchRecall — the knnGraphRecall gauge pointed

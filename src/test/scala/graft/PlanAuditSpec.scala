@@ -232,6 +232,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(walk.contains("Scan ExistingRDD"), walk.take(600))
   }
 
+  test("graph prune: k²-bounded pair joins off one materialized build, vectors id-keyed") {
+    val pr = physical(graft.operators.Ann.graphPrune(spark, sfDir))
+    // no pair-space blowup: every join is equi-keyed
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(800))
+    // the dense build materializes once; past it the only parquet
+    // touches are the two ID-KEYED vector lookups of the w–v rescore
+    // plus the norms scan — never a re-run of the banding chain
+    assert(pr.contains("Scan ExistingRDD"), pr.take(600))
+    val scans = "FileScan parquet".r.findAllIn(pr).length
+    assert(scans <= 3, s"graph prune re-scans embeddings $scans times:\n${pr.take(800)}")
+  }
+
   test("trigram surprisal: one materialized gram scan, stat joins unhinted, int64 word keys") {
     val df = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
     // the five stat tables are gram-vocabulary scale — like the
