@@ -3607,6 +3607,34 @@ FROM cf"""
       | min(window_start) AS first_seen, max(window_start) AS last_seen
       |FROM nf GROUP BY 1""".stripMargin
 
+  /** q_link_predict: common-neighbors / Jaccard / Resource-Allocation
+    * link prediction over the SAME co-order part graph spelling as
+    * q_graph_triangles (Sequence.linkPredictOf): wedges at apexes of
+    * degree ≤ maxDeg, RA as the exact fixed-point floor
+    * Σ ⌊10⁶/deg⌋, adjacency dropped by anti-join, top-N by the total
+    * order (common DESC, ra_ppm DESC, u, v). */
+  def linkPredict(topN: Int, maxDeg: Int): String =
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 10 = 0),
+      | ed AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b USING (ok)
+      |  WHERE a.p < b.p GROUP BY 1, 2),
+      | e2 AS MATERIALIZED (SELECT u AS n, v AS m FROM ed
+      |  UNION ALL SELECT v AS n, u AS m FROM ed),
+      | dg AS MATERIALIZED (SELECT n, count(*) AS deg FROM e2 GROUP BY 1),
+      | apx AS (SELECT e.n, e.m, d.deg FROM e2 e JOIN dg d ON d.n = e.n
+      |  WHERE d.deg <= $maxDeg),
+      | wg AS (SELECT a.n, a.m AS u, b.m AS v, a.deg
+      |  FROM apx a JOIN apx b ON b.n = a.n AND a.m < b.m),
+      | cn AS (SELECT u, v, count(*) AS common,
+      |   CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm FROM wg GROUP BY 1, 2),
+      | na AS (SELECT cn.* FROM cn LEFT JOIN ed
+      |   ON ed.u = cn.u AND ed.v = cn.v WHERE ed.u IS NULL)
+      |SELECT u, v, common, ra_ppm,
+      | CAST(common AS DOUBLE) / CAST(du.deg + dv.deg - common AS DOUBLE)
+      |  AS jaccard
+      |FROM na JOIN dg du ON du.n = na.u JOIN dg dv ON dv.n = na.v
+      |ORDER BY common DESC, ra_ppm DESC, u, v LIMIT $topN""".stripMargin
+
   /** q_kcore_peel: bounded synchronous k-core peeling unrolled as
     * chained CTEs (the q_pagerank/q_label_prop idiom) over the SAME
     * co-order part graph spelling as q_graph_triangles. Both engines

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_transitions" -> ((s, d) => Sequence.transitions(s, d)),
     "q_pagerank" -> ((s, d) => Sequence.pageRank(s, d)),
     "q_graph_triangles" -> ((s, d) => Sequence.triangles(s, d)),
+    "q_link_predict" -> ((s, d) => Sequence.linkPredict(s, d)),
     "q_kcore_peel" -> ((s, d) => Sequence.kcorePeel(s, d)),
     "q_ktruss" -> ((s, d) => Sequence.trussPeel(s, d)),
     "q_median_exact" -> ((s, d) => Analytics.medianExact(s, d)),
@@ -2504,6 +2505,7 @@ object SparkEntry {
     // degree-oriented triangle counting: every CTE mirrors the Spark
     // pipeline (same sampling, same (degree, id) orientation and wedge
     // order), all-integer counting
+    "q_link_predict" -> OracleSql.linkPredict(20, 256),
     "q_graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |   FROM lineitem WHERE l_orderkey % 10 = 0),

@@ -448,6 +448,60 @@ object Sequence {
     (truss.unionAll(peeledOut), roundsRun)
   }
 
+  /** LINK PREDICTION over the co-order part graph — the classic
+    * common-neighbors family (Liben-Nowell & Kleinberg 2003): for
+    * every NON-adjacent pair at graph distance 2, the common-neighbor
+    * count, the Jaccard overlap |N(u)∩N(v)| / |N(u)∪N(v)| (one IEEE
+    * division of exact integers — u,v non-adjacent so the union is
+    * deg_u + deg_v − common), and the Resource-Allocation index
+    * (Zhou, Lü & Zhang 2009) spelled as the exact fixed-point floor
+    * Σ_w ⌊10⁶ / deg(w)⌋ over the common neighbors — a float Σ 1/deg
+    * would be summation-order-sensitive across engines; the integer
+    * sum is associative. Top-`topN` predictions by (common DESC,
+    * ra_ppm DESC, u, v) — a total order, engine-reproducible.
+    *
+    * Scale shape: candidate pairs come from WEDGES at each apex, so
+    * the volume is Σ deg(w)² — a hub would quadratically explode it,
+    * which is why apexes above `maxDeg` are EXCLUDED from wedge
+    * building (the standard production cut: a part present in every
+    * order predicts nothing — its wedges are noise; degrees for the
+    * Jaccard/RA terms stay uncapped). Everything after the wedge
+    * aggregate operates on the candidate pairs (output-sparse); the
+    * adjacency check is one anti-join against the edge list. */
+  def linkPredict(spark: SparkSession, dir: String, topN: Int = 20,
+                  maxDeg: Int = 256): DataFrame =
+    linkPredictOf(coOrderEdges(spark, dir), topN, maxDeg)
+
+  private[graft] def linkPredictOf(edges: DataFrame, topN: Int,
+                                   maxDeg: Int): DataFrame = {
+    val e2 = graft.plans.Materialize(
+      edges.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(edges.select(col("v").as("n"), col("u").as("m"))))
+    val deg = graft.plans.Materialize(
+      e2.groupBy(col("n")).agg(count(lit(1)).as("deg")))
+    val apx = e2.join(deg.filter(col("deg") <= maxDeg), Seq("n"))
+    val wedges = apx.select(col("n"), col("m").as("u"), col("deg"))
+      .join(apx.select(col("n"), col("m").as("v")), Seq("n"))
+      .filter(col("u") < col("v"))
+    val cn = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 DIV deg")).as("ra_ppm"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    cn
+      .join(deg.select(col("n").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("common"), col("ra_ppm"),
+        (col("common").cast("double") /
+          (col("deg_u") + col("deg_v") - col("common")).cast("double"))
+          .as("jaccard"))
+      // total-order top-k via TakeOrdered (a global row_number would
+      // single-partition-sort the whole candidate set)
+      .orderBy(col("common").desc, col("ra_ppm").desc, col("u").asc,
+        col("v").asc)
+      .limit(topN)
+      .select(col("u"), col("v"), col("common"), col("ra_ppm"), col("jaccard"))
+  }
+
   private[graft] def trianglesOf(edges: DataFrame, topN: Int): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))

@@ -2367,6 +2367,43 @@ class OperatorSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("link prediction: planted wedges score exact CN/Jaccard/RA, hubs capped, adjacency dropped") {
+    import spark.implicits._
+    // path 1–3–2: (1,2) is a distance-2 pair with ONE common neighbor
+    // 3 (deg 3: neighbors 1,2,4) → common=1, RA=⌊10⁶/3⌋=333333,
+    // jaccard = 1/(deg1+deg2−1). Node 4 hangs off 3 and also links 5;
+    // (1,4),(2,4) are wedge pairs through 3; (3,5) through 4.
+    // Clique {6,7,8}: all adjacent → NOTHING predicted inside it;
+    // 9–6, 9–7: (9,8) predicted through both 6 and 7 (common=2).
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L), (6L, 9L), (7L, 9L))
+      .toDF("u", "v")
+    val got = graft.operators.Sequence.linkPredictOf(edges, topN = 50,
+      maxDeg = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // (8,9): common {6,7} both deg 3 → RA = 2·⌊10⁶/3⌋; deg8 = deg9 =
+    // 2 → jaccard = 2/(2+2−2) = 1
+    assert(got((8L, 9L)) == ((2L, 666666L, 1.0)), s"${got((8L, 9L))}")
+    // (1,2) through 3 (deg 3): jaccard = 1/(1+1−1) = 1
+    assert(got((1L, 2L)) == ((1L, 333333L, 1.0)))
+    // (1,4) through 3: deg1=1, deg4=2 → jaccard = 1/2
+    assert(got((1L, 4L)) == ((1L, 333333L, 0.5)))
+    // adjacent pairs never appear; clique interior predicts nothing
+    assert(!got.contains((6L, 7L)) && !got.contains((6L, 8L)) &&
+      !got.contains((7L, 8L)))
+    // no self or reversed pairs
+    assert(got.keySet.forall { case (a, b) => a < b })
+    // hub cap: with maxDeg = 2 the deg-3 and deg-4 apexes (3, 6, 7)
+    // stop building wedges — (1,2) and (8,9) vanish, (3,5) (apex 4,
+    // deg 2) survives
+    val capped = graft.operators.Sequence.linkPredictOf(edges, topN = 50,
+      maxDeg = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped((1L, 2L)) && !capped((8L, 9L)) && capped((3L, 5L)),
+      s"capped = $capped")
+  }
+
   test("degree-oriented triangles: K4 + disjoint edge count exactly once per corner") {
     import spark.implicits._
     // K4 on {1,2,3,4}: 4 triangles, every node a corner of 3; the
