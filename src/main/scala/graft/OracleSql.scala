@@ -512,6 +512,35 @@ FROM gm JOIN gp ON gp.doc_id = gm.doc_id"""
       |    * 1000000) // CAST(n_tokens AS HUGEINT) AS BIGINT) END AS epochs_ppm
       |FROM al""".stripMargin
 
+  /** q_repeat_value: the diminishing-returns audit over the UniMax
+    * plan (Sampling.repeatValueOf) — full epochs + remainder, each
+    * discounted by the SAME driver-stamped decay literals as the
+    * Spark side (prefix sums P_f and next-epoch multiplier m_{f+1}
+    * in a VALUES table joined on full_epochs); token-ppm products in
+    * HUGEINT mirroring the DECIMAL(38,0) spelling. */
+  def repeatValue(epochCap: Int = 4): String = {
+    val decay = graft.operators.Sampling.repeatDecayPpm(epochCap)
+    val prefix = decay.scanLeft(0L)(_ + _)
+    val dv = (0 to epochCap).map(f =>
+      s"($f, ${prefix(f)}, ${decay(f)})").mkString(", ")
+    val inner = mixtureUnimax(epochCap)
+    s"""WITH um AS ($inner),
+      | dv(f, p, m) AS (VALUES $dv),
+      | fe AS (SELECT um.*,
+      |   CASE WHEN n_tokens > 0 THEN alloc_tokens // n_tokens ELSE 0 END
+      |     AS full_epochs FROM um),
+      | ef AS (SELECT fe.*, dv.p, dv.m,
+      |   alloc_tokens - full_epochs * n_tokens AS rem_tokens
+      |  FROM fe JOIN dv ON dv.f = fe.full_epochs)
+      |SELECT source, n_tokens, alloc_tokens, full_epochs,
+      | CAST((CAST(n_tokens AS HUGEINT) * p + CAST(rem_tokens AS HUGEINT) * m)
+      |   // 1000000 AS BIGINT) AS eff_tokens,
+      | CASE WHEN alloc_tokens > 0 THEN
+      |   CAST((CAST(n_tokens AS HUGEINT) * p + CAST(rem_tokens AS HUGEINT) * m)
+      |     // CAST(alloc_tokens AS HUGEINT) AS BIGINT) END AS value_ppm
+      |FROM ef""".stripMargin
+  }
+
   /** q_threshold_sweep: the classifier data-survival curve — per
     * DISTINCT logit cut (descending), surviving docs/tokens and their
     * ppm of the corpus, off the SHARED logit chain

@@ -235,6 +235,7 @@ object SparkEntry {
     "q_threshold_sweep" -> ((s, d) => TextAnalysis.thresholdSweep(s, d)),
     "q_doc_skyline" -> ((s, d) => TextAnalysis.docSkyline(s, d)),
     "q_mixture_unimax" -> ((s, d) => Sampling.mixtureUnimax(s, d)),
+    "q_repeat_value" -> ((s, d) => Sampling.repeatValue(s, d)),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "q_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1553,6 +1554,7 @@ object SparkEntry {
     "q_doc_skyline" -> OracleSql.docSkyline,
     // UniMax water-filling over the per-source token census
     "q_mixture_unimax" -> OracleSql.mixtureUnimax(),
+    "q_repeat_value" -> OracleSql.repeatValue(),
     "q_bpe_merges" -> OracleSql.bpeMerges(),
     "q_train_test_split" ->
       """SELECT lang,

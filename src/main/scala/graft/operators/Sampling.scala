@@ -451,6 +451,61 @@ object Sampling {
       .select(col("source"), col("n_tokens"), col("cap_tokens"),
         col("budget"), col("capped"), col("alloc_tokens"), col("epochs_ppm"))
   }
+  /** Per-epoch VALUE multipliers (ppm) of repeated training data:
+    * round(e^(−e/R*) · 10⁶) for e = 0..epochCap with the decay
+    * constant R* = 15 — the "repeating data loses value smoothly,
+    * ~worthless past ~16 epochs" fit of Muennighoff et al. 2023
+    * (Scaling Data-Constrained Language Models). Epoch 1 is
+    * full-value (e = 0), epoch n keeps e^(−(n−1)/R*). Computed ONCE
+    * driver-side and stamped into BOTH engines as literals (the
+    * bandGeometries discipline) — no runtime exp() either side. */
+  def repeatDecayPpm(epochCap: Int, rStar: Double = 15.0): Seq[Long] =
+    (0 to epochCap).map(e => math.round(math.exp(-e / rStar) * 1000000))
+
+  /** The VALUE of the repeat plan — the diminishing-returns audit a
+    * data-constrained pretraining run reads next to its mixture
+    * (Muennighoff et al. 2023): for each source under the
+    * [[mixtureUnimax]] water-filling, its allocation split into full
+    * epochs + a remainder, each epoch discounted by the stamped
+    * [[repeatDecayPpm]] multiplier — effective tokens =
+    * ⌊(n_tokens·P_F + rem·m_{F+1}) / 10⁶⌋ with P_F the prefix-sum
+    * literal of the first F multipliers, and value_ppm =
+    * effective/allocated as an exact fixed-point floor. All integer
+    * (DECIMAL(38,0) for the token-ppm products, so 100 TB token
+    * counts cannot overflow a BIGINT), so both engines agree to the
+    * last digit. A capped source reads value_ppm near 10⁶ (mostly
+    * fresh epochs); an oversampled one shows exactly how much of its
+    * allocation the decay burns. */
+  def repeatValue(spark: SparkSession, dir: String,
+                  epochCap: Int = 4): DataFrame =
+    repeatValueOf(Tables.documents(spark, dir), epochCap)
+
+  /** [[repeatValue]] over a prepared (source, text) frame. */
+  def repeatValueOf(docs: DataFrame, epochCap: Int = 4): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val decay = repeatDecayPpm(epochCap)
+    val prefix = decay.scanLeft(0L)(_ + _) // P_0..P_{cap+1}
+    val mArr = s"array(${decay.mkString("L,")}L)"
+    val pArr = s"array(${prefix.dropRight(1).mkString("L,")}L)"
+    mixtureUnimaxOf(docs, epochCap)
+      .withColumn("full_epochs",
+        when(col("n_tokens") > 0L, expr("alloc_tokens DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("rem_tokens",
+        col("alloc_tokens") - col("full_epochs") * col("n_tokens"))
+      // element_at is 1-based: index F+1 reads P_F / m_{F+1}
+      .withColumn("eff_num", expr(
+        s"CAST(n_tokens AS $d38) * element_at($pArr, CAST(full_epochs AS INT) + 1)" +
+          s" + CAST(rem_tokens AS $d38) * element_at($mArr, CAST(full_epochs AS INT) + 1)"))
+      .withColumn("eff_tokens",
+        expr(s"CAST(eff_num DIV 1000000 AS BIGINT)"))
+      .withColumn("value_ppm",
+        when(col("alloc_tokens") > 0L,
+          expr(s"CAST(eff_num DIV CAST(alloc_tokens AS $d38) AS BIGINT)")))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("full_epochs"), col("eff_tokens"), col("value_ppm"))
+  }
+
   /** Source-imbalance GINI coefficient — the one-scalar inequality
     * panel next to the mixture tables (q_source_mixture says who has
     * what; THIS says how lopsided the whole corpus is, the number a

@@ -1457,6 +1457,31 @@ class OperatorSpec extends SparkSpec {
     assert(hz("a")._3 <= hz("a")._2)
   }
 
+  test("repeat value: stamped decay literals and a hand-computed epoch split") {
+    import spark.implicits._
+    // the decay table is a driver literal — pin its exact values so
+    // a silent R* or rounding change can never drift one engine
+    assert(graft.operators.Sampling.repeatDecayPpm(4) ==
+      Seq(1000000L, 935507L, 875173L, 818731L, 765928L))
+    // sources 10 / 100 tokens, cap 4 → caps 40/400, budget 165:
+    // A caps out (alloc 40 = 4 full epochs, rem 0) →
+    //   eff = ⌊10·(P₄ = 3629411)/10⁶⌋ = 36, value = ⌊36294110/40⌋
+    // B takes 125 (1 full epoch + 25 rem) →
+    //   eff_num = 100·10⁶ + 25·935507 = 123387675 → eff 123,
+    //   value = ⌊123387675/125⌋ = 987101
+    val docs = Seq(("A", Seq.fill(10)("w").mkString(" ")),
+      ("B", Seq.fill(100)("w").mkString(" "))).toDF("source", "text")
+    val got = graft.operators.Sampling.repeatValueOf(docs, 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Long]("full_epochs"),
+          r.getAs[Long]("eff_tokens"), r.getAs[Long]("value_ppm")))).toMap
+    assert(got("A") == ((40L, 4L, 36L, 907352L)), s"A: ${got("A")}")
+    assert(got("B") == ((125L, 1L, 123L, 987101L)), s"B: ${got("B")}")
+    // value decays with oversampling: the capped 4-epoch source keeps
+    // LESS of its allocation's value than the 1.25-epoch one
+    assert(got("A")._4 < got("B")._4)
+  }
+
   test("average-pool resize conserves total luma across pools") {
     val decode = Multimodal.mediaDecode(spark, sfDir)
       .select(col("doc_id"), col("width"), col("height"), col("n_frames")).collect()
