@@ -2420,6 +2420,34 @@ FROM est LEFT JOIN lc ON lc.z = est.zeros JOIN ex ON ex.topic = est.topic"""
          |WHERE $anyTf)""".stripMargin
   }
 
+  /** q_phrase_search: adjacent-token phrase matching rebuilt
+    * RELATIONALLY — unnest tokens with positions, one ti-adjacent
+    * self-join per extra phrase token, count matches per doc, top-k
+    * per phrase (TextAnalysis.phraseSearch counts the same matches
+    * row-locally via n-gram hash equality — an independent
+    * spelling). Phrase literals are validated plain word sequences
+    * (the Spark side's regex), safe to stamp. */
+  def phraseSearch(phrases: Seq[String], k: Int): String = {
+    val base =
+      """t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | t AS MATERIALIZED (SELECT doc_id, generate_subscripts(toks, 1) AS ti,
+        |   unnest(toks) AS tok FROM t0)""".stripMargin
+    val legs = phrases.zipWithIndex.map { case (p, i) =>
+      val toks = p.trim.split("\\s+")
+      require(toks.length >= 2 && p.matches("[A-Za-z0-9_ ]+"), p)
+      val joins = (1 until toks.length).map(j =>
+        s"JOIN t w$j ON w$j.doc_id = w0.doc_id AND w$j.ti = w0.ti + $j" +
+          s" AND w$j.tok = '${toks(j)}'").mkString(" ")
+      s"""p$i AS (SELECT '${p.trim}' AS phrase, doc_id, n_hits FROM (
+         |  SELECT w0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM t w0 $joins WHERE w0.tok = '${toks(0)}' GROUP BY 1)
+         |  ORDER BY n_hits DESC, doc_id LIMIT $k)""".stripMargin
+    }
+    val union = phrases.indices.map(i => s"SELECT * FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n ${legs.mkString(",\n ")}\n$union"
+  }
+
   def bm25(terms: Seq[String], k: Int): String =
     "WITH " + bm25Ctes(terms).mkString(",\n ") + s"""
 SELECT doc_id, dl, score, ${terms.indices.map(i => s"tf_$i").mkString(", ")}

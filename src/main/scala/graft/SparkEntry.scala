@@ -257,6 +257,7 @@ object SparkEntry {
     "q_chunk" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
     "q_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "q_keyword_search" -> ((s, d) => TextAnalysis.keywordSearch(s, d)),
+    "q_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q_quality_percentile" -> ((s, d) => TextAnalysis.qualityPercentile(s, d)),
     "q_quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(s, d)),
@@ -1921,6 +1922,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
         |   CAST(count(*) AS DOUBLE) AS chunk_dup_ratio
         |FROM c JOIN f USING (chunk_text) GROUP BY 1""".stripMargin,
+    "q_phrase_search" -> OracleSql.phraseSearch(
+      TextAnalysis.PhraseSearchDefaults, 10),
     "q_keyword_search" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

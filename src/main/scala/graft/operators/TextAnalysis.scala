@@ -1671,6 +1671,68 @@ object TextAnalysis {
     * shuffle; at index scale the same ranking would run against the
     * wordFreq-style posting aggregates), and the global top-k is a
     * TakeOrderedAndProject — no full sort at 100 TB. */
+  /** Default phrase set of [[phraseSearch]] — corpus-vocabulary
+    * word sequences, stamped into both engines. */
+  private[graft] val PhraseSearchDefaults =
+    Seq("fast table", "key agg row", "scan slow")
+
+  /** PHRASE SEARCH — the positional-index query the keyword panel
+    * can't answer ("fast table" as adjacent tokens, not two bag-of-
+    * words hits): per phrase, the top-`k` documents by exact
+    * adjacent-match count. ROW-LOCAL on the Spark side: a doc's
+    * match count for an n-token phrase is the number of positions
+    * whose n-gram hash equals the phrase's hash — counted with the
+    * SAME one-pass [[graft.plans.HashKernels.shingleHashSeq]] kernel
+    * that fingerprints the corpus (hash equality stands in for token
+    * equality, the established shingle-hash argument), so the whole
+    * scoring pass is one corpus scan with a codegen'd HOF filter per
+    * phrase length: zero joins, zero explode, no positional posting
+    * list ever materializes or shuffles. The scan materializes once;
+    * each phrase's top-k is a TakeOrdered off it (never a windowed
+    * sort). The DuckDB oracle rebuilds positions RELATIONALLY
+    * (ti-adjacent self-joins over the unnested tokens) — an
+    * independent spelling of phrase adjacency, so agreement checks
+    * the kernel's position semantics, not a shared formula. */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrases: Seq[String] = PhraseSearchDefaults,
+                   k: Int = 10): DataFrame =
+    phraseSearchOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      phrases, k)
+
+  /** [[phraseSearch]] over a prepared (doc_id, text) frame. */
+  def phraseSearchOf(docs: DataFrame, phrases: Seq[String],
+                     k: Int): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase list")
+    val parsed = phrases.map { p =>
+      require(p.matches("[A-Za-z0-9_ ]+"),
+        s"phrase '$p' is not a plain word sequence")
+      val toks = p.trim.split("\\s+")
+      require(toks.length >= 2, s"phrase '$p' needs >= 2 tokens")
+      val arr = graft.plans.HashKernels.shingleHashSeq(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.trim),
+        toks.length)
+      (p.trim, toks.length, arr.getLong(0))
+    }
+    val lens = parsed.map(_._2).distinct.sorted
+    val base = graft.plans.Materialize(
+      docs.select(
+        col("doc_id") +: lens.map(n =>
+          shingle_hash_seq(col("text"), n).as(s"sh_$n")): _*)
+      .select(
+        col("doc_id") +: parsed.zipWithIndex.map { case ((_, n, h), i) =>
+          size(filter(col(s"sh_$n"), x => x === lit(h)))
+            .cast("long").as(s"c_$i")
+        }: _*))
+    parsed.zipWithIndex.map { case ((p, _, _), i) =>
+      base.filter(col(s"c_$i") > 0L)
+        .select(lit(p).as("phrase"), col("doc_id"),
+          col(s"c_$i").as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id").asc)
+        .limit(k)
+    }.reduce(_.unionAll(_))
+  }
+
   def keywordSearch(spark: SparkSession, dir: String,
                     terms: Seq[String] = Seq("customer", "window", "query"),
                     k: Int = 20): DataFrame = {

@@ -1457,6 +1457,29 @@ class OperatorSpec extends SparkSpec {
     assert(hz("a")._3 <= hz("a")._2)
   }
 
+  test("phrase search: adjacency not bag-of-words, overlapping matches count, top-k total order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast table fast table x"),   // "fast table" twice
+      (2L, "table fast"),                // both words, WRONG order → 0
+      (3L, "fast x table"),              // both words, not adjacent → 0
+      (4L, "a a a a"),                   // "a a" overlaps: 3 matches
+      (5L, ""),                          // empty text → nothing
+      (6L, "fast table")                 // once
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.phraseSearchOf(
+      docs, Seq("fast table", "a a"), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("fast table", 1L) -> 2L, ("fast table", 6L) -> 1L,
+      ("a a", 4L) -> 3L), s"got $got")
+    // top-k is a hard cut on the (hits DESC, doc_id ASC) total order
+    val many = (1L to 30L).map(i => (i, "p q")).toDF("doc_id", "text")
+    val cut = graft.operators.TextAnalysis.phraseSearchOf(
+      many, Seq("p q"), k = 5).collect().map(_.getLong(1)).toSeq
+    assert(cut == (1L to 5L).toSeq, s"cut $cut")
+  }
+
   test("repeat value: stamped decay literals and a hand-computed epoch split") {
     import spark.implicits._
     // the decay table is a driver literal — pin its exact values so
