@@ -3631,6 +3631,43 @@ FROM cf"""
       |FROM nt""".stripMargin
   }
 
+  /** q_alert_group_interval: the change-segmented digest cadence
+    * (Alerting.alertGroupIntervalOf) — a roster change at or before
+    * an hour opens a segment (running max over the change flag), the
+    * repeat clock counts from the segment start, and changes during
+    * the wait are absorbed into the first digest. */
+  def alertGroupInterval: String = {
+    val rep = graft.operators.Alerting.RepeatHours
+    val w = graft.operators.Alerting.GroupWaitHours
+    "WITH " + inhibitedStateCtes.mkString(",\n ") + s""",
+      | nf AS (SELECT * FROM inh
+      |   WHERE state = 'firing' AND silence_id IS NULL
+      |     AND inhibited_by IS NULL),
+      | hourly AS (SELECT topic, hr, min(window_start) AS window_start,
+      |   count(DISTINCT rule_id) AS n_rules,
+      |   string_agg(DISTINCT rule_id, ',' ORDER BY rule_id) AS rules
+      |  FROM nf GROUP BY 1, 2),
+      | isl AS (SELECT *, hr - row_number() OVER
+      |   (PARTITION BY topic ORDER BY hr) AS grp FROM hourly),
+      | ep AS (SELECT *, dense_rank() OVER
+      |   (PARTITION BY topic ORDER BY grp) AS episode_no,
+      |   min(hr) OVER (PARTITION BY topic, grp) AS ep_start FROM isl),
+      | ch AS (SELECT *, (hr - ep_start = $w) OR (hr - ep_start > $w
+      |   AND rules <> lag(rules) OVER
+      |     (PARTITION BY topic, grp ORDER BY hr)) AS changed FROM ep),
+      | sg AS (SELECT *, max(CASE WHEN changed THEN hr END) OVER
+      |   (PARTITION BY topic, grp ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_start
+      |  FROM ch),
+      | nt AS (SELECT *, row_number() OVER
+      |   (PARTITION BY topic, grp ORDER BY hr) AS notif_no FROM sg
+      |  WHERE hr - ep_start >= $w
+      |   AND (((hr - seg_start) % $rep) + $rep) % $rep = 0)
+      |SELECT topic, episode_no, notif_no, window_start, n_rules, rules,
+      | changed
+      |FROM nt""".stripMargin
+  }
+
   /** The receiver CASE chain stamped from the SAME ordered
     * [[graft.operators.Alerting.Routes]] catalog (first match wins,
     * fallback receiver last). */

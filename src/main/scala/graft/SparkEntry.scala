@@ -60,6 +60,7 @@ object SparkEntry {
     "q_alert_inhibit" -> ((s, d) => Alerting.alertInhibit(s, d)),
     "q_alert_groups" -> ((s, d) => Alerting.alertGroups(s, d)),
     "q_alert_group_wait" -> ((s, d) => Alerting.alertGroupWait(s, d)),
+    "q_alert_group_interval" -> ((s, d) => Alerting.alertGroupInterval(s, d)),
     "q_alert_routing" -> ((s, d) => Alerting.alertRouting(s, d)),
     "q_slo_burn" -> ((s, d) => Alerting.sloBurn(s, d)),
     "q_error_budget" -> ((s, d) => Alerting.errorBudget(s, d)),
@@ -409,6 +410,7 @@ object SparkEntry {
     "q_alert_inhibit" -> OracleSql.alertInhibit,
     "q_alert_groups" -> OracleSql.alertGroups,
     "q_alert_group_wait" -> OracleSql.alertGroupWait,
+    "q_alert_group_interval" -> OracleSql.alertGroupInterval,
     "q_alert_routing" -> OracleSql.alertRouting,
     "q_slo_burn" -> OracleSql.sloBurn,
     "q_error_budget" -> OracleSql.errorBudget,

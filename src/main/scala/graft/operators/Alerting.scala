@@ -535,6 +535,58 @@ object Alerting {
         col("window_start"), col("n_rules"), col("rules"))
   }
 
+  /** Notification grouping under `group_interval` — the LAST of
+    * Alertmanager's three pacing knobs (group_wait starts the clock,
+    * repeat_interval re-sends the unchanged group, group_interval
+    * re-pages EARLY when the group's membership CHANGES): with the
+    * interval at the grid unit (one hour), an episode's digests fire
+    * at the hours where (hr − seg_start) % RepeatHours = 0, where
+    * seg_start is the latest ROSTER-CHANGE hour at or before hr (the
+    * first eligible hour — ep_start + GroupWaitHours — is a segment
+    * start by definition, and changes DURING the wait are absorbed
+    * into the first digest, never paged). A change RESETS the repeat
+    * clock — exactly the "new alert joins ⇒ updated digest now, then
+    * quiet again" behavior an on-call expects — and the whole chain
+    * is CLOSED-FORM: the segment start is one running max over a
+    * change flag (no sequential fold; the change points don't depend
+    * on prior notification decisions because the interval equals the
+    * grid unit). Output adds the `changed` flag so a receiver can
+    * tell update-pages from cadence re-sends. Everything runs on the
+    * (topic × hour) grid — time-bounded, never event-bounded. */
+  def alertGroupInterval(spark: SparkSession, dir: String): DataFrame =
+    alertGroupIntervalOf(hourlyCounts(spark, dir))
+
+  private[graft] def alertGroupIntervalOf(counts: DataFrame): DataFrame = {
+    val hourly = notifiableOf(counts)
+      .groupBy(col("topic"), col("hr"))
+      .agg(min(col("window_start")).as("window_start"),
+        countDistinct(col("rule_id")).as("n_rules"),
+        array_join(sort_array(collect_set(col("rule_id"))), ",")
+          .as("rules"))
+    val wt = Window.partitionBy(col("topic")).orderBy(col("hr"))
+    val isl = hourly.withColumn("grp", col("hr") - row_number().over(wt))
+    val we = Window.partitionBy(col("topic"), col("grp"))
+    val weOrd = we.orderBy(col("hr"))
+    val first = col("hr") - col("ep_start") === GroupWaitHours.toLong
+    isl
+      .withColumn("episode_no",
+        dense_rank().over(Window.partitionBy(col("topic")).orderBy(col("grp"))))
+      .withColumn("ep_start", min(col("hr")).over(we))
+      // a segment opens at the first eligible hour, and at every
+      // LATER hour whose roster differs from the previous hour's
+      .withColumn("changed", first ||
+        (col("hr") - col("ep_start") > GroupWaitHours.toLong &&
+          col("rules") =!= lag(col("rules"), 1).over(weOrd)))
+      .withColumn("seg_start",
+        max(when(col("changed"), col("hr"))).over(
+          weOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("hr") - col("ep_start") >= GroupWaitHours.toLong &&
+        pmod(col("hr") - col("seg_start"), lit(RepeatHours.toLong)) === 0L)
+      .withColumn("notif_no", row_number().over(weOrd))
+      .select(col("topic"), col("episode_no"), col("notif_no"),
+        col("window_start"), col("n_rules"), col("rules"), col("changed"))
+  }
+
   /** Receiver ROUTING census: every firing un-silenced alert row runs
     * the ordered first-match route catalog (exact-or-`*` rule, LIKE
     * topic, fallback receiver), then one bounded aggregate per

@@ -3475,6 +3475,37 @@ class OperatorSpec extends SparkSpec {
     assert(waited.size == 3)
   }
 
+  test("alert group interval: a roster change re-pages early and resets the repeat clock") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
+    // topic t at count 4 hours 80..84 (hot2 only: threshold 4), then
+    // count 5 hours 85..89 (hot3 joins late — breaches 85.., fires at
+    // its 3rd consecutive hour 87, and i_cascade then inhibits hot2):
+    // roster hot2 for 81..86, hot3 for 87..89. Hours 80..89 ≡ 8..17
+    // mod 24 — outside every recurring silence window.
+    val counts = ((80L to 84L).map(h => ("t", ts(h), 4L)) ++
+      (85L to 89L).map(h => ("t", ts(h), 5L)))
+      .toDF("topic", "window_start", "msg_count")
+    val got = graft.operators.Alerting.alertGroupIntervalOf(counts).collect()
+      .map(r => r.getInt(2) -> ((r.getTimestamp(3).getTime / 3600000L,
+        r.getString(5), r.getBoolean(6)))).toMap
+    // eligible from 82 (wait 1): first digest 82, cadence 84/86, the
+    // hour-87 ROSTER CHANGE pages EARLY (87 is off the 82-cadence)
+    // and RESETS the clock — 88 stays quiet, 89 is the next cadence
+    assert(got == Map(
+      1 -> ((82L, "hot2", true)),
+      2 -> ((84L, "hot2", false)),
+      3 -> ((86L, "hot2", false)),
+      4 -> ((87L, "hot3", true)),
+      5 -> ((89L, "hot3", false))), s"got $got")
+    // the change-blind wait panel pages 82/84/86/88: the hour-87
+    // update waits a full repeat and 88's roster surprises the
+    // receiver — exactly what group_interval exists to fix
+    val waitH = graft.operators.Alerting.alertGroupWaitOf(counts).collect()
+      .map(r => r.getTimestamp(3).getTime / 3600000L).toSet
+    assert(waitH == Set(82L, 84L, 86L, 88L), s"wait panel $waitH")
+  }
+
   test("alert routing: ordered first match routes receivers, fallback catches the rest") {
     import spark.implicits._
     def ts(h: Long) = new java.sql.Timestamp(h * 3600000L)
