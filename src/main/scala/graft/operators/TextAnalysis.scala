@@ -1703,6 +1703,35 @@ object TextAnalysis {
   /** [[phraseSearch]] over a prepared (doc_id, text) frame. */
   def phraseSearchOf(docs: DataFrame, phrases: Seq[String],
                      k: Int): DataFrame = {
+    val (parsed, base) = phraseCountsBase(docs, phrases)
+    parsed.zipWithIndex.map { case ((p, _, _), i) =>
+      base.filter(col(s"c_$i") > 0L)
+        .select(lit(p).as("phrase"), col("doc_id"),
+          col(s"c_$i").as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id").asc)
+        .limit(k)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The per-doc HIT panel of [[phraseSearch]] — every (phrase,
+    * doc_id, n_hits > 0) row with no top-k cut. Row-local per doc,
+    * so a streaming gate can score each micro-batch independently
+    * and the accumulated rows equal this batch panel exactly (the
+    * s_phrase_gate contract). */
+  def phraseHitsOf(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val (parsed, base) = phraseCountsBase(docs, phrases)
+    parsed.zipWithIndex.map { case ((p, _, _), i) =>
+      base.filter(col(s"c_$i") > 0L)
+        .select(lit(p).as("phrase"), col("doc_id"),
+          col(s"c_$i").as("n_hits"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Shared scoring base: ONE materialized corpus scan carrying a
+    * per-phrase match-count column (codegen HOF filter over the
+    * per-length n-gram hash seq). */
+  private def phraseCountsBase(docs: DataFrame, phrases: Seq[String])
+      : (Seq[(String, Int, Long)], DataFrame) = {
     require(phrases.nonEmpty, "empty phrase list")
     val parsed = phrases.map { p =>
       require(p.matches("[A-Za-z0-9_ ]+"),
@@ -1724,13 +1753,7 @@ object TextAnalysis {
           size(filter(col(s"sh_$n"), x => x === lit(h)))
             .cast("long").as(s"c_$i")
         }: _*))
-    parsed.zipWithIndex.map { case ((p, _, _), i) =>
-      base.filter(col(s"c_$i") > 0L)
-        .select(lit(p).as("phrase"), col("doc_id"),
-          col(s"c_$i").as("n_hits"))
-        .orderBy(col("n_hits").desc, col("doc_id").asc)
-        .limit(k)
-    }.reduce(_.unionAll(_))
+    (parsed, base)
   }
 
   def keywordSearch(spark: SparkSession, dir: String,

@@ -1080,6 +1080,52 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  test("streaming phrase gate: micro-batched row-local hits accumulate to the batch top-k exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val phrases = graft.operators.TextAnalysis.PhraseSearchDefaults
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // the batch panel (what the accumulated live rows must recut to)
+    val want = graft.operators.TextAnalysis.phraseSearchOf(corpus, phrases, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Buffer[(String, Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-doc scoring is ROW-LOCAL, so each micro-batch scores
+        // independently — no state, no rescan of earlier batches
+        graft.operators.TextAnalysis.phraseHitsOf(batch, phrases)
+          .collect().foreach(r =>
+            got += ((r.getString(0), r.getLong(1), r.getLong(2))))
+        ()
+      }.start()
+    try {
+      val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      docs.grouped(170).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // driver-side recut of the accumulated hit rows = the batch
+      // panel, phrase by phrase (the same total order)
+      val recut = got.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10)
+      }.toSet
+      assert(recut == want,
+        s"diff: ${(want -- recut).take(3)} vs ${(recut -- want).take(3)}")
+      // a planted late-arriving doc with more hits than any corpus
+      // doc enters the recut at rank 1
+      input.addData((999999L, Seq.fill(20)("fast table").mkString(" ")))
+      q.processAllAvailable()
+      val recut2 = got.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(10)
+      }.toSet
+      assert(recut2.contains(("fast table", 999999L, 20L)),
+        s"late doc missing: ${recut2.filter(_._1 == "fast table")}")
+    } finally { q.stop() }
+  }
+
   test("streaming trigram gate: per-batch stupid-backoff scores against the parked model equal the batch panel") {
     val s = spark
     import s.implicits._
