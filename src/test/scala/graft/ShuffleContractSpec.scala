@@ -53,6 +53,24 @@ class ShuffleContractSpec extends SparkSpec {
       s"doubling text mass grew the minhash shuffle ${base.bytes} -> ${doubled.bytes}")
   }
 
+  test("OPH sketch shuffles 32-bin signatures, never documents: 2x text mass moves ~nothing extra") {
+    val pair = docs.select(col("doc_id"), col("text"))
+    val base = QueryMetrics.measureShuffleWrite(spark) {
+      Dedup.ophPairsOf(pair, Dedup.OphBins, Dedup.OphBands).count()
+    }
+    val doubled = QueryMetrics.measureShuffleWrite(spark) {
+      Dedup.ophPairsOf(
+        docs2x.select(col("doc_id"), col("text")),
+        Dedup.OphBins, Dedup.OphBands).count()
+    }
+    assert(base.bytes > 0 && base.records > 0, s"no shuffle measured: $base")
+    // the densified sketch is 32 longs regardless of text length —
+    // the same fixed-size contract as the classic 64-hash family,
+    // at half the sketch width and 1/64 the per-shingle hash work
+    assert(doubled.bytes <= (base.bytes * 1.4 + 16384).toLong,
+      s"doubling text mass grew the OPH shuffle ${base.bytes} -> ${doubled.bytes}")
+  }
+
   test("BPE token metering shuffles (source, word) cells, not the corpus") {
     val base = QueryMetrics.measureShuffleWrite(spark) {
       TextAnalysis.tokenBpeOf(docs, merges = 16).count()
