@@ -2958,6 +2958,54 @@ FROM cf"""
     s"(2*$t + CASE WHEN CAST($n AS HUGEINT)*($n) - CAST($q AS HUGEINT)*($q)" +
       s" >= CAST($q AS HUGEINT)*($q) THEN 1 ELSE 0 END)"
 
+  /** q_unigram_segment: the Kudo-style unigram-LM Viterbi unrolled
+    * as chained CTEs (TextAnalysis.unigramSegmentOf) — word census,
+    * candidate pieces (≤ maxPieceLen chars, ≥ minCount occurrences,
+    * single chars always kept), half-bit costs via the shared
+    * hlogT/hlogFinish spelling, then EXACTLY maxWordLen DP rounds of
+    * min over the packed (cost·64 + n_pieces) value. */
+  def unigramSegment(maxWordLen: Int, maxPieceLen: Int,
+                     minCount: Long): String = {
+    val base =
+      s"""wd AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_occ,
+        |   length(word) AS wl FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        |  FROM documents) WHERE word <> '' GROUP BY 1),
+        | pc0 AS (SELECT substr(w.word, gi.i, gd.d) AS pc, w.n_occ
+        |  FROM wd w
+        |  CROSS JOIN (SELECT unnest(range(1, ${maxWordLen + 1})) AS i) gi
+        |  CROSS JOIN (SELECT unnest(range(1, ${maxPieceLen + 1})) AS d) gd
+        |  WHERE gi.i <= w.wl AND length(substr(w.word, gi.i, gd.d)) = gd.d),
+        | pcc AS (SELECT pc, CAST(sum(n_occ) AS BIGINT) AS c
+        |  FROM pc0 GROUP BY 1),
+        | kept AS (SELECT * FROM pcc
+        |  WHERE length(pc) = 1 OR c >= $minCount),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM kept),
+        | ct0 AS (SELECT pc, c, tt, ${hlogT("tt", "c")} AS t
+        |  FROM kept CROSS JOIN tot),
+        | cst AS MATERIALIZED (SELECT pc,
+        |   ${hlogFinish("tt", "t", "(c << t)")} * 64 + 1 AS w FROM ct0),
+        | dp0 AS (SELECT word, n_occ, wl, CAST(0 AS BIGINT) AS v FROM wd)""".stripMargin
+    val rounds = (1 to maxWordLen).map { i =>
+      val legs = (1 to math.min(maxPieceLen, i)).map { d =>
+        s"""SELECT p.word, p.n_occ, p.wl, p.v + c.w AS v
+           |   FROM dp${i - d} p JOIN cst c
+           |   ON substr(p.word, ${i - d + 1}, $d) = c.pc
+           |   WHERE p.wl >= $i""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""dp$i AS MATERIALIZED (SELECT word, n_occ, wl, min(v) AS v FROM (
+         |  $legs) GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n ")
+    val finalUnion = (1 to maxWordLen).map(i =>
+      s"SELECT * FROM dp$i WHERE wl = $i").mkString("\n UNION ALL ")
+    s"""WITH $base,
+ $rounds,
+ fin AS ($finalUnion)
+SELECT word, n_occ, CAST(wl AS INT) AS word_len,
+ ((v % 64) + 64) % 64 AS n_pieces, v // 64 AS cost_hb
+FROM fin"""
+  }
+
   /** q_trigram_surprisal / q_trigram_transfer: the Stupid-Backoff
     * trigram panel mirroring TextAnalysis.scoreTrigrams — the unified
     * 1-based gram stream (w2/w3 NULL past the doc tail), three stat

@@ -242,6 +242,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q_token_bpe" -> ((s, d) => TextAnalysis.tokenBpe(s, d)),
     "q_token_roundtrip" -> ((s, d) => TextAnalysis.tokenRoundtrip(s, d)),
+    "q_unigram_segment" -> ((s, d) => TextAnalysis.unigramSegment(s, d)),
     "q_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(s, d)),
     "q_keyness" -> ((s, d) => TextAnalysis.keyness(s, d)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.trainBpe(Tables.documents(s, d), 16)),
@@ -1512,6 +1513,9 @@ object SparkEntry {
         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1""".stripMargin,
     "q_token_bpe" -> OracleSql.tokenBpe(),
+    "q_unigram_segment" -> OracleSql.unigramSegment(
+      TextAnalysis.UnigramMaxWordLen, TextAnalysis.UnigramMaxPieceLen,
+      TextAnalysis.UnigramMinCount),
     "q_token_roundtrip" -> OracleSql.tokenRoundtrip(),
     // fertility panel rides the same trainer CTE chain; each ratio is
     // one division of two exact BIGINTs

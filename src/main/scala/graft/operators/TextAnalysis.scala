@@ -575,6 +575,106 @@ object TextAnalysis {
     * back at dictionary scale. The DuckDB oracle replays the merge
     * rounds relationally and re-concatenates the final symbol lists,
     * so identity and conservation are hash-checked cross-engine. */
+  /** Unroll bound of the [[unigramSegment]] Viterbi chain: both
+    * engines run EXACTLY this many position rounds, so words longer
+    * than it are REFUSED loud (the fail-loud discipline — a silent
+    * truncation would segment a prefix and call it the word). */
+  val UnigramMaxWordLen: Int = 12
+  /** Longest candidate piece of the unigram vocabulary. */
+  val UnigramMaxPieceLen: Int = 4
+  /** Sub-word pieces rarer than this stay out of the vocabulary
+    * (single chars always stay in — the segmentation fallback). */
+  val UnigramMinCount: Long = 2L
+
+  /** SentencePiece-style UNIGRAM-LM segmentation (Kudo 2018) — the
+    * other half of the tokenizer family next to BPE: a candidate
+    * vocabulary of within-word character pieces (length ≤
+    * [[UnigramMaxPieceLen]], corpus frequency ≥ [[UnigramMinCount]],
+    * single chars always kept as the fallback), piece cost =
+    * ⌊2·log₂(T/c)⌋ in exact HALF-BITS off the shared
+    * [[CorpusStats.halfLog2Ratio]] kernel (no floats — engines can
+    * never disagree by an ulp and flip a segmentation), and per
+    * distinct word the MINIMUM-COST segmentation by Viterbi over the
+    * position lattice. The DP is bounded-unrolled exactly like the
+    * k-core peel: [[UnigramMaxWordLen]] driver-synchronized rounds,
+    * round i computing dp(i) = min over piece lengths d of
+    * dp(i−d) + w(piece(i−d+1, d)) — and the tie-break is FREE
+    * because the packed value v = cost·64 + n_pieces makes integer
+    * min lexicographic (cost first, then fewer pieces; n_pieces ≤
+    * [[UnigramMaxWordLen]] < 64 so the pack never carries).
+    *
+    * Scale shape: everything after the word census is VOCAB-bounded
+    * — distinct words × word length × piece lengths per round, the
+    * piece table broadcast; corpus text touches only the one census
+    * scan. Output per distinct word: (word, n_occ, word_len,
+    * n_pieces, cost_hb) — the unigram fertility/cost audit that
+    * decides vocab size against [[tokenBpe]]'s BPE fertility. */
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame =
+    unigramSegmentOf(Tables.documents(spark, dir))
+
+  /** [[unigramSegment]] over a prepared (…, text) frame. */
+  def unigramSegmentOf(docs: DataFrame): DataFrame = {
+    val L = UnigramMaxPieceLen
+    val words = graft.plans.Materialize(
+      docs.select(explode(T.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+        .withColumn("wl", char_length(col("word"))))
+    // one bounded scalar: refuse over-long words LOUD (the unroll
+    // bound is the engines' agreed round count)
+    val maxLen = words.agg(coalesce(max(col("wl")), lit(0)))
+      .head.getInt(0)
+    require(maxLen <= UnigramMaxWordLen,
+      s"unigramSegment: a corpus word is $maxLen chars — over the " +
+        s"$UnigramMaxWordLen-round Viterbi unroll; raise UnigramMaxWordLen")
+    if (maxLen == 0)
+      return words.select(col("word"), col("n_occ"),
+        col("wl").cast("int").as("word_len"),
+        lit(0L).as("n_pieces"), lit(0L).as("cost_hb")).limit(0)
+    val cand = words.select(col("word"), col("n_occ"),
+      explode(expr(
+        s"flatten(transform(sequence(1, char_length(word)), i ->" +
+          s" transform(sequence(1, $L), d ->" +
+          s" struct(d AS d, substring(word, i, d) AS pc))))")).as("x"))
+      .filter(expr("char_length(x.pc) = x.d"))
+      .select(col("x.pc").as("piece"), col("n_occ"))
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("c"))
+      .filter(char_length(col("piece")) === 1 ||
+        col("c") >= UnigramMinCount)
+    val tot = cand.agg(sum(col("c")).as("tt"))
+    // packed edge weight: cost·64 + 1 — v-addition IS the
+    // lexicographic (cost, n_pieces) accumulation
+    val costs = graft.plans.Materialize(
+      cand.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          (CorpusStats.halfLog2Ratio(col("tt"), col("c")) * lit(64L)
+            + lit(1L)).as("w")))
+    var dps = Vector(graft.plans.Materialize(
+      words.select(col("word"), col("n_occ"), col("wl"), lit(0L).as("v"))))
+    // unroll only to the corpus's actual longest word: rounds past it
+    // are EMPTY on both engines (the oracle's static unroll runs them
+    // as no-op CTEs), so cutting them changes nothing but the
+    // planning floor
+    for (i <- 1 to maxLen) {
+      val cands = (1 to math.min(L, i)).map { d =>
+        dps(i - d).filter(col("wl") >= i)
+          .join(broadcast(costs),
+            substring(col("word"), i - d + 1, d) === col("piece"))
+          .select(col("word"), col("n_occ"), col("wl"),
+            (col("v") + col("w")).as("v"))
+      }.reduce(_.unionAll(_))
+      dps = dps :+ graft.plans.Materialize(
+        cands.groupBy(col("word"), col("n_occ"), col("wl"))
+          .agg(min(col("v")).as("v")))
+    }
+    (1 to maxLen)
+      .map(i => dps(i).filter(col("wl") === i))
+      .reduce(_.unionAll(_))
+      .select(col("word"), col("n_occ"), col("wl").cast("int").as("word_len"),
+        pmod(col("v"), lit(64L)).as("n_pieces"),
+        expr("v DIV 64").as("cost_hb"))
+  }
+
   def tokenRoundtrip(spark: SparkSession, dir: String, merges: Int = 16,
                      minCount: Long = BpeDefaultMinCount,
                      topV: Int = BpeDefaultTopV): DataFrame =

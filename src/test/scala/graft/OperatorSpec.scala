@@ -1457,6 +1457,57 @@ class OperatorSpec extends SparkSpec {
     assert(hz("a")._3 <= hz("a")._2)
   }
 
+  test("unigram segmentation: Viterbi equals a driver-side DP, packs break ties toward fewer pieces") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+    val got = graft.operators.TextAnalysis.unigramSegmentOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // rebuild the cost table + DP in plain Scala off the corpus
+    val words = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val L = graft.operators.TextAnalysis.UnigramMaxPieceLen
+    val pieces = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- words; i <- 0 until w.length;
+         d <- 1 to math.min(L, w.length - i))
+      pieces(w.substring(i, i + d)) =
+        pieces.getOrElse(w.substring(i, i + d), 0L) + n
+    val kept = pieces.filter { case (p, c) =>
+      p.length == 1 || c >= graft.operators.TextAnalysis.UnigramMinCount }
+    val tt = kept.values.sum
+    val cost = kept.map { case (p, c) =>
+      p -> graft.operators.CorpusStats.halfLog2Big(tt, c) }
+    def dp(w: String): (Long, Long) = {
+      val v = Array.fill(w.length + 1)(Long.MaxValue)
+      v(0) = 0L
+      for (i <- 1 to w.length; d <- 1 to math.min(L, i)) {
+        val pc = w.substring(i - d, i)
+        if (cost.contains(pc) && v(i - d) != Long.MaxValue)
+          v(i) = math.min(v(i), v(i - d) + cost(pc) * 64L + 1L)
+      }
+      (v(w.length) / 64L, v(w.length) % 64L)
+    }
+    words.keys.foreach { w =>
+      val (c, np) = dp(w)
+      assert(got(w) == ((words(w), w.length, np, c)),
+        s"$w: got ${got(w)}, want (${words(w)}, ${w.length}, $np, $c)")
+    }
+    // tie-break: equal-cost segmentations resolve to FEWER pieces —
+    // the packed min can never prefer a longer split of equal cost
+    got.values.foreach { case (_, wl, np, _) =>
+      assert(np >= 1 && np <= wl)
+    }
+    // over-long words refuse LOUD, never silently truncate
+    val long = Seq(("x" * 13)).toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.unigramSegmentOf(long).collect()
+    }
+    assert(e.getMessage.contains("Viterbi unroll"), e.getMessage)
+  }
+
   test("phrase search: adjacency not bag-of-words, overlapping matches count, top-k total order") {
     import spark.implicits._
     val docs = Seq(
