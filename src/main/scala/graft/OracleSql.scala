@@ -1213,6 +1213,23 @@ FROM bk LEFT JOIN ws
  ON ws.query_id = bk.query_id AND ws.vec_id = bk.vec_id
 GROUP BY 1"""
 
+  /** q_embed_outliers: per-node worst-kept-neighbor distance off the
+    * graph + edge-less nodes surfaced loudest (Ann.embedOutliersOf);
+    * top-N by (k_found ASC, d2_k DESC NULLS LAST, vec_id). */
+  def embedOutliers(k: Int = 5, nPlanes: Int = 6, nTables: Int = 8,
+                    topN: Int = 20): String =
+    "WITH " + knnGraphCtes(k, nPlanes, nTables) + s""",
+      | onrm AS MATERIALIZED (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+      |  FROM e GROUP BY 1),
+      | oagg AS (SELECT g.src_id AS vec_id,
+      |   CAST(count(*) AS BIGINT) AS k_found,
+      |   max(ns.n2 + nd.n2 - 2 * g.dot_q) AS d2_k
+      |  FROM gk g JOIN onrm ns ON ns.vec_id = g.src_id
+      |  JOIN onrm nd ON nd.vec_id = g.dst_id GROUP BY 1)
+      |SELECT n.vec_id, coalesce(a.k_found, 0) AS k_found, a.d2_k
+      |FROM onrm n LEFT JOIN oagg a ON a.vec_id = n.vec_id
+      |ORDER BY k_found, d2_k DESC NULLS LAST, n.vec_id LIMIT $topN""".stripMargin
+
   /** q_graph_search_recall: recall@k of the graph WALK against brute
     * force (Ann.graphSearchRecall — the knnGraphRecall gauge pointed
     * at the serving path). */

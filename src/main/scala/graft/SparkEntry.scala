@@ -189,6 +189,7 @@ object SparkEntry {
     "q_graph_dup_recall" -> ((s, d) => Ann.graphDupRecall(s, d)),
     "q_graph_search" -> ((s, d) => Ann.graphSearch(s, d)),
     "q_graph_prune" -> ((s, d) => Ann.graphPrune(s, d)),
+    "q_embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "q_graph_prune_recall" -> ((s, d) => Ann.graphPruneRecall(s, d)),
     "q_graph_search_recall" -> ((s, d) => Ann.graphSearchRecall(s, d)),
     "q_knn_label_noise" -> ((s, d) => Ann.knnLabelNoise(s, d)),
@@ -1332,6 +1333,7 @@ object SparkEntry {
     "q_srp_wide_recall" -> OracleSql.srpWideRecall(),
     "q_graph_dup_recall" -> OracleSql.graphDupRecall(),
     "q_graph_search" -> OracleSql.graphSearch(),
+    "q_embed_outliers" -> OracleSql.embedOutliers(),
     "q_graph_prune" -> OracleSql.graphPrune(
       Ann.PruneAlphaNum, Ann.PruneAlphaDen),
     "q_graph_prune_recall" -> OracleSql.graphPruneRecall(

@@ -928,6 +928,49 @@ object Ann {
         col("rnk_after"))
   }
 
+  /** Embedding-space OUTLIER census — the "inspect the weirdest
+    * vectors" curation panel (mislabeled points, encoder failures,
+    * and contamination sit far from everything; their k-NN distance
+    * is the standard isolation score): per node, the squared
+    * distance to its WORST kept graph neighbor (exact integers:
+    * d² = n2_u + n2_v − 2·dot_q off the quantized self-dots) plus
+    * how many neighbors the banding found at all — a node the LSH
+    * can't even pair is the loudest outlier of all, so k_found < k
+    * rows rank FIRST — then the top-`topN` most isolated via
+    * TakeOrdered on (k_found ASC, d2_k DESC, vec_id). Reads the SAME
+    * production adjacency every other panel reads; one id-keyed norm
+    * join and one bounded aggregate past the build. */
+  def embedOutliers(spark: SparkSession, dir: String, k: Int = 5,
+                    nPlanes: Int = 6, nTables: Int = 8,
+                    topN: Int = 20): DataFrame = {
+    val e = embs(spark, dir)
+    embedOutliersOf(e, knnGraphOf(e, k, nPlanes, nTables), topN)
+  }
+
+  /** [[embedOutliers]] over a prepared embedding frame and a
+    * built/parked (src_id, dst_id, dot_q, …) adjacency. */
+  def embedOutliersOf(emb: DataFrame, graph: DataFrame,
+                      topN: Int): DataFrame = {
+    val nrm = emb.select(col("vec_id"),
+      V.quantizedDot(col("embedding"), col("embedding")).as("n2"))
+    val agg = graph
+      .join(nrm.select(col("vec_id").as("src_id"), col("n2").as("n2_s")),
+        Seq("src_id"))
+      .join(nrm.select(col("vec_id").as("dst_id"), col("n2").as("n2_d")),
+        Seq("dst_id"))
+      .groupBy(col("src_id").as("vec_id"))
+      .agg(count(lit(1)).as("k_found"),
+        max(col("n2_s") + col("n2_d") - lit(2L) * col("dot_q")).as("d2_k"))
+    // edge-less nodes (the banding paired them with NOBODY) must
+    // surface, not vanish: left-join the full id set, k_found 0
+    emb.select(col("vec_id")).join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("k_found"), lit(0L)).as("k_found"),
+        col("d2_k"))
+      .orderBy(col("k_found").asc, col("d2_k").desc_nulls_last,
+        col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Recall@k of the serve walk OVER THE PRUNED GRAPH against brute
     * force — the gauge that justifies [[graphPrune]]: build dense
     * (kGraph = 10), α-cut, and the rooted beam walk must still find

@@ -614,6 +614,54 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("embed outliers: worst-neighbor distance exact, edge-less nodes surface loudest") {
+    import spark.implicits._
+    // hand geometry: 0,1,2 mutually close; 3 has NO graph edges at
+    // all (the banding paired it with nobody) — it must surface
+    // FIRST with k_found 0 and NULL distance, never vanish
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(3f, 0f)), (2L, Array(0f, 4f)),
+      (3L, Array(100f, 100f))
+    ).toDF("vec_id", "embedding")
+    // dot_q values are irrelevant to d2 only through the -2*dot term:
+    // use the TRUE quantized dots so d² is the real geometry
+    // d²(0,1) = 9e6, d²(0,2) = 16e6, d²(1,2) = 25e6
+    val graph = Seq(
+      (0L, 1L, 0L, 1), (0L, 2L, 0L, 2),
+      (1L, 0L, 0L, 1), (2L, 0L, 0L, 1)
+    ).toDF("src_id", "dst_id", "dot_q", "rnk")
+    val got = graft.operators.Ann.embedOutliersOf(emb, graph, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(got.head == ((3L, 0L, None)), s"edge-less node not first: ${got.head}")
+    val m = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // node 0 keeps two edges; its WORST is d²(0,2) = 16e6
+    assert(m(0L) == ((2L, Some(16000000L))), s"${m(0L)}")
+    assert(m(1L) == ((1L, Some(9000000L))))
+    assert(m(2L) == ((1L, Some(16000000L))))
+    // within equal k_found, larger distance ranks earlier
+    val oneEdge = got.filter(_._2 == 1L).map(_._1).toSeq
+    assert(oneEdge == Seq(2L, 1L), s"order $oneEdge")
+    // production path: 6 tight clusters of identical UNIT vectors
+    // (d²-to-neighbor 0) and one unit vector pointing nowhere near
+    // any of them — the planted outlier's worst-kept-neighbor
+    // distance dominates, whatever the banding paired it with
+    val nPts = 60
+    val d = 32
+    def unit(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(d)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = ((0 until nPts).map(i => (i.toLong, unit(i % 6)))
+      :+ ((999L, unit(7777)))).toDF("vec_id", "embedding")
+    val top = graft.operators.Ann.embedOutliersOf(rows,
+      graft.operators.Ann.knnGraphOf(rows, 3, 4, 8), topN = 3)
+      .collect().map(_.getLong(0))
+    assert(top.contains(999L), s"planted outlier missing from top-3: ${top.toSeq}")
+  }
+
   test("graph prune: planted occlusion geometry cuts exactly the occluded edges") {
     import spark.implicits._
     // 2-D geometry with hand-checkable squared distances (α = 1, the
