@@ -125,6 +125,36 @@ class PqIndexSpec extends SparkSpec {
     assert(results.nonEmpty)
   }
 
+  test("pruned-graph lifecycle: build dense, alpha-cut, park, serve - parked equals inline") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // dense build → α-RNG prune → landBatch → reload → serve: the
+    // DiskANN-shaped serving lifecycle end to end
+    val pruned = Ann.graphPruneOf(
+      emb.select(col("vec_id"), col("embedding")),
+      Ann.knnGraphOf(emb, k = 10, nPlanes = 6, nTables = 8))
+      .select(col("src_id"), col("dst_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-pruned-").toString
+    val (store, _) = Incremental.landBatch(pruned, dir, 0L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("dot_q"), r.getAs[Int]("rnk")))).toMap
+    val inline = key(Ann.graphSearchAgainst(emb, pruned, k = 5,
+      nQueries = 8, beam = 8, hops = 3))
+    val parked = key(Ann.graphSearchAgainst(emb, store, k = 5,
+      nQueries = 8, beam = 8, hops = 3))
+    assert(inline == parked,
+      s"parked pruned-graph serve diverged: ${(inline.toSet -- parked.toSet).take(3)}")
+    assert(parked.nonEmpty)
+    // a doubled landing (retried append) of the pruned store must not
+    // change the walk — the serve path's distinct collapses it
+    val doubled = store.unionAll(store)
+    assert(key(Ann.graphSearchAgainst(emb, doubled, k = 5,
+      nQueries = 8, beam = 8, hops = 3)) == parked)
+  }
+
   test("live graph serve: per-micro-batch walks against the parked adjacency equal the batch panel") {
     val s = spark
     import s.implicits._
