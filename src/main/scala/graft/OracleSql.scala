@@ -772,8 +772,8 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
   /** q_kmeans_assign: nearest-centroid reassignment with the exact
     * integer numerator / one-double-division construction (see
     * Ann.kmeansAssign). */
-  def kmeansAssign: String =
-    """WITH q AS MATERIALIZED (SELECT vec_id, label,
+  private val kmeansAssignCtes: String =
+    """q AS MATERIALIZED (SELECT vec_id, label,
       |   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
       |   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
       | FROM embeddings),
@@ -785,9 +785,31 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |     / CAST(max(cent.n) * max(cent.n) AS DOUBLE) AS dist
       |  FROM q JOIN cent ON cent.i = q.i GROUP BY 1, 2, 3),
       | r AS (SELECT vec_id, label, c,
-      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist)
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist)""".stripMargin
+
+  def kmeansAssign: String =
+    "WITH " + kmeansAssignCtes + """
       |SELECT vec_id, label, c AS new_label, (label <> c) AS moved
       |FROM r WHERE rn = 1""".stripMargin
+
+  /** q_cluster_purity: per assigned cluster, the majority
+    * original-label share off the SAME assignment chain
+    * (Ann.clusterPurity) — ties to the smaller label, purity as an
+    * exact fixed-point ppm floor. */
+  def clusterPurity: String =
+    "WITH " + kmeansAssignCtes + """,
+      | ka AS (SELECT label, c AS cluster FROM r WHERE rn = 1),
+      | cells AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS cn
+      |  FROM ka GROUP BY 1, 2),
+      | ctot AS (SELECT cluster, CAST(sum(cn) AS BIGINT) AS n_members
+      |  FROM cells GROUP BY 1),
+      | cr AS (SELECT *, row_number() OVER
+      |   (PARTITION BY cluster ORDER BY cn DESC, label) AS crn FROM cells)
+      |SELECT cr.cluster, t.n_members, cr.label AS top_label,
+      | cr.cn AS top_n,
+      | CAST((CAST(cr.cn AS HUGEINT) * 1000000) // t.n_members AS BIGINT)
+      |   AS purity_ppm
+      |FROM cr JOIN ctot t ON t.cluster = cr.cluster WHERE crn = 1""".stripMargin
 
   /** Shared SRP-LSH CTE chain: recompute the 64-bit sign-random-
     * projection fingerprint bit-identically (the ±1 hyperplane weights

@@ -206,6 +206,7 @@ object SparkEntry {
     "q_embed_trunc" -> ((s, d) => Ann.embedTrunc(s, d)),
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
+    "q_cluster_purity" -> ((s, d) => Ann.clusterPurity(s, d)),
     "q_kmeans_iterate" -> ((s, d) => Ann.kmeansIterate(s, d)),
     "q_kmeans_cost" -> ((s, d) => Ann.kmeansCost(s, d)),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
@@ -2092,6 +2093,7 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
+    "q_cluster_purity" -> OracleSql.clusterPurity,
     "q_semdedup" -> OracleSql.semDedup(),
     "q_containment" -> OracleSql.containmentPairs(),
     "q_approx_distinct" -> OracleSql.approxDistinct,

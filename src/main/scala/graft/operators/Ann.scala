@@ -2158,6 +2158,32 @@ object Ann {
         (col("label") =!= col("c")).as("moved"))
   }
 
+  /** Cluster PURITY panel — the "are the semantic clusters
+    * label-pure" curation gauge over the [[kmeansAssign]] chain: per
+    * assigned cluster, its size, majority ORIGINAL label (ties to
+    * the smaller label — a total order) and that label's share as an
+    * exact fixed-point ppm floor. Low purity flags clusters mixing
+    * labels — mislabeled regions, or labels that aren't separable in
+    * embedding space (both are curation findings). Shuffle past the
+    * assignment ∝ clusters × labels cells. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = kmeansAssign(spark, dir)
+      .select(col("new_label").as("cluster"), col("label"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cn"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cn").desc, col("label").asc)
+    cells
+      .withColumn("n_members",
+        sum(col("cn")).over(Window.partitionBy(col("cluster"))))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("cluster"), col("n_members"),
+        col("label").as("top_label"), col("cn").as("top_n"),
+        expr("CAST((CAST(cn AS DECIMAL(38,0)) * 1000000) DIV n_members" +
+          " AS BIGINT)").as("purity_ppm"))
+  }
+
   /** Iterated Lloyd loop — [[kmeansAssign]] (assignment half) and
     * [[labelCentroids]] (update half) composed until no vector moves
     * or `maxIters` rounds, the full k-means refinement of an IVF

@@ -614,6 +614,28 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("cluster purity: majority shares equal a driver-side recompute off the assignment") {
+    val assign = graft.operators.Ann.kmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getAs[Number]("new_label").longValue,
+        r.getAs[Number]("label").longValue))
+    val want = assign.groupBy(_._1).map { case (cluster, rows) =>
+      val cells = rows.groupBy(_._2).map { case (l, xs) => (l, xs.size.toLong) }
+      val (topL, topN) = cells.toSeq.sortBy(t => (-t._2, t._1)).head
+      cluster -> ((rows.size.toLong, topL, topN,
+        topN * 1000000L / rows.size))
+    }
+    val got = graft.operators.Ann.clusterPurity(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("cluster").longValue ->
+        ((r.getAs[Number]("n_members").longValue,
+          r.getAs[Number]("top_label").longValue,
+          r.getAs[Number]("top_n").longValue,
+          r.getAs[Number]("purity_ppm").longValue))).toMap
+    assert(got == want, s"diff ${got.toSet -- want.toSet}")
+    got.values.foreach { case (n, _, tn, ppm) =>
+      assert(tn >= 1 && tn <= n && ppm >= 1 && ppm <= 1000000L)
+    }
+  }
+
   test("embed outliers: worst-neighbor distance exact, edge-less nodes surface loudest") {
     import spark.implicits._
     // hand geometry: 0,1,2 mutually close; 3 has NO graph edges at
