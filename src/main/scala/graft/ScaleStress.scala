@@ -110,6 +110,21 @@ object ScaleStress {
     val (cen1, cenT1) = timed(censusPpm(dir))
     val (cenN, cenTN) = timed(censusPpm(dirN))
 
+    // --- unigram Viterbi at 1× and N× text mass (r14: replication
+    // leaves the DISTINCT-WORD census and therefore the whole DP
+    // identical — everything after the corpus scan is vocab-bounded,
+    // so wall must track the one census scan, and the DP round count
+    // IS the longest word, a corpus constant)
+    val T = graft.operators.TextAnalysis
+    val (ug1, ugT1) = timed(
+      T.unigramSegmentOf(Tables.documents(spark, dir)).count())
+    val docsN = ks.map(k => Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + lit(k * Shift)))
+      .reduce(_ unionAll _)
+    val (ugN, ugTN) = timed(T.unigramSegmentOf(docsN).count())
+    require(ug1 == ugN,
+      s"replication changed the distinct-word panel: $ug1 vs $ugN")
+
     println(
       s"""{"metric":"scale_stress","sf":"$dir","copies":$copies,""" +
         s""""cc_rounds_1x":$ccR1,"cc_rounds_${copies}x":$ccRN,""" +
@@ -126,7 +141,9 @@ object ScaleStress {
         s""""ktruss_rounds_1x":$ktR1,"ktruss_rounds_${copies}x":$ktRN,""" +
         f""""ktruss_sec_1x":$ktT1%.2f,"ktruss_sec_${copies}x":$ktTN%.2f,""" +
         s""""band_ppm_1x":$cen1,"band_ppm_${copies}x":$cenN,""" +
-        f""""band_sec_1x":$cenT1%.2f,"band_sec_${copies}x":$cenTN%.2f}""")
+        f""""band_sec_1x":$cenT1%.2f,"band_sec_${copies}x":$cenTN%.2f,""" +
+        s""""unigram_words":$ug1,""" +
+        f""""unigram_sec_1x":$ugT1%.2f,"unigram_sec_${copies}x":$ugTN%.2f}""")
     spark.stop()
   }
 }
