@@ -245,6 +245,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 3, s"graph prune re-scans embeddings $scans times:\n${pr.take(800)}")
   }
 
+  test("phrase search: one materialized scan, zero joins, per-phrase TakeOrdered") {
+    val p = physical(graft.operators.TextAnalysis.phraseSearch(spark, sfDir))
+    // row-local scoring: the only parquet touch is the materialized
+    // counts base; the per-phrase legs are filters + TakeOrdered off
+    // it — no join anywhere, no windowed global sort
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("Scan ExistingRDD"), p.take(600))
+  }
+
+  test("link prediction: equi-keyed wedge joins, top-k via TakeOrdered, degrees broadcast-joined") {
+    val p = physical(graft.operators.Sequence.linkPredict(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the candidate cut is TakeOrdered, never a single-partition
+    // global sort under a row_number window
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("repeat value: the decay table folds as literals - no extra join over the unimax chain") {
+    val base = physical(graft.operators.Sampling.mixtureUnimax(spark, sfDir))
+    val rv = physical(graft.operators.Sampling.repeatValue(spark, sfDir))
+    // the discount arithmetic is element_at over literal arrays —
+    // scan-local; join count must not grow past the unimax chain's
+    val jBase = "Join".r.findAllIn(base).length
+    val jRv = "Join".r.findAllIn(rv).length
+    assert(jRv <= jBase, s"decay audit added joins: $jBase -> $jRv\n${rv.take(800)}")
+  }
+
   test("trigram surprisal: one materialized gram scan, stat joins unhinted, int64 word keys") {
     val df = graft.operators.TextAnalysis.trigramSurprisal(spark, sfDir)
     // the five stat tables are gram-vocabulary scale — like the
