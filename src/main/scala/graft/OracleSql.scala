@@ -811,6 +811,22 @@ FROM t0 JOIN est ON est.topic = t0.topic"""
       |   AS purity_ppm
       |FROM cr JOIN ctot t ON t.cluster = cr.cluster WHERE crn = 1""".stripMargin
 
+  /** q_ivf_balance: the one-row list-size imbalance summary off the
+    * SAME assignment chain (Ann.ivfBalance). */
+  def ivfBalance: String =
+    "WITH " + kmeansAssignCtes + """,
+      | ka AS (SELECT c AS cluster FROM r WHERE rn = 1),
+      | ls AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+      |  FROM ka GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_lists,
+      | CAST(sum(sz) AS BIGINT) AS n_vectors,
+      | min(sz) AS min_list, max(sz) AS max_list,
+      | CAST((CAST(sum(sz) AS HUGEINT) * 1000) // count(*) AS BIGINT)
+      |   AS mean_milli,
+      | CAST((CAST(max(sz) AS HUGEINT) * count(*) * 1000000) // sum(sz)
+      |   AS BIGINT) AS hot_ppm
+      |FROM ls""".stripMargin
+
   /** Shared SRP-LSH CTE chain: recompute the 64-bit sign-random-
     * projection fingerprint bit-identically (the ±1 hyperplane weights
     * are the Knuth-hash sign of (plane, dim)), band it into 8 4-bit

@@ -207,6 +207,7 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Ann.pcaTopComponent(s, d)),
     "q_kmeans_assign" -> ((s, d) => Ann.kmeansAssign(s, d)),
     "q_cluster_purity" -> ((s, d) => Ann.clusterPurity(s, d)),
+    "q_ivf_balance" -> ((s, d) => Ann.ivfBalance(s, d)),
     "q_kmeans_iterate" -> ((s, d) => Ann.kmeansIterate(s, d)),
     "q_kmeans_cost" -> ((s, d) => Ann.kmeansCost(s, d)),
     "q_ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
@@ -2094,6 +2095,7 @@ object SparkEntry {
     "q_embed_pca" -> OracleSql.embedPca(100),
     "q_kmeans_assign" -> OracleSql.kmeansAssign,
     "q_cluster_purity" -> OracleSql.clusterPurity,
+    "q_ivf_balance" -> OracleSql.ivfBalance,
     "q_semdedup" -> OracleSql.semDedup(),
     "q_containment" -> OracleSql.containmentPairs(),
     "q_approx_distinct" -> OracleSql.approxDistinct,

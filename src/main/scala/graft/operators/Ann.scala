@@ -2184,6 +2184,30 @@ object Ann {
           " AS BIGINT)").as("purity_ppm"))
   }
 
+  /** IVF LIST-BALANCE census — the serving-capacity gauge of an IVF
+    * index (probe latency is bounded by the HOTTEST list; a skewed
+    * partition turns nprobe=1 into a full scan of one giant cell):
+    * one bounded summary over the [[kmeansAssign]] list sizes —
+    * list count, vector count, min/max list, mean in exact
+    * millivectors, and hot_ppm = max·n_lists·10⁶/total (10⁶ =
+    * perfectly balanced; k·10⁶ = everything in one list). Exact
+    * integers end to end; shuffle ∝ #lists after the assignment. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = kmeansAssign(spark, dir)
+      .groupBy(col("new_label")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("n_lists"),
+      sum(col("sz")).as("n_vectors"),
+      min(col("sz")).as("min_list"),
+      max(col("sz")).as("max_list"))
+      .select(col("n_lists"), col("n_vectors"), col("min_list"),
+        col("max_list"),
+        expr("CAST((CAST(n_vectors AS DECIMAL(38,0)) * 1000) DIV n_lists" +
+          " AS BIGINT)").as("mean_milli"),
+        expr("CAST((CAST(max_list AS DECIMAL(38,0)) * n_lists * 1000000)" +
+          " DIV n_vectors AS BIGINT)").as("hot_ppm"))
+  }
+
   /** Iterated Lloyd loop — [[kmeansAssign]] (assignment half) and
     * [[labelCentroids]] (update half) composed until no vector moves
     * or `maxIters` rounds, the full k-means refinement of an IVF

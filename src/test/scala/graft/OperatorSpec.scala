@@ -614,6 +614,23 @@ class OperatorSpec extends SparkSpec {
     assert(got >= (0.9 * nPairs).toLong, s"recalled $got of $nPairs planted pairs")
   }
 
+  test("ivf balance: the one-row summary equals a driver-side recompute of list sizes") {
+    val sizes = graft.operators.Ann.kmeansAssign(spark, sfDir).collect()
+      .groupBy(r => r.getAs[Number]("new_label").longValue)
+      .map(_._2.size.toLong).toSeq
+    val r = graft.operators.Ann.ivfBalance(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_lists") == sizes.size.toLong)
+    assert(r.getAs[Long]("n_vectors") == sizes.sum)
+    assert(r.getAs[Long]("min_list") == sizes.min)
+    assert(r.getAs[Long]("max_list") == sizes.max)
+    assert(r.getAs[Long]("mean_milli") == sizes.sum * 1000L / sizes.size)
+    assert(r.getAs[Long]("hot_ppm") ==
+      sizes.max * sizes.size * 1000000L / sizes.sum)
+    // a perfectly balanced partition reads exactly 10⁶; anything
+    // real reads above it
+    assert(r.getAs[Long]("hot_ppm") >= 1000000L)
+  }
+
   test("cluster purity: majority shares equal a driver-side recompute off the assignment") {
     val assign = graft.operators.Ann.kmeansAssign(spark, sfDir).collect()
       .map(r => (r.getAs[Number]("new_label").longValue,
