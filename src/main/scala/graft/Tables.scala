@@ -13,8 +13,47 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  /** INPUT-SKEW REPAIR (optimization guide §2.5, "one huge
+    * unsplittable file"): the driver's test tables are single-file,
+    * single-row-group parquet, so every scan is ONE task and a
+    * CPU-heavy per-row kernel (text hashing, fingerprints, decimal
+    * math) serializes on one core while the rest idle. When the file
+    * is too small to split into at least the session's parallelism
+    * (by `maxPartitionBytes`), redistribute rows once right after the
+    * read; a production-laid-out table (many splits) passes through
+    * UNTOUCHED — the condition is derived from file size vs session
+    * config, never a constant tuned to local[32], so at 100 TB this
+    * adds nothing and no payload rides an extra exchange. Filters and
+    * column pruning push through the Repartition node, so
+    * PushedFilters/ReadSchema at the scan are unchanged. Only the
+    * file-size probe is memoized (a boolean per path) — never data. */
+  private val splitDeficit = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def rebalanced(spark: SparkSession, dir: String, name: String,
+                         df: DataFrame): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val deficit = splitDeficit.computeIfAbsent(
+      s"${spark.sparkContext.applicationId};$path",
+      _ => {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes =
+          try fs.getContentSummary(p).getLength
+          catch { case _: java.io.IOException => Long.MaxValue }
+        val maxSplit =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+          catch { case _: Throwable => 134217728L }
+        java.lang.Boolean.valueOf(
+          bytes / math.max(maxSplit, 1L) + 1 <
+            spark.sparkContext.defaultParallelism)
+      })
+    if (deficit) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    rebalanced(spark, dir, "lineitem", read(spark, dir, "lineitem"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    rebalanced(spark, dir, "orders", read(spark, dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
@@ -61,6 +100,8 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    rebalanced(spark, dir, "documents", read(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    rebalanced(spark, dir, "embeddings", read(spark, dir, "embeddings"))
 }

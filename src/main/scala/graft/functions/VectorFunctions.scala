@@ -49,6 +49,43 @@ object QuantizedDot {
   }
 }
 
+/** long_dot(a, b) over two bigint arrays (quantized components,
+  * integer centroid sums): exact integer dot as ONE native codegen
+  * kernel — the [[QuantizedDot]] discipline for inputs that are
+  * ALREADY integer arrays (the composed aggregate∘zip_with form
+  * evaluates interpreted lambdas per element). Overflow bound: with
+  * milli-quantized components (|q| ≲ 4·10³) against centroid sums
+  * |s| ≤ n_c·4·10³, the dot is ≤ d·4·10³·n_c·4·10³ ≈ n_c·10⁹ at
+  * d = 64 — inside int64 up to n_c ≈ 10⁹ vectors per centroid; past
+  * that, promote the combination to DECIMAL upstream. */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def prettyName: String = "long_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LongDot.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(left = l, right = r)
+}
+
+object LongDot {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** srp_fingerprint(vec) → bigint: 64-bit sign-random-projection
   * fingerprint (Charikar 2002 SRP-LSH). Bit j = sign of the integer
   * projection Σᵢ w(j,i)·qᵢ where qᵢ = round(xᵢ·1000) (milli-quantized,
@@ -138,6 +175,11 @@ object VectorFunctions {
     * dotQ(quantize(a), quantize(b)) bit-for-bit). */
   def quantizedDot(a: Column, b: Column): Column =
     bridge.column(QuantizedDot(bridge.expression(a), bridge.expression(b)))
+
+  /** Exact integer dot of two bigint arrays (native kernel; equals
+    * [[dotQ]] bit-for-bit on quantized inputs). */
+  def longDot(a: Column, b: Column): Column =
+    bridge.column(LongDot(bridge.expression(a), bridge.expression(b)))
 
   /** 64-bit sign-random-projection fingerprint (see [[SrpFingerprint]]). */
   def srpFingerprint(v: Column): Column =

@@ -568,9 +568,18 @@ object Ann {
         V.quantizedDot(col("e_src"), col("e_dst")).as("dot_q"))
 
   private def topKOfPairs(scored: DataFrame, k: Int): DataFrame = {
+    // bounded-heap top-k per node (TopKPerKeyExec: O(cands·log k), no
+    // full partition sort, no spill) instead of a row_number window
+    // that SORTS the whole candidate set; rnk is then re-derived by a
+    // window over the ≤ n·k survivors, which reuses the exec's
+    // hash(src_id) partitioning — one exchange total, same rows, same
+    // ranks ((dot_q, dst_id) is a total order, so heap and sort agree)
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, Seq("src_id"),
+      Seq("dot_q" -> graft.plans.TopKPerKey.Desc,
+        "dst_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("dot_q").desc, col("dst_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(w))
   }
 
   /** Incremental k-NN graph APPEND — the maintenance path a parked
@@ -2131,31 +2140,76 @@ object Ann {
     * has an exact-integer numerator, and the single double DIVISION
     * per (vector, centroid) is deterministic (only double SUMS are
     * order-dependent). Ties break toward the smaller label. Scale
-    * shape: the centroid table is #labels × d and broadcasts; the scan
-    * side computes per-(vector, centroid) partial sums map-side, so
-    * shuffle volume ∝ n·L candidate rows, not n·L·d terms. */
+    * shape (r14 optimization): the centroid table collapses to
+    * #labels ARRAY rows and broadcasts; each (vector, centroid) pair
+    * costs one native integer array dot ([[graft.functions.LongDot]])
+    * and the argmin is a map-side-combining min(struct(dist, c))
+    * aggregate — shuffle volume ∝ n result rows, not n·L candidates
+    * and never n·L·d exploded terms. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
-    val cent = q.groupBy(col("label").as("c"), col("i"))
+    val v = kmeansVectorsOf(
+      Tables.embeddings(spark, dir), keep = Seq(col("label")))
+    nearestCentroid(v, centroidArraysOf(v), carry = Seq("label"))
+      .select(col("vec_id"), col("label"), col("new_label"),
+        (col("label") =!= col("new_label")).as("moved"))
+  }
+
+  /** The per-vector QUANTIZED frame of the Lloyd family: qv = the
+    * milli-quantized component array, vv = its exact integer self-dot
+    * — n ARRAY rows instead of n·d exploded rows, so the assignment
+    * distance is ONE native array dot per (vector, centroid) pair
+    * ([[graft.functions.LongDot]]) and the per-round loop shuffles
+    * n-row frames, never exploded components (guide §2.3: shuffle
+    * fewer bytes; §1.2: fix the distributed algorithm first). */
+  private def kmeansVectorsOf(emb: DataFrame,
+                              keep: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataFrame =
+    emb.select((Seq(col("vec_id")) ++ keep :+
+        V.quantize(col("embedding")).as("qv")): _*)
+      .withColumn("vv", V.longDot(col("qv"), col("qv")))
+
+  /** Integer centroid summary of the current partition over a
+    * (label, qv, …) frame: per label its member count n, the
+    * dim-ordered component-sum array sv, and Σ s² exact in DECIMAL
+    * (s² wraps int64 at corpus scale). #labels rows — broadcasts. */
+  private def centroidArraysOf(lv: DataFrame): DataFrame =
+    lv.select(col("label").as("c"), posexplode(col("qv")).as(Seq("i", "q")))
+      .groupBy(col("c"), col("i"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    // diff fits a long at any realistic scale (n_c·|q| ≲ 1e9·1e4), but
-    // diff² summed over dims does NOT — square and sum as scale-0
-    // DECIMAL(38) so Spark stays exact where a long would silently
-    // wrap (DuckDB's HUGEINT sum is exact the same way; scale-0
-    // integer→double conversion is identical in both engines)
-    val dist = q.join(broadcast(cent), Seq("i"))
-      .select(col("vec_id"), col("label"), col("c"), col("n"),
-        (col("n") * col("q") - col("s")).cast(DecimalType(38, 0)).as("diff"))
-      .groupBy(col("vec_id"), col("label"), col("c"))
-      .agg(sum(col("diff") * col("diff")).as("num"), max(col("n")).as("n"))
-      .withColumn("dist",
-        col("num").cast("double") / (col("n") * col("n")).cast("double"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)
-    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("c").as("new_label"),
-        (col("label") =!= col("c")).as("moved"))
+      .groupBy(col("c"))
+      .agg(max(col("n")).as("n"),
+        array_sort(collect_list(struct(col("i"), col("s")))).as("ps"),
+        sum(col("s").cast(DecimalType(38, 0)) *
+          col("s").cast(DecimalType(38, 0))).as("ss"))
+      .select(col("c"), col("n"),
+        expr("transform(ps, p -> p.s)").as("sv"), col("ss"))
+
+  /** Nearest current centroid per vector. The numerator is the SAME
+    * exact integer the exploded form summed — Σᵢ (n·qᵢ − sᵢ)² =
+    * n²·(v·v) − 2n·(v·s) + Σ s², recombined from dot products (all
+    * integer terms, combined in DECIMAL(38,0); the one double DIVISION
+    * per (vector, centroid) is unchanged) — and the argmin is
+    * min(struct(dist, c)): the same (dist ASC, c ASC) total order the
+    * row_number window applied, but as a hash aggregate that
+    * PARTIAL-AGGREGATES map-side, so the n·L candidate rows collapse
+    * to n before the exchange instead of riding into a window sort.
+    * The centroid side is a #labels-row bounded broadcast (the
+    * alert-rule-catalog BroadcastNestedLoopJoin discipline). */
+  private def nearestCentroid(v: DataFrame, centArr: DataFrame,
+                              carry: Seq[String]): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val num = (col("n") * col("n")).cast(dec) * col("vv").cast(dec) -
+      (col("n") * lit(2L)).cast(dec) *
+        V.longDot(col("qv"), col("sv")).cast(dec) +
+      col("ss")
+    v.crossJoin(broadcast(centArr))
+      .select((Seq(col("vec_id")) ++ carry.map(col) :+ col("c") :+
+        (num.cast("double") / (col("n") * col("n")).cast("double"))
+          .as("dist")): _*)
+      .groupBy((col("vec_id") +: carry.map(col)): _*)
+      .agg(min(struct(col("dist"), col("c"))).as("best"))
+      .select((Seq(col("vec_id")) ++ carry.map(col) :+
+        col("best.c").as("new_label")): _*)
   }
 
   /** Cluster PURITY panel — the "are the semantic clusters
@@ -2238,9 +2292,10 @@ object Ann {
   private[graft] def kmeansIterateWithRounds(spark: SparkSession, dir: String,
                                              maxIters: Int = 8): (DataFrame, Int) = {
     val e = Tables.embeddings(spark, dir)
-    val q = e.select(col("vec_id"),
-        posexplode(V.quantize(col("embedding"))).as(Seq("i", "q")))
-      .persist()
+    // the static frame is the ARRAY form (n rows: vec_id, qv, vv), not
+    // the n·d exploded components — ~d× fewer cached rows and every
+    // per-round join moves n-row frames only
+    val v = kmeansVectorsOf(e).persist()
     def chk(df: DataFrame): DataFrame =
       graft.plans.Materialize(df, eager = false)
     try {
@@ -2250,47 +2305,39 @@ object Ann {
       while (!converged && iter < maxIters) {
         // the step carries (label, prev) out, so the convergence read
         // is a filter-count on the one checkpointed frame
-        val stepped = chk(kmeansAssignStep(q, labels))
+        val stepped = chk(kmeansAssignStep(v, labels))
         val moved = stepped.filter(col("label") =!= col("prev")).count()
         converged = moved == 0L
         labels = stepped.select(col("vec_id"), col("label"))
         iter += 1
       }
-      // materialize the result before the finally-unpersist drops q —
+      // materialize the result before the finally-unpersist drops v —
       // a plain action completes whichever checkpoint flavour chk()
       // scheduled, without demoting a reliable checkpoint to
       // executor-local localCheckpoint blocks
       labels.count()
       (labels, iter)
-      // blocking: the cached q's plan canonicalizes identically to the
-      // other kmeans-family queries' component frames — a lingering
+      // blocking: the cached v's plan canonicalizes identically to the
+      // other kmeans-family queries' vector frames — a lingering
       // async drop must not race a later query's cache lookup
-    } finally q.unpersist(blocking = true)
+    } finally v.unpersist(blocking = true)
   }
 
   /** One assignment round over an explicit (vec_id, label) frame —
     * the loop body of [[kmeansIterate]], same arithmetic as
-    * [[kmeansAssign]]. Package-visible so the plan audit can assert
-    * the PRODUCTION loop body (the loop's checkpointed result hides
-    * its plan behind an RDD scan). */
-  private[graft] def kmeansAssignStep(q: DataFrame, labels: DataFrame): DataFrame = {
-    val cent = q.join(labels, Seq("vec_id"))
-      .groupBy(col("label").as("c"), col("i"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    val dist = q.join(broadcast(cent), Seq("i"))
-      .select(col("vec_id"), col("c"), col("n"),
-        (col("n") * col("q") - col("s")).cast(DecimalType(38, 0)).as("diff"))
-      .groupBy(col("vec_id"), col("c"))
-      .agg(sum(col("diff") * col("diff")).as("num"), max(col("n")).as("n"))
-      .withColumn("dist",
-        col("num").cast("double") / (col("n") * col("n")).cast("double"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("c").asc)
-    // carry the previous label out with the new one (tiny post-filter
+    * [[kmeansAssign]] (the [[nearestCentroid]] recombined numerator).
+    * `v` is the static [[kmeansVectorsOf]] array frame. Package-
+    * visible so the plan audit can assert the PRODUCTION loop body
+    * (the loop's checkpointed result hides its plan behind an RDD
+    * scan). */
+  private[graft] def kmeansAssignStep(v: DataFrame, labels: DataFrame): DataFrame = {
+    val centArr = centroidArraysOf(
+      v.join(labels, Seq("vec_id")).select(col("label"), col("qv")))
+    // carry the previous label out with the new one (tiny post-argmin
     // join) so the loop's moved-count is a filter on THIS frame, not a
-    // separate join of two checkpointed rounds — with AQE each removed
-    // exchange is one fewer stage-materialization job per round
-    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("vec_id"), col("c").as("label"))
+    // separate join of two checkpointed rounds
+    nearestCentroid(v, centArr, carry = Nil)
+      .select(col("vec_id"), col("new_label").as("label"))
       .join(labels.withColumnRenamed("label", "prev"), Seq("vec_id"))
   }
 

@@ -409,13 +409,29 @@ object Dedup {
 
   private def hammingCore(left: DataFrame, right: DataFrame, maxHamming: Int,
                           ordered: Boolean): DataFrame = {
+    // each pair is emitted ONCE — at the FIRST chunk whose band matches
+    // (chunk c matches iff xor's bit range [lo, lo+width) is zero), the
+    // bandCandidates first-shared-band discipline: the join's multi-chunk
+    // collisions are filtered scan-side instead of deduped by a
+    // `.distinct()` whose (id, id, hamming) exchange was one full extra
+    // shuffle of the candidate set (guide §2.4)
+    val nChunks = maxHamming + 1
+    val xr = col("fp_l").bitwiseXOR(col("fp_r"))
+    val firstShared = (0 until nChunks).foldRight(lit(nChunks)) {
+      case (c, acc) =>
+        val lo = c * 64 / nChunks
+        val width = (c + 1) * 64 / nChunks - lo
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        when(shiftrightunsigned(xr, lo).bitwiseAND(lit(mask)) === 0L,
+          lit(c)).otherwise(acc)
+    }
     val joined = bandedFps(left, "id_l", "fp_l", maxHamming)
       .join(bandedFps(right, "id_r", "fp_r", maxHamming), Seq("chunk", "cv"))
     (if (ordered) joined.filter(col("id_l") < col("id_r")) else joined)
+      .filter(col("chunk") === firstShared)
       .select(col("id_l"), col("id_r"),
         bit_count(col("fp_l").bitwiseXOR(col("fp_r"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** INCREMENTAL near-dup dedup — the operational form at corpus
@@ -599,8 +615,14 @@ object Dedup {
     * hottest block. The df aggregate and prefix join are plain
     * shuffles with map-side combine. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val g = docs.select(col("doc_id"), col("lang"), col("source"),
-      col("grams"), size(col("grams")).as("sz"))
+    // materialized ONCE: the gram frame feeds four subtrees (df counts,
+    // prefix ranking, and both verify joins) — unmaterialized, each
+    // re-runs the shingle-hash text kernel over the corpus (4 full
+    // text-hashing passes for one query; guide §1.2 "don't compute
+    // things you throw away")
+    val g = graft.plans.Materialize(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        col("grams"), size(col("grams")).as("sz")))
     val exploded = g.select(col("doc_id"), col("lang"), col("source"),
       col("sz"), explode(col("grams")).as("gram"))
     val dfc = exploded.groupBy(col("lang"), col("source"), col("gram"))
@@ -661,11 +683,15 @@ object Dedup {
     * path here. */
   def containmentPairsOf(docs: DataFrame, n: Int,
                          containNum: Int, containDen: Int): DataFrame = {
-    val g = docs
+    // materialized ONCE — the jaccardPairs discipline: five subtrees
+    // (df counts, prefix ranking, the full-set candidate side, both
+    // verify joins) would otherwise each re-run the shingle-hash text
+    // kernel over the corpus
+    val g = graft.plans.Materialize(docs
       .filter(size(T.tokens(col("text"))) >= n)
       .select(col("doc_id"), col("lang"),
         shingle_hashes(col("text"), n).as("grams"))
-      .withColumn("sz", size(col("grams")))
+      .withColumn("sz", size(col("grams"))))
     val exploded = g.select(col("doc_id"), col("lang"), col("sz"),
       explode(col("grams")).as("gram"))
     val dfc = exploded.groupBy(col("lang"), col("gram"))

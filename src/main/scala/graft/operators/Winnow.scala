@@ -195,7 +195,9 @@ object Winnow {
         own, committed.filterNot(_._2.endsWith(s"/batch=$b")),
         "g", b.toLong, buckets,
         nCol = "n_fps", matchedCol = "matched_fps",
-        ratioCol = "matched_ratio")
+        ratioCol = "matched_ratio",
+        touched = Some(graft.sources.Incremental.touchedBucketsOf(
+          spark, store, b.toLong)))
     }
     (served.map(_._1).reduce(_.unionAll(_)), served.map(_._2))
   }

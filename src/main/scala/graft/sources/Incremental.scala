@@ -80,7 +80,14 @@ object Incremental {
         s"batch $batchId lands at or below the compaction horizon $id " +
           s"($p) — replay past a compaction is unsupported")
     }
+    // cluster by the bucket key BEFORE the partitionBy write (guide
+    // §6): unclustered, every upstream task writes a part-file into
+    // every bucket dir it touches — tasks × buckets tiny files whose
+    // per-file open cost then dominates every probe read (measured:
+    // q_winnow_store planned ~1300 scan tasks over the 4-batch store;
+    // clustered, one file per bucket per batch)
     df.withColumn("bucket", bucketOf)
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/batch=$batchId")
     val spark = df.sparkSession
@@ -175,7 +182,11 @@ object Incremental {
       // never reads the dir it overwrites
       val union = inputs.map(e => readBucketedDir(spark, e._2, rowSchema))
         .reduce(_.unionAll(_)).distinct()
+      // same bucket-clustered write as the landing (guide §6): the
+      // fold exists to SHRINK the probe's file count, so it must not
+      // itself scatter tasks × buckets part-files
       union.withColumn("bucket", bucketOf)
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(outPath)
     }
@@ -361,7 +372,31 @@ object Incremental {
       pairs, storeDir, batchId, pmod(col(keyCol), lit(buckets)), buckets,
       layout)
     firstSeenPanelOf(own, dirs, keyCol, batchId, buckets,
-      nCol, matchedCol, ratioCol)
+      nCol, matchedCol, ratioCol,
+      touched = Some(touchedBucketsOf(pairs.sparkSession, storeDir, batchId)))
+  }
+
+  /** The bucket ids a COMMITTED bucketed batch dir actually wrote,
+    * read from its `bucket=<b>` DIRECTORY NAMES: the landing's
+    * partitionBy wrote exactly the buckets its rows hash into, so the
+    * probe's touched-bucket planning needs one filesystem listing, not
+    * a distinct+collect Spark job over the batch rows (a per-batch
+    * planning-floor job the steady-state store probe pays otherwise —
+    * guide §5, driver work). Empty when the dir is absent (a zero-row
+    * landing writes no bucket dirs — same answer the row-derived
+    * distinct gives). */
+  def touchedBucketsOf(spark: SparkSession, storeDir: String,
+                       batchId: Long): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/batch=$batchId")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val re = "bucket=(\\d+)".r
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case re(b) => Some(b.toInt)
+        case _ => None
+      }).toSeq.sorted
   }
 
   /** The PROBE half of [[firstSeenProbeBucketed]], factored so an
@@ -374,13 +409,20 @@ object Incremental {
   def firstSeenPanelOf(own: DataFrame, dirs: Seq[(Long, String)],
                        keyCol: String, batchId: Long, buckets: Int,
                        nCol: String, matchedCol: String,
-                       ratioCol: String): (DataFrame, Seq[String]) = {
+                       ratioCol: String,
+                       touched: Option[Seq[Int]] = None)
+      : (DataFrame, Seq[String]) = {
     import graft.plans.Bloom._
     import org.apache.spark.sql.functions._
-    val touched = own.select(pmod(col(keyCol), lit(buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // callers that read `own` back from a committed batch dir pass the
+    // dir-listing-derived bucket set ([[touchedBucketsOf]]); the
+    // row-derived distinct+collect stays as the fallback for frames
+    // with no committed dir behind them
+    val touchedB = touched.getOrElse(
+      own.select(pmod(col(keyCol), lit(buckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
     val (earlier, planned) =
-      earlierBatchesBuckets(own, dirs, batchId, touched)
+      earlierBatchesBuckets(own, dirs, batchId, touchedB)
     val keyBloom = own.agg(bloom_agg(col(keyCol)).as("bf"))
     val seenBefore = earlier
       .join(broadcast(keyBloom))

