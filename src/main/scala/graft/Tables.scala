@@ -50,10 +50,8 @@ object Tables {
     if (deficit) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame =
-    rebalanced(spark, dir, "lineitem", read(spark, dir, "lineitem"))
-  def orders(spark: SparkSession, dir: String): DataFrame =
-    rebalanced(spark, dir, "orders", read(spark, dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
@@ -100,8 +98,22 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame =
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+
+  /** [[documents]] with the input-skew repair — the OPT-IN reader for
+    * operators whose per-row kernel dominates the scan (long text
+    * hashing / DP / synthesis loops). Measured A/B at sf0.1: the
+    * blanket repair won ≥30% on the kernel-bound rows but cost the
+    * ~200 cheap sub-second scans an extra exchange + AQE stage each
+    * (tail geomean 1.03× pins, several rows 2-3×), so the repair is
+    * a per-operator decision, not a table default. */
+  def documentsKernel(spark: SparkSession, dir: String): DataFrame =
     rebalanced(spark, dir, "documents", read(spark, dir, "documents"))
+
+  /** The embeddings reader keeps the repair unconditionally: EVERY
+    * consumer runs a quantize / fingerprint / dot kernel over the
+    * vector column (the whole family measured faster with it — e.g.
+    * q_knn_graph 0.42×, q_embed_outliers 0.54× vs pins). */
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     rebalanced(spark, dir, "embeddings", read(spark, dir, "embeddings"))
 }

@@ -587,7 +587,7 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         minJaccard: Double = 0.5): DataFrame =
     jaccardPairs(
-      Tables.documents(spark, dir)
+      Tables.documentsKernel(spark, dir)
         .filter(size(T.tokens(col("text"))) >= 2)
         .select(col("doc_id"), col("lang"), col("source"),
           // sorted distinct 64-bit bigram hashes: 8 bytes/gram. Set
@@ -676,7 +676,7 @@ object Dedup {
     * division of exact integers. */
   def containmentPairs(spark: SparkSession, dir: String, n: Int = 4,
                        containNum: Int = 3, containDen: Int = 5): DataFrame =
-    containmentPairsOf(Tables.documents(spark, dir), n, containNum, containDen)
+    containmentPairsOf(Tables.documentsKernel(spark, dir), n, containNum, containDen)
 
   /** [[containmentPairs]] over a prepared (doc_id, lang, text) frame —
     * the spec plants a known quoted-inside pair through the production
@@ -1450,7 +1450,11 @@ object Dedup {
       graft.plans.Materialize(df, eager = false)
 
     // large-star over symmetric neighbor lists: emit (v, m) for the
-    // strictly-larger neighbors v of every node u
+    // strictly-larger neighbors v of every node u. NO intermediate
+    // distinct (guide §2.4): duplicates here are bounded by the 2|e|
+    // directed pairs and the composed round's smallStar ends in its
+    // own distinct, which collapses them — the round's checkpointed
+    // edge set is IDENTICAL, one exchange cheaper per round.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -1458,7 +1462,6 @@ object Dedup {
       nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star keyed by the larger endpoint: emit (x, m) for

@@ -610,7 +610,7 @@ object TextAnalysis {
     * n_pieces, cost_hb) — the unigram fertility/cost audit that
     * decides vocab size against [[tokenBpe]]'s BPE fertility. */
   def unigramSegment(spark: SparkSession, dir: String): DataFrame =
-    unigramSegmentOf(Tables.documents(spark, dir))
+    unigramSegmentOf(Tables.documentsKernel(spark, dir))
 
   /** [[unigramSegment]] over a prepared (…, text) frame. */
   def unigramSegmentOf(docs: DataFrame): DataFrame = {
@@ -3120,7 +3120,7 @@ object TextAnalysis {
     * oracle reproduces it byte-identically. */
   def dsirWeights(spark: SparkSession, dir: String,
                   targetLang: String = "en", buckets: Int = 4096): DataFrame =
-    dsirWeightsOf(Tables.documents(spark, dir), targetLang, buckets)
+    dsirWeightsOf(Tables.documentsKernel(spark, dir), targetLang, buckets)
 
   /** [[dsirWeights]] over a prepared (doc_id, lang, text) frame. */
   def dsirWeightsOf(docs: DataFrame, targetLang: String = "en",
@@ -3167,7 +3167,7 @@ object TextAnalysis {
     * merge, never a global sort. */
   def dsirSelect(spark: SparkSession, dir: String, targetLang: String = "en",
                  buckets: Int = 4096, k: Int = 100): DataFrame =
-    dsirWeightsOf(Tables.documents(spark, dir), targetLang, buckets)
+    dsirWeightsOf(Tables.documentsKernel(spark, dir), targetLang, buckets)
       .orderBy(col("weight").desc, col("doc_id").asc)
       .limit(k)
 
@@ -4131,7 +4131,7 @@ object Multimodal {
     * binary) — the honest input shape of a media table. */
   def syntheticRasters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documentsKernel(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val w = 8 + 4 * (id % 5).toInt
         val h = 8 + 4 * ((id / 5) % 4).toInt
@@ -4349,7 +4349,7 @@ object Multimodal {
     * the ±clip rails). */
   def syntheticAudio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documentsKernel(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val n = (512 + (id % 7) * Ga01Window).toInt
         (id, ga01Encode(8000, n, { i =>
